@@ -1,0 +1,416 @@
+package graft
+
+import graft.functions.FilterDsl
+import graft.operators.{Crud, Dedup, IvfIndex, Knn, TextOps}
+import graft.sources.Records
+import graft.types.Metric
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The declared query inventory (SURVEY.md §2.3) plus the training-data
+  * pipeline extensions, each paired with DuckDB oracle SQL.
+  *
+  * Conventions for oracle hash-parity:
+  *   - every computed double is rounded to 4 decimals via the SAME double
+  *     expression in both engines ([[r4]]/[[sqlR4]]); ordering is done on
+  *     the UNROUNDED value plus an id tiebreak;
+  *   - both engines cast float vector elements to double BEFORE arithmetic
+  *     and accumulate sequentially, so sums are bit-identical;
+  *   - counts/len are bigint in both engines (DuckDB `len`/`count` are
+  *     BIGINT; Spark `size` is cast).
+  */
+object Queries {
+
+  private val Dim = 64 // embeddings.parquet vector width (all SFs)
+
+  // ---------- shared SQL fragments (DuckDB dialect) ----------
+
+  private def sqlSq(a: String, b: String): String =
+    s"list_sum(list_transform(list_zip($a, $b), " +
+      s"p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))"
+
+  private def sqlDot(a: String, b: String): String =
+    s"list_sum(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+
+  private def sqlCosDist(a: String, b: String): String =
+    s"(1.0 - ${sqlDot(a, b)} / (sqrt(${sqlDot(a, a)}) * sqrt(${sqlDot(b, b)})))"
+
+  private def sqlCosSim(a: String, b: String): String =
+    s"(${sqlDot(a, b)} / (sqrt(${sqlDot(a, a)}) * sqrt(${sqlDot(b, b)})))"
+
+  /** Round to 4 decimals as `floor(x·10⁴ + 0.5)/10⁴` — the SAME double
+    * operations the oracle runs (see [[sqlR4]]), so results are
+    * bit-identical even on `.xxxx5` ties, where Spark's BigDecimal
+    * HALF_UP and DuckDB's double-arithmetic `round` disagree. Also never
+    * produces −0.0. */
+  private def r4(c: Column): Column = floor(c * lit(10000.0) + lit(0.5)) / lit(10000.0)
+
+  private def sqlR4(e: String): String = s"floor(($e) * 10000.0 + 0.5) / 10000.0"
+
+  private val stopAllScala: Seq[String] = TextOps.StopwordsByLang.flatMap(_._2).distinct
+  private val stopAllSql: String = stopAllScala.map(w => s"'$w'").mkString("[", ",", "]")
+
+  // ---------- Spark-side helpers ----------
+
+  private def emb(s: SparkSession, dir: String): DataFrame = Records.table(s, dir, "embeddings")
+  private def docs(s: SparkSession, dir: String): DataFrame = Records.table(s, dir, "documents")
+  /** events.parquet stores `ts` as Parquet TIMESTAMP(NANOS), which Spark
+    * rejects by default; read it as raw int64 nanos and convert (exact
+    * integer division — never through double). */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    Records.table(s, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+  private def recs(s: SparkSession, dir: String): DataFrame = Records.fromEmbeddings(s, dir)
+  private def qvec0(s: SparkSession, dir: String): DataFrame =
+    recs(s, dir).where(col("id") === 0).select(col("embedding").as("qvec"))
+
+  private def knnOut(res: DataFrame): DataFrame =
+    res.select(col("id").as("vec_id"), r4(col("distance")).as("distance"))
+
+  /** Fixed, fully deterministic centroids (records 0..7) for the
+    * oracle-checked IVF queries; the seeded-kmeans build path is exercised
+    * in ScalaTest (approximate results are not hash-comparable). */
+  private def fixedCentroids(s: SparkSession, dir: String): DataFrame =
+    recs(s, dir).where(col("id") < 8)
+      .select(col("id").cast("int").as("cluster_id"), col("embedding").as("centroid"))
+
+  // ---------- query implementations ----------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // O1,O2,O21 — exact top-k, squared L2 (reference metric.rs:29)
+    "knn_euclidean" -> ((s, dir) =>
+      knnOut(Knn.search(recs(s, dir), qvec0(s, dir), 10, Metric.Euclidean))),
+
+    // O1,O2,O21 — exact top-k, cosine distance (reference metric.rs:30-31)
+    "knn_cosine" -> ((s, dir) =>
+      knnOut(Knn.search(recs(s, dir), qvec0(s, dir), 10, Metric.Cosine))),
+
+    // O3 — radius gate, <= inclusive (reference index.rs:197)
+    "knn_radius" -> ((s, dir) =>
+      knnOut(Knn.search(recs(s, dir), qvec0(s, dir), 50, Metric.Euclidean, radius = 1.7))),
+
+    // O1-O5 — the flagship filtered ANN composition (reference index.rs:197-199)
+    "knn_filtered" -> ((s, dir) =>
+      knnOut(Knn.search(recs(s, dir), qvec0(s, dir), 10, Metric.Euclidean,
+        filter = FilterDsl.predicate(col("metadata"), "label >= 5")))),
+
+    // O4,O5 — AND-joined numeric clauses
+    "filter_and" -> ((s, dir) =>
+      recs(s, dir)
+        .where(FilterDsl.predicate(col("metadata"), "label >= 3 AND label <= 6"))
+        .select(col("id").as("vec_id")).orderBy("vec_id")),
+
+    // O4,O5 — OR join, text + numeric coercion
+    "filter_or" -> ((s, dir) =>
+      Records.fromDocuments(s, dir)
+        .where(FilterDsl.predicate(col("metadata"), "lang = en OR n_chars < 200"))
+        .select(col("id").as("doc_id")).orderBy("doc_id")),
+
+    // O4 — text CONTAINS, value containing a space (splitn(3) semantics)
+    "filter_contains" -> ((s, dir) =>
+      Records.fromDocuments(s, dir)
+        .where(FilterDsl.predicate(col("metadata"), "text CONTAINS spark window"))
+        .select(col("id").as("doc_id")).orderBy("doc_id")),
+
+    // O5 — quote-stripping coercion (reference record.rs:67-75)
+    "filter_quoted" -> ((s, dir) =>
+      Records.fromDocuments(s, dir)
+        .where(FilterDsl.predicate(col("metadata"), "lang = 'fr'"))
+        .select(col("id").as("doc_id")).orderBy("doc_id")),
+
+    // O7 — point lookup
+    "get_by_id" -> ((s, dir) =>
+      Crud.getById(recs(s, dir), 42)
+        .select(col("id").as("vec_id"),
+          try_element_at(col("metadata"), lit("label")).as("label"))),
+
+    // O16 — count
+    "count_records" -> ((s, dir) =>
+      recs(s, dir).agg(count(lit(1)).as("n_records"))),
+
+    // O8 — batch insert, verified by post-state aggregate
+    "insert_batch" -> ((s, dir) => {
+      import s.implicits._
+      val newRows = Seq(
+        (1000001L, Seq.fill(Dim)(0.1f), Map("label" -> "90")),
+        (1000002L, Seq.fill(Dim)(0.2f), Map("label" -> "91")),
+        (1000003L, Seq.fill(Dim)(0.3f), Map("label" -> "92")))
+        .toDF("id", "embedding", "metadata")
+      Crud.insert(recs(s, dir), newRows)
+        .agg(count(lit(1)).as("n"),
+          sum(try_element_at(col("metadata"), lit("label")).cast("double")).as("label_sum"))
+    }),
+
+    // O12,O15 — batch delete (broadcast anti-join)
+    "delete_batch" -> ((s, dir) => {
+      val r = recs(s, dir)
+      val ids = r.where(col("id") % 10 === 0).select("id")
+      Crud.delete(r, ids).agg(count(lit(1)).as("n"), sum(col("id")).as("id_sum"))
+    }),
+
+    // O14 — metadata replace (vector immutable, storage.rs:52-54)
+    "update_metadata" -> ((s, dir) => {
+      val r = recs(s, dir)
+      val updates = r.where(col("id") < 10)
+        .select(col("id"), map(lit("label"), lit("99")).as("metadata"))
+      Crud.updateMetadata(r, updates)
+        .where(col("id") < 20)
+        .select(col("id").as("vec_id"),
+          try_element_at(col("metadata"), lit("label")).as("label"))
+        .orderBy("vec_id")
+    }),
+
+    // O6,O9 — nearest-centroid assignment over fixed centroids
+    "ivf_assignments" -> ((s, dir) =>
+      IvfIndex.assign(recs(s, dir), fixedCentroids(s, dir), Metric.Euclidean)
+        .select(col("id").as("vec_id"), col("cluster_id")).orderBy("vec_id")),
+
+    // O6,O13 — probe-pruned ANN query over fixed centroids
+    "ivf_probe_query" -> ((s, dir) => {
+      val c = fixedCentroids(s, dir)
+      val model = IvfIndex.Model(c, IvfIndex.assign(recs(s, dir), c, Metric.Euclidean))
+      knnOut(IvfIndex.query(model, qvec0(s, dir), k = 10, probes = 3, Metric.Euclidean))
+    }),
+
+    // extension: brute-force batch ANN (baseline for the IVF scale path)
+    "ann_topk_batch" -> ((s, dir) => {
+      val q = recs(s, dir).where(col("id") < 5)
+        .select(col("id").as("query_id"), col("embedding").as("qvec"))
+      Knn.searchBatch(recs(s, dir), q, 5, Metric.Cosine)
+        .orderBy(col("query_id"), col("distance"), col("id"))
+        .select(col("query_id"), col("id").as("vec_id"), r4(col("distance")).as("distance"))
+    }),
+
+    // extension: exact dedup (hash groupBy)
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exact(docs(s, dir)).orderBy("keep_id")),
+
+    // extension: MinHash(16 perms) + LSH(4 bands) near-dup join, 3-gram shingles
+    "dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashLsh(docs(s, dir), shingleN = 3, perms = 16, bands = 4, threshold = 0.5)
+        .select(col("doc_id_a"), col("doc_id_b"), r4(col("jaccard")).as("jaccard"))
+        .orderBy("doc_id_a", "doc_id_b")),
+
+    // extension: SimHash(60-bit) near-dup pairs, hamming <= 8
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(docs(s, dir), maxHamming = 8)
+        .select(col("doc_id_a"), col("doc_id_b"), col("hamming").cast("int").as("hamming"))
+        .orderBy("doc_id_a", "doc_id_b")),
+
+    // extension: n-gram Jaccard similarity against a fixed document
+    "ngram_jaccard" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val q = d.where(col("doc_id") === 0)
+        .select(TextOps.shingles(col("text"), 3).as("__qsh"))
+      d.crossJoin(broadcast(q))
+        .withColumn("__sh", TextOps.shingles(col("text"), 3))
+        .where(size(array_intersect(col("__sh"), col("__qsh"))) > 0)
+        .select(col("doc_id"), r4(TextOps.jaccard(col("__sh"), col("__qsh"))).as("jaccard"))
+        .orderBy("doc_id")
+    }),
+
+    // extension: embedding-cosine near-dup with label blocking
+    "embed_neardup" -> ((s, dir) =>
+      Dedup.embeddingNearDup(emb(s, dir), threshold = 0.2)
+        .select(col("id_a"), col("id_b"), r4(col("cos_sim")).as("cos_sim"))
+        .orderBy("id_a", "id_b")),
+
+    // extension: stopword-heuristic language ID
+    "lang_id" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"), TextOps.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")),
+
+    // extension: token counting + quality scoring
+    "text_stats" -> ((s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
+        r4(TextOps.qualityScore(col("text"))).as("quality"))
+        .orderBy("doc_id")),
+
+    // extension: md5 + rolling-window document fingerprints
+    "doc_fingerprint" -> ((s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        md5(col("text")).as("md5_full"),
+        TextOps.fingerprint(col("text"), 8).as("min_window_md5"))
+        .orderBy("doc_id")),
+
+    // extension: hourly windowed aggregation over the events stream table
+    // (same plan Structured Streaming produces for the streaming variant)
+    "events_window_agg" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), r4(sum(col("value"))).as("value_sum"))
+        .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("event_type"), col("n"), col("value_sum"))
+        .orderBy("hour", "event_type")))
+
+  // ---------- oracle SQL (DuckDB) ----------
+
+  val oracleSql: Map[String, String] = Map(
+    "knn_euclidean" ->
+      s"""WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0)
+         |SELECT e.vec_id AS vec_id, ${sqlR4(sqlSq("e.embedding", "q.qvec"))} AS distance
+         |FROM embeddings e, q
+         |ORDER BY ${sqlSq("e.embedding", "q.qvec")} ASC, e.vec_id ASC LIMIT 10""".stripMargin,
+
+    "knn_cosine" ->
+      s"""WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0)
+         |SELECT e.vec_id AS vec_id, ${sqlR4(sqlCosDist("e.embedding", "q.qvec"))} AS distance
+         |FROM embeddings e, q
+         |ORDER BY ${sqlCosDist("e.embedding", "q.qvec")} ASC, e.vec_id ASC LIMIT 10""".stripMargin,
+
+    "knn_radius" ->
+      s"""WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0)
+         |SELECT e.vec_id AS vec_id, ${sqlR4(sqlSq("e.embedding", "q.qvec"))} AS distance
+         |FROM embeddings e, q
+         |WHERE ${sqlSq("e.embedding", "q.qvec")} <= 1.7
+         |ORDER BY ${sqlSq("e.embedding", "q.qvec")} ASC, e.vec_id ASC LIMIT 50""".stripMargin,
+
+    "knn_filtered" ->
+      s"""WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0)
+         |SELECT e.vec_id AS vec_id, ${sqlR4(sqlSq("e.embedding", "q.qvec"))} AS distance
+         |FROM embeddings e, q
+         |WHERE e.label >= 5
+         |ORDER BY ${sqlSq("e.embedding", "q.qvec")} ASC, e.vec_id ASC LIMIT 10""".stripMargin,
+
+    "filter_and" ->
+      "SELECT vec_id FROM embeddings WHERE label >= 3 AND label <= 6 ORDER BY vec_id",
+
+    "filter_or" ->
+      "SELECT doc_id FROM documents WHERE lang = 'en' OR n_chars < 200 ORDER BY doc_id",
+
+    "filter_contains" ->
+      "SELECT doc_id FROM documents WHERE contains(text, 'spark window') ORDER BY doc_id",
+
+    "filter_quoted" ->
+      "SELECT doc_id FROM documents WHERE lang = 'fr' ORDER BY doc_id",
+
+    "get_by_id" ->
+      "SELECT vec_id, CAST(label AS VARCHAR) AS label FROM embeddings WHERE vec_id = 42",
+
+    "count_records" -> "SELECT count(*) AS n_records FROM embeddings",
+
+    "insert_batch" ->
+      "SELECT count(*) + 3 AS n, CAST(sum(label) + 273 AS DOUBLE) AS label_sum FROM embeddings",
+
+    "delete_batch" ->
+      "SELECT count(*) AS n, CAST(sum(vec_id) AS BIGINT) AS id_sum FROM embeddings WHERE vec_id % 10 <> 0",
+
+    "update_metadata" ->
+      """SELECT vec_id, CASE WHEN vec_id < 10 THEN '99' ELSE CAST(label AS VARCHAR) END AS label
+        |FROM embeddings WHERE vec_id < 20 ORDER BY vec_id""".stripMargin,
+
+    "ivf_assignments" ->
+      s"""WITH c AS (SELECT CAST(vec_id AS INTEGER) AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8),
+         |d AS (SELECT e.vec_id, c.cid, ${sqlSq("e.embedding", "c.cvec")} AS dist FROM embeddings e CROSS JOIN c),
+         |r AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rn FROM d)
+         |SELECT vec_id, cid AS cluster_id FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+
+    "ivf_probe_query" ->
+      s"""WITH c AS (SELECT CAST(vec_id AS INTEGER) AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8),
+         |q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+         |asg AS (SELECT vec_id, cid FROM (
+         |  SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id ORDER BY ${sqlSq("e.embedding", "c.cvec")} ASC, c.cid ASC) AS rn
+         |  FROM embeddings e CROSS JOIN c) WHERE rn = 1),
+         |probed AS (SELECT c.cid FROM c, q ORDER BY ${sqlSq("c.cvec", "q.qvec")} ASC, c.cid ASC LIMIT 3)
+         |SELECT e.vec_id AS vec_id, ${sqlR4(sqlSq("e.embedding", "q.qvec"))} AS distance
+         |FROM embeddings e JOIN asg ON e.vec_id = asg.vec_id JOIN probed ON asg.cid = probed.cid, q
+         |ORDER BY ${sqlSq("e.embedding", "q.qvec")} ASC, e.vec_id ASC LIMIT 10""".stripMargin,
+
+    "ann_topk_batch" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 5),
+         |d AS (SELECT q.query_id, e.vec_id, ${sqlCosDist("e.embedding", "q.qvec")} AS dist FROM embeddings e CROSS JOIN q),
+         |r AS (SELECT query_id, vec_id, dist, row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, vec_id ASC) AS rn FROM d)
+         |SELECT query_id, vec_id, ${sqlR4("dist")} AS distance FROM r WHERE rn <= 5 ORDER BY query_id, dist, vec_id""".stripMargin,
+
+    "dedup_exact" ->
+      "SELECT min(doc_id) AS keep_id, count(*) AS n_dups FROM documents GROUP BY text ORDER BY keep_id",
+
+    "dedup_minhash" ->
+      s"""WITH toks AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(len(tk) - 2, 0)),
+         |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
+         |  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk FROM documents)),
+         |ne AS (SELECT doc_id, sh FROM toks WHERE len(sh) > 0),
+         |sig AS (SELECT doc_id, sh, list_transform(generate_series(0, 15), i ->
+         |  list_min(list_transform(sh, s -> md5(CAST(i AS VARCHAR) || ':' || s)))) AS sg FROM ne),
+         |bands AS (SELECT doc_id, sh, u.b AS band_idx,
+         |  md5(array_to_string(list_slice(sg, u.b * 4 + 1, u.b * 4 + 4), '|')) AS band_hash
+         |  FROM sig, (SELECT unnest([0, 1, 2, 3]) AS b) u),
+         |j AS (SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+         |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(a.sh || b.sh)) AS jaccard
+         |  FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id)
+         |SELECT doc_id_a, doc_id_b, ${sqlR4("jaccard")} AS jaccard FROM j WHERE jaccard >= 0.5 ORDER BY doc_id_a, doc_id_b""".stripMargin,
+
+    "dedup_simhash" ->
+      s"""WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t FROM documents),
+         |h AS (SELECT doc_id, list_transform(t, tk -> list_reduce(
+         |  list_transform(string_split_regex(substr(md5(tk), 1, 15), ''), c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+         |  (a, b) -> a * 16 + b)) AS hs FROM toks),
+         |s AS (SELECT doc_id, list_reduce(list_transform(generate_series(0, 59), b ->
+         |  CASE WHEN list_sum(list_transform(hs, v -> CASE WHEN (v >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+         |  THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END), (a, b) -> a | b) AS sh FROM h),
+         |banded AS (SELECT doc_id, sh, u.b AS band_idx, (sh >> (u.b * 15)) & 32767 AS band_key
+         |  FROM s, (SELECT unnest([0, 1, 2, 3]) AS b) u),
+         |pairs AS (SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+         |  CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+         |  FROM banded a JOIN banded b ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
+         |SELECT doc_id_a, doc_id_b, hamming FROM pairs WHERE hamming <= 8 ORDER BY doc_id_a, doc_id_b""".stripMargin,
+
+    "ngram_jaccard" ->
+      s"""WITH t AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(len(tk) - 2, 0)),
+         |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
+         |  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk FROM documents)),
+         |q AS (SELECT sh AS qsh FROM t WHERE doc_id = 0)
+         |SELECT t.doc_id AS doc_id,
+         |  ${sqlR4("CAST(len(list_intersect(t.sh, q.qsh)) AS DOUBLE) / len(list_distinct(t.sh || q.qsh))")} AS jaccard
+         |FROM t, q WHERE len(list_intersect(t.sh, q.qsh)) > 0 ORDER BY t.doc_id""".stripMargin,
+
+    "embed_neardup" ->
+      s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b, ${sqlR4(sqlCosSim("a.embedding", "b.embedding"))} AS cos_sim
+         |FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+         |WHERE ${sqlCosSim("a.embedding", "b.embedding")} >= 0.2 ORDER BY id_a, id_b""".stripMargin,
+
+    "lang_id" ->
+      s"""WITH t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk FROM documents),
+         |s AS (SELECT doc_id,
+         |  len(list_filter(tk, x -> list_contains(['the','a','of','to','and','is','in','it'], x))) AS e,
+         |  len(list_filter(tk, x -> list_contains(['el','la','de','que','y','en','un','es'], x))) AS sp,
+         |  len(list_filter(tk, x -> list_contains(['le','la','de','et','un','que','les','des'], x))) AS f,
+         |  len(list_filter(tk, x -> list_contains(['der','die','das','und','ist','ein','zu','den'], x))) AS d,
+         |  len(list_filter(tk, x -> list_contains(['de','shi','bu','le','zai','ren','you','wo'], x))) AS z
+         |  FROM t)
+         |SELECT doc_id, CASE WHEN greatest(e, sp, f, d, z) = 0 THEN 'und'
+         |  WHEN e >= sp AND e >= f AND e >= d AND e >= z THEN 'en'
+         |  WHEN sp >= f AND sp >= d AND sp >= z THEN 'es'
+         |  WHEN f >= d AND f >= z THEN 'fr'
+         |  WHEN d >= z THEN 'de' ELSE 'zh' END AS lang_pred
+         |FROM s ORDER BY doc_id""".stripMargin,
+
+    "text_stats" ->
+      s"""WITH b AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk,
+         |  CAST(length(text) AS DOUBLE) AS nc,
+         |  CAST(length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) AS DOUBLE) AS punct
+         |  FROM documents),
+         |m AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+         |  CASE WHEN nc > 0 THEN punct / nc ELSE 0.0 END AS punct_ratio,
+         |  CASE WHEN len(tk) > 0 THEN CAST(len(list_filter(tk, x -> list_contains($stopAllSql, x))) AS DOUBLE) / len(tk) ELSE 0.0 END AS stop_ratio,
+         |  CASE WHEN len(tk) > 0 THEN list_sum(list_transform(tk, x -> CAST(length(x) AS DOUBLE))) / len(tk) ELSE 0.0 END AS avg_len
+         |  FROM b)
+         |SELECT doc_id, n_tokens,
+         |  ${sqlR4("least(1.0, greatest(0.0, 0.2 + 0.5 * stop_ratio + 0.05 * avg_len - punct_ratio))")} AS quality
+         |FROM m ORDER BY doc_id""".stripMargin,
+
+    "doc_fingerprint" ->
+      """SELECT doc_id, md5(text) AS md5_full,
+        |  list_min(list_transform(generate_series(1, greatest(length(text) - 7, 1)), i -> md5(substr(text, i, 8)))) AS min_window_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "events_window_agg" ->
+      s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
+        |  count(*) AS n, ${sqlR4("sum(value)")} AS value_sum
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin)
+}

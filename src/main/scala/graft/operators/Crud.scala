@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** CRUD re-expressed as batch snapshot→snapshot transforms.
+  *
+  * The reference mutates an in-memory HashMap under a write lock
+  * (`src/cores/storage.rs:22-70`, `src/cores/database.rs:227-304`); the
+  * Spark-native equivalent is an immutable DataFrame in, DataFrame out —
+  * no locks, and each op is a narrow or single-shuffle plan that scales
+  * linearly with partitions.
+  */
+object Crud {
+
+  /** Insert (O8, reference `src/cores/database.rs:227-254`): batch append.
+    * Ids are expected unique by construction (deterministic minting
+    * replaces UUIDv4 — SURVEY.md §7.4). Pure union: no shuffle at all. */
+  def insert(records: DataFrame, newRows: DataFrame): DataFrame =
+    records.unionByName(newRows)
+
+  /** Point lookup (O7, reference `src/cores/storage.rs:33-41`). With the
+    * table sorted/bucketed by id, Parquet min/max stats prune to one file. */
+  def getById(records: DataFrame, id: Long): DataFrame =
+    records.where(col("id") === lit(id))
+
+  /** Delete (O12/O15, reference `src/cores/storage.rs:44-48`): anti-join.
+    * `ids` is tiny in practice → broadcast anti-join, no shuffle of the
+    * big side. */
+  def delete(records: DataFrame, ids: DataFrame): DataFrame =
+    records.join(broadcast(ids), Seq("id"), "left_anti")
+
+  /** Delete by predicate — the set-oriented generalization. */
+  def deleteWhere(records: DataFrame, pred: Column): DataFrame =
+    records.where(!pred)
+
+  /** Metadata update (O14, reference `src/cores/storage.rs:55-70`): the
+    * ENTIRE metadata map is replaced (not merged); the vector is immutable
+    * by policy (`storage.rs:52-54`). `updates(id, metadata)` is small →
+    * broadcast left join + coalesce. */
+  def updateMetadata(records: DataFrame, updates: DataFrame): DataFrame = {
+    val u = updates.withColumnRenamed("metadata", "__new_metadata")
+    records
+      .join(broadcast(u), Seq("id"), "left_outer")
+      .withColumn("metadata", coalesce(col("__new_metadata"), col("metadata")))
+      .drop("__new_metadata")
+  }
+
+  /** Count (O16, reference `src/cores/storage.rs:78-80`). */
+  def count(records: DataFrame): Long = records.count()
+}

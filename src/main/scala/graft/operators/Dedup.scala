@@ -1,0 +1,135 @@
+package graft.operators
+
+import graft.types.Metric
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
+  * SimHash, n-gram Jaccard, and embedding-cosine near-dup.
+  *
+  * Scale design: every near-dup variant is CANDIDATE GENERATION (a cheap
+  * blocking key → one shuffle → within-bucket pairs) followed by exact
+  * VERIFICATION on the candidate pairs only. All-pairs O(n²) never happens;
+  * the only joins on the big table are equi-joins on short hash keys, which
+  * Spark executes as shuffled hash joins partitioned by the key. Hashes are
+  * md5 (cross-engine deterministic) — see [[TextOps]] note.
+  */
+object Dedup {
+
+  /** Exact dedup (hash-groupBy on the full text): one shuffle on the
+    * group key. Returns one row per distinct text: the kept (minimum) id
+    * and the duplicate count. */
+  def exact(docs: DataFrame): DataFrame =
+    docs.groupBy(col("text"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+      .select(col("keep_id"), col("n_dups"))
+
+  /** MinHash signature: `perms` independent hash functions simulated as
+    * md5("<i>:" ++ shingle), each taking the lexicographic minimum over the
+    * doc's shingle set (the standard one-permutation-per-salt construction).
+    * Map-only: signature computed per row, no shuffle. */
+  def minhashSignature(docs: DataFrame, shingleN: Int = 3, perms: Int = 16): DataFrame =
+    docs
+      .withColumn("__sh", TextOps.shingles(col("text"), shingleN))
+      .where(size(col("__sh")) > 0)
+      .withColumn("__sig",
+        transform(sequence(lit(0), lit(perms - 1)),
+          i => array_min(transform(col("__sh"),
+            s => md5(concat(i.cast("string"), lit(":"), s))))))
+
+  /** MinHash + LSH banded near-dup join.
+    *
+    * Bands the signature (`bands` bands × `perms/bands` rows), hashes each
+    * band, explodes to (band_idx, band_hash), self-joins on equality —
+    * a shuffle partitioned by band hash, which is exactly how this scales:
+    * each bucket is tiny w.h.p., and skew (a viral duplicate cluster) is
+    * bounded by the band hash's spread across `bands` keys. Candidates are
+    * then verified with exact shingle Jaccard ≥ `threshold`. */
+  def minhashLsh(
+      docs: DataFrame,
+      shingleN: Int = 3,
+      perms: Int = 16,
+      bands: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    val rows = perms / bands
+    val sig = minhashSignature(docs, shingleN, perms)
+      .select(col("doc_id"), col("__sh"), col("__sig"))
+
+    val banded = sig.select(
+      col("doc_id"), col("__sh"),
+      posexplode(
+        transform(sequence(lit(0), lit(bands - 1)),
+          b => md5(concat_ws("|", slice(col("__sig"), b * rows + 1, lit(rows)))))))
+      .withColumnRenamed("pos", "band_idx")
+      .withColumnRenamed("col", "band_hash")
+
+    val a = banded.select(col("band_idx"), col("band_hash"),
+      col("doc_id").as("doc_id_a"), col("__sh").as("__sh_a"))
+    val b = banded.select(col("band_idx"), col("band_hash"),
+      col("doc_id").as("doc_id_b"), col("__sh").as("__sh_b"))
+
+    a.join(b, Seq("band_idx", "band_hash"))
+      .where(col("doc_id_a") < col("doc_id_b"))
+      .select(col("doc_id_a"), col("doc_id_b"),
+        TextOps.jaccard(col("__sh_a"), col("__sh_b")).as("jaccard"))
+      .distinct() // a pair may collide in several bands
+      .where(col("jaccard") >= lit(threshold))
+  }
+
+  /** SimHash fingerprint (60-bit, from the top 15 hex chars of each token's
+    * md5 so the bit source is cross-engine reproducible): per bit position,
+    * tokens vote ±1; the bit is set when the vote is positive. Map-only.
+    * The 60 bit positions are unrolled statically because Spark's
+    * shiftleft/shiftright take literal Ints; the token hash is materialized
+    * once per row so md5 runs once per token, not once per (token, bit). */
+  def simhash(docs: DataFrame): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    val withH = docs.withColumn("__th",
+      transform(toks, t => conv(substring(md5(t), 1, 15), 16, 10).cast("long")))
+    val sim = (0 until 60).map { b =>
+      val vote = aggregate(col("__th"), lit(0),
+        (acc, v) => acc + when(shiftright(v, b) % 2 === 1, 1).otherwise(-1))
+      when(vote > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ bitwiseOR _)
+    withH.withColumn("simhash", sim).drop("__th")
+  }
+
+  /** SimHash near-dup pairs: block on 4 × 15-bit bands (two docs within
+    * Hamming distance 3 of each other must share at least one band), then
+    * verify `bit_count(xor) <= maxHamming`. Same shuffle shape as LSH. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 8): DataFrame = {
+    val sh = simhash(docs).select(col("doc_id"), col("simhash"))
+    val bandKeys = (0 until 4).map(b =>
+      shiftright(col("simhash"), b * 15).bitwiseAND(lit(0x7fffL)))
+    val banded = sh.select(col("doc_id"), col("simhash"),
+      posexplode(array(bandKeys: _*)))
+      .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band_key")
+    val a = banded.select(col("band_idx"), col("band_key"),
+      col("doc_id").as("doc_id_a"), col("simhash").as("__ha"))
+    val b = banded.select(col("band_idx"), col("band_key"),
+      col("doc_id").as("doc_id_b"), col("simhash").as("__hb"))
+    a.join(b, Seq("band_idx", "band_key"))
+      .where(col("doc_id_a") < col("doc_id_b"))
+      .select(col("doc_id_a"), col("doc_id_b"),
+        bit_count(col("__ha").bitwiseXOR(col("__hb"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= lit(maxHamming))
+  }
+
+  /** Embedding-cosine near-dup with blocking on a coarse key (here:
+    * `label`; in production: an IVF cluster id from [[IvfIndex.assign]],
+    * which bounds bucket size by the density contract). Within-block pairs
+    * verified by exact cosine similarity ≥ `threshold`. */
+  def embeddingNearDup(embeddings: DataFrame, threshold: Double): DataFrame = {
+    val a = embeddings.select(col("label").as("block"),
+      col("vec_id").as("id_a"), col("embedding").as("__ea"))
+    val b = embeddings.select(col("label").as("block"),
+      col("vec_id").as("id_b"), col("embedding").as("__eb"))
+    val cosSim = lit(1.0) - Metric.Cosine.distance(col("__ea"), col("__eb"))
+    a.join(b, Seq("block"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("cos_sim", cosSim)
+      .where(col("cos_sim") >= lit(threshold))
+      .select(col("id_a"), col("id_b"), col("cos_sim"))
+  }
+}
