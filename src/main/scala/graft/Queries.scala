@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.FilterDsl
-import graft.operators.{Crud, Dedup, IvfIndex, Knn, TextOps}
+import graft.operators.{Crud, Dedup, IvfIndex, Knn, Multimodal, TextOps}
 import graft.sources.Records
 import graft.types.Metric
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -237,6 +237,27 @@ object Queries {
         md5(col("text")).as("md5_full"),
         TextOps.fingerprint(col("text"), 8).as("min_window_md5"))
         .orderBy("doc_id")),
+
+    // extension: REAL index build (seeded MLlib k-means) + probed query.
+    // Approximate path — no SQL oracle (driver rows-only check); recall
+    // vs the exact path is asserted in ScalaTest.
+    "ivf_build_query" -> ((s, dir) => {
+      val model = IvfIndex.build(recs(s, dir), density = 64, Metric.Euclidean, seed = 42L)
+      knnOut(IvfIndex.query(model, qvec0(s, dir), k = 10, probes = 4, Metric.Euclidean))
+    }),
+
+    // extension: multimodal feature extraction (stub codec; real plumbing).
+    // Binary payloads → fixed-width float features via mapPartitions.
+    "media_features" -> ((s, dir) =>
+      Multimodal.extractFeatures(Multimodal.syntheticMedia(docs(s, dir)))
+        .orderBy("media_id")),
+
+    // extension: video frame sampling plumbing (stride-2 over payload stripes)
+    "media_frame_sample" -> ((s, dir) =>
+      Multimodal.sampleFrames(Multimodal.syntheticMedia(docs(s, dir)), stride = 2)
+        .select(col("media_id"), col("frame_idx"),
+          length(col("frame_bytes")).as("frame_len"))
+        .orderBy("media_id", "frame_idx")),
 
     // extension: hourly windowed aggregation over the events stream table
     // (same plan Structured Streaming produces for the streaming variant)

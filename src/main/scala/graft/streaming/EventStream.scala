@@ -1,0 +1,67 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured-Streaming ingest of the `events` table.
+  *
+  * The reference has no streaming operators (SURVEY.md §2.2) — its only
+  * periodic behavior is the 600 s snapshot thread (`src/main.rs:57-61`).
+  * This module is the north-star extension: the same windowed aggregation
+  * [[graft.Queries]] runs in batch (`events_window_agg`), executed as an
+  * incremental streaming query with event-time watermarking, so batch and
+  * stream share one semantic definition (verified equal in ScalaTest).
+  *
+  * Scale notes: the aggregation state is keyed by (window, event_type) —
+  * bounded by the watermark horizon; at 100 TB/day the same plan shards
+  * state across executors via the shuffle on the group key, and the
+  * 10-minute watermark bounds state size regardless of input volume.
+  */
+object EventStream {
+
+  /** Events schema as stored (ts arrives as int64 nanos — see
+    * [[graft.Queries]] events note). */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** The shared transformation: hourly tumbling window per event type. */
+  def hourlyAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("value_sum"))
+      .select(col("window.start").as("hour"), col("event_type"),
+        col("n"), col("value_sum"))
+
+  /** Open the events dir as a stream (file-source; at scale this is the
+    * same code against Kafka — only the `format` changes). The testdata
+    * layout is one FILE per table, and FileStreamSource wants a directory,
+    * so stream the directory with a glob filter. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Run the streaming aggregation into an in-memory sink and return the
+    * query handle (caller calls `processAllAvailable()` then reads the
+    * `queryName` table). Update mode: windows re-emit as they refine. */
+  def startToMemory(spark: SparkSession, dir: String, name: String): StreamingQuery =
+    hourlyAgg(readEvents(spark, dir))
+      .writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+}

@@ -1,0 +1,62 @@
+package graft
+
+import graft.operators.Crud
+import graft.sources.Records
+import org.apache.spark.sql.functions._
+
+/** CRUD semantics from the reference's storage tests
+  * (`/root/reference/src/cores/storage.rs:83-127`), batch-shaped. */
+class CrudSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkRecords(n: Int) =
+    (0 until n).map(i => (i.toLong, Seq(i.toFloat, i.toFloat),
+      Map("k" -> s"v$i"))).toDF("id", "embedding", "metadata")
+
+  test("insert appends; count reflects it (storage.rs:87-96)") {
+    val r0 = mkRecords(0)
+    val one = mkRecords(1)
+    assert(Crud.count(Crud.insert(r0, one)) === 1L)
+    assert(Crud.count(Crud.insert(mkRecords(5), one.withColumn("id", lit(100L)))) === 6L)
+  }
+
+  test("delete removes; count decrements (storage.rs:98-108)") {
+    val r = mkRecords(3)
+    val afterDelete = Crud.delete(r, Seq(1L).toDF("id"))
+    assert(Crud.count(afterDelete) === 2L)
+    assert(afterDelete.where(col("id") === 1L).count() === 0L)
+  }
+
+  test("update replaces the WHOLE metadata map; vector untouched (storage.rs:52-70)") {
+    val r = mkRecords(2)
+    val updates = Seq((0L, Map("new" -> "yes"))).toDF("id", "metadata")
+    val updated = Crud.updateMetadata(r, updates).cache()
+    val row0 = updated.where(col("id") === 0)
+      .select("metadata", "embedding").as[(Map[String, String], Seq[Float])].head()
+    assert(row0._1 === Map("new" -> "yes")) // old key "k" gone — full replace
+    assert(row0._2 === Seq(0f, 0f))         // vector immutable
+    val row1 = updated.where(col("id") === 1)
+      .select("metadata").as[Map[String, String]].head()
+    assert(row1 === Map("k" -> "v1")) // untouched rows keep their map
+  }
+
+  test("point lookup finds exactly the requested id (storage.rs:33-41)") {
+    val r = mkRecords(10)
+    assert(Crud.getById(r, 7).select("id").as[Long].collect().toSeq === Seq(7L))
+    assert(Crud.getById(r, 99).count() === 0L) // NotFound ≡ empty frame
+  }
+
+  test("snapshot write/read round-trips the record frame (database.rs:174-187)") {
+    val dir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "snap").toString
+    val r = mkRecords(20)
+    Records.snapshot(r, dir)
+    val back = Records.open(spark, dir)
+    assert(back.count() === 20L)
+    // parquet round-trips change nullability flags; names+types must hold
+    assert(back.schema.simpleString === r.schema.simpleString)
+    val a = r.select("id", "metadata").as[(Long, Map[String, String])].collect().sortBy(_._1)
+    val b = back.select("id", "metadata").as[(Long, Map[String, String])].collect().sortBy(_._1)
+    assert(a.toSeq === b.toSeq)
+  }
+}

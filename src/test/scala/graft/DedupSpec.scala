@@ -1,0 +1,67 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+/** Dedup operators over synthetic near-duplicates (the driver corpus has
+  * no exact dups, so these build their own). */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog " +
+    "while the cat sleeps near the warm fire in the old house"
+
+  private lazy val docs = Seq(
+    (0L, base),
+    (1L, base),                                       // exact dup of 0
+    (2L, base.replace("lazy", "sleepy")),             // near dup of 0
+    (3L, "completely different text about spark sql engines and shuffles " +
+      "partitions catalyst tungsten codegen joins aggregates windows"),
+    (4L, base.replace("the old house", "a new barn")) // near dup of 0
+  ).toDF("doc_id", "text").cache()
+
+  test("exact dedup groups identical texts, keeps the min id") {
+    val got = Dedup.exact(docs)
+      .select("keep_id", "n_dups").as[(Long, Long)].collect().toMap
+    assert(got(0L) === 2L) // docs 0 and 1 collapse
+    assert(got(2L) === 1L)
+    assert(got.size === 4) // 4 distinct texts
+  }
+
+  test("minhash LSH finds near-duplicate pairs above the threshold") {
+    val pairs = Dedup.minhashLsh(docs, shingleN = 3, perms = 16, bands = 4, threshold = 0.4)
+      .select("doc_id_a", "doc_id_b", "jaccard").as[(Long, Long, Double)].collect()
+    val pairSet = pairs.map(p => (p._1, p._2)).toSet
+    assert(pairSet.contains((0L, 1L))) // exact dup: jaccard 1.0
+    assert(pairs.find(p => (p._1, p._2) == ((0L, 1L))).get._3 === 1.0)
+    assert(pairSet.contains((0L, 2L)) || pairSet.contains((0L, 4L))) // near dups surface
+    assert(!pairSet.exists(p => p._1 == 3L || p._2 == 3L)) // unrelated doc never pairs
+  }
+
+  test("simhash: identical docs get identical hashes; near dups are close") {
+    val h = Dedup.simhash(docs).select("doc_id", "simhash").as[(Long, Long)].collect().toMap
+    assert(h(0L) === h(1L))
+    assert(java.lang.Long.bitCount(h(0L) ^ h(2L)) <= 12) // one-word change
+    assert(java.lang.Long.bitCount(h(0L) ^ h(3L)) > 12)  // different doc
+  }
+
+  test("simhash pairs: exact dup at hamming 0, unrelated doc excluded") {
+    val pairs = Dedup.simhashPairs(docs, maxHamming = 12)
+      .select("doc_id_a", "doc_id_b", "hamming").as[(Long, Long, Int)].collect()
+    val m = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    assert(m((0L, 1L)) === 0)
+    assert(!m.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("embedding near-dup: only same-block pairs above threshold") {
+    val emb = Seq(
+      (0L, Seq(1f, 0f, 0f), 1),
+      (1L, Seq(1f, 0.01f, 0f), 1),  // ~identical direction, same block
+      (2L, Seq(0f, 1f, 0f), 1),     // orthogonal, same block
+      (3L, Seq(1f, 0f, 0f), 2)      // identical direction, DIFFERENT block
+    ).toDF("vec_id", "embedding", "label")
+    val got = Dedup.embeddingNearDup(emb, threshold = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got === Set((0L, 1L))) // 0-3 blocked apart; 0-2 below threshold
+  }
+}

@@ -1,0 +1,86 @@
+package graft
+
+import graft.operators.{IvfIndex, Knn}
+import graft.types.Metric
+import org.apache.spark.sql.functions._
+
+/** IVF build/assign/probe invariants, mirroring the reference's index
+  * tests (`/root/reference/src/cores/index.rs:315-410`) in the batch
+  * regime (SURVEY.md §2 O9-O13). */
+class IvfIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dim = 16
+  // seeded random records (reference uses 1000 random dim-128 at density 64)
+  private lazy val records = {
+    val rnd = new scala.util.Random(42)
+    (0 until 1000).map { i =>
+      (i.toLong, Seq.fill(dim)(rnd.nextFloat()), Map("number" -> i.toString))
+    }.toDF("id", "embedding", "metadata").cache()
+  }
+
+  test("build honors the density contract: k = ceil(n/density) clusters") {
+    val model = IvfIndex.build(records, density = 64, Metric.Euclidean, seed = 42L)
+    assert(model.centroids.count() === 16) // ceil(1000/64)
+    // every record assigned exactly once
+    assert(model.assigned.count() === 1000)
+    assert(model.assigned.select("cluster_id").distinct().count() <= 16)
+  }
+
+  test("assign picks the true argmin centroid (vs brute-force check)") {
+    val centroids = records.where(col("id") < 5)
+      .select(col("id").cast("int").as("cluster_id"), col("embedding").as("centroid"))
+    val got = IvfIndex.assign(records.limit(50), centroids, Metric.Euclidean)
+      .select("id", "cluster_id").as[(Long, Int)].collect().toMap
+    // brute force on the driver
+    val cents = records.where(col("id") < 5)
+      .select("id", "embedding").as[(Long, Seq[Float])].collect()
+      .sortBy(_._1).map(_._2)
+    val rows = records.limit(50).select("id", "embedding").as[(Long, Seq[Float])].collect()
+    rows.foreach { case (id, v) =>
+      val best = cents.zipWithIndex.minBy { case (c, ci) =>
+        (c.zip(v).map { case (a, b) => val d = a.toDouble - b.toDouble; d * d }.sum, ci)
+      }._2
+      assert(got(id) === best, s"record $id")
+    }
+  }
+
+  test("probing all clusters reproduces exact kNN (recall = 1)") {
+    val model = IvfIndex.build(records, density = 64, Metric.Euclidean, seed = 42L)
+    val q = records.where(col("id") === 7).select(col("embedding").as("qvec"))
+    val exact = Knn.search(records, q, 10, Metric.Euclidean)
+      .select("id").as[Long].collect().toSet
+    val probedAll = IvfIndex.query(model, q, 10, probes = 16, Metric.Euclidean)
+      .select("id").as[Long].collect().toSet
+    assert(probedAll === exact)
+  }
+
+  test("partial probing achieves reasonable recall and only visits probed clusters") {
+    val model = IvfIndex.build(records, density = 64, Metric.Euclidean, seed = 42L)
+    val q = records.where(col("id") === 7).select(col("embedding").as("qvec"))
+    val exact = Knn.search(records, q, 10, Metric.Euclidean)
+      .select("id").as[Long].collect().toSet
+    val approx = IvfIndex.query(model, q, 10, probes = 4, Metric.Euclidean)
+      .select("id").as[Long].collect().toSet
+    assert(approx.size === 10)
+    // the query point's own cluster is always probed → its id must appear
+    assert(approx.contains(7L))
+    assert((approx & exact).size >= 3, s"recall too low: ${(approx & exact).size}/10")
+  }
+
+  test("deleted records drop out of the index (empty clusters vanish)") {
+    val model = IvfIndex.build(records, density = 64, Metric.Euclidean, seed = 42L)
+    val ids = records.where(col("id") >= 500).select("id")
+    val remaining = graft.operators.Crud.delete(model.assigned, ids)
+    assert(remaining.count() === 500)
+    assert(remaining.where(col("id") >= 500).count() === 0)
+  }
+
+  test("build is deterministic under a fixed seed") {
+    val a = IvfIndex.build(records, 64, Metric.Euclidean, seed = 42L)
+      .assigned.select("id", "cluster_id").as[(Long, Int)].collect().toMap
+    val b = IvfIndex.build(records, 64, Metric.Euclidean, seed = 42L)
+      .assigned.select("id", "cluster_id").as[(Long, Int)].collect().toMap
+    assert(a === b)
+  }
+}

@@ -1,0 +1,65 @@
+package graft
+
+import graft.functions.FilterDsl
+import graft.operators.Knn
+import graft.types.Metric
+import org.apache.spark.sql.functions._
+
+/** The reference's seeded deterministic query golden
+  * (`/root/reference/src/cores/index.rs:368-410`): 1000 sequential vectors
+  * `[i,…]` with metadata `number = 1000 + i`, queried with `[1.0,…]`. */
+class KnnSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dim = 8
+  private lazy val records = (0 until 1000).map { i =>
+    (i.toLong, Seq.fill(dim)(i.toFloat), Map("number" -> (1000 + i).toString))
+  }.toDF("id", "embedding", "metadata").cache()
+
+  private lazy val query = Seq(Tuple1(Seq.fill(dim)(1.0f))).toDF("qvec")
+
+  test("k=10 returns the 10 nearest, ascending, nearest is i=1 (dist 0)") {
+    val got = Knn.search(records, query, 10, Metric.Euclidean)
+      .select("id", "distance").as[(Long, Double)].collect()
+    assert(got.length === 10)
+    assert(got.head === ((1L, 0.0)))
+    // ascending by distance, id tiebreak: 1, 0, 2, 3, ..., 9
+    assert(got.map(_._1).toSeq === Seq(1L, 0L, 2L, 3L, 4L, 5L, 6L, 7L, 8L, 9L))
+    assert(got.map(_._2).toSeq === got.map(_._2).sorted.toSeq)
+  }
+
+  test("filtered kNN: number > 1050 admits i=51 as nearest (index.rs:404-409)") {
+    val f = FilterDsl.predicate(col("metadata"), "number > 1050")
+    val got = Knn.search(records, query, 10, Metric.Euclidean, filter = f)
+      .select("id").as[Long].collect()
+    assert(got.head === 51L)
+    assert(got.toSeq === (51L to 60L))
+  }
+
+  test("radius excludes strictly-greater distances (index.rs:197)") {
+    // dist(i) = 8*(i-1)^2; radius 8 keeps exactly i=0,1,2
+    val got = Knn.search(records, query, 100, Metric.Euclidean, radius = 8.0)
+      .select("id").as[Long].collect()
+    assert(got.toSet === Set(0L, 1L, 2L))
+  }
+
+  test("k must be positive (database.rs:321-325)") {
+    assertThrows[IllegalArgumentException](
+      Knn.search(records, query, 0, Metric.Euclidean))
+  }
+
+  test("result shape is (id, metadata, distance) — vector excluded (index.rs:8-12)") {
+    val cols = Knn.search(records, query, 1, Metric.Euclidean).columns.toSeq
+    assert(cols === Seq("id", "metadata", "distance"))
+  }
+
+  test("batch search returns k rows per query, partitioned correctly") {
+    val queries = Seq(
+      (100L, Seq.fill(dim)(100.0f)),
+      (900L, Seq.fill(dim)(900.0f))).toDF("query_id", "qvec")
+    val got = Knn.searchBatch(records, queries, 3, Metric.Euclidean)
+      .select("query_id", "id").as[(Long, Long)].collect().groupBy(_._1)
+    assert(got(100L).map(_._2).toSet === Set(99L, 100L, 101L))
+    assert(got(900L).map(_._2).toSet === Set(899L, 900L, 901L))
+  }
+}

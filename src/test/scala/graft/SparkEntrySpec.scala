@@ -1,0 +1,25 @@
+package graft
+
+/** Driver-contract smoke: entry() returns rows; every query key has an
+  * implementation; every oracle key points at a real query. */
+class SparkEntrySpec extends SparkSpec {
+
+  test("entry (flagship filtered ANN) returns rows at sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("oracleSql keys are a subset of queries keys") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracles without queries: $missing")
+  }
+
+  test("declared SURVEY §2.3 inventory is fully implemented") {
+    val declared = Set(
+      "knn_euclidean", "knn_cosine", "knn_radius", "filter_and", "filter_or",
+      "filter_contains", "knn_filtered", "get_by_id", "insert_batch",
+      "delete_batch", "update_metadata", "count_records", "ivf_assignments",
+      "ivf_probe_query")
+    val missing = declared -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"unimplemented declared queries: $missing")
+  }
+}

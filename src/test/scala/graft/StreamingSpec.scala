@@ -1,0 +1,34 @@
+package graft
+
+import graft.streaming.EventStream
+import org.apache.spark.sql.functions._
+
+/** Streaming ≡ batch: the windowed aggregation produces the same result
+  * incrementally (Structured Streaming) as in one batch pass. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streaming hourly agg over events equals the batch result") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batch = spark.read.parquet(s"$sf0001/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("value_sum"))
+      .select(col("window.start").as("hour"), col("event_type"), col("n"),
+        round(col("value_sum"), 6).as("value_sum"))
+      .as[(java.sql.Timestamp, String, Long, Double)].collect().toSet
+
+    val q = EventStream.startToMemory(spark, sf0001, "stream_agg_test")
+    q.awaitTermination() // AvailableNow terminates after draining
+    val streamed = spark.table("stream_agg_test")
+      .select(col("hour"), col("event_type"), col("n"),
+        round(col("value_sum"), 6).as("value_sum"))
+      .as[(java.sql.Timestamp, String, Long, Double)].collect()
+      .groupBy(r => (r._1, r._2))
+      // update mode re-emits refined windows; the LAST emission per key is
+      // the final state — memory sink appends, so dedupe keeping max n
+      .map(_._2.maxBy(_._3)).toSet
+
+    assert(streamed === batch)
+  }
+}

@@ -1,0 +1,56 @@
+package graft
+
+import graft.operators.TextOps
+import org.apache.spark.sql.functions._
+
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one[T](text: String, c: org.apache.spark.sql.Column): T =
+    Seq(Tuple1(text)).toDF("text").select(c.as("r")).head().getAs[T]("r")
+
+  test("tokens: lowercased whitespace split") {
+    assert(one[Seq[String]]("  The Quick  brown\tFox ", TextOps.tokens(col("text")))
+      === Seq("the", "quick", "brown", "fox"))
+  }
+
+  test("token count") {
+    assert(one[Int]("a b c", TextOps.tokenCount(col("text"))) === 3)
+  }
+
+  test("shingles: 3-grams, distinct, space-joined") {
+    assert(one[Seq[String]]("a b c d", TextOps.shingles(col("text"), 3))
+      === Seq("a b c", "b c d"))
+  }
+
+  test("shingles of a too-short doc are EMPTY (sequence(0,-1) regression)") {
+    assert(one[Seq[String]]("a b", TextOps.shingles(col("text"), 3)) === Seq())
+    assert(one[Seq[String]]("a", TextOps.shingles(col("text"), 3)) === Seq())
+  }
+
+  test("jaccard golden") {
+    val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
+    val j = df.select(TextOps.jaccard(col("x"), col("y")).as("j")).head().getDouble(0)
+    assert(j === 0.5) // |{b,c}| / |{a,b,c,d}|
+  }
+
+  test("langId: stopword-dominant language wins; no hits → und") {
+    assert(one[String]("the cat of the house is big", TextOps.langId(col("text"))) === "en")
+    assert(one[String]("el que la y un es", TextOps.langId(col("text"))) === "es")
+    assert(one[String]("zzz qqq xxx", TextOps.langId(col("text"))) === "und")
+  }
+
+  test("quality score is clamped to [0,1] and deterministic") {
+    val s1 = one[Double]("the cat and the dog in the house", TextOps.qualityScore(col("text")))
+    val s2 = one[Double]("the cat and the dog in the house", TextOps.qualityScore(col("text")))
+    assert(s1 === s2)
+    assert(s1 >= 0.0 && s1 <= 1.0)
+    assert(one[Double]("!!! ??? ### $$$", TextOps.qualityScore(col("text"))) === 0.0)
+  }
+
+  test("fingerprint: deterministic, robust to a distant edit") {
+    val a = one[String]("abcdefghijklmnop the stable prefix zone", TextOps.fingerprint(col("text")))
+    val b = one[String]("abcdefghijklmnop the stable prefix zone", TextOps.fingerprint(col("text")))
+    assert(a === b && a.length === 32)
+  }
+}
