@@ -204,8 +204,11 @@ object Queries {
       val d = docs(s, dir)
       val q = d.where(col("doc_id") === 0)
         .select(TextOps.shingles(col("text"), 3).as("__qsh"))
-      d.crossJoin(broadcast(q))
-        .withColumn("__sh", TextOps.shingles(col("text"), 3))
+      d.repartition(col("doc_id")) // single-file input → spread CPU work
+        .withColumn("__toks", TextOps.tokens(col("text")))
+        .withColumn("__sh", TextOps.shinglesFromTokens(col("__toks"), 3))
+        .select(col("doc_id"), col("__sh"))
+        .crossJoin(broadcast(q))
         .where(size(array_intersect(col("__sh"), col("__qsh"))) > 0)
         .select(col("doc_id"), r4(TextOps.jaccard(col("__sh"), col("__qsh"))).as("jaccard"))
         .orderBy("doc_id")
@@ -356,8 +359,14 @@ object Queries {
          |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
          |  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk FROM documents)),
          |ne AS (SELECT doc_id, sh FROM toks WHERE len(sh) > 0),
+         |hh AS (SELECT doc_id, sh,
+         |  list_transform(sh, s -> list_reduce(list_transform(string_split_regex(substr(md5(s), 1, 14), ''),
+         |    c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a * 16 + b)) AS h1,
+         |  list_transform(sh, s -> list_reduce(list_transform(string_split_regex(substr(md5(s), 17, 14), ''),
+         |    c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a * 16 + b)) AS h2
+         |  FROM ne),
          |sig AS (SELECT doc_id, sh, list_transform(generate_series(0, 15), i ->
-         |  list_min(list_transform(sh, s -> md5(CAST(i AS VARCHAR) || ':' || s)))) AS sg FROM ne),
+         |  list_min(list_transform(list_zip(h1, h2), p -> p[1] + i * p[2]))) AS sg FROM hh),
          |bands AS (SELECT doc_id, sh, u.b AS band_idx,
          |  md5(array_to_string(list_slice(sg, u.b * 4 + 1, u.b * 4 + 4), '|')) AS band_hash
          |  FROM sig, (SELECT unnest([0, 1, 2, 3]) AS b) u),

@@ -24,18 +24,38 @@ object Dedup {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
       .select(col("keep_id"), col("n_dups"))
 
-  /** MinHash signature: `perms` independent hash functions simulated as
-    * md5("<i>:" ++ shingle), each taking the lexicographic minimum over the
-    * doc's shingle set (the standard one-permutation-per-salt construction).
-    * Map-only: signature computed per row, no shuffle. */
-  def minhashSignature(docs: DataFrame, shingleN: Int = 3, perms: Int = 16): DataFrame =
+  /** MinHash signature via the Kirsch-Mitzenmacher construction: ONE md5
+    * per shingle yields two independent 56-bit integers (hex substrings),
+    * and permutation `i` is the derived hash `h1 + i·h2` — so the md5 cost
+    * is O(shingles), not O(shingles × perms). 56-bit halves keep
+    * `h1 + (perms-1)·h2 < 2^61`, safely inside a signed long under ANSI
+    * arithmetic. Signature elements are the per-permutation minima.
+    * Map-only: no shuffle. */
+  def minhashSignature(docs: DataFrame, shingleN: Int = 3, perms: Int = 16): DataFrame = {
+    require(perms <= 16, "perms > 16 risks long overflow in derived hashes")
     docs
-      .withColumn("__sh", TextOps.shingles(col("text"), shingleN))
+      // The signature is the CPU-heavy stage; spread it across all cores
+      // regardless of input file layout (the testdata is one parquet
+      // row-group = one partition; a production table has many splits,
+      // making this a no-op cost-wise but never a correctness change).
+      .repartition(col("doc_id"))
+      // tokens, shingles, and md5s materialize as separate projections so
+      // HOF lambdas reference attributes, not re-executed subtrees
+      // (interpreted HOFs re-evaluate inlined children per element access)
+      .withColumn("__toks", TextOps.tokens(col("text")))
+      .withColumn("__sh", TextOps.shinglesFromTokens(col("__toks"), shingleN))
+      .drop("__toks")
       .where(size(col("__sh")) > 0)
+      .withColumn("__md", transform(col("__sh"), s => md5(s)))
+      .withColumn("__h1",
+        transform(col("__md"), m => conv(substring(m, 1, 14), 16, 10).cast("long")))
+      .withColumn("__h2",
+        transform(col("__md"), m => conv(substring(m, 17, 14), 16, 10).cast("long")))
       .withColumn("__sig",
         transform(sequence(lit(0), lit(perms - 1)),
-          i => array_min(transform(col("__sh"),
-            s => md5(concat(i.cast("string"), lit(":"), s))))))
+          i => array_min(zip_with(col("__h1"), col("__h2"), (a, b) => a + i * b))))
+      .drop("__md", "__h1", "__h2")
+  }
 
   /** MinHash + LSH banded near-dup join.
     *
@@ -52,27 +72,40 @@ object Dedup {
       bands: Int = 4,
       threshold: Double = 0.5): DataFrame = {
     val rows = perms / bands
+    // Persisted once, read three times (two band legs + shingle lookup);
+    // without persistence Catalyst recomputes the full shingle→md5→minhash
+    // pipeline per consumer. At warehouse scale this materialization is a
+    // signatures table written to storage once and joined from there.
     val sig = minhashSignature(docs, shingleN, perms)
       .select(col("doc_id"), col("__sh"), col("__sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
+    // Banded frame stays NARROW — (doc_id, band_idx, band_hash) — so the
+    // self-join shuffles 3 small columns, never the shingle arrays.
     val banded = sig.select(
-      col("doc_id"), col("__sh"),
+      col("doc_id"),
       posexplode(
         transform(sequence(lit(0), lit(bands - 1)),
-          b => md5(concat_ws("|", slice(col("__sig"), b * rows + 1, lit(rows)))))))
+          b => md5(concat_ws("|",
+            slice(col("__sig"), b * rows + 1, lit(rows)).cast("array<string>"))))))
       .withColumnRenamed("pos", "band_idx")
       .withColumnRenamed("col", "band_hash")
 
-    val a = banded.select(col("band_idx"), col("band_hash"),
-      col("doc_id").as("doc_id_a"), col("__sh").as("__sh_a"))
-    val b = banded.select(col("band_idx"), col("band_hash"),
-      col("doc_id").as("doc_id_b"), col("__sh").as("__sh_b"))
-
-    a.join(b, Seq("band_idx", "band_hash"))
+    val a = banded.select(col("band_idx"), col("band_hash"), col("doc_id").as("doc_id_a"))
+    val b = banded.select(col("band_idx"), col("band_hash"), col("doc_id").as("doc_id_b"))
+    val candidates = a.join(b, Seq("band_idx", "band_hash"))
       .where(col("doc_id_a") < col("doc_id_b"))
+      .select("doc_id_a", "doc_id_b")
+      .distinct() // a pair may collide in several bands
+
+    // Exact verification joins shingles back for CANDIDATE PAIRS ONLY.
+    val shA = sig.select(col("doc_id").as("doc_id_a"), col("__sh").as("__sh_a"))
+    val shB = sig.select(col("doc_id").as("doc_id_b"), col("__sh").as("__sh_b"))
+    candidates
+      .join(shA, Seq("doc_id_a"))
+      .join(shB, Seq("doc_id_b"))
       .select(col("doc_id_a"), col("doc_id_b"),
         TextOps.jaccard(col("__sh_a"), col("__sh_b")).as("jaccard"))
-      .distinct() // a pair may collide in several bands
       .where(col("jaccard") >= lit(threshold))
   }
 
@@ -84,7 +117,7 @@ object Dedup {
     * once per row so md5 runs once per token, not once per (token, bit). */
   def simhash(docs: DataFrame): DataFrame = {
     val toks = TextOps.tokens(col("text"))
-    val withH = docs.withColumn("__th",
+    val withH = docs.repartition(col("doc_id")).withColumn("__th",
       transform(toks, t => conv(substring(md5(t), 1, 15), 16, 10).cast("long")))
     val sim = (0 until 60).map { b =>
       val vote = aggregate(col("__th"), lit(0),
@@ -121,14 +154,22 @@ object Dedup {
     * which bounds bucket size by the density contract). Within-block pairs
     * verified by exact cosine similarity ≥ `threshold`. */
   def embeddingNearDup(embeddings: DataFrame, threshold: Double): DataFrame = {
-    val a = embeddings.select(col("label").as("block"),
-      col("vec_id").as("id_a"), col("embedding").as("__ea"))
-    val b = embeddings.select(col("label").as("block"),
-      col("vec_id").as("id_b"), col("embedding").as("__eb"))
-    val cosSim = lit(1.0) - Metric.Cosine.distance(col("__ea"), col("__eb"))
+    import org.apache.spark.sql.Column
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (a, b) => a.cast("double") * b.cast("double")),
+        lit(0.0d), (acc, v) => acc + v)
+    // Precompute each row's norm BEFORE the join: O(n) instead of O(pairs)
+    // norm work, and bit-identical to the per-pair formulation since it is
+    // the same expression over the same row.
+    val withNorm = embeddings.select(col("label").as("block"), col("vec_id"),
+      col("embedding"), sqrt(dot(col("embedding"), col("embedding"))).as("__norm"))
+    val a = withNorm.select(col("block"), col("vec_id").as("id_a"),
+      col("embedding").as("__ea"), col("__norm").as("__na"))
+    val b = withNorm.select(col("block"), col("vec_id").as("id_b"),
+      col("embedding").as("__eb"), col("__norm").as("__nb"))
     a.join(b, Seq("block"))
       .where(col("id_a") < col("id_b"))
-      .withColumn("cos_sim", cosSim)
+      .withColumn("cos_sim", dot(col("__ea"), col("__eb")) / (col("__na") * col("__nb")))
       .where(col("cos_sim") >= lit(threshold))
       .select(col("id_a"), col("id_b"), col("cos_sim"))
   }

@@ -74,7 +74,13 @@ object IvfIndex {
       case Metric.Cosine => "cosine"
       case _             => "euclidean" // squared-L2 is argmin-equivalent
     }
-    val featurized = records.withColumn("__features", array_to_vector(col("embedding")))
+    // Cache the featurized frame: Lloyd's iterates over it many times and
+    // MLlib does NOT cache its input — uncached, every iteration re-reads
+    // the parquet scan + conversion lineage. Repartition first: a
+    // single-file input otherwise trains k-means on one core.
+    val featurized = records.repartition(col("id"))
+      .withColumn("__features", array_to_vector(col("embedding")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val model = new KMeans()
       .setK(k)
       .setSeed(seed)

@@ -24,17 +24,25 @@ object TextOps {
   /** Token count. */
   def tokenCount(text: Column): Column = size(tokens(text))
 
-  /** Distinct word n-gram shingles, space-joined. (Guarded: Spark's
-    * `sequence(0, -1)` yields a DESCENDING sequence, not an empty one, so
-    * short docs take the empty-array branch explicitly.) */
-  def shingles(text: Column, n: Int): Column = {
-    val t = tokens(text)
+  /** Distinct word n-gram shingles from an ALREADY-MATERIALIZED token
+    * array column. Callers must pass an attribute (e.g. via
+    * `.withColumn("__toks", tokens(...))`), not the `tokens(...)`
+    * expression itself: higher-order functions are interpreted, so an
+    * inlined split() child re-executes on every `element_at` call —
+    * measured 5-10× slowdowns. (Guarded: Spark's `sequence(0, -1)` yields
+    * a DESCENDING sequence, not an empty one, so short docs take the
+    * empty-array branch explicitly.) */
+  def shinglesFromTokens(t: Column, n: Int): Column = {
     val grams = transform(
       sequence(lit(0), size(t) - n),
       i => concat_ws(" ", (0 until n).map(j => element_at(t, i + j + 1)): _*))
     when(size(t) >= n, array_distinct(grams))
       .otherwise(array().cast("array<string>"))
   }
+
+  /** Convenience form for tests/small frames — see [[shinglesFromTokens]]
+    * for why hot paths should materialize the token column first. */
+  def shingles(text: Column, n: Int): Column = shinglesFromTokens(tokens(text), n)
 
   /** Jaccard similarity of two distinct-element arrays. */
   def jaccard(a: Column, b: Column): Column =
