@@ -19,16 +19,31 @@ object Crud {
   def insert(records: DataFrame, newRows: DataFrame): DataFrame =
     records.unionByName(newRows)
 
+  /** Insert with dimension validation (O8 + O20, reference
+    * `src/cores/database.rs:189-199`, call site 239): rows whose embedding
+    * width ≠ `dim` are REJECTED — dropped from the append, the batch
+    * analog of the reference's per-record error. Use [[invalidDim]] on the
+    * same batch to observe what was rejected. */
+  def insertValidated(records: DataFrame, newRows: DataFrame, dim: Int): DataFrame =
+    records.unionByName(
+      newRows.where(graft.types.Metric.validDimension(col("embedding"), dim)))
+
+  /** The rejected complement of [[insertValidated]]. */
+  def invalidDim(newRows: DataFrame, dim: Int): DataFrame =
+    newRows.where(!graft.types.Metric.validDimension(col("embedding"), dim))
+
   /** Point lookup (O7, reference `src/cores/storage.rs:33-41`). With the
     * table sorted/bucketed by id, Parquet min/max stats prune to one file. */
   def getById(records: DataFrame, id: Long): DataFrame =
     records.where(col("id") === lit(id))
 
   /** Delete (O12/O15, reference `src/cores/storage.rs:44-48`): anti-join.
-    * `ids` is tiny in practice → broadcast anti-join, no shuffle of the
-    * big side. */
+    * No broadcast hint: the delete set is often tiny (AQE picks broadcast
+    * on its own from runtime stats) but may legitimately be a large
+    * predicate-derived id set — an unconditional hint would pin that case
+    * onto the driver. */
   def delete(records: DataFrame, ids: DataFrame): DataFrame =
-    records.join(broadcast(ids), Seq("id"), "left_anti")
+    records.join(ids, Seq("id"), "left_anti")
 
   /** Delete by predicate — the set-oriented generalization. */
   def deleteWhere(records: DataFrame, pred: Column): DataFrame =
@@ -36,12 +51,12 @@ object Crud {
 
   /** Metadata update (O14, reference `src/cores/storage.rs:55-70`): the
     * ENTIRE metadata map is replaced (not merged); the vector is immutable
-    * by policy (`storage.rs:52-54`). `updates(id, metadata)` is small →
-    * broadcast left join + coalesce. */
+    * by policy (`storage.rs:52-54`). Left join + coalesce; join strategy
+    * is left to AQE (see [[delete]] for why there is no broadcast hint). */
   def updateMetadata(records: DataFrame, updates: DataFrame): DataFrame = {
     val u = updates.withColumnRenamed("metadata", "__new_metadata")
     records
-      .join(broadcast(u), Seq("id"), "left_outer")
+      .join(u, Seq("id"), "left_outer")
       .withColumn("metadata", coalesce(col("__new_metadata"), col("metadata")))
       .drop("__new_metadata")
   }

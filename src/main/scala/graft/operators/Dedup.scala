@@ -16,11 +16,13 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Exact dedup (hash-groupBy on the full text): one shuffle on the
-    * group key. Returns one row per distinct text: the kept (minimum) id
-    * and the duplicate count. */
+  /** Exact dedup: hash-groupBy on `md5(text)`, NOT the text itself — the
+    * shuffle then carries a 32-byte key instead of the full document, which
+    * at corpus scale is the difference between shuffling hashes and
+    * shuffling the corpus. Returns one row per distinct text: the kept
+    * (minimum) id and the duplicate count. */
   def exact(docs: DataFrame): DataFrame =
-    docs.groupBy(col("text"))
+    docs.groupBy(md5(col("text")).as("__h"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
       .select(col("keep_id"), col("n_dups"))
 
@@ -111,29 +113,48 @@ object Dedup {
 
   /** SimHash fingerprint (60-bit, from the top 15 hex chars of each token's
     * md5 so the bit source is cross-engine reproducible): per bit position,
-    * tokens vote ±1; the bit is set when the vote is positive. Map-only.
-    * The 60 bit positions are unrolled statically because Spark's
-    * shiftleft/shiftright take literal Ints; the token hash is materialized
-    * once per row so md5 runs once per token, not once per (token, bit). */
+    * tokens vote ±1; the bit is set when the vote is positive.
+    *
+    * Map-only and SINGLE-PASS: each token's hash becomes a reversed binary
+    * string (charAt i = bit i), and one `aggregate` folds all tokens into a
+    * 60-wide vote array — one traversal of the token array, versus the
+    * naive 60-passes-per-row formulation. */
   def simhash(docs: DataFrame): DataFrame = {
     val toks = TextOps.tokens(col("text"))
-    val withH = docs.repartition(col("doc_id")).withColumn("__th",
-      transform(toks, t => conv(substring(md5(t), 1, 15), 16, 10).cast("long")))
-    val sim = (0 until 60).map { b =>
-      val vote = aggregate(col("__th"), lit(0),
-        (acc, v) => acc + when(shiftright(v, b) % 2 === 1, 1).otherwise(-1))
-      when(vote > 0, lit(1L << b)).otherwise(lit(0L))
-    }.reduce(_ bitwiseOR _)
-    withH.withColumn("simhash", sim).drop("__th")
+    val withB = docs.repartition(col("doc_id")).withColumn("__tb",
+      transform(toks, t => rpad(reverse(conv(substring(md5(t), 1, 15), 16, 2)), 60, "0")))
+    val votes = aggregate(col("__tb"), array_repeat(lit(0), 60),
+      (acc, s) => transform(acc, (a, i) =>
+        a + when(s.substr(i + 1, lit(1)) === "1", 1).otherwise(-1)))
+    val powers = array((0 until 60).map(b => lit(1L << b)): _*)
+    val sim = aggregate(
+      zip_with(votes, powers, (v, p) => when(v > 0, p).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc + x)
+    withB.withColumn("simhash", sim).drop("__tb")
   }
 
-  /** SimHash near-dup pairs: block on 4 × 15-bit bands (two docs within
-    * Hamming distance 3 of each other must share at least one band), then
-    * verify `bit_count(xor) <= maxHamming`. Same shuffle shape as LSH. */
+  /** Contiguous band (offset, width-in-bits) layout: `bands` chunks
+    * covering all 60 fingerprint bits, widths differing by at most one. */
+  private[graft] def simhashBandLayout(bands: Int): Seq[(Int, Int)] = {
+    val base = 60 / bands
+    val extra = 60 % bands
+    val widths = Seq.tabulate(bands)(b => if (b < extra) base + 1 else base)
+    widths.scanLeft(0)(_ + _).zip(widths)
+  }
+
+  /** SimHash near-dup pairs, blocked on `maxHamming + 1` contiguous bands:
+    * by pigeonhole, two fingerprints within Hamming distance `maxHamming`
+    * differ in at most `maxHamming` bands, so at least one band matches —
+    * candidate generation is COMPLETE for the verification threshold
+    * (the round-1 fixed-4-band layout silently missed pairs with 4–8
+    * differing bits spread across all bands). Verification is exact:
+    * `bit_count(xor) <= maxHamming`. Same shuffle shape as LSH. */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 8): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 60, "maxHamming must be in [0, 60)")
     val sh = simhash(docs).select(col("doc_id"), col("simhash"))
-    val bandKeys = (0 until 4).map(b =>
-      shiftright(col("simhash"), b * 15).bitwiseAND(lit(0x7fffL)))
+    val bandKeys = simhashBandLayout(maxHamming + 1).map { case (off, w) =>
+      shiftright(col("simhash"), off).bitwiseAND(lit((1L << w) - 1))
+    }
     val banded = sh.select(col("doc_id"), col("simhash"),
       posexplode(array(bandKeys: _*)))
       .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band_key")
@@ -149,11 +170,16 @@ object Dedup {
       .where(col("hamming") <= lit(maxHamming))
   }
 
-  /** Embedding-cosine near-dup with blocking on a coarse key (here:
-    * `label`; in production: an IVF cluster id from [[IvfIndex.assign]],
-    * which bounds bucket size by the density contract). Within-block pairs
-    * verified by exact cosine similarity ≥ `threshold`. */
-  def embeddingNearDup(embeddings: DataFrame, threshold: Double): DataFrame = {
+  /** Embedding-cosine near-dup over a PRE-BLOCKED frame
+    * `(block, id, embedding)`. The block key must have data-proportional
+    * cardinality — the intended producer is [[IvfIndex.assign]]'s
+    * `cluster_id`, whose bucket size is bounded by the index's density
+    * contract, so within-block pair counts stay O(n · density) instead of
+    * quadratic. (A fixed-cardinality key like a class label is a
+    * test-scale-only shortcut and is deliberately NOT taken here.)
+    * Within-block pairs are verified by exact cosine similarity ≥
+    * `threshold`. */
+  def embeddingNearDup(blocked: DataFrame, threshold: Double): DataFrame = {
     import org.apache.spark.sql.Column
     def dot(x: Column, y: Column): Column =
       aggregate(zip_with(x, y, (a, b) => a.cast("double") * b.cast("double")),
@@ -161,11 +187,11 @@ object Dedup {
     // Precompute each row's norm BEFORE the join: O(n) instead of O(pairs)
     // norm work, and bit-identical to the per-pair formulation since it is
     // the same expression over the same row.
-    val withNorm = embeddings.select(col("label").as("block"), col("vec_id"),
+    val withNorm = blocked.select(col("block"), col("id"),
       col("embedding"), sqrt(dot(col("embedding"), col("embedding"))).as("__norm"))
-    val a = withNorm.select(col("block"), col("vec_id").as("id_a"),
+    val a = withNorm.select(col("block"), col("id").as("id_a"),
       col("embedding").as("__ea"), col("__norm").as("__na"))
-    val b = withNorm.select(col("block"), col("vec_id").as("id_b"),
+    val b = withNorm.select(col("block"), col("id").as("id_b"),
       col("embedding").as("__eb"), col("__norm").as("__nb"))
     a.join(b, Seq("block"))
       .where(col("id_a") < col("id_b"))

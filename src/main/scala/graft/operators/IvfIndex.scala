@@ -55,40 +55,79 @@ object IvfIndex {
       .drop("__cents")
   }
 
+  /** Upper bound on centroid count. 2^16 centroids × a few-hundred-float
+    * vector ≈ tens of MB packed — comfortably inside both the 2 GB
+    * single-row limit and executor broadcast budgets that [[assign]]
+    * relies on. Beyond this, grow `density` or go two-level (coarse
+    * k ≤ kMax, then per-cluster refinement) rather than raising the cap. */
+  val DefaultKMax = 1 << 16
+
+  /** Rows the k-means fit itself may consume. Lloyd's only needs enough
+    * data to place k centroids well (a large constant × k); fitting on the
+    * full table is O(n·k·iters) wasted work once n is in the billions. */
+  val DefaultMaxFitRows = 4000000L
+
   /** Build the index with seeded k-means (reference O13,
     * `src/utils/kmeans.rs:31-91`, k-means++ init + Lloyd's iterations —
     * MLlib's k-means|| is the published distributed descendant of exactly
     * that algorithm). `density` is the reference's max-records-per-cluster
-    * knob (`src/main.rs:83-86`, default 256). */
+    * knob (`src/main.rs:83-86`, default 256).
+    *
+    * Scale contract (the parts that must survive 100 TB):
+    *   - `k = min(kMax, ceil(n/density))` — NEVER unbounded; at the cap the
+    *     density contract degrades gracefully (bigger clusters) instead of
+    *     the build dying on millions of driver-held centroids;
+    *   - the fit runs on a deterministic content-hash sample of at most
+    *     `maxFitRows` rows, so fit cost is O(min(n, maxFitRows) · k · iters)
+    *     regardless of table size;
+    *   - the FULL table is assigned via [[assign]] (one map-side pass over
+    *     broadcast centroids), not via `model.transform` over a persisted
+    *     copy of the input;
+    *   - the fit input is repartitioned to a FIXED partition count so the
+    *     seeded k-means|| init is reproducible across session configs. */
   def build(
       records: DataFrame,
       density: Int,
       metric: Metric = Metric.Euclidean,
-      seed: Long = 42L): Model = {
+      seed: Long = 42L,
+      kMax: Int = DefaultKMax,
+      maxFitRows: Long = DefaultMaxFitRows): Model = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
 
     val n = records.count()
-    val k = math.max(1, math.ceil(n.toDouble / density).toInt)
+    val k = math.max(1, math.min(kMax, math.ceil(n.toDouble / density).toInt))
     val distanceMeasure = metric match {
       case Metric.Cosine => "cosine"
       case _             => "euclidean" // squared-L2 is argmin-equivalent
     }
+    // Deterministic sample: keep rows by content hash of the id, not by
+    // Spark's partition-seeded sample(), so the fit set is identical for
+    // any partitioning of the input.
+    val fitRows =
+      if (n <= maxFitRows) records
+      else {
+        val keep = math.max(1L, (maxFitRows * 1000000L) / n)
+        records.where(pmod(xxhash64(col("id"), lit(seed)), lit(1000000L)) < lit(keep))
+      }
     // Cache the featurized frame: Lloyd's iterates over it many times and
     // MLlib does NOT cache its input — uncached, every iteration re-reads
-    // the parquet scan + conversion lineage. Repartition first: a
-    // single-file input otherwise trains k-means on one core.
-    val featurized = records.repartition(col("id"))
+    // the parquet scan + conversion lineage. Fixed partition count: spreads
+    // the fit across cores even for a single-file input AND pins the
+    // seeded k-means|| initialization sampling to one layout.
+    val featurized = fitRows.repartition(16, col("id"))
       .withColumn("__features", array_to_vector(col("embedding")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val model = new KMeans()
-      .setK(k)
-      .setSeed(seed)
-      .setMaxIter(100) // reference kmeans.rs:36 MAX_ITERATIONS=100
-      .setDistanceMeasure(distanceMeasure)
-      .setFeaturesCol("__features")
-      .setPredictionCol("cluster_id")
-      .fit(featurized)
+    val model =
+      try new KMeans()
+        .setK(k)
+        .setSeed(seed)
+        .setMaxIter(100) // reference kmeans.rs:36 MAX_ITERATIONS=100
+        .setDistanceMeasure(distanceMeasure)
+        .setFeaturesCol("__features")
+        .setPredictionCol("cluster_id")
+        .fit(featurized)
+      finally featurized.unpersist()
 
     val spark = records.sparkSession
     val centroidRows = model.clusterCenters.zipWithIndex.map { case (v, i) =>
@@ -97,7 +136,7 @@ object IvfIndex {
     import spark.implicits._
     val centroids = centroidRows.toDF("cluster_id", "centroid")
       .withColumn("centroid", col("centroid").cast("array<float>"))
-    val assigned = model.transform(featurized).drop("__features")
+    val assigned = assign(records, centroids, metric)
     Model(centroids, assigned)
   }
 

@@ -2,7 +2,6 @@ package graft.operators
 
 import graft.types.Metric
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Exact k-nearest-neighbor search (reference `src/cores/index.rs:168-214`,
@@ -38,11 +37,18 @@ object Knn {
       k: Int,
       metric: Metric = Metric.Euclidean,
       radius: Double = Double.PositiveInfinity,
-      filter: Column = lit(true)): DataFrame = {
+      filter: Column = lit(true),
+      dim: Option[Int] = None): DataFrame = {
     require(k > 0, "k must be positive") // reference database.rs:321-325
     val dist = metric.distance(col("embedding"), col("qvec"))
+    val dimOk = dim match { // O20, reference database.rs:189-199 call site 319
+      case Some(d) => Metric.validDimension(col("embedding"), d) &&
+        Metric.validDimension(col("qvec"), d)
+      case None => lit(true)
+    }
     records
       .crossJoin(broadcast(query))
+      .where(dimOk)
       .withColumn("distance", dist)
       .where(!isnan(col("distance")) && col("distance") <= lit(radius))
       .where(filter)
@@ -51,11 +57,17 @@ object Knn {
       .select(col("id"), col("metadata"), col("distance"))
   }
 
-  /** Many-queries batch search: `queries(query_id, qvec)` × records, top-k
-    * per query via a ranking window. The window shuffles on `query_id`,
-    * which is the right partitioning at scale (each query's candidate set
-    * lands on one executor); the candidate generation itself is a broadcast
-    * of the (small) query set against the (huge) record table. */
+  /** Many-queries batch search: `queries(query_id, qvec)` × records,
+    * two-phase top-k.
+    *
+    * Phase 1 reduces WITHIN each input partition: group by
+    * `(query_id, partition)` and keep a sorted k-slice — after this, a
+    * query's candidate set is `k × num_partitions` rows, not `n`. Phase 2
+    * merges those slices per query. This is the batch analog of what
+    * `TakeOrderedAndProject` does for the single-query path; the naive
+    * ranking-window formulation funnels all `n` candidate rows of each
+    * query through one task. Only `(query_id, distance, id)` is shuffled;
+    * metadata is joined back for the final `k` rows per query. */
   def searchBatch(
       records: DataFrame,
       queries: DataFrame,
@@ -65,15 +77,29 @@ object Knn {
       filter: Column = lit(true)): DataFrame = {
     require(k > 0, "k must be positive")
     val dist = metric.distance(col("embedding"), col("qvec"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("distance").asc, col("id").asc)
-    records
+    val candidates = records
       .crossJoin(broadcast(queries))
       .withColumn("distance", dist)
       .where(!isnan(col("distance")) && col("distance") <= lit(radius))
       .where(filter)
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") <= lit(k))
+      .select(col("query_id"), col("distance"), col("id"))
+    // struct field order (distance, id) makes sort_array order by distance
+    // with id as the deterministic tiebreak — same ordering the ranking
+    // window used, so results are identical.
+    val partial = candidates
+      .withColumn("__pid", spark_partition_id())
+      .groupBy(col("query_id"), col("__pid"))
+      .agg(slice(sort_array(collect_list(struct(col("distance"), col("id")))), 1, k)
+        .as("__top"))
+    val merged = partial
+      .groupBy(col("query_id"))
+      .agg(slice(sort_array(flatten(collect_list(col("__top")))), 1, k).as("__top"))
+    val flat = merged
+      .select(col("query_id"), explode(col("__top")).as("__r"))
+      .select(col("query_id"), col("__r.id").as("id"), col("__r.distance").as("distance"))
+    // k × |queries| rows → broadcast; the big table is streamed map-side.
+    broadcast(flat)
+      .join(records.select(col("id"), col("metadata")), Seq("id"))
       .select(col("query_id"), col("id"), col("metadata"), col("distance"))
   }
 }

@@ -67,18 +67,23 @@ object Multimodal {
       val featureDim = 8
       def decodeFeatures(kind: String, content: Array[Byte], meta: Row): Array[Float] = {
         val d = featureDim
-        val out = new Array[Float](d)
+        // Accumulate and divide in DOUBLE, cast to float once at the end:
+        // IEEE double ops are engine-independent, so the oracle reproduces
+        // the exact float value with CAST(sum/(cnt*255.0) AS REAL). A
+        // float-precision division here would double-round differently.
+        val sums = new Array[Double](d)
         val counts = new Array[Int](d)
         var i = 0
         while (i < content.length) {
           val b = i % d
-          out(b) += (content(i) & 0xff)
+          sums(b) += (content(i) & 0xff)
           counts(b) += 1
           i += 1
         }
+        val out = new Array[Float](d)
         var j = 0
         while (j < d) {
-          if (counts(j) > 0) out(j) /= counts(j) * 255.0f // normalize to [0,1]
+          if (counts(j) > 0) out(j) = (sums(j) / (counts(j) * 255.0)).toFloat
           j += 1
         }
         out

@@ -55,13 +55,28 @@ class DedupSpec extends SparkSpec {
 
   test("embedding near-dup: only same-block pairs above threshold") {
     val emb = Seq(
-      (0L, Seq(1f, 0f, 0f), 1),
-      (1L, Seq(1f, 0.01f, 0f), 1),  // ~identical direction, same block
-      (2L, Seq(0f, 1f, 0f), 1),     // orthogonal, same block
-      (3L, Seq(1f, 0f, 0f), 2)      // identical direction, DIFFERENT block
-    ).toDF("vec_id", "embedding", "label")
+      (1, 0L, Seq(1f, 0f, 0f)),
+      (1, 1L, Seq(1f, 0.01f, 0f)),  // ~identical direction, same block
+      (1, 2L, Seq(0f, 1f, 0f)),     // orthogonal, same block
+      (2, 3L, Seq(1f, 0f, 0f))      // identical direction, DIFFERENT block
+    ).toDF("block", "id", "embedding")
     val got = Dedup.embeddingNearDup(emb, threshold = 0.9)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(got === Set((0L, 1L))) // 0-3 blocked apart; 0-2 below threshold
+  }
+
+  test("simhash band layout covers all 60 bits with ±1-width contiguous bands") {
+    for (bands <- Seq(1, 4, 9, 13, 60)) {
+      val layout = Dedup.simhashBandLayout(bands)
+      assert(layout.size === bands)
+      assert(layout.map(_._2).sum === 60)
+      assert(layout.map(_._2).max - layout.map(_._2).min <= 1)
+      // contiguous, starting at 0
+      assert(layout.head._1 === 0)
+      layout.sliding(2).foreach {
+        case Seq((o1, w1), (o2, _)) => assert(o2 === o1 + w1)
+        case _ =>
+      }
+    }
   }
 }
