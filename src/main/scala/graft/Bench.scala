@@ -19,8 +19,14 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Session warmup (JIT, codegen compiler, parquet reader init) so the
+    // first timed query isn't charged for JVM cold start; touches each
+    // table once but runs none of the timed queries.
+    Seq("embeddings", "documents").foreach { t =>
+      spark.read.parquet(s"$sfDir/$t.parquet").write.format("noop").mode("overwrite").save()
+    }
     var failed = List.empty[String]
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch {
@@ -29,7 +35,7 @@ object Bench {
           failed ::= name
       }
       name -> (System.nanoTime() - t0) / 1e9
-    }
+    }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

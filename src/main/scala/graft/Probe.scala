@@ -14,6 +14,8 @@ object Probe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (name == "ivfprof") { ivfProfile(spark, dir); spark.stop(); return }
+    if (name == "mhprof") { minhashProfile(spark, dir); spark.stop(); return }
     val df = SparkEntry.queries(name)(spark, dir)
     df.explain("formatted")
     (1 to 2).foreach { i =>
@@ -22,5 +24,86 @@ object Probe {
       println(f"RUN$i: $n rows in ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
     spark.stop()
+  }
+
+  /** Stage timing for the MinHash signature pipeline. */
+  private def minhashProfile(spark: SparkSession, dir: String): Unit = {
+    import graft.operators.TextOps
+    import org.apache.spark.sql.functions._
+    def t(label: String)(df: org.apache.spark.sql.DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      println(f"STAGE $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    t("warmup")(docs)
+    val toksDf = docs.repartition(col("doc_id"))
+      .withColumn("__toks", TextOps.tokens(col("text")))
+    t("tokens")(toksDf.select(col("doc_id"), col("__toks")))
+    val noDistinct = toksDf.withColumn("__sh",
+      transform(sequence(lit(0), size(col("__toks")) - 3),
+        i => concat_ws(" ", element_at(col("__toks"), i + 1),
+          element_at(col("__toks"), i + 2), element_at(col("__toks"), i + 3))))
+    t("shingles-nodistinct")(noDistinct.select(col("doc_id"), col("__sh")))
+    val zipShingle = toksDf.withColumn("__sh",
+      slice(
+        zip_with(
+          zip_with(col("__toks"), slice(col("__toks"), 2, 1000000),
+            (a, b) => concat(a, lit(" "), b)),
+          slice(col("__toks"), 3, 1000000), (p, c) => concat(p, lit(" "), c)),
+        lit(1), greatest(size(col("__toks")) - 2, lit(0))))
+    t("shingles-zip")(zipShingle.select(col("doc_id"), col("__sh")))
+    val noWhere = toksDf
+      .withColumn("__sh", TextOps.shinglesFromTokens(col("__toks"), 3))
+    t("shingles-when-nowhere")(noWhere.select(col("doc_id"), col("__sh")))
+    val manualWhere = noDistinct.where(size(col("__sh")) > 0)
+    t("shingles-plain-where")(manualWhere.select(col("doc_id"), col("__sh")))
+    val base = docs.repartition(col("doc_id"))
+      .withColumn("__toks", TextOps.tokens(col("text")))
+      .withColumn("__sh", TextOps.shinglesFromTokens(col("__toks"), 3))
+      .drop("__toks")
+      .where(size(col("__sh")) > 0)
+    t("shingles")(base.select(col("doc_id"), col("__sh")))
+    val md = base.withColumn("__md", transform(col("__sh"), s => md5(s)))
+    t("md5")(md.select(col("doc_id"), col("__md")))
+    val h = md
+      .withColumn("__h1", transform(col("__md"), m => conv(substring(m, 1, 14), 16, 10).cast("long")))
+      .withColumn("__h2", transform(col("__md"), m => conv(substring(m, 17, 14), 16, 10).cast("long")))
+    t("conv")(h.select(col("doc_id"), col("__h1"), col("__h2")))
+    val sig = graft.operators.Dedup.minhashSignature(docs, 3, 16)
+    t("signature-full")(sig.select(col("doc_id"), col("__sig")))
+  }
+
+  /** Phase timing for the IVF build path. */
+  private def ivfProfile(spark: SparkSession, dir: String): Unit = {
+    import graft.sources.Records
+    import graft.types.Metric
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    import org.apache.spark.sql.functions._
+    def t[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"PHASE $label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    }
+    val records = Records.fromEmbeddings(spark, dir)
+    val n = t("count")(records.count())
+    val k = math.max(1, math.ceil(n.toDouble / 64).toInt)
+    val featurized = records.repartition(16, col("id"))
+      .withColumn("__features", array_to_vector(col("embedding")))
+      .persist()
+    t("persist-materialize")(featurized.count())
+    val model = t("fit") {
+      new KMeans().setK(k).setSeed(42L).setMaxIter(100).setTol(1e-3)
+        .setFeaturesCol("__features").setPredictionCol("cluster_id").fit(featurized)
+    }
+    println(s"iterations=${model.summary.numIter}")
+    featurized.unpersist()
+    import spark.implicits._
+    val centroids = model.clusterCenters.zipWithIndex
+      .map { case (v, i) => (i, v.toArray.map(_.toFloat).toSeq) }.toSeq
+      .toDF("cluster_id", "centroid")
+      .withColumn("centroid", col("centroid").cast("array<float>"))
+    val assigned = graft.operators.IvfIndex.assign(records, centroids, Metric.Euclidean)
+    t("assign-materialize")(assigned.write.format("noop").mode("overwrite").save())
   }
 }

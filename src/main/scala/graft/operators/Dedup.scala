@@ -43,21 +43,34 @@ object Dedup {
       .repartition(col("doc_id"))
       // tokens, shingles, and md5s materialize as separate projections so
       // HOF lambdas reference attributes, not re-executed subtrees
-      // (interpreted HOFs re-evaluate inlined children per element access)
+      // (interpreted HOFs re-evaluate inlined children per element access).
+      // The shorter-than-n filter runs on the TOKEN count — equivalent to
+      // `size(shingles) > 0`, but filtering on the shingle column was
+      // measured at 8 s/5k docs: alias substitution inlines the whole
+      // shingle build (split re-executed per element) into the predicate.
       .withColumn("__toks", TextOps.tokens(col("text")))
+      .where(size(col("__toks")) >= shingleN)
       .withColumn("__sh", TextOps.shinglesFromTokens(col("__toks"), shingleN))
       .drop("__toks")
-      .where(size(col("__sh")) > 0)
       .withColumn("__md", transform(col("__sh"), s => md5(s)))
       .withColumn("__h1",
         transform(col("__md"), m => conv(substring(m, 1, 14), 16, 10).cast("long")))
       .withColumn("__h2",
         transform(col("__md"), m => conv(substring(m, 17, 14), 16, 10).cast("long")))
-      .withColumn("__sig",
-        transform(sequence(lit(0), lit(perms - 1)),
-          i => array_min(zip_with(col("__h1"), col("__h2"), (a, b) => a + i * b))))
+      // Single pass: fold the shingle hashes once, keeping all `perms`
+      // running minima in one accumulator — versus one zip_with traversal
+      // (and result-array allocation) per permutation.
+      .withColumn("__sig", expr(
+        s"""aggregate(zip_with(__h1, __h2, (a, b) -> struct(a AS h1, b AS h2)),
+           |  array_repeat(${Long.MaxValue}L, $perms),
+           |  (acc, e) -> zip_with(acc, ${iotaPermsSql(perms)},
+           |    (m, i) -> least(m, e.h1 + i * e.h2)))""".stripMargin))
       .drop("__md", "__h1", "__h2")
   }
+
+  /** SQL literal `array(0L, 1L, …, n-1L)`. */
+  private def iotaPermsSql(n: Int): String =
+    (0 until n).map(i => s"${i}L").mkString("array(", ",", ")")
 
   /** MinHash + LSH banded near-dup join.
     *
@@ -74,12 +87,14 @@ object Dedup {
       bands: Int = 4,
       threshold: Double = 0.5): DataFrame = {
     val rows = perms / bands
-    // Persisted once, read three times (two band legs + shingle lookup);
-    // without persistence Catalyst recomputes the full shingle→md5→minhash
-    // pipeline per consumer. At warehouse scale this materialization is a
-    // signatures table written to storage once and joined from there.
+    // Persist ONLY (doc_id, signature) — 16 longs per doc, read twice (two
+    // band legs). Caching the shingle arrays too was measured strictly
+    // worse: serializing ~hundreds of strings per doc costs more than
+    // recomputing shingles for the (tiny) candidate set below. At
+    // warehouse scale both signatures and shingles are materialized to
+    // storage tables instead.
     val sig = minhashSignature(docs, shingleN, perms)
-      .select(col("doc_id"), col("__sh"), col("__sig"))
+      .select(col("doc_id"), col("__sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // Banded frame stays NARROW — (doc_id, band_idx, band_hash) — so the
@@ -95,19 +110,35 @@ object Dedup {
 
     val a = banded.select(col("band_idx"), col("band_hash"), col("doc_id").as("doc_id_a"))
     val b = banded.select(col("band_idx"), col("band_hash"), col("doc_id").as("doc_id_b"))
+    // Persist: tiny (pairs only), but consumed three times below (id set
+    // + final join) — unpersisted it would re-run the band self-join per
+    // consumer.
     val candidates = a.join(b, Seq("band_idx", "band_hash"))
       .where(col("doc_id_a") < col("doc_id_b"))
       .select("doc_id_a", "doc_id_b")
       .distinct() // a pair may collide in several bands
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // Exact verification joins shingles back for CANDIDATE PAIRS ONLY.
-    val shA = sig.select(col("doc_id").as("doc_id_a"), col("__sh").as("__sh_a"))
-    val shB = sig.select(col("doc_id").as("doc_id_b"), col("__sh").as("__sh_b"))
+    // Exact verification recomputes shingles for CANDIDATE DOCS ONLY
+    // (semi-join prunes the scan to the pair members). Jaccard runs over
+    // the 56-bit long shingle hashes — set ops on primitives, not an
+    // O(n²) string-array fallback; values equal string Jaccard
+    // (TextOps.shingleHashes collision note).
+    val candIds = candidates.select(col("doc_id_a").as("doc_id"))
+      .union(candidates.select(col("doc_id_b").as("doc_id")))
+      .distinct()
+    val candSh = docs.join(candIds, Seq("doc_id"), "left_semi")
+      .withColumn("__toks", TextOps.tokens(col("text")))
+      .withColumn("__sh", TextOps.shinglesFromTokens(col("__toks"), shingleN))
+      .select(col("doc_id"), TextOps.shingleHashes(col("__sh")).as("__shh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // read by both pair legs
+    val shA = candSh.select(col("doc_id").as("doc_id_a"), col("__shh").as("__shh_a"))
+    val shB = candSh.select(col("doc_id").as("doc_id_b"), col("__shh").as("__shh_b"))
     candidates
       .join(shA, Seq("doc_id_a"))
       .join(shB, Seq("doc_id_b"))
       .select(col("doc_id_a"), col("doc_id_b"),
-        TextOps.jaccard(col("__sh_a"), col("__sh_b")).as("jaccard"))
+        TextOps.jaccard(col("__shh_a"), col("__shh_b")).as("jaccard"))
       .where(col("jaccard") >= lit(threshold))
   }
 
@@ -115,22 +146,26 @@ object Dedup {
     * md5 so the bit source is cross-engine reproducible): per bit position,
     * tokens vote ±1; the bit is set when the vote is positive.
     *
-    * Map-only and SINGLE-PASS: each token's hash becomes a reversed binary
-    * string (charAt i = bit i), and one `aggregate` folds all tokens into a
-    * 60-wide vote array — one traversal of the token array, versus the
-    * naive 60-passes-per-row formulation. */
+    * Map-only and SINGLE-PASS: one `aggregate` folds all token hashes into
+    * a 60-wide vote array — one traversal of the token array versus the
+    * naive 60-passes-per-row formulation. Bits are extracted with integer
+    * `div`/`%` against a power-of-two array (long arithmetic only; a
+    * string-of-binary-digits variant measured ~6× slower from per-bit
+    * allocations). */
   def simhash(docs: DataFrame): DataFrame = {
     val toks = TextOps.tokens(col("text"))
-    val withB = docs.repartition(col("doc_id")).withColumn("__tb",
-      transform(toks, t => rpad(reverse(conv(substring(md5(t), 1, 15), 16, 2)), 60, "0")))
-    val votes = aggregate(col("__tb"), array_repeat(lit(0), 60),
-      (acc, s) => transform(acc, (a, i) =>
-        a + when(s.substr(i + 1, lit(1)) === "1", 1).otherwise(-1)))
-    val powers = array((0 until 60).map(b => lit(1L << b)): _*)
-    val sim = aggregate(
-      zip_with(votes, powers, (v, p) => when(v > 0, p).otherwise(lit(0L))),
-      lit(0L), (acc, x) => acc + x)
-    withB.withColumn("simhash", sim).drop("__tb")
+    val powersSql = (0 until 60).map(b => s"${1L << b}L").mkString("array(", ",", ")")
+    docs.repartition(col("doc_id"))
+      .withColumn("__th",
+        transform(toks, t => conv(substring(md5(t), 1, 15), 16, 10).cast("long")))
+      .withColumn("__votes", expr(
+        s"""aggregate(__th, array_repeat(0, 60),
+           |  (acc, v) -> zip_with(acc, $powersSql,
+           |    (a, p) -> a + IF((v div p) % 2 = 1, 1, -1)))""".stripMargin))
+      .withColumn("simhash", expr(
+        s"""aggregate(zip_with(__votes, $powersSql, (v, p) -> IF(v > 0, p, 0L)),
+           |  0L, (acc, x) -> acc + x)""".stripMargin))
+      .drop("__th", "__votes")
   }
 
   /** Contiguous band (offset, width-in-bits) layout: `bands` chunks

@@ -24,21 +24,36 @@ object TextOps {
   /** Token count. */
   def tokenCount(text: Column): Column = size(tokens(text))
 
-  /** Distinct word n-gram shingles from an ALREADY-MATERIALIZED token
-    * array column. Callers must pass an attribute (e.g. via
-    * `.withColumn("__toks", tokens(...))`), not the `tokens(...)`
-    * expression itself: higher-order functions are interpreted, so an
-    * inlined split() child re-executes on every `element_at` call —
-    * measured 5-10× slowdowns. (Guarded: Spark's `sequence(0, -1)` yields
-    * a DESCENDING sequence, not an empty one, so short docs take the
+  /** Word n-gram shingles (MULTISET — duplicates kept) from an
+    * ALREADY-MATERIALIZED token array column. Callers must pass an
+    * attribute (e.g. via `.withColumn("__toks", tokens(...))`), not the
+    * `tokens(...)` expression itself: higher-order functions are
+    * interpreted, so an inlined split() child re-executes on every
+    * `element_at` call — measured 5-10× slowdowns.
+    *
+    * NOT deduplicated: `array_distinct` over string arrays falls off
+    * Spark's primitive fast path into an O(n²) equality scan (measured
+    * 10× the cost of building the shingles). Set semantics (MinHash
+    * minima are dedup-invariant anyway; Jaccard needs sets) are applied
+    * downstream on the md5-derived LONG hashes ([[shingleHashes]]), where
+    * set ops stay primitive. (Guarded: Spark's `sequence(0, -1)` yields a
+    * DESCENDING sequence, not an empty one, so short docs take the
     * empty-array branch explicitly.) */
   def shinglesFromTokens(t: Column, n: Int): Column = {
     val grams = transform(
       sequence(lit(0), size(t) - n),
       i => concat_ws(" ", (0 until n).map(j => element_at(t, i + j + 1)): _*))
-    when(size(t) >= n, array_distinct(grams))
+    when(size(t) >= n, grams)
       .otherwise(array().cast("array<string>"))
   }
+
+  /** 56-bit integer shingle identities: the first 14 md5 hex chars of each
+    * shingle as a long (the same `h1` stream MinHash derives permutations
+    * from). Collision probability at 2^56 is negligible at any realistic
+    * per-document shingle count, so Jaccard over these equals Jaccard
+    * over the strings — while intersect/distinct run on primitive longs. */
+  def shingleHashes(sh: Column): Column =
+    transform(sh, s => conv(substring(md5(s), 1, 14), 16, 10).cast("long"))
 
   /** Convenience form for tests/small frames — see [[shinglesFromTokens]]
     * for why hot paths should materialize the token column first. */
@@ -58,23 +73,51 @@ object TextOps {
     "de" -> Seq("der", "die", "das", "und", "ist", "ein", "zu", "den"),
     "zh" -> Seq("de", "shi", "bu", "le", "zai", "ren", "you", "wo"))
 
-  /** Language ID: per-language stopword hit count over the token bag;
-    * highest count wins, ties break by list order above; all-zero → "und"
-    * (undetermined). A real pipeline swaps in char-n-gram models; the
-    * Spark plumbing (map-side scoring, no shuffle) is identical. */
-  def langId(text: Column): Column = {
-    val t = tokens(text)
-    // hit count including repeats: filter + size
-    def hits(words: Seq[String]): Column =
-      size(filter(t, tok => words.map(w => tok === lit(w)).reduce(_ || _)))
-    val scored = StopwordsByLang.map { case (lang, words) => (lang, hits(words)) }
-    val best = scored.tail.foldLeft(
-      struct(lit(scored.head._1).as("lang"), scored.head._2.as("n"))) {
-      case (acc, (lang, n)) =>
+  /** Literal map: stopword → per-language increment vector (one word may
+    * vote for several languages, e.g. "de" is Spanish, French, and the
+    * pinyin list). Lets [[langVotes]] score ALL languages in one pass
+    * with a single hash lookup per token. */
+  private lazy val stopwordVoteMap: Column = {
+    val words = StopwordsByLang.flatMap(_._2).distinct
+    val entries = words.flatMap { w =>
+      val vec = StopwordsByLang.map { case (_, ws) => if (ws.contains(w)) 1 else 0 }
+      Seq(lit(w), array(vec.map(lit): _*))
+    }
+    map(entries: _*)
+  }
+
+  /** Per-language stopword hit counts (repeats included) over a
+    * MATERIALIZED token attribute — single traversal, one map lookup per
+    * token, versus one filter pass per language. Returns an array aligned
+    * with [[StopwordsByLang]] order. */
+  def langVotes(t: Column): Column = {
+    val zeros = array_repeat(lit(0), StopwordsByLang.size)
+    aggregate(t, zeros, (acc, tok) =>
+      zip_with(acc, coalesce(element_at(stopwordVoteMap, tok), zeros), (a, b) => a + b))
+  }
+
+  /** Argmax over a MATERIALIZED [[langVotes]] attribute: highest count
+    * wins, ties break by [[StopwordsByLang]] order; all-zero → "und". */
+  def langFromVotes(votes: Column): Column = {
+    val best = StopwordsByLang.zipWithIndex.tail.foldLeft(
+      struct(lit(StopwordsByLang.head._1).as("lang"), element_at(votes, 1).as("n"))) {
+      case (acc, ((lang, _), i)) =>
+        val n = element_at(votes, i + 1)
         when(n > acc.getField("n"), struct(lit(lang).as("lang"), n.as("n")))
           .otherwise(acc)
     }
     when(best.getField("n") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Language ID: convenience composition of [[langVotes]] +
+    * [[langFromVotes]] for tests/small frames. Hot paths MUST materialize
+    * the token and vote columns as attributes first (see
+    * [[shinglesFromTokens]] for why) — `Queries.lang_id` does. */
+  def langId(text: Column): Column = {
+    // one aggregate-and-fold per row; votes appears once per element_at,
+    // so this form re-evaluates the aggregate per language — fine for
+    // tests, wrong for hot paths
+    langFromVotes(langVotes(tokens(text)))
   }
 
   /** Quality score in [0,1]: linear blend of stopword ratio, mean token

@@ -18,9 +18,21 @@ class TextOpsSpec extends SparkSpec {
     assert(one[Int]("a b c", TextOps.tokenCount(col("text"))) === 3)
   }
 
-  test("shingles: 3-grams, distinct, space-joined") {
+  test("shingles: 3-grams, space-joined, multiset (duplicates kept)") {
     assert(one[Seq[String]]("a b c d", TextOps.shingles(col("text"), 3))
       === Seq("a b c", "b c d"))
+    // repeated trigram stays — set semantics live on the hash level
+    assert(one[Seq[String]]("a b a b a b", TextOps.shingles(col("text"), 3))
+      === Seq("a b a", "b a b", "a b a", "b a b"))
+  }
+
+  test("shingleHashes: distinct shingles → distinct longs; jaccard matches strings") {
+    val df = Seq((Seq("a b c", "b c d", "a b c"), Seq("b c d", "x y z")))
+      .toDF("x", "y")
+    val j = df.select(
+      TextOps.jaccard(TextOps.shingleHashes(col("x")), TextOps.shingleHashes(col("y"))).as("j"))
+      .head().getDouble(0)
+    assert(j === 1.0 / 3.0) // |{bcd}| / |{abc,bcd,xyz}| — dup "a b c" collapses
   }
 
   test("shingles of a too-short doc are EMPTY (sequence(0,-1) regression)") {
