@@ -19,11 +19,20 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Session warmup (JIT, codegen compiler, parquet reader init) so the
-    // first timed query isn't charged for JVM cold start; touches each
-    // table once but runs none of the timed queries.
-    Seq("embeddings", "documents").foreach { t =>
-      spark.read.parquet(s"$sfDir/$t.parquet").write.format("noop").mode("overwrite").save()
+    // Session warmup (JIT, codegen compiler, parquet reader init, shuffle
+    // machinery) so the first timed query isn't charged for JVM cold
+    // start; touches each table once and exercises agg+sort+join codegen
+    // on a 64-row slice, but runs none of the timed queries.
+    locally {
+      import org.apache.spark.sql.functions._
+      Seq("embeddings", "documents").foreach { t =>
+        spark.read.parquet(s"$sfDir/$t.parquet").write.format("noop").mode("overwrite").save()
+      }
+      val tiny = spark.read.parquet(s"$sfDir/embeddings.parquet").limit(64)
+      tiny.groupBy(col("label")).agg(count(lit(1)).as("n"))
+        .join(tiny.select(col("label")).distinct(), Seq("label"))
+        .orderBy(col("label"))
+        .write.format("noop").mode("overwrite").save()
     }
     var failed = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

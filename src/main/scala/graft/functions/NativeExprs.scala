@@ -1,0 +1,343 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the hot per-element kernels.
+  *
+  * Spark's higher-order functions (`transform`/`aggregate`/`zip_with`) are
+  * INTERPRETED — every element evaluation walks an expression tree with
+  * boxing. For kernels that touch every vector component or every token
+  * (distance, SimHash votes, sliding-window hashing) that interpretive
+  * overhead dominates the arithmetic by an order of magnitude. Each
+  * expression here evaluates its children once per row and runs the inner
+  * loop as compiled Scala over the unsafe array/string representations —
+  * the `CodegenFallback` per-row dispatch is negligible at thousands of
+  * elements per row.
+  *
+  * CONTRACT: each expression is bit-identical to the HOF formulation it
+  * replaces (same double-precision operation sequence, same null
+  * semantics), so the DuckDB oracle SQL — which mirrors those HOF
+  * formulas — is unchanged. The HOF originals remain documented alongside.
+  */
+object NativeExprs {
+
+  /** `Column` view of an expression (Spark 4 `classic` converter). */
+  private def asCol(e: Expression): Column = ColumnBridge.column(e)
+  private def ex(c: Column): Expression = ColumnBridge.expression(c)
+
+  def sqEuclidean(a: Column, b: Column): Column = asCol(SqEuclideanExpr(ex(a), ex(b)))
+  def cosineDistance(a: Column, b: Column): Column = asCol(CosineDistanceExpr(ex(a), ex(b)))
+  def dot(a: Column, b: Column): Column = asCol(DotExpr(ex(a), ex(b)))
+  def simhash60(tokens: Column): Column = asCol(SimHash60Expr(ex(tokens)))
+  def md5MinWindow(text: Column, window: Int): Column =
+    asCol(Md5MinWindowExpr(ex(text), window))
+
+  /** Lowercased whitespace tokenization — compiled twin of
+    * `split(lower(trim(text)), "\\s+")` with Spark's exact semantics:
+    * `trim` strips SPACES only (not tabs/newlines), `split` uses limit -1
+    * (a leading whitespace run yields a leading "" element, a trailing
+    * run a trailing "" element, and "" tokenizes to [""]). Whitespace =
+    * the Java regex `\s` class. Byte-level scan is safe in UTF-8: all
+    * continuation/multibyte bytes have the high bit set. */
+  case class WhitespaceTokensExpr(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullable: Boolean = child.nullable
+    private def isWs(b: Byte): Boolean =
+      b == ' ' || b == '\t' || b == '\n' || b == 0x0b || b == '\f' || b == '\r'
+    override def eval(input: InternalRow): Any = {
+      val t = child.eval(input).asInstanceOf[UTF8String]
+      if (t == null) return null
+      val bytes = t.trim().toLowerCase.getBytes
+      val out = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
+      val n = bytes.length
+      var start = 0
+      var i = 0
+      while (i < n) {
+        if (isWs(bytes(i))) {
+          out += UTF8String.fromBytes(bytes, start, i - start)
+          i += 1
+          while (i < n && isWs(bytes(i))) i += 1
+          start = i
+        } else i += 1
+      }
+      out += UTF8String.fromBytes(bytes, start, n - start)
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray[Any])
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  def whitespaceTokens(text: Column): Column = asCol(WhitespaceTokensExpr(ex(text)))
+
+  /** Word n-gram shingles (multiset) — compiled twin of
+    * `transform(sequence(0, size(t)-n), i -> concat_ws(" ", t[i+1..i+n]))`
+    * guarded to an empty array for size < n. */
+  case class ShinglesExpr(child: Expression, n: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullable: Boolean = child.nullable
+    override def eval(input: InternalRow): Any = {
+      val arr = child.eval(input).asInstanceOf[ArrayData]
+      if (arr == null) return null
+      val m = arr.numElements()
+      if (m < n)
+        return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+      val out = new Array[Any](m - n + 1)
+      var i = 0
+      while (i <= m - n) {
+        var len = n - 1 // separators
+        var j = 0
+        while (j < n) { len += arr.getUTF8String(i + j).numBytes(); j += 1 }
+        val buf = new Array[Byte](len)
+        var pos = 0
+        j = 0
+        while (j < n) {
+          if (j > 0) { buf(pos) = ' '; pos += 1 }
+          val tok = arr.getUTF8String(i + j)
+          tok.writeToMemory(buf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + pos)
+          pos += tok.numBytes()
+          j += 1
+        }
+        out(i) = UTF8String.fromBytes(buf)
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  def shingles(tokens: Column, n: Int): Column = asCol(ShinglesExpr(ex(tokens), n))
+
+  /** Numeric array element reader resolved once per (expression, type). */
+  private def reader(dt: DataType): (ArrayData, Int) => Double = dt match {
+    case ArrayType(FloatType, _)  => (a, i) => a.getFloat(i).toDouble
+    case ArrayType(DoubleType, _) => (a, i) => a.getDouble(i)
+    case ArrayType(IntegerType, _) => (a, i) => a.getInt(i).toDouble
+    case ArrayType(LongType, _)   => (a, i) => a.getLong(i).toDouble
+    case other => throw new IllegalArgumentException(s"unsupported vector type: $other")
+  }
+
+  /** Shared shape for the pairwise vector kernels: null on null/ragged
+    * inputs — exactly what the zip_with formulation yields (length
+    * mismatch pads a null element, which nulls the whole sum), so
+    * downstream `!isnan(distance)` guards behave identically. */
+  abstract class VectorKernel extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
+    @transient protected lazy val readL: (ArrayData, Int) => Double = reader(left.dataType)
+    @transient protected lazy val readR: (ArrayData, Int) => Double = reader(right.dataType)
+    protected def kernel(a: ArrayData, b: ArrayData, n: Int): Double
+    override def eval(input: InternalRow): Any = {
+      val a = left.eval(input).asInstanceOf[ArrayData]
+      val b = right.eval(input).asInstanceOf[ArrayData]
+      if (a == null || b == null || a.numElements() != b.numElements()) null
+      else kernel(a, b, a.numElements())
+    }
+  }
+
+  /** Squared L2 (reference `src/types/metric.rs:29`): the compiled twin of
+    * `aggregate(zip_with(a, b, (x,y) -> (xd-yd)*(xd-yd)), 0.0, +)`. */
+  case class SqEuclideanExpr(left: Expression, right: Expression) extends VectorKernel {
+    override protected def kernel(a: ArrayData, b: ArrayData, n: Int): Double = {
+      var s = 0.0; var i = 0
+      while (i < n) { val d = readL(a, i) - readR(b, i); s += d * d; i += 1 }
+      s
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  /** Dot product — compiled twin of
+    * `aggregate(zip_with(a, b, (x,y) -> xd*yd), 0.0, +)`. */
+  case class DotExpr(left: Expression, right: Expression) extends VectorKernel {
+    override protected def kernel(a: ArrayData, b: ArrayData, n: Int): Double = {
+      var s = 0.0; var i = 0
+      while (i < n) { s += readL(a, i) * readR(b, i); i += 1 }
+      s
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  /** Cosine distance 1 − dot/(‖a‖‖b‖) (reference `src/types/metric.rs:30-31`).
+    * One pass accumulating the three sums; each sum sees the same
+    * left-to-right addition sequence as its standalone HOF aggregate, so
+    * the result is bit-identical. */
+  case class CosineDistanceExpr(left: Expression, right: Expression) extends VectorKernel {
+    override protected def kernel(a: ArrayData, b: ArrayData, n: Int): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < n) {
+        val x = readL(a, i); val y = readR(b, i)
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      1.0 - dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  /** 60-bit SimHash over a token array — compiled twin of the
+    * md5→conv(15 hex)→±1-vote-per-bit aggregate in [[graft.operators.Dedup]].
+    * Bit source: the top 60 bits of the digest's first 8 bytes, exactly
+    * `conv(substring(md5(tok), 1, 15), 16, 10)`. */
+  case class SimHash60Expr(child: Expression) extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = child.nullable
+    @transient private lazy val digest = java.security.MessageDigest.getInstance("MD5")
+    override def eval(input: InternalRow): Any = {
+      val arr = child.eval(input).asInstanceOf[ArrayData]
+      if (arr == null) return null
+      val votes = new Array[Int](60)
+      var i = 0
+      val n = arr.numElements()
+      while (i < n) {
+        val md = digest.digest(arr.getUTF8String(i).getBytes)
+        var v = 0L
+        var j = 0
+        while (j < 8) { v = (v << 8) | (md(j) & 0xffL); j += 1 }
+        v = v >>> 4 // first 15 hex chars = top 60 bits of the first 8 bytes
+        var b = 0
+        while (b < 60) {
+          if (((v >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+        i += 1
+      }
+      var sim = 0L
+      var b = 0
+      while (b < 60) { if (votes(b) > 0) sim |= 1L << b; b += 1 }
+      sim
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** MinHash signature over a shingle array — compiled twin of the
+    * Kirsch-Mitzenmacher construction in [[graft.operators.Dedup]]: per
+    * shingle, ONE md5 yields two independent 56-bit integers
+    * (`conv(substring(hex,1,14),16,10)` = digest bytes 0..6 big-endian;
+    * `conv(substring(hex,17,14),16,10)` = bytes 8..14), and permutation
+    * `i`'s signature element is `min(h1 + i·h2)` over all shingles.
+    * Empty input yields Long.MaxValue elements, like the HOF fold from an
+    * `array_repeat(maxLong)` seed. */
+  case class MinhashSigExpr(child: Expression, perms: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = child.nullable
+    @transient private lazy val digest = java.security.MessageDigest.getInstance("MD5")
+    override def eval(input: InternalRow): Any = {
+      val arr = child.eval(input).asInstanceOf[ArrayData]
+      if (arr == null) return null
+      val mins = Array.fill(perms)(Long.MaxValue)
+      var i = 0
+      val n = arr.numElements()
+      while (i < n) {
+        val md = digest.digest(arr.getUTF8String(i).getBytes)
+        var h1 = 0L; var h2 = 0L
+        var j = 0
+        while (j < 7) {
+          h1 = (h1 << 8) | (md(j) & 0xffL)
+          h2 = (h2 << 8) | (md(j + 8) & 0xffL)
+          j += 1
+        }
+        var p = 0
+        while (p < perms) {
+          val v = h1 + p * h2
+          if (v < mins(p)) mins(p) = v
+          p += 1
+        }
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  def minhashSig(shingles: Column, perms: Int): Column =
+    asCol(MinhashSigExpr(ex(shingles), perms))
+
+  /** Per-shingle 56-bit identities (order and duplicates preserved) —
+    * compiled twin of `transform(sh, s ->
+    * conv(substring(md5(s),1,14),16,10))`. See
+    * [[graft.operators.TextOps.shingleHashes]]. */
+  case class ShingleHashesExpr(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = child.nullable
+    @transient private lazy val digest = java.security.MessageDigest.getInstance("MD5")
+    override def eval(input: InternalRow): Any = {
+      val arr = child.eval(input).asInstanceOf[ArrayData]
+      if (arr == null) return null
+      val n = arr.numElements()
+      val out = new Array[Long](n)
+      var i = 0
+      while (i < n) {
+        val md = digest.digest(arr.getUTF8String(i).getBytes)
+        var h1 = 0L
+        var j = 0
+        while (j < 7) { h1 = (h1 << 8) | (md(j) & 0xffL); j += 1 }
+        out(i) = h1
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  def shingleHashes(shingles: Column): Column = asCol(ShingleHashesExpr(ex(shingles)))
+
+  /** Winnowing fingerprint: lexicographic minimum of `md5(substr(text, i,
+    * window))` over every window start (`i = 1 .. max(len-window+1, 1)`) —
+    * compiled twin of the `transform(sequence(...), i -> md5(substr))` +
+    * `array_min` formulation. Hex strings order like the digest bytes
+    * (hex encoding is monotone in the unsigned byte value), so the min is
+    * tracked on raw digests and encoded once. */
+  case class Md5MinWindowExpr(child: Expression, window: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = child.nullable
+    @transient private lazy val digest = java.security.MessageDigest.getInstance("MD5")
+    override def eval(input: InternalRow): Any = {
+      val t = child.eval(input).asInstanceOf[UTF8String]
+      if (t == null) return null
+      val s = t.toString
+      val len = s.length
+      val starts = math.max(len - (window - 1), 1)
+      var min: Array[Byte] = null
+      var i = 0
+      while (i < starts) {
+        val end = math.min(i + window, len)
+        val md = digest.digest(s.substring(i, end).getBytes("UTF-8"))
+        if (min == null || unsignedLess(md, min)) min = md
+        i += 1
+      }
+      UTF8String.fromString(hex(min))
+    }
+    private def unsignedLess(a: Array[Byte], b: Array[Byte]): Boolean = {
+      var i = 0
+      while (i < a.length) {
+        val ai = a(i) & 0xff; val bi = b(i) & 0xff
+        if (ai != bi) return ai < bi
+        i += 1
+      }
+      false
+    }
+    private def hex(md: Array[Byte]): String = {
+      val sb = new java.lang.StringBuilder(32)
+      var i = 0
+      while (i < md.length) {
+        sb.append(Character.forDigit((md(i) >> 4) & 0xf, 16))
+        sb.append(Character.forDigit(md(i) & 0xf, 16))
+        i += 1
+      }
+      sb.toString
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+}

@@ -52,25 +52,10 @@ object Dedup {
       .where(size(col("__toks")) >= shingleN)
       .withColumn("__sh", TextOps.shinglesFromTokens(col("__toks"), shingleN))
       .drop("__toks")
-      .withColumn("__md", transform(col("__sh"), s => md5(s)))
-      .withColumn("__h1",
-        transform(col("__md"), m => conv(substring(m, 1, 14), 16, 10).cast("long")))
-      .withColumn("__h2",
-        transform(col("__md"), m => conv(substring(m, 17, 14), 16, 10).cast("long")))
-      // Single pass: fold the shingle hashes once, keeping all `perms`
-      // running minima in one accumulator — versus one zip_with traversal
-      // (and result-array allocation) per permutation.
-      .withColumn("__sig", expr(
-        s"""aggregate(zip_with(__h1, __h2, (a, b) -> struct(a AS h1, b AS h2)),
-           |  array_repeat(${Long.MaxValue}L, $perms),
-           |  (acc, e) -> zip_with(acc, ${iotaPermsSql(perms)},
-           |    (m, i) -> least(m, e.h1 + i * e.h2)))""".stripMargin))
-      .drop("__md", "__h1", "__h2")
+      // Native kernel (NativeExprs.MinhashSigExpr): one compiled pass over
+      // the shingles computing md5 + all `perms` running minima.
+      .withColumn("__sig", graft.functions.NativeExprs.minhashSig(col("__sh"), perms))
   }
-
-  /** SQL literal `array(0L, 1L, …, n-1L)`. */
-  private def iotaPermsSql(n: Int): String =
-    (0 until n).map(i => s"${i}L").mkString("array(", ",", ")")
 
   /** MinHash + LSH banded near-dup join.
     *
@@ -144,29 +129,18 @@ object Dedup {
 
   /** SimHash fingerprint (60-bit, from the top 15 hex chars of each token's
     * md5 so the bit source is cross-engine reproducible): per bit position,
-    * tokens vote ±1; the bit is set when the vote is positive.
+    * tokens vote ±1; the bit is set when the vote is positive. Map-only.
     *
-    * Map-only and SINGLE-PASS: one `aggregate` folds all token hashes into
-    * a 60-wide vote array — one traversal of the token array versus the
-    * naive 60-passes-per-row formulation. Bits are extracted with integer
-    * `div`/`%` against a power-of-two array (long arithmetic only; a
-    * string-of-binary-digits variant measured ~6× slower from per-bit
-    * allocations). */
-  def simhash(docs: DataFrame): DataFrame = {
-    val toks = TextOps.tokens(col("text"))
-    val powersSql = (0 until 60).map(b => s"${1L << b}L").mkString("array(", ",", ")")
+    * Runs as a native kernel
+    * ([[graft.functions.NativeExprs.SimHash60Expr]]): one compiled pass
+    * over the token array. The interpreted-HOF twin — `aggregate` of
+    * per-token `conv(substring(md5(t),1,15),16,10)` into a 60-wide ±1
+    * vote array — is what the DuckDB oracle mirrors; values are
+    * identical. */
+  def simhash(docs: DataFrame): DataFrame =
     docs.repartition(col("doc_id"))
-      .withColumn("__th",
-        transform(toks, t => conv(substring(md5(t), 1, 15), 16, 10).cast("long")))
-      .withColumn("__votes", expr(
-        s"""aggregate(__th, array_repeat(0, 60),
-           |  (acc, v) -> zip_with(acc, $powersSql,
-           |    (a, p) -> a + IF((v div p) % 2 = 1, 1, -1)))""".stripMargin))
-      .withColumn("simhash", expr(
-        s"""aggregate(zip_with(__votes, $powersSql, (v, p) -> IF(v > 0, p, 0L)),
-           |  0L, (acc, x) -> acc + x)""".stripMargin))
-      .drop("__th", "__votes")
-  }
+      .withColumn("simhash",
+        graft.functions.NativeExprs.simhash60(TextOps.tokens(col("text"))))
 
   /** Contiguous band (offset, width-in-bits) layout: `bands` chunks
     * covering all 60 fingerprint bits, widths differing by at most one. */
@@ -216,9 +190,8 @@ object Dedup {
     * `threshold`. */
   def embeddingNearDup(blocked: DataFrame, threshold: Double): DataFrame = {
     import org.apache.spark.sql.Column
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (a, b) => a.cast("double") * b.cast("double")),
-        lit(0.0d), (acc, v) => acc + v)
+    // native dot kernel — bit-identical to the HOF aggregate the oracle mirrors
+    def dot(x: Column, y: Column): Column = graft.functions.NativeExprs.dot(x, y)
     // Precompute each row's norm BEFORE the join: O(n) instead of O(pairs)
     // norm work, and bit-identical to the per-pair formulation since it is
     // the same expression over the same row.

@@ -18,42 +18,39 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
-  /** Lowercased whitespace tokenization. */
-  def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
+  /** Lowercased whitespace tokenization. Native kernel; the declarative
+    * twin (what the DuckDB oracle mirrors) is
+    * `split(lower(trim(text)), "\\s+")`. */
+  def tokens(text: Column): Column =
+    graft.functions.NativeExprs.whitespaceTokens(text)
 
   /** Token count. */
   def tokenCount(text: Column): Column = size(tokens(text))
 
-  /** Word n-gram shingles (MULTISET — duplicates kept) from an
-    * ALREADY-MATERIALIZED token array column. Callers must pass an
-    * attribute (e.g. via `.withColumn("__toks", tokens(...))`), not the
-    * `tokens(...)` expression itself: higher-order functions are
-    * interpreted, so an inlined split() child re-executes on every
-    * `element_at` call — measured 5-10× slowdowns.
+  /** Word n-gram shingles (MULTISET — duplicates kept). Native kernel;
+    * the declarative twin is `transform(sequence(0, size(t)-n),
+    * i -> concat_ws(" ", ...))` with an explicit empty-array guard for
+    * short docs (Spark's `sequence(0, -1)` would yield a DESCENDING
+    * sequence, not an empty one).
     *
     * NOT deduplicated: `array_distinct` over string arrays falls off
     * Spark's primitive fast path into an O(n²) equality scan (measured
     * 10× the cost of building the shingles). Set semantics (MinHash
     * minima are dedup-invariant anyway; Jaccard needs sets) are applied
     * downstream on the md5-derived LONG hashes ([[shingleHashes]]), where
-    * set ops stay primitive. (Guarded: Spark's `sequence(0, -1)` yields a
-    * DESCENDING sequence, not an empty one, so short docs take the
-    * empty-array branch explicitly.) */
-  def shinglesFromTokens(t: Column, n: Int): Column = {
-    val grams = transform(
-      sequence(lit(0), size(t) - n),
-      i => concat_ws(" ", (0 until n).map(j => element_at(t, i + j + 1)): _*))
-    when(size(t) >= n, grams)
-      .otherwise(array().cast("array<string>"))
-  }
+    * set ops stay primitive. */
+  def shinglesFromTokens(t: Column, n: Int): Column =
+    graft.functions.NativeExprs.shingles(t, n)
 
   /** 56-bit integer shingle identities: the first 14 md5 hex chars of each
     * shingle as a long (the same `h1` stream MinHash derives permutations
     * from). Collision probability at 2^56 is negligible at any realistic
     * per-document shingle count, so Jaccard over these equals Jaccard
-    * over the strings — while intersect/distinct run on primitive longs. */
+    * over the strings — while intersect/distinct run on primitive longs.
+    * Native kernel; the HOF twin is
+    * `transform(sh, s -> conv(substring(md5(s),1,14),16,10))`. */
   def shingleHashes(sh: Column): Column =
-    transform(sh, s => conv(substring(md5(s), 1, 14), 16, 10).cast("long"))
+    graft.functions.NativeExprs.shingleHashes(sh)
 
   /** Convenience form for tests/small frames — see [[shinglesFromTokens]]
     * for why hot paths should materialize the token column first. */
@@ -141,10 +138,10 @@ object TextOps {
 
   /** Rolling-hash document fingerprint: md5 over every `window`-char
     * sliding window, keep the lexicographic minimum (winnowing-style
-    * content fingerprint — robust to local edits, unlike whole-doc md5). */
+    * content fingerprint — robust to local edits, unlike whole-doc md5).
+    * Native kernel ([[graft.functions.NativeExprs.Md5MinWindowExpr]]);
+    * the HOF twin `array_min(transform(sequence(1, greatest(len-w+1, 1)),
+    * i -> md5(substr(text, i, w))))` is what the oracle mirrors. */
   def fingerprint(text: Column, window: Int = 8): Column =
-    array_min(
-      transform(
-        sequence(lit(1), greatest(length(text) - (window - 1), lit(1))),
-        i => md5(text.substr(i, lit(window)))))
+    graft.functions.NativeExprs.md5MinWindow(text, window)
 }

@@ -28,29 +28,25 @@ sealed trait Metric {
 
 object Metric {
 
-  private def sum(arr: Column): Column =
-    aggregate(arr, lit(0.0d), (acc, x) => acc + x)
-
-  /** Squared L2: sum((a_i - b_i)^2). Reference `src/types/metric.rs:29`. */
+  /** Squared L2: sum((a_i - b_i)^2). Reference `src/types/metric.rs:29`.
+    * Native kernel ([[graft.functions.NativeExprs.SqEuclideanExpr]]),
+    * bit-identical to the HOF form
+    * `aggregate(zip_with(a,b,(x,y)->(xd-yd)*(xd-yd)), 0.0, +)` that the
+    * DuckDB oracle mirrors. */
   case object Euclidean extends Metric {
     val name = "euclidean"
     def distance(a: Column, b: Column): Column =
-      sum(zip_with(a, b, (x, y) => {
-        val d = x.cast("double") - y.cast("double")
-        d * d
-      }))
+      graft.functions.NativeExprs.sqEuclidean(a, b)
   }
 
   /** Cosine distance: 1 − dot(a,b)/(‖a‖‖b‖).
-    * Reference `src/types/metric.rs:30-31` (simsimd cosine distance). */
+    * Reference `src/types/metric.rs:30-31` (simsimd cosine distance).
+    * Native kernel, bit-identical to the three-aggregate HOF form the
+    * oracle mirrors. */
   case object Cosine extends Metric {
     val name = "cosine"
-    def distance(a: Column, b: Column): Column = {
-      val dot = sum(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")))
-      val na  = sqrt(sum(transform(a, x => x.cast("double") * x.cast("double"))))
-      val nb  = sqrt(sum(transform(b, x => x.cast("double") * x.cast("double"))))
-      lit(1.0d) - dot / (na * nb)
-    }
+    def distance(a: Column, b: Column): Column =
+      graft.functions.NativeExprs.cosineDistance(a, b)
   }
 
   def fromString(s: String): Metric = s.toLowerCase match {
