@@ -207,6 +207,49 @@ object IvfIndex {
     Knn.search(candidates, query, k, metric, radius, filter)
   }
 
+  /** Batch probed ANN: many queries against the index at once, each
+    * pruned to its own nearest `probes` clusters.
+    *
+    * Plan shape (the part that must survive 100 TB):
+    *   1. queries × centroids is a broadcast cross of two SMALL frames;
+    *      a per-query ranking window runs over ≤ |queries|·k_centroids
+    *      rows — never the data table.
+    *   2. The big `assigned` table joins the broadcast (query_id,
+    *      cluster_id, qvec) probe list on `cluster_id` — each record
+    *      meets only the queries probing its cluster (with disk
+    *      partitioning by cluster_id this is partition pruning), versus
+    *      the brute-force record × query cross of [[Knn.searchBatch]].
+    *   3. Per-query two-phase top-k ([[Knn.topKPerQuery]]) — no
+    *      full-candidate funnel through one task. */
+  def queryBatch(
+      model: Model,
+      queries: DataFrame,
+      k: Int,
+      probes: Int = 32,
+      metric: Metric = Metric.Euclidean,
+      radius: Double = Double.PositiveInfinity,
+      filter: Column = lit(true)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0, "k must be positive")
+    val cdist = metric.distance(col("centroid"), col("qvec"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(isnan(col("__cdist")).asc, col("__cdist").asc, col("cluster_id").asc)
+    val probedQ = model.centroids
+      .crossJoin(broadcast(queries))
+      .withColumn("__cdist", cdist)
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= lit(probes))
+      .select(col("query_id"), col("cluster_id"), col("qvec"))
+    val dist = metric.distance(col("embedding"), col("qvec"))
+    val candidates = model.assigned
+      .join(broadcast(probedQ), Seq("cluster_id"))
+      .withColumn("distance", dist)
+      .where(!isnan(col("distance")) && col("distance") <= lit(radius))
+      .where(filter)
+      .select(col("query_id"), col("distance"), col("id"))
+    Knn.topKPerQuery(candidates, model.assigned, k)
+  }
+
   /** The 100 TB layout: posting lists as Parquet partitions. */
   def writePartitioned(model: Model, path: String): Unit =
     model.assigned.write.mode("overwrite").partitionBy("cluster_id").parquet(path)

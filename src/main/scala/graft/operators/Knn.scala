@@ -83,6 +83,16 @@ object Knn {
       .where(!isnan(col("distance")) && col("distance") <= lit(radius))
       .where(filter)
       .select(col("query_id"), col("distance"), col("id"))
+    topKPerQuery(candidates, records, k)
+  }
+
+  /** Two-phase per-query top-k over a `(query_id, distance, id)` candidate
+    * frame, then metadata re-attach. Shared by [[searchBatch]] and
+    * [[IvfIndex.queryBatch]]. */
+  private[operators] def topKPerQuery(
+      candidates: DataFrame,
+      records: DataFrame,
+      k: Int): DataFrame = {
     // struct field order (distance, id) makes sort_array order by distance
     // with id as the deterministic tiebreak — same ordering the ranking
     // window used, so results are identical.

@@ -76,6 +76,30 @@ class IvfIndexSpec extends SparkSpec {
     assert(remaining.where(col("id") >= 500).count() === 0)
   }
 
+  test("queryBatch with all clusters probed equals brute-force searchBatch") {
+    val model = IvfIndex.build(records, density = 64, Metric.Euclidean, seed = 42L)
+    val q = records.where(col("id") < 4)
+      .select(col("id").as("query_id"), col("embedding").as("qvec"))
+    val brute = Knn.searchBatch(records, q, 5, Metric.Euclidean)
+      .select("query_id", "id", "distance").as[(Long, Long, Double)].collect().toSet
+    val ivf = IvfIndex.queryBatch(model, q, 5, probes = 16, Metric.Euclidean)
+      .select("query_id", "id", "distance").as[(Long, Long, Double)].collect().toSet
+    assert(ivf === brute)
+  }
+
+  test("queryBatch pruned probing: each query's own record always found") {
+    val model = IvfIndex.build(records, density = 64, Metric.Euclidean, seed = 42L)
+    val q = records.where(col("id") < 4)
+      .select(col("id").as("query_id"), col("embedding").as("qvec"))
+    val got = IvfIndex.queryBatch(model, q, 5, probes = 2, Metric.Euclidean)
+      .select("query_id", "id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    (0L until 4L).foreach { qid =>
+      assert(got(qid).size === 5)
+      assert(got(qid).contains(qid), s"query $qid must find itself")
+    }
+  }
+
   test("build is deterministic under a fixed seed") {
     val a = IvfIndex.build(records, 64, Metric.Euclidean, seed = 42L)
       .assigned.select("id", "cluster_id").as[(Long, Int)].collect().toMap

@@ -1,0 +1,137 @@
+package graft
+
+import graft.functions.NativeExprs
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Equivalence proofs for the native kernels: each must be BIT-IDENTICAL
+  * to the interpreted HOF formulation it replaced (which is what the
+  * DuckDB oracle mirrors), including edge cases. Inputs include seeded
+  * pseudo-random docs/vectors plus hand-picked edges (empty strings,
+  * tabs/newlines, repeated tokens, ragged vectors). */
+class NativeExprsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // --- fixtures ---------------------------------------------------------
+
+  private val rnd = new scala.util.Random(7)
+  private val words = Vector("the", "quick", "brown", "fox", "de", "la",
+    "und", "spark", "window", "x1", "yy", "zzz")
+  private def randDoc(): String =
+    Seq.fill(3 + rnd.nextInt(40))(words(rnd.nextInt(words.size))).mkString(" ")
+
+  private val docStrings = Seq(
+    "", " ", "one", "a b", "\ta  leading tab", "trailing space ",
+    "line\nbreak and\ttab", "UPPER Case MiXeD") ++ Seq.fill(40)(randDoc())
+  private lazy val docsDf = docStrings.zipWithIndex
+    .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+
+  private def randVec(n: Int): Seq[Float] = Seq.fill(n)(rnd.nextFloat() * 4 - 2)
+  private lazy val vecsDf = (0 until 30)
+    .map(i => (i.toLong, randVec(16), randVec(16)))
+    .toDF("id", "a", "b")
+
+  private def assertSame(actual: Column, expected: Column, df: org.apache.spark.sql.DataFrame): Unit = {
+    val bad = df.select(actual.as("got"), expected.as("want"))
+      .where(!(col("got") <=> col("want")))
+    assert(bad.count() === 0, s"mismatch rows: ${bad.take(3).mkString(", ")}")
+  }
+
+  // --- HOF twins (the oracle-mirrored formulations) ---------------------
+
+  private def hofTokens(text: Column): Column = split(lower(trim(text)), "\\s+")
+
+  private def hofShingles(t: Column, n: Int): Column = {
+    val grams = transform(
+      sequence(lit(0), size(t) - n),
+      i => concat_ws(" ", (0 until n).map(j => element_at(t, i + j + 1)): _*))
+    when(size(t) >= n, grams).otherwise(array().cast("array<string>"))
+  }
+
+  private def hofSum(arr: Column): Column = aggregate(arr, lit(0.0d), (acc, x) => acc + x)
+
+  private def hofSqEuclidean(a: Column, b: Column): Column =
+    hofSum(zip_with(a, b, (x, y) => {
+      val d = x.cast("double") - y.cast("double"); d * d
+    }))
+
+  private def hofCosine(a: Column, b: Column): Column = {
+    val dot = hofSum(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")))
+    val na = sqrt(hofSum(transform(a, x => x.cast("double") * x.cast("double"))))
+    val nb = sqrt(hofSum(transform(b, x => x.cast("double") * x.cast("double"))))
+    lit(1.0d) - dot / (na * nb)
+  }
+
+  private def hofShingleHashes(sh: Column): Column =
+    transform(sh, s => conv(substring(md5(s), 1, 14), 16, 10).cast("long"))
+
+  // --- equivalence tests ------------------------------------------------
+
+  test("whitespaceTokens == split(lower(trim), \\s+) incl. edge docs") {
+    assertSame(NativeExprs.whitespaceTokens(col("text")), hofTokens(col("text")), docsDf)
+  }
+
+  test("shingles == transform/concat_ws twin (multiset, short-doc guard)") {
+    val withToks = docsDf.withColumn("__t", hofTokens(col("text")))
+    for (n <- Seq(2, 3, 5))
+      assertSame(NativeExprs.shingles(col("__t"), n), hofShingles(col("__t"), n), withToks)
+  }
+
+  test("sqEuclidean / cosineDistance / dot == HOF aggregates, bit-identical") {
+    assertSame(NativeExprs.sqEuclidean(col("a"), col("b")),
+      hofSqEuclidean(col("a"), col("b")), vecsDf)
+    assertSame(NativeExprs.cosineDistance(col("a"), col("b")),
+      hofCosine(col("a"), col("b")), vecsDf)
+    assertSame(NativeExprs.dot(col("a"), col("b")),
+      hofSum(zip_with(col("a"), col("b"), (x, y) => x.cast("double") * y.cast("double"))),
+      vecsDf)
+  }
+
+  test("vector kernels: ragged lengths yield null (zip_with pad semantics)") {
+    val ragged = Seq((Seq(1f, 2f), Seq(1f, 2f, 3f))).toDF("a", "b")
+    val got = ragged.select(NativeExprs.sqEuclidean(col("a"), col("b")).as("d")).head()
+    assert(got.isNullAt(0))
+  }
+
+  test("shingleHashes == conv(substring(md5,1,14),16,10) twin") {
+    val withSh = docsDf
+      .withColumn("__t", hofTokens(col("text")))
+      .withColumn("__sh", hofShingles(col("__t"), 3))
+    assertSame(NativeExprs.shingleHashes(col("__sh")), hofShingleHashes(col("__sh")), withSh)
+  }
+
+  test("minhashSig == Kirsch-Mitzenmacher HOF twin (16 perms)") {
+    val withSh = docsDf
+      .withColumn("__t", hofTokens(col("text")))
+      .withColumn("__sh", hofShingles(col("__t"), 3))
+    val h1 = hofShingleHashes(col("__sh"))
+    val h2 = transform(col("__sh"), s => conv(substring(md5(s), 17, 14), 16, 10).cast("long"))
+    val twin = transform(sequence(lit(0), lit(15)),
+      i => when(size(col("__sh")) > 0,
+        array_min(zip_with(h1, h2, (a, b) => a + i * b)))
+        .otherwise(lit(Long.MaxValue)))
+    assertSame(NativeExprs.minhashSig(col("__sh"), 16), twin, withSh)
+  }
+
+  test("simhash60 == per-bit ±1 vote twin over conv(substring(md5,1,15))") {
+    val withT = docsDf.withColumn("__t", hofTokens(col("text")))
+    val powersSql = (0 until 60).map(b => s"${1L << b}L").mkString("array(", ",", ")")
+    val votes = expr(
+      s"""aggregate(transform(__t, t -> CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT)),
+         |  array_repeat(0, 60),
+         |  (acc, v) -> zip_with(acc, $powersSql, (a, p) -> a + IF((v div p) % 2 = 1, 1, -1)))""".stripMargin)
+    val twin = expr(
+      s"""aggregate(zip_with($powersSql, __v, (p, v) -> IF(v > 0, p, 0L)),
+         |  0L, (acc, x) -> acc + x)""".stripMargin)
+    val df = withT.withColumn("__v", votes)
+    assertSame(NativeExprs.simhash60(col("__t")), twin, df)
+  }
+
+  test("md5MinWindow == array_min(transform(sequence, md5(substr))) twin") {
+    val twin = array_min(
+      transform(
+        sequence(lit(1), greatest(length(col("text")) - 7, lit(1))),
+        i => md5(col("text").substr(i, lit(8)))))
+    assertSame(NativeExprs.md5MinWindow(col("text"), 8), twin, docsDf)
+  }
+}

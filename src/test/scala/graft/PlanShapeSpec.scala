@@ -1,0 +1,70 @@
+package graft
+
+import graft.operators.{IvfIndex, Knn}
+import graft.types.Metric
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Assertions on PHYSICAL PLAN SHAPE — the properties that make these
+  * operators survive a 100× scale-up. Correctness rows can stay green
+  * while a plan silently degrades into a scale-killer (full sort instead
+  * of bounded top-k, per-query funnel window, unpruned scans); these
+  * tests pin the shape. */
+class PlanShapeSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+  private def plan(df: DataFrame): String = df.queryExecution.executedPlan.toString
+
+  test("single-query kNN plans a bounded TakeOrderedAndProject, not a global sort") {
+    val p = plan(Queries.queries("knn_euclidean")(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), p.linesIterator.take(5).mkString("\n"))
+  }
+
+  test("batch kNN (two-phase top-k) has NO per-query ranking window") {
+    val p = plan(Queries.queries("ann_topk_batch")(spark, sf))
+    assert(!p.contains("Window"), "ranking window would funnel each query through one task")
+    assert(p.contains("BroadcastExchange"), "final metadata re-attach must broadcast the k-row side")
+  }
+
+  test("IVF batch query has a broadcast probe join and no data-table cross join") {
+    val df = {
+      val r = graft.sources.Records.fromEmbeddings(spark, sf)
+      val c = r.where(col("id") < 8)
+        .select(col("id").cast("int").as("cluster_id"), col("embedding").as("centroid"))
+      val model = IvfIndex.Model(c, IvfIndex.assign(r, c, Metric.Euclidean))
+      val q = r.where(col("id") < 5)
+        .select(col("id").as("query_id"), col("embedding").as("qvec"))
+      IvfIndex.queryBatch(model, q, 5, probes = 3, Metric.Euclidean)
+    }
+    val p = plan(df)
+    assert(p.contains("BroadcastExchange"))
+    // the only window runs over the tiny centroids × queries frame; the
+    // candidate side must join on cluster_id, not cross-join the table
+    assert(p.contains("BroadcastHashJoin"), "probe list must broadcast against the data table")
+  }
+
+  test("metadata-only queries never read the embedding column") {
+    // filter_and scans the embeddings TABLE but only needs (vec_id, label)
+    val p = plan(Queries.queries("filter_and")(spark, sf))
+    val schemas = "ReadSchema: (\\S+)".r.findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(schemas.nonEmpty, p.linesIterator.take(8).mkString("\n"))
+    schemas.foreach(s => assert(!s.contains("embedding"), s"column pruning lost: $s"))
+  }
+
+  test("point lookup pushes the id predicate into the parquet scan") {
+    val df = Queries.queries("get_by_id")(spark, sf)
+    val p = plan(df)
+    assert(p.contains("PushedFilters: [IsNotNull(vec_id), EqualTo(vec_id,42)]")
+      || p.contains("EqualTo(vec_id,42)"), p)
+  }
+
+  test("exact dedup groups by a hash key, never shuffling full text") {
+    val df = Queries.queries("dedup_exact")(spark, sf)
+    val exchanges = df.queryExecution.executedPlan.collect {
+      case e if e.nodeName == "Exchange" || e.nodeName.contains("ShuffleExchange") => e.toString
+    }
+    // the partitioning key of every shuffle is the md5 alias or an agg
+    // output, never the raw text column
+    exchanges.foreach(e => assert(!e.contains("text#"), s"text column in shuffle: $e"))
+  }
+}
