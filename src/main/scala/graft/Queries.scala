@@ -355,6 +355,16 @@ object Queries {
           length(col("frame_bytes")).as("frame_len"))
         .orderBy("media_id", "frame_idx")),
 
+    // extension: per-user sessionization via the built-in session_window
+    // operator (identical semantics batch/streaming; stream==batch is
+    // asserted in StreamingSpec)
+    "events_sessionize" -> ((s, dir) =>
+      graft.streaming.EventStream.sessionAgg(events(s, dir))
+        .select(
+          date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          col("user_id"), col("n_events"), r4(col("value_sum")).as("value_sum"))
+        .orderBy("user_id", "session_start")),
+
     // extension: hourly windowed aggregation over the events stream table
     // (same plan Structured Streaming produces for the streaming variant)
     "events_window_agg" -> ((s, dir) =>
@@ -600,6 +610,20 @@ object Queries {
         |SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
         |  CAST(greatest(least(flen, clen - frame_idx * flen), 0) AS INT) AS frame_len
         |FROM x ORDER BY media_id, frame_idx""".stripMargin,
+
+    // session boundary: a gap of >= 30 min starts a new session (Spark
+    // session windows are half-open [start, last_ts + gap))
+    "events_sessionize" ->
+      s"""WITH o AS (SELECT user_id, ts, value,
+         |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+         |         OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTE
+         |       THEN 1 ELSE 0 END AS new_s
+         |  FROM events),
+         |s AS (SELECT user_id, ts, value,
+         |  sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM o)
+         |SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start, user_id,
+         |  count(*) AS n_events, ${sqlR4("sum(value)")} AS value_sum
+         |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
 
     "events_window_agg" ->
       s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,

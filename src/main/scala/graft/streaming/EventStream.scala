@@ -40,18 +40,31 @@ object EventStream {
       .select(col("window.start").as("hour"), col("event_type"),
         col("n"), col("value_sum"))
 
+  /** Per-user sessionization via the built-in `session_window` operator —
+    * events within `gap` of the session's end extend it; a gap of `gap`
+    * or more closes it (half-open `[start, last_ts + gap)` windows).
+    * Identical semantics in batch and streaming; in streaming, state per
+    * open session is bounded by the watermark horizon and sharded by the
+    * group key, the `mapGroupsWithState` state pattern without the
+    * hand-rolled state machine. */
+  def sessionAgg(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("value_sum"))
+      .select(col("session_window.start").as("session_start"), col("user_id"),
+        col("n_events"), col("value_sum"))
+
   /** Open the events dir as a stream (file-source; at scale this is the
     * same code against Kafka — only the `format` changes). The testdata
     * layout is one FILE per table, and FileStreamSource wants a directory,
     * so stream the directory with a glob filter. */
-  def readEvents(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def readEvents(spark: SparkSession, dir: String): DataFrame =
     spark.readStream
-      .schema(rawSchema)
+      .schema(rawSchema) // explicit BIGINT ts — no session config needed
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
 
   /** Run the streaming aggregation into an in-memory sink and return the
     * query handle (caller calls `processAllAvailable()` then reads the
@@ -60,6 +73,21 @@ object EventStream {
     hourlyAgg(readEvents(spark, dir))
       .writeStream
       .outputMode("update")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** Streaming sessionization into a memory sink. APPEND mode — the only
+    * mode streaming session windows support: a session row is emitted
+    * exactly once, when the watermark passes its end. Sessions still open
+    * within the watermark horizon of the last event stay in state (they
+    * would close on further input), so a drained bounded stream emits a
+    * strict subset of the batch result — asserted in StreamingSpec. */
+  def startSessionsToMemory(spark: SparkSession, dir: String, name: String): StreamingQuery =
+    sessionAgg(readEvents(spark, dir))
+      .writeStream
+      .outputMode("append")
       .format("memory")
       .queryName(name)
       .trigger(Trigger.AvailableNow())

@@ -31,4 +31,31 @@ class StreamingSpec extends SparkSpec {
 
     assert(streamed === batch)
   }
+
+  test("streaming sessionization (session_window) equals the batch result") {
+    val batch = spark.read
+      .schema(EventStream.rawSchema)
+      .parquet(s"$sf0001/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 6).as("value_sum"))
+      .select(col("session_window.start").as("session_start"), col("user_id"),
+        col("n_events"), col("value_sum"))
+      .as[(java.sql.Timestamp, Long, Long, Double)].collect().toSet
+
+    val q = EventStream.startSessionsToMemory(spark, sf0001, "stream_sessions_test")
+    q.awaitTermination()
+    val streamed = spark.table("stream_sessions_test")
+      .select(col("session_start"), col("user_id"), col("n_events"),
+        round(col("value_sum"), 6).as("value_sum"))
+      .as[(java.sql.Timestamp, Long, Long, Double)].collect().toSet
+
+    // append mode emits a session exactly once, when the watermark closes
+    // it; sessions still open at end-of-input stay in state → streamed is
+    // a strict-subset view that must agree row-for-row with batch
+    assert(streamed.subsetOf(batch),
+      s"rows not in batch: ${(streamed -- batch).take(3)}")
+    assert(streamed.size >= (batch.size * 8) / 10,
+      s"only ${streamed.size}/${batch.size} sessions closed")
+  }
 }
