@@ -58,4 +58,33 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.size >= (batch.size * 8) / 10,
       s"only ${streamed.size}/${batch.size} sessions closed")
   }
+
+  test("streaming vector ingest: validate+assign equals batch; invalid dims rejected") {
+    import graft.operators.IvfIndex
+    import graft.streaming.VectorIngest
+    import graft.types.Metric
+    val dim = 8
+    val dir = java.nio.file.Files.createTempDirectory("graft_ingest").toString
+    val rnd = new scala.util.Random(3)
+    val good = (0 until 200).map(i =>
+      (i.toLong, Seq.fill(dim)(rnd.nextFloat()), Map("k" -> i.toString)))
+    val bad = Seq((999L, Seq.fill(dim + 1)(0.5f), Map("k" -> "bad")))
+    (good ++ bad).toDF("id", "embedding", "metadata")
+      .write.mode("overwrite").parquet(dir)
+    val centroids = good.take(4).map { case (i, e, _) => (i.toInt, e) }
+      .toDF("cluster_id", "centroid")
+
+    val q = VectorIngest.startToMemory(spark, dir, centroids, Metric.Euclidean, dim, "ingest_test")
+    q.awaitTermination()
+    val streamed = spark.table("ingest_test")
+      .as[(Long, Int)].collect().toMap
+
+    val batchDf = spark.read.parquet(dir)
+    val batch = IvfIndex.assign(
+      batchDf.where(size(col("embedding")) === dim), centroids, Metric.Euclidean)
+      .select(col("id"), col("cluster_id")).as[(Long, Int)].collect().toMap
+    assert(streamed === batch)
+    assert(!streamed.contains(999L)) // wrong-width vector rejected
+    assert(streamed.size === 200)
+  }
 }
