@@ -58,6 +58,28 @@ class PlanShapeSpec extends SparkSpec {
       || p.contains("EqualTo(vec_id,42)"), p)
   }
 
+  test("cluster_id-partitioned store: probe query prunes partitions at the scan") {
+    val r = graft.sources.Records.fromEmbeddings(spark, sf)
+    val c = r.where(col("id") < 8)
+      .select(col("id").cast("int").as("cluster_id"), col("embedding").as("centroid"))
+    val mem = IvfIndex.Model(c, IvfIndex.assign(r, c, Metric.Euclidean))
+    val path = java.nio.file.Files.createTempDirectory("graft_part").toString
+    IvfIndex.writePartitioned(mem, path)
+    val disk = IvfIndex.Model(c, spark.read.parquet(path))
+    val q = r.where(col("id") === 0).select(col("embedding").as("qvec"))
+    val df = IvfIndex.query(disk, q, 10, probes = 3, Metric.Euclidean)
+    // the probed-cluster semi join must reach the scan as partition
+    // pruning (dynamic, via the broadcast probe list)
+    val p = plan(df)
+    assert(p.contains("dynamicpruning") || p.contains("PartitionFilters: [dynamic"),
+      p.linesIterator.filter(_.contains("PartitionFilters")).mkString("\n"))
+    // and the pruned-scan path returns exactly what the in-memory path does
+    val got = df.select("id", "distance").collect().map(r0 => (r0.getLong(0), r0.getDouble(1))).toSet
+    val want = IvfIndex.query(mem, q, 10, probes = 3, Metric.Euclidean)
+      .select("id", "distance").collect().map(r0 => (r0.getLong(0), r0.getDouble(1))).toSet
+    assert(got === want)
+  }
+
   test("exact dedup groups by a hash key, never shuffling full text") {
     val df = Queries.queries("dedup_exact")(spark, sf)
     val exchanges = df.queryExecution.executedPlan.collect {
