@@ -40,36 +40,8 @@ object Probe {
     val toksDf = docs.repartition(col("doc_id"))
       .withColumn("__toks", TextOps.tokens(col("text")))
     t("tokens")(toksDf.select(col("doc_id"), col("__toks")))
-    val noDistinct = toksDf.withColumn("__sh",
-      transform(sequence(lit(0), size(col("__toks")) - 3),
-        i => concat_ws(" ", element_at(col("__toks"), i + 1),
-          element_at(col("__toks"), i + 2), element_at(col("__toks"), i + 3))))
-    t("shingles-nodistinct")(noDistinct.select(col("doc_id"), col("__sh")))
-    val zipShingle = toksDf.withColumn("__sh",
-      slice(
-        zip_with(
-          zip_with(col("__toks"), slice(col("__toks"), 2, 1000000),
-            (a, b) => concat(a, lit(" "), b)),
-          slice(col("__toks"), 3, 1000000), (p, c) => concat(p, lit(" "), c)),
-        lit(1), greatest(size(col("__toks")) - 2, lit(0))))
-    t("shingles-zip")(zipShingle.select(col("doc_id"), col("__sh")))
-    val noWhere = toksDf
-      .withColumn("__sh", TextOps.shinglesFromTokens(col("__toks"), 3))
-    t("shingles-when-nowhere")(noWhere.select(col("doc_id"), col("__sh")))
-    val manualWhere = noDistinct.where(size(col("__sh")) > 0)
-    t("shingles-plain-where")(manualWhere.select(col("doc_id"), col("__sh")))
-    val base = docs.repartition(col("doc_id"))
-      .withColumn("__toks", TextOps.tokens(col("text")))
-      .withColumn("__sh", TextOps.shinglesFromTokens(col("__toks"), 3))
-      .drop("__toks")
-      .where(size(col("__sh")) > 0)
-    t("shingles")(base.select(col("doc_id"), col("__sh")))
-    val md = base.withColumn("__md", transform(col("__sh"), s => md5(s)))
-    t("md5")(md.select(col("doc_id"), col("__md")))
-    val h = md
-      .withColumn("__h1", transform(col("__md"), m => conv(substring(m, 1, 14), 16, 10).cast("long")))
-      .withColumn("__h2", transform(col("__md"), m => conv(substring(m, 17, 14), 16, 10).cast("long")))
-    t("conv")(h.select(col("doc_id"), col("__h1"), col("__h2")))
+    val sh = toksDf.withColumn("__sh", TextOps.shinglesFromTokens(col("__toks"), 3))
+    t("shingles")(sh.select(col("doc_id"), col("__sh")))
     val sig = graft.operators.Dedup.minhashSignature(docs, 3, 16)
     t("signature-full")(sig.select(col("doc_id"), col("__sig")))
   }

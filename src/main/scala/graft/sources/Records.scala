@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Record-store framing and snapshot source/sink.
@@ -41,6 +41,22 @@ object Records {
         lit("source"), col("source"),
         lit("n_chars"), col("n_chars").cast("string"),
         lit("text"), col("text")).as("metadata"))
+
+  /** The canonical record row (reference `src/types/record.rs:110-114`)
+    * for callers who want the compile-time-typed `Dataset[Record]` view.
+    * Internals stay `DataFrame`-based — `Column` expressions keep Catalyst
+    * optimizations and oracle parity (SURVEY.md §1.2) — but a typed facade
+    * costs nothing and catches schema drift at compile time in user code. */
+  final case class Record(
+      id: Long,
+      embedding: Seq[Float],
+      metadata: Map[String, String])
+
+  /** Typed view of the embeddings-backed record store. */
+  def typed(spark: SparkSession, sfDir: String): Dataset[Record] = {
+    import spark.implicits._
+    fromEmbeddings(spark, sfDir).as[Record]
+  }
 
   /** Snapshot sink (O17): atomic overwrite via Parquet commit protocol. */
   def snapshot(df: DataFrame, path: String): Unit =

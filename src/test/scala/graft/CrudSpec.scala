@@ -13,6 +13,15 @@ class CrudSpec extends SparkSpec {
     (0 until n).map(i => (i.toLong, Seq(i.toFloat, i.toFloat),
       Map("k" -> s"v$i"))).toDF("id", "embedding", "metadata")
 
+  test("typed Dataset[Record] facade matches the DataFrame record frame") {
+    val dir = "/root/testdata/sf0.001"
+    val ds = Records.typed(spark, dir)
+    val first = ds.filter(_.id == 0L).head()
+    assert(first.embedding.size === 64)
+    assert(first.metadata.contains("label"))
+    assert(ds.count() === Records.fromEmbeddings(spark, dir).count())
+  }
+
   test("insert appends; count reflects it (storage.rs:87-96)") {
     val r0 = mkRecords(0)
     val one = mkRecords(1)
