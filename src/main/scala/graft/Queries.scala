@@ -226,6 +226,19 @@ object Queries {
         .select(col("query_id"), col("id").as("vec_id"), r4(col("distance")).as("distance"))
     }),
 
+    // extension: the full stack in one query — filter-DSL predicate ×
+    // IVF probe pruning × batch two-phase top-k
+    "ivf_batch_filtered" -> ((s, dir) => {
+      val c = fixedCentroids(s, dir)
+      val model = IvfIndex.Model(c, IvfIndex.assign(recs(s, dir), c, Metric.Euclidean))
+      val q = recs(s, dir).where(col("id") < 5)
+        .select(col("id").as("query_id"), col("embedding").as("qvec"))
+      IvfIndex.queryBatch(model, q, k = 5, probes = 4, Metric.Euclidean,
+          filter = FilterDsl.predicate(col("metadata"), "label >= 3"))
+        .orderBy(col("query_id"), col("distance"), col("id"))
+        .select(col("query_id"), col("id").as("vec_id"), r4(col("distance")).as("distance"))
+    }),
+
     // extension: brute-force batch ANN (baseline for the IVF scale path)
     "ann_topk_batch" -> ((s, dir) => {
       val q = recs(s, dir).where(col("id") < 5)
@@ -460,6 +473,22 @@ object Queries {
          |cand AS (SELECT q.query_id, e.vec_id, ${sqlSq("e.embedding", "q.qvec")} AS dist
          |  FROM embeddings e JOIN asg ON e.vec_id = asg.vec_id
          |  JOIN probed p ON asg.cid = p.cid JOIN q ON q.query_id = p.query_id),
+         |r AS (SELECT query_id, vec_id, dist, row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, vec_id ASC) AS rn FROM cand)
+         |SELECT query_id, vec_id, ${sqlR4("dist")} AS distance FROM r WHERE rn <= 5 ORDER BY query_id, dist, vec_id""".stripMargin,
+
+    "ivf_batch_filtered" ->
+      s"""WITH c AS (SELECT CAST(vec_id AS INTEGER) AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8),
+         |q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 5),
+         |asg AS (SELECT vec_id, cid FROM (
+         |  SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id ORDER BY ${sqlSq("e.embedding", "c.cvec")} ASC, c.cid ASC) AS rn
+         |  FROM embeddings e CROSS JOIN c) WHERE rn = 1),
+         |probed AS (SELECT query_id, cid FROM (
+         |  SELECT q.query_id, c.cid, row_number() OVER (PARTITION BY q.query_id ORDER BY ${sqlSq("c.cvec", "q.qvec")} ASC, c.cid ASC) AS rn
+         |  FROM c CROSS JOIN q) WHERE rn <= 4),
+         |cand AS (SELECT q.query_id, e.vec_id, ${sqlSq("e.embedding", "q.qvec")} AS dist
+         |  FROM embeddings e JOIN asg ON e.vec_id = asg.vec_id
+         |  JOIN probed p ON asg.cid = p.cid JOIN q ON q.query_id = p.query_id
+         |  WHERE e.label >= 3),
          |r AS (SELECT query_id, vec_id, dist, row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, vec_id ASC) AS rn FROM cand)
          |SELECT query_id, vec_id, ${sqlR4("dist")} AS distance FROM r WHERE rn <= 5 ORDER BY query_id, dist, vec_id""".stripMargin,
 

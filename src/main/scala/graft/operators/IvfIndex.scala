@@ -207,6 +207,126 @@ object IvfIndex {
     Knn.search(candidates, query, k, metric, radius, filter)
   }
 
+  /** Batch analog of the reference's ADAPTIVE CLUSTER SPLIT (O9/O11,
+    * `src/cores/index.rs:127-132` split trigger, `282-308` 2-means
+    * split): every cluster whose population exceeds `density` is split by
+    * a seeded 2-means over its members — the first sub-centroid REPLACES
+    * the old cluster id, the second is APPENDED under a fresh id, exactly
+    * the reference's replace-and-append (`index.rs:295-300`). Centroid
+    * updates are exact per-dimension means (the reference's INTENT for
+    * O10 — its running-mean formula is a documented bug, SURVEY.md §2).
+    *
+    * All set-based: sizes via one groupBy; the 2-means loop joins members
+    * against a broadcast 2-row-per-cluster centroid frame (`iters` fixed
+    * rounds, each materializing only the tiny centroid frame); ALL
+    * oversized clusters split concurrently in one pass — the batch shape
+    * of the reference's one-insert-one-split loop. Call repeatedly until
+    * `maxClusterSize ≤ density` if full enforcement is needed. */
+  def refine(
+      model: Model,
+      density: Int,
+      metric: Metric = Metric.Euclidean,
+      iters: Int = 5): Model = {
+    val assigned = model.assigned
+    val sizes = assigned.groupBy(col("cluster_id")).agg(count(lit(1)).as("__n"))
+    val oversizedIds = sizes.where(col("__n") > density).select("cluster_id")
+    if (oversizedIds.isEmpty) return model
+
+    val members = assigned.join(broadcast(oversizedIds), Seq("cluster_id"), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // Deterministic seeding: sub-0 = the min-id member; sub-1 = the
+    // member farthest from it (ties → min id) — the farthest-point
+    // heuristic, deterministic where the reference seeds randomly
+    // (kmeans.rs:94-98; determinism policy SURVEY.md §7.4).
+    val seed0 = members
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
+          .orderBy(col("id").asc)))
+      .where(col("__rn") === 1)
+      .select(col("cluster_id"), col("embedding").as("__s0"))
+    val seed1 = members.join(broadcast(seed0), Seq("cluster_id"))
+      .withColumn("__d", metric.distance(col("embedding"), col("__s0")))
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
+          .orderBy(col("__d").desc, col("id").asc)))
+      .where(col("__rn") === 1)
+      .select(col("cluster_id"), col("embedding").as("__s1"))
+
+    def lloydRound(cent: DataFrame): DataFrame = {
+      // cent: (cluster_id, __s0, __s1) — one row per splitting cluster
+      val sub = members.join(broadcast(cent), Seq("cluster_id"))
+        .withColumn("__sub",
+          when(metric.distance(col("embedding"), col("__s0")) <=
+               metric.distance(col("embedding"), col("__s1")), 0).otherwise(1))
+      val means = sub
+        .select(col("cluster_id"), col("__sub"), posexplode(col("embedding")))
+        .groupBy(col("cluster_id"), col("__sub"), col("pos"))
+        .agg(avg(col("col")).as("__v"))
+        .groupBy(col("cluster_id"), col("__sub"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("__v")))),
+          e => e.getField("__v").cast("float")).as("__c"))
+      val m0 = means.where(col("__sub") === 0).select(col("cluster_id"), col("__c").as("__m0"))
+      val m1 = means.where(col("__sub") === 1).select(col("cluster_id"), col("__c").as("__m1"))
+      // an emptied sub-cluster keeps its previous centroid (the reference
+      // reseeds empties, kmeans.rs:151-156; keeping is the deterministic twin)
+      cent.join(m0, Seq("cluster_id"), "left_outer")
+        .join(m1, Seq("cluster_id"), "left_outer")
+        .select(col("cluster_id"),
+          coalesce(col("__m0"), col("__s0")).as("__s0"),
+          coalesce(col("__m1"), col("__s1")).as("__s1"))
+    }
+
+    // Each round MATERIALIZES the (tiny — one row per oversized cluster)
+    // pair-centroid frame to the driver and restarts from a local
+    // relation: lloydRound references its input twice, so keeping the
+    // lineage would double the logical plan per round (exponential plan
+    // blowup — observed as an explain-string OOM at 5 rounds).
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    def localize(df: DataFrame): DataFrame = df
+      .select(col("cluster_id"), col("__s0"), col("__s1"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1), r.getSeq[Float](2))).toSeq
+      .toDF("cluster_id", "__s0", "__s1")
+      .withColumn("__s0", col("__s0").cast("array<float>"))
+      .withColumn("__s1", col("__s1").cast("array<float>"))
+
+    var centLocal = localize(seed0.join(seed1, Seq("cluster_id")))
+    (1 to iters).foreach { _ => centLocal = localize(lloydRound(centLocal)) }
+
+    // id allocation: sub-0 keeps the old cluster_id; sub-1 gets
+    // max(cluster_id) + rank (append semantics, index.rs:295-300)
+    val maxId = model.centroids.agg(max(col("cluster_id"))).head().getInt(0)
+    val newIds = oversizedIds
+      .withColumn("__new_id",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("cluster_id").asc)) + lit(maxId))
+
+    val subAssigned = members.join(broadcast(centLocal), Seq("cluster_id"))
+      .withColumn("__sub",
+        when(metric.distance(col("embedding"), col("__s0")) <=
+             metric.distance(col("embedding"), col("__s1")), 0).otherwise(1))
+      .join(broadcast(newIds), Seq("cluster_id"))
+      .withColumn("cluster_id",
+        when(col("__sub") === 0, col("cluster_id")).otherwise(col("__new_id")))
+    val keptMembers = assigned.join(broadcast(oversizedIds), Seq("cluster_id"), "left_anti")
+    val newAssigned = keptMembers.unionByName(
+      subAssigned.select(keptMembers.columns.map(col): _*))
+
+    val keptCentroids = model.centroids
+      .join(broadcast(oversizedIds), Seq("cluster_id"), "left_anti")
+    val splitCentroids = centLocal.join(broadcast(newIds), Seq("cluster_id"))
+      .select(
+        col("cluster_id"), col("__s0"), col("__s1"), col("__new_id"))
+    val newCentroids = keptCentroids
+      .unionByName(splitCentroids.select(col("cluster_id"), col("__s0").as("centroid")))
+      .unionByName(splitCentroids.select(col("__new_id").as("cluster_id"), col("__s1").as("centroid")))
+
+    members.unpersist()
+    Model(newCentroids, newAssigned)
+  }
+
   /** Batch probed ANN: many queries against the index at once, each
     * pruned to its own nearest `probes` clusters.
     *

@@ -100,6 +100,41 @@ class IvfIndexSpec extends SparkSpec {
     }
   }
 
+  test("refine splits oversized clusters (reference adaptive split, batch form)") {
+    val centroids = records.where(col("id") < 4)
+      .select(col("id").cast("int").as("cluster_id"), col("embedding").as("centroid"))
+    val model = IvfIndex.Model(centroids, IvfIndex.assign(records, centroids, Metric.Euclidean))
+    val sizes0 = model.assigned.groupBy("cluster_id").count()
+      .as[(Int, Long)].collect().toMap
+    val over = sizes0.count(_._2 > 150)
+    assert(over > 0, "fixture must have oversized clusters")
+
+    val refined = IvfIndex.refine(model, density = 150, Metric.Euclidean)
+    // membership preserved exactly
+    assert(refined.assigned.count() === 1000)
+    assert(refined.assigned.select("id").distinct().count() === 1000)
+    // one replace + one append per split cluster (index.rs:295-300)
+    assert(refined.centroids.count() === 4 + over)
+    // the split reduced the worst cluster
+    val sizes1 = refined.assigned.groupBy("cluster_id").count()
+      .as[(Int, Long)].collect().toMap
+    assert(sizes1.values.max < sizes0.values.max)
+    // every recorded assignment points at an existing centroid
+    val cids = refined.centroids.select("cluster_id").as[Int].collect().toSet
+    assert(sizes1.keySet.subsetOf(cids))
+    // deterministic (seeded farthest-point init, fixed rounds)
+    val again = IvfIndex.refine(model, density = 150, Metric.Euclidean)
+    assert(again.assigned.select("id", "cluster_id").as[(Long, Int)].collect().toMap
+      === refined.assigned.select("id", "cluster_id").as[(Long, Int)].collect().toMap)
+  }
+
+  test("refine is a no-op when all clusters are within density") {
+    val model = IvfIndex.build(records, density = 64, Metric.Euclidean, seed = 42L)
+    val refined = IvfIndex.refine(model, density = 100000, Metric.Euclidean)
+    assert(refined.centroids.count() === model.centroids.count())
+    assert(refined.assigned.count() === model.assigned.count())
+  }
+
   test("build is deterministic under a fixed seed") {
     val a = IvfIndex.build(records, 64, Metric.Euclidean, seed = 42L)
       .assigned.select("id", "cluster_id").as[(Long, Int)].collect().toMap
