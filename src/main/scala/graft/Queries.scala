@@ -305,12 +305,15 @@ object Queries {
         .select(col("doc_id"), TextOps.langFromVotes(col("__votes")).as("lang_pred"))
         .orderBy("doc_id")),
 
-    // extension: token counting + quality scoring
+    // extension: token counting + quality scoring (tokens materialized once)
     "text_stats" -> ((s, dir) =>
-      docs(s, dir).select(
-        col("doc_id"),
-        TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
-        r4(TextOps.qualityScore(col("text"))).as("quality"))
+      docs(s, dir)
+        .repartition(col("doc_id"))
+        .withColumn("__toks", TextOps.tokens(col("text")))
+        .select(
+          col("doc_id"),
+          size(col("__toks")).cast("long").as("n_tokens"),
+          r4(TextOps.qualityScoreFromTokens(col("text"), col("__toks"))).as("quality"))
         .orderBy("doc_id")),
 
     // extension: md5 + rolling-window document fingerprints
@@ -347,6 +350,38 @@ object Queries {
       model.centroids.agg(count(lit(1)).as("n_centroids"))
         .crossJoin(model.assigned.agg(count(lit(1)).as("n_assigned")))
         .crossJoin(hits)
+    }),
+
+    // extension: adaptive cluster split (reference O9/O11 in batch form) —
+    // deterministic invariants: assignment preserved, one append per
+    // oversized cluster, worst cluster strictly shrunk
+    "ivf_refine_stats" -> ((s, dir) => {
+      val c = fixedCentroids(s, dir).where(col("cluster_id") < 4)
+      val model = IvfIndex.Model(c, IvfIndex.assign(recs(s, dir), c, Metric.Euclidean))
+      val before = model.assigned.groupBy(col("cluster_id")).agg(count(lit(1)).as("n"))
+        .agg(max(col("n")).as("max_before"), sum(when(col("n") > 100, 1).otherwise(0)).as("n_over"))
+      val refined = IvfIndex.refine(model, density = 100, Metric.Euclidean)
+      val after = refined.assigned.groupBy(col("cluster_id")).agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("n_clusters_after"), max(col("n")).as("max_after"))
+      refined.assigned.agg(count(lit(1)).as("n_assigned"))
+        .crossJoin(before).crossJoin(after)
+        .select(col("n_assigned"),
+          (col("n_clusters_after") === lit(4) + col("n_over")).as("one_append_per_split"),
+          (col("max_after") < col("max_before")).as("max_reduced"))
+    }),
+
+    // extension: corpus-cleaning pipeline composition — exact dedup
+    // (keep min id per identical text) ∩ quality threshold ∩ language:
+    // the end-to-end shape these operators exist for
+    "corpus_clean" -> ((s, dir) => {
+      val d = docs(s, dir).repartition(col("doc_id"))
+        .withColumn("__toks", TextOps.tokens(col("text")))
+        .withColumn("__votes", TextOps.langVotes(col("__toks")))
+      val kept = Dedup.exact(docs(s, dir)).select(col("keep_id").as("doc_id"))
+      d.join(kept, Seq("doc_id"), "left_semi")
+        .where(TextOps.langFromVotes(col("__votes")) === "en")
+        .where(TextOps.qualityScoreFromTokens(col("text"), col("__toks")) >= 0.45)
+        .select(col("doc_id")).orderBy("doc_id")
     }),
 
     // extension: multimodal feature extraction (stub codec; real plumbing).
@@ -612,6 +647,40 @@ object Queries {
 
     "insert_invalid_dim" ->
       "SELECT count(*) + 2 AS n, CAST(1 AS BIGINT) AS n_rejected FROM embeddings",
+
+    // invariants hold for any data once >=1 cluster exceeds density
+    "ivf_refine_stats" ->
+      """SELECT count(*) AS n_assigned, CAST(1 AS BOOLEAN) AS one_append_per_split,
+        |  CAST(1 AS BOOLEAN) AS max_reduced FROM embeddings""".stripMargin,
+
+    "corpus_clean" ->
+      s"""WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+         |t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk FROM documents),
+         |lang AS (SELECT doc_id, CASE WHEN greatest(e, sp, f, d, z) = 0 THEN 'und'
+         |    WHEN e >= sp AND e >= f AND e >= d AND e >= z THEN 'en'
+         |    WHEN sp >= f AND sp >= d AND sp >= z THEN 'es'
+         |    WHEN f >= d AND f >= z THEN 'fr'
+         |    WHEN d >= z THEN 'de' ELSE 'zh' END AS lang_pred
+         |  FROM (SELECT doc_id,
+         |    len(list_filter(tk, x -> list_contains(['the','a','of','to','and','is','in','it'], x))) AS e,
+         |    len(list_filter(tk, x -> list_contains(['el','la','de','que','y','en','un','es'], x))) AS sp,
+         |    len(list_filter(tk, x -> list_contains(['le','la','de','et','un','que','les','des'], x))) AS f,
+         |    len(list_filter(tk, x -> list_contains(['der','die','das','und','ist','ein','zu','den'], x))) AS d,
+         |    len(list_filter(tk, x -> list_contains(['de','shi','bu','le','zai','ren','you','wo'], x))) AS z
+         |    FROM t)),
+         |qb AS (SELECT doc_id, tk, CAST(length(text) AS DOUBLE) AS nc,
+         |    CAST(length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) AS DOUBLE) AS punct
+         |  FROM documents JOIN t USING (doc_id)),
+         |q AS (SELECT doc_id,
+         |  least(1.0, greatest(0.0, 0.2
+         |    + 0.5 * (CASE WHEN len(tk) > 0 THEN CAST(len(list_filter(tk, x -> list_contains($stopAllSql, x))) AS DOUBLE) / len(tk) ELSE 0.0 END)
+         |    + 0.05 * (CASE WHEN len(tk) > 0 THEN list_sum(list_transform(tk, x -> CAST(length(x) AS DOUBLE))) / len(tk) ELSE 0.0 END)
+         |    - (CASE WHEN nc > 0 THEN punct / nc ELSE 0.0 END))) AS quality
+         |  FROM qb)
+         |SELECT k.doc_id AS doc_id FROM keep k
+         |JOIN lang l ON l.doc_id = k.doc_id
+         |JOIN q ON q.doc_id = k.doc_id
+         |WHERE l.lang_pred = 'en' AND q.quality >= 0.45 ORDER BY doc_id""".stripMargin,
 
     "snapshot_roundtrip" ->
       """SELECT count(*) AS n, CAST(sum(vec_id) AS BIGINT) AS id_sum,

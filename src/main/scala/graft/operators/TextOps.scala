@@ -120,8 +120,13 @@ object TextOps {
   /** Quality score in [0,1]: linear blend of stopword ratio, mean token
     * length, and punctuation ratio, clamped. Deterministic arithmetic —
     * the shape of real quality classifiers, oracle-checkable. */
-  def qualityScore(text: Column): Column = {
-    val t = tokens(text)
+  def qualityScore(text: Column): Column =
+    qualityScoreFromTokens(text, tokens(text))
+
+  /** [[qualityScore]] with an already-materialized token column — the
+    * token expression is referenced three times (count, stopword hits,
+    * mean length), so hot paths pass the attribute to tokenize once. */
+  def qualityScoreFromTokens(text: Column, t: Column): Column = {
     val nTok = size(t).cast("double")
     val nChars = length(text).cast("double")
     val punct = length(regexp_replace(lower(text), "[a-z0-9\\s]", "")).cast("double")
