@@ -313,6 +313,7 @@ object Queries {
         .select(
           col("doc_id"),
           size(col("__toks")).cast("long").as("n_tokens"),
+          TextOps.bpeTokenCount(col("text")).cast("long").as("n_bpe_tokens"),
           r4(TextOps.qualityScoreFromTokens(col("text"), col("__toks"))).as("quality"))
         .orderBy("doc_id")),
 
@@ -613,16 +614,17 @@ object Queries {
          |FROM s ORDER BY doc_id""".stripMargin,
 
     "text_stats" ->
-      s"""WITH b AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk,
+      s"""WITH b AS (SELECT doc_id, text, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk,
          |  CAST(length(text) AS DOUBLE) AS nc,
          |  CAST(length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) AS DOUBLE) AS punct
          |  FROM documents),
          |m AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+         |  CAST(len(regexp_extract_all(lower(trim(text)), ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s]+|\\s+')) AS BIGINT) AS n_bpe_tokens,
          |  CASE WHEN nc > 0 THEN punct / nc ELSE 0.0 END AS punct_ratio,
          |  CASE WHEN len(tk) > 0 THEN CAST(len(list_filter(tk, x -> list_contains($stopAllSql, x))) AS DOUBLE) / len(tk) ELSE 0.0 END AS stop_ratio,
          |  CASE WHEN len(tk) > 0 THEN list_sum(list_transform(tk, x -> CAST(length(x) AS DOUBLE))) / len(tk) ELSE 0.0 END AS avg_len
          |  FROM b)
-         |SELECT doc_id, n_tokens,
+         |SELECT doc_id, n_tokens, n_bpe_tokens,
          |  ${sqlR4("least(1.0, greatest(0.0, 0.2 + 0.5 * stop_ratio + 0.05 * avg_len - punct_ratio))")} AS quality
          |FROM m ORDER BY doc_id""".stripMargin,
 

@@ -27,6 +27,18 @@ object TextOps {
   /** Token count. */
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** BPE-ish regex segmentation (GPT-2-pretokenizer shape: letter runs,
+    * digit runs, punctuation runs — each with an optional leading space —
+    * and residual whitespace), the standard cheap proxy for subword token
+    * budgeting. Count of leftmost-first matches; the pattern uses only
+    * constructs with identical semantics in Java regex and RE2, so the
+    * DuckDB oracle (`regexp_extract_all`) counts identically. */
+  val BpeishPattern = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s]+|\\s+"
+
+  /** Approximate subword token count over the lowercased text. */
+  def bpeTokenCount(text: Column): Column =
+    regexp_count(lower(trim(text)), lit(BpeishPattern))
+
   /** Word n-gram shingles (MULTISET — duplicates kept). Native kernel;
     * the declarative twin is `transform(sequence(0, size(t)-n),
     * i -> concat_ws(" ", ...))` with an explicit empty-array guard for
