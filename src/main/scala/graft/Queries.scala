@@ -397,6 +397,12 @@ object Queries {
           r4(col("col").cast("double")).as("value"))
         .orderBy("media_id", "feature_idx")),
 
+    // extension: image thumbnail-resize plumbing (nearest-neighbor over
+    // the stub byte grid), one sortable row per thumbnail pixel
+    "media_resize" -> ((s, dir) =>
+      Multimodal.resizeGrid(Multimodal.syntheticMedia(docs(s, dir)), thumbW = 4, thumbH = 4)
+        .orderBy("media_id", "y", "x")),
+
     // extension: video frame sampling plumbing (stride-2 over payload stripes)
     "media_frame_sample" -> ((s, dir) =>
       Multimodal.sampleFrames(Multimodal.syntheticMedia(docs(s, dir)), stride = 2)
@@ -701,6 +707,20 @@ object Queries {
          |SELECT media_id, kind, CAST(feature_idx AS INT) AS feature_idx,
          |  ${sqlR4("CAST(fv AS DOUBLE)")} AS value
          |FROM f ORDER BY media_id, feature_idx""".stripMargin,
+
+    "media_resize" ->
+      """WITH m AS (SELECT doc_id AS media_id, strlen(text) AS len, text,
+        |    CAST(n_chars % 64 + 16 AS BIGINT) AS w, CAST(n_chars % 48 + 16 AS BIGINT) AS h
+        |  FROM documents WHERE doc_id % 3 = 0 AND strlen(text) > 0),
+        |g AS (SELECT media_id, text, len, w, h, u.y, v.x
+        |  FROM m, (SELECT unnest(generate_series(0, 3)) AS y) u,
+        |       (SELECT unnest(generate_series(0, 3)) AS x) v),
+        |s AS (SELECT media_id, y, x, text,
+        |  (CAST(floor(y * h / 4) AS BIGINT) * w + CAST(floor(x * w / 4) AS BIGINT)) % len AS src
+        |  FROM g)
+        |SELECT media_id, CAST(y AS INT) AS y, CAST(x AS INT) AS x,
+        |  CAST(ord(substr(text, CAST(src + 1 AS INT), 1)) AS INT) AS value
+        |FROM s ORDER BY media_id, y, x""".stripMargin,
 
     "media_frame_sample" ->
       """WITH m AS (SELECT doc_id AS media_id, strlen(text) AS clen, CAST(n_chars % 30 + 1 AS BIGINT) AS nf

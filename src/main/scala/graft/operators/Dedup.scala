@@ -78,6 +78,10 @@ object Dedup {
     // recomputing shingles for the (tiny) candidate set below. At
     // warehouse scale both signatures and shingles are materialized to
     // storage tables instead.
+    // Cache lifecycle: the three persists below live as long as the
+    // returned (lazy) plan — MEMORY_AND_DISK evicts under pressure, and a
+    // caller done with the result can `spark.catalog.clearCache()`; they
+    // cannot be unpersisted here without forcing eager execution.
     val sig = minhashSignature(docs, shingleN, perms)
       .select(col("doc_id"), col("__sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

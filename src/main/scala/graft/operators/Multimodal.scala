@@ -112,6 +112,35 @@ object Multimodal {
     }(enc)
   }
 
+  /** Thumbnail resize plumbing for image payloads: nearest-neighbor
+    * downsample of the payload interpreted as a `meta.width × meta.height`
+    * byte grid (the stub decode: one byte = one pixel) to a fixed
+    * `thumbW × thumbH` grid, emitted as one row per thumbnail pixel —
+    * sortable primitives, fully oracle-checkable. Pure expressions,
+    * map-only; a real codec swaps the byte-grid interpretation for
+    * decoded pixels and keeps the sampling arithmetic. Source index =
+    * `(floor(y·H/thumbH)·W + floor(x·W/thumbW)) mod payload_len`
+    * (the mod guards payloads shorter than W×H — stub payloads are text
+    * bytes, not real rasters). */
+  def resizeGrid(media: DataFrame, thumbW: Int = 4, thumbH: Int = 4): DataFrame = {
+    val w = col("meta.width").cast("long")
+    val h = col("meta.height").cast("long")
+    val len = length(col("content")).cast("long")
+    media
+      .where(col("kind") === "image" && length(col("content")) > 0)
+      .select(col("media_id"), col("content"), w.as("__w"), h.as("__h"), len.as("__len"),
+        explode(sequence(lit(0), lit(thumbH - 1))).as("y"))
+      .select(col("media_id"), col("content"), col("__w"), col("__h"), col("__len"), col("y"),
+        explode(sequence(lit(0), lit(thumbW - 1))).as("x"))
+      .withColumn("__src",
+        pmod(floor(col("y") * col("__h") / thumbH) * col("__w") +
+          floor(col("x") * col("__w") / thumbW), col("__len")))
+      .select(col("media_id"), col("y").cast("int").as("y"), col("x").cast("int").as("x"),
+        // 1-based substr over the binary payload; single byte → unsigned int
+        conv(hex(col("content").substr(col("__src").cast("int") + 1, lit(1))), 16, 10)
+          .cast("int").as("value"))
+  }
+
   /** Frame sampling for video payloads: split the payload into
     * `meta.n_frames` stripes and keep every `stride`-th stripe — the
     * plumbing (explode → one row per sampled frame, frame_idx column) is

@@ -66,4 +66,16 @@ class MultimodalSpec extends SparkSpec {
     }
     assert(frames.where(length(col("frame_bytes")) === 0).count() === 0)
   }
+
+  test("thumbnail resize: 4x4 grid per image, byte values in range") {
+    val grid = Multimodal.resizeGrid(media, thumbW = 4, thumbH = 4).cache()
+    val nImages = media.where(col("kind") === "image" && length(col("content")) > 0).count()
+    assert(grid.count() === nImages * 16)
+    assert(grid.groupBy("media_id").count().where(col("count") =!= 16).count() === 0)
+    assert(grid.where(col("value") < 0 || col("value") > 255).count() === 0)
+    // deterministic in the payload: same media → same grid on recompute
+    val a = grid.orderBy("media_id", "y", "x").collect()
+    val b = Multimodal.resizeGrid(media, 4, 4).orderBy("media_id", "y", "x").collect()
+    assert(a.sameElements(b))
+  }
 }
