@@ -179,8 +179,11 @@ object Dedup {
       .where(col("doc_id_a") < col("doc_id_b"))
       .select(col("doc_id_a"), col("doc_id_b"),
         bit_count(col("__ha").bitwiseXOR(col("__hb"))).as("hamming"))
-      .distinct()
+      // verify BEFORE the distinct: hamming is functionally dependent on
+      // the pair, so filtering first is result-identical and shrinks the
+      // dedup shuffle to surviving pairs only
       .where(col("hamming") <= lit(maxHamming))
+      .distinct()
   }
 
   /** Embedding-cosine near-dup over a PRE-BLOCKED frame

@@ -135,6 +135,49 @@ class IvfIndexSpec extends SparkSpec {
     assert(refined.assigned.count() === model.assigned.count())
   }
 
+  test("cosine-metric build: assign agrees with brute-force cosine argmin") {
+    val model = IvfIndex.build(records, density = 64, Metric.Cosine, seed = 42L)
+    assert(model.assigned.count() === 1000)
+    // spot-check 20 rows against a driver-side cosine argmin
+    val cents = model.centroids.orderBy("cluster_id")
+      .select("centroid").as[Seq[Float]].collect()
+    def cosDist(a: Seq[Float], b: Seq[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      a.indices.foreach { i =>
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y
+      }
+      1.0 - dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val got = model.assigned.where(col("id") < 20)
+      .select("id", "cluster_id").as[(Long, Int)].collect().toMap
+    val rows = records.where(col("id") < 20)
+      .select("id", "embedding").as[(Long, Seq[Float])].collect()
+    rows.foreach { case (id, v) =>
+      val best = cents.zipWithIndex.minBy { case (c, ci) => (cosDist(v, c), ci) }._2
+      assert(got(id) === best, s"record $id")
+    }
+  }
+
+  test("searchBatch honors radius and metadata filter") {
+    val q = records.where(col("id") < 3)
+      .select(col("id").as("query_id"), col("embedding").as("qvec"))
+    val all = Knn.searchBatch(records, q, 10, Metric.Euclidean)
+      .select("query_id", "id", "distance")
+      .as[(Long, Long, Double)].collect()
+    val maxD = all.map(_._3).max
+    // radius strictly below the max distance must drop at least that row
+    val r = maxD * 0.5
+    val radiused = Knn.searchBatch(records, q, 10, Metric.Euclidean, radius = r)
+      .select("distance").as[Double].collect()
+    assert(radiused.nonEmpty && radiused.forall(_ <= r))
+    // metadata filter gates before the top-k (reference index.rs:197-199)
+    val filtered = Knn.searchBatch(records, q, 10, Metric.Euclidean,
+      filter = graft.functions.FilterDsl.predicate(col("metadata"), "number < 100"))
+      .select("id").as[Long].collect()
+    assert(filtered.nonEmpty && filtered.forall(_ < 100))
+  }
+
   test("build is deterministic under a fixed seed") {
     val a = IvfIndex.build(records, 64, Metric.Euclidean, seed = 42L)
       .assigned.select("id", "cluster_id").as[(Long, Int)].collect().toMap
