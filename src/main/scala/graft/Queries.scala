@@ -646,11 +646,12 @@ object Queries {
          |FROM embeddings e, q
          |ORDER BY ${sqlSq("e.embedding", "q.qvec")} ASC, e.vec_id ASC LIMIT 10""".stripMargin,
 
-    // constants: k = ceil(500/64) = 8 centroids; full coverage; probing
-    // 2 of 8 clusters must recover at least 3 of the exact top-10 (the
-    // measured seeded values are 6/10 at sf0.01, 4/10 at sf0.001)
+    // scale-robust invariants: k = ceil(n/density); full coverage;
+    // probing 2 clusters must recover at least 3 of the exact top-10
+    // (measured seeded values: 6/10 at sf0.01, 4/10 at sf0.001)
     "ivf_build_stats" ->
-      """SELECT CAST(8 AS BIGINT) AS n_centroids, CAST(count(*) AS BIGINT) AS n_assigned,
+      """SELECT CAST(ceil(count(*) / 64.0) AS BIGINT) AS n_centroids,
+        |  CAST(count(*) AS BIGINT) AS n_assigned,
         |  CAST(1 AS BOOLEAN) AS recall_ok_at_10 FROM embeddings""".stripMargin,
 
     "insert_invalid_dim" ->
