@@ -88,22 +88,28 @@ object Knn {
 
   /** Two-phase per-query top-k over a `(query_id, distance, id)` candidate
     * frame, then metadata re-attach. Shared by [[searchBatch]] and
-    * [[IvfIndex.queryBatch]]. */
+    * [[IvfIndex.queryBatch]].
+    *
+    * Both phases aggregate with [[graft.functions.TopKPairsAgg]] — a
+    * size-k bounded heap (the reference's size-k+1 BinaryHeap,
+    * `index.rs:201-209`, as a Catalyst aggregate): per-group memory is
+    * O(k) regardless of group size, unlike a collect_list-then-slice
+    * which buffers the whole group. Ordering (distance, id ascending)
+    * is identical to the sliced-sort formulation. */
   private[operators] def topKPerQuery(
       candidates: DataFrame,
       records: DataFrame,
       k: Int): DataFrame = {
-    // struct field order (distance, id) makes sort_array order by distance
-    // with id as the deterministic tiebreak — same ordering the ranking
-    // window used, so results are identical.
+    import graft.functions.TopKPairsAgg.topKPairs
     val partial = candidates
       .withColumn("__pid", spark_partition_id())
       .groupBy(col("query_id"), col("__pid"))
-      .agg(slice(sort_array(collect_list(struct(col("distance"), col("id")))), 1, k)
-        .as("__top"))
+      .agg(topKPairs(col("distance"), col("id"), k).as("__top"))
     val merged = partial
+      .select(col("query_id"), explode(col("__top")).as("__r"))
+      .select(col("query_id"), col("__r.distance").as("distance"), col("__r.id").as("id"))
       .groupBy(col("query_id"))
-      .agg(slice(sort_array(flatten(collect_list(col("__top")))), 1, k).as("__top"))
+      .agg(topKPairs(col("distance"), col("id"), k).as("__top"))
     val flat = merged
       .select(col("query_id"), explode(col("__top")).as("__r"))
       .select(col("query_id"), col("__r.id").as("id"), col("__r.distance").as("distance"))

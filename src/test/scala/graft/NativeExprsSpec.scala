@@ -127,6 +127,24 @@ class NativeExprsSpec extends SparkSpec {
     assertSame(NativeExprs.simhash60(col("__t")), twin, df)
   }
 
+  test("TopKPairsAgg == slice(sort_array(collect_list(struct))) twin") {
+    import graft.functions.TopKPairsAgg.topKPairs
+    val rows = (0 until 500).map { i =>
+      (i % 7L, rnd.nextDouble() * 10, i.toLong) // 7 groups, random distances
+    }
+    val df = rows.toDF("g", "distance", "id")
+    for (k <- Seq(1, 3, 10, 1000)) {
+      val got = df.groupBy(col("g"))
+        .agg(topKPairs(col("distance"), col("id"), k).as("t"))
+        .select(col("g"), col("t"))
+        .as[(Long, Seq[(Double, Long)])].collect().toMap
+      val want = rows.groupBy(_._1).view.mapValues(
+        _.map(r => (r._2, r._3)).sorted.take(k)).toMap
+      assert(got.keySet === want.keySet)
+      want.foreach { case (g, exp) => assert(got(g) === exp, s"group $g k=$k") }
+    }
+  }
+
   test("md5MinWindow == array_min(transform(sequence, md5(substr))) twin") {
     val twin = array_min(
       transform(
