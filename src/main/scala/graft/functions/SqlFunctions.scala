@@ -1,0 +1,42 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.types.IntegerType
+
+/** SQL-surface registration for the native kernels: users working in
+  * `spark.sql(...)` get the same operators as the Column API.
+  *
+  *   - per session: `SqlFunctions.registerAll(spark)`
+  *   - at deploy time: `--conf spark.sql.extensions=graft.GraftExtensions`
+  */
+object SqlFunctions {
+
+  private def intLit(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other =>
+      throw new IllegalArgumentException(s"$what must be an integer literal, got: $other")
+  }
+
+  /** (name, builder) for every SQL-exposed kernel. */
+  val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_sq_euclidean" -> (es => NativeExprs.SqEuclideanExpr(es(0), es(1))),
+    "graft_cosine_distance" -> (es => NativeExprs.CosineDistanceExpr(es(0), es(1))),
+    "graft_dot" -> (es => NativeExprs.DotExpr(es(0), es(1))),
+    "graft_simhash60" -> (es => NativeExprs.SimHash60Expr(es(0))),
+    "graft_tokens" -> (es => NativeExprs.WhitespaceTokensExpr(es(0))),
+    "graft_shingles" -> (es =>
+      NativeExprs.ShinglesExpr(es(0), intLit(es(1), "shingle width"))),
+    "graft_shingle_hashes" -> (es => NativeExprs.ShingleHashesExpr(es(0))),
+    "graft_minhash_sig" -> (es =>
+      NativeExprs.MinhashSigExpr(es(0), intLit(es(1), "perms"))),
+    "graft_md5_min_window" -> (es =>
+      NativeExprs.Md5MinWindowExpr(es(0), intLit(es(1), "window"))))
+
+  /** Register every kernel as a temp function on the session. */
+  def registerAll(spark: SparkSession): Unit =
+    functions.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
+}

@@ -127,6 +127,22 @@ class NativeExprsSpec extends SparkSpec {
     assertSame(NativeExprs.simhash60(col("__t")), twin, df)
   }
 
+  test("SQL surface: registered kernels usable from spark.sql") {
+    graft.functions.SqlFunctions.registerAll(spark)
+    val row = spark.sql(
+      """SELECT graft_sq_euclidean(array(1.0F, 2.0F, 3.0F), array(4.0F, 5.0F, 6.0F)) AS sq,
+        |  graft_simhash60(graft_tokens('hello world hello')) AS sh,
+        |  graft_md5_min_window('hello world', 8) AS fp,
+        |  size(graft_shingles(graft_tokens('a b c d'), 3)) AS nsh,
+        |  size(graft_minhash_sig(graft_shingles(graft_tokens('a b c d'), 3), 16)) AS nsig
+        |""".stripMargin).head()
+    assert(row.getDouble(0) === 27.0) // reference metric golden
+    assert(row.getLong(1) !== 0L)
+    assert(row.getString(2).length === 32)
+    assert(row.getInt(3) === 2)
+    assert(row.getInt(4) === 16)
+  }
+
   test("TopKPairsAgg == slice(sort_array(collect_list(struct))) twin") {
     import graft.functions.TopKPairsAgg.topKPairs
     val rows = (0 until 500).map { i =>
