@@ -112,10 +112,14 @@ object IvfIndex {
       }
     // Cache the featurized frame: Lloyd's iterates over it many times and
     // MLlib does NOT cache its input — uncached, every iteration re-reads
-    // the parquet scan + conversion lineage. Fixed partition count: spreads
-    // the fit across cores even for a single-file input AND pins the
-    // seeded k-means|| initialization sampling to one layout.
-    val featurized = fitRows.repartition(16, col("id"))
+    // the parquet scan + conversion lineage. Partition count is a PURE
+    // FUNCTION OF n (not of session config or input layout), so the
+    // seeded k-means|| init sampling — which is partition-dependent — is
+    // reproducible everywhere; small fits use fewer partitions because
+    // each Lloyd iteration is a job and per-task overhead dominates tiny
+    // inputs.
+    val fitPartitions = if (n < 100000) 4 else 16
+    val featurized = fitRows.repartition(fitPartitions, col("id"))
       .withColumn("__features", array_to_vector(col("embedding")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val model =
