@@ -13,7 +13,9 @@ import org.apache.spark.sql.functions._
   * splits are an anti-pattern on Spark; the batch regime (SURVEY.md §2 O9)
   * is: fit k-means with `k = ceil(count / density)` — which honors the same
   * max-records-per-cluster contract (`src/cores/database.rs:16-22`) — and
-  * re-assign in bulk. Index state is two DataFrames:
+  * re-assign in bulk; [[refine]] is the adaptive-split semantics itself in
+  * batch form (all oversized clusters 2-means-split concurrently). Index
+  * state is two DataFrames:
   *
   *   centroids:   (cluster_id int, centroid array<float>)   — small
   *   assigned:    records + cluster_id                      — huge
@@ -32,7 +34,8 @@ object IvfIndex {
     * Centroids are packed into ONE broadcast row holding an array of
     * (cluster_id, centroid) structs, and each record folds over that array
     * with `aggregate` — a pure map-side argmin: no shuffle, no n×k row
-    * explosion, whole-stage codegen throughout. Ties break to the lowest
+    * explosion, and the per-centroid distance runs as the native compiled
+    * kernel ([[graft.functions.NativeExprs]]). Ties break to the lowest
     * cluster_id (deterministic; the reference inherits rayon's
     * first-position semantics). */
   def assign(records: DataFrame, centroids: DataFrame, metric: Metric): DataFrame = {
