@@ -13,6 +13,19 @@ class CrudSpec extends SparkSpec {
     (0 until n).map(i => (i.toLong, Seq(i.toFloat, i.toFloat),
       Map("k" -> s"v$i"))).toDF("id", "embedding", "metadata")
 
+  test("validated insert rejects wrong-width vectors (O20, database.rs:189-199)") {
+    val base = mkRecords(3) // dim 2
+    val batch = Seq(
+      (100L, Seq(1f, 2f), Map("k" -> "ok")),
+      (101L, Seq(1f, 2f, 3f), Map("k" -> "bad")), // wrong width
+      (102L, Seq(9f, 9f), Map("k" -> "ok2"))).toDF("id", "embedding", "metadata")
+    val after = Crud.insertValidated(base, batch, dim = 2)
+    assert(after.count() === 5)
+    assert(after.where(col("id") === 101L).count() === 0)
+    val rejected = Crud.invalidDim(batch, dim = 2).select("id").as[Long].collect()
+    assert(rejected.toSeq === Seq(101L))
+  }
+
   test("typed Dataset[Record] facade matches the DataFrame record frame") {
     val dir = "/root/testdata/sf0.001"
     val ds = Records.typed(spark, dir)

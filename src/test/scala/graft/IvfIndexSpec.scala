@@ -178,6 +178,35 @@ class IvfIndexSpec extends SparkSpec {
     assert(filtered.nonEmpty && filtered.forall(_ < 100))
   }
 
+  test("buildCached: cache hit returns identical centroids without refitting") {
+    val key = s"cache-test-${System.nanoTime()}"
+    val first = IvfIndex.buildCached(records, key, density = 64, Metric.Euclidean, seed = 42L)
+    val firstCents = first.centroids.orderBy("cluster_id")
+      .as[(Int, Seq[Float])].collect().toSeq
+    val second = IvfIndex.buildCached(records, key, density = 64, Metric.Euclidean, seed = 42L)
+    val secondCents = second.centroids.orderBy("cluster_id")
+      .as[(Int, Seq[Float])].collect().toSeq
+    assert(secondCents === firstCents)
+    assert(second.assigned.count() === 1000)
+  }
+
+  test("embedding near-dup over a built index finds planted duplicates") {
+    import graft.operators.Dedup
+    // plant a near-duplicate of record 7
+    val dup = records.where(col("id") === 7)
+      .select(lit(5007L).as("id"),
+        transform(col("embedding"), x => x * 1.0001f).as("embedding"),
+        col("metadata"))
+    val all = records.unionByName(dup)
+    val model = IvfIndex.build(all, density = 64, Metric.Euclidean, seed = 42L)
+    val blocked = model.assigned
+      .select(col("cluster_id").as("block"), col("id"), col("embedding"))
+    val pairs = Dedup.embeddingNearDup(blocked, threshold = 0.9999)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((7L, 5007L)),
+      s"planted near-dup must share a cluster and verify; got ${pairs.take(5)}")
+  }
+
   test("build is deterministic under a fixed seed") {
     val a = IvfIndex.build(records, 64, Metric.Euclidean, seed = 42L)
       .assigned.select("id", "cluster_id").as[(Long, Int)].collect().toMap
