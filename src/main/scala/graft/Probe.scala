@@ -16,6 +16,7 @@ object Probe {
     spark.sparkContext.setLogLevel("WARN")
     if (name == "ivfprof") { ivfProfile(spark, dir); spark.stop(); return }
     if (name == "mhprof") { minhashProfile(spark, dir); spark.stop(); return }
+    if (name == "balprof") { balancedProfile(spark, dir); spark.stop(); return }
     val df = SparkEntry.queries(name)(spark, dir)
     df.explain("formatted")
     (1 to 2).foreach { i =>
@@ -24,6 +25,37 @@ object Probe {
       println(f"RUN$i: $n rows in ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
     spark.stop()
+  }
+
+  /** Per-round timing for the balanced (two-level) build. */
+  private def balancedProfile(spark: SparkSession, dir: String): Unit = {
+    import graft.operators.IvfIndex
+    import graft.sources.Records
+    import graft.types.Metric
+    def t[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"PHASE $label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    }
+    val r = Records.fromEmbeddings(spark, dir)
+    var m = t("coarse-build")(IvfIndex.build(r, 64, Metric.Euclidean, 42L, kMax = 4))
+    def truncate(df: org.apache.spark.sql.DataFrame) =
+      org.apache.spark.sql.graft.PlanBridge.statsReset(df.localCheckpoint())
+    var round = 0
+    var go = true
+    while (go && round < 32) {
+      t(s"round-$round plan") {
+        IvfIndex.refineKeepCache(m, 64, Metric.Euclidean, 2)
+      } match {
+        case None => go = false
+        case Some((refined, members)) =>
+          m = t(s"round-$round checkpoint")(
+            IvfIndex.Model(refined.centroids, truncate(refined.assigned)))
+          members.unpersist()
+          round += 1
+      }
+    }
+    t("final-stats")(m.assigned.groupBy("cluster_id").count()
+      .agg(org.apache.spark.sql.functions.max("count")).show())
   }
 
   /** Stage timing for the MinHash signature pipeline. */

@@ -173,7 +173,10 @@ object Queries {
     // re-open it, and aggregate over the re-opened copy; any loss or
     // corruption in the sink/source path breaks the oracle match.
     "snapshot_roundtrip" -> ((s, dir) => {
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_snapshot_roundtrip"
+      // per-session path: two concurrent sessions must not collide on the
+      // snapshot directory (the write happens eagerly at plan construction)
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_snapshot_roundtrip_" +
+        s.sparkContext.applicationId
       Records.snapshot(recs(s, dir), path)
       Records.open(s, path)
         .agg(count(lit(1)).as("n"),
@@ -355,7 +358,10 @@ object Queries {
 
     // extension: adaptive cluster split (reference O9/O11 in batch form) —
     // deterministic invariants: assignment preserved, one append per
-    // oversized cluster, worst cluster strictly shrunk
+    // oversized cluster, worst cluster strictly shrunk. ONE pass over the
+    // refined assignment: n_assigned is the sum of the per-cluster counts
+    // the max/count invariants already aggregate (round 2 consumed the
+    // refine plan three times).
     "ivf_refine_stats" -> ((s, dir) => {
       val c = fixedCentroids(s, dir).where(col("cluster_id") < 4)
       val model = IvfIndex.Model(c, IvfIndex.assign(recs(s, dir), c, Metric.Euclidean))
@@ -363,25 +369,55 @@ object Queries {
         .agg(max(col("n")).as("max_before"), sum(when(col("n") > 100, 1).otherwise(0)).as("n_over"))
       val refined = IvfIndex.refine(model, density = 100, Metric.Euclidean)
       val after = refined.assigned.groupBy(col("cluster_id")).agg(count(lit(1)).as("n"))
-        .agg(count(lit(1)).as("n_clusters_after"), max(col("n")).as("max_after"))
-      refined.assigned.agg(count(lit(1)).as("n_assigned"))
-        .crossJoin(before).crossJoin(after)
-        .select(col("n_assigned"),
+        .agg(count(lit(1)).as("n_clusters_after"), max(col("n")).as("max_after"),
+          sum(col("n")).as("n_assigned"))
+      before.crossJoin(after)
+        .select(col("n_assigned").cast("long").as("n_assigned"),
           (col("n_clusters_after") === lit(4) + col("n_over")).as("one_append_per_split"),
           (col("max_after") < col("max_before")).as("max_reduced"))
     }),
 
+    // extension: two-level build — coarse k-means capped at a forced-tiny
+    // kMax (so the initial clusters all violate density), then the
+    // adaptive-split loop restores the max-records-per-cluster contract.
+    // Invariants: no record lost, every cluster within density, the
+    // cluster count actually grew past the coarse cap.
+    "ivf_balanced_stats" -> ((s, dir) => {
+      val m = IvfIndex.buildBalanced(recs(s, dir), density = 64, Metric.Euclidean,
+        seed = 42L, kMax = 4)
+      m.assigned.groupBy(col("cluster_id")).agg(count(lit(1)).as("n"))
+        .agg(sum(col("n")).as("n_assigned"), max(col("n")).as("max_size"),
+          count(lit(1)).as("n_clusters"))
+        .select(col("n_assigned").cast("long").as("n_assigned"),
+          (col("max_size") <= 64).as("density_ok"),
+          (col("n_clusters") > 4).as("grew_past_kmax"))
+    }),
+
     // extension: corpus-cleaning pipeline composition — exact dedup
     // (keep min id per identical text) ∩ quality threshold ∩ language:
-    // the end-to-end shape these operators exist for
+    // the end-to-end shape these operators exist for. ONE tokenize pass:
+    // the per-doc verdict columns (dedup key, language, quality) are
+    // computed in a single projection and persisted NARROW (id + hash +
+    // lang + score — never the text or token arrays), so the keep-set leg
+    // and the filter leg both read the cache instead of re-tokenizing
+    // (round 2 scanned documents twice and, via filter alias inlining,
+    // re-ran the token kernel per predicate). Cache lifecycle: lives with
+    // the returned lazy plan; MEMORY_AND_DISK evicts under pressure.
     "corpus_clean" -> ((s, dir) => {
       val d = docs(s, dir).repartition(col("doc_id"))
         .withColumn("__toks", TextOps.tokens(col("text")))
+        // votes MUST be its own projection level: langFromVotes reads its
+        // argument once per language, so an inline langVotes(...) would
+        // re-run the whole vote aggregate ~5× per row (TextOps.langId note)
         .withColumn("__votes", TextOps.langVotes(col("__toks")))
-      val kept = Dedup.exact(docs(s, dir)).select(col("keep_id").as("doc_id"))
+        .select(col("doc_id"), sha2(col("text"), 256).as("__h"),
+          TextOps.langFromVotes(col("__votes")).as("__lang"),
+          TextOps.qualityScoreFromTokens(col("text"), col("__toks")).as("__q"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val kept = d.groupBy(col("__h")).agg(min(col("doc_id")).as("doc_id"))
+        .select("doc_id")
       d.join(kept, Seq("doc_id"), "left_semi")
-        .where(TextOps.langFromVotes(col("__votes")) === "en")
-        .where(TextOps.qualityScoreFromTokens(col("text"), col("__toks")) >= 0.45)
+        .where(col("__lang") === "en" && col("__q") >= 0.45)
         .select(col("doc_id")).orderBy("doc_id")
     }),
 
@@ -541,7 +577,7 @@ object Queries {
          |SELECT query_id, vec_id, ${sqlR4("dist")} AS distance FROM r WHERE rn <= 5 ORDER BY query_id, dist, vec_id""".stripMargin,
 
     "dedup_exact" ->
-      "SELECT min(doc_id) AS keep_id, count(*) AS n_dups FROM documents GROUP BY md5(text) ORDER BY keep_id",
+      "SELECT min(doc_id) AS keep_id, count(*) AS n_dups FROM documents GROUP BY sha256(text) ORDER BY keep_id",
 
     "dedup_minhash" ->
       s"""WITH toks AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(len(tk) - 2, 0)),
@@ -662,8 +698,14 @@ object Queries {
       """SELECT count(*) AS n_assigned, CAST(1 AS BOOLEAN) AS one_append_per_split,
         |  CAST(1 AS BOOLEAN) AS max_reduced FROM embeddings""".stripMargin,
 
+    // scale-robust invariants of the two-level build: coverage preserved,
+    // density restored below the coarse cap's violation, clusters grew
+    "ivf_balanced_stats" ->
+      """SELECT count(*) AS n_assigned, CAST(1 AS BOOLEAN) AS density_ok,
+        |  CAST(1 AS BOOLEAN) AS grew_past_kmax FROM embeddings""".stripMargin,
+
     "corpus_clean" ->
-      s"""WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+      s"""WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY sha256(text)),
          |t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk FROM documents),
          |lang AS (SELECT doc_id, CASE WHEN greatest(e, sp, f, d, z) = 0 THEN 'und'
          |    WHEN e >= sp AND e >= f AND e >= d AND e >= z THEN 'en'

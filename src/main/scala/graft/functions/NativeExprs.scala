@@ -32,6 +32,17 @@ object NativeExprs {
   private def asCol(e: Expression): Column = ColumnBridge.column(e)
   private def ex(c: Column): Expression = ColumnBridge.expression(c)
 
+  /** Per-thread MD5 instances. Expression instances are usually
+    * deserialized per task, but the same instance CAN be evaluated from
+    * several threads (plan reuse without re-serialization, driver-side
+    * constant folding) — a single shared mutable MessageDigest would then
+    * interleave `update` calls and silently corrupt hashes. A ThreadLocal
+    * keeps the per-row cost at one hash-map probe without making the
+    * expression Nondeterministic (which `Stateful` would, disabling
+    * pushdown/folding). */
+  private val md5Local: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+
   def sqEuclidean(a: Column, b: Column): Column = asCol(SqEuclideanExpr(ex(a), ex(b)))
   def cosineDistance(a: Column, b: Column): Column = asCol(CosineDistanceExpr(ex(a), ex(b)))
   def dot(a: Column, b: Column): Column = asCol(DotExpr(ex(a), ex(b)))
@@ -125,20 +136,39 @@ object NativeExprs {
   }
 
   /** Shared shape for the pairwise vector kernels: null on null/ragged
-    * inputs — exactly what the zip_with formulation yields (length
-    * mismatch pads a null element, which nulls the whole sum), so
-    * downstream `!isnan(distance)` guards behave identically. */
+    * inputs OR any null ELEMENT — exactly what the zip_with formulation
+    * yields (length mismatch pads a null element, and a null element
+    * nulls its term and thus the whole sum), so downstream
+    * `!isnan(distance)` guards behave identically even for arrays built
+    * on the SQL surface with explicit NULL elements. The element null
+    * check is hoisted out of the arithmetic loop: parquet-backed vectors
+    * declare `containsNull = false`, so it short-circuits to one branch
+    * per row. */
   abstract class VectorKernel extends BinaryExpression with CodegenFallback {
     override def dataType: DataType = DoubleType
     override def nullable: Boolean = true
     @transient protected lazy val readL: (ArrayData, Int) => Double = reader(left.dataType)
     @transient protected lazy val readR: (ArrayData, Int) => Double = reader(right.dataType)
+    @transient private lazy val mayHaveNullElems: Boolean = Seq(left, right).exists {
+      _.dataType match {
+        case ArrayType(_, containsNull) => containsNull
+        case _ => true
+      }
+    }
     protected def kernel(a: ArrayData, b: ArrayData, n: Int): Double
     override def eval(input: InternalRow): Any = {
       val a = left.eval(input).asInstanceOf[ArrayData]
       val b = right.eval(input).asInstanceOf[ArrayData]
-      if (a == null || b == null || a.numElements() != b.numElements()) null
-      else kernel(a, b, a.numElements())
+      if (a == null || b == null || a.numElements() != b.numElements()) return null
+      val n = a.numElements()
+      if (mayHaveNullElems) {
+        var i = 0
+        while (i < n) {
+          if (a.isNullAt(i) || b.isNullAt(i)) return null
+          i += 1
+        }
+      }
+      kernel(a, b, n)
     }
   }
 
@@ -190,10 +220,10 @@ object NativeExprs {
   case class SimHash60Expr(child: Expression) extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = LongType
     override def nullable: Boolean = child.nullable
-    @transient private lazy val digest = java.security.MessageDigest.getInstance("MD5")
     override def eval(input: InternalRow): Any = {
       val arr = child.eval(input).asInstanceOf[ArrayData]
       if (arr == null) return null
+      val digest = md5Local.get()
       val votes = new Array[Int](60)
       var i = 0
       val n = arr.numElements()
@@ -230,10 +260,10 @@ object NativeExprs {
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullable: Boolean = child.nullable
-    @transient private lazy val digest = java.security.MessageDigest.getInstance("MD5")
     override def eval(input: InternalRow): Any = {
       val arr = child.eval(input).asInstanceOf[ArrayData]
       if (arr == null) return null
+      val digest = md5Local.get()
       val mins = Array.fill(perms)(Long.MaxValue)
       var i = 0
       val n = arr.numElements()
@@ -262,6 +292,54 @@ object NativeExprs {
   def minhashSig(shingles: Column, perms: Int): Column =
     asCol(MinhashSigExpr(ex(shingles), perms))
 
+  /** Fused MinHash pass: `struct(sig, shh)` where `sig` is exactly
+    * [[MinhashSigExpr]]'s signature and `shh` exactly
+    * [[ShingleHashesExpr]]'s per-shingle 56-bit identities — both derive
+    * from the same per-shingle md5, so one digest per shingle serves
+    * signature AND verification (round 2 re-tokenized and re-hashed every
+    * LSH candidate doc to rebuild `shh`). */
+  case class MinhashSigHashesExpr(child: Expression, perms: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StructType(Seq(
+      StructField("sig", ArrayType(LongType, containsNull = false), nullable = false),
+      StructField("shh", ArrayType(LongType, containsNull = false), nullable = false)))
+    override def nullable: Boolean = child.nullable
+    override def eval(input: InternalRow): Any = {
+      val arr = child.eval(input).asInstanceOf[ArrayData]
+      if (arr == null) return null
+      val digest = md5Local.get()
+      val n = arr.numElements()
+      val mins = Array.fill(perms)(Long.MaxValue)
+      val shh = new Array[Long](n)
+      var i = 0
+      while (i < n) {
+        val md = digest.digest(arr.getUTF8String(i).getBytes)
+        var h1 = 0L; var h2 = 0L
+        var j = 0
+        while (j < 7) {
+          h1 = (h1 << 8) | (md(j) & 0xffL)
+          h2 = (h2 << 8) | (md(j + 8) & 0xffL)
+          j += 1
+        }
+        shh(i) = h1
+        var p = 0
+        while (p < perms) {
+          val v = h1 + p * h2
+          if (v < mins(p)) mins(p) = v
+          p += 1
+        }
+        i += 1
+      }
+      InternalRow(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(mins),
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(shh))
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  def minhashSigHashes(shingles: Column, perms: Int): Column =
+    asCol(MinhashSigHashesExpr(ex(shingles), perms))
+
   /** Per-shingle 56-bit identities (order and duplicates preserved) —
     * compiled twin of `transform(sh, s ->
     * conv(substring(md5(s),1,14),16,10))`. See
@@ -270,10 +348,10 @@ object NativeExprs {
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullable: Boolean = child.nullable
-    @transient private lazy val digest = java.security.MessageDigest.getInstance("MD5")
     override def eval(input: InternalRow): Any = {
       val arr = child.eval(input).asInstanceOf[ArrayData]
       if (arr == null) return null
+      val digest = md5Local.get()
       val n = arr.numElements()
       val out = new Array[Long](n)
       var i = 0
@@ -297,23 +375,38 @@ object NativeExprs {
     * compiled twin of the `transform(sequence(...), i -> md5(substr))` +
     * `array_min` formulation. Hex strings order like the digest bytes
     * (hex encoding is monotone in the unsigned byte value), so the min is
-    * tracked on raw digests and encoded once. */
+    * tracked on raw digests and encoded once. Windows are measured in
+    * CODE POINTS — the unit Spark's `substr`/`length` and DuckDB's
+    * `substr`/`length` both count — so texts with supplementary-plane
+    * characters (emoji) fingerprint identically to the HOF twin (a
+    * UTF-16-unit window would split surrogate pairs and diverge). */
   case class Md5MinWindowExpr(child: Expression, window: Int)
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = StringType
     override def nullable: Boolean = child.nullable
-    @transient private lazy val digest = java.security.MessageDigest.getInstance("MD5")
     override def eval(input: InternalRow): Any = {
       val t = child.eval(input).asInstanceOf[UTF8String]
       if (t == null) return null
+      val digest = md5Local.get()
       val s = t.toString
-      val len = s.length
-      val starts = math.max(len - (window - 1), 1)
+      // char offset of each code-point boundary: cpOff(i) = UTF-16 index
+      // of code point i; cpOff(cpLen) = s.length
+      val cpLen = s.codePointCount(0, s.length)
+      val cpOff = new Array[Int](cpLen + 1)
+      var ci = 0
+      var off = 0
+      while (ci < cpLen) {
+        cpOff(ci) = off
+        off = s.offsetByCodePoints(off, 1)
+        ci += 1
+      }
+      cpOff(cpLen) = s.length
+      val starts = math.max(cpLen - (window - 1), 1)
       var min: Array[Byte] = null
       var i = 0
       while (i < starts) {
-        val end = math.min(i + window, len)
-        val md = digest.digest(s.substring(i, end).getBytes("UTF-8"))
+        val end = math.min(i + window, cpLen)
+        val md = digest.digest(s.substring(cpOff(i), cpOff(end)).getBytes("UTF-8"))
         if (min == null || unsignedLess(md, min)) min = md
         i += 1
       }

@@ -16,13 +16,16 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Exact dedup: hash-groupBy on `md5(text)`, NOT the text itself — the
-    * shuffle then carries a 32-byte key instead of the full document, which
-    * at corpus scale is the difference between shuffling hashes and
-    * shuffling the corpus. Returns one row per distinct text: the kept
-    * (minimum) id and the duplicate count. */
+  /** Exact dedup: hash-groupBy on `sha2(text, 256)`, NOT the text itself —
+    * the shuffle then carries a fixed 64-byte key instead of the full
+    * document, which at corpus scale is the difference between shuffling
+    * hashes and shuffling the corpus. SHA-256 rather than md5: md5
+    * collisions are practically constructible, so an adversarial corpus
+    * could make distinct documents silently merge — a property a dedup
+    * pipeline over untrusted training data must not have. Returns one row
+    * per distinct text: the kept (minimum) id and the duplicate count. */
   def exact(docs: DataFrame): DataFrame =
-    docs.groupBy(md5(col("text")).as("__h"))
+    docs.groupBy(sha2(col("text"), 256).as("__h"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
       .select(col("keep_id"), col("n_dups"))
 
@@ -32,7 +35,12 @@ object Dedup {
     * is O(shingles), not O(shingles × perms). 56-bit halves keep
     * `h1 + (perms-1)·h2 < 2^61`, safely inside a signed long under ANSI
     * arithmetic. Signature elements are the per-permutation minima.
-    * Map-only: no shuffle. */
+    * Map-only: no shuffle.
+    *
+    * Emits BOTH `__sig` (per-permutation minima) and `__shh` (the
+    * per-shingle 56-bit identities, = [[TextOps.shingleHashes]]) from one
+    * fused digest pass — `__shh` is exactly what LSH verification needs,
+    * so [[minhashLsh]] never re-tokenizes or re-hashes a candidate doc. */
   def minhashSignature(docs: DataFrame, shingleN: Int = 3, perms: Int = 16): DataFrame = {
     require(perms <= 16, "perms > 16 risks long overflow in derived hashes")
     docs
@@ -52,9 +60,14 @@ object Dedup {
       .where(size(col("__toks")) >= shingleN)
       .withColumn("__sh", TextOps.shinglesFromTokens(col("__toks"), shingleN))
       .drop("__toks")
-      // Native kernel (NativeExprs.MinhashSigExpr): one compiled pass over
-      // the shingles computing md5 + all `perms` running minima.
-      .withColumn("__sig", graft.functions.NativeExprs.minhashSig(col("__sh"), perms))
+      // Native fused kernel (NativeExprs.MinhashSigHashesExpr): one
+      // compiled pass over the shingles computing md5, all `perms`
+      // running minima, AND the per-shingle hash identities.
+      .withColumn("__sig_shh",
+        graft.functions.NativeExprs.minhashSigHashes(col("__sh"), perms))
+      .withColumn("__sig", col("__sig_shh.sig"))
+      .withColumn("__shh", col("__sig_shh.shh"))
+      .drop("__sig_shh")
   }
 
   /** MinHash + LSH banded near-dup join.
@@ -72,18 +85,19 @@ object Dedup {
       bands: Int = 4,
       threshold: Double = 0.5): DataFrame = {
     val rows = perms / bands
-    // Persist ONLY (doc_id, signature) — 16 longs per doc, read twice (two
-    // band legs). Caching the shingle arrays too was measured strictly
-    // worse: serializing ~hundreds of strings per doc costs more than
-    // recomputing shingles for the (tiny) candidate set below. At
-    // warehouse scale both signatures and shingles are materialized to
-    // storage tables instead.
-    // Cache lifecycle: the three persists below live as long as the
+    // Persist (doc_id, signature, shingle-hashes) — 16 longs + one
+    // primitive-long array per doc, all products of the ONE fused digest
+    // pass. The columnar cache prunes columns per consumer: the band legs
+    // read only (doc_id, __sig); verification reads only (doc_id, __shh)
+    // — so LSH verification costs zero re-tokenization/re-hashing (round
+    // 2 recomputed shingles+md5 for every candidate doc). At warehouse
+    // scale both would be materialized storage tables instead.
+    // Cache lifecycle: the two persists below live as long as the
     // returned (lazy) plan — MEMORY_AND_DISK evicts under pressure, and a
     // caller done with the result can `spark.catalog.clearCache()`; they
     // cannot be unpersisted here without forcing eager execution.
     val sig = minhashSignature(docs, shingleN, perms)
-      .select(col("doc_id"), col("__sig"))
+      .select(col("doc_id"), col("__sig"), col("__shh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // Banded frame stays NARROW — (doc_id, band_idx, band_hash) — so the
@@ -99,28 +113,23 @@ object Dedup {
 
     val a = banded.select(col("band_idx"), col("band_hash"), col("doc_id").as("doc_id_a"))
     val b = banded.select(col("band_idx"), col("band_hash"), col("doc_id").as("doc_id_b"))
-    // Persist: tiny (pairs only), but consumed three times below (id set
-    // + final join) — unpersisted it would re-run the band self-join per
-    // consumer.
+    // Persist: tiny (pairs only), consumed by both verification legs —
+    // unpersisted it would re-run the band self-join per consumer.
     val candidates = a.join(b, Seq("band_idx", "band_hash"))
       .where(col("doc_id_a") < col("doc_id_b"))
       .select("doc_id_a", "doc_id_b")
       .distinct() // a pair may collide in several bands
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // Exact verification recomputes shingles for CANDIDATE DOCS ONLY
-    // (semi-join prunes the scan to the pair members). Jaccard runs over
-    // the 56-bit long shingle hashes — set ops on primitives, not an
-    // O(n²) string-array fallback; values equal string Jaccard
-    // (TextOps.shingleHashes collision note).
+    // Exact verification: Jaccard over the CACHED 56-bit long shingle
+    // hashes — set ops on primitives, not an O(n²) string-array fallback;
+    // values equal string Jaccard (TextOps.shingleHashes collision note).
+    // The semi-join prunes to candidate docs FIRST so the pair joins
+    // shuffle candidate hash arrays only, never every doc's.
     val candIds = candidates.select(col("doc_id_a").as("doc_id"))
       .union(candidates.select(col("doc_id_b").as("doc_id")))
       .distinct()
-    val candSh = docs.join(candIds, Seq("doc_id"), "left_semi")
-      .withColumn("__toks", TextOps.tokens(col("text")))
-      .withColumn("__sh", TextOps.shinglesFromTokens(col("__toks"), shingleN))
-      .select(col("doc_id"), TextOps.shingleHashes(col("__sh")).as("__shh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // read by both pair legs
+    val candSh = sig.join(candIds, Seq("doc_id"), "left_semi")
     val shA = candSh.select(col("doc_id").as("doc_id_a"), col("__shh").as("__shh_a"))
     val shB = candSh.select(col("doc_id").as("doc_id_b"), col("__shh").as("__shh_b"))
     candidates

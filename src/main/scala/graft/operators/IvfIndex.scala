@@ -94,7 +94,8 @@ object IvfIndex {
       metric: Metric = Metric.Euclidean,
       seed: Long = 42L,
       kMax: Int = DefaultKMax,
-      maxFitRows: Long = DefaultMaxFitRows): Model = {
+      maxFitRows: Long = DefaultMaxFitRows,
+      maxIter: Int = 100): Model = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
 
@@ -129,7 +130,7 @@ object IvfIndex {
       try new KMeans()
         .setK(k)
         .setSeed(seed)
-        .setMaxIter(100) // reference kmeans.rs:36 MAX_ITERATIONS=100
+        .setMaxIter(maxIter) // default: reference kmeans.rs:36 MAX_ITERATIONS=100
         // The reference's convergence check is a SAMPLED stability test
         // (first ≤1000 assignments unchanged >3 rounds, kmeans.rs:70-84) —
         // deliberately loose. MLlib's analog is the centroid-movement
@@ -225,19 +226,56 @@ object IvfIndex {
     *
     * All set-based: sizes via one groupBy; the 2-means loop joins members
     * against a broadcast 2-row-per-cluster centroid frame (`iters` fixed
-    * rounds, each materializing only the tiny centroid frame); ALL
+    * rounds, each materializing only the tiny centroid frame ON THE
+    * EXECUTORS via `localCheckpoint` — no driver round-trip); ALL
     * oversized clusters split concurrently in one pass — the batch shape
-    * of the reference's one-insert-one-split loop. Call repeatedly until
-    * `maxClusterSize ≤ density` if full enforcement is needed. */
+    * of the reference's one-insert-one-split loop.
+    *
+    * No-progress guard: a cluster a 2-means cannot separate (all-identical
+    * embeddings, so the farthest-point seed coincides with seed-0, or a
+    * final assignment that leaves sub-1 empty) is DROPPED from the split
+    * set — its rows keep their assignment and no empty centroid is
+    * appended. When nothing is splittable the input model is returned
+    * UNCHANGED (reference-equal, `eq`), so fixed-point loops like
+    * [[buildBalanced]] terminate instead of appending empty clusters
+    * forever. Call repeatedly (or use [[buildBalanced]]) until
+    * `maxClusterSize ≤ density` or the model stops changing. */
   def refine(
       model: Model,
       density: Int,
       metric: Metric = Metric.Euclidean,
-      iters: Int = 5): Model = {
+      iters: Int = 5): Model =
+    refineImpl(model, density, metric, iters) match {
+      case None => model
+      case Some((refined, members)) =>
+        // the returned plan is lazy; its sub-assignment legs recompute the
+        // members semi-join once when the caller materializes (callers that
+        // materialize eagerly use refineKeepCache to skip that recompute)
+        members.unpersist()
+        refined
+    }
+
+  /** [[refine]] variant for callers that materialize the result EAGERLY
+    * (e.g. [[buildBalanced]]'s per-round checkpoint): the oversized-member
+    * cache stays alive so the materialization reads it instead of
+    * recomputing the semi-join; the caller unpersists via the returned
+    * handle afterwards. Returns None when nothing is splittable. */
+  private[graft] def refineKeepCache(
+      model: Model,
+      density: Int,
+      metric: Metric,
+      iters: Int): Option[(Model, DataFrame)] =
+    refineImpl(model, density, metric, iters)
+
+  private def refineImpl(
+      model: Model,
+      density: Int,
+      metric: Metric,
+      iters: Int): Option[(Model, DataFrame)] = {
     val assigned = model.assigned
     val sizes = assigned.groupBy(col("cluster_id")).agg(count(lit(1)).as("__n"))
     val oversizedIds = sizes.where(col("__n") > density).select("cluster_id")
-    if (oversizedIds.isEmpty) return model
+    if (oversizedIds.isEmpty) return None
 
     val members = assigned.join(broadcast(oversizedIds), Seq("cluster_id"), "left_semi")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -245,34 +283,39 @@ object IvfIndex {
     // Deterministic seeding: sub-0 = the min-id member; sub-1 = the
     // member farthest from it (ties → min id) — the farthest-point
     // heuristic, deterministic where the reference seeds randomly
-    // (kmeans.rs:94-98; determinism policy SURVEY.md §7.4).
-    val seed0 = members
-      .withColumn("__rn", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
-          .orderBy(col("id").asc)))
-      .where(col("__rn") === 1)
-      .select(col("cluster_id"), col("embedding").as("__s0"))
+    // (kmeans.rs:94-98; determinism policy SURVEY.md §7.4). min_by /
+    // max_by aggregates, NOT per-cluster row_number windows: an argmin
+    // aggregate combines map-side partials, where a window must
+    // shuffle-and-sort every member row per round. A cluster whose
+    // farthest member sits at distance 0 (or NaN) from seed-0 is
+    // degenerate — every member is identical — and is excluded here.
+    val seed0 = members.groupBy(col("cluster_id"))
+      .agg(min_by(col("embedding"), col("id")).as("__s0"))
     val seed1 = members.join(broadcast(seed0), Seq("cluster_id"))
       .withColumn("__d", metric.distance(col("embedding"), col("__s0")))
-      .withColumn("__rn", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
-          .orderBy(col("__d").desc, col("id").asc)))
-      .where(col("__rn") === 1)
-      .select(col("cluster_id"), col("embedding").as("__s1"))
+      .groupBy(col("cluster_id"))
+      .agg(max(col("__d")).as("__dmax"),
+        max_by(col("embedding"), struct(col("__d"), -col("id"))).as("__s1"))
+      .where(col("__dmax") > 0 && !isnan(col("__dmax")))
+      .select(col("cluster_id"), col("__s1"))
 
     def lloydRound(cent: DataFrame): DataFrame = {
-      // cent: (cluster_id, __s0, __s1) — one row per splitting cluster
-      val sub = members.join(broadcast(cent), Seq("cluster_id"))
+      // cent: (cluster_id, __s0, __s1[, __has1]) — one row per splitting
+      // cluster. Sub-centroid update via the native vector-mean aggregate
+      // ([[graft.functions.VectorMeanAgg]]): one (count, Σ) buffer per
+      // (cluster, sub) — the posexplode+avg twin multiplied the member
+      // rows by the vector width before every shuffle. `__has1` records
+      // whether sub-1 received ANY member under this round's assignment —
+      // the no-progress signal, captured here for free instead of via a
+      // separate members pass.
+      val sub = members.join(broadcast(cent.select("cluster_id", "__s0", "__s1")),
+          Seq("cluster_id"))
         .withColumn("__sub",
           when(metric.distance(col("embedding"), col("__s0")) <=
                metric.distance(col("embedding"), col("__s1")), 0).otherwise(1))
       val means = sub
-        .select(col("cluster_id"), col("__sub"), posexplode(col("embedding")))
-        .groupBy(col("cluster_id"), col("__sub"), col("pos"))
-        .agg(avg(col("col")).as("__v"))
         .groupBy(col("cluster_id"), col("__sub"))
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("__v")))),
-          e => e.getField("__v").cast("float")).as("__c"))
+        .agg(graft.functions.VectorMeanAgg.vectorMean(col("embedding")).as("__c"))
       val m0 = means.where(col("__sub") === 0).select(col("cluster_id"), col("__c").as("__m0"))
       val m1 = means.where(col("__sub") === 1).select(col("cluster_id"), col("__c").as("__m1"))
       // an emptied sub-cluster keeps its previous centroid (the reference
@@ -281,57 +324,146 @@ object IvfIndex {
         .join(m1, Seq("cluster_id"), "left_outer")
         .select(col("cluster_id"),
           coalesce(col("__m0"), col("__s0")).as("__s0"),
-          coalesce(col("__m1"), col("__s1")).as("__s1"))
+          coalesce(col("__m1"), col("__s1")).as("__s1"),
+          col("__m1").isNotNull.as("__has1"))
     }
 
-    // Each round MATERIALIZES the (tiny — one row per oversized cluster)
-    // pair-centroid frame to the driver and restarts from a local
-    // relation: lloydRound references its input twice, so keeping the
-    // lineage would double the logical plan per round (exponential plan
-    // blowup — observed as an explain-string OOM at 5 rounds).
+    // Each round truncates lineage with an EAGER `localCheckpoint`:
+    // lloydRound references its input twice, so keeping the lineage would
+    // double the logical plan per round (exponential plan blowup —
+    // observed as an explain-string OOM at 5 rounds). The checkpoint
+    // materializes the (tiny — ≤ one row per splitting cluster, bounded
+    // by kMax) pair-centroid frame as executor-held blocks; unlike the
+    // collect+re-broadcast it replaces, nothing proportional to cluster
+    // count moves through the driver. `statsReset` then drops the
+    // checkpoint's INHERITED statistics — Spark 4 copies the origin's
+    // join-multiplied sizeInBytes onto the checkpoint, which compounds
+    // doubly-exponentially across rounds and grinds the driver on
+    // million-digit BigInteger math (see PlanBridge). On a multi-tenant
+    // cluster where executor loss must not fail the build, swap for a
+    // reliable `checkpoint()` to cluster storage — same truncation.
+    def truncate(df: DataFrame): DataFrame =
+      org.apache.spark.sql.graft.PlanBridge.statsReset(df.localCheckpoint())
+    // centPrev = the centroids the FINAL assignment runs under; cent =
+    // the means of that assignment (proper Lloyd: each stored centroid is
+    // exactly the mean of the members assigned to it).
+    var centPrev = truncate(seed0.join(seed1, Seq("cluster_id")))
+    var cent = centPrev
+    (1 to math.max(iters, 1)).foreach { _ =>
+      centPrev = cent
+      cent = truncate(lloydRound(cent))
+    }
+
+    // Effective splits: clusters whose sub-1 actually received members in
+    // the final Lloyd assignment (`__has1`, captured inside the round — no
+    // extra members pass). A split that leaves sub-1 empty makes no
+    // progress (the cluster stays oversized and an empty centroid would
+    // be appended every call — an infinite loop for density fixed-point
+    // callers), so such clusters are dropped from the split set.
+    //
+    // id allocation: sub-0 keeps the old cluster_id; sub-1 gets
+    // max(cluster_id) + rank (append semantics, index.rs:295-300). The
+    // rank is assigned in THE one small driver materialization — the
+    // effective-split id list, plain ints bounded by kMax (≤ 256 KiB) —
+    // instead of a partitionless global window over a distributed frame
+    // (which single-partitions the frame and floods logs with
+    // `WindowExec: No Partition Defined`).
+    val effIds = cent.where(col("__has1")).select("cluster_id")
+      .collect().map(_.getInt(0)).sorted
+    if (effIds.isEmpty) { members.unpersist(); return None }
+    val maxId = model.centroids.agg(max(col("cluster_id"))).head().getInt(0)
     val spark = assigned.sparkSession
     import spark.implicits._
-    def localize(df: DataFrame): DataFrame = df
-      .select(col("cluster_id"), col("__s0"), col("__s1"))
-      .collect()
-      .map(r => (r.getInt(0), r.getSeq[Float](1), r.getSeq[Float](2))).toSeq
-      .toDF("cluster_id", "__s0", "__s1")
-      .withColumn("__s0", col("__s0").cast("array<float>"))
-      .withColumn("__s1", col("__s1").cast("array<float>"))
+    val newIds = effIds.zipWithIndex.toSeq
+      .map { case (cid, i) => (cid, maxId + 1 + i) }
+      .toDF("cluster_id", "__new_id")
+    val effOnly = newIds.select("cluster_id")
 
-    var centLocal = localize(seed0.join(seed1, Seq("cluster_id")))
-    (1 to iters).foreach { _ => centLocal = localize(lloydRound(centLocal)) }
-
-    // id allocation: sub-0 keeps the old cluster_id; sub-1 gets
-    // max(cluster_id) + rank (append semantics, index.rs:295-300)
-    val maxId = model.centroids.agg(max(col("cluster_id"))).head().getInt(0)
-    val newIds = oversizedIds
-      .withColumn("__new_id",
-        row_number().over(org.apache.spark.sql.expressions.Window
-          .orderBy(col("cluster_id").asc)) + lit(maxId))
-
-    val subAssigned = members.join(broadcast(centLocal), Seq("cluster_id"))
+    // Final assignment under centPrev — the centroids the stored means
+    // were computed from, so membership and centroid values are mutually
+    // consistent (one exact Lloyd step).
+    val subAssigned = members
+      .join(broadcast(centPrev.select("cluster_id", "__s0", "__s1")), Seq("cluster_id"))
       .withColumn("__sub",
         when(metric.distance(col("embedding"), col("__s0")) <=
              metric.distance(col("embedding"), col("__s1")), 0).otherwise(1))
       .join(broadcast(newIds), Seq("cluster_id"))
       .withColumn("cluster_id",
         when(col("__sub") === 0, col("cluster_id")).otherwise(col("__new_id")))
-    val keptMembers = assigned.join(broadcast(oversizedIds), Seq("cluster_id"), "left_anti")
+    val keptMembers = assigned.join(broadcast(effOnly), Seq("cluster_id"), "left_anti")
     val newAssigned = keptMembers.unionByName(
       subAssigned.select(keptMembers.columns.map(col): _*))
 
     val keptCentroids = model.centroids
-      .join(broadcast(oversizedIds), Seq("cluster_id"), "left_anti")
-    val splitCentroids = centLocal.join(broadcast(newIds), Seq("cluster_id"))
+      .join(broadcast(effOnly), Seq("cluster_id"), "left_anti")
+    val splitCentroids = cent.join(broadcast(newIds), Seq("cluster_id"))
       .select(
         col("cluster_id"), col("__s0"), col("__s1"), col("__new_id"))
     val newCentroids = keptCentroids
       .unionByName(splitCentroids.select(col("cluster_id"), col("__s0").as("centroid")))
       .unionByName(splitCentroids.select(col("__new_id").as("cluster_id"), col("__s1").as("centroid")))
 
-    members.unpersist()
-    Model(newCentroids, newAssigned)
+    Some((Model(newCentroids, newAssigned), members))
+  }
+
+  /** Default bound on [[buildBalanced]]'s refine rounds: each round halves
+    * the worst oversized cluster (2-means), so 32 rounds cover a 2^32×
+    * density violation — far beyond what `build`'s `k = ceil(n/density)`
+    * can leave behind even at the kMax cap. */
+  val DefaultMaxRefineRounds = 32
+
+  /** Two-level build (SURVEY.md §2 O9 at any n): [[build]]'s single-level
+    * k-means caps k at `kMax`, beyond which the density contract degrades
+    * gracefully (bigger clusters). This composes the coarse build with the
+    * adaptive-split loop — [[refine]] until every cluster is within
+    * `density` or no split can make progress — so max-records-per-cluster
+    * (`src/cores/database.rs:16-22`) holds for ANY table size: the coarse
+    * level bounds the k-means fit, the refine level restores density with
+    * per-cluster 2-means splits, each round a bounded distributed pass.
+    *
+    * Lineage AND statistics are truncated per round (`localCheckpoint` +
+    * `PlanBridge.statsReset` — see [[refine]]) — the assignment frame
+    * would otherwise nest one union+join layer per round and its
+    * inherited stats would compound into driver-grinding BigInts. At
+    * warehouse scale, round boundaries would instead persist to the
+    * partitioned store ([[writePartitioned]]) — same truncation, durable. */
+  def buildBalanced(
+      records: DataFrame,
+      density: Int,
+      metric: Metric = Metric.Euclidean,
+      seed: Long = 42L,
+      kMax: Int = DefaultKMax,
+      maxRounds: Int = DefaultMaxRefineRounds,
+      // 3 Lloyd steps per split, not refine's default 5: enough to move
+      // the sub-centroids off the seed points toward a balanced cut (1
+      // step leaves seed-Voronoi splits so lopsided the loop needs MORE
+      // rounds — measured slower), while the density contract doesn't
+      // need full convergence.
+      iters: Int = 3): Model = {
+    def truncate(df: DataFrame): DataFrame =
+      org.apache.spark.sql.graft.PlanBridge.statsReset(df.localCheckpoint())
+    // loose coarse fit (few Lloyd iterations): the split loop below
+    // refines every oversized cluster anyway, so converging the coarse
+    // centroids first is wasted work — only their seeded determinism and
+    // rough placement matter.
+    var m = build(records, density, metric, seed, kMax, maxIter = 10)
+    var rounds = 0
+    var progressed = true
+    while (progressed && rounds < maxRounds) {
+      refineKeepCache(m, density, metric, iters) match {
+        case None => progressed = false // nothing splittable: fixed point
+        case Some((refined, members)) =>
+          // only the BIG frame needs the per-round checkpoint: the
+          // centroid plan nests one (tiny, broadcast-joined) layer per
+          // round — linear growth, and anti-join/union stats don't
+          // multiply — so re-evaluating it stays cheap while skipping a
+          // materialization job per round.
+          m = Model(refined.centroids, truncate(refined.assigned))
+          members.unpersist() // checkpoint is materialized; cache done
+          rounds += 1
+      }
+    }
+    m
   }
 
   /** Batch probed ANN: many queries against the index at once, each

@@ -49,7 +49,7 @@ object VectorIngest {
       .parquet(dir)
 
   /** Stream-assign into a memory sink for inspection/testing; production
-    * sinks swap `format`/`path` for the partitioned store. */
+    * sinks use [[startToPartitionedStore]]. */
   def startToMemory(
       spark: SparkSession,
       dir: String,
@@ -63,6 +63,35 @@ object VectorIngest {
       .outputMode("append")
       .format("memory")
       .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** The PRODUCTION write path — the reference's insert RPC
+    * (`src/cores/database.rs:227-254`: validate, assign, append) in
+    * continuous form: each micro-batch is validated + assigned (map-only,
+    * no state) and appended to the `cluster_id`-partitioned parquet store
+    * ([[graft.operators.IvfIndex.writePartitioned]]'s layout), so probe
+    * queries over the store keep their partition-pruning path while
+    * ingest is running. The built-in parquet file sink gives exactly-once
+    * appends via its commit log (`_spark_metadata`) — a failed batch
+    * never double-writes. Periodic [[graft.operators.IvfIndex.refine]]
+    * over the store is the maintenance half of the reference's adaptive
+    * split (run it between ingest windows, not per record). */
+  def startToPartitionedStore(
+      spark: SparkSession,
+      dir: String,
+      centroids: DataFrame,
+      metric: Metric,
+      dim: Int,
+      storePath: String,
+      checkpointPath: String): StreamingQuery =
+    validateAndAssign(readRecords(spark, dir, dim), centroids, metric, dim)
+      .writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", storePath)
+      .option("checkpointLocation", checkpointPath)
+      .partitionBy("cluster_id")
       .trigger(Trigger.AvailableNow())
       .start()
 }

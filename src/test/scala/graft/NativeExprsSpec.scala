@@ -22,7 +22,10 @@ class NativeExprsSpec extends SparkSpec {
 
   private val docStrings = Seq(
     "", " ", "one", "a b", "\ta  leading tab", "trailing space ",
-    "line\nbreak and\ttab", "UPPER Case MiXeD") ++ Seq.fill(40)(randDoc())
+    "line\nbreak and\ttab", "UPPER Case MiXeD",
+    // supplementary-plane chars: code-point vs UTF-16-unit traps
+    "café naïve 😀 emoji 🤖😀 mix") ++
+    Seq.fill(40)(randDoc())
   private lazy val docsDf = docStrings.zipWithIndex
     .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
 
@@ -162,10 +165,53 @@ class NativeExprsSpec extends SparkSpec {
   }
 
   test("md5MinWindow == array_min(transform(sequence, md5(substr))) twin") {
+    // the fixture includes supplementary-plane docs: substr counts CODE
+    // POINTS, so this pins the kernel's code-point windowing
     val twin = array_min(
       transform(
         sequence(lit(1), greatest(length(col("text")) - 7, lit(1))),
         i => md5(col("text").substr(i, lit(8)))))
     assertSame(NativeExprs.md5MinWindow(col("text"), 8), twin, docsDf)
+  }
+
+  test("vector kernels: a null ELEMENT nulls the distance (zip_with semantics)") {
+    val df = spark.sql(
+      "SELECT array(1.0F, NULL, 3.0F) AS a, array(1.0F, 2.0F, 3.0F) AS b")
+    val got = df.select(
+      NativeExprs.sqEuclidean(col("a"), col("b")).as("sq"),
+      NativeExprs.dot(col("a"), col("b")).as("d"),
+      hofSqEuclidean(col("a"), col("b")).as("want")).head()
+    assert(got.isNullAt(0) && got.isNullAt(1) && got.isNullAt(2))
+  }
+
+  test("minhashSigHashes == struct(minhashSig, shingleHashes), one fused pass") {
+    val withSh = docsDf
+      .withColumn("__t", hofTokens(col("text")))
+      .withColumn("__sh", hofShingles(col("__t"), 3))
+    val fused = NativeExprs.minhashSigHashes(col("__sh"), 16)
+    assertSame(fused.getField("sig"), NativeExprs.minhashSig(col("__sh"), 16), withSh)
+    assertSame(fused.getField("shh"), NativeExprs.shingleHashes(col("__sh")), withSh)
+  }
+
+  test("VectorMeanAgg == posexplode + avg-per-dimension twin") {
+    val rows = (0 until 200).map(i => (i % 5L, randVec(16)))
+    val df = rows.toDF("g", "v")
+    val got = df.groupBy(col("g"))
+      .agg(graft.functions.VectorMeanAgg.vectorMean(col("v")).as("m"))
+      .as[(Long, Seq[Float])].collect().toMap
+    val want = df.select(col("g"), posexplode(col("v")))
+      .groupBy(col("g"), col("pos")).agg(avg(col("col")).as("m"))
+      .groupBy(col("g"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        e => e.getField("m").cast("float")).as("m"))
+      .as[(Long, Seq[Float])].collect().toMap
+    assert(got.keySet === want.keySet)
+    // per-dimension means agree to float precision (double-sum order may
+    // differ between the two formulations)
+    got.foreach { case (g, m) =>
+      m.zip(want(g)).zipWithIndex.foreach { case ((a, b), i) =>
+        assert(math.abs(a - b) <= 1e-5f, s"group $g dim $i: $a vs $b")
+      }
+    }
   }
 }

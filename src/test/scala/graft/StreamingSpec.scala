@@ -87,4 +87,60 @@ class StreamingSpec extends SparkSpec {
     assert(!streamed.contains(999L)) // wrong-width vector rejected
     assert(streamed.size === 200)
   }
+
+  test("streaming ingest → cluster_id-partitioned store == batch store; probe query still prunes") {
+    import graft.operators.IvfIndex
+    import graft.streaming.VectorIngest
+    import graft.types.Metric
+    val dim = 8
+    val base = java.nio.file.Files.createTempDirectory("graft_store_e2e")
+    val inDir = s"$base/in"
+    val rnd = new scala.util.Random(7)
+    val good = (0 until 300).map(i =>
+      (i.toLong, Seq.fill(dim)(rnd.nextFloat()), Map("k" -> i.toString)))
+    val bad = Seq((999L, Seq.fill(dim + 3)(0.5f), Map("k" -> "bad")))
+    (good ++ bad).toDF("id", "embedding", "metadata")
+      .write.mode("overwrite").parquet(inDir)
+    val centroids = good.take(4).map { case (i, e, _) => (i.toInt, e) }
+      .toDF("cluster_id", "centroid")
+
+    // stream: validate + assign + append to the partitioned store
+    val streamStore = s"$base/stream_store"
+    val q = VectorIngest.startToPartitionedStore(spark, inDir, centroids,
+      Metric.Euclidean, dim, streamStore, s"$base/ckpt")
+    q.awaitTermination()
+
+    // batch twin: same validate+assign, written via writePartitioned
+    val batchStore = s"$base/batch_store"
+    val batchModel = IvfIndex.Model(centroids,
+      VectorIngest.validateAndAssign(spark.read.parquet(inDir), centroids, Metric.Euclidean, dim))
+    IvfIndex.writePartitioned(batchModel, batchStore)
+
+    def storeRows(path: String): Set[(Long, Int, Seq[Float])] =
+      spark.read.parquet(path)
+        .select(col("id"), col("cluster_id"), col("embedding"))
+        .as[(Long, Int, Seq[Float])].collect().toSet
+    val streamedRows = storeRows(streamStore)
+    assert(streamedRows === storeRows(batchStore))
+    assert(streamedRows.size === 300 && !streamedRows.exists(_._1 == 999L))
+    // the sink actually laid out hive-style cluster_id partitions
+    assert(new java.io.File(streamStore).listFiles()
+      .exists(_.getName.startsWith("cluster_id=")))
+
+    // probe query over the STREAM-written store: DPP at the scan, and
+    // results identical to the in-memory model
+    val disk = IvfIndex.Model(centroids, spark.read.parquet(streamStore))
+    // query vector from a FILTERED scan: DPP requires a selective
+    // predicate on the pruning side (a bare literal frame won't trigger it)
+    val qv = spark.read.parquet(inDir).where(col("id") === 0)
+      .select(col("embedding").as("qvec"))
+    val probed = IvfIndex.query(disk, qv, 10, probes = 2, Metric.Euclidean)
+    val p = probed.queryExecution.executedPlan.toString
+    assert(p.contains("dynamicpruning") || p.contains("PartitionFilters: [dynamic"),
+      p.linesIterator.filter(_.contains("PartitionFilters")).mkString("\n"))
+    val got = probed.select("id", "distance").as[(Long, Double)].collect().toSet
+    val want = IvfIndex.query(batchModel, qv, 10, probes = 2, Metric.Euclidean)
+      .select("id", "distance").as[(Long, Double)].collect().toSet
+    assert(got === want && got.nonEmpty)
+  }
 }
