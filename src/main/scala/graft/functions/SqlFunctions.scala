@@ -30,8 +30,15 @@ object SqlFunctions {
     "graft_shingle_hashes" -> (es => NativeExprs.ShingleHashesExpr(es(0))),
     "graft_minhash_sig" -> (es =>
       NativeExprs.MinhashSigExpr(es(0), intLit(es(1), "perms"))),
+    "graft_minhash_sig_hashes" -> (es =>
+      NativeExprs.MinhashSigHashesExpr(es(0), intLit(es(1), "perms"))),
     "graft_md5_min_window" -> (es =>
-      NativeExprs.Md5MinWindowExpr(es(0), intLit(es(1), "window"))))
+      NativeExprs.Md5MinWindowExpr(es(0), intLit(es(1), "window"))),
+    // aggregates: the analyzer wraps a raw AggregateFunction returned by a
+    // registry builder into an AggregateExpression, same as the built-ins
+    "graft_vector_mean" -> (es => VectorMeanAgg(es(0))),
+    "graft_topk_pairs" -> (es =>
+      TopKPairsAgg(es(0), es(1), intLit(es(2), "k"))))
 
   /** Register every kernel as a temp function on the session. */
   def registerAll(spark: SparkSession): Unit =

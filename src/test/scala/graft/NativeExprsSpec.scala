@@ -146,6 +146,18 @@ class NativeExprsSpec extends SparkSpec {
     assert(row.getInt(4) === 16)
   }
 
+  test("SQL surface: registered AGGREGATES usable from spark.sql") {
+    graft.functions.SqlFunctions.registerAll(spark)
+    Seq((0L, Seq(1f, 3f), 2.0, 7L), (0L, Seq(3f, 5f), 1.0, 8L), (1L, Seq(2f, 2f), 3.0, 9L))
+      .toDF("g", "v", "d", "id").createOrReplaceTempView("agg_in")
+    val rows = spark.sql(
+      """SELECT g, graft_vector_mean(v) AS m, graft_topk_pairs(d, id, 1) AS t
+        |FROM agg_in GROUP BY g ORDER BY g""".stripMargin)
+      .as[(Long, Seq[Float], Seq[(Double, Long)])].collect()
+    assert(rows(0) === ((0L, Seq(2f, 4f), Seq((1.0, 8L)))))
+    assert(rows(1) === ((1L, Seq(2f, 2f), Seq((3.0, 9L)))))
+  }
+
   test("TopKPairsAgg == slice(sort_array(collect_list(struct))) twin") {
     import graft.functions.TopKPairsAgg.topKPairs
     val rows = (0 until 500).map { i =>

@@ -80,6 +80,35 @@ class PlanShapeSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("refine plans no Window operator (seeds/ids via aggregates, not sorts)") {
+    val r = graft.sources.Records.fromEmbeddings(spark, sf)
+    val c = r.where(col("id") < 2)
+      .select(col("id").cast("int").as("cluster_id"), col("embedding").as("centroid"))
+    val model = IvfIndex.Model(c, IvfIndex.assign(r, c, graft.types.Metric.Euclidean))
+    val refined = IvfIndex.refine(model, density = 100, graft.types.Metric.Euclidean)
+    val windows = refined.assigned.queryExecution.executedPlan.collect {
+      case w if w.nodeName.contains("Window") => w
+    }
+    assert(windows.isEmpty,
+      "refine must not sort members through a window (row_number seeds were replaced by min_by/max_by)")
+  }
+
+  test("minhash LSH tokenizes each doc ONCE (verification reads the cached hashes)") {
+    val exec = Queries.queries("dedup_minhash")(spark, sf).queryExecution.executedPlan
+    // tokenization/hashing must live only INSIDE cached relations (whose
+    // internals are not operator-tree nodes); a kernel in the outer tree
+    // means some leg re-tokenizes docs instead of reading the cache
+    val outerKernels = exec.collect { case p =>
+      p.expressions.flatMap(_.collect {
+        case e: graft.functions.NativeExprs.WhitespaceTokensExpr => e
+        case e: graft.functions.NativeExprs.MinhashSigHashesExpr => e
+      })
+    }.flatten
+    assert(outerKernels.isEmpty,
+      s"kernels outside the signature cache: ${outerKernels.map(_.nodeName).distinct}")
+    assert(exec.toString.contains("InMemoryTableScan"), "signature cache missing")
+  }
+
   test("exact dedup groups by a hash key, never shuffling full text") {
     val df = Queries.queries("dedup_exact")(spark, sf)
     val exchanges = df.queryExecution.executedPlan.collect {

@@ -142,5 +142,21 @@ class StreamingSpec extends SparkSpec {
     val want = IvfIndex.query(batchModel, qv, 10, probes = 2, Metric.Euclidean)
       .select("id", "distance").as[(Long, Double)].collect().toSet
     assert(got === want && got.nonEmpty)
+
+    // maintenance half of the reference's adaptive split: refine the
+    // stream-written store as a scheduled batch job and re-write the
+    // partitioned layout — 300 rows over 4 clusters (~75 each) violates
+    // density=60, so at least one cluster must split, and no record may
+    // be lost across the split + rewrite
+    val refined = IvfIndex.refine(
+      IvfIndex.Model(centroids, spark.read.parquet(streamStore)),
+      density = 60, Metric.Euclidean)
+    val refinedStore = s"$base/refined_store"
+    IvfIndex.writePartitioned(refined, refinedStore)
+    val after = spark.read.parquet(refinedStore)
+      .groupBy(col("cluster_id")).count()
+      .as[(Int, Long)].collect().toMap
+    assert(after.values.sum === 300L, "records lost in refine + rewrite")
+    assert(after.size > 4, "no cluster split during maintenance")
   }
 }
