@@ -33,6 +33,13 @@ object Bench {
         .join(tiny.select(col("label")).distinct(), Seq("label"))
         .orderBy(col("label"))
         .write.format("noop").mode("overwrite").save()
+      // MLlib warmup (BLAS selection + k-means codepath JIT): without it
+      // the alphabetically-first index-build query is charged several
+      // seconds of one-time class-loading that no steady-state run pays.
+      import org.apache.spark.ml.functions.array_to_vector
+      new org.apache.spark.ml.clustering.KMeans().setK(2).setSeed(1L).setMaxIter(2)
+        .setFeaturesCol("__f")
+        .fit(tiny.select(array_to_vector(col("embedding")).as("__f")))
     }
     var failed = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -328,22 +328,24 @@ object IvfIndex {
           col("__m1").isNotNull.as("__has1"))
     }
 
-    // Each round truncates lineage with an EAGER `localCheckpoint`:
-    // lloydRound references its input twice, so keeping the lineage would
-    // double the logical plan per round (exponential plan blowup —
-    // observed as an explain-string OOM at 5 rounds). The checkpoint
-    // materializes the (tiny — ≤ one row per splitting cluster, bounded
-    // by kMax) pair-centroid frame as executor-held blocks; unlike the
-    // collect+re-broadcast it replaces, nothing proportional to cluster
-    // count moves through the driver. `statsReset` then drops the
-    // checkpoint's INHERITED statistics — Spark 4 copies the origin's
-    // join-multiplied sizeInBytes onto the checkpoint, which compounds
+    // Each round truncates lineage with a LAZY `localCheckpoint`: the
+    // logical plan is cut to a LogicalRDD at call time — lloydRound
+    // references its input twice, so keeping the lineage would double the
+    // logical plan per round (exponential plan blowup — observed as an
+    // explain-string OOM at 5 rounds) — while materialization defers to
+    // first use, so the whole seed→Lloyd chain executes as ONE job (the
+    // `effIds` action below) with each level's blocks cached as
+    // executor-held partitions along the way. Unlike the round-2
+    // collect+re-broadcast, nothing proportional to cluster count moves
+    // through the driver. `statsReset` then drops the checkpoint's
+    // INHERITED statistics — Spark 4 copies the origin's join-multiplied
+    // sizeInBytes onto the checkpoint, which compounds
     // doubly-exponentially across rounds and grinds the driver on
     // million-digit BigInteger math (see PlanBridge). On a multi-tenant
     // cluster where executor loss must not fail the build, swap for a
     // reliable `checkpoint()` to cluster storage — same truncation.
     def truncate(df: DataFrame): DataFrame =
-      org.apache.spark.sql.graft.PlanBridge.statsReset(df.localCheckpoint())
+      org.apache.spark.sql.graft.PlanBridge.statsReset(df.localCheckpoint(eager = false))
     // centPrev = the centroids the FINAL assignment runs under; cent =
     // the means of that assignment (proper Lloyd: each stored centroid is
     // exactly the mean of the members assigned to it).

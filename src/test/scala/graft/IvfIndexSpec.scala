@@ -135,6 +135,42 @@ class IvfIndexSpec extends SparkSpec {
     assert(refined.assigned.count() === model.assigned.count())
   }
 
+  test("degenerate oversized cluster (all-identical members) is dropped, not split forever") {
+    // 200 identical vectors in one cluster: 2-means can make no progress —
+    // refine must return the model UNCHANGED (fixed point) instead of
+    // appending an empty centroid every call (the infinite-loop hazard for
+    // density fixed-point callers)
+    val identical = (0 until 200).map(i => (i.toLong, Seq.fill(dim)(0.5f), Map("k" -> "v")))
+      .toDF("id", "embedding", "metadata")
+    val c = Seq((0, Seq.fill(dim)(0.5f))).toDF("cluster_id", "centroid")
+      .withColumn("centroid", col("centroid").cast("array<float>"))
+    val model = IvfIndex.Model(c, IvfIndex.assign(identical, c, Metric.Euclidean))
+    val refined = IvfIndex.refine(model, density = 50, Metric.Euclidean)
+    assert(refined eq model, "degenerate cluster must leave the model unchanged")
+    // and buildBalanced terminates on the same data (no infinite loop),
+    // keeping every record exactly once
+    val m = IvfIndex.buildBalanced(identical, density = 50, Metric.Euclidean, seed = 1L, kMax = 2)
+    assert(m.assigned.count() === 200)
+  }
+
+  test("mixed split set: only splittable clusters append; degenerate keeps its id") {
+    val rnd = new scala.util.Random(11)
+    // cluster 0: identical (degenerate); cluster 1: well-separated spread
+    // (splittable) — disjoint value ranges so assignment is unambiguous
+    val rows = (0 until 150).map(i => (i.toLong, Seq.fill(dim)(0.25f), Map("k" -> "a"))) ++
+      (150 until 300).map(i => (i.toLong, Seq.fill(dim)(10f + rnd.nextFloat()), Map("k" -> "b")))
+    val df = rows.toDF("id", "embedding", "metadata")
+    val c = Seq((0, Seq.fill(dim)(0.25f)), (1, Seq.fill(dim)(10.5f)))
+      .toDF("cluster_id", "centroid")
+      .withColumn("centroid", col("centroid").cast("array<float>"))
+    val model = IvfIndex.Model(c, IvfIndex.assign(df, c, Metric.Euclidean))
+    val refined = IvfIndex.refine(model, density = 100, Metric.Euclidean)
+    val sizes = refined.assigned.groupBy("cluster_id").count().as[(Int, Long)].collect().toMap
+    assert(sizes.values.sum === 300L)
+    assert(sizes(0) === 150L, "degenerate cluster must keep all its members under its old id")
+    assert(sizes.size === 3, "exactly one append for the one splittable cluster")
+  }
+
   test("cosine-metric build: assign agrees with brute-force cosine argmin") {
     val model = IvfIndex.build(records, density = 64, Metric.Cosine, seed = 42L)
     assert(model.assigned.count() === 1000)
