@@ -261,6 +261,23 @@ object Queries {
         .select(col("doc_id_a"), col("doc_id_b"), r4(col("jaccard")).as("jaccard"))
         .orderBy("doc_id_a", "doc_id_b")),
 
+    // extension: incremental (streaming-shaped) near-dup gate — docs
+    // arriving after the split point are checked against the banded
+    // MinHash index of the existing corpus. Same transform the streaming
+    // ingest runs per micro-batch (stream==batch pinned in
+    // StreamingSpec); batch context allows the cross-band distinct.
+    "dedup_incremental" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val (banded, hashes) = graft.streaming.DocIngest.corpusIndex(
+        d.where(col("doc_id") < 400), shingleN = 3, perms = 16, bands = 4)
+      graft.streaming.DocIngest.matches(
+          d.where(col("doc_id") >= 400), banded, hashes,
+          shingleN = 3, perms = 16, bands = 4, threshold = 0.5)
+        .select(col("doc_id"), col("dup_of"), r4(col("jaccard")).as("jaccard"))
+        .distinct()
+        .orderBy("doc_id", "dup_of")
+    }),
+
     // extension: SimHash(60-bit) near-dup pairs, hamming <= 8
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(docs(s, dir), maxHamming = 8)
@@ -599,6 +616,28 @@ object Queries {
          |  CAST(len(list_intersect(a.h1, b.h1)) AS DOUBLE) / len(list_distinct(a.h1 || b.h1)) AS jaccard
          |  FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id)
          |SELECT doc_id_a, doc_id_b, ${sqlR4("jaccard")} AS jaccard FROM j WHERE jaccard >= 0.5 ORDER BY doc_id_a, doc_id_b""".stripMargin,
+
+    "dedup_incremental" ->
+      s"""WITH toks AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(len(tk) - 2, 0)),
+         |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
+         |  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk FROM documents)),
+         |ne AS (SELECT doc_id, sh FROM toks WHERE len(sh) > 0),
+         |hh AS (SELECT doc_id, sh,
+         |  list_transform(sh, s -> list_reduce(list_transform(string_split_regex(substr(md5(s), 1, 14), ''),
+         |    c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a * 16 + b)) AS h1,
+         |  list_transform(sh, s -> list_reduce(list_transform(string_split_regex(substr(md5(s), 17, 14), ''),
+         |    c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a * 16 + b)) AS h2
+         |  FROM ne),
+         |sig AS (SELECT doc_id, h1, list_transform(generate_series(0, 15), i ->
+         |  list_min(list_transform(list_zip(h1, h2), p -> p[1] + i * p[2]))) AS sg FROM hh),
+         |bands AS (SELECT doc_id, h1, u.b AS band_idx,
+         |  md5(array_to_string(list_slice(sg, u.b * 4 + 1, u.b * 4 + 4), '|')) AS band_hash
+         |  FROM sig, (SELECT unnest([0, 1, 2, 3]) AS b) u),
+         |j AS (SELECT DISTINCT n.doc_id AS doc_id, c.doc_id AS dup_of,
+         |  CAST(len(list_intersect(n.h1, c.h1)) AS DOUBLE) / len(list_distinct(n.h1 || c.h1)) AS jaccard
+         |  FROM bands n JOIN bands c ON n.band_idx = c.band_idx AND n.band_hash = c.band_hash
+         |    AND n.doc_id >= 400 AND c.doc_id < 400)
+         |SELECT doc_id, dup_of, ${sqlR4("jaccard")} AS jaccard FROM j WHERE jaccard >= 0.5 ORDER BY doc_id, dup_of""".stripMargin,
 
     "dedup_simhash" ->
       s"""WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t FROM documents),

@@ -70,20 +70,63 @@ object Dedup {
       .drop("__sig_shh")
   }
 
+  /** Drop LSH buckets larger than `maxBucket` before a band self-join:
+    * a bucket of m colliding docs yields m² candidate pairs, so a viral
+    * duplicate cluster (10⁶ copies of one boilerplate page) turns the
+    * join quadratic no matter how the shuffle is partitioned — AQE skew
+    * handling can't help because the explosion is join CARDINALITY, not
+    * partition size. Oversized buckets are overwhelmingly exact/near-exact
+    * duplicate families, which the exact-dedup pass (composed first in
+    * `corpus_clean`) already collapses — the standard large-scale LSH
+    * practice. The hot-key frame is tiny (few keys) → broadcast anti. */
+  private def dropHotBuckets(
+      banded: DataFrame, keyCols: Seq[String], maxBucket: Int): DataFrame =
+    if (maxBucket == Int.MaxValue) banded
+    else {
+      val hot = banded.groupBy(keyCols.map(col): _*)
+        .agg(count(lit(1)).as("__bn"))
+        .where(col("__bn") > maxBucket)
+        .select(keyCols.map(col): _*)
+      banded.join(broadcast(hot), keyCols, "left_anti")
+    }
+
+  /** `(doc_id, [carry...,] band_idx, band_hash)` banded view of a
+    * [[minhashSignature]] frame — the LSH bucketing key: `bands` bands of
+    * `perms / bands` signature rows each, hashed to one md5 per band.
+    * `carry` lists extra columns to keep through the explode (the
+    * streaming gate carries `__shh` so verification needs no second pass
+    * over the stream side). */
+  def bandedSignature(
+      sig: DataFrame, perms: Int, bands: Int, carry: Seq[String] = Nil): DataFrame = {
+    val rows = perms / bands
+    sig.select(
+      (col("doc_id") +: carry.map(col)) :+
+        posexplode(
+          transform(sequence(lit(0), lit(bands - 1)),
+            b => md5(concat_ws("|",
+              slice(col("__sig"), b * rows + 1, lit(rows)).cast("array<string>"))))): _*)
+      .withColumnRenamed("pos", "band_idx")
+      .withColumnRenamed("col", "band_hash")
+  }
+
   /** MinHash + LSH banded near-dup join.
     *
     * Bands the signature (`bands` bands × `perms/bands` rows), hashes each
     * band, explodes to (band_idx, band_hash), self-joins on equality —
     * a shuffle partitioned by band hash, which is exactly how this scales:
-    * each bucket is tiny w.h.p., and skew (a viral duplicate cluster) is
-    * bounded by the band hash's spread across `bands` keys. Candidates are
-    * then verified with exact shingle Jaccard ≥ `threshold`. */
+    * each bucket is tiny w.h.p. for non-duplicate text. Candidates are
+    * then verified with exact shingle Jaccard ≥ `threshold`.
+    *
+    * `maxBucket` (opt-in) caps bucket size against viral-duplicate skew —
+    * see [[dropHotBuckets]]; the default keeps every bucket (exact
+    * recall, oracle-checked). */
   def minhashLsh(
       docs: DataFrame,
       shingleN: Int = 3,
       perms: Int = 16,
       bands: Int = 4,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5,
+      maxBucket: Int = Int.MaxValue): DataFrame = {
     val rows = perms / bands
     // Persist (doc_id, signature, shingle-hashes) — 16 longs + one
     // primitive-long array per doc, all products of the ONE fused digest
@@ -102,14 +145,8 @@ object Dedup {
 
     // Banded frame stays NARROW — (doc_id, band_idx, band_hash) — so the
     // self-join shuffles 3 small columns, never the shingle arrays.
-    val banded = sig.select(
-      col("doc_id"),
-      posexplode(
-        transform(sequence(lit(0), lit(bands - 1)),
-          b => md5(concat_ws("|",
-            slice(col("__sig"), b * rows + 1, lit(rows)).cast("array<string>"))))))
-      .withColumnRenamed("pos", "band_idx")
-      .withColumnRenamed("col", "band_hash")
+    val banded = dropHotBuckets(
+      bandedSignature(sig, perms, bands), Seq("band_idx", "band_hash"), maxBucket)
 
     val a = banded.select(col("band_idx"), col("band_hash"), col("doc_id").as("doc_id_a"))
     val b = banded.select(col("band_idx"), col("band_hash"), col("doc_id").as("doc_id_b"))
@@ -170,16 +207,22 @@ object Dedup {
     * candidate generation is COMPLETE for the verification threshold
     * (the round-1 fixed-4-band layout silently missed pairs with 4–8
     * differing bits spread across all bands). Verification is exact:
-    * `bit_count(xor) <= maxHamming`. Same shuffle shape as LSH. */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 8): DataFrame = {
+    * `bit_count(xor) <= maxHamming`. Same shuffle shape as LSH;
+    * `maxBucket` caps viral-duplicate buckets like [[dropHotBuckets]]. */
+  def simhashPairs(
+      docs: DataFrame,
+      maxHamming: Int = 8,
+      maxBucket: Int = Int.MaxValue): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 60, "maxHamming must be in [0, 60)")
     val sh = simhash(docs).select(col("doc_id"), col("simhash"))
     val bandKeys = simhashBandLayout(maxHamming + 1).map { case (off, w) =>
       shiftright(col("simhash"), off).bitwiseAND(lit((1L << w) - 1))
     }
-    val banded = sh.select(col("doc_id"), col("simhash"),
-      posexplode(array(bandKeys: _*)))
-      .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band_key")
+    val banded = dropHotBuckets(
+      sh.select(col("doc_id"), col("simhash"),
+        posexplode(array(bandKeys: _*)))
+        .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band_key"),
+      Seq("band_idx", "band_key"), maxBucket)
     val a = banded.select(col("band_idx"), col("band_key"),
       col("doc_id").as("doc_id_a"), col("simhash").as("__ha"))
     val b = banded.select(col("band_idx"), col("band_key"),

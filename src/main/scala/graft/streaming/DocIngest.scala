@@ -1,0 +1,107 @@
+package graft.streaming
+
+import graft.operators.{Dedup, TextOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** Streaming document ingest with NEAR-DUP GATING against an indexed
+  * corpus — the streaming half of the `corpus_clean` pipeline: a training
+  * corpus is only worth appending to if the incoming document doesn't
+  * (near-)duplicate what's already there.
+  *
+  * Shape: the corpus side is STATIC — its banded MinHash index and
+  * per-doc shingle hashes are maintained tables (here: frames built by
+  * [[corpusIndex]]). The stream side is MAP-ONLY per micro-batch
+  * (tokenize → shingle → fused signature → band keys, all stateless
+  * kernels), so duplicate detection is a stream-static equi-join on the
+  * band key: no streaming state, no watermark, and each micro-batch
+  * shuffles only its own band keys — ingest throughput scales with
+  * executor count and is independent of corpus size (the corpus legs are
+  * pre-partitioned tables at warehouse scale).
+  *
+  * A candidate pair may collide in several bands, so [[matches]] emits
+  * at-least-once per matching band; batch consumers `.distinct()` (see
+  * `Queries.dedup_incremental`), streaming sinks dedupe per micro-batch
+  * in `foreachBatch` — cheap, because the frame is (new_id, corpus_id,
+  * jaccard) rows only.
+  */
+object DocIngest {
+
+  /** Document stream schema. */
+  val docSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("text", StringType, nullable = true)))
+
+  /** Static index of the current corpus: `(banded, hashes)` where
+    * `banded` is the (corpus_doc_id, band_idx, band_hash) LSH view and
+    * `hashes` the per-doc 56-bit shingle identities — both derived from
+    * the ONE fused signature pass. At warehouse scale both are stored
+    * tables refreshed by the corpus-maintenance job. */
+  def corpusIndex(
+      corpus: DataFrame,
+      shingleN: Int = 3,
+      perms: Int = 16,
+      bands: Int = 4): (DataFrame, DataFrame) = {
+    val sig = Dedup.minhashSignature(corpus, shingleN, perms)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = Dedup.bandedSignature(sig, perms, bands)
+      .select(col("doc_id").as("dup_of"), col("band_idx"), col("band_hash"))
+    val hashes = sig.select(col("doc_id").as("dup_of"), col("__shh").as("__corpus_shh"))
+    (banded, hashes)
+  }
+
+  /** Verified near-dup matches of (possibly streaming) `newDocs` against
+    * the corpus index: one row per (new doc, corpus doc) pair whose
+    * shingle Jaccard ≥ `threshold`, possibly repeated across colliding
+    * bands (dedupe downstream — see class doc). Works identically on
+    * batch and streaming inputs: every step is a stateless projection or
+    * a stream-static join. */
+  def matches(
+      newDocs: DataFrame,
+      corpusBanded: DataFrame,
+      corpusHashes: DataFrame,
+      shingleN: Int = 3,
+      perms: Int = 16,
+      bands: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    val sig = Dedup.minhashSignature(newDocs, shingleN, perms)
+    // carry __shh through the explode (×bands duplication of one long
+    // array per doc) — the alternative is a join back to the stream side,
+    // which would be a stream-stream join
+    val banded = Dedup.bandedSignature(sig, perms, bands, carry = Seq("__shh"))
+    banded
+      .join(corpusBanded, Seq("band_idx", "band_hash"))
+      .join(corpusHashes, Seq("dup_of"))
+      .select(col("doc_id"), col("dup_of"),
+        TextOps.jaccard(col("__shh"), col("__corpus_shh")).as("jaccard"))
+      .where(col("jaccard") >= lit(threshold))
+  }
+
+  /** Open a directory of document parquet as a stream. */
+  def readDocs(spark: SparkSession, dir: String, glob: String = "*.parquet"): DataFrame =
+    spark.readStream
+      .schema(docSchema)
+      .option("pathGlobFilter", glob)
+      .parquet(dir)
+
+  /** Stream the gate into a memory sink for testing (match rows, possibly
+    * repeated across bands — consumers dedupe, like every other reader of
+    * [[matches]]). Production sinks swap this for `foreachBatch` writing
+    * the admitted/rejected stores with a per-batch `.distinct()`. */
+  def startToMemory(
+      spark: SparkSession,
+      dir: String,
+      corpusBanded: DataFrame,
+      corpusHashes: DataFrame,
+      name: String,
+      threshold: Double = 0.5): StreamingQuery =
+    matches(readDocs(spark, dir), corpusBanded, corpusHashes, threshold = threshold)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+}

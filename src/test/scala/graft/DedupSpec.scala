@@ -65,6 +65,29 @@ class DedupSpec extends SparkSpec {
     assert(got === Set((0L, 1L))) // 0-3 blocked apart; 0-2 below threshold
   }
 
+  test("maxBucket drops viral-duplicate buckets but keeps distinct near-dup pairs") {
+    // 80 exact copies of one page (a viral boilerplate cluster: 3160
+    // within-cluster pairs) + one distinct near-dup pair
+    val viral = (100L until 180L).map(i => (i, base))
+    val pairDocs = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"))
+    val corpus = (viral ++ pairDocs).toDF("doc_id", "text")
+    val capped = Dedup.minhashLsh(corpus, shingleN = 3, perms = 16, bands = 4,
+      threshold = 0.4, maxBucket = 10)
+      .select("doc_id_a", "doc_id_b").as[(Long, Long)].collect().toSet
+    // the viral family's buckets (80 > 10) are dropped — its m² pairs never
+    // reach verification (exact dedup is the right tool for that family)...
+    assert(!capped.exists(p => p._1 >= 100L && p._2 >= 100L))
+    // ...while small-bucket near-dups still surface and verify
+    assert(capped.contains((0L, 1L)))
+
+    val cappedSim = Dedup.simhashPairs(corpus, maxHamming = 12, maxBucket = 10)
+      .select("doc_id_a", "doc_id_b").as[(Long, Long)].collect().toSet
+    assert(!cappedSim.exists(p => p._1 >= 100L && p._2 >= 100L))
+    assert(cappedSim.contains((0L, 1L)))
+  }
+
   test("simhash band layout covers all 60 bits with ±1-width contiguous bands") {
     for (bands <- Seq(1, 4, 9, 13, 60)) {
       val layout = Dedup.simhashBandLayout(bands)

@@ -159,4 +159,34 @@ class StreamingSpec extends SparkSpec {
     assert(after.values.sum === 300L, "records lost in refine + rewrite")
     assert(after.size > 4, "no cluster split during maintenance")
   }
+
+  test("streaming near-dup gate equals the batch gate; distinct docs pass") {
+    import graft.streaming.DocIngest
+    val base = "the quick brown fox jumps over the lazy dog while the cat " +
+      "sleeps near the warm fire in the old house tonight"
+    val corpus = Seq(
+      (0L, base),
+      (1L, "unrelated corpus text about catalyst optimizer rules and " +
+        "physical plan selection in distributed query engines"))
+      .toDF("doc_id", "text")
+    val incoming = Seq(
+      (100L, base.replace("lazy", "sleepy")),   // near-dup of corpus doc 0
+      (101L, base),                              // exact dup of corpus doc 0
+      (102L, "completely novel document with fresh tokens nothing shared " +
+        "statistics estimation broadcast thresholds adaptive execution"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_gate").toString
+    incoming.toDF("doc_id", "text").write.mode("overwrite").parquet(dir)
+
+    val (banded, hashes) = DocIngest.corpusIndex(corpus)
+    val q = DocIngest.startToMemory(spark, dir, banded, hashes, "gate_test", threshold = 0.4)
+    q.awaitTermination()
+    val streamed = spark.table("gate_test")
+      .select("doc_id", "dup_of").as[(Long, Long)].collect().toSet // dedupes bands
+
+    val batch = DocIngest.matches(spark.read.parquet(dir), banded, hashes, threshold = 0.4)
+      .select("doc_id", "dup_of").distinct().as[(Long, Long)].collect().toSet
+    assert(streamed === batch)
+    assert(streamed.contains((100L, 0L)) && streamed.contains((101L, 0L)))
+    assert(!streamed.exists(_._1 == 102L), "novel doc must pass the gate unmatched")
+  }
 }
