@@ -436,12 +436,12 @@ object IvfIndex {
       seed: Long = 42L,
       kMax: Int = DefaultKMax,
       maxRounds: Int = DefaultMaxRefineRounds,
-      // 3 Lloyd steps per split, not refine's default 5: enough to move
-      // the sub-centroids off the seed points toward a balanced cut (1
-      // step leaves seed-Voronoi splits so lopsided the loop needs MORE
-      // rounds — measured slower), while the density contract doesn't
-      // need full convergence.
-      iters: Int = 3): Model = {
+      // 5 Lloyd steps per split: with LAZY checkpoints extra steps are
+      // just extra stages inside the one effective-splits job, and
+      // better-balanced cuts cut ROUND count (1 step leaves seed-Voronoi
+      // splits so lopsided the loop needs several more full rounds —
+      // measured strictly slower end-to-end).
+      iters: Int = 5): Model = {
     def truncate(df: DataFrame): DataFrame =
       org.apache.spark.sql.graft.PlanBridge.statsReset(df.localCheckpoint())
     // loose coarse fit (few Lloyd iterations): the split loop below

@@ -86,10 +86,50 @@ object DocIngest {
       .option("pathGlobFilter", glob)
       .parquet(dir)
 
+  /** Full streaming admission — `corpus_clean` in continuous form: each
+    * micro-batch is (1) language/quality filtered (map-only, the same
+    * expressions the batch query uses), (2) near-dup gated against the
+    * corpus index (anti-join on the verified [[matches]]), and appended
+    * to the admitted parquet store. Runs in `foreachBatch` — the
+    * production shape for a multi-step gate, since the anti-join and the
+    * per-batch distinct are batch operations (at-least-once append; the
+    * downstream exact-dedup pass absorbs a replayed batch, or swap the
+    * sink body for an idempotent writer keyed on batchId). */
+  def startAdmission(
+      spark: SparkSession,
+      dir: String,
+      corpusBanded: DataFrame,
+      corpusHashes: DataFrame,
+      storePath: String,
+      checkpointPath: String,
+      lang: String = "en",
+      minQuality: Double = 0.45,
+      threshold: Double = 0.5): StreamingQuery =
+    readDocs(spark, dir)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val scored = batch.repartition(col("doc_id"))
+          .withColumn("__toks", TextOps.tokens(col("text")))
+          .withColumn("__votes", TextOps.langVotes(col("__toks")))
+          .select(col("doc_id"), col("text"),
+            TextOps.langFromVotes(col("__votes")).as("__lang"),
+            TextOps.qualityScoreFromTokens(col("text"), col("__toks")).as("__q"))
+          .where(col("__lang") === lang && col("__q") >= minQuality)
+        val dups = matches(batch, corpusBanded, corpusHashes, threshold = threshold)
+          .select("doc_id").distinct()
+        scored.join(dups, Seq("doc_id"), "left_anti")
+          .select("doc_id", "text")
+          .write.mode("append").parquet(storePath)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Stream the gate into a memory sink for testing (match rows, possibly
     * repeated across bands — consumers dedupe, like every other reader of
-    * [[matches]]). Production sinks swap this for `foreachBatch` writing
-    * the admitted/rejected stores with a per-batch `.distinct()`. */
+    * [[matches]]). Production sinks swap this for [[startAdmission]]. */
   def startToMemory(
       spark: SparkSession,
       dir: String,

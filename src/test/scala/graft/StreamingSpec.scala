@@ -189,4 +189,29 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.contains((100L, 0L)) && streamed.contains((101L, 0L)))
     assert(!streamed.exists(_._1 == 102L), "novel doc must pass the gate unmatched")
   }
+
+  test("streaming admission: quality + language + near-dup gates compose end-to-end") {
+    import graft.streaming.DocIngest
+    val base = "the quick brown fox jumps over the lazy dog and it is " +
+      "a fine day in the old house of the hill it is warm and the fire is lit"
+    val corpus = Seq((0L, base)).toDF("doc_id", "text")
+    val incoming = Seq(
+      (100L, base.replace("lazy", "sleepy")), // near-dup → rejected
+      (101L, "it is the best of the days and the worst of the days to be " +
+        "in a house of fire and it is a fine day in the hills"), // novel en → admitted
+      (102L, "el la de que y en un es el la de que y en un es el la de " +
+        "que y en un es la casa es grande y el sol es")) // Spanish → rejected
+    val root = java.nio.file.Files.createTempDirectory("graft_admit")
+    val inDir = s"$root/in"
+    incoming.toDF("doc_id", "text").write.mode("overwrite").parquet(inDir)
+
+    val (banded, hashes) = DocIngest.corpusIndex(corpus)
+    val store = s"$root/admitted"
+    val q = DocIngest.startAdmission(spark, inDir, banded, hashes, store,
+      s"$root/ckpt", lang = "en", minQuality = 0.45, threshold = 0.4)
+    q.awaitTermination()
+    val admitted = spark.read.parquet(store).select("doc_id").as[Long].collect().toSet
+    assert(admitted === Set(101L),
+      s"expected only the novel English doc admitted, got $admitted")
+  }
 }
