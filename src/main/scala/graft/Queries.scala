@@ -242,6 +242,18 @@ object Queries {
         .select(col("query_id"), col("id").as("vec_id"), r4(col("distance")).as("distance"))
     }),
 
+    // extension: sign-LSH (random-hyperplane) bucketed ANN — the LSH
+    // alternative to the IVF scale path: map-only bucketing (no index
+    // build), multi-probe within Hamming 1 of the query's bucket.
+    // Hyperplanes derive deterministically from dataset rows, so the
+    // whole path is exact-oracle-checkable.
+    "ann_lsh_query" -> ((s, dir) => {
+      val r = recs(s, dir)
+      val planes = operators.SignLsh.planesFrom(r, nbits = 6)
+      knnOut(operators.SignLsh.query(r, planes, qvec0(s, dir), k = 10,
+        hamming = 1, Metric.Cosine))
+    }),
+
     // extension: brute-force batch ANN (baseline for the IVF scale path)
     "ann_topk_batch" -> ((s, dir) => {
       val q = recs(s, dir).where(col("id") < 5)
@@ -586,6 +598,26 @@ object Queries {
          |  WHERE e.label >= 3),
          |r AS (SELECT query_id, vec_id, dist, row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, vec_id ASC) AS rn FROM cand)
          |SELECT query_id, vec_id, ${sqlR4("dist")} AS distance FROM r WHERE rn <= 5 ORDER BY query_id, dist, vec_id""".stripMargin,
+
+    "ann_lsh_query" ->
+      s"""WITH pr AS (
+         |  SELECT a.vec_id AS i, list_transform(list_zip(a.embedding, b.embedding),
+         |    p -> CAST(p[1] AS REAL) - CAST(p[2] AS REAL)) AS h
+         |  FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 6
+         |  WHERE a.vec_id < 6),
+         |bk AS (
+         |  SELECT e.vec_id, CAST(sum(CASE WHEN ${sqlDot("e.embedding", "pr.h")} > 0
+         |    THEN (CAST(1 AS BIGINT) << CAST(pr.i AS INT)) ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM embeddings e CROSS JOIN pr GROUP BY e.vec_id),
+         |qb AS (SELECT bucket FROM bk WHERE vec_id = 0),
+         |q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+         |cand AS (
+         |  SELECT e.vec_id, e.embedding FROM embeddings e JOIN bk ON e.vec_id = bk.vec_id, qb
+         |  WHERE list_contains(list_transform([0, 1, 2, 4, 8, 16, 32],
+         |    m -> xor(qb.bucket, CAST(m AS BIGINT))), bk.bucket))
+         |SELECT c.vec_id AS vec_id, ${sqlR4(sqlCosDist("c.embedding", "q.qvec"))} AS distance
+         |FROM cand c, q
+         |ORDER BY ${sqlCosDist("c.embedding", "q.qvec")} ASC, c.vec_id ASC LIMIT 10""".stripMargin,
 
     "ann_topk_batch" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 5),

@@ -1,0 +1,85 @@
+package graft.operators
+
+import graft.functions.NativeExprs
+import graft.types.Metric
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Sign-LSH (random-hyperplane) bucketed ANN — the LSH alternative to the
+  * IVF scale path ([[IvfIndex]]): each vector hashes to an `nbits`-bit
+  * bucket by the SIGN of its dot product with `nbits` hyperplanes
+  * (Charikar's SimHash for angular distance, applied to embeddings);
+  * a query searches its own bucket plus all buckets within Hamming
+  * distance `hamming` (standard multi-probe).
+  *
+  * Everything is declarative and map-only until the final top-k:
+  * bucketing is one projection over broadcast plane vectors (no shuffle,
+  * no index build — the advantage over IVF's k-means fit), and the probe
+  * is a broadcast semi-join of a ≤ C(nbits, ≤hamming)-row bucket list
+  * against the table. At 100 TB the bucketed table is written
+  * `partitionBy("bucket")` exactly like the IVF posting lists, and the
+  * probe prunes partitions.
+  *
+  * Hyperplanes are DIFFERENCES of dataset rows (`e_i − e_{i+nbits}`):
+  * deterministic, oracle-reproducible in SQL, and zero-centered even when
+  * raw components are not (a raw data row as a plane would put every
+  * vector of an all-positive corpus on the same side). A production
+  * deployment with a seeded Gaussian generator is a drop-in swap for
+  * [[planesFrom]].
+  */
+object SignLsh {
+
+  /** `nbits` hyperplanes from the first `2·nbits` rows of `records`
+    * (ordered by `id`): plane i = e_i − e_{i+nbits}. Driver-held — tiny
+    * (nbits × dim floats), like the centroid cache. */
+  def planesFrom(records: DataFrame, nbits: Int): Seq[Seq[Float]] = {
+    val rows = records.orderBy(col("id")).limit(2 * nbits)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0))
+    require(rows.length == 2 * nbits, s"need ${2 * nbits} rows for $nbits planes")
+    (0 until nbits).map(i => rows(i).zip(rows(i + nbits)).map { case (a, b) => a - b })
+  }
+
+  /** Bucket id of a vector column: bit i set iff dot(e, plane_i) > 0. */
+  def bucketId(e: Column, planes: Seq[Seq[Float]]): Column =
+    planes.zipWithIndex.map { case (h, i) =>
+      val plane = typedlit(h)
+      when(NativeExprs.dot(e, plane) > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Records with their bucket column — write `partitionBy("bucket")` for
+    * the pruned-scan layout. */
+  def bucketize(records: DataFrame, planes: Seq[Seq[Float]]): DataFrame =
+    records.withColumn("bucket", bucketId(col("embedding"), planes))
+
+  /** All XOR masks with at most `hamming` of `nbits` bits set — the
+    * multi-probe neighborhood. Constant-sized (derived from parameters,
+    * not data): C(nbits, ≤hamming) masks. */
+  private[operators] def probeMasks(nbits: Int, hamming: Int): Seq[Long] =
+    (0L until (1L << nbits)).filter(java.lang.Long.bitCount(_) <= hamming)
+
+  /** Multi-probe bucketed ANN: top-`k` by `metric` among the records
+    * whose bucket is within Hamming distance `hamming` of the query's
+    * bucket. `query` is a 1-row (qvec) frame, like [[Knn.search]]. */
+  def query(
+      records: DataFrame,
+      planes: Seq[Seq[Float]],
+      query: DataFrame,
+      k: Int,
+      hamming: Int = 1,
+      metric: Metric = Metric.Cosine): DataFrame = {
+    val nbits = planes.length
+    val masks = probeMasks(nbits, hamming)
+    // ≤ C(nbits, ≤hamming) probe buckets: qbucket ⊕ mask, built by
+    // exploding a constant mask array over the 1-row query frame
+    val probed = query
+      .withColumn("__qb", bucketId(col("qvec"), planes))
+      .select(col("qvec"),
+        explode(typedlit(masks)).as("__mask"),
+        col("__qb"))
+      .select(col("qvec"), (col("__qb").bitwiseXOR(col("__mask"))).as("bucket"))
+    val candidates = bucketize(records, planes)
+      .join(broadcast(probed.select("bucket")), Seq("bucket"), "left_semi")
+    Knn.search(candidates, query, k, metric)
+  }
+}

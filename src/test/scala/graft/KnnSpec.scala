@@ -62,4 +62,28 @@ class KnnSpec extends SparkSpec {
     assert(got(100L).map(_._2).toSet === Set(99L, 100L, 101L))
     assert(got(900L).map(_._2).toSet === Set(899L, 900L, 901L))
   }
+
+  test("sign-LSH: buckets partition the table; full-Hamming probe equals exact kNN") {
+    import graft.operators.SignLsh
+    // random vectors — the constant-vector fixture degenerates sign-LSH
+    val rnd = new scala.util.Random(5)
+    val rrecs = (0 until 500).map(i =>
+      (i.toLong, Seq.fill(dim)(rnd.nextFloat() * 2 - 1), Map.empty[String, String]))
+      .toDF("id", "embedding", "metadata").cache()
+    val planes = SignLsh.planesFrom(rrecs, nbits = 4)
+    val bucketed = SignLsh.bucketize(rrecs, planes)
+    assert(bucketed.count() === 500) // total preserved
+    assert(bucketed.select("bucket").distinct().count() <= 16)
+    val q = rrecs.where(col("id") === 3).select(col("embedding").as("qvec"))
+    // hamming = nbits probes every bucket ⇒ must equal brute force
+    val all = SignLsh.query(rrecs, planes, q, 10, hamming = 4, Metric.Cosine)
+      .select("id").as[Long].collect().toSeq
+    val exact = Knn.search(rrecs, q, 10, Metric.Cosine)
+      .select("id").as[Long].collect().toSeq
+    assert(all === exact)
+    // single-probe always finds the query's own record (same bucket)
+    val own = SignLsh.query(rrecs, planes, q, 5, hamming = 0, Metric.Cosine)
+      .select("id").as[Long].collect()
+    assert(own.contains(3L))
+  }
 }
