@@ -214,7 +214,13 @@ object Dedup {
       maxHamming: Int = 8,
       maxBucket: Int = Int.MaxValue): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 60, "maxHamming must be in [0, 60)")
+    // Persist the (doc_id, simhash) frame — 2 longs per doc — so the band
+    // self-join's two legs read the cache instead of each re-running the
+    // tokenize + fingerprint kernels over the corpus (audited: unpersisted,
+    // the physical plan showed two full parquet-scan+kernel pipelines).
+    // Lifecycle: lives with the returned lazy plan, like minhashLsh's sig.
     val sh = simhash(docs).select(col("doc_id"), col("simhash"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bandKeys = simhashBandLayout(maxHamming + 1).map { case (off, w) =>
       shiftright(col("simhash"), off).bitwiseAND(lit((1L << w) - 1))
     }
