@@ -60,26 +60,60 @@ object SignLsh {
 
   /** Multi-probe bucketed ANN: top-`k` by `metric` among the records
     * whose bucket is within Hamming distance `hamming` of the query's
-    * bucket. `query` is a 1-row (qvec) frame, like [[Knn.search]]. */
+    * bucket. `query` is a 1-row (qvec) frame; `radius`/`filter` compose
+    * like [[Knn.search]] / [[IvfIndex.query]]. */
   def query(
       records: DataFrame,
       planes: Seq[Seq[Float]],
       query: DataFrame,
       k: Int,
       hamming: Int = 1,
-      metric: Metric = Metric.Cosine): DataFrame = {
-    val nbits = planes.length
-    val masks = probeMasks(nbits, hamming)
+      metric: Metric = Metric.Cosine,
+      radius: Double = Double.PositiveInfinity,
+      filter: Column = lit(true)): DataFrame = {
+    val masks = probeMasks(planes.length, hamming)
     // ≤ C(nbits, ≤hamming) probe buckets: qbucket ⊕ mask, built by
     // exploding a constant mask array over the 1-row query frame
     val probed = query
       .withColumn("__qb", bucketId(col("qvec"), planes))
-      .select(col("qvec"),
-        explode(typedlit(masks)).as("__mask"),
-        col("__qb"))
-      .select(col("qvec"), (col("__qb").bitwiseXOR(col("__mask"))).as("bucket"))
+      .select(explode(typedlit(masks)).as("__mask"), col("__qb"))
+      .select((col("__qb").bitwiseXOR(col("__mask"))).as("bucket"))
     val candidates = bucketize(records, planes)
-      .join(broadcast(probed.select("bucket")), Seq("bucket"), "left_semi")
-    Knn.search(candidates, query, k, metric)
+      .join(broadcast(probed), Seq("bucket"), "left_semi")
+    Knn.search(candidates, query, k, metric, radius, filter)
+  }
+
+  /** Batch multi-probe ANN: every query pruned to its own Hamming
+    * neighborhood — the LSH twin of [[IvfIndex.queryBatch]]. The probe
+    * frame is |queries| × C(nbits, ≤hamming) rows (query_id, bucket,
+    * qvec), broadcast against the bucketized table so each record meets
+    * only the queries probing its bucket; per-query two-phase top-k via
+    * [[Knn.topKPerQuery]] (no ranking window over the data). */
+  def queryBatch(
+      records: DataFrame,
+      planes: Seq[Seq[Float]],
+      queries: DataFrame,
+      k: Int,
+      hamming: Int = 1,
+      metric: Metric = Metric.Cosine,
+      radius: Double = Double.PositiveInfinity,
+      filter: Column = lit(true)): DataFrame = {
+    require(k > 0, "k must be positive")
+    val masks = probeMasks(planes.length, hamming)
+    val probed = queries
+      .withColumn("__qb", bucketId(col("qvec"), planes))
+      .select(col("query_id"), col("qvec"),
+        explode(typedlit(masks)).as("__mask"), col("__qb"))
+      .select(col("query_id"), col("qvec"),
+        (col("__qb").bitwiseXOR(col("__mask"))).as("bucket"))
+    val bucketed = bucketize(records, planes)
+    val dist = metric.distance(col("embedding"), col("qvec"))
+    val candidates = bucketed
+      .join(broadcast(probed), Seq("bucket"))
+      .withColumn("distance", dist)
+      .where(!isnan(col("distance")) && col("distance") <= lit(radius))
+      .where(filter)
+      .select(col("query_id"), col("distance"), col("id"))
+    Knn.topKPerQuery(candidates, records, k)
   }
 }

@@ -85,5 +85,13 @@ class KnnSpec extends SparkSpec {
     val own = SignLsh.query(rrecs, planes, q, 5, hamming = 0, Metric.Cosine)
       .select("id").as[Long].collect()
     assert(own.contains(3L))
+    // batch twin at full Hamming equals brute-force searchBatch
+    val qs = rrecs.where(col("id") < 3)
+      .select(col("id").as("query_id"), col("embedding").as("qvec"))
+    val gotB = SignLsh.queryBatch(rrecs, planes, qs, 5, hamming = 4, Metric.Cosine)
+      .select("query_id", "id", "distance").as[(Long, Long, Double)].collect().toSet
+    val wantB = Knn.searchBatch(rrecs, qs, 5, Metric.Cosine)
+      .select("query_id", "id", "distance").as[(Long, Long, Double)].collect().toSet
+    assert(gotB === wantB)
   }
 }
