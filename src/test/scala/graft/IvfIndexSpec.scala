@@ -153,6 +153,20 @@ class IvfIndexSpec extends SparkSpec {
     assert(m.assigned.count() === 200)
   }
 
+  test("balanced build: density restored past a tiny kMax; probe query still exact at full probes") {
+    val m = IvfIndex.buildBalanced(records, density = 64, Metric.Euclidean, seed = 42L, kMax = 4)
+    val sizes = m.assigned.groupBy("cluster_id").count().as[(Int, Long)].collect()
+    assert(sizes.map(_._2).sum === 1000L)
+    assert(sizes.map(_._2).max <= 64L, s"max=${sizes.map(_._2).max}")
+    assert(sizes.length > 4)
+    // the refined index answers queries exactly when every cluster is probed
+    val q = records.where(col("id") === 7).select(col("embedding").as("qvec"))
+    val exact = Knn.search(records, q, 10, Metric.Euclidean).select("id").as[Long].collect().toSeq
+    val probedAll = IvfIndex.query(m, q, 10, probes = sizes.length, Metric.Euclidean)
+      .select("id").as[Long].collect().toSeq
+    assert(probedAll === exact)
+  }
+
   test("mixed split set: only splittable clusters append; degenerate keeps its id") {
     val rnd = new scala.util.Random(11)
     // cluster 0: identical (degenerate); cluster 1: well-separated spread
