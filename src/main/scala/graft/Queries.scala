@@ -326,27 +326,30 @@ object Queries {
         .orderBy("id_a", "id_b")
     }),
 
-    // extension: stopword-heuristic language ID. Tokens and votes are
-    // materialized as attributes so the interpreted HOFs run once per row;
-    // repartition spreads the CPU of a single-file input.
+    // extension: stopword-heuristic language ID. Tokens and the fused
+    // stats are materialized as attributes so each kernel runs once per
+    // row; repartition spreads the CPU of a single-file input.
     "lang_id" -> ((s, dir) =>
       docs(s, dir)
         .repartition(col("doc_id"))
         .withColumn("__toks", TextOps.tokens(col("text")))
-        .withColumn("__votes", TextOps.langVotes(col("__toks")))
-        .select(col("doc_id"), TextOps.langFromVotes(col("__votes")).as("lang_pred"))
+        .withColumn("__stats", TextOps.tokenStats(col("__toks")))
+        .select(col("doc_id"),
+          TextOps.langFromVotes(col("__stats.votes")).as("lang_pred"))
         .orderBy("doc_id")),
 
-    // extension: token counting + quality scoring (tokens materialized once)
+    // extension: token counting + quality scoring (tokens + fused stats
+    // materialized once)
     "text_stats" -> ((s, dir) =>
       docs(s, dir)
         .repartition(col("doc_id"))
         .withColumn("__toks", TextOps.tokens(col("text")))
+        .withColumn("__stats", TextOps.tokenStats(col("__toks")))
         .select(
           col("doc_id"),
           size(col("__toks")).cast("long").as("n_tokens"),
           TextOps.bpeTokenCount(col("text")).cast("long").as("n_bpe_tokens"),
-          r4(TextOps.qualityScoreFromTokens(col("text"), col("__toks"))).as("quality"))
+          r4(TextOps.qualityFromStats(col("text"), col("__toks"), col("__stats"))).as("quality"))
         .orderBy("doc_id")),
 
     // extension: md5 + rolling-window document fingerprints
@@ -435,13 +438,13 @@ object Queries {
     "corpus_clean" -> ((s, dir) => {
       val d = docs(s, dir).repartition(col("doc_id"))
         .withColumn("__toks", TextOps.tokens(col("text")))
-        // votes MUST be its own projection level: langFromVotes reads its
-        // argument once per language, so an inline langVotes(...) would
-        // re-run the whole vote aggregate ~5× per row (TextOps.langId note)
-        .withColumn("__votes", TextOps.langVotes(col("__toks")))
+        // stats MUST be its own projection level: langFromVotes reads its
+        // argument once per language, so inlining the stats kernel would
+        // re-run it several times per row (TextOps.langId note)
+        .withColumn("__stats", TextOps.tokenStats(col("__toks")))
         .select(col("doc_id"), sha2(col("text"), 256).as("__h"),
-          TextOps.langFromVotes(col("__votes")).as("__lang"),
-          TextOps.qualityScoreFromTokens(col("text"), col("__toks")).as("__q"))
+          TextOps.langFromVotes(col("__stats.votes")).as("__lang"),
+          TextOps.qualityFromStats(col("text"), col("__toks"), col("__stats")).as("__q"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val kept = d.groupBy(col("__h")).agg(min(col("doc_id")).as("doc_id"))
         .select("doc_id")

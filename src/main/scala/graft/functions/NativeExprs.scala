@@ -370,6 +370,63 @@ object NativeExprs {
 
   def shingleHashes(shingles: Column): Column = asCol(ShingleHashesExpr(ex(shingles)))
 
+  /** Fused per-token statistics over a token array — one compiled pass
+    * replacing three interpreted HOF traversals:
+    *   - `votes`: per-language stopword hit counts, aligned with
+    *     `langWords` order — twin of the `aggregate`+`zip_with` vote fold
+    *     over the stopword→increment-vector map;
+    *   - `stop_hits`: tokens present in ANY language's list — twin of
+    *     `size(filter(t, tok -> array_contains(allStop, tok)))`;
+    *   - `len_sum`: Σ `length(tok)` in CODE POINTS (Spark `length`
+    *     semantics) — twin of the `aggregate` length sum (long-exact, so
+    *     any summation order equals the double fold).
+    * One hash lookup per token; the language inventories are constructor
+    * data, so the expression stays deterministic and foldable. */
+  case class TokenStatsExpr(child: Expression, langWords: Seq[Seq[String]])
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StructType(Seq(
+      StructField("votes", ArrayType(IntegerType, containsNull = false), nullable = false),
+      StructField("stop_hits", LongType, nullable = false),
+      StructField("len_sum", LongType, nullable = false)))
+    override def nullable: Boolean = child.nullable
+    @transient private lazy val voteMap: java.util.HashMap[UTF8String, Array[Int]] = {
+      val m = new java.util.HashMap[UTF8String, Array[Int]]()
+      val words = langWords.flatten.distinct
+      words.foreach { w =>
+        m.put(UTF8String.fromString(w),
+          langWords.map(ws => if (ws.contains(w)) 1 else 0).toArray)
+      }
+      m
+    }
+    override def eval(input: InternalRow): Any = {
+      val arr = child.eval(input).asInstanceOf[ArrayData]
+      if (arr == null) return null
+      val votes = new Array[Int](langWords.size)
+      var stopHits = 0L
+      var lenSum = 0L
+      val n = arr.numElements()
+      var i = 0
+      while (i < n) {
+        val tok = arr.getUTF8String(i)
+        lenSum += tok.numChars()
+        val v = voteMap.get(tok)
+        if (v != null) {
+          stopHits += 1L
+          var j = 0
+          while (j < v.length) { votes(j) += v(j); j += 1 }
+        }
+        i += 1
+      }
+      InternalRow(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(votes),
+        stopHits, lenSum)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  def tokenStats(tokens: Column, langWords: Seq[Seq[String]]): Column =
+    asCol(TokenStatsExpr(ex(tokens), langWords))
+
   /** Winnowing fingerprint: lexicographic minimum of `md5(substr(text, i,
     * window))` over every window start (`i = 1 .. max(len-window+1, 1)`) —
     * compiled twin of the `transform(sequence(...), i -> md5(substr))` +

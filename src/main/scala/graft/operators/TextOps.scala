@@ -98,12 +98,23 @@ object TextOps {
   /** Per-language stopword hit counts (repeats included) over a
     * MATERIALIZED token attribute — single traversal, one map lookup per
     * token, versus one filter pass per language. Returns an array aligned
-    * with [[StopwordsByLang]] order. */
+    * with [[StopwordsByLang]] order. Interpreted HOF form — the oracle
+    * mirror; hot paths use [[tokenStats]]`.votes` (bit-identical, native,
+    * and fused with the quality counters). */
   def langVotes(t: Column): Column = {
     val zeros = array_repeat(lit(0), StopwordsByLang.size)
     aggregate(t, zeros, (acc, tok) =>
       zip_with(acc, coalesce(element_at(stopwordVoteMap, tok), zeros), (a, b) => a + b))
   }
+
+  /** Fused per-token statistics — `struct(votes, stop_hits, len_sum)` in
+    * ONE native pass ([[graft.functions.NativeExprs.TokenStatsExpr]]):
+    * the language votes, the any-language stopword count, and the
+    * code-point length sum that [[langFromVotes]] and [[qualityFromStats]]
+    * consume. Hot paths materialize this as an attribute; the three HOF
+    * twins it replaces each re-traversed the token array interpreted. */
+  def tokenStats(t: Column): Column =
+    graft.functions.NativeExprs.tokenStats(t, StopwordsByLang.map(_._2))
 
   /** Argmax over a MATERIALIZED [[langVotes]] attribute: highest count
     * wins, ties break by [[StopwordsByLang]] order; all-zero → "und". */
@@ -137,18 +148,32 @@ object TextOps {
 
   /** [[qualityScore]] with an already-materialized token column — the
     * token expression is referenced three times (count, stopword hits,
-    * mean length), so hot paths pass the attribute to tokenize once. */
+    * mean length), so hot paths pass the attribute to tokenize once.
+    * Interpreted HOF form — the oracle mirror; hot paths use
+    * [[qualityFromStats]] over a materialized [[tokenStats]] attribute. */
   def qualityScoreFromTokens(text: Column, t: Column): Column = {
     val nTok = size(t).cast("double")
+    val allStop = array(StopwordsByLang.flatMap(_._2).distinct.map(lit): _*)
+    val stopHits = size(filter(t, tok => array_contains(allStop, tok))).cast("double")
+    val lenSum = aggregate(t, lit(0.0), (acc, x) => acc + length(x).cast("double"))
+    qualityFormula(text, nTok, stopHits, lenSum)
+  }
+
+  /** The quality formula over a materialized [[tokenStats]] attribute —
+    * same arithmetic as [[qualityScoreFromTokens]] (the counters are
+    * integer-exact in both forms, so the doubles divide identically). */
+  def qualityFromStats(text: Column, t: Column, stats: Column): Column =
+    qualityFormula(text, size(t).cast("double"),
+      stats.getField("stop_hits").cast("double"),
+      stats.getField("len_sum").cast("double"))
+
+  private def qualityFormula(
+      text: Column, nTok: Column, stopHits: Column, lenSum: Column): Column = {
     val nChars = length(text).cast("double")
     val punct = length(regexp_replace(lower(text), "[a-z0-9\\s]", "")).cast("double")
     val punctRatio = when(nChars > 0, punct / nChars).otherwise(lit(0.0))
-    val allStop = array(StopwordsByLang.flatMap(_._2).distinct.map(lit): _*)
-    val stopHits = size(filter(t, tok => array_contains(allStop, tok))).cast("double")
     val stopRatio = when(nTok > 0, stopHits / nTok).otherwise(lit(0.0))
-    val avgTokLen = when(nTok > 0,
-      aggregate(t, lit(0.0), (acc, x) => acc + length(x).cast("double")) / nTok)
-      .otherwise(lit(0.0))
+    val avgTokLen = when(nTok > 0, lenSum / nTok).otherwise(lit(0.0))
     val raw = lit(0.2) + lit(0.5) * stopRatio + lit(0.05) * avgTokLen - punctRatio
     least(lit(1.0), greatest(lit(0.0), raw))
   }

@@ -112,10 +112,10 @@ object DocIngest {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val scored = batch.repartition(col("doc_id"))
           .withColumn("__toks", TextOps.tokens(col("text")))
-          .withColumn("__votes", TextOps.langVotes(col("__toks")))
+          .withColumn("__stats", TextOps.tokenStats(col("__toks")))
           .select(col("doc_id"), col("text"),
-            TextOps.langFromVotes(col("__votes")).as("__lang"),
-            TextOps.qualityScoreFromTokens(col("text"), col("__toks")).as("__q"))
+            TextOps.langFromVotes(col("__stats.votes")).as("__lang"),
+            TextOps.qualityFromStats(col("text"), col("__toks"), col("__stats")).as("__q"))
           .where(col("__lang") === lang && col("__q") >= minQuality)
         val dups = matches(batch, corpusBanded, corpusHashes, threshold = threshold)
           .select("doc_id").distinct()

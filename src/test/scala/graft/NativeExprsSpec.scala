@@ -205,6 +205,22 @@ class NativeExprsSpec extends SparkSpec {
     assertSame(fused.getField("shh"), NativeExprs.shingleHashes(col("__sh")), withSh)
   }
 
+  test("tokenStats == (langVotes, stopword-filter count, length-sum) HOF twins") {
+    import graft.operators.TextOps
+    val withT = docsDf.withColumn("__t", hofTokens(col("text")))
+    val stats = NativeExprs.tokenStats(col("__t"), TextOps.StopwordsByLang.map(_._2))
+    assertSame(stats.getField("votes"), TextOps.langVotes(col("__t")), withT)
+    val allStop = array(TextOps.StopwordsByLang.flatMap(_._2).distinct.map(lit): _*)
+    assertSame(stats.getField("stop_hits"),
+      size(filter(col("__t"), tok => array_contains(allStop, tok))).cast("long"), withT)
+    assertSame(stats.getField("len_sum").cast("double"),
+      aggregate(col("__t"), lit(0.0), (acc, x) => acc + length(x).cast("double")), withT)
+    // and the full composed quality formula agrees with the HOF form
+    assertSame(
+      TextOps.qualityFromStats(col("text"), col("__t"), stats),
+      TextOps.qualityScoreFromTokens(col("text"), col("__t")), withT)
+  }
+
   test("VectorMeanAgg == posexplode + avg-per-dimension twin") {
     val rows = (0 until 200).map(i => (i % 5L, randVec(16)))
     val df = rows.toDF("g", "v")
