@@ -34,6 +34,10 @@ object SqlFunctions {
       NativeExprs.MinhashSigHashesExpr(es(0), intLit(es(1), "perms"))),
     "graft_md5_min_window" -> (es =>
       NativeExprs.Md5MinWindowExpr(es(0), intLit(es(1), "window"))),
+    // token statistics bound to the library's language inventories
+    "graft_token_stats" -> (es =>
+      NativeExprs.TokenStatsExpr(es(0),
+        graft.operators.TextOps.StopwordsByLang.map(_._2))),
     // aggregates: the analyzer wraps a raw AggregateFunction returned by a
     // registry builder into an AggregateExpression, same as the built-ins
     "graft_vector_mean" -> (es => VectorMeanAgg(es(0))),

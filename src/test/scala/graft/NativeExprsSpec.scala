@@ -137,13 +137,15 @@ class NativeExprsSpec extends SparkSpec {
         |  graft_simhash60(graft_tokens('hello world hello')) AS sh,
         |  graft_md5_min_window('hello world', 8) AS fp,
         |  size(graft_shingles(graft_tokens('a b c d'), 3)) AS nsh,
-        |  size(graft_minhash_sig(graft_shingles(graft_tokens('a b c d'), 3), 16)) AS nsig
+        |  size(graft_minhash_sig(graft_shingles(graft_tokens('a b c d'), 3), 16)) AS nsig,
+        |  graft_token_stats(graft_tokens('the la of und zzz')).stop_hits AS nstop
         |""".stripMargin).head()
     assert(row.getDouble(0) === 27.0) // reference metric golden
     assert(row.getLong(1) !== 0L)
     assert(row.getString(2).length === 32)
     assert(row.getInt(3) === 2)
     assert(row.getInt(4) === 16)
+    assert(row.getLong(5) === 4L) // 'zzz' is the only non-stopword
   }
 
   test("SQL surface: registered AGGREGATES usable from spark.sql") {
