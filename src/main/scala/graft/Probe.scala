@@ -44,7 +44,7 @@ object Probe {
     var go = true
     while (go && round < 32) {
       t(s"round-$round plan") {
-        IvfIndex.refineKeepCache(m, 64, Metric.Euclidean, 2)
+        IvfIndex.splitKWayKeepCache(m, 64, Metric.Euclidean, 5, IvfIndex.DefaultMaxWay)
       } match {
         case None => go = false
         case Some((refined, members)) =>

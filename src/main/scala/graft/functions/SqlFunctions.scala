@@ -18,6 +18,17 @@ object SqlFunctions {
       throw new IllegalArgumentException(s"$what must be an integer literal, got: $other")
   }
 
+  /** `perms` bound shared with [[graft.operators.Dedup.minhashSignature]]:
+    * the Kirsch-Mitzenmacher derived hash `h1 + p·h2` over 56-bit halves
+    * only stays inside a signed long for perms ≤ 16 — larger values
+    * silently overflow and corrupt signatures. */
+  private def permsLit(e: Expression): Int = {
+    val p = intLit(e, "perms")
+    require(p >= 1 && p <= 16,
+      s"perms must be in [1, 16] (larger overflows the derived-hash long), got $p")
+    p
+  }
+
   /** (name, builder) for every SQL-exposed kernel. */
   val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_sq_euclidean" -> (es => NativeExprs.SqEuclideanExpr(es(0), es(1))),
@@ -29,9 +40,9 @@ object SqlFunctions {
       NativeExprs.ShinglesExpr(es(0), intLit(es(1), "shingle width"))),
     "graft_shingle_hashes" -> (es => NativeExprs.ShingleHashesExpr(es(0))),
     "graft_minhash_sig" -> (es =>
-      NativeExprs.MinhashSigExpr(es(0), intLit(es(1), "perms"))),
+      NativeExprs.MinhashSigExpr(es(0), permsLit(es(1)))),
     "graft_minhash_sig_hashes" -> (es =>
-      NativeExprs.MinhashSigHashesExpr(es(0), intLit(es(1), "perms"))),
+      NativeExprs.MinhashSigHashesExpr(es(0), permsLit(es(1)))),
     "graft_md5_min_window" -> (es =>
       NativeExprs.Md5MinWindowExpr(es(0), intLit(es(1), "window"))),
     // token statistics bound to the library's language inventories

@@ -255,18 +255,6 @@ object IvfIndex {
         refined
     }
 
-  /** [[refine]] variant for callers that materialize the result EAGERLY
-    * (e.g. [[buildBalanced]]'s per-round checkpoint): the oversized-member
-    * cache stays alive so the materialization reads it instead of
-    * recomputing the semi-join; the caller unpersists via the returned
-    * handle afterwards. Returns None when nothing is splittable. */
-  private[graft] def refineKeepCache(
-      model: Model,
-      density: Int,
-      metric: Metric,
-      iters: Int): Option[(Model, DataFrame)] =
-    refineImpl(model, density, metric, iters)
-
   private def refineImpl(
       model: Model,
       density: Int,
@@ -408,20 +396,190 @@ object IvfIndex {
     Some((Model(newCentroids, newAssigned), members))
   }
 
-  /** Default bound on [[buildBalanced]]'s refine rounds: each round halves
-    * the worst oversized cluster (2-means), so 32 rounds cover a 2^32×
-    * density violation — far beyond what `build`'s `k = ceil(n/density)`
-    * can leave behind even at the kMax cap. */
+  /** Cap on how many sub-clusters one [[splitKWay]] round creates per
+    * oversized cluster: bounds the per-row argmin fold and the packed
+    * broadcast sub-centroid row. A cluster needing more than `maxWay`
+    * pieces is split again next round — maxWay-ary instead of binary
+    * progress, so the round count is log_maxWay, not log_2. */
+  val DefaultMaxWay = 256
+
+  /** Per-cluster sub-centroid argmin — the [[assign]] fold scoped to the
+    * packed `(cluster_id, array<(sub, centroid)>)` row each member joined.
+    * Ties break to the lowest sub; NaN distances never win. */
+  private def argminSub(metric: Metric): Column =
+    aggregate(
+      col("__subs"),
+      struct(lit(-1).as("sub"), lit(Double.MaxValue).as("dist")),
+      (acc, c) => {
+        val d = metric.distance(col("embedding"), c.getField("__c"))
+        val sub = c.getField("__sub")
+        val closer = !isnan(d) &&
+          (d < acc.getField("dist") ||
+            (d === acc.getField("dist") && sub < acc.getField("sub")))
+        when(closer, struct(sub.as("sub"), d.as("dist"))).otherwise(acc)
+      }).getField("sub")
+
+  /** K-WAY batch split — [[refine]]'s multi-round 2-means collapsed into
+    * one round: every cluster over `density` splits directly into
+    * `min(ceil(n/density), maxWay)` sub-clusters via a seeded per-cluster
+    * Lloyd. [[refine]] keeps the reference's replace-and-append semantics
+    * exactly (ONE appended cluster per split, `index.rs:295-300`); this
+    * is the scale path for [[buildBalanced]], where walking from a
+    * kMax-capped coarse build down to density with binary splits costs
+    * log2(coarse/density) full assignment passes + checkpoints.
+    *
+    * Same scale shape as [[refine]]: sizes via one groupBy; seeds are the
+    * min-id member of each of k_c deterministic hash buckets (a min_by
+    * aggregate — no per-cluster window, map-side combinable); each Lloyd
+    * step joins members against the broadcast packed sub-centroids and
+    * argmin-folds ([[assign]]'s shape); means via the native vector-mean
+    * aggregate; lineage AND inherited stats truncated per step (lazy
+    * `localCheckpoint` + `PlanBridge.statsReset`, see [[refine]]). The
+    * lowest live sub keeps the old cluster id (replace), the rest append
+    * under fresh ids allocated in the one small driver materialization
+    * (bounded by the NEW cluster count — the same bound as the centroid
+    * frame itself). Degenerate clusters (one live sub — e.g. all-identical
+    * members) drop out of the split set unchanged; when nothing is
+    * splittable the input model is returned unchanged (`eq`), so
+    * fixed-point loops terminate. */
+  def splitKWay(
+      model: Model,
+      density: Int,
+      metric: Metric = Metric.Euclidean,
+      iters: Int = 5,
+      maxWay: Int = DefaultMaxWay): Model =
+    splitKWayImpl(model, density, metric, iters, maxWay) match {
+      case None => model
+      case Some((split, members)) =>
+        members.unpersist()
+        split
+    }
+
+  /** [[splitKWay]] for callers that materialize eagerly (the
+    * [[buildBalanced]] round loop): the oversized-member cache stays
+    * alive through the caller's materialization; unpersist afterwards. */
+  private[graft] def splitKWayKeepCache(
+      model: Model,
+      density: Int,
+      metric: Metric,
+      iters: Int,
+      maxWay: Int): Option[(Model, DataFrame)] =
+    splitKWayImpl(model, density, metric, iters, maxWay)
+
+  private def splitKWayImpl(
+      model: Model,
+      density: Int,
+      metric: Metric,
+      iters: Int,
+      maxWay: Int): Option[(Model, DataFrame)] = {
+    require(maxWay >= 2, s"maxWay must be at least 2, got $maxWay")
+    val assigned = model.assigned
+    val sizes = assigned.groupBy(col("cluster_id")).agg(count(lit(1)).as("__n"))
+    val targets = sizes.where(col("__n") > density)
+      .select(col("cluster_id"),
+        least(ceil(col("__n").cast("double") / density), lit(maxWay)).cast("int").as("__kc"))
+    if (targets.isEmpty) return None
+
+    val members = assigned.join(broadcast(targets), Seq("cluster_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // Seeds: the min-id member of each of k_c id-hash buckets — a
+    // deterministic pseudo-random spread in ONE map-side-combinable
+    // aggregate. An empty bucket is just a sub that never goes live.
+    val seed = members
+      .withColumn("__sub", pmod(xxhash64(col("id")), col("__kc")).cast("int"))
+      .groupBy(col("cluster_id"), col("__sub"))
+      .agg(min_by(col("embedding"), col("id")).as("__c"))
+
+    def packed(cent: DataFrame): DataFrame = cent.groupBy(col("cluster_id"))
+      .agg(collect_list(struct(col("__sub"), col("__c"))).as("__subs"))
+
+    def subAssign(cent: DataFrame): DataFrame =
+      members.join(broadcast(packed(cent)), Seq("cluster_id"))
+        .withColumn("__sub", argminSub(metric))
+        .drop("__subs")
+
+    def lloydRound(cent: DataFrame): DataFrame = {
+      val means = subAssign(cent)
+        .groupBy(col("cluster_id"), col("__sub"))
+        .agg(graft.functions.VectorMeanAgg.vectorMean(col("embedding")).as("__m"))
+      // an emptied sub keeps its previous centroid (it may re-capture
+      // members in a later step) but is marked dead: only subs live under
+      // the FINAL assignment become clusters
+      cent.join(means, Seq("cluster_id", "__sub"), "left_outer")
+        .select(col("cluster_id"), col("__sub"),
+          coalesce(col("__m"), col("__c")).as("__c"),
+          col("__m").isNotNull.as("__live"))
+    }
+
+    def truncate(df: DataFrame): DataFrame =
+      org.apache.spark.sql.graft.PlanBridge.statsReset(df.localCheckpoint(eager = false))
+
+    // centPrev = the centroids the FINAL assignment runs under; cent =
+    // the means of that assignment (each stored centroid is exactly the
+    // mean of its final members — one consistent Lloyd step, like refine).
+    var centPrev = truncate(seed)
+    var cent = centPrev.withColumn("__live", lit(true))
+    (1 to math.max(iters, 1)).foreach { _ =>
+      val base = cent.select("cluster_id", "__sub", "__c")
+      centPrev = base
+      cent = truncate(lloydRound(base))
+    }
+
+    // The one small driver materialization: live (cluster, sub) pairs of
+    // the final round — plain ints bounded by the new cluster count.
+    val live = cent.where(col("__live")).select(col("cluster_id"), col("__sub"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)))
+    val bySplit = live.groupBy(_._1).filter(_._2.length >= 2)
+    if (bySplit.isEmpty) { members.unpersist(); return None }
+    val maxId = model.centroids.agg(max(col("cluster_id"))).head().getInt(0)
+    // lowest live sub keeps the old cluster id; the rest append in
+    // deterministic (cluster_id, sub) order
+    var next = maxId
+    val mapping = bySplit.toSeq.sortBy(_._1).flatMap { case (cid, pairs) =>
+      val subs = pairs.map(_._2).sorted
+      (cid, subs.head, cid) +: subs.tail.map { s => next += 1; (cid, s, next) }
+    }
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    val mapDf = mapping.toDF("cluster_id", "__sub", "__tid")
+    val splitIdsDf = bySplit.keys.toSeq.sorted.toDF("cluster_id")
+
+    // membership under centPrev — consistent with the stored means
+    val splitAssigned = subAssign(centPrev)
+      .join(broadcast(mapDf), Seq("cluster_id", "__sub"))
+      .withColumn("cluster_id", col("__tid"))
+    val keptMembers = assigned.join(broadcast(splitIdsDf), Seq("cluster_id"), "left_anti")
+    val newAssigned = keptMembers.unionByName(
+      splitAssigned.select(keptMembers.columns.map(col): _*))
+
+    val keptCentroids = model.centroids
+      .join(broadcast(splitIdsDf), Seq("cluster_id"), "left_anti")
+    val splitCentroids = cent.where(col("__live"))
+      .join(broadcast(mapDf), Seq("cluster_id", "__sub"))
+      .select(col("__tid").as("cluster_id"), col("__c").as("centroid"))
+    val newCentroids = keptCentroids.unionByName(splitCentroids)
+
+    Some((Model(newCentroids, newAssigned), members))
+  }
+
+  /** Default bound on [[buildBalanced]]'s split rounds. With the k-way
+    * split each round multiplies the worst cluster's piece count by up to
+    * `maxWay`; 32 rounds is unreachable headroom (binary-split refine
+    * would already cover a 2^32× density violation in 32). */
   val DefaultMaxRefineRounds = 32
 
   /** Two-level build (SURVEY.md §2 O9 at any n): [[build]]'s single-level
     * k-means caps k at `kMax`, beyond which the density contract degrades
     * gracefully (bigger clusters). This composes the coarse build with the
-    * adaptive-split loop — [[refine]] until every cluster is within
+    * adaptive-split loop — [[splitKWay]] until every cluster is within
     * `density` or no split can make progress — so max-records-per-cluster
     * (`src/cores/database.rs:16-22`) holds for ANY table size: the coarse
-    * level bounds the k-means fit, the refine level restores density with
-    * per-cluster 2-means splits, each round a bounded distributed pass.
+    * level bounds the k-means fit, the split level restores density with
+    * per-cluster k-way Lloyd splits, each round one bounded distributed
+    * pass. One k-way round replaces log2(coarse/density) binary refine
+    * rounds — at kMax=4 over sf0.1 that's 2 rounds instead of ~9, each
+    * round dominated by the full-assignment checkpoint.
     *
     * Lineage AND statistics are truncated per round (`localCheckpoint` +
     * `PlanBridge.statsReset` — see [[refine]]) — the assignment frame
@@ -441,7 +599,8 @@ object IvfIndex {
       // better-balanced cuts cut ROUND count (1 step leaves seed-Voronoi
       // splits so lopsided the loop needs several more full rounds —
       // measured strictly slower end-to-end).
-      iters: Int = 5): Model = {
+      iters: Int = 5,
+      maxWay: Int = DefaultMaxWay): Model = {
     def truncate(df: DataFrame): DataFrame =
       org.apache.spark.sql.graft.PlanBridge.statsReset(df.localCheckpoint())
     // loose coarse fit (few Lloyd iterations): the split loop below
@@ -452,15 +611,15 @@ object IvfIndex {
     var rounds = 0
     var progressed = true
     while (progressed && rounds < maxRounds) {
-      refineKeepCache(m, density, metric, iters) match {
+      splitKWayKeepCache(m, density, metric, iters, maxWay) match {
         case None => progressed = false // nothing splittable: fixed point
-        case Some((refined, members)) =>
+        case Some((split, members)) =>
           // only the BIG frame needs the per-round checkpoint: the
           // centroid plan nests one (tiny, broadcast-joined) layer per
           // round — linear growth, and anti-join/union stats don't
           // multiply — so re-evaluating it stays cheap while skipping a
           // materialization job per round.
-          m = Model(refined.centroids, truncate(refined.assigned))
+          m = Model(split.centroids, truncate(split.assigned))
           members.unpersist() // checkpoint is materialized; cache done
           rounds += 1
       }

@@ -54,9 +54,15 @@ object SignLsh {
 
   /** All XOR masks with at most `hamming` of `nbits` bits set — the
     * multi-probe neighborhood. Constant-sized (derived from parameters,
-    * not data): C(nbits, ≤hamming) masks. */
-  private[operators] def probeMasks(nbits: Int, hamming: Int): Seq[Long] =
-    (0L until (1L << nbits)).filter(java.lang.Long.bitCount(_) <= hamming)
+    * not data): C(nbits, ≤hamming) masks, generated combinatorially —
+    * never an enumeration of the 2^nbits bucket space, so wide codes
+    * (nbits in the 30s-50s) stay cheap as long as the mask count itself
+    * is small. nbits ≥ 63 would overflow the long bucket id. */
+  private[operators] def probeMasks(nbits: Int, hamming: Int): Seq[Long] = {
+    require(nbits > 0 && nbits < 63, s"nbits must be in [1, 62], got $nbits")
+    (0 to math.min(hamming, nbits)).flatMap(h =>
+      (0 until nbits).combinations(h).map(_.foldLeft(0L)((m, b) => m | (1L << b))))
+  }
 
   /** Multi-probe bucketed ANN: top-`k` by `metric` among the records
     * whose bucket is within Hamming distance `hamming` of the query's

@@ -104,6 +104,12 @@ object DocIngest {
       checkpointPath: String,
       lang: String = "en",
       minQuality: Double = 0.45,
+      // MUST match the parameters [[corpusIndex]] was built with — a
+      // mismatched shingleN/perms/bands silently yields zero band-hash
+      // matches, disabling the gate
+      shingleN: Int = 3,
+      perms: Int = 16,
+      bands: Int = 4,
       threshold: Double = 0.5): StreamingQuery =
     readDocs(spark, dir)
       .writeStream
@@ -117,7 +123,8 @@ object DocIngest {
             TextOps.langFromVotes(col("__stats.votes")).as("__lang"),
             TextOps.qualityFromStats(col("text"), col("__toks"), col("__stats")).as("__q"))
           .where(col("__lang") === lang && col("__q") >= minQuality)
-        val dups = matches(batch, corpusBanded, corpusHashes, threshold = threshold)
+        val dups = matches(batch, corpusBanded, corpusHashes,
+          shingleN = shingleN, perms = perms, bands = bands, threshold = threshold)
           .select("doc_id").distinct()
         scored.join(dups, Seq("doc_id"), "left_anti")
           .select("doc_id", "text")
