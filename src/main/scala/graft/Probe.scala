@@ -17,6 +17,7 @@ object Probe {
     if (name == "ivfprof") { ivfProfile(spark, dir); spark.stop(); return }
     if (name == "mhprof") { minhashProfile(spark, dir); spark.stop(); return }
     if (name == "balprof") { balancedProfile(spark, dir); spark.stop(); return }
+    if (name == "ccprof") { corpusCleanProfile(spark, dir); spark.stop(); return }
     val df = SparkEntry.queries(name)(spark, dir)
     df.explain("formatted")
     (1 to 2).foreach { i =>
@@ -37,6 +38,19 @@ object Probe {
       println(f"PHASE $label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
     }
     val r = Records.fromEmbeddings(spark, dir)
+    t("warmup-read")(r.write.format("noop").mode("overwrite").save())
+    val n = t("count")(r.count())
+    t("fit") {
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.functions.array_to_vector
+      val featurized = r.repartition(4, org.apache.spark.sql.functions.col("id"))
+        .withColumn("__features", array_to_vector(org.apache.spark.sql.functions.col("embedding")))
+        .persist()
+      val km = new KMeans().setK(4).setSeed(42L).setMaxIter(10).setTol(1e-3)
+        .setFeaturesCol("__features").setPredictionCol("cluster_id").fit(featurized)
+      featurized.unpersist()
+      println(s"iterations=${km.summary.numIter}")
+    }
     var m = t("coarse-build")(IvfIndex.build(r, 64, Metric.Euclidean, 42L, kMax = 4))
     def truncate(df: org.apache.spark.sql.DataFrame) =
       org.apache.spark.sql.graft.PlanBridge.statsReset(df.localCheckpoint())
@@ -56,6 +70,35 @@ object Probe {
     }
     t("final-stats")(m.assigned.groupBy("cluster_id").count()
       .agg(org.apache.spark.sql.functions.max("count")).show())
+  }
+
+  /** Stage timing for the corpus_clean verdict-column pass. */
+  private def corpusCleanProfile(spark: SparkSession, dir: String): Unit = {
+    import graft.operators.TextOps
+    import org.apache.spark.sql.functions._
+    def t(label: String)(df: org.apache.spark.sql.DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      println(f"STAGE $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    val docs = spark.read.parquet(s"$dir/documents.parquet").repartition(col("doc_id"))
+    t("warmup")(docs)
+    val toks = docs.withColumn("__toks", TextOps.tokens(col("text")))
+    t("tokens")(toks.select("doc_id", "__toks"))
+    val stats = toks.withColumn("__stats", TextOps.tokenStats(col("__toks")))
+    t("stats")(stats.select("doc_id", "__stats"))
+    t("lang")(stats.select(col("doc_id"),
+      TextOps.langFromVotes(col("__stats.votes")).as("__lang")))
+    t("quality")(stats.select(col("doc_id"),
+      TextOps.qualityFromStats(col("text"), col("__toks"), col("__stats")).as("__q")))
+    t("sha2")(docs.select(col("doc_id"), sha2(col("text"), 256).as("__h")))
+    val narrow = stats.select(col("doc_id"), sha2(col("text"), 256).as("__h"),
+      TextOps.langFromVotes(col("__stats.votes")).as("__lang"),
+      TextOps.qualityFromStats(col("text"), col("__toks"), col("__stats")).as("__q"))
+    t("narrow-all")(narrow)
+    val persisted = narrow.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    t("narrow-persist-build")(persisted)
+    t("narrow-persist-read")(persisted)
   }
 
   /** Stage timing for the MinHash signature pipeline. */

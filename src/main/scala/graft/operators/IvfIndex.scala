@@ -244,7 +244,10 @@ object IvfIndex {
       model: Model,
       density: Int,
       metric: Metric = Metric.Euclidean,
-      iters: Int = 5): Model =
+      // 3 Lloyd steps: farthest-point seeds separate a 2-means in 1-2
+      // steps; extra steps are extra sequential stages in the one
+      // checkpoint chain for no measurable balance gain
+      iters: Int = 3): Model =
     refineImpl(model, density, metric, iters) match {
       case None => model
       case Some((refined, members)) =>
@@ -475,9 +478,13 @@ object IvfIndex {
     require(maxWay >= 2, s"maxWay must be at least 2, got $maxWay")
     val assigned = model.assigned
     val sizes = assigned.groupBy(col("cluster_id")).agg(count(lit(1)).as("__n"))
+    // 1.3× over-split: k_c sized for MEAN fill = density would leave every
+    // above-average Lloyd cell a straggler needing another full round
+    // (assignment pass + checkpoint); 30% slack lands most cells under
+    // density in one round, trading slightly lower fill for round count.
     val targets = sizes.where(col("__n") > density)
       .select(col("cluster_id"),
-        least(ceil(col("__n").cast("double") / density), lit(maxWay)).cast("int").as("__kc"))
+        least(ceil(col("__n").cast("double") * 1.3 / density), lit(maxWay)).cast("int").as("__kc"))
     if (targets.isEmpty) return None
 
     val members = assigned.join(broadcast(targets), Seq("cluster_id"))
@@ -603,11 +610,16 @@ object IvfIndex {
       maxWay: Int = DefaultMaxWay): Model = {
     def truncate(df: DataFrame): DataFrame =
       org.apache.spark.sql.graft.PlanBridge.statsReset(df.localCheckpoint())
-    // loose coarse fit (few Lloyd iterations): the split loop below
-    // refines every oversized cluster anyway, so converging the coarse
-    // centroids first is wasted work — only their seeded determinism and
-    // rough placement matter.
-    var m = build(records, density, metric, seed, kMax, maxIter = 10)
+    // loose coarse fit (3 Lloyd iterations): the split loop below refines
+    // every oversized cluster anyway, so converging the coarse centroids
+    // first is wasted work — only their seeded determinism and rough
+    // placement matter, and each MLlib iteration is a scheduled job
+    // (fixed latency that dwarfs the math at fit-sample scale).
+    val coarse = build(records, density, metric, seed, kMax, maxIter = 3)
+    // checkpoint the coarse assignment once: each split round actions the
+    // assignment several times (sizes, members, final anti-join) — raw,
+    // every action would re-run the scan + argmin assign pass
+    var m = Model(coarse.centroids, truncate(coarse.assigned))
     var rounds = 0
     var progressed = true
     while (progressed && rounds < maxRounds) {
