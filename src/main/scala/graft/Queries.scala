@@ -453,6 +453,31 @@ object Queries {
         .select(col("doc_id")).orderBy("doc_id")
     }),
 
+    // extension: deterministic content-keyed train/val/test split —
+    // map-only, stable under corpus changes (no cross-split migration on
+    // append/rerun)
+    "corpus_split" -> ((s, dir) =>
+      graft.operators.Corpus.assignSplit(docs(s, dir), col("text"))
+        .select(col("doc_id"), col("bucket"), col("split"))
+        .orderBy("doc_id")),
+
+    // extension: greedy concat-and-chunk sequence packing into
+    // 512-token training chunks, shard-parallel running totals
+    "seq_pack" -> ((s, dir) =>
+      graft.operators.Corpus.pack(
+          docs(s, dir).repartition(col("doc_id")),
+          size(TextOps.tokens(col("text"))), budget = 512, nShards = 8)
+        .orderBy("doc_id")),
+
+    // extension: per-source quota sampling (dataset mixing) — smallest
+    // content hash per source via the bounded-heap aggregate, no
+    // per-source ranking window
+    "mix_sample" -> ((s, dir) =>
+      graft.operators.Corpus.mixSample(
+          docs(s, dir).repartition(col("doc_id")), col("source"), col("text"), quota = 10)
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id")),
+
     // extension: multimodal feature extraction (stub codec; real plumbing).
     // Binary payloads → fixed-width float features via mapPartitions,
     // exploded to one row per (media, feature_idx) so every output column
@@ -806,6 +831,32 @@ object Queries {
          |JOIN lang l ON l.doc_id = k.doc_id
          |JOIN q ON q.doc_id = k.doc_id
          |WHERE l.lang_pred = 'en' AND q.quality >= 0.45 ORDER BY doc_id""".stripMargin,
+
+    "corpus_split" ->
+      """WITH h AS (SELECT doc_id, list_reduce(list_transform(string_split_regex(substr(md5(text), 1, 8), ''),
+        |    c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a * 16 + b) % 100 AS bucket
+        |  FROM documents)
+        |SELECT doc_id, bucket,
+        |  CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+        |FROM h ORDER BY doc_id""".stripMargin,
+
+    "seq_pack" ->
+      """WITH t AS (SELECT doc_id, doc_id % 8 AS shard,
+        |    CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT doc_id, shard, n_tokens,
+        |    CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - n_tokens AS strt
+        |  FROM t)
+        |SELECT doc_id, shard, n_tokens, strt // 512 AS pack_id, strt % 512 AS tok_offset
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "mix_sample" ->
+      """WITH h AS (SELECT doc_id, source, list_reduce(list_transform(string_split_regex(substr(md5(text), 1, 8), ''),
+        |    c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a * 16 + b) AS hv
+        |  FROM documents),
+        |r AS (SELECT doc_id, source, row_number() OVER (PARTITION BY source ORDER BY hv, doc_id) AS rn FROM h)
+        |SELECT doc_id, source FROM r WHERE rn <= 10 ORDER BY doc_id""".stripMargin,
 
     "snapshot_roundtrip" ->
       """SELECT count(*) AS n, CAST(sum(vec_id) AS BIGINT) AS id_sum,

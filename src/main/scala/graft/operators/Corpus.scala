@@ -1,0 +1,104 @@
+package graft.operators
+
+import graft.functions.TopKPairsAgg
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-assembly operators for training-data pipelines: deterministic
+  * train/val/test splitting, greedy sequence packing, and per-source
+  * quota sampling (dataset mixing).
+  *
+  * None of these exist in the reference — its surface stops at vector
+  * CRUD + ANN (`/root/reference/protos/database.proto:7-28`) — but they
+  * are the assembly steps its LLM-corpus use case implies once the
+  * cleaned corpus ([[Dedup]], [[TextOps]], `corpus_clean`) has to become
+  * actual training batches at 100 TB. All three are deterministic
+  * (content- or id-keyed, never `rand()`/`sample()`), so re-runs and
+  * engine swaps reproduce byte-identical assignments.
+  */
+object Corpus {
+
+  /** First 32 bits of md5(`c`) as a non-negative long — the shared
+    * content key for splitting and mixing. 32 bits fit a Double exactly,
+    * so the value survives the bounded-heap aggregate unchanged. */
+  def contentHash32(c: Column): Column =
+    conv(substr(md5(c), lit(1), lit(8)), 16, 10).cast("long")
+
+  /** Deterministic content-keyed train/val/test assignment: bucket =
+    * md5(text) mod 100, split by cumulative percentage. Map-only — no
+    * shuffle at any scale — and STABLE UNDER CORPUS CHANGES: a document's
+    * split depends only on its own content, never on position or on other
+    * rows (unlike `sample()`/`rand()` splits), so appending data or
+    * re-running the pipeline never migrates a document across the
+    * train/test boundary (no leakage). */
+  def assignSplit(docs: DataFrame, text: Column, trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100,
+      s"percentages must partition [0,100], got train=$trainPct val=$valPct")
+    docs
+      .withColumn("bucket", pmod(contentHash32(text), lit(100L)))
+      .withColumn("split",
+        when(col("bucket") < trainPct, lit("train"))
+          .when(col("bucket") < trainPct + valPct, lit("val"))
+          .otherwise(lit("test")))
+  }
+
+  /** Greedy concat-and-chunk sequence packing (GPT-style pretraining
+    * batches): documents are concatenated in (shard, doc_id) order and
+    * cut every `budget` tokens; each document's output row carries the
+    * chunk its first token lands in (`pack_id`) and its offset there
+    * (`tok_offset`) — enough for a writer to materialize the packed
+    * sequences. Documents may straddle chunk boundaries (the standard
+    * packing model — no padding waste).
+    *
+    * The running total is a window per shard, so parallelism = `nShards`:
+    * size it to the cluster (each shard's window is one sort, bounded by
+    * corpus_size / nShards). Packing is inherently order-sequential
+    * WITHIN a pack; sharding is what makes it embarrassingly parallel
+    * across packs — shards are independent, so 100 TB packs as n
+    * independent window partitions with no global coordination.
+    *
+    * `nTokens` is the per-document token count column (e.g.
+    * `size(TextOps.tokens(text))`, or a real tokenizer's count joined
+    * from a side table). */
+  def pack(docs: DataFrame, nTokens: Column, budget: Int, nShards: Int = 64): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col("doc_id"), pmod(col("doc_id"), lit(nShards.toLong)).as("shard"),
+        nTokens.cast("long").as("n_tokens"))
+      .withColumn("__start", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        expr(s"__start div $budget").as("pack_id"), // integral div, no double round-trip
+        (col("__start") % budget).as("tok_offset"))
+  }
+
+  /** Deterministic per-source quota sampling — dataset mixing: keep the
+    * `quota` documents with the smallest content hash per source. Hash
+    * order is a fixed-key uniform "random" order, so this IS a uniform
+    * sample per source, yet reproducible and stable under appends (a new
+    * document displaces at most one retained document of its own source).
+    *
+    * Scale shape: per-source top-k runs in the bounded-heap aggregate
+    * ([[graft.functions.TopKPairsAgg]] — O(quota) memory per source,
+    * map-side combined), NOT a per-source ranking window, which would
+    * funnel every source's full row set through one task each. The kept
+    * (source, doc_id) pairs — |sources| × quota rows — broadcast
+    * semi-join back against the corpus. */
+  /** Returns the input rows that survive the quota, original schema
+    * unchanged. */
+  def mixSample(docs: DataFrame, source: Column, text: Column, quota: Int): DataFrame = {
+    require(quota > 0, s"quota must be positive, got $quota")
+    val keyed = docs.withColumn("__src", source)
+      .withColumn("__h", contentHash32(text).cast("double"))
+    val kept = keyed
+      .groupBy(col("__src"))
+      .agg(TopKPairsAgg.topKPairs(col("__h"), col("doc_id"), quota).as("__top"))
+      .select(col("__src"), explode(col("__top.id")).as("doc_id"))
+    keyed
+      .join(broadcast(kept), Seq("__src", "doc_id"), "left_semi")
+      .drop("__h", "__src")
+  }
+}

@@ -1,0 +1,91 @@
+package graft
+
+import graft.operators.{Corpus, TextOps}
+import org.apache.spark.sql.functions._
+
+class CorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docsDf(rows: Seq[(Long, String, String)]) =
+    rows.toDF("doc_id", "text", "source")
+
+  private val corpus = docsDf((0L until 100L).map { i =>
+    (i, s"document number $i with some shared words and id-specific token t$i",
+      s"src${i % 4}")
+  })
+
+  test("assignSplit: buckets partition [0,100); split matches cumulative ranges") {
+    val out = Corpus.assignSplit(corpus, col("text"), trainPct = 80, valPct = 10)
+      .select("doc_id", "bucket", "split").as[(Long, Long, String)].collect()
+    assert(out.length === 100)
+    out.foreach { case (_, b, s) =>
+      assert(b >= 0 && b < 100)
+      val expected = if (b < 80) "train" else if (b < 90) "val" else "test"
+      assert(s === expected)
+    }
+    // all three splits are populated on 100 distinct contents
+    assert(out.map(_._3).distinct.toSet === Set("train", "val", "test"))
+  }
+
+  test("assignSplit is content-keyed: a document's split never depends on the rest of the corpus") {
+    val alone = Corpus.assignSplit(corpus.where(col("doc_id") < 10), col("text"))
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val together = Corpus.assignSplit(corpus, col("text"))
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    (0L until 10L).foreach(i => assert(alone(i) === together(i)))
+  }
+
+  test("pack: offsets are cumulative per shard, bounded by budget, chunk-consistent") {
+    val budget = 32
+    val out = Corpus.pack(corpus, size(TextOps.tokens(col("text"))), budget, nShards = 4)
+      .select("doc_id", "shard", "n_tokens", "pack_id", "tok_offset")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(out.length === 100)
+    out.foreach { case (_, _, _, pid, off) =>
+      assert(off >= 0 && off < budget)
+      assert(pid >= 0)
+    }
+    // per shard: start positions (pack_id*budget + tok_offset) are the
+    // exclusive running sum of token counts in doc_id order
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      var cum = 0L
+      rows.sortBy(_._1).foreach { case (_, _, nt, pid, off) =>
+        assert(pid * budget + off === cum)
+        cum += nt
+      }
+    }
+  }
+
+  test("pack rejects non-positive budget and shards") {
+    intercept[IllegalArgumentException](Corpus.pack(corpus, lit(1), 0))
+    intercept[IllegalArgumentException](Corpus.pack(corpus, lit(1), 8, nShards = 0))
+  }
+
+  test("mixSample: at most quota per source, deterministic, subset of input") {
+    val out = Corpus.mixSample(corpus, col("source"), col("text"), quota = 5)
+    val rows = out.select("doc_id", "source").as[(Long, String)].collect()
+    assert(rows.length === 20) // 4 sources × quota 5 (each source has 25 docs)
+    rows.groupBy(_._2).foreach { case (_, g) => assert(g.length === 5) }
+    // schema is unchanged and rows are a subset of the input
+    assert(out.columns.toSeq === corpus.columns.toSeq)
+    val inputIds = corpus.select("doc_id").as[Long].collect().toSet
+    assert(rows.map(_._1).toSet.subsetOf(inputIds))
+    // deterministic across runs
+    val again = Corpus.mixSample(corpus, col("source"), col("text"), quota = 5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again === rows.map(_._1).toSet)
+  }
+
+  test("mixSample matches the brute-force smallest-hash-per-source sample") {
+    val expected = corpus
+      .withColumn("__h", Corpus.contentHash32(col("text")))
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source")).orderBy(col("__h"), col("doc_id"))))
+      .where(col("__rn") <= 5)
+      .select("doc_id").as[Long].collect().toSet
+    val got = Corpus.mixSample(corpus, col("source"), col("text"), quota = 5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got === expected)
+  }
+}
