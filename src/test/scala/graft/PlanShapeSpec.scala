@@ -109,6 +109,30 @@ class PlanShapeSpec extends SparkSpec {
     assert(exec.toString.contains("InMemoryTableScan"), "signature cache missing")
   }
 
+  test("mixSample plans the bounded-heap aggregate, no ranking window, broadcast keep-list") {
+    val p = plan(Queries.queries("mix_sample")(spark, sf))
+    assert(!p.contains("Window"),
+      "per-source ranking window would funnel each source's rows through one task")
+    assert(p.contains("BroadcastExchange"), "kept (source, doc_id) pairs must broadcast")
+  }
+
+  test("seq_pack's only window is partitioned by shard (no global running sum)") {
+    val p = plan(Queries.queries("seq_pack")(spark, sf))
+    val windows = p.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(windows.nonEmpty, "packing needs the per-shard running sum")
+    windows.foreach(w => assert(w.contains("shard"),
+      s"window must partition by shard, got: $w"))
+  }
+
+  test("corpus_split is map-only: no shuffle below the output sort") {
+    val df = graft.operators.Corpus.assignSplit(
+      graft.sources.Records.table(spark, sf, "documents"), col("text"))
+    val exchanges = df.queryExecution.executedPlan.collect {
+      case e if e.nodeName.contains("Exchange") => e
+    }
+    assert(exchanges.isEmpty, "content-keyed split must not shuffle")
+  }
+
   test("exact dedup groups by a hash key, never shuffling full text") {
     val df = Queries.queries("dedup_exact")(spark, sf)
     val exchanges = df.queryExecution.executedPlan.collect {
