@@ -427,16 +427,16 @@ object Queries {
 
     // extension: corpus-cleaning pipeline composition — exact dedup
     // (keep min id per identical text) ∩ quality threshold ∩ language:
-    // the end-to-end shape these operators exist for. ONE tokenize pass:
-    // the per-doc verdict columns (dedup key, language, quality) are
-    // computed in a single projection and persisted NARROW (id + hash +
-    // lang + score — never the text or token arrays), so the keep-set leg
-    // and the filter leg both read the cache instead of re-tokenizing
-    // (round 2 scanned documents twice and, via filter alias inlining,
-    // re-ran the token kernel per predicate). Cache lifecycle: lives with
-    // the returned lazy plan; MEMORY_AND_DISK evicts under pressure.
-    "corpus_clean" -> ((s, dir) => {
-      val d = docs(s, dir).repartition(col("doc_id"))
+    // the end-to-end shape these operators exist for. ONE tokenize pass
+    // AND one shuffle: the per-doc verdict columns (dedup key, language,
+    // quality) are computed in a single projection, and because identical
+    // texts have identical verdicts, the keep-min-id rule collapses INTO
+    // the dedup groupBy (min over (doc_id, lang, q) per hash) — no
+    // keep-set semi-join, no second scan, no cache to manage (round 2
+    // scanned documents twice; round 3 persisted a narrow frame for two
+    // consumers). Shuffled rows are narrow: hash + id + lang + score.
+    "corpus_clean" -> ((s, dir) =>
+      docs(s, dir).repartition(col("doc_id"))
         .withColumn("__toks", TextOps.tokens(col("text")))
         // stats MUST be its own projection level: langFromVotes reads its
         // argument once per language, so inlining the stats kernel would
@@ -445,13 +445,11 @@ object Queries {
         .select(col("doc_id"), sha2(col("text"), 256).as("__h"),
           TextOps.langFromVotes(col("__stats.votes")).as("__lang"),
           TextOps.qualityFromStats(col("text"), col("__toks"), col("__stats")).as("__q"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val kept = d.groupBy(col("__h")).agg(min(col("doc_id")).as("doc_id"))
-        .select("doc_id")
-      d.join(kept, Seq("doc_id"), "left_semi")
+        .groupBy(col("__h"))
+        .agg(min(col("doc_id")).as("doc_id"),
+          min(col("__lang")).as("__lang"), min(col("__q")).as("__q"))
         .where(col("__lang") === "en" && col("__q") >= 0.45)
-        .select(col("doc_id")).orderBy("doc_id")
-    }),
+        .select(col("doc_id")).orderBy("doc_id")),
 
     // extension: deterministic content-keyed train/val/test split —
     // map-only, stable under corpus changes (no cross-split migration on

@@ -85,11 +85,19 @@ object Corpus {
     * ([[graft.functions.TopKPairsAgg]] — O(quota) memory per source,
     * map-side combined), NOT a per-source ranking window, which would
     * funnel every source's full row set through one task each. The kept
-    * (source, doc_id) pairs — |sources| × quota rows — broadcast
-    * semi-join back against the corpus. */
-  /** Returns the input rows that survive the quota, original schema
+    * (source, doc_id) pairs — |sources| × quota rows — semi-join back
+    * against the corpus: broadcast by default (right up to low millions
+    * of kept rows), `broadcastKeepList = false` for huge quotas to let a
+    * shuffle join carry the keep-list instead.
+    *
+    * Returns the input rows that survive the quota, original schema
     * unchanged. */
-  def mixSample(docs: DataFrame, source: Column, text: Column, quota: Int): DataFrame = {
+  def mixSample(
+      docs: DataFrame,
+      source: Column,
+      text: Column,
+      quota: Int,
+      broadcastKeepList: Boolean = true): DataFrame = {
     require(quota > 0, s"quota must be positive, got $quota")
     val keyed = docs.withColumn("__src", source)
       .withColumn("__h", contentHash32(text).cast("double"))
@@ -98,7 +106,8 @@ object Corpus {
       .agg(TopKPairsAgg.topKPairs(col("__h"), col("doc_id"), quota).as("__top"))
       .select(col("__src"), explode(col("__top.id")).as("doc_id"))
     keyed
-      .join(broadcast(kept), Seq("__src", "doc_id"), "left_semi")
+      .join(if (broadcastKeepList) broadcast(kept) else kept,
+        Seq("__src", "doc_id"), "left_semi")
       .drop("__h", "__src")
   }
 }
