@@ -396,7 +396,12 @@ object Queries {
     // refine plan three times).
     "ivf_refine_stats" -> ((s, dir) => {
       val c = fixedCentroids(s, dir).where(col("cluster_id") < 4)
-      val model = IvfIndex.Model(c, IvfIndex.assign(recs(s, dir), c, Metric.Euclidean))
+      // the before-stats, refine's sizes/members legs, and the after-stats
+      // each action the assignment — persist it once (narrow: the argmin
+      // pass output), like any caller of refine would
+      val model = IvfIndex.Model(c,
+        IvfIndex.assign(recs(s, dir), c, Metric.Euclidean)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val before = model.assigned.groupBy(col("cluster_id")).agg(count(lit(1)).as("n"))
         .agg(max(col("n")).as("max_before"), sum(when(col("n") > 100, 1).otherwise(0)).as("n_over"))
       val refined = IvfIndex.refine(model, density = 100, Metric.Euclidean)
@@ -450,6 +455,40 @@ object Queries {
           min(col("__lang")).as("__lang"), min(col("__q")).as("__q"))
         .where(col("__lang") === "en" && col("__q") >= 0.45)
         .select(col("doc_id")).orderBy("doc_id")),
+
+    // extension: the FULL assembly pipeline in one DAG — clean (exact
+    // dedup ∩ language ∩ quality) → content-keyed split → sequence
+    // packing — the end-to-end shape a training-data user runs. ONE
+    // tokenize pass computes every verdict column (hash, split bucket,
+    // token count, lang, quality); identical texts have identical
+    // verdicts so dedup collapses into the groupBy (narrow shuffle:
+    // never text or token arrays); packing is the per-(split, shard)
+    // running sum. Two shuffles total for five pipeline stages.
+    "corpus_assemble" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("split"), col("shard")).orderBy(col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      docs(s, dir).repartition(col("doc_id"))
+        .withColumn("__toks", TextOps.tokens(col("text")))
+        .withColumn("__stats", TextOps.tokenStats(col("__toks")))
+        .select(col("doc_id"), sha2(col("text"), 256).as("__h"),
+          pmod(graft.operators.Corpus.contentHash32(col("text")), lit(100L)).as("__b"),
+          size(col("__toks")).cast("long").as("n_tokens"),
+          TextOps.langFromVotes(col("__stats.votes")).as("__lang"),
+          TextOps.qualityFromStats(col("text"), col("__toks"), col("__stats")).as("__q"))
+        .groupBy(col("__h"))
+        .agg(min(col("doc_id")).as("doc_id"), min(col("__b")).as("__b"),
+          min(col("n_tokens")).as("n_tokens"),
+          min(col("__lang")).as("__lang"), min(col("__q")).as("__q"))
+        .where(col("__lang") === "en" && col("__q") >= 0.45)
+        .withColumn("split", when(col("__b") < 90, lit("train")).otherwise(lit("val")))
+        .withColumn("shard", pmod(col("doc_id"), lit(4L)))
+        .withColumn("__start", sum(col("n_tokens")).over(w) - col("n_tokens"))
+        .select(col("doc_id"), col("split"), col("shard"),
+          expr("__start div 512").as("pack_id"), (col("__start") % 512).as("tok_offset"))
+        .orderBy("doc_id")
+    }),
 
     // extension: deterministic content-keyed train/val/test split —
     // map-only, stable under corpus changes (no cross-split migration on
@@ -829,6 +868,48 @@ object Queries {
          |JOIN lang l ON l.doc_id = k.doc_id
          |JOIN q ON q.doc_id = k.doc_id
          |WHERE l.lang_pred = 'en' AND q.quality >= 0.45 ORDER BY doc_id""".stripMargin,
+
+    "corpus_assemble" ->
+      s"""WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY sha256(text)),
+         |t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk FROM documents),
+         |lang AS (SELECT doc_id, CASE WHEN greatest(e, sp, f, d, z) = 0 THEN 'und'
+         |    WHEN e >= sp AND e >= f AND e >= d AND e >= z THEN 'en'
+         |    WHEN sp >= f AND sp >= d AND sp >= z THEN 'es'
+         |    WHEN f >= d AND f >= z THEN 'fr'
+         |    WHEN d >= z THEN 'de' ELSE 'zh' END AS lang_pred
+         |  FROM (SELECT doc_id,
+         |    len(list_filter(tk, x -> list_contains(['the','a','of','to','and','is','in','it'], x))) AS e,
+         |    len(list_filter(tk, x -> list_contains(['el','la','de','que','y','en','un','es'], x))) AS sp,
+         |    len(list_filter(tk, x -> list_contains(['le','la','de','et','un','que','les','des'], x))) AS f,
+         |    len(list_filter(tk, x -> list_contains(['der','die','das','und','ist','ein','zu','den'], x))) AS d,
+         |    len(list_filter(tk, x -> list_contains(['de','shi','bu','le','zai','ren','you','wo'], x))) AS z
+         |    FROM t)),
+         |qb AS (SELECT doc_id, tk, CAST(length(text) AS DOUBLE) AS nc,
+         |    CAST(length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) AS DOUBLE) AS punct
+         |  FROM documents JOIN t USING (doc_id)),
+         |q AS (SELECT doc_id,
+         |  least(1.0, greatest(0.0, 0.2
+         |    + 0.5 * (CASE WHEN len(tk) > 0 THEN CAST(len(list_filter(tk, x -> list_contains($stopAllSql, x))) AS DOUBLE) / len(tk) ELSE 0.0 END)
+         |    + 0.05 * (CASE WHEN len(tk) > 0 THEN list_sum(list_transform(tk, x -> CAST(length(x) AS DOUBLE))) / len(tk) ELSE 0.0 END)
+         |    - (CASE WHEN nc > 0 THEN punct / nc ELSE 0.0 END))) AS quality
+         |  FROM qb),
+         |kept AS (SELECT k.doc_id FROM keep k
+         |  JOIN lang l ON l.doc_id = k.doc_id
+         |  JOIN q ON q.doc_id = k.doc_id
+         |  WHERE l.lang_pred = 'en' AND q.quality >= 0.45),
+         |m AS (SELECT d.doc_id,
+         |    list_reduce(list_transform(string_split_regex(substr(md5(d.text), 1, 8), ''),
+         |      c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a * 16 + b) % 100 AS b,
+         |    CAST(len(regexp_split_to_array(lower(trim(d.text)), '\\s+')) AS BIGINT) AS n_tokens
+         |  FROM documents d JOIN kept USING (doc_id)),
+         |s AS (SELECT doc_id, CASE WHEN b < 90 THEN 'train' ELSE 'val' END AS split,
+         |    doc_id % 4 AS shard, n_tokens FROM m),
+         |c AS (SELECT doc_id, split, shard,
+         |    CAST(sum(n_tokens) OVER (PARTITION BY split, shard ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - n_tokens AS strt
+         |  FROM s)
+         |SELECT doc_id, split, shard, strt // 512 AS pack_id, strt % 512 AS tok_offset
+         |FROM c ORDER BY doc_id""".stripMargin,
 
     "corpus_split" ->
       """WITH h AS (SELECT doc_id, list_reduce(list_transform(string_split_regex(substr(md5(text), 1, 8), ''),
