@@ -463,7 +463,9 @@ object Queries {
     // token count, lang, quality); identical texts have identical
     // verdicts so dedup collapses into the groupBy (narrow shuffle:
     // never text or token arrays); packing is the per-(split, shard)
-    // running sum. Two shuffles total for five pipeline stages.
+    // running sum. Two pipeline shuffles (dedup groupBy + packing
+    // window) for five logical stages; the only other exchanges are the
+    // input CPU-spread and the output sort.
     "corpus_assemble" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("split"), col("shard")).orderBy(col("doc_id"))

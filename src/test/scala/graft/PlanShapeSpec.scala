@@ -133,6 +133,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(exchanges.isEmpty, "content-keyed split must not shuffle")
   }
 
+  test("corpus_assemble shuffles are narrow (no text/token arrays) and packing partitions by (split, shard)") {
+    val p = plan(Queries.queries("corpus_assemble")(spark, sf))
+    p.linesIterator.filter(_.contains("Exchange")).foreach { e =>
+      assert(!e.contains("text#") && !e.contains("__toks#"),
+        s"wide column in shuffle: $e")
+    }
+    val windows = p.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(windows.nonEmpty)
+    windows.foreach(w => assert(w.contains("split") && w.contains("shard"),
+      s"packing window must partition by (split, shard): $w"))
+  }
+
   test("exact dedup groups by a hash key, never shuffling full text") {
     val df = Queries.queries("dedup_exact")(spark, sf)
     val exchanges = df.queryExecution.executedPlan.collect {
