@@ -75,6 +75,29 @@ object Corpus {
         (col("__start") % budget).as("tok_offset"))
   }
 
+  /** Materialize the packs [[pack]] assigned: gather each pack's
+    * documents in doc_id order and concatenate their texts — the write
+    * path that turns assignments into actual training sequences.
+    *
+    * One shuffle, keyed (shard, pack_id). The per-group buffer is safe
+    * where a raw `collect_list` would not be: a pack holds documents
+    * whose STARTS fall inside one `budget`-token chunk, so group size is
+    * bounded by budget (plus the one straddling document) regardless of
+    * corpus size — the packing contract is exactly what makes the gather
+    * memory-bounded. */
+  def packedSequences(docs: DataFrame, packed: DataFrame, text: Column): DataFrame = {
+    val joined = docs.select(col("doc_id"), text.as("__text"))
+      .join(packed.select(col("doc_id"), col("shard"), col("n_tokens"), col("pack_id")),
+        Seq("doc_id"))
+    joined
+      .groupBy(col("shard"), col("pack_id"))
+      .agg(
+        array_join(sort_array(collect_list(struct(col("doc_id"), col("__text"))))
+          .getField("__text"), " ").as("text"),
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"))
+  }
+
   /** Deterministic per-source quota sampling — dataset mixing: keep the
     * `quota` documents with the smallest content hash per source. Hash
     * order is a fixed-key uniform "random" order, so this IS a uniform

@@ -61,6 +61,33 @@ class CorpusSpec extends SparkSpec {
     intercept[IllegalArgumentException](Corpus.pack(corpus, lit(1), 8, nShards = 0))
   }
 
+  test("packedSequences: every doc lands in its pack, in order, token totals preserved") {
+    val budget = 32
+    val packed = Corpus.pack(corpus, size(TextOps.tokens(col("text"))), budget, nShards = 4)
+    val seqs = Corpus.packedSequences(corpus, packed, col("text"))
+      .select("shard", "pack_id", "text", "n_docs", "n_tokens")
+      .as[(Long, Long, String, Long, Long)].collect()
+    // every pack key from the assignment appears exactly once
+    val packKeys = packed.select("shard", "pack_id").distinct()
+      .as[(Long, Long)].collect().toSet
+    assert(seqs.map(s => (s._1, s._2)).toSet === packKeys)
+    // token totals: concat of a pack's docs re-tokenizes to the sum of
+    // its members' counts (texts have no leading/trailing whitespace)
+    seqs.foreach { case (_, _, text, nDocs, nTokens) =>
+      assert(nDocs > 0)
+      assert(text.split("\\s+").count(_.nonEmpty) === nTokens)
+    }
+    // order within a pack: doc texts appear in doc_id order
+    val byPack = packed.select("shard", "pack_id", "doc_id")
+      .as[(Long, Long, Long)].collect()
+      .groupBy(t => (t._1, t._2)).view.mapValues(_.map(_._3).sorted).toMap
+    seqs.foreach { case (sh, pid, text, _, _) =>
+      val ids = byPack((sh, pid))
+      val positions = ids.map(i => text.indexOf(s"id-specific token t$i"))
+      assert(positions.forall(_ >= 0) && positions.sameElements(positions.sorted))
+    }
+  }
+
   test("mixSample: at most quota per source, deterministic, subset of input") {
     val out = Corpus.mixSample(corpus, col("source"), col("text"), quota = 5)
     val rows = out.select("doc_id", "source").as[(Long, String)].collect()
