@@ -601,12 +601,12 @@ object IvfIndex {
       seed: Long = 42L,
       kMax: Int = DefaultKMax,
       maxRounds: Int = DefaultMaxRefineRounds,
-      // 5 Lloyd steps per split: with LAZY checkpoints extra steps are
-      // just extra stages inside the one effective-splits job, and
-      // better-balanced cuts cut ROUND count (1 step leaves seed-Voronoi
-      // splits so lopsided the loop needs several more full rounds —
-      // measured strictly slower end-to-end).
-      iters: Int = 5,
+      // 3 Lloyd steps per split round: 1 step leaves seed-Voronoi cuts
+      // so lopsided the loop needs extra full rounds (measured strictly
+      // slower end-to-end); past ~3, extra steps no longer reduce round
+      // count under the 1.3× over-split — they are pure added stage
+      // latency in the checkpoint chain.
+      iters: Int = 3,
       maxWay: Int = DefaultMaxWay): Model = {
     def truncate(df: DataFrame): DataFrame =
       org.apache.spark.sql.graft.PlanBridge.statsReset(df.localCheckpoint())
