@@ -1,0 +1,66 @@
+package graft
+
+import graft.operators.Corpus
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, rng}
+
+/** Property tests for the corpus-assembly operators: packing must satisfy
+  * the running-sum identity for ANY (token counts, budget, shards), and
+  * split assignment must be a pure function of content. Deterministic:
+  * generators driven by fixed seeds. */
+class CorpusPropSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sample[A](g: Gen[A], seed: Long): A =
+    g.pureApply(Gen.Parameters.default, rng.Seed(seed))
+
+  private val corpusGen: Gen[List[(Long, Int)]] = for {
+    n <- Gen.chooseNum(1, 200)
+    ids <- Gen.pick(n, 0L until 1000L)
+    toks <- Gen.listOfN(n, Gen.chooseNum(0, 400))
+  } yield ids.toList.zip(toks)
+
+  test("pack: running-sum identity holds for arbitrary counts, budgets, shard counts") {
+    (1L to 8L).foreach { seed =>
+      val rows = sample(corpusGen, seed)
+      val budget = sample(Gen.chooseNum(1, 600), seed * 31)
+      val nShards = sample(Gen.chooseNum(1, 9), seed * 17)
+      val df = rows.map { case (id, nt) => (id, nt) }.toDF("doc_id", "nt")
+      val out = Corpus.pack(df, col("nt"), budget, nShards)
+        .select("doc_id", "shard", "n_tokens", "pack_id", "tok_offset")
+        .as[(Long, Long, Long, Long, Long)].collect()
+      assert(out.length === rows.length)
+      out.groupBy(_._2).foreach { case (shard, g) =>
+        var cum = 0L
+        g.sortBy(_._1).foreach { case (id, sh, nt, pid, off) =>
+          assert(sh === id % nShards)
+          assert(off >= 0 && off < budget, s"seed=$seed budget=$budget id=$id")
+          assert(pid * budget + off === cum, s"seed=$seed budget=$budget id=$id")
+          cum += nt
+        }
+      }
+    }
+  }
+
+  test("assignSplit: bucket is a pure function of text, independent of corpus and percentages") {
+    val texts = (0 until 60).map(i => s"content $i ${"x" * (i % 7)}")
+    val full = Corpus.assignSplit(
+      texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text"),
+      col("text"))
+      .select("text", "bucket").as[(String, Long)].collect().toMap
+    (1L to 4L).foreach { seed =>
+      val subset = sample(Gen.someOf(texts), seed).toSeq
+      val tr = sample(Gen.chooseNum(1, 98), seed * 13)
+      val va = sample(Gen.chooseNum(0, 100 - tr - 1), seed * 7)
+      val out = Corpus.assignSplit(
+        subset.zipWithIndex.map { case (t, i) => (i.toLong + 500, t) }.toDF("doc_id", "text"),
+        col("text"), trainPct = tr, valPct = va)
+        .select("text", "bucket", "split").as[(String, Long, String)].collect()
+      out.foreach { case (t, b, s) =>
+        assert(b === full(t), "bucket must not depend on corpus membership or doc_id")
+        val expected = if (b < tr) "train" else if (b < tr + va) "val" else "test"
+        assert(s === expected)
+      }
+    }
+  }
+}
