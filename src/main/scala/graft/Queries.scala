@@ -313,16 +313,23 @@ object Queries {
         .orderBy("doc_id")
     }),
 
-    // extension: embedding-cosine near-dup blocked on IVF cluster ids —
-    // block cardinality grows with n (bounded bucket size under the
-    // density contract), unlike a fixed-cardinality label key which is
-    // quadratic at scale. Fixed centroids keep it oracle-able.
+    // extension: embedding-cosine near-dup blocked on the TWO nearest IVF
+    // cluster ids (multi-probe): block cardinality grows with n (bounded
+    // bucket size under the density contract), and carrying each vector's
+    // runner-up cluster closes the single-block recall gap for pairs
+    // straddling a Voronoi boundary — at the cost of 2× join input and a
+    // distinct over the (candidate-only) matched pairs. Fixed centroids
+    // keep it oracle-able.
     "embed_neardup" -> ((s, dir) => {
-      val blocked = IvfIndex
-        .assign(recs(s, dir), fixedCentroids(s, dir), Metric.Euclidean)
+      val a2 = IvfIndex
+        .assignTop2(recs(s, dir), fixedCentroids(s, dir), Metric.Euclidean)
+      val blocked = a2
         .select(col("cluster_id").as("block"), col("id"), col("embedding"))
+        .unionByName(a2.where(col("cluster_id2") >= 0)
+          .select(col("cluster_id2").as("block"), col("id"), col("embedding")))
       Dedup.embeddingNearDup(blocked, threshold = 0.2)
         .select(col("id_a"), col("id_b"), r4(col("cos_sim")).as("cos_sim"))
+        .distinct() // a pair sharing both blocks matches twice, identically
         .orderBy("id_a", "id_b")
     }),
 
@@ -770,8 +777,8 @@ object Queries {
       s"""WITH c AS (SELECT CAST(vec_id AS INTEGER) AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8),
          |asg AS (SELECT vec_id, cid FROM (
          |  SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id ORDER BY ${sqlSq("e.embedding", "c.cvec")} ASC, c.cid ASC) AS rn
-         |  FROM embeddings e CROSS JOIN c) WHERE rn = 1)
-         |SELECT a.vec_id AS id_a, b.vec_id AS id_b, ${sqlR4(sqlCosSim("a.embedding", "b.embedding"))} AS cos_sim
+         |  FROM embeddings e CROSS JOIN c) WHERE rn <= 2)
+         |SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b, ${sqlR4(sqlCosSim("a.embedding", "b.embedding"))} AS cos_sim
          |FROM embeddings a JOIN asg aa ON a.vec_id = aa.vec_id
          |JOIN asg ab ON aa.cid = ab.cid
          |JOIN embeddings b ON b.vec_id = ab.vec_id AND a.vec_id < b.vec_id

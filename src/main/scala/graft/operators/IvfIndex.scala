@@ -58,6 +58,45 @@ object IvfIndex {
       .drop("__cents")
   }
 
+  /** [[assign]] extended to the TWO nearest centroids — the multi-probe
+    * blocking key for near-dup joins: a pair of vectors straddling a
+    * Voronoi boundary lands in different best clusters (single-block
+    * recall gap) but shares a block once each also carries its runner-up.
+    * Same shape as [[assign]]: one broadcast packed row, one map-side
+    * fold tracking (best, second) — no shuffle, 2× the downstream join
+    * input. `cluster_id2` is −1 when only one centroid exists. */
+  def assignTop2(records: DataFrame, centroids: DataFrame, metric: Metric): DataFrame = {
+    val packed = centroids
+      .agg(collect_list(struct(col("cluster_id"), col("centroid"))).as("__cents"))
+    val init = struct(
+      lit(-1).as("cid1"), lit(Double.MaxValue).as("d1"),
+      lit(-1).as("cid2"), lit(Double.MaxValue).as("d2"))
+    val best2 = aggregate(
+      col("__cents"), init,
+      (acc, c) => {
+        val d = metric.distance(col("embedding"), c.getField("centroid"))
+        val cid = c.getField("cluster_id")
+        val beatsBest = !isnan(d) &&
+          (d < acc.getField("d1") ||
+            (d === acc.getField("d1") && cid < acc.getField("cid1")))
+        val beatsSecond = !isnan(d) &&
+          (d < acc.getField("d2") ||
+            (d === acc.getField("d2") && cid < acc.getField("cid2")))
+        when(beatsBest, struct(
+            cid.as("cid1"), d.as("d1"),
+            acc.getField("cid1").as("cid2"), acc.getField("d1").as("d2")))
+          .when(beatsSecond, struct(
+            acc.getField("cid1").as("cid1"), acc.getField("d1").as("d1"),
+            cid.as("cid2"), d.as("d2")))
+          .otherwise(acc)
+      })
+    records
+      .crossJoin(broadcast(packed))
+      .withColumn("cluster_id", best2.getField("cid1"))
+      .withColumn("cluster_id2", best2.getField("cid2"))
+      .drop("__cents")
+  }
+
   /** Upper bound on centroid count. 2^16 centroids × a few-hundred-float
     * vector ≈ tens of MB packed — comfortably inside both the 2 GB
     * single-row limit and executor broadcast budgets that [[assign]]

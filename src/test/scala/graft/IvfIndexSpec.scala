@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{IvfIndex, Knn}
+import graft.operators.{Dedup, IvfIndex, Knn}
 import graft.types.Metric
 import org.apache.spark.sql.functions._
 
@@ -183,6 +183,34 @@ class IvfIndexSpec extends SparkSpec {
     assert(sizes.values.sum === 300L)
     assert(sizes(0) === 150L, "degenerate cluster must keep all its members under its old id")
     assert(sizes.size === 3, "exactly one append for the one splittable cluster")
+  }
+
+  test("assignTop2: Voronoi-boundary pair shares a block that single-block assignment misses") {
+    val c = Seq((0, Seq.fill(dim)(0.0f)), (1, Seq.fill(dim)(1.0f)))
+      .toDF("cluster_id", "centroid")
+      .withColumn("centroid", col("centroid").cast("array<float>"))
+    // two parallel vectors (cos_sim = 1) just either side of the midpoint:
+    // best clusters differ, runner-ups cross over
+    val pts = Seq(
+      (0L, Seq.fill(dim)(0.49f), Map("k" -> "v")),
+      (1L, Seq.fill(dim)(0.51f), Map("k" -> "v"))).toDF("id", "embedding", "metadata")
+    val a2 = IvfIndex.assignTop2(pts, c, Metric.Euclidean)
+      .select("id", "cluster_id", "cluster_id2").as[(Long, Int, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(a2(0L) === ((0, 1)))
+    assert(a2(1L) === ((1, 0)))
+    // single-block join misses the pair entirely...
+    val single = IvfIndex.assign(pts, c, Metric.Euclidean)
+      .select(col("cluster_id").as("block"), col("id"), col("embedding"))
+    assert(Dedup.embeddingNearDup(single, threshold = 0.9).count() === 0)
+    // ...the top-2 union captures it (twice, collapsed by distinct)
+    val a2f = IvfIndex.assignTop2(pts, c, Metric.Euclidean)
+    val blocked = a2f.select(col("cluster_id").as("block"), col("id"), col("embedding"))
+      .unionByName(a2f.where(col("cluster_id2") >= 0)
+        .select(col("cluster_id2").as("block"), col("id"), col("embedding")))
+    val pairs = Dedup.embeddingNearDup(blocked, threshold = 0.9)
+      .select("id_a", "id_b").distinct().as[(Long, Long)].collect()
+    assert(pairs.toSeq === Seq((0L, 1L)))
   }
 
   test("cosine-metric build: assign agrees with brute-force cosine argmin") {
