@@ -143,8 +143,13 @@ object DocIngest {
       corpusBanded: DataFrame,
       corpusHashes: DataFrame,
       name: String,
+      // MUST match the index's build parameters, like [[startAdmission]]
+      shingleN: Int = 3,
+      perms: Int = 16,
+      bands: Int = 4,
       threshold: Double = 0.5): StreamingQuery =
-    matches(readDocs(spark, dir), corpusBanded, corpusHashes, threshold = threshold)
+    matches(readDocs(spark, dir), corpusBanded, corpusHashes,
+      shingleN = shingleN, perms = perms, bands = bands, threshold = threshold)
       .writeStream
       .outputMode("append")
       .format("memory")

@@ -214,4 +214,31 @@ class StreamingSpec extends SparkSpec {
     assert(admitted === Set(101L),
       s"expected only the novel English doc admitted, got $admitted")
   }
+
+  test("streaming admission honors non-default index params (gate stays armed)") {
+    import graft.streaming.DocIngest
+    val base = "the quick brown fox jumps over the lazy dog and it is " +
+      "a fine day in the old house of the hill it is warm and the fire is lit"
+    val corpus = Seq((0L, base)).toDF("doc_id", "text")
+    // an EXACT duplicate: under matched params its band hashes MUST
+    // collide (jaccard 1), so rejection is deterministic — while under
+    // the round-3 advice bug (gate hardcoding default params against a
+    // non-default index) the band keys come from different signature
+    // layouts and can never match, admitting the duplicate
+    val incoming = Seq((100L, base))
+    val root = java.nio.file.Files.createTempDirectory("graft_admit_params")
+    val inDir = s"$root/in"
+    incoming.toDF("doc_id", "text").write.mode("overwrite").parquet(inDir)
+
+    val (banded, hashes) = DocIngest.corpusIndex(corpus, shingleN = 2, perms = 8, bands = 2)
+    val store = s"$root/admitted"
+    val q = DocIngest.startAdmission(spark, inDir, banded, hashes, store,
+      s"$root/ckpt", lang = "en", minQuality = 0.45,
+      shingleN = 2, perms = 8, bands = 2, threshold = 0.4)
+    q.awaitTermination()
+    val admitted =
+      try spark.read.parquet(store).select("doc_id").as[Long].collect().toSet
+      catch { case _: org.apache.spark.sql.AnalysisException => Set.empty[Long] }
+    assert(admitted.isEmpty, s"near-dup must be rejected under matched params, got $admitted")
+  }
 }
