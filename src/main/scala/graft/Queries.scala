@@ -254,6 +254,18 @@ object Queries {
         hamming = 1, Metric.Cosine))
     }),
 
+    // extension: batch multi-probe sign-LSH — every query pruned to its
+    // own Hamming-1 bucket neighborhood, per-query two-phase top-k
+    "ann_lsh_batch" -> ((s, dir) => {
+      val r = recs(s, dir)
+      val planes = operators.SignLsh.planesFrom(r, nbits = 6)
+      val q = r.where(col("id") < 5)
+        .select(col("id").as("query_id"), col("embedding").as("qvec"))
+      operators.SignLsh.queryBatch(r, planes, q, k = 5, hamming = 1, Metric.Cosine)
+        .orderBy(col("query_id"), col("distance"), col("id"))
+        .select(col("query_id"), col("id").as("vec_id"), r4(col("distance")).as("distance"))
+    }),
+
     // extension: brute-force batch ANN (baseline for the IVF scale path)
     "ann_topk_batch" -> ((s, dir) => {
       val q = recs(s, dir).where(col("id") < 5)
@@ -692,6 +704,26 @@ object Queries {
          |SELECT c.vec_id AS vec_id, ${sqlR4(sqlCosDist("c.embedding", "q.qvec"))} AS distance
          |FROM cand c, q
          |ORDER BY ${sqlCosDist("c.embedding", "q.qvec")} ASC, c.vec_id ASC LIMIT 10""".stripMargin,
+
+    "ann_lsh_batch" ->
+      s"""WITH pr AS (
+         |  SELECT a.vec_id AS i, list_transform(list_zip(a.embedding, b.embedding),
+         |    p -> CAST(p[1] AS REAL) - CAST(p[2] AS REAL)) AS h
+         |  FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 6
+         |  WHERE a.vec_id < 6),
+         |bk AS (
+         |  SELECT e.vec_id, CAST(sum(CASE WHEN ${sqlDot("e.embedding", "pr.h")} > 0
+         |    THEN (CAST(1 AS BIGINT) << CAST(pr.i AS INT)) ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM embeddings e CROSS JOIN pr GROUP BY e.vec_id),
+         |q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 5),
+         |qb AS (SELECT q.query_id, q.qvec, bk.bucket AS qbucket FROM q JOIN bk ON bk.vec_id = q.query_id),
+         |cand AS (
+         |  SELECT qb.query_id, e.vec_id, ${sqlCosDist("e.embedding", "qb.qvec")} AS dist
+         |  FROM embeddings e JOIN bk ON e.vec_id = bk.vec_id CROSS JOIN qb
+         |  WHERE list_contains(list_transform([0, 1, 2, 4, 8, 16, 32],
+         |    m -> xor(qb.qbucket, CAST(m AS BIGINT))), bk.bucket)),
+         |r AS (SELECT query_id, vec_id, dist, row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, vec_id ASC) AS rn FROM cand)
+         |SELECT query_id, vec_id, ${sqlR4("dist")} AS distance FROM r WHERE rn <= 5 ORDER BY query_id, dist, vec_id""".stripMargin,
 
     "ann_topk_batch" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 5),

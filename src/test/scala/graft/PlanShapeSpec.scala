@@ -80,6 +80,31 @@ class PlanShapeSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("bucket-partitioned LSH store: probe query prunes partitions at the scan") {
+    import graft.operators.SignLsh
+    val r = graft.sources.Records.fromEmbeddings(spark, sf)
+    val planes = SignLsh.planesFrom(r, nbits = 4)
+    val path = java.nio.file.Files.createTempDirectory("graft_lsh_part").toString
+    SignLsh.bucketize(r, planes).write.mode("overwrite").partitionBy("bucket").parquet(path)
+    val store = spark.read.parquet(path)
+    val q = r.where(col("id") === 0).select(col("embedding").as("qvec"))
+    // query against the PRE-BUCKETED store: probe list semi-joins bucket
+    val masks = Seq(0L, 1L, 2L, 4L, 8L)
+    val probed = q.select(SignLsh.bucketId(col("qvec"), planes).as("__qb"))
+      .select(explode(typedlit(masks)).as("__m"), col("__qb"))
+      .select(col("__qb").bitwiseXOR(col("__m")).as("bucket"))
+    val df = store.join(broadcast(probed), Seq("bucket"), "left_semi")
+    val p = plan(df)
+    assert(p.contains("dynamicpruning") || p.contains("PartitionFilters: [dynamic"),
+      p.linesIterator.filter(_.contains("PartitionFilters")).mkString("\n"))
+    // pruned-store candidates == in-memory bucketize candidates
+    val got = df.select("id").collect().map(_.getLong(0)).toSet
+    val want = SignLsh.bucketize(r, planes)
+      .join(broadcast(probed), Seq("bucket"), "left_semi")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got === want && got.nonEmpty)
+  }
+
   test("refine plans no Window operator (seeds/ids via aggregates, not sorts)") {
     val r = graft.sources.Records.fromEmbeddings(spark, sf)
     val c = r.where(col("id") < 2)
