@@ -75,6 +75,42 @@ object Corpus {
         (col("__start") % budget).as("tok_offset"))
   }
 
+  /** [[mixSample]] with PER-SOURCE quotas — the real dataset-mixing
+    * shape ("2 parts web, 1 part code, 0.1 part forums"): each source
+    * keeps its own smallest-hash prefix, sized by `quotas`. Sources
+    * absent from the map are dropped. Same scale shape as [[mixSample]]
+    * (one bounded heap per source at the MAX quota, sliced down per
+    * source), and the same stability: because hash order is fixed, a
+    * quota change only grows/shrinks each source's prefix — it never
+    * reshuffles which documents are kept. */
+  def mixSampleWeighted(
+      docs: DataFrame,
+      source: Column,
+      text: Column,
+      quotas: Map[String, Int],
+      broadcastKeepList: Boolean = true): DataFrame = {
+    require(quotas.nonEmpty, "quotas must not be empty")
+    require(quotas.values.forall(_ >= 0), "quotas must be non-negative")
+    val maxQ = quotas.values.max
+    require(maxQ > 0, "at least one quota must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val qDf = quotas.toSeq.toDF("__src", "__quota")
+    val keyed = docs.withColumn("__src", source)
+      .withColumn("__h", contentHash32(text).cast("double"))
+    val kept = keyed
+      .join(broadcast(qDf), Seq("__src"))
+      .groupBy(col("__src"))
+      .agg(TopKPairsAgg.topKPairs(col("__h"), col("doc_id"), maxQ).as("__top"),
+        first(col("__quota")).as("__quota"))
+      .select(col("__src"),
+        explode(slice(col("__top.id"), lit(1), col("__quota"))).as("doc_id"))
+    keyed
+      .join(if (broadcastKeepList) broadcast(kept) else kept,
+        Seq("__src", "doc_id"), "left_semi")
+      .drop("__h", "__src")
+  }
+
   /** Materialize the packs [[pack]] assigned: gather each pack's
     * documents in doc_id order and concatenate their texts — the write
     * path that turns assignments into actual training sequences.

@@ -103,6 +103,24 @@ class CorpusSpec extends SparkSpec {
     assert(again === rows.map(_._1).toSet)
   }
 
+  test("mixSampleWeighted: per-source quotas honored, prefix-consistent with uniform sampling") {
+    val quotas = Map("src0" -> 7, "src1" -> 3, "src2" -> 0) // src3 absent
+    val out = Corpus.mixSampleWeighted(corpus, col("source"), col("text"), quotas)
+      .select("doc_id", "source").as[(Long, String)].collect()
+    val bySrc = out.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    assert(bySrc.getOrElse("src0", Set()).size === 7)
+    assert(bySrc.getOrElse("src1", Set()).size === 3)
+    assert(!bySrc.contains("src2") && !bySrc.contains("src3"))
+    // prefix property: each source's weighted pick == the uniform pick at
+    // that quota (hash order is fixed, quotas only size the prefix)
+    Seq("src0" -> 7, "src1" -> 3).foreach { case (src, q) =>
+      val uniform = Corpus.mixSample(
+          corpus.where(col("source") === src), col("source"), col("text"), q)
+        .select("doc_id").as[Long].collect().toSet
+      assert(bySrc(src) === uniform)
+    }
+  }
+
   test("mixSample matches the brute-force smallest-hash-per-source sample") {
     val expected = corpus
       .withColumn("__h", Corpus.contentHash32(col("text")))
