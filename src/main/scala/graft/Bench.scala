@@ -40,6 +40,19 @@ object Bench {
       new org.apache.spark.ml.clustering.KMeans().setK(2).setSeed(1L).setMaxIter(2)
         .setFeaturesCol("__f")
         .fit(tiny.select(array_to_vector(col("embedding")).as("__f")))
+      // Native text-kernel warmup (same rationale): the alphabetically-
+      // first text query otherwise absorbs the kernels' one-time JIT.
+      import graft.operators.TextOps
+      spark.read.parquet(s"$sfDir/documents.parquet").limit(64)
+        .withColumn("__toks", TextOps.tokens(col("text")))
+        .select(
+          md5(col("text")),
+          TextOps.tokenStats(col("__toks")),
+          TextOps.shingleHashes(TextOps.shinglesFromTokens(col("__toks"), 3)),
+          graft.functions.NativeExprs.minhashSigHashes(
+            TextOps.shinglesFromTokens(col("__toks"), 3), 16),
+          graft.functions.NativeExprs.simhash60(col("__toks")))
+        .write.format("noop").mode("overwrite").save()
     }
     var failed = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
