@@ -580,11 +580,14 @@ object IvfIndex {
     if (bySplit.isEmpty) { members.unpersist(); return None }
     val maxId = model.centroids.agg(max(col("cluster_id"))).head().getInt(0)
     // lowest live sub keeps the old cluster id; the rest append in
-    // deterministic (cluster_id, sub) order
+    // deterministic (cluster_id, sub) order. The (cid, -1, cid) row keeps
+    // members with NO finite distance to any sub (NaN embeddings — argmin
+    // returns -1, mirroring the reference's "NaN never wins") under the
+    // old cluster id instead of silently dropping out of the assignment.
     var next = maxId
     val mapping = bySplit.toSeq.sortBy(_._1).flatMap { case (cid, pairs) =>
       val subs = pairs.map(_._2).sorted
-      (cid, subs.head, cid) +: subs.tail.map { s => next += 1; (cid, s, next) }
+      (cid, -1, cid) +: (cid, subs.head, cid) +: subs.tail.map { s => next += 1; (cid, s, next) }
     }
     val spark = assigned.sparkSession
     import spark.implicits._

@@ -153,6 +153,25 @@ class IvfIndexSpec extends SparkSpec {
     assert(m.assigned.count() === 200)
   }
 
+  test("splitKWay keeps a NaN-embedding member under its old cluster id (no record lost)") {
+    val rnd = new scala.util.Random(5)
+    val rows = (0 until 150).map(i => (i.toLong, Seq.fill(dim)(rnd.nextFloat()), Map("k" -> "v"))) :+
+      ((999L, Seq.fill(dim)(Float.NaN), Map("k" -> "v")))
+    val df = rows.toDF("id", "embedding", "metadata")
+    val c = Seq((7, Seq.fill(dim)(0.5f))).toDF("cluster_id", "centroid")
+      .withColumn("centroid", col("centroid").cast("array<float>"))
+    // force everything (incl. the NaN row, via a fixed assignment) into
+    // one oversized cluster, then split k-way
+    val assigned = df.withColumn("cluster_id", lit(7))
+    val split = IvfIndex.splitKWay(IvfIndex.Model(c, assigned), density = 60, Metric.Euclidean)
+    assert(split.assigned.count() === 151, "no record may be lost in a split")
+    val nanCluster = split.assigned.where(col("id") === 999L)
+      .select("cluster_id").as[Int].head()
+    assert(nanCluster === 7, "NaN member must keep the old cluster id")
+    // and the old id still has a centroid (lowest live sub keeps it)
+    assert(split.centroids.where(col("cluster_id") === 7).count() === 1)
+  }
+
   test("balanced build: density restored past a tiny kMax; probe query still exact at full probes") {
     val m = IvfIndex.buildBalanced(records, density = 64, Metric.Euclidean, seed = 42L, kMax = 4)
     val sizes = m.assigned.groupBy("cluster_id").count().as[(Int, Long)].collect()
