@@ -186,6 +186,14 @@ class IvfIndexSpec extends SparkSpec {
     assert(probedAll === exact)
   }
 
+  test("balanced build is deterministic: identical assignments across runs") {
+    val a = IvfIndex.buildBalanced(records, density = 64, Metric.Euclidean, seed = 42L, kMax = 4)
+      .assigned.select("id", "cluster_id").as[(Long, Int)].collect().toMap
+    val b = IvfIndex.buildBalanced(records, density = 64, Metric.Euclidean, seed = 42L, kMax = 4)
+      .assigned.select("id", "cluster_id").as[(Long, Int)].collect().toMap
+    assert(a === b, "hash-bucket seeds + fixed Lloyd rounds must reproduce exactly")
+  }
+
   test("mixed split set: only splittable clusters append; degenerate keeps its id") {
     val rnd = new scala.util.Random(11)
     // cluster 0: identical (degenerate); cluster 1: well-separated spread
