@@ -41,13 +41,19 @@ object Bench {
         .setFeaturesCol("__f")
         .fit(tiny.select(array_to_vector(col("embedding")).as("__f")))
       // Native text-kernel warmup (same rationale): the alphabetically-
-      // first text query otherwise absorbs the kernels' one-time JIT.
+      // first text query otherwise absorbs the kernels' one-time JIT +
+      // codegen cost. A 512-doc slice gives the per-token inner loops
+      // enough invocations to reach steady-state compilation; no timed
+      // query's plan is pre-run.
       import graft.operators.TextOps
-      spark.read.parquet(s"$sfDir/documents.parquet").limit(64)
+      val warmDocs = spark.read.parquet(s"$sfDir/documents.parquet").limit(512)
         .withColumn("__toks", TextOps.tokens(col("text")))
+        .withColumn("__stats", TextOps.tokenStats(col("__toks")))
+      warmDocs
         .select(
-          md5(col("text")),
-          TextOps.tokenStats(col("__toks")),
+          md5(col("text")), sha2(col("text"), 256),
+          TextOps.langFromVotes(col("__stats.votes")),
+          TextOps.qualityFromStats(col("text"), col("__toks"), col("__stats")),
           TextOps.shingleHashes(TextOps.shinglesFromTokens(col("__toks"), 3)),
           graft.functions.NativeExprs.minhashSigHashes(
             TextOps.shinglesFromTokens(col("__toks"), 3), 16),
