@@ -134,6 +134,60 @@ object DocIngest {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming EXACT-dedup admission via custom keyed state
+    * (`flatMapGroupsWithState`): the first document carrying a given
+    * text hash is emitted, every later arrival — same micro-batch (min
+    * doc_id wins, deterministic) or any later batch — is suppressed.
+    * This is the streaming twin of the batch `dedup_exact` groupBy with
+    * keep-first-arrival semantics, and the state survives restarts via
+    * the checkpoint, so an admission pipeline restarted mid-corpus never
+    * re-admits a duplicate.
+    *
+    * Scale shape: state is ONE boolean per distinct text hash, keyed by
+    * the 32-char md5 — the state store shuffles and holds hashes, never
+    * documents; back it with RocksDB
+    * (`spark.sql.streaming.stateStore.providerClass`) once distinct
+    * count exceeds executor heap. The near-dup gate ([[startAdmission]])
+    * stays a stream-static join because ITS corpus side is a maintained
+    * table; exact dedup has no verification step, so keyed state is the
+    * tighter fit. */
+  def exactDedupStream(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    docs
+      .select(md5(col("text")).as("_1"), col("doc_id").as("_2"), col("text").as("_3"))
+      .as[(String, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Boolean, (Long, String)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[(String, Long, String)], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            val first = rows.minBy(_._2)
+            Iterator.single((first._2, first._3))
+          }
+      }
+      .toDF("doc_id", "text")
+  }
+
+  /** [[exactDedupStream]] wired to an append parquet sink — restartable
+    * exactly-once admission of first occurrences. */
+  def startExactDedup(
+      spark: SparkSession,
+      dir: String,
+      storePath: String,
+      checkpointPath: String): StreamingQuery =
+    exactDedupStream(readDocs(spark, dir))
+      .writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", storePath)
+      .option("checkpointLocation", checkpointPath)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Stream the gate into a memory sink for testing (match rows, possibly
     * repeated across bands — consumers dedupe, like every other reader of
     * [[matches]]). Production sinks swap this for [[startAdmission]]. */

@@ -215,6 +215,31 @@ class StreamingSpec extends SparkSpec {
       s"expected only the novel English doc admitted, got $admitted")
   }
 
+  test("stateful exact-dedup gate: first arrival wins, state survives a restart") {
+    import graft.streaming.DocIngest
+    val root = java.nio.file.Files.createTempDirectory("graft_exact_gate")
+    val inDir = s"$root/in"
+    val store = s"$root/store"
+    val ckpt = s"$root/ckpt"
+
+    // run 1: doc 1 and its same-batch duplicate (higher id loses)
+    Seq((1L, "alpha beta gamma"), (5L, "alpha beta gamma"), (2L, "delta epsilon"))
+      .toDF("doc_id", "text").write.mode("append").parquet(inDir)
+    DocIngest.startExactDedup(spark, inDir, store, ckpt).awaitTermination()
+    val afterRun1 = spark.read.parquet(store).select("doc_id").as[Long].collect().toSet
+    assert(afterRun1 === Set(1L, 2L), s"min doc_id per text must win, got $afterRun1")
+
+    // run 2 (fresh query, SAME checkpoint): a replayed duplicate of doc 1
+    // must stay suppressed — the keyed state is durable — while the novel
+    // doc passes
+    Seq((9L, "alpha beta gamma"), (10L, "zeta eta theta"))
+      .toDF("doc_id", "text").write.mode("append").parquet(inDir)
+    DocIngest.startExactDedup(spark, inDir, store, ckpt).awaitTermination()
+    val afterRun2 = spark.read.parquet(store).select("doc_id").as[Long].collect().toSet
+    assert(afterRun2 === Set(1L, 2L, 10L),
+      s"duplicate across restart must stay suppressed, got $afterRun2")
+  }
+
   test("streaming admission honors non-default index params (gate stays armed)") {
     import graft.streaming.DocIngest
     val base = "the quick brown fox jumps over the lazy dog and it is " +
