@@ -216,6 +216,14 @@ object Queries {
       knnOut(IvfIndex.query(model, qvec0(s, dir), k = 10, probes = 3, Metric.Euclidean))
     }),
 
+    // O6,O9 under the COSINE metric — assignment, probe ranking, and
+    // re-rank all run cosine distance (reference metric.rs:30-31)
+    "ivf_probe_cosine" -> ((s, dir) => {
+      val c = fixedCentroids(s, dir)
+      val model = IvfIndex.Model(c, IvfIndex.assign(recs(s, dir), c, Metric.Cosine))
+      knnOut(IvfIndex.query(model, qvec0(s, dir), k = 10, probes = 3, Metric.Cosine))
+    }),
+
     // extension: batch ANN through the IVF index — per-query probe
     // pruning (each record meets only the queries probing its cluster),
     // the scale path that replaces the brute-force record × query cross
@@ -252,6 +260,16 @@ object Queries {
       val planes = operators.SignLsh.planesFrom(r, nbits = 6)
       knnOut(operators.SignLsh.query(r, planes, qvec0(s, dir), k = 10,
         hamming = 1, Metric.Cosine))
+    }),
+
+    // extension: sign-LSH with the full compositional surface — radius
+    // gate + metadata filter on top of the multi-probe bucket pruning
+    "ann_lsh_filtered" -> ((s, dir) => {
+      val r = recs(s, dir)
+      val planes = operators.SignLsh.planesFrom(r, nbits = 6)
+      knnOut(operators.SignLsh.query(r, planes, qvec0(s, dir), k = 10,
+        hamming = 1, Metric.Cosine, radius = 0.72,
+        filter = FilterDsl.predicate(col("metadata"), "label >= 3")))
     }),
 
     // extension: batch multi-probe sign-LSH — every query pruned to its
@@ -653,6 +671,39 @@ object Queries {
          |SELECT e.vec_id AS vec_id, ${sqlR4(sqlSq("e.embedding", "q.qvec"))} AS distance
          |FROM embeddings e JOIN asg ON e.vec_id = asg.vec_id JOIN probed ON asg.cid = probed.cid, q
          |ORDER BY ${sqlSq("e.embedding", "q.qvec")} ASC, e.vec_id ASC LIMIT 10""".stripMargin,
+
+    "ivf_probe_cosine" ->
+      s"""WITH c AS (SELECT CAST(vec_id AS INTEGER) AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8),
+         |q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+         |asg AS (SELECT vec_id, cid FROM (
+         |  SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id ORDER BY ${sqlCosDist("e.embedding", "c.cvec")} ASC, c.cid ASC) AS rn
+         |  FROM embeddings e CROSS JOIN c) WHERE rn = 1),
+         |probed AS (SELECT c.cid FROM c, q ORDER BY ${sqlCosDist("c.cvec", "q.qvec")} ASC, c.cid ASC LIMIT 3)
+         |SELECT e.vec_id AS vec_id, ${sqlR4(sqlCosDist("e.embedding", "q.qvec"))} AS distance
+         |FROM embeddings e JOIN asg ON e.vec_id = asg.vec_id JOIN probed ON asg.cid = probed.cid, q
+         |ORDER BY ${sqlCosDist("e.embedding", "q.qvec")} ASC, e.vec_id ASC LIMIT 10""".stripMargin,
+
+    "ann_lsh_filtered" ->
+      s"""WITH pr AS (
+         |  SELECT a.vec_id AS i, list_transform(list_zip(a.embedding, b.embedding),
+         |    p -> CAST(p[1] AS REAL) - CAST(p[2] AS REAL)) AS h
+         |  FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 6
+         |  WHERE a.vec_id < 6),
+         |bk AS (
+         |  SELECT e.vec_id, CAST(sum(CASE WHEN ${sqlDot("e.embedding", "pr.h")} > 0
+         |    THEN (CAST(1 AS BIGINT) << CAST(pr.i AS INT)) ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM embeddings e CROSS JOIN pr GROUP BY e.vec_id),
+         |qb AS (SELECT bucket FROM bk WHERE vec_id = 0),
+         |q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+         |cand AS (
+         |  SELECT e.vec_id, e.embedding FROM embeddings e JOIN bk ON e.vec_id = bk.vec_id, qb
+         |  WHERE list_contains(list_transform([0, 1, 2, 4, 8, 16, 32],
+         |    m -> xor(qb.bucket, CAST(m AS BIGINT))), bk.bucket)
+         |    AND e.label >= 3)
+         |SELECT c.vec_id AS vec_id, ${sqlR4(sqlCosDist("c.embedding", "q.qvec"))} AS distance
+         |FROM cand c, q
+         |WHERE ${sqlCosDist("c.embedding", "q.qvec")} <= 0.72
+         |ORDER BY ${sqlCosDist("c.embedding", "q.qvec")} ASC, c.vec_id ASC LIMIT 10""".stripMargin,
 
     "ivf_batch_query" ->
       s"""WITH c AS (SELECT CAST(vec_id AS INTEGER) AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8),
