@@ -320,6 +320,14 @@ object Queries {
         .orderBy("doc_id", "dup_of")
     }),
 
+    // extension: duplicate GROUPS — connected components over the
+    // verified MinHash pair graph (min-label propagation), the keep/drop
+    // map a dedup pipeline actually applies
+    "dedup_groups" -> ((s, dir) =>
+      Dedup.duplicateGroups(
+          Dedup.minhashLsh(docs(s, dir), shingleN = 3, perms = 16, bands = 4, threshold = 0.5))
+        .orderBy("doc_id")),
+
     // extension: SimHash(60-bit) near-dup pairs, hamming <= 8
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(docs(s, dir), maxHamming = 8)
@@ -805,6 +813,32 @@ object Queries {
          |  CAST(len(list_intersect(a.h1, b.h1)) AS DOUBLE) / len(list_distinct(a.h1 || b.h1)) AS jaccard
          |  FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id)
          |SELECT doc_id_a, doc_id_b, ${sqlR4("jaccard")} AS jaccard FROM j WHERE jaccard >= 0.5 ORDER BY doc_id_a, doc_id_b""".stripMargin,
+
+    "dedup_groups" ->
+      s"""WITH RECURSIVE toks AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(len(tk) - 2, 0)),
+         |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
+         |  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk FROM documents)),
+         |ne AS (SELECT doc_id, sh FROM toks WHERE len(sh) > 0),
+         |hh AS (SELECT doc_id, sh,
+         |  list_transform(sh, s -> list_reduce(list_transform(string_split_regex(substr(md5(s), 1, 14), ''),
+         |    c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a * 16 + b)) AS h1,
+         |  list_transform(sh, s -> list_reduce(list_transform(string_split_regex(substr(md5(s), 17, 14), ''),
+         |    c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a * 16 + b)) AS h2
+         |  FROM ne),
+         |sig AS (SELECT doc_id, h1, list_transform(generate_series(0, 15), i ->
+         |  list_min(list_transform(list_zip(h1, h2), p -> p[1] + i * p[2]))) AS sg FROM hh),
+         |bands AS (SELECT doc_id, h1, u.b AS band_idx,
+         |  md5(array_to_string(list_slice(sg, u.b * 4 + 1, u.b * 4 + 4), '|')) AS band_hash
+         |  FROM sig, (SELECT unnest([0, 1, 2, 3]) AS b) u),
+         |j AS (SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+         |  FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_intersect(a.h1, b.h1)) AS DOUBLE) / len(list_distinct(a.h1 || b.h1)) >= 0.5),
+         |e AS (SELECT doc_id_a AS a, doc_id_b AS b FROM j UNION SELECT doc_id_b, doc_id_a FROM j),
+         |reach(node, lab) AS (
+         |  SELECT DISTINCT a, a FROM e
+         |  UNION
+         |  SELECT e.b, r.lab FROM reach r JOIN e ON e.a = r.node)
+         |SELECT node AS doc_id, min(lab) AS rep_id FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
 
     "dedup_incremental" ->
       s"""WITH toks AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(len(tk) - 2, 0)),

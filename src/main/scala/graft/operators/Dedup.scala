@@ -272,4 +272,49 @@ object Dedup {
       .where(col("cos_sim") >= lit(threshold))
       .select(col("id_a"), col("id_b"), col("cos_sim"))
   }
+
+  /** Duplicate GROUPS from verified near-dup PAIRS: connected components
+    * by min-label propagation — the step that turns any pair emitter
+    * ([[minhashLsh]], [[simhashPairs]], [[embeddingNearDup]]) into an
+    * actionable keep/drop map (`rep_id` = the minimum doc id of the
+    * component; keep it, drop the rest).
+    *
+    * Scale shape: each round is one equi-join of the edge list against
+    * the current labels plus a min-aggregate — shuffles bounded by
+    * |edges|, converging in graph-diameter rounds (near-dup components
+    * are short chains or cliques, so diameter is small). Lineage AND
+    * inherited statistics are truncated per round (lazy `localCheckpoint`
+    * + `PlanBridge.statsReset`) — the loop-carried join plan would
+    * otherwise nest per round (see [[IvfIndex.refine]]). The convergence
+    * check (label-change count) is one aggregate per round over the
+    * (node, label) frame, which is bounded by the DISTINCT DOCS THAT
+    * APPEAR IN ANY PAIR — the duplicate subset, not the corpus. */
+  def duplicateGroups(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    def truncate(df: DataFrame): DataFrame =
+      org.apache.spark.sql.graft.PlanBridge.statsReset(df.localCheckpoint(eager = false))
+    val edges = pairs
+      .select(col("doc_id_a").as("src"), col("doc_id_b").as("dst"))
+      .unionByName(pairs.select(col("doc_id_b").as("src"), col("doc_id_a").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = truncate(
+      edges.select(col("src").as("node")).distinct()
+        .withColumn("lab", col("node")))
+    var changed = true
+    var i = 0
+    while (changed && i < maxIter) {
+      val prop = edges
+        .join(labels.withColumnRenamed("node", "dst"), Seq("dst"))
+        .select(col("src").as("node"), col("lab"))
+      val next = truncate(
+        labels.unionByName(prop)
+          .groupBy(col("node")).agg(min(col("lab")).as("lab")))
+      changed = next.join(labels.withColumnRenamed("lab", "__old"), Seq("node"))
+        .where(col("lab") =!= col("__old"))
+        .isEmpty == false
+      labels = next
+      i += 1
+    }
+    edges.unpersist()
+    labels.select(col("node").as("doc_id"), col("lab").as("rep_id"))
+  }
 }

@@ -88,6 +88,22 @@ class DedupSpec extends SparkSpec {
     assert(cappedSim.contains((0L, 1L)))
   }
 
+  test("duplicateGroups: transitive chains merge, disjoint pairs stay apart, min id is rep") {
+    import spark.implicits._
+    // chain 1-2-3 (transitive: 1 and 3 never paired directly), pair 10-11,
+    // self-contained clique 20-21-22
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L),
+      (10L, 11L),
+      (20L, 21L), (20L, 22L), (21L, 22L)).toDF("doc_id_a", "doc_id_b")
+    val groups = Dedup.duplicateGroups(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(groups === Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
   test("simhash band layout covers all 60 bits with ±1-width contiguous bands") {
     for (bands <- Seq(1, 4, 9, 13, 60)) {
       val layout = Dedup.simhashBandLayout(bands)
