@@ -289,7 +289,10 @@ object Dedup {
     * check (label-change count) is one aggregate per round over the
     * (node, label) frame, which is bounded by the DISTINCT DOCS THAT
     * APPEAR IN ANY PAIR — the duplicate subset, not the corpus. */
-  def duplicateGroups(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  // maxIter bounds pathological chain-of-drift components (label
+  // propagation needs diameter rounds); the loop exits on convergence, so
+  // headroom beyond the actual diameter costs nothing.
+  def duplicateGroups(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
     def truncate(df: DataFrame): DataFrame =
       org.apache.spark.sql.graft.PlanBridge.statsReset(df.localCheckpoint(eager = false))
     val edges = pairs
