@@ -246,13 +246,15 @@ object Dedup {
 
   /** Embedding-cosine near-dup over a PRE-BLOCKED frame
     * `(block, id, embedding)`. The block key must have data-proportional
-    * cardinality — the intended producer is [[IvfIndex.assign]]'s
-    * `cluster_id`, whose bucket size is bounded by the index's density
-    * contract, so within-block pair counts stay O(n · density) instead of
-    * quadratic. (A fixed-cardinality key like a class label is a
-    * test-scale-only shortcut and is deliberately NOT taken here.)
-    * Within-block pairs are verified by exact cosine similarity ≥
-    * `threshold`. */
+    * cardinality — the intended producer is [[IvfIndex.assignTop2]]'s
+    * two nearest `cluster_id`s per vector (unioned into one block column;
+    * dedupe matches downstream), which closes the Voronoi-boundary recall
+    * gap of single-cluster blocking while keeping bucket sizes bounded by
+    * the index's density contract, so within-block pair counts stay
+    * O(n · density) instead of quadratic. (A fixed-cardinality key like a
+    * class label is a test-scale-only shortcut and is deliberately NOT
+    * taken here.) Within-block pairs are verified by exact cosine
+    * similarity ≥ `threshold`. */
   def embeddingNearDup(blocked: DataFrame, threshold: Double): DataFrame = {
     import org.apache.spark.sql.Column
     // native dot kernel — bit-identical to the HOF aggregate the oracle mirrors
