@@ -216,6 +216,22 @@ object Queries {
       knnOut(IvfIndex.query(model, qvec0(s, dir), k = 10, probes = 3, Metric.Euclidean))
     }),
 
+    // O17/O18 × O6 — the 100 TB index LAYOUT in the correctness gate:
+    // write the assignment partitionBy(cluster_id) (posting lists as
+    // parquet partitions), reopen, probe — the pruned-scan store must
+    // answer exactly like the in-memory frame (same fixed centroids, so
+    // the ivf_probe_query oracle applies verbatim). Partition pruning
+    // itself is pinned by PlanShapeSpec.
+    "ivf_store_query" -> ((s, dir) => {
+      val c = fixedCentroids(s, dir)
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_store_" +
+        s.sparkContext.applicationId
+      IvfIndex.writePartitioned(
+        IvfIndex.Model(c, IvfIndex.assign(recs(s, dir), c, Metric.Euclidean)), path)
+      val disk = IvfIndex.Model(c, s.read.parquet(path))
+      knnOut(IvfIndex.query(disk, qvec0(s, dir), k = 10, probes = 3, Metric.Euclidean))
+    }),
+
     // O6,O9 under the COSINE metric — assignment, probe ranking, and
     // re-rank all run cosine distance (reference metric.rs:30-31)
     "ivf_probe_cosine" -> ((s, dir) => {
@@ -670,6 +686,17 @@ object Queries {
          |SELECT vec_id, cid AS cluster_id FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin,
 
     "ivf_probe_query" ->
+      s"""WITH c AS (SELECT CAST(vec_id AS INTEGER) AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8),
+         |q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+         |asg AS (SELECT vec_id, cid FROM (
+         |  SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id ORDER BY ${sqlSq("e.embedding", "c.cvec")} ASC, c.cid ASC) AS rn
+         |  FROM embeddings e CROSS JOIN c) WHERE rn = 1),
+         |probed AS (SELECT c.cid FROM c, q ORDER BY ${sqlSq("c.cvec", "q.qvec")} ASC, c.cid ASC LIMIT 3)
+         |SELECT e.vec_id AS vec_id, ${sqlR4(sqlSq("e.embedding", "q.qvec"))} AS distance
+         |FROM embeddings e JOIN asg ON e.vec_id = asg.vec_id JOIN probed ON asg.cid = probed.cid, q
+         |ORDER BY ${sqlSq("e.embedding", "q.qvec")} ASC, e.vec_id ASC LIMIT 10""".stripMargin,
+
+    "ivf_store_query" ->
       s"""WITH c AS (SELECT CAST(vec_id AS INTEGER) AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8),
          |q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
          |asg AS (SELECT vec_id, cid FROM (
