@@ -304,6 +304,15 @@ object Dedup {
     var labels = truncate(
       edges.select(col("src").as("node")).distinct()
         .withColumn("lab", col("node")))
+    // Convergence via the label-sum invariant: min-propagation is
+    // MONOTONE (labels only ever decrease), so Σlab strictly decreases
+    // iff any label changed — an exact test from one scalar aggregate
+    // per round (which doubles as the round's materializing action)
+    // instead of a join against the previous labels. Decimal sum: ids
+    // near 2^63 would overflow a long Σ.
+    def labSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("lab").cast("decimal(38,0)"))).head().getDecimal(0)
+    var prevSum = labSum(labels)
     var changed = true
     var i = 0
     while (changed && i < maxIter) {
@@ -313,9 +322,9 @@ object Dedup {
       val next = truncate(
         labels.unionByName(prop)
           .groupBy(col("node")).agg(min(col("lab")).as("lab")))
-      changed = next.join(labels.withColumnRenamed("lab", "__old"), Seq("node"))
-        .where(col("lab") =!= col("__old"))
-        .isEmpty == false
+      val nextSum = labSum(next)
+      changed = nextSum.compareTo(prevSum) != 0
+      prevSum = nextSum
       labels = next
       i += 1
     }
