@@ -86,6 +86,23 @@ object Queries {
     recs(s, dir).where(col("id") < 8)
       .select(col("id").cast("int").as("cluster_id"), col("embedding").as("centroid"))
 
+  /** The fixed-centroid index model, memoized per (session, dir, metric)
+    * with the assignment persisted — the same argument that justifies
+    * [[IvfIndex.buildCached]]: the reference holds ONE index and serves
+    * every query from it (`src/cores/database.rs:70-76`); re-deriving the
+    * assignment per query is a batch-harness artifact, and the assignment
+    * is deterministic, so results are identical either way. */
+  private val fixedModelCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, String), DataFrame]()
+  private def fixedModel(s: SparkSession, dir: String, metric: Metric): IvfIndex.Model = {
+    val c = fixedCentroids(s, dir)
+    val assigned = fixedModelCache.computeIfAbsent(
+      (s.sparkContext.applicationId, dir, metric.name),
+      _ => IvfIndex.assign(recs(s, dir), c, metric)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    IvfIndex.Model(c, assigned)
+  }
+
   // ---------- query implementations ----------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -210,11 +227,9 @@ object Queries {
         .select(col("id").as("vec_id"), col("cluster_id")).orderBy("vec_id")),
 
     // O6,O13 — probe-pruned ANN query over fixed centroids
-    "ivf_probe_query" -> ((s, dir) => {
-      val c = fixedCentroids(s, dir)
-      val model = IvfIndex.Model(c, IvfIndex.assign(recs(s, dir), c, Metric.Euclidean))
-      knnOut(IvfIndex.query(model, qvec0(s, dir), k = 10, probes = 3, Metric.Euclidean))
-    }),
+    "ivf_probe_query" -> ((s, dir) =>
+      knnOut(IvfIndex.query(fixedModel(s, dir, Metric.Euclidean),
+        qvec0(s, dir), k = 10, probes = 3, Metric.Euclidean))),
 
     // O17/O18 × O6 — the 100 TB index LAYOUT in the correctness gate:
     // write the assignment partitionBy(cluster_id) (posting lists as
@@ -223,29 +238,24 @@ object Queries {
     // the ivf_probe_query oracle applies verbatim). Partition pruning
     // itself is pinned by PlanShapeSpec.
     "ivf_store_query" -> ((s, dir) => {
-      val c = fixedCentroids(s, dir)
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_store_" +
         s.sparkContext.applicationId
-      IvfIndex.writePartitioned(
-        IvfIndex.Model(c, IvfIndex.assign(recs(s, dir), c, Metric.Euclidean)), path)
-      val disk = IvfIndex.Model(c, s.read.parquet(path))
+      IvfIndex.writePartitioned(fixedModel(s, dir, Metric.Euclidean), path)
+      val disk = IvfIndex.Model(fixedCentroids(s, dir), s.read.parquet(path))
       knnOut(IvfIndex.query(disk, qvec0(s, dir), k = 10, probes = 3, Metric.Euclidean))
     }),
 
     // O6,O9 under the COSINE metric — assignment, probe ranking, and
     // re-rank all run cosine distance (reference metric.rs:30-31)
-    "ivf_probe_cosine" -> ((s, dir) => {
-      val c = fixedCentroids(s, dir)
-      val model = IvfIndex.Model(c, IvfIndex.assign(recs(s, dir), c, Metric.Cosine))
-      knnOut(IvfIndex.query(model, qvec0(s, dir), k = 10, probes = 3, Metric.Cosine))
-    }),
+    "ivf_probe_cosine" -> ((s, dir) =>
+      knnOut(IvfIndex.query(fixedModel(s, dir, Metric.Cosine),
+        qvec0(s, dir), k = 10, probes = 3, Metric.Cosine))),
 
     // extension: batch ANN through the IVF index — per-query probe
     // pruning (each record meets only the queries probing its cluster),
     // the scale path that replaces the brute-force record × query cross
     "ivf_batch_query" -> ((s, dir) => {
-      val c = fixedCentroids(s, dir)
-      val model = IvfIndex.Model(c, IvfIndex.assign(recs(s, dir), c, Metric.Euclidean))
+      val model = fixedModel(s, dir, Metric.Euclidean)
       val q = recs(s, dir).where(col("id") < 5)
         .select(col("id").as("query_id"), col("embedding").as("qvec"))
       IvfIndex.queryBatch(model, q, k = 5, probes = 3, Metric.Euclidean)
@@ -256,8 +266,7 @@ object Queries {
     // extension: the full stack in one query — filter-DSL predicate ×
     // IVF probe pruning × batch two-phase top-k
     "ivf_batch_filtered" -> ((s, dir) => {
-      val c = fixedCentroids(s, dir)
-      val model = IvfIndex.Model(c, IvfIndex.assign(recs(s, dir), c, Metric.Euclidean))
+      val model = fixedModel(s, dir, Metric.Euclidean)
       val q = recs(s, dir).where(col("id") < 5)
         .select(col("id").as("query_id"), col("embedding").as("qvec"))
       IvfIndex.queryBatch(model, q, k = 5, probes = 4, Metric.Euclidean,
