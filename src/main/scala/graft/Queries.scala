@@ -223,7 +223,7 @@ object Queries {
 
     // O6,O9 — nearest-centroid assignment over fixed centroids
     "ivf_assignments" -> ((s, dir) =>
-      IvfIndex.assign(recs(s, dir), fixedCentroids(s, dir), Metric.Euclidean)
+      fixedModel(s, dir, Metric.Euclidean).assigned
         .select(col("id").as("vec_id"), col("cluster_id")).orderBy("vec_id")),
 
     // O6,O13 — probe-pruned ANN query over fixed centroids
