@@ -92,12 +92,17 @@ object Queries {
     * every query from it (`src/cores/database.rs:70-76`); re-deriving the
     * assignment per query is a batch-harness artifact, and the assignment
     * is deterministic, so results are identical either way. */
+  // Keyed by SESSION (not applicationId): a later session in the same
+  // application must not reuse a frame bound to a stopped session. Entries
+  // whose owning context has stopped are evicted on access (their persisted
+  // blocks died with the context; nothing to unpersist).
   private val fixedModelCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, String, String), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
   private def fixedModel(s: SparkSession, dir: String, metric: Metric): IvfIndex.Model = {
+    fixedModelCache.keySet.removeIf(_._1.sparkContext.isStopped)
     val c = fixedCentroids(s, dir)
     val assigned = fixedModelCache.computeIfAbsent(
-      (s.sparkContext.applicationId, dir, metric.name),
+      (s, dir, metric.name),
       _ => IvfIndex.assign(recs(s, dir), c, metric)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     IvfIndex.Model(c, assigned)
@@ -1085,10 +1090,11 @@ object Queries {
       """WITH t AS (SELECT doc_id, doc_id % 8 AS shard,
         |    CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS BIGINT) AS n_tokens
         |  FROM documents),
+        |tp AS (SELECT * FROM t WHERE n_tokens >= 1),
         |c AS (SELECT doc_id, shard, n_tokens,
         |    CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - n_tokens AS strt
-        |  FROM t)
+        |  FROM tp)
         |SELECT doc_id, shard, n_tokens, strt // 512 AS pack_id, strt % 512 AS tok_offset
         |FROM c ORDER BY doc_id""".stripMargin,
 

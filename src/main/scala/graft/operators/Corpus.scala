@@ -60,7 +60,12 @@ object Corpus {
     *
     * `nTokens` is the per-document token count column (e.g.
     * `size(TextOps.tokens(text))`, or a real tokenizer's count joined
-    * from a side table). */
+    * from a side table). Documents with a null or non-positive count are
+    * DROPPED: they contribute no tokens to any pack, and keeping them
+    * would break [[packedSequences]]'s memory bound — every zero-token
+    * document shares its successor's `__start`, so one pack's gather
+    * group could grow unboundedly (and a null count would poison the
+    * running totals of everything after it in the shard). */
   def pack(docs: DataFrame, nTokens: Column, budget: Int, nShards: Int = 64): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
     require(nShards > 0, s"nShards must be positive, got $nShards")
@@ -69,6 +74,7 @@ object Corpus {
     docs
       .select(col("doc_id"), pmod(col("doc_id"), lit(nShards.toLong)).as("shard"),
         nTokens.cast("long").as("n_tokens"))
+      .where(col("n_tokens") >= 1) // null-safe: null counts fail the predicate too
       .withColumn("__start", sum(col("n_tokens")).over(w) - col("n_tokens"))
       .select(col("doc_id"), col("shard"), col("n_tokens"),
         expr(s"__start div $budget").as("pack_id"), // integral div, no double round-trip

@@ -277,9 +277,10 @@ object Dedup {
 
   /** Duplicate GROUPS from verified near-dup PAIRS: connected components
     * by min-label propagation — the step that turns any pair emitter
-    * ([[minhashLsh]], [[simhashPairs]], [[embeddingNearDup]]) into an
-    * actionable keep/drop map (`rep_id` = the minimum doc id of the
-    * component; keep it, drop the rest).
+    * ([[minhashLsh]], [[simhashPairs]], [[embeddingNearDup]] — the latter
+    * emits `id_a`/`id_b`, so pass `srcCol = "id_a", dstCol = "id_b"`)
+    * into an actionable keep/drop map (`rep_id` = the minimum doc id of
+    * the component; keep it, drop the rest).
     *
     * Scale shape: each round is one equi-join of the edge list against
     * the current labels plus a min-aggregate — shuffles bounded by
@@ -294,12 +295,22 @@ object Dedup {
   // maxIter bounds pathological chain-of-drift components (label
   // propagation needs diameter rounds); the loop exits on convergence, so
   // headroom beyond the actual diameter costs nothing.
-  def duplicateGroups(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+  def duplicateGroups(
+      pairs: DataFrame,
+      maxIter: Int = 50,
+      srcCol: String = "doc_id_a",
+      dstCol: String = "doc_id_b"): DataFrame = {
     def truncate(df: DataFrame): DataFrame =
       org.apache.spark.sql.graft.PlanBridge.statsReset(df.localCheckpoint(eager = false))
-    val edges = pairs
-      .select(col("doc_id_a").as("src"), col("doc_id_b").as("dst"))
-      .unionByName(pairs.select(col("doc_id_b").as("src"), col("doc_id_a").as("dst")))
+    // Persist the directed pair list ONCE and derive both edge directions
+    // from the cache: a union whose two legs each embed the (expensive —
+    // typically a full LSH candidate+verify pipeline) pairs plan would
+    // compute that plan twice on first materialization.
+    val p = pairs
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val edges = p
+      .unionByName(p.select(col("dst").as("src"), col("src").as("dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = truncate(
       edges.select(col("src").as("node")).distinct()
@@ -309,9 +320,13 @@ object Dedup {
     // iff any label changed — an exact test from one scalar aggregate
     // per round (which doubles as the round's materializing action)
     // instead of a join against the previous labels. Decimal sum: ids
-    // near 2^63 would overflow a long Σ.
+    // near 2^63 would overflow a long Σ. Zero rows sum to SQL NULL —
+    // treated as zero so an empty pair graph (a corpus with no detected
+    // duplicates, the common happy path) converges immediately instead
+    // of NPE-ing on the comparison.
     def labSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("lab").cast("decimal(38,0)"))).head().getDecimal(0)
+      Option(df.agg(sum(col("lab").cast("decimal(38,0)"))).head().getDecimal(0))
+        .getOrElse(java.math.BigDecimal.ZERO)
     var prevSum = labSum(labels)
     var changed = true
     var i = 0
@@ -329,6 +344,7 @@ object Dedup {
       i += 1
     }
     edges.unpersist()
+    p.unpersist()
     labels.select(col("node").as("doc_id"), col("lab").as("rep_id"))
   }
 }

@@ -61,6 +61,22 @@ class CorpusSpec extends SparkSpec {
     intercept[IllegalArgumentException](Corpus.pack(corpus, lit(1), 8, nShards = 0))
   }
 
+  test("pack drops zero/null-token documents and keeps running totals clean") {
+    // doc 1 has a null count, doc 2 a zero count: both must vanish without
+    // poisoning the running start positions of docs 0 and 3 (same shard).
+    val counted = Seq(
+      (0L, java.lang.Long.valueOf(10L)),
+      (1L, null.asInstanceOf[java.lang.Long]),
+      (2L, java.lang.Long.valueOf(0L)),
+      (3L, java.lang.Long.valueOf(5L))).toDF("doc_id", "nt")
+    val out = Corpus.pack(counted, col("nt"), budget = 8, nShards = 1)
+      .select("doc_id", "pack_id", "tok_offset")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq === Seq(0L, 3L))
+    assert(out(0) === ((0L, 0L, 0L)))  // starts at token 0
+    assert(out(1) === ((3L, 1L, 2L)))  // starts at token 10 = pack 1, offset 2
+  }
+
   test("packedSequences: every doc lands in its pack, in order, token totals preserved") {
     val budget = 32
     val packed = Corpus.pack(corpus, size(TextOps.tokens(col("text"))), budget, nShards = 4)

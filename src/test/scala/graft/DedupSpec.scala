@@ -104,6 +104,25 @@ class DedupSpec extends SparkSpec {
       20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("duplicateGroups: empty pair graph returns an empty map (no NPE on the null sum)") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("doc_id_a", "doc_id_b")
+    assert(Dedup.duplicateGroups(empty).count() === 0L)
+  }
+
+  test("duplicateGroups accepts embeddingNearDup's id_a/id_b via the column params") {
+    import spark.implicits._
+    // two identical unit vectors in one block → one verified pair (5, 7)
+    val blocked = Seq(
+      (0, 5L, Array(1.0f, 0.0f)),
+      (0, 7L, Array(1.0f, 0.0f)),
+      (1, 9L, Array(0.0f, 1.0f))).toDF("block", "id", "embedding")
+    val pairs = Dedup.embeddingNearDup(blocked, threshold = 0.99)
+    val groups = Dedup.duplicateGroups(pairs, srcCol = "id_a", dstCol = "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert(groups === Map(5L -> 5L, 7L -> 5L))
+  }
+
   test("simhash band layout covers all 60 bits with ±1-width contiguous bands") {
     for (bands <- Seq(1, 4, 9, 13, 60)) {
       val layout = Dedup.simhashBandLayout(bands)
