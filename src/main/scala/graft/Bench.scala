@@ -59,9 +59,26 @@ object Bench {
             TextOps.shinglesFromTokens(col("__toks"), 3), 16),
           graft.functions.NativeExprs.simhash60(col("__toks")))
         .write.format("noop").mode("overwrite").save()
+      // LSH-pipeline warmup (same rationale): the banded self-join,
+      // candidate verification, and label-propagation loop each compile
+      // several whole-stage-codegen classes; whichever dedup query runs
+      // first otherwise absorbs that one-time Janino cost (measured ~3-4 s
+      // at sf0.1). The input is a 512-doc slice, so plan-keyed caches
+      // cannot serve any timed query — only compiled code shapes are
+      // reused, which is the steady-state a long-lived session runs at.
+      import graft.operators.Dedup
+      val warmSlice = spark.read.parquet(s"$sfDir/documents.parquet").limit(512)
+      Dedup.duplicateGroups(Dedup.minhashLsh(warmSlice))
+        .write.format("noop").mode("overwrite").save()
+      spark.catalog.clearCache() // drop the warmup slice's persisted frames
     }
+    // Optional positional args narrow the run to the named queries — a
+    // local-iteration aid; the driver invokes with no args (= run all).
+    val only = args.toSet
     var failed = List.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.isEmpty || only(name) }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch {

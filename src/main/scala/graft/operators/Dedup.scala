@@ -302,16 +302,19 @@ object Dedup {
       dstCol: String = "doc_id_b"): DataFrame = {
     def truncate(df: DataFrame): DataFrame =
       org.apache.spark.sql.graft.PlanBridge.statsReset(df.localCheckpoint(eager = false))
-    // Persist the directed pair list ONCE and derive both edge directions
-    // from the cache: a union whose two legs each embed the (expensive —
-    // typically a full LSH candidate+verify pipeline) pairs plan would
-    // compute that plan twice on first materialization.
-    val p = pairs
-      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val edges = p
-      .unionByName(p.select(col("dst").as("src"), col("src").as("dst")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Materialize the directed pair list ONCE (eager local checkpoint,
+    // stats reset). The pair emitter is typically a full LSH
+    // candidate+verify pipeline; left lazy (even persisted), every
+    // downstream construction in the loop re-embeds that whole tree, and
+    // each `toRdd` boundary re-canonicalizes/re-plans it — measured at
+    // sf0.1 as ~3 s of pure driver planning against ~0.4 s of actual
+    // execution. After the eager checkpoint every loop plan scans a small
+    // materialized RDD bounded by the duplicate subset, not the corpus,
+    // and the edge union needs no cache of its own.
+    val p = org.apache.spark.sql.graft.PlanBridge.statsReset(
+      pairs.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+        .localCheckpoint(eager = true))
+    val edges = p.unionByName(p.select(col("dst").as("src"), col("src").as("dst")))
     var labels = truncate(
       edges.select(col("src").as("node")).distinct()
         .withColumn("lab", col("node")))
@@ -343,8 +346,6 @@ object Dedup {
       labels = next
       i += 1
     }
-    edges.unpersist()
-    p.unpersist()
     labels.select(col("node").as("doc_id"), col("lab").as("rep_id"))
   }
 }
