@@ -70,6 +70,20 @@ object Dedup {
       .drop("__sig_shh")
   }
 
+  /** Default viral-duplicate cap for the COMPOSED pipelines
+    * (`duplicateGroups` over [[minhashLsh]], [[graft.streaming.DocIngest]]'s
+    * admission index): buckets above this size are dropped before the band
+    * join. The primitive pair emitters keep `Int.MaxValue` (exact recall,
+    * oracle-checked); the compositions default to a finite cap because at
+    * corpus scale one viral page with 10⁶ copies makes an uncapped band
+    * self-join emit 10¹² candidate pairs — and an oversized bucket is
+    * overwhelmingly an exact/near-exact duplicate family that the exact
+    * dedup pass composed upstream already collapses, so the cap costs no
+    * real recall. 1000² = 10⁶ pairs per surviving bucket bounds the
+    * worst-case join fan-out while sitting far above any organic
+    * non-duplicate collision size. */
+  val DefaultPipelineMaxBucket = 1000
+
   /** Drop LSH buckets larger than `maxBucket` before a band self-join:
     * a bucket of m colliding docs yields m² candidate pairs, so a viral
     * duplicate cluster (10⁶ copies of one boilerplate page) turns the
@@ -79,7 +93,7 @@ object Dedup {
     * duplicate families, which the exact-dedup pass (composed first in
     * `corpus_clean`) already collapses — the standard large-scale LSH
     * practice. The hot-key frame is tiny (few keys) → broadcast anti. */
-  private def dropHotBuckets(
+  private[graft] def dropHotBuckets(
       banded: DataFrame, keyCols: Seq[String], maxBucket: Int): DataFrame =
     if (maxBucket == Int.MaxValue) banded
     else {
@@ -139,9 +153,12 @@ object Dedup {
     // returned (lazy) plan — MEMORY_AND_DISK evicts under pressure, and a
     // caller done with the result can `spark.catalog.clearCache()`; they
     // cannot be unpersisted here without forcing eager execution.
-    val sig = minhashSignature(docs, shingleN, perms)
-      .select(col("doc_id"), col("__sig"), col("__shh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // `ensureCached` registers each distinct plan once: repeated
+    // invocations over the same input reuse the live cache entry instead
+    // of re-registering it (see [[graft.Caching]]).
+    val sig = graft.Caching.ensureCached(
+      minhashSignature(docs, shingleN, perms)
+        .select(col("doc_id"), col("__sig"), col("__shh")))
 
     // Banded frame stays NARROW — (doc_id, band_idx, band_hash) — so the
     // self-join shuffles 3 small columns, never the shingle arrays.
@@ -152,11 +169,11 @@ object Dedup {
     val b = banded.select(col("band_idx"), col("band_hash"), col("doc_id").as("doc_id_b"))
     // Persist: tiny (pairs only), consumed by both verification legs —
     // unpersisted it would re-run the band self-join per consumer.
-    val candidates = a.join(b, Seq("band_idx", "band_hash"))
-      .where(col("doc_id_a") < col("doc_id_b"))
-      .select("doc_id_a", "doc_id_b")
-      .distinct() // a pair may collide in several bands
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val candidates = graft.Caching.ensureCached(
+      a.join(b, Seq("band_idx", "band_hash"))
+        .where(col("doc_id_a") < col("doc_id_b"))
+        .select("doc_id_a", "doc_id_b")
+        .distinct()) // a pair may collide in several bands
 
     // Exact verification: Jaccard over the CACHED 56-bit long shingle
     // hashes — set ops on primitives, not an O(n²) string-array fallback;
@@ -219,8 +236,8 @@ object Dedup {
     // tokenize + fingerprint kernels over the corpus (audited: unpersisted,
     // the physical plan showed two full parquet-scan+kernel pipelines).
     // Lifecycle: lives with the returned lazy plan, like minhashLsh's sig.
-    val sh = simhash(docs).select(col("doc_id"), col("simhash"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh = graft.Caching.ensureCached(
+      simhash(docs).select(col("doc_id"), col("simhash")))
     val bandKeys = simhashBandLayout(maxHamming + 1).map { case (off, w) =>
       shiftright(col("simhash"), off).bitwiseAND(lit((1L << w) - 1))
     }
@@ -281,6 +298,16 @@ object Dedup {
     * emits `id_a`/`id_b`, so pass `srcCol = "id_a", dstCol = "id_b"`)
     * into an actionable keep/drop map (`rep_id` = the minimum doc id of
     * the component; keep it, drop the rest).
+    *
+    * ⚠ EAGER: calling this EXECUTES the entire upstream pair pipeline
+    * (and each propagation round) before returning — the returned frame
+    * is the already-converged label table, not a lazy plan. Building the
+    * pair list eagerly (one `localCheckpoint(eager = true)`) is what
+    * keeps each loop round planning against a small materialized RDD
+    * instead of re-embedding the full LSH tree (~3 s/round of pure
+    * driver planning at sf0.1); the loop itself must run an aggregate
+    * per round regardless (convergence is data-dependent). Callers
+    * composing lazily should invoke this last.
     *
     * Scale shape: each round is one equi-join of the edge list against
     * the current labels plus a min-aggregate — shuffles bounded by

@@ -58,7 +58,10 @@ object Records {
     fromEmbeddings(spark, sfDir).as[Record]
   }
 
-  /** Snapshot sink (O17): atomic overwrite via Parquet commit protocol. */
+  /** Snapshot sink (O17): atomic overwrite via Parquet commit protocol.
+    * ⚠ EAGER — a write action, not a plan: the snapshot executes `df` and
+    * hits disk before this returns (the reference's `Snapshot` RPC is the
+    * same blocking call, `src/cores/database.rs:215-225`). */
   def snapshot(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").parquet(path)
 

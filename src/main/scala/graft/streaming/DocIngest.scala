@@ -38,15 +38,25 @@ object DocIngest {
     * `banded` is the (corpus_doc_id, band_idx, band_hash) LSH view and
     * `hashes` the per-doc 56-bit shingle identities — both derived from
     * the ONE fused signature pass. At warehouse scale both are stored
-    * tables refreshed by the corpus-maintenance job. */
+    * tables refreshed by the corpus-maintenance job.
+    *
+    * `maxBucket` defaults to the FINITE pipeline cap
+    * ([[Dedup.DefaultPipelineMaxBucket]]): a viral duplicate family in
+    * the corpus would otherwise fan every colliding stream doc out to the
+    * whole family in the gate join. Oversized corpus buckets are
+    * exact-duplicate families the admitted store's exact-dedup pass has
+    * already collapsed to one representative, so dropping them loses no
+    * gating power. Pass `Int.MaxValue` for exact-recall indexing. */
   def corpusIndex(
       corpus: DataFrame,
       shingleN: Int = 3,
       perms: Int = 16,
-      bands: Int = 4): (DataFrame, DataFrame) = {
-    val sig = Dedup.minhashSignature(corpus, shingleN, perms)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val banded = Dedup.bandedSignature(sig, perms, bands)
+      bands: Int = 4,
+      maxBucket: Int = Dedup.DefaultPipelineMaxBucket): (DataFrame, DataFrame) = {
+    val sig = graft.Caching.ensureCached(
+      Dedup.minhashSignature(corpus, shingleN, perms))
+    val banded = Dedup.dropHotBuckets(
+        Dedup.bandedSignature(sig, perms, bands), Seq("band_idx", "band_hash"), maxBucket)
       .select(col("doc_id").as("dup_of"), col("band_idx"), col("band_hash"))
     val hashes = sig.select(col("doc_id").as("dup_of"), col("__shh").as("__corpus_shh"))
     (banded, hashes)

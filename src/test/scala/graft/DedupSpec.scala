@@ -88,6 +88,27 @@ class DedupSpec extends SparkSpec {
     assert(cappedSim.contains((0L, 1L)))
   }
 
+  test("composed pipeline bounds a 10k-copy viral family via the default cap") {
+    // 10,000 exact copies of one boilerplate page: uncapped, the band
+    // self-join would emit ~10⁸ candidate pairs from this family alone.
+    // The COMPOSED pipeline (duplicateGroups ∘ minhashLsh with
+    // DefaultPipelineMaxBucket — the dedup_groups query shape) drops the
+    // viral buckets (10000 > 1000) at candidate generation, so the run
+    // completes in bucket-bounded time and the only verified component is
+    // the small near-dup pair. (The viral family is exact-duplicate work:
+    // Dedup.exact collapses it upstream.)
+    val viral = (1000L until 11000L).map(i => (i, base))
+    val pairDocs = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"))
+    val corpus = (viral ++ pairDocs).toDF("doc_id", "text")
+    val groups = Dedup.duplicateGroups(
+        Dedup.minhashLsh(corpus, shingleN = 3, perms = 16, bands = 4,
+          threshold = 0.4, maxBucket = Dedup.DefaultPipelineMaxBucket))
+      .as[(Long, Long)].collect().toMap
+    assert(groups === Map(0L -> 0L, 1L -> 0L))
+  }
+
   test("duplicateGroups: transitive chains merge, disjoint pairs stay apart, min id is rep") {
     import spark.implicits._
     // chain 1-2-3 (transitive: 1 and 3 never paired directly), pair 10-11,
