@@ -153,6 +153,25 @@ object Queries {
         .where(FilterDsl.predicate(col("metadata"), "lang = 'fr'"))
         .select(col("id").as("doc_id")).orderBy("doc_id")),
 
+    // O4,O5 — the §1.3 coercion traps IN the oracle gate (previously
+    // ScalaTest-only): a numeric filter vs text metadata is false (never
+    // an error); a QUOTED numeric value is text-typed, so it mismatches
+    // numeric metadata; a boolean filter vs text is false; a missing key
+    // under OR leaves the other clause to decide. Spark evaluates through
+    // FilterDsl; the oracle re-derives each count with TRY_CAST/IN type
+    // gates — the independent formulation of same-type-only comparison.
+    "filter_mismatch" -> ((s, dir) => {
+      val d = Records.fromDocuments(s, dir)
+      def n(dsl: String): Column =
+        sum(when(FilterDsl.predicate(col("metadata"), dsl), 1L).otherwise(0L))
+      d.agg(
+        n("lang >= 0").as("n_num_vs_text"),
+        n("n_chars = '150'").as("n_quoted_vs_num"),
+        n("lang != true").as("n_bool_vs_text"),
+        n("missing_key = 1 OR n_chars < 200").as("n_missing_or"),
+        n("source CONTAINS rc1").as("n_contains"))
+    }),
+
     // O7 — point lookup
     "get_by_id" -> ((s, dir) =>
       Crud.getById(recs(s, dir), 42)
@@ -472,6 +491,29 @@ object Queries {
         .crossJoin(hits)
     }),
 
+    // extension: recall CURVE of the pruned probe — the monotonicity
+    // invariant behind the probes knob (reference database.rs:29-42):
+    // recall@10 vs the exact top-10 is non-decreasing in the probe count,
+    // and probing every cluster recovers the exact top-10 — the same
+    // argument ivf_build_query pins as full SQL. Probes {1,2,4,8,all};
+    // "all" clamps to n_centroids, so the invariant holds at ANY SF.
+    "ivf_recall_curve" -> ((s, dir) => {
+      val r = recs(s, dir)
+      val model = IvfIndex.buildCached(r, dir, density = 64, Metric.Euclidean, seed = 42L)
+      val exact10 = Knn.search(r, qvec0(s, dir), 10, Metric.Euclidean).select(col("id"))
+      def recallAt(p: Int, nm: String): DataFrame =
+        IvfIndex.query(model, qvec0(s, dir), k = 10, probes = p, Metric.Euclidean)
+          .select(col("id")).join(exact10, Seq("id"), "left_semi")
+          .agg(count(lit(1)).as(nm))
+      recallAt(1, "__r1").crossJoin(recallAt(2, "__r2"))
+        .crossJoin(recallAt(4, "__r4")).crossJoin(recallAt(8, "__r8"))
+        .crossJoin(recallAt(Int.MaxValue, "__rall"))
+        .select(
+          (col("__r1") <= col("__r2") && col("__r2") <= col("__r4") &&
+            col("__r4") <= col("__r8") && col("__r8") <= col("__rall")).as("recall_monotone"),
+          (col("__rall") === 10).as("exact_at_full_probe"))
+    }),
+
     // extension: adaptive cluster split (reference O9/O11 in batch form) —
     // deterministic invariants: assignment preserved, one append per
     // oversized cluster, worst cluster strictly shrunk. ONE pass over the
@@ -599,6 +641,32 @@ object Queries {
           docs(s, dir).repartition(col("doc_id")), col("source"), col("text"), quota = 10)
         .select(col("doc_id"), col("source"))
         .orderBy("doc_id")),
+
+    // extension: WEIGHTED dataset mixing — per-source quotas (the real
+    // "2 parts web, 1 part code" shape): each listed source keeps its own
+    // smallest-content-hash prefix sized by its quota; unlisted sources
+    // and zero quotas drop out; a quota above the source's size keeps the
+    // whole source. One bounded heap per source (max quota entries), no
+    // per-source ranking window.
+    "mix_weighted" -> ((s, dir) =>
+      graft.operators.Corpus.mixSampleWeighted(
+          docs(s, dir).repartition(col("doc_id")), col("source"), col("text"),
+          quotas = Map("src0" -> 12, "src1" -> 5, "src2" -> 0, "src3" -> 30))
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id")),
+
+    // extension: pack MATERIALIZATION — the write path that turns pack
+    // assignments into actual training sequences: gather each pack's
+    // documents in doc_id order, concatenate texts. One shuffle keyed
+    // (shard, pack_id); group size is bounded by the packing contract
+    // (documents whose starts fall in one budget-token chunk).
+    "pack_sequences" -> ((s, dir) => {
+      val d = docs(s, dir).repartition(col("doc_id"))
+      val packed = graft.operators.Corpus.pack(
+        d, size(TextOps.tokens(col("text"))), budget = 512, nShards = 8)
+      graft.operators.Corpus.packedSequences(d, packed, col("text"))
+        .orderBy("shard", "pack_id")
+    }),
 
     // extension: multimodal feature extraction (stub codec; real plumbing).
     // Binary payloads → fixed-width float features via mapPartitions,
@@ -1004,6 +1072,22 @@ object Queries {
     "insert_invalid_dim" ->
       "SELECT count(*) + 2 AS n, CAST(1 AS BIGINT) AS n_rejected FROM embeddings",
 
+    // recall-curve invariants of the seeded build (like ivf_build_stats,
+    // these booleans are computed Spark-side and asserted constant; the
+    // independent full-SQL check of the same build is ivf_build_query)
+    "ivf_recall_curve" ->
+      """SELECT CAST(1 AS BOOLEAN) AS recall_monotone,
+        |  CAST(1 AS BOOLEAN) AS exact_at_full_probe FROM (SELECT 1)""".stripMargin,
+
+    "filter_mismatch" ->
+      """SELECT
+        |  count(*) FILTER (WHERE TRY_CAST(lang AS DOUBLE) >= 0) AS n_num_vs_text,
+        |  count(*) FILTER (WHERE TRY_CAST(n_chars AS DOUBLE) IS NULL AND CAST(n_chars AS VARCHAR) = '150') AS n_quoted_vs_num,
+        |  count(*) FILTER (WHERE lang IN ('true', 'false') AND lang <> 'true') AS n_bool_vs_text,
+        |  count(*) FILTER (WHERE n_chars < 200) AS n_missing_or,
+        |  count(*) FILTER (WHERE contains(source, 'rc1')) AS n_contains
+        |FROM documents""".stripMargin,
+
     // invariants hold for any data once >=1 cluster exceeds density
     "ivf_refine_stats" ->
       """SELECT count(*) AS n_assigned, CAST(1 AS BOOLEAN) AS one_append_per_split,
@@ -1112,6 +1196,30 @@ object Queries {
         |  FROM documents),
         |r AS (SELECT doc_id, source, row_number() OVER (PARTITION BY source ORDER BY hv, doc_id) AS rn FROM h)
         |SELECT doc_id, source FROM r WHERE rn <= 10 ORDER BY doc_id""".stripMargin,
+
+    "mix_weighted" ->
+      """WITH h AS (SELECT doc_id, source, list_reduce(list_transform(string_split_regex(substr(md5(text), 1, 8), ''),
+        |    c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a * 16 + b) AS hv
+        |  FROM documents WHERE source IN ('src0', 'src1', 'src2', 'src3')),
+        |r AS (SELECT doc_id, source, row_number() OVER (PARTITION BY source ORDER BY hv, doc_id) AS rn FROM h)
+        |SELECT doc_id, source FROM r
+        |WHERE rn <= CASE source WHEN 'src0' THEN 12 WHEN 'src1' THEN 5 WHEN 'src2' THEN 0 ELSE 30 END
+        |ORDER BY doc_id""".stripMargin,
+
+    "pack_sequences" ->
+      """WITH t AS (SELECT doc_id, doc_id % 8 AS shard,
+        |    CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |tp AS (SELECT * FROM t WHERE n_tokens >= 1),
+        |c AS (SELECT doc_id, shard, n_tokens,
+        |    CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - n_tokens AS strt
+        |  FROM tp),
+        |p AS (SELECT doc_id, shard, n_tokens, strt // 512 AS pack_id FROM c)
+        |SELECT p.shard, p.pack_id, string_agg(d.text, ' ' ORDER BY p.doc_id) AS text,
+        |  count(*) AS n_docs, CAST(sum(p.n_tokens) AS BIGINT) AS n_tokens
+        |FROM p JOIN documents d USING (doc_id)
+        |GROUP BY p.shard, p.pack_id ORDER BY p.shard, p.pack_id""".stripMargin,
 
     "snapshot_roundtrip" ->
       """SELECT count(*) AS n, CAST(sum(vec_id) AS BIGINT) AS id_sum,
