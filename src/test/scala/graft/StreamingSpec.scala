@@ -160,6 +160,81 @@ class StreamingSpec extends SparkSpec {
     assert(after.size > 4, "no cluster split during maintenance")
   }
 
+  test("index maintenance loop end-to-end: ingest waves → refine to density → probe stays exact") {
+    // The reference's insert→adaptive-split lifecycle
+    // (/root/reference/src/cores/database.rs:227-254 →
+    // src/cores/index.rs:127-132) in its batch-native form: streaming
+    // ingest appends assigned records to the partitioned store until the
+    // density contract is violated, a scheduled refine pass restores it,
+    // and the refined index still answers probe queries exactly.
+    import graft.operators.{IvfIndex, Knn}
+    import graft.streaming.VectorIngest
+    import graft.types.Metric
+    val dim = 8
+    val base = java.nio.file.Files.createTempDirectory("graft_maint")
+    val inDir = s"$base/in"
+    val store = s"$base/store"
+    val ckpt = s"$base/ckpt"
+    val rnd = new scala.util.Random(11)
+    def wave(ids: Range) = ids.map(i =>
+      (i.toLong, Seq.fill(dim)(rnd.nextFloat()), Map("k" -> i.toString)))
+
+    // wave 1: 150 records into a 2-centroid index (density 40 → violated)
+    val w1 = wave(0 until 150)
+    w1.toDF("id", "embedding", "metadata").write.mode("append").parquet(inDir)
+    val centroids = w1.take(2).map { case (i, e, _) => (i.toInt, e) }
+      .toDF("cluster_id", "centroid")
+    VectorIngest.startToPartitionedStore(spark, inDir, centroids,
+      Metric.Euclidean, dim, store, ckpt).awaitTermination()
+    // wave 2 arrives later and flows through the SAME checkpoint — the
+    // file source processes only the new files (restartable ingest)
+    wave(1000 until 1150).toDF("id", "embedding", "metadata")
+      .write.mode("append").parquet(inDir)
+    VectorIngest.startToPartitionedStore(spark, inDir, centroids,
+      Metric.Euclidean, dim, store, ckpt).awaitTermination()
+
+    // maintenance: refine the store to the density fixed point (the
+    // reference splits per insert; batch-side the scheduled job calls
+    // refine until the contract holds — `eq` return marks the fixed point)
+    val density = 40
+    var m = IvfIndex.Model(centroids, spark.read.parquet(store))
+    var prev: IvfIndex.Model = null
+    var rounds = 0
+    while (!(m eq prev) && rounds < 16) {
+      prev = m
+      m = IvfIndex.refine(m, density, Metric.Euclidean)
+      rounds += 1
+    }
+    val sizes = m.assigned.groupBy(col("cluster_id")).count()
+      .as[(Int, Long)].collect().toMap
+    assert(sizes.values.sum === 300L, "records lost during maintenance")
+    assert(sizes.values.max <= density,
+      s"density contract not restored: max=${sizes.values.max}")
+    assert(sizes.size > 2, "no cluster split during maintenance")
+
+    // the refined index must still answer exactly: probing every cluster
+    // equals brute-force top-10 over the ingested records
+    val qv = spark.read.parquet(inDir).where(col("id") === 0)
+      .select(col("embedding").as("qvec"))
+    val viaIndex = IvfIndex.query(m, qv, 10, probes = Int.MaxValue, Metric.Euclidean)
+      .select("id", "distance").as[(Long, Double)].collect().toSet
+    val exact = Knn.search(
+        spark.read.parquet(store).select("id", "embedding", "metadata"),
+        qv, 10, Metric.Euclidean)
+      .select("id", "distance").as[(Long, Double)].collect().toSet
+    assert(viaIndex === exact && viaIndex.size === 10)
+
+    // close the cycle: rewrite the partitioned layout from the refined
+    // model; the re-opened store answers identically (ready for the next
+    // ingest window)
+    val refinedStore = s"$base/refined_store"
+    IvfIndex.writePartitioned(m, refinedStore)
+    val disk = IvfIndex.Model(m.centroids, spark.read.parquet(refinedStore))
+    val viaDisk = IvfIndex.query(disk, qv, 10, probes = Int.MaxValue, Metric.Euclidean)
+      .select("id", "distance").as[(Long, Double)].collect().toSet
+    assert(viaDisk === exact)
+  }
+
   test("streaming near-dup gate equals the batch gate; distinct docs pass") {
     import graft.streaming.DocIngest
     val base = "the quick brown fox jumps over the lazy dog while the cat " +
