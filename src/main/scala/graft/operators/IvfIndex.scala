@@ -204,7 +204,14 @@ object IvfIndex {
     * (`src/cores/database.rs:70-76` holds one `Index` for the process);
     * re-fitting k-means per query would be an artifact of the batch
     * harness, not a semantic difference — results are identical because
-    * the fit is seeded and deterministic. */
+    * the fit is seeded and deterministic.
+    *
+    * The assignment plan is additionally session-cached
+    * ([[graft.Caching.ensureCached]]): a serving session answers every
+    * query from ONE materialized assignment instead of re-running the
+    * argmin pass per query — the in-memory twin of the partitioned store
+    * ([[writePartitioned]]). A `clearCache()` simply re-materializes on
+    * next use. */
   def buildCached(
       records: DataFrame,
       datasetKey: String,
@@ -218,13 +225,13 @@ object IvfIndex {
       import spark.implicits._
       val centroids = cached.toDF("cluster_id", "centroid")
         .withColumn("centroid", col("centroid").cast("array<float>"))
-      Model(centroids, assign(records, centroids, metric))
+      Model(centroids, graft.Caching.ensureCached(assign(records, centroids, metric)))
     } else {
       val model = build(records, density, metric, seed)
       val rows = model.centroids.collect()
         .map(r => (r.getInt(0), r.getSeq[Float](1))).toSeq
       centroidCache.put(key, rows)
-      model
+      Model(model.centroids, graft.Caching.ensureCached(model.assigned))
     }
   }
 
