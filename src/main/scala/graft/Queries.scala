@@ -642,6 +642,22 @@ object Queries {
         .select(col("doc_id"), col("source"))
         .orderBy("doc_id")),
 
+    // extension: overlapping token-window CHUNKING — long documents split
+    // into context-window chunks (budget 32, overlap 8 → starts advance
+    // by 24); the long-doc half of sequence assembly, map-only
+    "corpus_chunk" -> ((s, dir) =>
+      graft.operators.Corpus.chunk(
+          docs(s, dir).repartition(col("doc_id")),
+          size(TextOps.tokens(col("text"))), budget = 32, overlap = 8)
+        .orderBy("doc_id", "chunk_idx")),
+
+    // extension: vocabulary building — top-k tokens by term frequency
+    // with document frequency, deterministic tie-break; the two-stage
+    // map-side-combinable wordcount (no Expand, no corpus-wide sort)
+    "vocab_top" -> ((s, dir) =>
+      graft.operators.TextOps.vocabTop(
+        docs(s, dir).repartition(col("doc_id")), k = 100)),
+
     // extension: WEIGHTED dataset mixing — per-source quotas (the real
     // "2 parts web, 1 part code" shape): each listed source keeps its own
     // smallest-content-hash prefix sized by its quota; unlisted sources
@@ -1196,6 +1212,25 @@ object Queries {
         |  FROM documents),
         |r AS (SELECT doc_id, source, row_number() OVER (PARTITION BY source ORDER BY hv, doc_id) AS rn FROM h)
         |SELECT doc_id, source FROM r WHERE rn <= 10 ORDER BY doc_id""".stripMargin,
+
+    "corpus_chunk" ->
+      """WITH t AS (SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS BIGINT) AS n
+        |  FROM documents),
+        |tp AS (SELECT * FROM t WHERE n >= 1),
+        |x AS (SELECT doc_id, n, u.i AS chunk_start
+        |  FROM tp, unnest(generate_series(0, n - 1, 24)) AS u(i))
+        |SELECT doc_id, chunk_start // 24 AS chunk_idx, chunk_start,
+        |  least(32, n - chunk_start) AS chunk_len
+        |FROM x ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "vocab_top" ->
+      """WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
+        |  FROM documents),
+        |pd AS (SELECT token, doc_id, count(*) AS c FROM tok GROUP BY token, doc_id),
+        |g AS (SELECT token, CAST(sum(c) AS BIGINT) AS tf, CAST(count(*) AS BIGINT) AS df
+        |  FROM pd GROUP BY token)
+        |SELECT token, tf, df FROM g ORDER BY tf DESC, token ASC LIMIT 100""".stripMargin,
 
     "mix_weighted" ->
       """WITH h AS (SELECT doc_id, source, list_reduce(list_transform(string_split_regex(substr(md5(text), 1, 8), ''),

@@ -140,6 +140,31 @@ object Corpus {
         sum(col("n_tokens")).as("n_tokens"))
   }
 
+  /** Overlapping token-window CHUNKING — the long-document half of
+    * sequence assembly: a document longer than the model's context gets
+    * split into windows of `budget` tokens whose starts advance by
+    * `budget - overlap` (so consecutive chunks share `overlap` tokens of
+    * context — the standard pretraining long-doc treatment, vs [[pack]]
+    * which concatenates SHORT documents). Emits one row per chunk:
+    * `(doc_id, chunk_idx, chunk_start, chunk_len)`; the final chunk is
+    * truncated to the document's end. Map-only at any scale — each row
+    * expands to ceil(n/step) chunk rows with no shuffle; documents with
+    * a null or non-positive count are dropped ([[pack]]'s contract). */
+  def chunk(docs: DataFrame, nTokens: Column, budget: Int, overlap: Int): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    require(overlap >= 0 && overlap < budget,
+      s"overlap must be in [0, budget), got overlap=$overlap budget=$budget")
+    val step = (budget - overlap).toLong
+    docs.select(col("doc_id"), nTokens.cast("long").as("n_tokens"))
+      .where(col("n_tokens") >= 1)
+      .select(col("doc_id"), col("n_tokens"),
+        posexplode(sequence(lit(0L), col("n_tokens") - 1, lit(step))))
+      .select(col("doc_id"),
+        col("pos").cast("long").as("chunk_idx"),
+        col("col").as("chunk_start"),
+        least(lit(budget.toLong), col("n_tokens") - col("col")).as("chunk_len"))
+  }
+
   /** Deterministic per-source quota sampling — dataset mixing: keep the
     * `quota` documents with the smallest content hash per source. Hash
     * order is a fixed-key uniform "random" order, so this IS a uniform

@@ -186,4 +186,27 @@ object TextOps {
     * i -> md5(substr(text, i, w))))` is what the oracle mirrors. */
   def fingerprint(text: Column, window: Int = 8): Column =
     graft.functions.NativeExprs.md5MinWindow(text, window)
+
+  /** Vocabulary builder: the `k` most frequent tokens of the corpus with
+    * term frequency (total occurrences) and document frequency (distinct
+    * documents) — the tokenizer-training / stopword-mining primitive.
+    * Ties at the cut break deterministically (tf desc, token asc).
+    *
+    * Scale shape: explode → groupBy(token, doc_id) → groupBy(token) —
+    * the classic two-stage wordcount, each stage map-side combinable
+    * (a single `count(DISTINCT doc_id)` agg would instead plan an Expand
+    * that doubles every exploded row before the first shuffle). The
+    * final global top-k is `TakeOrdered` over the vocabulary frame
+    * (|distinct tokens| rows, not the corpus) with k bounded. */
+  def vocabTop(docs: DataFrame, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token"), col("doc_id"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col("token"))
+      .agg(sum(col("__c")).as("tf"), count(lit(1)).as("df"))
+      .orderBy(col("tf").desc, col("token").asc)
+      .limit(k)
+  }
 }

@@ -137,6 +137,50 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("chunk: windows cover every token, advance by budget-overlap, truncate at the end") {
+    val budget = 8
+    val overlap = 3
+    val step = budget - overlap
+    // token counts 1..25 exercise single-chunk, exact-fit, and straddling
+    val docs = (1L to 25L).map(i => (i, ("w " * i.toInt).trim, "s"))
+    val out = Corpus.chunk(docsDf(docs), size(TextOps.tokens(col("text"))), budget, overlap)
+      .select("doc_id", "chunk_idx", "chunk_start", "chunk_len")
+      .as[(Long, Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    (1L to 25L).foreach { n =>
+      val chunks = out(n)
+      // starts advance by step from 0; lengths are budget except the tail
+      chunks.zipWithIndex.foreach { case ((_, idx, start, len), i) =>
+        assert(idx === i && start === i.toLong * step)
+        assert(len === math.min(budget.toLong, n - start))
+        assert(len >= 1)
+      }
+      // coverage: the union of [start, start+len) is exactly [0, n)
+      val covered = chunks.flatMap { case (_, _, s, l) => s until (s + l) }.toSet
+      assert(covered === (0L until n).toSet)
+      // consecutive windows overlap by at most `overlap` tokens, never
+      // gap, and by exactly `overlap` when the earlier window is full
+      chunks.sliding(2).foreach {
+        case Array((_, _, s1, l1), (_, _, s2, _)) =>
+          val ov = s1 + l1 - s2
+          assert(ov >= 1 && ov <= overlap.toLong)
+          if (l1 === budget.toLong) assert(ov === overlap.toLong)
+        case _ =>
+      }
+    }
+  }
+
+  test("vocabTop matches brute-force counts with deterministic tie-break") {
+    val got = TextOps.vocabTop(corpus, k = 5)
+      .as[(String, Long, Long)].collect()
+    val toks = corpus.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("t"))
+      .as[(Long, String)].collect()
+    val expected = toks.groupBy(_._2).map { case (t, xs) =>
+      (t, xs.length.toLong, xs.map(_._1).distinct.length.toLong)
+    }.toSeq.sortBy { case (t, tf, _) => (-tf, t) }.take(5)
+    assert(got.toSeq === expected)
+  }
+
   test("mixSample matches the brute-force smallest-hash-per-source sample") {
     val expected = corpus
       .withColumn("__h", Corpus.contentHash32(col("text")))
