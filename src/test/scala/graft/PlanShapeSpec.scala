@@ -170,6 +170,29 @@ class PlanShapeSpec extends SparkSpec {
       s"packing window must partition by (split, shard): $w"))
   }
 
+  test("corpus chunking is map-only: no shuffle anywhere in the operator") {
+    val df = graft.operators.Corpus.chunk(
+      graft.sources.Records.table(spark, sf, "documents"),
+      size(graft.operators.TextOps.tokens(col("text"))), budget = 32, overlap = 8)
+    val exchanges = df.queryExecution.executedPlan.collect {
+      case e if e.nodeName.contains("Exchange") => e
+    }
+    assert(exchanges.isEmpty, "window chunking must not shuffle")
+  }
+
+  test("vocabTop plans the two-stage wordcount: no Expand, bounded TakeOrdered") {
+    val df = graft.operators.TextOps.vocabTop(
+      graft.sources.Records.table(spark, sf, "documents"), k = 100)
+    val p = plan(df)
+    assert(!p.contains("Expand"),
+      "a count-distinct Expand would double every exploded token row pre-shuffle")
+    assert(p.contains("TakeOrderedAndProject"),
+      "global top-k must be bounded, not a full sort")
+    // neither shuffle carries the text column — tokens only
+    p.linesIterator.filter(_.contains("Exchange")).foreach(e =>
+      assert(!e.contains("text#"), s"text column in shuffle: $e"))
+  }
+
   test("exact dedup groups by a hash key, never shuffling full text") {
     val df = Queries.queries("dedup_exact")(spark, sf)
     val exchanges = df.queryExecution.executedPlan.collect {
