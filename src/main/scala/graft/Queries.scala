@@ -386,6 +386,20 @@ object Queries {
             threshold = 0.5, maxBucket = Dedup.DefaultPipelineMaxBucket))
         .orderBy("doc_id")),
 
+    // extension: the keep/drop map APPLIED — the step after dedup_groups
+    // that a pipeline actually ships: drop every group member except its
+    // representative, keep all unpaired docs. Anti-join against the
+    // (tiny) drop list; same capped LSH pipeline as dedup_groups, so the
+    // session cache serves both.
+    "dedup_apply" -> ((s, dir) => {
+      val groups = Dedup.duplicateGroups(
+        Dedup.minhashLsh(docs(s, dir), shingleN = 3, perms = 16, bands = 4,
+          threshold = 0.5, maxBucket = Dedup.DefaultPipelineMaxBucket))
+      docs(s, dir)
+        .join(groups.where(col("doc_id") =!= col("rep_id")), Seq("doc_id"), "left_anti")
+        .select(col("doc_id")).orderBy("doc_id")
+    }),
+
     // extension: SimHash(60-bit) near-dup pairs, hamming <= 8
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(docs(s, dir), maxHamming = 8)
@@ -427,6 +441,20 @@ object Queries {
         .select(col("id_a"), col("id_b"), r4(col("cos_sim")).as("cos_sim"))
         .distinct() // a pair sharing both blocks matches twice, identically
         .orderBy("id_a", "id_b")
+    }),
+
+    // extension: symmetric per-vector int8 quantization — the 4× memory
+    // lever for posting lists at 100 TB (scalar-quantization member of
+    // the PQ family). Map-only; one row per (vec_id, pos) so every
+    // output column is a sortable primitive for the gate.
+    "embed_quantize" -> ((s, dir) => {
+      val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+        .withColumn("__scale", operators.VectorOps.int8Scale(col("embedding")))
+      e.select(col("vec_id"), col("__scale"),
+          posexplode(operators.VectorOps.quantizeInt8(col("embedding"), col("__scale"))))
+        .select(col("vec_id"), col("pos").cast("int").as("pos"),
+          col("col").as("qval"), r4(col("__scale")).as("scale"))
+        .orderBy("vec_id", "pos")
     }),
 
     // extension: stopword-heuristic language ID. Tokens and the fused
@@ -972,6 +1000,42 @@ object Queries {
          |  UNION
          |  SELECT e.b, r.lab FROM reach r JOIN e ON e.a = r.node)
          |SELECT node AS doc_id, min(lab) AS rep_id FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
+
+    "dedup_apply" ->
+      s"""WITH RECURSIVE toks AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(len(tk) - 2, 0)),
+         |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
+         |  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk FROM documents)),
+         |ne AS (SELECT doc_id, sh FROM toks WHERE len(sh) > 0),
+         |hh AS (SELECT doc_id, sh,
+         |  list_transform(sh, s -> list_reduce(list_transform(string_split_regex(substr(md5(s), 1, 14), ''),
+         |    c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a * 16 + b)) AS h1,
+         |  list_transform(sh, s -> list_reduce(list_transform(string_split_regex(substr(md5(s), 17, 14), ''),
+         |    c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a * 16 + b)) AS h2
+         |  FROM ne),
+         |sig AS (SELECT doc_id, h1, list_transform(generate_series(0, 15), i ->
+         |  list_min(list_transform(list_zip(h1, h2), p -> p[1] + i * p[2]))) AS sg FROM hh),
+         |bands AS (SELECT doc_id, h1, u.b AS band_idx,
+         |  md5(array_to_string(list_slice(sg, u.b * 4 + 1, u.b * 4 + 4), '|')) AS band_hash
+         |  FROM sig, (SELECT unnest([0, 1, 2, 3]) AS b) u),
+         |j AS (SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+         |  FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_intersect(a.h1, b.h1)) AS DOUBLE) / len(list_distinct(a.h1 || b.h1)) >= 0.5),
+         |e AS (SELECT doc_id_a AS a, doc_id_b AS b FROM j UNION SELECT doc_id_b, doc_id_a FROM j),
+         |reach(node, lab) AS (
+         |  SELECT DISTINCT a, a FROM e
+         |  UNION
+         |  SELECT e.b, r.lab FROM reach r JOIN e ON e.a = r.node),
+         |drops AS (SELECT node FROM (SELECT node, min(lab) AS rep FROM reach GROUP BY node) WHERE node <> rep)
+         |SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT node FROM drops) ORDER BY doc_id""".stripMargin,
+
+    "embed_quantize" ->
+      s"""WITH s AS (SELECT vec_id, embedding,
+         |  list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale FROM embeddings),
+         |x AS (SELECT vec_id, scale, u.i AS pos,
+         |  CAST(CASE WHEN scale > 0 THEN floor(CAST(embedding[u.i + 1] AS DOUBLE) / scale + 0.5) ELSE 0 END AS INT) AS qval
+         |  FROM s, unnest(generate_series(0, len(embedding) - 1)) AS u(i))
+         |SELECT vec_id, CAST(pos AS INT) AS pos, qval, ${sqlR4("scale")} AS scale
+         |FROM x ORDER BY vec_id, pos""".stripMargin,
 
     "dedup_incremental" ->
       s"""WITH toks AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(len(tk) - 2, 0)),
