@@ -193,6 +193,20 @@ class PlanShapeSpec extends SparkSpec {
       assert(!e.contains("text#"), s"text column in shuffle: $e"))
   }
 
+  test("dedup_apply anti-join shuffles only the doc_id key, scan is column-pruned") {
+    val p = plan(Queries.queries("dedup_apply")(spark, sf))
+    // a dedup drop list can be a large fraction of the corpus, so the
+    // scale-correct shape is a shuffled anti-join on the 8-byte key (AQE
+    // converts to broadcast when the list turns out small) — what must
+    // NEVER happen is the text column riding the shuffle or the scan
+    assert(p.contains("LeftAnti"), p.linesIterator.take(8).mkString("\n"))
+    p.linesIterator.filter(_.contains("Exchange")).foreach(e =>
+      assert(!e.contains("text#"), s"text column in shuffle: $e"))
+    val schemas = "ReadSchema: (\\S+)".r.findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(schemas.nonEmpty && schemas.forall(!_.contains("text")),
+      s"corpus scan must prune to doc_id: $schemas")
+  }
+
   test("exact dedup groups by a hash key, never shuffling full text") {
     val df = Queries.queries("dedup_exact")(spark, sf)
     val exchanges = df.queryExecution.executedPlan.collect {

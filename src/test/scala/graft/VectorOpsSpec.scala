@@ -29,4 +29,26 @@ class VectorOpsSpec extends SparkSpec {
       }
     }
   }
+
+  test("kNN over int8-dequantized vectors recovers the exact top-10 almost entirely") {
+    import graft.operators.Knn
+    import graft.types.Metric
+    val r = graft.sources.Records.fromEmbeddings(spark, "/root/testdata/sf0.001")
+    val qv = r.where(col("id") === 0).select(col("embedding").as("qvec"))
+    val exact = Knn.search(r, qv, 10, Metric.Euclidean)
+      .select("id").as[Long].collect().toSet
+    val deq = r
+      .withColumn("__s", VectorOps.int8Scale(col("embedding")))
+      .withColumn("embedding",
+        VectorOps.dequantizeInt8(
+          VectorOps.quantizeInt8(col("embedding"), col("__s")), col("__s"))
+          .cast("array<float>"))
+      .drop("__s")
+    val approx = Knn.search(deq, qv, 10, Metric.Euclidean)
+      .select("id").as[Long].collect().toSet
+    // int8 scalar quantization perturbs each coordinate by <= scale/2;
+    // on 64-dim data the top-10 should survive near-intact
+    assert(exact.intersect(approx).size >= 8,
+      s"recall ${exact.intersect(approx).size}/10 too low")
+  }
 }
