@@ -758,6 +758,22 @@ object Queries {
           col("user_id"), col("n_events"), r4(col("value_sum")).as("value_sum"))
         .orderBy("user_id", "session_start")),
 
+    // extension: hourly user-activity rollup with EXACT distinct users —
+    // two-stage aggregation (per (hour, user) partials, then per hour),
+    // the Expand-free shape of count-distinct: a single agg with
+    // count(DISTINCT user_id) would double every event row pre-shuffle
+    // (same design as vocab_top)
+    "events_user_activity" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("__n"), sum(col("value")).as("__v"))
+        .groupBy(col("w"))
+        .agg(sum(col("__n")).as("n_events"), count(lit(1)).as("n_users"),
+          r4(sum(col("__v"))).as("value_sum"))
+        .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("n_events"), col("n_users"), col("value_sum"))
+        .orderBy("hour")),
+
     // extension: hourly windowed aggregation over the events stream table
     // (same plan Structured Streaming produces for the streaming variant)
     "events_window_agg" -> ((s, dir) =>
@@ -1385,6 +1401,15 @@ object Queries {
          |SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start, user_id,
          |  count(*) AS n_events, ${sqlR4("sum(value)")} AS value_sum
          |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+
+    "events_user_activity" ->
+      s"""WITH pu AS (SELECT date_trunc('hour', ts) AS h, user_id,
+         |    count(*) AS n, sum(value) AS v
+         |  FROM events GROUP BY 1, 2)
+         |SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS hour,
+         |  CAST(sum(n) AS BIGINT) AS n_events, count(*) AS n_users,
+         |  ${sqlR4("sum(v)")} AS value_sum
+         |FROM pu GROUP BY h ORDER BY hour""".stripMargin,
 
     "events_window_agg" ->
       s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,

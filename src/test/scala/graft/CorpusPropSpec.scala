@@ -45,6 +45,35 @@ class CorpusPropSpec extends SparkSpec {
     }
   }
 
+  test("chunk: coverage, stride, and tail-truncation hold for arbitrary (counts, budget, overlap)") {
+    (1L to 8L).foreach { seed =>
+      val rows = sample(corpusGen, seed)
+      val budget = sample(Gen.chooseNum(1, 300), seed * 31)
+      val overlap = sample(Gen.chooseNum(0, budget - 1), seed * 17)
+      val step = (budget - overlap).toLong
+      val df = rows.map { case (id, nt) => (id, nt) }.toDF("doc_id", "nt")
+      val out = Corpus.chunk(df, col("nt"), budget, overlap)
+        .select("doc_id", "chunk_idx", "chunk_start", "chunk_len")
+        .as[(Long, Long, Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+      val kept = rows.filter(_._2 >= 1)
+      assert(out.keySet === kept.map(_._1).toSet) // zero-token docs dropped
+      kept.foreach { case (id, ntI) =>
+        val n = ntI.toLong
+        val chunks = out(id)
+        assert(chunks.length === ((n - 1) / step + 1),
+          s"seed=$seed budget=$budget overlap=$overlap n=$n")
+        chunks.zipWithIndex.foreach { case ((_, idx, start, len), i) =>
+          assert(idx === i && start === i * step)
+          assert(len === math.min(budget.toLong, n - start) && len >= 1)
+        }
+        // exact coverage of [0, n): total new (non-overlapped) tokens
+        val covered = chunks.map { case (_, _, s, l) => s + l }.max
+        assert(covered === n, "chunks must end exactly at the document end")
+      }
+    }
+  }
+
   test("assignSplit: bucket is a pure function of text, independent of corpus and percentages") {
     val texts = (0 until 60).map(i => s"content $i ${"x" * (i % 7)}")
     val full = Corpus.assignSplit(
