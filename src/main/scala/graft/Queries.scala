@@ -454,6 +454,25 @@ object Queries {
         .orderBy("id_a", "id_b")
     }),
 
+    // extension: the IVF probe served from QUANTIZED vectors — the memory-
+    // optimized posting-list layout end-to-end: store int8 codes + scale,
+    // reconstruct at scan time, probe + top-k over the reconstruction.
+    // Assignment/probing run on full-precision centroids (codes only
+    // replace the stored record vectors, as in scalar-quantized IVF).
+    // Full SQL oracle: DuckDB replays quantize→dequantize→distance→top-k.
+    "ivf_quantized_query" -> ((s, dir) => {
+      val model = fixedModel(s, dir, Metric.Euclidean)
+      val qstore = model.assigned
+        .withColumn("__scale", operators.VectorOps.int8Scale(col("embedding")))
+        .withColumn("embedding",
+          operators.VectorOps.dequantizeInt8(
+            operators.VectorOps.quantizeInt8(col("embedding"), col("__scale")),
+            col("__scale")).cast("array<float>"))
+        .drop("__scale")
+      knnOut(IvfIndex.query(IvfIndex.Model(model.centroids, qstore),
+        qvec0(s, dir), k = 10, probes = 3, Metric.Euclidean))
+    }),
+
     // extension: symmetric per-vector int8 quantization — the 4× memory
     // lever for posting lists at 100 TB (scalar-quantization member of
     // the PQ family). Map-only; one row per (vec_id, pos) so every
@@ -1054,6 +1073,25 @@ object Queries {
          |  SELECT e.b, r.lab FROM reach r JOIN e ON e.a = r.node),
          |drops AS (SELECT node FROM (SELECT node, min(lab) AS rep FROM reach GROUP BY node) WHERE node <> rep)
          |SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT node FROM drops) ORDER BY doc_id""".stripMargin,
+
+    "ivf_quantized_query" ->
+      s"""WITH c AS (SELECT CAST(vec_id AS INTEGER) AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8),
+         |q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+         |asg AS (SELECT vec_id, cid FROM (
+         |  SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id ORDER BY ${sqlSq("e.embedding", "c.cvec")} ASC, c.cid ASC) AS rn
+         |  FROM embeddings e CROSS JOIN c) WHERE rn = 1),
+         |probed AS (SELECT c.cid FROM c, q ORDER BY ${sqlSq("c.cvec", "q.qvec")} ASC, c.cid ASC LIMIT 3),
+         |dq AS (SELECT e.vec_id, asg.cid,
+         |  list_transform(e.embedding, x -> CAST(
+         |    CAST(CASE WHEN sc.scale > 0 THEN floor(CAST(x AS DOUBLE) / sc.scale + 0.5) ELSE 0 END AS INT) * sc.scale
+         |    AS REAL)) AS deq
+         |  FROM embeddings e
+         |  JOIN (SELECT vec_id, list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+         |        FROM embeddings) sc ON sc.vec_id = e.vec_id
+         |  JOIN asg ON asg.vec_id = e.vec_id)
+         |SELECT d.vec_id AS vec_id, ${sqlR4(sqlSq("d.deq", "q.qvec"))} AS distance
+         |FROM dq d JOIN probed ON d.cid = probed.cid, q
+         |ORDER BY ${sqlSq("d.deq", "q.qvec")} ASC, d.vec_id ASC LIMIT 10""".stripMargin,
 
     "embed_quantize" ->
       s"""WITH s AS (SELECT vec_id, embedding,

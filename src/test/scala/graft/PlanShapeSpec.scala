@@ -207,6 +207,12 @@ class PlanShapeSpec extends SparkSpec {
       s"corpus scan must prune to doc_id: $schemas")
   }
 
+  test("events_user_activity distinct-user rollup plans without Expand") {
+    val p = plan(Queries.queries("events_user_activity")(spark, sf))
+    assert(!p.contains("Expand"),
+      "count-distinct must run as the two-stage rollup, not an Expand")
+  }
+
   test("exact dedup groups by a hash key, never shuffling full text") {
     val df = Queries.queries("dedup_exact")(spark, sf)
     val exchanges = df.queryExecution.executedPlan.collect {
