@@ -86,6 +86,39 @@ object Knn {
     topKPerQuery(candidates, records, k)
   }
 
+  /** Nearest-neighbor SELF-join over a pre-blocked frame
+    * `(block, id, embedding)`: for every id, the single nearest OTHER id
+    * among candidates sharing a block — the per-row-NN primitive behind
+    * kNN-graph construction, semantic-dedup representative choice, and
+    * retrieval evaluation. The intended block producer is
+    * [[IvfIndex.assignTop2]]'s two nearest clusters per vector (same
+    * contract as [[Dedup.embeddingNearDup]]): candidate counts stay
+    * O(n · density), never quadratic, and a pair straddling a Voronoi
+    * boundary still meets in the runner-up block.
+    *
+    * The reduction is `min(struct(distance, nn_id))` — lexicographic
+    * struct ordering gives distance-then-id ascending, identical to a
+    * ranking window's first row but with O(1) state per group and a
+    * map-side partial, so each partition contributes at most one
+    * candidate per id to the shuffle instead of its whole candidate
+    * list. A vector whose blocks contain no other member yields no row
+    * (no neighbor evidence — callers wanting totality union a sentinel).
+    * Duplicate candidates from a pair sharing both blocks collapse in
+    * the same min. */
+  def selfJoinNN(blocked: DataFrame, metric: Metric = Metric.Euclidean): DataFrame = {
+    val a = blocked.select(col("block"), col("id"), col("embedding"))
+    val b = blocked.select(
+      col("block"), col("id").as("nn_id"), col("embedding").as("__eb"))
+    a.join(b, Seq("block"))
+      .where(col("id") =!= col("nn_id"))
+      .withColumn("__d", metric.distance(col("embedding"), col("__eb")))
+      .where(!isnan(col("__d")))
+      .groupBy(col("id"))
+      .agg(min(struct(col("__d").as("distance"), col("nn_id").as("nn_id"))).as("__best"))
+      .select(col("id"), col("__best.nn_id").as("nn_id"),
+        col("__best.distance").as("distance"))
+  }
+
   /** Two-phase per-query top-k over a `(query_id, distance, id)` candidate
     * frame, then metadata re-attach. Shared by [[searchBatch]] and
     * [[IvfIndex.queryBatch]].

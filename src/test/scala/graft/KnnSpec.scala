@@ -94,4 +94,42 @@ class KnnSpec extends SparkSpec {
       .select("query_id", "id", "distance").as[(Long, Long, Double)].collect().toSet
     assert(gotB === wantB)
   }
+
+  test("selfJoinNN: nearest-other per id, distance-then-id tiebreak, " +
+    "singleton blocks yield no row, shared-both-blocks pairs collapse") {
+    // Block 0: ids 1,2,3 on a line (1 at 0.0, 2 at 1.0, 3 at 3.0).
+    // Id 2 also appears in block 1 (runner-up cluster) with id 4 at 1.0
+    //   distance 0 — its true NN lives only in the runner-up block.
+    // Ids 5,6 share BOTH blocks 2 and 3 (candidate pair emitted twice).
+    // Id 7 is alone in block 4 → no output row.
+    // Ids 8,9 in block 5 are equidistant twins of id 10 (both at dist 1)
+    //   → id 10's NN must tie-break to the smaller id 8.
+    val rows = Seq(
+      (0, 1L, Seq(0f, 0f)), (0, 2L, Seq(1f, 0f)), (0, 3L, Seq(3f, 0f)),
+      (1, 2L, Seq(1f, 0f)), (1, 4L, Seq(1f, 0f)),
+      (2, 5L, Seq(9f, 0f)), (2, 6L, Seq(9f, 1f)),
+      (3, 5L, Seq(9f, 0f)), (3, 6L, Seq(9f, 1f)),
+      (4, 7L, Seq(5f, 5f)),
+      (5, 8L, Seq(0f, 20f)), (5, 9L, Seq(2f, 20f)), (5, 10L, Seq(1f, 20f)))
+      .toDF("block", "id", "embedding")
+    val got = Knn.selfJoinNN(rows, Metric.Euclidean)
+      .select("id", "nn_id", "distance").as[(Long, Long, Double)]
+      .collect().sortBy(_._1).toSeq
+    assert(got === Seq(
+      (1L, 2L, 1.0), (2L, 4L, 0.0), (3L, 2L, 4.0), (4L, 2L, 0.0),
+      (5L, 6L, 1.0), (6L, 5L, 1.0), (8L, 10L, 1.0), (9L, 10L, 1.0),
+      (10L, 8L, 1.0)))
+  }
+
+  test("selfJoinNN plans no Window and a partial-aggregated min") {
+    val rows = Seq((0, 1L, Seq(0f)), (0, 2L, Seq(1f)))
+      .toDF("block", "id", "embedding")
+    val p = Knn.selfJoinNN(rows, Metric.Euclidean)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Window"),
+      "per-id NN must reduce via min(struct), not a ranking window")
+    assert(p.contains("partial_min") || p.contains("partial min") ||
+      p.toLowerCase.contains("partialmerge") || p.contains("min("),
+      s"expected an aggregate-based reduction in:\n$p")
+  }
 }
