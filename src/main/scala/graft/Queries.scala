@@ -131,6 +131,18 @@ object Queries {
     Caching.ensureCached(blocked)
   }
 
+  /** Fixed product-quantization codebooks (records 0..15's subvectors,
+    * m=4 × dsub=16 over the 64-dim embeddings), packed for broadcast —
+    * deterministic, so encode and ADC search are oracle-exact. */
+  private def pqFixedBooks(s: SparkSession, dir: String): DataFrame =
+    operators.VectorOps.pqPack(
+      recs(s, dir).where(col("id") < 16)
+        .select(col("id").cast("int").as("code"), col("embedding"))
+        .select(explode(sequence(lit(0), lit(3))).as("sub_idx"),
+          col("code"), col("embedding"))
+        .select(col("sub_idx"), col("code"),
+          slice(col("embedding"), col("sub_idx") * 16 + 1, lit(16)).as("cvec")))
+
   /** The capped-LSH duplicate-group map, memoized per (session, dir) —
     * the dedup twin of [[fixedModel]]: a pipeline computes the keep/drop
     * map ONCE per corpus version and every consumer (the group listing,
@@ -533,6 +545,37 @@ object Queries {
         .select(col("vec_id"), col("pos").cast("int").as("pos"),
           col("col").as("qval"), r4(col("__scale")).as("scale"))
         .orderBy("vec_id", "pos")
+    }),
+
+    // extension: PRODUCT-quantization codes — m=4 subspaces × 16 codes
+    // over 64 dims = 2 bytes a vector (vs 256 raw): the compression
+    // lever past int8. Fixed codebooks (records 0..15's subvectors)
+    // keep the argmin encode oracle-exact; trained codebooks are the
+    // VectorOpsSpec path. Map-only: books ride a broadcast.
+    "pq_codes" -> ((s, dir) =>
+      emb(s, dir).select(col("vec_id"), col("embedding"))
+        .crossJoin(broadcast(pqFixedBooks(s, dir)))
+        .select(col("vec_id"),
+          posexplode(operators.VectorOps.pqCodes(col("embedding"), col("books"))))
+        .select(col("vec_id"), col("pos").cast("int").as("sub_idx"),
+          col("col").as("code"))
+        .orderBy("vec_id", "sub_idx")),
+
+    // extension: the IVF probe served from PQ codes end-to-end (the
+    // IVF-PQ layout): store codes, reconstruct at scan time (= ADC for
+    // squared L2), probe + top-k over the reconstruction. Assignment
+    // and probing stay full-precision, as in ivf_quantized_query.
+    "ivf_pq_query" -> ((s, dir) => {
+      val model = fixedModel(s, dir, Metric.Euclidean)
+      val qstore = model.assigned
+        .crossJoin(broadcast(pqFixedBooks(s, dir)))
+        .withColumn("embedding",
+          operators.VectorOps.pqReconstruct(
+            operators.VectorOps.pqCodes(col("embedding"), col("books")),
+            col("books")).cast("array<float>"))
+        .drop("books")
+      knnOut(IvfIndex.query(IvfIndex.Model(model.centroids, qstore),
+        qvec0(s, dir), k = 10, probes = 3, Metric.Euclidean))
     }),
 
     // extension: stopword-heuristic language ID. Tokens and the fused
@@ -1140,6 +1183,37 @@ object Queries {
          |SELECT d.vec_id AS vec_id, ${sqlR4(sqlSq("d.deq", "q.qvec"))} AS distance
          |FROM dq d JOIN probed ON d.cid = probed.cid, q
          |ORDER BY ${sqlSq("d.deq", "q.qvec")} ASC, d.vec_id ASC LIMIT 10""".stripMargin,
+
+    "pq_codes" ->
+      s"""WITH cb AS (SELECT CAST(vec_id AS INT) AS code, embedding FROM embeddings WHERE vec_id < 16),
+         |books AS (SELECT u.s AS sub_idx, code,
+         |  list_slice(embedding, CAST(u.s * 16 + 1 AS INT), CAST(u.s * 16 + 16 AS INT)) AS cvec
+         |  FROM cb, unnest(generate_series(0, 3)) AS u(s)),
+         |enc AS (SELECT e.vec_id, b.sub_idx, b.code,
+         |  ${sqlSq("list_slice(e.embedding, CAST(b.sub_idx * 16 + 1 AS INT), CAST(b.sub_idx * 16 + 16 AS INT))", "b.cvec")} AS d
+         |  FROM embeddings e CROSS JOIN books b)
+         |SELECT vec_id, CAST(sub_idx AS INT) AS sub_idx, code FROM (
+         |  SELECT vec_id, sub_idx, code, row_number() OVER (PARTITION BY vec_id, sub_idx ORDER BY d ASC, code ASC) AS rn FROM enc)
+         |WHERE rn = 1 ORDER BY vec_id, sub_idx""".stripMargin,
+
+    "ivf_pq_query" ->
+      s"""WITH c AS (SELECT CAST(vec_id AS INTEGER) AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8),
+         |q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+         |asg AS (SELECT vec_id, cid FROM (
+         |  SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id ORDER BY ${sqlSq("e.embedding", "c.cvec")} ASC, c.cid ASC) AS rn
+         |  FROM embeddings e CROSS JOIN c) WHERE rn = 1),
+         |probed AS (SELECT c.cid FROM c, q ORDER BY ${sqlSq("c.cvec", "q.qvec")} ASC, c.cid ASC LIMIT 3),
+         |cb AS (SELECT CAST(vec_id AS INT) AS code, embedding FROM embeddings WHERE vec_id < 16),
+         |books AS (SELECT u.s AS sub_idx, code,
+         |  list_slice(embedding, CAST(u.s * 16 + 1 AS INT), CAST(u.s * 16 + 16 AS INT)) AS cvec
+         |  FROM cb, unnest(generate_series(0, 3)) AS u(s)),
+         |enc AS (SELECT e.vec_id, b.sub_idx, b.cvec,
+         |  row_number() OVER (PARTITION BY e.vec_id, b.sub_idx ORDER BY ${sqlSq("list_slice(e.embedding, CAST(b.sub_idx * 16 + 1 AS INT), CAST(b.sub_idx * 16 + 16 AS INT))", "b.cvec")} ASC, b.code ASC) AS rn
+         |  FROM embeddings e CROSS JOIN books b),
+         |recon AS (SELECT vec_id, flatten(list(cvec ORDER BY sub_idx)) AS deq FROM enc WHERE rn = 1 GROUP BY vec_id)
+         |SELECT r.vec_id AS vec_id, ${sqlR4(sqlSq("r.deq", "q.qvec"))} AS distance
+         |FROM recon r JOIN asg ON asg.vec_id = r.vec_id JOIN probed ON asg.cid = probed.cid, q
+         |ORDER BY ${sqlSq("r.deq", "q.qvec")} ASC, r.vec_id ASC LIMIT 10""".stripMargin,
 
     "embed_quantize" ->
       s"""WITH s AS (SELECT vec_id, embedding,

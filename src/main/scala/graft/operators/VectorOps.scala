@@ -1,16 +1,17 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Vector storage transforms for ANN at scale.
   *
   * The reference stores raw f32 vectors (`src/types/vector.rs:8-9`); at
-  * 100 TB the standard memory lever is symmetric per-vector int8
-  * quantization (4× smaller posting lists, SIMD-friendly dot products) —
-  * the simplest member of the PQ/SQ family. Everything here is a pure
-  * Catalyst expression: map-only, codegen-friendly, and reproducible
-  * 1:1 in the DuckDB oracle (all arithmetic in double, round-half-up via
+  * 100 TB the standard memory levers are symmetric per-vector int8
+  * quantization (4× smaller posting lists, SIMD-friendly dot products)
+  * and product quantization (one code per subspace — 64× at m=4 over
+  * 64 float dims). Everything here except [[pqTrain]] is a pure Catalyst
+  * expression: map-only, codegen-friendly, and reproducible 1:1 in the
+  * DuckDB oracle (all arithmetic in double, round-half-up via
   * `floor(x + 0.5)` — the same convention as [[graft.Queries]]'s r4).
   */
 object VectorOps {
@@ -33,4 +34,87 @@ object VectorOps {
     * bounded by `scale / 2` per element — asserted in VectorOpsSpec. */
   def dequantizeInt8(q: Column, scale: Column): Column =
     transform(q, x => x.cast("double") * scale)
+
+  // ---------- product quantization ----------
+  //
+  // PQ splits each vector into `m` contiguous subspaces and stores, per
+  // subspace, only the index of the nearest codebook entry: storage is
+  // m·log2(|book|) bits per vector (m=4 books of 16 codes over 64 float
+  // dims = 2 bytes vs 256 — the lever that fits a 100 TB corpus's
+  // posting lists in cluster memory). Search is ADC: distance from the
+  // query to the RECONSTRUCTION (per-subspace codebook lookup), which
+  // for squared L2 decomposes as Σ_sub ‖q_sub − book[code_sub]‖² — so
+  // scanning codes costs m lookups per record, never a full d-dim
+  // kernel. Everything below is expression-level (whole-stage codegen;
+  // the packed books ride a broadcast, never a shuffle).
+
+  /** Pack a `(sub_idx, code, cvec)` codebook frame into ONE row
+    * `books[sub][code] = struct(code, cvec)`, positionally indexed on
+    * both levels (codes must be dense 0..|book|−1 per subspace; enforced
+    * by construction in both producers). The one-row frame is the
+    * broadcast-side input of [[pqCodes]]/[[pqReconstruct]] consumers. */
+  def pqPack(codebooks: DataFrame): DataFrame =
+    codebooks
+      .groupBy(col("sub_idx"))
+      .agg(array_sort(collect_list(struct(col("code"), col("cvec")))).as("book"))
+      .agg(array_sort(collect_list(struct(col("sub_idx"), col("book")))).as("__sb"))
+      .select(transform(col("__sb"), e => e.getField("book")).as("books"))
+
+  /** PQ encode: per subspace, the code of the squared-L2-nearest
+    * codebook entry (ties → smaller code; NaN distances never win).
+    * `books` is the packed column from [[pqPack]]; the subspace width is
+    * inferred from each book's first entry, so one expression serves any
+    * (m, dsub) split. Returns `array<int>` of length m. */
+  def pqCodes(v: Column, books: Column): Column =
+    transform(books, (book, sub) => {
+      val dsub = size(element_at(book, 1).getField("cvec"))
+      val sv = slice(v, sub * dsub + lit(1), dsub)
+      val init = struct(lit(-1).as("code"), lit(Double.MaxValue).as("d"))
+      aggregate(book, init, (acc, e) => {
+        val d = graft.functions.NativeExprs.sqEuclidean(sv, e.getField("cvec"))
+        val better = !isnan(d) && (d < acc.getField("d") ||
+          (d === acc.getField("d") && e.getField("code") < acc.getField("code")))
+        when(better, struct(e.getField("code").as("code"), d.as("d")))
+          .otherwise(acc)
+      }, acc => acc.getField("code"))
+    })
+
+  /** PQ decode: concatenate each subspace's looked-up codebook entry.
+    * `‖q − reconstruction‖²` IS the ADC distance for squared L2. */
+  def pqReconstruct(codes: Column, books: Column): Column =
+    flatten(zip_with(books, codes, (book, code) =>
+      element_at(book, code + lit(1)).getField("cvec")))
+
+  /** Trained codebooks — the production path ([[pqPack]] the result):
+    * one seeded MLlib k-means per subspace over the subvectors, `k`
+    * codes each. The m fits run over n·dsub-sized inputs (a driver loop
+    * of m jobs, not a shuffle); at 100 TB the fit input would be a
+    * bounded deterministic sample exactly as in [[IvfIndex.build]] —
+    * callers pass a sampled frame. Returns `(sub_idx, code, cvec)` with
+    * dense codes 0..k−1. */
+  def pqTrain(
+      records: DataFrame,
+      m: Int,
+      dsub: Int,
+      k: Int,
+      seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = records.sparkSession
+    import spark.implicits._
+    val rows = (0 until m).flatMap { sub =>
+      val sv = records
+        .select(slice(col("embedding"), sub * dsub + 1, dsub).as("sv"))
+        .withColumn("__features", array_to_vector(col("sv")))
+      val model = new KMeans()
+        .setK(k).setSeed(seed + sub).setMaxIter(50).setTol(1e-4)
+        .setFeaturesCol("__features").setPredictionCol("__c")
+        .fit(sv)
+      model.clusterCenters.zipWithIndex.map { case (c, code) =>
+        (sub, code, c.toArray.map(_.toFloat).toSeq)
+      }
+    }
+    rows.toDF("sub_idx", "code", "cvec")
+      .withColumn("cvec", col("cvec").cast("array<float>"))
+  }
 }
