@@ -800,6 +800,19 @@ object Queries {
           size(TextOps.tokens(col("text"))), budget = 32, overlap = 8)
         .orderBy("doc_id", "chunk_idx")),
 
+    // extension: benchmark DECONTAMINATION — train-split documents
+    // sharing any 8-gram with the val split (the leakage gate before a
+    // corpus ships). Hash-only join; the benchmark side is the small
+    // distinct-gram set.
+    "corpus_decontaminate" -> ((s, dir) => {
+      val sp = graft.operators.Corpus.assignSplit(
+        docs(s, dir).repartition(col("doc_id")), col("text"))
+      graft.operators.Corpus.decontaminate(
+          sp.where(col("split") === "train").select(col("doc_id"), col("text")),
+          sp.where(col("split") === "val").select(col("text")), n = 8)
+        .orderBy("doc_id")
+    }),
+
     // extension: vocabulary building — top-k tokens by term frequency
     // with document frequency, deterministic tie-break; the two-stage
     // map-side-combinable wordcount (no Expand, no corpus-wide sort)
@@ -1504,6 +1517,21 @@ object Queries {
         |SELECT doc_id, chunk_start // 24 AS chunk_idx, chunk_start,
         |  least(32, n - chunk_start) AS chunk_len
         |FROM x ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "corpus_decontaminate" ->
+      s"""WITH h AS (SELECT doc_id, text, list_reduce(list_transform(string_split_regex(substr(md5(text), 1, 8), ''),
+         |    c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a * 16 + b) % 100 AS bucket FROM documents),
+         |toks AS (SELECT doc_id, bucket, list_distinct(list_transform(generate_series(1, greatest(len(tk) - 7, 0)),
+         |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4] || ' ' || tk[i+5] || ' ' || tk[i+6] || ' ' || tk[i+7])) AS sh
+         |  FROM (SELECT doc_id, bucket, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk FROM h)),
+         |tg AS (SELECT doc_id, list_reduce(list_transform(string_split_regex(substr(md5(u.s), 1, 14), ''),
+         |    c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a * 16 + b) AS hh
+         |  FROM toks, unnest(sh) AS u(s) WHERE bucket < 80),
+         |vg AS (SELECT DISTINCT list_reduce(list_transform(string_split_regex(substr(md5(u.s), 1, 14), ''),
+         |    c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a * 16 + b) AS hh
+         |  FROM toks, unnest(sh) AS u(s) WHERE bucket >= 80 AND bucket < 90)
+         |SELECT doc_id, count(DISTINCT hh) AS n_shared
+         |FROM tg JOIN vg USING (hh) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "vocab_top" ->
       """WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token

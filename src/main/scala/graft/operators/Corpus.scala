@@ -200,4 +200,33 @@ object Corpus {
         Seq("__src", "doc_id"), "left_semi")
       .drop("__h", "__src")
   }
+
+  /** Benchmark DECONTAMINATION: flag corpus documents that share any
+    * token `n`-gram with a held-out/benchmark set — the leakage check a
+    * training pipeline runs before shipping a corpus (a train document
+    * quoting a benchmark answer inflates eval scores). Returns
+    * `(doc_id, n_shared)` for flagged documents only; clean documents
+    * produce no row, so the output is proportional to the contamination,
+    * not the corpus.
+    *
+    * Matching is on the 56-bit md5 shingle hash ([[TextOps
+    * .shingleHashes]]) of lowercase-token n-grams — the same fingerprint
+    * family the dedup stack uses, so corpus and benchmark tokenize
+    * identically. Scale shape: both sides explode to `(key, hash)` longs
+    * (never text), the join is an equi-join on the hash — a real
+    * benchmark set is tiny, so AQE broadcasts its distinct-gram side and
+    * the corpus side never shuffles; `count(DISTINCT h)` is a standard
+    * two-phase aggregate over the (small) matched subset. */
+  def decontaminate(docs: DataFrame, benchmark: DataFrame, n: Int = 8): DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    def grams(df: DataFrame, keep: Column*): DataFrame =
+      df.select(keep :+ explode(
+        TextOps.shingleHashes(
+          TextOps.shinglesFromTokens(TextOps.tokens(col("text")), n))).as("h"): _*)
+    val benchGrams = grams(benchmark).select(col("h")).distinct()
+    grams(docs, col("doc_id"))
+      .join(benchGrams, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count_distinct(col("h")).as("n_shared"))
+  }
 }

@@ -193,4 +193,24 @@ class CorpusSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(got === expected)
   }
+
+  test("decontaminate: flags exactly the docs sharing an n-gram, counts " +
+    "each shared gram once, ignores short docs") {
+    val bench = Seq(
+      Tuple1("alpha beta gamma delta"),
+      Tuple1("one two three four")).toDF("text")
+    val docsDf = Seq(
+      // shares "alpha beta gamma delta" (twice — counted once)
+      (1L, "x alpha beta gamma delta y alpha beta gamma delta"),
+      // shares two DISTINCT benchmark grams
+      (2L, "alpha beta gamma delta one two three four"),
+      // 4-gram "beta gamma delta one" is NOT in the benchmark's gram set
+      (3L, "beta gamma delta one"),
+      // shorter than n tokens: no grams, never flagged
+      (4L, "alpha beta gamma"),
+      (5L, "completely unrelated text here")).toDF("doc_id", "text")
+    val got = Corpus.decontaminate(docsDf, bench, n = 4)
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got === Seq((1L, 1L), (2L, 2L)))
+  }
 }
