@@ -604,6 +604,16 @@ object Queries {
           r4(TextOps.qualityFromStats(col("text"), col("__toks"), col("__stats"))).as("quality"))
         .orderBy("doc_id")),
 
+    // extension: BM25 keyword scoring against a fixed term list — the
+    // lexical half of hybrid corpus search. Only the constant-width
+    // df/avgdl reduction shuffles; the score pass is map-only over a
+    // one-row broadcast of idfs.
+    "text_bm25" -> ((s, dir) =>
+      TextOps.bm25(docs(s, dir).repartition(col("doc_id")), col("text"),
+          Seq("key", "table", "scan"))
+        .select(col("doc_id"), r4(col("score")).as("score"))
+        .orderBy("doc_id")),
+
     // extension: md5 + rolling-window document fingerprints
     "doc_fingerprint" -> ((s, dir) =>
       docs(s, dir).select(
@@ -1358,6 +1368,17 @@ object Queries {
          |SELECT doc_id, n_tokens, n_bpe_tokens,
          |  ${sqlR4("least(1.0, greatest(0.0, 0.2 + 0.5 * stop_ratio + 0.05 * avg_len - punct_ratio))")} AS quality
          |FROM m ORDER BY doc_id""".stripMargin,
+
+    "text_bm25" ->
+      s"""WITH t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk FROM documents),
+         |st AS (SELECT count(*) AS n, avg(len(tk)) AS avgdl FROM t),
+         |tf AS (SELECT doc_id, term, len(list_filter(tk, x -> x = term)) AS tf, len(tk) AS dl
+         |  FROM t, (SELECT unnest(['key', 'table', 'scan']) AS term) q),
+         |dfreq AS (SELECT term, sum(CASE WHEN tf > 0 THEN 1 ELSE 0 END) AS df FROM tf GROUP BY term),
+         |sc AS (SELECT tf.doc_id, sum(ln(1.0 + (st.n - d.df + 0.5) / (d.df + 0.5)) * tf.tf * 2.2
+         |    / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / st.avgdl))) AS score
+         |  FROM tf JOIN dfreq d USING (term), st GROUP BY tf.doc_id)
+         |SELECT doc_id, ${sqlR4("score")} AS score FROM sc WHERE score > 0 ORDER BY doc_id""".stripMargin,
 
     "doc_fingerprint" ->
       """SELECT doc_id, md5(text) AS md5_full,

@@ -209,4 +209,62 @@ object TextOps {
       .orderBy(col("tf").desc, col("token").asc)
       .limit(k)
   }
+
+  /** BM25 keyword scoring of every document against a fixed term list —
+    * the lexical-retrieval half of a hybrid (BM25 + ANN) corpus search,
+    * and the relevance filter a targeted-crawl pipeline scores pages
+    * with. Lucene-shaped formula: `idf = ln(1 + (N − df + ½)/(df + ½))`,
+    * `score = Σ_t idf_t · tf_t(k1+1) / (tf_t + k1(1 − b + b·dl/avgdl))`.
+    * Returns `(doc_id, score)` for matching documents only (score > 0).
+    *
+    * Scale shape: two passes, no per-token shuffle. Pass 1 computes the
+    * per-term tf vector map-side (the term list is a literal array) and
+    * reduces to |terms| document frequencies plus the (N, avgdl) pair —
+    * a constant-width aggregate. Pass 2 re-derives tf map-side, joins
+    * the ONE-row idf/stats frames by broadcast, and scores each document
+    * with an `aggregate` HOF over the zipped (tf, idf) arrays — so the
+    * only shuffle in the whole operator is the constant-width stats
+    * reduction, and the score pass is pure whole-stage codegen. */
+  def bm25(
+      docs: DataFrame,
+      text: Column,
+      terms: Seq[String],
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "terms must be non-empty")
+    val termArr = array(terms.map(lit): _*)
+    def withTf(df: DataFrame): DataFrame =
+      df.select(col("doc_id"), tokens(text).as("__tk"))
+        .withColumn("__dl", size(col("__tk")))
+        .withColumn("__tfs",
+          transform(termArr, t => size(filter(col("__tk"), x => x === t))))
+        .drop("__tk")
+    // Per-term document frequency: posexplode the tf vector → groupBy
+    // term position — a |terms|-row frame, then folded to ONE broadcast
+    // row of positionally-ordered idfs.
+    val dfreq = withTf(docs)
+      .select(posexplode(col("__tfs")).as(Seq("__pos", "__tf")))
+      .groupBy(col("__pos"))
+      .agg(sum(when(col("__tf") > 0, 1L).otherwise(0L)).as("__df"))
+    val corpus = withTf(docs)
+      .agg(count(lit(1)).as("__n"), avg(col("__dl")).as("__avgdl"))
+    val idfs = dfreq
+      .crossJoin(broadcast(corpus))
+      .select(struct(col("__pos"),
+        log(lit(1.0) + (col("__n") - col("__df") + lit(0.5)) /
+          (col("__df") + lit(0.5))).as("__idf")).as("__pi"))
+      .agg(array_sort(collect_list(col("__pi"))).as("__pis"))
+      .select(transform(col("__pis"), e => e.getField("__idf")).as("__idfs"))
+    withTf(docs)
+      .crossJoin(broadcast(idfs.crossJoin(corpus)))
+      .withColumn("score",
+        aggregate(
+          zip_with(col("__tfs"), col("__idfs"), (tf, idf) =>
+            idf * tf.cast("double") * lit(k1 + 1.0) /
+              (tf.cast("double") + lit(k1) * (lit(1.0 - b) +
+                lit(b) * col("__dl").cast("double") / col("__avgdl")))),
+          lit(0.0), (acc, x) => acc + x))
+      .where(col("score") > 0)
+      .select(col("doc_id"), col("score"))
+  }
 }

@@ -65,4 +65,20 @@ class TextOpsSpec extends SparkSpec {
     val b = one[String]("abcdefghijklmnop the stable prefix zone", TextOps.fingerprint(col("text")))
     assert(a === b && a.length === 32)
   }
+
+  test("bm25: non-matching docs absent, rare+frequent terms outrank " +
+    "common-only, scores positive") {
+    import spark.implicits._
+    val docsDf = Seq(
+      (1L, "apple banana banana"),       // rare apple + banana twice
+      (2L, "banana cherry cherry cherry"), // common banana once
+      (3L, "nothing relevant here"))     // no query term
+      .toDF("doc_id", "text")
+    val got = TextOps.bm25(docsDf, col("text"), Seq("apple", "banana"))
+      .as[(Long, Double)].collect().sortBy(_._1).toMap
+    assert(got.keySet === Set(1L, 2L))
+    assert(got.values.forall(_ > 0))
+    assert(got(1L) > got(2L),
+      s"doc with the rare term must outrank: ${got(1L)} vs ${got(2L)}")
+  }
 }
