@@ -614,6 +614,17 @@ object Queries {
         .select(col("doc_id"), r4(col("score")).as("score"))
         .orderBy("doc_id")),
 
+    // extension: per-(source, language) corpus rollup — docs, exact
+    // uniques (two-stage agg on the content hash, no Expand), token
+    // volume, mean quality; the observability table a pipeline run
+    // publishes.
+    "corpus_stats" -> ((s, dir) =>
+      graft.operators.Corpus.stats(
+          docs(s, dir).repartition(col("doc_id")), col("source"), col("text"))
+        .select(col("source"), col("lang"), col("n_docs"), col("n_unique"),
+          col("total_tokens"), r4(col("avg_quality")).as("avg_quality"))
+        .orderBy("source", "lang")),
+
     // extension: md5 + rolling-window document fingerprints
     "doc_fingerprint" -> ((s, dir) =>
       docs(s, dir).select(
@@ -1368,6 +1379,32 @@ object Queries {
          |SELECT doc_id, n_tokens, n_bpe_tokens,
          |  ${sqlR4("least(1.0, greatest(0.0, 0.2 + 0.5 * stop_ratio + 0.05 * avg_len - punct_ratio))")} AS quality
          |FROM m ORDER BY doc_id""".stripMargin,
+
+    "corpus_stats" ->
+      s"""WITH b AS (SELECT source, text, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk,
+         |  CAST(length(text) AS DOUBLE) AS nc,
+         |  CAST(length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) AS DOUBLE) AS punct
+         |  FROM documents),
+         |m AS (SELECT source, text, tk,
+         |  len(list_filter(tk, x -> list_contains(['the','a','of','to','and','is','in','it'], x))) AS e,
+         |  len(list_filter(tk, x -> list_contains(['el','la','de','que','y','en','un','es'], x))) AS sp,
+         |  len(list_filter(tk, x -> list_contains(['le','la','de','et','un','que','les','des'], x))) AS f,
+         |  len(list_filter(tk, x -> list_contains(['der','die','das','und','ist','ein','zu','den'], x))) AS d,
+         |  len(list_filter(tk, x -> list_contains(['de','shi','bu','le','zai','ren','you','wo'], x))) AS z,
+         |  CAST(len(tk) AS BIGINT) AS nt,
+         |  least(1.0, greatest(0.0, 0.2
+         |    + 0.5 * (CASE WHEN len(tk) > 0 THEN CAST(len(list_filter(tk, x -> list_contains($stopAllSql, x))) AS DOUBLE) / len(tk) ELSE 0.0 END)
+         |    + 0.05 * (CASE WHEN len(tk) > 0 THEN list_sum(list_transform(tk, x -> CAST(length(x) AS DOUBLE))) / len(tk) ELSE 0.0 END)
+         |    - (CASE WHEN nc > 0 THEN punct / nc ELSE 0.0 END))) AS q
+         |  FROM b),
+         |l AS (SELECT source, CASE WHEN greatest(e, sp, f, d, z) = 0 THEN 'und'
+         |  WHEN e >= sp AND e >= f AND e >= d AND e >= z THEN 'en'
+         |  WHEN sp >= f AND sp >= d AND sp >= z THEN 'es'
+         |  WHEN f >= d AND f >= z THEN 'fr'
+         |  WHEN d >= z THEN 'de' ELSE 'zh' END AS lang, nt, q, sha256(text) AS h FROM m)
+         |SELECT source, lang, count(*) AS n_docs, count(DISTINCT h) AS n_unique,
+         |  CAST(sum(nt) AS BIGINT) AS total_tokens, ${sqlR4("sum(q) / count(*)")} AS avg_quality
+         |FROM l GROUP BY source, lang ORDER BY source, lang""".stripMargin,
 
     "text_bm25" ->
       s"""WITH t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk FROM documents),

@@ -201,6 +201,36 @@ object Corpus {
       .drop("__h", "__src")
   }
 
+  /** Per-(source, language) corpus rollup — the observability table a
+    * pipeline run publishes: document and unique-document counts, token
+    * volume, and mean quality per cell. One pass computes every per-doc
+    * attribute from the fused [[TextOps.tokenStats]] kernel; uniqueness
+    * is exact, via the two-stage aggregate (group on the content hash
+    * first, then the cell) rather than `count(DISTINCT …)` — the same
+    * Expand-free shape as the events rollup: both stages are map-side
+    * combinable and the first stage's key (cell × sha256) is exactly the
+    * dedup shuffle the pipeline already pays. */
+  def stats(docs: DataFrame, source: Column, text: Column): DataFrame = {
+    val perDoc = docs
+      .withColumn("__toks", TextOps.tokens(text))
+      .withColumn("__stats", TextOps.tokenStats(col("__toks")))
+      .select(source.as("source"),
+        TextOps.langFromVotes(col("__stats.votes")).as("lang"),
+        size(col("__toks")).cast("long").as("__nt"),
+        TextOps.qualityFromStats(text, col("__toks"), col("__stats")).as("__q"),
+        sha2(text, 256).as("__h"))
+    perDoc
+      .groupBy(col("source"), col("lang"), col("__h"))
+      .agg(count(lit(1)).as("__c"), sum(col("__nt")).as("__t"),
+        sum(col("__q")).as("__qs"))
+      .groupBy(col("source"), col("lang"))
+      .agg(
+        sum(col("__c")).as("n_docs"),
+        count(lit(1)).as("n_unique"),
+        sum(col("__t")).as("total_tokens"),
+        (sum(col("__qs")) / sum(col("__c"))).as("avg_quality"))
+  }
+
   /** Benchmark DECONTAMINATION: flag corpus documents that share any
     * token `n`-gram with a held-out/benchmark set — the leakage check a
     * training pipeline runs before shipping a corpus (a train document

@@ -213,6 +213,12 @@ class PlanShapeSpec extends SparkSpec {
       "count-distinct must run as the two-stage rollup, not an Expand")
   }
 
+  test("corpus_stats rollup plans without Expand") {
+    val p = plan(Queries.queries("corpus_stats")(spark, sf))
+    assert(!p.contains("Expand"),
+      "exact uniques must run as the two-stage rollup, not an Expand")
+  }
+
   test("exact dedup groups by a hash key, never shuffling full text") {
     val df = Queries.queries("dedup_exact")(spark, sf)
     val exchanges = df.queryExecution.executedPlan.collect {
