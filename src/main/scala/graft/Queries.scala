@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.FilterDsl
-import graft.operators.{Crud, Dedup, IvfIndex, Knn, Multimodal, TextOps}
+import graft.operators.{Crud, Dedup, IvfIndex, Knn, Multimodal, Temporal, TextOps}
 import graft.sources.Records
 import graft.types.Metric
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -926,7 +926,62 @@ object Queries {
         .agg(count(lit(1)).as("n"), r4(sum(col("value"))).as("value_sum"))
         .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
           col("event_type"), col("n"), col("value_sum"))
-        .orderBy("hour", "event_type")))
+        .orderBy("hour", "event_type")),
+
+    // extension: point-in-time ("as-of") join — each purchase attached to
+    // the same user's most recent prior-or-simultaneous click, the
+    // leakage-free feature-attachment join. Plan: zero joins — one
+    // window pass over the union (Temporal.asofJoin), one shuffle on
+    // user_id (pinned in TemporalSpec)
+    "events_asof_join" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts"),
+          col("value"))
+      Temporal.asofJoin(purchases, clicks, "user_id", "ts",
+          Seq("click_id", "value"), tieBreak = "click_id")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
+          col("asof_click_id").as("click_id"),
+          r4(col("asof_value")).as("click_value"))
+        .orderBy("purchase_id")
+    }),
+
+    // extension: bounded look-back range join — errors in the 10 minutes
+    // up to each purchase, executed as an equi-join on (user, time
+    // bucket) with constant 2× probe fan-out instead of an inequality
+    // join (which Spark plans as a per-key nested loop)
+    "events_range_join" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val errors = ev.where(col("event_type") === "error")
+        .select(col("user_id"), col("ts"), col("value"))
+      Temporal.rangeJoinBinned(purchases, errors, "user_id", "ts", windowSec = 600L)
+        .groupBy(col("event_id"), col("user_id"), col("ts"))
+        .agg(count(col("range_match")).as("n_errors"),
+          r4(coalesce(sum(col("range_match.value")), lit(0.0))).as("err_value_sum"))
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
+          col("n_errors"), col("err_value_sum"))
+        .orderBy("purchase_id")
+    }),
+
+    // extension: exact interpolated per-type quantiles of the value
+    // stream (Spark `percentile` == DuckDB `quantile_cont`, both
+    // NIST-linear on pos = p·(n−1)). Exact is the oracle-comparable
+    // variant; at 100 TB the same query swaps in approx_percentile
+    // (a mergeable KLL-style sketch) with identical plan shape
+    "events_quantiles" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(expr("percentile(value, array(0.25D, 0.5D, 0.9D, 0.99D))").as("qs"))
+        .select(col("event_type"),
+          r4(col("qs")(0)).as("p25"), r4(col("qs")(1)).as("p50"),
+          r4(col("qs")(2)).as("p90"), r4(col("qs")(3)).as("p99"))
+        .orderBy("event_type")))
 
   // ---------- oracle SQL (DuckDB) ----------
 
@@ -1690,5 +1745,45 @@ object Queries {
     "events_window_agg" ->
       s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
         |  count(*) AS n, ${sqlR4("sum(value)")} AS value_sum
-        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin)
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+
+    // ties on click ts resolved to the greatest click_id (the operator's
+    // deterministic tieBreak); <= is the inclusive as-of bound
+    "events_asof_join" ->
+      s"""WITH p AS (SELECT event_id AS purchase_id, user_id, ts FROM events
+         |           WHERE event_type = 'purchase'),
+         |c AS (SELECT event_id AS click_id, user_id, ts, value FROM events
+         |      WHERE event_type = 'click')
+         |SELECT purchase_id, user_id,
+         |  strftime(p_ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+         |  click_id, click_value
+         |FROM (
+         |  SELECT p.purchase_id, p.user_id, p.ts AS p_ts, c.click_id,
+         |    ${sqlR4("c.value")} AS click_value,
+         |    row_number() OVER (PARTITION BY p.purchase_id
+         |      ORDER BY c.ts DESC, c.click_id DESC) AS rn
+         |  FROM p LEFT JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts)
+         |WHERE rn = 1 ORDER BY purchase_id""".stripMargin,
+
+    // look-back window is (p.ts − 600 s, p.ts] — left-open, right-closed
+    "events_range_join" ->
+      s"""WITH p AS (SELECT event_id AS purchase_id, user_id, ts FROM events
+         |           WHERE event_type = 'purchase'),
+         |e AS (SELECT user_id, ts, value FROM events WHERE event_type = 'error')
+         |SELECT p.purchase_id, p.user_id,
+         |  strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+         |  count(e.ts) AS n_errors,
+         |  ${sqlR4("coalesce(sum(e.value), 0.0)")} AS err_value_sum
+         |FROM p LEFT JOIN e ON p.user_id = e.user_id
+         |  AND e.ts > p.ts - INTERVAL 600 SECOND AND e.ts <= p.ts
+         |GROUP BY p.purchase_id, p.user_id, p.ts
+         |ORDER BY p.purchase_id""".stripMargin,
+
+    "events_quantiles" ->
+      s"""SELECT event_type,
+         |  ${sqlR4("quantile_cont(value, 0.25)")} AS p25,
+         |  ${sqlR4("quantile_cont(value, 0.50)")} AS p50,
+         |  ${sqlR4("quantile_cont(value, 0.90)")} AS p90,
+         |  ${sqlR4("quantile_cont(value, 0.99)")} AS p99
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
 }

@@ -1,0 +1,99 @@
+package graft
+
+import graft.operators.Temporal
+import org.apache.spark.sql.functions._
+
+class TemporalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  // crafted stream: user 1 has ties and interleavings, user 2 has a
+  // left row BEFORE any right row (null match), user 3 is right-only
+  private lazy val lefts = Seq(
+    (100L, 1L, ts("2024-01-01 10:00:00")), // after r1/r2 tie at 09:59
+    (101L, 1L, ts("2024-01-01 10:30:00")), // exactly ON r3's ts (inclusive)
+    (102L, 2L, ts("2024-01-01 08:00:00")), // before user 2's only right row
+    (103L, 2L, ts("2024-01-01 12:00:00"))
+  ).toDF("event_id", "user_id", "ts")
+
+  private lazy val rights = Seq(
+    (10L, 1L, ts("2024-01-01 09:59:00"), 1.0), // tie on ts with 11
+    (11L, 1L, ts("2024-01-01 09:59:00"), 2.0), // wins tie: greater id
+    (12L, 1L, ts("2024-01-01 10:30:00"), 3.0), // equal ts to left 101: included
+    (13L, 2L, ts("2024-01-01 09:00:00"), 4.0),
+    (14L, 3L, ts("2024-01-01 00:00:00"), 5.0)  // key with no left rows
+  ).toDF("rid", "user_id", "ts", "value")
+
+  test("asofJoin: latest right <= left.ts per key, max-tieBreak on ties, null when none") {
+    val got = Temporal.asofJoin(lefts, rights, "user_id", "ts", Seq("rid", "value"), "rid")
+      .select("event_id", "asof_rid", "asof_value")
+      .as[(Long, Option[Long], Option[Double])].collect()
+      .map { case (k, r, v) => k -> ((r, v)) }.toMap
+    assert(got(100L) === ((Some(11L), Some(2.0)))) // tie resolved to rid 11
+    assert(got(101L) === ((Some(12L), Some(3.0)))) // equal-ts right included
+    assert(got(102L) === ((None, None)))           // no prior right row
+    assert(got(103L) === ((Some(13L), Some(4.0))))
+    assert(got.size === 4) // left-outer: exactly one row per left row
+  }
+
+  test("asofJoin matches the brute-force subquery twin on random data") {
+    val rnd = new scala.util.Random(7)
+    val l = (0 until 300).map(i =>
+      (i.toLong, rnd.nextInt(5).toLong, ts(f"2024-01-01 ${rnd.nextInt(24)}%02d:${rnd.nextInt(60)}%02d:00")))
+      .toDF("event_id", "user_id", "ts")
+    val r = (0 until 300).map(i =>
+      (i.toLong + 1000L, rnd.nextInt(5).toLong, ts(f"2024-01-01 ${rnd.nextInt(24)}%02d:${rnd.nextInt(60)}%02d:00"), rnd.nextDouble()))
+      .toDF("rid", "user_id", "ts", "value")
+    val got = Temporal.asofJoin(l, r, "user_id", "ts", Seq("rid"), "rid")
+      .select("event_id", "asof_rid").as[(Long, Option[Long])].collect().toMap
+    val lRows = l.as[(Long, Long, java.sql.Timestamp)].collect()
+    val rRows = r.as[(Long, Long, java.sql.Timestamp, Double)].collect()
+    lRows.foreach { case (id, u, t) =>
+      val cand = rRows.filter(x => x._2 == u && !x._3.after(t))
+      val want = if (cand.isEmpty) None
+        else Some(cand.maxBy(x => (x._3.getTime, x._1))._1)
+      assert(got(id) === want, s"event $id")
+    }
+  }
+
+  test("asofJoin plan: zero joins — one window pass (no per-key cartesian)") {
+    val plan = Temporal.asofJoin(lefts, rights, "user_id", "ts", Seq("rid"), "rid")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"as-of join must not plan a join:\n$plan")
+    assert(plan.contains("Window"), s"expected a window pass:\n$plan")
+  }
+
+  test("rangeJoinBinned matches the brute-force inequality join, incl. window edges") {
+    val rnd = new scala.util.Random(11)
+    // ts offsets chosen to land exactly on bucket edges sometimes
+    val l = (0 until 200).map(i =>
+      (i.toLong, rnd.nextInt(4).toLong,
+        new java.sql.Timestamp(1704100000000L + rnd.nextInt(7200) * 1000L)))
+      .toDF("event_id", "user_id", "ts")
+    val r = (0 until 400).map(i =>
+      (rnd.nextInt(4).toLong,
+        new java.sql.Timestamp(1704100000000L + rnd.nextInt(7200) * 1000L), rnd.nextDouble()))
+      .toDF("user_id", "ts", "value")
+    val win = 600L
+    val got = Temporal.rangeJoinBinned(l, r, "user_id", "ts", win)
+      .groupBy("event_id")
+      .agg(count(col("range_match")).as("n"))
+      .as[(Long, Long)].collect().toMap
+    val lRows = l.as[(Long, Long, java.sql.Timestamp)].collect()
+    val rRows = r.as[(Long, java.sql.Timestamp, Double)].collect()
+    lRows.foreach { case (id, u, t) =>
+      val n = rRows.count(x => x._1 == u &&
+        x._2.getTime > t.getTime - win * 1000 && x._2.getTime <= t.getTime)
+      assert(got(id) === n, s"event $id")
+      assert(got.size === lRows.length) // left-outer cardinality exact
+    }
+  }
+
+  test("rangeJoinBinned plan: equi-join on (key, bucket), no nested-loop fallback") {
+    val plan = Temporal.rangeJoinBinned(lefts, rights, "user_id", "ts", 600L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"range join must stay an equi-join:\n$plan")
+  }
+}
