@@ -592,6 +592,18 @@ object Queries {
 
     // extension: token counting + quality scoring (tokens + fused stats
     // materialized once)
+    // extension: Gopher-style intra-document repetition filters —
+    // top-token share + duplicate 2-/3-gram occurrence fractions,
+    // one map-only HOF pass per doc (no shuffle; TextOps.repetitionStats)
+    "text_repetition" -> ((s, dir) =>
+      docs(s, dir)
+        .withColumn("__rep", TextOps.repetitionStats(TextOps.tokens(col("text"))))
+        .select(col("doc_id"),
+          r4(col("__rep.top_token_frac")).as("top_token_frac"),
+          r4(col("__rep.dup_2gram_frac")).as("dup_2gram_frac"),
+          r4(col("__rep.dup_3gram_frac")).as("dup_3gram_frac"))
+        .orderBy("doc_id")),
+
     "text_stats" -> ((s, dir) =>
       docs(s, dir)
         .repartition(col("doc_id"))
@@ -1419,6 +1431,26 @@ object Queries {
          |  WHEN f >= d AND f >= z THEN 'fr'
          |  WHEN d >= z THEN 'de' ELSE 'zh' END AS lang_pred
          |FROM s ORDER BY doc_id""".stripMargin,
+
+    // n-gram dup fractions mirror the multiset shingle construction of
+    // the dedup oracles; top token via the grouped counts (the oracle
+    // needn't be map-only — only the Spark plan does)
+    "text_repetition" ->
+      s"""WITH b AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk FROM documents),
+         |sh AS (SELECT doc_id,
+         |  list_transform(generate_series(1, greatest(len(tk) - 1, 0)), i -> tk[i] || ' ' || tk[i+1]) AS g2,
+         |  list_transform(generate_series(1, greatest(len(tk) - 2, 0)), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) AS g3
+         |  FROM b),
+         |top AS (SELECT doc_id, max(c) AS bc, sum(c) AS n FROM (
+         |    SELECT doc_id, w, count(*) AS c
+         |    FROM (SELECT doc_id, unnest(tk) AS w FROM b) GROUP BY doc_id, w)
+         |  GROUP BY doc_id)
+         |SELECT b.doc_id,
+         |  ${sqlR4("CASE WHEN top.n > 0 THEN CAST(top.bc AS DOUBLE) / top.n ELSE 0.0 END")} AS top_token_frac,
+         |  ${sqlR4("CASE WHEN len(sh.g2) > 0 THEN CAST(len(sh.g2) - len(list_distinct(sh.g2)) AS DOUBLE) / len(sh.g2) ELSE 0.0 END")} AS dup_2gram_frac,
+         |  ${sqlR4("CASE WHEN len(sh.g3) > 0 THEN CAST(len(sh.g3) - len(list_distinct(sh.g3)) AS DOUBLE) / len(sh.g3) ELSE 0.0 END")} AS dup_3gram_frac
+         |FROM b JOIN sh ON b.doc_id = sh.doc_id LEFT JOIN top ON b.doc_id = top.doc_id
+         |ORDER BY b.doc_id""".stripMargin,
 
     "text_stats" ->
       s"""WITH b AS (SELECT doc_id, text, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk,

@@ -437,6 +437,66 @@ object NativeExprs {
     * `substr`/`length` both count — so texts with supplementary-plane
     * characters (emoji) fingerprint identically to the HOF twin (a
     * UTF-16-unit window would split surrogate pairs and diverge). */
+  /** One-pass intra-document repetition fractions over a token array
+    * (see [[graft.operators.TextOps.repetitionStats]] for semantics and
+    * the declarative twin the spec pins): top-token count via one
+    * hash-map pass (no sort), duplicate 2-/3-gram occurrence fractions
+    * via exact string-identity sets (token tuples joined on a space are
+    * unambiguous — whitespace-split tokens cannot contain the
+    * separator), so the result equals `array_distinct` over the gram
+    * strings with NO hash-collision caveat. All divisions use the same
+    * double ops as the HOF twin. */
+  case class RepetitionStatsExpr(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StructType(Seq(
+      StructField("top_token_frac", DoubleType, nullable = false),
+      StructField("dup_2gram_frac", DoubleType, nullable = false),
+      StructField("dup_3gram_frac", DoubleType, nullable = false)))
+    override def nullable: Boolean = child.nullable
+    override def eval(input: InternalRow): Any = {
+      val arr = child.eval(input).asInstanceOf[ArrayData]
+      if (arr == null) return null
+      val n = arr.numElements()
+      // stay on UTF8String (byte-wise equals/hash — no char decoding);
+      // grams via concatWs, still exact string identity
+      val toks = new Array[UTF8String](n)
+      val counts = new java.util.HashMap[UTF8String, Array[Int]](Math.max(16, n * 2))
+      var best = 0
+      var i = 0
+      while (i < n) {
+        val t = arr.getUTF8String(i)
+        toks(i) = t
+        var c = counts.get(t)
+        if (c == null) { c = new Array[Int](1); counts.put(t, c) }
+        c(0) += 1
+        if (c(0) > best) best = c(0)
+        i += 1
+      }
+      val sep = UTF8String.fromString(" ")
+      def dupFrac(g: Int): Double = {
+        val m = n - g + 1
+        if (m <= 0) return 0.0
+        val seen = new java.util.HashSet[UTF8String](Math.max(16, m * 2))
+        var dups = 0
+        var j = 0
+        while (j < m) {
+          val gram =
+            if (g == 2) UTF8String.concatWs(sep, toks(j), toks(j + 1))
+            else UTF8String.concatWs(sep, toks(j), toks(j + 1), toks(j + 2))
+          if (!seen.add(gram)) dups += 1
+          j += 1
+        }
+        dups.toDouble / m
+      }
+      InternalRow(
+        if (n > 0) best.toDouble / n else 0.0,
+        dupFrac(2), dupFrac(3))
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  def repetitionStats(tokens: Column): Column = asCol(RepetitionStatsExpr(ex(tokens)))
+
   case class Md5MinWindowExpr(child: Expression, window: Int)
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = StringType

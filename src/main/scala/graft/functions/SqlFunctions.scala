@@ -45,6 +45,7 @@ object SqlFunctions {
       NativeExprs.MinhashSigHashesExpr(es(0), permsLit(es(1)))),
     "graft_md5_min_window" -> (es =>
       NativeExprs.Md5MinWindowExpr(es(0), intLit(es(1), "window"))),
+    "graft_repetition_stats" -> (es => NativeExprs.RepetitionStatsExpr(es(0))),
     // token statistics bound to the library's language inventories
     "graft_token_stats" -> (es =>
       NativeExprs.TokenStatsExpr(es(0),

@@ -178,6 +178,51 @@ object TextOps {
     least(lit(1.0), greatest(lit(0.0), raw))
   }
 
+  /** Intra-document repetition fractions — the Gopher-style repetition
+    * quality filters (Rae et al. 2021, appendix A1.1), re-expressed on
+    * word n-grams: documents dominated by one token or by repeated
+    * phrases are boilerplate/spam and get dropped before packing.
+    * Emits a struct of
+    *   - `top_token_frac`: occurrences of the most frequent token / all
+    *     tokens (found as the longest equal run of the SORTED copy — an
+    *     O(n log n) per-doc fold, no per-distinct-token rescan);
+    *   - `dup_2gram_frac` / `dup_3gram_frac`: fraction of word-n-gram
+    *     occurrences that are repeats of an earlier occurrence, via the
+    *     56-bit shingle hashes so `array_distinct` stays on primitive
+    *     longs (see [[shingleHashes]]).
+    * Map-only: one pass per document, no shuffle, no state. Native
+    * kernel ([[graft.functions.NativeExprs.RepetitionStatsExpr]]); the
+    * declarative twin ([[repetitionStatsHof]]) is what the oracle
+    * mirrors and the spec pins equal. */
+  def repetitionStats(t: Column): Column =
+    graft.functions.NativeExprs.repetitionStats(t)
+
+  /** The HOF twin of [[repetitionStats]]: top token as the longest equal
+    * run of the sorted copy (an O(n log n) fold), dup fractions via
+    * `array_distinct` on the 56-bit shingle hashes. ~4× the kernel's
+    * cost (interpreted HOF lambdas + the sort) — kept as the
+    * twin-contract witness, not the hot path. */
+  private[graft] def repetitionStatsHof(t: Column): Column = {
+    val n = size(t)
+    val best = aggregate(
+      array_sort(t),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc("prev"), acc("run") + lit(1L)).otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"), greatest(acc("best"), run).as("best"))
+      },
+      acc => acc("best"))
+    def dupFrac(ngr: Column): Column = {
+      val m = size(ngr)
+      when(m > 0, (m - size(array_distinct(ngr))).cast("double") / m)
+        .otherwise(lit(0.0))
+    }
+    struct(
+      when(n > 0, best.cast("double") / n).otherwise(lit(0.0)).as("top_token_frac"),
+      dupFrac(shingleHashes(shinglesFromTokens(t, 2))).as("dup_2gram_frac"),
+      dupFrac(shingleHashes(shinglesFromTokens(t, 3))).as("dup_3gram_frac"))
+  }
+
   /** Rolling-hash document fingerprint: md5 over every `window`-char
     * sliding window, keep the lexicographic minimum (winnowing-style
     * content fingerprint — robust to local edits, unlike whole-doc md5).

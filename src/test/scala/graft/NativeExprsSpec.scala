@@ -207,6 +207,15 @@ class NativeExprsSpec extends SparkSpec {
     assertSame(fused.getField("shh"), NativeExprs.shingleHashes(col("__sh")), withSh)
   }
 
+  test("repetitionStats == the sorted-run + array_distinct HOF twin") {
+    import graft.operators.TextOps
+    val withT = docsDf.withColumn("__t", hofTokens(col("text")))
+    assertSame(
+      NativeExprs.repetitionStats(col("__t")),
+      TextOps.repetitionStatsHof(col("__t")),
+      withT)
+  }
+
   test("tokenStats == (langVotes, stopword-filter count, length-sum) HOF twins") {
     import graft.operators.TextOps
     val withT = docsDf.withColumn("__t", hofTokens(col("text")))

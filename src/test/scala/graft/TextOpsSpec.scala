@@ -66,6 +66,33 @@ class TextOpsSpec extends SparkSpec {
     assert(a === b && a.length === 32)
   }
 
+  test("repetitionStats matches the brute-force multiset twin, incl. edge cases") {
+    import spark.implicits._
+    val texts = Seq(
+      "spam spam spam spam",                 // one token dominates, all 2-grams dup
+      "a b c d e f",                         // no repetition at all
+      "the cat sat on the mat the cat sat",  // partial phrase repeats
+      "x",                                   // single token: no n-grams
+      "a b a b a b a b")                     // alternating: heavy 2-gram dup
+    val got = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+      .withColumn("r", TextOps.repetitionStats(TextOps.tokens(col("text"))))
+      .select($"doc_id", $"r.top_token_frac", $"r.dup_2gram_frac", $"r.dup_3gram_frac")
+      .as[(Long, Double, Double, Double)].collect().sortBy(_._1)
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val tk = t.toLowerCase.trim.split("\\s+").toSeq
+      def grams(n: Int) = if (tk.size < n) Seq.empty
+        else tk.sliding(n).map(_.mkString(" ")).toSeq
+      def dupFrac(g: Seq[String]) =
+        if (g.isEmpty) 0.0 else (g.size - g.distinct.size).toDouble / g.size
+      val topFrac = tk.groupBy(identity).values.map(_.size).max.toDouble / tk.size
+      val (_, gTop, g2, g3) = got(i)
+      assert(math.abs(gTop - topFrac) < 1e-9, s"doc $i top: $gTop vs $topFrac")
+      assert(math.abs(g2 - dupFrac(grams(2))) < 1e-9, s"doc $i 2gram")
+      assert(math.abs(g3 - dupFrac(grams(3))) < 1e-9, s"doc $i 3gram")
+    }
+  }
+
   test("bm25: non-matching docs absent, rare+frequent terms outrank " +
     "common-only, scores positive") {
     import spark.implicits._
