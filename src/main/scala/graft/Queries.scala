@@ -306,6 +306,31 @@ object Queries {
     }),
 
     // O14 — metadata replace (vector immutable, storage.rs:52-54)
+    // O8/O12/O14 composed — batch MERGE with last-write-wins: deletes,
+    // conflicting upserts (last seq wins), delete-then-upsert (revives),
+    // upsert-then-delete (stays dead), and a fresh insert, in one batch
+    "merge_batch" -> ((s, dir) => {
+      import s.implicits._
+      val changes = Seq(
+        (0L, "delete", 1, None, None),
+        (1L, "delete", 1, None, None),
+        (5L, "upsert", 1, Some(Seq.fill(Dim)(0.5f)), Some(Map("label" -> "A"))),
+        (5L, "upsert", 2, Some(Seq.fill(Dim)(0.5f)), Some(Map("label" -> "B"))),
+        (6L, "upsert", 1, Some(Seq.fill(Dim)(0.6f)), Some(Map("label" -> "C"))),
+        (7L, "upsert", 1, Some(Seq.fill(Dim)(0.7f)), Some(Map("label" -> "D"))),
+        (7L, "delete", 2, None, None),
+        (8L, "delete", 1, None, None),
+        (8L, "upsert", 2, Some(Seq.fill(Dim)(0.8f)), Some(Map("label" -> "E"))),
+        (1000001L, "upsert", 1, Some(Seq.fill(Dim)(0.9f)), Some(Map("label" -> "N"))))
+        .toDF("id", "op", "seq", "embedding", "metadata")
+      Crud.merge(recs(s, dir), changes)
+        .where(col("id") < 12 || col("id") > 1000000L)
+        .select(col("id").as("vec_id"),
+          try_element_at(col("metadata"), lit("label")).as("label"),
+          size(col("embedding")).cast("long").as("dim"))
+        .orderBy("vec_id")
+    }),
+
     "update_metadata" -> ((s, dir) => {
       val r = recs(s, dir)
       val updates = r.where(col("id") < 10)
@@ -1050,6 +1075,19 @@ object Queries {
     "update_metadata" ->
       """SELECT vec_id, CASE WHEN vec_id < 10 THEN '99' ELSE CAST(label AS VARCHAR) END AS label
         |FROM embeddings WHERE vec_id < 20 ORDER BY vec_id""".stripMargin,
+
+    // expected end state spelled out: 0,1 deleted; 5,6,8 upserted (5 via
+    // last-write-wins over two seqs, 8 revived after a delete); 7 dead
+    // (delete after upsert); 1000001 fresh
+    "merge_batch" ->
+      """SELECT vec_id, label, dim FROM (
+        |  SELECT vec_id, CAST(label AS VARCHAR) AS label,
+        |    CAST(len(embedding) AS BIGINT) AS dim
+        |  FROM embeddings WHERE vec_id IN (2, 3, 4, 9, 10, 11)
+        |  UNION ALL SELECT * FROM (VALUES
+        |    (CAST(5 AS BIGINT), 'B', CAST(64 AS BIGINT)),
+        |    (6, 'C', 64), (8, 'E', 64), (1000001, 'N', 64)) v(vec_id, label, dim))
+        |ORDER BY vec_id""".stripMargin,
 
     "ivf_assignments" ->
       s"""WITH c AS (SELECT CAST(vec_id AS INTEGER) AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8),

@@ -61,6 +61,32 @@ object Crud {
       .drop("__new_metadata")
   }
 
+  /** Batch MERGE (upsert + delete): the reference's Insert/Update/Delete
+    * RPC stream (`src/cores/database.rs:227-304`, row-at-a-time under a
+    * write lock) applied as ONE batch between snapshots — the
+    * change-log-merge shape a 100 TB store actually runs. `changes`
+    * carries full rows plus `opCol` (`'upsert' | 'delete'`) and a
+    * monotone `seqCol`; the LAST change per id wins (`max_by`
+    * reduction — map-side-combinable, no window, no self-join).
+    *
+    * Plan: one shuffle of `changes` on id for the reduction, one
+    * anti-join of `records` against the touched-id set (AQE broadcasts
+    * it when the batch is small), then a narrow union. Nothing is
+    * proportional to |records| except the anti-join scan itself. */
+  def merge(records: DataFrame, changes: DataFrame,
+      opCol: String = "op", seqCol: String = "seq"): DataFrame = {
+    val dataCols = changes.columns.filter(c => c != opCol && c != seqCol).toSeq
+    val latest = changes
+      .groupBy(col("id"))
+      .agg(max_by(struct((dataCols.filter(_ != "id") :+ opCol).map(col): _*),
+        col(seqCol)).as("__w"))
+      .select((col("id") +: dataCols.filter(_ != "id").map(c => col(s"__w.$c")))
+        :+ col(s"__w.$opCol"): _*)
+    records
+      .join(changes.select(col("id")).distinct(), Seq("id"), "left_anti")
+      .unionByName(latest.where(col(opCol) =!= "delete").drop(opCol))
+  }
+
   /** Count (O16, reference `src/cores/storage.rs:78-80`). */
   def count(records: DataFrame): Long = records.count()
 }

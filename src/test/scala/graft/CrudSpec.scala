@@ -68,6 +68,36 @@ class CrudSpec extends SparkSpec {
     assert(Crud.getById(r, 99).count() === 0L) // NotFound ≡ empty frame
   }
 
+  test("merge: LWW within batch, delete/upsert orderings, fresh inserts, untouched rows") {
+    val base = mkRecords(6) // ids 0..5
+    val changes = Seq(
+      (0L, "delete", 1, Some(Seq(0f, 0f)), Some(Map("k" -> "x"))),
+      (1L, "upsert", 1, Some(Seq(9f, 9f)), Some(Map("k" -> "first"))),
+      (1L, "upsert", 2, Some(Seq(9f, 9f)), Some(Map("k" -> "last"))), // LWW
+      (2L, "upsert", 1, Some(Seq(8f, 8f)), Some(Map("k" -> "dead"))),
+      (2L, "delete", 2, None, None),                                  // dies
+      (3L, "delete", 1, None, None),
+      (3L, "upsert", 2, Some(Seq(7f, 7f)), Some(Map("k" -> "back"))), // revives
+      (100L, "upsert", 1, Some(Seq(1f, 1f)), Some(Map("k" -> "new"))))
+      .toDF("id", "op", "seq", "embedding", "metadata")
+    val out = Crud.merge(base, changes)
+      .select("id", "metadata").as[(Long, Map[String, String])]
+      .collect().sortBy(_._1).toSeq
+    assert(out === Seq(
+      1L -> Map("k" -> "last"), 3L -> Map("k" -> "back"),
+      4L -> Map("k" -> "v4"), 5L -> Map("k" -> "v5"),
+      100L -> Map("k" -> "new")))
+  }
+
+  test("merge plan: max_by reduction + anti-join — no window, no cartesian") {
+    val base = mkRecords(6)
+    val changes = Seq((1L, "upsert", 1, Some(Seq(9f, 9f)), Some(Map("k" -> "a"))))
+      .toDF("id", "op", "seq", "embedding", "metadata")
+    val plan = Crud.merge(base, changes).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window") && !plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"unexpected plan:\n$plan")
+  }
+
   test("snapshot write/read round-trips the record frame (database.rs:174-187)") {
     val dir = java.nio.file.Files.createTempDirectory(
       java.nio.file.Paths.get("/root/repo/target"), "snap").toString
