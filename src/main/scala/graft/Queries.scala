@@ -59,6 +59,37 @@ object Queries {
   private val simhashMasksSql =
     simhashLayout.map { case (_, w) => (1L << w) - 1 }.mkString("[", ",", "]")
 
+  /** Shared DuckDB CTE for the connected-component family: MinHash-LSH
+    * verified pairs → symmetric edge list → recursive min-label
+    * reachability (`reach(node, lab)`) — the oracle twin of
+    * [[Dedup.minhashLsh]] + [[Dedup.duplicateGroups]]. Each consumer
+    * (`dedup_groups` / `dedup_apply` / `dedup_best`) appends its own
+    * final SELECT (and extra CTEs after a comma). */
+  private val sqlCcCte: String =
+    """WITH RECURSIVE toks AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(len(tk) - 2, 0)),
+      |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
+      |  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tk FROM documents)),
+      |ne AS (SELECT doc_id, sh FROM toks WHERE len(sh) > 0),
+      |hh AS (SELECT doc_id, sh,
+      |  list_transform(sh, s -> list_reduce(list_transform(string_split_regex(substr(md5(s), 1, 14), ''),
+      |    c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a * 16 + b)) AS h1,
+      |  list_transform(sh, s -> list_reduce(list_transform(string_split_regex(substr(md5(s), 17, 14), ''),
+      |    c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a * 16 + b)) AS h2
+      |  FROM ne),
+      |sig AS (SELECT doc_id, h1, list_transform(generate_series(0, 15), i ->
+      |  list_min(list_transform(list_zip(h1, h2), p -> p[1] + i * p[2]))) AS sg FROM hh),
+      |bands AS (SELECT doc_id, h1, u.b AS band_idx,
+      |  md5(array_to_string(list_slice(sg, u.b * 4 + 1, u.b * 4 + 4), '|')) AS band_hash
+      |  FROM sig, (SELECT unnest([0, 1, 2, 3]) AS b) u),
+      |j AS (SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+      |  FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.h1, b.h1)) AS DOUBLE) / len(list_distinct(a.h1 || b.h1)) >= 0.5),
+      |e AS (SELECT doc_id_a AS a, doc_id_b AS b FROM j UNION SELECT doc_id_b, doc_id_a FROM j),
+      |reach(node, lab) AS (
+      |  SELECT DISTINCT a, a FROM e
+      |  UNION
+      |  SELECT e.b, r.lab FROM reach r JOIN e ON e.a = r.node)""".stripMargin
+
   // ---------- Spark-side helpers ----------
 
   private def emb(s: SparkSession, dir: String): DataFrame = Records.table(s, dir, "embeddings")
@@ -485,6 +516,14 @@ object Queries {
         .join(cappedGroups(s, dir).where(col("doc_id") =!= col("rep_id")),
           Seq("doc_id"), "left_anti")
         .select(col("doc_id")).orderBy("doc_id")),
+
+    // extension: quality-aware representative per duplicate group —
+    // longest copy wins, ties to lowest id (one max_by per group, no
+    // window over the corpus)
+    "dedup_best" -> ((s, dir) =>
+      Dedup.bestRepresentatives(cappedGroups(s, dir),
+          docs(s, dir).select(col("doc_id"), col("n_chars")), "n_chars")
+        .orderBy("rep_id")),
 
     // extension: SimHash(60-bit) near-dup pairs, hamming <= 8
     "dedup_simhash" -> ((s, dir) =>
@@ -1252,57 +1291,25 @@ object Queries {
          |SELECT doc_id_a, doc_id_b, ${sqlR4("jaccard")} AS jaccard FROM j WHERE jaccard >= 0.5 ORDER BY doc_id_a, doc_id_b""".stripMargin,
 
     "dedup_groups" ->
-      s"""WITH RECURSIVE toks AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(len(tk) - 2, 0)),
-         |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
-         |  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk FROM documents)),
-         |ne AS (SELECT doc_id, sh FROM toks WHERE len(sh) > 0),
-         |hh AS (SELECT doc_id, sh,
-         |  list_transform(sh, s -> list_reduce(list_transform(string_split_regex(substr(md5(s), 1, 14), ''),
-         |    c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a * 16 + b)) AS h1,
-         |  list_transform(sh, s -> list_reduce(list_transform(string_split_regex(substr(md5(s), 17, 14), ''),
-         |    c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a * 16 + b)) AS h2
-         |  FROM ne),
-         |sig AS (SELECT doc_id, h1, list_transform(generate_series(0, 15), i ->
-         |  list_min(list_transform(list_zip(h1, h2), p -> p[1] + i * p[2]))) AS sg FROM hh),
-         |bands AS (SELECT doc_id, h1, u.b AS band_idx,
-         |  md5(array_to_string(list_slice(sg, u.b * 4 + 1, u.b * 4 + 4), '|')) AS band_hash
-         |  FROM sig, (SELECT unnest([0, 1, 2, 3]) AS b) u),
-         |j AS (SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
-         |  FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
-         |  WHERE CAST(len(list_intersect(a.h1, b.h1)) AS DOUBLE) / len(list_distinct(a.h1 || b.h1)) >= 0.5),
-         |e AS (SELECT doc_id_a AS a, doc_id_b AS b FROM j UNION SELECT doc_id_b, doc_id_a FROM j),
-         |reach(node, lab) AS (
-         |  SELECT DISTINCT a, a FROM e
-         |  UNION
-         |  SELECT e.b, r.lab FROM reach r JOIN e ON e.a = r.node)
+      s"""$sqlCcCte
          |SELECT node AS doc_id, min(lab) AS rep_id FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
 
     "dedup_apply" ->
-      s"""WITH RECURSIVE toks AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(len(tk) - 2, 0)),
-         |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
-         |  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk FROM documents)),
-         |ne AS (SELECT doc_id, sh FROM toks WHERE len(sh) > 0),
-         |hh AS (SELECT doc_id, sh,
-         |  list_transform(sh, s -> list_reduce(list_transform(string_split_regex(substr(md5(s), 1, 14), ''),
-         |    c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a * 16 + b)) AS h1,
-         |  list_transform(sh, s -> list_reduce(list_transform(string_split_regex(substr(md5(s), 17, 14), ''),
-         |    c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a * 16 + b)) AS h2
-         |  FROM ne),
-         |sig AS (SELECT doc_id, h1, list_transform(generate_series(0, 15), i ->
-         |  list_min(list_transform(list_zip(h1, h2), p -> p[1] + i * p[2]))) AS sg FROM hh),
-         |bands AS (SELECT doc_id, h1, u.b AS band_idx,
-         |  md5(array_to_string(list_slice(sg, u.b * 4 + 1, u.b * 4 + 4), '|')) AS band_hash
-         |  FROM sig, (SELECT unnest([0, 1, 2, 3]) AS b) u),
-         |j AS (SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
-         |  FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
-         |  WHERE CAST(len(list_intersect(a.h1, b.h1)) AS DOUBLE) / len(list_distinct(a.h1 || b.h1)) >= 0.5),
-         |e AS (SELECT doc_id_a AS a, doc_id_b AS b FROM j UNION SELECT doc_id_b, doc_id_a FROM j),
-         |reach(node, lab) AS (
-         |  SELECT DISTINCT a, a FROM e
-         |  UNION
-         |  SELECT e.b, r.lab FROM reach r JOIN e ON e.a = r.node),
+      s"""$sqlCcCte,
          |drops AS (SELECT node FROM (SELECT node, min(lab) AS rep FROM reach GROUP BY node) WHERE node <> rep)
          |SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT node FROM drops) ORDER BY doc_id""".stripMargin,
+
+    // same group map, best-copy representative: longest text wins the
+    // group, ties to the lowest id (the operator's max_by ordering)
+    "dedup_best" ->
+      s"""$sqlCcCte,
+         |g AS (SELECT node AS doc_id, min(lab) AS rep_id FROM reach GROUP BY node)
+         |SELECT rep_id, doc_id AS keep_id, n_docs FROM (
+         |  SELECT g.rep_id, g.doc_id,
+         |    count(*) OVER (PARTITION BY g.rep_id) AS n_docs,
+         |    row_number() OVER (PARTITION BY g.rep_id ORDER BY d.n_chars DESC, g.doc_id ASC) AS rn
+         |  FROM g JOIN documents d ON g.doc_id = d.doc_id)
+         |WHERE rn = 1 ORDER BY rep_id""".stripMargin,
 
     "ivf_quantized_query" ->
       s"""WITH c AS (SELECT CAST(vec_id AS INTEGER) AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8),

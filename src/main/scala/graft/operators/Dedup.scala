@@ -375,4 +375,23 @@ object Dedup {
     }
     labels.select(col("node").as("doc_id"), col("lab").as("rep_id"))
   }
+
+  /** Quality-aware representative selection: for each duplicate group of
+    * `groups` (a [[duplicateGroups]] keep/drop map), pick the member
+    * with the highest `scoreCol` from `scored` (`doc_id`, score) —
+    * ties to the LOWEST doc id. "Keep the most complete copy" instead
+    * of min-id: near-dup groups usually contain truncated variants, and
+    * the min-id rep is arbitrary about which survives.
+    *
+    * One equi-join (group map is the duplicate subset — small) and one
+    * `max_by` reduction per group: map-side-combinable, no window over
+    * the corpus. Emits (`rep_id`, `keep_id`, `n_docs`). */
+  def bestRepresentatives(
+      groups: DataFrame, scored: DataFrame, scoreCol: String): DataFrame =
+    groups
+      .join(scored, Seq("doc_id"))
+      .groupBy(col("rep_id"))
+      .agg(
+        max_by(col("doc_id"), struct(col(scoreCol), -col("doc_id"))).as("keep_id"),
+        count(lit(1)).as("n_docs"))
 }

@@ -144,6 +144,18 @@ class DedupSpec extends SparkSpec {
     assert(groups === Map(5L -> 5L, 7L -> 5L))
   }
 
+  test("bestRepresentatives: max score wins the group, ties to the lowest id") {
+    val groups = Seq(
+      (10L, 10L), (11L, 10L), (12L, 10L), // group 10: scores 5, 9, 9 → 11 (tie 11<12)
+      (20L, 20L), (21L, 20L))             // group 20: 21 outscores the min-id rep
+      .toDF("doc_id", "rep_id")
+    val scored = Seq((10L, 5L), (11L, 9L), (12L, 9L), (20L, 1L), (21L, 2L))
+      .toDF("doc_id", "score")
+    val got = Dedup.bestRepresentatives(groups, scored, "score")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got === Seq((10L, 11L, 3L), (20L, 21L, 2L)))
+  }
+
   test("simhash band layout covers all 60 bits with ±1-width contiguous bands") {
     for (bands <- Seq(1, 4, 9, 13, 60)) {
       val layout = Dedup.simhashBandLayout(bands)
