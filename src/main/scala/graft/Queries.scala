@@ -211,6 +211,30 @@ object Queries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // O1,O2,O21 — exact top-k, squared L2 (reference metric.rs:29)
+    // extension: per-group embedding centroids (cluster profiling) via
+    // VectorMeanAgg — one (count, Σ) buffer per label, map-side
+    // combinable; verified through deterministic derived properties
+    // (member count, the member nearest to the centroid, the centroid's
+    // own norm) since a float mean's raw bits are summation-order-
+    // dependent across engines
+    "label_centroids" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val cents = e.groupBy(col("label"))
+        .agg(graft.functions.VectorMeanAgg.vectorMean(col("embedding")).as("cvec"),
+          count(lit(1)).as("n"))
+      val nearest = e.join(cents.select(col("label"), col("cvec")), Seq("label"))
+        .withColumn("__d",
+          graft.functions.NativeExprs.sqEuclidean(col("embedding"), col("cvec")))
+        .groupBy(col("label"))
+        .agg(min_by(col("vec_id"), struct(col("__d"), col("vec_id")))
+          .as("nearest_vec_id"))
+      cents.join(nearest, Seq("label"))
+        .select(col("label"), col("n"), col("nearest_vec_id"),
+          r4(sqrt(graft.functions.NativeExprs.dot(col("cvec"), col("cvec"))))
+            .as("centroid_norm"))
+        .orderBy("label")
+    }),
+
     "knn_euclidean" -> ((s, dir) =>
       knnOut(Knn.search(recs(s, dir), qvec0(s, dir), 10, Metric.Euclidean))),
 
@@ -1301,6 +1325,24 @@ object Queries {
 
     // same group map, best-copy representative: longest text wins the
     // group, ties to the lowest id (the operator's max_by ordering)
+    // centroid mirrored to Spark's float cast (CAST(avg AS REAL)) so
+    // distances/norms are computed from identical floats in both engines
+    "label_centroids" ->
+      s"""WITH d AS (SELECT label, vec_id, u.i AS i, CAST(embedding[u.i] AS DOUBLE) AS x
+         |  FROM embeddings, (SELECT unnest(generate_series(1, $Dim)) AS i) u),
+         |c AS (SELECT label, list(CAST(ax AS REAL) ORDER BY i) AS cvec FROM (
+         |    SELECT label, i, avg(x) AS ax FROM d GROUP BY label, i) GROUP BY label),
+         |nrm AS (SELECT label, count(*) AS n FROM embeddings GROUP BY label),
+         |near AS (SELECT label, vec_id AS nearest_vec_id FROM (
+         |  SELECT e.label, e.vec_id,
+         |    row_number() OVER (PARTITION BY e.label
+         |      ORDER BY ${sqlSq("e.embedding", "c.cvec")} ASC, e.vec_id ASC) AS rn
+         |  FROM embeddings e JOIN c ON e.label = c.label) WHERE rn = 1)
+         |SELECT nrm.label, nrm.n, near.nearest_vec_id,
+         |  ${sqlR4("sqrt(" + sqlDot("c.cvec", "c.cvec") + ")")} AS centroid_norm
+         |FROM nrm JOIN near ON nrm.label = near.label JOIN c ON nrm.label = c.label
+         |ORDER BY nrm.label""".stripMargin,
+
     "dedup_best" ->
       s"""$sqlCcCte,
          |g AS (SELECT node AS doc_id, min(lab) AS rep_id FROM reach GROUP BY node)
