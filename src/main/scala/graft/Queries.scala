@@ -1028,6 +1028,23 @@ object Queries {
           col("event_type"), col("n"), col("value_sum"))
         .orderBy("hour", "event_type")),
 
+    // extension: top-N per group without a ranking window — per-user
+    // totals (map-side combinable), then the bounded heap (TopKPairsAgg,
+    // O(k) memory per group) on negated totals; the corpus-scale
+    // "top earners per segment" shape
+    "events_top_users" -> ((s, dir) => {
+      import graft.functions.TopKPairsAgg.topKPairs
+      events(s, dir)
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(sum(col("value")).as("__total"))
+        .groupBy(col("event_type"))
+        .agg(topKPairs(-col("__total"), col("user_id"), 3).as("__top"))
+        .select(col("event_type"), posexplode(col("__top")).as(Seq("rank", "p")))
+        .select(col("event_type"), (col("rank") + 1).cast("long").as("rank"),
+          col("p.id").as("user_id"), r4(-col("p.distance")).as("total_value"))
+        .orderBy("event_type", "rank")
+    }),
+
     // extension: point-in-time ("as-of") join — each purchase attached to
     // the same user's most recent prior-or-simultaneous click, the
     // leakage-free feature-attachment join. Plan: zero joins — one
@@ -1865,6 +1882,16 @@ object Queries {
       s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
         |  count(*) AS n, ${sqlR4("sum(value)")} AS value_sum
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+
+    "events_top_users" ->
+      s"""WITH per AS (SELECT event_type, user_id, sum(value) AS total
+         |  FROM events GROUP BY 1, 2),
+         |r AS (SELECT event_type, user_id, total,
+         |  row_number() OVER (PARTITION BY event_type
+         |    ORDER BY total DESC, user_id ASC) AS rank FROM per)
+         |SELECT event_type, CAST(rank AS BIGINT) AS rank, user_id,
+         |  ${sqlR4("total")} AS total_value
+         |FROM r WHERE rank <= 3 ORDER BY event_type, rank""".stripMargin,
 
     // ties on click ts resolved to the greatest click_id (the operator's
     // deterministic tieBreak); <= is the inclusive as-of bound
