@@ -65,8 +65,8 @@ object Queries {
     * [[Dedup.minhashLsh]] + [[Dedup.duplicateGroups]]. Each consumer
     * (`dedup_groups` / `dedup_apply` / `dedup_best`) appends its own
     * final SELECT (and extra CTEs after a comma). */
-  private val sqlCcCte: String =
-    """WITH RECURSIVE toks AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(len(tk) - 2, 0)),
+  private val sqlCcCteBody: String =
+    """toks AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(len(tk) - 2, 0)),
       |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
       |  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tk FROM documents)),
       |ne AS (SELECT doc_id, sh FROM toks WHERE len(sh) > 0),
@@ -89,6 +89,58 @@ object Queries {
       |  SELECT DISTINCT a, a FROM e
       |  UNION
       |  SELECT e.b, r.lab FROM reach r JOIN e ON e.a = r.node)""".stripMargin
+
+  private val sqlCcCte: String = "WITH RECURSIVE " + sqlCcCteBody
+
+  /** Corpus-assembly oracle, front half (mirror of [[assembleFiltered]]):
+    * exact-dedup keep set, tokenization, language vote, quality score,
+    * and the `kept` gate. Shared by `corpus_assemble` and
+    * `corpus_assemble_dedup` (which splices the CC drop set after it). */
+  private val sqlAssembleKeptCtes: String =
+    s"""keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY sha256(text)),
+       |t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk FROM documents),
+       |lang AS (SELECT doc_id, CASE WHEN greatest(e, sp, f, d, z) = 0 THEN 'und'
+       |    WHEN e >= sp AND e >= f AND e >= d AND e >= z THEN 'en'
+       |    WHEN sp >= f AND sp >= d AND sp >= z THEN 'es'
+       |    WHEN f >= d AND f >= z THEN 'fr'
+       |    WHEN d >= z THEN 'de' ELSE 'zh' END AS lang_pred
+       |  FROM (SELECT doc_id,
+       |    len(list_filter(tk, x -> list_contains(['the','a','of','to','and','is','in','it'], x))) AS e,
+       |    len(list_filter(tk, x -> list_contains(['el','la','de','que','y','en','un','es'], x))) AS sp,
+       |    len(list_filter(tk, x -> list_contains(['le','la','de','et','un','que','les','des'], x))) AS f,
+       |    len(list_filter(tk, x -> list_contains(['der','die','das','und','ist','ein','zu','den'], x))) AS d,
+       |    len(list_filter(tk, x -> list_contains(['de','shi','bu','le','zai','ren','you','wo'], x))) AS z
+       |    FROM t)),
+       |qb AS (SELECT doc_id, tk, CAST(length(text) AS DOUBLE) AS nc,
+       |    CAST(length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) AS DOUBLE) AS punct
+       |  FROM documents JOIN t USING (doc_id)),
+       |q AS (SELECT doc_id,
+       |  least(1.0, greatest(0.0, 0.2
+       |    + 0.5 * (CASE WHEN len(tk) > 0 THEN CAST(len(list_filter(tk, x -> list_contains($stopAllSql, x))) AS DOUBLE) / len(tk) ELSE 0.0 END)
+       |    + 0.05 * (CASE WHEN len(tk) > 0 THEN list_sum(list_transform(tk, x -> CAST(length(x) AS DOUBLE))) / len(tk) ELSE 0.0 END)
+       |    - (CASE WHEN nc > 0 THEN punct / nc ELSE 0.0 END))) AS quality
+       |  FROM qb),
+       |kept AS (SELECT k.doc_id FROM keep k
+       |  JOIN lang l ON l.doc_id = k.doc_id
+       |  JOIN q ON q.doc_id = k.doc_id
+       |  WHERE l.lang_pred = 'en' AND q.quality >= 0.45)""".stripMargin
+
+  /** Corpus-assembly oracle, back half (mirror of [[assemblePacked]]),
+    * parameterized by the keep-set CTE it packs. */
+  private def sqlAssembleTail(kept: String): String =
+    s"""m AS (SELECT d.doc_id,
+       |    list_reduce(list_transform(string_split_regex(substr(md5(d.text), 1, 8), ''),
+       |      c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a * 16 + b) % 100 AS b,
+       |    CAST(len(regexp_split_to_array(lower(trim(d.text)), '\\s+')) AS BIGINT) AS n_tokens
+       |  FROM documents d JOIN $kept USING (doc_id)),
+       |s AS (SELECT doc_id, CASE WHEN b < 90 THEN 'train' ELSE 'val' END AS split,
+       |    doc_id % 4 AS shard, n_tokens FROM m),
+       |c AS (SELECT doc_id, split, shard,
+       |    CAST(sum(n_tokens) OVER (PARTITION BY split, shard ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - n_tokens AS strt
+       |  FROM s)
+       |SELECT doc_id, split, shard, strt // 512 AS pack_id, strt % 512 AS tok_offset
+       |FROM c ORDER BY doc_id""".stripMargin
 
   // ---------- Spark-side helpers ----------
 
@@ -183,6 +235,41 @@ object Queries {
     * artifact — results are identical (deterministic pipeline). */
   private val dedupGroupsCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  /** The corpus-assembly front half: one tokenize pass computing hash /
+    * split bucket / token count / language / quality, exact dedup
+    * collapsed into the groupBy, then the lang+quality gate. Shared by
+    * `corpus_assemble` and `corpus_assemble_dedup`. */
+  private def assembleFiltered(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).repartition(col("doc_id"))
+      .withColumn("__toks", TextOps.tokens(col("text")))
+      .withColumn("__stats", TextOps.tokenStats(col("__toks")))
+      .select(col("doc_id"), sha2(col("text"), 256).as("__h"),
+        pmod(graft.operators.Corpus.contentHash32(col("text")), lit(100L)).as("__b"),
+        size(col("__toks")).cast("long").as("n_tokens"),
+        TextOps.langFromVotes(col("__stats.votes")).as("__lang"),
+        TextOps.qualityFromStats(col("text"), col("__toks"), col("__stats")).as("__q"))
+      .groupBy(col("__h"))
+      .agg(min(col("doc_id")).as("doc_id"), min(col("__b")).as("__b"),
+        min(col("n_tokens")).as("n_tokens"),
+        min(col("__lang")).as("__lang"), min(col("__q")).as("__q"))
+      .where(col("__lang") === "en" && col("__q") >= 0.45)
+
+  /** The corpus-assembly back half: deterministic split, shard-parallel
+    * running-total packing windows, final (pack_id, tok_offset) layout. */
+  private def assemblePacked(base: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("split"), col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    base
+      .withColumn("split", when(col("__b") < 90, lit("train")).otherwise(lit("val")))
+      .withColumn("shard", pmod(col("doc_id"), lit(4L)))
+      .withColumn("__start", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .select(col("doc_id"), col("split"), col("shard"),
+        expr("__start div 512").as("pack_id"), (col("__start") % 512).as("tok_offset"))
+      .orderBy("doc_id")
+  }
+
   private def cappedGroups(s: SparkSession, dir: String): DataFrame = {
     dedupGroupsCache.keySet.removeIf(_._1.sparkContext.isStopped)
     dedupGroupsCache.computeIfAbsent((s, dir), _ =>
@@ -861,31 +948,19 @@ object Queries {
     // running sum. Two pipeline shuffles (dedup groupBy + packing
     // window) for five logical stages; the only other exchanges are the
     // input CPU-spread and the output sort.
-    "corpus_assemble" -> ((s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("split"), col("shard")).orderBy(col("doc_id"))
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-          org.apache.spark.sql.expressions.Window.currentRow)
-      docs(s, dir).repartition(col("doc_id"))
-        .withColumn("__toks", TextOps.tokens(col("text")))
-        .withColumn("__stats", TextOps.tokenStats(col("__toks")))
-        .select(col("doc_id"), sha2(col("text"), 256).as("__h"),
-          pmod(graft.operators.Corpus.contentHash32(col("text")), lit(100L)).as("__b"),
-          size(col("__toks")).cast("long").as("n_tokens"),
-          TextOps.langFromVotes(col("__stats.votes")).as("__lang"),
-          TextOps.qualityFromStats(col("text"), col("__toks"), col("__stats")).as("__q"))
-        .groupBy(col("__h"))
-        .agg(min(col("doc_id")).as("doc_id"), min(col("__b")).as("__b"),
-          min(col("n_tokens")).as("n_tokens"),
-          min(col("__lang")).as("__lang"), min(col("__q")).as("__q"))
-        .where(col("__lang") === "en" && col("__q") >= 0.45)
-        .withColumn("split", when(col("__b") < 90, lit("train")).otherwise(lit("val")))
-        .withColumn("shard", pmod(col("doc_id"), lit(4L)))
-        .withColumn("__start", sum(col("n_tokens")).over(w) - col("n_tokens"))
-        .select(col("doc_id"), col("split"), col("shard"),
-          expr("__start div 512").as("pack_id"), (col("__start") % 512).as("tok_offset"))
-        .orderBy("doc_id")
-    }),
+    "corpus_assemble" -> ((s, dir) =>
+      assemblePacked(assembleFiltered(s, dir))),
+
+    // extension: the FULL ingestion pipeline in one DAG — quality/lang
+    // filters + exact dedup (assembleFiltered) + NEAR-dup drop (the CC
+    // keep map, non-representatives anti-joined out) + deterministic
+    // split + sequence packing. What a training-data job actually runs
+    "corpus_assemble_dedup" -> ((s, dir) =>
+      assemblePacked(
+        assembleFiltered(s, dir).join(
+          cappedGroups(s, dir).where(col("doc_id") =!= col("rep_id"))
+            .select(col("doc_id")),
+          Seq("doc_id"), "left_anti"))),
 
     // extension: deterministic content-keyed train/val/test split —
     // map-only, stable under corpus changes (no cross-split migration on
@@ -1688,46 +1763,16 @@ object Queries {
          |WHERE l.lang_pred = 'en' AND q.quality >= 0.45 ORDER BY doc_id""".stripMargin,
 
     "corpus_assemble" ->
-      s"""WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY sha256(text)),
-         |t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk FROM documents),
-         |lang AS (SELECT doc_id, CASE WHEN greatest(e, sp, f, d, z) = 0 THEN 'und'
-         |    WHEN e >= sp AND e >= f AND e >= d AND e >= z THEN 'en'
-         |    WHEN sp >= f AND sp >= d AND sp >= z THEN 'es'
-         |    WHEN f >= d AND f >= z THEN 'fr'
-         |    WHEN d >= z THEN 'de' ELSE 'zh' END AS lang_pred
-         |  FROM (SELECT doc_id,
-         |    len(list_filter(tk, x -> list_contains(['the','a','of','to','and','is','in','it'], x))) AS e,
-         |    len(list_filter(tk, x -> list_contains(['el','la','de','que','y','en','un','es'], x))) AS sp,
-         |    len(list_filter(tk, x -> list_contains(['le','la','de','et','un','que','les','des'], x))) AS f,
-         |    len(list_filter(tk, x -> list_contains(['der','die','das','und','ist','ein','zu','den'], x))) AS d,
-         |    len(list_filter(tk, x -> list_contains(['de','shi','bu','le','zai','ren','you','wo'], x))) AS z
-         |    FROM t)),
-         |qb AS (SELECT doc_id, tk, CAST(length(text) AS DOUBLE) AS nc,
-         |    CAST(length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) AS DOUBLE) AS punct
-         |  FROM documents JOIN t USING (doc_id)),
-         |q AS (SELECT doc_id,
-         |  least(1.0, greatest(0.0, 0.2
-         |    + 0.5 * (CASE WHEN len(tk) > 0 THEN CAST(len(list_filter(tk, x -> list_contains($stopAllSql, x))) AS DOUBLE) / len(tk) ELSE 0.0 END)
-         |    + 0.05 * (CASE WHEN len(tk) > 0 THEN list_sum(list_transform(tk, x -> CAST(length(x) AS DOUBLE))) / len(tk) ELSE 0.0 END)
-         |    - (CASE WHEN nc > 0 THEN punct / nc ELSE 0.0 END))) AS quality
-         |  FROM qb),
-         |kept AS (SELECT k.doc_id FROM keep k
-         |  JOIN lang l ON l.doc_id = k.doc_id
-         |  JOIN q ON q.doc_id = k.doc_id
-         |  WHERE l.lang_pred = 'en' AND q.quality >= 0.45),
-         |m AS (SELECT d.doc_id,
-         |    list_reduce(list_transform(string_split_regex(substr(md5(d.text), 1, 8), ''),
-         |      c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a * 16 + b) % 100 AS b,
-         |    CAST(len(regexp_split_to_array(lower(trim(d.text)), '\\s+')) AS BIGINT) AS n_tokens
-         |  FROM documents d JOIN kept USING (doc_id)),
-         |s AS (SELECT doc_id, CASE WHEN b < 90 THEN 'train' ELSE 'val' END AS split,
-         |    doc_id % 4 AS shard, n_tokens FROM m),
-         |c AS (SELECT doc_id, split, shard,
-         |    CAST(sum(n_tokens) OVER (PARTITION BY split, shard ORDER BY doc_id
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - n_tokens AS strt
-         |  FROM s)
-         |SELECT doc_id, split, shard, strt // 512 AS pack_id, strt % 512 AS tok_offset
-         |FROM c ORDER BY doc_id""".stripMargin,
+      s"WITH $sqlAssembleKeptCtes,\n${sqlAssembleTail("kept")}",
+
+    // the assemble chain with the near-dup CC drop set spliced between
+    // the filter gate (kept) and the split/pack tail
+    "corpus_assemble_dedup" ->
+      s"""WITH RECURSIVE $sqlCcCteBody,
+         |$sqlAssembleKeptCtes,
+         |drops AS (SELECT node FROM (SELECT node, min(lab) AS rep FROM reach GROUP BY node) WHERE node <> rep),
+         |kept2 AS (SELECT doc_id FROM kept WHERE doc_id NOT IN (SELECT node FROM drops)),
+         |${sqlAssembleTail("kept2")}""".stripMargin,
 
     "corpus_split" ->
       """WITH h AS (SELECT doc_id, list_reduce(list_transform(string_split_regex(substr(md5(text), 1, 8), ''),
