@@ -1103,6 +1103,33 @@ object Queries {
           col("event_type"), col("n"), col("value_sum"))
         .orderBy("hour", "event_type")),
 
+    // extension: ordered funnel (view → click → purchase): stage k's
+    // timestamp is the EARLIEST event of that type at-or-after stage
+    // k−1. Three per-user min-reductions chained by equi-joins (each
+    // map-side combinable, per-user state O(1)) — not a per-user
+    // collect_list, which a whale user would blow up at 100 TB
+    "events_funnel" -> ((s, dir) => {
+      val ev = events(s, dir)
+      def stage(typ: String, after: DataFrame, afterCol: String): DataFrame =
+        ev.where(col("event_type") === typ)
+          .join(after, Seq("user_id"))
+          .where(col("ts") >= col(afterCol))
+          .groupBy(col("user_id")).agg(min(col("ts")).as(s"${typ}_ts"))
+      val v = ev.where(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("view_ts"))
+      val c = stage("click", v, "view_ts")
+      val p = stage("purchase", c, "click_ts")
+      v.join(c, Seq("user_id"), "left_outer")
+        .join(p, Seq("user_id"), "left_outer")
+        .select(col("user_id"),
+          date_format(col("view_ts"), "yyyy-MM-dd HH:mm:ss").as("view_ts"),
+          date_format(col("click_ts"), "yyyy-MM-dd HH:mm:ss").as("click_ts"),
+          date_format(col("purchase_ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
+          (lit(1) + when(col("click_ts").isNotNull, 1).otherwise(0)
+            + when(col("purchase_ts").isNotNull, 1).otherwise(0)).as("stage"))
+        .orderBy("user_id")
+    }),
+
     // extension: top-N per group without a ranking window — per-user
     // totals (map-side combinable), then the bounded heap (TopKPairsAgg,
     // O(k) memory per group) on negated totals; the corpus-scale
@@ -1927,6 +1954,25 @@ object Queries {
       s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
         |  count(*) AS n, ${sqlR4("sum(value)")} AS value_sum
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+
+    "events_funnel" ->
+      s"""WITH v AS (SELECT user_id, min(ts) AS view_ts FROM events
+         |  WHERE event_type = 'view' GROUP BY user_id),
+         |c AS (SELECT e.user_id, min(e.ts) AS click_ts FROM events e
+         |  JOIN v ON e.user_id = v.user_id
+         |  WHERE e.event_type = 'click' AND e.ts >= v.view_ts GROUP BY e.user_id),
+         |p AS (SELECT e.user_id, min(e.ts) AS purchase_ts FROM events e
+         |  JOIN c ON e.user_id = c.user_id
+         |  WHERE e.event_type = 'purchase' AND e.ts >= c.click_ts GROUP BY e.user_id)
+         |SELECT v.user_id,
+         |  strftime(v.view_ts, '%Y-%m-%d %H:%M:%S') AS view_ts,
+         |  strftime(c.click_ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+         |  strftime(p.purchase_ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+         |  1 + CASE WHEN c.user_id IS NULL THEN 0 ELSE 1 END
+         |    + CASE WHEN p.user_id IS NULL THEN 0 ELSE 1 END AS stage
+         |FROM v LEFT JOIN c ON v.user_id = c.user_id
+         |LEFT JOIN p ON v.user_id = p.user_id
+         |ORDER BY v.user_id""".stripMargin,
 
     "events_top_users" ->
       s"""WITH per AS (SELECT event_type, user_id, sum(value) AS total
