@@ -779,6 +779,23 @@ object Queries {
           r4(col("__rep.dup_3gram_frac")).as("dup_3gram_frac"))
         .orderBy("doc_id")),
 
+    // extension: PII scrubbing over synthetically-dirtied docs (the
+    // corpus itself is PII-free, so each doc gets a deterministic
+    // email/phone/IP suffix derived from its id, then the scrub must
+    // remove every one of them). Output is the full scrubbed text —
+    // the strongest possible equality
+    "corpus_scrub" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), concat(
+          substring(col("text"), 1, 40),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@mail.example.com or +1 (415) 555-01"),
+          lpad(pmod(col("doc_id"), lit(100L)).cast("string"), 2, "0"),
+          lit(" at 10.0."), pmod(col("doc_id"), lit(256L)).cast("string"),
+          lit(".7 end")).as("dirty"))
+        .select(col("doc_id"), TextOps.scrubPii(col("dirty")).as("clean"))
+        .orderBy("doc_id")),
+
     "text_stats" -> ((s, dir) =>
       docs(s, dir)
         .repartition(col("doc_id"))
@@ -1637,6 +1654,18 @@ object Queries {
          |  WHEN f >= d AND f >= z THEN 'fr'
          |  WHEN d >= z THEN 'de' ELSE 'zh' END AS lang_pred
          |FROM s ORDER BY doc_id""".stripMargin,
+
+    "corpus_scrub" ->
+      s"""WITH dirty AS (SELECT doc_id,
+         |  substr(text, 1, 40) || ' contact user' || CAST(doc_id AS VARCHAR)
+         |    || '@mail.example.com or +1 (415) 555-01' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+         |    || ' at 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7 end' AS d
+         |  FROM documents)
+         |SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(d,
+         |  '${TextOps.EmailRe}', '<EMAIL>', 'g'),
+         |  '${TextOps.PhoneRe}', '<PHONE>', 'g'),
+         |  '${TextOps.Ipv4Re}', '<IP>', 'g') AS clean
+         |FROM dirty ORDER BY doc_id""".stripMargin,
 
     // n-gram dup fractions mirror the multiset shingle construction of
     // the dedup oracles; top token via the grouped counts (the oracle

@@ -178,6 +178,27 @@ object TextOps {
     least(lit(1.0), greatest(lit(0.0), raw))
   }
 
+  /** PII-scrub regexes. Deliberately conservative syntax — character
+    * classes, bounded/unbounded repetition, `\b`, literal dots — whose
+    * semantics are identical in Java regex (Spark) and RE2 (the oracle's
+    * DuckDB), so the scrub is engine-portable. Greedy matching in both. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+  val PhoneRe = "\\+?[0-9][0-9 ()-]{6,}[0-9]"
+
+  /** PII scrubbing: emails, phone-shaped digit runs, and IPv4 literals
+    * replaced with typed placeholders — the standard C4/Dolma-style
+    * sanitization pass before packing. Map-only, codegen'd
+    * `regexp_replace` chain (email first so its digits never feed the
+    * phone pattern; placeholders contain no digits, so later passes
+    * cannot re-match earlier replacements). */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, lit(EmailRe), lit("<EMAIL>")),
+        lit(PhoneRe), lit("<PHONE>")),
+      lit(Ipv4Re), lit("<IP>"))
+
   /** Intra-document repetition fractions — the Gopher-style repetition
     * quality filters (Rae et al. 2021, appendix A1.1), re-expressed on
     * word n-grams: documents dominated by one token or by repeated

@@ -66,6 +66,15 @@ class TextOpsSpec extends SparkSpec {
     assert(a === b && a.length === 32)
   }
 
+  test("scrubPii replaces emails, phones, IPv4s; leaves clean text alone") {
+    val got = one[String](
+      "write a.b+c@ex-mail.org or call +44 (0) 7700-900123, host 192.168.0.1 ok",
+      TextOps.scrubPii(col("text")))
+    assert(got === "write <EMAIL> or call <PHONE>, host <IP> ok")
+    val clean = "no pii here just words and the number 42"
+    assert(one[String](clean, TextOps.scrubPii(col("text"))) === clean)
+  }
+
   test("repetitionStats matches the brute-force multiset twin, incl. edge cases") {
     import spark.implicits._
     val texts = Seq(
