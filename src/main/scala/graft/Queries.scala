@@ -1120,6 +1120,28 @@ object Queries {
           col("event_type"), col("n"), col("value_sum"))
         .orderBy("hour", "event_type")),
 
+    // extension: the sketch path — HyperLogLog distinct + quantile
+    // sketch, the mergeable O(1)-state operators the exact twins
+    // (events_user_activity, events_quantiles) swap to at 100 TB.
+    // Invariant oracle: the sketch must land within its contract
+    // (±5% of exact distinct; approx-median inside the exact
+    // [p49, p51] band), asserted Spark-side as booleans
+    "events_sketch_check" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val exact = ev.groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("__ed"),
+          expr("percentile(value, array(0.49D, 0.51D))").as("__band"))
+      val approx = ev.groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id"), 0.02).as("__ad"),
+          percentile_approx(col("value"), lit(0.5), lit(5000)).as("__ap"))
+      exact.join(approx, Seq("event_type"))
+        .select(col("event_type"),
+          (abs(col("__ad") - col("__ed")) <= col("__ed") * 0.05).as("hll_ok"),
+          (col("__ap") >= col("__band")(0) && col("__ap") <= col("__band")(1))
+            .as("quantile_ok"))
+        .orderBy("event_type")
+    }),
+
     // extension: ordered funnel (view → click → purchase): stage k's
     // timestamp is the EARLIEST event of that type at-or-after stage
     // k−1. Three per-user min-reductions chained by equi-joins (each
@@ -1983,6 +2005,12 @@ object Queries {
       s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
         |  count(*) AS n, ${sqlR4("sum(value)")} AS value_sum
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+
+    // invariant-style oracle (same family as ivf_build_stats): the
+    // booleans are the sketch error contracts, computed Spark-side
+    "events_sketch_check" ->
+      """SELECT DISTINCT event_type, true AS hll_ok, true AS quantile_ok
+        |FROM events ORDER BY event_type""".stripMargin,
 
     "events_funnel" ->
       s"""WITH v AS (SELECT user_id, min(ts) AS view_ts FROM events
