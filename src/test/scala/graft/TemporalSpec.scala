@@ -90,6 +90,30 @@ class TemporalSpec extends SparkSpec {
     }
   }
 
+  test("rangeJoinBinned honors a nonzero offset (look-back band excludes the recent edge)") {
+    val rnd = new scala.util.Random(13)
+    val l = (0 until 150).map(i =>
+      (i.toLong, rnd.nextInt(3).toLong,
+        new java.sql.Timestamp(1704100000000L + rnd.nextInt(7200) * 1000L)))
+      .toDF("event_id", "user_id", "ts")
+    val r = (0 until 300).map(_ =>
+      (rnd.nextInt(3).toLong,
+        new java.sql.Timestamp(1704100000000L + rnd.nextInt(7200) * 1000L), 1.0))
+      .toDF("user_id", "ts", "value")
+    val (win, off) = (600L, 120L)
+    val got = Temporal.rangeJoinBinned(l, r, "user_id", "ts", win, off)
+      .groupBy("event_id").agg(count(col("range_match")).as("n"))
+      .as[(Long, Long)].collect().toMap
+    val lRows = l.as[(Long, Long, java.sql.Timestamp)].collect()
+    val rRows = r.as[(Long, java.sql.Timestamp, Double)].collect()
+    lRows.foreach { case (id, u, t) =>
+      val n = rRows.count(x => x._1 == u &&
+        x._2.getTime > t.getTime - win * 1000 && x._2.getTime <= t.getTime - off * 1000)
+      assert(got(id) === n, s"event $id")
+    }
+    assert(got.size === lRows.length)
+  }
+
   test("rangeJoinBinned plan: equi-join on (key, bucket), no nested-loop fallback") {
     val plan = Temporal.rangeJoinBinned(lefts, rights, "user_id", "ts", 600L)
       .queryExecution.executedPlan.toString
