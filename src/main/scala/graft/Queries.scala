@@ -1219,6 +1219,24 @@ object Queries {
         .orderBy("purchase_id")
     }),
 
+    // extension: FORWARD as-of — each click attributed to the next
+    // purchase by the same user (conversion latency), same zero-join
+    // window pass with the time axis reversed
+    "events_next_purchase" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
+      Temporal.asofJoin(clicks, purchases, "user_id", "ts",
+          Seq("purchase_id", "ts"), tieBreak = "purchase_id", direction = "forward")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("click_ts"),
+          col("asof_purchase_id").as("purchase_id"),
+          (col("asof_ts").cast("long") - col("ts").cast("long")).as("gap_sec"))
+        .orderBy("click_id")
+    }),
+
     // extension: bounded look-back range join — errors in the 10 minutes
     // up to each purchase, executed as an equi-join on (user, time
     // bucket) with constant 2× probe fan-out instead of an inequality
@@ -2070,6 +2088,20 @@ object Queries {
          |      ORDER BY c.ts DESC, c.click_id DESC) AS rn
          |  FROM p LEFT JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts)
          |WHERE rn = 1 ORDER BY purchase_id""".stripMargin,
+
+    // forward ties: earliest purchase ts, then greatest purchase_id
+    "events_next_purchase" ->
+      s"""WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+         |p AS (SELECT event_id AS purchase_id, user_id, ts FROM events
+         |      WHERE event_type = 'purchase')
+         |SELECT click_id, user_id, click_ts, purchase_id, gap_sec FROM (
+         |  SELECT c.event_id AS click_id, c.user_id,
+         |    strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts, p.purchase_id,
+         |    CAST(floor(epoch(p.ts)) AS BIGINT) - CAST(floor(epoch(c.ts)) AS BIGINT) AS gap_sec,
+         |    row_number() OVER (PARTITION BY c.event_id
+         |      ORDER BY p.ts ASC, p.purchase_id DESC) AS rn
+         |  FROM c LEFT JOIN p ON c.user_id = p.user_id AND p.ts >= c.ts)
+         |WHERE rn = 1 ORDER BY click_id""".stripMargin,
 
     // look-back window is (p.ts − 600 s, p.ts] — left-open, right-closed
     "events_range_join" ->

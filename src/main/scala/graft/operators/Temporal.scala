@@ -30,22 +30,25 @@ import org.apache.spark.sql.functions._
   */
 object Temporal {
 
-  /** Point-in-time join: attach to each `left` row the most recent
-    * `right` row in the same `key` group with `right.ts <= left.ts`
-    * (inclusive), `null`s when no prior right row exists (left-outer
-    * as-of semantics).
+  /** Point-in-time join: attach to each `left` row the nearest `right`
+    * row in the same `key` group — `backward` (default): the most
+    * recent with `right.ts <= left.ts`; `forward`: the earliest with
+    * `right.ts >= left.ts` (next-event attribution, e.g. "time to the
+    * following conversion"). Bounds inclusive; `null`s when no such
+    * right row exists (left-outer as-of semantics).
     *
     * Right rows tied on `ts` are resolved to the one with the greatest
     * `tieBreak` value — the join is deterministic for any input.
     *
     * Implementation: tag and union the two sides, then one running
     * `last(_, ignoreNulls)` window per key ordered by
-    * `(ts, tag, tieBreak)` — right rows sort before left rows at equal
-    * `ts` (inclusive bound), later tie-break values overwrite earlier
-    * ones. One shuffle on `key`, one sort, zero joins; the 100 TB plan is
-    * a single sort-merge-shaped pass with no candidate blow-up, unlike
-    * the naive `left JOIN right ON key AND ts <= ts` + row_number plan
-    * (a per-key cartesian).
+    * `(ts, tag, tieBreak)` (ts reversed for `forward`) — right rows
+    * sort before left rows at equal `ts` (inclusive bound), later
+    * tie-break values overwrite earlier ones. One shuffle on `key`, one
+    * sort, zero joins; the 100 TB plan is a single sort-merge-shaped
+    * pass with no candidate blow-up, unlike the naive
+    * `left JOIN right ON key AND ts <= ts` + row_number plan (a per-key
+    * cartesian).
     *
     * @param rightCols right columns to carry onto the matched row
     *                  (emitted as `asof_<name>`)
@@ -56,7 +59,10 @@ object Temporal {
       key: String,
       ts: String,
       rightCols: Seq[String],
-      tieBreak: String): DataFrame = {
+      tieBreak: String,
+      direction: String = "backward"): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"direction must be 'backward' or 'forward', got $direction")
     val carried = struct((rightCols :+ tieBreak).distinct.map(col): _*)
     val r = right.select(
       col(key), col(ts).as("__ts"), lit(0).as("__tag"),
@@ -65,8 +71,9 @@ object Temporal {
       .withColumn("__tag", lit(1))
       .withColumn("__tie", lit(Long.MaxValue))
       .withColumn("__carry", lit(null).cast(r.schema("__carry").dataType))
+    val tsOrd = if (direction == "backward") col("__ts").asc else col("__ts").desc
     val w = Window.partitionBy(key)
-      .orderBy(col("__ts"), col("__tag"), col("__tie"))
+      .orderBy(tsOrd, col("__tag").asc, col("__tie").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l.unionByName(r, allowMissingColumns = true)
       .withColumn("__match", last(col("__carry"), ignoreNulls = true).over(w))

@@ -57,6 +57,28 @@ class TemporalSpec extends SparkSpec {
     }
   }
 
+  test("asofJoin forward: earliest right >= left.ts, brute-force twin on random data") {
+    val rnd = new scala.util.Random(17)
+    val l = (0 until 250).map(i =>
+      (i.toLong, rnd.nextInt(5).toLong, ts(f"2024-01-01 ${rnd.nextInt(24)}%02d:${rnd.nextInt(60)}%02d:00")))
+      .toDF("event_id", "user_id", "ts")
+    val r = (0 until 250).map(i =>
+      (i.toLong + 1000L, rnd.nextInt(5).toLong, ts(f"2024-01-01 ${rnd.nextInt(24)}%02d:${rnd.nextInt(60)}%02d:00"), rnd.nextDouble()))
+      .toDF("rid", "user_id", "ts", "value")
+    val got = Temporal.asofJoin(l, r, "user_id", "ts", Seq("rid"), "rid",
+        direction = "forward")
+      .select("event_id", "asof_rid").as[(Long, Option[Long])].collect().toMap
+    val lRows = l.as[(Long, Long, java.sql.Timestamp)].collect()
+    val rRows = r.as[(Long, Long, java.sql.Timestamp, Double)].collect()
+    lRows.foreach { case (id, u, t) =>
+      val cand = rRows.filter(x => x._2 == u && !x._3.before(t))
+      // earliest ts; ties to the greatest rid (the operator's contract)
+      val want = if (cand.isEmpty) None
+        else Some(cand.minBy(x => (x._3.getTime, -x._1))._1)
+      assert(got(id) === want, s"event $id")
+    }
+  }
+
   test("asofJoin plan: zero joins — one window pass (no per-key cartesian)") {
     val plan = Temporal.asofJoin(lefts, rights, "user_id", "ts", Seq("rid"), "rid")
       .queryExecution.executedPlan.toString
