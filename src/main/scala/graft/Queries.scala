@@ -991,6 +991,26 @@ object Queries {
             .select(col("doc_id")),
           Seq("doc_id"), "left_anti"))),
 
+    // extension: the pipeline's own attrition funnel — corpus size and
+    // token budget surviving each stage (raw → exact dedup → lang/
+    // quality gate → near-dup drop) as ONE summary row; the number a
+    // data-curation run reports. Single-row aggregates cross-joined
+    // (1×1 — no data-sized join anywhere)
+    "corpus_funnel" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val filtered = assembleFiltered(s, dir)
+      val kept2 = filtered.join(
+        cappedGroups(s, dir).where(col("doc_id") =!= col("rep_id"))
+          .select(col("doc_id")),
+        Seq("doc_id"), "left_anti")
+      d.agg(count(lit(1)).as("n_raw"),
+          countDistinct(sha2(col("text"), 256)).as("n_exact"))
+        .crossJoin(filtered.agg(count(lit(1)).as("n_filtered"),
+          sum(col("n_tokens")).as("tokens_filtered")))
+        .crossJoin(kept2.agg(count(lit(1)).as("n_final"),
+          sum(col("n_tokens")).as("tokens_final")))
+    }),
+
     // extension: deterministic content-keyed train/val/test split —
     // map-only, stable under corpus changes (no cross-split migration on
     // append/rerun)
@@ -1881,6 +1901,20 @@ object Queries {
          |drops AS (SELECT node FROM (SELECT node, min(lab) AS rep FROM reach GROUP BY node) WHERE node <> rep),
          |kept2 AS (SELECT doc_id FROM kept WHERE doc_id NOT IN (SELECT node FROM drops)),
          |${sqlAssembleTail("kept2")}""".stripMargin,
+
+    "corpus_funnel" ->
+      s"""WITH RECURSIVE $sqlCcCteBody,
+         |$sqlAssembleKeptCtes,
+         |drops AS (SELECT node FROM (SELECT node, min(lab) AS rep FROM reach GROUP BY node) WHERE node <> rep),
+         |kept2 AS (SELECT doc_id FROM kept WHERE doc_id NOT IN (SELECT node FROM drops)),
+         |tok AS (SELECT doc_id, CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS BIGINT) AS n
+         |  FROM documents)
+         |SELECT (SELECT count(*) FROM documents) AS n_raw,
+         |  (SELECT count(DISTINCT sha256(text)) FROM documents) AS n_exact,
+         |  (SELECT count(*) FROM kept) AS n_filtered,
+         |  (SELECT CAST(sum(tok.n) AS BIGINT) FROM kept JOIN tok USING (doc_id)) AS tokens_filtered,
+         |  (SELECT count(*) FROM kept2) AS n_final,
+         |  (SELECT CAST(sum(tok.n) AS BIGINT) FROM kept2 JOIN tok USING (doc_id)) AS tokens_final""".stripMargin,
 
     "corpus_split" ->
       """WITH h AS (SELECT doc_id, list_reduce(list_transform(string_split_regex(substr(md5(text), 1, 8), ''),
