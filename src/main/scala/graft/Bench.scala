@@ -37,10 +37,10 @@ object Bench {
       // build leaves behind drain while the remaining warmup steps run —
       // measured as an otherwise-unattributable 4-7 s tax on whatever
       // query followed the build.
-      SparkEntry.queries("dedup_apply")(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      SparkEntry.queries("dedup_semantic")(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
+      Seq("dedup_apply", "dedup_semantic", "dedup_multi").foreach { q =>
+        SparkEntry.queries(q)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+      }
       spark.catalog.clearCache()
       val tiny = spark.read.parquet(s"$sfDir/embeddings.parquet").limit(64)
       tiny.groupBy(col("label")).agg(count(lit(1)).as("n"))

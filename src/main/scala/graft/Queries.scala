@@ -65,7 +65,9 @@ object Queries {
     * [[Dedup.minhashLsh]] + [[Dedup.duplicateGroups]]. Each consumer
     * (`dedup_groups` / `dedup_apply` / `dedup_best`) appends its own
     * final SELECT (and extra CTEs after a comma). */
-  private val sqlCcCteBody: String =
+  /** MinHash-LSH verified-pair CTEs (`toks` → `j`) — the oracle twin of
+    * [[Dedup.minhashLsh]]; consumers append their own edge/reach CTEs. */
+  private val sqlMinhashPairsCtes: String =
     """toks AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(len(tk) - 2, 0)),
       |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
       |  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tk FROM documents)),
@@ -83,12 +85,20 @@ object Queries {
       |  FROM sig, (SELECT unnest([0, 1, 2, 3]) AS b) u),
       |j AS (SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
       |  FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
-      |  WHERE CAST(len(list_intersect(a.h1, b.h1)) AS DOUBLE) / len(list_distinct(a.h1 || b.h1)) >= 0.5),
-      |e AS (SELECT doc_id_a AS a, doc_id_b AS b FROM j UNION SELECT doc_id_b, doc_id_a FROM j),
-      |reach(node, lab) AS (
+      |  WHERE CAST(len(list_intersect(a.h1, b.h1)) AS DOUBLE) / len(list_distinct(a.h1 || b.h1)) >= 0.5)""".stripMargin
+
+  /** Min-label reachability over a symmetric edge CTE `e` (consumer
+    * supplies `e`); yields `reach(node, lab)`. */
+  private val sqlCcReach: String =
+    """reach(node, lab) AS (
       |  SELECT DISTINCT a, a FROM e
       |  UNION
       |  SELECT e.b, r.lab FROM reach r JOIN e ON e.a = r.node)""".stripMargin
+
+  private val sqlCcCteBody: String =
+    sqlMinhashPairsCtes + ",\n" +
+      "e AS (SELECT doc_id_a AS a, doc_id_b AS b FROM j UNION SELECT doc_id_b, doc_id_a FROM j),\n" +
+      sqlCcReach
 
   private val sqlCcCte: String = "WITH RECURSIVE " + sqlCcCteBody
 
@@ -283,6 +293,29 @@ object Queries {
       // clear only touches CacheManager entries — consumers re-persist
       // on demand (Caching.ensureCached), the memoized frame survives.
       s.catalog.clearCache()
+      groups
+    })
+  }
+
+  /** MULTI-SIGNAL duplicate-group map: MinHash-LSH ∪ SimHash pair sets
+    * fed into one connected-component pass — production dedup runs
+    * several cheap signals and unions their verdicts (each signal has
+    * blind spots: MinHash misses low-Jaccard paraphrase, SimHash misses
+    * long-doc partial overlap). Same memoized lifecycle as
+    * [[cappedGroups]]. */
+  private val multiGroupsCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private def multiGroups(s: SparkSession, dir: String): DataFrame = {
+    multiGroupsCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    multiGroupsCache.computeIfAbsent((s, dir), _ => {
+      val d = docs(s, dir)
+      val mh = Dedup.minhashLsh(d, shingleN = 3, perms = 16, bands = 4,
+        threshold = 0.5, maxBucket = Dedup.DefaultPipelineMaxBucket)
+        .select(col("doc_id_a"), col("doc_id_b"))
+      val sh = Dedup.simhashPairs(d, maxHamming = 8)
+        .select(col("doc_id_a"), col("doc_id_b"))
+      val groups = Dedup.duplicateGroups(mh.unionByName(sh).distinct())
+      s.catalog.clearCache() // same lifecycle as [[cappedGroups]]
       groups
     })
   }
@@ -647,6 +680,11 @@ object Queries {
       Dedup.bestRepresentatives(cappedGroups(s, dir),
           docs(s, dir).select(col("doc_id"), col("n_chars")), "n_chars")
         .orderBy("rep_id")),
+
+    // extension: multi-signal dedup — MinHash ∪ SimHash pair sets into
+    // one component map (each signal alone has blind spots)
+    "dedup_multi" -> ((s, dir) =>
+      multiGroups(s, dir).orderBy("doc_id")),
 
     // extension: SimHash(60-bit) near-dup pairs, hamming <= 8
     "dedup_simhash" -> ((s, dir) =>
@@ -1530,6 +1568,28 @@ object Queries {
       s"""$sqlCcCte,
          |drops AS (SELECT node FROM (SELECT node, min(lab) AS rep FROM reach GROUP BY node) WHERE node <> rep)
          |SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT node FROM drops) ORDER BY doc_id""".stripMargin,
+
+    // minhash pairs (j) reused verbatim; simhash chain renamed s* to
+    // avoid CTE collisions; both pair sets union into one edge list
+    "dedup_multi" ->
+      s"""WITH RECURSIVE $sqlMinhashPairsCtes,
+         |stoks AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t FROM documents),
+         |sh0 AS (SELECT doc_id, list_transform(t, tk -> list_reduce(
+         |  list_transform(string_split_regex(substr(md5(tk), 1, 15), ''), c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+         |  (a, b) -> a * 16 + b)) AS hs FROM stoks),
+         |ss AS (SELECT doc_id, list_reduce(list_transform(generate_series(0, 59), b ->
+         |  CASE WHEN list_sum(list_transform(hs, v -> CASE WHEN (v >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+         |  THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END), (a, b) -> a | b) AS sh FROM sh0),
+         |sbanded AS (SELECT doc_id, sh, u.b AS band_idx,
+         |  (sh >> ($simhashOffsetsSql)[u.b + 1]) & ($simhashMasksSql)[u.b + 1] AS band_key
+         |  FROM ss, (SELECT unnest(generate_series(0, ${simhashBandCount - 1})) AS b) u),
+         |spairs AS (SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+         |  FROM sbanded a JOIN sbanded b ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.sh, b.sh)) <= 8),
+         |e AS (SELECT doc_id_a AS a, doc_id_b AS b FROM j UNION SELECT doc_id_b, doc_id_a FROM j
+         |  UNION SELECT doc_id_a, doc_id_b FROM spairs UNION SELECT doc_id_b, doc_id_a FROM spairs),
+         |$sqlCcReach
+         |SELECT node AS doc_id, min(lab) AS rep_id FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
 
     // same group map, best-copy representative: longest text wins the
     // group, ties to the lowest id (the operator's max_by ordering)
