@@ -219,6 +219,35 @@ class PlanShapeSpec extends SparkSpec {
       "exact uniques must run as the two-stage rollup, not an Expand")
   }
 
+  test("events_top_users plans the bounded heap: no ranking window over the data") {
+    val p = plan(Queries.queries("events_top_users")(spark, sf))
+    assert(!p.contains("Window"),
+      "top-N per group must run through TopKPairsAgg, not a row_number window")
+    assert(p.contains("ObjectHashAggregate"), "expected the heap aggregate")
+  }
+
+  test("events_funnel: three chained reductions, no window, no nested loop") {
+    val p = plan(Queries.queries("events_funnel")(spark, sf))
+    assert(!p.contains("Window") && !p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p.linesIterator.take(8).mkString("\n"))
+  }
+
+  test("corpus_funnel's only nested-loop joins are single-row aggregate cross joins") {
+    val df = Queries.queries("corpus_funnel")(spark, sf)
+    val bnl = df.queryExecution.executedPlan.collect {
+      case e if e.nodeName.contains("BroadcastNestedLoopJoin") => e
+    }
+    // each side of every BNL join is an Aggregate output (1 row); a
+    // data-sized child here would be a scale-killer
+    bnl.foreach { j =>
+      j.children.foreach { c =>
+        val s = c.toString
+        assert(s.contains("HashAggregate") || s.contains("Exchange"),
+          s"BNL child is not an aggregate:\n$s")
+      }
+    }
+  }
+
   test("exact dedup groups by a hash key, never shuffling full text") {
     val df = Queries.queries("dedup_exact")(spark, sf)
     val exchanges = df.queryExecution.executedPlan.collect {
