@@ -312,7 +312,8 @@ object Queries {
       val mh = Dedup.minhashLsh(d, shingleN = 3, perms = 16, bands = 4,
         threshold = 0.5, maxBucket = Dedup.DefaultPipelineMaxBucket)
         .select(col("doc_id_a"), col("doc_id_b"))
-      val sh = Dedup.simhashPairs(d, maxHamming = 8)
+      val sh = Dedup.simhashPairs(d, maxHamming = 8,
+        maxBucket = Dedup.DefaultPipelineMaxBucket)
         .select(col("doc_id_a"), col("doc_id_b"))
       val groups = Dedup.duplicateGroups(mh.unionByName(sh).distinct())
       s.catalog.clearCache() // same lifecycle as [[cappedGroups]]
