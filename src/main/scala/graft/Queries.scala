@@ -1042,8 +1042,11 @@ object Queries {
         cappedGroups(s, dir).where(col("doc_id") =!= col("rep_id"))
           .select(col("doc_id")),
         Seq("doc_id"), "left_anti")
-      d.agg(count(lit(1)).as("n_raw"),
-          countDistinct(sha2(col("text"), 256)).as("n_exact"))
+      d.agg(count(lit(1)).as("n_raw"))
+        // distinct-then-count, NOT count(DISTINCT …) in a shared agg —
+        // the latter plans an Expand that doubles every row pre-shuffle
+        .crossJoin(d.select(sha2(col("text"), 256).as("__h")).distinct()
+          .agg(count(lit(1)).as("n_exact")))
         .crossJoin(filtered.agg(count(lit(1)).as("n_filtered"),
           sum(col("n_tokens")).as("tokens_filtered")))
         .crossJoin(kept2.agg(count(lit(1)).as("n_final"),
