@@ -1202,9 +1202,13 @@ object Queries {
     // [p49, p51] band), asserted Spark-side as booleans
     "events_sketch_check" -> ((s, dir) => {
       val ev = events(s, dir)
-      val exact = ev.groupBy(col("event_type"))
-        .agg(countDistinct(col("user_id")).as("__ed"),
-          expr("percentile(value, array(0.49D, 0.51D))").as("__band"))
+      // distinct-then-count (two-stage, Expand-free) joined with the
+      // exact band; see events_user_activity for the same shape
+      val exact = ev.select(col("event_type"), col("user_id")).distinct()
+        .groupBy(col("event_type")).agg(count(lit(1)).as("__ed"))
+        .join(ev.groupBy(col("event_type"))
+          .agg(expr("percentile(value, array(0.49D, 0.51D))").as("__band")),
+          Seq("event_type"))
       val approx = ev.groupBy(col("event_type"))
         .agg(approx_count_distinct(col("user_id"), 0.02).as("__ad"),
           percentile_approx(col("value"), lit(0.5), lit(5000)).as("__ap"))
