@@ -52,6 +52,10 @@ object Temporal {
     *
     * @param rightCols right columns to carry onto the matched row
     *                  (emitted as `asof_<name>`)
+    * @param toleranceSec maximum |left.ts − right.ts| in seconds for a
+    *                     match to count (feature-store staleness bound);
+    *                     matches outside it become `null`s, preserving
+    *                     left-outer cardinality
     */
   def asofJoin(
       left: DataFrame,
@@ -60,10 +64,13 @@ object Temporal {
       ts: String,
       rightCols: Seq[String],
       tieBreak: String,
-      direction: String = "backward"): DataFrame = {
+      direction: String = "backward",
+      toleranceSec: Long = Long.MaxValue): DataFrame = {
     require(direction == "backward" || direction == "forward",
       s"direction must be 'backward' or 'forward', got $direction")
-    val carried = struct((rightCols :+ tieBreak).distinct.map(col): _*)
+    require(toleranceSec >= 0, s"toleranceSec must be >= 0, got $toleranceSec")
+    val carried = struct(
+      (rightCols :+ tieBreak).distinct.map(col) :+ col(ts).as("__mts"): _*)
     val r = right.select(
       col(key), col(ts).as("__ts"), lit(0).as("__tag"),
       col(tieBreak).cast("long").as("__tie"), carried.as("__carry"))
@@ -75,9 +82,13 @@ object Temporal {
     val w = Window.partitionBy(key)
       .orderBy(tsOrd, col("__tag").asc, col("__tie").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gapOk =
+      abs(col(ts).cast("long") - col("__match.__mts").cast("long")) <= toleranceSec
     l.unionByName(r, allowMissingColumns = true)
       .withColumn("__match", last(col("__carry"), ignoreNulls = true).over(w))
       .where(col("__tag") === 1)
+      .withColumn("__match",
+        when(col("__match").isNotNull && gapOk, col("__match")))
       .drop("__ts", "__tag", "__tie", "__carry")
       .withColumns(rightCols.map(c => s"asof_$c" -> col(s"__match.$c")).toMap)
       .drop("__match")

@@ -79,6 +79,18 @@ class TemporalSpec extends SparkSpec {
     }
   }
 
+  test("asofJoin tolerance: stale matches become nulls, cardinality preserved") {
+    val got = Temporal.asofJoin(lefts, rights, "user_id", "ts", Seq("rid"), "rid",
+        toleranceSec = 60) // 1 minute: only equal-ts and 1-min-old matches survive
+      .select("event_id", "asof_rid").as[(Long, Option[Long])]
+      .collect().toMap
+    assert(got(100L) === Some(11L)) // 09:59 click vs 10:00 left: 60 s, inside
+    assert(got(101L) === Some(12L)) // equal ts: gap 0
+    assert(got(102L) === None)      // no match at all
+    assert(got(103L) === None)      // 09:00 right vs 12:00 left: stale, nulled
+    assert(got.size === 4)
+  }
+
   test("asofJoin plan: zero joins — one window pass (no per-key cartesian)") {
     val plan = Temporal.asofJoin(lefts, rights, "user_id", "ts", Seq("rid"), "rid")
       .queryExecution.executedPlan.toString
