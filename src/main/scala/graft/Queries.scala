@@ -804,6 +804,40 @@ object Queries {
         qvec0(s, dir), k = 10, probes = 3, Metric.Euclidean))
     }),
 
+    // extension: the production PQ serving shape — ADC shortlist from
+    // the compressed store, exact re-rank of the shortlist on original
+    // vectors (50 rows, broadcast). Invariant oracle: re-ranking the
+    // top-50 shortlist on true distances can only IMPROVE recall@10
+    // over the raw PQ top-10 (a fixed recall threshold would encode the
+    // fixed demo codebooks' distortion, not the operator's contract)
+    "ivf_pq_rerank" -> ((s, dir) => {
+      val model = fixedModel(s, dir, Metric.Euclidean)
+      val qstore = model.assigned
+        .crossJoin(broadcast(pqFixedBooks(s, dir)))
+        .withColumn("embedding",
+          operators.VectorOps.pqReconstruct(
+            operators.VectorOps.pqCodes(col("embedding"), col("books")),
+            col("books")).cast("array<float>"))
+        .drop("books")
+      // full probe set: isolates PQ distortion (pruning loss is
+      // ivf_recall_curve's separately-measured contract)
+      def pqTop(k: Int): DataFrame =
+        IvfIndex.query(IvfIndex.Model(model.centroids, qstore),
+          qvec0(s, dir), k = k, probes = 8, Metric.Euclidean).select(col("id"))
+      val reranked = Knn.search(recs(s, dir).join(pqTop(50), Seq("id")),
+          qvec0(s, dir), k = 10, Metric.Euclidean)
+        .select(col("id"))
+      val exactIds = Knn.search(recs(s, dir), qvec0(s, dir), k = 10,
+          Metric.Euclidean)
+        .select(col("id"))
+      reranked.join(exactIds, Seq("id")).agg(count(lit(1)).as("__hr"))
+        .crossJoin(
+          pqTop(10).join(exactIds, Seq("id")).agg(count(lit(1)).as("__hp")))
+        .select(lit(10L).as("n_rerank"),
+          (col("__hr") >= col("__hp")).as("rerank_not_worse"),
+          (col("__hr") > 0L).as("rerank_nonempty_overlap"))
+    }),
+
     // extension: stopword-heuristic language ID. Tokens and the fused
     // stats are materialized as attributes so each kernel runs once per
     // row; repartition spreads the CPU of a single-file input.
@@ -1628,6 +1662,12 @@ object Queries {
          |    row_number() OVER (PARTITION BY g.rep_id ORDER BY d.n_chars DESC, g.doc_id ASC) AS rn
          |  FROM g JOIN documents d ON g.doc_id = d.doc_id)
          |WHERE rn = 1 ORDER BY rep_id""".stripMargin,
+
+    // invariant oracle (same family as ivf_build_stats): re-rank
+    // monotonicity, computed Spark-side
+    "ivf_pq_rerank" ->
+      """SELECT CAST(10 AS BIGINT) AS n_rerank, true AS rerank_not_worse,
+        |  true AS rerank_nonempty_overlap""".stripMargin,
 
     "ivf_quantized_query" ->
       s"""WITH c AS (SELECT CAST(vec_id AS INTEGER) AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8),
