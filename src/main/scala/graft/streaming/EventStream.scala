@@ -78,6 +78,29 @@ object EventStream {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Stream-static enrichment: attach a per-key dimension snapshot (the
+    * batch-computed latest value per key — the serving-time feature
+    * snapshot) to each arriving event. A stream-static left equi-join is
+    * stateless (no watermark, no state store) and its per-batch cost is
+    * independent of stream history — the streaming counterpart of
+    * [[graft.operators.Temporal.asofJoin]] at snapshot granularity (the
+    * union+window trick needs a total order, which an unbounded stream
+    * cannot provide; production re-broadcasts the snapshot on the dim's
+    * refresh cadence). */
+  def enrichWithDim(events: DataFrame, dim: DataFrame,
+      key: String = "user_id"): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left_outer")
+
+  /** The dimension snapshot [[enrichWithDim]] expects: latest value per
+    * key from a batch table (max_by reduction — no window); ties on `ts`
+    * break deterministically by `tieBreak`. */
+  def latestPerKey(batch: DataFrame, key: String, ts: String,
+      tieBreak: String, valueCols: Seq[String]): DataFrame =
+    batch.groupBy(col(key))
+      .agg(max_by(struct(valueCols.map(col): _*),
+        struct(col(ts), col(tieBreak))).as("__v"))
+      .select(col(key) +: valueCols.map(c => col(s"__v.$c").as(s"dim_$c")): _*)
+
   /** Streaming sessionization into a memory sink. APPEND mode — the only
     * mode streaming session windows support: a session row is emitted
     * exactly once, when the watermark passes its end. Sessions still open

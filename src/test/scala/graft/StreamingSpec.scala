@@ -235,6 +235,34 @@ class StreamingSpec extends SparkSpec {
     assert(viaDisk === exact)
   }
 
+  test("stream-static dim enrichment equals the batch join; missing keys null") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // dim snapshot: latest (by ts, then event_id) value per user from the
+    // batch table — the serving-time feature snapshot
+    val batchEvents = spark.read.parquet(s"$sf0001/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val dim = EventStream.latestPerKey(
+      batchEvents.where(col("event_type") === "signup"),
+      key = "user_id", ts = "ts", tieBreak = "event_id", valueCols = Seq("value"))
+    val want = batchEvents.join(dim, Seq("user_id"), "left_outer")
+      .select(col("event_id"), col("dim_value"))
+      .as[(Long, Option[Double])].collect().toMap
+
+    val q = EventStream.enrichWithDim(
+        EventStream.readEvents(spark, sf0001), dim)
+      .select(col("event_id"), col("dim_value"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("enrich_test")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table("enrich_test")
+      .as[(Long, Option[Double])].collect().toMap
+    assert(got === want)
+    assert(got.size.toLong === batchEvents.count(), "every event enriched exactly once")
+    assert(dim.count() > 0, "dim snapshot must be non-empty for the test to mean anything")
+  }
+
   test("streaming near-dup gate equals the batch gate; distinct docs pass") {
     import graft.streaming.DocIngest
     val base = "the quick brown fox jumps over the lazy dog while the cat " +
