@@ -1228,6 +1228,19 @@ object Queries {
           col("event_type"), col("n"), col("value_sum"))
         .orderBy("hour", "event_type")),
 
+    // extension: semi-structured props — JSON field extraction
+    // (codegen'd get_json_object, no UDF) rolled up per event type;
+    // the "parse the payload" step every event pipeline has
+    "events_props_stats" -> ((s, dir) =>
+      events(s, dir)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("__k"))
+        .groupBy(col("event_type"))
+        .agg(count(col("__k")).as("n_parsed"),
+          sum(col("__k")).as("k_sum"),
+          min(col("__k")).as("k_min"), max(col("__k")).as("k_max"))
+        .orderBy("event_type")),
+
     // extension: the sketch path — HyperLogLog distinct + quantile
     // sketch, the mergeable O(1)-state operators the exact twins
     // (events_user_activity, events_quantiles) swap to at 100 TB.
@@ -2177,6 +2190,14 @@ object Queries {
       s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
         |  count(*) AS n, ${sqlR4("sum(value)")} AS value_sum
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+
+    "events_props_stats" ->
+      s"""SELECT event_type,
+         |  count(k) AS n_parsed, CAST(sum(k) AS BIGINT) AS k_sum,
+         |  CAST(min(k) AS BIGINT) AS k_min, CAST(max(k) AS BIGINT) AS k_max
+         |FROM (SELECT event_type, CAST(json_extract(props, '$$.k') AS BIGINT) AS k
+         |      FROM events)
+         |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // invariant-style oracle (same family as ivf_build_stats): the
     // booleans are the sketch error contracts, computed Spark-side
