@@ -216,6 +216,26 @@ class NativeExprsSpec extends SparkSpec {
       withT)
   }
 
+  test("repetitionStats == HOF twin on adversarial random token arrays") {
+    import graft.operators.TextOps
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    // small vocab forces heavy repetition; include empty strings, unicode
+    // (incl. supplementary plane), and single/zero-length docs
+    val vocab = Array("a", "b", "ab", "", "字", "😀", "xyz", "a b"
+      .replace(" ", " ")) // nbsp inside a token (not a split boundary)
+    val docs = (0 until 300).map { i =>
+      val n = rnd.nextInt(30)
+      (i.toLong, Seq.fill(n)(vocab(rnd.nextInt(vocab.length))))
+    } :+ (999L, Seq.empty[String])
+    val df = docs.toDF("id", "__t")
+    val bad = df.select(
+        NativeExprs.repetitionStats(col("__t")).as("got"),
+        TextOps.repetitionStatsHof(col("__t")).as("want"))
+      .where(!(col("got") <=> col("want")))
+    assert(bad.count() === 0, bad.take(3).mkString(", "))
+  }
+
   test("tokenStats == (langVotes, stopword-filter count, length-sum) HOF twins") {
     import graft.operators.TextOps
     val withT = docsDf.withColumn("__t", hofTokens(col("text")))
