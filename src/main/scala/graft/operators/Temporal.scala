@@ -65,21 +65,36 @@ object Temporal {
       rightCols: Seq[String],
       tieBreak: String,
       direction: String = "backward",
+      toleranceSec: Long = Long.MaxValue): DataFrame =
+    asofJoinKeys(left, right, Seq(key), ts, rightCols, tieBreak, direction,
+      toleranceSec)
+
+  /** [[asofJoin]] on a COMPOSITE key (e.g. (entity, feature_group)) —
+    * identical semantics, the window partitions on all key columns. */
+  def asofJoinKeys(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      ts: String,
+      rightCols: Seq[String],
+      tieBreak: String,
+      direction: String = "backward",
       toleranceSec: Long = Long.MaxValue): DataFrame = {
+    require(keys.nonEmpty, "at least one key column required")
     require(direction == "backward" || direction == "forward",
       s"direction must be 'backward' or 'forward', got $direction")
     require(toleranceSec >= 0, s"toleranceSec must be >= 0, got $toleranceSec")
     val carried = struct(
       (rightCols :+ tieBreak).distinct.map(col) :+ col(ts).as("__mts"): _*)
     val r = right.select(
-      col(key), col(ts).as("__ts"), lit(0).as("__tag"),
-      col(tieBreak).cast("long").as("__tie"), carried.as("__carry"))
+      keys.map(col) ++ Seq(col(ts).as("__ts"), lit(0).as("__tag"),
+        col(tieBreak).cast("long").as("__tie"), carried.as("__carry")): _*)
     val l = left.withColumn("__ts", col(ts))
       .withColumn("__tag", lit(1))
       .withColumn("__tie", lit(Long.MaxValue))
       .withColumn("__carry", lit(null).cast(r.schema("__carry").dataType))
     val tsOrd = if (direction == "backward") col("__ts").asc else col("__ts").desc
-    val w = Window.partitionBy(key)
+    val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(tsOrd, col("__tag").asc, col("__tie").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val gapOk =

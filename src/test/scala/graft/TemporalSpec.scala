@@ -79,6 +79,22 @@ class TemporalSpec extends SparkSpec {
     }
   }
 
+  test("asofJoinKeys: composite key partitions independently per key pair") {
+    val l = Seq(
+      (1L, 1L, "price", ts("2024-01-01 10:00:00")),
+      (2L, 1L, "volume", ts("2024-01-01 10:00:00")))
+      .toDF("event_id", "entity", "feature", "ts")
+    val r = Seq(
+      (10L, 1L, "price", ts("2024-01-01 09:00:00"), 1.5),
+      (11L, 1L, "volume", ts("2024-01-01 09:30:00"), 99.0))
+      .toDF("rid", "entity", "feature", "ts", "value")
+    val got = Temporal.asofJoinKeys(l, r, Seq("entity", "feature"), "ts",
+        Seq("value"), "rid")
+      .select("event_id", "asof_value").as[(Long, Option[Double])]
+      .collect().toMap
+    assert(got === Map(1L -> Some(1.5), 2L -> Some(99.0)))
+  }
+
   test("asofJoin tolerance: stale matches become nulls, cardinality preserved") {
     val got = Temporal.asofJoin(lefts, rights, "user_id", "ts", Seq("rid"), "rid",
         toleranceSec = 60) // 1 minute: only equal-ts and 1-min-old matches survive
