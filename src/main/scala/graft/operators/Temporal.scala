@@ -124,9 +124,14 @@ object Temporal {
     * rows, never a join condition, so Catalyst never falls back to
     * BroadcastNestedLoopJoin.
     *
-    * @param windowSec look-back span in seconds (also the bucket width)
+    * @param windowSec look-back span in seconds
     * @param offsetSec right edge of the window, seconds before `left.ts`
     *                  (0 = up to and excluding the left row's instant)
+    * @param bucketSec bucket width (default = `windowSec`, the 2×-fan-out
+    *                  sweet spot). A smaller bucket trades probe fan-out
+    *                  (`ceil(window/bucket)+1` copies per left row) for a
+    *                  tighter build-side hash — worth it when the right
+    *                  side is dense and the window long
     */
   def rangeJoinBinned(
       left: DataFrame,
@@ -134,12 +139,16 @@ object Temporal {
       key: String,
       ts: String,
       windowSec: Long,
-      offsetSec: Long = 0L): DataFrame = {
+      offsetSec: Long = 0L,
+      bucketSec: Long = 0L): DataFrame = {
     require(offsetSec >= 0 && offsetSec < windowSec,
       s"offsetSec must be in [0, windowSec): got $offsetSec / $windowSec")
-    val bucket = (c: Column) => floor(unix_timestamp(c) / windowSec).cast("long")
+    val bsec = if (bucketSec <= 0) windowSec else bucketSec
+    val nBack = (windowSec + bsec - 1) / bsec // buckets behind the own one
+    val bucket = (c: Column) => floor(unix_timestamp(c) / bsec).cast("long")
     val probe = left
-      .withColumn("__b", explode(array(bucket(col(ts)), bucket(col(ts)) - 1)))
+      .withColumn("__b",
+        explode(sequence(bucket(col(ts)) - nBack, bucket(col(ts)))))
     val build = right.select(
       col(key).as("__rk"), col(ts).as("__rts"),
       bucket(col(ts)).as("__rb"),

@@ -164,6 +164,30 @@ class TemporalSpec extends SparkSpec {
     assert(got.size === lRows.length)
   }
 
+  test("rangeJoinBinned with a bucket narrower than the window still covers it") {
+    val rnd = new scala.util.Random(29)
+    val l = (0 until 120).map(i =>
+      (i.toLong, rnd.nextInt(3).toLong,
+        new java.sql.Timestamp(1704100000000L + rnd.nextInt(7200) * 1000L)))
+      .toDF("event_id", "user_id", "ts")
+    val r = (0 until 300).map(_ =>
+      (rnd.nextInt(3).toLong,
+        new java.sql.Timestamp(1704100000000L + rnd.nextInt(7200) * 1000L), 1.0))
+      .toDF("user_id", "ts", "value")
+    val win = 1500L
+    val got = Temporal.rangeJoinBinned(l, r, "user_id", "ts", win, bucketSec = 600L)
+      .groupBy("event_id").agg(count(col("range_match")).as("n"))
+      .as[(Long, Long)].collect().toMap
+    val lRows = l.as[(Long, Long, java.sql.Timestamp)].collect()
+    val rRows = r.as[(Long, java.sql.Timestamp, Double)].collect()
+    lRows.foreach { case (id, u, t) =>
+      val n = rRows.count(x => x._1 == u &&
+        x._2.getTime > t.getTime - win * 1000 && x._2.getTime <= t.getTime)
+      assert(got(id) === n, s"event $id")
+    }
+    assert(got.size === lRows.length)
+  }
+
   test("rangeJoinBinned plan: equi-join on (key, bucket), no nested-loop fallback") {
     val plan = Temporal.rangeJoinBinned(lefts, rights, "user_id", "ts", 600L)
       .queryExecution.executedPlan.toString
