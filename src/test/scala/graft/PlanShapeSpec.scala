@@ -219,6 +219,13 @@ class PlanShapeSpec extends SparkSpec {
       "exact uniques must run as the two-stage rollup, not an Expand")
   }
 
+  test("temporal queries prune the events scan (props column never read)") {
+    Seq("events_asof_join", "events_range_join", "events_next_purchase").foreach { q =>
+      val p = plan(Queries.queries(q)(spark, sf))
+      assert(!p.contains("props"), s"$q reads the unused props column")
+    }
+  }
+
   test("events_top_users plans the bounded heap: no ranking window over the data") {
     val p = plan(Queries.queries("events_top_users")(spark, sf))
     assert(!p.contains("Window"),
