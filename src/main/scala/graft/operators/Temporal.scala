@@ -145,6 +145,9 @@ object Temporal {
       s"offsetSec must be in [0, windowSec): got $offsetSec / $windowSec")
     val bsec = if (bucketSec <= 0) windowSec else bucketSec
     val nBack = (windowSec + bsec - 1) / bsec // buckets behind the own one
+    require(nBack <= 64,
+      s"window/bucket ratio $nBack explodes the probe side " +
+        s"(${nBack + 1} copies per left row) — widen bucketSec")
     val bucket = (c: Column) => floor(unix_timestamp(c) / bsec).cast("long")
     val probe = left
       .withColumn("__b",
