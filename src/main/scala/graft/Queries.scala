@@ -1095,6 +1095,14 @@ object Queries {
         .select(col("doc_id"), col("bucket"), col("split"))
         .orderBy("doc_id")),
 
+    // extension: leakage-safe split — near-dup groups move as one unit
+    // (split keyed on the group rep's content; plain content-keyed
+    // splitting lets paraphrases straddle train/test)
+    "corpus_split_safe" -> ((s, dir) =>
+      graft.operators.Corpus.assignSplitGroupSafe(docs(s, dir), cappedGroups(s, dir))
+        .select(col("doc_id"), col("rep_id"), col("bucket"), col("split"))
+        .orderBy("doc_id")),
+
     // extension: greedy concat-and-chunk sequence packing into
     // 512-token training chunks, shard-parallel running totals
     "seq_pack" -> ((s, dir) =>
@@ -2036,6 +2044,18 @@ object Queries {
          |  (SELECT CAST(sum(tok.n) AS BIGINT) FROM kept JOIN tok USING (doc_id)) AS tokens_filtered,
          |  (SELECT count(*) FROM kept2) AS n_final,
          |  (SELECT CAST(sum(tok.n) AS BIGINT) FROM kept2 JOIN tok USING (doc_id)) AS tokens_final""".stripMargin,
+
+    "corpus_split_safe" ->
+      s"""$sqlCcCte,
+         |g AS (SELECT node AS doc_id, min(lab) AS rep_id FROM reach GROUP BY node),
+         |ar AS (SELECT d.doc_id, coalesce(g.rep_id, d.doc_id) AS rep_id
+         |  FROM documents d LEFT JOIN g ON d.doc_id = g.doc_id),
+         |h AS (SELECT doc_id AS rep_id, list_reduce(list_transform(string_split_regex(substr(md5(text), 1, 8), ''),
+         |    c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a * 16 + b) % 100 AS bucket
+         |  FROM documents)
+         |SELECT ar.doc_id, ar.rep_id, h.bucket,
+         |  CASE WHEN h.bucket < 80 THEN 'train' WHEN h.bucket < 90 THEN 'val' ELSE 'test' END AS split
+         |FROM ar JOIN h ON ar.rep_id = h.rep_id ORDER BY ar.doc_id""".stripMargin,
 
     "corpus_split" ->
       """WITH h AS (SELECT doc_id, list_reduce(list_transform(string_split_regex(substr(md5(text), 1, 8), ''),

@@ -43,6 +43,39 @@ object Corpus {
           .otherwise(lit("test")))
   }
 
+  /** Leakage-safe variant of [[assignSplit]]: near-duplicate GROUPS move
+    * as one unit — the split key is the group REPRESENTATIVE's content,
+    * so paraphrases of one document can never straddle the train/test
+    * boundary. Plain content-keyed splitting cannot prevent that:
+    * near-dups hash to different buckets by construction. `groups` is a
+    * [[Dedup.duplicateGroups]] keep/drop map (`doc_id`, `rep_id` over
+    * the duplicate subset); ungrouped docs represent themselves.
+    *
+    * Plan: one left join against the duplicate subset (small — AQE
+    * broadcasts it) + one equi-join to fetch the rep's hash; both
+    * shuffle ids only, never text. Still stable under corpus changes —
+    * a group's split depends only on its rep's content. */
+  def assignSplitGroupSafe(
+      docs: DataFrame,
+      groups: DataFrame,
+      trainPct: Int = 80,
+      valPct: Int = 10): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100,
+      s"percentages must partition [0,100], got train=$trainPct val=$valPct")
+    val repHash = docs.select(col("doc_id").as("rep_id"),
+      contentHash32(col("text")).as("__rh"))
+    docs
+      .join(groups, Seq("doc_id"), "left_outer")
+      .withColumn("rep_id", coalesce(col("rep_id"), col("doc_id")))
+      .join(repHash, Seq("rep_id"))
+      .withColumn("bucket", pmod(col("__rh"), lit(100L)))
+      .withColumn("split",
+        when(col("bucket") < trainPct, lit("train"))
+          .when(col("bucket") < trainPct + valPct, lit("val"))
+          .otherwise(lit("test")))
+      .drop("__rh")
+  }
+
   /** Greedy concat-and-chunk sequence packing (GPT-style pretraining
     * batches): documents are concatenated in (shard, doc_id) order and
     * cut every `budget` tokens; each document's output row carries the

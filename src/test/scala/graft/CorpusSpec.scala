@@ -213,4 +213,33 @@ class CorpusSpec extends SparkSpec {
       .as[(Long, Long)].collect().sortBy(_._1).toSeq
     assert(got === Seq((1L, 1L), (2L, 2L)))
   }
+
+  test("group-safe split: near-dup group members always share a split; " +
+    "ungrouped docs match the content-keyed split") {
+    val base = "the quick brown fox jumps over the lazy dog near the old barn " +
+      "while rain falls softly on the quiet village roofs tonight again"
+    val docsDf = Seq(
+      (0L, base),
+      (1L, base.replace("lazy", "sleepy")), // near-dup of 0 — different hash!
+      (2L, base.replace("quick", "swift")), // near-dup of 0
+      (3L, "entirely different content about query optimizers and " +
+        "distributed physical plan selection strategies in analytics engines"))
+      .toDF("doc_id", "text")
+    val groups = graft.operators.Dedup.duplicateGroups(
+      graft.operators.Dedup.minhashLsh(docsDf, threshold = 0.4))
+    val out = Corpus.assignSplitGroupSafe(docsDf, groups)
+      .select("doc_id", "rep_id", "split").as[(Long, Long, String)]
+      .collect().sortBy(_._1)
+    val byRep = out.groupBy(_._2)
+    byRep.foreach { case (rep, members) =>
+      assert(members.map(_._3).distinct.size === 1,
+        s"group $rep straddles splits: ${members.toSeq}")
+    }
+    assert(out.filter(r => Set(0L, 1L, 2L)(r._1)).map(_._2).distinct.toSeq === Seq(0L),
+      "docs 0-2 must form one group under rep 0")
+    // the ungrouped doc keeps its own content-keyed assignment
+    val plain = Corpus.assignSplit(docsDf.where(col("doc_id") === 3L), col("text"))
+      .select("split").as[String].head()
+    assert(out.find(_._1 == 3L).get._3 === plain)
+  }
 }
