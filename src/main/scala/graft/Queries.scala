@@ -1236,6 +1236,26 @@ object Queries {
           col("event_type"), col("n"), col("value_sum"))
         .orderBy("hour", "event_type")),
 
+    // extension: cohort retention — users bucketed by first-seen week,
+    // counted per activity week offset. Two map-side-combinable aggs +
+    // one distinct; no window, no self-join over the event log
+    "events_retention" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val first = ev.groupBy(col("user_id")).agg(min(col("ts")).as("__first"))
+      ev.join(first, Seq("user_id"))
+        .select(col("user_id"),
+          date_trunc("week", col("__first")).as("__cohort"),
+          floor((col("ts").cast("long")
+            - date_trunc("week", col("__first")).cast("long")) / lit(604800L))
+            .cast("long").as("week_n"))
+        .distinct()
+        .groupBy(col("__cohort"), col("week_n"))
+        .agg(count(lit(1)).as("n_users"))
+        .select(date_format(col("__cohort"), "yyyy-MM-dd").as("cohort"),
+          col("week_n"), col("n_users"))
+        .orderBy("cohort", "week_n")
+    }),
+
     // extension: semi-structured props — JSON field extraction
     // (codegen'd get_json_object, no UDF) rolled up per event type;
     // the "parse the payload" step every event pipeline has
@@ -2210,6 +2230,16 @@ object Queries {
       s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
         |  count(*) AS n, ${sqlR4("sum(value)")} AS value_sum
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+
+    // both engines truncate weeks to Monday; week offset via floor-epoch
+    // integer arithmetic (Spark's CAST(ts AS LONG) == floor(epoch(ts)))
+    "events_retention" ->
+      s"""WITH f AS (SELECT user_id, min(ts) AS fts FROM events GROUP BY user_id),
+         |a AS (SELECT DISTINCT e.user_id, date_trunc('week', f.fts) AS cohort,
+         |  CAST(floor((floor(epoch(e.ts)) - floor(epoch(date_trunc('week', f.fts)))) / 604800.0) AS BIGINT) AS week_n
+         |  FROM events e JOIN f ON e.user_id = f.user_id)
+         |SELECT strftime(cohort, '%Y-%m-%d') AS cohort, week_n, count(*) AS n_users
+         |FROM a GROUP BY cohort, week_n ORDER BY cohort, week_n""".stripMargin,
 
     "events_props_stats" ->
       s"""SELECT event_type,
