@@ -255,6 +255,20 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("events_retention: reductions only — no window, no event-log self-join blowup") {
+    val p = plan(Queries.queries("events_retention")(spark, sf))
+    assert(!p.contains("Window") && !p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.linesIterator.take(8).mkString("\n"))
+  }
+
+  test("corpus_split_safe shuffles ids only, never text") {
+    val df = Queries.queries("corpus_split_safe")(spark, sf)
+    val exchanges = df.queryExecution.executedPlan.collect {
+      case e if e.nodeName == "Exchange" || e.nodeName.contains("ShuffleExchange") => e.toString
+    }
+    exchanges.foreach(e => assert(!e.contains("text#"), s"text column in shuffle: $e"))
+  }
+
   test("exact dedup groups by a hash key, never shuffling full text") {
     val df = Queries.queries("dedup_exact")(spark, sf)
     val exchanges = df.queryExecution.executedPlan.collect {
