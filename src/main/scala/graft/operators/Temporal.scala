@@ -25,8 +25,9 @@ import org.apache.spark.sql.functions._
   * key (+ bucket), never on time. `asofJoin` is one sort-merge pass per
   * key group (the union trick: no join at all — a single window over the
   * interleaved stream), so its cost is a sort, not |left|·|right|.
-  * `rangeJoinBinned` bounds fan-out to 2 probe rows per left row for any
-  * window ≤ bucket width; skewed keys split across buckets naturally.
+  * `rangeJoinBinned` bounds fan-out to 2 build-side copies per right row
+  * for any window ≤ bucket width; skewed keys split across buckets
+  * naturally.
   */
 object Temporal {
 
@@ -56,6 +57,17 @@ object Temporal {
     *                     match to count (feature-store staleness bound);
     *                     matches outside it become `null`s, preserving
     *                     left-outer cardinality
+    * @param chunkSec skew escape hatch: 0 (default) runs one window per
+    *                 key — a single whale key (e.g. a null user or a
+    *                 default tenant holding half the events) serializes
+    *                 through one task's sort. A positive value splits
+    *                 each key's timeline into `chunkSec`-wide chunks,
+    *                 windows within (key, chunk), and carries the last
+    *                 match across chunk boundaries via a per-chunk
+    *                 summary table (one row per key×chunk — bounded by
+    *                 time span, not data). Same results for any value;
+    *                 pick chunkSec so one chunk of the hottest key fits
+    *                 a task
     */
   def asofJoin(
       left: DataFrame,
@@ -65,9 +77,10 @@ object Temporal {
       rightCols: Seq[String],
       tieBreak: String,
       direction: String = "backward",
-      toleranceSec: Long = Long.MaxValue): DataFrame =
+      toleranceSec: Long = Long.MaxValue,
+      chunkSec: Long = 0L): DataFrame =
     asofJoinKeys(left, right, Seq(key), ts, rightCols, tieBreak, direction,
-      toleranceSec)
+      toleranceSec, chunkSec)
 
   /** [[asofJoin]] on a COMPOSITE key (e.g. (entity, feature_group)) —
     * identical semantics, the window partitions on all key columns. */
@@ -79,28 +92,76 @@ object Temporal {
       rightCols: Seq[String],
       tieBreak: String,
       direction: String = "backward",
-      toleranceSec: Long = Long.MaxValue): DataFrame = {
+      toleranceSec: Long = Long.MaxValue,
+      chunkSec: Long = 0L): DataFrame = {
     require(keys.nonEmpty, "at least one key column required")
     require(direction == "backward" || direction == "forward",
       s"direction must be 'backward' or 'forward', got $direction")
     require(toleranceSec >= 0, s"toleranceSec must be >= 0, got $toleranceSec")
     val carried = struct(
       (rightCols :+ tieBreak).distinct.map(col) :+ col(ts).as("__mts"): _*)
+    // __tie keeps the tieBreak column's NATIVE type: casting (e.g. to
+    // long) would truncate doubles and null out non-numeric columns,
+    // silently breaking the greatest-tieBreak determinism contract. Left
+    // rows carry a null tie — their relative order is irrelevant (tag
+    // already sorts them after all right rows at equal ts, and their
+    // __carry is null so last(ignoreNulls) skips them).
     val r = right.select(
       keys.map(col) ++ Seq(col(ts).as("__ts"), lit(0).as("__tag"),
-        col(tieBreak).cast("long").as("__tie"), carried.as("__carry")): _*)
+        col(tieBreak).as("__tie"), carried.as("__carry")): _*)
     val l = left.withColumn("__ts", col(ts))
       .withColumn("__tag", lit(1))
-      .withColumn("__tie", lit(Long.MaxValue))
+      .withColumn("__tie", lit(null).cast(r.schema("__tie").dataType))
       .withColumn("__carry", lit(null).cast(r.schema("__carry").dataType))
     val tsOrd = if (direction == "backward") col("__ts").asc else col("__ts").desc
-    val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(tsOrd, col("__tag").asc, col("__tie").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val gapOk =
       abs(col(ts).cast("long") - col("__match.__mts").cast("long")) <= toleranceSec
-    l.unionByName(r, allowMissingColumns = true)
-      .withColumn("__match", last(col("__carry"), ignoreNulls = true).over(w))
+    val u = l.unionByName(r, allowMissingColumns = true)
+    val matched = if (chunkSec <= 0) {
+      val w = Window.partitionBy(keys.map(col): _*)
+        .orderBy(tsOrd, col("__tag").asc, col("__tie").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      u.withColumn("__match", last(col("__carry"), ignoreNulls = true).over(w))
+    } else {
+      // Segmented scan: window within (key, chunk) — both windows share
+      // the partitioning, so one shuffle — then carry the last match of
+      // preceding chunks in via a per-(key, chunk) summary (tiny: one
+      // row per key×chunk) and coalesce. A whale key's sort is now
+      // bounded by its densest chunk instead of its full history.
+      val chunked = u.withColumn("__chunk",
+        floor(unix_timestamp(col("__ts")) / chunkSec).cast("long"))
+      val pcols = keys.map(col) :+ col("__chunk")
+      val ord = Seq(tsOrd, col("__tag").asc, col("__tie").asc)
+      val wIn = Window.partitionBy(pcols: _*).orderBy(ord: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy(pcols: _*).orderBy(ord: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val inChunk = chunked
+        .withColumn("__match_in", last(col("__carry"), ignoreNulls = true).over(wIn))
+        .withColumn("__chunk_final", last(col("__carry"), ignoreNulls = true).over(wAll))
+      val chunkOrd =
+        if (direction == "backward") col("__chunk").asc else col("__chunk").desc
+      val wPrev = Window.partitionBy(keys.map(col): _*).orderBy(chunkOrd)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val summary = inChunk
+        .select(keys.map(col) :+ col("__chunk") :+ col("__chunk_final"): _*)
+        .dropDuplicates(keys :+ "__chunk")
+        .withColumn("__carry_prev",
+          last(col("__chunk_final"), ignoreNulls = true).over(wPrev))
+        .select(
+          keys.zipWithIndex.map { case (k, i) => col(k).as(s"__sk$i") } ++
+            Seq(col("__chunk").as("__schunk"), col("__carry_prev")): _*)
+      // null-safe equality: window partitioning groups null keys
+      // together, so the carry join must too
+      val cond = (keys.zipWithIndex
+        .map { case (k, i) => inChunk(k) <=> summary(s"__sk$i") } :+
+        (inChunk("__chunk") <=> summary("__schunk"))).reduce(_ && _)
+      inChunk.join(summary, cond, "left")
+        .withColumn("__match", coalesce(col("__match_in"), col("__carry_prev")))
+        .drop("__chunk", "__match_in", "__chunk_final")
+        .drop(summary.columns: _*)
+    }
+    matched
       .where(col("__tag") === 1)
       .withColumn("__match",
         when(col("__match").isNotNull && gapOk, col("__match")))
@@ -116,21 +177,23 @@ object Temporal {
     * caller to aggregate.
     *
     * Executed as an equi-join on `(key, bucket)` where bucket =
-    * `floor(epochSec / windowSec)`: each left row probes its own bucket
-    * and the previous one — for any look-back ≤ the bucket width those
-    * two buckets cover the window, so fan-out is a constant 2× on the
-    * probe side and the join is a plain shuffled (or broadcast) hash
-    * join. The inequality pair stays as a post-join filter on co-located
-    * rows, never a join condition, so Catalyst never falls back to
+    * `floor(epochSec / windowSec)`: each right row registers a copy in
+    * its own bucket and the next one — for any look-back ≤ the bucket
+    * width those two copies cover every left bucket that can see it, so
+    * fan-out is a constant 2× on the build side and the join is a plain
+    * shuffled (or broadcast) hash join. The left side is never
+    * replicated, which is what makes the left-outer cardinality exact.
+    * The inequality pair stays a residual condition on co-located rows,
+    * never the join key, so Catalyst never falls back to
     * BroadcastNestedLoopJoin.
     *
     * @param windowSec look-back span in seconds
     * @param offsetSec right edge of the window, seconds before `left.ts`
     *                  (0 = up to and excluding the left row's instant)
     * @param bucketSec bucket width (default = `windowSec`, the 2×-fan-out
-    *                  sweet spot). A smaller bucket trades probe fan-out
-    *                  (`ceil(window/bucket)+1` copies per left row) for a
-    *                  tighter build-side hash — worth it when the right
+    *                  sweet spot). A smaller bucket trades build fan-out
+    *                  (`ceil(window/bucket)+1` copies per right row) for
+    *                  a tighter per-bucket hash — worth it when the right
     *                  side is dense and the window long
     */
   def rangeJoinBinned(
@@ -149,24 +212,30 @@ object Temporal {
       s"window/bucket ratio $nBack explodes the probe side " +
         s"(${nBack + 1} copies per left row) — widen bucketSec")
     val bucket = (c: Column) => floor(unix_timestamp(c) / bsec).cast("long")
-    val probe = left
-      .withColumn("__b",
-        explode(sequence(bucket(col(ts)) - nBack, bucket(col(ts)))))
+    // Fan out the BUILD side, not the probe: a right row in bucket b can
+    // only match left rows in buckets [b, b + nBack], so it registers one
+    // copy per such bucket. The left side keeps exactly ONE copy per row
+    // (probing its own bucket), so the left-outer join emits exactly one
+    // null-extended row iff the left row has no match anywhere in its
+    // look-back window — pair cardinality is exact by construction, with
+    // no post-filter. (The earlier probe-side fan-out needed a null-row
+    // filter that let a phantom null row through when a left row's
+    // matches all lived in a non-own bucket.) A given right row joins a
+    // given left row through at most one copy (the copies differ in __b
+    // and the left row has a single bucket), so no duplicate pairs.
     val build = right.select(
-      col(key).as("__rk"), col(ts).as("__rts"),
-      bucket(col(ts)).as("__rb"),
-      struct(right.columns.map(col): _*).as("__row"))
+        col(key).as("__rk"), col(ts).as("__rts"),
+        struct(right.columns.map(col): _*).as("__row"))
+      .withColumn("__b",
+        explode(sequence(bucket(col("__rts")), bucket(col("__rts")) + nBack)))
+    val probe = left.withColumn("__lb", bucket(col(ts)))
     probe
       .join(build,
-        probe(key) === build("__rk") && probe("__b") === build("__rb") &&
+        probe(key) === build("__rk") && probe("__lb") === build("__b") &&
           build("__rts") > probe(ts) - expr(s"INTERVAL $windowSec SECONDS") &&
           build("__rts") <= probe(ts) - expr(s"INTERVAL $offsetSec SECONDS"),
         "left_outer")
-      // the 2× probe fan-out leaves one null-extended row per UNMATCHED
-      // probe copy; keep a left row's null row only from its own bucket
-      // so left-outer cardinality is exact
-      .where(col("__rk").isNotNull || col("__b") === bucket(col(ts)))
-      .drop("__b", "__rk", "__rb", "__rts")
+      .drop("__lb", "__b", "__rk", "__rts")
       .withColumnRenamed("__row", "range_match")
   }
 }

@@ -188,6 +188,99 @@ class TemporalSpec extends SparkSpec {
     assert(got.size === lRows.length)
   }
 
+  test("asofJoin tie-break keeps the column's native type (double, string)") {
+    // two right rows tied on ts; tieBreak is a DOUBLE whose values only
+    // differ in the fractional part — a cast to long would truncate both
+    // to 0 and resolve the tie arbitrarily
+    val l = Seq((1L, 1L, ts("2024-01-01 10:00:00"))).toDF("event_id", "user_id", "ts")
+    val rD = Seq(
+      (1L, ts("2024-01-01 09:00:00"), 0.1, "lo"),
+      (1L, ts("2024-01-01 09:00:00"), 0.9, "hi"))
+      .toDF("user_id", "ts", "w", "name")
+    val gotD = Temporal.asofJoin(l, rD, "user_id", "ts", Seq("name"), tieBreak = "w")
+      .select("asof_name").as[String].collect()
+    assert(gotD === Array("hi"))
+    // string tie-break: a numeric cast would null both out and pick an
+    // arbitrary row; native ordering resolves to the greatest string
+    val rS = Seq(
+      (1L, ts("2024-01-01 09:00:00"), "alpha"),
+      (1L, ts("2024-01-01 09:00:00"), "zeta"))
+      .toDF("user_id", "ts", "tag")
+    val gotS = Temporal.asofJoin(l, rS, "user_id", "ts", Seq("tag"), tieBreak = "tag")
+      .select("asof_tag").as[String].collect()
+    assert(gotS === Array("zeta"))
+  }
+
+  test("asofJoin chunked (skew path) matches the single-window path, incl. null keys") {
+    val rnd = new scala.util.Random(41)
+    // whale key: user 0 holds ~half the rows; plus a null-key population
+    // to prove the cross-chunk carry join is null-safe
+    def key(): java.lang.Long =
+      rnd.nextInt(4) match { case 0 | 1 => 0L; case 2 => 1L; case _ => null }
+    val l = (0 until 400).map(i =>
+      (i.toLong, key(), ts(f"2024-01-01 ${rnd.nextInt(24)}%02d:${rnd.nextInt(60)}%02d:00")))
+      .toDF("event_id", "user_id", "ts")
+    val r = (0 until 400).map(i =>
+      (i.toLong + 1000L, key(), ts(f"2024-01-01 ${rnd.nextInt(24)}%02d:${rnd.nextInt(60)}%02d:00")))
+      .toDF("rid", "user_id", "ts")
+    for (dir <- Seq("backward", "forward")) {
+      val plain = Temporal.asofJoin(l, r, "user_id", "ts", Seq("rid"), "rid",
+          direction = dir)
+        .select("event_id", "asof_rid").as[(Long, Option[Long])].collect().toMap
+      // 2-hour chunks: the whale key's day splits across ~12 partitions
+      val chunked = Temporal.asofJoin(l, r, "user_id", "ts", Seq("rid"), "rid",
+          direction = dir, chunkSec = 7200L)
+        .select("event_id", "asof_rid").as[(Long, Option[Long])].collect().toMap
+      assert(chunked === plain, s"direction=$dir")
+      assert(chunked.size === 400)
+    }
+  }
+
+  test("rangeJoinBinned pair-level: exactly one null row per unmatched left, none for matched") {
+    // left row 1's only matches live in the PREVIOUS bucket (its own
+    // bucket holds no right rows) — the old probe-side fan-out emitted a
+    // phantom null row alongside the real pairs here; left row 2 has no
+    // matches at all and must get exactly one null row
+    val l = Seq(
+      (1L, 7L, new java.sql.Timestamp(1704100205000L)), // bucket edge + 5 s
+      (2L, 7L, new java.sql.Timestamp(1704103800000L)))
+      .toDF("event_id", "user_id", "ts")
+    val r = Seq(
+      (7L, new java.sql.Timestamp(1704100190000L), 1.0), // 15 s before l1, prev bucket
+      (7L, new java.sql.Timestamp(1704100100000L), 2.0)) // 105 s before l1, prev bucket
+      .toDF("user_id", "ts", "value")
+    val pairs = Temporal.rangeJoinBinned(l, r, "user_id", "ts", windowSec = 600L)
+      .select(col("event_id"), col("range_match").isNull.as("noMatch"))
+      .as[(Long, Boolean)].collect().toSeq.sorted
+    assert(pairs === Seq((1L, false), (1L, false), (2L, true)))
+  }
+
+  test("rangeJoinBinned pair-level cardinality matches brute force on random data") {
+    val rnd = new scala.util.Random(53)
+    val l = (0 until 150).map(i =>
+      (i.toLong, rnd.nextInt(3).toLong,
+        new java.sql.Timestamp(1704100000000L + rnd.nextInt(7200) * 1000L)))
+      .toDF("event_id", "user_id", "ts")
+    val r = (0 until 300).map(_ =>
+      (rnd.nextInt(3).toLong,
+        new java.sql.Timestamp(1704100000000L + rnd.nextInt(7200) * 1000L), 1.0))
+      .toDF("user_id", "ts", "value")
+    val win = 600L
+    // count(*) — unlike count(col) it does NOT skip nulls, so a phantom
+    // null row for a matched left row would break this
+    val got = Temporal.rangeJoinBinned(l, r, "user_id", "ts", win)
+      .groupBy("event_id").agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toMap
+    val lRows = l.as[(Long, Long, java.sql.Timestamp)].collect()
+    val rRows = r.as[(Long, java.sql.Timestamp, Double)].collect()
+    lRows.foreach { case (id, u, t) =>
+      val n = rRows.count(x => x._1 == u &&
+        x._2.getTime > t.getTime - win * 1000 && x._2.getTime <= t.getTime)
+      assert(got(id) === math.max(n, 1L), s"event $id") // unmatched → 1 null row
+    }
+    assert(got.size === lRows.length)
+  }
+
   test("rangeJoinBinned plan: equi-join on (key, bucket), no nested-loop fallback") {
     val plan = Temporal.rangeJoinBinned(lefts, rights, "user_id", "ts", 600L)
       .queryExecution.executedPlan.toString
