@@ -497,6 +497,128 @@ object NativeExprs {
 
   def repetitionStats(tokens: Column): Column = asCol(RepetitionStatsExpr(ex(tokens)))
 
+  /** Fused PQ encode — compiled twin of
+    * [[graft.operators.VectorOps.pqCodesHof]]'s
+    * `transform(books, (book, sub) -> aggregate(book, ...argmin...))`:
+    * per subspace, the code of the squared-L2-nearest codebook entry
+    * (ties → smaller code; NaN distances never win). The HOF runs an
+    * interpreted expression tree per (row × book entry × component) —
+    * the per-row work of a PQ code scan, exactly the overhead class
+    * this file exists to kill — while this expression does one compiled
+    * m×|book|×dsub loop per row.
+    *
+    * Null semantics mirror the HOF exactly: null `books` → null; a null
+    * book element → null code element; a null/short vector, null cvec,
+    * null array elements, or a cvec whose length differs from the book's
+    * first entry all make that entry's distance null, which the fold
+    * skips — so a fully-unmatchable subspace keeps the init code −1.
+    * Precondition (pqPack output, asserted nowhere else): within a book
+    * every cvec has the first entry's length and codes are non-null.
+    * Bit-identity with the HOF is fuzz-pinned in NativeExprsSpec. */
+  case class PqCodesExpr(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = true)
+    override def nullable: Boolean = true
+    @transient private lazy val readV: (ArrayData, Int) => Double = reader(left.dataType)
+    @transient private lazy val entrySchema: StructType = right.dataType match {
+      case ArrayType(ArrayType(st: StructType, _), _) => st
+      case other => throw new IllegalArgumentException(s"unsupported books type: $other")
+    }
+    @transient private lazy val codeIdx: Int = entrySchema.fieldIndex("code")
+    @transient private lazy val cvecIdx: Int = entrySchema.fieldIndex("cvec")
+    @transient private lazy val readC: (ArrayData, Int) => Double =
+      reader(entrySchema(cvecIdx).dataType)
+    @transient private lazy val vMayNull: Boolean = left.dataType match {
+      case ArrayType(_, cn) => cn
+      case _ => true
+    }
+    @transient private lazy val cMayNull: Boolean = entrySchema(cvecIdx).dataType match {
+      case ArrayType(_, cn) => cn
+      case _ => true
+    }
+    override def eval(input: InternalRow): Any = {
+      val books = right.eval(input).asInstanceOf[ArrayData]
+      if (books == null) return null
+      val v = left.eval(input).asInstanceOf[ArrayData]
+      val vlen = if (v == null) -1 else v.numElements()
+      val nf = entrySchema.size
+      val m = books.numElements()
+      val out = new Array[Any](m)
+      var sub = 0
+      while (sub < m) {
+        out(sub) = if (books.isNullAt(sub)) null else {
+          val book = books.getArray(sub)
+          val bn = book.numElements()
+          var bestCode = -1
+          var bestD = Double.MaxValue
+          if (bn > 0 && !book.isNullAt(0)) {
+            val first = book.getStruct(0, nf)
+            val dsub = if (first.isNullAt(cvecIdx)) -1
+              else first.getArray(cvecIdx).numElements()
+            val start = sub * dsub
+            // the HOF's slice(v, start+1, dsub) only yields a length-dsub
+            // subvector when the vector has that many elements left; a
+            // shorter slice length-mismatches every (well-formed) cvec
+            if (dsub >= 0 && v != null && start >= 0 && start + dsub <= vlen) {
+              var svOk = true
+              if (vMayNull) {
+                var i = 0
+                while (i < dsub && svOk) {
+                  if (v.isNullAt(start + i)) svOk = false
+                  i += 1
+                }
+              }
+              if (svOk) {
+                var e = 0
+                while (e < bn) {
+                  if (!book.isNullAt(e)) {
+                    val ent = book.getStruct(e, nf)
+                    if (!ent.isNullAt(codeIdx) && !ent.isNullAt(cvecIdx)) {
+                      val cv = ent.getArray(cvecIdx)
+                      if (cv.numElements() == dsub) {
+                        var ok = true
+                        if (cMayNull) {
+                          var i = 0
+                          while (i < dsub && ok) {
+                            if (cv.isNullAt(i)) ok = false
+                            i += 1
+                          }
+                        }
+                        if (ok) {
+                          var s = 0.0
+                          var i = 0
+                          while (i < dsub) {
+                            val d = readV(v, start + i) - readC(cv, i)
+                            s += d * d
+                            i += 1
+                          }
+                          val code = ent.getInt(codeIdx)
+                          if (!s.isNaN &&
+                              (s < bestD || (s == bestD && code < bestCode))) {
+                            bestD = s
+                            bestCode = code
+                          }
+                        }
+                      }
+                    }
+                  }
+                  e += 1
+                }
+              }
+            }
+          }
+          bestCode
+        }
+        sub += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  def pqCodes(v: Column, books: Column): Column = asCol(PqCodesExpr(ex(v), ex(books)))
+
   case class Md5MinWindowExpr(child: Expression, window: Int)
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = StringType

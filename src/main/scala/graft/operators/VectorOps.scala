@@ -64,8 +64,20 @@ object VectorOps {
     * codebook entry (ties → smaller code; NaN distances never win).
     * `books` is the packed column from [[pqPack]]; the subspace width is
     * inferred from each book's first entry, so one expression serves any
-    * (m, dsub) split. Returns `array<int>` of length m. */
+    * (m, dsub) split. Returns `array<int>` of length m.
+    *
+    * Runs the fused native kernel
+    * ([[graft.functions.NativeExprs.PqCodesExpr]]): the code scan is the
+    * per-row hot loop of the PQ serving path, and the HOF formulation
+    * below walks an interpreted expression tree per (entry × component).
+    * Bit-identity between the two is fuzz-pinned in NativeExprsSpec. */
   def pqCodes(v: Column, books: Column): Column =
+    graft.functions.NativeExprs.pqCodes(v, books)
+
+  /** Interpreted HOF twin of [[pqCodes]] — the formulation the DuckDB
+    * oracle SQL mirrors, retained as the native kernel's executable
+    * specification (and its fuzz oracle). Not used on any hot path. */
+  def pqCodesHof(v: Column, books: Column): Column =
     transform(books, (book, sub) => {
       val dsub = size(element_at(book, 1).getField("cvec"))
       val sv = slice(v, sub * dsub + lit(1), dsub)

@@ -252,6 +252,59 @@ class NativeExprsSpec extends SparkSpec {
       TextOps.qualityScoreFromTokens(col("text"), col("__t")), withT)
   }
 
+  test("pqCodes == interpreted HOF twin, bit-identical across (m, dsub, k) shapes") {
+    import graft.operators.VectorOps
+    // several PQ geometries, random codebooks built through pqPack (the
+    // only producer) and random vectors — the native kernel must agree
+    // exactly with the HOF argmin fold, including ties (duplicate
+    // codebook entries force d-equality → smaller code must win)
+    for ((m, dsub, k) <- Seq((4, 4, 8), (2, 8, 16), (8, 2, 4))) {
+      val dim = m * dsub
+      val bookRows = (0 until m).flatMap { sub =>
+        (0 until k).map { code =>
+          // duplicate every even entry's cvec at code+1 when possible:
+          // guaranteed distance ties
+          val base = if (code % 2 == 1) null else randVec(dsub)
+          (sub, code, base)
+        }
+      }
+      val filled = bookRows.map { case (s, c, v) =>
+        (s, c, if (v != null) v else bookRows.find(r => r._1 == s && r._2 == c - 1).get._3)
+      }
+      val books = VectorOps.pqPack(filled.toDF("sub_idx", "code", "cvec"))
+      val vecs = (0 until 50).map(i => (i.toLong, randVec(dim))).toDF("id", "embedding")
+        .crossJoin(broadcast(books))
+      assertSame(
+        VectorOps.pqCodes(col("embedding"), col("books")),
+        VectorOps.pqCodesHof(col("embedding"), col("books")), vecs)
+    }
+  }
+
+  test("pqCodes edge cases: short / null vector match the HOF (-1 fills)") {
+    import graft.operators.VectorOps
+    val books = VectorOps.pqPack(
+      (0 until 4).flatMap(sub => (0 until 4).map(code => (sub, code, randVec(4))))
+        .toDF("sub_idx", "code", "cvec"))
+    // vector shorter than m*dsub: tail subspaces can't slice a full
+    // subvector → every entry's distance is null → init code −1 survives
+    val shortVecs = Seq((1L, Seq.fill(10)(0.5f)), (2L, Seq.empty[Float]))
+      .toDF("id", "embedding").crossJoin(broadcast(books))
+    assertSame(
+      VectorOps.pqCodes(col("embedding"), col("books")),
+      VectorOps.pqCodesHof(col("embedding"), col("books")), shortVecs)
+    // null vector: HOF yields an array of −1 (slice(null) nulls every
+    // distance), NOT a null array
+    val nullVec = Seq(Tuple1(3L)).toDF("id")
+      .withColumn("embedding", lit(null).cast("array<float>"))
+      .crossJoin(broadcast(books))
+    assertSame(
+      VectorOps.pqCodes(col("embedding"), col("books")),
+      VectorOps.pqCodesHof(col("embedding"), col("books")), nullVec)
+    val got = nullVec.select(VectorOps.pqCodes(col("embedding"), col("books")))
+      .as[Seq[Int]].head()
+    assert(got === Seq(-1, -1, -1, -1))
+  }
+
   test("VectorMeanAgg == posexplode + avg-per-dimension twin") {
     val rows = (0 until 200).map(i => (i % 5L, randVec(16)))
     val df = rows.toDF("g", "v")
