@@ -94,4 +94,149 @@ object VectorIngest {
       .partitionBy("cluster_id")
       .trigger(Trigger.AvailableNow())
       .start()
+
+  /** Ingest with AUTOMATED index maintenance — the reference's
+    * insert→adaptive-split lifecycle (`src/cores/database.rs:227-254` →
+    * `src/cores/index.rs:127-132`) as one callable production job,
+    * instead of a refine the operator must remember to schedule.
+    *
+    * Each micro-batch is validated + assigned against the CURRENT
+    * centroids and appended to the current version of the
+    * `cluster_id`-partitioned store. The batch hook then checks the
+    * density contract from a driver-side running size map (updated from
+    * the batch's per-cluster counts — bounded by cluster count, never a
+    * store rescan), and when any cluster exceeds `density` it runs
+    * [[graft.operators.IvfIndex.refine]] to its fixed point, writes the
+    * refined index as the NEXT store version directory, and swaps
+    * centroids + store path for subsequent batches and readers — the
+    * batch analog of the reference's per-insert adaptive split, amortized
+    * to once per violation instead of once per record.
+    *
+    * Consistency note: the plain file-sink path
+    * ([[startToPartitionedStore]]) gets exactly-once appends from the
+    * sink's commit log; `foreachBatch` + rewrite is at-least-once on
+    * batch retry (a retried batch may re-append). The versioned-directory
+    * swap keeps refines atomic for readers — a version directory is
+    * either fully written by [[graft.operators.IvfIndex.writePartitioned]]
+    * or not yet current.
+    */
+  def startMaintained(
+      spark: SparkSession,
+      dir: String,
+      initialCentroids: DataFrame,
+      metric: Metric,
+      dim: Int,
+      storeBase: String,
+      checkpointPath: String,
+      density: Int,
+      maxRefineRounds: Int = 16): MaintainedIngest = {
+    val state = new MaintainedIngest(spark, initialCentroids, metric, dim,
+      storeBase, density, maxRefineRounds)
+    val query = readRecords(spark, dir, dim)
+      .writeStream
+      .foreachBatch((batch: DataFrame, _: Long) => state.processBatch(batch))
+      .option("checkpointLocation", checkpointPath)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    state.attach(query)
+    state
+  }
+}
+
+/** Mutable driver-side state of a [[VectorIngest.startMaintained]] job:
+  * the current centroids, store version, and per-cluster running sizes.
+  * Micro-batches are processed sequentially by the streaming engine, so
+  * `processBatch` never races itself; reader methods are volatile-safe. */
+final class MaintainedIngest private[streaming] (
+    spark: SparkSession,
+    initialCentroids: DataFrame,
+    metric: Metric,
+    dim: Int,
+    storeBase: String,
+    density: Int,
+    maxRefineRounds: Int) {
+  import org.apache.spark.sql.functions.{col, count, lit}
+
+  @volatile private var vers = 0
+  @volatile private var cents = initialCentroids
+  @volatile private var refines = 0
+  private val sizes = scala.collection.mutable.HashMap.empty[Int, Long]
+
+  // Restart recovery: the store version, its centroids, and the running
+  // sizes all have durable sources of truth (version directories, the
+  // per-version centroids parquet, the store's partition column), so a
+  // restarted job resumes from the latest refined state instead of
+  // silently re-assigning against stale initial centroids or missing a
+  // density violation that predates the restart.
+  locally {
+    val p = new org.apache.hadoop.fs.Path(storeBase)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val versions =
+      if (!fs.exists(p)) Array.empty[Int]
+      else fs.listStatus(p).filter(_.isDirectory).map(_.getPath.getName)
+        .filter(_.matches("v\\d+")).map(_.drop(1).toInt)
+    if (versions.nonEmpty) {
+      vers = versions.max
+      if (fs.exists(new org.apache.hadoop.fs.Path(centroidsPath(vers))))
+        cents = spark.read.parquet(centroidsPath(vers))
+      spark.read.parquet(storePath)
+        .groupBy(col("cluster_id")).agg(count(lit(1)).as("n"))
+        .collect().foreach(r => sizes(r.getInt(0)) = r.getLong(1))
+    }
+  }
+
+  private def centroidsPath(v: Int): String = s"$storeBase/centroids_v$v"
+
+  private var query: StreamingQuery = _
+  private[streaming] def attach(q: StreamingQuery): Unit = query = q
+
+  /** The running stream (await it to drain an AvailableNow window). */
+  def streamingQuery: StreamingQuery = query
+  /** Current store version directory (readers open this). */
+  def storePath: String = s"$storeBase/v$vers"
+  /** Current index view over the store — probe with [[graft.operators.IvfIndex.query]]. */
+  def model: IvfIndex.Model = IvfIndex.Model(cents, spark.read.parquet(storePath))
+  /** How many automated refine passes have fired. */
+  def refineCount: Int = refines
+
+  private[streaming] def processBatch(batch: DataFrame): Unit = {
+    val assigned = VectorIngest.validateAndAssign(batch, cents, metric, dim)
+      .persist()
+    try {
+      assigned.write.mode("append").partitionBy("cluster_id").parquet(storePath)
+      val batchCounts = assigned
+        .groupBy(col("cluster_id")).agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1))
+      batchCounts.foreach { case (c, n) => sizes(c) = sizes.getOrElse(c, 0L) + n }
+    } finally assigned.unpersist()
+    if (sizes.nonEmpty && sizes.values.max > density) refineNow()
+  }
+
+  private def refineNow(): Unit = {
+    var m = IvfIndex.Model(cents, spark.read.parquet(storePath))
+    var prev: IvfIndex.Model = null
+    var rounds = 0
+    while (!(m eq prev) && rounds < maxRefineRounds) {
+      prev = m
+      m = IvfIndex.refine(m, density, metric)
+      rounds += 1
+    }
+    val next = vers + 1
+    val nextPath = s"$storeBase/v$next"
+    IvfIndex.writePartitioned(m, nextPath)
+    m.centroids.write.mode("overwrite").parquet(centroidsPath(next))
+    val recovered = spark.read.parquet(centroidsPath(next))
+    // re-seed the running sizes from the rewritten store's partition
+    // column only (footer-cheap; bounded output by cluster count)
+    val refinedCounts = spark.read.parquet(nextPath)
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1))
+    sizes.clear()
+    refinedCounts.foreach { case (c, n) => sizes(c) = n }
+    // subsequent batches assign against the PERSISTED centroids — a flat
+    // parquet scan, not the refine loop's lineage
+    cents = recovered
+    vers = next
+    refines += 1
+  }
 }

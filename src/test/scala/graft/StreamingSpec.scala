@@ -235,6 +235,70 @@ class StreamingSpec extends SparkSpec {
     assert(viaDisk === exact)
   }
 
+  test("startMaintained: density violation fires refine automatically; restart recovers state") {
+    // Same lifecycle as the manual test above, but the refine trigger is
+    // part of the job: no manual invocation anywhere.
+    import graft.operators.{IvfIndex, Knn}
+    import graft.streaming.VectorIngest
+    import graft.types.Metric
+    val dim = 8
+    val base = java.nio.file.Files.createTempDirectory("graft_automaint")
+    val inDir = s"$base/in"
+    val storeBase = s"$base/store"
+    val ckpt = s"$base/ckpt"
+    val rnd = new scala.util.Random(23)
+    def wave(ids: Range) = ids.map(i =>
+      (i.toLong, Seq.fill(dim)(rnd.nextFloat()), Map("k" -> i.toString)))
+
+    // wave 1: 30 records, density 40 — under contract, no refine fires
+    val w1 = wave(0 until 30)
+    w1.toDF("id", "embedding", "metadata").write.mode("append").parquet(inDir)
+    val centroids = w1.take(2).map { case (i, e, _) => (i.toInt, e) }
+      .toDF("cluster_id", "centroid")
+    val job1 = VectorIngest.startMaintained(spark, inDir, centroids,
+      Metric.Euclidean, dim, storeBase, ckpt, density = 40)
+    job1.streamingQuery.awaitTermination()
+    assert(job1.refineCount === 0, "refine must not fire under the contract")
+    assert(job1.storePath.endsWith("/v0"))
+
+    // wave 2 through a RESTARTED job (fresh driver state): 150 more
+    // records push clusters past density — the trigger must fire without
+    // any manual refine call, and the restart must see wave 1's sizes
+    wave(1000 until 1150).toDF("id", "embedding", "metadata")
+      .write.mode("append").parquet(inDir)
+    val job2 = VectorIngest.startMaintained(spark, inDir, centroids,
+      Metric.Euclidean, dim, storeBase, ckpt, density = 40)
+    job2.streamingQuery.awaitTermination()
+    assert(job2.refineCount >= 1, "density violation did not trigger refine")
+
+    val m = job2.model
+    val sizes = m.assigned.groupBy(col("cluster_id")).count()
+      .as[(Int, Long)].collect().toMap
+    assert(sizes.values.sum === 180L, "records lost across ingest + auto-refine")
+    assert(sizes.values.max <= 40,
+      s"density contract not restored: max=${sizes.values.max}")
+    assert(sizes.size > 2, "no cluster split")
+
+    // the auto-refined index still answers exactly
+    val qv = spark.read.parquet(inDir).where(col("id") === 0)
+      .select(col("embedding").as("qvec"))
+    val viaIndex = IvfIndex.query(m, qv, 10, probes = Int.MaxValue, Metric.Euclidean)
+      .select("id", "distance").as[(Long, Double)].collect().toSet
+    val exact = Knn.search(
+        spark.read.parquet(inDir).select("id", "embedding", "metadata"),
+        qv, 10, Metric.Euclidean)
+      .select("id", "distance").as[(Long, Double)].collect().toSet
+    assert(viaIndex === exact && viaIndex.size === 10)
+
+    // a third job restart with NO new data: recovers the refined version
+    // (v>=1, refined centroids), fires nothing
+    val job3 = VectorIngest.startMaintained(spark, inDir, centroids,
+      Metric.Euclidean, dim, storeBase, ckpt, density = 40)
+    job3.streamingQuery.awaitTermination()
+    assert(job3.refineCount === 0)
+    assert(job3.storePath === job2.storePath, "restart lost the refined store version")
+  }
+
   test("stream-static dim enrichment equals the batch join; missing keys null") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // dim snapshot: latest (by ts, then event_id) value per user from the
