@@ -433,6 +433,21 @@ object Queries {
         .select(col("id").as("vec_id"),
           try_element_at(col("metadata"), lit("label")).as("label"))),
 
+    // O7 over the id-bucketed point-lookup layout (the reference's O(1)
+    // hashmap get as a file-system layout): the store is written once
+    // per (session, sf) — session-lifecycle state like fixedModel — and
+    // the lookup statically prunes to one bucket file (plan pinned in
+    // PlanShapeSpec)
+    "get_by_id_store" -> ((s, dir) => {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_idstore_" +
+        s"${s.sparkContext.applicationId}_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      if (!new java.io.File(s"$path/_graft_layout").exists())
+        Records.snapshotById(recs(s, dir), path, buckets = 64)
+      Records.getById(s, path, 42L)
+        .select(col("id").as("vec_id"),
+          try_element_at(col("metadata"), lit("label")).as("label"))
+    }),
+
     // O16 — count
     "count_records" -> ((s, dir) =>
       recs(s, dir).agg(count(lit(1)).as("n_records"))),
@@ -1454,6 +1469,10 @@ object Queries {
       "SELECT doc_id FROM documents WHERE lang = 'fr' ORDER BY doc_id",
 
     "get_by_id" ->
+      "SELECT vec_id, CAST(label AS VARCHAR) AS label FROM embeddings WHERE vec_id = 42",
+
+    // the bucketed layout changes the files, never the rows
+    "get_by_id_store" ->
       "SELECT vec_id, CAST(label AS VARCHAR) AS label FROM embeddings WHERE vec_id = 42",
 
     "count_records" -> "SELECT count(*) AS n_records FROM embeddings",

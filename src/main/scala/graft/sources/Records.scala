@@ -68,4 +68,52 @@ object Records {
   /** Snapshot source (O18). */
   def open(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  // ---------- id-bucketed layout: the point-lookup store ----------
+  //
+  // The reference's get is an O(1) hashmap probe
+  // (`src/cores/storage.rs:33-41`); a plain parquet snapshot answers
+  // `id = ?` by scanning every file's footer. The bucketed layout makes
+  // the lookup cost independent of store size: `id_bucket = id mod B` is
+  // a PARTITION directory (static pruning selects exactly one at
+  // planning time — at 100 TB that is one directory listing instead of
+  // millions of files), and rows inside each bucket are sorted by id so
+  // the pushed `id = ?` predicate prunes to one row group via parquet
+  // min/max stats. Write amortizes over every subsequent lookup.
+
+  private def layoutPath(path: String) = s"$path/_graft_layout"
+
+  /** Snapshot in point-lookup layout: one directory per `id mod buckets`,
+    * id-sorted within. The bucket count is recorded in a `_graft_layout`
+    * descriptor (underscore-prefixed: invisible to the data reads), so
+    * readers need no out-of-band knowledge. Each bucket is written by
+    * exactly one task → exactly one file per bucket. */
+  def snapshotById(df: DataFrame, path: String, buckets: Int = 256): Unit = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    df.withColumn("id_bucket", pmod(col("id"), lit(buckets.toLong)).cast("int"))
+      .repartition(col("id_bucket"))
+      .sortWithinPartitions(col("id"))
+      .write.mode("overwrite").partitionBy("id_bucket").parquet(path)
+    df.sparkSession.range(1).select(lit(buckets).as("buckets"))
+      .write.mode("overwrite").parquet(layoutPath(path))
+  }
+
+  /** Open a [[snapshotById]] store as the canonical record frame (the
+    * physical `id_bucket` column is dropped; use [[getById]] for pruned
+    * point lookups). */
+  def openById(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path).drop("id_bucket")
+
+  /** Pruned point lookup (O7) over a [[snapshotById]] store: reads the
+    * bucket count from the layout descriptor and constrains BOTH the
+    * partition column (one directory survives planning) and the id (one
+    * row group survives the parquet stats). Plan shape pinned in
+    * PlanShapeSpec: the scan reads exactly one file. */
+  def getById(spark: SparkSession, path: String, id: Long): DataFrame = {
+    val buckets = spark.read.parquet(layoutPath(path)).head().getAs[Int]("buckets")
+    spark.read.parquet(path)
+      .where(col("id_bucket") === lit(java.lang.Math.floorMod(id, buckets.toLong)).cast("int")
+        && col("id") === lit(id))
+      .drop("id_bucket")
+  }
 }

@@ -58,6 +58,29 @@ class PlanShapeSpec extends SparkSpec {
       || p.contains("EqualTo(vec_id,42)"), p)
   }
 
+  test("id-bucketed store: point lookup statically prunes to ONE file") {
+    import graft.sources.Records
+    val store = java.nio.file.Files.createTempDirectory("graft_idstore").toString + "/s"
+    Records.snapshotById(Records.fromEmbeddings(spark, sf), store, buckets = 16)
+    val df = Records.getById(spark, store, 42L)
+    // correct row, canonical schema (no physical id_bucket column)
+    val rows = df.collect()
+    assert(rows.map(_.getAs[Long]("id")).toSeq === Seq(42L))
+    assert(!df.columns.contains("id_bucket"))
+    val p = plan(df)
+    // bucket predicate is STATIC partition pruning (planning-time, not
+    // dynamic), id predicate reaches the parquet stats
+    assert(p.contains("PartitionFilters") && p.contains("id_bucket"), p)
+    assert(p.contains("EqualTo(id,42)"), p)
+    // the reference's O(1) hashmap get, file-system edition: of the 16
+    // bucket files only one is touched
+    val scan = df.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scan.nonEmpty, p)
+    assert(scan.head.metrics("numFiles").value === 1, p)
+  }
+
   test("cluster_id-partitioned store: probe query prunes partitions at the scan") {
     val r = graft.sources.Records.fromEmbeddings(spark, sf)
     val c = r.where(col("id") < 8)
