@@ -1312,30 +1312,19 @@ object Queries {
 
     // extension: ordered funnel (view → click → purchase): stage k's
     // timestamp is the EARLIEST event of that type at-or-after stage
-    // k−1. Three per-user min-reductions chained by equi-joins (each
+    // k−1. Per-stage per-user min-reductions chained by equi-joins (each
     // map-side combinable, per-user state O(1)) — not a per-user
-    // collect_list, which a whale user would blow up at 100 TB
-    "events_funnel" -> ((s, dir) => {
-      val ev = events(s, dir)
-      def stage(typ: String, after: DataFrame, afterCol: String): DataFrame =
-        ev.where(col("event_type") === typ)
-          .join(after, Seq("user_id"))
-          .where(col("ts") >= col(afterCol))
-          .groupBy(col("user_id")).agg(min(col("ts")).as(s"${typ}_ts"))
-      val v = ev.where(col("event_type") === "view")
-        .groupBy(col("user_id")).agg(min(col("ts")).as("view_ts"))
-      val c = stage("click", v, "view_ts")
-      val p = stage("purchase", c, "click_ts")
-      v.join(c, Seq("user_id"), "left_outer")
-        .join(p, Seq("user_id"), "left_outer")
+    // collect_list, which a whale user would blow up at 100 TB. The
+    // operator ([[operators.Events.funnel]]) takes any stage list; this
+    // row pins the 3-stage instance
+    "events_funnel" -> ((s, dir) =>
+      operators.Events.funnel(events(s, dir), Seq("view", "click", "purchase"))
         .select(col("user_id"),
           date_format(col("view_ts"), "yyyy-MM-dd HH:mm:ss").as("view_ts"),
           date_format(col("click_ts"), "yyyy-MM-dd HH:mm:ss").as("click_ts"),
           date_format(col("purchase_ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
-          (lit(1) + when(col("click_ts").isNotNull, 1).otherwise(0)
-            + when(col("purchase_ts").isNotNull, 1).otherwise(0)).as("stage"))
-        .orderBy("user_id")
-    }),
+          col("stage"))
+        .orderBy("user_id")),
 
     // extension: top-N per group without a ranking window — per-user
     // totals (map-side combinable), then the bounded heap (TopKPairsAgg,

@@ -1,0 +1,66 @@
+package graft
+
+import graft.operators.Events
+import org.apache.spark.sql.functions._
+
+class EventsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("funnel on an arbitrary 4-stage list matches the brute-force chain") {
+    val rnd = new scala.util.Random(31)
+    val stages = Seq("a", "b", "c", "d")
+    val rows = (0 until 2000).map { i =>
+      (i.toLong, rnd.nextInt(40).toLong, stages(rnd.nextInt(4)),
+        new java.sql.Timestamp(1704100000000L + rnd.nextInt(100000) * 1000L))
+    }
+    val ev = rows.toDF("event_id", "user_id", "event_type", "ts")
+    val got = Events.funnel(ev, stages)
+      .select(col("user_id"), col("a_ts"), col("b_ts"), col("c_ts"),
+        col("d_ts"), col("stage"))
+      .as[(Long, Option[java.sql.Timestamp], Option[java.sql.Timestamp],
+        Option[java.sql.Timestamp], Option[java.sql.Timestamp], Int)]
+      .collect().map(r => r._1 -> r).toMap
+    // brute force: stage k's ts = earliest stage-k event at-or-after k−1
+    val byUser = rows.groupBy(_._2)
+    val want = byUser.flatMap { case (u, evs) =>
+      def stageTs(typ: String, after: Option[java.sql.Timestamp]): Option[java.sql.Timestamp] =
+        after.flatMap { a =>
+          val c = evs.filter(e => e._3 == typ && !e._4.before(a)).map(_._4)
+          if (c.isEmpty) None else Some(c.min)
+        }
+      val t0 = { // users with no stage-a events don't appear at all
+        val c = evs.filter(_._3 == "a").map(_._4)
+        if (c.isEmpty) None else Some(c.min)
+      }
+      t0.map { a =>
+        val b = stageTs("b", Some(a))
+        val c = stageTs("c", b)
+        val d = stageTs("d", c)
+        u -> ((u, Some(a), b, c, d, 1 + Seq(b, c, d).count(_.isDefined)))
+      }
+    }
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
+  test("funnel: a stage event BEFORE the prior stage's time does not count") {
+    val ev = Seq(
+      (1L, 1L, "signup", ts("2024-01-01 10:00:00")),
+      (2L, 1L, "activate", ts("2024-01-01 09:00:00")), // too early: ignored
+      (3L, 2L, "signup", ts("2024-01-01 10:00:00")),
+      (4L, 2L, "activate", ts("2024-01-01 10:00:00"))  // equal ts: counts
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val got = Events.funnel(ev, Seq("signup", "activate"))
+      .select("user_id", "stage").as[(Long, Int)].collect().toMap
+    assert(got === Map(1L -> 1, 2L -> 2))
+  }
+
+  test("funnel rejects an empty or duplicate stage list") {
+    val ev = Seq((1L, 1L, "a", ts("2024-01-01 10:00:00")))
+      .toDF("event_id", "user_id", "event_type", "ts")
+    intercept[IllegalArgumentException](Events.funnel(ev, Seq.empty))
+    intercept[IllegalArgumentException](Events.funnel(ev, Seq("a", "b", "a")))
+  }
+}
