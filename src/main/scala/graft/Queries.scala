@@ -918,6 +918,18 @@ object Queries {
         .select(col("doc_id"), r4(col("score")).as("score"))
         .orderBy("doc_id")),
 
+    // extension: BM25 RETRIEVAL — top-k docs per keyword query: one
+    // shared scoring pass over the union of query terms, per-query fold
+    // of its own term contributions, bounded-heap top-k (no ranking
+    // window — pinned in PlanShapeSpec)
+    "text_bm25_topk" -> ((s, dir) =>
+      TextOps.bm25TopK(docs(s, dir).repartition(col("doc_id")), col("text"),
+          Seq("q_key_table" -> Seq("key", "table"), "q_scan" -> Seq("scan", "key")),
+          k = 5)
+        .select(col("query_id"), col("rank"), col("doc_id"),
+          r4(col("score")).as("score"))
+        .orderBy("query_id", "rank")),
+
     // extension: per-(source, language) corpus rollup — docs, exact
     // uniques (two-stage agg on the content hash, no Expand), token
     // volume, mean quality; the observability table a pipeline run
@@ -1967,6 +1979,26 @@ object Queries {
          |    / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / st.avgdl))) AS score
          |  FROM tf JOIN dfreq d USING (term), st GROUP BY tf.doc_id)
          |SELECT doc_id, ${sqlR4("score")} AS score FROM sc WHERE score > 0 ORDER BY doc_id""".stripMargin,
+
+    // ranking done with a window HERE is fine — the oracle is DuckDB
+    // single-node; the Spark side uses the bounded heap
+    "text_bm25_topk" ->
+      s"""WITH t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk FROM documents),
+         |st AS (SELECT count(*) AS n, avg(len(tk)) AS avgdl FROM t),
+         |q AS (SELECT * FROM (VALUES ('q_key_table', ['key','table']), ('q_scan', ['scan','key'])) v(query_id, terms)),
+         |terms AS (SELECT DISTINCT unnest(terms) AS term FROM q),
+         |tf AS (SELECT doc_id, term, len(list_filter(tk, x -> x = term)) AS tf, len(tk) AS dl FROM t, terms),
+         |dfreq AS (SELECT term, sum(CASE WHEN tf > 0 THEN 1 ELSE 0 END) AS df FROM tf GROUP BY term),
+         |qt AS (SELECT query_id, unnest(terms) AS term FROM q),
+         |sc AS (SELECT qt.query_id, tf.doc_id, sum(ln(1.0 + (st.n - d.df + 0.5) / (d.df + 0.5)) * tf.tf * 2.2
+         |    / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / st.avgdl))) AS score
+         |  FROM qt JOIN tf USING (term) JOIN dfreq d USING (term), st
+         |  GROUP BY qt.query_id, tf.doc_id),
+         |r AS (SELECT query_id, doc_id, score,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+         |  FROM sc WHERE score > 0)
+         |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, ${sqlR4("score")} AS score
+         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     "doc_fingerprint" ->
       """SELECT doc_id, md5(text) AS md5_full,

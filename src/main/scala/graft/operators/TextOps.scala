@@ -296,7 +296,23 @@ object TextOps {
       text: Column,
       terms: Seq[String],
       k1: Double = 1.2,
-      b: Double = 0.75): DataFrame = {
+      b: Double = 0.75): DataFrame =
+    bm25Contribs(docs, text, terms, k1, b)
+      .withColumn("score",
+        aggregate(col("__contribs"), lit(0.0), (acc, x) => acc + x))
+      .where(col("score") > 0)
+      .select(col("doc_id"), col("score"))
+
+  /** Shared BM25 scoring pass: `(doc_id, __contribs)` where
+    * `__contribs[i]` is term i's additive BM25 contribution for the
+    * document. [[bm25]] folds the whole array; [[bm25TopK]] folds each
+    * query's term positions. Plan shape as documented on [[bm25]]. */
+  private def bm25Contribs(
+      docs: DataFrame,
+      text: Column,
+      terms: Seq[String],
+      k1: Double,
+      b: Double): DataFrame = {
     require(terms.nonEmpty, "terms must be non-empty")
     val termArr = array(terms.map(lit): _*)
     def withTf(df: DataFrame): DataFrame =
@@ -323,14 +339,58 @@ object TextOps {
       .select(transform(col("__pis"), e => e.getField("__idf")).as("__idfs"))
     withTf(docs)
       .crossJoin(broadcast(idfs.crossJoin(corpus)))
+      .withColumn("__contribs",
+        zip_with(col("__tfs"), col("__idfs"), (tf, idf) =>
+          idf * tf.cast("double") * lit(k1 + 1.0) /
+            (tf.cast("double") + lit(k1) * (lit(1.0 - b) +
+              lit(b) * col("__dl").cast("double") / col("__avgdl")))))
+      .select(col("doc_id"), col("__contribs"))
+  }
+
+  /** BM25 RETRIEVAL: the top-`k` documents per query, for a small batch
+    * of keyword queries — the serving shape of [[bm25]] (which scores
+    * the whole corpus for one term list).
+    *
+    * Returns `(query_id, rank, doc_id, score)` with rank 1..k by
+    * descending score, ties to the smaller doc_id (deterministic).
+    *
+    * Scale shape: one [[bm25Contribs]] pass over the UNION of all query
+    * terms (each document is tokenized and scored once, however many
+    * queries share terms), then each query — a broadcast row carrying
+    * its term positions — folds just its own contributions, and the
+    * per-query top-k is the bounded-heap [[graft.functions.TopKPairsAgg]]
+    * (O(k) state per query, map-side combinable). No ranking window:
+    * a window would funnel the full scored corpus through one task per
+    * query. Pinned in PlanShapeSpec. */
+  def bm25TopK(
+      docs: DataFrame,
+      text: Column,
+      queries: Seq[(String, Seq[String])],
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    import graft.functions.TopKPairsAgg.topKPairs
+    require(k > 0, s"k must be positive, got $k")
+    require(queries.nonEmpty, "at least one query required")
+    queries.foreach { case (q, ts) =>
+      require(ts.nonEmpty, s"query $q has no terms") }
+    val universe = queries.flatMap(_._2).distinct
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val queryFrame = queries
+      .map { case (q, ts) => (q, ts.map(universe.indexOf)) }
+      .toDF("query_id", "__positions")
+    bm25Contribs(docs, text, universe, k1, b)
+      .crossJoin(broadcast(queryFrame))
       .withColumn("score",
         aggregate(
-          zip_with(col("__tfs"), col("__idfs"), (tf, idf) =>
-            idf * tf.cast("double") * lit(k1 + 1.0) /
-              (tf.cast("double") + lit(k1) * (lit(1.0 - b) +
-                lit(b) * col("__dl").cast("double") / col("__avgdl")))),
+          transform(col("__positions"), p => element_at(col("__contribs"), p + 1)),
           lit(0.0), (acc, x) => acc + x))
       .where(col("score") > 0)
-      .select(col("doc_id"), col("score"))
+      .groupBy(col("query_id"))
+      .agg(topKPairs(-col("score"), col("doc_id"), k).as("__top"))
+      .select(col("query_id"), posexplode(col("__top")).as(Seq("rank", "p")))
+      .select(col("query_id"), (col("rank") + 1).cast("long").as("rank"),
+        col("p.id").as("doc_id"), (-col("p.distance")).as("score"))
   }
 }

@@ -249,6 +249,13 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("text_bm25_topk plans the bounded heap per query: no ranking window") {
+    val p = plan(Queries.queries("text_bm25_topk")(spark, sf))
+    assert(!p.contains("Window"),
+      "a ranking window would funnel the scored corpus through one task per query")
+    assert(p.contains("TopKPairsAgg") || p.contains("topkpairsagg"), p.take(2000))
+  }
+
   test("events_top_users plans the bounded heap: no ranking window over the data") {
     val p = plan(Queries.queries("events_top_users")(spark, sf))
     assert(!p.contains("Window"),
