@@ -819,6 +819,38 @@ object Queries {
         qvec0(s, dir), k = 10, probes = 3, Metric.Euclidean))
     }),
 
+    // extension: TRUE ADC — the probe served from the code store and a
+    // per-query lookup table (luts[sub][code] = per-subspace distance,
+    // broadcast): per record the scan is m=4 array lookups + 3 adds, and
+    // no d-dim vector is reconstructed or scanned. ivf_pq_query above
+    // keeps the reconstruct-then-distance formulation (bit-exact against
+    // the flat oracle); this row pins the per-subspace-sum serving shape
+    // with its own grouped-sum oracle
+    "ivf_adc_query" -> ((s, dir) => {
+      val model = fixedModel(s, dir, Metric.Euclidean)
+      val books = pqFixedBooks(s, dir)
+      // compressed store: (id, cluster_id, codes) — embedding dropped
+      val codeStore = model.assigned
+        .crossJoin(broadcast(books))
+        .select(col("id"), col("cluster_id"),
+          operators.VectorOps.pqCodes(col("embedding"), col("books")).as("codes"))
+      val probed = model.centroids
+        .crossJoin(broadcast(qvec0(s, dir)))
+        .withColumn("__cdist", Metric.Euclidean.distance(col("centroid"), col("qvec")))
+        .orderBy(isnan(col("__cdist")).asc, col("__cdist").asc, col("cluster_id").asc)
+        .limit(3)
+        .select("cluster_id")
+      val luts = qvec0(s, dir).crossJoin(broadcast(books))
+        .select(operators.VectorOps.pqLuts(col("qvec"), col("books")).as("luts"))
+      knnOut(codeStore
+        .join(broadcast(probed), Seq("cluster_id"), "left_semi")
+        .crossJoin(broadcast(luts))
+        .withColumn("distance",
+          operators.VectorOps.adcDistance(col("codes"), col("luts")))
+        .orderBy(col("distance").asc, col("id").asc)
+        .limit(10))
+    }),
+
     // extension: the production PQ serving shape — ADC shortlist from
     // the compressed store, exact re-rank of the shortlist on original
     // vectors (50 rows, broadcast). Invariant oracle: re-ranking the
@@ -1779,6 +1811,29 @@ object Queries {
          |SELECT r.vec_id AS vec_id, ${sqlR4(sqlSq("r.deq", "q.qvec"))} AS distance
          |FROM recon r JOIN asg ON asg.vec_id = r.vec_id JOIN probed ON asg.cid = probed.cid, q
          |ORDER BY ${sqlSq("r.deq", "q.qvec")} ASC, r.vec_id ASC LIMIT 10""".stripMargin,
+
+    // ADC distance = per-subspace grouped sum of the same terms the
+    // ivf_pq_query oracle sums flat; r4 absorbs the regrouping ulps
+    "ivf_adc_query" ->
+      s"""WITH c AS (SELECT CAST(vec_id AS INTEGER) AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8),
+         |q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+         |asg AS (SELECT vec_id, cid FROM (
+         |  SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id ORDER BY ${sqlSq("e.embedding", "c.cvec")} ASC, c.cid ASC) AS rn
+         |  FROM embeddings e CROSS JOIN c) WHERE rn = 1),
+         |probed AS (SELECT c.cid FROM c, q ORDER BY ${sqlSq("c.cvec", "q.qvec")} ASC, c.cid ASC LIMIT 3),
+         |cb AS (SELECT CAST(vec_id AS INT) AS code, embedding FROM embeddings WHERE vec_id < 16),
+         |books AS (SELECT u.s AS sub_idx, code,
+         |  list_slice(embedding, CAST(u.s * 16 + 1 AS INT), CAST(u.s * 16 + 16 AS INT)) AS cvec
+         |  FROM cb, unnest(generate_series(0, 3)) AS u(s)),
+         |enc AS (SELECT e.vec_id, b.sub_idx, b.cvec,
+         |  row_number() OVER (PARTITION BY e.vec_id, b.sub_idx ORDER BY ${sqlSq("list_slice(e.embedding, CAST(b.sub_idx * 16 + 1 AS INT), CAST(b.sub_idx * 16 + 16 AS INT))", "b.cvec")} ASC, b.code ASC) AS rn
+         |  FROM embeddings e CROSS JOIN books b),
+         |adc AS (SELECT enc.vec_id,
+         |  sum(${sqlSq("list_slice(q.qvec, CAST(enc.sub_idx * 16 + 1 AS INT), CAST(enc.sub_idx * 16 + 16 AS INT))", "enc.cvec")}) AS dist
+         |  FROM enc, q WHERE rn = 1 GROUP BY enc.vec_id)
+         |SELECT adc.vec_id AS vec_id, ${sqlR4("adc.dist")} AS distance
+         |FROM adc JOIN asg ON asg.vec_id = adc.vec_id JOIN probed ON asg.cid = probed.cid
+         |ORDER BY adc.dist ASC, adc.vec_id ASC LIMIT 10""".stripMargin,
 
     "embed_quantize" ->
       s"""WITH s AS (SELECT vec_id, embedding,

@@ -97,6 +97,36 @@ object VectorOps {
     flatten(zip_with(books, codes, (book, code) =>
       element_at(book, code + lit(1)).getField("cvec")))
 
+  /** Per-QUERY ADC lookup tables: `luts[sub][code] = ‖q_sub −
+    * books[sub][code]‖²` — built ONCE per query vector (m·|book| doubles)
+    * and broadcast. With squared L2, `Σ_sub luts[sub][codes[sub]]`
+    * equals the distance to the reconstruction, grouped per subspace —
+    * so the code scan ([[adcDistance]]) costs m array lookups + m−1
+    * adds per record and NEVER touches a d-dim vector: the 100 TB
+    * serving shape where the store holds 2-byte codes and the full
+    * embedding is neither reconstructed nor scanned. Interpreted HOF is
+    * fine here — the expression runs once per (query, codebook), not per
+    * record. */
+  def pqLuts(q: Column, books: Column): Column =
+    transform(books, (book, sub) => {
+      val dsub = size(element_at(book, 1).getField("cvec"))
+      val sv = slice(q, sub * dsub + lit(1), dsub)
+      transform(book, e =>
+        graft.functions.NativeExprs.sqEuclidean(sv, e.getField("cvec")))
+    })
+
+  /** ADC distance from codes alone: `Σ_sub luts[sub][codes[sub]]`.
+    * O(m) per record (m = 4 in the demo geometry), so the interpreted
+    * fold is a handful of tree-walks per row — nothing like the
+    * m·|book|·dsub encode loop that justified [[pqCodes]]'s native
+    * kernel. Equal to `sqEuclidean(q, pqReconstruct(codes, books))` up
+    * to floating-point regrouping (per-subspace partial sums); the
+    * equality is asserted to 1e-9 in VectorOpsSpec. */
+  def adcDistance(codes: Column, luts: Column): Column =
+    aggregate(
+      zip_with(luts, codes, (lut, c) => element_at(lut, c + lit(1))),
+      lit(0.0), (acc, x) => acc + x)
+
   /** Trained codebooks — the production path ([[pqPack]] the result):
     * one seeded MLlib k-means per subspace over the subvectors, `k`
     * codes each. The m fits run over n·dsub-sized inputs (a driver loop

@@ -52,6 +52,39 @@ class VectorOpsSpec extends SparkSpec {
       s"recall ${exact.intersect(approx).size}/10 too low")
   }
 
+  test("ADC from LUTs equals distance-to-reconstruction (per-subspace regrouping only)") {
+    val r = graft.sources.Records.fromEmbeddings(spark, "/root/testdata/sf0.001")
+    val books = VectorOps.pqPack(
+      r.where(col("id") < 16)
+        .select(col("id").cast("int").as("code"), col("embedding"))
+        .select(explode(sequence(lit(0), lit(3))).as("sub_idx"),
+          col("code"), col("embedding"))
+        .select(col("sub_idx"), col("code"),
+          slice(col("embedding"), col("sub_idx") * 16 + 1, lit(16)).as("cvec")))
+    val q = r.where(col("id") === 0).select(col("embedding").as("qvec"))
+    val luts = q.crossJoin(broadcast(books))
+      .select(VectorOps.pqLuts(col("qvec"), col("books")).as("luts"))
+    // LUT shape: m books × |book| entries, every entry finite
+    val lutRows = luts.as[Seq[Seq[Double]]].head()
+    assert(lutRows.length === 4 && lutRows.forall(_.length === 16))
+    assert(lutRows.flatten.forall(d => !d.isNaN && !d.isInfinite))
+    // compare against reconstruct-then-distance on the same codes
+    val qv = q.head().getSeq[Float](0)
+    val check = r.crossJoin(broadcast(books)).crossJoin(broadcast(luts))
+      .withColumn("codes", VectorOps.pqCodes(col("embedding"), col("books")))
+      .withColumn("recon", VectorOps.pqReconstruct(col("codes"), col("books")))
+      .select(col("id"),
+        VectorOps.adcDistance(col("codes"), col("luts")).as("adc"),
+        graft.functions.NativeExprs.sqEuclidean(
+          typedlit(qv), col("recon")).as("flat"))
+      .as[(Long, Double, Double)].collect()
+    assert(check.length > 16)
+    check.foreach { case (id, adc, flat) =>
+      assert(math.abs(adc - flat) <= 1e-9 * math.max(1.0, flat),
+        s"id=$id adc=$adc flat=$flat")
+    }
+  }
+
   test("PQ: codebook-source vectors reconstruct exactly; codes dense and in range") {
     val r = graft.sources.Records.fromEmbeddings(spark, "/root/testdata/sf0.001")
     val books = VectorOps.pqPack(
