@@ -859,18 +859,25 @@ object Queries {
     // fixed demo codebooks' distortion, not the operator's contract)
     "ivf_pq_rerank" -> ((s, dir) => {
       val model = fixedModel(s, dir, Metric.Euclidean)
-      val qstore = model.assigned
-        .crossJoin(broadcast(pqFixedBooks(s, dir)))
-        .withColumn("embedding",
-          operators.VectorOps.pqReconstruct(
-            operators.VectorOps.pqCodes(col("embedding"), col("books")),
-            col("books")).cast("array<float>"))
-        .drop("books")
+      val books = pqFixedBooks(s, dir)
+      // the shortlist comes from the TRUE ADC code scan (see
+      // ivf_adc_query): 2-byte codes + a per-query broadcast LUT, no
+      // reconstruction — O(m) per record instead of a d-dim kernel
+      val codeStore = model.assigned
+        .crossJoin(broadcast(books))
+        .select(col("id"),
+          operators.VectorOps.pqCodes(col("embedding"), col("books")).as("codes"))
+      val luts = qvec0(s, dir).crossJoin(broadcast(books))
+        .select(operators.VectorOps.pqLuts(col("qvec"), col("books")).as("luts"))
       // full probe set: isolates PQ distortion (pruning loss is
       // ivf_recall_curve's separately-measured contract)
       def pqTop(k: Int): DataFrame =
-        IvfIndex.query(IvfIndex.Model(model.centroids, qstore),
-          qvec0(s, dir), k = k, probes = 8, Metric.Euclidean).select(col("id"))
+        codeStore.crossJoin(broadcast(luts))
+          .withColumn("__d",
+            operators.VectorOps.adcDistance(col("codes"), col("luts")))
+          .orderBy(col("__d").asc, col("id").asc)
+          .limit(k)
+          .select(col("id"))
       val reranked = Knn.search(recs(s, dir).join(pqTop(50), Seq("id")),
           qvec0(s, dir), k = 10, Metric.Euclidean)
         .select(col("id"))

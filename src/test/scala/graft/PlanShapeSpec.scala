@@ -249,6 +249,15 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("ivf_adc_query: code scan plans bounded top-k; no sort-merge or cartesian join") {
+    val p = plan(Queries.queries("ivf_adc_query")(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"),
+      "ADC top-k must be a bounded TakeOrdered, not a global sort\n" + p.take(1500))
+    // the only joins are the broadcast probe semi-join and 1-row
+    // broadcast LUT/codebook attaches
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("text_bm25_topk plans the bounded heap per query: no ranking window") {
     val p = plan(Queries.queries("text_bm25_topk")(spark, sf))
     assert(!p.contains("Window"),
