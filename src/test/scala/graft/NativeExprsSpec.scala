@@ -148,6 +148,18 @@ class NativeExprsSpec extends SparkSpec {
     assert(row.getLong(5) === 4L) // 'zzz' is the only non-stopword
   }
 
+  test("SQL surface: graft_pq_codes encodes against an inline codebook") {
+    graft.functions.SqlFunctions.registerAll(spark)
+    // one subspace of two entries: (0.0, 0.0) code 0, (1.0, 1.0) code 1;
+    // the vector (0.9, 0.9) is nearer code 1
+    val row = spark.sql(
+      """SELECT graft_pq_codes(array(0.9F, 0.9F),
+        |  array(array(named_struct('code', 0, 'cvec', array(0.0F, 0.0F)),
+        |              named_struct('code', 1, 'cvec', array(1.0F, 1.0F))))) AS codes
+        |""".stripMargin).head()
+    assert(row.getSeq[Int](0) === Seq(1))
+  }
+
   test("SQL surface: registered AGGREGATES usable from spark.sql") {
     graft.functions.SqlFunctions.registerAll(spark)
     Seq((0L, Seq(1f, 3f), 2.0, 7L), (0L, Seq(3f, 5f), 1.0, 8L), (1L, Seq(2f, 2f), 3.0, 9L))
