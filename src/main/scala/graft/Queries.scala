@@ -834,21 +834,8 @@ object Queries {
         .crossJoin(broadcast(books))
         .select(col("id"), col("cluster_id"),
           operators.VectorOps.pqCodes(col("embedding"), col("books")).as("codes"))
-      val probed = model.centroids
-        .crossJoin(broadcast(qvec0(s, dir)))
-        .withColumn("__cdist", Metric.Euclidean.distance(col("centroid"), col("qvec")))
-        .orderBy(isnan(col("__cdist")).asc, col("__cdist").asc, col("cluster_id").asc)
-        .limit(3)
-        .select("cluster_id")
-      val luts = qvec0(s, dir).crossJoin(broadcast(books))
-        .select(operators.VectorOps.pqLuts(col("qvec"), col("books")).as("luts"))
-      knnOut(codeStore
-        .join(broadcast(probed), Seq("cluster_id"), "left_semi")
-        .crossJoin(broadcast(luts))
-        .withColumn("distance",
-          operators.VectorOps.adcDistance(col("codes"), col("luts")))
-        .orderBy(col("distance").asc, col("id").asc)
-        .limit(10))
+      knnOut(IvfIndex.queryAdc(model.centroids, codeStore, books,
+        qvec0(s, dir), k = 10, probes = 3))
     }),
 
     // extension: the production PQ serving shape — ADC shortlist from

@@ -261,6 +261,45 @@ object IvfIndex {
     Knn.search(candidates, query, k, metric, radius, filter)
   }
 
+  /** IVF-PQ probe served ENTIRELY from codes — the compressed-store
+    * twin of [[query]] for squared L2. `codeStore` holds
+    * `(id, cluster_id, codes)` (see [[VectorOps.pqCodes]]; 2 bytes per
+    * vector in the demo geometry instead of 256) and `books` is the
+    * packed one-row codebook frame ([[VectorOps.pqPack]]). Probe
+    * selection runs full-precision against the centroids exactly as in
+    * [[query]]; candidate distances are asymmetric (ADC): a per-query
+    * lookup table `luts[sub][code]` is built once
+    * ([[VectorOps.pqLuts]]), broadcast, and each candidate costs m
+    * array lookups + m−1 adds ([[VectorOps.adcDistance]]) — no d-dim
+    * vector is reconstructed or scanned. Output: `(id, distance)`
+    * ascending, ties to the smaller id, bounded top-k
+    * (TakeOrderedAndProject — plan pinned in PlanShapeSpec via
+    * ivf_adc_query). For higher fidelity compose with an exact re-rank
+    * of the shortlist on original vectors (the ivf_pq_rerank shape). */
+  def queryAdc(
+      centroids: DataFrame,
+      codeStore: DataFrame,
+      books: DataFrame,
+      query: DataFrame,
+      k: Int,
+      probes: Int = 32): DataFrame = {
+    val probed = centroids
+      .crossJoin(broadcast(query))
+      .withColumn("__cdist", Metric.Euclidean.distance(col("centroid"), col("qvec")))
+      .orderBy(isnan(col("__cdist")).asc, col("__cdist").asc, col("cluster_id").asc)
+      .limit(probes)
+      .select("cluster_id")
+    val luts = query.crossJoin(broadcast(books))
+      .select(VectorOps.pqLuts(col("qvec"), col("books")).as("luts"))
+    codeStore
+      .join(broadcast(probed), Seq("cluster_id"), "left_semi")
+      .crossJoin(broadcast(luts))
+      .withColumn("distance", VectorOps.adcDistance(col("codes"), col("luts")))
+      .orderBy(col("distance").asc, col("id").asc)
+      .limit(k)
+      .select(col("id"), col("distance"))
+  }
+
   /** Batch analog of the reference's ADAPTIVE CLUSTER SPLIT (O9/O11,
     * `src/cores/index.rs:127-132` split trigger, `282-308` 2-means
     * split): every cluster whose population exceeds `density` is split by
