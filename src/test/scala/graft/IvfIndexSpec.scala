@@ -312,6 +312,29 @@ class IvfIndexSpec extends SparkSpec {
       s"planted near-dup must share a cluster and verify; got ${pairs.take(5)}")
   }
 
+  test("queryAdc at full probes equals brute-force ADC ranking over the code store") {
+    import graft.operators.VectorOps
+    val model = IvfIndex.build(records, density = 64, Metric.Euclidean, seed = 42L)
+    val books = VectorOps.pqPack(VectorOps.pqTrain(records, m = 4, dsub = 4, k = 8))
+    val codeStore = model.assigned
+      .crossJoin(broadcast(books))
+      .select(col("id"), col("cluster_id"),
+        VectorOps.pqCodes(col("embedding"), col("books")).as("codes"))
+    val q = records.where(col("id") === 3).select(col("embedding").as("qvec"))
+    val got = IvfIndex.queryAdc(model.centroids, codeStore, books, q,
+        k = 10, probes = Int.MaxValue)
+      .as[(Long, Double)].collect().toSeq
+    // brute force: ADC distance on every code row, top-10 by (d, id)
+    val luts = q.crossJoin(broadcast(books))
+      .select(VectorOps.pqLuts(col("qvec"), col("books")).as("luts"))
+    val want = codeStore.crossJoin(broadcast(luts))
+      .select(col("id"), VectorOps.adcDistance(col("codes"), col("luts")).as("d"))
+      .as[(Long, Double)].collect().toSeq
+      .sortBy { case (id, d) => (d, id) }.take(10)
+    assert(got === want)
+    assert(got.size === 10)
+  }
+
   test("build is deterministic under a fixed seed") {
     val a = IvfIndex.build(records, 64, Metric.Euclidean, seed = 42L)
       .assigned.select("id", "cluster_id").as[(Long, Int)].collect().toMap

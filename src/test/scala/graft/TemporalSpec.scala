@@ -223,15 +223,16 @@ class TemporalSpec extends SparkSpec {
     val r = (0 until 400).map(i =>
       (i.toLong + 1000L, key(), ts(f"2024-01-01 ${rnd.nextInt(24)}%02d:${rnd.nextInt(60)}%02d:00")))
       .toDF("rid", "user_id", "ts")
-    for (dir <- Seq("backward", "forward")) {
+    for (dir <- Seq("backward", "forward");
+         tol <- Seq(Long.MaxValue, 3600L)) { // tolerance composes with chunking
       val plain = Temporal.asofJoin(l, r, "user_id", "ts", Seq("rid"), "rid",
-          direction = dir)
+          direction = dir, toleranceSec = tol)
         .select("event_id", "asof_rid").as[(Long, Option[Long])].collect().toMap
       // 2-hour chunks: the whale key's day splits across ~12 partitions
       val chunked = Temporal.asofJoin(l, r, "user_id", "ts", Seq("rid"), "rid",
-          direction = dir, chunkSec = 7200L)
+          direction = dir, toleranceSec = tol, chunkSec = 7200L)
         .select("event_id", "asof_rid").as[(Long, Option[Long])].collect().toMap
-      assert(chunked === plain, s"direction=$dir")
+      assert(chunked === plain, s"direction=$dir tol=$tol")
       assert(chunked.size === 400)
     }
   }
