@@ -922,6 +922,21 @@ object Queries {
         .select(col("doc_id"), TextOps.scrubPii(col("dirty")).as("clean"))
         .orderBy("doc_id")),
 
+    // extension: C4-style cross-document LINE dedup (boilerplate scrub).
+    // The synthetic docs are single-line, so the query synthesizes the
+    // boilerplate the way corpus_scrub synthesizes PII: every doc gains
+    // an "all rights reserved" footer (dropped — in every doc), a third
+    // gain a shared newsletter line (dropped), and each keeps a
+    // doc-unique suffix line (kept, order preserved)
+    "corpus_line_dedup" -> ((s, dir) =>
+      graft.operators.Corpus.lineDedup(
+          docs(s, dir).select(col("doc_id"), concat(
+            col("text"), lit("\n"),
+            when(col("doc_id") % 3 === 0, lit("subscribe to our newsletter"))
+              .otherwise(concat(lit("unique suffix "), col("doc_id").cast("string"))),
+            lit("\nall rights reserved")).as("text")))
+        .orderBy("doc_id")),
+
     "text_stats" -> ((s, dir) =>
       docs(s, dir)
         .repartition(col("doc_id"))
@@ -1944,6 +1959,23 @@ object Queries {
          |  WHEN f >= d AND f >= z THEN 'fr'
          |  WHEN d >= z THEN 'de' ELSE 'zh' END AS lang_pred
          |FROM s ORDER BY doc_id""".stripMargin,
+
+    // line identity here is the raw string; Spark uses its sha-256 —
+    // identical modulo hash collision (the dedup_exact caveat)
+    "corpus_line_dedup" ->
+      s"""WITH d AS (SELECT doc_id, text || chr(10) ||
+         |    (CASE WHEN doc_id % 3 = 0 THEN 'subscribe to our newsletter'
+         |          ELSE 'unique suffix ' || CAST(doc_id AS VARCHAR) END) ||
+         |    chr(10) || 'all rights reserved' AS text FROM documents),
+         |ls AS (SELECT doc_id, string_split(text, chr(10)) AS arr FROM d),
+         |l AS (SELECT doc_id, arr[CAST(u.i AS INT)] AS line, u.i AS pos
+         |  FROM ls, unnest(generate_series(1, len(arr))) AS u(i)),
+         |freq AS (SELECT line FROM (
+         |  SELECT line, count(DISTINCT doc_id) AS nd FROM l GROUP BY line) WHERE nd >= 2),
+         |kept AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+         |  FROM l WHERE line NOT IN (SELECT line FROM freq) GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(kept.text, '') AS text
+         |FROM d LEFT JOIN kept USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     "corpus_scrub" ->
       s"""WITH dirty AS (SELECT doc_id,

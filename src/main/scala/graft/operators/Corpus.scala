@@ -280,6 +280,45 @@ object Corpus {
     * benchmark set is tiny, so AQE broadcasts its distinct-gram side and
     * the corpus side never shuffles; `count(DISTINCT h)` is a standard
     * two-phase aggregate over the (small) matched subset. */
+  /** C4-style cross-document LINE deduplication: drop every line that
+    * appears (verbatim) in at least `minDocs` DISTINCT documents — the
+    * classic boilerplate scrub (navigation bars, cookie banners,
+    * "all rights reserved" footers repeat across pages; real content
+    * doesn't). Returns `(doc_id, text)` with surviving lines rejoined in
+    * original order, preserving input cardinality (a doc whose every
+    * line is boilerplate keeps an empty text).
+    *
+    * Scale shape: lines carry a sha-256 identity, so the
+    * document-frequency count is the Expand-free two-stage distinct on
+    * 64-byte keys (never text), like [[graft.operators.Dedup.exact]];
+    * the frequent-line set then anti-joins the positioned lines (AQE
+    * broadcasts it when small — boilerplate vocabularies usually are)
+    * and each doc reassembles with one bounded `collect_list` (per-doc
+    * state = that doc's lines, the [[packedSequences]] gather shape).
+    * Collision caveat identical to exact dedup: a sha-256 collision
+    * would wrongly drop a line; at 2^-128 per pair this is the standard
+    * trade. Duplicate lines WITHIN a single doc are kept — the contract
+    * counts distinct documents. */
+  def lineDedup(docs: DataFrame, minDocs: Long = 2L): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val lines = docs
+      .select(col("doc_id"), posexplode(split(col("text"), "\n")).as(Seq("__pos", "__line")))
+      .withColumn("__lh", sha2(col("__line"), 256))
+    val frequent = lines.select(col("__lh"), col("doc_id")).distinct()
+      .groupBy(col("__lh")).agg(count(lit(1)).as("__nd"))
+      .where(col("__nd") >= minDocs)
+      .select(col("__lh"))
+    val kept = lines.join(frequent, Seq("__lh"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("__pos"), col("__line")))),
+          e => e.getField("__line")),
+        "\n").as("text"))
+    docs.select(col("doc_id"))
+      .join(kept, Seq("doc_id"), "left_outer")
+      .withColumn("text", coalesce(col("text"), lit("")))
+  }
+
   def decontaminate(docs: DataFrame, benchmark: DataFrame, n: Int = 8): DataFrame = {
     require(n > 0, s"n must be positive, got $n")
     def grams(df: DataFrame, keep: Column*): DataFrame =

@@ -242,4 +242,26 @@ class CorpusSpec extends SparkSpec {
       .select("split").as[String].head()
     assert(out.find(_._1 == 3L).get._3 === plain)
   }
+
+  test("lineDedup drops cross-doc boilerplate, keeps order, preserves cardinality") {
+    val docs = Seq(
+      (1L, "alpha content\nall rights reserved\nmore alpha"),
+      (2L, "beta content\nall rights reserved"),
+      (3L, "all rights reserved"),              // only boilerplate → ""
+      (4L, "solo doc untouched\nsolo second line"),
+      (5L, "gamma\ngamma")                      // in-doc repeat: kept (1 distinct doc)
+    ).toDF("doc_id", "text")
+    val got = Corpus.lineDedup(docs)
+      .as[(Long, String)].collect().toMap
+    assert(got === Map(
+      1L -> "alpha content\nmore alpha",
+      2L -> "beta content",
+      3L -> "",
+      4L -> "solo doc untouched\nsolo second line",
+      5L -> "gamma\ngamma"))
+    // raising minDocs to 3 keeps the 2-doc line... the footer is in 3 docs
+    val loose = Corpus.lineDedup(docs, minDocs = 4L)
+      .as[(Long, String)].collect().toMap
+    assert(loose(3L) === "all rights reserved") // under the 4-doc bar now
+  }
 }

@@ -300,6 +300,13 @@ class PlanShapeSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"), p.linesIterator.take(8).mkString("\n"))
   }
 
+  test("corpus_line_dedup counts line frequency without Expand") {
+    val p = plan(Queries.queries("corpus_line_dedup")(spark, sf))
+    assert(!p.contains("Expand"),
+      "distinct-doc counting must be the two-stage shape, not count(DISTINCT)+Expand\n" +
+        p.linesIterator.take(10).mkString("\n"))
+  }
+
   test("corpus_split_safe shuffles ids only, never text") {
     val df = Queries.queries("corpus_split_safe")(spark, sf)
     val exchanges = df.queryExecution.executedPlan.collect {
