@@ -1435,6 +1435,23 @@ object Queries {
         .orderBy("click_id")
     }),
 
+    // PAIR-LEVEL contract of the range join: count(*) does not skip
+    // nulls, so a phantom null-extended row beside real matches (the
+    // probe-side fan-out bug fixed in round 7) breaks this row even
+    // though the aggregated events_range_join below would stay green
+    "events_range_pairs" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val errors = ev.where(col("event_type") === "error")
+        .select(col("user_id"), col("ts"), col("value"))
+      Temporal.rangeJoinBinned(purchases, errors, "user_id", "ts", windowSec = 600L)
+        .groupBy(col("event_id"))
+        .agg(count(lit(1)).as("n_rows"), count(col("range_match")).as("n_matches"))
+        .select(col("event_id").as("purchase_id"), col("n_rows"), col("n_matches"))
+        .orderBy("purchase_id")
+    }),
+
     // extension: bounded look-back range join — errors in the 10 minutes
     // up to each purchase, executed as an equi-join on (user, time
     // bucket) with constant 2× probe fan-out instead of an inequality
@@ -2436,6 +2453,16 @@ object Queries {
          |      ORDER BY p.ts ASC, p.purchase_id DESC) AS rn
          |  FROM c LEFT JOIN p ON c.user_id = p.user_id AND p.ts >= c.ts)
          |WHERE rn = 1 ORDER BY click_id""".stripMargin,
+
+    // count(*) vs count(col): exact left-outer pair cardinality
+    "events_range_pairs" ->
+      s"""WITH p AS (SELECT event_id AS purchase_id, user_id, ts FROM events
+         |           WHERE event_type = 'purchase'),
+         |e AS (SELECT user_id, ts, value FROM events WHERE event_type = 'error')
+         |SELECT p.purchase_id, count(*) AS n_rows, count(e.ts) AS n_matches
+         |FROM p LEFT JOIN e ON p.user_id = e.user_id
+         |  AND e.ts > p.ts - INTERVAL 600 SECOND AND e.ts <= p.ts
+         |GROUP BY p.purchase_id ORDER BY p.purchase_id""".stripMargin,
 
     // look-back window is (p.ts − 600 s, p.ts] — left-open, right-closed
     "events_range_join" ->
