@@ -123,29 +123,41 @@ object Temporal {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       u.withColumn("__match", last(col("__carry"), ignoreNulls = true).over(w))
     } else {
-      // Segmented scan: window within (key, chunk) — both windows share
-      // the partitioning, so one shuffle — then carry the last match of
-      // preceding chunks in via a per-(key, chunk) summary (tiny: one
-      // row per key×chunk) and coalesce. A whale key's sort is now
-      // bounded by its densest chunk instead of its full history.
+      // Segmented scan: ONE full-row shuffle+sort (the per-chunk window),
+      // then the cross-chunk carry from a map-side-combinable aggregate —
+      // NOT a second window over the union (an earlier formulation
+      // computed the per-chunk finals with a full-frame window and paid a
+      // second complete shuffle+sort of the data; the plan pin in
+      // TemporalSpec guards against regressing to that). A whale key's
+      // sort is bounded by its densest chunk instead of its full history.
       val chunked = u.withColumn("__chunk",
         floor(unix_timestamp(col("__ts")) / chunkSec).cast("long"))
       val pcols = keys.map(col) :+ col("__chunk")
-      val ord = Seq(tsOrd, col("__tag").asc, col("__tie").asc)
-      val wIn = Window.partitionBy(pcols: _*).orderBy(ord: _*)
+      val wIn = Window.partitionBy(pcols: _*)
+        .orderBy(tsOrd, col("__tag").asc, col("__tie").asc)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wAll = Window.partitionBy(pcols: _*).orderBy(ord: _*)
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
       val inChunk = chunked
         .withColumn("__match_in", last(col("__carry"), ignoreNulls = true).over(wIn))
-        .withColumn("__chunk_final", last(col("__carry"), ignoreNulls = true).over(wAll))
+      // Per-chunk final carry: max_by whose key makes right rows outrank
+      // all left rows (boolean first field), then mirrors the window
+      // order among right rows — ts as EXACT unix_micros (negated for
+      // forward: the window's "last" right row is min-ts there), tie in
+      // its native type. A chunk with no right rows yields a null carry,
+      // which the cross-chunk last(ignoreNulls) skips; the aggregate
+      // also materializes the complete (key, chunk) axis, so every left
+      // row's chunk has a summary row to join.
+      val tsKey =
+        if (direction == "backward") unix_micros(col("__ts"))
+        else -unix_micros(col("__ts"))
       val chunkOrd =
         if (direction == "backward") col("__chunk").asc else col("__chunk").desc
       val wPrev = Window.partitionBy(keys.map(col): _*).orderBy(chunkOrd)
         .rowsBetween(Window.unboundedPreceding, -1)
-      val summary = inChunk
-        .select(keys.map(col) :+ col("__chunk") :+ col("__chunk_final"): _*)
-        .dropDuplicates(keys :+ "__chunk")
+      val summary = chunked
+        .groupBy(pcols: _*)
+        .agg(max_by(col("__carry"),
+          struct((col("__tag") === 0).as("__r"), tsKey.as("__tk"),
+            col("__tie").as("__tb"))).as("__chunk_final"))
         .withColumn("__carry_prev",
           last(col("__chunk_final"), ignoreNulls = true).over(wPrev))
         .select(
@@ -158,7 +170,7 @@ object Temporal {
         (inChunk("__chunk") <=> summary("__schunk"))).reduce(_ && _)
       inChunk.join(summary, cond, "left")
         .withColumn("__match", coalesce(col("__match_in"), col("__carry_prev")))
-        .drop("__chunk", "__match_in", "__chunk_final")
+        .drop("__chunk", "__match_in")
         .drop(summary.columns: _*)
     }
     matched

@@ -237,6 +237,23 @@ class TemporalSpec extends SparkSpec {
     }
   }
 
+  test("asofJoin chunked plan: ONE full-row sort; the carry comes from a partial aggregate") {
+    val df = Temporal.asofJoin(lefts, rights, "user_id", "ts", Seq("rid"), "rid",
+      chunkSec = 3600L)
+    val plan = df.queryExecution.executedPlan.toString
+    // exactly one sort of the full union (the per-chunk window); the
+    // per-chunk finals must come from a map-side-combinable aggregate,
+    // not a second full-frame window pass (which would re-shuffle and
+    // re-sort all the data)
+    val unionSorts = plan.linesIterator.count(l => l.contains("Sort [") && l.contains("__tag"))
+    assert(unionSorts === 1,
+      s"expected 1 full-row window sort, got $unionSorts:\n" +
+        plan.linesIterator.filter(_.contains("Sort [")).mkString("\n"))
+    assert(plan.contains("partial_max_by"),
+      "chunk-final carry must be a partial (map-side) aggregate:\n" +
+        plan.linesIterator.filter(_.contains("max_by")).mkString("\n"))
+  }
+
   test("rangeJoinBinned pair-level: exactly one null row per unmatched left, none for matched") {
     // left row 1's only matches live in the PREVIOUS bucket (its own
     // bucket holds no right rows) — the old probe-side fan-out emitted a
