@@ -922,6 +922,18 @@ object Queries {
         .select(col("doc_id"), TextOps.scrubPii(col("dirty")).as("clean"))
         .orderBy("doc_id")),
 
+    // extension: CCNet-style LM quality filter (perplexity proxy) — a
+    // corpus char-trigram model with add-one smoothing, each doc scored
+    // by its mean trigram log-probability (higher = more corpus-typical;
+    // mojibake and wrong-language text sink). Model bounded by charset³,
+    // rides a broadcast; scoring is explode + map-side partial mean
+    "text_lm_score" -> ((s, dir) => {
+      val d = docs(s, dir).repartition(col("doc_id"))
+      TextOps.charLmScore(d, TextOps.charLmModel(d, col("text")), col("text"))
+        .select(col("doc_id"), col("n_trigrams"), r4(col("lm_score")).as("lm_score"))
+        .orderBy("doc_id")
+    }),
+
     // extension: C4-style cross-document LINE dedup (boilerplate scrub).
     // The synthetic docs are single-line, so the query synthesizes the
     // boilerplate the way corpus_scrub synthesizes PII: every doc gains
@@ -1976,6 +1988,20 @@ object Queries {
          |  WHEN f >= d AND f >= z THEN 'fr'
          |  WHEN d >= z THEN 'de' ELSE 'zh' END AS lang_pred
          |FROM s ORDER BY doc_id""".stripMargin,
+
+    // every trigram is corpus-seen here (the model IS this corpus), so
+    // the smoothing floor never fires in the oracle comparison; the
+    // floor path is spec-tested Spark-side
+    "text_lm_score" ->
+      s"""WITH g AS (SELECT doc_id, substr(text, CAST(u.i AS INT), 3) AS tri
+         |  FROM documents, unnest(generate_series(1, greatest(length(text) - 2, 0))) AS u(i)),
+         |c AS (SELECT tri, count(*) AS c FROM g GROUP BY tri),
+         |st AS (SELECT sum(c) AS n, count(*) AS v FROM c),
+         |sc AS (SELECT g.doc_id, count(*) AS n_trigrams,
+         |    avg(ln((c.c + 1) / (st.n + st.v))) AS lm
+         |  FROM g JOIN c USING (tri), st GROUP BY g.doc_id)
+         |SELECT doc_id, n_trigrams, ${sqlR4("lm")} AS lm_score
+         |FROM sc ORDER BY doc_id""".stripMargin,
 
     // line identity here is the raw string; Spark uses its sha-256 —
     // identical modulo hash collision (the dedup_exact caveat)

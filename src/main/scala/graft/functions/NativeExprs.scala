@@ -619,6 +619,48 @@ object NativeExprs {
 
   def pqCodes(v: Column, books: Column): Column = asCol(PqCodesExpr(ex(v), ex(books)))
 
+  /** Character n-gram windows over a string, in CODE POINTS — compiled
+    * twin of `transform(sequence(1, length(t) - (n-1)), i -> substr(t,
+    * i, n))` guarded to an empty array for `length < n` (the naive
+    * `sequence(1, 0)` would DESCEND and emit junk — the guard is part of
+    * the twin's contract). One pass to index code-point byte offsets,
+    * then each window is a byte slice — O(len), not the O(len²) of
+    * repeated `substringSQL` scans. Matches Spark `length`/`substr`
+    * semantics (and DuckDB `substr`) on supplementary-plane text. */
+  case class CharNgramsExpr(child: Expression, n: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(n >= 1, s"n must be >= 1, got $n")
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullable: Boolean = child.nullable
+    override def eval(input: InternalRow): Any = {
+      val t = child.eval(input).asInstanceOf[UTF8String]
+      if (t == null) return null
+      val bytes = t.getBytes
+      val len = bytes.length
+      // code-point start offsets (UTF-8 continuation bytes are 10xxxxxx)
+      val starts = new Array[Int](t.numChars() + 1)
+      var cp = 0
+      var i = 0
+      while (i < len) {
+        if ((bytes(i) & 0xc0) != 0x80) { starts(cp) = i; cp += 1 }
+        i += 1
+      }
+      starts(cp) = len
+      if (cp < n)
+        return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+      val out = new Array[Any](cp - n + 1)
+      var w = 0
+      while (w <= cp - n) {
+        out(w) = UTF8String.fromBytes(bytes, starts(w), starts(w + n) - starts(w))
+        w += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  def charNgrams(text: Column, n: Int): Column = asCol(CharNgramsExpr(ex(text), n))
+
   case class Md5MinWindowExpr(child: Expression, window: Int)
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = StringType

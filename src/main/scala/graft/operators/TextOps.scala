@@ -276,6 +276,58 @@ object TextOps {
       .limit(k)
   }
 
+  /** Character n-gram windows in code points (native kernel). */
+  def charNgrams(text: Column, n: Int): Column =
+    graft.functions.NativeExprs.charNgrams(text, n)
+
+  /** Interpreted HOF twin of [[charNgrams]] — the formulation the DuckDB
+    * oracle mirrors (`substr(text, i, n)` over `generate_series`),
+    * retained as the native kernel's executable spec and fuzz oracle.
+    * The `length < n` guard matters: `sequence(1, 0)` descends. */
+  def charNgramsHof(text: Column, n: Int): Column =
+    when(length(text) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), length(text) - (n - 1)),
+        i => text.substr(i, lit(n))))
+
+  /** Corpus character-trigram language model — the CCNet-style
+    * perplexity-proxy quality filter: documents whose character
+    * statistics are typical of the reference corpus score high; OCR
+    * garbage, encoding mojibake, and wrong-language text score low.
+    * Returns `(tri, logp)` with add-one smoothing
+    * `logp = ln((count + 1) / (N + V))`, plus the `(N, V)` totals on
+    * every row so scorers can derive the unseen-trigram floor
+    * `ln(1 / (N + V))` without a second frame.
+    *
+    * Scale shape: explode → two-stage count (map-side combinable; the
+    * shuffle carries 3-char keys bounded by charset³, not the corpus);
+    * the totals fold to one broadcast row. */
+  def charLmModel(reference: DataFrame, text: Column): DataFrame = {
+    val counts = reference.select(explode(charNgrams(text, 3)).as("tri"))
+      .groupBy(col("tri")).agg(count(lit(1)).as("__c"))
+    val stats = counts.agg(sum(col("__c")).as("__n"), count(lit(1)).as("__v"))
+    counts.crossJoin(broadcast(stats))
+      .select(col("tri"),
+        log((col("__c") + lit(1)) / (col("__n") + col("__v"))).as("logp"),
+        col("__n"), col("__v"))
+  }
+
+  /** Score `docs` against a [[charLmModel]]: mean trigram log-probability
+    * (higher = more corpus-typical), unseen trigrams at the smoothing
+    * floor. Emits `(doc_id, n_trigrams, lm_score)`; documents shorter
+    * than 3 code points have no trigrams and are absent, like every
+    * per-gram operator here. The model rides a broadcast; scoring is one
+    * explode + map-side partial mean per doc — no corpus-sized shuffle. */
+  def charLmScore(docs: DataFrame, model: DataFrame, text: Column): DataFrame = {
+    val stats = model.select(col("__n"), col("__v")).limit(1)
+    docs.select(col("doc_id"), explode(charNgrams(text, 3)).as("tri"))
+      .join(broadcast(model.select(col("tri"), col("logp"))), Seq("tri"), "left_outer")
+      .crossJoin(broadcast(stats))
+      // unseen trigram → the add-one floor ln(1 / (N + V))
+      .withColumn("__lp", coalesce(col("logp"), -log(col("__n") + col("__v"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_trigrams"), avg(col("__lp")).as("lm_score"))
+  }
+
   /** BM25 keyword scoring of every document against a fixed term list —
     * the lexical-retrieval half of a hybrid (BM25 + ANN) corpus search,
     * and the relevance filter a targeted-crawl pipeline scores pages

@@ -264,6 +264,22 @@ class NativeExprsSpec extends SparkSpec {
       TextOps.qualityScoreFromTokens(col("text"), col("__t")), withT)
   }
 
+  test("charNgrams == substr/sequence HOF twin incl. unicode and short docs") {
+    import graft.operators.TextOps
+    for (n <- Seq(1, 3, 8)) {
+      assertSame(TextOps.charNgrams(col("text"), n),
+        TextOps.charNgramsHof(col("text"), n), docsDf)
+    }
+    // supplementary-plane text: windows count CODE POINTS, not UTF-16 units
+    val emoji = Seq((1L, "a😀b😀c"), (2L, "😀😀"), (3L, ""), (4L, "ab"))
+      .toDF("doc_id", "text")
+    assertSame(TextOps.charNgrams(col("text"), 3),
+      TextOps.charNgramsHof(col("text"), 3), emoji)
+    val got = emoji.where(col("doc_id") === 1)
+      .select(TextOps.charNgrams(col("text"), 3)).as[Seq[String]].head()
+    assert(got === Seq("a😀b", "😀b😀", "b😀c"))
+  }
+
   test("pqCodes == interpreted HOF twin, bit-identical across (m, dsub, k) shapes") {
     import graft.operators.VectorOps
     // several PQ geometries, random codebooks built through pqPack (the

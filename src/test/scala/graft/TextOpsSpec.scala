@@ -117,4 +117,24 @@ class TextOpsSpec extends SparkSpec {
     assert(got(1L) > got(2L),
       s"doc with the rare term must outrank: ${got(1L)} vs ${got(2L)}")
   }
+
+  test("charLmScore: corpus-typical text outranks gibberish; all-unseen doc sits at the floor") {
+    val ref = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick red fox runs over the lazy cat"),
+      (3L, "a quick brown dog jumps over the lazy fox")).toDF("doc_id", "text")
+    val model = TextOps.charLmModel(ref, col("text"))
+    val probe = Seq(
+      (10L, "the quick brown fox"),
+      (11L, "zxv vwk wkz")) // every trigram absent from the reference
+      .toDF("doc_id", "text")
+    val got = TextOps.charLmScore(probe, model, col("text"))
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(got(10L) > got(11L),
+      s"familiar text must outrank gibberish: ${got(10L)} vs ${got(11L)}")
+    val (n, v) = model.select(col("__n"), col("__v"))
+      .as[(Long, Long)].head()
+    assert(math.abs(got(11L) - math.log(1.0 / (n + v))) < 1e-12,
+      s"all-unseen doc must sit exactly at the smoothing floor")
+  }
 }
