@@ -120,7 +120,15 @@ object DocIngest {
       shingleN: Int = 3,
       perms: Int = 16,
       bands: Int = 4,
-      threshold: Double = 0.5): StreamingQuery =
+      threshold: Double = 0.5,
+      // optional LM-familiarity gate ([[graft.operators.TextOps.charLmModel]]
+      // over the reference corpus): batches are scored stream-static
+      // against the broadcast model and docs below `minLmScore` are
+      // rejected. Note the scorer has no trigrams for docs under 3 code
+      // points — those fail the armed gate (they fail any sane
+      // minQuality long before that).
+      lmModel: Option[DataFrame] = None,
+      minLmScore: Double = Double.NegativeInfinity): StreamingQuery =
     readDocs(spark, dir)
       .writeStream
       .outputMode("append")
@@ -133,10 +141,18 @@ object DocIngest {
             TextOps.langFromVotes(col("__stats.votes")).as("__lang"),
             TextOps.qualityFromStats(col("text"), col("__toks"), col("__stats")).as("__q"))
           .where(col("__lang") === lang && col("__q") >= minQuality)
+        val lmGated = lmModel match {
+          case Some(m) =>
+            val ok = TextOps.charLmScore(batch, m, col("text"))
+              .where(col("lm_score") >= minLmScore)
+              .select("doc_id")
+            scored.join(ok, Seq("doc_id"), "left_semi")
+          case None => scored
+        }
         val dups = matches(batch, corpusBanded, corpusHashes,
           shingleN = shingleN, perms = perms, bands = bands, threshold = threshold)
           .select("doc_id").distinct()
-        scored.join(dups, Seq("doc_id"), "left_anti")
+        lmGated.join(dups, Seq("doc_id"), "left_anti")
           .select("doc_id", "text")
           .write.mode("append").parquet(storePath)
         ()

@@ -382,6 +382,39 @@ class StreamingSpec extends SparkSpec {
       s"expected only the novel English doc admitted, got $admitted")
   }
 
+  test("streaming admission LM gate: corpus-atypical text rejected, familiar text admitted") {
+    import graft.operators.TextOps
+    import graft.streaming.DocIngest
+    val base = "the quick brown fox jumps over the lazy dog and it is " +
+      "a fine day in the old house of the hill it is warm and the fire is lit"
+    val corpus = Seq((0L, base)).toDF("doc_id", "text")
+    val model = TextOps.charLmModel(corpus, col("text"))
+    // both docs pass language (stopword-heavy) — only their CHARACTER
+    // statistics differ: 201 reuses corpus words, 202 is consonant soup
+    // wrapped in stopwords
+    val familiar = (201L, "it is the day of the fox and the dog in the warm house")
+    val weird = (202L, "the zxqvw of wkzzt and qqvxz in the vvkwq zzxqv")
+    val incoming = Seq(familiar, weird).toDF("doc_id", "text")
+    // threshold: midpoint of the two docs' batch scores — the gate must
+    // reproduce the batch scorer exactly (same model, stream-static)
+    val scores = TextOps.charLmScore(incoming, model, col("text"))
+      .select("doc_id", "lm_score").as[(Long, Double)].collect().toMap
+    assert(scores(201L) > scores(202L))
+    val cut = (scores(201L) + scores(202L)) / 2
+    val root = java.nio.file.Files.createTempDirectory("graft_admit_lm")
+    val inDir = s"$root/in"
+    incoming.write.mode("overwrite").parquet(inDir)
+    val (banded, hashes) = DocIngest.corpusIndex(corpus)
+    val store = s"$root/admitted"
+    val q = DocIngest.startAdmission(spark, inDir, banded, hashes, store,
+      s"$root/ckpt", lang = "en", minQuality = 0.0, threshold = 0.4,
+      lmModel = Some(model), minLmScore = cut)
+    q.awaitTermination()
+    val admitted = spark.read.parquet(store).select("doc_id").as[Long].collect().toSet
+    assert(admitted === Set(201L),
+      s"LM gate must reject the corpus-atypical doc, got $admitted")
+  }
+
   test("stateful exact-dedup gate: first arrival wins, state survives a restart") {
     import graft.streaming.DocIngest
     val root = java.nio.file.Files.createTempDirectory("graft_exact_gate")
