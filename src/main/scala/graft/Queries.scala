@@ -838,6 +838,24 @@ object Queries {
         qvec0(s, dir), k = 10, probes = 3))
     }),
 
+    // extension: the BATCH ADC probe — many queries against the code
+    // store, per-query LUTs on one broadcast, bounded-heap two-phase
+    // top-k (no ranking window over candidates)
+    "ivf_adc_batch" -> ((s, dir) => {
+      val model = fixedModel(s, dir, Metric.Euclidean)
+      val books = pqFixedBooks(s, dir)
+      val codeStore = model.assigned
+        .crossJoin(broadcast(books))
+        .select(col("id"), col("cluster_id"),
+          operators.VectorOps.pqCodes(col("embedding"), col("books")).as("codes"))
+      val q = recs(s, dir).where(col("id") < 5)
+        .select(col("id").as("query_id"), col("embedding").as("qvec"))
+      IvfIndex.queryAdcBatch(model.centroids, codeStore, books, q, k = 5, probes = 3)
+        .orderBy(col("query_id"), col("distance"), col("id"))
+        .select(col("query_id"), col("id").as("vec_id"),
+          r4(col("distance")).as("distance"))
+    }),
+
     // extension: the production PQ serving shape — ADC shortlist from
     // the compressed store, exact re-rank of the shortlist on original
     // vectors (50 rows, broadcast). Invariant oracle: re-ranking the
@@ -1872,6 +1890,33 @@ object Queries {
          |SELECT adc.vec_id AS vec_id, ${sqlR4("adc.dist")} AS distance
          |FROM adc JOIN asg ON asg.vec_id = adc.vec_id JOIN probed ON asg.cid = probed.cid
          |ORDER BY adc.dist ASC, adc.vec_id ASC LIMIT 10""".stripMargin,
+
+    "ivf_adc_batch" ->
+      s"""WITH c AS (SELECT CAST(vec_id AS INTEGER) AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8),
+         |q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 5),
+         |asg AS (SELECT vec_id, cid FROM (
+         |  SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id ORDER BY ${sqlSq("e.embedding", "c.cvec")} ASC, c.cid ASC) AS rn
+         |  FROM embeddings e CROSS JOIN c) WHERE rn = 1),
+         |probed AS (SELECT query_id, cid FROM (
+         |  SELECT q.query_id, c.cid, row_number() OVER (PARTITION BY q.query_id ORDER BY ${sqlSq("c.cvec", "q.qvec")} ASC, c.cid ASC) AS rn
+         |  FROM c CROSS JOIN q) WHERE rn <= 3),
+         |cb AS (SELECT CAST(vec_id AS INT) AS code, embedding FROM embeddings WHERE vec_id < 16),
+         |books AS (SELECT u.s AS sub_idx, code,
+         |  list_slice(embedding, CAST(u.s * 16 + 1 AS INT), CAST(u.s * 16 + 16 AS INT)) AS cvec
+         |  FROM cb, unnest(generate_series(0, 3)) AS u(s)),
+         |enc AS (SELECT e.vec_id, b.sub_idx, b.cvec,
+         |  row_number() OVER (PARTITION BY e.vec_id, b.sub_idx ORDER BY ${sqlSq("list_slice(e.embedding, CAST(b.sub_idx * 16 + 1 AS INT), CAST(b.sub_idx * 16 + 16 AS INT))", "b.cvec")} ASC, b.code ASC) AS rn
+         |  FROM embeddings e CROSS JOIN books b),
+         |adc AS (SELECT q.query_id, enc.vec_id,
+         |  sum(${sqlSq("list_slice(q.qvec, CAST(enc.sub_idx * 16 + 1 AS INT), CAST(enc.sub_idx * 16 + 16 AS INT))", "enc.cvec")}) AS dist
+         |  FROM enc, q WHERE rn = 1 GROUP BY q.query_id, enc.vec_id),
+         |cand AS (SELECT adc.query_id, adc.vec_id, adc.dist FROM adc
+         |  JOIN asg ON asg.vec_id = adc.vec_id
+         |  JOIN probed p ON asg.cid = p.cid AND p.query_id = adc.query_id),
+         |r AS (SELECT query_id, vec_id, dist,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, vec_id ASC) AS rn FROM cand)
+         |SELECT query_id, vec_id, ${sqlR4("dist")} AS distance
+         |FROM r WHERE rn <= 5 ORDER BY query_id, dist, vec_id""".stripMargin,
 
     "embed_quantize" ->
       s"""WITH s AS (SELECT vec_id, embedding,

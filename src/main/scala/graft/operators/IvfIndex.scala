@@ -773,4 +773,48 @@ object IvfIndex {
   /** The 100 TB layout: posting lists as Parquet partitions. */
   def writePartitioned(model: Model, path: String): Unit =
     model.assigned.write.mode("overwrite").partitionBy("cluster_id").parquet(path)
+
+  /** Batch twin of [[queryAdc]]: many queries against the compressed
+    * code store. Probe selection per query is the same bounded
+    * centroids×queries window as [[queryBatch]] (|centroids|·|queries|
+    * rows — never the data); every query's LUT rides one broadcast, and
+    * the per-query top-k is the two-phase bounded-heap shape
+    * ([[graft.functions.TopKPairsAgg]]) — no ranking window over
+    * candidates. Emits `(query_id, id, distance)`. */
+  def queryAdcBatch(
+      centroids: DataFrame,
+      codeStore: DataFrame,
+      books: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      probes: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.TopKPairsAgg.topKPairs
+    require(k > 0, "k must be positive")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(isnan(col("__cdist")).asc, col("__cdist").asc, col("cluster_id").asc)
+    val probedQ = centroids
+      .crossJoin(broadcast(queries))
+      .withColumn("__cdist", Metric.Euclidean.distance(col("centroid"), col("qvec")))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= lit(probes))
+      .select(col("query_id"), col("cluster_id"))
+    val luts = queries.crossJoin(broadcast(books))
+      .select(col("query_id"), VectorOps.pqLuts(col("qvec"), col("books")).as("luts"))
+    val candidates = codeStore
+      .join(broadcast(probedQ), Seq("cluster_id"))
+      .join(broadcast(luts), Seq("query_id"))
+      .withColumn("distance", VectorOps.adcDistance(col("codes"), col("luts")))
+      .select(col("query_id"), col("distance"), col("id"))
+    candidates
+      .withColumn("__pid", spark_partition_id())
+      .groupBy(col("query_id"), col("__pid"))
+      .agg(topKPairs(col("distance"), col("id"), k).as("__top"))
+      .select(col("query_id"), explode(col("__top")).as("__r"))
+      .select(col("query_id"), col("__r.distance").as("distance"), col("__r.id").as("id"))
+      .groupBy(col("query_id"))
+      .agg(topKPairs(col("distance"), col("id"), k).as("__top"))
+      .select(col("query_id"), explode(col("__top")).as("__r"))
+      .select(col("query_id"), col("__r.id").as("id"), col("__r.distance").as("distance"))
+  }
 }
