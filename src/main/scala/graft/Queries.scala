@@ -755,6 +755,32 @@ object Queries {
     // composition oracle-exact (recursive CTE on the DuckDB side).
     "dedup_semantic" -> ((s, dir) => semanticGroups(s, dir).orderBy("doc_id")),
 
+    // extension: SEMANTIC decontamination — the embedding-space
+    // complement of corpus_decontaminate's n-gram gate: corpus vectors
+    // too close (cosine) to a benchmark set are flagged, candidates
+    // generated by the same top-2-cluster blocking as embed_neardup
+    // (never all-pairs; a paraphrased benchmark item that shares no
+    // 8-gram still lands in the same cluster). Benchmark = vec_id < 50,
+    // a stand-in for a held-out eval set
+    "corpus_decon_semantic" -> ((s, dir) => {
+      val blocked = top2Blocked(s, dir)
+      def side(f: Column => Column, idAs: String, eAs: String) =
+        blocked.where(f(col("id")))
+          .select(col("block"), col("id").as(idAs), col("embedding").as(eAs))
+      val bench = side(_ < 50, "bench_id", "__be")
+      val corpus = side(_ >= 50, "vec_id", "__ce")
+      val dot = (a: Column, b: Column) => graft.functions.NativeExprs.dot(a, b)
+      corpus.join(bench, Seq("block"))
+        .withColumn("cos_sim", dot(col("__ce"), col("__be")) /
+          (sqrt(dot(col("__ce"), col("__ce"))) * sqrt(dot(col("__be"), col("__be")))))
+        .where(col("cos_sim") >= 0.2)
+        .select(col("vec_id"), col("bench_id"), col("cos_sim"))
+        .distinct() // a pair sharing both blocks matches twice, identically
+        .groupBy(col("vec_id"))
+        .agg(count(lit(1)).as("n_bench"), r4(max(col("cos_sim"))).as("max_sim"))
+        .orderBy("vec_id")
+    }),
+
     // extension: the IVF probe served from QUANTIZED vectors — the memory-
     // optimized posting-list layout end-to-end: store int8 codes + scale,
     // reconstruct at scan time, probe + top-k over the reconstruction.
@@ -2017,6 +2043,21 @@ object Queries {
          |  UNION
          |  SELECT e.b, r.lab FROM reach r JOIN e ON e.a = r.node)
          |SELECT node AS doc_id, min(lab) AS rep_id FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
+
+    "corpus_decon_semantic" ->
+      s"""WITH c AS (SELECT CAST(vec_id AS INTEGER) AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8),
+         |asg AS (SELECT vec_id, cid FROM (
+         |  SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id ORDER BY ${sqlSq("e.embedding", "c.cvec")} ASC, c.cid ASC) AS rn
+         |  FROM embeddings e CROSS JOIN c) WHERE rn <= 2),
+         |pairs AS (SELECT DISTINCT co.vec_id AS vec_id, be.vec_id AS bench_id,
+         |    ${sqlCosSim("co.embedding", "be.embedding")} AS s
+         |  FROM embeddings co JOIN asg ac ON co.vec_id = ac.vec_id
+         |  JOIN asg ab ON ac.cid = ab.cid
+         |  JOIN embeddings be ON be.vec_id = ab.vec_id
+         |  WHERE co.vec_id >= 50 AND be.vec_id < 50
+         |    AND ${sqlCosSim("co.embedding", "be.embedding")} >= 0.2)
+         |SELECT vec_id, count(*) AS n_bench, ${sqlR4("max(s)")} AS max_sim
+         |FROM pairs GROUP BY vec_id ORDER BY vec_id""".stripMargin,
 
     "lang_id" ->
       s"""WITH t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk FROM documents),
