@@ -882,6 +882,23 @@ object Queries {
           r4(col("distance")).as("distance"))
     }),
 
+    // extension: ADC-shortlist + exact re-rank with a FULL-SQL oracle —
+    // the deterministic twin of ivf_pq_rerank's invariant contract:
+    // full-probe ADC top-50 from the code store, exact top-10 re-rank on
+    // original vectors, every step replayed row-exactly in DuckDB
+    "ivf_adc_rerank" -> ((s, dir) => {
+      val model = fixedModel(s, dir, Metric.Euclidean)
+      val books = pqFixedBooks(s, dir)
+      val codeStore = model.assigned
+        .crossJoin(broadcast(books))
+        .select(col("id"), col("cluster_id"),
+          operators.VectorOps.pqCodes(col("embedding"), col("books")).as("codes"))
+      val shortlist = IvfIndex.queryAdc(model.centroids, codeStore, books,
+        qvec0(s, dir), k = 50, probes = Int.MaxValue).select(col("id"))
+      knnOut(Knn.search(recs(s, dir).join(shortlist, Seq("id")),
+        qvec0(s, dir), k = 10, Metric.Euclidean))
+    }),
+
     // extension: the production PQ serving shape — ADC shortlist from
     // the compressed store, exact re-rank of the shortlist on original
     // vectors (50 rows, broadcast). Invariant oracle: re-ranking the
@@ -1916,6 +1933,25 @@ object Queries {
          |SELECT adc.vec_id AS vec_id, ${sqlR4("adc.dist")} AS distance
          |FROM adc JOIN asg ON asg.vec_id = adc.vec_id JOIN probed ON asg.cid = probed.cid
          |ORDER BY adc.dist ASC, adc.vec_id ASC LIMIT 10""".stripMargin,
+
+    // full-probe shortlist: every step deterministic, so the rerank path
+    // gets a row-exact oracle (ivf_pq_rerank keeps the invariant form)
+    "ivf_adc_rerank" ->
+      s"""WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+         |cb AS (SELECT CAST(vec_id AS INT) AS code, embedding FROM embeddings WHERE vec_id < 16),
+         |books AS (SELECT u.s AS sub_idx, code,
+         |  list_slice(embedding, CAST(u.s * 16 + 1 AS INT), CAST(u.s * 16 + 16 AS INT)) AS cvec
+         |  FROM cb, unnest(generate_series(0, 3)) AS u(s)),
+         |enc AS (SELECT e.vec_id, b.sub_idx, b.cvec,
+         |  row_number() OVER (PARTITION BY e.vec_id, b.sub_idx ORDER BY ${sqlSq("list_slice(e.embedding, CAST(b.sub_idx * 16 + 1 AS INT), CAST(b.sub_idx * 16 + 16 AS INT))", "b.cvec")} ASC, b.code ASC) AS rn
+         |  FROM embeddings e CROSS JOIN books b),
+         |adc AS (SELECT enc.vec_id,
+         |  sum(${sqlSq("list_slice(q.qvec, CAST(enc.sub_idx * 16 + 1 AS INT), CAST(enc.sub_idx * 16 + 16 AS INT))", "enc.cvec")}) AS dist
+         |  FROM enc, q WHERE rn = 1 GROUP BY enc.vec_id),
+         |short AS (SELECT vec_id FROM adc ORDER BY dist ASC, vec_id ASC LIMIT 50)
+         |SELECT e.vec_id AS vec_id, ${sqlR4(sqlSq("e.embedding", "q.qvec"))} AS distance
+         |FROM embeddings e JOIN short USING (vec_id), q
+         |ORDER BY ${sqlSq("e.embedding", "q.qvec")} ASC, e.vec_id ASC LIMIT 10""".stripMargin,
 
     "ivf_adc_batch" ->
       s"""WITH c AS (SELECT CAST(vec_id AS INTEGER) AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8),
