@@ -300,6 +300,25 @@ class PlanShapeSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"), p.linesIterator.take(8).mkString("\n"))
   }
 
+  test("text_lm_score: model rides a broadcast; no sort-merge join of trigrams") {
+    val p = plan(Queries.queries("text_lm_score")(spark, sf))
+    assert(p.contains("BroadcastExchange"), p.take(1200))
+    assert(!p.contains("SortMergeJoin"),
+      "the trigram model lookup must be a broadcast join, never a corpus-sized shuffle\n" +
+        p.linesIterator.filter(_.contains("Join")).mkString("\n"))
+  }
+
+  test("corpus_decon_semantic: block-bounded hash join, never a corpus x benchmark cartesian") {
+    val p = plan(Queries.queries("corpus_decon_semantic")(spark, sf))
+    assert(!p.contains("CartesianProduct"),
+      p.linesIterator.filter(_.contains("Join")).mkString("\n"))
+    // candidate pairs come from an equi-join on the block id (the
+    // nested-loop nodes in the plan are the established 1-row broadcast
+    // centroid-array attaches inside the blocking, not pair generation)
+    assert(p.contains("HashJoin [block"),
+      p.linesIterator.filter(_.contains("Join")).take(4).mkString("\n"))
+  }
+
   test("corpus_line_dedup counts line frequency without Expand") {
     val p = plan(Queries.queries("corpus_line_dedup")(spark, sf))
     assert(!p.contains("Expand"),
