@@ -661,6 +661,62 @@ object NativeExprs {
 
   def charNgrams(text: Column, n: Int): Column = asCol(CharNgramsExpr(ex(text), n))
 
+  /** Fused char-trigram LM scoring — one compiled pass per document
+    * replacing the explode → broadcast-join → partial-avg plan (which
+    * routes |corpus chars| rows through a join even though the model is
+    * tiny). The model rides the expression as constructor data (bounded
+    * by charset³ — the same driver-side-bounded-collect class as the
+    * LSH plane set); unknown trigrams score `floorLogp`. Returns
+    * `struct(n_trigrams, lm_score)`; null when the text is null OR has
+    * no trigrams (callers filter, mirroring the explode formulation
+    * where such docs simply produce no rows). Summation is per-doc
+    * trigram order — equal to the join+avg plan up to float regrouping
+    * (1e-12 relative, spec-pinned; the r4'd oracle is unaffected). */
+  case class CharLmScoreExpr(
+      child: Expression,
+      entries: Seq[(String, Double)],
+      floorLogp: Double)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StructType(Seq(
+      StructField("n_trigrams", LongType, nullable = false),
+      StructField("lm_score", DoubleType, nullable = false)))
+    override def nullable: Boolean = true
+    @transient private lazy val table: java.util.HashMap[UTF8String, java.lang.Double] = {
+      val m = new java.util.HashMap[UTF8String, java.lang.Double](
+        Math.max(16, entries.size * 2))
+      entries.foreach { case (t, lp) => m.put(UTF8String.fromString(t), lp) }
+      m
+    }
+    override def eval(input: InternalRow): Any = {
+      val t = child.eval(input).asInstanceOf[UTF8String]
+      if (t == null) return null
+      val bytes = t.getBytes
+      val len = bytes.length
+      val starts = new Array[Int](t.numChars() + 1)
+      var cp = 0
+      var i = 0
+      while (i < len) {
+        if ((bytes(i) & 0xc0) != 0x80) { starts(cp) = i; cp += 1 }
+        i += 1
+      }
+      starts(cp) = len
+      if (cp < 3) return null
+      var sum = 0.0
+      var w = 0
+      while (w <= cp - 3) {
+        val tri = UTF8String.fromBytes(bytes, starts(w), starts(w + 3) - starts(w))
+        val lp = table.get(tri)
+        sum += (if (lp == null) floorLogp else lp.doubleValue())
+        w += 1
+      }
+      InternalRow((cp - 2).toLong, sum / (cp - 2))
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  def charLmScore(text: Column, entries: Seq[(String, Double)], floorLogp: Double): Column =
+    asCol(CharLmScoreExpr(ex(text), entries, floorLogp))
+
   case class Md5MinWindowExpr(child: Expression, window: Int)
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = StringType

@@ -328,6 +328,28 @@ object TextOps {
       .agg(count(lit(1)).as("n_trigrams"), avg(col("__lp")).as("lm_score"))
   }
 
+  /** [[charLmScore]] fused into one compiled pass per document
+    * ([[graft.functions.NativeExprs.CharLmScoreExpr]]): the model is
+    * collected to the driver (bounded by charset³ — the LSH-planes
+    * collect class, NOT proportional to data) and shipped as expression
+    * constructor data, so scoring never explodes trigram rows or joins.
+    * Equal to [[charLmScore]] up to float regrouping (spec-pinned at
+    * 1e-12 relative). Prefer this for scoring; keep the join-based form
+    * when the model must stay distributed (e.g. per-language models
+    * unioned past driver comfort). */
+  def charLmScoreFused(docs: DataFrame, model: DataFrame, text: Column): DataFrame = {
+    val entries = model.select(col("tri"), col("logp")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toSeq
+    val stats = model.select(col("__n"), col("__v")).head()
+    val floor = -math.log((stats.getLong(0) + stats.getLong(1)).toDouble)
+    docs
+      .select(col("doc_id"),
+        graft.functions.NativeExprs.charLmScore(text, entries, floor).as("__s"))
+      .where(col("__s").isNotNull)
+      .select(col("doc_id"), col("__s.n_trigrams").as("n_trigrams"),
+        col("__s.lm_score").as("lm_score"))
+  }
+
   /** BM25 keyword scoring of every document against a fixed term list —
     * the lexical-retrieval half of a hybrid (BM25 + ANN) corpus search,
     * and the relevance filter a targeted-crawl pipeline scores pages

@@ -300,12 +300,13 @@ class PlanShapeSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"), p.linesIterator.take(8).mkString("\n"))
   }
 
-  test("text_lm_score: model rides a broadcast; no sort-merge join of trigrams") {
+  test("text_lm_score: fused scoring is map-only — no join, no explode") {
     val p = plan(Queries.queries("text_lm_score")(spark, sf))
-    assert(p.contains("BroadcastExchange"), p.take(1200))
-    assert(!p.contains("SortMergeJoin"),
-      "the trigram model lookup must be a broadcast join, never a corpus-sized shuffle\n" +
+    assert(!p.contains("Join"),
+      "fused LM scoring must not join the model\n" +
         p.linesIterator.filter(_.contains("Join")).mkString("\n"))
+    assert(!p.contains("Generate"),
+      "fused LM scoring must not explode trigram rows\n" + p.take(1200))
   }
 
   test("corpus_decon_semantic: block-bounded hash join, never a corpus x benchmark cartesian") {

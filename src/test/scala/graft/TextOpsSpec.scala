@@ -136,5 +136,18 @@ class TextOpsSpec extends SparkSpec {
       .as[(Long, Long)].head()
     assert(math.abs(got(11L) - math.log(1.0 / (n + v))) < 1e-12,
       s"all-unseen doc must sit exactly at the smoothing floor")
+    // the fused kernel agrees with the explode+join formulation up to
+    // float regrouping, including the unseen floor and short-doc absence
+    val withShort = probe.unionByName(Seq((12L, "ab")).toDF("doc_id", "text"))
+    val fused = TextOps.charLmScoreFused(withShort, model, col("text"))
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val joined = TextOps.charLmScore(withShort, model, col("text"))
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(fused.keySet === joined.keySet && !fused.keySet.contains(12L))
+    fused.foreach { case (id, (nt, s)) =>
+      assert(nt === joined(id)._1)
+      assert(math.abs(s - joined(id)._2) <= 1e-12 * math.max(1.0, math.abs(s)),
+        s"doc $id: fused $s vs joined ${joined(id)._2}")
+    }
   }
 }
