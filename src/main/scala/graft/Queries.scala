@@ -878,6 +878,26 @@ object Queries {
         qvec0(s, dir), k = 10, probes = 3))
     }),
 
+    // extension: the compressed store ON DISK — codes written as
+    // cluster_id-partitioned parquet (the 100 TB layout: 2-byte codes in
+    // posting-list partitions) and probed from the reopened store; the
+    // probe must prune partitions exactly like the full-precision
+    // ivf_store_query (pinned in PlanShapeSpec)
+    "ivf_adc_store_query" -> ((s, dir) => {
+      val model = fixedModel(s, dir, Metric.Euclidean)
+      val books = pqFixedBooks(s, dir)
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_adcstore_" +
+        s"${s.sparkContext.applicationId}_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      if (!new java.io.File(s"$path/_SUCCESS").exists())
+        model.assigned
+          .crossJoin(broadcast(books))
+          .select(col("id"), col("cluster_id"),
+            operators.VectorOps.pqCodes(col("embedding"), col("books")).as("codes"))
+          .write.mode("overwrite").partitionBy("cluster_id").parquet(path)
+      knnOut(IvfIndex.queryAdc(model.centroids, s.read.parquet(path), books,
+        qvec0(s, dir), k = 10, probes = 3))
+    }),
+
     // extension: the BATCH ADC probe — many queries against the code
     // store, per-query LUTs on one broadcast, bounded-heap two-phase
     // top-k (no ranking window over candidates)
@@ -1966,6 +1986,29 @@ object Queries {
          |SELECT e.vec_id AS vec_id, ${sqlR4(sqlSq("e.embedding", "q.qvec"))} AS distance
          |FROM embeddings e JOIN short USING (vec_id), q
          |ORDER BY ${sqlSq("e.embedding", "q.qvec")} ASC, e.vec_id ASC LIMIT 10""".stripMargin,
+
+    // the disk layout changes the files, never the rows — the
+    // ivf_adc_query oracle applies verbatim
+    "ivf_adc_store_query" ->
+      s"""WITH c AS (SELECT CAST(vec_id AS INTEGER) AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8),
+         |q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+         |asg AS (SELECT vec_id, cid FROM (
+         |  SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id ORDER BY ${sqlSq("e.embedding", "c.cvec")} ASC, c.cid ASC) AS rn
+         |  FROM embeddings e CROSS JOIN c) WHERE rn = 1),
+         |probed AS (SELECT c.cid FROM c, q ORDER BY ${sqlSq("c.cvec", "q.qvec")} ASC, c.cid ASC LIMIT 3),
+         |cb AS (SELECT CAST(vec_id AS INT) AS code, embedding FROM embeddings WHERE vec_id < 16),
+         |books AS (SELECT u.s AS sub_idx, code,
+         |  list_slice(embedding, CAST(u.s * 16 + 1 AS INT), CAST(u.s * 16 + 16 AS INT)) AS cvec
+         |  FROM cb, unnest(generate_series(0, 3)) AS u(s)),
+         |enc AS (SELECT e.vec_id, b.sub_idx, b.cvec,
+         |  row_number() OVER (PARTITION BY e.vec_id, b.sub_idx ORDER BY ${sqlSq("list_slice(e.embedding, CAST(b.sub_idx * 16 + 1 AS INT), CAST(b.sub_idx * 16 + 16 AS INT))", "b.cvec")} ASC, b.code ASC) AS rn
+         |  FROM embeddings e CROSS JOIN books b),
+         |adc AS (SELECT enc.vec_id,
+         |  sum(${sqlSq("list_slice(q.qvec, CAST(enc.sub_idx * 16 + 1 AS INT), CAST(enc.sub_idx * 16 + 16 AS INT))", "enc.cvec")}) AS dist
+         |  FROM enc, q WHERE rn = 1 GROUP BY enc.vec_id)
+         |SELECT adc.vec_id AS vec_id, ${sqlR4("adc.dist")} AS distance
+         |FROM adc JOIN asg ON asg.vec_id = adc.vec_id JOIN probed ON asg.cid = probed.cid
+         |ORDER BY adc.dist ASC, adc.vec_id ASC LIMIT 10""".stripMargin,
 
     "ivf_adc_batch" ->
       s"""WITH c AS (SELECT CAST(vec_id AS INTEGER) AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8),

@@ -103,6 +103,32 @@ class PlanShapeSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("cluster-partitioned CODE store: the ADC probe prunes partitions at the scan") {
+    import graft.operators.{IvfIndex, VectorOps}
+    val r = graft.sources.Records.fromEmbeddings(spark, sf)
+    val c = r.where(col("id") < 8)
+      .select(col("id").cast("int").as("cluster_id"), col("embedding").as("centroid"))
+    val assigned = IvfIndex.assign(r, c, Metric.Euclidean)
+    val books = VectorOps.pqPack(
+      r.where(col("id") < 16)
+        .select(col("id").cast("int").as("code"), col("embedding"))
+        .select(explode(sequence(lit(0), lit(3))).as("sub_idx"),
+          col("code"), col("embedding"))
+        .select(col("sub_idx"), col("code"),
+          slice(col("embedding"), col("sub_idx") * 16 + 1, lit(16)).as("cvec")))
+    val path = java.nio.file.Files.createTempDirectory("graft_adc_part").toString
+    assigned.crossJoin(broadcast(books))
+      .select(col("id"), col("cluster_id"),
+        VectorOps.pqCodes(col("embedding"), col("books")).as("codes"))
+      .write.mode("overwrite").partitionBy("cluster_id").parquet(path)
+    val q = r.where(col("id") === 0).select(col("embedding").as("qvec"))
+    val df = IvfIndex.queryAdc(c, spark.read.parquet(path), books, q, 10, probes = 3)
+    val p = plan(df)
+    assert(p.contains("dynamicpruning") || p.contains("PartitionFilters: [dynamic"),
+      p.linesIterator.filter(_.contains("PartitionFilters")).mkString("\n"))
+    assert(df.collect().length === 10)
+  }
+
   test("bucket-partitioned LSH store: probe query prunes partitions at the scan") {
     import graft.operators.SignLsh
     val r = graft.sources.Records.fromEmbeddings(spark, sf)
