@@ -363,21 +363,48 @@ object Queries {
     // combinable; verified through deterministic derived properties
     // (member count, the member nearest to the centroid, the centroid's
     // own norm) since a float mean's raw bits are summation-order-
-    // dependent across engines
+    // dependent across engines.
+    //
+    // Cross-engine trust guards: DuckDB's avg() sums doubles in a
+    // different order than VectorMeanAgg's partial aggregation, so the
+    // two centroids can differ by one double ulp per component before
+    // the shared float cast. The derived values only compare reliably
+    // when they sit FAR from their decision boundaries, so the query
+    // raises (loudly, instead of flaking) if (a) the nearest member's
+    // margin over the runner-up is within float-ulp reach, or (b) the
+    // norm lies within ~1e-7 of an r4 rounding flip. Both margins are
+    // ~1e-1 on the real data — 3+ orders above the guard.
     "label_centroids" -> ((s, dir) => {
       val e = emb(s, dir)
       val cents = e.groupBy(col("label"))
         .agg(graft.functions.VectorMeanAgg.vectorMean(col("embedding")).as("cvec"),
           count(lit(1)).as("n"))
-      val nearest = e.join(cents.select(col("label"), col("cvec")), Seq("label"))
+      // top-2 nearest members per label in ONE bounded-heap pass (no
+      // second join for the runner-up); heap orders (distance, id) so
+      // element 0 reproduces min_by's lowest-id tie-break
+      val near2 = e.join(cents.select(col("label"), col("cvec")), Seq("label"))
         .withColumn("__d",
           graft.functions.NativeExprs.sqEuclidean(col("embedding"), col("cvec")))
         .groupBy(col("label"))
-        .agg(min_by(col("vec_id"), struct(col("__d"), col("vec_id")))
-          .as("nearest_vec_id"))
-      cents.join(nearest, Seq("label"))
-        .select(col("label"), col("n"), col("nearest_vec_id"),
-          r4(sqrt(graft.functions.NativeExprs.dot(col("cvec"), col("cvec"))))
+        .agg(graft.functions.TopKPairsAgg.topKPairs(col("__d"), col("vec_id"), 2)
+          .as("__n2"))
+      val nearGap = col("__n2")(1)("distance") - col("__n2")(0)("distance")
+      val norm = sqrt(graft.functions.NativeExprs.dot(col("cvec"), col("cvec")))
+      // distance from r4's scaled argument to its nearest flip point
+      val boundaryGap = abs(norm * lit(10000.0) + lit(0.5)
+        - floor(norm * lit(10000.0) + lit(1.0)))
+      cents.join(near2, Seq("label"))
+        .select(col("label"), col("n"),
+          when(size(col("__n2")) < 2 || nearGap > lit(1e-4),
+            col("__n2")(0)("id"))
+            .otherwise(raise_error(concat(
+              lit("label_centroids: nearest-member margin within float-ulp "
+                + "reach for label "), col("label"))))
+            .as("nearest_vec_id"),
+          when(boundaryGap > lit(1e-3), r4(norm))
+            .otherwise(raise_error(concat(
+              lit("label_centroids: centroid norm within 1e-7 of an r4 "
+                + "rounding boundary for label "), col("label"))))
             .as("centroid_norm"))
         .orderBy("label")
     }),
@@ -528,6 +555,12 @@ object Queries {
     // upsert-then-delete (stays dead), and a fresh insert, in one batch
     "merge_batch" -> ((s, dir) => {
       import s.implicits._
+      val base = recs(s, dir)
+      // fresh-insert sentinel: one past the store's max id, computed from
+      // the data (a 1-row aggregate) so the query holds at ANY scale
+      // factor — a fixed literal would silently collide once a bigger SF
+      // grew past it, and the failure would masquerade as a merge bug
+      val freshId = base.agg(max(col("id"))).head.getLong(0) + 1L
       val changes = Seq(
         (0L, "delete", 1, None, None),
         (1L, "delete", 1, None, None),
@@ -538,10 +571,10 @@ object Queries {
         (7L, "delete", 2, None, None),
         (8L, "delete", 1, None, None),
         (8L, "upsert", 2, Some(Seq.fill(Dim)(0.8f)), Some(Map("label" -> "E"))),
-        (1000001L, "upsert", 1, Some(Seq.fill(Dim)(0.9f)), Some(Map("label" -> "N"))))
+        (freshId, "upsert", 1, Some(Seq.fill(Dim)(0.9f)), Some(Map("label" -> "N"))))
         .toDF("id", "op", "seq", "embedding", "metadata")
-      Crud.merge(recs(s, dir), changes)
-        .where(col("id") < 12 || col("id") > 1000000L)
+      Crud.merge(base, changes)
+        .where(col("id") < 12 || col("id") === freshId)
         .select(col("id").as("vec_id"),
           try_element_at(col("metadata"), lit("label")).as("label"),
           size(col("embedding")).cast("long").as("dim"))
@@ -1655,16 +1688,20 @@ object Queries {
 
     // expected end state spelled out: 0,1 deleted; 5,6,8 upserted (5 via
     // last-write-wins over two seqs, 8 revived after a delete); 7 dead
-    // (delete after upsert); 1000001 fresh
+    // (delete after upsert); max(vec_id)+1 fresh — the sentinel and the
+    // vector width both derived ($Dim, max+1), never hard-coded, so the
+    // oracle survives any scale factor or dim change
     "merge_batch" ->
-      """SELECT vec_id, label, dim FROM (
-        |  SELECT vec_id, CAST(label AS VARCHAR) AS label,
-        |    CAST(len(embedding) AS BIGINT) AS dim
-        |  FROM embeddings WHERE vec_id IN (2, 3, 4, 9, 10, 11)
-        |  UNION ALL SELECT * FROM (VALUES
-        |    (CAST(5 AS BIGINT), 'B', CAST(64 AS BIGINT)),
-        |    (6, 'C', 64), (8, 'E', 64), (1000001, 'N', 64)) v(vec_id, label, dim))
-        |ORDER BY vec_id""".stripMargin,
+      s"""SELECT vec_id, label, dim FROM (
+         |  SELECT vec_id, CAST(label AS VARCHAR) AS label,
+         |    CAST(len(embedding) AS BIGINT) AS dim
+         |  FROM embeddings WHERE vec_id IN (2, 3, 4, 9, 10, 11)
+         |  UNION ALL SELECT * FROM (VALUES
+         |    (CAST(5 AS BIGINT), 'B', CAST($Dim AS BIGINT)),
+         |    (6, 'C', $Dim), (8, 'E', $Dim)) v(vec_id, label, dim)
+         |  UNION ALL SELECT (SELECT max(vec_id) + 1 FROM embeddings), 'N',
+         |    CAST($Dim AS BIGINT))
+         |ORDER BY vec_id""".stripMargin,
 
     "ivf_assignments" ->
       s"""WITH c AS (SELECT CAST(vec_id AS INTEGER) AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8),
