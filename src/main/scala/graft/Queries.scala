@@ -493,6 +493,15 @@ object Queries {
     "count_records" -> ((s, dir) =>
       recs(s, dir).agg(count(lit(1)).as("n_records"))),
 
+    // O19 — heartbeat: liveness + library version (reference
+    // database.rs:204-213 returns CARGO_PKG_VERSION). The one operator
+    // that deliberately touches no data: a session that can answer it
+    // has a live driver, which is exactly the RPC's contract.
+    "heartbeat" -> ((s, dir) => {
+      import s.implicits._
+      Seq(graft.BuildInfo.version).toDF("version")
+    }),
+
     // O8 — batch insert, verified by post-state aggregate
     "insert_batch" -> ((s, dir) => {
       import s.implicits._
@@ -1675,6 +1684,8 @@ object Queries {
       "SELECT vec_id, CAST(label AS VARCHAR) AS label FROM embeddings WHERE vec_id = 42",
 
     "count_records" -> "SELECT count(*) AS n_records FROM embeddings",
+
+    "heartbeat" -> s"SELECT '${graft.BuildInfo.version}' AS version",
 
     "insert_batch" ->
       "SELECT count(*) + 3 AS n, CAST(sum(label) + 273 AS DOUBLE) AS label_sum FROM embeddings",
