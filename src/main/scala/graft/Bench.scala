@@ -48,10 +48,12 @@ object Bench {
       // build leaves behind drain while the remaining warmup steps run —
       // measured as an otherwise-unattributable 4-7 s tax on whatever
       // query followed the build.
-      step("corpus_state") { Seq("dedup_apply", "dedup_semantic", "dedup_multi").foreach { q =>
-        SparkEntry.queries(q)(spark, sfDir)
-          .write.format("noop").mode("overwrite").save()
-      } }
+      Seq("dedup_apply", "dedup_semantic", "dedup_multi").foreach { q =>
+        step(s"corpus_state:$q") {
+          SparkEntry.queries(q)(spark, sfDir)
+            .write.format("noop").mode("overwrite").save()
+        }
+      }
       spark.catalog.clearCache()
       val tiny = spark.read.parquet(s"$sfDir/embeddings.parquet").limit(64)
       step("codegen_jit") {

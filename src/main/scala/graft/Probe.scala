@@ -18,6 +18,7 @@ object Probe {
     if (name == "mhprof") { minhashProfile(spark, dir); spark.stop(); return }
     if (name == "balprof") { balancedProfile(spark, dir); spark.stop(); return }
     if (name == "ccprof") { corpusCleanProfile(spark, dir); spark.stop(); return }
+    if (name == "groupsprof") { groupsProfile(spark, dir); spark.stop(); return }
     val df = SparkEntry.queries(name)(spark, dir)
     df.explain("formatted")
     (1 to 2).foreach { i =>
@@ -26,6 +27,36 @@ object Probe {
       println(f"RUN$i: $n rows in ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
     spark.stop()
+  }
+
+  /** Stage attribution for the session-lifecycle group-map builds: the
+    * MinHash pair pipeline, the SimHash pair pipeline, and the CC label
+    * propagation, timed separately (the Bench warmup pays these once). */
+  private def groupsProfile(spark: SparkSession, dir: String): Unit = {
+    import graft.operators.Dedup
+    import org.apache.spark.sql.functions._
+    def t[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"PHASE $label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    }
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    t("warmup-read")(d.write.format("noop").mode("overwrite").save())
+    val mh = Dedup.minhashLsh(d, shingleN = 3, perms = 16, bands = 4,
+      threshold = 0.5, maxBucket = Dedup.DefaultPipelineMaxBucket)
+      .select(col("doc_id_a"), col("doc_id_b"))
+    t("minhash-pairs")(mh.write.format("noop").mode("overwrite").save())
+    t("minhash-pairs-again")(mh.write.format("noop").mode("overwrite").save())
+    t("cc-groups")(Dedup.duplicateGroups(mh)
+      .write.format("noop").mode("overwrite").save())
+    val sh = Dedup.simhashPairs(d, maxHamming = 8,
+      maxBucket = Dedup.DefaultPipelineMaxBucket)
+      .select(col("doc_id_a"), col("doc_id_b"))
+    t("simhash-pairs")(sh.write.format("noop").mode("overwrite").save())
+    val multi = mh.unionByName(sh).distinct()
+    t("multi-pairs")(multi.write.format("noop").mode("overwrite").save())
+    println(s"pairs: mh=${mh.count()} sh=${sh.count()} multi=${multi.count()}")
+    t("cc-multi")(Dedup.duplicateGroups(multi)
+      .write.format("noop").mode("overwrite").save())
   }
 
   /** Per-round timing for the balanced (two-level) build. */

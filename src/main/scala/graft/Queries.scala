@@ -294,12 +294,29 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** The verified MinHash pair list, memoized per (session, dir) and
+    * checkpoint-backed: BOTH group maps ([[cappedGroups]] single-signal,
+    * [[multiGroups]] multi-signal) consume the identical signal, and the
+    * catalog clear at the end of each group-map build would otherwise
+    * force the second build to re-run the whole LSH pipeline (~3 s at
+    * sf0.1). The materialized frame is bounded by the duplicate subset,
+    * not the corpus, so holding it for the session is cheap at any SF. */
+  private val minhashPairsCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private def minhashPairs(s: SparkSession, dir: String): DataFrame = {
+    minhashPairsCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    minhashPairsCache.computeIfAbsent((s, dir), _ =>
+      org.apache.spark.sql.graft.PlanBridge.statsReset(
+        Dedup.minhashLsh(docs(s, dir), shingleN = 3, perms = 16, bands = 4,
+          threshold = 0.5, maxBucket = Dedup.DefaultPipelineMaxBucket)
+          .select(col("doc_id_a"), col("doc_id_b"))
+          .localCheckpoint(eager = true)))
+  }
+
   private def cappedGroups(s: SparkSession, dir: String): DataFrame = {
     dedupGroupsCache.keySet.removeIf(_._1.sparkContext.isStopped)
     dedupGroupsCache.computeIfAbsent((s, dir), _ => {
-      val groups = Dedup.duplicateGroups(
-        Dedup.minhashLsh(docs(s, dir), shingleN = 3, perms = 16, bands = 4,
-          threshold = 0.5, maxBucket = Dedup.DefaultPipelineMaxBucket))
+      val groups = Dedup.duplicateGroups(minhashPairs(s, dir))
       // the converged label table is checkpoint-backed; the LSH
       // pipeline's persisted intermediates are dead weight once the
       // fixed point is reached (measured: their residency slowed the
@@ -322,11 +339,8 @@ object Queries {
   private def multiGroups(s: SparkSession, dir: String): DataFrame = {
     multiGroupsCache.keySet.removeIf(_._1.sparkContext.isStopped)
     multiGroupsCache.computeIfAbsent((s, dir), _ => {
-      val d = docs(s, dir)
-      val mh = Dedup.minhashLsh(d, shingleN = 3, perms = 16, bands = 4,
-        threshold = 0.5, maxBucket = Dedup.DefaultPipelineMaxBucket)
-        .select(col("doc_id_a"), col("doc_id_b"))
-      val sh = Dedup.simhashPairs(d, maxHamming = 8,
+      val mh = minhashPairs(s, dir)
+      val sh = Dedup.simhashPairs(docs(s, dir), maxHamming = 8,
         maxBucket = Dedup.DefaultPipelineMaxBucket)
         .select(col("doc_id_a"), col("doc_id_b"))
       val groups = Dedup.duplicateGroups(mh.unionByName(sh).distinct())
