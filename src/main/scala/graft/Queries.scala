@@ -615,6 +615,38 @@ object Queries {
         .orderBy("vec_id")
     }),
 
+    // extension: snapshot DIFF — derive the change log between two store
+    // versions (the inverse of merge_batch). The new version is a
+    // deterministic transform of the base: every id ≡ 3 (mod 97) deleted,
+    // every surviving id ≡ 5 (mod 89) metadata-rewritten, every surviving
+    // id ≡ 7 (mod 101) vector-perturbed, plus one fresh insert at
+    // max(id)+1 — so the expected log covers all four change classes and
+    // is recomputable in SQL at any scale factor.
+    "snapshot_diff" -> ((s, dir) => {
+      import s.implicits._
+      val old = recs(s, dir)
+      val maxId = old.agg(max(col("id"))).head.getLong(0)
+      val fresh = Seq((maxId + 1L, Seq.fill(Dim)(0.9f), Map("label" -> "777")))
+        .toDF("id", "embedding", "metadata")
+      val newStore = old
+        .where(!(col("id") % 97 === 3))
+        .withColumn("metadata",
+          when(col("id") % 89 === 5,
+            map(lit("label"),
+              concat(try_element_at(col("metadata"), lit("label")), lit("_v2"))))
+            .otherwise(col("metadata")))
+        .withColumn("embedding",
+          when(col("id") % 101 === 7,
+            transform(col("embedding"),
+              (x, i) => when(i === 0, x + lit(1.0f)).otherwise(x)))
+            .otherwise(col("embedding")))
+        .unionByName(fresh)
+      Crud.diff(old, newStore)
+        .select(col("id").as("vec_id"), col("op"),
+          try_element_at(col("metadata"), lit("label")).as("label"))
+        .orderBy("vec_id")
+    }),
+
     // O6,O9 — nearest-centroid assignment over fixed centroids
     "ivf_assignments" -> ((s, dir) =>
       fixedModel(s, dir, Metric.Euclidean).assigned
@@ -1710,6 +1742,23 @@ object Queries {
     "update_metadata" ->
       """SELECT vec_id, CASE WHEN vec_id < 10 THEN '99' ELSE CAST(label AS VARCHAR) END AS label
         |FROM embeddings WHERE vec_id < 20 ORDER BY vec_id""".stripMargin,
+
+    // the expected change log recomputed from the same deterministic
+    // transform: upserts carry the NEW label, deletes a null label; an
+    // id hit by both the metadata and the vector rule appears once
+    "snapshot_diff" ->
+      """SELECT vec_id, op, label FROM (
+        |  SELECT vec_id, 'upsert' AS op,
+        |    CASE WHEN vec_id % 89 = 5 THEN CAST(label AS VARCHAR) || '_v2'
+        |         ELSE CAST(label AS VARCHAR) END AS label
+        |  FROM embeddings
+        |  WHERE vec_id % 97 <> 3 AND (vec_id % 89 = 5 OR vec_id % 101 = 7)
+        |  UNION ALL
+        |  SELECT vec_id, 'delete' AS op, CAST(NULL AS VARCHAR) AS label
+        |  FROM embeddings WHERE vec_id % 97 = 3
+        |  UNION ALL
+        |  SELECT (SELECT max(vec_id) + 1 FROM embeddings), 'upsert', '777')
+        |ORDER BY vec_id""".stripMargin,
 
     // expected end state spelled out: 0,1 deleted; 5,6,8 upserted (5 via
     // last-write-wins over two seqs, 8 revived after a delete); 7 dead

@@ -89,4 +89,37 @@ object Crud {
 
   /** Count (O16, reference `src/cores/storage.rs:78-80`). */
   def count(records: DataFrame): Long = records.count()
+
+  /** Snapshot DIFF — the inverse of [[merge]]: given two store versions,
+    * derive the minimal change log that turns `oldStore` into `newStore`
+    * (`op = 'upsert'` for inserts and changed rows carrying the NEW
+    * payload, `op = 'delete'` for removed ids, unchanged rows omitted).
+    * `merge(oldStore, diff(oldStore, newStore))` reproduces `newStore`
+    * row-for-row — pinned in CrudSpec. The reference only replays change
+    * streams forward (`src/cores/database.rs:227-304`); deriving the
+    * stream from two snapshots is what lets a 100 TB pipeline ship
+    * incremental downstream updates (reindex, replicate, invalidate)
+    * instead of full rewrites.
+    *
+    * Plan: ONE full-outer shuffle join on id — the minimum for any diff —
+    * then a narrow filter/project. With both snapshots written by the
+    * same bucketed layout ([[graft.sources.Records.snapshotById]]) the
+    * two sides arrive co-partitioned and the exchange is a local zip.
+    * Map equality is order-insensitive: maps compare via key-sorted
+    * entry arrays (Spark defines no ordering on raw MapType). */
+  def diff(oldStore: DataFrame, newStore: DataFrame): DataFrame = {
+    def canonical(df: DataFrame, tag: String): DataFrame =
+      df.select(col("id"), struct(
+        col("embedding"), col("metadata"),
+        array_sort(map_entries(col("metadata"))).as("__meta_key")).as(tag))
+    canonical(oldStore, "__old")
+      .join(canonical(newStore, "__new"), Seq("id"), "full_outer")
+      .where(col("__old").isNull || col("__new").isNull ||
+        col("__old.embedding") =!= col("__new.embedding") ||
+        col("__old.__meta_key") =!= col("__new.__meta_key"))
+      .select(col("id"),
+        when(col("__new").isNull, lit("delete")).otherwise(lit("upsert")).as("op"),
+        col("__new.embedding").as("embedding"),
+        col("__new.metadata").as("metadata"))
+  }
 }

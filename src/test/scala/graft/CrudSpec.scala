@@ -98,6 +98,47 @@ class CrudSpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoopJoin"), s"unexpected plan:\n$plan")
   }
 
+  test("diff: minimal change log; merge(old, diff) reproduces new exactly") {
+    val old = mkRecords(8)
+    // new version: 2 deleted, 3 metadata-changed, 5 vector-changed,
+    // 100 inserted, everything else untouched
+    val newStore = old
+      .where(col("id") =!= 2L)
+      .withColumn("metadata",
+        when(col("id") === 3L, map(lit("k"), lit("changed"))).otherwise(col("metadata")))
+      .withColumn("embedding",
+        when(col("id") === 5L, array(lit(42f), lit(42f))).otherwise(col("embedding")))
+      .unionByName(Seq((100L, Seq(1f, 1f), Map("k" -> "new")))
+        .toDF("id", "embedding", "metadata"))
+    val d = Crud.diff(old, newStore).cache()
+    val ops = d.select("id", "op").as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(ops === Seq((2L, "delete"), (3L, "upsert"), (5L, "upsert"), (100L, "upsert")))
+    // upserts carry the NEW payload
+    assert(d.where(col("id") === 3L).select("metadata")
+      .as[Map[String, String]].head() === Map("k" -> "changed"))
+    // round-trip: replaying the derived log onto old reproduces new
+    // (set ops reject MapType — compare key-sorted entry arrays)
+    val replayed = Crud.merge(old, d.withColumn("seq", lit(1)))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("id"), col("embedding"),
+        array_sort(map_entries(col("metadata"))).as("m"))
+    assert(canon(replayed).except(canon(newStore)).count() === 0L)
+    assert(canon(newStore).except(canon(replayed)).count() === 0L)
+    assert(replayed.count() === newStore.count())
+    // identical stores → empty log
+    assert(Crud.diff(old, old).count() === 0L)
+    d.unpersist()
+  }
+
+  test("diff ignores metadata map entry ORDER (no false upserts)") {
+    val a = Seq((1L, Seq(1f), Map("x" -> "1", "y" -> "2")))
+      .toDF("id", "embedding", "metadata")
+    // same entries, reversed construction order
+    val b = Seq((1L, Seq(1f), Map("y" -> "2", "x" -> "1")))
+      .toDF("id", "embedding", "metadata")
+    assert(Crud.diff(a, b).count() === 0L)
+  }
+
   test("snapshot write/read round-trips the record frame (database.rs:174-187)") {
     val dir = java.nio.file.Files.createTempDirectory(
       java.nio.file.Paths.get("/root/repo/target"), "snap").toString
