@@ -565,6 +565,24 @@ object Queries {
           sum(try_element_at(col("metadata"), lit("label")).cast("double")).as("label_sum"))
     }),
 
+    // extension: small-file compaction — fragment the store into many
+    // tiny files (the streaming-ingest end state), compact to the target
+    // size, and prove the rewritten store is byte-for-byte the same data.
+    // The file-count contract (fragmented 32 → compacted 1 here) is
+    // pinned in CrudSpec; this row gates the data integrity.
+    "snapshot_compact" -> ((s, dir) => {
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_compact_" +
+        s.sparkContext.applicationId
+      recs(s, dir).repartition(32)
+        .write.mode("overwrite").parquet(s"$base/fragmented")
+      Records.compactTo(s, s"$base/fragmented", s"$base/compacted")
+      Records.open(s, s"$base/compacted")
+        .agg(count(lit(1)).as("n"),
+          sum(col("id")).as("id_sum"),
+          sum(size(col("embedding")).cast("long")).as("dim_sum"),
+          sum(try_element_at(col("metadata"), lit("label")).cast("double")).as("label_sum"))
+    }),
+
     // O12,O15 — batch delete (broadcast anti-join)
     "delete_batch" -> ((s, dir) => {
       val r = recs(s, dir)
@@ -2617,9 +2635,14 @@ object Queries {
         |GROUP BY p.shard, p.pack_id ORDER BY p.shard, p.pack_id""".stripMargin,
 
     "snapshot_roundtrip" ->
-      """SELECT count(*) AS n, CAST(sum(vec_id) AS BIGINT) AS id_sum,
-        |  CAST(count(*) * 64 AS BIGINT) AS dim_sum,
-        |  CAST(sum(label) AS DOUBLE) AS label_sum FROM embeddings""".stripMargin,
+      s"""SELECT count(*) AS n, CAST(sum(vec_id) AS BIGINT) AS id_sum,
+         |  CAST(count(*) * $Dim AS BIGINT) AS dim_sum,
+         |  CAST(sum(label) AS DOUBLE) AS label_sum FROM embeddings""".stripMargin,
+
+    "snapshot_compact" ->
+      s"""SELECT count(*) AS n, CAST(sum(vec_id) AS BIGINT) AS id_sum,
+         |  CAST(count(*) * $Dim AS BIGINT) AS dim_sum,
+         |  CAST(sum(label) AS DOUBLE) AS label_sum FROM embeddings""".stripMargin,
 
     "media_features" ->
       s"""WITH m AS (SELECT doc_id AS media_id, ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS kind, text FROM documents),

@@ -116,4 +116,36 @@ object Records {
         && col("id") === lit(id))
       .drop("id_bucket")
   }
+
+  /** Compact a snapshot directory into ~`targetFileBytes` files.
+    *
+    * Streaming ingest accretes one file set per trigger; left alone, a
+    * 100 TB store becomes millions of kilobyte-scale files whose
+    * footer reads and directory listings dominate every scan's setup
+    * (the classic small-file problem). Compaction reads the source's
+    * actual on-disk byte count, derives the file count that lands each
+    * output near the target size, and rewrites in one round-robin
+    * repartition — record rows are an unordered set, so no shuffle key
+    * is needed and the exchange is pure redistribution.
+    *
+    * ⚠ EAGER, and writes to a NEW directory: Spark cannot atomically
+    * overwrite an input path it is reading, and the repo's
+    * version-directory convention ([[graft.streaming.VectorIngest]])
+    * wants the swap to be a pointer move anyway — readers never observe
+    * a half-compacted store, and the previous version stays readable
+    * until retired. For the id-bucketed layout, [[snapshotById]] IS the
+    * layout-preserving compactor (one task → one file per bucket).
+    *
+    * @return the number of files written */
+  def compactTo(spark: SparkSession, src: String, dst: String,
+      targetFileBytes: Long = 128L << 20): Int = {
+    require(targetFileBytes > 0, s"targetFileBytes must be positive, got $targetFileBytes")
+    val p = new org.apache.hadoop.fs.Path(src)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(p).getLength
+    val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    spark.read.parquet(src).repartition(nFiles)
+      .write.mode("overwrite").parquet(dst)
+    nFiles
+  }
 }

@@ -139,6 +139,28 @@ class CrudSpec extends SparkSpec {
     assert(Crud.diff(a, b).count() === 0L)
   }
 
+  test("compaction: many small files → few target-size files, data identical") {
+    val base = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "compact").toString
+    val r = mkRecords(200)
+    r.repartition(32).write.mode("overwrite").parquet(s"$base/frag")
+    assert(spark.read.parquet(s"$base/frag").inputFiles.length === 32)
+    // huge target → everything folds into one file
+    val n = Records.compactTo(spark, s"$base/frag", s"$base/one")
+    assert(n === 1)
+    assert(spark.read.parquet(s"$base/one").inputFiles.length === 1)
+    val a = r.select("id", "embedding").as[(Long, Seq[Float])].collect().sortBy(_._1)
+    val b = spark.read.parquet(s"$base/one")
+      .select("id", "embedding").as[(Long, Seq[Float])].collect().sortBy(_._1)
+    assert(a.toSeq === b.toSeq)
+    // tiny target → multiple files, sized by the source's actual bytes
+    val many = Records.compactTo(spark, s"$base/frag", s"$base/many",
+      targetFileBytes = 16L << 10)
+    assert(many > 1)
+    assert(spark.read.parquet(s"$base/many").inputFiles.length === many)
+    assert(spark.read.parquet(s"$base/many").count() === 200L)
+  }
+
   test("snapshot write/read round-trips the record frame (database.rs:174-187)") {
     val dir = java.nio.file.Files.createTempDirectory(
       java.nio.file.Paths.get("/root/repo/target"), "snap").toString
