@@ -129,9 +129,10 @@ object VectorIngest {
       storeBase: String,
       checkpointPath: String,
       density: Int,
-      maxRefineRounds: Int = 16): MaintainedIngest = {
+      maxRefineRounds: Int = 16,
+      maxStoreFiles: Int = 0): MaintainedIngest = {
     val state = new MaintainedIngest(spark, initialCentroids, metric, dim,
-      storeBase, density, maxRefineRounds)
+      storeBase, density, maxRefineRounds, maxStoreFiles)
     val query = readRecords(spark, dir, dim)
       .writeStream
       .foreachBatch((batch: DataFrame, _: Long) => state.processBatch(batch))
@@ -154,13 +155,23 @@ final class MaintainedIngest private[streaming] (
     dim: Int,
     storeBase: String,
     density: Int,
-    maxRefineRounds: Int) {
+    maxRefineRounds: Int,
+    maxStoreFiles: Int = 0) {
   import org.apache.spark.sql.functions.{col, count, lit}
 
   @volatile private var vers = 0
   @volatile private var cents = initialCentroids
   @volatile private var refines = 0
+  @volatile private var compactions = 0
   private val sizes = scala.collection.mutable.HashMap.empty[Int, Long]
+  // Exact per-cluster FILE counts for the small-file watch: refreshed
+  // per batch by listing ONLY the cluster directories that batch
+  // touched (bounded by touched clusters, never the store), fully
+  // re-listed on restart and after each rewrite. File growth is
+  // otherwise unbounded when density never trips (each micro-batch
+  // appends up to tasks×clusters files) — the complementary
+  // maintenance hazard to cluster density.
+  private val clusterFiles = scala.collection.mutable.HashMap.empty[Int, Int]
 
   // Restart recovery: the store version, its centroids, and the running
   // sizes all have durable sources of truth (version directories, the
@@ -182,7 +193,35 @@ final class MaintainedIngest private[streaming] (
       spark.read.parquet(storePath)
         .groupBy(col("cluster_id")).agg(count(lit(1)).as("n"))
         .collect().foreach(r => sizes(r.getInt(0)) = r.getLong(1))
+      relistFiles()
     }
+  }
+
+  private def fileSystem = new org.apache.hadoop.fs.Path(storeBase)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Data files in one cluster partition directory (0 if absent). */
+  private def listClusterFiles(cluster: Int): Int = {
+    val p = new org.apache.hadoop.fs.Path(s"$storePath/cluster_id=$cluster")
+    val fs = fileSystem
+    if (!fs.exists(p)) 0
+    else fs.listStatus(p).count(s => s.isFile && !s.getPath.getName.startsWith("_")
+      && !s.getPath.getName.startsWith("."))
+  }
+
+  /** Full re-list of per-cluster file counts (restart / post-rewrite). */
+  private def relistFiles(): Unit = {
+    clusterFiles.clear()
+    val p = new org.apache.hadoop.fs.Path(storePath)
+    val fs = fileSystem
+    if (fs.exists(p))
+      fs.listStatus(p).filter(s => s.isDirectory && s.getPath.getName.startsWith("cluster_id="))
+        .foreach { d =>
+          val c = d.getPath.getName.stripPrefix("cluster_id=").toInt
+          clusterFiles(c) = fs.listStatus(d.getPath)
+            .count(s => s.isFile && !s.getPath.getName.startsWith("_")
+              && !s.getPath.getName.startsWith("."))
+        }
   }
 
   private def centroidsPath(v: Int): String = s"$storeBase/centroids_v$v"
@@ -198,18 +237,43 @@ final class MaintainedIngest private[streaming] (
   def model: IvfIndex.Model = IvfIndex.Model(cents, spark.read.parquet(storePath))
   /** How many automated refine passes have fired. */
   def refineCount: Int = refines
+  /** How many automated small-file compactions have fired. */
+  def compactionCount: Int = compactions
+  /** Current data-file count across the store's cluster partitions. */
+  def storeFileCount: Int = clusterFiles.values.sum
 
   private[streaming] def processBatch(batch: DataFrame): Unit = {
     val assigned = VectorIngest.validateAndAssign(batch, cents, metric, dim)
       .persist()
-    try {
+    val touched = try {
       assigned.write.mode("append").partitionBy("cluster_id").parquet(storePath)
       val batchCounts = assigned
         .groupBy(col("cluster_id")).agg(count(lit(1)).as("n"))
         .collect().map(r => r.getInt(0) -> r.getLong(1))
       batchCounts.foreach { case (c, n) => sizes(c) = sizes.getOrElse(c, 0L) + n }
+      batchCounts.map(_._1)
     } finally assigned.unpersist()
+    touched.foreach(c => clusterFiles(c) = listClusterFiles(c))
     if (sizes.nonEmpty && sizes.values.max > density) refineNow()
+    else if (maxStoreFiles > 0 && storeFileCount > maxStoreFiles) compactNow()
+  }
+
+  /** Layout-only rewrite: same rows, same assignment, same centroids —
+    * the NEXT version directory holds one consolidated file per cluster
+    * (`repartition(cluster_id)` puts each cluster in exactly one task).
+    * Fires automatically when the data-file count exceeds
+    * `maxStoreFiles`; [[refineNow]] subsumes it (its rewrite also
+    * resets the layout), so at most one rewrite runs per batch. */
+  private def compactNow(): Unit = {
+    val next = vers + 1
+    val nextPath = s"$storeBase/v$next"
+    spark.read.parquet(storePath)
+      .repartition(col("cluster_id"))
+      .write.mode("overwrite").partitionBy("cluster_id").parquet(nextPath)
+    cents.write.mode("overwrite").parquet(centroidsPath(next))
+    vers = next
+    relistFiles()
+    compactions += 1
   }
 
   private def refineNow(): Unit = {
@@ -237,6 +301,7 @@ final class MaintainedIngest private[streaming] (
     // parquet scan, not the refine loop's lineage
     cents = recovered
     vers = next
+    relistFiles()
     refines += 1
   }
 }

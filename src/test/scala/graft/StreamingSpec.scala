@@ -299,6 +299,62 @@ class StreamingSpec extends SparkSpec {
     assert(job3.storePath === job2.storePath, "restart lost the refined store version")
   }
 
+  test("startMaintained: file-count violation fires layout-only compaction") {
+    // The complementary maintenance hazard to density: a store that never
+    // violates density accretes append files forever. With maxStoreFiles
+    // set, the watch (exact counts, listing only touched cluster dirs)
+    // must fire a layout-only rewrite — same rows, same assignment, same
+    // centroids, next version directory, one file per cluster.
+    import graft.streaming.VectorIngest
+    import graft.types.Metric
+    val dim = 8
+    val base = java.nio.file.Files.createTempDirectory("graft_autocompact")
+    val inDir = s"$base/in"
+    val storeBase = s"$base/store"
+    val ckpt = s"$base/ckpt"
+    val rnd = new scala.util.Random(31)
+    def wave(ids: Range) = ids.map(i =>
+      (i.toLong, Seq.fill(dim)(rnd.nextFloat()), Map("k" -> i.toString)))
+    val w1 = wave(0 until 20)
+    val centroids = w1.take(2).map { case (i, e, _) => (i.toInt, e) }
+      .toDF("cluster_id", "centroid")
+    def runWave(ids: Range): graft.streaming.MaintainedIngest = {
+      // one input file per wave → one task per micro-batch → at most one
+      // append file per touched cluster, so the trip point is predictable
+      wave(ids).toDF("id", "embedding", "metadata")
+        .repartition(1).write.mode("append").parquet(inDir)
+      val job = VectorIngest.startMaintained(spark, inDir, centroids,
+        Metric.Euclidean, dim, storeBase, ckpt,
+        density = 1000, maxStoreFiles = 4)
+      job.streamingQuery.awaitTermination()
+      job
+    }
+    val j1 = runWave(0 until 20)
+    assert(j1.compactionCount === 0 && j1.refineCount === 0)
+    val preFiles = j1.storeFileCount
+    assert(preFiles > 0)
+    // keep appending until the watch trips (each wave adds ≥1 file per
+    // touched cluster; the threshold is 4)
+    var waves = 1
+    var job = j1
+    while (job.compactionCount === 0 && waves < 8) {
+      job = runWave((waves * 1000) until (waves * 1000 + 20))
+      waves += 1
+    }
+    assert(job.compactionCount >= 1, "file-count violation never fired compaction")
+    assert(job.refineCount === 0, "compaction must not refine")
+    assert(!job.storePath.endsWith("/v0"), "compaction must advance the version")
+    // layout contract: one consolidated file per cluster directory
+    val clusters = spark.read.parquet(job.storePath)
+      .select("cluster_id").distinct().count().toInt
+    assert(job.storeFileCount === clusters,
+      s"expected $clusters consolidated files, found ${job.storeFileCount}")
+    // no data loss, assignment preserved
+    assert(spark.read.parquet(job.storePath).count() === waves * 20L)
+    val ids = spark.read.parquet(job.storePath).select("id").as[Long].collect().toSet
+    assert(ids.size === waves * 20)
+  }
+
   test("stream-static dim enrichment equals the batch join; missing keys null") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // dim snapshot: latest (by ts, then event_id) value per user from the
