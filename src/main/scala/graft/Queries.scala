@@ -313,6 +313,32 @@ object Queries {
           .localCheckpoint(eager = true)))
   }
 
+  /** The deterministically-transformed "next version" of a record store
+    * shared by `snapshot_diff` and `ivf_apply_diff`: id ≡ 3 (mod 97)
+    * deleted, surviving id ≡ 5 (mod 89) metadata-rewritten, surviving
+    * id ≡ 7 (mod 101) vector-perturbed (+1 on component 0), plus one
+    * fresh insert at max(id)+1 — all four change classes, recomputable
+    * in SQL at any scale factor. */
+  private def diffNewStore(s: SparkSession, old: DataFrame): DataFrame = {
+    import s.implicits._
+    val maxId = old.agg(max(col("id"))).head.getLong(0)
+    val fresh = Seq((maxId + 1L, Seq.fill(Dim)(0.9f), Map("label" -> "777")))
+      .toDF("id", "embedding", "metadata")
+    old
+      .where(!(col("id") % 97 === 3))
+      .withColumn("metadata",
+        when(col("id") % 89 === 5,
+          map(lit("label"),
+            concat(try_element_at(col("metadata"), lit("label")), lit("_v2"))))
+          .otherwise(col("metadata")))
+      .withColumn("embedding",
+        when(col("id") % 101 === 7,
+          transform(col("embedding"),
+            (x, i) => when(i === 0, x + lit(1.0f)).otherwise(x)))
+          .otherwise(col("embedding")))
+      .unionByName(fresh)
+  }
+
   private def cappedGroups(s: SparkSession, dir: String): DataFrame = {
     dedupGroupsCache.keySet.removeIf(_._1.sparkContext.isStopped)
     dedupGroupsCache.computeIfAbsent((s, dir), _ => {
@@ -641,28 +667,27 @@ object Queries {
     // max(id)+1 — so the expected log covers all four change classes and
     // is recomputable in SQL at any scale factor.
     "snapshot_diff" -> ((s, dir) => {
-      import s.implicits._
       val old = recs(s, dir)
-      val maxId = old.agg(max(col("id"))).head.getLong(0)
-      val fresh = Seq((maxId + 1L, Seq.fill(Dim)(0.9f), Map("label" -> "777")))
-        .toDF("id", "embedding", "metadata")
-      val newStore = old
-        .where(!(col("id") % 97 === 3))
-        .withColumn("metadata",
-          when(col("id") % 89 === 5,
-            map(lit("label"),
-              concat(try_element_at(col("metadata"), lit("label")), lit("_v2"))))
-            .otherwise(col("metadata")))
-        .withColumn("embedding",
-          when(col("id") % 101 === 7,
-            transform(col("embedding"),
-              (x, i) => when(i === 0, x + lit(1.0f)).otherwise(x)))
-            .otherwise(col("embedding")))
-        .unionByName(fresh)
-      Crud.diff(old, newStore)
+      Crud.diff(old, diffNewStore(s, old))
         .select(col("id").as("vec_id"), col("op"),
           try_element_at(col("metadata"), lit("label")).as("label"))
         .orderBy("vec_id")
+    }),
+
+    // extension: incremental index maintenance — apply the change log
+    // derived by snapshot_diff to the fixed-centroid index WITHOUT
+    // re-assigning the unchanged rows; verified by the per-cluster
+    // (count, id-sum) profile of the updated index, which the oracle
+    // recomputes by assigning the transformed store from scratch
+    "ivf_apply_diff" -> ((s, dir) => {
+      val old = recs(s, dir)
+      val changes = Crud.diff(old, diffNewStore(s, old))
+      IvfIndex.applyDiff(fixedModel(s, dir, Metric.Euclidean), changes,
+          Metric.Euclidean)
+        .assigned
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("n"), sum(col("id")).as("id_sum"))
+        .orderBy("cluster_id")
     }),
 
     // O6,O9 — nearest-centroid assignment over fixed centroids
@@ -1760,6 +1785,30 @@ object Queries {
     "update_metadata" ->
       """SELECT vec_id, CASE WHEN vec_id < 10 THEN '99' ELSE CAST(label AS VARCHAR) END AS label
         |FROM embeddings WHERE vec_id < 20 ORDER BY vec_id""".stripMargin,
+
+    // from-scratch recomputation of what the INCREMENTALLY-updated index
+    // must hold: the transformed store (deletes out, vector perturbation
+    // applied, fresh insert in) assigned to the fixed centroids; the
+    // metadata rewrite keeps id and vector, so it cannot move a row
+    "ivf_apply_diff" ->
+      s"""WITH c AS (SELECT CAST(vec_id AS INTEGER) AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8),
+         |base AS (
+         |  SELECT vec_id,
+         |    CASE WHEN vec_id % 101 = 7
+         |      THEN [CAST(embedding[1] + 1.0 AS REAL)] || embedding[2:]
+         |      ELSE embedding END AS embedding
+         |  FROM embeddings WHERE vec_id % 97 <> 3
+         |  UNION ALL
+         |  SELECT (SELECT max(vec_id) + 1 FROM embeddings),
+         |    list_transform(range($Dim), x -> CAST(0.9 AS REAL))),
+         |asg AS (SELECT vec_id, cid FROM (
+         |  SELECT b.vec_id, c.cid,
+         |    row_number() OVER (PARTITION BY b.vec_id
+         |      ORDER BY ${sqlSq("b.embedding", "c.cvec")} ASC, c.cid ASC) AS rn
+         |  FROM base b CROSS JOIN c) WHERE rn = 1)
+         |SELECT cid AS cluster_id, count(*) AS n,
+         |  CAST(sum(vec_id) AS BIGINT) AS id_sum
+         |FROM asg GROUP BY cid ORDER BY cid""".stripMargin,
 
     // the expected change log recomputed from the same deterministic
     // transform: upserts carry the NEW label, deletes a null label; an

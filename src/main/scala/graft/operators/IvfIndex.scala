@@ -774,6 +774,35 @@ object IvfIndex {
   def writePartitioned(model: Model, path: String): Unit =
     model.assigned.write.mode("overwrite").partitionBy("cluster_id").parquet(path)
 
+  /** Incremental index maintenance from a change log
+    * ([[Crud.diff]]'s shape: `id, op ∈ upsert|delete, embedding,
+    * metadata`): deletes leave the index, upserts are assigned against
+    * the CURRENT centroids and replace any previous row for that id —
+    * the reference's per-record insert/delete index updates
+    * (`/root/reference/src/cores/index.rs:105-152`) applied as one
+    * batch, without re-assigning the unchanged 99.99 %.
+    *
+    * Law (pinned in IvfIndexSpec): for any two stores,
+    * `applyDiff(indexOf(old), diff(old, new))` holds exactly the same
+    * (id, cluster) rows as assigning `new` from scratch against the
+    * same centroids. Centroids are NOT refit here — density repair
+    * stays [[refine]]'s job, exactly as in the ingest path.
+    *
+    * Plan: one anti-join of the store against the (typically tiny,
+    * AQE-broadcast) touched-id set + a map-only assign of the upserts +
+    * a narrow union — nothing proportional to the store but the
+    * anti-join scan itself. */
+  def applyDiff(model: Model, changes: DataFrame, metric: Metric): Model = {
+    import org.apache.spark.sql.functions.col
+    val upserts = changes.where(col("op") === "upsert")
+      .select("id", "embedding", "metadata")
+    Model(
+      model.centroids,
+      model.assigned
+        .join(changes.select("id").distinct(), Seq("id"), "left_anti")
+        .unionByName(assign(upserts, model.centroids, metric)))
+  }
+
   /** Batch twin of [[queryAdc]]: many queries against the compressed
     * code store. Probe selection per query is the same bounded
     * centroids×queries window as [[queryBatch]] (|centroids|·|queries|

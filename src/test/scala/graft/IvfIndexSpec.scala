@@ -342,4 +342,39 @@ class IvfIndexSpec extends SparkSpec {
       .assigned.select("id", "cluster_id").as[(Long, Int)].collect().toMap
     assert(a === b)
   }
+
+  test("applyDiff law: incremental update == assigning the new store from scratch") {
+    import graft.operators.Crud
+    val old = records
+    // new version: some ids removed, some vectors moved, some metadata
+    // touched, two fresh rows
+    val dim = old.select(size(col("embedding"))).head().getInt(0)
+    val newStore = old
+      .where(col("id") % 7 =!= 1)
+      .withColumn("embedding",
+        when(col("id") % 5 === 2,
+          transform(col("embedding"), x => x + lit(3.0f)))
+          .otherwise(col("embedding")))
+      .withColumn("metadata",
+        when(col("id") % 11 === 3, map(lit("touched"), lit("yes")))
+          .otherwise(col("metadata")))
+      .unionByName(
+        Seq((9001L, Seq.fill(dim)(0.42f), Map("k" -> "new1")),
+            (9002L, Seq.fill(dim)(0.84f), Map("k" -> "new2")))
+          .toDF("id", "embedding", "metadata"))
+    val cents = old.where(col("id") < 4)
+      .select(col("id").cast("int").as("cluster_id"), col("embedding").as("centroid"))
+    val m0 = IvfIndex.Model(cents, IvfIndex.assign(old, cents, Metric.Euclidean))
+    val incr = IvfIndex.applyDiff(m0, Crud.diff(old, newStore), Metric.Euclidean)
+      .assigned.select("id", "cluster_id").as[(Long, Int)].collect().toMap
+    val scratch = IvfIndex.assign(newStore, cents, Metric.Euclidean)
+      .select("id", "cluster_id").as[(Long, Int)].collect().toMap
+    assert(incr === scratch)
+    assert(incr.contains(9001L) && !incr.keySet.exists(_ % 7 == 1))
+    // empty diff → index unchanged
+    val noop = IvfIndex.applyDiff(m0, Crud.diff(old, old), Metric.Euclidean)
+      .assigned.select("id", "cluster_id").as[(Long, Int)].collect().toMap
+    assert(noop === m0.assigned.select("id", "cluster_id")
+      .as[(Long, Int)].collect().toMap)
+  }
 }
