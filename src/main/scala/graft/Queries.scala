@@ -1029,6 +1029,30 @@ object Queries {
         qvec0(s, dir), k = 10, probes = 3))
     }),
 
+    // extension: incremental CODE-STORE maintenance — the snapshot_diff
+    // change log applied to the compressed store (deletes out, upserts
+    // re-assigned + re-encoded, unchanged rows untouched); the oracle
+    // re-derives the updated store's per-cluster (count, code-sum)
+    // profile by assigning AND encoding the transformed store from
+    // scratch in SQL
+    "ivf_adc_apply_diff" -> ((s, dir) => {
+      val model = fixedModel(s, dir, Metric.Euclidean)
+      val books = pqFixedBooks(s, dir)
+      val codeStore = model.assigned
+        .crossJoin(broadcast(books))
+        .select(col("id"), col("cluster_id"),
+          operators.VectorOps.pqCodes(col("embedding"), col("books")).as("codes"))
+      val old = recs(s, dir)
+      val changes = Crud.diff(old, diffNewStore(s, old))
+      IvfIndex.applyDiffToCodes(codeStore, changes, model.centroids, books,
+          Metric.Euclidean)
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("n"),
+          sum(aggregate(col("codes"), lit(0L), (a, c) => a + c.cast("long")))
+            .as("codes_sum"))
+        .orderBy("cluster_id")
+    }),
+
     // extension: the BATCH ADC probe — many queries against the code
     // store, per-query LUTs on one broadcast, bounded-heap two-phase
     // top-k (no ranking window over candidates)
@@ -2103,6 +2127,37 @@ object Queries {
          |SELECT vec_id, CAST(sub_idx AS INT) AS sub_idx, code FROM (
          |  SELECT vec_id, sub_idx, code, row_number() OVER (PARTITION BY vec_id, sub_idx ORDER BY d ASC, code ASC) AS rn FROM enc)
          |WHERE rn = 1 ORDER BY vec_id, sub_idx""".stripMargin,
+
+    "ivf_adc_apply_diff" ->
+      s"""WITH c AS (SELECT CAST(vec_id AS INTEGER) AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8),
+         |base AS (
+         |  SELECT vec_id,
+         |    CASE WHEN vec_id % 101 = 7
+         |      THEN [CAST(embedding[1] + 1.0 AS REAL)] || embedding[2:]
+         |      ELSE embedding END AS embedding
+         |  FROM embeddings WHERE vec_id % 97 <> 3
+         |  UNION ALL
+         |  SELECT (SELECT max(vec_id) + 1 FROM embeddings),
+         |    list_transform(range($Dim), x -> CAST(0.9 AS REAL))),
+         |asg AS (SELECT vec_id, cid FROM (
+         |  SELECT b.vec_id, c.cid,
+         |    row_number() OVER (PARTITION BY b.vec_id
+         |      ORDER BY ${sqlSq("b.embedding", "c.cvec")} ASC, c.cid ASC) AS rn
+         |  FROM base b CROSS JOIN c) WHERE rn = 1),
+         |cb AS (SELECT CAST(vec_id AS INT) AS code, embedding FROM embeddings WHERE vec_id < 16),
+         |books AS (SELECT u.s AS sub_idx, code,
+         |  list_slice(embedding, CAST(u.s * 16 + 1 AS INT), CAST(u.s * 16 + 16 AS INT)) AS cvec
+         |  FROM cb, unnest(generate_series(0, 3)) AS u(s)),
+         |enc AS (SELECT bb.vec_id, b.sub_idx, b.code,
+         |  row_number() OVER (PARTITION BY bb.vec_id, b.sub_idx
+         |    ORDER BY ${sqlSq("list_slice(bb.embedding, CAST(b.sub_idx * 16 + 1 AS INT), CAST(b.sub_idx * 16 + 16 AS INT))", "b.cvec")} ASC, b.code ASC) AS rn
+         |  FROM base bb CROSS JOIN books b),
+         |codes AS (SELECT vec_id, sum(CAST(code AS BIGINT)) AS csum
+         |  FROM enc WHERE rn = 1 GROUP BY vec_id)
+         |SELECT asg.cid AS cluster_id, count(*) AS n,
+         |  CAST(sum(codes.csum) AS BIGINT) AS codes_sum
+         |FROM asg JOIN codes USING (vec_id)
+         |GROUP BY asg.cid ORDER BY cluster_id""".stripMargin,
 
     "ivf_pq_query" ->
       s"""WITH c AS (SELECT CAST(vec_id AS INTEGER) AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8),

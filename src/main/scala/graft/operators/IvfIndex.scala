@@ -803,6 +803,32 @@ object IvfIndex {
         .unionByName(assign(upserts, model.centroids, metric)))
   }
 
+  /** [[applyDiff]] for the COMPRESSED code store (`id, cluster_id,
+    * codes` — the layout `ivf_adc_store_query` serves from): deletes
+    * leave via the anti-join, upserts are assigned against the current
+    * centroids and re-encoded against the broadcast codebooks — a
+    * map-only pass over just the changed rows, so a 0.01 % change log
+    * refreshes a 100 TB code store at 0.01 % of the encode cost. Same
+    * incremental == from-scratch law as [[applyDiff]], pinned in
+    * IvfIndexSpec. */
+  def applyDiffToCodes(
+      codeStore: DataFrame,
+      changes: DataFrame,
+      centroids: DataFrame,
+      books: DataFrame,
+      metric: Metric): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val upserts = assign(
+      changes.where(col("op") === "upsert").select("id", "embedding", "metadata"),
+      centroids, metric)
+      .crossJoin(broadcast(books))
+      .select(col("id"), col("cluster_id"),
+        VectorOps.pqCodes(col("embedding"), col("books")).as("codes"))
+    codeStore
+      .join(changes.select(col("id")).distinct(), Seq("id"), "left_anti")
+      .unionByName(upserts)
+  }
+
   /** Batch twin of [[queryAdc]]: many queries against the compressed
     * code store. Probe selection per query is the same bounded
     * centroids×queries window as [[queryBatch]] (|centroids|·|queries|

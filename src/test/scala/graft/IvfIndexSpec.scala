@@ -377,4 +377,36 @@ class IvfIndexSpec extends SparkSpec {
     assert(noop === m0.assigned.select("id", "cluster_id")
       .as[(Long, Int)].collect().toMap)
   }
+
+  test("applyDiffToCodes law: incremental code store == re-encoding from scratch") {
+    import graft.operators.{Crud, VectorOps}
+    val old = records
+    val dim = old.select(size(col("embedding"))).head().getInt(0)
+    val newStore = old
+      .where(col("id") % 6 =!= 1)
+      .withColumn("embedding",
+        when(col("id") % 4 === 2,
+          transform(col("embedding"), x => x + lit(2.0f)))
+          .otherwise(col("embedding")))
+      .unionByName(
+        Seq((9002L, Seq.fill(dim)(0.33f), Map("k" -> "new")))
+          .toDF("id", "embedding", "metadata"))
+    val cents = old.where(col("id") < 4)
+      .select(col("id").cast("int").as("cluster_id"), col("embedding").as("centroid"))
+    val books = VectorOps.pqPack(VectorOps.pqTrain(old, m = 4, dsub = dim / 4, k = 8))
+    def encode(store: org.apache.spark.sql.DataFrame) =
+      IvfIndex.assign(store, cents, Metric.Euclidean)
+        .crossJoin(broadcast(books))
+        .select(col("id"), col("cluster_id"),
+          VectorOps.pqCodes(col("embedding"), col("books")).as("codes"))
+    val incr = IvfIndex.applyDiffToCodes(encode(old), Crud.diff(old, newStore),
+        cents, books, Metric.Euclidean)
+      .select("id", "cluster_id", "codes")
+      .as[(Long, Int, Seq[Int])].collect().toSeq.sortBy(_._1)
+    val scratch = encode(newStore)
+      .select("id", "cluster_id", "codes")
+      .as[(Long, Int, Seq[Int])].collect().toSeq.sortBy(_._1)
+    assert(incr === scratch)
+    assert(incr.exists(_._1 == 9002L) && !incr.exists(_._1 % 6 == 1))
+  }
 }
