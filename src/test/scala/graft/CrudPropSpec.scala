@@ -45,4 +45,46 @@ class CrudPropSpec extends SparkSpec {
       assert(got === want, s"seed=$seed batch=$batch")
     }
   }
+
+  // arbitrary store pair: overlapping id ranges, random payload drift —
+  // exercises every diff class (delete / insert / vector change /
+  // metadata change / unchanged) in random mixes
+  private val storePairGen: Gen[(List[(Long, Float, String)], List[(Long, Float, String)])] =
+    for {
+      aIds <- Gen.someOf(0L until 24L)
+      bIds <- Gen.someOf(0L until 24L)
+      drift <- Gen.listOfN(24, Gen.chooseNum(0, 3)) // 0 = identical payload
+    } yield (
+      aIds.toList.sorted.map(i => (i, i.toFloat, s"m$i")),
+      bIds.toList.sorted.map { i =>
+        drift(i.toInt) match {
+          case 0 => (i, i.toFloat, s"m$i")             // unchanged
+          case 1 => (i, i.toFloat + 100f, s"m$i")      // vector drift
+          case 2 => (i, i.toFloat, s"m${i}x")          // metadata drift
+          case _ => (i, i.toFloat + 100f, s"m${i}x")   // both
+        }
+      })
+
+  test("diff round-trip law: merge(old, diff(old, new)) == new, for arbitrary store pairs") {
+    (1L to 10L).foreach { seed =>
+      val (aRows, bRows) = sample(storePairGen, seed)
+      def mk(rows: List[(Long, Float, String)]) =
+        rows.map { case (i, f, m) => (i, Seq(f), Map("v" -> m)) }
+          .toDF("id", "embedding", "metadata")
+      val (old, neu) = (mk(aRows), mk(bRows))
+      val d = Crud.diff(old, neu)
+      // the log is MINIMAL: ids identical in both stores never appear
+      val loggedIds = d.select("id").as[Long].collect().toSet
+      val identical = aRows.toSet.intersect(bRows.toSet).map(_._1)
+      assert(loggedIds.intersect(identical).isEmpty,
+        s"seed=$seed: unchanged ids in the log: ${loggedIds.intersect(identical)}")
+      // replay reproduces the new store exactly
+      val got = Crud.merge(old, d.withColumn("seq", lit(1)))
+        .select(col("id"), col("embedding"),
+          try_element_at(col("metadata"), lit("v")).as("v"))
+        .as[(Long, Seq[Float], String)].collect().sortBy(_._1).toSeq
+      val want = bRows.map { case (i, f, m) => (i, Seq(f), m) }
+      assert(got === want, s"seed=$seed")
+    }
+  }
 }
