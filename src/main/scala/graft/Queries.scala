@@ -1199,6 +1199,17 @@ object Queries {
             lit("\nall rights reserved")).as("text")))
         .orderBy("doc_id")),
 
+    // extension: EXACT-SUBSTRING dedup (Lee et al. 2022 ExactSubstr,
+    // sub-document granularity): 10-token windows repeated anywhere in
+    // the corpus flag a span; per-doc output = flagged-window count and
+    // the interval-union token coverage. Catches boilerplate embedded in
+    // otherwise-unique documents that doc-level dedup cannot see.
+    "corpus_substring_dedup" -> ((s, dir) =>
+      Dedup.substringSpans(docs(s, dir), windowTokens = 10)
+        .select(col("doc_id"), col("n_tokens"), col("n_flagged"),
+          col("covered_tokens"))
+        .orderBy("doc_id")),
+
     "text_stats" -> ((s, dir) =>
       docs(s, dir)
         .repartition(col("doc_id"))
@@ -2431,6 +2442,24 @@ object Queries {
          |  FROM l WHERE line NOT IN (SELECT line FROM freq) GROUP BY doc_id)
          |SELECT d.doc_id, coalesce(kept.text, '') AS text
          |FROM d LEFT JOIN kept USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // same 56-bit md5-prefix window identity as the Spark kernel;
+    // covered_tokens recomputed the expensive way (explode + distinct) —
+    // the oracle needn't scale, the operator's interval-union fold must
+    "corpus_substring_dedup" ->
+      """WITH tk AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents),
+        |w AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens, CAST(u.i - 1 AS BIGINT) AS pos,
+        |    list_reduce(list_transform(string_split_regex(substr(md5(array_to_string(t[CAST(u.i AS INT):CAST(u.i + 9 AS INT)], ' ')), 1, 14), ''),
+        |      c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a * 16 + b) AS h
+        |  FROM tk, unnest(generate_series(1, greatest(len(t) - 9, 0))) AS u(i)),
+        |rep AS (SELECT h FROM w GROUP BY h HAVING count(*) >= 2),
+        |f AS (SELECT w.doc_id, w.n_tokens, w.pos FROM w JOIN rep USING (h)),
+        |cov AS (SELECT doc_id, count(DISTINCT cp) AS covered_tokens
+        |  FROM f, unnest(generate_series(f.pos, f.pos + 9)) AS c(cp) GROUP BY doc_id)
+        |SELECT f.doc_id, any_value(f.n_tokens) AS n_tokens,
+        |  count(*) AS n_flagged, any_value(cov.covered_tokens) AS covered_tokens
+        |FROM f JOIN cov USING (doc_id)
+        |GROUP BY f.doc_id ORDER BY f.doc_id""".stripMargin,
 
     "corpus_scrub" ->
       s"""WITH dirty AS (SELECT doc_id,

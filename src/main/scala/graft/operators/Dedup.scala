@@ -394,4 +394,86 @@ object Dedup {
       .agg(
         max_by(col("doc_id"), struct(col(scoreCol), -col("doc_id"))).as("keep_id"),
         count(lit(1)).as("n_docs"))
+
+  /** EXACT-SUBSTRING dedup — the sub-document method of Lee et al. 2022
+    * ("Deduplicating Training Data Makes Language Models Better",
+    * arXiv:2107.06499), Spark-shaped: any `windowTokens`-token window
+    * whose 56-bit identity ([[TextOps.shingleHashes]]) occurs at least
+    * `minCount` times ACROSS THE CORPUS (any doc, including the same
+    * one) marks a repeated span; a doc's repeated REGION is the union
+    * of its flagged windows. Document-level dedup misses exactly this —
+    * boilerplate, licenses, templated paragraphs embedded in otherwise
+    * unique documents.
+    *
+    * Scale design: the token-window explode is the honest cost of
+    * exact-substring dedup (the suffix-array original is likewise
+    * O(corpus tokens)); everything SHUFFLED is `(doc_id, pos, hash)` —
+    * ~20 bytes per token, never text. The global window census is one
+    * map-side-combinable count on an 8-byte key; flagged starts are
+    * re-collected per doc (bounded by doc length, the same class as
+    * the token array itself), and the covered-token measure folds over
+    * the SORTED starts with an interval-union scan — no
+    * covered-position explode, no window function.
+    *
+    * Emits one row PER FLAGGED DOC: `(doc_id, n_tokens, n_flagged,
+    * span_starts, covered_tokens)` — `span_starts` are the 0-based
+    * flagged window starts ([[substringScrub]] consumes them). */
+  def substringSpans(
+      docs: DataFrame,
+      windowTokens: Int = 20,
+      minCount: Int = 2): DataFrame = {
+    require(windowTokens > 0, s"windowTokens must be positive, got $windowTokens")
+    require(minCount >= 2, s"minCount below 2 would flag every window, got $minCount")
+    val w = windowTokens.toLong
+    val pos = docs
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("__toks"))
+      .select(col("doc_id"), size(col("__toks")).cast("long").as("n_tokens"),
+        posexplode(TextOps.shingleHashes(
+          TextOps.shinglesFromTokens(col("__toks"), windowTokens))))
+      .withColumnsRenamed(Map("pos" -> "__p", "col" -> "__h"))
+    val repeated = pos.groupBy(col("__h")).agg(count(lit(1)).as("__c"))
+      .where(col("__c") >= minCount)
+      .select(col("__h"))
+    pos.join(repeated, Seq("__h"))
+      .groupBy(col("doc_id"))
+      .agg(first(col("n_tokens")).as("n_tokens"),
+        sort_array(collect_list(col("__p").cast("long"))).as("span_starts"))
+      .select(col("doc_id"), col("n_tokens"),
+        size(col("span_starts")).cast("long").as("n_flagged"),
+        col("span_starts"),
+        aggregate(col("span_starts"),
+          struct(lit(Long.MinValue).as("e"), lit(0L).as("tot")),
+          (acc, p) => struct(
+            greatest(acc.getField("e"), p + lit(w)).as("e"),
+            (acc.getField("tot") +
+              greatest(lit(0L), p + lit(w) - greatest(p, acc.getField("e"))))
+              .as("tot")),
+          acc => acc.getField("tot")).as("covered_tokens"))
+  }
+
+  /** The APPLY step of [[substringSpans]]: re-emit every document with
+    * its repeated regions cut (tokens inside any flagged window removed,
+    * survivors re-joined with single spaces — the same whitespace
+    * normalization as every [[TextOps.tokens]] consumer). Unflagged
+    * documents pass through re-normalized. The per-token membership
+    * test is O(flagged starts) per token worst-case; flagged spans are
+    * sparse in real corpora, and a fully-flagged doc degenerates to
+    * tokens·spans/W — bounded by doc length², never corpus-scale. */
+  def substringScrub(
+      docs: DataFrame,
+      windowTokens: Int = 20,
+      minCount: Int = 2): DataFrame = {
+    val w = windowTokens.toLong
+    val spans = substringSpans(docs, windowTokens, minCount)
+      .select(col("doc_id"), col("span_starts"))
+    docs
+      .join(spans, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        array_join(
+          filter(TextOps.tokens(col("text")), (t, i) =>
+            col("span_starts").isNull ||
+              !exists(col("span_starts"), p =>
+                p <= i.cast("long") && i.cast("long") < p + lit(w))),
+          " ").as("text_scrubbed"))
+  }
 }

@@ -170,4 +170,36 @@ class DedupSpec extends SparkSpec {
       }
     }
   }
+
+  test("substringSpans: cross-doc and within-doc repeated W-token regions, interval union") {
+    val d = Seq(
+      (1L, "x1 x2 s1 s2 s3 s4 y1"),            // shared span s1..s4 with doc 2
+      (2L, "z1 s1 s2 s3 s4 z2 z3"),
+      (3L, "u1 u2 u3"),                        // unique — never flagged
+      (4L, "r1 r2 r3 m r1 r2 r3")              // WITHIN-doc repeat of r1 r2 r3
+    ).toDF("doc_id", "text")
+    val got = Dedup.substringSpans(d, windowTokens = 3)
+      .select("doc_id", "n_tokens", "n_flagged", "span_starts", "covered_tokens")
+      .as[(Long, Long, Long, Seq[Long], Long)].collect().sortBy(_._1).toSeq
+    assert(got === Seq(
+      (1L, 7L, 2L, Seq(2L, 3L), 4L),  // windows @2,@3 → union [2,6) = s1..s4
+      (2L, 7L, 2L, Seq(1L, 2L), 4L),  // same span, shifted
+      (4L, 7L, 2L, Seq(0L, 4L), 6L))) // disjoint repeats: [0,3) ∪ [4,7)
+  }
+
+  test("substringScrub removes exactly the repeated regions; unflagged docs pass through") {
+    val d = Seq(
+      (1L, "x1 x2 s1 s2 s3 s4 y1"),
+      (2L, "z1 s1 s2 s3 s4 z2 z3"),
+      (3L, "u1 u2 u3"),
+      (4L, "r1 r2 r3 m r1 r2 r3")
+    ).toDF("doc_id", "text")
+    val got = Dedup.substringScrub(d, windowTokens = 3)
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(got === Seq(
+      (1L, "x1 x2 y1"),
+      (2L, "z1 z2 z3"),
+      (3L, "u1 u2 u3"),
+      (4L, "m")))
+  }
 }
