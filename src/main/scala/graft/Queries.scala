@@ -1210,6 +1210,12 @@ object Queries {
           col("covered_tokens"))
         .orderBy("doc_id")),
 
+    // the APPLY step, verified by full-text equality: every doc re-emitted
+    // with repeated regions cut and survivors space-joined
+    "corpus_substring_scrub" -> ((s, dir) =>
+      Dedup.substringScrub(docs(s, dir), windowTokens = 10)
+        .orderBy("doc_id")),
+
     "text_stats" -> ((s, dir) =>
       docs(s, dir)
         .repartition(col("doc_id"))
@@ -2460,6 +2466,24 @@ object Queries {
         |  count(*) AS n_flagged, any_value(cov.covered_tokens) AS covered_tokens
         |FROM f JOIN cov USING (doc_id)
         |GROUP BY f.doc_id ORDER BY f.doc_id""".stripMargin,
+
+    "corpus_substring_scrub" ->
+      """WITH tk AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents),
+        |w AS (SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS pos,
+        |    list_reduce(list_transform(string_split_regex(substr(md5(array_to_string(t[CAST(u.i AS INT):CAST(u.i + 9 AS INT)], ' ')), 1, 14), ''),
+        |      c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a * 16 + b) AS h
+        |  FROM tk, unnest(generate_series(1, greatest(len(t) - 9, 0))) AS u(i)),
+        |rep AS (SELECT h FROM w GROUP BY h HAVING count(*) >= 2),
+        |f AS (SELECT w.doc_id, w.pos FROM w JOIN rep USING (h)),
+        |cp AS (SELECT DISTINCT f.doc_id, c.cpos
+        |  FROM f, unnest(generate_series(f.pos, f.pos + 9)) AS c(cpos)),
+        |toks AS (SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS pos, t[CAST(u.i AS INT)] AS tok
+        |  FROM tk, unnest(generate_series(1, len(t))) AS u(i)),
+        |kept AS (SELECT toks.doc_id, string_agg(toks.tok, ' ' ORDER BY toks.pos) AS text_scrubbed
+        |  FROM toks LEFT JOIN cp ON toks.doc_id = cp.doc_id AND toks.pos = cp.cpos
+        |  WHERE cp.cpos IS NULL GROUP BY toks.doc_id)
+        |SELECT d.doc_id, coalesce(kept.text_scrubbed, '') AS text_scrubbed
+        |FROM documents d LEFT JOIN kept USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     "corpus_scrub" ->
       s"""WITH dirty AS (SELECT doc_id,
