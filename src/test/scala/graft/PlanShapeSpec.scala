@@ -370,4 +370,17 @@ class PlanShapeSpec extends SparkSpec {
     // output, never the raw text column
     exchanges.foreach(e => assert(!e.contains("text#"), s"text column in shuffle: $e"))
   }
+
+  test("substring dedup: no window function, no cartesian, text never shuffled") {
+    val df = Queries.queries("corpus_substring_dedup")(spark, sf)
+    val p = plan(df)
+    assert(!p.contains("Window"),
+      "interval union must fold over sorted starts, not a window function")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    val exchanges = df.queryExecution.executedPlan.collect {
+      case e if e.nodeName == "Exchange" || e.nodeName.contains("ShuffleExchange") => e.toString
+    }
+    // shuffles carry (doc_id, pos, hash) / per-doc aggregates — never text
+    exchanges.foreach(e => assert(!e.contains("text#"), s"text column in shuffle: $e"))
+  }
 }
