@@ -115,4 +115,92 @@ object EventStream {
       .queryName(name)
       .trigger(Trigger.AvailableNow())
       .start()
+
+  /** Per-user event for the funnel state machine. `ts` carries the
+    * WATERMARKED column through the typed projection (the event-time
+    * timeout checker requires it to survive to the state op); the logic
+    * reads `ts_us` (micros keep the state row fixed-width — no
+    * timestamp objects in the state store). */
+  final case class FunnelEvent(
+      user_id: Long, ts: java.sql.Timestamp, ts_us: Long, event_type: String)
+  /** State: stages reached so far + the ts that reached the last one. */
+  final case class FunnelProgress(stage: Int, last_us: Long)
+  /** Emitted once per user, when the final stage is reached. */
+  final case class FunnelHit(user_id: Long, completed_at_us: Long)
+
+  /** Streaming funnel: per-user ordered stage progression as an explicit
+    * event-time state machine (`flatMapGroupsWithState`) — the custom-
+    * state shape [[sessionAgg]]'s built-in windows can't express. Emits
+    * `(user_id, completed_at)` EXACTLY ONCE, when a user's events have
+    * traversed `stages` in timestamp order (same inclusive `ts >=
+    * previous stage` bound as the batch [[graft.operators.Events.funnel]];
+    * equality with the batch result is asserted in StreamingSpec).
+    *
+    * State per user is ONE (int, long) row regardless of event volume,
+    * sharded by the group key; completed users keep a done-marker row
+    * (so later events cannot restart the funnel and double-emit) and
+    * every row — done or in-flight — is garbage-collected by an
+    * event-time timeout `stateTtlMs` past its last progress (or the
+    * current watermark if later) — at 100 TB/day the store holds only
+    * funnels inside the TTL horizon, not the event history.
+    *
+    * Each micro-batch's events are folded in `(ts, type)` order;
+    * progression across batches assumes batches arrive in event-time
+    * order (the watermark bounds the reorder window, the standard
+    * funnel-attribution contract). */
+  def funnelCompletions(
+      events: DataFrame,
+      stages: Seq[String],
+      watermark: String = "10 minutes",
+      stateTtlMs: Long = 24L * 3600 * 1000): DataFrame = {
+    require(stages.size >= 2, s"a funnel needs at least 2 stages, got $stages")
+    require(stages.distinct.size == stages.size,
+      s"duplicate stage names: ${stages.mkString(", ")}")
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val typed = events
+      .withWatermark("ts", watermark)
+      .select(col("user_id").cast("long").as("user_id"), col("ts"),
+        unix_micros(col("ts")).as("ts_us"), col("event_type"))
+      .as[FunnelEvent]
+    val step = (user: Long, it: Iterator[FunnelEvent],
+        state: GroupState[FunnelProgress]) => {
+      if (state.hasTimedOut) { state.remove(); Iterator.empty[FunnelHit] }
+      else {
+        var st = state.getOption.getOrElse(FunnelProgress(0, Long.MinValue))
+        var hit: Option[FunnelHit] = None
+        it.toSeq.sortBy(e => (e.ts_us, e.event_type)).foreach { e =>
+          // stage == stages.size is the DONE marker: kept (not removed)
+          // so a completed user's later events cannot restart the funnel
+          // and double-emit; the TTL timeout reclaims it
+          if (st.stage < stages.size && e.event_type == stages(st.stage)
+              && e.ts_us >= st.last_us) {
+            st = FunnelProgress(st.stage + 1, e.ts_us)
+            if (st.stage == stages.size) hit = Some(FunnelHit(user, e.ts_us))
+          }
+        }
+        state.update(st)
+        state.setTimeoutTimestamp(
+          math.max(st.last_us / 1000L, state.getCurrentWatermarkMs()) + stateTtlMs)
+        hit.iterator
+      }
+    }
+    typed.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(step)
+      .select(col("user_id"),
+        timestamp_micros(col("completed_at_us")).as("completed_at"))
+  }
+
+  /** [[funnelCompletions]] into a memory sink (append — each completion
+    * row is final by construction). */
+  def startFunnelToMemory(spark: SparkSession, dir: String,
+      stages: Seq[String], name: String): StreamingQuery =
+    funnelCompletions(readEvents(spark, dir), stages)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
 }

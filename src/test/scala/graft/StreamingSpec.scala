@@ -355,6 +355,27 @@ class StreamingSpec extends SparkSpec {
     assert(ids.size === waves * 20)
   }
 
+  test("streaming funnel state machine equals the batch funnel's completions") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val stages = Seq("view", "click", "purchase")
+    val batchEvents = spark.read.parquet(s"$sf0001/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val want = graft.operators.Events.funnel(batchEvents, stages)
+      .where(col("stage") === stages.size)
+      .select(col("user_id"), col("purchase_ts"))
+      .as[(Long, java.sql.Timestamp)].collect().toSet
+    assert(want.nonEmpty, "test corpus must contain completed funnels")
+
+    val q = EventStream.startFunnelToMemory(spark, sf0001, stages, "stream_funnel_test")
+    q.awaitTermination()
+    val got = spark.table("stream_funnel_test")
+      .select(col("user_id"), col("completed_at"))
+      .as[(Long, java.sql.Timestamp)].collect().toSet
+    assert(got === want)
+    // exactly one emission per completed user
+    assert(spark.table("stream_funnel_test").count() === got.size.toLong)
+  }
+
   test("stream-static dim enrichment equals the batch join; missing keys null") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // dim snapshot: latest (by ts, then event_id) value per user from the
