@@ -1489,6 +1489,18 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    // extension: TOKEN-BUDGET sampling — the maximal content-hash-order
+    // prefix of the corpus whose cumulative token count fits the budget
+    // ("carve a 10B-token subset"). Two-level prefix sum: per-bucket
+    // totals (≤ nBuckets rows) find each bucket's offset; whole-fitting
+    // buckets keep with no per-row ordering, only the one straddling
+    // bucket pays a partition-local running sum.
+    "corpus_sample_budget" -> ((s, dir) =>
+      graft.operators.Corpus.sampleToBudget(
+          docs(s, dir).repartition(col("doc_id")), col("text"),
+          size(TextOps.tokens(col("text"))), budget = 12000L)
+        .orderBy("doc_id")),
+
     // extension: vocabulary building — top-k tokens by term frequency
     // with document frequency, deterministic tie-break; the two-stage
     // map-side-combinable wordcount (no Expand, no corpus-wide sort)
@@ -2758,6 +2770,16 @@ object Queries {
          |  FROM toks, unnest(sh) AS u(s) WHERE bucket >= 80 AND bucket < 90)
          |SELECT doc_id, count(DISTINCT hh) AS n_shared
          |FROM tg JOIN vg USING (hh) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "corpus_sample_budget" ->
+      """WITH h AS (SELECT doc_id, list_reduce(list_transform(string_split_regex(substr(md5(text), 1, 8), ''),
+        |    c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a * 16 + b) AS hv,
+        |    CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS BIGINT) AS n
+        |  FROM documents),
+        |p AS (SELECT doc_id, n,
+        |    sum(n) OVER (ORDER BY hv, doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM h WHERE n >= 1)
+        |SELECT doc_id, n AS n_tokens FROM p WHERE cum <= 12000 ORDER BY doc_id""".stripMargin,
 
     "vocab_top" ->
       """WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token

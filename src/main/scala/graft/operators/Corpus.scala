@@ -331,4 +331,63 @@ object Corpus {
       .groupBy(col("doc_id"))
       .agg(count_distinct(col("h")).as("n_shared"))
   }
+
+  /** TOKEN-BUDGET sampling: the maximal prefix of the corpus, in
+    * deterministic content-hash order, whose cumulative token count fits
+    * `budget` — the "carve a 10B-token subset out of this 10T-token
+    * corpus" step of every training run. Returns `(doc_id, n_tokens)`
+    * for kept documents. Semantics are a strict prefix: documents are
+    * visited in ([[contentHash32]], doc_id) order and kept while the
+    * running token total stays ≤ `budget`; the first document that would
+    * overflow ends the sample (no best-fit backfill — backfill would
+    * make membership depend on other documents' sizes, losing the
+    * stability that makes content-keyed sampling reproducible). Like
+    * [[mixSample]], growing the budget only EXTENDS the prefix; it never
+    * reshuffles which documents are kept.
+    *
+    * Scale shape — the naive form is a global-ordered running sum, i.e.
+    * one task sorting the corpus. Instead, a two-level prefix sum:
+    * (1) bucket documents by the high bits of the content hash (bucket
+    * id is monotone in hash, so bucket order refines hash order);
+    * (2) aggregate per-bucket token totals — at most `nBuckets` rows —
+    * and running-sum THOSE on a single task (bounded by `nBuckets`,
+    * never by corpus size) to find each bucket's starting offset;
+    * (3) buckets that fit entirely are kept with no per-row ordering at
+    * all (map-only after a broadcast join of the tiny offset table), and
+    * only the single straddling bucket — expected corpus/`nBuckets` of
+    * the data — pays a partition-local sort for its within-bucket
+    * running sum. Equivalent to the global window for every input,
+    * because ties in the hash cannot cross a bucket boundary. */
+  def sampleToBudget(
+      docs: DataFrame,
+      text: Column,
+      nTokens: Column,
+      budget: Long,
+      nBuckets: Int = 1024): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    val step = (1L << 32) / nBuckets + 1 // ceil: bucket ids stay < nBuckets
+    val keyed = docs
+      .select(col("doc_id"), contentHash32(text).as("__h"),
+        nTokens.cast("long").as("n_tokens"))
+      .where(col("n_tokens") >= 1) // null-safe: null counts fail too
+      .withColumn("__b", expr(s"__h div ${step}L"))
+    val offsets = keyed
+      .groupBy(col("__b")).agg(sum(col("n_tokens")).as("__bt"))
+      .withColumn("__start",
+        sum(col("__bt")).over(
+          Window.orderBy(col("__b"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          - col("__bt"))
+    val tagged = keyed.join(broadcast(offsets), Seq("__b"))
+    val whole = tagged.where(col("__start") + col("__bt") <= budget)
+    val wIn = Window.partitionBy(col("__b")).orderBy(col("__h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val straddle = tagged
+      .where(col("__start") < budget && col("__start") + col("__bt") > budget)
+      .withColumn("__cum", col("__start") + sum(col("n_tokens")).over(wIn))
+      .where(col("__cum") <= budget)
+    whole.select(col("doc_id"), col("n_tokens"))
+      .unionByName(straddle.select(col("doc_id"), col("n_tokens")))
+  }
 }

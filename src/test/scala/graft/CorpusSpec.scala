@@ -264,4 +264,50 @@ class CorpusSpec extends SparkSpec {
       .as[(Long, String)].collect().toMap
     assert(loose(3L) === "all rights reserved") // under the 4-doc bar now
   }
+
+  // Brute-force spec for sampleToBudget: the strict prefix of the corpus
+  // in (contentHash32, doc_id) order whose running token total fits.
+  private def bruteBudgetPrefix(budget: Long): Seq[Long] = {
+    val rows = corpus
+      .select(col("doc_id"), Corpus.contentHash32(col("text")).as("h"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n"))
+      .where(col("n") >= 1)
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._2, r._1))
+    var cum = 0L
+    rows.takeWhile { r => cum += r._3; cum <= budget }.map(_._1).toSeq
+  }
+
+  test("sampleToBudget equals the global-window prefix at every bucket granularity") {
+    val nTok = size(TextOps.tokens(col("text")))
+    for (budget <- Seq(1L, 100L, 500L, 5000L); buckets <- Seq(1, 8, 1024)) {
+      val got = Corpus.sampleToBudget(corpus, col("text"), nTok, budget, buckets)
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      assert(got === bruteBudgetPrefix(budget).sorted,
+        s"budget=$budget nBuckets=$buckets")
+    }
+  }
+
+  test("sampleToBudget: growing the budget only extends the prefix; full budget keeps all") {
+    val nTok = size(TextOps.tokens(col("text")))
+    val small = Corpus.sampleToBudget(corpus, col("text"), nTok, 300L)
+      .select("doc_id").as[Long].collect().toSet
+    val large = Corpus.sampleToBudget(corpus, col("text"), nTok, 600L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(small.subsetOf(large))
+    val all = Corpus.sampleToBudget(corpus, col("text"), nTok, 1000000L)
+      .select("doc_id").as[Long].collect()
+    assert(all.length === 100)
+    // and the reported n_tokens column matches the token counter
+    val nt = Corpus.sampleToBudget(corpus, col("text"), nTok, 1000000L)
+      .as[(Long, Long)].collect().toMap
+    val direct = corpus.select(col("doc_id"), nTok.cast("long")).as[(Long, Long)].collect().toMap
+    assert(nt === direct)
+  }
+
+  test("sampleToBudget rejects non-positive budget and buckets") {
+    intercept[IllegalArgumentException](
+      Corpus.sampleToBudget(corpus, col("text"), lit(1), 0L))
+    intercept[IllegalArgumentException](
+      Corpus.sampleToBudget(corpus, col("text"), lit(1), 10L, nBuckets = 0))
+  }
 }
