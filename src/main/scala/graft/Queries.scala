@@ -1595,6 +1595,23 @@ object Queries {
           col("event_type"), col("n"), col("value_sum"))
         .orderBy("hour", "event_type")),
 
+    // extension: pruned time-window analytics over the date-partitioned
+    // event-log layout (EventLog.snapshotByDay): the store is written
+    // once per (session, sf); the 3-day window read statically prunes to
+    // 3 of 30 day directories (plan pinned in PlanShapeSpec) — layout,
+    // not an index, is what makes the 100 TB time scan cheap
+    "events_time_pruned" -> ((s, dir) => {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_eventlog_" +
+        s"${s.sparkContext.applicationId}_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      if (!new java.io.File(s"$path/_SUCCESS").exists())
+        graft.sources.EventLog.snapshotByDay(events(s, dir), path)
+      graft.sources.EventLog
+        .timeRange(s, path, "2024-01-10 00:00:00", "2024-01-13 00:00:00")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), r4(sum(col("value"))).as("value_sum"))
+        .orderBy("event_type")
+    }),
+
     // extension: cohort retention — users bucketed by first-seen week,
     // counted per activity week offset. Two map-side-combinable aggs +
     // one distinct; no window, no self-join over the event log
@@ -2886,6 +2903,13 @@ object Queries {
       s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
         |  count(*) AS n, ${sqlR4("sum(value)")} AS value_sum
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+
+    // the day-partitioned layout changes the files, never the rows
+    "events_time_pruned" ->
+      s"""SELECT event_type, count(*) AS n, ${sqlR4("sum(value)")} AS value_sum
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-13 00:00:00'
+        |GROUP BY 1 ORDER BY event_type""".stripMargin,
 
     // both engines truncate weeks to Monday; week offset via floor-epoch
     // integer arithmetic (Spark's CAST(ts AS LONG) == floor(epoch(ts)))

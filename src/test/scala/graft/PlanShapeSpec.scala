@@ -383,4 +383,33 @@ class PlanShapeSpec extends SparkSpec {
     // shuffles carry (doc_id, pos, hash) / per-doc aggregates — never text
     exchanges.foreach(e => assert(!e.contains("text#"), s"text column in shuffle: $e"))
   }
+
+  test("day-partitioned event log: a 3-day window statically prunes to 3 of 30 day files") {
+    import graft.sources.EventLog
+    val store = java.nio.file.Files.createTempDirectory("graft_eventlog").toString + "/s"
+    val events = spark.read
+      .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
+      .parquet(s"$sf/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    EventLog.snapshotByDay(events, store)
+    val df = EventLog.timeRange(spark, store, "2024-01-10 00:00:00", "2024-01-13 00:00:00")
+    // row-level correctness comes from the ts predicate itself
+    val want = events.where(col("ts") >= to_timestamp(lit("2024-01-10 00:00:00")) &&
+        col("ts") < to_timestamp(lit("2024-01-13 00:00:00")))
+      .select("event_id").as[Long](org.apache.spark.sql.Encoders.scalaLong).collect().toSet
+    val got = df.collect().map(_.getAs[Long]("event_id")).toSet
+    assert(got === want && got.nonEmpty)
+    assert(!df.columns.contains("event_date"))
+    // the date predicate is STATIC partition pruning: the window spans 4
+    // calendar days inclusive ([Jan 10, Jan 13]) so at most 4 of the
+    // store's ~30 day files become splits
+    val p = plan(df)
+    assert(p.contains("PartitionFilters") && p.contains("event_date"), p)
+    val scan = df.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scan.nonEmpty, p)
+    val n = scan.head.metrics("numFiles").value
+    assert(n >= 3 && n <= 4, s"expected 3-4 pruned day files, scanned $n")
+  }
 }
