@@ -1009,6 +1009,26 @@ object Queries {
         qvec0(s, dir), k = 10, probes = 3))
     }),
 
+    // extension: metadata-filtered ADC serving — the filter-DSL predicate
+    // composes PRE-top-k with the compressed code scan (the code store
+    // carries no metadata; admissible ids semi-join in from the record
+    // store), completing the filtered-query matrix: brute force
+    // (knn_filtered), LSH (ann_lsh_filtered), IVF (ivf_batch_filtered),
+    // and now the PQ/ADC path
+    "ivf_adc_filtered" -> ((s, dir) => {
+      val model = fixedModel(s, dir, Metric.Euclidean)
+      val books = pqFixedBooks(s, dir)
+      val codeStore = model.assigned
+        .crossJoin(broadcast(books))
+        .select(col("id"), col("cluster_id"),
+          operators.VectorOps.pqCodes(col("embedding"), col("books")).as("codes"))
+      val keep = recs(s, dir)
+        .where(FilterDsl.predicate(col("metadata"), "label >= 3"))
+        .select(col("id"))
+      knnOut(IvfIndex.queryAdc(model.centroids, codeStore, books,
+        qvec0(s, dir), k = 10, probes = 3, filterIds = Some(keep)))
+    }),
+
     // extension: the compressed store ON DISK — codes written as
     // cluster_id-partitioned parquet (the 100 TB layout: 2-byte codes in
     // posting-list partitions) and probed from the reopened store; the
@@ -2223,6 +2243,31 @@ object Queries {
          |SELECT r.vec_id AS vec_id, ${sqlR4(sqlSq("r.deq", "q.qvec"))} AS distance
          |FROM recon r JOIN asg ON asg.vec_id = r.vec_id JOIN probed ON asg.cid = probed.cid, q
          |ORDER BY ${sqlSq("r.deq", "q.qvec")} ASC, r.vec_id ASC LIMIT 10""".stripMargin,
+
+    // same grouped-sum ADC oracle as ivf_adc_query, with the metadata
+    // predicate applied before the top-k (filter composes pre-ranking)
+    "ivf_adc_filtered" ->
+      s"""WITH c AS (SELECT CAST(vec_id AS INTEGER) AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8),
+         |q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+         |asg AS (SELECT vec_id, cid FROM (
+         |  SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id ORDER BY ${sqlSq("e.embedding", "c.cvec")} ASC, c.cid ASC) AS rn
+         |  FROM embeddings e CROSS JOIN c) WHERE rn = 1),
+         |probed AS (SELECT c.cid FROM c, q ORDER BY ${sqlSq("c.cvec", "q.qvec")} ASC, c.cid ASC LIMIT 3),
+         |cb AS (SELECT CAST(vec_id AS INT) AS code, embedding FROM embeddings WHERE vec_id < 16),
+         |books AS (SELECT u.s AS sub_idx, code,
+         |  list_slice(embedding, CAST(u.s * 16 + 1 AS INT), CAST(u.s * 16 + 16 AS INT)) AS cvec
+         |  FROM cb, unnest(generate_series(0, 3)) AS u(s)),
+         |enc AS (SELECT e.vec_id, b.sub_idx, b.cvec,
+         |  row_number() OVER (PARTITION BY e.vec_id, b.sub_idx ORDER BY ${sqlSq("list_slice(e.embedding, CAST(b.sub_idx * 16 + 1 AS INT), CAST(b.sub_idx * 16 + 16 AS INT))", "b.cvec")} ASC, b.code ASC) AS rn
+         |  FROM embeddings e CROSS JOIN books b),
+         |adc AS (SELECT enc.vec_id,
+         |  sum(${sqlSq("list_slice(q.qvec, CAST(enc.sub_idx * 16 + 1 AS INT), CAST(enc.sub_idx * 16 + 16 AS INT))", "enc.cvec")}) AS dist
+         |  FROM enc, q WHERE rn = 1 GROUP BY enc.vec_id)
+         |SELECT adc.vec_id AS vec_id, ${sqlR4("adc.dist")} AS distance
+         |FROM adc JOIN asg ON asg.vec_id = adc.vec_id JOIN probed ON asg.cid = probed.cid
+         |JOIN embeddings e ON e.vec_id = adc.vec_id
+         |WHERE e.label >= 3
+         |ORDER BY adc.dist ASC, adc.vec_id ASC LIMIT 10""".stripMargin,
 
     // ADC distance = per-subspace grouped sum of the same terms the
     // ivf_pq_query oracle sums flat; r4 absorbs the regrouping ulps

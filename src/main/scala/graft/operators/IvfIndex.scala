@@ -282,7 +282,8 @@ object IvfIndex {
       books: DataFrame,
       query: DataFrame,
       k: Int,
-      probes: Int = 32): DataFrame = {
+      probes: Int = 32,
+      filterIds: Option[DataFrame] = None): DataFrame = {
     val probed = centroids
       .crossJoin(broadcast(query))
       .withColumn("__cdist", Metric.Euclidean.distance(col("centroid"), col("qvec")))
@@ -291,8 +292,16 @@ object IvfIndex {
       .select("cluster_id")
     val luts = query.crossJoin(broadcast(books))
       .select(VectorOps.pqLuts(col("qvec"), col("books")).as("luts"))
-    codeStore
+    val candidates = codeStore
       .join(broadcast(probed), Seq("cluster_id"), "left_semi")
+    // Metadata filtering composes PRE-top-k (the reference's filtered
+    // query: predicate evaluation precedes ranking, O4 × O6): the code
+    // store carries no metadata at 100 TB — the caller derives the
+    // admissible-id frame from the record store (FilterDsl) and the scan
+    // semi-joins it on id (AQE broadcasts a selective filter's ids).
+    val admitted = filterIds.fold(candidates)(ids =>
+      candidates.join(ids.select(col("id")), Seq("id"), "left_semi"))
+    admitted
       .crossJoin(broadcast(luts))
       .withColumn("distance", VectorOps.adcDistance(col("codes"), col("luts")))
       .orderBy(col("distance").asc, col("id").asc)

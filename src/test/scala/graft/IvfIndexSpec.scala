@@ -335,6 +335,30 @@ class IvfIndexSpec extends SparkSpec {
     assert(got.size === 10)
   }
 
+  test("queryAdc with filterIds equals post-filtering the unfiltered ranking") {
+    import graft.operators.VectorOps
+    val model = IvfIndex.build(records, density = 64, Metric.Euclidean, seed = 42L)
+    val books = VectorOps.pqPack(VectorOps.pqTrain(records, m = 4, dsub = 4, k = 8))
+    val codeStore = model.assigned
+      .crossJoin(broadcast(books))
+      .select(col("id"), col("cluster_id"),
+        VectorOps.pqCodes(col("embedding"), col("books")).as("codes"))
+    val q = records.where(col("id") === 3).select(col("embedding").as("qvec"))
+    val keep = records.where(col("id") % 2 === 0).select(col("id"))
+    val got = IvfIndex.queryAdc(model.centroids, codeStore, books, q,
+        k = 10, probes = Int.MaxValue, filterIds = Some(keep))
+      .as[(Long, Double)].collect().toSeq
+    // the filter composes pre-top-k: rank everything, drop the
+    // inadmissible, THEN take 10 — k survivors, not k-minus-filtered
+    val want = IvfIndex.queryAdc(model.centroids, codeStore, books, q,
+        k = Int.MaxValue, probes = Int.MaxValue)
+      .as[(Long, Double)].collect().toSeq
+      .filter(_._1 % 2 == 0).take(10)
+    assert(got === want)
+    assert(got.size === 10)
+    assert(got.forall(_._1 % 2 == 0))
+  }
+
   test("build is deterministic under a fixed seed") {
     val a = IvfIndex.build(records, 64, Metric.Euclidean, seed = 42L)
       .assigned.select("id", "cluster_id").as[(Long, Int)].collect().toMap
