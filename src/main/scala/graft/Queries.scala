@@ -1521,6 +1521,18 @@ object Queries {
           size(TextOps.tokens(col("text"))), budget = 12000L)
         .orderBy("doc_id")),
 
+    // extension: PER-SOURCE token budgets — dataset mixing denominated in
+    // tokens ("20B of web, 5B of code") instead of document counts; each
+    // listed source keeps its own content-hash-order prefix fitting its
+    // budget (src1's budget exceeds its total → whole source kept;
+    // unlisted sources drop). Stratified two-level prefix sum.
+    "mix_token_budget" -> ((s, dir) =>
+      graft.operators.Corpus.mixTokenBudget(
+          docs(s, dir).repartition(col("doc_id")), col("source"), col("text"),
+          size(TextOps.tokens(col("text"))),
+          budgets = Map("src0" -> 800L, "src1" -> 5000L, "src3" -> 300L))
+        .orderBy("doc_id")),
+
     // extension: vocabulary building — top-k tokens by term frequency
     // with document frequency, deterministic tie-break; the two-stage
     // map-side-combinable wordcount (no Expand, no corpus-wide sort)
@@ -2842,6 +2854,18 @@ object Queries {
         |    sum(n) OVER (ORDER BY hv, doc_id ROWS UNBOUNDED PRECEDING) AS cum
         |  FROM h WHERE n >= 1)
         |SELECT doc_id, n AS n_tokens FROM p WHERE cum <= 12000 ORDER BY doc_id""".stripMargin,
+
+    "mix_token_budget" ->
+      """WITH h AS (SELECT doc_id, source, list_reduce(list_transform(string_split_regex(substr(md5(text), 1, 8), ''),
+        |    c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a * 16 + b) AS hv,
+        |    CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS BIGINT) AS n
+        |  FROM documents WHERE source IN ('src0', 'src1', 'src3')),
+        |p AS (SELECT doc_id, source, n,
+        |    sum(n) OVER (PARTITION BY source ORDER BY hv, doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM h WHERE n >= 1)
+        |SELECT doc_id, source, n AS n_tokens FROM p
+        |WHERE cum <= CASE source WHEN 'src0' THEN 800 WHEN 'src1' THEN 5000 ELSE 300 END
+        |ORDER BY doc_id""".stripMargin,
 
     "vocab_top" ->
       """WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token

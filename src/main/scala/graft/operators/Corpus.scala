@@ -365,29 +365,62 @@ object Corpus {
       budget: Long,
       nBuckets: Int = 1024): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
+    mixTokenBudget(docs.withColumn("__one_src", lit("")), col("__one_src"),
+        text, nTokens, Map("" -> budget), nBuckets)
+      .select(col("doc_id"), col("n_tokens"))
+  }
+
+  /** [[sampleToBudget]] with PER-SOURCE token budgets — [[
+    * mixSampleWeighted]]'s quotas denominated in the unit that actually
+    * prices a training run ("20B tokens of web, 5B of code"), instead of
+    * document counts. Each listed source independently keeps its maximal
+    * content-hash-order prefix fitting its budget; unlisted sources
+    * drop. Returns `(doc_id, source, n_tokens)`.
+    *
+    * Same two-level prefix-sum shape as [[sampleToBudget]], stratified:
+    * the offset table holds (source × bucket) rows — still driver-tiny
+    * for any real source list — and its running sum partitions by
+    * source, so each source's straddling bucket (at most one per source)
+    * is the only data that pays a per-row sort. Same stability too:
+    * budgets only grow/shrink each source's prefix independently. */
+  def mixTokenBudget(
+      docs: DataFrame,
+      source: Column,
+      text: Column,
+      nTokens: Column,
+      budgets: Map[String, Long],
+      nBuckets: Int = 1024): DataFrame = {
+    require(budgets.nonEmpty, "budgets must not be empty")
+    require(budgets.values.forall(_ > 0), s"budgets must be positive, got $budgets")
     require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    val spark = docs.sparkSession
+    import spark.implicits._
     val step = (1L << 32) / nBuckets + 1 // ceil: bucket ids stay < nBuckets
+    val bDf = budgets.toSeq.toDF("__src", "__budget")
     val keyed = docs
-      .select(col("doc_id"), contentHash32(text).as("__h"),
+      .select(col("doc_id"), source.as("__src"), contentHash32(text).as("__h"),
         nTokens.cast("long").as("n_tokens"))
       .where(col("n_tokens") >= 1) // null-safe: null counts fail too
+      .join(broadcast(bDf), Seq("__src"))
       .withColumn("__b", expr(s"__h div ${step}L"))
     val offsets = keyed
-      .groupBy(col("__b")).agg(sum(col("n_tokens")).as("__bt"))
+      .groupBy(col("__src"), col("__b")).agg(sum(col("n_tokens")).as("__bt"))
       .withColumn("__start",
         sum(col("__bt")).over(
-          Window.orderBy(col("__b"))
+          Window.partitionBy(col("__src")).orderBy(col("__b"))
             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
           - col("__bt"))
-    val tagged = keyed.join(broadcast(offsets), Seq("__b"))
-    val whole = tagged.where(col("__start") + col("__bt") <= budget)
-    val wIn = Window.partitionBy(col("__b")).orderBy(col("__h"), col("doc_id"))
+    val tagged = keyed.join(broadcast(offsets), Seq("__src", "__b"))
+    val whole = tagged.where(col("__start") + col("__bt") <= col("__budget"))
+    val wIn = Window.partitionBy(col("__src"), col("__b"))
+      .orderBy(col("__h"), col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val straddle = tagged
-      .where(col("__start") < budget && col("__start") + col("__bt") > budget)
+      .where(col("__start") < col("__budget") &&
+        col("__start") + col("__bt") > col("__budget"))
       .withColumn("__cum", col("__start") + sum(col("n_tokens")).over(wIn))
-      .where(col("__cum") <= budget)
-    whole.select(col("doc_id"), col("n_tokens"))
-      .unionByName(straddle.select(col("doc_id"), col("n_tokens")))
+      .where(col("__cum") <= col("__budget"))
+    whole.unionByName(straddle.drop("__cum"))
+      .select(col("doc_id"), col("__src").as("source"), col("n_tokens"))
   }
 }

@@ -304,6 +304,32 @@ class CorpusSpec extends SparkSpec {
     assert(nt === direct)
   }
 
+  test("mixTokenBudget: each source independently keeps its brute-force prefix; unlisted sources drop") {
+    val nTok = size(TextOps.tokens(col("text")))
+    val budgets = Map("src0" -> 120L, "src1" -> 100000L, "src2" -> 11L)
+    val got = Corpus.mixTokenBudget(corpus, col("source"), col("text"), nTok, budgets)
+      .select("doc_id", "source", "n_tokens")
+      .as[(Long, String, Long)].collect()
+    assert(got.forall(r => budgets.contains(r._2))) // src3 dropped
+    // per-source brute force: hash-order prefix within the source
+    val rows = corpus
+      .select(col("doc_id"), col("source"), Corpus.contentHash32(col("text")).as("h"),
+        nTok.cast("long").as("n"))
+      .as[(Long, String, Long, Long)].collect()
+    budgets.foreach { case (src, budget) =>
+      var cum = 0L
+      val want = rows.filter(_._2 == src).sortBy(r => (r._3, r._1))
+        .takeWhile { r => cum += r._4; cum <= budget }.map(_._1).toSet
+      assert(got.filter(_._2 == src).map(_._1).toSet === want, src)
+    }
+    // src1's budget exceeds its total: the whole source is kept
+    assert(got.count(_._2 == "src1") === 25)
+    // per-source token totals honor each budget
+    got.groupBy(_._2).foreach { case (src, rs) =>
+      assert(rs.map(_._3).sum <= budgets(src), src)
+    }
+  }
+
   test("sampleToBudget rejects non-positive budget and buckets") {
     intercept[IllegalArgumentException](
       Corpus.sampleToBudget(corpus, col("text"), lit(1), 0L))
