@@ -2,6 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 /** Date-partitioned event-log layout: the time axis's answer to
   * [[Records.snapshotById]]'s id axis.
@@ -38,6 +39,28 @@ object EventLog {
       .sortWithinPartitions(col("ts"))
       .write.mode("overwrite").partitionBy("event_date").parquet(path)
   }
+
+  /** Streaming append into the same day-partitioned layout: the
+    * production shape of this store is a forever-running ingest, not a
+    * batch snapshot. Exactly-once via the parquet sink's checkpoint +
+    * file-manifest commit protocol; each micro-batch lands its rows
+    * under the right `event_date=` directories, so [[timeRange]] reads
+    * (and their static pruning) work identically over streamed and
+    * snapshotted stores. Late events simply land in their own (older)
+    * day directory — the layout is event-time-correct without any
+    * watermark. Streaming appends accrete files per (batch × day);
+    * periodic re-layout via [[snapshotByDay]] over [[open]] is the
+    * compaction story, same as the record store's compactTo. */
+  def appendStream(events: DataFrame, path: String, checkpoint: String): StreamingQuery =
+    events
+      .withColumn("event_date", to_date(col("ts")))
+      .writeStream
+      .partitionBy("event_date")
+      .format("parquet")
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start(path)
 
   /** Open a [[snapshotByDay]] store as the canonical event frame (the
     * physical `event_date` column is dropped; use [[timeRange]] for

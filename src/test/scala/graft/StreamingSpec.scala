@@ -59,6 +59,25 @@ class StreamingSpec extends SparkSpec {
       s"only ${streamed.size}/${batch.size} sessions closed")
   }
 
+  test("streamed day-partitioned event log == snapshot layout; pruned reads agree") {
+    import graft.sources.EventLog
+    val base = java.nio.file.Files.createTempDirectory("graft_evstream").toString
+    val q = EventLog.appendStream(
+      EventStream.readEvents(spark, sf0001), s"$base/store", s"$base/ckpt")
+    q.awaitTermination() // AvailableNow terminates after draining
+    val windowed = EventLog.timeRange(spark, s"$base/store",
+      "2024-01-10 00:00:00", "2024-01-13 00:00:00")
+    val batch = spark.read.parquet(s"$sf0001/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .where(col("ts") >= to_timestamp(lit("2024-01-10 00:00:00")) &&
+        col("ts") < to_timestamp(lit("2024-01-13 00:00:00")))
+      .select("event_id").as[Long].collect().toSet
+    assert(windowed.collect().map(_.getAs[Long]("event_id")).toSet === batch)
+    // the streamed store prunes exactly like the snapshotted one
+    val p = windowed.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters") && p.contains("event_date"), p)
+  }
+
   test("streaming vector ingest: validate+assign equals batch; invalid dims rejected") {
     import graft.operators.IvfIndex
     import graft.streaming.VectorIngest
