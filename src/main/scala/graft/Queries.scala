@@ -29,6 +29,10 @@ object Queries {
     s"list_sum(list_transform(list_zip($a, $b), " +
       s"p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))"
 
+  private def sqlSub(a: String, b: String): String =
+    s"list_transform(list_zip($a, $b), " +
+      s"p -> CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))"
+
   private def sqlDot(a: String, b: String): String =
     s"list_sum(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
 
@@ -1089,6 +1093,21 @@ object Queries {
         .orderBy(col("query_id"), col("distance"), col("id"))
         .select(col("query_id"), col("id").as("vec_id"),
           r4(col("distance")).as("distance"))
+    }),
+
+    // extension: RESIDUAL-encoded ADC — the IVFADC layout (codes encode
+    // v − centroid[cluster], per-probed-cluster LUTs on the query side),
+    // the design that makes PQ accurate at 100 TB because codes spend
+    // their resolution on within-cluster displacement. Same fixed demo
+    // books as the raw path so every step stays oracle-exact; production
+    // trains the books on residuals (VectorOps.pqTrain over
+    // VectorOps.residual inputs)
+    "ivf_adc_residual_query" -> ((s, dir) => {
+      val model = fixedModel(s, dir, Metric.Euclidean)
+      val books = pqFixedBooks(s, dir)
+      val codeStore = IvfIndex.encodeResidual(model.assigned, model.centroids, books)
+      knnOut(IvfIndex.queryAdcResidual(model.centroids, codeStore, books,
+        qvec0(s, dir), k = 10, probes = 3))
     }),
 
     // extension: ADC-shortlist + exact re-rank with a FULL-SQL oracle —
@@ -2300,6 +2319,31 @@ object Queries {
          |adc AS (SELECT enc.vec_id,
          |  sum(${sqlSq("list_slice(q.qvec, CAST(enc.sub_idx * 16 + 1 AS INT), CAST(enc.sub_idx * 16 + 16 AS INT))", "enc.cvec")}) AS dist
          |  FROM enc, q WHERE rn = 1 GROUP BY enc.vec_id)
+         |SELECT adc.vec_id AS vec_id, ${sqlR4("adc.dist")} AS distance
+         |FROM adc JOIN asg ON asg.vec_id = adc.vec_id JOIN probed ON asg.cid = probed.cid
+         |ORDER BY adc.dist ASC, adc.vec_id ASC LIMIT 10""".stripMargin,
+
+    // residual twin of the ivf_adc_query oracle: the encode compares
+    // (v − own-centroid) slices against the books, the ADC distance
+    // compares (q − candidate's-cluster-centroid) slices against the
+    // chosen entries — both joins replayed row-exactly
+    "ivf_adc_residual_query" ->
+      s"""WITH c AS (SELECT CAST(vec_id AS INTEGER) AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8),
+         |q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+         |asg AS (SELECT vec_id, cid FROM (
+         |  SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id ORDER BY ${sqlSq("e.embedding", "c.cvec")} ASC, c.cid ASC) AS rn
+         |  FROM embeddings e CROSS JOIN c) WHERE rn = 1),
+         |probed AS (SELECT c.cid FROM c, q ORDER BY ${sqlSq("c.cvec", "q.qvec")} ASC, c.cid ASC LIMIT 3),
+         |cb AS (SELECT CAST(vec_id AS INT) AS code, embedding FROM embeddings WHERE vec_id < 16),
+         |books AS (SELECT u.s AS sub_idx, code,
+         |  list_slice(embedding, CAST(u.s * 16 + 1 AS INT), CAST(u.s * 16 + 16 AS INT)) AS cvec
+         |  FROM cb, unnest(generate_series(0, 3)) AS u(s)),
+         |enc AS (SELECT e.vec_id, b.sub_idx, b.cvec,
+         |  row_number() OVER (PARTITION BY e.vec_id, b.sub_idx ORDER BY ${sqlSq(sqlSub("list_slice(e.embedding, CAST(b.sub_idx * 16 + 1 AS INT), CAST(b.sub_idx * 16 + 16 AS INT))", "list_slice(cc.cvec, CAST(b.sub_idx * 16 + 1 AS INT), CAST(b.sub_idx * 16 + 16 AS INT))"), "b.cvec")} ASC, b.code ASC) AS rn
+         |  FROM embeddings e JOIN asg ON asg.vec_id = e.vec_id JOIN c cc ON cc.cid = asg.cid CROSS JOIN books b),
+         |adc AS (SELECT enc.vec_id,
+         |  sum(${sqlSq(sqlSub("list_slice(q.qvec, CAST(enc.sub_idx * 16 + 1 AS INT), CAST(enc.sub_idx * 16 + 16 AS INT))", "list_slice(cc.cvec, CAST(enc.sub_idx * 16 + 1 AS INT), CAST(enc.sub_idx * 16 + 16 AS INT))"), "enc.cvec")}) AS dist
+         |  FROM enc JOIN asg ON asg.vec_id = enc.vec_id JOIN c cc ON cc.cid = asg.cid, q WHERE rn = 1 GROUP BY enc.vec_id)
          |SELECT adc.vec_id AS vec_id, ${sqlR4("adc.dist")} AS distance
          |FROM adc JOIN asg ON asg.vec_id = adc.vec_id JOIN probed ON asg.cid = probed.cid
          |ORDER BY adc.dist ASC, adc.vec_id ASC LIMIT 10""".stripMargin,

@@ -309,6 +309,68 @@ object IvfIndex {
       .select(col("id"), col("distance"))
   }
 
+  /** RESIDUAL code store `(id, cluster_id, codes)`: each vector is
+    * encoded as PQ codes of its residual `v − centroid[cluster_id]`
+    * ([[VectorOps.residual]]) — the IVFADC layout (Jégou et al. 2011,
+    * §IV.B). Same storage footprint as the raw-vector code store
+    * (m·log2(|book|) bits per vector), strictly better use of it in
+    * production where the books are trained on residuals: codes spend
+    * their resolution on the within-cluster displacement instead of
+    * re-encoding the cluster's position. One broadcast join on
+    * cluster_id (centroid frames are ≤ thousands of rows) + the fused
+    * native encode kernel — map-only over the store, no shuffle of the
+    * embeddings. */
+  def encodeResidual(
+      assigned: DataFrame,
+      centroids: DataFrame,
+      books: DataFrame): DataFrame =
+    assigned
+      .join(broadcast(centroids), Seq("cluster_id"))
+      .crossJoin(broadcast(books))
+      .select(col("id"), col("cluster_id"),
+        VectorOps.pqCodes(
+          VectorOps.residual(col("embedding"), col("centroid")),
+          col("books")).as("codes"))
+
+  /** Residual-ADC probe — the IVFADC serving shape over an
+    * [[encodeResidual]] store. The LUTs are per (query, PROBED CLUSTER):
+    * within cluster `c` the stored code approximates `v − centroid[c]`,
+    * so the matching query-side table is `luts_c[sub][code] =
+    * ‖(q − centroid[c])_sub − books[sub][code]‖²` and
+    * `Σ_sub luts_c[sub][codes[sub]] ≈ ‖q − v‖²`. Cost of the LUT build
+    * is ≤ probes·m·|book| doubles — a tiny broadcast frame keyed by
+    * cluster_id — and the candidate scan stays m lookups + m−1 adds per
+    * record. The inner broadcast join on cluster_id prunes to the probed
+    * clusters AND delivers each candidate its cluster's table in one
+    * step (partition pruning when the code store is disk-partitioned by
+    * cluster_id, same as [[queryAdc]]). Output `(id, distance)`
+    * ascending, ties to the smaller id, bounded top-k. */
+  def queryAdcResidual(
+      centroids: DataFrame,
+      codeStore: DataFrame,
+      books: DataFrame,
+      query: DataFrame,
+      k: Int,
+      probes: Int = 32): DataFrame = {
+    val probed = centroids
+      .crossJoin(broadcast(query))
+      .withColumn("__cdist", Metric.Euclidean.distance(col("centroid"), col("qvec")))
+      .orderBy(isnan(col("__cdist")).asc, col("__cdist").asc, col("cluster_id").asc)
+      .limit(probes)
+      .select(col("cluster_id"), col("centroid"), col("qvec"))
+    val cluts = probed.crossJoin(broadcast(books))
+      .select(col("cluster_id"),
+        VectorOps.pqLuts(
+          VectorOps.residual(col("qvec"), col("centroid")),
+          col("books")).as("luts"))
+    codeStore
+      .join(broadcast(cluts), Seq("cluster_id"))
+      .withColumn("distance", VectorOps.adcDistance(col("codes"), col("luts")))
+      .orderBy(col("distance").asc, col("id").asc)
+      .limit(k)
+      .select(col("id"), col("distance"))
+  }
+
   /** Batch analog of the reference's ADAPTIVE CLUSTER SPLIT (O9/O11,
     * `src/cores/index.rs:127-132` split trigger, `282-308` 2-means
     * split): every cluster whose population exceeds `density` is split by

@@ -115,6 +115,19 @@ object VectorOps {
         graft.functions.NativeExprs.sqEuclidean(sv, e.getField("cvec")))
     })
 
+  /** Element-wise residual `v − c`, computed in DOUBLE (each element
+    * cast before subtraction — the same convention the DuckDB oracle
+    * mirrors 1:1). Residual encoding is what makes IVF-PQ accurate at
+    * scale: within a cluster the residuals `v − centroid` occupy a much
+    * tighter ball than the raw vectors, so the same code budget spends
+    * its resolution where the data actually lives (Jégou et al., "Product
+    * Quantization for Nearest Neighbor Search", TPAMI 2011, §IV.B — the
+    * IVFADC system). The reference stores raw f32 vectors only
+    * (`src/types/vector.rs:8-9`); this is the compressed-store extension
+    * of its IVF probe. */
+  def residual(v: Column, c: Column): Column =
+    zip_with(v, c, (a, b) => a.cast("double") - b.cast("double"))
+
   /** ADC distance from codes alone: `Σ_sub luts[sub][codes[sub]]`.
     * O(m) per record (m = 4 in the demo geometry), so the interpreted
     * fold is a handful of tree-walks per row — nothing like the

@@ -359,6 +359,72 @@ class IvfIndexSpec extends SparkSpec {
     assert(got.forall(_._1 % 2 == 0))
   }
 
+  test("queryAdcResidual at full probes equals brute-force residual-ADC ranking") {
+    import graft.operators.VectorOps
+    val model = IvfIndex.build(records, density = 64, Metric.Euclidean, seed = 42L)
+    // production books: trained on the residuals themselves (IVFADC)
+    val residuals = model.assigned
+      .join(broadcast(model.centroids), Seq("cluster_id"))
+      .select(col("id"),
+        VectorOps.residual(col("embedding"), col("centroid")).as("embedding"))
+    val books = VectorOps.pqPack(VectorOps.pqTrain(residuals, m = 4, dsub = 4, k = 8))
+    val codeStore = IvfIndex.encodeResidual(model.assigned, model.centroids, books)
+    val q = records.where(col("id") === 3).select(col("embedding").as("qvec"))
+    val got = IvfIndex.queryAdcResidual(model.centroids, codeStore, books, q,
+        k = 10, probes = Int.MaxValue)
+      .as[(Long, Double)].collect().toSeq
+    // brute force: every code row scored through its OWN cluster's LUT
+    val want = codeStore
+      .join(broadcast(model.centroids), Seq("cluster_id"))
+      .crossJoin(broadcast(q)).crossJoin(broadcast(books))
+      .select(col("id"),
+        VectorOps.adcDistance(col("codes"),
+          VectorOps.pqLuts(
+            VectorOps.residual(col("qvec"), col("centroid")),
+            col("books"))).as("d"))
+      .as[(Long, Double)].collect().toSeq
+      .sortBy { case (id, d) => (d, id) }.take(10)
+    assert(got === want)
+    assert(got.size === 10)
+  }
+
+  test("residual encoding reconstructs better than raw encoding (IVFADC gain)") {
+    import graft.operators.VectorOps
+    val model = IvfIndex.build(records, density = 64, Metric.Euclidean, seed = 42L)
+    val withCent = model.assigned
+      .join(broadcast(model.centroids), Seq("cluster_id"))
+    // raw path: books trained on raw vectors, codes encode the vector
+    val rawBooks = VectorOps.pqPack(VectorOps.pqTrain(records, m = 4, dsub = 4, k = 8))
+    val rawErr = withCent.crossJoin(broadcast(rawBooks))
+      .select(graft.functions.NativeExprs.sqEuclidean(
+        col("embedding"),
+        VectorOps.pqReconstruct(
+          VectorOps.pqCodes(col("embedding"), col("books")),
+          col("books"))).as("e"))
+      .agg(avg(col("e"))).as[Double].head()
+    // residual path: books trained on residuals, codes encode v − centroid;
+    // reconstruction = centroid + decoded residual
+    val residuals = withCent.select(col("id"),
+      VectorOps.residual(col("embedding"), col("centroid")).as("embedding"))
+    val resBooks = VectorOps.pqPack(VectorOps.pqTrain(residuals, m = 4, dsub = 4, k = 8))
+    val resErr = withCent.crossJoin(broadcast(resBooks))
+      .select(graft.functions.NativeExprs.sqEuclidean(
+        col("embedding"),
+        zip_with(col("centroid"),
+          VectorOps.pqReconstruct(
+            VectorOps.pqCodes(
+              VectorOps.residual(col("embedding"), col("centroid")),
+              col("books")),
+            col("books")),
+          (c, r) => c.cast("double") + r.cast("double"))).as("e"))
+      .agg(avg(col("e"))).as[Double].head()
+    // the IVFADC argument: within-cluster residuals occupy a tighter ball
+    // than the raw vectors, so the same code budget reconstructs closer
+    // (deterministic under the fixed seeds — measured gain is pinned loosely)
+    assert(resErr < rawErr,
+      s"residual MSE $resErr should beat raw MSE $rawErr")
+  }
+
   test("build is deterministic under a fixed seed") {
     val a = IvfIndex.build(records, 64, Metric.Euclidean, seed = 42L)
       .assigned.select("id", "cluster_id").as[(Long, Int)].collect().toMap
