@@ -49,6 +49,13 @@ object Queries {
     * produces −0.0. */
   private def r4(c: Column): Column = floor(c * lit(10000.0) + lit(0.5)) / lit(10000.0)
 
+  /** Declared target mix for the drift monitor — ONE definition shared by
+    * the Spark query and its oracle's VALUES list, so both engines compare
+    * the exact same doubles (Scala's shortest-round-trip toString parses
+    * back to identical bits in DuckDB). */
+  private val driftTargets: Seq[(String, Double)] =
+    (0 until 20).map(i => s"src$i" -> (if (i < 2) 0.1 else 0.8 / 18))
+
   private def sqlR4(e: String): String = s"floor(($e) * 10000.0 + 0.5) / 10000.0"
 
   private val stopAllScala: Seq[String] = TextOps.StopwordsByLang.flatMap(_._2).distinct
@@ -1552,6 +1559,18 @@ object Queries {
           budgets = Map("src0" -> 800L, "src1" -> 5000L, "src3" -> 300L))
         .orderBy("doc_id")),
 
+    // extension: mix-DRIFT monitoring — actual vs declared per-source
+    // composition (char mass) with per-source KL and total-variation
+    // terms; the post-assembly check a production mixer runs after every
+    // wave — drift above threshold is the re-balance trigger
+    "mix_drift" -> ((s, dir) =>
+      graft.operators.Corpus.mixDrift(
+          docs(s, dir), col("source"), col("n_chars"), driftTargets.toMap)
+        .select(col("source"), r4(col("actual_share")).as("actual_share"),
+          r4(col("target_share")).as("target_share"),
+          r4(col("kl_term")).as("kl_term"), r4(col("tv_term")).as("tv_term"))
+        .orderBy("source")),
+
     // extension: vocabulary building — top-k tokens by term frequency
     // with document frequency, deterministic tie-break; the two-stage
     // map-side-combinable wordcount (no Expand, no corpus-wide sort)
@@ -2910,6 +2929,24 @@ object Queries {
         |SELECT doc_id, source, n AS n_tokens FROM p
         |WHERE cum <= CASE source WHEN 'src0' THEN 800 WHEN 'src1' THEN 5000 ELSE 300 END
         |ORDER BY doc_id""".stripMargin,
+
+    // the target VALUES list is generated from the same driftTargets
+    // sequence the Spark query reads — one source of truth for the doubles
+    "mix_drift" -> {
+      val values = driftTargets
+        .map { case (src, w) => s"('$src', CAST($w AS DOUBLE))" }.mkString(", ")
+      s"""WITH t(source, tw) AS (VALUES $values),
+         |a AS (SELECT source, CAST(sum(n_chars) AS DOUBLE) AS w FROM documents GROUP BY source),
+         |tot AS (SELECT sum(w) AS twl FROM a),
+         |sh AS (SELECT a.source AS source, a.w / tot.twl AS ash FROM a, tot)
+         |SELECT COALESCE(sh.source, t.source) AS source,
+         |  ${sqlR4("COALESCE(sh.ash, 0.0)")} AS actual_share,
+         |  ${sqlR4("t.tw")} AS target_share,
+         |  ${sqlR4("CASE WHEN COALESCE(sh.ash, 0.0) = 0 THEN 0.0 ELSE sh.ash * ln(sh.ash / t.tw) END")} AS kl_term,
+         |  ${sqlR4("abs(COALESCE(sh.ash, 0.0) - COALESCE(t.tw, 0.0)) / 2.0")} AS tv_term
+         |FROM sh FULL JOIN t ON sh.source = t.source
+         |ORDER BY source""".stripMargin
+    },
 
     "vocab_top" ->
       """WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token

@@ -423,4 +423,56 @@ object Corpus {
     whole.unionByName(straddle.drop("__cum"))
       .select(col("doc_id"), col("__src").as("source"), col("n_tokens"))
   }
+
+  /** Mix-drift report: how far the ACTUAL per-source composition of a
+    * corpus has drifted from the TARGET mix the pipeline was configured
+    * to produce ([[mixSampleWeighted]]/[[mixTokenBudget]] quotas). One
+    * row per source: `actual_share` (this source's fraction of the total
+    * `weight` mass), `target_share`, the source's KL-divergence term
+    * `actual · ln(actual/target)` (summing the column gives
+    * KL(actual ‖ target)), and the total-variation term
+    * `|actual − target| / 2` (summing gives TV distance). The monitoring
+    * op a production mixer runs after every assembly wave — drift above
+    * a threshold is the re-balance trigger.
+    *
+    * Edge semantics: a target source absent from the corpus gets
+    * `actual_share = 0` and KL term 0 (the `x·ln x → 0` limit); a corpus
+    * source absent from `targets` gets a NULL `target_share` and NULL KL
+    * term — the caller's signal that an undeclared source leaked into
+    * the mix (TV still counts it at `actual/2`).
+    *
+    * Scale: one low-cardinality groupBy on source (map-side combine),
+    * a 1×1 total aggregate joined by broadcast, and a broadcast target
+    * table — after the first aggregate nothing is proportional to the
+    * corpus. Integer weights (token/char counts) sum exactly in double,
+    * so shares are independent of partition order; fractional weights
+    * would make the last ulp order-dependent. `targets` must be positive
+    * and sum to 1. */
+  def mixDrift(
+      docs: DataFrame,
+      source: Column,
+      weight: Column,
+      targets: Map[String, Double]): DataFrame = {
+    require(targets.nonEmpty, "targets must not be empty")
+    require(targets.values.forall(_ > 0), s"target shares must be positive, got $targets")
+    require(math.abs(targets.values.sum - 1.0) < 1e-6,
+      s"target shares must sum to 1, got ${targets.values.sum}")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val t = targets.toSeq.toDF("source", "target_share")
+    val actual = docs
+      .groupBy(source.as("source"))
+      .agg(sum(weight.cast("double")).as("__w"))
+    val total = actual.agg(sum(col("__w")).as("__tw"))
+    actual.crossJoin(broadcast(total))
+      .withColumn("actual_share", col("__w") / col("__tw"))
+      .select(col("source"), col("actual_share"))
+      .join(t, Seq("source"), "full_outer")
+      .withColumn("actual_share", coalesce(col("actual_share"), lit(0.0)))
+      .withColumn("kl_term",
+        when(col("actual_share") === 0, lit(0.0))
+          .otherwise(col("actual_share") * log(col("actual_share") / col("target_share"))))
+      .withColumn("tv_term",
+        abs(col("actual_share") - coalesce(col("target_share"), lit(0.0))) / 2)
+  }
 }

@@ -119,6 +119,45 @@ class CorpusSpec extends SparkSpec {
     assert(again === rows.map(_._1).toSet)
   }
 
+  test("mixDrift: shares sum to 1, KL/TV non-negative, edge semantics for unmatched sources") {
+    // corpus has src0..src3 at 25 docs each; targets declare src0/src1/src2
+    // and a never-seen src9 — src3 leaks in undeclared
+    val targets = Map("src0" -> 0.4, "src1" -> 0.3, "src2" -> 0.2, "src9" -> 0.1)
+    val out = Corpus.mixDrift(corpus, col("source"), length(col("text")), targets)
+      .select("source", "actual_share", "target_share", "kl_term", "tv_term")
+      .as[(String, Double, Option[Double], Option[Double], Double)]
+      .collect().sortBy(_._1).toSeq
+    assert(out.map(_._1) === Seq("src0", "src1", "src2", "src3", "src9"))
+    val bySrc = out.map(r => r._1 -> r).toMap
+    // actual shares: a probability distribution over the observed sources
+    assert(math.abs(out.map(_._2).sum - 1.0) < 1e-9)
+    // declared-and-present sources: defined KL terms
+    Seq("src0", "src1", "src2").foreach(s => assert(bySrc(s)._4.isDefined))
+    // undeclared leak (src3): NULL target and NULL KL, TV counts actual/2
+    assert(bySrc("src3")._3.isEmpty && bySrc("src3")._4.isEmpty)
+    assert(math.abs(bySrc("src3")._5 - bySrc("src3")._2 / 2) < 1e-12)
+    // declared-but-absent source (src9): zero actual, zero KL, TV = target/2
+    assert(bySrc("src9")._2 === 0.0 && bySrc("src9")._4 === Some(0.0))
+    assert(math.abs(bySrc("src9")._5 - 0.05) < 1e-12)
+    // TV distance is in [0, 1]
+    val tv = out.map(_._5).sum
+    assert(tv >= 0.0 && tv <= 1.0)
+    // when the targets exactly cover the observed support, summed KL is
+    // non-negative (Gibbs) — the partial sum above isn't, by design
+    val full = Map("src0" -> 0.4, "src1" -> 0.3, "src2" -> 0.2, "src3" -> 0.1)
+    val fullKl = Corpus.mixDrift(corpus, col("source"), length(col("text")), full)
+      .agg(sum(col("kl_term"))).as[Double].head()
+    assert(fullKl >= 0.0)
+    // identical mix → zero drift everywhere
+    val uniform = Map("src0" -> 0.25, "src1" -> 0.25, "src2" -> 0.25, "src3" -> 0.25)
+    val evenCorpus = docsDf((0L until 100L).map(i => (i, "same text", s"src${i % 4}")))
+    val zero = Corpus.mixDrift(evenCorpus, col("source"), length(col("text")), uniform)
+      .select("kl_term", "tv_term").as[(Double, Double)].collect()
+    zero.foreach { case (k, t) =>
+      assert(math.abs(k) < 1e-12); assert(math.abs(t) < 1e-12)
+    }
+  }
+
   test("mixSampleWeighted: per-source quotas honored, prefix-consistent with uniform sampling") {
     val quotas = Map("src0" -> 7, "src1" -> 3, "src2" -> 0) // src3 absent
     val out = Corpus.mixSampleWeighted(corpus, col("source"), col("text"), quotas)
