@@ -1307,6 +1307,23 @@ object Queries {
           col("total_tokens"), r4(col("avg_quality")).as("avg_quality"))
         .orderBy("source", "lang")),
 
+    // extension: percentile-BAND quality trim — keep the middle 80% of
+    // the r4-quantized quality distribution (drop the bottom tail as junk
+    // AND the top tail as templated text). Exact ranks via the two-level
+    // prefix-sum layout — no single-partition global window
+    "corpus_quality_band" -> ((s, dir) => {
+      val scored = docs(s, dir).repartition(col("doc_id"))
+        .withColumn("__toks", TextOps.tokens(col("text")))
+        .withColumn("__stats", TextOps.tokenStats(col("__toks")))
+        .select(col("doc_id"),
+          r4(TextOps.qualityFromStats(col("text"), col("__toks"), col("__stats")))
+            .as("quality"))
+      graft.operators.Corpus.qualityBand(scored, col("quality"), col("doc_id"),
+          loPct = 0.1, hiPct = 0.9)
+        .select(col("doc_id"), col("quality"), r4(col("pct_rank")).as("pct_rank"))
+        .orderBy("doc_id")
+    }),
+
     // extension: md5 + rolling-window document fingerprints
     "doc_fingerprint" -> ((s, dir) =>
       docs(s, dir).select(
@@ -2680,6 +2697,25 @@ object Queries {
          |SELECT doc_id, n_tokens, n_bpe_tokens,
          |  ${sqlR4("least(1.0, greatest(0.0, 0.2 + 0.5 * stop_ratio + 0.05 * avg_len - punct_ratio))")} AS quality
          |FROM m ORDER BY doc_id""".stripMargin,
+
+    // same quality CTEs as text_stats, r4-quantized BEFORE ranking so the
+    // (quality, doc_id) total order is engine-independent; percent_rank
+    // spelled as (row_number − 1)/(n − 1) — tie-free by construction
+    "corpus_quality_band" ->
+      s"""WITH b AS (SELECT doc_id, text, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk,
+         |  CAST(length(text) AS DOUBLE) AS nc,
+         |  CAST(length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) AS DOUBLE) AS punct
+         |  FROM documents),
+         |m AS (SELECT doc_id,
+         |  CASE WHEN nc > 0 THEN punct / nc ELSE 0.0 END AS punct_ratio,
+         |  CASE WHEN len(tk) > 0 THEN CAST(len(list_filter(tk, x -> list_contains($stopAllSql, x))) AS DOUBLE) / len(tk) ELSE 0.0 END AS stop_ratio,
+         |  CASE WHEN len(tk) > 0 THEN list_sum(list_transform(tk, x -> CAST(length(x) AS DOUBLE))) / len(tk) ELSE 0.0 END AS avg_len
+         |  FROM b),
+         |qq AS (SELECT doc_id, ${sqlR4("least(1.0, greatest(0.0, 0.2 + 0.5 * stop_ratio + 0.05 * avg_len - punct_ratio))")} AS quality FROM m),
+         |r AS (SELECT doc_id, quality, row_number() OVER (ORDER BY quality, doc_id) AS rk, count(*) OVER () AS n FROM qq)
+         |SELECT doc_id, quality, ${sqlR4("CAST(rk - 1 AS DOUBLE) / (n - 1)")} AS pct_rank
+         |FROM r WHERE CAST(rk - 1 AS DOUBLE) / (n - 1) >= 0.1 AND CAST(rk - 1 AS DOUBLE) / (n - 1) <= 0.9
+         |ORDER BY doc_id""".stripMargin,
 
     "corpus_stats" ->
       s"""WITH b AS (SELECT source, text, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk,

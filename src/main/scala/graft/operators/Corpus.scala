@@ -424,6 +424,56 @@ object Corpus {
       .select(col("doc_id"), col("__src").as("source"), col("n_tokens"))
   }
 
+  /** Percentile-band filter: keep rows whose exact percent-rank of
+    * `score` lies in `[loPct, hiPct]` — the both-tails quality trim
+    * (drop the bottom tail as junk AND the top tail as
+    * templated/degenerate text, the standard shape for classifier-scored
+    * corpus curation). Output is the input plus `pct_rank`.
+    *
+    * The rank is EXACT but never computes a global single-partition
+    * window (Spark collapses an un-partitioned window to one task — the
+    * 100 TB killer). Instead the two-level prefix-sum layout
+    * ([[mixTokenBudget]]'s pattern, applied to rank): scores (assumed in
+    * [0, 1], clamped) are binned into `nBuckets` fixed ranges; one tiny
+    * per-bucket count frame gets cumulative offsets (window over
+    * `nBuckets` rows); each row's global rank is its bucket offset plus
+    * its row_number WITHIN the bucket (windows partitioned by bucket —
+    * parallel). `percent_rank = (rank − 1) / (n − 1)` over the
+    * `(score, id)` total order — tie-free, so identical in any engine;
+    * a 1-row input defines pct_rank 0. */
+  def qualityBand(
+      docs: DataFrame,
+      score: Column,
+      id: Column,
+      loPct: Double,
+      hiPct: Double,
+      nBuckets: Int = 1024): DataFrame = {
+    require(0.0 <= loPct && loPct <= hiPct && hiPct <= 1.0,
+      s"need 0 <= loPct <= hiPct <= 1, got [$loPct, $hiPct]")
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    val bucket = least(greatest(floor(score * nBuckets).cast("int"), lit(0)),
+      lit(nBuckets - 1))
+    val withB = docs.withColumn("__score", score.cast("double"))
+      .withColumn("__b", bucket)
+    val counts = withB.groupBy(col("__b")).agg(count(lit(1)).as("__c"))
+    // nBuckets rows: the only un-partitioned window runs over the tiny
+    // count frame, never the data
+    val offsets = counts.withColumn("__start",
+      sum(col("__c")).over(Window.orderBy(col("__b"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)) - col("__c"))
+    val total = counts.agg(sum(col("__c")).as("__n"))
+    val wIn = Window.partitionBy(col("__b")).orderBy(col("__score"), id)
+    withB.join(broadcast(offsets), Seq("__b"))
+      .crossJoin(broadcast(total))
+      .withColumn("__rank", col("__start") + row_number().over(wIn))
+      .withColumn("pct_rank",
+        when(col("__n") === 1, lit(0.0))
+          .otherwise((col("__rank") - 1).cast("double") /
+            (col("__n") - 1).cast("double")))
+      .where(col("pct_rank") >= loPct && col("pct_rank") <= hiPct)
+      .drop("__score", "__b", "__c", "__start", "__n", "__rank")
+  }
+
   /** Mix-drift report: how far the ACTUAL per-source composition of a
     * corpus has drifted from the TARGET mix the pipeline was configured
     * to produce ([[mixSampleWeighted]]/[[mixTokenBudget]] quotas). One

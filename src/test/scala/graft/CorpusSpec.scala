@@ -119,6 +119,56 @@ class CorpusSpec extends SparkSpec {
     assert(again === rows.map(_._1).toSet)
   }
 
+  test("qualityBand matches brute-force percent-rank; band respects both tails") {
+    val scored = (0L until 200L).map(i => (i, (i * 37 % 200) / 200.0))
+      .toDF("doc_id", "q")
+    val got = Corpus.qualityBand(scored, col("q"), col("doc_id"), 0.25, 0.75)
+      .select("doc_id", "pct_rank").as[(Long, Double)].collect().toMap
+    // brute force on the driver: rank over the (q, doc_id) total order
+    val all = scored.as[(Long, Double)].collect().sortBy { case (id, q) => (q, id) }
+    val want = all.zipWithIndex
+      .map { case ((id, _), r) => id -> r.toDouble / (all.length - 1) }
+      .filter { case (_, pr) => pr >= 0.25 && pr <= 0.75 }.toMap
+    assert(got === want)
+    // both tails trimmed: the extreme scores are gone
+    val keptQ = scored.as[(Long, Double)].collect().toMap.view
+      .filterKeys(got.contains).values
+    assert(!keptQ.exists(_ == 0.0) && !keptQ.exists(_ == 0.995))
+    // heavy ties across bucket boundaries: still exact
+    val tied = (0L until 100L).map(i => (i, (i % 3) / 2.0)).toDF("doc_id", "q")
+    val gotT = Corpus.qualityBand(tied, col("q"), col("doc_id"), 0.0, 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    val allT = (0L until 100L).map(i => (i, (i % 3) / 2.0))
+      .sortBy { case (id, q) => (q, id) }
+    val wantT = allT.zipWithIndex
+      .filter { case (_, r) => r.toDouble / (allT.length - 1) <= 0.5 }
+      .map(_._1._1).toSet
+    assert(gotT === wantT)
+    // single row: pct_rank defined as 0, inside any band containing 0
+    val one = Corpus.qualityBand(Seq((7L, 0.5)).toDF("doc_id", "q"),
+      col("q"), col("doc_id"), 0.0, 1.0)
+      .select("doc_id", "pct_rank").as[(Long, Double)].collect()
+    assert(one.toSeq === Seq((7L, 0.0)))
+  }
+
+  test("qualityBand plan: no un-partitioned window over the data leg") {
+    val scored = (0L until 50L).map(i => (i, i / 50.0)).toDF("doc_id", "q")
+    val plan = Corpus.qualityBand(scored, col("q"), col("doc_id"), 0.1, 0.9)
+      .queryExecution.optimizedPlan.toString
+    // every Window node over the data orders WITHIN a bucket partition;
+    // the only global-order window runs on the nBuckets-row count frame
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => WinNode}
+    val dataWindows = Corpus.qualityBand(scored, col("q"), col("doc_id"), 0.1, 0.9)
+      .queryExecution.optimizedPlan.collect {
+        case w: WinNode if w.partitionSpec.isEmpty => w
+      }
+    // the single partition-less window must be the tiny count-frame one
+    // (its child aggregates on __b) — never the raw data
+    assert(dataWindows.size === 1, s"plan:\n$plan")
+    assert(dataWindows.head.child.toString.contains("count(1)"),
+      s"un-partitioned window over the data leg:\n$plan")
+  }
+
   test("mixDrift: shares sum to 1, KL/TV non-negative, edge semantics for unmatched sources") {
     // corpus has src0..src3 at 25 docs each; targets declare src0/src1/src2
     // and a never-seen src9 — src3 leaks in undeclared
