@@ -1552,6 +1552,21 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    // extension: NOVELTY scoring — decontamination's complement: the
+    // fraction of each val-split document's distinct 8-gram hashes never
+    // seen in the train split (the acquisition-time "is this batch worth
+    // its training tokens?" check); only 8-byte hashes shuffle
+    "corpus_novelty" -> ((s, dir) => {
+      val sp = graft.operators.Corpus.assignSplit(
+        docs(s, dir).repartition(col("doc_id")), col("text"))
+      graft.operators.Corpus.novelty(
+          sp.where(col("split") === "val").select(col("doc_id"), col("text")),
+          sp.where(col("split") === "train").select(col("text")), n = 8)
+        .select(col("doc_id"), col("n_grams"), col("n_novel"),
+          r4(col("novelty")).as("novelty"))
+        .orderBy("doc_id")
+    }),
+
     // extension: TOKEN-BUDGET sampling — the maximal content-hash-order
     // prefix of the corpus whose cumulative token count fits the budget
     // ("carve a 10B-token subset"). Two-level prefix sum: per-bucket
@@ -2943,6 +2958,25 @@ object Queries {
          |  FROM toks, unnest(sh) AS u(s) WHERE bucket >= 80 AND bucket < 90)
          |SELECT doc_id, count(DISTINCT hh) AS n_shared
          |FROM tg JOIN vg USING (hh) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // novelty = decontaminate's complement: val-doc grams LEFT-joined
+    // against the train gram set; same gram-hash pipeline as above
+    "corpus_novelty" ->
+      s"""WITH h AS (SELECT doc_id, text, list_reduce(list_transform(string_split_regex(substr(md5(text), 1, 8), ''),
+         |    c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a * 16 + b) % 100 AS bucket FROM documents),
+         |toks AS (SELECT doc_id, bucket, list_distinct(list_transform(generate_series(1, greatest(len(tk) - 7, 0)),
+         |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4] || ' ' || tk[i+5] || ' ' || tk[i+6] || ' ' || tk[i+7])) AS sh
+         |  FROM (SELECT doc_id, bucket, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk FROM h)),
+         |vg AS (SELECT DISTINCT doc_id, list_reduce(list_transform(string_split_regex(substr(md5(u.s), 1, 14), ''),
+         |    c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a * 16 + b) AS hh
+         |  FROM toks, unnest(sh) AS u(s) WHERE bucket >= 80 AND bucket < 90),
+         |rg AS (SELECT DISTINCT list_reduce(list_transform(string_split_regex(substr(md5(u.s), 1, 14), ''),
+         |    c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a * 16 + b) AS hh
+         |  FROM toks, unnest(sh) AS u(s) WHERE bucket < 80)
+         |SELECT vg.doc_id AS doc_id, count(*) AS n_grams,
+         |  CAST(sum(CASE WHEN rg.hh IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+         |  ${sqlR4("CAST(sum(CASE WHEN rg.hh IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*)")} AS novelty
+         |FROM vg LEFT JOIN rg ON vg.hh = rg.hh GROUP BY vg.doc_id ORDER BY doc_id""".stripMargin,
 
     "corpus_sample_budget" ->
       """WITH h AS (SELECT doc_id, list_reduce(list_transform(string_split_regex(substr(md5(text), 1, 8), ''),

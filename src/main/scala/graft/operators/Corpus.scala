@@ -332,6 +332,37 @@ object Corpus {
       .agg(count_distinct(col("h")).as("n_shared"))
   }
 
+  /** Per-document NOVELTY against a reference corpus: for each candidate
+    * document, the fraction of its distinct word-`n`-gram hashes that do
+    * NOT occur anywhere in `reference` — [[decontaminate]]'s complement,
+    * answering "how much genuinely new text does this batch add?" (the
+    * acquisition-time check of a training-data pipeline: near-zero
+    * novelty means the batch re-states what the corpus already holds and
+    * isn't worth its training tokens). Returns `(doc_id, n_grams,
+    * n_novel, novelty)`; documents shorter than `n` tokens have no
+    * grams and drop out, same as [[decontaminate]].
+    *
+    * Scale: only 8-byte gram hashes shuffle (never text); both distincts
+    * are map-side combinable; the join key is a uniform hash, so no skew.
+    * The reference gram set is |distinct grams|-sized — at 100 TB the
+    * deduplicated gram table is the pipeline's standing index, built once
+    * per corpus version and semi-joined by every incoming batch. */
+  def novelty(docs: DataFrame, reference: DataFrame, n: Int = 8): DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    def grams(df: DataFrame, keep: Column*): DataFrame =
+      df.select(keep :+ explode(
+        TextOps.shingleHashes(
+          TextOps.shinglesFromTokens(TextOps.tokens(col("text")), n))).as("h"): _*)
+    val refGrams = grams(reference).select(col("h")).distinct()
+      .withColumn("__seen", lit(1))
+    grams(docs, col("doc_id")).distinct()
+      .join(refGrams, Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__seen").isNull, 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty", col("n_novel").cast("double") / col("n_grams"))
+  }
+
   /** TOKEN-BUDGET sampling: the maximal prefix of the corpus, in
     * deterministic content-hash order, whose cumulative token count fits
     * `budget` — the "carve a 10B-token subset out of this 10T-token

@@ -303,6 +303,36 @@ class CorpusSpec extends SparkSpec {
     assert(got === Seq((1L, 1L), (2L, 2L)))
   }
 
+  test("novelty: counts unseen grams per doc, complements decontaminate, " +
+    "drops short docs") {
+    val ref = Seq(
+      Tuple1("alpha beta gamma delta"),
+      Tuple1("one two three four")).toDF("text")
+    val cand = Seq(
+      // both 4-grams known: zero novelty ("alpha beta gamma delta" and
+      // the straddler "beta gamma delta one" — wait, the straddler is new)
+      (1L, "alpha beta gamma delta"),            // 1 gram, 0 novel
+      (2L, "five six seven eight nine"),          // 2 grams, both novel
+      (3L, "alpha beta gamma delta one two three four"), // 5 grams: 2 known, 3 straddlers novel
+      (4L, "too short here")).toDF("doc_id", "text")
+    val got = Corpus.novelty(cand, ref, n = 4)
+      .select("doc_id", "n_grams", "n_novel")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got === Seq((1L, 1L, 0L), (2L, 2L, 2L), (3L, 5L, 3L)))
+    // novelty fraction = n_novel / n_grams
+    val fr = Corpus.novelty(cand, ref, n = 4)
+      .select("doc_id", "novelty").as[(Long, Double)].collect().toMap
+    assert(fr(1L) === 0.0 && fr(2L) === 1.0 && fr(3L) === 0.6)
+    // repeated grams in one doc count once (distinct-gram denominator)
+    val rep = Seq((9L, "alpha beta gamma delta alpha beta gamma delta"))
+      .toDF("doc_id", "text")
+    val gotRep = Corpus.novelty(rep, ref, n = 4)
+      .select("n_grams", "n_novel").as[(Long, Long)].head()
+    // 5 gram positions but first == last, so 4 DISTINCT grams: the
+    // repeated known one (counted once) + 3 novel straddlers
+    assert(gotRep === ((4L, 3L)))
+  }
+
   test("group-safe split: near-dup group members always share a split; " +
     "ungrouped docs match the content-keyed split") {
     val base = "the quick brown fox jumps over the lazy dog near the old barn " +
