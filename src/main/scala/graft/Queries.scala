@@ -1591,6 +1591,17 @@ object Queries {
           budgets = Map("src0" -> 800L, "src1" -> 5000L, "src3" -> 300L))
         .orderBy("doc_id")),
 
+    // extension: DIVERSITY-stratified sampling — at most k vectors per
+    // IVF cluster in deterministic content-hash order: the sample keeps
+    // the embedding space's topical spread where a uniform sample would
+    // mirror its skew; growing k only extends each cluster's slice
+    "ivf_sample_diverse" -> ((s, dir) =>
+      graft.operators.Corpus.sampleDiverse(
+          fixedModel(s, dir, Metric.Euclidean).assigned,
+          col("cluster_id"), col("id").cast("string"), col("id"), k = 5)
+        .select(col("cluster_id"), col("id").as("vec_id"))
+        .orderBy("cluster_id", "vec_id")),
+
     // extension: mix-DRIFT monitoring — actual vs declared per-source
     // composition (char mass) with per-source KL and total-variation
     // terms; the post-assembly check a production mixer runs after every
@@ -2999,6 +3010,20 @@ object Queries {
         |SELECT doc_id, source, n AS n_tokens FROM p
         |WHERE cum <= CASE source WHEN 'src0' THEN 800 WHEN 'src1' THEN 5000 ELSE 300 END
         |ORDER BY doc_id""".stripMargin,
+
+    // per-cluster hash-order prefix over the fixed-centroid assignment;
+    // hv re-derives contentHash32 (first 8 md5 hex digits) in SQL
+    "ivf_sample_diverse" ->
+      s"""WITH c AS (SELECT CAST(vec_id AS INTEGER) AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8),
+         |asg AS (SELECT vec_id, cid FROM (
+         |  SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id ORDER BY ${sqlSq("e.embedding", "c.cvec")} ASC, c.cid ASC) AS rn
+         |  FROM embeddings e CROSS JOIN c) WHERE rn = 1),
+         |r AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY cid
+         |  ORDER BY list_reduce(list_transform(string_split_regex(substr(md5(CAST(vec_id AS VARCHAR)), 1, 8), ''),
+         |    c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a * 16 + b), vec_id) AS rn
+         |  FROM asg)
+         |SELECT cid AS cluster_id, vec_id FROM r WHERE rn <= 5
+         |ORDER BY cluster_id, vec_id""".stripMargin,
 
     // the target VALUES list is generated from the same driftTargets
     // sequence the Spark query reads — one source of truth for the doubles

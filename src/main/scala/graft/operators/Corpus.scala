@@ -455,6 +455,33 @@ object Corpus {
       .select(col("doc_id"), col("__src").as("source"), col("n_tokens"))
   }
 
+  /** DIVERSITY-stratified downsampling: keep at most `k` rows per
+    * `group`, chosen in deterministic ([[contentHash32]] of `hashKey`,
+    * `id`) order — every group keeps a same-sized, reproducible slice.
+    * With `group` = an embedding-cluster id the groups are semantic
+    * regions, so the sample preserves the corpus's topical spread where
+    * a uniform sample would mirror its skew (the head topic dominates) —
+    * the data-selection step that keeps tail domains represented when
+    * downsampling for training. Like [[mixSample]], the per-group pick
+    * is a hash-order prefix: growing `k` only EXTENDS each group's
+    * sample, never reshuffles it.
+    *
+    * Scale: one shuffle on `group`; the within-group sort is
+    * partition-local and bounded by the group's population (with IVF
+    * clusters, the density contract). */
+  def sampleDiverse(
+      df: DataFrame,
+      group: Column,
+      hashKey: Column,
+      id: Column,
+      k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val w = Window.partitionBy(group).orderBy(contentHash32(hashKey), id)
+    df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= k)
+      .drop("__rn")
+  }
+
   /** Percentile-band filter: keep rows whose exact percent-rank of
     * `score` lies in `[loPct, hiPct]` — the both-tails quality trim
     * (drop the bottom tail as junk AND the top tail as

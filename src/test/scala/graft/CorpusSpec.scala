@@ -119,6 +119,34 @@ class CorpusSpec extends SparkSpec {
     assert(again === rows.map(_._1).toSet)
   }
 
+  test("sampleDiverse: per-group cap, prefix-stable in k, deterministic") {
+    val df = (0L until 120L).map(i => (i, s"g${i % 3}")).toDF("id", "grp")
+    val k3 = Corpus.sampleDiverse(df, col("grp"), col("id").cast("string"),
+        col("id"), k = 3)
+      .select("grp", "id").as[(String, Long)].collect().toSeq
+    // exactly k per group (every group has ≥ k members)
+    assert(k3.groupBy(_._1).view.mapValues(_.size).toMap ===
+      Map("g0" -> 3, "g1" -> 3, "g2" -> 3))
+    // schema unchanged, rows a subset of input
+    assert(k3.map(_._2).toSet.subsetOf((0L until 120L).toSet))
+    // growing k only EXTENDS each group's slice
+    val k5 = Corpus.sampleDiverse(df, col("grp"), col("id").cast("string"),
+        col("id"), k = 5)
+      .select("id").as[Long].collect().toSet
+    assert(k3.map(_._2).toSet.subsetOf(k5))
+    // deterministic across runs
+    val again = Corpus.sampleDiverse(df, col("grp"), col("id").cast("string"),
+        col("id"), k = 3)
+      .select("id").as[Long].collect().toSet
+    assert(again === k3.map(_._2).toSet)
+    // matches the brute-force per-group smallest-hash prefix
+    val hashed = df.withColumn("__h", Corpus.contentHash32(col("id").cast("string")))
+      .select("grp", "id", "__h").as[(String, Long, Long)].collect()
+    val want = hashed.groupBy(_._1).values.flatMap(
+      _.sortBy { case (_, id, h) => (h, id) }.take(3).map(_._2)).toSet
+    assert(k3.map(_._2).toSet === want)
+  }
+
   test("qualityBand matches brute-force percent-rank; band respects both tails") {
     val scored = (0L until 200L).map(i => (i, (i * 37 % 200) / 200.0))
       .toDF("doc_id", "q")
