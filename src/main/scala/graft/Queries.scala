@@ -1296,6 +1296,27 @@ object Queries {
           r4(col("score")).as("score"))
         .orderBy("query_id", "rank")),
 
+    // extension: HYBRID retrieval — the BM25 lexical shortlist fused
+    // with the IVF semantic shortlist by reciprocal-rank fusion (no
+    // score calibration across incomparable scales). The 100 TB serving
+    // shape: two bounded shortlists, fusion cost independent of corpus
+    // size; vec_id ≡ doc_id in the demo tables
+    "hybrid_rrf_query" -> ((s, dir) => {
+      val lex = TextOps.bm25TopK(docs(s, dir).repartition(col("doc_id")),
+          col("text"), Seq("q" -> Seq("key", "table")), k = 20)
+        .select(col("doc_id").as("id"), col("rank").cast("long").as("rank"))
+      val sem = IvfIndex.query(fixedModel(s, dir, Metric.Euclidean),
+          qvec0(s, dir), k = 20, probes = 3)
+        .select(col("id"), row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("distance").asc, col("id").asc))
+          .cast("long").as("rank"))
+      Knn.rrfFuse(Seq(lex, sem), k = 10)
+        .select(col("id").as("doc_id"), col("n_arms"),
+          r4(col("rrf_score")).as("rrf_score"))
+        .orderBy(col("rrf_score").desc, col("doc_id"))
+    }),
+
     // extension: per-(source, language) corpus rollup — docs, exact
     // uniques (two-stage agg on the content hash, no Expand), token
     // volume, mean quality; the observability table a pipeline run
@@ -2799,6 +2820,35 @@ object Queries {
          |  FROM sc WHERE score > 0)
          |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, ${sqlR4("score")} AS score
          |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // lexical arm = the text_bm25_topk pipeline (single query, top-20);
+    // semantic arm = the ivf_probe_query ranking (top-20); fusion sums
+    // 1/(60+rank) — two terms per doc, so addition order can't matter
+    "hybrid_rrf_query" ->
+      s"""WITH t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk FROM documents),
+         |st AS (SELECT count(*) AS n, avg(len(tk)) AS avgdl FROM t),
+         |terms AS (SELECT unnest(['key', 'table']) AS term),
+         |tf AS (SELECT doc_id, term, len(list_filter(tk, x -> x = term)) AS tf, len(tk) AS dl FROM t, terms),
+         |dfreq AS (SELECT term, sum(CASE WHEN tf > 0 THEN 1 ELSE 0 END) AS df FROM tf GROUP BY term),
+         |sc AS (SELECT tf.doc_id, sum(ln(1.0 + (st.n - d.df + 0.5) / (d.df + 0.5)) * tf.tf * 2.2
+         |    / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / st.avgdl))) AS score
+         |  FROM tf JOIN dfreq d USING (term), st GROUP BY tf.doc_id),
+         |lex AS (SELECT doc_id AS id, rank FROM (
+         |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+         |  FROM sc WHERE score > 0) WHERE rank <= 20),
+         |c AS (SELECT CAST(vec_id AS INTEGER) AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8),
+         |q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+         |asg AS (SELECT vec_id, cid FROM (
+         |  SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id ORDER BY ${sqlSq("e.embedding", "c.cvec")} ASC, c.cid ASC) AS rn
+         |  FROM embeddings e CROSS JOIN c) WHERE rn = 1),
+         |probed AS (SELECT c.cid FROM c, q ORDER BY ${sqlSq("c.cvec", "q.qvec")} ASC, c.cid ASC LIMIT 3),
+         |sem AS (SELECT id, rank FROM (
+         |  SELECT e.vec_id AS id, row_number() OVER (ORDER BY ${sqlSq("e.embedding", "q.qvec")} ASC, e.vec_id ASC) AS rank
+         |  FROM embeddings e JOIN asg ON asg.vec_id = e.vec_id JOIN probed ON asg.cid = probed.cid, q) WHERE rank <= 20),
+         |u AS (SELECT id, rank FROM lex UNION ALL SELECT id, rank FROM sem),
+         |f AS (SELECT id, count(*) AS n_arms, sum(1.0 / (60 + rank)) AS rrf FROM u GROUP BY id)
+         |SELECT id AS doc_id, CAST(n_arms AS BIGINT) AS n_arms, ${sqlR4("rrf")} AS rrf_score
+         |FROM f ORDER BY rrf DESC, id ASC LIMIT 10""".stripMargin,
 
     "doc_fingerprint" ->
       """SELECT doc_id, md5(text) AS md5_full,

@@ -151,4 +151,35 @@ object Knn {
       .join(records.select(col("id"), col("metadata")), Seq("id"))
       .select(col("query_id"), col("id"), col("metadata"), col("distance"))
   }
+
+  /** Reciprocal-rank fusion of retrieval shortlists (Cormack et al.,
+    * SIGIR 2009): each arm contributes `1 / (kRrf + rank)` per document
+    * and arms' contributions sum — the standard way to merge a lexical
+    * (BM25) and a semantic (ANN) ranking without calibrating their
+    * incomparable score scales. Every arm is a `(id, rank)` frame with
+    * 1-based ranks (a top-k shortlist, so each is ≤ k rows); a document
+    * missing from an arm simply contributes nothing. Output:
+    * `(id, n_arms, rrf_score)`, descending score, ties to the smaller
+    * id, top `k`.
+    *
+    * Scale: the inputs are already-bounded shortlists, so the fusion is
+    * a union of tiny frames + one aggregate — cost is O(Σ|arm|),
+    * independent of corpus size. With the default two arms the score is
+    * a sum of ≤2 doubles (commutative — deterministic regardless of
+    * union order); 3+ arms can differ in the last ulp across addition
+    * orders, which the caller's rounding absorbs. */
+  def rrfFuse(arms: Seq[DataFrame], k: Int, kRrf: Int = 60): DataFrame = {
+    require(arms.nonEmpty, "at least one ranking arm required")
+    require(k > 0, s"k must be positive, got $k")
+    require(kRrf > 0, s"kRrf must be positive, got $kRrf")
+    val scored = arms
+      .map(_.select(col("id"),
+        (lit(1.0) / (lit(kRrf) + col("rank").cast("double"))).as("__s")))
+      .reduce(_ unionByName _)
+    scored.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_arms"), sum(col("__s")).as("rrf_score"))
+      .orderBy(col("rrf_score").desc, col("id").asc)
+      .limit(k)
+      .select(col("id"), col("n_arms"), col("rrf_score"))
+  }
 }

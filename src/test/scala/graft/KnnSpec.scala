@@ -132,4 +132,31 @@ class KnnSpec extends SparkSpec {
       p.toLowerCase.contains("partialmerge") || p.contains("min("),
       s"expected an aggregate-based reduction in:\n$p")
   }
+
+  test("rrfFuse: exact reciprocal-rank sums, both-arm docs rewarded, top-k cut") {
+    val lex = Seq((10L, 1L), (11L, 2L), (12L, 3L)).toDF("id", "rank")
+    val sem = Seq((12L, 1L), (13L, 2L)).toDF("id", "rank")
+    val got = Knn.rrfFuse(Seq(lex, sem), k = 10)
+      .as[(Long, Long, Double)].collect().toSeq
+    def s(r: Long) = 1.0 / (60 + r)
+    // doc 12 appears in both arms: its score is the exact two-term sum
+    val want = Seq(
+      (12L, 2L, s(3) + s(1)),
+      (10L, 1L, s(1)),
+      (11L, 1L, s(2)),
+      (13L, 1L, s(2)))
+    // 11 and 13 tie exactly (same rank, single arm) — smaller id first
+    assert(got.map(_._1) === Seq(12L, 10L, 11L, 13L))
+    got.zip(want).foreach { case ((gi, gn, gs), (wi, wn, ws)) =>
+      assert(gi === wi); assert(gn === wn); assert(gs === ws)
+    }
+    // top-k cut keeps the highest-scoring k
+    val cut = Knn.rrfFuse(Seq(lex, sem), k = 2).as[(Long, Long, Double)]
+      .collect().map(_._1).toSeq
+    assert(cut === Seq(12L, 10L))
+    // a single arm degenerates to the arm's own order
+    val solo = Knn.rrfFuse(Seq(lex), k = 10).as[(Long, Long, Double)]
+      .collect().map(_._1).toSeq
+    assert(solo === Seq(10L, 11L, 12L))
+  }
 }
