@@ -1305,12 +1305,13 @@ object Queries {
       val lex = TextOps.bm25TopK(docs(s, dir).repartition(col("doc_id")),
           col("text"), Seq("q" -> Seq("key", "table")), k = 20)
         .select(col("doc_id").as("id"), col("rank").cast("long").as("rank"))
+      // rank the k-row shortlist without a window: one array_sort
+      // aggregate + posexplode (no single-partition WindowExec stage)
       val sem = IvfIndex.query(fixedModel(s, dir, Metric.Euclidean),
           qvec0(s, dir), k = 20, probes = 3)
-        .select(col("id"), row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .orderBy(col("distance").asc, col("id").asc))
-          .cast("long").as("rank"))
+        .agg(array_sort(collect_list(struct(col("distance"), col("id")))).as("__a"))
+        .select(posexplode(col("__a")).as(Seq("__p", "__r")))
+        .select(col("__r.id").as("id"), (col("__p") + 1).cast("long").as("rank"))
       Knn.rrfFuse(Seq(lex, sem), k = 10)
         .select(col("id").as("doc_id"), col("n_arms"),
           r4(col("rrf_score")).as("rrf_score"))
@@ -1728,6 +1729,18 @@ object Queries {
         .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
           col("event_type"), col("n"), col("value_sum"))
         .orderBy("hour", "event_type")),
+
+    // extension: volume-ANOMALY detection — hourly windows whose count
+    // sits > 2σ above their event type's mean (the traffic-spike /
+    // ingest-stall monitor). Moments from exact integer sums, so the
+    // double z-scores are partition-order-independent and oracle-exact
+    "events_anomaly" -> ((s, dir) =>
+      graft.operators.Events.anomalousWindows(
+          events(s, dir), col("ts"), col("event_type"))
+        .select(col("event_type"),
+          date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          col("n"), r4(col("z")).as("z"))
+        .orderBy("event_type", "window_start")),
 
     // extension: pruned time-window analytics over the date-partitioned
     // event-log layout (EventLog.snapshotByDay): the store is written
@@ -3198,6 +3211,19 @@ object Queries {
       s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
         |  count(*) AS n, ${sqlR4("sum(value)")} AS value_sum
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+
+    // same moments-from-integer-sums formula, replayed term for term
+    "events_anomaly" ->
+      s"""WITH c AS (SELECT event_type, date_trunc('hour', ts) AS w, count(*) AS n FROM events GROUP BY 1, 2),
+         |st AS (SELECT event_type, count(*) AS nw, sum(n) AS s1, sum(n * n) AS s2 FROM c GROUP BY 1),
+         |j AS (SELECT c.event_type, c.w, c.n,
+         |  CAST(st.s1 AS DOUBLE) / st.nw AS mean,
+         |  (CAST(st.s2 AS DOUBLE) - CAST(st.s1 AS DOUBLE) * st.s1 / st.nw) / st.nw AS v
+         |  FROM c JOIN st USING (event_type))
+         |SELECT event_type, strftime(w, '%Y-%m-%d %H:%M:%S') AS window_start, n,
+         |  ${sqlR4("(n - mean) / sqrt(v)")} AS z
+         |FROM j WHERE v > 0 AND n > mean + 2.0 * sqrt(v)
+         |ORDER BY event_type, window_start""".stripMargin,
 
     // the day-partitioned layout changes the files, never the rows
     "events_time_pruned" ->

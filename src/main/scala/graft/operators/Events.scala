@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Event-funnel analytics over an arbitrary ordered stage list.
@@ -53,5 +53,45 @@ object Events {
     }
     joined.select(
       col(userCol) +: stages.map(t => col(s"${t}_ts")) :+ stageCount.as("stage"): _*)
+  }
+
+  /** Volume-anomaly detection: flag time windows whose event count sits
+    * more than `sigmas` standard deviations above that event type's
+    * per-window mean — the traffic-spike / ingest-stall monitor a
+    * pipeline runs over its own event log. Returns
+    * `(event_type, window_start, n, z)` for flagged windows only.
+    *
+    * Determinism: moments come from EXACT integer sums (`Σn`, `Σn²` over
+    * long counts — partition-order-independent), and mean/variance/z are
+    * fixed double expressions over those sums, so every engine computes
+    * identical bits (the oracle replays the same formula). A type whose
+    * windows all tie (variance 0) flags nothing.
+    *
+    * Scale: one shuffle for the (window, type) count (map-side
+    * combinable), a per-type second-moment aggregate (rows = types ×
+    * windows, already tiny), and a broadcast join back — nothing after
+    * the first aggregate is proportional to the event count. */
+  def anomalousWindows(
+      events: DataFrame,
+      ts: Column,
+      eventType: Column,
+      windowDur: String = "1 hour",
+      sigmas: Double = 2.0): DataFrame = {
+    val counts = events
+      .groupBy(window(ts, windowDur).as("__w"), eventType.as("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val stats = counts.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("__nw"), sum(col("n")).as("__s1"),
+        sum(col("n") * col("n")).as("__s2"))
+      .withColumn("__mean", col("__s1").cast("double") / col("__nw"))
+      .withColumn("__var",
+        (col("__s2").cast("double") - col("__s1").cast("double") * col("__s1") / col("__nw"))
+          / col("__nw"))
+      .select(col("event_type"), col("__mean"), col("__var"))
+    counts.join(broadcast(stats), Seq("event_type"))
+      .where(col("__var") > 0 &&
+        col("n") > col("__mean") + lit(sigmas) * sqrt(col("__var")))
+      .select(col("event_type"), col("__w.start").as("window_start"),
+        col("n"), ((col("n") - col("__mean")) / sqrt(col("__var"))).as("z"))
   }
 }

@@ -63,4 +63,33 @@ class EventsSpec extends SparkSpec {
     intercept[IllegalArgumentException](Events.funnel(ev, Seq.empty))
     intercept[IllegalArgumentException](Events.funnel(ev, Seq("a", "b", "a")))
   }
+
+  test("anomalousWindows flags exactly the windows above mean + kσ") {
+    // type "a": 9 quiet hours of 10 events + one 100-event spike;
+    // type "b": perfectly flat — variance 0, must flag nothing
+    val rows =
+      (0 until 9).flatMap(h => (0 until 10).map(i =>
+        (s"a", ts(f"2024-01-01 0$h:00:${i % 60}%02.0f")))) ++
+      (0 until 100).map(i => ("a", ts(f"2024-01-01 09:${i % 60}%02d:00"))) ++
+      (0 until 5).flatMap(h => (0 until 7).map(i =>
+        (s"b", ts(f"2024-01-01 0$h:10:${i % 60}%02.0f"))))
+    val ev = rows.zipWithIndex
+      .map { case ((t, w), i) => (i.toLong, t, w) }
+      .toDF("event_id", "event_type", "ts")
+    val got = Events.anomalousWindows(ev, col("ts"), col("event_type"))
+      .select("event_type", "n", "z").as[(String, Long, Double)].collect().toSeq
+    // only the spike hour: counts (10×9, 100); mean 19, var exact
+    assert(got.map(_._1) === Seq("a"))
+    assert(got.head._2 === 100L)
+    val counts = Seq.fill(9)(10.0) :+ 100.0
+    val mean = counts.sum / counts.length
+    val v = (counts.map(c => c * c).sum - counts.sum * counts.sum / counts.length) / counts.length
+    assert(math.abs(got.head._3 - (100 - mean) / math.sqrt(v)) < 1e-9)
+    // lowering sigmas to 0 flags everything above the mean
+    val loose = Events.anomalousWindows(ev, col("ts"), col("event_type"),
+        sigmas = 0.0)
+      .select("event_type").as[String].collect()
+    assert(loose.count(_ == "a") === 1) // only the spike exceeds mean 19
+    assert(!loose.contains("b"))        // flat series: variance 0, silent
+  }
 }

@@ -284,6 +284,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("ivf_adc_residual_query: broadcast-only joins, bounded top-k") {
+    val p = plan(Queries.queries("ivf_adc_residual_query")(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"),
+      "residual ADC top-k must be a bounded TakeOrdered, not a global sort\n" +
+        p.take(1500))
+    // the cluster-LUT attach is a broadcast hash join on cluster_id —
+    // it must never degrade to a shuffle join or a cartesian scan
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+  }
+
   test("text_bm25_topk plans the bounded heap per query: no ranking window") {
     val p = plan(Queries.queries("text_bm25_topk")(spark, sf))
     assert(!p.contains("Window"),
