@@ -1117,6 +1117,21 @@ object Queries {
         qvec0(s, dir), k = 10, probes = 3))
     }),
 
+    // extension: batch twin of the residual probe — LUTs per
+    // (query, probed cluster), two-phase bounded-heap top-k per query
+    "ivf_adc_residual_batch" -> ((s, dir) => {
+      val model = fixedModel(s, dir, Metric.Euclidean)
+      val books = pqFixedBooks(s, dir)
+      val codeStore = IvfIndex.encodeResidual(model.assigned, model.centroids, books)
+      val q = recs(s, dir).where(col("id") < 5)
+        .select(col("id").as("query_id"), col("embedding").as("qvec"))
+      IvfIndex.queryAdcResidualBatch(model.centroids, codeStore, books, q,
+          k = 5, probes = 3)
+        .orderBy(col("query_id"), col("distance"), col("id"))
+        .select(col("query_id"), col("id").as("vec_id"),
+          r4(col("distance")).as("distance"))
+    }),
+
     // extension: ADC-shortlist + exact re-rank with a FULL-SQL oracle —
     // the deterministic twin of ivf_pq_rerank's invariant contract:
     // full-probe ADC top-50 from the code store, exact top-10 re-rank on
@@ -1729,6 +1744,26 @@ object Queries {
         .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
           col("event_type"), col("n"), col("value_sum"))
         .orderBy("hour", "event_type")),
+
+    // extension: ROLLING trend — daily counts with the trailing-7-row
+    // moving average per event type (ROWS semantics: the last 7 OBSERVED
+    // days). The window runs over the daily rollup (days × types rows),
+    // never the raw events; integer sums keep the averages oracle-exact
+    "events_rolling" -> ((s, dir) => {
+      val daily = events(s, dir)
+        .groupBy(window(col("ts"), "1 day").as("__w"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("event_type"), col("__w.start").as("day"), col("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("day")).rowsBetween(-6, 0)
+      daily
+        .withColumn("__s7", sum(col("n")).over(w))
+        .withColumn("__c7", count(lit(1)).over(w))
+        .select(col("event_type"),
+          date_format(col("day"), "yyyy-MM-dd").as("day"), col("n"),
+          r4(col("__s7").cast("double") / col("__c7")).as("avg7"))
+        .orderBy("event_type", "day")
+    }),
 
     // extension: volume-ANOMALY detection — hourly windows whose count
     // sits > 2σ above their event type's mean (the traffic-spike /
@@ -2443,6 +2478,36 @@ object Queries {
          |SELECT adc.vec_id AS vec_id, ${sqlR4("adc.dist")} AS distance
          |FROM adc JOIN asg ON asg.vec_id = adc.vec_id JOIN probed ON asg.cid = probed.cid
          |ORDER BY adc.dist ASC, adc.vec_id ASC LIMIT 10""".stripMargin,
+
+    // batch residual oracle: the enc/adc residual terms of
+    // ivf_adc_residual_query inside the per-query structure of
+    // ivf_adc_batch
+    "ivf_adc_residual_batch" ->
+      s"""WITH c AS (SELECT CAST(vec_id AS INTEGER) AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8),
+         |q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 5),
+         |asg AS (SELECT vec_id, cid FROM (
+         |  SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id ORDER BY ${sqlSq("e.embedding", "c.cvec")} ASC, c.cid ASC) AS rn
+         |  FROM embeddings e CROSS JOIN c) WHERE rn = 1),
+         |probed AS (SELECT query_id, cid FROM (
+         |  SELECT q.query_id, c.cid, row_number() OVER (PARTITION BY q.query_id ORDER BY ${sqlSq("c.cvec", "q.qvec")} ASC, c.cid ASC) AS rn
+         |  FROM c CROSS JOIN q) WHERE rn <= 3),
+         |cb AS (SELECT CAST(vec_id AS INT) AS code, embedding FROM embeddings WHERE vec_id < 16),
+         |books AS (SELECT u.s AS sub_idx, code,
+         |  list_slice(embedding, CAST(u.s * 16 + 1 AS INT), CAST(u.s * 16 + 16 AS INT)) AS cvec
+         |  FROM cb, unnest(generate_series(0, 3)) AS u(s)),
+         |enc AS (SELECT e.vec_id, b.sub_idx, b.cvec,
+         |  row_number() OVER (PARTITION BY e.vec_id, b.sub_idx ORDER BY ${sqlSq(sqlSub("list_slice(e.embedding, CAST(b.sub_idx * 16 + 1 AS INT), CAST(b.sub_idx * 16 + 16 AS INT))", "list_slice(cc.cvec, CAST(b.sub_idx * 16 + 1 AS INT), CAST(b.sub_idx * 16 + 16 AS INT))"), "b.cvec")} ASC, b.code ASC) AS rn
+         |  FROM embeddings e JOIN asg ON asg.vec_id = e.vec_id JOIN c cc ON cc.cid = asg.cid CROSS JOIN books b),
+         |adc AS (SELECT q.query_id, enc.vec_id,
+         |  sum(${sqlSq(sqlSub("list_slice(q.qvec, CAST(enc.sub_idx * 16 + 1 AS INT), CAST(enc.sub_idx * 16 + 16 AS INT))", "list_slice(cc.cvec, CAST(enc.sub_idx * 16 + 1 AS INT), CAST(enc.sub_idx * 16 + 16 AS INT))"), "enc.cvec")}) AS dist
+         |  FROM enc JOIN asg ON asg.vec_id = enc.vec_id JOIN c cc ON cc.cid = asg.cid, q WHERE rn = 1 GROUP BY q.query_id, enc.vec_id),
+         |cand AS (SELECT adc.query_id, adc.vec_id, adc.dist FROM adc
+         |  JOIN asg ON asg.vec_id = adc.vec_id
+         |  JOIN probed p ON asg.cid = p.cid AND p.query_id = adc.query_id),
+         |r AS (SELECT query_id, vec_id, dist,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, vec_id ASC) AS rn FROM cand)
+         |SELECT query_id, vec_id, ${sqlR4("dist")} AS distance
+         |FROM r WHERE rn <= 5 ORDER BY query_id, dist, vec_id""".stripMargin,
 
     // full-probe shortlist: every step deterministic, so the rerank path
     // gets a row-exact oracle (ivf_pq_rerank keeps the invariant form)
@@ -3211,6 +3276,17 @@ object Queries {
       s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
         |  count(*) AS n, ${sqlR4("sum(value)")} AS value_sum
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+
+    "events_rolling" ->
+      s"""WITH d AS (SELECT event_type, date_trunc('day', ts) AS day, count(*) AS n
+         |  FROM events GROUP BY 1, 2),
+         |r AS (SELECT event_type, day, n,
+         |  sum(n) OVER (PARTITION BY event_type ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS s7,
+         |  count(*) OVER (PARTITION BY event_type ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS c7
+         |  FROM d)
+         |SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n,
+         |  ${sqlR4("CAST(s7 AS DOUBLE) / c7")} AS avg7
+         |FROM r ORDER BY event_type, day""".stripMargin,
 
     // same moments-from-integer-sums formula, replayed term for term
     "events_anomaly" ->

@@ -371,6 +371,52 @@ object IvfIndex {
       .select(col("id"), col("distance"))
   }
 
+  /** Batch twin of [[queryAdcResidual]]: many queries against the
+    * residual code store. LUTs live per (query, probed cluster) — the
+    * broadcast frame is ≤ |queries|·probes rows of m·|book| doubles —
+    * and the single cluster_id join both prunes the store to probed
+    * clusters and fans each candidate out to exactly the queries probing
+    * its cluster. Top-k per query via the two-phase bounded heap
+    * ([[graft.functions.TopKPairsAgg]]) — no ranking window over
+    * candidates. */
+  def queryAdcResidualBatch(
+      centroids: DataFrame,
+      codeStore: DataFrame,
+      books: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      probes: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.TopKPairsAgg.topKPairs
+    require(k > 0, "k must be positive")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(isnan(col("__cdist")).asc, col("__cdist").asc, col("cluster_id").asc)
+    val probedQ = centroids
+      .crossJoin(broadcast(queries))
+      .withColumn("__cdist", Metric.Euclidean.distance(col("centroid"), col("qvec")))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= lit(probes))
+      .select(col("query_id"), col("cluster_id"), col("centroid"), col("qvec"))
+    val cluts = probedQ.crossJoin(broadcast(books))
+      .select(col("query_id"), col("cluster_id"),
+        VectorOps.pqLuts(
+          VectorOps.residual(col("qvec"), col("centroid")),
+          col("books")).as("luts"))
+    codeStore
+      .join(broadcast(cluts), Seq("cluster_id"))
+      .withColumn("distance", VectorOps.adcDistance(col("codes"), col("luts")))
+      .select(col("query_id"), col("distance"), col("id"))
+      .withColumn("__pid", spark_partition_id())
+      .groupBy(col("query_id"), col("__pid"))
+      .agg(topKPairs(col("distance"), col("id"), k).as("__top"))
+      .select(col("query_id"), explode(col("__top")).as("__r"))
+      .select(col("query_id"), col("__r.distance").as("distance"), col("__r.id").as("id"))
+      .groupBy(col("query_id"))
+      .agg(topKPairs(col("distance"), col("id"), k).as("__top"))
+      .select(col("query_id"), explode(col("__top")).as("__r"))
+      .select(col("query_id"), col("__r.id").as("id"), col("__r.distance").as("distance"))
+  }
+
   /** Batch analog of the reference's ADAPTIVE CLUSTER SPLIT (O9/O11,
     * `src/cores/index.rs:127-132` split trigger, `282-308` 2-means
     * split): every cluster whose population exceeds `density` is split by

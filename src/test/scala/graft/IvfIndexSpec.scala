@@ -388,6 +388,30 @@ class IvfIndexSpec extends SparkSpec {
     assert(got.size === 10)
   }
 
+  test("queryAdcResidualBatch equals per-query queryAdcResidual") {
+    import graft.operators.VectorOps
+    val model = IvfIndex.build(records, density = 64, Metric.Euclidean, seed = 42L)
+    val residuals = model.assigned
+      .join(broadcast(model.centroids), Seq("cluster_id"))
+      .select(col("id"),
+        VectorOps.residual(col("embedding"), col("centroid")).as("embedding"))
+    val books = VectorOps.pqPack(VectorOps.pqTrain(residuals, m = 4, dsub = 4, k = 8))
+    val codeStore = IvfIndex.encodeResidual(model.assigned, model.centroids, books)
+    val qs = records.where(col("id") < 4)
+      .select(col("id").as("query_id"), col("embedding").as("qvec"))
+    val got = IvfIndex.queryAdcResidualBatch(model.centroids, codeStore, books,
+        qs, k = 5, probes = 2)
+      .as[(Long, Long, Double)].collect().toSet
+    val want = (0 until 4).flatMap { i =>
+      val q1 = records.where(col("id") === i).select(col("embedding").as("qvec"))
+      IvfIndex.queryAdcResidual(model.centroids, codeStore, books, q1,
+          k = 5, probes = 2)
+        .as[(Long, Double)].collect().map { case (id, d) => (i.toLong, id, d) }
+    }.toSet
+    assert(got === want)
+    assert(got.size === 20) // 4 queries × k=5
+  }
+
   test("residual encoding reconstructs better than raw encoding (IVFADC gain)") {
     import graft.operators.VectorOps
     val model = IvfIndex.build(records, density = 64, Metric.Euclidean, seed = 42L)
