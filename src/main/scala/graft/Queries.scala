@@ -1344,6 +1344,17 @@ object Queries {
           col("total_tokens"), r4(col("avg_quality")).as("avg_quality"))
         .orderBy("source", "lang")),
 
+    // extension: EXACT per-source median document length — the
+    // two-level rank layout per group (no per-source sort of raw rows);
+    // lower median = value at rank ceil(n/2), interpolation-free so the
+    // oracle can replay it row-exactly
+    "corpus_median_length" -> ((s, dir) =>
+      graft.operators.Corpus.groupMedian(
+          docs(s, dir).repartition(col("doc_id")),
+          col("source"), col("n_chars"), col("doc_id"), hi = 4096L)
+        .select(col("group").as("source"), col("median").as("median_chars"))
+        .orderBy("source")),
+
     // extension: percentile-BAND quality trim — keep the middle 80% of
     // the r4-quantized quality distribution (drop the bottom tail as junk
     // AND the top tail as templated text). Exact ranks via the two-level
@@ -1744,6 +1755,25 @@ object Queries {
         .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
           col("event_type"), col("n"), col("value_sum"))
         .orderBy("hour", "event_type")),
+
+    // extension: INTER-ARRIVAL stats — mean gap between a user's
+    // consecutive same-type events (the engagement-cadence metric). The
+    // lag window is partitioned per (user, type) — parallel, bounded by
+    // one user's one-type history; gaps are exact integer microseconds
+    "events_interarrival" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      events(s, dir)
+        .withColumn("__prev", lag(unix_micros(col("ts")), 1).over(w))
+        .where(col("__prev").isNotNull)
+        .withColumn("__gap", unix_micros(col("ts")) - col("__prev"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_gaps"),
+          r4((sum(col("__gap")).cast("double") / count(lit(1))) / lit(1000000.0))
+            .as("avg_gap_sec"))
+        .orderBy("event_type")
+    }),
 
     // extension: ROLLING trend — daily counts with the trailing-7-row
     // moving average per event type (ROWS semantics: the last 7 OBSERVED
@@ -2823,6 +2853,14 @@ object Queries {
          |  ${sqlR4("least(1.0, greatest(0.0, 0.2 + 0.5 * stop_ratio + 0.05 * avg_len - punct_ratio))")} AS quality
          |FROM m ORDER BY doc_id""".stripMargin,
 
+    "corpus_median_length" ->
+      """WITH r AS (SELECT source, n_chars,
+        |  row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rk,
+        |  count(*) OVER (PARTITION BY source) AS n
+        |  FROM documents)
+        |SELECT source, n_chars AS median_chars FROM r
+        |WHERE rk = (n + 1) // 2 ORDER BY source""".stripMargin,
+
     // same quality CTEs as text_stats, r4-quantized BEFORE ranking so the
     // (quality, doc_id) total order is engine-independent; percent_rank
     // spelled as (row_number − 1)/(n − 1) — tie-free by construction
@@ -3276,6 +3314,14 @@ object Queries {
       s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
         |  count(*) AS n, ${sqlR4("sum(value)")} AS value_sum
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+
+    "events_interarrival" ->
+      s"""WITH g AS (SELECT event_type,
+         |  epoch_us(ts) - lag(epoch_us(ts), 1) OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS gap
+         |  FROM events)
+         |SELECT event_type, count(*) AS n_gaps,
+         |  ${sqlR4("(CAST(sum(gap) AS DOUBLE) / count(*)) / 1000000.0")} AS avg_gap_sec
+         |FROM g WHERE gap IS NOT NULL GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "events_rolling" ->
       s"""WITH d AS (SELECT event_type, date_trunc('day', ts) AS day, count(*) AS n

@@ -532,6 +532,58 @@ object Corpus {
       .drop("__score", "__b", "__c", "__start", "__n", "__rank")
   }
 
+  /** EXACT per-group (lower) median of an integer-valued column — the
+    * two-level prefix-sum rank layout ([[qualityBand]]) applied per
+    * group, for corpus observability rollups ("median document length by
+    * source") where an approximate percentile isn't oracle-checkable and
+    * a per-group sort of the raw rows is the 100 TB bottleneck.
+    *
+    * Median definition: the value at rank `ceil(n/2)` of the
+    * `(value, id)` total order — the lower median, exact and engine-
+    * independent (no interpolation, so it works for any orderable type).
+    *
+    * Shape: counts per (group, bucket), where bucket =
+    * clamp(value / step) for a caller-supplied `hi` value bound;
+    * cumulative offsets per group via a window over the tiny
+    * (groups × buckets) count frame; only rows of the single straddling
+    * bucket per group get a within-bucket rank, and exactly one row per
+    * group survives. Rows with `value` outside [0, hi] clamp into the
+    * edge buckets (correct rank, edge buckets just get more of the
+    * within-bucket work). */
+  def groupMedian(
+      df: DataFrame,
+      group: Column,
+      value: Column,
+      id: Column,
+      hi: Long,
+      nBuckets: Int = 1024): DataFrame = {
+    require(hi > 0, s"hi must be positive, got $hi")
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    val step = hi / nBuckets + 1
+    val bucket = least(greatest((value.cast("long") / step).cast("int"), lit(0)),
+      lit(nBuckets - 1))
+    val withB = df.select(group.as("__g"), value.cast("long").as("__v"),
+      id.as("__id"), bucket.as("__b"))
+    val counts = withB.groupBy(col("__g"), col("__b")).agg(count(lit(1)).as("__c"))
+    val offsets = counts.withColumn("__start",
+      sum(col("__c")).over(Window.partitionBy(col("__g")).orderBy(col("__b"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)) - col("__c"))
+    val targets = counts.groupBy(col("__g"))
+      .agg(((sum(col("__c")) + 1) / 2).cast("long").as("__target"))
+    // only the straddling bucket's rows need a within-bucket rank
+    val straddling = withB
+      .join(broadcast(offsets), Seq("__g", "__b"))
+      .join(broadcast(targets), Seq("__g"))
+      .where(col("__start") < col("__target") &&
+        col("__start") + col("__c") >= col("__target"))
+    val wIn = Window.partitionBy(col("__g"), col("__b"))
+      .orderBy(col("__v"), col("__id"))
+    straddling
+      .withColumn("__rank", col("__start") + row_number().over(wIn))
+      .where(col("__rank") === col("__target"))
+      .select(col("__g").as("group"), col("__v").as("median"))
+  }
+
   /** Mix-drift report: how far the ACTUAL per-source composition of a
     * corpus has drifted from the TARGET mix the pipeline was configured
     * to produce ([[mixSampleWeighted]]/[[mixTokenBudget]] quotas). One

@@ -119,6 +119,31 @@ class CorpusSpec extends SparkSpec {
     assert(again === rows.map(_._1).toSet)
   }
 
+  test("groupMedian matches the brute-force lower median per group") {
+    val rnd = new scala.util.Random(7)
+    val rows = (0L until 500L).map(i =>
+      (i, s"g${i % 7}", rnd.nextInt(3000).toLong))
+    val df = rows.toDF("id", "grp", "v")
+    val got = Corpus.groupMedian(df, col("grp"), col("v"), col("id"), hi = 4096L)
+      .as[(String, Long)].collect().toMap
+    val want = rows.groupBy(_._2).view.mapValues { g =>
+      val sorted = g.sortBy(r => (r._3, r._1))
+      sorted((g.size + 1) / 2 - 1)._3
+    }.toMap
+    assert(got === want)
+    // one row per group, even with heavy ties
+    val tied = (0L until 90L).map(i => (i, s"t${i % 3}", 5L)).toDF("id", "grp", "v")
+    val gotT = Corpus.groupMedian(tied, col("grp"), col("v"), col("id"), hi = 10L)
+      .as[(String, Long)].collect().toSeq
+    assert(gotT.sortBy(_._1) === Seq(("t0", 5L), ("t1", 5L), ("t2", 5L)))
+    // values beyond hi clamp into the edge bucket but rank correctly
+    val wide = Seq((1L, "w", 1L), (2L, "w", 999999L), (3L, "w", 5L))
+      .toDF("id", "grp", "v")
+    val gotW = Corpus.groupMedian(wide, col("grp"), col("v"), col("id"), hi = 10L)
+      .as[(String, Long)].head()
+    assert(gotW === (("w", 5L)))
+  }
+
   test("sampleDiverse: per-group cap, prefix-stable in k, deterministic") {
     val df = (0L until 120L).map(i => (i, s"g${i % 3}")).toDF("id", "grp")
     val k3 = Corpus.sampleDiverse(df, col("grp"), col("id").cast("string"),
