@@ -2436,6 +2436,15 @@ object Queries {
          |FROM recon r JOIN asg ON asg.vec_id = r.vec_id JOIN probed ON asg.cid = probed.cid, q
          |ORDER BY ${sqlSq("r.deq", "q.qvec")} ASC, r.vec_id ASC LIMIT 10""".stripMargin,
 
+    // All ADC oracles compute the per-record distance as
+    // list_sum(list(... ORDER BY sub_idx)) instead of a plain grouped
+    // sum(): DuckDB parallelizes grouped double-summation, so addition
+    // order (hence the last ulp) varied RUN TO RUN and could flip a
+    // knife-edge top-k boundary between two near-tied candidates —
+    // observed intermittently on ivf_adc_residual_batch. The ordered
+    // list fold is thread-count-independent AND matches Spark's
+    // adcDistance sub-order fold bit for bit.
+    //
     // same grouped-sum ADC oracle as ivf_adc_query, with the metadata
     // predicate applied before the top-k (filter composes pre-ranking)
     "ivf_adc_filtered" ->
@@ -2453,7 +2462,7 @@ object Queries {
          |  row_number() OVER (PARTITION BY e.vec_id, b.sub_idx ORDER BY ${sqlSq("list_slice(e.embedding, CAST(b.sub_idx * 16 + 1 AS INT), CAST(b.sub_idx * 16 + 16 AS INT))", "b.cvec")} ASC, b.code ASC) AS rn
          |  FROM embeddings e CROSS JOIN books b),
          |adc AS (SELECT enc.vec_id,
-         |  sum(${sqlSq("list_slice(q.qvec, CAST(enc.sub_idx * 16 + 1 AS INT), CAST(enc.sub_idx * 16 + 16 AS INT))", "enc.cvec")}) AS dist
+         |  list_sum(list((${sqlSq("list_slice(q.qvec, CAST(enc.sub_idx * 16 + 1 AS INT), CAST(enc.sub_idx * 16 + 16 AS INT))", "enc.cvec")}) ORDER BY enc.sub_idx)) AS dist
          |  FROM enc, q WHERE rn = 1 GROUP BY enc.vec_id)
          |SELECT adc.vec_id AS vec_id, ${sqlR4("adc.dist")} AS distance
          |FROM adc JOIN asg ON asg.vec_id = adc.vec_id JOIN probed ON asg.cid = probed.cid
@@ -2478,7 +2487,7 @@ object Queries {
          |  row_number() OVER (PARTITION BY e.vec_id, b.sub_idx ORDER BY ${sqlSq("list_slice(e.embedding, CAST(b.sub_idx * 16 + 1 AS INT), CAST(b.sub_idx * 16 + 16 AS INT))", "b.cvec")} ASC, b.code ASC) AS rn
          |  FROM embeddings e CROSS JOIN books b),
          |adc AS (SELECT enc.vec_id,
-         |  sum(${sqlSq("list_slice(q.qvec, CAST(enc.sub_idx * 16 + 1 AS INT), CAST(enc.sub_idx * 16 + 16 AS INT))", "enc.cvec")}) AS dist
+         |  list_sum(list((${sqlSq("list_slice(q.qvec, CAST(enc.sub_idx * 16 + 1 AS INT), CAST(enc.sub_idx * 16 + 16 AS INT))", "enc.cvec")}) ORDER BY enc.sub_idx)) AS dist
          |  FROM enc, q WHERE rn = 1 GROUP BY enc.vec_id)
          |SELECT adc.vec_id AS vec_id, ${sqlR4("adc.dist")} AS distance
          |FROM adc JOIN asg ON asg.vec_id = adc.vec_id JOIN probed ON asg.cid = probed.cid
@@ -2503,7 +2512,7 @@ object Queries {
          |  row_number() OVER (PARTITION BY e.vec_id, b.sub_idx ORDER BY ${sqlSq(sqlSub("list_slice(e.embedding, CAST(b.sub_idx * 16 + 1 AS INT), CAST(b.sub_idx * 16 + 16 AS INT))", "list_slice(cc.cvec, CAST(b.sub_idx * 16 + 1 AS INT), CAST(b.sub_idx * 16 + 16 AS INT))"), "b.cvec")} ASC, b.code ASC) AS rn
          |  FROM embeddings e JOIN asg ON asg.vec_id = e.vec_id JOIN c cc ON cc.cid = asg.cid CROSS JOIN books b),
          |adc AS (SELECT enc.vec_id,
-         |  sum(${sqlSq(sqlSub("list_slice(q.qvec, CAST(enc.sub_idx * 16 + 1 AS INT), CAST(enc.sub_idx * 16 + 16 AS INT))", "list_slice(cc.cvec, CAST(enc.sub_idx * 16 + 1 AS INT), CAST(enc.sub_idx * 16 + 16 AS INT))"), "enc.cvec")}) AS dist
+         |  list_sum(list((${sqlSq(sqlSub("list_slice(q.qvec, CAST(enc.sub_idx * 16 + 1 AS INT), CAST(enc.sub_idx * 16 + 16 AS INT))", "list_slice(cc.cvec, CAST(enc.sub_idx * 16 + 1 AS INT), CAST(enc.sub_idx * 16 + 16 AS INT))"), "enc.cvec")}) ORDER BY enc.sub_idx)) AS dist
          |  FROM enc JOIN asg ON asg.vec_id = enc.vec_id JOIN c cc ON cc.cid = asg.cid, q WHERE rn = 1 GROUP BY enc.vec_id)
          |SELECT adc.vec_id AS vec_id, ${sqlR4("adc.dist")} AS distance
          |FROM adc JOIN asg ON asg.vec_id = adc.vec_id JOIN probed ON asg.cid = probed.cid
@@ -2529,7 +2538,7 @@ object Queries {
          |  row_number() OVER (PARTITION BY e.vec_id, b.sub_idx ORDER BY ${sqlSq(sqlSub("list_slice(e.embedding, CAST(b.sub_idx * 16 + 1 AS INT), CAST(b.sub_idx * 16 + 16 AS INT))", "list_slice(cc.cvec, CAST(b.sub_idx * 16 + 1 AS INT), CAST(b.sub_idx * 16 + 16 AS INT))"), "b.cvec")} ASC, b.code ASC) AS rn
          |  FROM embeddings e JOIN asg ON asg.vec_id = e.vec_id JOIN c cc ON cc.cid = asg.cid CROSS JOIN books b),
          |adc AS (SELECT q.query_id, enc.vec_id,
-         |  sum(${sqlSq(sqlSub("list_slice(q.qvec, CAST(enc.sub_idx * 16 + 1 AS INT), CAST(enc.sub_idx * 16 + 16 AS INT))", "list_slice(cc.cvec, CAST(enc.sub_idx * 16 + 1 AS INT), CAST(enc.sub_idx * 16 + 16 AS INT))"), "enc.cvec")}) AS dist
+         |  list_sum(list((${sqlSq(sqlSub("list_slice(q.qvec, CAST(enc.sub_idx * 16 + 1 AS INT), CAST(enc.sub_idx * 16 + 16 AS INT))", "list_slice(cc.cvec, CAST(enc.sub_idx * 16 + 1 AS INT), CAST(enc.sub_idx * 16 + 16 AS INT))"), "enc.cvec")}) ORDER BY enc.sub_idx)) AS dist
          |  FROM enc JOIN asg ON asg.vec_id = enc.vec_id JOIN c cc ON cc.cid = asg.cid, q WHERE rn = 1 GROUP BY q.query_id, enc.vec_id),
          |cand AS (SELECT adc.query_id, adc.vec_id, adc.dist FROM adc
          |  JOIN asg ON asg.vec_id = adc.vec_id
@@ -2551,7 +2560,7 @@ object Queries {
          |  row_number() OVER (PARTITION BY e.vec_id, b.sub_idx ORDER BY ${sqlSq("list_slice(e.embedding, CAST(b.sub_idx * 16 + 1 AS INT), CAST(b.sub_idx * 16 + 16 AS INT))", "b.cvec")} ASC, b.code ASC) AS rn
          |  FROM embeddings e CROSS JOIN books b),
          |adc AS (SELECT enc.vec_id,
-         |  sum(${sqlSq("list_slice(q.qvec, CAST(enc.sub_idx * 16 + 1 AS INT), CAST(enc.sub_idx * 16 + 16 AS INT))", "enc.cvec")}) AS dist
+         |  list_sum(list((${sqlSq("list_slice(q.qvec, CAST(enc.sub_idx * 16 + 1 AS INT), CAST(enc.sub_idx * 16 + 16 AS INT))", "enc.cvec")}) ORDER BY enc.sub_idx)) AS dist
          |  FROM enc, q WHERE rn = 1 GROUP BY enc.vec_id),
          |short AS (SELECT vec_id FROM adc ORDER BY dist ASC, vec_id ASC LIMIT 50)
          |SELECT e.vec_id AS vec_id, ${sqlR4(sqlSq("e.embedding", "q.qvec"))} AS distance
@@ -2575,7 +2584,7 @@ object Queries {
          |  row_number() OVER (PARTITION BY e.vec_id, b.sub_idx ORDER BY ${sqlSq("list_slice(e.embedding, CAST(b.sub_idx * 16 + 1 AS INT), CAST(b.sub_idx * 16 + 16 AS INT))", "b.cvec")} ASC, b.code ASC) AS rn
          |  FROM embeddings e CROSS JOIN books b),
          |adc AS (SELECT enc.vec_id,
-         |  sum(${sqlSq("list_slice(q.qvec, CAST(enc.sub_idx * 16 + 1 AS INT), CAST(enc.sub_idx * 16 + 16 AS INT))", "enc.cvec")}) AS dist
+         |  list_sum(list((${sqlSq("list_slice(q.qvec, CAST(enc.sub_idx * 16 + 1 AS INT), CAST(enc.sub_idx * 16 + 16 AS INT))", "enc.cvec")}) ORDER BY enc.sub_idx)) AS dist
          |  FROM enc, q WHERE rn = 1 GROUP BY enc.vec_id)
          |SELECT adc.vec_id AS vec_id, ${sqlR4("adc.dist")} AS distance
          |FROM adc JOIN asg ON asg.vec_id = adc.vec_id JOIN probed ON asg.cid = probed.cid
@@ -2598,7 +2607,7 @@ object Queries {
          |  row_number() OVER (PARTITION BY e.vec_id, b.sub_idx ORDER BY ${sqlSq("list_slice(e.embedding, CAST(b.sub_idx * 16 + 1 AS INT), CAST(b.sub_idx * 16 + 16 AS INT))", "b.cvec")} ASC, b.code ASC) AS rn
          |  FROM embeddings e CROSS JOIN books b),
          |adc AS (SELECT q.query_id, enc.vec_id,
-         |  sum(${sqlSq("list_slice(q.qvec, CAST(enc.sub_idx * 16 + 1 AS INT), CAST(enc.sub_idx * 16 + 16 AS INT))", "enc.cvec")}) AS dist
+         |  list_sum(list((${sqlSq("list_slice(q.qvec, CAST(enc.sub_idx * 16 + 1 AS INT), CAST(enc.sub_idx * 16 + 16 AS INT))", "enc.cvec")}) ORDER BY enc.sub_idx)) AS dist
          |  FROM enc, q WHERE rn = 1 GROUP BY q.query_id, enc.vec_id),
          |cand AS (SELECT adc.query_id, adc.vec_id, adc.dist FROM adc
          |  JOIN asg ON asg.vec_id = adc.vec_id
