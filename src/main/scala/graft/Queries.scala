@@ -1117,6 +1117,32 @@ object Queries {
         qvec0(s, dir), k = 10, probes = 3))
     }),
 
+    // extension: COSINE on the compressed path — no cosine ADC kernel
+    // exists or is needed: on an L2-normalized store, cosine distance is
+    // exactly half the squared L2 distance, so the whole L2 ADC stack
+    // (encode, LUTs, code scan) serves cosine with a final /2. Store,
+    // centroids, books, and query all normalize once at build time
+    "ivf_adc_cosine_query" -> ((s, dir) => {
+      val nrecs = recs(s, dir).select(col("id"),
+        operators.VectorOps.l2Normalize(col("embedding")).as("embedding"))
+      val cents = nrecs.where(col("id") < 8)
+        .select(col("id").cast("int").as("cluster_id"), col("embedding").as("centroid"))
+      val books = operators.VectorOps.pqPack(
+        nrecs.where(col("id") < 16)
+          .select(col("id").cast("int").as("code"), col("embedding"))
+          .select(explode(sequence(lit(0), lit(3))).as("sub_idx"),
+            col("code"), col("embedding"))
+          .select(col("sub_idx"), col("code"),
+            slice(col("embedding"), col("sub_idx") * 16 + 1, lit(16)).as("cvec")))
+      val codeStore = IvfIndex.assign(nrecs, cents, Metric.Euclidean)
+        .crossJoin(broadcast(books))
+        .select(col("id"), col("cluster_id"),
+          operators.VectorOps.pqCodes(col("embedding"), col("books")).as("codes"))
+      val q = nrecs.where(col("id") === 0).select(col("embedding").as("qvec"))
+      IvfIndex.queryAdc(cents, codeStore, books, q, k = 10, probes = 3)
+        .select(col("id").as("vec_id"), r4(col("distance") / 2).as("distance"))
+    }),
+
     // extension: batch twin of the residual probe — LUTs per
     // (query, probed cluster), two-phase bounded-heap top-k per query
     "ivf_adc_residual_batch" -> ((s, dir) => {
@@ -2515,6 +2541,32 @@ object Queries {
          |  list_sum(list((${sqlSq(sqlSub("list_slice(q.qvec, CAST(enc.sub_idx * 16 + 1 AS INT), CAST(enc.sub_idx * 16 + 16 AS INT))", "list_slice(cc.cvec, CAST(enc.sub_idx * 16 + 1 AS INT), CAST(enc.sub_idx * 16 + 16 AS INT))"), "enc.cvec")}) ORDER BY enc.sub_idx)) AS dist
          |  FROM enc JOIN asg ON asg.vec_id = enc.vec_id JOIN c cc ON cc.cid = asg.cid, q WHERE rn = 1 GROUP BY enc.vec_id)
          |SELECT adc.vec_id AS vec_id, ${sqlR4("adc.dist")} AS distance
+         |FROM adc JOIN asg ON asg.vec_id = adc.vec_id JOIN probed ON asg.cid = probed.cid
+         |ORDER BY adc.dist ASC, adc.vec_id ASC LIMIT 10""".stripMargin,
+
+    // the ivf_adc_query oracle over the normalized table, final /2 —
+    // the unit-vector identity cosine = sqL2/2 replayed end to end
+    "ivf_adc_cosine_query" ->
+      s"""WITH nv AS (SELECT vec_id, list_transform(embedding,
+         |    x -> CAST(x AS DOUBLE) / sqrt(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS embedding
+         |  FROM embeddings),
+         |c AS (SELECT CAST(vec_id AS INTEGER) AS cid, embedding AS cvec FROM nv WHERE vec_id < 8),
+         |q AS (SELECT embedding AS qvec FROM nv WHERE vec_id = 0),
+         |asg AS (SELECT vec_id, cid FROM (
+         |  SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id ORDER BY ${sqlSq("e.embedding", "c.cvec")} ASC, c.cid ASC) AS rn
+         |  FROM nv e CROSS JOIN c) WHERE rn = 1),
+         |probed AS (SELECT c.cid FROM c, q ORDER BY ${sqlSq("c.cvec", "q.qvec")} ASC, c.cid ASC LIMIT 3),
+         |cb AS (SELECT CAST(vec_id AS INT) AS code, embedding FROM nv WHERE vec_id < 16),
+         |books AS (SELECT u.s AS sub_idx, code,
+         |  list_slice(embedding, CAST(u.s * 16 + 1 AS INT), CAST(u.s * 16 + 16 AS INT)) AS cvec
+         |  FROM cb, unnest(generate_series(0, 3)) AS u(s)),
+         |enc AS (SELECT e.vec_id, b.sub_idx, b.cvec,
+         |  row_number() OVER (PARTITION BY e.vec_id, b.sub_idx ORDER BY ${sqlSq("list_slice(e.embedding, CAST(b.sub_idx * 16 + 1 AS INT), CAST(b.sub_idx * 16 + 16 AS INT))", "b.cvec")} ASC, b.code ASC) AS rn
+         |  FROM nv e CROSS JOIN books b),
+         |adc AS (SELECT enc.vec_id,
+         |  list_sum(list((${sqlSq("list_slice(q.qvec, CAST(enc.sub_idx * 16 + 1 AS INT), CAST(enc.sub_idx * 16 + 16 AS INT))", "enc.cvec")}) ORDER BY enc.sub_idx)) AS dist
+         |  FROM enc, q WHERE rn = 1 GROUP BY enc.vec_id)
+         |SELECT adc.vec_id AS vec_id, ${sqlR4("adc.dist / 2.0")} AS distance
          |FROM adc JOIN asg ON asg.vec_id = adc.vec_id JOIN probed ON asg.cid = probed.cid
          |ORDER BY adc.dist ASC, adc.vec_id ASC LIMIT 10""".stripMargin,
 

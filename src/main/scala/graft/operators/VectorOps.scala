@@ -128,6 +128,19 @@ object VectorOps {
   def residual(v: Column, c: Column): Column =
     zip_with(v, c, (a, b) => a.cast("double") - b.cast("double"))
 
+  /** L2 normalization in DOUBLE. On unit vectors, cosine DISTANCE is
+    * half the squared L2 distance (`‖a−b‖² = 2 − 2·a·b`), so every L2
+    * serving path in this file — ADC scans included — serves cosine
+    * queries from a normalized store with a final `/2`; no separate
+    * cosine kernel is needed on the compressed path. A zero vector
+    * normalizes to zeros instead of NaN-poisoning. */
+  def l2Normalize(v: Column): Column = {
+    val n = sqrt(aggregate(
+      transform(v, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (a, x) => a + x))
+    transform(v, x => when(n > 0, x.cast("double") / n).otherwise(lit(0.0)))
+  }
+
   /** ADC distance from codes alone: `Σ_sub luts[sub][codes[sub]]`.
     * O(m) per record (m = 4 in the demo geometry), so the interpreted
     * fold is a handful of tree-walks per row — nothing like the

@@ -144,6 +144,20 @@ class CorpusSpec extends SparkSpec {
     assert(gotW === (("w", 5L)))
   }
 
+  test("novelty against itself is zero; qualityBand [0,1] keeps everything") {
+    // self-law: every doc's grams are in the reference when the
+    // reference IS the corpus — novelty must be 0 for every doc
+    val selfNov = Corpus.novelty(corpus, corpus.select("text"), n = 4)
+      .select("novelty").as[Double].collect()
+    assert(selfNov.nonEmpty && selfNov.forall(_ === 0.0))
+    // full-range band: nothing trimmed, pct_rank spans [0, 1]
+    val scored = (0L until 50L).map(i => (i, i / 50.0)).toDF("doc_id", "q")
+    val all = Corpus.qualityBand(scored, col("q"), col("doc_id"), 0.0, 1.0)
+      .select("pct_rank").as[Double].collect()
+    assert(all.length === 50)
+    assert(all.min === 0.0 && all.max === 1.0)
+  }
+
   test("sampleDiverse: per-group cap, prefix-stable in k, deterministic") {
     val df = (0L until 120L).map(i => (i, s"g${i % 3}")).toDF("id", "grp")
     val k3 = Corpus.sampleDiverse(df, col("grp"), col("id").cast("string"),

@@ -145,4 +145,31 @@ class VectorOpsSpec extends SparkSpec {
     val ratio = errs.getDouble(0) / errs.getDouble(1)
     assert(ratio < 0.45, s"reconstruction error ratio $ratio too high")
   }
+
+  test("cosine distance equals half the squared L2 distance on normalized vectors") {
+    import graft.types.Metric
+    val rnd = new scala.util.Random(11)
+    val rows = (0L until 200L)
+      .map(i => (i, Seq.fill(16)(rnd.nextFloat() * 2 - 1)))
+      .toDF("id", "embedding")
+    val n = rows.select(col("id"),
+      VectorOps.l2Normalize(col("embedding")).as("nv"), col("embedding"))
+    val both = n.crossJoin(
+        n.where(col("id") === 0).select(col("nv").as("qn"), col("embedding").as("qr")))
+      .select(
+        (graft.functions.NativeExprs.sqEuclidean(col("nv"), col("qn")) / 2).as("halfL2"),
+        Metric.Cosine.distance(col("embedding"), col("qr")).as("cosd"))
+      .as[(Double, Double)].collect()
+    both.foreach { case (h, c) =>
+      assert(math.abs(h - c) < 1e-9, s"identity violated: $h vs $c")
+    }
+    // unit norms (within float-rounding slack)
+    val norms = n.select(aggregate(transform(col("nv"),
+        x => x * x), lit(0.0), (a, x) => a + x)).as[Double].collect()
+    norms.foreach(x => assert(math.abs(x - 1.0) < 1e-12))
+    // zero vector: normalizes to zeros, no NaN
+    val z = Seq((1L, Seq.fill(4)(0f))).toDF("id", "embedding")
+      .select(VectorOps.l2Normalize(col("embedding"))).as[Seq[Double]].head()
+    assert(z === Seq(0.0, 0.0, 0.0, 0.0))
+  }
 }
