@@ -202,4 +202,25 @@ class DedupSpec extends SparkSpec {
       (3L, "u1 u2 u3"),
       (4L, "m")))
   }
+
+  test("threshold ladder: verified-pair counts are non-increasing in the threshold") {
+    // near-dup family (high jaccard) + a weaker pair + unrelated docs
+    val base = "the quick brown fox jumps over the lazy dog near the barn " +
+      "while rain falls softly on the quiet village roofs tonight"
+    val d = Seq(
+      (1L, base),
+      (2L, base + " again"),
+      (3L, base.replace("quick", "slow").replace("rain", "snow")),
+      (4L, "completely different text about spark catalyst optimizer rules"),
+      (5L, "another unrelated document mentioning parquet row groups only")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.minhashLsh(d, shingleN = 3, perms = 16, bands = 4,
+      threshold = 0.0, maxBucket = 100)
+    val thresholds = Seq(0.0, 0.3, 0.5, 0.7, 0.9)
+    val counts = thresholds.map { t =>
+      pairs.where(col("jaccard") >= t).count()
+    }
+    assert(counts.head > 0, "expected at least one candidate pair")
+    counts.sliding(2).foreach { case Seq(a, b) => assert(a >= b) }
+  }
 }
