@@ -1723,6 +1723,20 @@ object Queries {
           r4(col("kl_term")).as("kl_term"), r4(col("tv_term")).as("tv_term"))
         .orderBy("source")),
 
+    // extension: DSIR importance resampling — rank the raw pool by how
+    // target-like each document's hashed-token distribution is (add-1-
+    // smoothed bucket models, logw = Σ ln(p_tgt/p_raw)); target = the
+    // curated 'src0' slice. Top-100 in (rounded-weight desc, doc_id)
+    // order — the selection step of data selection via importance
+    // resampling (Xie et al. 2023)
+    "corpus_dsir" -> ((s, dir) => {
+      val d = docs(s, dir).repartition(col("doc_id"))
+      graft.operators.Corpus.dsirWeights(
+          d, d.where(col("source") === "src0").select(col("text")), nBuckets = 64)
+        .select(col("doc_id"), col("n_tokens"), r4(col("logw")).as("logw"))
+        .orderBy(desc("logw"), col("doc_id")).limit(100)
+    }),
+
     // extension: vocabulary building — top-k tokens by term frequency
     // with document frequency, deterministic tie-break; the two-stage
     // map-side-combinable wordcount (no Expand, no corpus-wide sort)
@@ -3331,6 +3345,28 @@ object Queries {
          |FROM sh FULL JOIN t ON sh.source = t.source
          |ORDER BY source""".stripMargin
     },
+
+    // same hashed-token bucket models in DuckDB: 56-bit md5 hashes mod 64,
+    // add-1 smoothing, ln of the double ratio in the SAME expression shape
+    // as the Spark side so the r4-rounded sums agree
+    "corpus_dsir" ->
+      s"""WITH tok AS (SELECT doc_id, source, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t
+         |  FROM documents),
+         |hb AS (SELECT doc_id, source, list_reduce(list_transform(string_split_regex(substr(md5(t), 1, 14), ''),
+         |    c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a * 16 + b) % 64 AS b
+         |  FROM tok),
+         |rawc AS (SELECT b, count(*) AS cr FROM hb GROUP BY b),
+         |tgtc AS (SELECT b, count(*) AS ct FROM hb WHERE source = 'src0' GROUP BY b),
+         |tr AS (SELECT CAST(sum(cr) AS DOUBLE) AS t FROM rawc),
+         |tt AS (SELECT CAST(sum(ct) AS DOUBLE) AS t FROM tgtc),
+         |lam AS (SELECT rawc.b AS b,
+         |    ln(((COALESCE(tgtc.ct, 0) + 1.0) / (tt.t + 64.0)) / ((rawc.cr + 1.0) / (tr.t + 64.0))) AS lw
+         |  FROM rawc LEFT JOIN tgtc ON rawc.b = tgtc.b, tr, tt),
+         |db AS (SELECT doc_id, b, count(*) AS c FROM hb GROUP BY doc_id, b),
+         |w AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+         |    ${sqlR4("sum(c * lw)")} AS logw
+         |  FROM db JOIN lam USING (b) GROUP BY doc_id)
+         |SELECT doc_id, n_tokens, logw FROM w ORDER BY logw DESC, doc_id LIMIT 100""".stripMargin,
 
     "vocab_top" ->
       """WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token

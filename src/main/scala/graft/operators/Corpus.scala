@@ -635,4 +635,59 @@ object Corpus {
       .withColumn("tv_term",
         abs(col("actual_share") - coalesce(col("target_share"), lit(0.0))) / 2)
   }
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every document in
+    * the raw pool by how much it looks drawn from a TARGET distribution
+    * (a curated sample — quality web text, a domain corpus) rather than
+    * the raw pool itself. Features are hashed-token buckets: each token's
+    * 56-bit md5 hash mod `nBuckets`; both distributions are add-1-
+    * smoothed bag-of-buckets models, and a document's log-weight is
+    * `Σ_tokens ln(p_target(bucket) / p_raw(bucket))` — the importance
+    * log-ratio the resampling step ranks by (high = target-like). The
+    * selection step is a plain top-k over the returned frame.
+    *
+    * Returns `(doc_id, n_tokens, logw)` for every document in `docs`.
+    *
+    * Law (spec-pinned): `target == docs` makes both models identical, so
+    * every log-ratio term is `ln 1` and every `logw` is exactly 0.
+    *
+    * Scale: both bucket models are ≤ `nBuckets` rows built by one
+    * map-side-combinable count each — at 100 TB the target model is tiny
+    * by definition (a curated sample) and the raw model is one pass over
+    * the corpus, built once per corpus version. The per-document pass
+    * shuffles only `(doc_id, bucket, count)` triples (≤ min(tokens,
+    * nBuckets) per doc, never text), and the log-ratio table joins by
+    * broadcast, so the 64-bucket key skew never touches a shuffle. */
+  def dsirWeights(
+      docs: DataFrame,
+      target: DataFrame,
+      nBuckets: Int = 64): DataFrame = {
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    // (keep*, b): one row per token occurrence; 56-bit hashes are
+    // non-negative so % == pmod and matches the oracle's %.
+    def buckets(df: DataFrame, keep: Column*): DataFrame =
+      df.select(keep :+ explode(
+        TextOps.shingleHashes(
+          TextOps.shinglesFromTokens(TextOps.tokens(col("text")), 1))).as("h"): _*)
+        .withColumn("b", col("h") % nBuckets.toLong)
+    val rawCnt = buckets(docs).groupBy(col("b")).agg(count(lit(1)).as("cr"))
+    val tgtCnt = buckets(target).groupBy(col("b")).agg(count(lit(1)).as("ct"))
+    val rawTot = rawCnt.agg(sum(col("cr")).as("__tr"))
+    val tgtTot = tgtCnt.agg(sum(col("ct")).as("__tt"))
+    // Every bucket a document can produce appears in rawCnt (docs ⊆ raw
+    // pool), so the left join covers all probe keys; absent target
+    // buckets smooth to ct = 0.
+    val lam = rawCnt.join(tgtCnt, Seq("b"), "left")
+      .na.fill(0L, Seq("ct"))
+      .crossJoin(broadcast(rawTot)).crossJoin(broadcast(tgtTot))
+      .select(col("b"),
+        log(((col("ct") + lit(1.0)) / (col("__tt") + lit(nBuckets.toDouble))) /
+            ((col("cr") + lit(1.0)) / (col("__tr") + lit(nBuckets.toDouble)))).as("lw"))
+    buckets(docs, col("doc_id"))
+      .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
+      .join(broadcast(lam), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"), sum(col("c") * col("lw")).as("logw"))
+  }
 }

@@ -522,4 +522,41 @@ class CorpusSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Corpus.sampleToBudget(corpus, col("text"), lit(1), 10L, nBuckets = 0))
   }
+
+  test("dsirWeights: identical target and raw models give exactly zero log-weights") {
+    // target == docs ⇒ ct == cr and Tt == Tr for every bucket ⇒ each
+    // ratio is exactly 1.0 and ln(1.0) == 0.0 — no tolerance needed
+    val w = Corpus.dsirWeights(corpus, corpus.select(col("text")), nBuckets = 32)
+      .select("doc_id", "n_tokens", "logw").as[(Long, Long, Double)].collect()
+    assert(w.length === 100)
+    w.foreach { case (id, n, lw) =>
+      assert(n > 0, s"doc $id")
+      assert(lw === 0.0, s"doc $id")
+    }
+  }
+
+  test("dsirWeights ranks target-like documents above off-distribution ones") {
+    val pool = docsDf(Seq(
+      (1L, "alpha beta gamma delta alpha beta", "raw"),
+      (2L, "alpha beta gamma epsilon beta alpha", "raw"),
+      (3L, "zulu yankee xray whiskey victor uniform", "raw"),
+      (4L, "quick brown fox jumps lazy dog", "raw")))
+    val target = docsDf(Seq(
+      (10L, "alpha beta gamma alpha beta gamma", "t"),
+      (11L, "beta alpha gamma epsilon", "t"))).select(col("text"))
+    val w = Corpus.dsirWeights(pool, target, nBuckets = 64)
+      .select("doc_id", "logw").as[(Long, Double)].collect().toMap
+    // the alpha/beta/gamma docs look drawn from the target model; the
+    // others share no tokens with it and must score strictly lower
+    assert(w(1L) > w(3L) && w(1L) > w(4L))
+    assert(w(2L) > w(3L) && w(2L) > w(4L))
+  }
+
+  test("dsirWeights: n_tokens is the document's token count") {
+    val w = Corpus.dsirWeights(corpus, corpus.limit(10).select(col("text")))
+      .select("doc_id", "n_tokens").as[(Long, Long)].collect().toMap
+    val want = corpus.select(col("doc_id"), TextOps.tokenCount(col("text")).cast("long"))
+      .as[(Long, Long)].collect().toMap
+    assert(w === want)
+  }
 }
