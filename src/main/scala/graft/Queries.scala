@@ -1737,6 +1737,14 @@ object Queries {
         .orderBy(desc("logw"), col("doc_id")).limit(100)
     }),
 
+    // extension: BPE merge-pair table — adjacent symbol-pair counts over
+    // the distinct vocabulary weighted by term frequency (the first
+    // iteration of byte-pair-encoding tokenizer training; work ∝ vocab,
+    // never corpus tokens); top-50, ties by pair
+    "vocab_bpe_pairs" -> ((s, dir) =>
+      graft.operators.TextOps.bpeMergePairs(
+        docs(s, dir).repartition(col("doc_id")), k = 50)),
+
     // extension: vocabulary building — top-k tokens by term frequency
     // with document frequency, deterministic tie-break; the two-stage
     // map-side-combinable wordcount (no Expand, no corpus-wide sort)
@@ -3367,6 +3375,16 @@ object Queries {
          |    ${sqlR4("sum(c * lw)")} AS logw
          |  FROM db JOIN lam USING (b) GROUP BY doc_id)
          |SELECT doc_id, n_tokens, logw FROM w ORDER BY logw DESC, doc_id LIMIT 100""".stripMargin,
+
+    // vocab-weighted adjacent-pair counts; substr/len count characters in
+    // both engines, and the ORDER BY ties break on binary collation in both
+    "vocab_bpe_pairs" ->
+      """WITH tok AS (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t FROM documents),
+        |v AS (SELECT t, count(*) AS tf FROM tok GROUP BY t),
+        |p AS (SELECT unnest(list_transform(generate_series(1, len(t) - 1), i -> substr(t, i, 2))) AS pair, tf
+        |  FROM v WHERE len(t) >= 2),
+        |g AS (SELECT pair, CAST(sum(tf) AS BIGINT) AS n FROM p GROUP BY pair)
+        |SELECT pair, n FROM g ORDER BY n DESC, pair ASC LIMIT 50""".stripMargin,
 
     "vocab_top" ->
       """WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token

@@ -671,7 +671,12 @@ object Corpus {
         TextOps.shingleHashes(
           TextOps.shinglesFromTokens(TextOps.tokens(col("text")), 1))).as("h"): _*)
         .withColumn("b", col("h") % nBuckets.toLong)
-    val rawCnt = buckets(docs).groupBy(col("b")).agg(count(lit(1)).as("cr"))
+    // Per-doc bucket counts feed BOTH the raw model and the scoring pass,
+    // so the corpus pays a single token explode; the raw model aggregates
+    // the (≤ |docs|·nBuckets)-row combined frame, never the tokens again.
+    val docCnt = buckets(docs, col("doc_id"))
+      .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
+    val rawCnt = docCnt.groupBy(col("b")).agg(sum(col("c")).as("cr"))
     val tgtCnt = buckets(target).groupBy(col("b")).agg(count(lit(1)).as("ct"))
     val rawTot = rawCnt.agg(sum(col("cr")).as("__tr"))
     val tgtTot = tgtCnt.agg(sum(col("ct")).as("__tt"))
@@ -684,8 +689,7 @@ object Corpus {
       .select(col("b"),
         log(((col("ct") + lit(1.0)) / (col("__tt") + lit(nBuckets.toDouble))) /
             ((col("cr") + lit(1.0)) / (col("__tr") + lit(nBuckets.toDouble)))).as("lw"))
-    buckets(docs, col("doc_id"))
-      .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
+    docCnt
       .join(broadcast(lam), Seq("b"))
       .groupBy(col("doc_id"))
       .agg(sum(col("c")).as("n_tokens"), sum(col("c") * col("lw")).as("logw"))

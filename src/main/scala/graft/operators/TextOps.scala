@@ -276,6 +276,32 @@ object TextOps {
       .limit(k)
   }
 
+  /** First BPE-training iteration: adjacent symbol-pair frequencies over
+    * the corpus — the count table whose argmax is the first merge a
+    * byte-pair-encoding tokenizer learns (Sennrich et al. 2016). Returns
+    * the top-`k` `(pair, n)` rows by total occurrence count (ties broken
+    * by pair ascending); `n` counts every adjacent occurrence, duplicates
+    * within a token included (`"aaa"` contributes two `"aa"`s), weighted
+    * by the token's corpus frequency.
+    *
+    * Scale: the classic BPE trick — pairs are counted over the DISTINCT
+    * vocabulary weighted by term frequency, so the explode is ∝ |vocab| ·
+    * avg token length, not corpus tokens. The wordcount that builds the
+    * vocab is the same map-side-combinable two-stage shape as
+    * [[vocabTop]]; the result is a bounded top-k
+    * (`TakeOrderedAndProject`), never a global sort. */
+  def bpeMergePairs(docs: DataFrame, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    docs
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("tf"))
+      .where(length(col("token")) >= 2)
+      .select(col("tf"), explode(charNgrams(col("token"), 2)).as("pair"))
+      .groupBy(col("pair")).agg(sum(col("tf")).as("n"))
+      .orderBy(col("n").desc, col("pair").asc)
+      .limit(k)
+  }
+
   /** Character n-gram windows in code points (native kernel). */
   def charNgrams(text: Column, n: Int): Column =
     graft.functions.NativeExprs.charNgrams(text, n)

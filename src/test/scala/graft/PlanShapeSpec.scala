@@ -423,4 +423,26 @@ class PlanShapeSpec extends SparkSpec {
     val n = scan.head.metrics("numFiles").value
     assert(n >= 3 && n <= 4, s"expected 3-4 pruned day files, scanned $n")
   }
+
+  test("DSIR: bounded top-k, broadcast log-ratio join, and a single token explode") {
+    val df = Queries.queries("corpus_dsir")(spark, sf)
+    val p = plan(df)
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-100 selection must be a bounded heap, not a global sort")
+    assert(!p.contains("SortMergeJoin"),
+      "the ≤nBuckets log-ratio table must broadcast — a shuffle join on 64 bucket keys would be all skew")
+    // the per-doc bucket-count exchange feeds both the raw model and the
+    // scoring pass: after execution the adaptive plan must reuse it, so
+    // the corpus pays ONE token explode (AQE stage reuse)
+    df.collect()
+    val fin = df.queryExecution.executedPlan.toString
+    assert(fin.contains("ReusedExchange") || fin.contains("ReusedQueryStage"),
+      fin.linesIterator.take(30).mkString("\n"))
+  }
+
+  test("BPE merge pairs: bounded top-k over the vocab, never a corpus-wide sort") {
+    val p = plan(Queries.queries("vocab_bpe_pairs")(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), p.linesIterator.take(5).mkString("\n"))
+    assert(!p.contains("Window"), "no ranking window — ties resolve inside the bounded heap")
+  }
 }

@@ -150,4 +150,19 @@ class TextOpsSpec extends SparkSpec {
         s"doc $id: fused $s vs joined ${joined(id)._2}")
     }
   }
+
+  test("bpeMergePairs: tf-weighted adjacent pair counts, duplicates within a token kept") {
+    val docs = Seq(
+      (1L, "aaa ab aaa x"),
+      (2L, "ab cd x")).toDF("doc_id", "text")
+    // vocab: aaa×2, ab×2, cd×1 (x is single-char → no pairs)
+    // pairs: aa appears twice inside "aaa" → 2·tf(aaa)=4; ab → 2; cd → 1
+    val got = TextOps.bpeMergePairs(docs, k = 10)
+      .as[(String, Long)].collect().toSeq
+    assert(got === Seq(("aa", 4L), ("ab", 2L), ("cd", 1L)))
+    // ties break on pair ascending
+    val tied = Seq((1L, "xy zw")).toDF("doc_id", "text")
+    assert(TextOps.bpeMergePairs(tied, k = 10).as[(String, Long)].collect().toSeq
+      === Seq(("xy", 1L), ("zw", 1L)))
+  }
 }
