@@ -146,6 +146,29 @@ object Queries {
        |  JOIN q ON q.doc_id = k.doc_id
        |  WHERE l.lang_pred = 'en' AND q.quality >= 0.45)""".stripMargin
 
+  /** DSIR oracle CTEs (mirror of [[graft.operators.Corpus.dsirWeights]]
+    * with target = the 'src0' slice, 64 buckets): hashed-token bucket
+    * models with add-1 smoothing, per-doc `w(doc_id, n_tokens, logw)`
+    * with the r4-rounded importance log-weight. Shared by `corpus_dsir`
+    * (global top-100) and `corpus_dsir_mix` (per-source quota). */
+  private val sqlDsirCtes: String =
+    s"""tok AS (SELECT doc_id, source, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t
+       |  FROM documents),
+       |hb AS (SELECT doc_id, source, list_reduce(list_transform(string_split_regex(substr(md5(t), 1, 14), ''),
+       |    c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a * 16 + b) % 64 AS b
+       |  FROM tok),
+       |rawc AS (SELECT b, count(*) AS cr FROM hb GROUP BY b),
+       |tgtc AS (SELECT b, count(*) AS ct FROM hb WHERE source = 'src0' GROUP BY b),
+       |tr AS (SELECT CAST(sum(cr) AS DOUBLE) AS t FROM rawc),
+       |tt AS (SELECT CAST(sum(ct) AS DOUBLE) AS t FROM tgtc),
+       |lam AS (SELECT rawc.b AS b,
+       |    ln(((COALESCE(tgtc.ct, 0) + 1.0) / (tt.t + 64.0)) / ((rawc.cr + 1.0) / (tr.t + 64.0))) AS lw
+       |  FROM rawc LEFT JOIN tgtc ON rawc.b = tgtc.b, tr, tt),
+       |db AS (SELECT doc_id, b, count(*) AS c FROM hb GROUP BY doc_id, b),
+       |w AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+       |    ${sqlR4("sum(c * lw)")} AS logw
+       |  FROM db JOIN lam USING (b) GROUP BY doc_id)""".stripMargin
+
   /** Corpus-assembly oracle, back half (mirror of [[assemblePacked]]),
     * parameterized by the keep-set CTE it packs. */
   private def sqlAssembleTail(kept: String): String =
@@ -1735,6 +1758,23 @@ object Queries {
           d, d.where(col("source") === "src0").select(col("text")), nBuckets = 64)
         .select(col("doc_id"), col("n_tokens"), r4(col("logw")).as("logw"))
         .orderBy(desc("logw"), col("doc_id")).limit(100)
+    }),
+
+    // extension: DSIR under per-source quotas — the deployment shape of
+    // importance resampling: the 10 most target-like documents of EACH
+    // source (bounded heap per source, never a ranking window; r4-
+    // quantized weights so the rank boundary is engine-independent)
+    "corpus_dsir_mix" -> ((s, dir) => {
+      val d = docs(s, dir).repartition(col("doc_id"))
+      val w = graft.operators.Corpus.dsirWeights(
+          d, d.where(col("source") === "src0").select(col("text")), nBuckets = 64)
+        .select(col("doc_id"), r4(col("logw")).as("logw"))
+        .join(d.select(col("doc_id"), col("source")), Seq("doc_id"))
+      graft.operators.Corpus.topKPerGroup(
+          w, col("source"), col("logw"), col("doc_id"), k = 10)
+        .select(col("group").as("source"), col("id").as("doc_id"),
+          col("score").as("logw"))
+        .orderBy("source", "doc_id")
     }),
 
     // extension: BPE merge-pair table — adjacent symbol-pair counts over
@@ -3358,23 +3398,18 @@ object Queries {
     // add-1 smoothing, ln of the double ratio in the SAME expression shape
     // as the Spark side so the r4-rounded sums agree
     "corpus_dsir" ->
-      s"""WITH tok AS (SELECT doc_id, source, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t
-         |  FROM documents),
-         |hb AS (SELECT doc_id, source, list_reduce(list_transform(string_split_regex(substr(md5(t), 1, 14), ''),
-         |    c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a * 16 + b) % 64 AS b
-         |  FROM tok),
-         |rawc AS (SELECT b, count(*) AS cr FROM hb GROUP BY b),
-         |tgtc AS (SELECT b, count(*) AS ct FROM hb WHERE source = 'src0' GROUP BY b),
-         |tr AS (SELECT CAST(sum(cr) AS DOUBLE) AS t FROM rawc),
-         |tt AS (SELECT CAST(sum(ct) AS DOUBLE) AS t FROM tgtc),
-         |lam AS (SELECT rawc.b AS b,
-         |    ln(((COALESCE(tgtc.ct, 0) + 1.0) / (tt.t + 64.0)) / ((rawc.cr + 1.0) / (tr.t + 64.0))) AS lw
-         |  FROM rawc LEFT JOIN tgtc ON rawc.b = tgtc.b, tr, tt),
-         |db AS (SELECT doc_id, b, count(*) AS c FROM hb GROUP BY doc_id, b),
-         |w AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
-         |    ${sqlR4("sum(c * lw)")} AS logw
-         |  FROM db JOIN lam USING (b) GROUP BY doc_id)
+      s"""WITH $sqlDsirCtes
          |SELECT doc_id, n_tokens, logw FROM w ORDER BY logw DESC, doc_id LIMIT 100""".stripMargin,
+
+    // per-source quota on the same weights: row_number is the oracle's
+    // (non-scaling) mirror of the bounded-heap top-k per group
+    "corpus_dsir_mix" ->
+      s"""WITH $sqlDsirCtes,
+         |ws AS (SELECT d.source AS source, w.doc_id AS doc_id, w.logw AS logw
+         |  FROM w JOIN documents d USING (doc_id)),
+         |r AS (SELECT source, doc_id, logw,
+         |    row_number() OVER (PARTITION BY source ORDER BY logw DESC, doc_id) AS rn FROM ws)
+         |SELECT source, doc_id, logw FROM r WHERE rn <= 10 ORDER BY source, doc_id""".stripMargin,
 
     // vocab-weighted adjacent-pair counts; substr/len count characters in
     // both engines, and the ORDER BY ties break on binary collation in both

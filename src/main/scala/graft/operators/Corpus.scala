@@ -694,4 +694,34 @@ object Corpus {
       .groupBy(col("doc_id"))
       .agg(sum(col("c")).as("n_tokens"), sum(col("c") * col("lw")).as("logw"))
   }
+
+  /** Per-group top-k selection by an arbitrary score — the bounded-heap
+    * generalization of [[mixSample]]'s content-hash quota: keep the `k`
+    * rows with the LARGEST `score` in each group (ties → smaller `id`).
+    * The deployment shape of [[dsirWeights]] — importance resampling
+    * under per-source quotas — but group/score-agnostic.
+    *
+    * Returns `(group, id, score)`. Quantize the score BEFORE calling if
+    * cross-engine rank determinism matters (SURVEY §11.15 — the r4-then-
+    * rank rule); `0.0 - score` (not unary minus) feeds the heap so a
+    * `-0.0` score can never order differently from `0.0` under the
+    * heap's total double ordering.
+    *
+    * Scale: O(k) memory per group in the bounded heap
+    * ([[graft.functions.TopKPairsAgg]]), map-side combined — never a
+    * per-group ranking window, which would funnel each group's full row
+    * set through one task. */
+  def topKPerGroup(
+      df: DataFrame,
+      group: Column,
+      score: Column,
+      id: Column,
+      k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    df.groupBy(group.as("group"))
+      .agg(TopKPairsAgg.topKPairs(lit(0.0) - score, id, k).as("__top"))
+      .select(col("group"), explode(col("__top")).as("__p"))
+      .select(col("group"), col("__p.id").as("id"),
+        (lit(0.0) - col("__p.distance")).as("score"))
+  }
 }

@@ -552,6 +552,29 @@ class CorpusSpec extends SparkSpec {
     assert(w(2L) > w(3L) && w(2L) > w(4L))
   }
 
+  test("topKPerGroup matches window-rank brute force, ties break on smaller id") {
+    val df = Seq(
+      ("a", 1L, 3.0), ("a", 2L, 3.0), ("a", 3L, 5.0), ("a", 4L, 1.0),
+      ("b", 5L, -0.0), ("b", 6L, 0.0), ("b", 7L, -2.0),
+      ("c", 8L, 7.5)).toDF("src", "id", "score")
+    val got = Corpus.topKPerGroup(df, col("src"), col("score"), col("id"), k = 2)
+      .select("group", "id", "score").as[(String, Long, Double)].collect()
+      .sortBy(r => (r._1, r._2))
+    // brute force: per group, (score desc, id asc), take 2
+    val want = df.as[(String, Long, Double)].collect()
+      .groupBy(_._1).toSeq.flatMap { case (g, rows) =>
+        rows.sortBy(r => (-r._3, r._2)).take(2).map(r => (g, r._2, r._3))
+      }.sortBy(r => (r._1, r._2))
+    assert(got.map(r => (r._1, r._2)).toSeq === want.map(r => (r._1, r._2)).toSeq)
+    // -0.0 and 0.0 scores tie (the 0.0 - score normalization): ids 5,6 kept
+    assert(got.filter(_._1 == "b").map(_._2).toSeq === Seq(5L, 6L))
+    // scores come back sign-normalized (never -0.0)
+    got.foreach { case (_, _, s) =>
+      assert(java.lang.Double.doubleToRawLongBits(s)
+        != java.lang.Double.doubleToRawLongBits(-0.0), s"got -0.0 for $s")
+    }
+  }
+
   test("dsirWeights: n_tokens is the document's token count") {
     val w = Corpus.dsirWeights(corpus, corpus.limit(10).select(col("text")))
       .select("doc_id", "n_tokens").as[(Long, Long)].collect().toMap
