@@ -1760,6 +1760,17 @@ object Queries {
         .orderBy(desc("logw"), col("doc_id")).limit(100)
     }),
 
+    // extension: corpus CHECKSUM manifest — per-source row count,
+    // distinct-content count, exact decimal sum of 56-bit content
+    // hashes, char mass: the order/partitioning-independent fingerprint
+    // that proves two corpus versions (or two engines) hold identical
+    // content — this project's own oracle gate, productized
+    "corpus_checksum" -> ((s, dir) =>
+      graft.operators.Corpus.checksum(
+          docs(s, dir).repartition(col("doc_id")),
+          col("source"), col("text"), col("n_chars"))
+        .orderBy("source")),
+
     // extension: DSIR under per-source quotas — the deployment shape of
     // importance resampling: the 10 most target-like documents of EACH
     // source (bounded heap per source, never a ranking window; r4-
@@ -3400,6 +3411,17 @@ object Queries {
     "corpus_dsir" ->
       s"""WITH $sqlDsirCtes
          |SELECT doc_id, n_tokens, logw FROM w ORDER BY logw DESC, doc_id LIMIT 100""".stripMargin,
+
+    // hugeint sum cast to the same DECIMAL(38,0) the Spark side declares
+    "corpus_checksum" ->
+      s"""WITH h AS (SELECT source, n_chars, list_reduce(list_transform(string_split_regex(substr(md5(text), 1, 14), ''),
+         |    c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a * 16 + b) AS hv
+         |  FROM documents)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(count(DISTINCT hv) AS BIGINT) AS n_unique,
+         |  CAST(sum(hv) AS DECIMAL(38,0)) AS checksum,
+         |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+         |FROM h GROUP BY source ORDER BY source""".stripMargin,
 
     // per-source quota on the same weights: row_number is the oracle's
     // (non-scaling) mirror of the bounded-heap top-k per group

@@ -695,6 +695,36 @@ object Corpus {
       .agg(sum(col("c")).as("n_tokens"), sum(col("c") * col("lw")).as("logw"))
   }
 
+  /** Order-independent corpus CHECKSUM manifest — the reproducibility
+    * gate of a 100 TB pipeline: per source, the row count, distinct-
+    * content count, an EXACT sum of the 56-bit content hashes, and the
+    * total character mass. Two corpus versions (or the same corpus
+    * produced by two engines) hold identical content per source iff
+    * their manifests match; a single flipped character moves the
+    * checksum. Commutative addition makes the manifest independent of
+    * row order, partitioning, and cluster size — exactly what a
+    * cross-run comparison needs.
+    *
+    * The hash sum runs in DECIMAL so it is exact at any scale (10^12
+    * documents × 2^56 is 29 digits — inside DECIMAL(38,0); a long would
+    * overflow and a double would lose the low bits that make the
+    * checksum sensitive). Scale: one map-side-combinable aggregate over
+    * (source); nothing but the scan is proportional to the corpus. */
+  def checksum(
+      docs: DataFrame,
+      source: Column,
+      text: Column,
+      nChars: Column): DataFrame =
+    docs.select(source.as("source"),
+        conv(substr(md5(text), lit(1), lit(14)), 16, 10)
+          .cast("decimal(20,0)").as("__h"),
+        nChars.cast("long").as("__nc"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        count_distinct(col("__h")).as("n_unique"),
+        sum(col("__h")).cast("decimal(38,0)").as("checksum"),
+        sum(col("__nc")).as("total_chars"))
+
   /** Per-group top-k selection by an arbitrary score — the bounded-heap
     * generalization of [[mixSample]]'s content-hash quota: keep the `k`
     * rows with the LARGEST `score` in each group (ties → smaller `id`).

@@ -552,6 +552,24 @@ class CorpusSpec extends SparkSpec {
     assert(w(2L) > w(3L) && w(2L) > w(4L))
   }
 
+  test("checksum manifest: partition-invariant, flips on a one-character edit") {
+    def manifest(df: org.apache.spark.sql.DataFrame) =
+      Corpus.checksum(df, col("source"), col("text"), length(col("text")))
+        .select("source", "n_docs", "n_unique", "checksum", "total_chars")
+        .as[(String, Long, Long, BigDecimal, Long)].collect().sortBy(_._1).toSeq
+    val base = manifest(corpus)
+    // row order and partitioning never move the manifest
+    assert(manifest(corpus.orderBy(col("doc_id").desc).repartition(7)) === base)
+    // a single flipped character in one document moves its source's checksum
+    val edited = corpus.withColumn("text",
+      when(col("doc_id") === 42L, concat(col("text"), lit("!"))).otherwise(col("text")))
+    val editedM = manifest(edited)
+    assert(editedM.map(_._1) === base.map(_._1))
+    val changed = base.zip(editedM).filter { case (a, b) => a != b }
+    assert(changed.length === 1 && changed.head._1._1 === "src2") // 42 % 4 = 2
+    assert(changed.head._1._4 !== changed.head._2._4, "checksum must move")
+  }
+
   test("topKPerGroup matches window-rank brute force, ties break on smaller id") {
     val df = Seq(
       ("a", 1L, 3.0), ("a", 2L, 3.0), ("a", 3L, 5.0), ("a", 4L, 1.0),
