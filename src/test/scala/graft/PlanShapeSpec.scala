@@ -445,4 +445,27 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p.linesIterator.take(5).mkString("\n"))
     assert(!p.contains("Window"), "no ranking window — ties resolve inside the bounded heap")
   }
+
+  test("plan hygiene sweep: no query plans a cartesian product or an unlisted corpus-wide window") {
+    // Partition-less windows collapse the frame into ONE task — allowed
+    // only over tiny bucket-count frames (the two-level prefix-sum
+    // layout, SURVEY §11.15). Any query not listed here that introduces
+    // one is a 100 TB regression, not a style choice.
+    val allowedGlobalWindow = Set(
+      "corpus_quality_band",   // per-bucket count frame (≤ nBuckets rows)
+      "corpus_sample_budget",  // bucket-offset frame (≤ nBuckets rows)
+      "mix_token_budget")      // per-(source, bucket) count frame
+    val offenders = Queries.queries.keys.toSeq.sorted.flatMap { name =>
+      val df = Queries.queries(name)(spark, sf)
+      val globalWindows = df.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+            if w.partitionSpec.isEmpty => w
+      }
+      val cartesian = df.queryExecution.sparkPlan.toString.contains("CartesianProduct")
+      (if (cartesian) Seq(s"$name: CartesianProduct") else Nil) ++
+        (if (globalWindows.nonEmpty && !allowedGlobalWindow(name))
+          Seq(s"$name: partition-less Window") else Nil)
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
 }
