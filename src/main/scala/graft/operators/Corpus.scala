@@ -695,6 +695,59 @@ object Corpus {
       .agg(sum(col("c")).as("n_tokens"), sum(col("c") * col("lw")).as("logw"))
   }
 
+  /** The fitted DSIR model as a driver-side map: the importance log-
+    * ratio `ln(p_target(b) / p_raw(b))` for EVERY bucket `0 until
+    * nBuckets` (complete support — buckets absent from either corpus
+    * carry their add-1-smoothed value, so scoring never needs a missing-
+    * key fallback). Two ≤`nBuckets`-row aggregates collect to the
+    * driver — bounded by the model size, never the corpus — which is
+    * what lets [[dsirScore]] run as a pure map-only expression: the
+    * model rides the plan as a literal, broadcast with the task
+    * binaries, usable in batch AND Structured Streaming (no join, no
+    * state). */
+  def dsirModel(
+      docs: DataFrame,
+      target: DataFrame,
+      nBuckets: Int = 64): Map[Long, Double] = {
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    def cnt(df: DataFrame): Map[Long, Long] =
+      df.select(explode(
+          TextOps.shingleHashes(
+            TextOps.shinglesFromTokens(TextOps.tokens(col("text")), 1))).as("h"))
+        .groupBy((col("h") % nBuckets.toLong).as("b"))
+        .agg(count(lit(1)).as("c"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val raw = cnt(docs)
+    val tgt = cnt(target)
+    val tr = raw.values.sum.toDouble
+    val tt = tgt.values.sum.toDouble
+    (0L until nBuckets.toLong).map { b =>
+      b -> math.log(((tgt.getOrElse(b, 0L) + 1.0) / (tt + nBuckets)) /
+                    ((raw.getOrElse(b, 0L) + 1.0) / (tr + nBuckets)))
+    }.toMap
+  }
+
+  /** Map-only DSIR scoring expression over a fitted [[dsirModel]]: the
+    * document's importance log-weight `Σ_tokens lam(bucket(token))` as a
+    * single-row column — no explode, no join, no shuffle, so it drops
+    * into a streaming admission gate ([[graft.streaming.DocIngest.
+    * startDsirAdmission]]) as-is. Agrees with [[dsirWeights]]' `logw`
+    * up to double-summation order (the fold runs in token order; the
+    * distributed sum in partial-aggregate order). */
+  def dsirScore(text: Column, lam: Map[Long, Double], nBuckets: Int): Column = {
+    require(nBuckets > 0 && lam.keySet == (0L until nBuckets.toLong).toSet,
+      s"lam must cover every bucket 0 until $nBuckets — fit it with dsirModel")
+    val lamCol = map(lam.toSeq.sortBy(_._1)
+      .flatMap { case (b, w) => Seq(lit(b), lit(w)) }: _*)
+    aggregate(
+      transform(
+        TextOps.shingleHashes(
+          TextOps.shinglesFromTokens(TextOps.tokens(text), 1)),
+        h => h % nBuckets.toLong),
+      lit(0.0),
+      (acc, b) => acc + element_at(lamCol, b))
+  }
+
   /** Order-independent corpus CHECKSUM manifest — the reproducibility
     * gate of a 100 TB pipeline: per source, the row count, distinct-
     * content count, an EXACT sum of the 56-bit content hashes, and the

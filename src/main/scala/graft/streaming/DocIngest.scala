@@ -214,6 +214,36 @@ object DocIngest {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming DSIR admission — importance resampling at the ingest
+    * door: each incoming document is scored for target-likeness with the
+    * map-only [[graft.operators.Corpus.dsirScore]] expression over a
+    * model fitted offline ([[graft.operators.Corpus.dsirModel]]), and
+    * admitted iff `logw >= threshold`. The model is a ≤`nBuckets`-entry
+    * literal riding the plan, so the gate is STATELESS: no stream-static
+    * join, no keyed state, exactly-once comes free from the file sink +
+    * checkpoint, and per-batch cost is one map pass regardless of corpus
+    * size — the cheapest possible "is this crawl batch worth its
+    * training tokens" filter. Admitted rows keep `(doc_id, text, logw)`
+    * so downstream mixing can re-weight without re-scoring. */
+  def startDsirAdmission(
+      spark: SparkSession,
+      dir: String,
+      lam: Map[Long, Double],
+      nBuckets: Int,
+      threshold: Double,
+      storePath: String,
+      checkpointPath: String): StreamingQuery =
+    readDocs(spark, dir)
+      .withColumn("logw", graft.operators.Corpus.dsirScore(col("text"), lam, nBuckets))
+      .where(col("logw") >= threshold)
+      .writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", storePath)
+      .option("checkpointLocation", checkpointPath)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Stream the gate into a memory sink for testing (match rows, possibly
     * repeated across bands — consumers dedupe, like every other reader of
     * [[matches]]). Production sinks swap this for [[startAdmission]]. */

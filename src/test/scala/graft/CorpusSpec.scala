@@ -593,6 +593,24 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("dsirScore over a fitted dsirModel agrees with dsirWeights up to summation order") {
+    val target = corpus.where(col("source") === "src0").select(col("text"))
+    val lam = Corpus.dsirModel(corpus, target, nBuckets = 32)
+    assert(lam.keySet === (0L until 32L).toSet, "model must cover every bucket")
+    val scored = corpus
+      .select(col("doc_id"), Corpus.dsirScore(col("text"), lam, 32).as("s"))
+      .as[(Long, Double)].collect().toMap
+    val want = Corpus.dsirWeights(corpus, target, nBuckets = 32)
+      .select(col("doc_id"), col("logw")).as[(Long, Double)].collect().toMap
+    assert(scored.keySet === want.keySet)
+    scored.foreach { case (id, s) =>
+      assert(math.abs(s - want(id)) <= 1e-9 * math.max(1.0, math.abs(s)),
+        s"doc $id: expr $s vs distributed ${want(id)}")
+    }
+    intercept[IllegalArgumentException](
+      Corpus.dsirScore(col("text"), lam - 0L, 32)) // incomplete support
+  }
+
   test("dsirWeights: n_tokens is the document's token count") {
     val w = Corpus.dsirWeights(corpus, corpus.limit(10).select(col("text")))
       .select("doc_id", "n_tokens").as[(Long, Long)].collect().toMap

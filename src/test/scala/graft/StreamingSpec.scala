@@ -536,6 +536,51 @@ class StreamingSpec extends SparkSpec {
       s"duplicate across restart must stay suppressed, got $afterRun2")
   }
 
+  test("streaming DSIR gate admits exactly the batch-filtered set, stateless across restarts") {
+    import graft.streaming.DocIngest
+    import graft.operators.Corpus
+    val fitCorpus = (0L until 40L).map { i =>
+      if (i % 2 == 0) (i, s"alpha beta gamma token$i shared words")
+      else (i, s"zulu yankee xray token$i different tongue")
+    }.toDF("doc_id", "text")
+    val target = fitCorpus.where(col("doc_id") % 2 === 0).select(col("text"))
+    val lam = Corpus.dsirModel(fitCorpus, target, nBuckets = 32)
+
+    val root = java.nio.file.Files.createTempDirectory("graft_dsir_gate")
+    val inDir = s"$root/in"
+    val store = s"$root/store"
+    val ckpt = s"$root/ckpt"
+    val wave1 = Seq(
+      (100L, "alpha beta gamma shared words"),
+      (101L, "zulu yankee xray different tongue")).toDF("doc_id", "text")
+    // threshold from the DATA, not a sign guess: bucket collisions at 32
+    // buckets can shift absolute scores, but the target-like doc must
+    // outrank the off-target one, and the midpoint separates them
+    val s = wave1.select(col("doc_id"), Corpus.dsirScore(col("text"), lam, 32).as("s"))
+      .as[(Long, Double)].collect().toMap
+    assert(s(100L) > s(101L), s"target-like doc must outrank: $s")
+    val threshold = (s(100L) + s(101L)) / 2
+    wave1.write.mode("append").parquet(inDir)
+    DocIngest.startDsirAdmission(spark, inDir, lam, 32, threshold, store, ckpt)
+      .awaitTermination()
+    def admitted() = spark.read.parquet(store).select("doc_id").as[Long].collect().toSet
+    def batchKeep(df: org.apache.spark.sql.DataFrame) = df
+      .where(Corpus.dsirScore(col("text"), lam, 32) >= threshold)
+      .select("doc_id").as[Long].collect().toSet
+    assert(admitted() === Set(100L) && admitted() === batchKeep(wave1),
+      "target-like doc admitted, off-target rejected")
+
+    // wave 2 on the SAME checkpoint: stateless gate, only new files scored
+    val wave2 = Seq(
+      (102L, "alpha beta gamma another one"),
+      (103L, "zulu yankee xray more noise")).toDF("doc_id", "text")
+    wave2.write.mode("append").parquet(inDir)
+    DocIngest.startDsirAdmission(spark, inDir, lam, 32, threshold, store, ckpt)
+      .awaitTermination()
+    assert(admitted() === batchKeep(wave1.unionByName(wave2)),
+      s"stream must equal the batch filter after both waves, got ${admitted()}")
+  }
+
   test("streaming admission honors non-default index params (gate stays armed)") {
     import graft.streaming.DocIngest
     val base = "the quick brown fox jumps over the lazy dog and it is " +
