@@ -662,14 +662,16 @@ object Corpus {
   def dsirWeights(
       docs: DataFrame,
       target: DataFrame,
-      nBuckets: Int = 64): DataFrame = {
+      nBuckets: Int = 64,
+      shingleN: Int = 1): DataFrame = {
     require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    require(shingleN > 0, s"shingleN must be positive, got $shingleN")
     // (keep*, b): one row per token occurrence; 56-bit hashes are
     // non-negative so % == pmod and matches the oracle's %.
     def buckets(df: DataFrame, keep: Column*): DataFrame =
       df.select(keep :+ explode(
         TextOps.shingleHashes(
-          TextOps.shinglesFromTokens(TextOps.tokens(col("text")), 1))).as("h"): _*)
+          TextOps.shinglesFromTokens(TextOps.tokens(col("text")), shingleN))).as("h"): _*)
         .withColumn("b", col("h") % nBuckets.toLong)
     // Per-doc bucket counts feed BOTH the raw model and the scoring pass,
     // so the corpus pays a single token explode; the raw model aggregates
@@ -708,12 +710,14 @@ object Corpus {
   def dsirModel(
       docs: DataFrame,
       target: DataFrame,
-      nBuckets: Int = 64): Map[Long, Double] = {
+      nBuckets: Int = 64,
+      shingleN: Int = 1): Map[Long, Double] = {
     require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    require(shingleN > 0, s"shingleN must be positive, got $shingleN")
     def cnt(df: DataFrame): Map[Long, Long] =
       df.select(explode(
           TextOps.shingleHashes(
-            TextOps.shinglesFromTokens(TextOps.tokens(col("text")), 1))).as("h"))
+            TextOps.shinglesFromTokens(TextOps.tokens(col("text")), shingleN))).as("h"))
         .groupBy((col("h") % nBuckets.toLong).as("b"))
         .agg(count(lit(1)).as("c"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -734,15 +738,20 @@ object Corpus {
     * startDsirAdmission]]) as-is. Agrees with [[dsirWeights]]' `logw`
     * up to double-summation order (the fold runs in token order; the
     * distributed sum in partial-aggregate order). */
-  def dsirScore(text: Column, lam: Map[Long, Double], nBuckets: Int): Column = {
+  def dsirScore(
+      text: Column,
+      lam: Map[Long, Double],
+      nBuckets: Int,
+      shingleN: Int = 1): Column = {
     require(nBuckets > 0 && lam.keySet == (0L until nBuckets.toLong).toSet,
       s"lam must cover every bucket 0 until $nBuckets — fit it with dsirModel")
+    require(shingleN > 0, s"shingleN must be positive, got $shingleN")
     val lamCol = map(lam.toSeq.sortBy(_._1)
       .flatMap { case (b, w) => Seq(lit(b), lit(w)) }: _*)
     aggregate(
       transform(
         TextOps.shingleHashes(
-          TextOps.shinglesFromTokens(TextOps.tokens(text), 1)),
+          TextOps.shinglesFromTokens(TextOps.tokens(text), shingleN)),
         h => h % nBuckets.toLong),
       lit(0.0),
       (acc, b) => acc + element_at(lamCol, b))

@@ -611,6 +611,26 @@ class CorpusSpec extends SparkSpec {
       Corpus.dsirScore(col("text"), lam - 0L, 32)) // incomplete support
   }
 
+  test("dsir with bigram features: zero law holds and expr matches distributed weights") {
+    // hashed-bigram features (the DSIR paper's instantiation): the same
+    // laws must hold under shingleN = 2
+    val zero = Corpus.dsirWeights(corpus, corpus.select(col("text")),
+        nBuckets = 32, shingleN = 2)
+      .select("logw").as[Double].collect()
+    assert(zero.nonEmpty && zero.forall(_ === 0.0))
+    val target = corpus.where(col("source") === "src1").select(col("text"))
+    val lam = Corpus.dsirModel(corpus, target, nBuckets = 32, shingleN = 2)
+    val scored = corpus
+      .select(col("doc_id"), Corpus.dsirScore(col("text"), lam, 32, shingleN = 2).as("s"))
+      .as[(Long, Double)].collect().toMap
+    val want = Corpus.dsirWeights(corpus, target, nBuckets = 32, shingleN = 2)
+      .select(col("doc_id"), col("logw")).as[(Long, Double)].collect().toMap
+    assert(scored.keySet === want.keySet)
+    scored.foreach { case (id, sc) =>
+      assert(math.abs(sc - want(id)) <= 1e-9 * math.max(1.0, math.abs(sc)), s"doc $id")
+    }
+  }
+
   test("dsirWeights: n_tokens is the document's token count") {
     val w = Corpus.dsirWeights(corpus, corpus.limit(10).select(col("text")))
       .select("doc_id", "n_tokens").as[(Long, Long)].collect().toMap
