@@ -113,6 +113,32 @@ object Queries {
 
   private val sqlCcCte: String = "WITH RECURSIVE " + sqlCcCteBody
 
+  /** BPE-apply oracle fragment — [[graft.operators.TextOps.BpeMerges]]
+    * as literal VALUES plus the per-rank replace-to-fixpoint recursion
+    * over the space-delimited symbol string (the `BpeApplyExpr` contract
+    * over DuckDB's identical leftmost non-overlapping `replace`; ranks
+    * advance only when a pass changes nothing, and every step either
+    * advances the rank or strictly shortens the string, so the recursion
+    * terminates). Yields `btok(source, token)` (raw token instances) and
+    * `bseg(token, seg, n_sym)` (one row per distinct token). */
+  private val sqlBpeSegCtes: String =
+    s"""btok AS (SELECT source, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token FROM documents),
+       |bv AS (SELECT DISTINCT token FROM btok WHERE token <> ''),
+       |bm(mr, pat, rep) AS (VALUES
+       |  (1, ' t h ', ' th '), (2, ' th e ', ' the '), (3, ' i n ', ' in '),
+       |  (4, ' a n ', ' an '), (5, ' an d ', ' and '), (6, ' e r ', ' er '),
+       |  (7, ' o n ', ' on '), (8, ' r e ', ' re '), (9, ' in g ', ' ing '),
+       |  (10, ' o u ', ' ou '), (11, ' s t ', ' st '), (12, ' e d ', ' ed ')),
+       |bit AS (
+       |  SELECT token, ' ' || array_to_string(string_split_regex(token, ''), ' ') || ' ' AS s, 1 AS r FROM bv
+       |  UNION ALL
+       |  SELECT token,
+       |    CASE WHEN replace(s, pat, rep) <> s THEN replace(s, pat, rep) ELSE s END,
+       |    CASE WHEN replace(s, pat, rep) <> s THEN bit.r ELSE bit.r + 1 END
+       |  FROM bit JOIN bm ON bm.mr = bit.r),
+       |bseg AS (SELECT token, trim(s) AS seg, CAST(len(string_split(trim(s), ' ')) AS BIGINT) AS n_sym
+       |  FROM bit WHERE r = 13)""".stripMargin
+
   /** Corpus-assembly oracle, front half (mirror of [[assembleFiltered]]):
     * exact-dedup keep set, tokenization, language vote, quality score,
     * and the `kept` gate. Shared by `corpus_assemble` and
@@ -1796,6 +1822,25 @@ object Queries {
       graft.operators.TextOps.bpeMergePairs(
         docs(s, dir).repartition(col("doc_id")), k = 50)),
 
+    // extension: BPE merge APPLICATION — the pinned ranked merge list
+    // ([[TextOps.BpeMerges]], literal-model rule) applied to the
+    // vocabulary: top-200 tokens by tf with their segmentations and
+    // subword counts. Kernel cost ∝ |vocab| · merges, never corpus
+    // tokens; the oracle restates the per-rank replace-to-fixpoint
+    // verbatim as a recursive CTE over the same `replace` primitive.
+    "text_bpe_apply" -> ((s, dir) =>
+      graft.operators.TextOps.bpeSegmentations(
+        docs(s, dir).repartition(col("doc_id")), k = 200)),
+
+    // extension: per-source tokenizer FERTILITY (subwords per word)
+    // under the pinned merges — the tokenizer-eval metric; segmentation
+    // runs once per distinct token, the rollup is one row per source
+    "text_bpe_fertility" -> ((s, dir) =>
+      graft.operators.TextOps.bpeFertility(docs(s, dir).repartition(col("doc_id")))
+        .select(col("source"), col("n_words"), col("n_subwords"),
+          r4(col("n_subwords").cast("double") / col("n_words")).as("fertility"))
+        .orderBy("source")),
+
     // extension: vocabulary building — top-k tokens by term frequency
     // with document frequency, deterministic tie-break; the two-stage
     // map-side-combinable wordcount (no Expand, no corpus-wide sort)
@@ -3432,6 +3477,27 @@ object Queries {
          |r AS (SELECT source, doc_id, logw,
          |    row_number() OVER (PARTITION BY source ORDER BY logw DESC, doc_id) AS rn FROM ws)
          |SELECT source, doc_id, logw FROM r WHERE rn <= 10 ORDER BY source, doc_id""".stripMargin,
+
+    // the pinned merge list applied by a recursive CTE: per rank, iterate
+    // DuckDB's `replace` (leftmost non-overlapping, same primitive the
+    // native kernel loops) until fixpoint, then advance — BpeApplyExpr's
+    // contract restated verbatim; joined to the tf-weighted top-200
+    "text_bpe_apply" ->
+      s"""WITH RECURSIVE $sqlBpeSegCtes,
+         |btf AS (SELECT token, CAST(count(*) AS BIGINT) AS tf FROM btok WHERE token <> '' GROUP BY token),
+         |btop AS (SELECT token, tf FROM btf ORDER BY tf DESC, token ASC LIMIT 200)
+         |SELECT t.token, t.tf, b.seg, b.n_sym FROM btop t JOIN bseg b USING (token)
+         |ORDER BY t.tf DESC, t.token ASC""".stripMargin,
+
+    // fertility from exact integer word/subword counts; the ratio divides
+    // the same two BIGINTs in both engines, so r4 is boundary-safe
+    "text_bpe_fertility" ->
+      s"""WITH RECURSIVE $sqlBpeSegCtes,
+         |stf AS (SELECT source, token, count(*) AS tf FROM btok WHERE token <> '' GROUP BY source, token)
+         |SELECT source, CAST(sum(tf) AS BIGINT) AS n_words,
+         |  CAST(sum(tf * n_sym) AS BIGINT) AS n_subwords,
+         |  ${sqlR4("CAST(sum(tf * n_sym) AS DOUBLE) / sum(tf)")} AS fertility
+         |FROM stf JOIN bseg USING (token) GROUP BY source ORDER BY source""".stripMargin,
 
     // vocab-weighted adjacent-pair counts; substr/len count characters in
     // both engines, and the ORDER BY ties break on binary collation in both

@@ -770,4 +770,66 @@ object NativeExprs {
     }
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
+
+  /** BPE merge application over one pre-tokenized word: split the token
+    * into code-point symbols, then apply each `(left, right) → leftright`
+    * merge IN RANK ORDER, iterating the literal leftmost-first
+    * non-overlapping replace `" a b " → " ab "` on the space-delimited
+    * symbol string until fixpoint before advancing to the next rank.
+    * Returns the final segmentation as a single space-joined string
+    * (`"thththe" → "th th the"`).
+    *
+    * The per-rank replace-to-fixpoint is exactly the Sennrich et al. 2016
+    * training-time apply (merge ALL occurrences of the pair, leftmost
+    * first, re-scanning after each pass so chains like `t h t h` fully
+    * collapse); it equals rank-priority application when the merge list
+    * is self-consistent (each merge's operands are single characters or
+    * products of strictly earlier merges). The same iteration is
+    * expressible engine-independently — the DuckDB oracle runs it as a
+    * recursive CTE over the identical `replace` primitive, which is why
+    * the delimiter contract (single ASCII space; symbols are `\s+`-free
+    * by construction) is part of the expression's spec.
+    *
+    * The merge list rides the expression as constructor data (the
+    * literal-model rule: same class as the LSH plane set and the char-LM
+    * table — bounded, broadcast with the plan, never a driver loop).
+    * Cost is O(len · merges) per DISTINCT vocab token — callers apply
+    * this over the tf-weighted vocabulary, never per token instance. */
+  case class BpeApplyExpr(child: Expression, merges: Seq[(String, String)])
+      extends UnaryExpression with CodegenFallback {
+    require(merges.nonEmpty, "merge list must be non-empty")
+    @transient private lazy val pats: Array[(String, String)] =
+      merges.iterator.map { case (a, b) => (" " + a + " " + b + " ", " " + a + b + " ") }.toArray
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = child.nullable
+    override def eval(input: InternalRow): Any = {
+      val t = child.eval(input).asInstanceOf[UTF8String]
+      if (t == null) return null
+      val tok = t.toString
+      if (tok.isEmpty) return UTF8String.EMPTY_UTF8
+      val sb = new java.lang.StringBuilder(tok.length * 2 + 2)
+      sb.append(' ')
+      var i = 0
+      while (i < tok.length) {
+        val cp = tok.codePointAt(i)
+        sb.appendCodePoint(cp).append(' ')
+        i += Character.charCount(cp)
+      }
+      var s = sb.toString
+      var r = 0
+      while (r < pats.length) {
+        val (pat, rep) = pats(r)
+        var prev = s
+        var next = s.replace(pat, rep)
+        while (next != prev) { prev = next; next = next.replace(pat, rep) }
+        s = next
+        r += 1
+      }
+      UTF8String.fromString(s.substring(1, s.length - 1))
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  def bpeApply(token: Column, merges: Seq[(String, String)]): Column =
+    asCol(BpeApplyExpr(ex(token), merges))
 }

@@ -302,6 +302,69 @@ object TextOps {
       .limit(k)
   }
 
+  /** The pinned demo merge list for [[bpeApply]] — ranked, and
+    * SELF-CONSISTENT (each merge's operands are single characters or
+    * products of strictly earlier merges), which is the condition under
+    * which applying merges sequentially in rank order equals the
+    * rank-priority application real tokenizers run. Production derives
+    * this table from [[bpeMergePairs]] iterations; the query pins a
+    * literal list for the same reason the streaming DSIR gate pins its
+    * model — the oracle must be able to restate the model verbatim. */
+  val BpeMerges: Seq[(String, String)] = Seq(
+    "t" -> "h", "th" -> "e", "i" -> "n", "a" -> "n", "an" -> "d",
+    "e" -> "r", "o" -> "n", "r" -> "e", "in" -> "g", "o" -> "u",
+    "s" -> "t", "e" -> "d")
+
+  /** Apply a ranked BPE merge list to one token (native kernel — see
+    * [[graft.functions.NativeExprs.BpeApplyExpr]] for the fixpoint
+    * contract). Returns the space-joined segmentation string. */
+  def bpeApply(token: Column, merges: Seq[(String, String)] = BpeMerges): Column =
+    graft.functions.NativeExprs.bpeApply(token, merges)
+
+  /** BPE segmentation table: the top-`k` vocabulary tokens by corpus
+    * term frequency with their merged segmentations and subword counts —
+    * the tokenizer-debugging view ("what does the vocab actually
+    * segment to?").
+    *
+    * Scale: the segmentation (the O(len · merges) kernel) runs over the
+    * DISTINCT vocabulary produced by the map-side-combinable two-stage
+    * wordcount, never over corpus token instances; the result is a
+    * bounded top-k (`TakeOrderedAndProject`), never a global sort. */
+  def bpeSegmentations(docs: DataFrame, k: Int,
+      merges: Seq[(String, String)] = BpeMerges): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    docs.select(explode(tokens(col("text"))).as("token"))
+      .where(col("token") =!= "")
+      .groupBy(col("token")).agg(count(lit(1)).as("tf"))
+      .withColumn("seg", bpeApply(col("token"), merges))
+      .withColumn("n_sym", size(split(col("seg"), " ")).cast("long"))
+      .orderBy(col("tf").desc, col("token").asc)
+      .limit(k)
+  }
+
+  /** Per-source tokenizer fertility (subwords emitted per word) under a
+    * BPE merge list — the standard tokenizer-evaluation metric: a
+    * fertility spike on one source means the merge table under-serves
+    * that domain's vocabulary.
+    *
+    * Scale: segmentation cost ∝ |distinct vocabulary| (one kernel call
+    * per distinct token, shared across sources), then one shuffle on the
+    * token key joins per-(source, token) frequencies to subword counts,
+    * and the rollup is map-side combinable to one row per source. */
+  def bpeFertility(docs: DataFrame,
+      merges: Seq[(String, String)] = BpeMerges): DataFrame = {
+    val st = docs.select(col("source"), explode(tokens(col("text"))).as("token"))
+      .where(col("token") =!= "")
+      .groupBy(col("source"), col("token")).agg(count(lit(1)).as("tf"))
+    val vocab = st.select(col("token")).distinct()
+      .select(col("token"),
+        size(split(bpeApply(col("token"), merges), " ")).as("n_sym"))
+    st.join(vocab, Seq("token"))
+      .groupBy(col("source"))
+      .agg(sum(col("tf")).as("n_words"),
+        sum(col("tf") * col("n_sym")).as("n_subwords"))
+  }
+
   /** Character n-gram windows in code points (native kernel). */
   def charNgrams(text: Column, n: Int): Column =
     graft.functions.NativeExprs.charNgrams(text, n)

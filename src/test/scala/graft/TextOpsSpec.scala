@@ -165,4 +165,71 @@ class TextOpsSpec extends SparkSpec {
     assert(TextOps.bpeMergePairs(tied, k = 10).as[(String, Long)].collect().toSeq
       === Seq(("xy", 1L), ("zw", 1L)))
   }
+
+  /** Canonical symbol-level BPE apply (merge-all-occurrences leftmost,
+    * rescan until none, per rank) — the independent reference the
+    * string-replace kernel must equal; mirrors the oracle's recursive
+    * CTE at the symbol level rather than the char level. */
+  private def bpeRef(tok: String, merges: Seq[(String, String)]): String = {
+    var syms = tok.codePoints().toArray.map(cp => new String(Character.toChars(cp))).toSeq
+    for ((a, b) <- merges) {
+      var changed = true
+      while (changed) {
+        changed = false
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+            out += (a + b); i += 2; changed = true
+          } else { out += syms(i); i += 1 }
+        }
+        syms = out.toSeq
+      }
+    }
+    syms.mkString(" ")
+  }
+
+  test("bpeApply: pinned goldens incl. merge chains, rescan, and unicode") {
+    def ap(t: String): String = one[String](t, TextOps.bpeApply(col("text")))
+    assert(ap("the") === "the")          // t+h → th, th+e → the
+    assert(ap("thththe") === "th th the") // leftmost chains collapse fully
+    assert(ap("anding") === "and ing")   // an+d and in+g both fire
+    assert(ap("xthey") === "x the y")    // merge inside a longer token
+    assert(ap("aaa") === "a a a")        // no (a,a) merge in the list
+    assert(ap("sort") === "s o r t")     // s,t not adjacent → untouched
+    assert(ap("héllo") === "h é l l o")  // non-ASCII symbols pass through
+    assert(ap("a𝄞b") === "a 𝄞 b") // supplementary plane
+  }
+
+  test("bpeApply: replace-fixpoint kernel == canonical symbol-level apply (fuzz)") {
+    val rnd = new scala.util.Random(20260813L)
+    val alpha = "theandingoust" // letters the merge list is dense over
+    val toks = (1 to 300).map { _ =>
+      val n = 1 + rnd.nextInt(12)
+      (1 to n).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+    } :+ "ththth" :+ "ananan" :+ "ededed" :+ "inging"
+    val got = toks.toDF("text").select(col("text"), TextOps.bpeApply(col("text")).as("seg"))
+      .as[(String, String)].collect()
+    for ((t, seg) <- got)
+      assert(seg === bpeRef(t, TextOps.BpeMerges), s"token '$t'")
+  }
+
+  test("bpeSegmentations / bpeFertility: vocab-level shapes") {
+    val docs = Seq(
+      (1L, "src0", "the the thing"),
+      (2L, "src1", "sort the band")).toDF("doc_id", "source", "text")
+    val seg = TextOps.bpeSegmentations(docs, k = 10)
+      .as[(String, Long, String, Long)].collect().toSeq
+    // tf order: the×3 first; ties (band, sort, thing ×1) break on token asc
+    assert(seg === Seq(
+      ("the", 3L, "the", 1L),
+      ("band", 1L, "b and", 2L),
+      ("sort", 1L, "s o r t", 4L),
+      ("thing", 1L, "th ing", 2L)))
+    val fert = TextOps.bpeFertility(docs)
+      .orderBy("source").as[(String, Long, Long)].collect().toSeq
+    // src0: the(1)+the(1)+thing(2)=4 subwords / 3 words
+    // src1: sort(4)+the(1)+band(2)=7 subwords / 3 words
+    assert(fert === Seq(("src0", 3L, 4L), ("src1", 3L, 7L)))
+  }
 }
