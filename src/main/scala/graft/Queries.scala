@@ -878,6 +878,18 @@ object Queries {
         .select(col("doc_id_a"), col("doc_id_b"), r4(col("jaccard")).as("jaccard"))
         .orderBy("doc_id_a", "doc_id_b")),
 
+    // extension: CONTAINMENT near-dup pairs — the asymmetric detector
+    // (A quoted inside a larger B: high containment, low Jaccard, no
+    // band agreement); candidates from the rare-shingle posting-list
+    // join (df ∈ [2, 10] as the bucket bound), exact set verification
+    // over the same cached digest pass dedup_minhash uses
+    "dedup_containment" -> ((s, dir) =>
+      Dedup.containmentPairs(docs(s, dir), shingleN = 3, perms = 16,
+          maxDf = 10, threshold = 0.8)
+        .select(col("doc_id_a"), col("doc_id_b"),
+          r4(col("containment")).as("containment"), r4(col("jaccard")).as("jaccard"))
+        .orderBy("doc_id_a", "doc_id_b")),
+
     // extension: incremental (streaming-shaped) near-dup gate — docs
     // arriving after the split point are checked against the banded
     // MinHash index of the existing corpus. Same transform the streaming
@@ -2466,6 +2478,32 @@ object Queries {
          |  CAST(len(list_intersect(a.h1, b.h1)) AS DOUBLE) / len(list_distinct(a.h1 || b.h1)) AS jaccard
          |  FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id)
          |SELECT doc_id_a, doc_id_b, ${sqlR4("jaccard")} AS jaccard FROM j WHERE jaccard >= 0.5 ORDER BY doc_id_a, doc_id_b""".stripMargin,
+
+    // rare-shingle postings (df BETWEEN 2 AND 10) → pair join → exact
+    // containment/jaccard over the distinct 56-bit shingle hashes; both
+    // ratios are exact small-integer rationals, so the 0.8 gate and r4
+    // are boundary-identical across engines
+    "dedup_containment" ->
+      s"""WITH toks AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(len(tk) - 2, 0)),
+         |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
+         |  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk FROM documents)),
+         |ne AS (SELECT doc_id, sh FROM toks WHERE len(sh) > 0),
+         |hh AS (SELECT doc_id,
+         |  list_distinct(list_transform(sh, s -> list_reduce(list_transform(string_split_regex(substr(md5(s), 1, 14), ''),
+         |    c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a * 16 + b))) AS hs
+         |  FROM ne),
+         |p AS (SELECT doc_id, unnest(hs) AS h FROM hh),
+         |df AS (SELECT h, count(*) AS df FROM p GROUP BY h),
+         |r AS (SELECT h FROM df WHERE df BETWEEN 2 AND 10),
+         |rp AS (SELECT p.doc_id, p.h FROM p JOIN r USING (h)),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+         |  FROM rp a JOIN rp b ON a.h = b.h AND a.doc_id < b.doc_id),
+         |v AS (SELECT doc_id_a, doc_id_b,
+         |   CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE) / least(len(x.hs), len(y.hs)) AS containment,
+         |   CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE) / len(list_distinct(x.hs || y.hs)) AS jaccard
+         | FROM cand JOIN hh x ON cand.doc_id_a = x.doc_id JOIN hh y ON cand.doc_id_b = y.doc_id)
+         |SELECT doc_id_a, doc_id_b, ${sqlR4("containment")} AS containment, ${sqlR4("jaccard")} AS jaccard
+         |FROM v WHERE containment >= 0.8 ORDER BY doc_id_a, doc_id_b""".stripMargin,
 
     // the dedup_minhash pipeline with a threshold-ladder rollup tail;
     // jaccards are exact rationals so the >= comparisons are

@@ -194,6 +194,69 @@ object Dedup {
       .where(col("jaccard") >= lit(threshold))
   }
 
+  /** Containment near-dup pairs — the asymmetric-duplication detector
+    * Jaccard-banded LSH is structurally blind to: when A ⊂ B and |B| ≫
+    * |A| (an article quoted inside a much larger wrapper page), Jaccard
+    * is small so no MinHash band agrees, yet containment |A∩B|/|A| ≈ 1.
+    * Candidate generation inverts on RARE shingles instead of signature
+    * bands: every pair sharing at least one shingle with document
+    * frequency in [2, maxDf] becomes a candidate. A high-containment
+    * pair shares ALL of the smaller doc's shingles, so it escapes only
+    * when every one of them is corpus-common (df > maxDf) — i.e. the
+    * smaller doc is pure boilerplate, which is [[Corpus.lineDedup]]'s
+    * jurisdiction, not containment dedup's. Reported containment is the
+    * max-directional form |A∩B| / min(|A|,|B|); Jaccard rides along for
+    * triage.
+    *
+    * Scale: a posting-list self-join with the df cap as the bucket
+    * bound — per-shingle fan-out ≤ maxDf², total candidate work ≤
+    * maxDf · |corpus shingle instances|, never all-pairs. Verification
+    * is exact set ops over the cached 56-bit shingle hashes; the `sig`
+    * frame is the SAME cached plan [[minhashLsh]] registers (one fused
+    * digest pass serves both pipelines in a session). Both ratios are
+    * exact small-integer rationals, so the threshold gate and the
+    * oracle's are boundary-identical across engines. */
+  def containmentPairs(
+      docs: DataFrame,
+      shingleN: Int = 3,
+      perms: Int = 16,
+      maxDf: Int = 10,
+      threshold: Double = 0.8): DataFrame = {
+    require(maxDf >= 2, s"maxDf must be >= 2, got $maxDf")
+    val sig = graft.Caching.ensureCached(
+      minhashSignature(docs, shingleN, perms)
+        .select(col("doc_id"), col("__sig"), col("__shh")))
+    // Narrow postings — (doc_id, one 8-byte hash) — so the df count and
+    // the self-join shuffle primitives, never shingle arrays.
+    val postings = sig.select(col("doc_id"),
+      explode(array_distinct(col("__shh"))).as("__h"))
+    val rare = postings.groupBy(col("__h")).agg(count(lit(1)).as("__df"))
+      .where(col("__df") >= 2 && col("__df") <= maxDf)
+      .select(col("__h"))
+    val rp = postings.join(rare, Seq("__h"))
+    val candidates = rp.select(col("__h"), col("doc_id").as("doc_id_a"))
+      .join(rp.select(col("__h"), col("doc_id").as("doc_id_b")), Seq("__h"))
+      .where(col("doc_id_a") < col("doc_id_b"))
+      .select("doc_id_a", "doc_id_b")
+      .distinct() // a pair may share several rare shingles
+    val candIds = candidates.select(col("doc_id_a").as("doc_id"))
+      .union(candidates.select(col("doc_id_b").as("doc_id")))
+      .distinct()
+    val candSh = sig.join(candIds, Seq("doc_id"), "left_semi")
+    val shA = candSh.select(col("doc_id").as("doc_id_a"),
+      array_distinct(col("__shh")).as("__sa"))
+    val shB = candSh.select(col("doc_id").as("doc_id_b"),
+      array_distinct(col("__shh")).as("__sb"))
+    candidates
+      .join(shA, Seq("doc_id_a"))
+      .join(shB, Seq("doc_id_b"))
+      .select(col("doc_id_a"), col("doc_id_b"),
+        (size(array_intersect(col("__sa"), col("__sb"))).cast("double") /
+          least(size(col("__sa")), size(col("__sb"))).cast("double")).as("containment"),
+        TextOps.jaccard(col("__sa"), col("__sb")).as("jaccard"))
+      .where(col("containment") >= lit(threshold))
+  }
+
   /** SimHash fingerprint (60-bit, from the top 15 hex chars of each token's
     * md5 so the bit source is cross-engine reproducible): per bit position,
     * tokens vote ±1; the bit is set when the vote is positive. Map-only.

@@ -223,4 +223,39 @@ class DedupSpec extends SparkSpec {
     assert(counts.head > 0, "expected at least one candidate pair")
     counts.sliding(2).foreach { case Seq(a, b) => assert(a >= b) }
   }
+
+  test("containmentPairs: catches A-inside-B that Jaccard-banded LSH misses") {
+    val small = "crimson harbor lanterns drift beyond the silent jetty stones tonight"
+    val filler = (1 to 120).map(i => s"w$i").mkString(" ") // unique wrapper bulk
+    val d = Seq(
+      (1L, small),                      // the quoted article
+      (2L, filler + " " + small),       // wrapper page containing it whole
+      (3L, "totally unrelated text about catalyst broadcast joins and shuffles"),
+      (4L, "yet another page concerning parquet footers and row group stats")
+    ).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(d, shingleN = 3, perms = 16,
+        maxDf = 10, threshold = 0.8)
+      .select("doc_id_a", "doc_id_b", "containment", "jaccard")
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    assert(got.map(p => (p._1, p._2)) === Seq((1L, 2L)))
+    val (_, _, c, j) = got.head
+    assert(c === 1.0, s"expected full containment, got $c") // every shingle of 1 is in 2
+    assert(j < 0.5, s"expected low jaccard, got $j")        // which is why LSH misses it
+    // the Jaccard pipeline is structurally blind to this pair at its
+    // own threshold — the gap containmentPairs exists to close
+    val lsh = Dedup.minhashLsh(d, shingleN = 3, perms = 16, bands = 4, threshold = 0.5)
+    assert(lsh.where(col("doc_id_a") === 1L && col("doc_id_b") === 2L).count() === 0)
+  }
+
+  test("containmentPairs: all-common-shingle docs produce no candidates (df cap)") {
+    // six identical docs: every shingle has df 6 > maxDf 5 → no postings
+    val d = (1L to 6L).map(i => (i, "alpha beta gamma delta epsilon zeta eta"))
+      .toDF("doc_id", "text")
+    assert(Dedup.containmentPairs(d, maxDf = 5).count() === 0)
+    // raise the cap above the family size and the pairs appear, fully contained
+    val pairs = Dedup.containmentPairs(d, maxDf = 6)
+    assert(pairs.count() === 15 && // C(6,2)
+      pairs.agg(min(col("containment")), max(col("containment")))
+        .as[(Double, Double)].head() === ((1.0, 1.0)))
+  }
 }
