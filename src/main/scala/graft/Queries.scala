@@ -331,6 +331,29 @@ object Queries {
         .select(col("sub_idx"), col("code"),
           slice(col("embedding"), col("sub_idx") * 16 + 1, lit(16)).as("cvec")))
 
+  /** [[pqFixedBooks]] with the pinned OPQ-lite reflection applied to the
+    * codebook sources — the rotated-space codebooks for
+    * `pq_rotated_codes`. Rotation happens BEFORE the float cast so both
+    * engines round the same doubles. */
+  private def pqRotatedBooks(s: SparkSession, dir: String): DataFrame =
+    operators.VectorOps.pqPack(
+      recs(s, dir).where(col("id") < 16)
+        .select(col("id").cast("int").as("code"),
+          operators.VectorOps.householderReflect(col("embedding"))
+            .cast("array<float>").as("embedding"))
+        .select(explode(sequence(lit(0), lit(3))).as("sub_idx"),
+          col("code"), col("embedding"))
+        .select(col("sub_idx"), col("code"),
+          slice(col("embedding"), col("sub_idx") * 16 + 1, lit(16)).as("cvec")))
+
+  /** The pinned OPQ direction / its squared norm as SQL literals —
+    * interpolated from [[operators.VectorOps.OpqDirection]] so the
+    * oracle restates the exact integers the kernel folds. */
+  private val sqlOpqW: String =
+    operators.VectorOps.OpqDirection.map(_.toInt).mkString("[", ", ", "]")
+  private val sqlOpqWw: String =
+    s"${operators.VectorOps.OpqDirection.map(x => x * x).sum.toInt}.0"
+
   /** The capped-LSH duplicate-group map, memoized per (session, dir) —
     * the dedup twin of [[fixedModel]]: a pipeline computes the keep/drop
     * map ONCE per corpus version and every consumer (the group listing,
@@ -1062,6 +1085,24 @@ object Queries {
         .crossJoin(broadcast(pqFixedBooks(s, dir)))
         .select(col("vec_id"),
           posexplode(operators.VectorOps.pqCodes(col("embedding"), col("books"))))
+        .select(col("vec_id"), col("pos").cast("int").as("sub_idx"),
+          col("col").as("code"))
+        .orderBy("vec_id", "sub_idx")),
+
+    // extension: ROTATED product quantization (OPQ-lite) — the pinned
+    // Householder reflection applied to vectors and codebook sources
+    // before encoding: OPQ's plumbing (rotate → encode; a query side
+    // would rotate q once and probe unchanged) with the trained rotation
+    // replaced by a pinned one. Distances are preserved exactly, so all
+    // downstream ADC algebra is unchanged; rotation is one native
+    // map-only kernel per row.
+    "pq_rotated_codes" -> ((s, dir) =>
+      emb(s, dir).select(col("vec_id"),
+          operators.VectorOps.householderReflect(col("embedding"))
+            .cast("array<float>").as("__rv"))
+        .crossJoin(broadcast(pqRotatedBooks(s, dir)))
+        .select(col("vec_id"),
+          posexplode(operators.VectorOps.pqCodes(col("__rv"), col("books"))))
         .select(col("vec_id"), col("pos").cast("int").as("sub_idx"),
           col("col").as("code"))
         .orderBy("vec_id", "sub_idx")),
@@ -2626,6 +2667,28 @@ object Queries {
          |enc AS (SELECT e.vec_id, b.sub_idx, b.code,
          |  ${sqlSq("list_slice(e.embedding, CAST(b.sub_idx * 16 + 1 AS INT), CAST(b.sub_idx * 16 + 16 AS INT))", "b.cvec")} AS d
          |  FROM embeddings e CROSS JOIN books b)
+         |SELECT vec_id, CAST(sub_idx AS INT) AS sub_idx, code FROM (
+         |  SELECT vec_id, sub_idx, code, row_number() OVER (PARTITION BY vec_id, sub_idx ORDER BY d ASC, code ASC) AS rn FROM enc)
+         |WHERE rn = 1 ORDER BY vec_id, sub_idx""".stripMargin,
+
+    // the reflection restated from the same pinned integers the kernel
+    // folds (left-fold dot, one map, REAL cast), then pq_codes' argmin
+    "pq_rotated_codes" ->
+      s"""WITH rotq AS (SELECT vec_id, embedding,
+         |  list_reduce(list_transform(list_zip(embedding, $sqlOpqW),
+         |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (a, b) -> a + b) AS wv
+         |  FROM embeddings),
+         |rot AS (SELECT vec_id,
+         |  list_transform(list_zip(embedding, $sqlOpqW),
+         |    p -> CAST(CAST(p[1] AS DOUBLE) - (2.0 * wv / $sqlOpqWw) * CAST(p[2] AS DOUBLE) AS REAL)) AS rv
+         |  FROM rotq),
+         |cb AS (SELECT CAST(vec_id AS INT) AS code, rv FROM rot WHERE vec_id < 16),
+         |books AS (SELECT u.s AS sub_idx, code,
+         |  list_slice(rv, CAST(u.s * 16 + 1 AS INT), CAST(u.s * 16 + 16 AS INT)) AS cvec
+         |  FROM cb, unnest(generate_series(0, 3)) AS u(s)),
+         |enc AS (SELECT e.vec_id, b.sub_idx, b.code,
+         |  ${sqlSq("list_slice(e.rv, CAST(b.sub_idx * 16 + 1 AS INT), CAST(b.sub_idx * 16 + 16 AS INT))", "b.cvec")} AS d
+         |  FROM rot e CROSS JOIN books b)
          |SELECT vec_id, CAST(sub_idx AS INT) AS sub_idx, code FROM (
          |  SELECT vec_id, sub_idx, code, row_number() OVER (PARTITION BY vec_id, sub_idx ORDER BY d ASC, code ASC) AS rn FROM enc)
          |WHERE rn = 1 ORDER BY vec_id, sub_idx""".stripMargin,

@@ -832,4 +832,45 @@ object NativeExprs {
 
   def bpeApply(token: Column, merges: Seq[(String, String)]): Column =
     asCol(BpeApplyExpr(ex(token), merges))
+
+  /** Householder reflection `v − (2·(w·v)/(w·w))·w` with a PINNED
+    * INTEGER direction vector — the cheapest orthogonal transform (the
+    * OPQ-lite pre-rotation for product quantization). Keeping `w`
+    * integer makes `w·w` an exact double, so the whole computation is
+    * plain IEEE double arithmetic with one deterministic left-fold dot
+    * product — restatable verbatim in the oracle's `list_reduce` /
+    * `list_transform` (same multiply-then-accumulate order, no fma).
+    * Null input, or a vector whose length differs from `w`'s, returns
+    * null (fail-closed — dimensions are a schema constant in practice).
+    * Returns `array<double>`; callers cast to float when feeding the
+    * float-typed PQ machinery, and both engines round identically. */
+  case class HouseholderExpr(child: Expression, w: Seq[Double])
+      extends UnaryExpression with CodegenFallback {
+    require(w.nonEmpty, "direction vector must be non-empty")
+    @transient private lazy val warr: Array[Double] = w.toArray
+    @transient private lazy val ww: Double = {
+      var s = 0.0; var i = 0
+      while (i < warr.length) { s += warr(i) * warr(i); i += 1 }
+      s
+    }
+    @transient private lazy val readV: (ArrayData, Int) => Double = reader(child.dataType)
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    override def nullable: Boolean = true
+    override def eval(input: InternalRow): Any = {
+      val v = child.eval(input).asInstanceOf[ArrayData]
+      if (v == null || v.numElements() != warr.length) return null
+      val n = warr.length
+      var dot = 0.0
+      var i = 0
+      while (i < n) { dot += readV(v, i) * warr(i); i += 1 }
+      val c = 2.0 * dot / ww
+      val out = new Array[Any](n)
+      i = 0
+      while (i < n) { out(i) = readV(v, i) - c * warr(i); i += 1 }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  def householder(v: Column, w: Seq[Double]): Column = asCol(HouseholderExpr(ex(v), w))
 }

@@ -91,6 +91,35 @@ object VectorOps {
       }, acc => acc.getField("code"))
     })
 
+  /** Pinned OPQ-lite reflection direction: 64 small integers from a
+    * fixed formula (`((i·7 + 3) mod 13) − 6` — dense, mixed-sign,
+    * exactly representable). A Householder reflection over it is the
+    * cheapest orthogonal transform: applied to vectors AND codebook
+    * sources before PQ encoding it redistributes energy across the
+    * subspace split while preserving all distances — the plumbing of
+    * OPQ (Ge et al. 2013) with the trained rotation replaced by a
+    * pinned one (the literal-model rule: the oracle must restate the
+    * transform verbatim). */
+  val OpqDirection: Seq[Double] =
+    (0 until 64).map(i => (((i * 7 + 3) % 13) - 6).toDouble)
+
+  /** Householder reflection by [[OpqDirection]] (native kernel —
+    * [[graft.functions.NativeExprs.HouseholderExpr]]); array<double>. */
+  def householderReflect(v: Column, w: Seq[Double] = OpqDirection): Column =
+    graft.functions.NativeExprs.householder(v, w)
+
+  /** Declarative HOF twin of [[householderReflect]] — the formulation
+    * the DuckDB oracle mirrors (left-fold dot product, then one
+    * element-wise map); retained as the kernel's executable spec and
+    * fuzz oracle. */
+  def householderReflectHof(v: Column, w: Seq[Double] = OpqDirection): Column = {
+    val wl = array(w.map(lit): _*)
+    val wv = aggregate(zip_with(v, wl, (a, b) => a.cast("double") * b),
+      lit(0.0), (acc, x) => acc + x)
+    val ww = lit(w.map(x => x * x).sum)
+    zip_with(v, wl, (a, b) => a.cast("double") - lit(2.0) * wv / ww * b)
+  }
+
   /** PQ decode: concatenate each subspace's looked-up codebook entry.
     * `‖q − reconstruction‖²` IS the ADC distance for squared L2. */
   def pqReconstruct(codes: Column, books: Column): Column =

@@ -90,6 +90,17 @@ class NativeExprsSpec extends SparkSpec {
       vecsDf)
   }
 
+  test("householder == left-fold/map HOF twin, bit-identical; ragged → null") {
+    val dim = 64
+    val w = graft.operators.VectorOps.OpqDirection
+    val df = (0 until 25).map(i => (i.toLong, randVec(dim))).toDF("id", "v")
+    assertSame(NativeExprs.householder(col("v"), w),
+      graft.operators.VectorOps.householderReflectHof(col("v"), w), df)
+    // length mismatch fails closed (the HOF's zip would pad instead)
+    val short = Seq((1L, randVec(10))).toDF("id", "v")
+    assert(short.select(NativeExprs.householder(col("v"), w)).head().isNullAt(0))
+  }
+
   test("vector kernels: ragged lengths yield null (zip_with pad semantics)") {
     val ragged = Seq((Seq(1f, 2f), Seq(1f, 2f, 3f))).toDF("a", "b")
     val got = ragged.select(NativeExprs.sqEuclidean(col("a"), col("b")).as("d")).head()

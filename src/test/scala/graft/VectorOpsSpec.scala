@@ -172,4 +172,30 @@ class VectorOpsSpec extends SparkSpec {
       .select(VectorOps.l2Normalize(col("embedding"))).as[Seq[Double]].head()
     assert(z === Seq(0.0, 0.0, 0.0, 0.0))
   }
+
+  test("householderReflect: orthogonal (norm/distance preserved), involutive") {
+    val rnd = new scala.util.Random(42)
+    def v64() = Seq.fill(64)(rnd.nextFloat() * 4 - 2)
+    val df = (0 until 20).map(i => (i.toLong, v64(), v64())).toDF("id", "a", "b")
+    def sq(c: org.apache.spark.sql.Column) =
+      aggregate(transform(c, x => x * x), lit(0.0), (acc, x) => acc + x)
+    val ra = VectorOps.householderReflect(col("a"))
+    val rb = VectorOps.householderReflect(col("b"))
+    val rows = df.select(
+      sq(col("a").cast("array<double>")).as("na"), sq(ra).as("nra"),
+      graft.functions.NativeExprs.sqEuclidean(col("a"), col("b")).as("d"),
+      graft.functions.NativeExprs.sqEuclidean(ra, rb).as("rd"),
+      graft.functions.NativeExprs.sqEuclidean(
+        VectorOps.householderReflect(ra), col("a").cast("array<double>")).as("inv"))
+      .as[(Double, Double, Double, Double, Double)].collect()
+    rows.foreach { case (na, nra, d, rd, inv) =>
+      assert(math.abs(na - nra) / na < 1e-12, s"norm not preserved: $na vs $nra")
+      assert(math.abs(d - rd) / (d + 1e-30) < 1e-10, s"distance not preserved: $d vs $rd")
+      assert(inv < 1e-20 * na, s"not involutive: residual $inv")
+    }
+    // the reflection genuinely moves vectors (it is not the identity)
+    val moved = df.select(graft.functions.NativeExprs.sqEuclidean(
+      ra, col("a").cast("array<double>"))).as[Double].collect()
+    assert(moved.forall(_ > 0.0))
+  }
 }
