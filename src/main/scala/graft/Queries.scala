@@ -1894,6 +1894,23 @@ object Queries {
           r4(col("n_subwords").cast("double") / col("n_words")).as("fertility"))
         .orderBy("source")),
 
+    // extension: character-diversity quality stats — Simpson collision
+    // index + dominant-char ratio (the mojibake/char-flood detectors);
+    // one map-only kernel pass per doc, exact integer sums so no
+    // forced-order fold is needed anywhere
+    "text_char_diversity" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"),
+          graft.operators.TextOps.charDiversity(col("text")).as("__cd"))
+        .where(col("__cd.n_cp") > 0)
+        .select(col("doc_id"),
+          col("__cd.n_cp").as("n_cp"),
+          col("__cd.n_distinct").as("n_distinct"),
+          r4(lit(1.0) - col("__cd.sum_sq").cast("double") /
+            (col("__cd.n_cp") * col("__cd.n_cp")).cast("double")).as("simpson"),
+          r4(col("__cd.max_n").cast("double") / col("__cd.n_cp")).as("dominance"))
+        .orderBy("doc_id")),
+
     // extension: vocabulary building — top-k tokens by term frequency
     // with document frequency, deterministic tie-break; the two-stage
     // map-side-combinable wordcount (no Expand, no corpus-wide sort)
@@ -2236,7 +2253,20 @@ object Queries {
         .select(col("event_type"),
           r4(col("qs")(0)).as("p25"), r4(col("qs")(1)).as("p50"),
           r4(col("qs")(2)).as("p90"), r4(col("qs")(3)).as("p99"))
-        .orderBy("event_type")))
+        .orderBy("event_type")),
+
+    // extension: fixed-width value HISTOGRAM per event type — the
+    // observability staple exact quantiles don't give (shape, not just
+    // points). Bin ids are exact floor(value / w) longs; the rollup is
+    // the map-side-combinable two-stage count, shuffle ∝ |types × bins|
+    "events_histogram" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(col("event_type"),
+          floor(col("value") / lit(5.0)).cast("long").as("bin"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("event_type"), col("bin"),
+          r4(col("bin") * lit(5.0)).as("lo"), col("n"))
+        .orderBy("event_type", "bin")))
 
   // ---------- oracle SQL (DuckDB) ----------
 
@@ -3870,5 +3900,28 @@ object Queries {
          |  ${sqlR4("quantile_cont(value, 0.50)")} AS p50,
          |  ${sqlR4("quantile_cont(value, 0.90)")} AS p90,
          |  ${sqlR4("quantile_cont(value, 0.99)")} AS p99
-         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // bin = exact floor(value / w) in both engines; counts are integers
+    "events_histogram" ->
+      s"""SELECT event_type, CAST(floor(value / 5.0) AS BIGINT) AS bin,
+         |  ${sqlR4("CAST(floor(value / 5.0) AS BIGINT) * 5.0")} AS lo,
+         |  count(*) AS n
+         |FROM events GROUP BY 1, 2 ORDER BY event_type, bin""".stripMargin,
+
+    // per-char counts from the code-point split; every aggregate is an
+    // exact integer, so the two ratios divide identical values in both
+    // engines and r4 has no boundary exposure
+    "text_char_diversity" ->
+      s"""WITH ch AS (SELECT doc_id, unnest(string_split_regex(text, '')) AS c
+         |  FROM documents WHERE len(text) > 0),
+         |counts AS (SELECT doc_id, c, count(*) AS n FROM ch GROUP BY doc_id, c),
+         |agg AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_cp,
+         |    CAST(count(*) AS BIGINT) AS n_distinct,
+         |    CAST(sum(n * n) AS BIGINT) AS sum_sq, CAST(max(n) AS BIGINT) AS max_n
+         |  FROM counts GROUP BY doc_id)
+         |SELECT doc_id, n_cp, n_distinct,
+         |  ${sqlR4("1.0 - CAST(sum_sq AS DOUBLE) / CAST(n_cp * n_cp AS DOUBLE)")} AS simpson,
+         |  ${sqlR4("CAST(max_n AS DOUBLE) / n_cp")} AS dominance
+         |FROM agg ORDER BY doc_id""".stripMargin)
 }

@@ -873,4 +873,50 @@ object NativeExprs {
   }
 
   def householder(v: Column, w: Seq[Double]): Column = asCol(HouseholderExpr(ex(v), w))
+
+  /** Per-document character-distribution stats in ONE map-only pass:
+    * `struct(n_cp, n_distinct, sum_sq, max_n)` where `n_cp` counts code
+    * points, `sum_sq = Σ n_c²` and `max_n = max n_c` over per-character
+    * counts. Everything is exact INTEGER arithmetic — summation order
+    * cannot matter — so the derived Simpson collision index `Σ n_c²/N²`
+    * and dominance ratio `max_n/N` are bit-identical across engines
+    * without forced-order folds (this is why the quality signal is the
+    * Simpson index and not Shannon entropy: entropy needs per-engine
+    * libm logs, whose last ulp is not portable). Null text → null;
+    * empty text → (0, 0, 0, 0), callers guard the division. */
+  case class CharDiversityExpr(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StructType(Seq(
+      StructField("n_cp", LongType, nullable = false),
+      StructField("n_distinct", LongType, nullable = false),
+      StructField("sum_sq", LongType, nullable = false),
+      StructField("max_n", LongType, nullable = false)))
+    override def nullable: Boolean = child.nullable
+    override def eval(input: InternalRow): Any = {
+      val t = child.eval(input).asInstanceOf[UTF8String]
+      if (t == null) return null
+      val s = t.toString
+      val counts = new java.util.HashMap[Integer, Long]()
+      var n = 0L
+      var i = 0
+      while (i < s.length) {
+        val cp = s.codePointAt(i)
+        counts.merge(cp, 1L, (a, b) => a + b)
+        n += 1
+        i += Character.charCount(cp)
+      }
+      var sumSq = 0L
+      var maxN = 0L
+      val it = counts.values().iterator()
+      while (it.hasNext) {
+        val c = it.next()
+        sumSq += c * c
+        if (c > maxN) maxN = c
+      }
+      InternalRow(n, counts.size.toLong, sumSq, maxN)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  def charDiversity(text: Column): Column = asCol(CharDiversityExpr(ex(text)))
 }

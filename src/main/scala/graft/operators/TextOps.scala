@@ -365,6 +365,17 @@ object TextOps {
         sum(col("tf") * col("n_sym")).as("n_subwords"))
   }
 
+  /** Per-document character-distribution stats (native kernel, one
+    * map-only pass): `struct(n_cp, n_distinct, sum_sq, max_n)`. The
+    * derived Simpson collision index `1 − Σp²` and dominance ratio
+    * `max n_c / N` are the mojibake/keyboard-mash/char-flood detectors
+    * of the quality-filter family, chosen over Shannon entropy because
+    * they are exact-rational (integer sums in any order + one double
+    * division) and therefore bit-identical across engines — entropy's
+    * libm logs are not. */
+  def charDiversity(text: Column): Column =
+    graft.functions.NativeExprs.charDiversity(text)
+
   /** Character n-gram windows in code points (native kernel). */
   def charNgrams(text: Column, n: Int): Column =
     graft.functions.NativeExprs.charNgrams(text, n)

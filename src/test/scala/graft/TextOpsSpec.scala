@@ -214,6 +214,44 @@ class TextOpsSpec extends SparkSpec {
       assert(seg === bpeRef(t, TextOps.BpeMerges), s"token '$t'")
   }
 
+  test("charDiversity: pinned counts incl. supplementary plane; == explode twin") {
+    val docs = Seq((1L, "aab"), (2L, "😀😀😀"), (3L, "abcabc"), (4L, ""),
+      (5L, "a𝄞a𝄞b")).toDF("doc_id", "text")
+    val got = docs.select(col("doc_id"), TextOps.charDiversity(col("text")).as("cd"))
+      .select(col("doc_id"), col("cd.n_cp"), col("cd.n_distinct"),
+        col("cd.sum_sq"), col("cd.max_n"))
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got === Seq(
+      (1L, 3L, 2L, 5L, 2L),   // aa b → 2²+1²
+      (2L, 3L, 1L, 9L, 3L),   // three identical CODE POINTS, not 6 chars
+      (3L, 6L, 3L, 12L, 2L),
+      (4L, 0L, 0L, 0L, 0L),
+      (5L, 5L, 3L, 9L, 2L)))  // a×2, 𝄞×2, b×1
+    // fuzz: kernel == the explode/groupBy formulation the oracle mirrors
+    val fuzz = docStringsForDiversity.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val twin = fuzz.where(length(col("text")) > 0)
+      .select(col("doc_id"), explode(TextOps.charNgrams(col("text"), 1)).as("c"))
+      .groupBy("doc_id", "c").agg(count(lit(1)).as("n"))
+      .groupBy("doc_id").agg(sum(col("n")).as("n_cp"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("n") * col("n")).as("sum_sq"), max(col("n")).as("max_n"))
+    val kd = fuzz.select(col("doc_id"), TextOps.charDiversity(col("text")).as("cd"))
+      .where(col("cd.n_cp") > 0)
+      .select(col("doc_id"), col("cd.n_cp").as("n_cp"),
+        col("cd.n_distinct").as("n_distinct"), col("cd.sum_sq").as("sum_sq"),
+        col("cd.max_n").as("max_n"))
+    assert(kd.except(twin).count() === 0 && twin.except(kd).count() === 0)
+  }
+
+  private lazy val docStringsForDiversity: Seq[String] = {
+    val rnd = new scala.util.Random(99)
+    // whole code points (no lone surrogates): BMP + supplementary mix
+    val chars = Seq("a", "b", "c", "d", "e", "é", "😀", "𝄞", " ", "\t", "\n")
+    (1 to 60).map(_ => (0 until rnd.nextInt(40))
+      .map(_ => chars(rnd.nextInt(chars.length))).mkString)
+  }
+
   test("bpeSegmentations / bpeFertility: vocab-level shapes") {
     val docs = Seq(
       (1L, "src0", "the the thing"),
