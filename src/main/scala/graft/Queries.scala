@@ -1143,6 +1143,27 @@ object Queries {
         qvec0(s, dir), k = 10, probes = 3))
     }),
 
+    // extension: the OPQ serving story end-to-end — the WHOLE index in
+    // rotated space: rotated centroids (membership is unchanged since
+    // the reflection preserves distances), codes over rotated vectors
+    // against the rotated codebooks, the query reflected ONCE per query,
+    // then the unchanged ADC scan. Rotation cost at serving time is one
+    // kernel call per query row, zero per stored code.
+    "ivf_adc_rotated_query" -> ((s, dir) => {
+      def rot(c: Column) =
+        operators.VectorOps.householderReflect(c).cast("array<float>")
+      val model = fixedModel(s, dir, Metric.Euclidean)
+      val books = pqRotatedBooks(s, dir)
+      val centroidsR = model.centroids
+        .select(col("cluster_id"), rot(col("centroid")).as("centroid"))
+      val codeStore = model.assigned
+        .crossJoin(broadcast(books))
+        .select(col("id"), col("cluster_id"),
+          operators.VectorOps.pqCodes(rot(col("embedding")), col("books")).as("codes"))
+      val qR = qvec0(s, dir).select(rot(col("qvec")).as("qvec"))
+      knnOut(IvfIndex.queryAdc(centroidsR, codeStore, books, qR, k = 10, probes = 3))
+    }),
+
     // extension: metadata-filtered ADC serving — the filter-DSL predicate
     // composes PRE-top-k with the compressed code scan (the code store
     // carries no metadata; admissible ids semi-join in from the record
@@ -2823,6 +2844,39 @@ object Queries {
          |enc AS (SELECT e.vec_id, b.sub_idx, b.cvec,
          |  row_number() OVER (PARTITION BY e.vec_id, b.sub_idx ORDER BY ${sqlSq("list_slice(e.embedding, CAST(b.sub_idx * 16 + 1 AS INT), CAST(b.sub_idx * 16 + 16 AS INT))", "b.cvec")} ASC, b.code ASC) AS rn
          |  FROM embeddings e CROSS JOIN books b),
+         |adc AS (SELECT enc.vec_id,
+         |  list_sum(list((${sqlSq("list_slice(q.qvec, CAST(enc.sub_idx * 16 + 1 AS INT), CAST(enc.sub_idx * 16 + 16 AS INT))", "enc.cvec")}) ORDER BY enc.sub_idx)) AS dist
+         |  FROM enc, q WHERE rn = 1 GROUP BY enc.vec_id)
+         |SELECT adc.vec_id AS vec_id, ${sqlR4("adc.dist")} AS distance
+         |FROM adc JOIN asg ON asg.vec_id = adc.vec_id JOIN probed ON asg.cid = probed.cid
+         |ORDER BY adc.dist ASC, adc.vec_id ASC LIMIT 10""".stripMargin,
+
+    // the ivf_adc_query oracle with every vector passed through the
+    // pinned reflection first (assignment stays original-space, matching
+    // the Spark side's unrotated model.assigned); same forced-order ADC
+    // fold
+    "ivf_adc_rotated_query" ->
+      s"""WITH rotq AS (SELECT vec_id, embedding,
+         |  list_reduce(list_transform(list_zip(embedding, $sqlOpqW),
+         |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (a, b) -> a + b) AS wv
+         |  FROM embeddings),
+         |rot AS (SELECT vec_id,
+         |  list_transform(list_zip(embedding, $sqlOpqW),
+         |    p -> CAST(CAST(p[1] AS DOUBLE) - (2.0 * wv / $sqlOpqWw) * CAST(p[2] AS DOUBLE) AS REAL)) AS rv
+         |  FROM rotq),
+         |c AS (SELECT CAST(vec_id AS INTEGER) AS cid, rv AS cvec FROM rot WHERE vec_id < 8),
+         |q AS (SELECT rv AS qvec FROM rot WHERE vec_id = 0),
+         |asg AS (SELECT vec_id, cid FROM (
+         |  SELECT e.vec_id, c0.cid, row_number() OVER (PARTITION BY e.vec_id ORDER BY ${sqlSq("e.embedding", "c0.cvec")} ASC, c0.cid ASC) AS rn
+         |  FROM embeddings e CROSS JOIN (SELECT CAST(vec_id AS INTEGER) AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8) c0) WHERE rn = 1),
+         |probed AS (SELECT c.cid FROM c, q ORDER BY ${sqlSq("c.cvec", "q.qvec")} ASC, c.cid ASC LIMIT 3),
+         |cb AS (SELECT CAST(vec_id AS INT) AS code, rv AS embedding FROM rot WHERE vec_id < 16),
+         |books AS (SELECT u.s AS sub_idx, code,
+         |  list_slice(embedding, CAST(u.s * 16 + 1 AS INT), CAST(u.s * 16 + 16 AS INT)) AS cvec
+         |  FROM cb, unnest(generate_series(0, 3)) AS u(s)),
+         |enc AS (SELECT e.vec_id, b.sub_idx, b.cvec,
+         |  row_number() OVER (PARTITION BY e.vec_id, b.sub_idx ORDER BY ${sqlSq("list_slice(e.rv, CAST(b.sub_idx * 16 + 1 AS INT), CAST(b.sub_idx * 16 + 16 AS INT))", "b.cvec")} ASC, b.code ASC) AS rn
+         |  FROM rot e CROSS JOIN books b),
          |adc AS (SELECT enc.vec_id,
          |  list_sum(list((${sqlSq("list_slice(q.qvec, CAST(enc.sub_idx * 16 + 1 AS INT), CAST(enc.sub_idx * 16 + 16 AS INT))", "enc.cvec")}) ORDER BY enc.sub_idx)) AS dist
          |  FROM enc, q WHERE rn = 1 GROUP BY enc.vec_id)
