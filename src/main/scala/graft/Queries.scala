@@ -682,6 +682,29 @@ object Queries {
     // performs the parquet write before the (lazy) re-open aggregate is
     // returned; that is the operator's semantics (a snapshot RPC), not a
     // harness shortcut.
+    // extension: the co-partitioned store — both tables written bucketed
+    // on the join key, so the recurring docs ⋈ embeddings join runs with
+    // ZERO exchanges (plan-pinned in PlanShapeSpec; this row gates the
+    // data). At 100 TB this is the pipeline's largest shuffle, deleted
+    // at write time.
+    "snapshot_bucketed_join" -> ((s, dir) => {
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_bucketed_" +
+        s.sparkContext.applicationId
+      Records.writeBucketed(
+        docs(s, dir).select(col("doc_id").as("id"), col("source"), col("n_chars")),
+        "graft_bucketed_docs", s"$base/docs", "id", 8)
+      Records.writeBucketed(
+        emb(s, dir).select(col("vec_id").as("id"), col("label"),
+          size(col("embedding")).as("dim")),
+        "graft_bucketed_vecs", s"$base/vecs", "id", 8)
+      s.table("graft_bucketed_docs")
+        .join(s.table("graft_bucketed_vecs"), Seq("id"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_chars")).as("chars_sum"),
+          sum(col("label").cast("long")).as("label_sum"),
+          sum(col("dim")).as("dim_sum"))
+    }),
+
     "snapshot_roundtrip" -> ((s, dir) => {
       // per-session path: two concurrent sessions must not collide on the
       // snapshot directory (the write happens eagerly at plan construction)
@@ -3730,6 +3753,14 @@ object Queries {
       s"""SELECT count(*) AS n, CAST(sum(vec_id) AS BIGINT) AS id_sum,
          |  CAST(count(*) * $Dim AS BIGINT) AS dim_sum,
          |  CAST(sum(label) AS DOUBLE) AS label_sum FROM embeddings""".stripMargin,
+
+    // the bucketed store holds exactly the source rows — the join result
+    // is checked against the raw parquet join
+    "snapshot_bucketed_join" ->
+      """SELECT count(*) AS n, CAST(sum(d.n_chars) AS BIGINT) AS chars_sum,
+        |  CAST(sum(e.label) AS BIGINT) AS label_sum,
+        |  CAST(sum(len(e.embedding)) AS BIGINT) AS dim_sum
+        |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id""".stripMargin,
 
     "snapshot_compact" ->
       s"""SELECT count(*) AS n, CAST(sum(vec_id) AS BIGINT) AS id_sum,

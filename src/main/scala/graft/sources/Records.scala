@@ -117,6 +117,28 @@ object Records {
       .drop("id_bucket")
   }
 
+  // ---------- co-partitioned layout: the shuffle-free join ----------
+
+  /** Write `df` as a BUCKETED external table (catalog-registered, data
+    * at `path`): `buckets` hash buckets on `key`, `key`-sorted within
+    * each bucket. Two frames bucketed the same way (same key type, same
+    * bucket count) JOIN WITHOUT ANY EXCHANGE — Spark recognizes both
+    * scans as identically hash-partitioned and elides the shuffle on
+    * both sides (plan-pinned in PlanShapeSpec). At 100 TB the recurring
+    * docs ⋈ embeddings join is the pipeline's largest shuffle; paying
+    * the bucketed write once deletes that shuffle from every downstream
+    * run — the batch analog of the reference keeping storage and index
+    * keyed by the same record id (`/root/reference/src/cores/index.rs`
+    * posting lists ↔ `storage.rs` map). */
+  def writeBucketed(
+      df: DataFrame, table: String, path: String, key: String, buckets: Int): Unit = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    df.write.mode("overwrite").format("parquet")
+      .option("path", path)
+      .bucketBy(buckets, key).sortBy(key)
+      .saveAsTable(table)
+  }
+
   /** Compact a snapshot directory into ~`targetFileBytes` files.
     *
     * Streaming ingest accretes one file set per trigger; left alone, a

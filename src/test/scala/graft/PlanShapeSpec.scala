@@ -468,4 +468,24 @@ class PlanShapeSpec extends SparkSpec {
     }
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
+
+  test("bucketed co-partitioned join: zero exchanges, correct rows") {
+    import spark.implicits._
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_bucketed_spec_" +
+      spark.sparkContext.applicationId
+    graft.sources.Records.writeBucketed(
+      Seq((1L, "a"), (2L, "b"), (5L, "e")).toDF("id", "x"),
+      "bspec_a", s"$base/a", "id", 4)
+    graft.sources.Records.writeBucketed(
+      Seq((1L, 10), (3L, 30), (5L, 50)).toDF("id", "y"),
+      "bspec_b", s"$base/b", "id", 4)
+    val j = spark.table("bspec_a").join(spark.table("bspec_b"), Seq("id"))
+    val exchanges = j.queryExecution.executedPlan.collect {
+      case e if e.nodeName == "Exchange" || e.nodeName.contains("ShuffleExchange") => e.toString
+    }
+    assert(exchanges.isEmpty,
+      s"bucketed join must be exchange-free, found:\n${exchanges.mkString("\n")}")
+    assert(j.select("id", "x", "y").as[(Long, String, Int)].collect().sorted.toSeq
+      === Seq((1L, "a", 10), (5L, "e", 50)))
+  }
 }
