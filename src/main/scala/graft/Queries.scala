@@ -953,6 +953,22 @@ object Queries {
         .orderBy("doc_id", "dup_of")
     }),
 
+    // extension: cross-SOURCE duplication matrix — the verified near-dup
+    // pair set rolled up by unordered source pair: which feeds duplicate
+    // each other (within-source boilerplate vs cross-source scrapes are
+    // different curation actions). Reuses the cached LSH pipeline; the
+    // rollup shuffles one row per pair, output ∝ |sources|²
+    "dedup_source_matrix" -> ((s, dir) => {
+      val src = docs(s, dir).select(col("doc_id"), col("source"))
+      Dedup.minhashLsh(docs(s, dir), shingleN = 3, perms = 16, bands = 4, threshold = 0.5)
+        .join(src.select(col("doc_id").as("doc_id_a"), col("source").as("__sa")), Seq("doc_id_a"))
+        .join(src.select(col("doc_id").as("doc_id_b"), col("source").as("__sb")), Seq("doc_id_b"))
+        .select(least(col("__sa"), col("__sb")).as("source_a"),
+          greatest(col("__sa"), col("__sb")).as("source_b"))
+        .groupBy("source_a", "source_b").agg(count(lit(1)).as("n_pairs"))
+        .orderBy("source_a", "source_b")
+    }),
+
     // extension: duplicate GROUPS — connected components over the
     // verified MinHash pair graph (min-label propagation), the keep/drop
     // map a dedup pipeline actually applies. The COMPOSED pipeline runs
@@ -1938,6 +1954,35 @@ object Queries {
           r4(col("n_subwords").cast("double") / col("n_words")).as("fertility"))
         .orderBy("source")),
 
+    // extension: referential-integrity audit — the data-quality
+    // preflight every pipeline run starts with: row counts, key
+    // uniqueness on both tables, orphans in both directions
+    // (docs without an embedding / embeddings without a doc), and
+    // degenerate text. One row of exact integers from 1×1 cross-joined
+    // aggregates (the corpus_funnel shape); each leg is one anti-join
+    // or one two-stage distinct, nothing quadratic.
+    "corpus_integrity" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val e = emb(s, dir)
+      val dIds = d.select(col("doc_id"))
+      val eIds = e.select(col("vec_id"))
+      val totals = d.agg(count(lit(1)).as("docs_total"))
+        .crossJoin(e.agg(count(lit(1)).as("vecs_total")))
+      val distincts = dIds.distinct().agg(count(lit(1)).as("docs_distinct"))
+        .crossJoin(eIds.distinct().agg(count(lit(1)).as("vecs_distinct")))
+      val orphanDocs = dIds
+        .join(eIds.withColumnRenamed("vec_id", "doc_id"), Seq("doc_id"), "left_anti")
+        .agg(count(lit(1)).as("docs_without_vec"))
+      val orphanVecs = eIds
+        .join(dIds.withColumnRenamed("doc_id", "vec_id"), Seq("vec_id"), "left_anti")
+        .agg(count(lit(1)).as("vecs_without_doc"))
+      val degenerate = d
+        .agg(count(when(col("text").isNull || length(col("text")) === 0, 1))
+          .as("empty_text"))
+      totals.crossJoin(distincts).crossJoin(orphanDocs)
+        .crossJoin(orphanVecs).crossJoin(degenerate)
+    }),
+
     // extension: character-diversity quality stats — Simpson collision
     // index + dominant-char ratio (the mojibake/char-flood detectors);
     // one map-only kernel pass per doc, exact integer sums so no
@@ -2650,6 +2695,25 @@ object Queries {
     "dedup_groups" ->
       s"""$sqlCcCte
          |SELECT node AS doc_id, min(lab) AS rep_id FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
+
+    // the verified pair set joined to both docs' sources, unordered pair
+    // normalized via least/greatest — exact integer counts
+    "dedup_source_matrix" ->
+      s"""WITH $sqlMinhashPairsCtes,
+         |sm AS (SELECT least(da.source, db.source) AS source_a, greatest(da.source, db.source) AS source_b
+         |  FROM j JOIN documents da ON j.doc_id_a = da.doc_id JOIN documents db ON j.doc_id_b = db.doc_id)
+         |SELECT source_a, source_b, count(*) AS n_pairs FROM sm
+         |GROUP BY source_a, source_b ORDER BY source_a, source_b""".stripMargin,
+
+    // scalar-subquery restatement of each integrity leg
+    "corpus_integrity" ->
+      """SELECT (SELECT count(*) FROM documents) AS docs_total,
+        |  (SELECT count(*) FROM embeddings) AS vecs_total,
+        |  (SELECT count(DISTINCT doc_id) FROM documents) AS docs_distinct,
+        |  (SELECT count(DISTINCT vec_id) FROM embeddings) AS vecs_distinct,
+        |  (SELECT count(*) FROM documents d WHERE NOT EXISTS (SELECT 1 FROM embeddings e WHERE e.vec_id = d.doc_id)) AS docs_without_vec,
+        |  (SELECT count(*) FROM embeddings e WHERE NOT EXISTS (SELECT 1 FROM documents d WHERE d.doc_id = e.vec_id)) AS vecs_without_doc,
+        |  (SELECT count(*) FROM documents WHERE text IS NULL OR len(text) = 0) AS empty_text""".stripMargin,
 
     "dedup_apply" ->
       s"""$sqlCcCte,
