@@ -1146,6 +1146,39 @@ object Queries {
           col("col").as("code"))
         .orderBy("vec_id", "sub_idx")),
 
+    // extension: the quantization-ERROR dashboard — per-vector squared
+    // reconstruction error for int8, plain PQ, and residual PQ on a
+    // fixed sample: the comparison one actually tunes m/bits/layout
+    // with (expected ordering: residual < plain PQ; int8 smallest —
+    // it keeps 8 bits per DIM, the PQ rows 2 bits). Row-exact (no
+    // corpus-wide float mean), every path the same pinned codebooks.
+    "pq_error_sample" -> ((s, dir) => {
+      val model = fixedModel(s, dir, Metric.Euclidean)
+      val books = pqFixedBooks(s, dir)
+      val sq = graft.functions.NativeExprs.sqEuclidean _
+      val base = model.assigned.where(col("id") < 50)
+        .crossJoin(broadcast(books))
+        .join(broadcast(model.centroids), Seq("cluster_id"))
+        .withColumn("__sc", operators.VectorOps.int8Scale(col("embedding")))
+        .withColumn("__res",
+          operators.VectorOps.residual(col("embedding"), col("centroid")))
+      base.select(
+        col("id").as("vec_id"),
+        r4(sq(col("embedding"),
+          operators.VectorOps.dequantizeInt8(
+            operators.VectorOps.quantizeInt8(col("embedding"), col("__sc")),
+            col("__sc")))).as("err_int8"),
+        r4(sq(col("embedding"),
+          operators.VectorOps.pqReconstruct(
+            operators.VectorOps.pqCodes(col("embedding"), col("books")),
+            col("books")))).as("err_pq"),
+        r4(sq(col("__res"),
+          operators.VectorOps.pqReconstruct(
+            operators.VectorOps.pqCodes(col("__res"), col("books")),
+            col("books")))).as("err_rpq"))
+        .orderBy("vec_id")
+    }),
+
     // extension: the IVF probe served from PQ codes end-to-end (the
     // IVF-PQ layout): store codes, reconstruct at scan time (= ADC for
     // squared L2), probe + top-k over the reconstruction. Assignment
@@ -2000,6 +2033,27 @@ object Queries {
           r4(col("__cd.max_n").cast("double") / col("__cd.n_cp")).as("dominance"))
         .orderBy("doc_id")),
 
+    // extension: vocabulary COVERAGE — the fraction of all token
+    // instances a top-k vocabulary covers (the curve that sizes a token
+    // vocabulary / OOV budget). Each point is a bounded
+    // TakeOrderedAndProject + one sum — no global rank window, no
+    // Expand; ratios divide exact integers so r4 is boundary-safe.
+    "vocab_coverage" -> ((s, dir) => {
+      val v = docs(s, dir)
+        .select(explode(graft.operators.TextOps.tokens(col("text"))).as("token"))
+        .where(col("token") =!= "")
+        .groupBy(col("token")).agg(count(lit(1)).as("tf"))
+      val totals = v.agg(sum(col("tf")).as("total"),
+        count(lit(1)).as("vocab_size"))
+      def top(k: Int) = v.orderBy(col("tf").desc, col("token").asc).limit(k)
+        .agg(coalesce(sum(col("tf")), lit(0L)).as(s"__top$k"))
+      totals.crossJoin(top(10)).crossJoin(top(100)).crossJoin(top(1000))
+        .select(col("vocab_size"), col("total"),
+          r4(col("__top10").cast("double") / col("total")).as("cov10"),
+          r4(col("__top100").cast("double") / col("total")).as("cov100"),
+          r4(col("__top1000").cast("double") / col("total")).as("cov1000"))
+    }),
+
     // extension: vocabulary building — top-k tokens by term frequency
     // with document frequency, deterministic tie-break; the two-stage
     // map-side-combinable wordcount (no Expand, no corpus-wide sort)
@@ -2131,6 +2185,28 @@ object Queries {
           date_format(col("day"), "yyyy-MM-dd").as("day"), col("n"),
           r4(col("__s7").cast("double") / col("__c7")).as("avg7"))
         .orderBy("event_type", "day")
+    }),
+
+    // extension: DAU / trailing-7-day WAU / stickiness — the
+    // active-user staple. No distinct-count window anywhere: one
+    // two-stage (user, day) distinct, then each user-day feeds its 7
+    // trailing anchor days by a BOUNDED ×7 explode and a second
+    // two-stage distinct; ratios divide exact integers
+    "events_dau_wau" -> ((s, dir) => {
+      val ud = events(s, dir)
+        .select(col("user_id"), window(col("ts"), "1 day")("start").as("day"))
+        .distinct()
+      val dau = ud.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+      val wau = ud
+        .select(col("user_id"), explode(sequence(col("day"),
+          col("day") + expr("INTERVAL 6 DAYS"), expr("INTERVAL 1 DAY"))).as("day"))
+        .distinct()
+        .groupBy(col("day")).agg(count(lit(1)).as("wau"))
+      dau.join(wau, Seq("day"))
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("dau"), col("wau"),
+          r4(col("dau").cast("double") / col("wau")).as("stickiness"))
+        .orderBy("day")
     }),
 
     // extension: volume-ANOMALY detection — hourly windows whose count
@@ -2808,6 +2884,39 @@ object Queries {
          |SELECT vec_id, CAST(sub_idx AS INT) AS sub_idx, code FROM (
          |  SELECT vec_id, sub_idx, code, row_number() OVER (PARTITION BY vec_id, sub_idx ORDER BY d ASC, code ASC) AS rn FROM enc)
          |WHERE rn = 1 ORDER BY vec_id, sub_idx""".stripMargin,
+
+    // all three reconstruction paths replayed on the sample: int8
+    // round-half-up dequant, PQ argmin + flatten-ordered reconstruct,
+    // residual PQ via the assignment's own centroid
+    "pq_error_sample" ->
+      s"""WITH c AS (SELECT CAST(vec_id AS INTEGER) AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8),
+         |asg AS (SELECT vec_id, cid FROM (
+         |  SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id ORDER BY ${sqlSq("e.embedding", "c.cvec")} ASC, c.cid ASC) AS rn
+         |  FROM embeddings e CROSS JOIN c) WHERE rn = 1),
+         |cb AS (SELECT CAST(vec_id AS INT) AS code, embedding FROM embeddings WHERE vec_id < 16),
+         |books AS (SELECT u.s AS sub_idx, code,
+         |  list_slice(embedding, CAST(u.s * 16 + 1 AS INT), CAST(u.s * 16 + 16 AS INT)) AS cvec
+         |  FROM cb, unnest(generate_series(0, 3)) AS u(s)),
+         |sm AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 50),
+         |i8 AS (SELECT vec_id, embedding,
+         |  list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale FROM sm),
+         |i8d AS (SELECT vec_id, embedding, list_transform(embedding,
+         |  x -> CASE WHEN scale > 0 THEN floor(CAST(x AS DOUBLE) / scale + 0.5) * scale ELSE 0.0 END) AS deq FROM i8),
+         |e1 AS (SELECT vec_id, ${sqlSq("embedding", "deq")} AS err_int8 FROM i8d),
+         |enc AS (SELECT e.vec_id, b.sub_idx, b.cvec,
+         |  row_number() OVER (PARTITION BY e.vec_id, b.sub_idx ORDER BY ${sqlSq("list_slice(e.embedding, CAST(b.sub_idx * 16 + 1 AS INT), CAST(b.sub_idx * 16 + 16 AS INT))", "b.cvec")} ASC, b.code ASC) AS rn
+         |  FROM sm e CROSS JOIN books b),
+         |rec AS (SELECT vec_id, flatten(list(cvec ORDER BY sub_idx)) AS deq FROM enc WHERE rn = 1 GROUP BY vec_id),
+         |e2 AS (SELECT sm.vec_id, ${sqlSq("sm.embedding", "rec.deq")} AS err_pq FROM sm JOIN rec USING (vec_id)),
+         |resid AS (SELECT sm.vec_id, ${sqlSub("sm.embedding", "cc.cvec")} AS rv
+         |  FROM sm JOIN asg ON asg.vec_id = sm.vec_id JOIN c cc ON cc.cid = asg.cid),
+         |renc AS (SELECT r.vec_id, b.sub_idx, b.cvec,
+         |  row_number() OVER (PARTITION BY r.vec_id, b.sub_idx ORDER BY ${sqlSq("list_slice(r.rv, CAST(b.sub_idx * 16 + 1 AS INT), CAST(b.sub_idx * 16 + 16 AS INT))", "b.cvec")} ASC, b.code ASC) AS rn
+         |  FROM resid r CROSS JOIN books b),
+         |rrec AS (SELECT vec_id, flatten(list(cvec ORDER BY sub_idx)) AS deq FROM renc WHERE rn = 1 GROUP BY vec_id),
+         |e3 AS (SELECT r.vec_id, ${sqlSq("r.rv", "rr.deq")} AS err_rpq FROM resid r JOIN rrec rr ON rr.vec_id = r.vec_id)
+         |SELECT e1.vec_id, ${sqlR4("err_int8")} AS err_int8, ${sqlR4("err_pq")} AS err_pq, ${sqlR4("err_rpq")} AS err_rpq
+         |FROM e1 JOIN e2 ON e2.vec_id = e1.vec_id JOIN e3 ON e3.vec_id = e1.vec_id ORDER BY e1.vec_id""".stripMargin,
 
     // the reflection restated from the same pinned integers the kernel
     // folds (left-fold dot, one map, REAL cast), then pq_codes' argmin
@@ -3781,6 +3890,20 @@ object Queries {
         |g AS (SELECT pair, CAST(sum(tf) AS BIGINT) AS n FROM p GROUP BY pair)
         |SELECT pair, n FROM g ORDER BY n DESC, pair ASC LIMIT 50""".stripMargin,
 
+    // each coverage point is an ordered LIMIT + sum of exact integers
+    "vocab_coverage" ->
+      """WITH tok AS (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token FROM documents),
+        |v AS (SELECT token, count(*) AS tf FROM tok WHERE token <> '' GROUP BY token),
+        |t AS (SELECT CAST(sum(tf) AS BIGINT) AS total, CAST(count(*) AS BIGINT) AS vocab_size FROM v),
+        |k10 AS (SELECT CAST(coalesce(sum(tf), 0) AS BIGINT) AS s FROM (SELECT tf FROM v ORDER BY tf DESC, token ASC LIMIT 10)),
+        |k100 AS (SELECT CAST(coalesce(sum(tf), 0) AS BIGINT) AS s FROM (SELECT tf FROM v ORDER BY tf DESC, token ASC LIMIT 100)),
+        |k1000 AS (SELECT CAST(coalesce(sum(tf), 0) AS BIGINT) AS s FROM (SELECT tf FROM v ORDER BY tf DESC, token ASC LIMIT 1000))
+        |SELECT vocab_size, total,
+        |  floor((CAST(k10.s AS DOUBLE) / total) * 10000.0 + 0.5) / 10000.0 AS cov10,
+        |  floor((CAST(k100.s AS DOUBLE) / total) * 10000.0 + 0.5) / 10000.0 AS cov100,
+        |  floor((CAST(k1000.s AS DOUBLE) / total) * 10000.0 + 0.5) / 10000.0 AS cov1000
+        |FROM t, k10, k100, k1000""".stripMargin,
+
     "vocab_top" ->
       """WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
         |  FROM documents),
@@ -4050,6 +4173,19 @@ object Queries {
          |  ${sqlR4("quantile_cont(value, 0.90)")} AS p90,
          |  ${sqlR4("quantile_cont(value, 0.99)")} AS p99
          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // the same two distincts + bounded day fan-out; stickiness divides
+    // exact integers
+    "events_dau_wau" ->
+      s"""WITH ud AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
+         |dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY day),
+         |an AS (SELECT DISTINCT user_id, day + INTERVAL (u.k) DAY AS day
+         |  FROM ud, unnest(generate_series(0, 6)) AS u(k)),
+         |wau AS (SELECT day, count(*) AS wau FROM an GROUP BY day)
+         |SELECT strftime(d.day, '%Y-%m-%d') AS day, CAST(d.dau AS BIGINT) AS dau,
+         |  CAST(w.wau AS BIGINT) AS wau,
+         |  ${sqlR4("CAST(d.dau AS DOUBLE) / w.wau")} AS stickiness
+         |FROM dau d JOIN wau w USING (day) ORDER BY day""".stripMargin,
 
     // bin = exact floor(value / w) in both engines; counts are integers
     "events_histogram" ->
