@@ -55,6 +55,38 @@ object EventStream {
       .select(col("session_window.start").as("session_start"), col("user_id"),
         col("n_events"), col("value_sum"))
 
+  /** Streaming DAU: distinct users per day, the streaming-DISTINCT state
+    * pattern. `dropDuplicatesWithinWatermark` keeps one state row per
+    * (user, day) and expires it once the watermark passes the row's
+    * event time + horizon — so state is bounded by |distinct (user,
+    * day)| inside the horizon, independent of event volume (the plain
+    * streaming `dropDuplicates` would never expire a derived-column key
+    * and grow without bound). The windowed count that follows is an
+    * ordinary append-mode agg: a day's row emits exactly once, when the
+    * watermark passes the day's end. Two chained stateful operators —
+    * supported in append mode; batch runs the same plan as a plain
+    * distinct + groupBy (stream==batch pinned in StreamingSpec on the
+    * emitted, watermark-closed days). */
+  def dailyActiveUsers(events: DataFrame, watermark: String = "1 day"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .withColumn("day", date_trunc("day", col("ts")))
+      .dropDuplicatesWithinWatermark("user_id", "day")
+      .groupBy(window(col("ts"), "1 day"))
+      .agg(count(lit(1)).as("dau"))
+      .select(col("window.start").as("day"), col("dau"))
+
+  /** [[dailyActiveUsers]] to a memory sink (append: only watermark-closed
+    * days emit). */
+  def startDauToMemory(spark: SparkSession, dir: String, name: String): StreamingQuery =
+    dailyActiveUsers(readEvents(spark, dir))
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Open the events dir as a stream (file-source; at scale this is the
     * same code against Kafka — only the `format` changes). The testdata
     * layout is one FILE per table, and FileStreamSource wants a directory,

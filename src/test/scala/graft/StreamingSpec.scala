@@ -32,6 +32,32 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("streaming DAU (watermarked distinct) equals batch on closed days") {
+    val batch = spark.read
+      .schema(EventStream.rawSchema)
+      .parquet(s"$sf0001/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .distinct()
+      .groupBy(col("day")).agg(count(lit(1)).as("dau"))
+      .as[(java.sql.Timestamp, Long)].collect().toMap
+
+    val q = EventStream.startDauToMemory(spark, sf0001, "stream_dau_test")
+    q.awaitTermination()
+    val streamed = spark.table("stream_dau_test")
+      .as[(java.sql.Timestamp, Long)].collect()
+
+    // append mode: only watermark-closed days emit; every emitted day
+    // must match the batch count exactly, and most days must have closed
+    assert(streamed.nonEmpty && streamed.length >= batch.size - 2,
+      s"expected most of ${batch.size} days closed, got ${streamed.length}")
+    streamed.foreach { case (day, dau) =>
+      assert(batch.get(day).contains(dau), s"day $day: stream $dau vs batch ${batch.get(day)}")
+    }
+    // no day emitted twice (exactly-once per closed window)
+    assert(streamed.map(_._1).distinct.length === streamed.length)
+  }
+
   test("streaming sessionization (session_window) equals the batch result") {
     val batch = spark.read
       .schema(EventStream.rawSchema)
