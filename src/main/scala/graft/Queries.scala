@@ -2122,6 +2122,26 @@ object Queries {
           col("user_id"), col("n_events"), r4(col("value_sum")).as("value_sum"))
         .orderBy("user_id", "session_start")),
 
+    // extension: session-DURATION statistics — the engagement rollup on
+    // top of sessionization: session counts, singleton share, and exact
+    // duration percentiles. Durations are exact micro diffs / 1e6, so
+    // the interpolated percentiles are engine-identical (the
+    // events_quantiles pattern); one sessionize pass, one 1-row agg
+    "events_session_stats" -> ((s, dir) => {
+      val sess = events(s, dir)
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          unix_micros(min(col("ts"))).as("__t0"),
+          unix_micros(max(col("ts"))).as("__t1"))
+        .withColumn("__dur", (col("__t1") - col("__t0")) / lit(1000000.0))
+      sess.agg(
+        count(lit(1)).as("n_sessions"),
+        sum(when(col("n_events") === 1, 1L).otherwise(0L)).as("singleton_sessions"),
+        sum(col("n_events")).as("n_events_total"),
+        r4(expr("percentile(__dur, 0.5D)")).as("p50_dur_sec"),
+        r4(expr("percentile(__dur, 0.9D)")).as("p90_dur_sec"))
+    }),
+
     // extension: hourly user-activity rollup with EXACT distinct users —
     // two-stage aggregation (per (hour, user) partials, then per hour),
     // the Expand-free shape of count-distinct: a single agg with
@@ -4003,6 +4023,26 @@ object Queries {
          |SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start, user_id,
          |  count(*) AS n_events, ${sqlR4("sum(value)")} AS value_sum
          |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+
+    // the sessionize CTE + a duration rollup; durations are exact micro
+    // diffs / 1e6
+    "events_session_stats" ->
+      s"""WITH o AS (SELECT user_id, ts,
+         |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+         |         OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTE
+         |       THEN 1 ELSE 0 END AS new_s
+         |  FROM events),
+         |s AS (SELECT user_id, ts,
+         |  sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM o),
+         |g AS (SELECT user_id, sid, count(*) AS n_events,
+         |  (epoch_us(max(ts)) - epoch_us(min(ts))) / 1000000.0 AS dur
+         |  FROM s GROUP BY user_id, sid)
+         |SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+         |  CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS singleton_sessions,
+         |  CAST(sum(n_events) AS BIGINT) AS n_events_total,
+         |  ${sqlR4("quantile_cont(dur, 0.5)")} AS p50_dur_sec,
+         |  ${sqlR4("quantile_cont(dur, 0.9)")} AS p90_dur_sec
+         |FROM g""".stripMargin,
 
     "events_user_activity" ->
       s"""WITH pu AS (SELECT date_trunc('hour', ts) AS h, user_id,
