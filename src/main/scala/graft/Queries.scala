@@ -216,15 +216,12 @@ object Queries {
 
   private def emb(s: SparkSession, dir: String): DataFrame = Records.table(s, dir, "embeddings")
   private def docs(s: SparkSession, dir: String): DataFrame = Records.table(s, dir, "documents")
-  /** events.parquet stores `ts` as Parquet TIMESTAMP(NANOS), which Spark
-    * rejects by default; read it as raw int64 nanos via an explicit schema
-    * (scoped to this read — no session-wide config mutation) and convert
-    * with exact integer division — never through double. */
+  /** events.parquet's physical `ts` encoding has varied across testdata
+    * generations (raw int64 nanos vs native TIMESTAMP micros);
+    * [[graft.streaming.EventStream.loadEvents]] is the single
+    * footer-driven decoder both batch and stream readers share. */
   private def events(s: SparkSession, dir: String): DataFrame =
-    s.read
-      .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
-      .parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    graft.streaming.EventStream.loadEvents(s, dir)
   private def recs(s: SparkSession, dir: String): DataFrame = Records.fromEmbeddings(s, dir)
   private def qvec0(s: SparkSession, dir: String): DataFrame =
     recs(s, dir).where(col("id") === 0).select(col("embedding").as("qvec"))

@@ -21,8 +21,11 @@ import org.apache.spark.sql.types._
   */
 object EventStream {
 
-  /** Events schema as stored (ts arrives as int64 nanos — see
-    * [[graft.Queries]] events note). */
+  /** Events schema of the LEGACY layout: `ts` stored as Parquet
+    * TIMESTAMP(NANOS), which Spark's reader rejects outright — so it is
+    * declared BIGINT (raw nanos) and converted by [[normalizeTs]].
+    * Current testdata stores a native TIMESTAMP(MICROS) instead; this
+    * schema remains only as the fallback for stores written the old way. */
   val rawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType),
@@ -30,6 +33,34 @@ object EventStream {
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
+
+  /** Canonicalize whatever physical `ts` the events table carries into a
+    * TIMESTAMP column — the one place the storage encoding is decoded, so
+    * no operator or test ever branches on layout:
+    *  - int64 (legacy raw nanos): exact integer `div 1000` → micros,
+    *    never through double;
+    *  - TIMESTAMP_NTZ (current testdata): cast reinterprets the wall
+    *    clock in the session zone (these sessions pin UTC) — bit-exact
+    *    micros, and the output type matches what every oracle compared
+    *    against historically;
+    *  - TIMESTAMP: already canonical. */
+  def normalizeTs(df: DataFrame): DataFrame = df.schema("ts").dataType match {
+    case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    case TimestampNTZType => df.withColumn("ts", col("ts").cast("timestamp"))
+    case _                => df
+  }
+
+  /** Batch read of `dir/events.parquet` with canonical TIMESTAMP `ts`.
+    * Footer-driven: the file's own schema decides the decode path; only
+    * a legacy TIMESTAMP(NANOS) file (whose footer Spark refuses to even
+    * infer) falls back to the explicit [[rawSchema]] read. */
+  def loadEvents(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/events.parquet"
+    val df =
+      try spark.read.parquet(path)
+      catch { case _: Exception => spark.read.schema(rawSchema).parquet(path) }
+    normalizeTs(df)
+  }
 
   /** The shared transformation: hourly tumbling window per event type. */
   def hourlyAgg(events: DataFrame): DataFrame =
@@ -90,13 +121,20 @@ object EventStream {
   /** Open the events dir as a stream (file-source; at scale this is the
     * same code against Kafka — only the `format` changes). The testdata
     * layout is one FILE per table, and FileStreamSource wants a directory,
-    * so stream the directory with a glob filter. */
-  def readEvents(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream
-      .schema(rawSchema) // explicit BIGINT ts — no session config needed
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    * so stream the directory with a glob filter. The stream source needs
+    * an explicit schema up front; take it from the file's own footer (a
+    * driver-only batch-read of the same path) so the decode path tracks
+    * the physical layout exactly as [[loadEvents]] does. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    val schema =
+      try spark.read.parquet(s"$dir/events.parquet").schema
+      catch { case _: Exception => rawSchema }
+    normalizeTs(
+      spark.readStream
+        .schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir))
+  }
 
   /** Run the streaming aggregation into an in-memory sink and return the
     * query handle (caller calls `processAllAvailable()` then reads the

@@ -398,10 +398,7 @@ class PlanShapeSpec extends SparkSpec {
   test("day-partitioned event log: a 3-day window statically prunes to 3 of 30 day files") {
     import graft.sources.EventLog
     val store = java.nio.file.Files.createTempDirectory("graft_eventlog").toString + "/s"
-    val events = spark.read
-      .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
-      .parquet(s"$sf/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val events = graft.streaming.EventStream.loadEvents(spark, sf)
     EventLog.snapshotByDay(events, store)
     val df = EventLog.timeRange(spark, store, "2024-01-10 00:00:00", "2024-01-13 00:00:00")
     // row-level correctness comes from the ts predicate itself

@@ -9,9 +9,7 @@ class StreamingSpec extends SparkSpec {
   import spark.implicits._
 
   test("streaming hourly agg over events equals the batch result") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val batch = spark.read.parquet(s"$sf0001/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val batch = EventStream.loadEvents(spark, sf0001)
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("value_sum"))
       .select(col("window.start").as("hour"), col("event_type"), col("n"),
@@ -33,10 +31,7 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("streaming DAU (watermarked distinct) equals batch on closed days") {
-    val batch = spark.read
-      .schema(EventStream.rawSchema)
-      .parquet(s"$sf0001/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val batch = EventStream.loadEvents(spark, sf0001)
       .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
       .distinct()
       .groupBy(col("day")).agg(count(lit(1)).as("dau"))
@@ -59,10 +54,7 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("streaming sessionization (session_window) equals the batch result") {
-    val batch = spark.read
-      .schema(EventStream.rawSchema)
-      .parquet(s"$sf0001/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val batch = EventStream.loadEvents(spark, sf0001)
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
       .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 6).as("value_sum"))
       .select(col("session_window.start").as("session_start"), col("user_id"),
@@ -93,8 +85,7 @@ class StreamingSpec extends SparkSpec {
     q.awaitTermination() // AvailableNow terminates after draining
     val windowed = EventLog.timeRange(spark, s"$base/store",
       "2024-01-10 00:00:00", "2024-01-13 00:00:00")
-    val batch = spark.read.parquet(s"$sf0001/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val batch = EventStream.loadEvents(spark, sf0001)
       .where(col("ts") >= to_timestamp(lit("2024-01-10 00:00:00")) &&
         col("ts") < to_timestamp(lit("2024-01-13 00:00:00")))
       .select("event_id").as[Long].collect().toSet
@@ -401,10 +392,8 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("streaming funnel state machine equals the batch funnel's completions") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val stages = Seq("view", "click", "purchase")
-    val batchEvents = spark.read.parquet(s"$sf0001/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val batchEvents = EventStream.loadEvents(spark, sf0001)
     val want = graft.operators.Events.funnel(batchEvents, stages)
       .where(col("stage") === stages.size)
       .select(col("user_id"), col("purchase_ts"))
@@ -422,11 +411,9 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("stream-static dim enrichment equals the batch join; missing keys null") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // dim snapshot: latest (by ts, then event_id) value per user from the
     // batch table — the serving-time feature snapshot
-    val batchEvents = spark.read.parquet(s"$sf0001/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val batchEvents = EventStream.loadEvents(spark, sf0001)
     val dim = EventStream.latestPerKey(
       batchEvents.where(col("event_type") === "signup"),
       key = "user_id", ts = "ts", tieBreak = "event_id", valueCols = Seq("value"))
