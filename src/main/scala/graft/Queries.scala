@@ -2139,6 +2139,47 @@ object Queries {
         r4(expr("percentile(__dur, 0.9D)")).as("p90_dur_sec"))
     }),
 
+    // extension: INTERVAL-OVERLAP join (the batch form of Flink's
+    // interval join) — user sessions × hourly error-incident windows:
+    // for every incident hour with >= 5 errors, how many user sessions
+    // were in flight during the incident's actual error span, how many
+    // distinct users, and for how many total session-seconds. Executed
+    // by Temporal.intervalJoinBinned — an equi-join on 15-min time
+    // buckets with first-common-bucket dedup, never an inequality join
+    // (which Catalyst would plan as a BroadcastNestedLoopJoin); the
+    // rollup is the Expand-free two-stage distinct (per-user partials,
+    // then per-incident)
+    "events_incident_overlap" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val inc = ev.where(col("event_type") === "error")
+        .groupBy(window(col("ts"), "1 hour").as("__w"))
+        .agg(count(lit(1)).as("n_errors"),
+          min(col("ts")).as("__t0"), max(col("ts")).as("__t1"))
+        .where(col("n_errors") >= 5)
+        .select(col("n_errors"), col("__t0"), col("__t1"))
+      val sess = ev
+        .groupBy(session_window(col("ts"), "30 minutes").as("__sw"), col("user_id"))
+        .agg(min(col("ts")).as("__s0"), max(col("ts")).as("__s1"))
+        .select(col("user_id"), col("__s0"), col("__s1"))
+      val pairs = Temporal.intervalJoinBinned(sess, inc, Seq.empty,
+        ("__s0", "__s1"), ("__t0", "__t1"), bucketSec = 900L, maxSpanSec = 6L * 3600)
+      pairs
+        .select(
+          col("interval_match.__t0").as("__i0"),
+          col("interval_match.n_errors").as("n_errors"),
+          col("user_id"),
+          (unix_micros(least(col("__s1"), col("interval_match.__t1"))) -
+            unix_micros(greatest(col("__s0"), col("interval_match.__t0")))).as("__ov"))
+        .groupBy(col("__i0"), col("n_errors"), col("user_id"))
+        .agg(count(lit(1)).as("__ns"), sum(col("__ov")).as("__ovs"))
+        .groupBy(col("__i0"), col("n_errors"))
+        .agg(sum(col("__ns")).as("n_sessions"), count(lit(1)).as("n_users"),
+          r4(sum(col("__ovs")).cast("double") / lit(1000000.0)).as("overlap_sec"))
+        .select(date_format(col("__i0"), "yyyy-MM-dd HH:mm:ss").as("incident_start"),
+          col("n_errors"), col("n_sessions"), col("n_users"), col("overlap_sec"))
+        .orderBy("incident_start")
+    }),
+
     // extension: hourly user-activity rollup with EXACT distinct users —
     // two-stage aggregation (per (hour, user) partials, then per hour),
     // the Expand-free shape of count-distinct: a single agg with
@@ -4040,6 +4081,31 @@ object Queries {
          |  ${sqlR4("quantile_cont(dur, 0.5)")} AS p50_dur_sec,
          |  ${sqlR4("quantile_cont(dur, 0.9)")} AS p90_dur_sec
          |FROM g""".stripMargin,
+
+    // the sessionize CTE + hourly error incidents (>= 5 errors), paired
+    // by a plain inequality overlap join — DuckDB at oracle scale can
+    // afford the quadratic plan the Spark side's binned join avoids
+    "events_incident_overlap" ->
+      s"""WITH inc AS (SELECT date_trunc('hour', ts) AS w, count(*) AS n_errors,
+         |    min(ts) AS t0, max(ts) AS t1
+         |  FROM events WHERE event_type = 'error' GROUP BY 1 HAVING count(*) >= 5),
+         |o AS (SELECT user_id, ts,
+         |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+         |         OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTE
+         |       THEN 1 ELSE 0 END AS new_s
+         |  FROM events),
+         |s AS (SELECT user_id, ts,
+         |  sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM o),
+         |sess AS (SELECT user_id, sid, min(ts) AS s0, max(ts) AS s1 FROM s GROUP BY 1, 2),
+         |p AS (SELECT inc.t0, inc.n_errors, sess.user_id,
+         |    epoch_us(least(sess.s1, inc.t1)) - epoch_us(greatest(sess.s0, inc.t0)) AS ov
+         |  FROM sess JOIN inc ON sess.s0 <= inc.t1 AND inc.t0 <= sess.s1),
+         |u AS (SELECT t0, n_errors, user_id, count(*) AS ns, sum(ov) AS ovs
+         |  FROM p GROUP BY 1, 2, 3)
+         |SELECT strftime(t0, '%Y-%m-%d %H:%M:%S') AS incident_start, n_errors,
+         |  CAST(sum(ns) AS BIGINT) AS n_sessions, count(*) AS n_users,
+         |  ${sqlR4("CAST(sum(ovs) AS DOUBLE) / 1000000.0")} AS overlap_sec
+         |FROM u GROUP BY 1, 2 ORDER BY incident_start""".stripMargin,
 
     "events_user_activity" ->
       s"""WITH pu AS (SELECT date_trunc('hour', ts) AS h, user_id,

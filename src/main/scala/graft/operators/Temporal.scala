@@ -250,4 +250,91 @@ object Temporal {
       .drop("__lb", "__b", "__rk", "__rts")
       .withColumnRenamed("__row", "range_match")
   }
+
+  /** Interval-overlap join, binned (the batch form of Flink's interval
+    * join, which Spark has no built-in for): emit a pair for every
+    * (left, right) row whose `[start, end]` intervals share at least one
+    * instant — `l.start <= r.end && r.start <= l.end`, both bounds
+    * inclusive — optionally restricted to equal `keys`. The matched
+    * right row is attached whole as an `interval_match` struct; inner
+    * join, each overlapping pair emitted EXACTLY once.
+    *
+    * Execution: both sides register one copy per `bucketSec`-wide time
+    * bucket their interval touches, and the join is a plain equi-join on
+    * `(keys, bucket)` with the overlap test as a residual — never an
+    * inequality join, which Catalyst would plan as a (per-key) cartesian
+    * BroadcastNestedLoopJoin. A pair overlapping across several shared
+    * buckets is deduplicated for free by the first-common-bucket rule:
+    * the copy pair only matches in bucket `max(bucket(l.start),
+    * bucket(r.start))` — the earliest bucket both sides cover (overlap
+    * guarantees it exists: `max(starts) <= min(ends)` and bucketing is
+    * monotone) — so no post-hoc `distinct` shuffle is ever needed.
+    *
+    * Scale shape: shuffle keys are `(keys, bucket)` — narrow, and a hot
+    * time range splits across buckets naturally (same argument as
+    * [[rangeJoinBinned]]). Fan-out per row is `span/bucketSec + 1`
+    * copies, statically capped via `maxSpanSec` (≤ 64 buckets) and
+    * enforced per row: an interval longer than `maxSpanSec` (or with
+    * `end < start`) fails the job rather than silently dropping pairs.
+    * With `keys` empty the join runs on the time axis alone — sized for
+    * the one-side-small case (incident windows × sessions), where AQE
+    * broadcasts the small exploded side.
+    *
+    * @param keys       equality key columns present on both sides (empty
+    *                   = pure time-axis join); null keys match null keys,
+    *                   mirroring groupBy/window semantics
+    * @param leftSpan   (start, end) timestamp column names on `left`
+    * @param rightSpan  (start, end) timestamp column names on `right`
+    * @param bucketSec  time-bucket width, seconds
+    * @param maxSpanSec declared maximum interval length on EITHER side;
+    *                   `ceil(maxSpanSec/bucketSec)` must be ≤ 64
+    */
+  def intervalJoinBinned(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftSpan: (String, String),
+      rightSpan: (String, String),
+      bucketSec: Long,
+      maxSpanSec: Long): DataFrame = {
+    val (ls, le) = leftSpan
+    val (rs, re) = rightSpan
+    require(bucketSec > 0, s"bucketSec must be > 0, got $bucketSec")
+    val nMax = (maxSpanSec + bucketSec - 1) / bucketSec
+    require(nMax >= 0 && nMax <= 64,
+      s"maxSpanSec/bucketSec ratio $nMax explodes the copy fan-out " +
+        s"(${nMax + 1} copies per row) — widen bucketSec")
+    val bucket = (c: Column) => floor(unix_timestamp(c) / bucketSec).cast("long")
+    // One copy per touched bucket; the assert_true guard (null when the
+    // row is legal, throws otherwise) turns a contract violation into a
+    // job failure instead of silently missing pairs — sequence(bs, be)
+    // would otherwise COUNT DOWN for end < start and OOM for runaway
+    // spans.
+    def copies(s: Column, e: Column): Column = {
+      val bs = bucket(s)
+      val be = bucket(e)
+      val ok = coalesce(
+        assert_true(s <= e && be - bs <= nMax,
+          concat(lit(s"interval breaks the contract (end >= start, span <= ${maxSpanSec}s): "),
+            s.cast("string"), lit(" .. "), e.cast("string"))).cast("long"),
+        lit(0L))
+      explode(sequence(bs, be + ok))
+    }
+    val rKeys = keys.zipWithIndex.map { case (k, i) => col(k).as(s"__rk$i") }
+    val build = right.select(
+        rKeys ++ Seq(col(rs).as("__rs"), col(re).as("__re"),
+          struct(right.columns.map(col): _*).as("__row")): _*)
+      .withColumn("__b", copies(col("__rs"), col("__re")))
+    val probe = left.withColumn("__lb", copies(col(ls), col(le)))
+    val keyEq = keys.zipWithIndex.map { case (k, i) => probe(k) <=> build(s"__rk$i") }
+    val cond = (keyEq ++ Seq(
+      probe("__lb") === build("__b"),
+      greatest(bucket(probe(ls)), bucket(build("__rs"))) === build("__b"),
+      probe(ls) <= build("__re"),
+      build("__rs") <= probe(le))).reduce(_ && _)
+    probe.join(build, cond, "inner")
+      .drop("__lb", "__b", "__rs", "__re")
+      .drop(keys.indices.map(i => s"__rk$i"): _*)
+      .withColumnRenamed("__row", "interval_match")
+  }
 }

@@ -305,4 +305,106 @@ class TemporalSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
       s"range join must stay an equi-join:\n$plan")
   }
+
+  // ---- intervalJoinBinned ----
+
+  private def ival(base: Long, startSec: Int, lenSec: Int): (java.sql.Timestamp, java.sql.Timestamp) =
+    (new java.sql.Timestamp(base + startSec * 1000L),
+      new java.sql.Timestamp(base + (startSec + lenSec) * 1000L))
+
+  test("intervalJoinBinned: every overlapping pair exactly once, incl. multi-bucket spans") {
+    val rnd = new scala.util.Random(71)
+    val base = 1704100000000L
+    // spans up to 30 min vs a 10-min bucket: intervals cross up to 4 buckets,
+    // so first-common-bucket dedup is genuinely exercised
+    val l = (0 until 120).map { i =>
+      val (s, e) = ival(base, rnd.nextInt(7200), rnd.nextInt(1800))
+      (i.toLong, rnd.nextInt(3).toLong, s, e)
+    }.toDF("lid", "k", "ls", "le")
+    val r = (0 until 120).map { i =>
+      val (s, e) = ival(base, rnd.nextInt(7200), rnd.nextInt(1800))
+      (i.toLong, rnd.nextInt(3).toLong, s, e)
+    }.toDF("rid", "k", "rs", "re")
+    val got = Temporal.intervalJoinBinned(l, r, Seq("k"),
+        ("ls", "le"), ("rs", "re"), bucketSec = 600L, maxSpanSec = 1800L)
+      .select(col("lid"), col("interval_match.rid"))
+      .as[(Long, Long)].collect().sorted
+    val lRows = l.as[(Long, Long, java.sql.Timestamp, java.sql.Timestamp)].collect()
+    val rRows = r.as[(Long, Long, java.sql.Timestamp, java.sql.Timestamp)].collect()
+    val want = (for {
+      (lid, lk, ls, le) <- lRows
+      (rid, rk, rs, re) <- rRows
+      if lk == rk && ls.getTime <= re.getTime && rs.getTime <= le.getTime
+    } yield (lid, rid)).sorted
+    // sorted SEQUENCES (not sets): a pair emitted twice would fail here
+    assert(got.toSeq === want.toSeq)
+  }
+
+  test("intervalJoinBinned keyless: pure time-axis overlap, brute-force twin") {
+    val rnd = new scala.util.Random(72)
+    val base = 1704100000000L
+    val l = (0 until 60).map { i =>
+      val (s, e) = ival(base, rnd.nextInt(3600), rnd.nextInt(900))
+      (i.toLong, s, e)
+    }.toDF("lid", "ls", "le")
+    val r = (0 until 20).map { i =>
+      val (s, e) = ival(base, rnd.nextInt(3600), rnd.nextInt(900))
+      (i.toLong, s, e)
+    }.toDF("rid", "rs", "re")
+    val got = Temporal.intervalJoinBinned(l, r, Seq.empty,
+        ("ls", "le"), ("rs", "re"), bucketSec = 300L, maxSpanSec = 900L)
+      .select(col("lid"), col("interval_match.rid"))
+      .as[(Long, Long)].collect().sorted
+    val lRows = l.as[(Long, java.sql.Timestamp, java.sql.Timestamp)].collect()
+    val rRows = r.as[(Long, java.sql.Timestamp, java.sql.Timestamp)].collect()
+    val want = (for {
+      (lid, ls, le) <- lRows
+      (rid, rs, re) <- rRows
+      if ls.getTime <= re.getTime && rs.getTime <= le.getTime
+    } yield (lid, rid)).sorted
+    assert(got.toSeq === want.toSeq)
+  }
+
+  test("intervalJoinBinned: null keys pair with null keys (groupBy semantics)") {
+    val base = 1704100000000L
+    val (s1, e1) = ival(base, 0, 600)
+    val (s2, e2) = ival(base, 300, 600)
+    val l = Seq((1L, null.asInstanceOf[java.lang.Long], s1, e1)).toDF("lid", "k", "ls", "le")
+    val r = Seq((2L, null.asInstanceOf[java.lang.Long], s2, e2)).toDF("rid", "k", "rs", "re")
+    val got = Temporal.intervalJoinBinned(l, r, Seq("k"),
+        ("ls", "le"), ("rs", "re"), bucketSec = 600L, maxSpanSec = 600L)
+      .select("lid").as[Long].collect()
+    assert(got.toSeq === Seq(1L))
+  }
+
+  test("intervalJoinBinned: a row breaking the span contract fails loudly") {
+    val base = 1704100000000L
+    val (s1, e1) = ival(base, 0, 7200) // 2 h > maxSpanSec 1 h
+    val l = Seq((1L, s1, e1)).toDF("lid", "ls", "le")
+    val r = Seq((2L, s1, e1)).toDF("rid", "rs", "re")
+    val ex = intercept[Exception] {
+      Temporal.intervalJoinBinned(l, r, Seq.empty,
+        ("ls", "le"), ("rs", "re"), bucketSec = 600L, maxSpanSec = 3600L).count()
+    }
+    assert(ex.getMessage != null)
+    // inverted interval (end < start) fails the same guard instead of
+    // silently producing a counting-down bucket sequence
+    val inv = Seq((1L, e1, s1)).toDF("lid", "ls", "le")
+    intercept[Exception] {
+      Temporal.intervalJoinBinned(inv, r, Seq.empty,
+        ("ls", "le"), ("rs", "re"), bucketSec = 600L, maxSpanSec = 3600L).count()
+    }
+  }
+
+  test("intervalJoinBinned plan: equi-join on (key, bucket), no nested-loop fallback") {
+    val base = 1704100000000L
+    val (s1, e1) = ival(base, 0, 600)
+    val l = Seq((1L, 1L, s1, e1)).toDF("lid", "k", "ls", "le")
+    val r = Seq((2L, 1L, s1, e1)).toDF("rid", "k", "rs", "re")
+    val plan = Temporal.intervalJoinBinned(l, r, Seq("k"),
+        ("ls", "le"), ("rs", "re"), bucketSec = 600L, maxSpanSec = 3600L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"interval join must stay an equi-join:\n$plan")
+  }
 }
