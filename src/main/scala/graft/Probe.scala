@@ -7,9 +7,10 @@ object Probe {
   def main(args: Array[String]): Unit = {
     val name = args(0)
     val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
-      .master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -19,6 +20,7 @@ object Probe {
     if (name == "balprof") { balancedProfile(spark, dir); spark.stop(); return }
     if (name == "ccprof") { corpusCleanProfile(spark, dir); spark.stop(); return }
     if (name == "groupsprof") { groupsProfile(spark, dir); spark.stop(); return }
+    if (name == "contprof") { containmentProfile(spark, dir); spark.stop(); return }
     val df = SparkEntry.queries(name)(spark, dir)
     df.explain("formatted")
     (1 to 2).foreach { i =>
@@ -27,6 +29,82 @@ object Probe {
       println(f"RUN$i: $n rows in ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
     spark.stop()
+  }
+
+  /** Stage attribution + volumes for the containment pipeline. */
+  private def containmentProfile(spark: SparkSession, dir: String): Unit = {
+    import graft.operators.{Dedup, TextOps}
+    import org.apache.spark.sql.functions._
+    def t[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"PHASE $label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    }
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    t("warmup-read")(d.write.format("noop").mode("overwrite").save())
+    val sig = graft.Caching.ensureCached(
+      Dedup.minhashSignature(d, 3, 16)
+        .select(col("doc_id"), col("__sig"), col("__shh")))
+    t("sig-build")(sig.write.format("noop").mode("overwrite").save())
+    val postings = sig.select(col("doc_id"),
+      explode(array_distinct(col("__shh"))).as("__h"))
+    println("postings: " + t("postings-count")(postings.count()))
+    val dfs = postings.groupBy(col("__h")).agg(count(lit(1)).as("__df"))
+    println("df histogram (df -> n_shingles):")
+    t("df-hist")(dfs.groupBy(col("__df")).agg(count(lit(1)).as("n"))
+      .orderBy(col("__df")).limit(20).collect().foreach(r => println("  " + r)))
+    val rare = dfs.where(col("__df") >= 2 && col("__df") <= 10).select(col("__h"))
+    val rp = postings.join(rare, Seq("__h"))
+    println("rare postings: " + t("rare-postings")(rp.count()))
+    val candidates = rp.select(col("__h"), col("doc_id").as("doc_id_a"))
+      .join(rp.select(col("__h"), col("doc_id").as("doc_id_b")), Seq("__h"))
+      .where(col("doc_id_a") < col("doc_id_b"))
+      .select("doc_id_a", "doc_id_b")
+    println("candidate pairs (pre-distinct): " + t("cand-raw")(candidates.count()))
+    val cd = candidates.distinct()
+    println("candidate pairs (distinct): " + t("cand-distinct")(cd.count()))
+    println("avg shingle array size: " +
+      sig.select(avg(size(col("__shh")))).collect()(0))
+    // verify-stage alternatives over the SAME distinct candidate set
+    val cands = cd.persist()
+    println("cands cached: " + cands.count())
+    def verifySemi(): org.apache.spark.sql.DataFrame = {
+      val candIds = cands.select(col("doc_id_a").as("doc_id"))
+        .union(cands.select(col("doc_id_b").as("doc_id"))).distinct()
+      val candSh = sig.join(candIds, Seq("doc_id"), "left_semi")
+      val shA = candSh.select(col("doc_id").as("doc_id_a"),
+        array_distinct(col("__shh")).as("__sa"))
+      val shB = candSh.select(col("doc_id").as("doc_id_b"),
+        array_distinct(col("__shh")).as("__sb"))
+      cands.join(shA, Seq("doc_id_a")).join(shB, Seq("doc_id_b"))
+        .select(col("doc_id_a"), col("doc_id_b"),
+          (size(array_intersect(col("__sa"), col("__sb"))).cast("double") /
+            least(size(col("__sa")), size(col("__sb"))).cast("double")).as("containment"))
+        .where(col("containment") >= 0.8)
+    }
+    def verifyBcast(): org.apache.spark.sql.DataFrame = {
+      val sh = sig.select(col("doc_id"), array_distinct(col("__shh")).as("__s"))
+      val shA = sh.select(col("doc_id").as("doc_id_a"), col("__s").as("__sa"))
+      val shB = sh.select(col("doc_id").as("doc_id_b"), col("__s").as("__sb"))
+      cands.join(broadcast(shA), Seq("doc_id_a")).join(broadcast(shB), Seq("doc_id_b"))
+        .select(col("doc_id_a"), col("doc_id_b"),
+          (size(array_intersect(col("__sa"), col("__sb"))).cast("double") /
+            least(size(col("__sa")), size(col("__sb"))).cast("double")).as("containment"))
+        .where(col("containment") >= 0.8)
+    }
+    (1 to 2).foreach { i =>
+      t(s"verify-semi-$i")(verifySemi().write.format("noop").mode("overwrite").save())
+      t(s"verify-bcast-$i")(verifyBcast().write.format("noop").mode("overwrite").save())
+    }
+    t("full-query")(SparkEntry.queries("dedup_containment")(spark, dir)
+      .write.format("noop").mode("overwrite").save())
+    t("full-query-again")(SparkEntry.queries("dedup_containment")(spark, dir)
+      .write.format("noop").mode("overwrite").save())
+    import graft.operators.Dedup
+    val d2 = graft.sources.Records.table(spark, dir, "documents")
+    t("op-no-orderby")(Dedup.containmentPairs(d2, 3, 16, 10, 0.8)
+      .write.format("noop").mode("overwrite").save())
+    t("op-no-orderby-again")(Dedup.containmentPairs(d2, 3, 16, 10, 0.8)
+      .write.format("noop").mode("overwrite").save())
   }
 
   /** Stage attribution for the session-lifecycle group-map builds: the

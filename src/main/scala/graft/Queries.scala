@@ -924,8 +924,9 @@ object Queries {
     // extension: CONTAINMENT near-dup pairs — the asymmetric detector
     // (A quoted inside a larger B: high containment, low Jaccard, no
     // band agreement); candidates from the rare-shingle posting-list
-    // join (df ∈ [2, 10] as the bucket bound), exact set verification
-    // over the same cached digest pass dedup_minhash uses
+    // join (df ∈ [2, 10] as the bucket bound, >= 2 shared rare shingles
+    // as the collision-noise gate), exact set verification over the
+    // same cached digest pass dedup_minhash uses
     "dedup_containment" -> ((s, dir) =>
       Dedup.containmentPairs(docs(s, dir), shingleN = 3, perms = 16,
           maxDf = 10, threshold = 0.8)
@@ -2790,8 +2791,9 @@ object Queries {
          |df AS (SELECT h, count(*) AS df FROM p GROUP BY h),
          |r AS (SELECT h FROM df WHERE df BETWEEN 2 AND 10),
          |rp AS (SELECT p.doc_id, p.h FROM p JOIN r USING (h)),
-         |cand AS (SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
-         |  FROM rp a JOIN rp b ON a.h = b.h AND a.doc_id < b.doc_id),
+         |cand AS (SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+         |  FROM rp a JOIN rp b ON a.h = b.h AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2 HAVING count(*) >= 2),
          |v AS (SELECT doc_id_a, doc_id_b,
          |   CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE) / least(len(x.hs), len(y.hs)) AS containment,
          |   CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE) / len(list_distinct(x.hs || y.hs)) AS jaccard

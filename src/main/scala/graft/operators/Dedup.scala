@@ -199,54 +199,93 @@ object Dedup {
     * |A| (an article quoted inside a much larger wrapper page), Jaccard
     * is small so no MinHash band agrees, yet containment |A∩B|/|A| ≈ 1.
     * Candidate generation inverts on RARE shingles instead of signature
-    * bands: every pair sharing at least one shingle with document
-    * frequency in [2, maxDf] becomes a candidate. A high-containment
-    * pair shares ALL of the smaller doc's shingles, so it escapes only
-    * when every one of them is corpus-common (df > maxDf) — i.e. the
-    * smaller doc is pure boilerplate, which is [[Corpus.lineDedup]]'s
-    * jurisdiction, not containment dedup's. Reported containment is the
-    * max-directional form |A∩B| / min(|A|,|B|); Jaccard rides along for
-    * triage.
+    * bands: every pair sharing at least `minShared` shingles with
+    * document frequency in [2, maxDf] becomes a candidate. A
+    * high-containment pair shares ALL of the smaller doc's shingles, so
+    * it escapes only when fewer than `minShared` of them are uncommon
+    * (df ≤ maxDf) — i.e. the smaller doc is (nearly) pure boilerplate,
+    * which is [[Corpus.lineDedup]]'s jurisdiction, not containment
+    * dedup's. Reported containment is the max-directional form
+    * |A∩B| / min(|A|,|B|); Jaccard rides along for triage.
     *
-    * Scale: a posting-list self-join with the df cap as the bucket
-    * bound — per-shingle fan-out ≤ maxDf², total candidate work ≤
-    * maxDf · |corpus shingle instances|, never all-pairs. Verification
-    * is exact set ops over the cached 56-bit shingle hashes; the `sig`
+    * Scale: candidate generation is ONE bounded aggregation — per
+    * shingle hash, a size-capped heap collects the `maxDf + 1` smallest
+    * doc ids (the existing [[graft.functions.TopKPairsAgg]] with a
+    * constant distance key: O(maxDf) state per group, map-side
+    * combinable), so a corpus-common shingle costs `maxDf + 1` buffer
+    * slots to detect and discard, never a collected posting list; pairs
+    * expand map-side from the surviving ≤ maxDf-element lists (≤
+    * C(maxDf, 2) per shingle) straight into the pair-count shuffle.
+    * Total candidate work ≤ maxDf · |corpus shingle instances|, never
+    * all-pairs, in two shuffles end-to-end. The `minShared` gate
+    * (default 2) is the precision lever that makes the verify stage's
+    * input data-proportional rather than collision-proportional: on
+    * corpora whose shingle df mass sits just inside the cap,
+    * one-shared-shingle pairs are overwhelmingly noise (measured 95% of
+    * candidate volume on the synthetic corpus) and the gate costs
+    * nothing — it rides the pair-count aggregation. Verification is
+    * exact set ops over the cached 56-bit shingle hashes; the `sig`
     * frame is the SAME cached plan [[minhashLsh]] registers (one fused
-    * digest pass serves both pipelines in a session). Both ratios are
-    * exact small-integer rationals, so the threshold gate and the
-    * oracle's are boundary-identical across engines. */
+    * digest pass serves both pipelines in a session). Small corpora
+    * (≤ `broadcastVerifyRows`, known from the cached sig frame) take
+    * broadcast verify joins; above that the semi-join pruned shuffle
+    * path keeps the 100 TB shape. Both ratios are exact small-integer
+    * rationals, so the threshold gate and the oracle's are
+    * boundary-identical across engines. */
   def containmentPairs(
       docs: DataFrame,
       shingleN: Int = 3,
       perms: Int = 16,
       maxDf: Int = 10,
-      threshold: Double = 0.8): DataFrame = {
+      threshold: Double = 0.8,
+      minShared: Int = 2,
+      broadcastVerifyRows: Long = 1L << 15): DataFrame = {
     require(maxDf >= 2, s"maxDf must be >= 2, got $maxDf")
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
     val sig = graft.Caching.ensureCached(
       minhashSignature(docs, shingleN, perms)
         .select(col("doc_id"), col("__sig"), col("__shh")))
-    // Narrow postings — (doc_id, one 8-byte hash) — so the df count and
-    // the self-join shuffle primitives, never shingle arrays.
+    // Narrow postings — (doc_id, one 8-byte hash) — so the bounded
+    // per-shingle aggregation shuffles primitives, never shingle arrays.
     val postings = sig.select(col("doc_id"),
       explode(array_distinct(col("__shh"))).as("__h"))
-    val rare = postings.groupBy(col("__h")).agg(count(lit(1)).as("__df"))
-      .where(col("__df") >= 2 && col("__df") <= maxDf)
-      .select(col("__h"))
-    val rp = postings.join(rare, Seq("__h"))
-    val candidates = rp.select(col("__h"), col("doc_id").as("doc_id_a"))
-      .join(rp.select(col("__h"), col("doc_id").as("doc_id_b")), Seq("__h"))
-      .where(col("doc_id_a") < col("doc_id_b"))
+    // Bounded collect: maxDf+1 smallest doc ids per shingle — enough to
+    // KNOW df > maxDf (size = maxDf+1 → drop) while holding the complete
+    // id list for every shingle inside the cap. Ids arrive ascending, so
+    // the (a, i) × slice(i+2, ...) expansion yields each unordered pair
+    // exactly once with doc_id_a < doc_id_b.
+    val grouped = postings.groupBy(col("__h"))
+      .agg(graft.functions.TopKPairsAgg.topKPairs(lit(0.0), col("doc_id"), maxDf + 1).as("__tk"))
+      .where(size(col("__tk")).between(2, maxDf))
+      .select(transform(col("__tk"), x => x("id")).as("__ds"))
+    val candidates = grouped
+      .select(explode(flatten(transform(col("__ds"),
+        (a, i) => transform(slice(col("__ds"), i + lit(2), lit(maxDf)),
+          b => struct(a.as("doc_id_a"), b.as("doc_id_b")))))).as("__p"))
+      .select(col("__p.doc_id_a"), col("__p.doc_id_b"))
+      .groupBy(col("doc_id_a"), col("doc_id_b"))
+      .agg(count(lit(1)).as("__nshared"))
+      .where(col("__nshared") >= minShared)
       .select("doc_id_a", "doc_id_b")
-      .distinct() // a pair may share several rare shingles
-    val candIds = candidates.select(col("doc_id_a").as("doc_id"))
-      .union(candidates.select(col("doc_id_b").as("doc_id")))
-      .distinct()
-    val candSh = sig.join(candIds, Seq("doc_id"), "left_semi")
-    val shA = candSh.select(col("doc_id").as("doc_id_a"),
-      array_distinct(col("__shh")).as("__sa"))
-    val shB = candSh.select(col("doc_id").as("doc_id_b"),
-      array_distinct(col("__shh")).as("__sb"))
+    // Verify: attach both docs' full shingle sets. The cached sig frame's
+    // row count is known (one cheap job on the materialized cache), so
+    // small corpora broadcast the array side — 3 fewer shuffles — while
+    // large ones keep the candidate-pruned shuffle join.
+    val (shA, shB) =
+      if (sig.count() <= broadcastVerifyRows) {
+        val sh = sig.select(col("doc_id"), array_distinct(col("__shh")).as("__s"))
+        (broadcast(sh.select(col("doc_id").as("doc_id_a"), col("__s").as("__sa"))),
+          broadcast(sh.select(col("doc_id").as("doc_id_b"), col("__s").as("__sb"))))
+      } else {
+        val candIds = candidates.select(col("doc_id_a").as("doc_id"))
+          .union(candidates.select(col("doc_id_b").as("doc_id")))
+          .distinct()
+        val candSh = sig.join(candIds, Seq("doc_id"), "left_semi")
+        (candSh.select(col("doc_id").as("doc_id_a"),
+            array_distinct(col("__shh")).as("__sa")),
+          candSh.select(col("doc_id").as("doc_id_b"),
+            array_distinct(col("__shh")).as("__sb")))
+      }
     candidates
       .join(shA, Seq("doc_id_a"))
       .join(shB, Seq("doc_id_b"))
