@@ -161,6 +161,59 @@ object EventStream {
       key: String = "user_id"): DataFrame =
     events.join(broadcast(dim), Seq(key), "left_outer")
 
+  /** STREAM-STREAM time-bounded correlation join — the streaming twin of
+    * [[graft.operators.Temporal.rangeJoinBinned]]: pair each left event
+    * with the same-key right events in its look-back window
+    * (`left.ts - lookBackSec < right.ts <= left.ts`, same bounds as the
+    * batch operator). Both sides carry an event-time watermark and the
+    * join predicate bounds `right.ts` relative to `left.ts` from BOTH
+    * sides, which is exactly what Structured Streaming needs to derive a
+    * state watermark: buffered rows are dropped once they can no longer
+    * match anything the other stream may still deliver, so state is
+    * bounded by `watermark + lookBackSec` of history per side — never by
+    * stream length. Inner join, append mode.
+    *
+    * Right columns arrive prefixed `r_` (the two sides share the events
+    * schema). At 100 TB/day the same plan runs against two Kafka topics;
+    * the file source here is the test harness. */
+  def correlatedPairs(
+      left: DataFrame,
+      right: DataFrame,
+      key: String = "user_id",
+      lookBackSec: Long = 600L,
+      watermark: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark("ts", watermark)
+    val r = right
+      .select(col(key).as("__rk"), col("ts").as("r_ts"),
+        col("event_id").as("r_event_id"), col("event_type").as("r_event_type"),
+        col("value").as("r_value"))
+      .withWatermark("r_ts", watermark)
+    l.join(r,
+        l(key) === r("__rk") &&
+          r("r_ts") > l("ts") - expr(s"INTERVAL $lookBackSec SECONDS") &&
+          r("r_ts") <= l("ts"),
+        "inner")
+      .drop("__rk")
+  }
+
+  /** [[correlatedPairs]] instance to a memory sink: purchases paired
+    * with the same user's errors in the preceding 10 minutes — the
+    * "what went wrong just before this conversion" correlation. */
+  def startCorrelatedToMemory(spark: SparkSession, dir: String, name: String): StreamingQuery = {
+    val ev = readEvents(spark, dir)
+    correlatedPairs(
+        ev.where(col("event_type") === "purchase"),
+        ev.where(col("event_type") === "error"))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("r_event_id"), col("r_ts"), col("r_value"))
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** The dimension snapshot [[enrichWithDim]] expects: latest value per
     * key from a batch table (max_by reduction — no window); ties on `ts`
     * break deterministically by `tieBreak`. */

@@ -410,6 +410,29 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("stream_funnel_test").count() === got.size.toLong)
   }
 
+  test("stream-stream time-bounded join equals the batch range join's pairs") {
+    val batchEvents = EventStream.loadEvents(spark, sf0001)
+    // batch twin: the binned range join with identical bounds — matched
+    // pairs only (drop the left-outer null rows)
+    val want = graft.operators.Temporal.rangeJoinBinned(
+        batchEvents.where(col("event_type") === "purchase"),
+        batchEvents.where(col("event_type") === "error"),
+        "user_id", "ts", windowSec = 600L)
+      .where(col("range_match").isNotNull)
+      .select(col("event_id"), col("range_match.event_id"))
+      .as[(Long, Long)].collect().toSet
+    assert(want.nonEmpty, "test corpus must contain purchase-after-error pairs")
+
+    val q = EventStream.startCorrelatedToMemory(spark, sf0001, "stream_corr_test")
+    q.awaitTermination()
+    val got = spark.table("stream_corr_test")
+      .select(col("event_id"), col("r_event_id"))
+      .as[(Long, Long)].collect().toSet
+    assert(got === want)
+    // inner join: exactly one row per matched pair, no duplicates
+    assert(spark.table("stream_corr_test").count() === got.size.toLong)
+  }
+
   test("stream-static dim enrichment equals the batch join; missing keys null") {
     // dim snapshot: latest (by ts, then event_id) value per user from the
     // batch table — the serving-time feature snapshot
