@@ -2140,6 +2140,31 @@ object Queries {
         r4(expr("percentile(__dur, 0.9D)")).as("p90_dur_sec"))
     }),
 
+    // extension: Z-ORDERED layout scan — the two-axis data-skipping
+    // layout (Morton interleave of normalized (ts, user_id) ranks →
+    // repartitionByRange): each file is a rectangle in (time, user)
+    // space, so parquet footer min/max prune on EITHER predicate; a
+    // ts-only sort cannot serve the user axis (locality pinned in
+    // ZOrderSpec). Store written once per (session, sf), like the
+    // id-bucketed store; layout can only prune, never change results —
+    // which is exactly what the oracle (the same filter on the raw
+    // table) checks
+    "events_zorder_scan" -> ((s, dir) => {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_zstore_" +
+        s"${s.sparkContext.applicationId}_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      if (!new java.io.File(s"$path/_SUCCESS").exists())
+        graft.sources.ZOrder.writeZOrdered(
+          events(s, dir).withColumn("ts_us", unix_micros(col("ts"))),
+          path, "ts_us", "user_id", nFiles = 16)
+      graft.sources.ZOrder.open(s, path)
+        .where(col("user_id").between(40, 60) &&
+          col("ts") >= to_timestamp(lit("2024-01-10 00:00:00")) &&
+          col("ts") < to_timestamp(lit("2024-01-20 00:00:00")))
+        .select(col("event_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"), col("event_type"))
+        .orderBy("event_id")
+    }),
+
     // extension: INTERVAL-OVERLAP join (the batch form of Flink's
     // interval join) — user sessions × hourly error-incident windows:
     // for every incident hour with >= 5 errors, how many user sessions
@@ -4083,6 +4108,15 @@ object Queries {
          |  ${sqlR4("quantile_cont(dur, 0.5)")} AS p50_dur_sec,
          |  ${sqlR4("quantile_cont(dur, 0.9)")} AS p90_dur_sec
          |FROM g""".stripMargin,
+
+    // the layout cannot change results: the oracle is the same filter
+    // over the raw table
+    "events_zorder_scan" ->
+      """SELECT event_id, user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s, event_type
+        |FROM events
+        |WHERE user_id BETWEEN 40 AND 60
+        |  AND ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00'
+        |ORDER BY event_id""".stripMargin,
 
     // the sessionize CTE + hourly error incidents (>= 5 errors), paired
     // by a plain inequality overlap join — DuckDB at oracle scale can
