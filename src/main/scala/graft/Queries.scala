@@ -2381,6 +2381,33 @@ object Queries {
         .orderBy("event_type")
     }),
 
+    // extension: MERGEABLE sketch rollup — per-day HLL sketches
+    // (DataSketches binaries) unioned into weekly distinct-user
+    // estimates: the incremental-distinct architecture where a 100 TB
+    // pipeline STORES the per-partition sketch column and answers any
+    // coarser rollup by merging, never re-scanning raws. Two stateful
+    // levels in one plan (day sketches → week union); the estimate is
+    // checked against the exact two-stage distinct, so the oracle's
+    // TRUE flag fails if the sketch path ever drifts past 5%
+    "events_hll_rollup" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val weekly = ev
+        .groupBy(date_trunc("week", col("ts")).as("__wk"),
+          date_trunc("day", col("ts")).as("__day"))
+        .agg(hll_sketch_agg(col("user_id"), 14).as("__sk"))
+        .groupBy(col("__wk"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("__sk"))).as("__est"))
+      val exact = ev.select(date_trunc("week", col("ts")).as("__wk"), col("user_id"))
+        .distinct()
+        .groupBy(col("__wk")).agg(count(lit(1)).as("wau_exact"))
+      exact.join(weekly, Seq("__wk"))
+        .select(date_format(col("__wk"), "yyyy-MM-dd").as("week"),
+          col("wau_exact"),
+          (abs(col("__est").cast("double") - col("wau_exact").cast("double")) <=
+            col("wau_exact").cast("double") * lit(0.05) + lit(1.0)).as("sketch_ok"))
+        .orderBy("week")
+    }),
+
     // extension: ordered funnel (view → click → purchase): stage k's
     // timestamp is the EARLIEST event of that type at-or-after stage
     // k−1. Per-stage per-user min-reductions chained by equi-joins (each
@@ -4108,6 +4135,14 @@ object Queries {
          |  ${sqlR4("quantile_cont(dur, 0.5)")} AS p50_dur_sec,
          |  ${sqlR4("quantile_cont(dur, 0.9)")} AS p90_dur_sec
          |FROM g""".stripMargin,
+
+    // exact weekly distinct in SQL + the invariant TRUE flag (the
+    // sketch estimate itself is engine-specific; the flag pins it to
+    // within 5% of exact — events_sketch_check's documented style)
+    "events_hll_rollup" ->
+      """WITH w AS (SELECT date_trunc('week', ts) AS wk, user_id FROM events GROUP BY 1, 2)
+        |SELECT strftime(wk, '%Y-%m-%d') AS week, count(*) AS wau_exact, TRUE AS sketch_ok
+        |FROM w GROUP BY wk ORDER BY week""".stripMargin,
 
     // the layout cannot change results: the oracle is the same filter
     // over the raw table
