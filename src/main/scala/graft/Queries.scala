@@ -58,6 +58,45 @@ object Queries {
 
   private def sqlR4(e: String): String = s"floor(($e) * 10000.0 + 0.5) / 10000.0"
 
+  /** The vocab_bpe_train oracle: the BPE training loop UNROLLED as
+    * generated CTEs — per merge step, pair counts from the current
+    * segmentation, the argmax (count desc, pair ascending in binary
+    * collation — the engine-portable tie-break bpeTrain mirrors in
+    * code-point order), and the merge applied via `replace()` on a
+    * U+001F-framed segmentation string (replace's left-to-right
+    * non-overlapping semantics ARE BPE's merge semantics).
+    * `AS MATERIALIZED` is load-bearing: each step references the
+    * previous chain several times, and DuckDB's default inlining makes
+    * the expansion exponential in nMerges. */
+  private def bpeTrainOracleSql(nMerges: Int, vocabCap: Int): String = {
+    val sep = "chr(31)"
+    val steps = (1 to nMerges).map { k =>
+      s"""p$k AS MATERIALIZED (SELECT l AS lft, r AS rgt, CAST(sum(tf) AS BIGINT) AS c FROM (
+         |    SELECT tf, ss[i] AS l, ss[i + 1] AS r
+         |    FROM (SELECT tf, string_split(seg, $sep) AS ss FROM w${k - 1}),
+         |         unnest(generate_series(2, len(ss) - 2)) AS u(i))
+         |  GROUP BY 1, 2),
+         |b$k AS MATERIALIZED (SELECT lft, rgt, c FROM p$k ORDER BY c DESC, lft ASC, rgt ASC LIMIT 1),
+         |w$k AS MATERIALIZED (SELECT token, tf, replace(seg,
+         |    $sep || (SELECT lft FROM b$k) || $sep || (SELECT rgt FROM b$k) || $sep,
+         |    $sep || (SELECT lft FROM b$k) || (SELECT rgt FROM b$k) || $sep) AS seg
+         |  FROM w${k - 1})""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to nMerges)
+      .map(k => s"SELECT $k AS step, lft, rgt, c FROM b$k")
+      .mkString("\n UNION ALL ")
+    s"""WITH tok AS (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token FROM documents),
+       |tv AS MATERIALIZED (SELECT token, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY token
+       |  ORDER BY tf DESC, token ASC LIMIT $vocabCap),
+       |w0 AS MATERIALIZED (SELECT token, tf,
+       |    $sep || array_to_string(string_split_regex(token, ''), $sep) || $sep AS seg
+       |  FROM tv WHERE token <> '' AND strpos(token, $sep) = 0),
+       |$steps
+       |SELECT step, lft AS left_sym, rgt AS right_sym, c AS freq FROM (
+       | $union)
+       |ORDER BY step""".stripMargin
+  }
+
   private val stopAllScala: Seq[String] = TextOps.StopwordsByLang.flatMap(_._2).distinct
   private val stopAllSql: String = stopAllScala.map(w => s"'$w'").mkString("[", ",", "]")
 
@@ -2059,6 +2098,19 @@ object Queries {
       graft.operators.TextOps.vocabTop(
         docs(s, dir).repartition(col("doc_id")), k = 100)),
 
+    // extension: BPE TRAINER — the full iterative merge-learning loop
+    // (count pairs → argmax → merge everywhere, 8 rounds) over the
+    // tf-weighted vocabulary. The corpus-proportional work is the one
+    // two-stage wordcount; training state is the bounded word-frequency
+    // table (rule 19a: model-bounded → collect and iterate exactly).
+    // The oracle replays the SAME loop unrolled as generated SQL CTEs —
+    // merge application via separator-framed replace() — so every
+    // learned (pair, freq) row is hash-checked, not just invariants
+    "vocab_bpe_train" -> ((s, dir) =>
+      graft.operators.TextOps.bpeTrain(
+          docs(s, dir).repartition(col("doc_id")), nMerges = 8, vocabCap = 500)
+        .orderBy("step")),
+
     // extension: WEIGHTED dataset mixing — per-source quotas (the real
     // "2 parts web, 1 part code" shape): each listed source keeps its own
     // smallest-content-hash prefix sized by its quota; unlisted sources
@@ -4023,6 +4075,8 @@ object Queries {
         |g AS (SELECT token, CAST(sum(c) AS BIGINT) AS tf, CAST(count(*) AS BIGINT) AS df
         |  FROM pd GROUP BY token)
         |SELECT token, tf, df FROM g ORDER BY tf DESC, token ASC LIMIT 100""".stripMargin,
+
+    "vocab_bpe_train" -> bpeTrainOracleSql(nMerges = 8, vocabCap = 500),
 
     "mix_weighted" ->
       """WITH h AS (SELECT doc_id, source, list_reduce(list_transform(string_split_regex(substr(md5(text), 1, 8), ''),

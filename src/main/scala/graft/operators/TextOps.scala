@@ -302,6 +302,93 @@ object TextOps {
       .limit(k)
   }
 
+  /** Train a BPE merge table: `nMerges` iterations of count-adjacent-
+    * pairs → take the argmax → merge it everywhere (Sennrich et al.
+    * 2016), over the top-`vocabCap` vocabulary weighted by term
+    * frequency. Returns `(step, left_sym, right_sym, freq)` — the ranked
+    * merge list [[bpeApply]] consumes.
+    *
+    * Scale (the SURVEY §11 rule-19a move): the only corpus-proportional
+    * work is the ONE two-stage wordcount behind [[vocabTop]]; training
+    * state is the ≤ `vocabCap`-row word-frequency table — bounded by
+    * model size, not data — so it collects to the driver and the exact
+    * merge loop runs there, which is how production tokenizer trainers
+    * work (they train on word counts, not corpora). Each iteration is
+    * O(vocab · avg word length); nothing per-iteration touches the
+    * cluster.
+    *
+    * Determinism contract (what makes the full-SQL oracle possible):
+    * the argmax tie-break is (count desc, then (left, right) ascending
+    * in CODE-POINT order — matching UTF-8 binary collation, not Java's
+    * UTF-16 `compareTo`); merging applies left-to-right,
+    * non-overlapping, exactly `replace()`'s semantics on a
+    * separator-framed segmentation string. Words containing U+001F (the
+    * oracle's separator) are excluded AFTER the top-V cut on both
+    * engines. Requires enough pair mass for `nMerges` distinct merges —
+    * true for any real corpus; the loop stops early (fewer rows) if
+    * pairs run dry. */
+  def bpeTrain(docs: DataFrame, nMerges: Int = 8, vocabCap: Int = 500): DataFrame = {
+    require(nMerges > 0, s"nMerges must be positive, got $nMerges")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = vocabTop(docs, vocabCap)
+      .select(col("token"), col("tf"))
+      .as[(String, Long)].collect()
+      .filter { case (w, _) => w.nonEmpty && !w.contains('\u001f') }
+    def cps(s: String): Array[String] =
+      s.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
+    def cpCompare(a: String, b: String): Int = {
+      val ai = a.codePoints().iterator()
+      val bi = b.codePoints().iterator()
+      while (ai.hasNext && bi.hasNext) {
+        val c = Integer.compare(ai.nextInt(), bi.nextInt())
+        if (c != 0) return c
+      }
+      java.lang.Boolean.compare(ai.hasNext, bi.hasNext)
+    }
+    var segs: Array[(Array[String], Long)] = words.map { case (w, f) => (cps(w), f) }
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var step = 1
+    var dry = false
+    while (step <= nMerges && !dry) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      segs.foreach { case (ss, f) =>
+        var i = 0
+        while (i < ss.length - 1) {
+          val k = (ss(i), ss(i + 1))
+          counts(k) = counts.getOrElse(k, 0L) + f
+          i += 1
+        }
+      }
+      if (counts.isEmpty) dry = true
+      else {
+        val ((l, r), c) = counts.iterator.reduce { (x, y) =>
+          val byCount = java.lang.Long.compare(x._2, y._2)
+          val cmp =
+            if (byCount != 0) -byCount // higher count wins
+            else {
+              val byL = cpCompare(x._1._1, y._1._1)
+              if (byL != 0) byL else cpCompare(x._1._2, y._1._2)
+            }
+          if (cmp <= 0) x else y
+        }
+        merges += ((step, l, r, c))
+        segs = segs.map { case (ss, f) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < ss.length) {
+            if (i < ss.length - 1 && ss(i) == l && ss(i + 1) == r) {
+              out += l + r; i += 2
+            } else { out += ss(i); i += 1 }
+          }
+          (out.toArray, f)
+        }
+        step += 1
+      }
+    }
+    merges.result().toDF("step", "left_sym", "right_sym", "freq")
+  }
+
   /** The pinned demo merge list for [[bpeApply]] — ranked, and
     * SELF-CONSISTENT (each merge's operands are single characters or
     * products of strictly earlier merges), which is the condition under

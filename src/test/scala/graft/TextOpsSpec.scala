@@ -270,4 +270,48 @@ class TextOpsSpec extends SparkSpec {
     // src1: sort(4)+the(1)+band(2)=7 subwords / 3 words
     assert(fert === Seq(("src0", 3L, 4L), ("src1", 3L, 7L)))
   }
+
+  test("bpeTrain: hand-computed merge sequence on a tiny corpus") {
+    // vocab: low×5, lowest×2, newest×6, widest×3 (the Sennrich running
+    // example's shape). Initial pair counts:
+    //   (l,o) 7, (o,w) 7, (e,s) 11, (s,t) 11, (w,e) 8(lowest2+newest6),
+    //   (n,e) 6, (e,w) 6, (w,i) 3, (i,d) 3, (d,e) 3
+    // step 1: tie (e,s)=(s,t)=11 → lexicographically smaller pair (e,s)
+    // step 2: (es,t) 11
+    // step 3: (w,est) 8 — lowest(2)+newest(6); (l,o)/(o,w) 7 lose
+    val text = (Seq.fill(5)("low") ++ Seq.fill(2)("lowest") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val got = TextOps.bpeTrain(docs, nMerges = 3, vocabCap = 100)
+      .as[(Int, String, String, Long)].collect().toSeq.sortBy(_._1)
+    assert(got === Seq(
+      (1, "e", "s", 11L),
+      (2, "es", "t", 11L),
+      (3, "w", "est", 8L)))
+  }
+
+  test("bpeTrain: merge frequencies are non-increasing and operands self-consistent") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog the fox"),
+      (2L, "pack my box with five dozen liquor jugs for the win"),
+      (3L, "how vexingly quick daft zebras jump the quiz")).toDF("doc_id", "text")
+    val merges = TextOps.bpeTrain(docs, nMerges = 10, vocabCap = 100)
+      .as[(Int, String, String, Long)].collect().toSeq.sortBy(_._1)
+    assert(merges.size === 10)
+    // each merge's count can never exceed an earlier one (merging only
+    // removes or preserves pair mass)
+    merges.sliding(2).foreach { case Seq(a, b) =>
+      assert(b._4 <= a._4, s"freq increased: $a -> $b")
+    }
+    // self-consistency: every operand is a single char or the product of
+    // a strictly earlier merge — the bpeApply rank-order contract
+    val products = scala.collection.mutable.Set.empty[String]
+    merges.foreach { case (_, l, r, _) =>
+      Seq(l, r).foreach { sym =>
+        assert(sym.length == 1 || products.contains(sym),
+          s"operand '$sym' is neither a char nor an earlier product")
+      }
+      products += l + r
+    }
+  }
 }
