@@ -68,7 +68,8 @@ object Queries {
     * `AS MATERIALIZED` is load-bearing: each step references the
     * previous chain several times, and DuckDB's default inlining makes
     * the expansion exponential in nMerges. */
-  private def bpeTrainOracleSql(nMerges: Int, vocabCap: Int): String = {
+  private def bpeTrainOracleSql(nMerges: Int, vocabCap: Int,
+      finalSql: Option[String] = None): String = {
     val sep = "chr(31)"
     val steps = (1 to nMerges).map { k =>
       s"""p$k AS MATERIALIZED (SELECT l AS lft, r AS rgt, CAST(sum(tf) AS BIGINT) AS c FROM (
@@ -85,6 +86,10 @@ object Queries {
     val union = (1 to nMerges)
       .map(k => s"SELECT $k AS step, lft, rgt, c FROM b$k")
       .mkString("\n UNION ALL ")
+    val fin = finalSql.getOrElse(
+      s"""SELECT step, lft AS left_sym, rgt AS right_sym, c AS freq FROM (
+         | $union)
+         |ORDER BY step""".stripMargin)
     s"""WITH tok AS (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token FROM documents),
        |tv AS MATERIALIZED (SELECT token, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY token
        |  ORDER BY tf DESC, token ASC LIMIT $vocabCap),
@@ -92,9 +97,7 @@ object Queries {
        |    $sep || array_to_string(string_split_regex(token, ''), $sep) || $sep AS seg
        |  FROM tv WHERE token <> '' AND strpos(token, $sep) = 0),
        |$steps
-       |SELECT step, lft AS left_sym, rgt AS right_sym, c AS freq FROM (
-       | $union)
-       |ORDER BY step""".stripMargin
+       |$fin""".stripMargin
   }
 
   private val stopAllScala: Seq[String] = TextOps.StopwordsByLang.flatMap(_._2).distinct
@@ -2111,6 +2114,17 @@ object Queries {
           docs(s, dir).repartition(col("doc_id")), nMerges = 8, vocabCap = 500)
         .orderBy("step")),
 
+    // extension: train → apply end-to-end — the vocabulary segmented
+    // under the JUST-TRAINED merge table, applied distributed via the
+    // bpeApply kernel with the merges inlined as literals (rule 19a).
+    // The oracle reuses the unrolled training replay and reads the
+    // final segmentation state (w8) directly — so the kernel's
+    // rank-order application is hash-checked against the trainer's own
+    // end state
+    "text_bpe_train_apply" -> ((s, dir) =>
+      graft.operators.TextOps.bpeTrainSegmentations(
+        docs(s, dir).repartition(col("doc_id")), nMerges = 8, vocabCap = 500)),
+
     // extension: WEIGHTED dataset mixing — per-source quotas (the real
     // "2 parts web, 1 part code" shape): each listed source keeps its own
     // smallest-content-hash prefix sized by its quota; unlisted sources
@@ -4077,6 +4091,11 @@ object Queries {
         |SELECT token, tf, df FROM g ORDER BY tf DESC, token ASC LIMIT 100""".stripMargin,
 
     "vocab_bpe_train" -> bpeTrainOracleSql(nMerges = 8, vocabCap = 500),
+
+    "text_bpe_train_apply" -> bpeTrainOracleSql(nMerges = 8, vocabCap = 500,
+      finalSql = Some(
+        """SELECT token, tf, trim(replace(seg, chr(31), ' ')) AS seg FROM w8
+          |ORDER BY tf DESC, token ASC""".stripMargin)),
 
     "mix_weighted" ->
       """WITH h AS (SELECT doc_id, source, list_reduce(list_transform(string_split_regex(substr(md5(text), 1, 8), ''),

@@ -328,6 +328,34 @@ object TextOps {
     * true for any real corpus; the loop stops early (fewer rows) if
     * pairs run dry. */
   def bpeTrain(docs: DataFrame, nMerges: Int = 8, vocabCap: Int = 500): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    trainMerges(docs, nMerges, vocabCap)
+      .toDF("step", "left_sym", "right_sym", "freq")
+  }
+
+  /** [[bpeTrain]] composed with distributed application: train the merge
+    * table, then segment the SAME top-V vocabulary with the trained
+    * model via the [[bpeApply]] kernel -- the merges ride the plan as
+    * literals (rule 19a: model-bounded state inlines; no join). Trained
+    * merges are self-consistent by construction (each operand is a char
+    * or a strictly earlier product -- pinned in TextOpsSpec), which is
+    * exactly the contract under which the kernel's sequential rank-order
+    * application reproduces the trainer's final segmentation state.
+    * Returns `(token, tf, seg)` by (tf desc, token). */
+  def bpeTrainSegmentations(docs: DataFrame, nMerges: Int = 8,
+      vocabCap: Int = 500): DataFrame = {
+    val merges = trainMerges(docs, nMerges, vocabCap)
+      .map { case (_, l, r, _) => (l, r) }
+    vocabTop(docs, vocabCap)
+      .where(col("token") =!= "" && !col("token").contains("\u001f"))
+      .select(col("token"), col("tf"),
+        bpeApply(col("token"), merges).as("seg"))
+      .orderBy(col("tf").desc, col("token").asc)
+  }
+
+  private def trainMerges(docs: DataFrame, nMerges: Int,
+      vocabCap: Int): Seq[(Int, String, String, Long)] = {
     require(nMerges > 0, s"nMerges must be positive, got $nMerges")
     val spark = docs.sparkSession
     import spark.implicits._
@@ -386,7 +414,7 @@ object TextOps {
         step += 1
       }
     }
-    merges.result().toDF("step", "left_sym", "right_sym", "freq")
+    merges.result()
   }
 
   /** The pinned demo merge list for [[bpeApply]] — ranked, and
