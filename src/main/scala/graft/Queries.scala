@@ -2528,6 +2528,28 @@ object Queries {
         .orderBy("purchase_id")
     }),
 
+    // the SAME join through the segmented-scan skew path (chunkSec > 0:
+    // per-(key, day-chunk) windows + the cross-chunk carry aggregate —
+    // the whale-key mitigation). The results contract says any chunk
+    // width yields identical output, so this row shares
+    // events_asof_join's oracle verbatim — the skew path is now
+    // CORRECTNESS-gated, not only spec-pinned
+    "events_asof_chunked" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts"),
+          col("value"))
+      Temporal.asofJoin(purchases, clicks, "user_id", "ts",
+          Seq("click_id", "value"), tieBreak = "click_id", chunkSec = 86400L)
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
+          col("asof_click_id").as("click_id"),
+          r4(col("asof_value")).as("click_value"))
+        .orderBy("purchase_id")
+    }),
+
     // extension: FORWARD as-of — each click attributed to the next
     // purchase by the same user (conversion latency), same zero-join
     // window pass with the time axis reversed
@@ -4360,6 +4382,24 @@ object Queries {
     // ties on click ts resolved to the greatest click_id (the operator's
     // deterministic tieBreak); <= is the inclusive as-of bound
     "events_asof_join" ->
+      s"""WITH p AS (SELECT event_id AS purchase_id, user_id, ts FROM events
+         |           WHERE event_type = 'purchase'),
+         |c AS (SELECT event_id AS click_id, user_id, ts, value FROM events
+         |      WHERE event_type = 'click')
+         |SELECT purchase_id, user_id,
+         |  strftime(p_ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+         |  click_id, click_value
+         |FROM (
+         |  SELECT p.purchase_id, p.user_id, p.ts AS p_ts, c.click_id,
+         |    ${sqlR4("c.value")} AS click_value,
+         |    row_number() OVER (PARTITION BY p.purchase_id
+         |      ORDER BY c.ts DESC, c.click_id DESC) AS rn
+         |  FROM p LEFT JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts)
+         |WHERE rn = 1 ORDER BY purchase_id""".stripMargin,
+
+    // identical-results contract: the chunked skew path shares the
+    // plain as-of oracle verbatim
+    "events_asof_chunked" ->
       s"""WITH p AS (SELECT event_id AS purchase_id, user_id, ts FROM events
          |           WHERE event_type = 'purchase'),
          |c AS (SELECT event_id AS click_id, user_id, ts, value FROM events
