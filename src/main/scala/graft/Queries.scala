@@ -58,6 +58,54 @@ object Queries {
 
   private def sqlR4(e: String): String = s"floor(($e) * 10000.0 + 0.5) / 10000.0"
 
+  /** Seeded ±1 JL-projection matrix (8 × 64) shared by `embed_project`
+    * and its oracle — ONE Scala definition feeds both engines (the
+    * literal-model rule), so every sign and the scale double are
+    * identical bit-for-bit. */
+  private val rpSignMatrix: Seq[Seq[Int]] =
+    operators.VectorOps.rpSigns(seed = 7L, dIn = Dim, dOut = 8)
+  private val rpScaleSql: String = (1.0 / math.sqrt(8.0)).toString
+
+  /** MMR parameters shared by `knn_mmr` and its oracle. `MmrOneMinusLam`
+    * is its own literal (not derived as `1 − lam` at use sites): the
+    * greedy argmin compares doubles, so both engines must multiply by
+    * the identical constant. */
+  private val MmrLam = 0.5
+  private val MmrOneMinusLam = 0.5
+
+  /** The MMR greedy loop UNROLLED as generated SQL (the BPE-oracle
+    * technique): a ≤`shortlist`-row candidate CTE, its pairwise
+    * distance matrix, then one MATERIALIZED one-row CTE per selection
+    * step — each step excludes the previous picks and orders by the
+    * same `lam·dq − (1−lam)·min-dist-to-selected` objective the
+    * expression evaluates, with the identical id tiebreak. */
+  private def mmrOracleSql(k: Int, shortlist: Int): String = {
+    val steps = (2 to k).map { i =>
+      val prevSel = (1 until i).map(j => s"SELECT id FROM s$j").mkString(" UNION ALL ")
+      s"""s$i AS MATERIALIZED (SELECT c.id AS id,
+         |    $MmrLam * c.dq - $MmrOneMinusLam * (SELECT min(p.d) FROM sim p
+         |      WHERE p.ia = c.id AND p.ib IN ($prevSel)) AS mmr
+         |  FROM cand c WHERE c.id NOT IN ($prevSel)
+         |  ORDER BY mmr ASC, c.id ASC LIMIT 1)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to k)
+      .map(i => s"SELECT $i AS rank, id, mmr FROM s$i")
+      .mkString("\n UNION ALL ")
+    s"""WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+       |cand AS MATERIALIZED (SELECT e.vec_id AS id, e.embedding AS embedding,
+       |    ${sqlSq("e.embedding", "q.qvec")} AS dq
+       |  FROM embeddings e, q
+       |  ORDER BY ${sqlSq("e.embedding", "q.qvec")} ASC, e.vec_id ASC LIMIT $shortlist),
+       |sim AS MATERIALIZED (SELECT a.id AS ia, b.id AS ib,
+       |    ${sqlSq("a.embedding", "b.embedding")} AS d
+       |  FROM cand a JOIN cand b ON a.id <> b.id),
+       |s1 AS MATERIALIZED (SELECT id, $MmrLam * dq AS mmr
+       |  FROM cand ORDER BY mmr ASC, id ASC LIMIT 1),
+       |$steps
+       |SELECT CAST(rank AS INT) AS rank, id AS vec_id, ${sqlR4("mmr")} AS mmr
+       |FROM ($union) ORDER BY rank""".stripMargin
+  }
+
   /** The vocab_bpe_train oracle: the BPE training loop UNROLLED as
     * generated CTEs — per merge step, pair counts from the current
     * segmentation, the argmax (count desc, pair ascending in binary
@@ -1154,6 +1202,38 @@ object Queries {
         .orderBy("vec_id", "pos")
     }),
 
+    // extension: JL random projection (Achlioptas ±1 scheme, seeded
+    // splitmix64 signs) 64 → 8 dims — the dimensionality-reduction
+    // lever for cheap pre-filtering and sketching. The sign matrix is
+    // model-bounded, so it rides the plan as literals (both engines
+    // restate the identical ints); map-only, one fold per output dim.
+    "embed_project" -> ((s, dir) =>
+      emb(s, dir).select(col("vec_id"),
+          posexplode(operators.VectorOps.randomProject(
+            col("embedding"), rpSignMatrix)))
+        .select(col("vec_id"), col("pos").cast("int").as("pos"),
+          r4(col("col")).as("pval"))
+        .orderBy("vec_id", "pos")),
+
+    // extension: Matryoshka two-stage search — prefix-dim (16 of 64)
+    // shortlist of 50, exact full-dim rerank to top-10. ONE scan, two
+    // chained bounded heaps (TakeOrderedAndProject), no join: the
+    // cheap-funnel serving shape. Deterministic end to end (id
+    // tiebreaks at both stages), so the oracle replays both stages.
+    "knn_matryoshka" -> ((s, dir) =>
+      knnOut(Knn.searchPrefixRerank(recs(s, dir), qvec0(s, dir),
+        k = 10, prefixDim = 16, shortlist = 50, Metric.Euclidean))),
+
+    // extension: MMR diversity rerank — relevance shortlist of 30, then
+    // greedy maximal-marginal-relevance selection of 10 (lam = 0.5).
+    // One scan → one bounded heap → one model-bounded expression; the
+    // oracle replays the greedy loop as 10 unrolled one-row CTE steps.
+    "knn_mmr" -> ((s, dir) =>
+      Knn.mmrRerank(recs(s, dir), qvec0(s, dir), k = 10, shortlist = 30,
+          lam = MmrLam, oneMinusLam = MmrOneMinusLam)
+        .select(col("rank"), col("id").as("vec_id"), r4(col("mmr")).as("mmr"))
+        .orderBy("rank")),
+
     // extension: PRODUCT-quantization codes — m=4 subspaces × 16 codes
     // over 64 dims = 2 bytes a vector (vs 256 raw): the compression
     // lever past int8. Fixed codebooks (records 0..15's subvectors)
@@ -2071,6 +2151,31 @@ object Queries {
           r4(lit(1.0) - col("__cd.sum_sq").cast("double") /
             (col("__cd.n_cp") * col("__cd.n_cp")).cast("double")).as("simpson"),
           r4(col("__cd.max_n").cast("double") / col("__cd.n_cp")).as("dominance"))
+        .orderBy("doc_id")),
+
+    // extension: the Gopher rule battery (Rae et al. 2021 §A1.1) — the
+    // published MassiveText heuristic filter set as one map-only struct
+    // per doc; every ratio divides exact integers, so even the rule
+    // BOUNDARY comparisons are oracle-safe (no float drift can flip a
+    // flag between engines)
+    "text_gopher" -> ((s, dir) =>
+      docs(s, dir)
+        .withColumn("__toks", TextOps.tokens(col("text")))
+        .withColumn("__g", TextOps.gopherFlags(col("text"), col("__toks")))
+        .select(col("doc_id"),
+          col("__g.n_words").as("n_words"),
+          r4(col("__g.mean_word_len")).as("mean_word_len"),
+          r4(col("__g.symbol_ratio")).as("symbol_ratio"),
+          r4(col("__g.alpha_frac")).as("alpha_frac"),
+          col("__g.stop_hits").as("stop_hits"),
+          col("__g.ok_words").as("ok_words"),
+          col("__g.ok_mean_len").as("ok_mean_len"),
+          col("__g.ok_symbol").as("ok_symbol"),
+          col("__g.ok_bullet").as("ok_bullet"),
+          col("__g.ok_ellipsis").as("ok_ellipsis"),
+          col("__g.ok_alpha").as("ok_alpha"),
+          col("__g.ok_stop").as("ok_stop"),
+          col("__g.pass").as("pass"))
         .orderBy("doc_id")),
 
     // extension: vocabulary COVERAGE — the fraction of all token
@@ -3439,6 +3544,40 @@ object Queries {
          |SELECT vec_id, CAST(pos AS INT) AS pos, qval, ${sqlR4("scale")} AS scale
          |FROM x ORDER BY vec_id, pos""".stripMargin,
 
+    // the 8×64 sign matrix and the scale are restated from the SAME
+    // Scala values the Spark query reads (literal-model rule): the fold
+    // is list_sum over per-element double products, sequential in both
+    // engines
+    "embed_project" -> {
+      val rows = rpSignMatrix.map { row =>
+        val signsSql = row.mkString("[", ",", "]")
+        s"list_sum(list_transform(list_zip(embedding, $signsSql), " +
+          s"p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) * $rpScaleSql"
+      }
+      s"""WITH t AS (SELECT vec_id, ${rows.zipWithIndex
+        .map { case (e, j) => s"($e) AS p$j" }.mkString(", ")}
+         |  FROM embeddings),
+         |x AS (SELECT vec_id, u.i AS pos, [${(0 until 8)
+        .map(j => s"p$j").mkString(",")}][u.i + 1] AS pval
+         |  FROM t, unnest(generate_series(0, 7)) AS u(i))
+         |SELECT vec_id, CAST(pos AS INT) AS pos, ${sqlR4("pval")} AS pval
+         |FROM x ORDER BY vec_id, pos""".stripMargin
+    },
+
+    "knn_mmr" -> mmrOracleSql(k = 10, shortlist = 30),
+
+    // both stages replayed: prefix-dim shortlist (LIMIT 50, id
+    // tiebreak) then exact full-dim rerank — list slice [1:16] is
+    // 1-based inclusive, = Spark's slice(v, 1, 16)
+    "knn_matryoshka" ->
+      s"""WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+         |s AS (SELECT e.vec_id AS vec_id, e.embedding AS embedding, q.qvec AS qvec
+         |  FROM embeddings e, q
+         |  ORDER BY ${sqlSq("e.embedding[1:16]", "q.qvec[1:16]")} ASC, e.vec_id ASC LIMIT 50)
+         |SELECT vec_id, ${sqlR4(sqlSq("embedding", "qvec"))} AS distance
+         |FROM s
+         |ORDER BY ${sqlSq("embedding", "qvec")} ASC, vec_id ASC LIMIT 10""".stripMargin,
+
     "dedup_incremental" ->
       s"""WITH toks AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(len(tk) - 2, 0)),
          |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
@@ -4495,5 +4634,51 @@ object Queries {
          |SELECT doc_id, n_cp, n_distinct,
          |  ${sqlR4("1.0 - CAST(sum_sq AS DOUBLE) / CAST(n_cp * n_cp AS DOUBLE)")} AS simpson,
          |  ${sqlR4("CAST(max_n AS DOUBLE) / n_cp")} AS dominance
-         |FROM agg ORDER BY doc_id""".stripMargin)
+         |FROM agg ORDER BY doc_id""".stripMargin,
+
+    // the Gopher battery's mirror: same tokenization, same raw-text line
+    // split (chr(10), trailing empties kept in both engines), same
+    // replace()-delta occurrence counts; list_intersect/array_intersect
+    // both deduplicate, so stop_hits counts DISTINCT stopwords present
+    "text_gopher" ->
+      s"""WITH b AS (SELECT doc_id, text,
+         |    regexp_split_to_array(lower(trim(text)), '\\s+') AS tk,
+         |    string_split(text, chr(10)) AS ls
+         |  FROM documents),
+         |m AS (SELECT doc_id,
+         |  CAST(len(tk) AS BIGINT) AS n_words,
+         |  CAST(coalesce(list_sum(list_transform(tk, x -> CAST(length(x) AS BIGINT))), 0) AS BIGINT) AS len_sum,
+         |  CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS n_hash,
+         |  CAST((length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT) AS n_ell,
+         |  CAST(len(list_filter(tk, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS n_alpha,
+         |  CAST(len(ls) AS BIGINT) AS n_lines,
+         |  CAST(len(list_filter(ls, l -> ltrim(l) LIKE '-%' OR ltrim(l) LIKE '*%' OR ltrim(l) LIKE '•%')) AS BIGINT) AS n_bullet,
+         |  CAST(len(list_filter(ls, l -> rtrim(l) LIKE '%...' OR rtrim(l) LIKE '%…')) AS BIGINT) AS n_ellend,
+         |  CAST(len(list_intersect(tk, ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS stop_hits
+         |  FROM b),
+         |d AS (SELECT doc_id, n_words, stop_hits,
+         |  CASE WHEN n_words > 0 THEN CAST(len_sum AS DOUBLE) / n_words ELSE 0.0 END AS mean_word_len,
+         |  CASE WHEN n_words > 0 THEN CAST(n_hash + n_ell AS DOUBLE) / n_words ELSE 0.0 END AS symbol_ratio,
+         |  CASE WHEN n_words > 0 THEN CAST(n_alpha AS DOUBLE) / n_words ELSE 0.0 END AS alpha_frac,
+         |  CASE WHEN n_lines > 0 THEN CAST(n_bullet AS DOUBLE) / n_lines ELSE 0.0 END AS bullet_frac,
+         |  CASE WHEN n_lines > 0 THEN CAST(n_ellend AS DOUBLE) / n_lines ELSE 0.0 END AS ellipsis_frac
+         |  FROM m)
+         |SELECT doc_id, n_words,
+         |  ${sqlR4("mean_word_len")} AS mean_word_len,
+         |  ${sqlR4("symbol_ratio")} AS symbol_ratio,
+         |  ${sqlR4("alpha_frac")} AS alpha_frac,
+         |  stop_hits,
+         |  (n_words >= 50 AND n_words <= 100000) AS ok_words,
+         |  (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS ok_mean_len,
+         |  (symbol_ratio <= 0.1) AS ok_symbol,
+         |  (bullet_frac <= 0.9) AS ok_bullet,
+         |  (ellipsis_frac <= 0.3) AS ok_ellipsis,
+         |  (alpha_frac >= 0.8) AS ok_alpha,
+         |  (stop_hits >= 2) AS ok_stop,
+         |  (n_words >= 50 AND n_words <= 100000
+         |    AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+         |    AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9
+         |    AND ellipsis_frac <= 0.3 AND alpha_frac >= 0.8
+         |    AND stop_hits >= 2) AS pass
+         |FROM d ORDER BY doc_id""".stripMargin)
 }

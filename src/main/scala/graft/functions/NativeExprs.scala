@@ -919,4 +919,117 @@ object NativeExprs {
   }
 
   def charDiversity(text: Column): Column = asCol(CharDiversityExpr(ex(text)))
+
+  /** Greedy maximal-marginal-relevance selection (Carbonell & Goldstein
+    * 1998, restated for distance space) over a BOUNDED candidate array
+    * `array<struct<dq, id, embedding>>`:
+    *
+    *   pick argmin over remaining c of
+    *     `mmr(c) = lam·dq(c) − (1−lam)·min_{s∈selected} ‖c − s‖²`
+    *   (ties → smaller id; the first pick has no diversity term).
+    *
+    * Returns `array<struct<rank, id, mmr>>` of min(k, n) selections.
+    *
+    * Engine-portability contract (what makes the unrolled SQL oracle
+    * hash-exact): `lam` and `oneMinusLam` are BOTH caller-supplied
+    * literals (never derived here — `1.0 − 0.3` is not the double
+    * `0.7`); pairwise distances run the same sequential left fold as
+    * [[SqEuclideanExpr]]; the running `min` is order-insensitive; and
+    * every comparison is between doubles produced by identical op
+    * sequences, so even exact ties resolve identically. Candidates with
+    * NaN `dq` are skipped; a NaN pairwise distance never enters the min
+    * (both impossible for parquet float vectors, kept total anyway).
+    *
+    * Cost: O(k·n·dim) per GROUP on an n-bounded shortlist — the caller
+    * contract is n ≤ a few hundred (the rerank funnel), never a corpus. */
+  case class MmrSelectExpr(child: Expression, lam: Double, oneMinusLam: Double, k: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("rank", IntegerType, nullable = false),
+      StructField("id", LongType, nullable = false),
+      StructField("mmr", DoubleType, nullable = false))), containsNull = false)
+    override def nullable: Boolean = true
+    @transient private lazy val entrySchema: StructType = child.dataType match {
+      case ArrayType(st: StructType, _) => st
+      case other => throw new IllegalArgumentException(s"unsupported candidates type: $other")
+    }
+    @transient private lazy val dqIdx: Int = entrySchema.fieldIndex("dq")
+    @transient private lazy val idIdx: Int = entrySchema.fieldIndex("id")
+    @transient private lazy val embIdx: Int = entrySchema.fieldIndex("embedding")
+    @transient private lazy val readE: (ArrayData, Int) => Double =
+      reader(entrySchema(embIdx).dataType)
+    override def eval(input: InternalRow): Any = {
+      val cands = child.eval(input).asInstanceOf[ArrayData]
+      if (cands == null) return null
+      val nf = entrySchema.size
+      val n = cands.numElements()
+      val ids = new Array[Long](n)
+      val dqs = new Array[Double](n)
+      val embs = new Array[ArrayData](n)
+      var m = 0
+      var i = 0
+      while (i < n) {
+        if (!cands.isNullAt(i)) {
+          val e = cands.getStruct(i, nf)
+          if (!e.isNullAt(dqIdx) && !e.isNullAt(idIdx) && !e.isNullAt(embIdx)) {
+            val dq = e.getDouble(dqIdx)
+            if (!dq.isNaN) {
+              ids(m) = e.getLong(idIdx)
+              dqs(m) = dq
+              embs(m) = e.getArray(embIdx)
+              m += 1
+            }
+          }
+        }
+        i += 1
+      }
+      def pairDist(a: ArrayData, b: ArrayData): Double = {
+        val la = a.numElements(); val lb = b.numElements()
+        if (la != lb) return Double.NaN
+        var s = 0.0; var j = 0
+        while (j < la) { val d = readE(a, j) - readE(b, j); s += d * d; j += 1 }
+        s
+      }
+      val taken = new Array[Boolean](m)
+      // min pairwise distance to the selected set, maintained incrementally
+      val minD = Array.fill(m)(Double.PositiveInfinity)
+      val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+      val kk = math.min(k, m)
+      var r = 0
+      while (r < kk) {
+        var best = -1
+        var bestScore = 0.0
+        var c = 0
+        while (c < m) {
+          if (!taken(c)) {
+            val score =
+              if (r == 0) lam * dqs(c)
+              else lam * dqs(c) - oneMinusLam * minD(c)
+            if (best < 0 || score < bestScore ||
+                (score == bestScore && ids(c) < ids(best))) {
+              best = c
+              bestScore = score
+            }
+          }
+          c += 1
+        }
+        taken(best) = true
+        out += InternalRow(r + 1, ids(best), bestScore)
+        var c2 = 0
+        while (c2 < m) {
+          if (!taken(c2)) {
+            val d = pairDist(embs(c2), embs(best))
+            if (!d.isNaN && d < minD(c2)) minD(c2) = d
+          }
+          c2 += 1
+        }
+        r += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  def mmrSelect(cands: Column, lam: Double, oneMinusLam: Double, k: Int): Column =
+    asCol(MmrSelectExpr(ex(cands), lam, oneMinusLam, k))
 }

@@ -57,6 +57,91 @@ object Knn {
       .select(col("id"), col("metadata"), col("distance"))
   }
 
+  /** Matryoshka-style two-stage search (Kusupati et al. 2022): a
+    * shortlist ranked on the PREFIX of the embedding (the first
+    * `prefixDim` dims — an MRL-trained embedding front-loads information
+    * there, and even untrained embeddings keep most relative geometry),
+    * then exact reranking of the shortlist at full dimension.
+    *
+    * Scale shape — this is the cheap-funnel pattern of every 100 TB
+    * serving stack: the plan is ONE scan feeding two chained bounded
+    * heaps (`TakeOrderedAndProject` → `TakeOrderedAndProject`). The
+    * prefix stage pays `prefixDim/dim` of the full kernel cost per row
+    * and carries the full embedding through the heap (shortlist rows
+    * only), so the rerank needs no second scan and no join. Exactness
+    * is a recall trade: any true neighbor ranked outside `shortlist` by
+    * the prefix metric is lost — the same contract as IVF probing.
+    *
+    * Determinism: both stages tiebreak on `id` ascending, so the
+    * shortlist membership and the final order are total orders — which
+    * is what makes the two-stage pipeline oracle-checkable end to end. */
+  def searchPrefixRerank(
+      records: DataFrame,
+      query: DataFrame,
+      k: Int,
+      prefixDim: Int,
+      shortlist: Int,
+      metric: Metric = Metric.Euclidean): DataFrame = {
+    require(k > 0 && shortlist >= k, "need shortlist >= k > 0")
+    require(prefixDim > 0, "prefixDim must be positive")
+    val pre = metric.distance(
+      slice(col("embedding"), 1, prefixDim), slice(col("qvec"), 1, prefixDim))
+    records
+      .crossJoin(broadcast(query))
+      .withColumn("__pd", pre)
+      .where(!isnan(col("__pd")))
+      .orderBy(col("__pd").asc, col("id").asc)
+      .limit(shortlist)
+      .withColumn("distance", metric.distance(col("embedding"), col("qvec")))
+      .where(!isnan(col("distance")))
+      .orderBy(col("distance").asc, col("id").asc)
+      .limit(k)
+      .select(col("id"), col("metadata"), col("distance"))
+  }
+
+  /** MMR diversity rerank (Carbonell & Goldstein 1998): a relevance
+    * shortlist, then greedy maximal-marginal-relevance selection —
+    * each pick balances closeness to the query against redundancy with
+    * what is already picked (`lam`·relevance − (1−`lam`)·min distance
+    * to the selected set, distance-space formulation; `lam`=1 degrades
+    * to plain top-k order).
+    *
+    * Scale shape: the scan funnels through ONE bounded heap
+    * (`TakeOrderedAndProject`, shortlist rows carrying their
+    * embeddings); the greedy loop runs inside a single expression over
+    * the collected shortlist — model-bounded state (≤ shortlist rows),
+    * so per the literal-model rule it never touches a join or second
+    * scan. O(k·shortlist·dim) driver-side work, independent of corpus
+    * size.
+    *
+    * `oneMinusLam` is a separate literal rather than `1 − lam` because
+    * the unrolled SQL oracle must restate the identical double —
+    * `1.0 − 0.3` is not the literal `0.7`. Both stages and the greedy
+    * argmin tiebreak on id, so the output is a total order. */
+  def mmrRerank(
+      records: DataFrame,
+      query: DataFrame,
+      k: Int,
+      shortlist: Int,
+      lam: Double,
+      oneMinusLam: Double,
+      metric: Metric = Metric.Euclidean): DataFrame = {
+    require(k > 0 && shortlist >= k, "need shortlist >= k > 0")
+    records
+      .crossJoin(broadcast(query))
+      .withColumn("__dq", metric.distance(col("embedding"), col("qvec")))
+      .where(!isnan(col("__dq")))
+      .orderBy(col("__dq").asc, col("id").asc)
+      .limit(shortlist)
+      .agg(array_sort(collect_list(struct(
+        col("__dq").as("dq"), col("id").as("id"),
+        col("embedding").as("embedding")))).as("__c"))
+      .select(explode(graft.functions.NativeExprs.mmrSelect(
+        col("__c"), lam, oneMinusLam, k)).as("__m"))
+      .select(col("__m.rank").as("rank"), col("__m.id").as("id"),
+        col("__m.mmr").as("mmr"))
+  }
+
   /** Many-queries batch search: `queries(query_id, qvec)` × records,
     * two-phase top-k.
     *

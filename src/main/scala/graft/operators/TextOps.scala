@@ -480,6 +480,92 @@ object TextOps {
         sum(col("tf") * col("n_sym")).as("n_subwords"))
   }
 
+  /** The Gopher quality-rule stop list (Rae et al. 2021, §A1.1): a
+    * document must contain at least [[GopherMinStopHits]] DISTINCT words
+    * from this list to pass the stop-word rule. */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+  val GopherMinStopHits = 2
+
+  /** The Gopher rule battery (Rae et al. 2021, Appendix A1.1) — the
+    * published heuristic filter set MassiveText was built with, as one
+    * map-only struct per document. Rules (all boundaries inclusive on
+    * the passing side, matching the paper's "between"/"no more than"
+    * phrasing):
+    *
+    *   - `ok_words`:    50 ≤ word count ≤ 100,000
+    *   - `ok_mean_len`: 3 ≤ mean word length ≤ 10 characters
+    *   - `ok_symbol`:   (`#` + `...` occurrences) / words ≤ 0.1
+    *   - `ok_bullet`:   ≤ 90% of lines start with a bullet (`-` `*` `•`)
+    *   - `ok_ellipsis`: ≤ 30% of lines end with `...` or `…`
+    *   - `ok_alpha`:    ≥ 80% of words contain ≥ 1 alphabetic character
+    *   - `ok_stop`:     ≥ 2 distinct [[GopherStopwords]] present
+    *   - `pass`:        conjunction of all seven
+    *
+    * Every counter is integer-exact (counts and `replace`-difference
+    * occurrence counts), so the derived ratios are single divisions of
+    * exact integers — bit-identical across engines, making even the
+    * boundary comparisons oracle-safe. The whole battery is one
+    * whole-stage-codegen map pass: at 100 TB it rides the scan.
+    *
+    * `t` is the materialized lowercased token attribute ([[tokens]]);
+    * `text` is the RAW text (line structure and case preserved — the
+    * bullet/ellipsis line rules read the original lines). */
+  def gopherFlags(text: Column, t: Column): Column = {
+    val nWords = size(t).cast("long")
+    val nWordsD = nWords.cast("double")
+    val lenSum = aggregate(t, lit(0L), (acc, x) => acc + length(x).cast("long"))
+    val meanLen = when(nWords > 0, lenSum.cast("double") / nWordsD).otherwise(lit(0.0))
+    // occurrence counts via length deltas: replace() is non-overlapping
+    // left-to-right in both engines, so the counts match exactly
+    val nHash = (length(text) - length(replace(text, lit("#"), lit("")))).cast("long")
+    val nEllipsis =
+      ((length(text) - length(replace(text, lit("..."), lit("")))) / lit(3)).cast("long")
+    val symbolRatio =
+      when(nWords > 0, (nHash + nEllipsis).cast("double") / nWordsD).otherwise(lit(0.0))
+    val alphaWords = size(filter(t, w => w.rlike("[a-z]"))).cast("long")
+    val alphaFrac =
+      when(nWords > 0, alphaWords.cast("double") / nWordsD).otherwise(lit(0.0))
+    val lines = split(text, "\n")
+    val nLines = size(lines).cast("double")
+    val bulletLines = size(filter(lines, l => {
+      val h = substring(ltrim(l), 1, 1)
+      h === "-" || h === "*" || h === "•"
+    })).cast("double")
+    val ellipsisLines = size(filter(lines, l => {
+      val r = rtrim(l)
+      r.endsWith("...") || r.endsWith("…")
+    })).cast("double")
+    val bulletFrac = when(nLines > 0, bulletLines / nLines).otherwise(lit(0.0))
+    val ellipsisFrac = when(nLines > 0, ellipsisLines / nLines).otherwise(lit(0.0))
+    val stopHits =
+      size(array_intersect(t, array(GopherStopwords.map(lit): _*))).cast("long")
+    val okWords = nWords >= 50L && nWords <= 100000L
+    val okMeanLen = meanLen >= 3.0 && meanLen <= 10.0
+    val okSymbol = symbolRatio <= 0.1
+    val okBullet = bulletFrac <= 0.9
+    val okEllipsis = ellipsisFrac <= 0.3
+    val okAlpha = alphaFrac >= 0.8
+    val okStop = stopHits >= GopherMinStopHits
+    struct(
+      nWords.as("n_words"),
+      meanLen.as("mean_word_len"),
+      symbolRatio.as("symbol_ratio"),
+      alphaFrac.as("alpha_frac"),
+      bulletFrac.as("bullet_frac"),
+      ellipsisFrac.as("ellipsis_frac"),
+      stopHits.as("stop_hits"),
+      okWords.as("ok_words"),
+      okMeanLen.as("ok_mean_len"),
+      okSymbol.as("ok_symbol"),
+      okBullet.as("ok_bullet"),
+      okEllipsis.as("ok_ellipsis"),
+      okAlpha.as("ok_alpha"),
+      okStop.as("ok_stop"),
+      (okWords && okMeanLen && okSymbol && okBullet &&
+        okEllipsis && okAlpha && okStop).as("pass"))
+  }
+
   /** Per-document character-distribution stats (native kernel, one
     * map-only pass): `struct(n_cp, n_distinct, sum_sq, max_n)`. The
     * derived Simpson collision index `1 − Σp²` and dominance ratio

@@ -214,4 +214,45 @@ object VectorOps {
     rows.toDF("sub_idx", "code", "cvec")
       .withColumn("cvec", col("cvec").cast("array<float>"))
   }
+
+  // ---------- random projection ----------
+
+  /** splitmix64 — the standard public-domain 64-bit mixer (Steele et
+    * al. 2014); drives the deterministic ±1 sign matrix below. */
+  private def splitmix64(x0: Long): Long = {
+    var z = x0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** Deterministic ±1 sign matrix (dOut × dIn) for database-friendly
+    * random projection (Achlioptas 2003's ±1 scheme — satisfies the JL
+    * lemma with the same distortion bounds as Gaussian entries). Seeded
+    * splitmix64 per cell, so the matrix is a pure function of
+    * `(seed, dIn, dOut)`: model-bounded (rule: a small-support model is
+    * a literal, not a join), it rides BOTH engines' plans as identical
+    * integer literals. */
+  def rpSigns(seed: Long, dIn: Int, dOut: Int): Seq[Seq[Int]] =
+    (0 until dOut).map { j =>
+      (0 until dIn).map { i =>
+        if ((splitmix64(seed + j.toLong * dIn + i) & 1L) == 0L) 1 else -1
+      }
+    }
+
+  /** Project `v` (array<float|double>) to `signs.size` dims:
+    * `p_j = (Σ_i v_i · s_{j,i}) / sqrt(dOut)` — the JL scaling that
+    * makes squared distances approximately preserved in expectation.
+    * Map-only (one fold per output dim over literal sign rows); the
+    * fold is sequential in both engines, so the oracle (same literals,
+    * `list_sum` over `list_zip`) reproduces every bit. */
+  def randomProject(v: Column, signs: Seq[Seq[Int]]): Column = {
+    require(signs.nonEmpty, "need at least one projection row")
+    val scale = 1.0 / math.sqrt(signs.size.toDouble)
+    array(signs.map { row =>
+      val rl = array(row.map(s => lit(s.toDouble)): _*)
+      aggregate(zip_with(v, rl, (a, b) => a.cast("double") * b),
+        lit(0.0), (acc, x) => acc + x) * lit(scale)
+    }: _*)
+  }
 }

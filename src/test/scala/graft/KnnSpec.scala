@@ -159,4 +159,72 @@ class KnnSpec extends SparkSpec {
       .collect().map(_._1).toSeq
     assert(solo === Seq(10L, 11L, 12L))
   }
+
+  test("searchPrefixRerank: full-prefix degenerates to exact search; " +
+    "shortlist=n is exact at any prefix; plan is two bounded heaps, no join") {
+    val dim = 8
+    val rnd = new scala.util.Random(11)
+    val recs = (0L until 200L).map { i =>
+      (i, Array.fill(dim)(rnd.nextFloat()).toSeq, Map("i" -> i.toString))
+    }.toDF("id", "embedding", "metadata")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val q = recs.where(col("id") === 0).select(col("embedding").as("qvec"))
+    val exact = Knn.search(recs, q, 10).as[(Long, Map[String, String], Double)]
+      .collect().toSeq.map(r => (r._1, r._3))
+    // prefixDim = dim → the shortlist stage ranks on the true distance
+    val full = Knn.searchPrefixRerank(recs, q, 10, prefixDim = dim, shortlist = 20)
+      .as[(Long, Map[String, String], Double)].collect().toSeq.map(r => (r._1, r._3))
+    assert(full === exact)
+    // shortlist = n → nothing is pruned, any prefix gives the exact answer
+    val allIn = Knn.searchPrefixRerank(recs, q, 10, prefixDim = 2, shortlist = 200)
+      .as[(Long, Map[String, String], Double)].collect().toSeq.map(r => (r._1, r._3))
+    assert(allIn === exact)
+    val plan = Knn.searchPrefixRerank(recs, q, 10, prefixDim = 2, shortlist = 50)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"no bounded heap in:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"rerank must not join back to the store:\n$plan")
+  }
+
+  test("mmrRerank: lam=1 degenerates to plain top-k; diversity term " +
+    "evicts a redundant near-duplicate; greedy objective hand-checked") {
+    // 0 = query's nearest; 1 = near-duplicate of 0; 2, 3 = progressively
+    // farther but mutually diverse points
+    val recs = Seq(
+      (0L, Seq(0.0f, 0.0f), Map.empty[String, String]),
+      (1L, Seq(0.1f, 0.0f), Map.empty[String, String]),
+      (2L, Seq(0.0f, 2.0f), Map.empty[String, String]),
+      (3L, Seq(2.0f, 0.0f), Map.empty[String, String]))
+      .toDF("id", "embedding", "metadata")
+    val q = Seq(Tuple1(Seq(0.0f, 0.0f))).toDF("qvec")
+    // lam=1: the diversity term is muted -> exact distance order
+    val plain = Knn.mmrRerank(recs, q, k = 4, shortlist = 4,
+      lam = 1.0, oneMinusLam = 0.0).as[(Int, Long, Double)].collect().toSeq
+    assert(plain.map(_._2) === Seq(0L, 1L, 2L, 3L))
+    // lam=0.5: after picking 0, candidate 1 (dq=0.01, 0.01 from 0) scores
+    // 0.5*0.01-0.5*0.01 = 0; candidates 2/3 (dq=4, dist 4 from 0) score
+    // 0.5*4-0.5*4 = 0 — exact tie -> smallest id (1) still wins rank 2;
+    // at rank 3, candidate 2 (min dist to {0,1} = 4) scores 0 while 3
+    // scores 2-0.5*min(4, 3.61..)=0.195 -> 2 wins; 3 last.
+    val div = Knn.mmrRerank(recs, q, k = 4, shortlist = 4,
+      lam = 0.5, oneMinusLam = 0.5).as[(Int, Long, Double)].collect().toSeq
+    assert(div.map(_._2) === Seq(0L, 1L, 2L, 3L))
+    assert(div.map(_._1) === Seq(1, 2, 3, 4))
+    // the eviction case: B is a near-duplicate of the top pick A, C is
+    // farther from the query but diverse. Plain ranking keeps B second;
+    // MMR promotes C: score(B) = 0.5*1.01 - 0.5*0.01 = 0.5 while
+    // score(C) = 0.5*2.25 - 0.5*3.25 = -0.5
+    val dup = Seq(
+      (10L, Seq(1.0f, 0.0f), Map.empty[String, String]),  // A
+      (11L, Seq(1.0f, 0.1f), Map.empty[String, String]),  // B ~ A
+      (12L, Seq(0.0f, 1.5f), Map.empty[String, String]))  // C diverse
+      .toDF("id", "embedding", "metadata")
+    val plainDup = Knn.mmrRerank(dup, q, k = 3, shortlist = 3,
+      lam = 1.0, oneMinusLam = 0.0).as[(Int, Long, Double)].collect().toSeq
+    assert(plainDup.map(_._2) === Seq(10L, 11L, 12L))
+    val mmrDup = Knn.mmrRerank(dup, q, k = 3, shortlist = 3,
+      lam = 0.5, oneMinusLam = 0.5).as[(Int, Long, Double)].collect().toSeq
+    assert(mmrDup.map(_._2) === Seq(10L, 12L, 11L),
+      s"diversity must evict the near-duplicate: $mmrDup")
+  }
 }

@@ -314,4 +314,61 @@ class TextOpsSpec extends SparkSpec {
       products += l + r
     }
   }
+
+  test("gopherFlags: each rule trips on its designed violation") {
+    // a passing document: >=50 words of ordinary English shape with at
+    // least two distinct Gopher stopwords
+    val good = (("the cat sat with a dog and that was fine to see " * 5)
+      + "be quick today").trim
+    // rule violators, one per rule
+    val fewWords = "the of short"                                  // ok_words
+    val longWords = Array.fill(60)("pneumonoultramicroscopicx").mkString(" ") +
+      " the of"                                                    // ok_mean_len
+    val symbolic = ("the of " + Array.fill(60)("now... #tag word").mkString(" ")) // ok_symbol
+    val bullets = (1 to 20).map(i => s"- the item $i of").mkString("\n") // ok_bullet
+    val ellipses = (1 to 20).map(i => s"the line $i of trails...").mkString("\n") // ok_ellipsis
+    val numeric = "the of " + Array.fill(60)("12345 67890").mkString(" ") // ok_alpha
+    val noStops = Array.fill(60)("word token item").mkString(" ")  // ok_stop
+    val docs = Seq(
+      (0L, good), (1L, fewWords), (2L, longWords), (3L, symbolic),
+      (4L, bullets), (5L, ellipses), (6L, numeric), (7L, noStops))
+      .toDF("doc_id", "text")
+    val got = docs
+      .withColumn("__t", TextOps.tokens(col("text")))
+      .select(col("doc_id"), TextOps.gopherFlags(col("text"), col("__t")).as("g"))
+      .select(col("doc_id"), col("g.ok_words"), col("g.ok_mean_len"),
+        col("g.ok_symbol"), col("g.ok_bullet"), col("g.ok_ellipsis"),
+        col("g.ok_alpha"), col("g.ok_stop"), col("g.pass"))
+      .orderBy("doc_id")
+      .as[(Long, Boolean, Boolean, Boolean, Boolean, Boolean, Boolean, Boolean, Boolean)]
+      .collect().toSeq
+    val byId = got.map(r => r._1 -> r).toMap
+    assert(byId(0L)._9, s"good doc should pass: ${byId(0L)}")
+    assert(!byId(1L)._2 && !byId(1L)._9, "fewWords must fail ok_words")
+    assert(!byId(2L)._3 && !byId(2L)._9, "longWords must fail ok_mean_len")
+    assert(!byId(3L)._4 && !byId(3L)._9, "symbolic must fail ok_symbol")
+    assert(!byId(4L)._5 && !byId(4L)._9, "bullets must fail ok_bullet")
+    assert(!byId(5L)._6 && !byId(5L)._9, "ellipses must fail ok_ellipsis")
+    assert(!byId(6L)._7 && !byId(6L)._9, "numeric must fail ok_alpha")
+    assert(!byId(7L)._8 && !byId(7L)._9, "noStops must fail ok_stop")
+  }
+
+  test("gopherFlags: counters are exact on a hand-computed doc") {
+    // 2 lines; line 1 bullet-started, line 2 ellipsis-ended.
+    // tokens: ["-", "the", "cat#", "runs", "fast..."] (5 words)
+    val text = "- the cat# runs\nfast..."
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val g = docs
+      .withColumn("__t", TextOps.tokens(col("text")))
+      .select(TextOps.gopherFlags(col("text"), col("__t")).as("g"))
+      .select(col("g.n_words"), col("g.symbol_ratio"), col("g.alpha_frac"),
+        col("g.bullet_frac"), col("g.ellipsis_frac"), col("g.stop_hits"))
+      .as[(Long, Double, Double, Double, Double, Long)].head()
+    assert(g._1 === 5L)
+    assert(g._2 === (1 + 1) / 5.0)       // one '#', one '...'
+    assert(g._3 === 4 / 5.0)             // "-" has no alpha
+    assert(g._4 === 0.5)                 // 1 of 2 lines bullet-started
+    assert(g._5 === 0.5)                 // 1 of 2 lines ellipsis-ended
+    assert(g._6 === 1L)                  // only "the"
+  }
 }

@@ -198,4 +198,34 @@ class VectorOpsSpec extends SparkSpec {
       ra, col("a").cast("array<double>"))).as[Double].collect()
     assert(moved.forall(_ > 0.0))
   }
+
+  test("randomProject: deterministic in the seed, balanced signs, " +
+    "JL distance preservation within the lemma's distortion band") {
+    // sign matrix is a pure function of (seed, dIn, dOut)
+    assert(VectorOps.rpSigns(7L, 64, 8) === VectorOps.rpSigns(7L, 64, 8))
+    assert(VectorOps.rpSigns(7L, 64, 8) !== VectorOps.rpSigns(8L, 64, 8))
+    // splitmix64 signs are roughly balanced (a constant-sign row would
+    // make the projection a degenerate sum)
+    val signs = VectorOps.rpSigns(7L, 64, 16)
+    signs.foreach { row =>
+      val pos = row.count(_ == 1)
+      assert(pos > 16 && pos < 48, s"skewed sign row: $pos of 64 positive")
+    }
+    // JL sanity: mean squared-distance ratio across random pairs is near
+    // 1 (unbiasedness), individual ratios stay within a wide band —
+    // dOut=16 gives large per-pair variance, so bands are generous
+    val rnd = new scala.util.Random(3)
+    def v64() = Seq.fill(64)(rnd.nextFloat() * 2 - 1)
+    val df = (0 until 64).map(i => (i.toLong, v64(), v64())).toDF("id", "a", "b")
+    val ratios = df.select(
+      (graft.functions.NativeExprs.sqEuclidean(
+        VectorOps.randomProject(col("a"), signs),
+        VectorOps.randomProject(col("b"), signs)) /
+        graft.functions.NativeExprs.sqEuclidean(col("a"), col("b"))).as("r"))
+      .as[Double].collect()
+    val mean = ratios.sum / ratios.length
+    assert(mean > 0.7 && mean < 1.3, s"distance ratio mean off: $mean")
+    assert(ratios.forall(r => r > 0.05 && r < 5.0),
+      s"pathological per-pair distortion: ${ratios.min} .. ${ratios.max}")
+  }
 }
