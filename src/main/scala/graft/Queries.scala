@@ -1202,6 +1202,26 @@ object Queries {
         .orderBy("vec_id", "pos")
     }),
 
+    // extension: per-label embedding-NORM statistics — the vector-space
+    // health dashboard (collapsed or exploding norms are the classic
+    // embedding-pipeline regression). The per-row norm is a sequential
+    // fold + IEEE sqrt (engine-identical double); aggregation happens on
+    // r4-QUANTIZED norms summed as exact integers (the checksum trick),
+    // so mean/min/max are partition-order-independent and oracle-exact
+    "embed_norm_stats" -> ((s, dir) =>
+      emb(s, dir)
+        .select(col("label"),
+          floor(operators.VectorOps.l2Norm(col("embedding")) * lit(10000.0)
+            + lit(0.5)).cast("long").as("__qn"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n"), sum(col("__qn")).as("__s"),
+          min(col("__qn")).as("__mn"), max(col("__qn")).as("__mx"))
+        .select(col("label").cast("long").as("label"), col("n"),
+          r4(col("__s").cast("double") / col("n") / lit(10000.0)).as("mean_norm"),
+          (col("__mn").cast("double") / lit(10000.0)).as("min_norm"),
+          (col("__mx").cast("double") / lit(10000.0)).as("max_norm"))
+        .orderBy("label")),
+
     // extension: JL random projection (Achlioptas ±1 scheme, seeded
     // splitmix64 signs) 64 → 8 dims — the dimensionality-reduction
     // lever for cheap pre-filtering and sketching. The sign matrix is
@@ -2464,6 +2484,20 @@ object Queries {
         .orderBy("day")
     }),
 
+    // extension: A/B conversion report — per-arm exposed/converted user
+    // counts (arm = user_id % 2), conversion rates, lift, and the
+    // two-proportion z statistic. One per-user max-reduction, then a
+    // 2-row fold: past the first shuffle nothing scales with events.
+    // Every double derives from exact integer counts in a fixed op
+    // order, so even the z statistic is oracle-exact
+    "events_ab_test" -> ((s, dir) =>
+      graft.operators.Events.abTest(events(s, dir),
+          variant = col("user_id") % 2,
+          converted = col("event_type") === "purchase" && col("value") > 90)
+        .select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+          r4(col("rate_a")).as("rate_a"), r4(col("rate_b")).as("rate_b"),
+          r4(col("lift")).as("lift"), r4(col("z")).as("z"))),
+
     // extension: volume-ANOMALY detection — hourly windows whose count
     // sits > 2σ above their event type's mean (the traffic-spike /
     // ingest-stall monitor). Moments from exact integer sums, so the
@@ -3565,6 +3599,40 @@ object Queries {
     },
 
     "knn_mmr" -> mmrOracleSql(k = 10, shortlist = 30),
+
+    // same fixed derivation order: exact counts → divisions → sqrt
+    "events_ab_test" ->
+      s"""WITH pu AS (SELECT user_id, CAST(user_id % 2 AS BIGINT) AS v,
+         |    CAST(max(CASE WHEN event_type = 'purchase' AND value > 90 THEN 1 ELSE 0 END) AS BIGINT) AS conv
+         |  FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+         |a AS (SELECT v, CAST(count(*) AS BIGINT) AS n, CAST(sum(conv) AS BIGINT) AS c
+         |  FROM pu GROUP BY v),
+         |w AS (SELECT
+         |  max(CASE WHEN v = 0 THEN n END) AS n_a, max(CASE WHEN v = 0 THEN c END) AS conv_a,
+         |  max(CASE WHEN v = 1 THEN n END) AS n_b, max(CASE WHEN v = 1 THEN c END) AS conv_b
+         |  FROM a),
+         |f AS (SELECT n_a, conv_a, n_b, conv_b,
+         |  CAST(conv_a AS DOUBLE) / n_a AS ra, CAST(conv_b AS DOUBLE) / n_b AS rb,
+         |  CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b) AS pp FROM w)
+         |SELECT n_a, conv_a, n_b, conv_b,
+         |  ${sqlR4("ra")} AS rate_a, ${sqlR4("rb")} AS rate_b,
+         |  ${sqlR4("rb - ra")} AS lift,
+         |  CASE WHEN sqrt(pp * (1.0 - pp) * (1.0 / n_a + 1.0 / n_b)) <> 0.0
+         |    THEN ${sqlR4("(rb - ra) / sqrt(pp * (1.0 - pp) * (1.0 / n_a + 1.0 / n_b))")} END AS z
+         |FROM f""".stripMargin,
+
+    // norms quantized to exact ints BEFORE aggregation (checksum trick)
+    "embed_norm_stats" ->
+      s"""WITH q AS (SELECT CAST(label AS BIGINT) AS label,
+         |    CAST(floor(sqrt(${sqlDot("embedding", "embedding")}) * 10000.0 + 0.5) AS BIGINT) AS qn
+         |  FROM embeddings),
+         |a AS (SELECT label, CAST(count(*) AS BIGINT) AS n, CAST(sum(qn) AS BIGINT) AS s,
+         |    CAST(min(qn) AS BIGINT) AS mn, CAST(max(qn) AS BIGINT) AS mx
+         |  FROM q GROUP BY label)
+         |SELECT label, n, ${sqlR4("CAST(s AS DOUBLE) / n / 10000.0")} AS mean_norm,
+         |  CAST(mn AS DOUBLE) / 10000.0 AS min_norm,
+         |  CAST(mx AS DOUBLE) / 10000.0 AS max_norm
+         |FROM a ORDER BY label""".stripMargin,
 
     // both stages replayed: prefix-dim shortlist (LIMIT 50, id
     // tiebreak) then exact full-dim rerank — list slice [1:16] is

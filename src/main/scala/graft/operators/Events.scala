@@ -94,4 +94,54 @@ object Events {
       .select(col("event_type"), col("__w.start").as("window_start"),
         col("n"), ((col("n") - col("__mean")) / sqrt(col("__var"))).as("z"))
   }
+
+  /** Two-arm A/B conversion report with the two-proportion z statistic:
+    * per arm, exposed-user and converted-user counts and the conversion
+    * rate; plus lift (`rate_b − rate_a`) and
+    * `z = lift / sqrt(p̂(1−p̂)(1/n_a + 1/n_b))` with p̂ the pooled rate —
+    * the standard large-sample significance test for proportions.
+    *
+    * `variant` must map each user to arm 0 or 1 as a pure function of
+    * the USER (e.g. `user_id % 2` — a per-event expression would let one
+    * user straddle arms); null-user events are excluded (they carry no
+    * assignable identity). A user converts if ANY of their events
+    * satisfies `converted`.
+    *
+    * Scale: one per-user max-reduction (map-side combinable, O(1) state
+    * per user — a whale user costs a scan), then a 2-row arm aggregate
+    * folded to one row: nothing after the first shuffle is proportional
+    * to the event count. Every derived double divides/multiplies exact
+    * integer counts in a fixed operation order, so the statistic is
+    * partition-order-independent and oracle-exact (sqrt is
+    * IEEE-correctly-rounded in any engine). */
+  def abTest(
+      events: DataFrame,
+      variant: Column,
+      converted: Column,
+      userCol: String = "user_id"): DataFrame = {
+    val perUser = events
+      .where(col(userCol).isNotNull)
+      .groupBy(col(userCol))
+      .agg(max(when(converted, 1L).otherwise(0L)).as("__conv"))
+      .select(variant.as("__v"), col("__conv"))
+    val arms = perUser.groupBy(col("__v"))
+      .agg(count(lit(1)).as("__n"), sum(col("__conv")).as("__c"))
+    val wide = arms.agg(
+      max(when(col("__v") === 0, col("__n"))).as("n_a"),
+      max(when(col("__v") === 0, col("__c"))).as("conv_a"),
+      max(when(col("__v") === 1, col("__n"))).as("n_b"),
+      max(when(col("__v") === 1, col("__c"))).as("conv_b"))
+    val ra = col("conv_a").cast("double") / col("n_a")
+    val rb = col("conv_b").cast("double") / col("n_b")
+    val pp = (col("conv_a") + col("conv_b")).cast("double") /
+      (col("n_a") + col("n_b"))
+    // degenerate experiments (pooled rate exactly 0 or 1) have zero
+    // standard error: the statistic is undefined -> null, not a crash
+    val se = sqrt(pp * (lit(1.0) - pp) *
+      (lit(1.0) / col("n_a") + lit(1.0) / col("n_b")))
+    wide.select(
+      col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+      ra.as("rate_a"), rb.as("rate_b"), (rb - ra).as("lift"),
+      when(se =!= 0.0, (rb - ra) / se).as("z"))
+  }
 }

@@ -215,6 +215,11 @@ object VectorOps {
       .withColumn("cvec", col("cvec").cast("array<float>"))
   }
 
+  /** L2 norm — sequential-fold dot then one IEEE sqrt, so the double is
+    * engine-identical. */
+  def l2Norm(v: Column): Column =
+    sqrt(graft.functions.NativeExprs.dot(v, v))
+
   // ---------- random projection ----------
 
   /** splitmix64 — the standard public-domain 64-bit mixer (Steele et

@@ -92,4 +92,38 @@ class EventsSpec extends SparkSpec {
     assert(loose.count(_ == "a") === 1) // only the spike exceeds mean 19
     assert(!loose.contains("b"))        // flat series: variance 0, silent
   }
+
+  test("abTest: hand-computed counts, rates, lift, and z; " +
+    "null users excluded; repeat conversions count once") {
+    // arm 0 (even ids): users 0,2,4,6 — 0 and 2 convert (2/4)
+    // arm 1 (odd ids):  users 1,3    — 1 converts (1/2); user 1 purchases
+    // TWICE (must count once); a null-user purchase must be ignored
+    val ev = Seq(
+      (Some(0L), "purchase"), (Some(0L), "view"), (Some(2L), "purchase"),
+      (Some(4L), "view"), (Some(6L), "click"),
+      (Some(1L), "purchase"), (Some(1L), "purchase"), (Some(3L), "view"),
+      (None: Option[Long], "purchase"))
+      .toDF("user_id", "event_type")
+    val got = Events.abTest(ev, col("user_id") % 2,
+        col("event_type") === "purchase")
+      .as[(Long, Long, Long, Long, Double, Double, Double, Double)].head()
+    val (na, ca, nb, cb, ra, rb, lift, z) = got
+    assert((na, ca, nb, cb) === ((4L, 2L, 2L, 1L)))
+    assert(ra === 0.5 && rb === 0.5 && lift === 0.0)
+    assert(z === 0.0) // equal rates -> zero statistic, exactly
+    // a real lift: arm 1 converts fully
+    val ev2 = Seq(
+      (1L, "purchase"), (3L, "purchase"), (0L, "view"), (2L, "view"),
+      (4L, "purchase"), (6L, "view"))
+      .toDF("user_id", "event_type")
+    val g2 = Events.abTest(ev2, col("user_id") % 2,
+        col("event_type") === "purchase")
+      .as[(Long, Long, Long, Long, Double, Double, Double, Double)].head()
+    // arms: a = {0,2,4,6} conv {4} -> 0.25; b = {1,3} conv both -> 1.0
+    assert((g2._1, g2._2, g2._3, g2._4) === ((4L, 1L, 2L, 2L)))
+    assert(g2._7 === 0.75)
+    val pp = 3.0 / 6.0
+    val want = 0.75 / math.sqrt(pp * (1.0 - pp) * (1.0 / 4 + 1.0 / 2))
+    assert(math.abs(g2._8 - want) < 1e-12, s"z = ${g2._8}, want $want")
+  }
 }
