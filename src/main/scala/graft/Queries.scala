@@ -2173,6 +2173,56 @@ object Queries {
           r4(col("__cd.max_n").cast("double") / col("__cd.n_cp")).as("dominance"))
         .orderBy("doc_id")),
 
+    // extension: TF-IDF keyword extraction — top-5 terms per doc by
+    // tf·ln(N/df), quantized-then-ranked (engine-independent order,
+    // token tiebreak). Vocabulary-bounded df aggregate + per-doc
+    // bounded sort-slice: no ranking window, no global sort.
+    "text_keywords" -> ((s, dir) =>
+      TextOps.tfidfTopK(docs(s, dir), k = 5)
+        .select(col("doc_id"), col("rank"), col("token"), col("tf"),
+          r4(col("score")).as("score"))
+        .orderBy("doc_id", "rank")),
+
+    // extension: per-source PII AUDIT — occurrence counts and
+    // affected-doc counts for each scrub class (emails, phone-shaped
+    // runs, IPv4), the before/after evidence for the scrub pass. The
+    // regex classes are the engine-portable scrubPii patterns; counts
+    // are exact ints, map-side combinable.
+    "corpus_pii_stats" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("source"),
+          regexp_count(col("text"), lit(TextOps.EmailRe)).as("__e"),
+          regexp_count(col("text"), lit(TextOps.PhoneRe)).as("__p"),
+          regexp_count(col("text"), lit(TextOps.Ipv4Re)).as("__i"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("__e")).cast("long").as("emails"),
+          count(when(col("__e") > 0, 1)).as("docs_with_email"),
+          sum(col("__p")).cast("long").as("phones"),
+          count(when(col("__p") > 0, 1)).as("docs_with_phone"),
+          sum(col("__i")).cast("long").as("ips"),
+          count(when(col("__i") > 0, 1)).as("docs_with_ip"))
+        .orderBy("source")),
+
+    // extension: source × detected-language mix matrix — the curation
+    // dashboard crossing the declared source with the n-gram language
+    // ID; fractions divide exact counts. Totals ride a broadcast, so
+    // no window and nothing after the count shuffle scales with docs.
+    "corpus_lang_matrix" -> ((s, dir) => {
+      val d = docs(s, dir)
+        .withColumn("__toks", TextOps.tokens(col("text")))
+        .withColumn("__stats", TextOps.tokenStats(col("__toks")))
+        .select(col("source"),
+          TextOps.langFromVotes(col("__stats.votes")).as("lang_pred"))
+      val counts = d.groupBy(col("source"), col("lang_pred"))
+        .agg(count(lit(1)).as("n"))
+      val totals = counts.groupBy(col("source")).agg(sum(col("n")).as("__t"))
+      counts.join(broadcast(totals), Seq("source"))
+        .select(col("source"), col("lang_pred"), col("n"),
+          r4(col("n").cast("double") / col("__t")).as("frac"))
+        .orderBy("source", "lang_pred")
+    }),
+
     // extension: the Gopher rule battery (Rae et al. 2021 §A1.1) — the
     // published MassiveText heuristic filter set as one map-only struct
     // per doc; every ratio divides exact integers, so even the rule
@@ -4703,6 +4753,67 @@ object Queries {
          |  ${sqlR4("1.0 - CAST(sum_sq AS DOUBLE) / CAST(n_cp * n_cp AS DOUBLE)")} AS simpson,
          |  ${sqlR4("CAST(max_n AS DOUBLE) / n_cp")} AS dominance
          |FROM agg ORDER BY doc_id""".stripMargin,
+
+    // same quantize-then-rank order: floor(score·10⁴+0.5)/10⁴ DESC with
+    // token tiebreak; ln's last ulp is absorbed by the quantization
+    // (text_lm_score precedent)
+    "text_keywords" ->
+      s"""WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token
+         |  FROM documents),
+         |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+         |  FROM toks WHERE token <> '' GROUP BY doc_id, token),
+         |dfq AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+         |sc AS (SELECT tf.doc_id, tf.token, tf.tf,
+         |    tf.tf * ln(CAST(nn.n AS DOUBLE) / dfq.df) AS score
+         |  FROM tf JOIN dfq USING (token), nn),
+         |r AS (SELECT doc_id, token, tf, score,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY floor(score * 10000.0 + 0.5) / 10000.0 DESC, token ASC) AS rank
+         |  FROM sc)
+         |SELECT doc_id, CAST(rank AS INT) AS rank, token, tf, ${sqlR4("score")} AS score
+         |FROM r WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin,
+
+    // the scrubPii regex classes verbatim (engine-portable constructs
+    // only); occurrence counts via regexp_extract_all
+    "corpus_pii_stats" ->
+      s"""WITH c AS (SELECT source,
+         |    len(regexp_extract_all(text, '${TextOps.EmailRe}')) AS e,
+         |    len(regexp_extract_all(text, '${TextOps.PhoneRe}')) AS p,
+         |    len(regexp_extract_all(text, '${TextOps.Ipv4Re}')) AS i
+         |  FROM documents)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(e) AS BIGINT) AS emails,
+         |  CAST(count(*) FILTER (e > 0) AS BIGINT) AS docs_with_email,
+         |  CAST(sum(p) AS BIGINT) AS phones,
+         |  CAST(count(*) FILTER (p > 0) AS BIGINT) AS docs_with_phone,
+         |  CAST(sum(i) AS BIGINT) AS ips,
+         |  CAST(count(*) FILTER (i > 0) AS BIGINT) AS docs_with_ip
+         |FROM c GROUP BY source ORDER BY source""".stripMargin,
+
+    // the lang_id argmax CTE crossed with source; fractions divide
+    // exact counts
+    "corpus_lang_matrix" ->
+      s"""WITH t AS (SELECT source, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk FROM documents),
+         |s AS (SELECT source,
+         |  len(list_filter(tk, x -> list_contains(['the','a','of','to','and','is','in','it'], x))) AS e,
+         |  len(list_filter(tk, x -> list_contains(['el','la','de','que','y','en','un','es'], x))) AS sp,
+         |  len(list_filter(tk, x -> list_contains(['le','la','de','et','un','que','les','des'], x))) AS f,
+         |  len(list_filter(tk, x -> list_contains(['der','die','das','und','ist','ein','zu','den'], x))) AS d,
+         |  len(list_filter(tk, x -> list_contains(['de','shi','bu','le','zai','ren','you','wo'], x))) AS z
+         |  FROM t),
+         |l AS (SELECT source, CASE WHEN greatest(e, sp, f, d, z) = 0 THEN 'und'
+         |  WHEN e >= sp AND e >= f AND e >= d AND e >= z THEN 'en'
+         |  WHEN sp >= f AND sp >= d AND sp >= z THEN 'es'
+         |  WHEN f >= d AND f >= z THEN 'fr'
+         |  WHEN d >= z THEN 'de' ELSE 'zh' END AS lang_pred
+         |  FROM s),
+         |c AS (SELECT source, lang_pred, CAST(count(*) AS BIGINT) AS n
+         |  FROM l GROUP BY source, lang_pred),
+         |tt AS (SELECT source, CAST(sum(n) AS BIGINT) AS t FROM c GROUP BY source)
+         |SELECT c.source, c.lang_pred, c.n,
+         |  ${sqlR4("CAST(c.n AS DOUBLE) / tt.t")} AS frac
+         |FROM c JOIN tt USING (source) ORDER BY source, lang_pred""".stripMargin,
 
     // the Gopher battery's mirror: same tokenization, same raw-text line
     // split (chr(10), trailing empties kept in both engines), same

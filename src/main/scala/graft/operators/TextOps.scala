@@ -480,6 +480,42 @@ object TextOps {
         sum(col("tf") * col("n_sym")).as("n_subwords"))
   }
 
+  /** TF-IDF keyword extraction: the top-`k` terms per document by
+    * `tf · ln(N / df)` (raw counts, unsmoothed idf — a term in every
+    * document scores exactly 0). The score is QUANTIZED to 4 decimals
+    * before ranking (the repo's quantize-then-rank rule) so the
+    * (score, token) total order — and hence top-k membership — is
+    * engine-independent up to a measure-zero rounding-boundary ulp;
+    * ties break token-ascending.
+    *
+    * Scale shape: one token explode into a map-side-combinable
+    * `(doc, token)` count, a vocabulary-keyed df aggregate (rows
+    * bounded by vocabulary, not corpus), one join back on token, and a
+    * per-doc `array_sort` + `slice` top-k whose state is bounded by the
+    * document's own distinct-token count — no ranking window, no
+    * global sort. */
+  def tfidfTopK(docs: DataFrame, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val q4 = (c: Column) => floor(c * lit(10000.0) + lit(0.5)) / lit(10000.0)
+    val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .where(col("token") =!= "")
+    val tf = toks.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val n = docs.agg(count(lit(1)).as("__n"))
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(dfreq, Seq("token")).crossJoin(broadcast(n))
+      .withColumn("score", col("tf") * log(col("__n").cast("double") / col("df")))
+      // 0.0 - q (not unary minus): -0.0 must not order differently
+      // from 0.0 under the struct sort
+      .withColumn("__negq", lit(0.0) - q4(col("score")))
+    scored.groupBy(col("doc_id"))
+      .agg(slice(array_sort(collect_list(struct(
+        col("__negq"), col("token"), col("tf"), col("score")))), 1, k).as("__top"))
+      .select(col("doc_id"), posexplode(col("__top")).as(Seq("__p", "__e")))
+      .select(col("doc_id"), (col("__p") + 1).cast("int").as("rank"),
+        col("__e.token").as("token"), col("__e.tf").as("tf"),
+        col("__e.score").as("score"))
+  }
+
   /** The Gopher quality-rule stop list (Rae et al. 2021, §A1.1): a
     * document must contain at least [[GopherMinStopHits]] DISTINCT words
     * from this list to pass the stop-word rule. */

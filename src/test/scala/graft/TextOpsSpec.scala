@@ -315,6 +315,32 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("tfidfTopK: hand-computed scores, ubiquitous terms score zero, " +
+    "k cuts per doc, token tiebreak") {
+    // 4 docs; "common" in all (idf 0), "rare" only in doc 1
+    val docs = Seq(
+      (1L, "common rare rare alpha"),
+      (2L, "common alpha beta"),
+      (3L, "common beta"),
+      (4L, "common")).toDF("doc_id", "text")
+    val got = TextOps.tfidfTopK(docs, k = 2)
+      .orderBy("doc_id", "rank")
+      .as[(Long, Int, String, Long, Double)].collect().toSeq
+    val ln2 = math.log(4.0 / 1.0) // rare: df 1
+    val lnA = math.log(4.0 / 2.0) // alpha/beta: df 2
+    // doc 1: rare tf=2 score 2·ln4 ; alpha ln2 ; common 0 (cut by k=2)
+    val d1 = got.filter(_._1 == 1L)
+    assert(d1.map(t => (t._2, t._3, t._4)) === Seq((1, "rare", 2L), (2, "alpha", 1L)))
+    assert(math.abs(d1.head._5 - 2 * ln2) < 1e-9)
+    // doc 2: alpha and beta tie exactly (same tf, same df) -> token asc
+    val d2 = got.filter(_._1 == 2L)
+    assert(d2.map(t => (t._2, t._3)) === Seq((1, "alpha"), (2, "beta")))
+    assert(math.abs(d2.head._5 - lnA) < 1e-9)
+    // doc 4: only the ubiquitous term -> one row, score exactly 0
+    val d4 = got.filter(_._1 == 4L)
+    assert(d4 === Seq((4L, 1, "common", 1L, 0.0)))
+  }
+
   test("gopherFlags: each rule trips on its designed violation") {
     // a passing document: >=50 words of ordinary English shape with at
     // least two distinct Gopher stopwords
