@@ -2248,6 +2248,27 @@ object Queries {
           col("__g.pass").as("pass"))
         .orderBy("doc_id")),
 
+    // extension: per-source OOV rate against the global top-1000
+    // vocabulary — the tokenizer-fit-by-domain diagnostic. The vocab is
+    // a bounded TakeOrderedAndProject; the OOV test is a broadcast
+    // semi-join-shaped left join on the token key
+    "vocab_oov_rate" -> ((s, dir) => {
+      val toks = docs(s, dir)
+        .select(col("source"),
+          explode(graft.operators.TextOps.tokens(col("text"))).as("token"))
+        .where(col("token") =!= "")
+      val vocab = toks.groupBy(col("token")).agg(count(lit(1)).as("__tf"))
+        .orderBy(col("__tf").desc, col("token").asc).limit(1000)
+        .select(col("token"), lit(1).as("__in"))
+      toks.join(broadcast(vocab), Seq("token"), "left_outer")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_tokens"),
+          count(when(col("__in").isNull, 1)).as("n_oov"))
+        .select(col("source"), col("n_tokens"), col("n_oov"),
+          r4(col("n_oov").cast("double") / col("n_tokens")).as("oov_rate"))
+        .orderBy("source")
+    }),
+
     // extension: vocabulary COVERAGE — the fraction of all token
     // instances a top-k vocabulary covers (the curve that sizes a token
     // vocabulary / OOV budget). Each point is a bounded
@@ -2533,6 +2554,38 @@ object Queries {
           r4(col("dau").cast("double") / col("wau")).as("stickiness"))
         .orderBy("day")
     }),
+
+    // extension: key-SKEW diagnostic — the pre-join probe that decides
+    // salting/AQE-skew handling: the 10 hottest join keys with their
+    // share of all rows and the whale ratio vs a uniform spread. One
+    // map-side-combinable count + a bounded heap + a 1-row broadcast:
+    // nothing scales past the count shuffle
+    "events_key_skew" -> ((s, dir) => {
+      val counts = events(s, dir)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      val totals = counts.agg(sum(col("n")).as("__t"),
+        count(lit(1)).as("__k"))
+      counts.orderBy(col("n").desc, col("user_id").asc_nulls_first).limit(10)
+        .crossJoin(broadcast(totals))
+        .select(col("user_id"), col("n"),
+          r4(col("n").cast("double") / col("__t")).as("share"),
+          r4(col("n").cast("double") * col("__k") / col("__t")).as("skew_ratio"))
+        .orderBy(col("n").desc, col("user_id").asc_nulls_first)
+    }),
+
+    // extension: per-(user, day) event cap — keep the first 3 events of
+    // each user-day by (ts, event_id): the deterministic rate-limit /
+    // bot-throttle pass. The window partitions on the fine-grained cap
+    // key, so a whale user-day costs one bounded sort, never a global
+    // rank
+    "events_user_cap" -> ((s, dir) =>
+      graft.operators.Events.capPerKey(
+          events(s, dir).where(col("user_id").isNotNull)
+            .withColumn("day", date_format(col("ts"), "yyyy-MM-dd")),
+          keys = Seq(col("user_id"), col("day")),
+          order = Seq(col("ts"), col("event_id")), k = 3)
+        .select(col("user_id"), col("day"), col("rn"), col("event_id"))
+        .orderBy("user_id", "day", "rn")),
 
     // extension: A/B conversion report — per-arm exposed/converted user
     // counts (arm = user_id % 2), conversion rates, lift, and the
@@ -3649,6 +3702,38 @@ object Queries {
     },
 
     "knn_mmr" -> mmrOracleSql(k = 10, shortlist = 30),
+
+    "events_key_skew" ->
+      s"""WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY user_id),
+         |t AS (SELECT CAST(sum(n) AS BIGINT) AS t, CAST(count(*) AS BIGINT) AS k FROM c),
+         |top AS (SELECT user_id, n FROM c ORDER BY n DESC, user_id ASC NULLS FIRST LIMIT 10)
+         |SELECT top.user_id, top.n,
+         |  ${sqlR4("CAST(top.n AS DOUBLE) / t.t")} AS share,
+         |  ${sqlR4("CAST(top.n AS DOUBLE) * t.k / t.t")} AS skew_ratio
+         |FROM top, t ORDER BY top.n DESC, top.user_id ASC NULLS FIRST""".stripMargin,
+
+    // the 1000-word vocabulary cut is (tf DESC, token ASC) — fully
+    // deterministic, so both engines cut the identical boundary
+    "vocab_oov_rate" ->
+      s"""WITH toks AS (SELECT source, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token
+         |  FROM documents),
+         |tk AS (SELECT source, token FROM toks WHERE token <> ''),
+         |v AS (SELECT token FROM (SELECT token, count(*) AS tf FROM tk
+         |  GROUP BY token ORDER BY tf DESC, token ASC LIMIT 1000)),
+         |a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+         |    CAST(count(*) FILTER (token NOT IN (SELECT token FROM v)) AS BIGINT) AS n_oov
+         |  FROM tk GROUP BY source)
+         |SELECT source, n_tokens, n_oov,
+         |  ${sqlR4("CAST(n_oov AS DOUBLE) / n_tokens")} AS oov_rate
+         |FROM a ORDER BY source""".stripMargin,
+
+    "events_user_cap" ->
+      """WITH r AS (SELECT user_id, strftime(ts, '%Y-%m-%d') AS day, event_id,
+        |    row_number() OVER (PARTITION BY user_id, strftime(ts, '%Y-%m-%d')
+        |      ORDER BY ts, event_id) AS rn
+        |  FROM events WHERE user_id IS NOT NULL)
+        |SELECT user_id, day, CAST(rn AS INT) AS rn, event_id
+        |FROM r WHERE rn <= 3 ORDER BY user_id, day, rn""".stripMargin,
 
     // same fixed derivation order: exact counts → divisions → sqrt
     "events_ab_test" ->

@@ -95,6 +95,31 @@ object Events {
         col("n"), ((col("n") - col("__mean")) / sqrt(col("__var"))).as("z"))
   }
 
+  /** Deterministic per-key event cap — the rate-limit / bot-throttle
+    * pass of an event pipeline: within each `keys` group, keep the
+    * first `k` rows by `order` (which must be a total order — include
+    * a unique id — or the kept set is nondeterministic). Emits the
+    * surviving rows with their 1-based `rn`.
+    *
+    * Scale: a ranking window PARTITIONED by the cap keys. That is the
+    * safe kind of window — state is one group, and cap keys are by
+    * construction fine-grained (user × day); the banned shape is the
+    * partition-less global rank (PlanShapeSpec's hygiene sweep). A
+    * whale key's cost is its own sort, bounded by one key-day. */
+  def capPerKey(
+      events: DataFrame,
+      keys: Seq[Column],
+      order: Seq[Column],
+      k: Int): DataFrame = {
+    require(k > 0, "cap must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys: _*).orderBy(order: _*)
+    events.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= k)
+      .withColumn("rn", col("__rn").cast("int"))
+      .drop("__rn")
+  }
+
   /** Two-arm A/B conversion report with the two-proportion z statistic:
     * per arm, exposed-user and converted-user counts and the conversion
     * rate; plus lift (`rate_b − rate_a`) and
