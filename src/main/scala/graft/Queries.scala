@@ -2372,6 +2372,36 @@ object Queries {
           length(col("frame_bytes")).as("frame_len"))
         .orderBy("media_id", "frame_idx")),
 
+    // extension: exact binary-content dedup stats per media kind —
+    // md5 over the payload BYTES (identical hex semantics in both
+    // engines), two-stage Expand-free distinct; the keeper rule and
+    // copy accounting work at any duplication rate (this corpus: 0)
+    "media_dedup" -> ((s, dir) => {
+      val m = Multimodal.syntheticMedia(docs(s, dir))
+        .select(col("kind"), md5(col("content")).as("digest"))
+        .groupBy(col("kind"), col("digest")).agg(count(lit(1)).as("__n"))
+      m.groupBy(col("kind"))
+        .agg(sum(col("__n")).cast("long").as("n_media"),
+          count(lit(1)).as("n_distinct"),
+          (sum(col("__n")) - count(lit(1))).cast("long").as("dup_copies"))
+        .orderBy("kind")
+    }),
+
+    // extension: doc-length histogram — token-count distribution in
+    // 64-token buckets with exact shares: the curation dashboard that
+    // sizes chunking/packing budgets. Map-only bucketing + one count
+    "corpus_length_histogram" -> ((s, dir) => {
+      val b = docs(s, dir)
+        .select((TextOps.tokenCount(col("text")).cast("long") / lit(64))
+          .cast("long").as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+      val t = b.agg(sum(col("n")).as("__t"))
+      b.crossJoin(broadcast(t))
+        .select(col("bucket"), (col("bucket") * 64).as("lo_tokens"), col("n"),
+          r4(col("n").cast("double") / col("__t")).as("share"))
+        .orderBy("bucket")
+    }),
+
     // extension: per-user sessionization via the built-in session_window
     // operator (identical semantics batch/streaming; stream==batch is
     // asserted in StreamingSpec)
@@ -3702,6 +3732,24 @@ object Queries {
     },
 
     "knn_mmr" -> mmrOracleSql(k = 10, shortlist = 30),
+
+    "media_dedup" ->
+      """WITH m AS (SELECT ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
+        |    md5(text) AS digest FROM documents),
+        |g AS (SELECT kind, digest, CAST(count(*) AS BIGINT) AS n FROM m GROUP BY kind, digest)
+        |SELECT kind, CAST(sum(n) AS BIGINT) AS n_media,
+        |  CAST(count(*) AS BIGINT) AS n_distinct,
+        |  CAST(sum(n) - count(*) AS BIGINT) AS dup_copies
+        |FROM g GROUP BY kind ORDER BY kind""".stripMargin,
+
+    "corpus_length_histogram" ->
+      s"""WITH b AS (SELECT CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS BIGINT) // 64 AS bucket
+         |  FROM documents),
+         |c AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY bucket),
+         |t AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM c)
+         |SELECT c.bucket, c.bucket * 64 AS lo_tokens, c.n,
+         |  ${sqlR4("CAST(c.n AS DOUBLE) / t.t")} AS share
+         |FROM c, t ORDER BY c.bucket""".stripMargin,
 
     "events_key_skew" ->
       s"""WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY user_id),
