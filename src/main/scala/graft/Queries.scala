@@ -914,6 +914,15 @@ object Queries {
       knnOut(IvfIndex.query(fixedModel(s, dir, Metric.Euclidean),
         qvec0(s, dir), k = 10, probes = 3, Metric.Euclidean))),
 
+    // extension: the three-level serving funnel — IVF probes prune
+    // clusters, prefix-dim (16 of 64) distance prunes within them,
+    // full-dim reranks the 50-row shortlist. One cluster-pruned scan,
+    // two chained bounded heaps; every stage id-tiebroken, so the
+    // whole funnel replays in the oracle
+    "ivf_matryoshka_query" -> ((s, dir) =>
+      knnOut(IvfIndex.queryPrefixRerank(fixedModel(s, dir, Metric.Euclidean),
+        qvec0(s, dir), k = 10, probes = 3, prefixDim = 16, shortlist = 50))),
+
     // O17/O18 × O6 — the 100 TB index LAYOUT in the correctness gate:
     // write the assignment partitionBy(cluster_id) (posting lists as
     // parquet partitions), reopen, probe — the pruned-scan store must
@@ -2221,6 +2230,55 @@ object Queries {
         .select(col("source"), col("lang_pred"), col("n"),
           r4(col("n").cast("double") / col("__t")).as("frac"))
         .orderBy("source", "lang_pred")
+    }),
+
+    // extension: Gopher-funnel attrition — survivors after each rule
+    // applied cumulatively in the published order, one row: the
+    // attrition report that tells a curator WHICH rule eats the corpus.
+    // One map pass + one 1-row aggregate
+    "corpus_gopher_funnel" -> ((s, dir) => {
+      val g = docs(s, dir)
+        .withColumn("__toks", TextOps.tokens(col("text")))
+        .select(TextOps.gopherFlags(col("text"), col("__toks")).as("g"))
+      val c1 = col("g.ok_words")
+      val c2 = c1 && col("g.ok_mean_len")
+      val c3 = c2 && col("g.ok_symbol")
+      val c4 = c3 && col("g.ok_bullet")
+      val c5 = c4 && col("g.ok_ellipsis")
+      val c6 = c5 && col("g.ok_alpha")
+      val c7 = c6 && col("g.ok_stop")
+      g.agg(count(lit(1)).as("n_docs"),
+        count(when(c1, 1)).as("after_words"),
+        count(when(c2, 1)).as("after_mean_len"),
+        count(when(c3, 1)).as("after_symbol"),
+        count(when(c4, 1)).as("after_bullet"),
+        count(when(c5, 1)).as("after_ellipsis"),
+        count(when(c6, 1)).as("after_alpha"),
+        count(when(c7, 1)).as("after_stop"))
+    }),
+
+    // extension: LSH banding planner — the closed-form candidate curve
+    // P(candidate) = 1 − (1 − s^r)^b over the 16-perm band layouts and
+    // a similarity grid: the tuning table behind minhashLsh's
+    // (bands, rows) choice. No corpus scan at all; powers are
+    // SEQUENTIAL-left-fold multiplication chains (no libm pow), so
+    // every double is engine-identical
+    "dedup_banding_planner" -> ((s, dir) => {
+      import s.implicits._
+      def powChain(x: Column, n: Column): Column =
+        aggregate(sequence(lit(1), n), lit(1.0), (acc, _) => acc * x)
+      val grid = for {
+        (b, r) <- Seq((2, 8), (4, 4), (8, 2), (16, 1))
+        i <- 1 to 19
+      } yield (b, r, i)
+      grid.toDF("bands", "rows_per_band", "i")
+        .withColumn("s", col("i") * lit(0.05))
+        .withColumn("__pband", powChain(col("s"), col("rows_per_band")))
+        .withColumn("__pcand",
+          lit(1.0) - powChain(lit(1.0) - col("__pband"), col("bands")))
+        .select(col("bands"), col("rows_per_band"), r4(col("s")).as("s"),
+          r4(col("__pband")).as("p_band"), r4(col("__pcand")).as("p_candidate"))
+        .orderBy("bands", "s")
     }),
 
     // extension: the Gopher rule battery (Rae et al. 2021 §A1.1) — the
@@ -3732,6 +3790,85 @@ object Queries {
     },
 
     "knn_mmr" -> mmrOracleSql(k = 10, shortlist = 30),
+
+    // the full funnel replayed: probe selection, prefix shortlist
+    // within probed clusters, exact rerank
+    "ivf_matryoshka_query" ->
+      s"""WITH c AS (SELECT CAST(vec_id AS INTEGER) AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8),
+         |q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+         |asg AS (SELECT vec_id, cid FROM (
+         |  SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id ORDER BY ${sqlSq("e.embedding", "c.cvec")} ASC, c.cid ASC) AS rn
+         |  FROM embeddings e CROSS JOIN c) WHERE rn = 1),
+         |probed AS (SELECT c.cid FROM c, q ORDER BY ${sqlSq("c.cvec", "q.qvec")} ASC, c.cid ASC LIMIT 3),
+         |cand AS (SELECT e.vec_id AS vec_id, e.embedding AS embedding, q.qvec AS qvec
+         |  FROM embeddings e JOIN asg ON e.vec_id = asg.vec_id JOIN probed ON asg.cid = probed.cid, q),
+         |sl AS (SELECT vec_id, embedding, qvec FROM cand
+         |  ORDER BY ${sqlSq("embedding[1:16]", "qvec[1:16]")} ASC, vec_id ASC LIMIT 50)
+         |SELECT vec_id, ${sqlR4(sqlSq("embedding", "qvec"))} AS distance
+         |FROM sl ORDER BY ${sqlSq("embedding", "qvec")} ASC, vec_id ASC LIMIT 10""".stripMargin,
+
+    // same cumulative flag conjunctions over the Gopher CTE
+    "corpus_gopher_funnel" ->
+      s"""WITH b AS (SELECT doc_id, text,
+         |    regexp_split_to_array(lower(trim(text)), '\\s+') AS tk,
+         |    string_split(text, chr(10)) AS ls
+         |  FROM documents),
+         |m AS (SELECT doc_id,
+         |  CAST(len(tk) AS BIGINT) AS n_words,
+         |  CAST(coalesce(list_sum(list_transform(tk, x -> CAST(length(x) AS BIGINT))), 0) AS BIGINT) AS len_sum,
+         |  CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS n_hash,
+         |  CAST((length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT) AS n_ell,
+         |  CAST(len(list_filter(tk, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS n_alpha,
+         |  CAST(len(ls) AS BIGINT) AS n_lines,
+         |  CAST(len(list_filter(ls, l -> ltrim(l) LIKE '-%' OR ltrim(l) LIKE '*%' OR ltrim(l) LIKE '•%')) AS BIGINT) AS n_bullet,
+         |  CAST(len(list_filter(ls, l -> rtrim(l) LIKE '%...' OR rtrim(l) LIKE '%…')) AS BIGINT) AS n_ellend,
+         |  CAST(len(list_intersect(tk, ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS stop_hits
+         |  FROM b),
+         |d AS (SELECT doc_id, n_words, stop_hits,
+         |  CASE WHEN n_words > 0 THEN CAST(len_sum AS DOUBLE) / n_words ELSE 0.0 END AS mean_word_len,
+         |  CASE WHEN n_words > 0 THEN CAST(n_hash + n_ell AS DOUBLE) / n_words ELSE 0.0 END AS symbol_ratio,
+         |  CASE WHEN n_words > 0 THEN CAST(n_alpha AS DOUBLE) / n_words ELSE 0.0 END AS alpha_frac,
+         |  CASE WHEN n_lines > 0 THEN CAST(n_bullet AS DOUBLE) / n_lines ELSE 0.0 END AS bullet_frac,
+         |  CASE WHEN n_lines > 0 THEN CAST(n_ellend AS DOUBLE) / n_lines ELSE 0.0 END AS ellipsis_frac
+         |  FROM m),
+         |f AS (SELECT
+         |  (n_words >= 50 AND n_words <= 100000) AS k1,
+         |  (n_words >= 50 AND n_words <= 100000 AND mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS k2,
+         |  (n_words >= 50 AND n_words <= 100000 AND mean_word_len >= 3.0 AND mean_word_len <= 10.0 AND symbol_ratio <= 0.1) AS k3,
+         |  (n_words >= 50 AND n_words <= 100000 AND mean_word_len >= 3.0 AND mean_word_len <= 10.0 AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9) AS k4,
+         |  (n_words >= 50 AND n_words <= 100000 AND mean_word_len >= 3.0 AND mean_word_len <= 10.0 AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9 AND ellipsis_frac <= 0.3) AS k5,
+         |  (n_words >= 50 AND n_words <= 100000 AND mean_word_len >= 3.0 AND mean_word_len <= 10.0 AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9 AND ellipsis_frac <= 0.3 AND alpha_frac >= 0.8) AS k6,
+         |  (n_words >= 50 AND n_words <= 100000 AND mean_word_len >= 3.0 AND mean_word_len <= 10.0 AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9 AND ellipsis_frac <= 0.3 AND alpha_frac >= 0.8 AND stop_hits >= 2) AS k7
+         |  FROM d)
+         |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(count(*) FILTER (k1) AS BIGINT) AS after_words,
+         |  CAST(count(*) FILTER (k2) AS BIGINT) AS after_mean_len,
+         |  CAST(count(*) FILTER (k3) AS BIGINT) AS after_symbol,
+         |  CAST(count(*) FILTER (k4) AS BIGINT) AS after_bullet,
+         |  CAST(count(*) FILTER (k5) AS BIGINT) AS after_ellipsis,
+         |  CAST(count(*) FILTER (k6) AS BIGINT) AS after_alpha,
+         |  CAST(count(*) FILTER (k7) AS BIGINT) AS after_stop
+         |FROM f""".stripMargin,
+
+    // the same sequential left-fold power chains (list_reduce's first
+    // element is the init, = Spark's 1.0·x first step)
+    "dedup_banding_planner" ->
+      s"""WITH g AS (SELECT b, r, u.i AS i
+         |  FROM (VALUES (2, 8), (4, 4), (8, 2), (16, 1)) AS t(b, r),
+         |       unnest(generate_series(1, 19)) AS u(i)),
+         |c AS (SELECT b, r, i, i * CAST(0.05 AS DOUBLE) AS s,
+         |    list_reduce(list_transform(generate_series(1, r), x -> i * CAST(0.05 AS DOUBLE)),
+         |      (acc, el) -> acc * el) AS pband
+         |  FROM g),
+         |p AS (SELECT b, r, i, s, pband,
+         |    CAST(1.0 AS DOUBLE) - list_reduce(
+         |      list_transform(generate_series(1, b), x -> CAST(1.0 AS DOUBLE) - pband),
+         |      (acc, el) -> acc * el) AS pcand
+         |  FROM c)
+         |SELECT CAST(b AS INT) AS bands, CAST(r AS INT) AS rows_per_band,
+         |  ${sqlR4("s")} AS s, ${sqlR4("pband")} AS p_band,
+         |  ${sqlR4("pcand")} AS p_candidate
+         |FROM p ORDER BY bands, i""".stripMargin,
 
     "media_dedup" ->
       """WITH m AS (SELECT ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS kind,

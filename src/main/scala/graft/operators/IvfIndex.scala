@@ -261,6 +261,33 @@ object IvfIndex {
     Knn.search(candidates, query, k, metric, radius, filter)
   }
 
+  /** IVF probe composed with the Matryoshka prefix funnel
+    * ([[Knn.searchPrefixRerank]]): probes prune CLUSTERS, the
+    * prefix-dim distance prunes WITHIN the probed clusters, and the
+    * full-dim kernel reranks only the shortlist — the three-level
+    * funnel of a 100 TB serving stack (coarse quantizer → cheap scalar
+    * scan → exact rerank). One store scan (cluster-pruned under the
+    * partitioned layout), two chained bounded heaps, no join-back.
+    * Fully deterministic (cluster_id / id tiebreaks at every stage), so
+    * the whole funnel is oracle-replayable. */
+  def queryPrefixRerank(
+      model: Model,
+      query: DataFrame,
+      k: Int,
+      probes: Int,
+      prefixDim: Int,
+      shortlist: Int,
+      metric: Metric = Metric.Euclidean): DataFrame = {
+    val probed = model.centroids
+      .crossJoin(broadcast(query))
+      .withColumn("__cdist", metric.distance(col("centroid"), col("qvec")))
+      .orderBy(isnan(col("__cdist")).asc, col("__cdist").asc, col("cluster_id").asc)
+      .limit(probes)
+      .select("cluster_id")
+    val candidates = model.assigned.join(broadcast(probed), Seq("cluster_id"), "left_semi")
+    Knn.searchPrefixRerank(candidates, query, k, prefixDim, shortlist, metric)
+  }
+
   /** IVF-PQ probe served ENTIRELY from codes — the compressed-store
     * twin of [[query]] for squared L2. `codeStore` holds
     * `(id, cluster_id, codes)` (see [[VectorOps.pqCodes]]; 2 bytes per

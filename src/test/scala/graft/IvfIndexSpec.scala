@@ -55,6 +55,27 @@ class IvfIndexSpec extends SparkSpec {
     assert(probedAll === exact)
   }
 
+  test("queryPrefixRerank: full prefix + full shortlist degenerates to query; " +
+    "funnel keeps high agreement at partial prefix") {
+    val model = IvfIndex.build(records, density = 64, Metric.Euclidean, seed = 42L)
+    val q = records.where(col("id") === 7).select(col("embedding").as("qvec"))
+    val plain = IvfIndex.query(model, q, 10, probes = 4, Metric.Euclidean)
+      .select("id").as[Long].collect().toSeq
+    // prefixDim = dim and an unpruning shortlist → identical result set
+    val full = IvfIndex.queryPrefixRerank(model, q, 10, probes = 4,
+        prefixDim = dim, shortlist = 1000)
+      .select("id").as[Long].collect().toSeq
+    assert(full === plain)
+    // a real funnel (half dims, 50-shortlist) still finds the query's own
+    // record and mostly agrees with the unpruned probe
+    val funnel = IvfIndex.queryPrefixRerank(model, q, 10, probes = 4,
+        prefixDim = dim / 2, shortlist = 50)
+      .select("id").as[Long].collect().toSeq
+    assert(funnel.contains(7L))
+    assert((funnel.toSet & plain.toSet).size >= 5,
+      s"funnel agreement too low: ${(funnel.toSet & plain.toSet).size}/10")
+  }
+
   test("partial probing achieves reasonable recall and only visits probed clusters") {
     val model = IvfIndex.build(records, density = 64, Metric.Euclidean, seed = 42L)
     val q = records.where(col("id") === 7).select(col("embedding").as("qvec"))
