@@ -920,6 +920,125 @@ object NativeExprs {
 
   def charDiversity(text: Column): Column = asCol(CharDiversityExpr(ex(text)))
 
+  /** Fused per-token Gopher counters — compiled twin of the four HOF
+    * passes over a lowercased token array (`TextOps.gopherFlagsHof`):
+    * `struct(n_words, len_sum, n_alpha, stop_hits)` where `len_sum`
+    * sums code-point lengths (Spark `length` semantics), `n_alpha`
+    * counts tokens containing at least one ASCII `[a-z]` (the regex
+    * class's exact meaning on lowercased text; byte scan is safe in
+    * UTF-8 — continuation bytes have the high bit set), and
+    * `stop_hits` counts DISTINCT stop words present (the
+    * `array_intersect` semantics). Null array → null; a null token
+    * element contributes length 0 and no flags (matching the HOF
+    * twin's null-skipping aggregate/filter behavior is NOT needed —
+    * parquet string arrays declare containsNull=false; the guard keeps
+    * eval total). */
+  case class GopherTokenStatsExpr(child: Expression, stopwords: Seq[String])
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StructType(Seq(
+      StructField("n_words", LongType, nullable = false),
+      StructField("len_sum", LongType, nullable = false),
+      StructField("n_alpha", LongType, nullable = false),
+      StructField("stop_hits", LongType, nullable = false)))
+    override def nullable: Boolean = child.nullable
+    @transient private lazy val stopU: Array[UTF8String] =
+      stopwords.map(UTF8String.fromString).toArray
+    override def eval(input: InternalRow): Any = {
+      val arr = child.eval(input).asInstanceOf[ArrayData]
+      if (arr == null) return null
+      val n = arr.numElements()
+      var lenSum = 0L
+      var nAlpha = 0L
+      var stopMask = 0L
+      var i = 0
+      while (i < n) {
+        if (!arr.isNullAt(i)) {
+          val t = arr.getUTF8String(i)
+          lenSum += t.numChars()
+          val bytes = t.getBytes
+          var hasAlpha = false
+          var j = 0
+          while (j < bytes.length && !hasAlpha) {
+            val b = bytes(j)
+            if (b >= 'a' && b <= 'z') hasAlpha = true
+            j += 1
+          }
+          if (hasAlpha) nAlpha += 1
+          var w = 0
+          while (w < stopU.length) {
+            if ((stopMask & (1L << w)) == 0 && t.equals(stopU(w)))
+              stopMask |= 1L << w
+            w += 1
+          }
+        }
+        i += 1
+      }
+      InternalRow(n.toLong, lenSum, nAlpha,
+        java.lang.Long.bitCount(stopMask).toLong)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  def gopherTokenStats(tokens: Column, stopwords: Seq[String]): Column =
+    asCol(GopherTokenStatsExpr(ex(tokens), stopwords))
+
+  /** Fused per-line Gopher counters over the RAW text — compiled twin
+    * of `split(text, "\n")` + two HOF filters:
+    * `struct(n_lines, n_bullet, n_ellend)`. Split keeps trailing empty
+    * lines (Spark split limit −1); `ltrim`/`rtrim` strip SPACES only
+    * (Spark/DuckDB default); a bullet line starts with `-`, `*`, or
+    * `•` (U+2022); an ellipsis line ends with `...` or `…` (U+2026).
+    * Byte-level scan is safe: `\n`, space, and the ASCII markers never
+    * occur inside UTF-8 multibyte sequences, and both multibyte
+    * markers are matched by their full byte sequences. */
+  case class GopherLineStatsExpr(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StructType(Seq(
+      StructField("n_lines", LongType, nullable = false),
+      StructField("n_bullet", LongType, nullable = false),
+      StructField("n_ellend", LongType, nullable = false)))
+    override def nullable: Boolean = child.nullable
+    override def eval(input: InternalRow): Any = {
+      val t = child.eval(input).asInstanceOf[UTF8String]
+      if (t == null) return null
+      val b = t.getBytes
+      var nLines = 0L
+      var nBullet = 0L
+      var nEll = 0L
+      var start = 0
+      var i = 0
+      def processLine(s: Int, e: Int): Unit = { // [s, e) one line
+        nLines += 1
+        var ls = s
+        while (ls < e && b(ls) == ' ') ls += 1
+        if (ls < e) {
+          val c = b(ls)
+          if (c == '-' || c == '*') nBullet += 1
+          else if (e - ls >= 3 && (c & 0xFF) == 0xE2 &&
+            (b(ls + 1) & 0xFF) == 0x80 && (b(ls + 2) & 0xFF) == 0xA2)
+            nBullet += 1 // U+2022 bullet
+        }
+        var re = e
+        while (re > s && b(re - 1) == ' ') re -= 1
+        if (re - s >= 3) {
+          if (b(re - 1) == '.' && b(re - 2) == '.' && b(re - 3) == '.') nEll += 1
+          else if ((b(re - 3) & 0xFF) == 0xE2 && (b(re - 2) & 0xFF) == 0x80 &&
+            (b(re - 1) & 0xFF) == 0xA6)
+            nEll += 1 // U+2026 ellipsis
+        }
+      }
+      while (i < b.length) {
+        if (b(i) == '\n') { processLine(start, i); start = i + 1 }
+        i += 1
+      }
+      processLine(start, b.length)
+      InternalRow(nLines, nBullet, nEll)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  def gopherLineStats(text: Column): Column = asCol(GopherLineStatsExpr(ex(text)))
+
   /** Greedy maximal-marginal-relevance selection (Carbonell & Goldstein
     * 1998, restated for distance space) over a BOUNDED candidate array
     * `array<struct<dq, id, embedding>>`:

@@ -547,10 +547,42 @@ object TextOps {
     * `t` is the materialized lowercased token attribute ([[tokens]]);
     * `text` is the RAW text (line structure and case preserved — the
     * bullet/ellipsis line rules read the original lines). */
-  def gopherFlags(text: Column, t: Column): Column = {
-    val nWords = size(t).cast("long")
+  def gopherFlags(text: Column, t: Column): Column =
+    gopherFlagsFromCounters(text,
+      graft.functions.NativeExprs.gopherTokenStats(t, GopherStopwords),
+      graft.functions.NativeExprs.gopherLineStats(text))
+
+  /** Interpreted HOF twin of [[gopherFlags]] — the formulation the
+    * DuckDB oracle mirrors (four token passes + two line filters),
+    * retained as the native kernels' executable specification and fuzz
+    * oracle (integer counters — exact equality pinned in
+    * NativeExprsSpec). */
+  def gopherFlagsHof(text: Column, t: Column): Column = {
+    val tokenStats = struct(
+      size(t).cast("long").as("n_words"),
+      aggregate(t, lit(0L), (acc, x) => acc + length(x).cast("long")).as("len_sum"),
+      size(filter(t, w => w.rlike("[a-z]"))).cast("long").as("n_alpha"),
+      size(array_intersect(t, array(GopherStopwords.map(lit): _*)))
+        .cast("long").as("stop_hits"))
+    val lines = split(text, "\n")
+    val lineStats = struct(
+      size(lines).cast("long").as("n_lines"),
+      size(filter(lines, l => {
+        val h = substring(ltrim(l), 1, 1)
+        h === "-" || h === "*" || h === "•"
+      })).cast("long").as("n_bullet"),
+      size(filter(lines, l => {
+        val r = rtrim(l)
+        r.endsWith("...") || r.endsWith("…")
+      })).cast("long").as("n_ellend"))
+    gopherFlagsFromCounters(text, tokenStats, lineStats)
+  }
+
+  private def gopherFlagsFromCounters(
+      text: Column, tokenStats: Column, lineStats: Column): Column = {
+    val nWords = tokenStats.getField("n_words")
     val nWordsD = nWords.cast("double")
-    val lenSum = aggregate(t, lit(0L), (acc, x) => acc + length(x).cast("long"))
+    val lenSum = tokenStats.getField("len_sum")
     val meanLen = when(nWords > 0, lenSum.cast("double") / nWordsD).otherwise(lit(0.0))
     // occurrence counts via length deltas: replace() is non-overlapping
     // left-to-right in both engines, so the counts match exactly
@@ -559,23 +591,15 @@ object TextOps {
       ((length(text) - length(replace(text, lit("..."), lit("")))) / lit(3)).cast("long")
     val symbolRatio =
       when(nWords > 0, (nHash + nEllipsis).cast("double") / nWordsD).otherwise(lit(0.0))
-    val alphaWords = size(filter(t, w => w.rlike("[a-z]"))).cast("long")
+    val alphaWords = tokenStats.getField("n_alpha")
     val alphaFrac =
       when(nWords > 0, alphaWords.cast("double") / nWordsD).otherwise(lit(0.0))
-    val lines = split(text, "\n")
-    val nLines = size(lines).cast("double")
-    val bulletLines = size(filter(lines, l => {
-      val h = substring(ltrim(l), 1, 1)
-      h === "-" || h === "*" || h === "•"
-    })).cast("double")
-    val ellipsisLines = size(filter(lines, l => {
-      val r = rtrim(l)
-      r.endsWith("...") || r.endsWith("…")
-    })).cast("double")
+    val nLines = lineStats.getField("n_lines").cast("double")
+    val bulletLines = lineStats.getField("n_bullet").cast("double")
+    val ellipsisLines = lineStats.getField("n_ellend").cast("double")
     val bulletFrac = when(nLines > 0, bulletLines / nLines).otherwise(lit(0.0))
     val ellipsisFrac = when(nLines > 0, ellipsisLines / nLines).otherwise(lit(0.0))
-    val stopHits =
-      size(array_intersect(t, array(GopherStopwords.map(lit): _*))).cast("long")
+    val stopHits = tokenStats.getField("stop_hits")
     val okWords = nWords >= 50L && nWords <= 100000L
     val okMeanLen = meanLen >= 3.0 && meanLen <= 10.0
     val okSymbol = symbolRatio <= 0.1

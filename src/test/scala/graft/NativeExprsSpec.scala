@@ -275,6 +275,22 @@ class NativeExprsSpec extends SparkSpec {
       TextOps.qualityScoreFromTokens(col("text"), col("__t")), withT)
   }
 
+  test("gopherFlags == HOF twin (token + line kernels), exact equality " +
+    "incl. bullets, ellipses, unicode markers, and empty docs") {
+    import graft.operators.TextOps
+    val gopherDocs = docStrings ++ Seq(
+      "- bullet\n* star\n• dot\nplain",
+      "ends...\nends… \n  - spaced bullet\n...",
+      "the be to of and that have with the be",
+      "no\n\n\nempty lines\n", "…", "..", " . . . ", "#tag ### x...y...z",
+      (1 to 60).map(i => s"- item $i...").mkString("\n"))
+    val df = gopherDocs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+      .withColumn("__t", hofTokens(col("text")))
+    assertSame(TextOps.gopherFlags(col("text"), col("__t")),
+      TextOps.gopherFlagsHof(col("text"), col("__t")), df)
+  }
+
   test("charNgrams == substr/sequence HOF twin incl. unicode and short docs") {
     import graft.operators.TextOps
     for (n <- Seq(1, 3, 8)) {
