@@ -244,6 +244,34 @@ object DocIngest {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming Gopher-rule admission gate: documents flow in, only those
+    * passing the full Rae et al. rule battery
+    * ([[graft.operators.TextOps.gopherFlags]]) are admitted to the
+    * store. Like [[startDsirAdmission]] the rule set is pure per-row
+    * arithmetic (no fitted state at all here), so the gate is
+    * STATELESS — one map pass per batch, exactly-once from the file
+    * sink + checkpoint, per-batch cost independent of corpus size.
+    * Admitted rows keep the full flag struct so downstream audits can
+    * aggregate attrition without re-scoring. */
+  def startGopherAdmission(
+      spark: SparkSession,
+      dir: String,
+      storePath: String,
+      checkpointPath: String): StreamingQuery =
+    readDocs(spark, dir)
+      .withColumn("__t", graft.operators.TextOps.tokens(col("text")))
+      .withColumn("gopher",
+        graft.operators.TextOps.gopherFlags(col("text"), col("__t")))
+      .where(col("gopher.pass"))
+      .drop("__t")
+      .writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", storePath)
+      .option("checkpointLocation", checkpointPath)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Stream the gate into a memory sink for testing (match rows, possibly
     * repeated across bands — consumers dedupe, like every other reader of
     * [[matches]]). Production sinks swap this for [[startAdmission]]. */

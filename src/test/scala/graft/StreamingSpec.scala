@@ -617,6 +617,39 @@ class StreamingSpec extends SparkSpec {
       s"stream must equal the batch filter after both waves, got ${admitted()}")
   }
 
+  test("streaming Gopher gate admits exactly the batch rule battery, " +
+    "stateless across waves") {
+    import graft.streaming.DocIngest
+    import graft.operators.TextOps
+    // one passing doc (>=50 words, stopword-rich), one failing (too short)
+    def goodText(tag: String) =
+      (s"the cat sat with a dog and that was fine to see $tag " * 5) + "be quick today"
+    val root = java.nio.file.Files.createTempDirectory("graft_gopher_gate")
+    val inDir = s"$root/in"
+    val store = s"$root/store"
+    val ckpt = s"$root/ckpt"
+    val wave1 = Seq((1L, goodText("one")), (2L, "too short the of"))
+      .toDF("doc_id", "text")
+    wave1.write.mode("append").parquet(inDir)
+    DocIngest.startGopherAdmission(spark, inDir, store, ckpt).awaitTermination()
+    def admitted() = spark.read.parquet(store).select("doc_id").as[Long].collect().toSet
+    def batchKeep(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("__t", TextOps.tokens(col("text")))
+      .where(TextOps.gopherFlags(col("text"), col("__t")).getField("pass"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(admitted() === Set(1L) && admitted() === batchKeep(wave1))
+    // second wave on the same checkpoint — only the new files are scored
+    val wave2 = Seq((3L, goodText("two")), (4L, "# # # the of " * 30))
+      .toDF("doc_id", "text")
+    wave2.write.mode("append").parquet(inDir)
+    DocIngest.startGopherAdmission(spark, inDir, store, ckpt).awaitTermination()
+    assert(admitted() === batchKeep(wave1.unionByName(wave2)),
+      s"stream must equal the batch filter, got ${admitted()}")
+    // the admitted rows carry the audit struct
+    val flags = spark.read.parquet(store).select("gopher.pass").as[Boolean].collect()
+    assert(flags.nonEmpty && flags.forall(identity))
+  }
+
   test("streaming admission honors non-default index params (gate stays armed)") {
     import graft.streaming.DocIngest
     val base = "the quick brown fox jumps over the lazy dog and it is " +
