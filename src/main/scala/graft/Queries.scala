@@ -914,6 +914,48 @@ object Queries {
       knnOut(IvfIndex.query(fixedModel(s, dir, Metric.Euclidean),
         qvec0(s, dir), k = 10, probes = 3, Metric.Euclidean))),
 
+    // extension: index-HEALTH dashboard — per-cluster population and
+    // distance-to-centroid stats (the density/drift monitor that decides
+    // refine). Distances r4-quantized to exact ints BEFORE aggregation
+    // (the checksum trick), so mean/max are partition-order-independent
+    "ivf_cluster_stats" -> ((s, dir) => {
+      val m = fixedModel(s, dir, Metric.Euclidean)
+      m.assigned
+        .join(broadcast(m.centroids), Seq("cluster_id"))
+        .select(col("cluster_id"),
+          floor(Metric.Euclidean.distance(col("embedding"), col("centroid"))
+            * lit(10000.0) + lit(0.5)).cast("long").as("__qd"))
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("n"), sum(col("__qd")).as("__s"),
+          max(col("__qd")).as("__mx"))
+        .select(col("cluster_id"), col("n"),
+          r4(col("__s").cast("double") / col("n") / lit(10000.0)).as("mean_dist"),
+          (col("__mx").cast("double") / lit(10000.0)).as("max_dist"))
+        .orderBy("cluster_id")
+    }),
+
+    // extension: rendezvous (highest-random-weight) shard assignment —
+    // the deterministic distributed-writer primitive: each doc goes to
+    // the shard with the greatest md5-derived weight, and growing the
+    // ring 8 → 9 moves only the docs the NEW shard wins (~1/9, the
+    // minimal-disruption property, visible in the `moved` column).
+    // Map-only fold over a literal shard list; argmax via lexicographic
+    // struct max, ties impossible in practice (56-bit weights)
+    "corpus_shard_assign" -> ((s, dir) => {
+      def shardOf(n: Int): Column = {
+        val scores = (0 until n).map { sh =>
+          struct(conv(substring(md5(concat(col("doc_id").cast("string"),
+            lit(":"), lit(sh.toString))), 1, 14), 16, 10).cast("long").as("w"),
+            lit(sh).as("shard"))
+        }
+        array_max(array(scores: _*)).getField("shard")
+      }
+      docs(s, dir)
+        .select(col("doc_id"), shardOf(8).as("shard8"), shardOf(9).as("shard9"))
+        .withColumn("moved", col("shard8") =!= col("shard9"))
+        .orderBy("doc_id")
+    }),
+
     // extension: the three-level serving funnel — IVF probes prune
     // clusters, prefix-dim (16 of 64) distance prunes within them,
     // full-dim reranks the 50-row shortlist. One cluster-pruned scan,
@@ -3790,6 +3832,37 @@ object Queries {
     },
 
     "knn_mmr" -> mmrOracleSql(k = 10, shortlist = 30),
+
+    // the assignment CTE + the same quantized-int distance aggregation
+    "ivf_cluster_stats" ->
+      s"""WITH c AS (SELECT CAST(vec_id AS INTEGER) AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8),
+         |asg AS (SELECT vec_id, cid FROM (
+         |  SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id ORDER BY ${sqlSq("e.embedding", "c.cvec")} ASC, c.cid ASC) AS rn
+         |  FROM embeddings e CROSS JOIN c) WHERE rn = 1),
+         |d AS (SELECT asg.cid AS cluster_id,
+         |    CAST(floor(${sqlSq("e.embedding", "c2.cvec")} * 10000.0 + 0.5) AS BIGINT) AS qd
+         |  FROM embeddings e JOIN asg ON e.vec_id = asg.vec_id JOIN c c2 ON asg.cid = c2.cid)
+         |SELECT cluster_id, CAST(count(*) AS BIGINT) AS n,
+         |  ${sqlR4("CAST(sum(qd) AS DOUBLE) / count(*) / 10000.0")} AS mean_dist,
+         |  CAST(max(qd) AS DOUBLE) / 10000.0 AS max_dist
+         |FROM d GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
+
+    // same md5-derived 56-bit weights; the argmax replayed as a ranked
+    // unnest (weight DESC = the struct max's lexicographic order; a tie
+    // would need an md5 collision)
+    "corpus_shard_assign" -> {
+      def shardSql(n: Int, alias: String) =
+        s"""(SELECT doc_id, s AS $alias FROM (
+           |  SELECT d.doc_id, u.s,
+           |    row_number() OVER (PARTITION BY d.doc_id ORDER BY
+           |      CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':' || CAST(u.s AS VARCHAR)), 1, 14)) AS BIGINT) DESC,
+           |      u.s DESC) AS rn
+           |  FROM documents d, unnest(generate_series(0, ${n - 1})) AS u(s)) WHERE rn = 1)""".stripMargin
+      s"""SELECT a.doc_id, CAST(a.shard8 AS INT) AS shard8,
+         |  CAST(b.shard9 AS INT) AS shard9, a.shard8 <> b.shard9 AS moved
+         |FROM ${shardSql(8, "shard8")} a JOIN ${shardSql(9, "shard9")} b ON a.doc_id = b.doc_id
+         |ORDER BY a.doc_id""".stripMargin
+    },
 
     // the full funnel replayed: probe selection, prefix shortlist
     // within probed clusters, exact rerank
