@@ -1117,6 +1117,25 @@ object Queries {
     // dir) — see [[cappedGroups]].
     "dedup_groups" -> ((s, dir) => cappedGroups(s, dir).orderBy("doc_id")),
 
+    // extension: duplicate-GRAPH observability — edge/node/degree and
+    // component-size stats over the verified pair graph: the dashboard
+    // that catches viral-duplicate blowups (max_degree, largest_group)
+    // before they hit the CC loop. All exact integer aggregates off the
+    // memoized pair list + group map
+    "dedup_graph_stats" -> ((s, dir) => {
+      val pairs = minhashPairs(s, dir)
+      val deg = pairs.select(col("doc_id_a").as("node"))
+        .unionByName(pairs.select(col("doc_id_b").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("d"))
+      val gsz = cappedGroups(s, dir)
+        .groupBy(col("rep_id")).agg(count(lit(1)).as("sz"))
+      pairs.agg(count(lit(1)).as("n_edges"))
+        .crossJoin(deg.agg(count(lit(1)).as("n_nodes"),
+          max(col("d")).as("max_degree")))
+        .crossJoin(gsz.agg(count(lit(1)).as("n_groups"),
+          max(col("sz")).as("largest_group")))
+    }),
+
     // extension: the keep/drop map APPLIED — the step after dedup_groups
     // that a pipeline actually ships: drop every group member except its
     // representative, keep all unpaired docs. Anti-join against the
@@ -2685,6 +2704,21 @@ object Queries {
         .orderBy("day")
     }),
 
+    // extension: traffic HEATMAP — day-of-week × hour counts with exact
+    // shares: the ops-dashboard staple. One map-side-combinable count;
+    // the total rides a 1-row broadcast
+    "events_heatmap" -> ((s, dir) => {
+      val b = events(s, dir)
+        .groupBy(dayofweek(col("ts")).cast("int").as("dow"),
+          hour(col("ts")).cast("int").as("hour"))
+        .agg(count(lit(1)).as("n"))
+      val t = b.agg(sum(col("n")).as("__t"))
+      b.crossJoin(broadcast(t))
+        .select(col("dow"), col("hour"), col("n"),
+          r4(col("n").cast("double") / col("__t")).as("share"))
+        .orderBy("dow", "hour")
+    }),
+
     // extension: key-SKEW diagnostic — the pre-join probe that decides
     // salting/AQE-skew handling: the 10 hottest join keys with their
     // share of all rows and the whale ratio vs a uniform spread. One
@@ -3343,6 +3377,28 @@ object Queries {
     "dedup_groups" ->
       s"""$sqlCcCte
          |SELECT node AS doc_id, min(lab) AS rep_id FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
+
+    // same pair list (j), symmetric edge list (e), and reach map; all
+    // stats are scalar subqueries over exact integer aggregates
+    "dedup_graph_stats" ->
+      s"""$sqlCcCte,
+         |deg AS (SELECT a AS node, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY a),
+         |g AS (SELECT node, min(lab) AS rep FROM reach GROUP BY node),
+         |gs AS (SELECT rep, CAST(count(*) AS BIGINT) AS sz FROM g GROUP BY rep)
+         |SELECT (SELECT CAST(count(*) AS BIGINT) FROM j) AS n_edges,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+         |  (SELECT CAST(max(d) AS BIGINT) FROM deg) AS max_degree,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM gs) AS n_groups,
+         |  (SELECT CAST(max(sz) AS BIGINT) FROM gs) AS largest_group""".stripMargin,
+
+    // DuckDB dayofweek is 0 (Sunday) – 6; Spark is 1 – 7 → +1
+    "events_heatmap" ->
+      s"""WITH b AS (SELECT CAST(dayofweek(ts) + 1 AS INT) AS dow, CAST(hour(ts) AS INT) AS hour,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM events GROUP BY 1, 2),
+         |t AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM b)
+         |SELECT b.dow, b.hour, b.n, ${sqlR4("CAST(b.n AS DOUBLE) / t.t")} AS share
+         |FROM b, t ORDER BY b.dow, b.hour""".stripMargin,
 
     // the verified pair set joined to both docs' sources, unordered pair
     // normalized via least/greatest — exact integer counts
