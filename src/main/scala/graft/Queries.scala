@@ -914,6 +914,56 @@ object Queries {
       knnOut(IvfIndex.query(fixedModel(s, dir, Metric.Euclidean),
         qvec0(s, dir), k = 10, probes = 3, Metric.Euclidean))),
 
+    // extension: contrastive TRIPLET mining — per anchor, the nearest
+    // same-label vector (positive) and nearest different-label vector
+    // (hard negative) among its top-2-cluster block candidates, plus
+    // the margin: the training-pair construction step of metric
+    // learning. Candidates stay block-bounded (never all-pairs); both
+    // arg-mins are O(1)-state min(struct) reductions
+    "embed_triplets" -> ((s, dir) => {
+      val lab = emb(s, dir).select(col("vec_id"), col("label"))
+      val blocked = top2Blocked(s, dir)
+      val aSide = blocked.select(col("block"), col("id"), col("embedding"))
+      val bSide = blocked.select(col("block"), col("id").as("cand_id"),
+        col("embedding").as("__eb"))
+      val pairs = aSide.join(bSide, Seq("block"))
+        .where(col("id") =!= col("cand_id"))
+        .withColumn("__d", Metric.Euclidean.distance(col("embedding"), col("__eb")))
+        .where(!isnan(col("__d")))
+        .select(col("id"), col("cand_id"), col("__d"))
+        .join(lab.select(col("vec_id").as("id"), col("label").as("__la")), Seq("id"))
+        .join(lab.select(col("vec_id").as("cand_id"), col("label").as("__lb")),
+          Seq("cand_id"))
+      def argmin(df: DataFrame, out: String, outD: String) = df
+        .groupBy(col("id"))
+        .agg(min(struct(col("__d"), col("cand_id"))).as("__b"))
+        .select(col("id"), col("__b.cand_id").as(out), col("__b.__d").as(outD))
+      val pos = argmin(pairs.where(col("__la") === col("__lb")), "pos_id", "__pd")
+      val neg = argmin(pairs.where(col("__la") =!= col("__lb")), "neg_id", "__nd")
+      pos.join(neg, Seq("id"))
+        .select(col("id").as("vec_id"), col("pos_id"), col("neg_id"),
+          r4(col("__pd")).as("pos_dist"), r4(col("__nd")).as("neg_dist"),
+          r4(col("__nd") - col("__pd")).as("margin"))
+        .orderBy("vec_id")
+    }),
+
+    // extension: leave-one-out 1-NN label accuracy per class — the
+    // embedding-quality eval (does the space cluster by label?). Reuses
+    // the blocked NN self-join; exact integer counts per label
+    "embed_knn_accuracy" -> ((s, dir) => {
+      val lab = emb(s, dir).select(col("vec_id"), col("label"))
+      val nn = Knn.selfJoinNN(top2Blocked(s, dir))
+      nn.join(lab.select(col("vec_id").as("id"), col("label").as("__own")), Seq("id"))
+        .join(lab.select(col("vec_id").as("nn_id"), col("label").as("__pred")),
+          Seq("nn_id"))
+        .groupBy(col("__own").cast("long").as("label"))
+        .agg(count(lit(1)).as("n"),
+          count(when(col("__own") === col("__pred"), 1)).as("n_correct"))
+        .select(col("label"), col("n"), col("n_correct"),
+          r4(col("n_correct").cast("double") / col("n")).as("accuracy"))
+        .orderBy("label")
+    }),
+
     // extension: index-HEALTH dashboard — per-cluster population and
     // distance-to-centroid stats (the density/drift monitor that decides
     // refine). Distances r4-quantized to exact ints BEFORE aggregation
@@ -4168,6 +4218,51 @@ object Queries {
          |SELECT id AS vec_id, nn_id, ${sqlR4("d")} AS distance FROM (
          |  SELECT id, nn_id, d, row_number() OVER (PARTITION BY id ORDER BY d ASC, nn_id ASC) AS rn FROM cand)
          |WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+
+    // the blocked-candidate CTE with labels; two ranked branches pick
+    // the positive and the hard negative; margins subtract unrounded
+    // doubles before r4 in both engines
+    "embed_triplets" ->
+      s"""WITH c AS (SELECT CAST(vec_id AS INTEGER) AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8),
+         |asg AS (SELECT vec_id, cid FROM (
+         |  SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id ORDER BY ${sqlSq("e.embedding", "c.cvec")} ASC, c.cid ASC) AS rn
+         |  FROM embeddings e CROSS JOIN c) WHERE rn <= 2),
+         |cand AS (SELECT a.vec_id AS id, b.vec_id AS cand_id, a.label AS la, b.label AS lb,
+         |    ${sqlSq("a.embedding", "b.embedding")} AS d
+         |  FROM embeddings a JOIN asg aa ON a.vec_id = aa.vec_id
+         |  JOIN asg ab ON aa.cid = ab.cid
+         |  JOIN embeddings b ON b.vec_id = ab.vec_id AND a.vec_id <> b.vec_id),
+         |p AS (SELECT id, cand_id, d FROM (
+         |  SELECT id, cand_id, d, row_number() OVER (PARTITION BY id ORDER BY d ASC, cand_id ASC) AS rn
+         |  FROM cand WHERE la = lb) WHERE rn = 1),
+         |n AS (SELECT id, cand_id, d FROM (
+         |  SELECT id, cand_id, d, row_number() OVER (PARTITION BY id ORDER BY d ASC, cand_id ASC) AS rn
+         |  FROM cand WHERE la <> lb) WHERE rn = 1)
+         |SELECT p.id AS vec_id, p.cand_id AS pos_id, n.cand_id AS neg_id,
+         |  ${sqlR4("p.d")} AS pos_dist, ${sqlR4("n.d")} AS neg_dist,
+         |  ${sqlR4("n.d - p.d")} AS margin
+         |FROM p JOIN n ON p.id = n.id ORDER BY vec_id""".stripMargin,
+
+    // the ann_self_join NN map joined to both labels; exact counts
+    "embed_knn_accuracy" ->
+      s"""WITH c AS (SELECT CAST(vec_id AS INTEGER) AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8),
+         |asg AS (SELECT vec_id, cid FROM (
+         |  SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id ORDER BY ${sqlSq("e.embedding", "c.cvec")} ASC, c.cid ASC) AS rn
+         |  FROM embeddings e CROSS JOIN c) WHERE rn <= 2),
+         |cand AS (SELECT a.vec_id AS id, b.vec_id AS nn_id, ${sqlSq("a.embedding", "b.embedding")} AS d
+         |  FROM embeddings a JOIN asg aa ON a.vec_id = aa.vec_id
+         |  JOIN asg ab ON aa.cid = ab.cid
+         |  JOIN embeddings b ON b.vec_id = ab.vec_id AND a.vec_id <> b.vec_id),
+         |nn AS (SELECT id, nn_id FROM (
+         |  SELECT id, nn_id, row_number() OVER (PARTITION BY id ORDER BY d ASC, nn_id ASC) AS rn FROM cand)
+         |  WHERE rn = 1),
+         |r AS (SELECT CAST(ea.label AS BIGINT) AS label,
+         |    CASE WHEN ea.label = eb.label THEN 1 ELSE 0 END AS ok
+         |  FROM nn JOIN embeddings ea ON nn.id = ea.vec_id
+         |  JOIN embeddings eb ON nn.nn_id = eb.vec_id)
+         |SELECT label, CAST(count(*) AS BIGINT) AS n, CAST(sum(ok) AS BIGINT) AS n_correct,
+         |  ${sqlR4("CAST(sum(ok) AS DOUBLE) / count(*)")} AS accuracy
+         |FROM r GROUP BY label ORDER BY label""".stripMargin,
 
     "dedup_semantic" ->
       s"""WITH RECURSIVE c AS (SELECT CAST(vec_id AS INTEGER) AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8),
