@@ -2293,6 +2293,25 @@ object Queries {
           r4(col("__cd.max_n").cast("double") / col("__cd.n_cp")).as("dominance"))
         .orderBy("doc_id")),
 
+    // extension: per-source QUALITY rollup — mean quality score
+    // (r4-quantized-int mean) and Gopher pass rate per source: the
+    // one-look curation scoreboard. All exact-int aggregation
+    "corpus_source_quality" -> ((s, dir) =>
+      docs(s, dir)
+        .withColumn("__toks", TextOps.tokens(col("text")))
+        .withColumn("__stats", TextOps.tokenStats(col("__toks")))
+        .select(col("source"),
+          floor(TextOps.qualityFromStats(col("text"), col("__toks"), col("__stats"))
+            * lit(10000.0) + lit(0.5)).cast("long").as("__qq"),
+          TextOps.gopherFlags(col("text"), col("__toks")).getField("pass").as("__gp"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("__qq")).as("__s"),
+          count(when(col("__gp"), 1)).as("__np"))
+        .select(col("source"), col("n_docs"),
+          r4(col("__s").cast("double") / col("n_docs") / lit(10000.0)).as("mean_quality"),
+          r4(col("__np").cast("double") / col("n_docs")).as("gopher_pass_rate"))
+        .orderBy("source")),
+
     // extension: TF-IDF keyword extraction — top-5 terms per doc by
     // tf·ln(N/df), quantized-then-ranked (engine-independent order,
     // token tiebreak). Vocabulary-bounded df aggregate + per-doc
@@ -2753,6 +2772,33 @@ object Queries {
           r4(col("dau").cast("double") / col("wau")).as("stickiness"))
         .orderBy("day")
     }),
+
+    // extension: per-type VALUE statistics — mean/std from moments of
+    // r4-QUANTIZED values summed as exact integers (sum-of-squares in
+    // DECIMAL(38,0), the checksum trick): the only way a double mean/
+    // stddev can be partition-order-independent and hash-exact. The
+    // variance expression is mirrored verbatim (same regrouping) in
+    // both engines
+    "events_value_stats" -> ((s, dir) =>
+      events(s, dir)
+        .where(col("value").isNotNull)
+        .select(col("event_type"),
+          floor(col("value") * lit(10000.0) + lit(0.5)).cast("long").as("__q"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("__q").cast("decimal(38,0)")).as("__s1"),
+          sum((col("__q") * col("__q")).cast("decimal(38,0)")).as("__s2"),
+          min(col("__q")).as("__mn"), max(col("__q")).as("__mx"))
+        .select({
+          val mean = col("__s1").cast("double") / col("n")
+          val varq = col("__s2").cast("double") / col("n") - mean * mean
+          Seq(col("event_type"), col("n"),
+            r4(mean / lit(10000.0)).as("mean_value"),
+            r4(sqrt(greatest(lit(0.0), varq)) / lit(10000.0)).as("std_value"),
+            (col("__mn").cast("double") / lit(10000.0)).as("min_value"),
+            (col("__mx").cast("double") / lit(10000.0)).as("max_value"))
+        }: _*)
+        .orderBy("event_type")),
 
     // extension: traffic HEATMAP — day-of-week × hour counts with exact
     // shares: the ops-dashboard staple. One map-side-combinable count;
@@ -3440,6 +3486,61 @@ object Queries {
          |  (SELECT CAST(max(d) AS BIGINT) FROM deg) AS max_degree,
          |  (SELECT CAST(count(*) AS BIGINT) FROM gs) AS n_groups,
          |  (SELECT CAST(max(sz) AS BIGINT) FROM gs) AS largest_group""".stripMargin,
+
+    // same quantize-then-exact-moments derivation; the variance
+    // expression is regrouped identically
+    "events_value_stats" ->
+      s"""WITH q AS (SELECT event_type, CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS q
+         |  FROM events WHERE value IS NOT NULL),
+         |a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(CAST(q AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s1,
+         |    CAST(sum(CAST(q * q AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s2,
+         |    CAST(min(q) AS BIGINT) AS mn, CAST(max(q) AS BIGINT) AS mx
+         |  FROM q GROUP BY event_type)
+         |SELECT event_type, n,
+         |  ${sqlR4("(CAST(s1 AS DOUBLE) / n) / 10000.0")} AS mean_value,
+         |  ${sqlR4("sqrt(greatest(0.0, CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))) / 10000.0")} AS std_value,
+         |  CAST(mn AS DOUBLE) / 10000.0 AS min_value,
+         |  CAST(mx AS DOUBLE) / 10000.0 AS max_value
+         |FROM a ORDER BY event_type""".stripMargin,
+
+    // the text_stats quality CTE + the Gopher pass conjunction, rolled
+    // up per source with quantized-int means
+    "corpus_source_quality" ->
+      s"""WITH b AS (SELECT source, text, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk,
+         |    string_split(text, chr(10)) AS ls,
+         |    CAST(length(text) AS DOUBLE) AS nc,
+         |    CAST(length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) AS DOUBLE) AS punct
+         |  FROM documents),
+         |m AS (SELECT source,
+         |  CASE WHEN nc > 0 THEN punct / nc ELSE 0.0 END AS punct_ratio,
+         |  CASE WHEN len(tk) > 0 THEN CAST(len(list_filter(tk, x -> list_contains($stopAllSql, x))) AS DOUBLE) / len(tk) ELSE 0.0 END AS stop_ratio,
+         |  CASE WHEN len(tk) > 0 THEN list_sum(list_transform(tk, x -> CAST(length(x) AS DOUBLE))) / len(tk) ELSE 0.0 END AS avg_len,
+         |  CAST(len(tk) AS BIGINT) AS n_words,
+         |  CAST(coalesce(list_sum(list_transform(tk, x -> CAST(length(x) AS BIGINT))), 0) AS BIGINT) AS len_sum,
+         |  CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS n_hash,
+         |  CAST((length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT) AS n_ell,
+         |  CAST(len(list_filter(tk, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS n_alpha,
+         |  CAST(len(ls) AS BIGINT) AS n_lines,
+         |  CAST(len(list_filter(ls, l -> ltrim(l) LIKE '-%' OR ltrim(l) LIKE '*%' OR ltrim(l) LIKE '•%')) AS BIGINT) AS n_bullet,
+         |  CAST(len(list_filter(ls, l -> rtrim(l) LIKE '%...' OR rtrim(l) LIKE '%…')) AS BIGINT) AS n_ellend,
+         |  CAST(len(list_intersect(tk, ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS stop_hits
+         |  FROM b),
+         |d AS (SELECT source,
+         |  CAST(floor(least(1.0, greatest(0.0, 0.2 + 0.5 * stop_ratio + 0.05 * avg_len - punct_ratio)) * 10000.0 + 0.5) AS BIGINT) AS qq,
+         |  (n_words >= 50 AND n_words <= 100000
+         |    AND (CASE WHEN n_words > 0 THEN CAST(len_sum AS DOUBLE) / n_words ELSE 0.0 END) >= 3.0
+         |    AND (CASE WHEN n_words > 0 THEN CAST(len_sum AS DOUBLE) / n_words ELSE 0.0 END) <= 10.0
+         |    AND (CASE WHEN n_words > 0 THEN CAST(n_hash + n_ell AS DOUBLE) / n_words ELSE 0.0 END) <= 0.1
+         |    AND (CASE WHEN n_lines > 0 THEN CAST(n_bullet AS DOUBLE) / n_lines ELSE 0.0 END) <= 0.9
+         |    AND (CASE WHEN n_lines > 0 THEN CAST(n_ellend AS DOUBLE) / n_lines ELSE 0.0 END) <= 0.3
+         |    AND (CASE WHEN n_words > 0 THEN CAST(n_alpha AS DOUBLE) / n_words ELSE 0.0 END) >= 0.8
+         |    AND stop_hits >= 2) AS gp
+         |  FROM m)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  ${sqlR4("CAST(sum(qq) AS DOUBLE) / count(*) / 10000.0")} AS mean_quality,
+         |  ${sqlR4("CAST(count(*) FILTER (gp) AS DOUBLE) / count(*)")} AS gopher_pass_rate
+         |FROM d GROUP BY source ORDER BY source""".stripMargin,
 
     // DuckDB dayofweek is 0 (Sunday) – 6; Spark is 1 – 7 → +1
     "events_heatmap" ->
