@@ -2293,6 +2293,49 @@ object Queries {
           r4(col("__cd.max_n").cast("double") / col("__cd.n_cp")).as("dominance"))
         .orderBy("doc_id")),
 
+    // extension: READABILITY — Flesch reading ease with the standard
+    // vowel-group syllable proxy: every counter is an exact integer
+    // (word/sentence/syllable counts from portable regex classes), so
+    // the score divides identically in both engines. Map-only
+    "text_readability" -> ((s, dir) =>
+      docs(s, dir)
+        .withColumn("__toks", filter(TextOps.tokens(col("text")), t => t =!= ""))
+        .select(col("doc_id"),
+          size(col("__toks")).cast("long").as("n_words"),
+          greatest(lit(1L),
+            regexp_count(col("text"), lit("[.!?]+")).cast("long")).as("n_sentences"),
+          aggregate(col("__toks"), lit(0L), (acc, w) =>
+            acc + greatest(lit(1L),
+              regexp_count(w, lit("[aeiouy]+")).cast("long"))).as("n_syllables"))
+        .where(col("n_words") > 0)
+        .select(col("doc_id"), col("n_words"), col("n_sentences"), col("n_syllables"),
+          r4(lit(206.835)
+            - lit(1.015) * (col("n_words").cast("double") / col("n_sentences"))
+            - lit(84.6) * (col("n_syllables").cast("double") / col("n_words")))
+            .as("flesch"))
+        .orderBy("doc_id")),
+
+    // extension: event-type TRANSITION matrix — per user-timeline
+    // (ts, event_id)-ordered next-event counts with per-from-type
+    // shares: the Markov-chain view of user behavior. The lead window
+    // partitions on the user key (fine-grained — never a global rank);
+    // shares divide exact counts
+    "events_conversion_matrix" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val trans = events(s, dir)
+        .where(col("user_id").isNotNull)
+        .withColumn("to_type", lead(col("event_type"), 1).over(w))
+        .where(col("to_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val totals = trans.groupBy(col("from_type")).agg(sum(col("n")).as("__t"))
+      trans.join(broadcast(totals), Seq("from_type"))
+        .select(col("from_type"), col("to_type"), col("n"),
+          r4(col("n").cast("double") / col("__t")).as("share"))
+        .orderBy("from_type", "to_type")
+    }),
+
     // extension: per-source QUALITY rollup — mean quality score
     // (r4-quantized-int mean) and Gopher pass rate per source: the
     // one-look curation scoreboard. All exact-int aggregation
@@ -2455,6 +2498,27 @@ object Queries {
         .select(col("source"), col("n_tokens"), col("n_oov"),
           r4(col("n_oov").cast("double") / col("n_tokens")).as("oov_rate"))
         .orderBy("source")
+    }),
+
+    // extension: corpus n-GRAM inventory — instance/type counts and
+    // type-token ratio for n = 1..3: the vocabulary-growth diagnostic
+    // behind shingle/BPE sizing. Three Expand-free two-stage distincts
+    "corpus_ngram_stats" -> ((s, dir) => {
+      val toks = docs(s, dir)
+        .select(filter(TextOps.tokens(col("text")), t => t =!= "").as("__t"))
+      def one(n: Int): DataFrame = {
+        val grams =
+          if (n == 1) toks.select(explode(col("__t")).as("g"))
+          else toks.select(explode(
+            TextOps.shinglesFromTokens(col("__t"), n)).as("g"))
+        grams.groupBy(col("g")).agg(count(lit(1)).as("__c"))
+          .agg(lit(n).as("n"), sum(col("__c")).cast("long").as("instances"),
+            count(lit(1)).as("types"))
+      }
+      one(1).unionByName(one(2)).unionByName(one(3))
+        .select(col("n"), col("instances"), col("types"),
+          r4(col("types").cast("double") / col("instances")).as("type_token_ratio"))
+        .orderBy("n")
     }),
 
     // extension: vocabulary COVERAGE — the fraction of all token
@@ -3486,6 +3550,49 @@ object Queries {
          |  (SELECT CAST(max(d) AS BIGINT) FROM deg) AS max_degree,
          |  (SELECT CAST(count(*) AS BIGINT) FROM gs) AS n_groups,
          |  (SELECT CAST(max(sz) AS BIGINT) FROM gs) AS largest_group""".stripMargin,
+
+    // exact-integer counters; constants explicitly CAST AS DOUBLE (the
+    // note-26 decimal-literal trap)
+    "text_readability" ->
+      s"""WITH b AS (SELECT doc_id, text,
+         |    list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '') AS tk
+         |  FROM documents),
+         |m AS (SELECT doc_id,
+         |  CAST(len(tk) AS BIGINT) AS n_words,
+         |  CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS BIGINT) AS n_sentences,
+         |  CAST(coalesce(list_sum(list_transform(tk, w -> greatest(1, len(regexp_extract_all(w, '[aeiouy]+'))))), 0) AS BIGINT) AS n_syllables
+         |  FROM b)
+         |SELECT doc_id, n_words, n_sentences, n_syllables,
+         |  ${sqlR4("CAST(206.835 AS DOUBLE) - CAST(1.015 AS DOUBLE) * (CAST(n_words AS DOUBLE) / n_sentences) - CAST(84.6 AS DOUBLE) * (CAST(n_syllables AS DOUBLE) / n_words)")} AS flesch
+         |FROM m WHERE n_words > 0 ORDER BY doc_id""".stripMargin,
+
+    "events_conversion_matrix" ->
+      s"""WITH t AS (SELECT event_type AS from_type,
+         |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+         |  FROM events WHERE user_id IS NOT NULL),
+         |c AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+         |  FROM t WHERE to_type IS NOT NULL GROUP BY from_type, to_type),
+         |tt AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS t FROM c GROUP BY from_type)
+         |SELECT c.from_type, c.to_type, c.n,
+         |  ${sqlR4("CAST(c.n AS DOUBLE) / tt.t")} AS share
+         |FROM c JOIN tt USING (from_type) ORDER BY from_type, to_type""".stripMargin,
+
+    // multiset n-gram windows over nonempty tokens (the shingles
+    // contract); instance/type counts are exact ints
+    "corpus_ngram_stats" ->
+      s"""WITH tk AS (SELECT list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '') AS t
+         |  FROM documents),
+         |g1 AS (SELECT unnest(t) AS g FROM tk),
+         |g2 AS (SELECT t[i] || ' ' || t[i + 1] AS g
+         |  FROM tk, unnest(generate_series(1, greatest(len(t) - 1, 0))) AS u(i)),
+         |g3 AS (SELECT t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS g
+         |  FROM tk, unnest(generate_series(1, greatest(len(t) - 2, 0))) AS u(i)),
+         |a AS (SELECT 1 AS n, CAST(count(*) AS BIGINT) AS instances, CAST(count(DISTINCT g) AS BIGINT) AS types FROM g1
+         |  UNION ALL SELECT 2, CAST(count(*) AS BIGINT), CAST(count(DISTINCT g) AS BIGINT) FROM g2
+         |  UNION ALL SELECT 3, CAST(count(*) AS BIGINT), CAST(count(DISTINCT g) AS BIGINT) FROM g3)
+         |SELECT CAST(n AS INT) AS n, instances, types,
+         |  ${sqlR4("CAST(types AS DOUBLE) / instances")} AS type_token_ratio
+         |FROM a ORDER BY n""".stripMargin,
 
     // same quantize-then-exact-moments derivation; the variance
     // expression is regrouped identically
