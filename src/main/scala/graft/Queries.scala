@@ -2879,6 +2879,44 @@ object Queries {
         .orderBy("dow", "hour")
     }),
 
+    // extension: user-CONCENTRATION report — exact Gini coefficient and
+    // top-10% share of events without ANY global sort or window: both
+    // derive from the per-user-count VALUE frame (rows bounded by
+    // distinct count values, not users). Gini uses the mean-absolute-
+    // difference pairs formulation over that tiny frame (value-pair
+    // cross products in DECIMAL, exact); the top-share boundary comes
+    // from a ≥-join cumulative on the same frame. At 100 TB the only
+    // data-sized operation is the first per-user count
+    "events_gini" -> ((s, dir) => {
+      val pu = events(s, dir).where(col("user_id").isNotNull)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+      val vf = pu.groupBy(col("c")).agg(count(lit(1)).as("u"))
+      val tot = vf.agg(sum(col("u")).as("n"),
+        sum((col("u") * col("c")).cast("decimal(38,0)")).as("s"))
+      val a = vf.select(col("c").as("va"), col("u").as("ua"))
+      val b = vf.select(col("c").as("vb"), col("u").as("ub"))
+      val mad = a.crossJoin(b)
+        .agg(sum((col("ua") * col("ub")).cast("decimal(38,0)") *
+          abs(col("va") - col("vb")).cast("decimal(38,0)")).as("mad"))
+      // cumulative-from-above via a >=-join on the tiny value frame
+      val cum = a.join(b, col("vb") >= col("va"))
+        .groupBy(col("va"), col("ua"))
+        .agg(sum(col("ub")).as("cum_u"),
+          sum((col("ub") * col("vb")).cast("decimal(38,0)")).as("cum_e"))
+      tot.crossJoin(broadcast(mad)).crossJoin(broadcast(
+        cum.crossJoin(tot.select(floor(col("n") / lit(10)).cast("long").as("__k")))
+          .where(col("cum_u") >= col("__k") && col("__k") > 0)
+          .orderBy(col("va").desc).limit(1)
+          .select(col("va"), col("ua"), col("cum_u"), col("cum_e"), col("__k"))))
+        .select(col("n").cast("long").as("n_users"),
+          col("s").cast("long").as("total_events"),
+          r4(col("mad").cast("double") /
+            (lit(2.0) * col("n").cast("double") * col("s").cast("double"))).as("gini"),
+          r4((col("cum_e").cast("double") - col("ua").cast("double") * col("va")
+            + (col("__k") - (col("cum_u") - col("ua"))).cast("double") * col("va"))
+            / col("s").cast("double")).as("top10_share"))
+    }),
+
     // extension: key-SKEW diagnostic — the pre-join probe that decides
     // salting/AQE-skew handling: the 10 hottest join keys with their
     // share of all rows and the whale ratio vs a uniform spread. One
@@ -4274,6 +4312,30 @@ object Queries {
          |SELECT c.bucket, c.bucket * 64 AS lo_tokens, c.n,
          |  ${sqlR4("CAST(c.n AS DOUBLE) / t.t")} AS share
          |FROM c, t ORDER BY c.bucket""".stripMargin,
+
+    // same tiny value-frame derivations; every product in DECIMAL
+    "events_gini" ->
+      s"""WITH pu AS (SELECT user_id, CAST(count(*) AS BIGINT) AS c FROM events
+         |  WHERE user_id IS NOT NULL GROUP BY user_id),
+         |vf AS (SELECT c, CAST(count(*) AS BIGINT) AS u FROM pu GROUP BY c),
+         |tot AS (SELECT CAST(sum(u) AS BIGINT) AS n,
+         |  CAST(sum(CAST(u * c AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s FROM vf),
+         |mad AS (SELECT CAST(sum(CAST(a.ua * b.ub AS DECIMAL(38,0)) *
+         |    CAST(abs(a.va - b.vb) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS mad
+         |  FROM (SELECT c AS va, u AS ua FROM vf) a,
+         |       (SELECT c AS vb, u AS ub FROM vf) b),
+         |cum AS (SELECT a.va, a.ua, CAST(sum(b.ub) AS BIGINT) AS cum_u,
+         |    CAST(sum(CAST(b.ub * b.vb AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS cum_e
+         |  FROM (SELECT c AS va, u AS ua FROM vf) a
+         |  JOIN (SELECT c AS vb, u AS ub FROM vf) b ON b.vb >= a.va
+         |  GROUP BY a.va, a.ua),
+         |bd AS (SELECT cum.va, cum.ua, cum.cum_u, cum.cum_e, tot.n // 10 AS k
+         |  FROM cum, tot WHERE cum.cum_u >= tot.n // 10 AND tot.n // 10 > 0
+         |  ORDER BY cum.va DESC LIMIT 1)
+         |SELECT CAST(tot.n AS BIGINT) AS n_users, CAST(tot.s AS BIGINT) AS total_events,
+         |  ${sqlR4("CAST(mad.mad AS DOUBLE) / (CAST(2.0 AS DOUBLE) * CAST(tot.n AS DOUBLE) * CAST(tot.s AS DOUBLE))")} AS gini,
+         |  ${sqlR4("(CAST(bd.cum_e AS DOUBLE) - CAST(bd.ua AS DOUBLE) * bd.va + CAST(bd.k - (bd.cum_u - bd.ua) AS DOUBLE) * bd.va) / CAST(tot.s AS DOUBLE)")} AS top10_share
+         |FROM tot, mad, bd""".stripMargin,
 
     "events_key_skew" ->
       s"""WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY user_id),
