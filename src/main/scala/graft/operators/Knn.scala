@@ -190,19 +190,37 @@ object Knn {
     * (no neighbor evidence — callers wanting totality union a sentinel).
     * Duplicate candidates from a pair sharing both blocks collapse in
     * the same min. */
-  def selfJoinNN(blocked: DataFrame, metric: Metric = Metric.Euclidean): DataFrame = {
+  def selfJoinNN(blocked: DataFrame, metric: Metric = Metric.Euclidean): DataFrame =
+    nnFromPairs(pairDistances(blocked, metric))
+
+  /** The blocked candidate-pair distance frame `(id, cand_id, d)` —
+    * shared by every consumer that reduces over the same candidate set
+    * (NN graph, triplet mining, label-transfer eval). A pair sharing
+    * both blocks appears twice with identical `d`; consumers collapse
+    * duplicates in their min-reductions, which is cheaper than a
+    * corpus-wide `distinct` here. Sessions serving several consumers
+    * should materialize this ONCE (the one-index-serves-every-query
+    * argument). */
+  def pairDistances(blocked: DataFrame, metric: Metric = Metric.Euclidean): DataFrame = {
     val a = blocked.select(col("block"), col("id"), col("embedding"))
     val b = blocked.select(
-      col("block"), col("id").as("nn_id"), col("embedding").as("__eb"))
+      col("block"), col("id").as("cand_id"), col("embedding").as("__eb"))
     a.join(b, Seq("block"))
-      .where(col("id") =!= col("nn_id"))
-      .withColumn("__d", metric.distance(col("embedding"), col("__eb")))
-      .where(!isnan(col("__d")))
+      .where(col("id") =!= col("cand_id"))
+      .withColumn("d", metric.distance(col("embedding"), col("__eb")))
+      .where(!isnan(col("d")))
+      .select(col("id"), col("cand_id"), col("d"))
+  }
+
+  /** Per-id nearest neighbor from a `(id, cand_id, d)` pair frame: one
+    * `min(struct)` reduction — O(1) state per id, map-side combinable,
+    * duplicate candidate rows collapse for free. */
+  def nnFromPairs(pairs: DataFrame): DataFrame =
+    pairs
       .groupBy(col("id"))
-      .agg(min(struct(col("__d").as("distance"), col("nn_id").as("nn_id"))).as("__best"))
+      .agg(min(struct(col("d").as("distance"), col("cand_id").as("nn_id"))).as("__best"))
       .select(col("id"), col("__best.nn_id").as("nn_id"),
         col("__best.distance").as("distance"))
-  }
 
   /** Two-phase per-query top-k over a `(query_id, distance, id)` candidate
     * frame, then metadata re-attach. Shared by [[searchBatch]] and
