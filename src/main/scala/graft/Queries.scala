@@ -930,6 +930,38 @@ object Queries {
       knnOut(IvfIndex.query(fixedModel(s, dir, Metric.Euclidean),
         qvec0(s, dir), k = 10, probes = 3, Metric.Euclidean))),
 
+    // extension: per-label centroid DRIFT between snapshot versions —
+    // the embedding-space monitoring dual of the change-log algebra:
+    // deletes + perturbations move each label's mean, and this is the
+    // re-index/re-embed trigger metric. Per-(label, dim) means from
+    // quantized-int sums (exact); the 64 per-dim squared deltas fold in
+    // EXPLICIT pos order (collect→sort→fold), because a plain sum of
+    // doubles would be partial-aggregation-order-dependent
+    "embed_centroid_drift" -> ((s, dir) => {
+      val oldE = emb(s, dir).select(col("vec_id"), col("label"), col("embedding"))
+      val newE = oldE.where(!(col("vec_id") % 97 === 3))
+        .withColumn("embedding", when(col("vec_id") % 101 === 7,
+          transform(col("embedding"),
+            (x, i) => when(i === 0, x + lit(1.0f)).otherwise(x)))
+          .otherwise(col("embedding")))
+      def qmeans(df: DataFrame, mAs: String) = df
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "__v")))
+        .select(col("label"), col("pos"),
+          floor(col("__v").cast("double") * lit(10000.0) + lit(0.5))
+            .cast("long").as("__q"))
+        .groupBy(col("label"), col("pos"))
+        .agg((sum(col("__q")).cast("double") / count(lit(1)) / lit(10000.0)).as(mAs))
+      qmeans(oldE, "__mo").join(qmeans(newE, "__mn"), Seq("label", "pos"))
+        .select(col("label"), col("pos"),
+          ((col("__mo") - col("__mn")) * (col("__mo") - col("__mn"))).as("__d2"))
+        .groupBy(col("label").cast("long").as("label"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("__d2")))).as("__a"))
+        .select(col("label"),
+          r4(aggregate(transform(col("__a"), e => e.getField("__d2")),
+            lit(0.0), (acc, x) => acc + x)).as("drift_sq"))
+        .orderBy("label")
+    }),
+
     // extension: contrastive TRIPLET mining — per anchor, the nearest
     // same-label vector (positive) and nearest different-label vector
     // (hard negative) among its top-2-cluster block candidates, plus
@@ -4497,6 +4529,30 @@ object Queries {
          |SELECT id AS vec_id, nn_id, ${sqlR4("d")} AS distance FROM (
          |  SELECT id, nn_id, d, row_number() OVER (PARTITION BY id ORDER BY d ASC, nn_id ASC) AS rn FROM cand)
          |WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+
+    // same version transform, same quantized-int means, same
+    // pos-ORDERED fold of the squared deltas (list(... ORDER BY pos) →
+    // list_sum is the sequential fold Spark's sorted-aggregate runs)
+    "embed_centroid_drift" ->
+      s"""WITH oldv AS (SELECT vec_id, label, embedding FROM embeddings),
+         |newv AS (SELECT vec_id, label,
+         |    CASE WHEN vec_id % 101 = 7
+         |      THEN list_prepend(CAST(embedding[1] + CAST(1.0 AS REAL) AS REAL), embedding[2:])
+         |      ELSE embedding END AS embedding
+         |  FROM embeddings WHERE NOT (vec_id % 97 = 3)),
+         |mo AS (SELECT label, u.i - 1 AS pos,
+         |    (CAST(sum(CAST(floor(CAST(embedding[u.i] AS DOUBLE) * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE) / count(*)) / 10000.0 AS m
+         |  FROM oldv, unnest(generate_series(1, len(embedding))) AS u(i)
+         |  GROUP BY label, u.i),
+         |mn AS (SELECT label, u.i - 1 AS pos,
+         |    (CAST(sum(CAST(floor(CAST(embedding[u.i] AS DOUBLE) * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE) / count(*)) / 10000.0 AS m
+         |  FROM newv, unnest(generate_series(1, len(embedding))) AS u(i)
+         |  GROUP BY label, u.i),
+         |d AS (SELECT mo.label, mo.pos, (mo.m - mn.m) * (mo.m - mn.m) AS d2
+         |  FROM mo JOIN mn ON mo.label = mn.label AND mo.pos = mn.pos)
+         |SELECT CAST(label AS BIGINT) AS label,
+         |  ${sqlR4("list_sum(list(d2 ORDER BY pos))")} AS drift_sq
+         |FROM d GROUP BY label ORDER BY label""".stripMargin,
 
     // the blocked-candidate CTE with labels; two ranked branches pick
     // the positive and the hard negative; margins subtract unrounded
