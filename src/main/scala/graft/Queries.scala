@@ -1208,6 +1208,36 @@ object Queries {
     // dir) — see [[cappedGroups]].
     "dedup_groups" -> ((s, dir) => cappedGroups(s, dir).orderBy("doc_id")),
 
+    // extension: MinHash estimation-ACCURACY meter — the empirical
+    // companion to dedup_banding_planner: over the verified pair set,
+    // |sig-estimated Jaccard − exact Jaccard| summarized with exact
+    // arithmetic (errors r4-quantized to ints before the mean). At
+    // 16 perms the estimator's σ ≈ 0.125 — this is the dashboard that
+    // says whether the perm budget fits the threshold
+    "dedup_minhash_accuracy" -> ((s, dir) => {
+      val sigs = docs(s, dir).select(col("doc_id"),
+        graft.functions.NativeExprs.minhashSigHashes(
+          TextOps.shinglesFromTokens(TextOps.tokens(col("text")), 3), 16).as("__s"))
+        .select(col("doc_id"), col("__s.sig").as("sig"), col("__s.shh").as("hh"))
+      val pe = minhashPairs(s, dir)
+        .join(sigs.select(col("doc_id").as("doc_id_a"), col("sig").as("__sa"),
+          col("hh").as("__ha")), Seq("doc_id_a"))
+        .join(sigs.select(col("doc_id").as("doc_id_b"), col("sig").as("__sb"),
+          col("hh").as("__hb")), Seq("doc_id_b"))
+        .select(
+          size(filter(zip_with(col("__sa"), col("__sb"), (x, y) => x === y),
+            b => b)).cast("long").as("__m"),
+          (size(array_intersect(col("__ha"), col("__hb"))).cast("double") /
+            size(array_distinct(concat(col("__ha"), col("__hb"))))).as("__exj"))
+        .select(floor(abs(col("__m").cast("double") / lit(16) - col("__exj"))
+          * lit(10000.0) + lit(0.5)).cast("long").as("__q"))
+      pe.agg(count(lit(1)).as("n_pairs"), sum(col("__q")).as("__s"),
+          max(col("__q")).as("__mx"))
+        .select(col("n_pairs"),
+          r4(col("__s").cast("double") / col("n_pairs") / lit(10000.0)).as("mean_abs_err"),
+          (col("__mx").cast("double") / lit(10000.0)).as("max_abs_err"))
+    }),
+
     // extension: duplicate-GRAPH observability — edge/node/degree and
     // component-size stats over the verified pair graph: the dashboard
     // that catches viral-duplicate blowups (max_degree, largest_group)
@@ -3616,6 +3646,21 @@ object Queries {
     "dedup_groups" ->
       s"""$sqlCcCte
          |SELECT node AS doc_id, min(lab) AS rep_id FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
+
+    // the pair CTEs expose sig (sg) and distinct shingle hashes (h1);
+    // the same r4-quantize-before-mean discipline
+    "dedup_minhash_accuracy" ->
+      s"""WITH $sqlMinhashPairsCtes,
+         |pe AS (SELECT
+         |    CAST(len(list_filter(list_zip(sa.sg, sb.sg), p -> p[1] = p[2])) AS BIGINT) AS m,
+         |    CAST(len(list_intersect(sa.h1, sb.h1)) AS DOUBLE) / len(list_distinct(sa.h1 || sb.h1)) AS exj
+         |  FROM j JOIN sig sa ON j.doc_id_a = sa.doc_id
+         |         JOIN sig sb ON j.doc_id_b = sb.doc_id),
+         |e2 AS (SELECT CAST(floor(abs(CAST(m AS DOUBLE) / 16 - exj) * 10000.0 + 0.5) AS BIGINT) AS q FROM pe)
+         |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+         |  ${sqlR4("(CAST(sum(q) AS DOUBLE) / count(*)) / 10000.0")} AS mean_abs_err,
+         |  CAST(max(q) AS DOUBLE) / 10000.0 AS max_abs_err
+         |FROM e2""".stripMargin,
 
     // same pair list (j), symmetric edge list (e), and reach map; all
     // stats are scalar subqueries over exact integer aggregates
