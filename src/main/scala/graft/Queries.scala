@@ -2140,6 +2140,40 @@ object Queries {
           size(TextOps.tokens(col("text"))), budget = 512, nShards = 8)
         .orderBy("doc_id")),
 
+    // extension: PACKING-efficiency report — per-shard document/token
+    // counts, pack counts, and fill ratio: the dashboard that says
+    // whether the packing budget wastes context-window tokens. Exact
+    // ints until the final fill division
+    "pack_efficiency" -> ((s, dir) =>
+      graft.operators.Corpus.pack(
+          docs(s, dir).repartition(col("doc_id")),
+          size(TextOps.tokens(col("text"))), budget = 512, nShards = 8)
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"),
+          (max(col("pack_id")) + 1).as("n_packs"))
+        .select(col("shard"), col("n_docs"), col("total_tokens"), col("n_packs"),
+          r4(col("total_tokens").cast("double") /
+            (col("n_packs") * lit(512)).cast("double")).as("fill"))
+        .orderBy("shard")),
+
+    // extension: dedup-group PURITY — the fraction of each duplicate
+    // group whose source matches its representative's: the audit that
+    // distinguishes intra-source boilerplate from cross-source
+    // syndication (and sanity-checks the keep-map before applying it).
+    // Exact counts off the memoized group map
+    "dedup_group_purity" -> ((s, dir) => {
+      val src = docs(s, dir).select(col("doc_id"), col("source"))
+      val g = cappedGroups(s, dir).join(src, Seq("doc_id"))
+        .join(src.select(col("doc_id").as("rep_id"), col("source").as("__rs")),
+          Seq("rep_id"))
+      g.groupBy(col("rep_id"))
+        .agg(count(lit(1)).as("group_size"),
+          count(when(col("source") === col("__rs"), 1)).as("n_same_source"))
+        .select(col("rep_id"), col("group_size"), col("n_same_source"),
+          r4(col("n_same_source").cast("double") / col("group_size")).as("purity"))
+        .orderBy("rep_id")
+    }),
+
     // extension: per-source quota sampling (dataset mixing) — smallest
     // content hash per source via the bounded-heap aggregate, no
     // per-source ranking window
@@ -5055,6 +5089,37 @@ object Queries {
         |  FROM tp)
         |SELECT doc_id, shard, n_tokens, strt // 512 AS pack_id, strt % 512 AS tok_offset
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // the seq_pack CTE aggregated per shard
+    "pack_efficiency" ->
+      """WITH t AS (SELECT doc_id, doc_id % 8 AS shard,
+        |    CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |tp AS (SELECT * FROM t WHERE n_tokens >= 1),
+        |c AS (SELECT doc_id, shard, n_tokens,
+        |    CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - n_tokens AS strt
+        |  FROM tp),
+        |p AS (SELECT shard, n_tokens, strt // 512 AS pack_id FROM c),
+        |a AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |    CAST(max(pack_id) + 1 AS BIGINT) AS n_packs
+        |  FROM p GROUP BY shard)
+        |SELECT shard, n_docs, total_tokens, n_packs,
+        |  floor((CAST(total_tokens AS DOUBLE) / CAST(n_packs * 512 AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS fill
+        |FROM a ORDER BY shard""".stripMargin,
+
+    // the CC group map joined to sources on both member and rep
+    "dedup_group_purity" ->
+      s"""$sqlCcCte,
+         |g AS (SELECT node AS doc_id, min(lab) AS rep_id FROM reach GROUP BY node),
+         |w AS (SELECT g.rep_id, dm.source AS s_member, dr.source AS s_rep
+         |  FROM g JOIN documents dm ON g.doc_id = dm.doc_id
+         |         JOIN documents dr ON g.rep_id = dr.doc_id)
+         |SELECT rep_id, CAST(count(*) AS BIGINT) AS group_size,
+         |  CAST(count(*) FILTER (s_member = s_rep) AS BIGINT) AS n_same_source,
+         |  ${sqlR4("CAST(count(*) FILTER (s_member = s_rep) AS DOUBLE) / count(*)")} AS purity
+         |FROM w GROUP BY rep_id ORDER BY rep_id""".stripMargin,
 
     "mix_sample" ->
       """WITH h AS (SELECT doc_id, source, list_reduce(list_transform(string_split_regex(substr(md5(text), 1, 8), ''),
