@@ -930,6 +930,30 @@ object Queries {
       knnOut(IvfIndex.query(fixedModel(s, dir, Metric.Euclidean),
         qvec0(s, dir), k = 10, probes = 3, Metric.Euclidean))),
 
+    // extension: ASSIGNMENT drift between snapshot versions — how many
+    // surviving vectors change their nearest cluster under the same
+    // fixed centroids after the version perturbation: the metric that
+    // sizes the incremental-refresh work (ivf_apply_diff) and triggers
+    // re-clustering when geometry shifts. Exact counts
+    "ivf_assignment_drift" -> ((s, dir) => {
+      val cents = fixedCentroids(s, dir)
+      val oldA = IvfIndex.assign(recs(s, dir), cents, Metric.Euclidean)
+        .select(col("id"), col("cluster_id").as("__co"))
+      val newRecs = recs(s, dir)
+        .where(!(col("id") % 97 === 3))
+        .withColumn("embedding", when(col("id") % 101 === 7,
+          transform(col("embedding"),
+            (x, i) => when(i === 0, x + lit(1.0f)).otherwise(x)))
+          .otherwise(col("embedding")))
+      val newA = IvfIndex.assign(newRecs, cents, Metric.Euclidean)
+        .select(col("id"), col("cluster_id").as("__cn"))
+      oldA.join(newA, Seq("id"))
+        .agg(count(lit(1)).as("n_common"),
+          count(when(col("__co") =!= col("__cn"), 1)).as("n_moved"))
+        .select(col("n_common"), col("n_moved"),
+          r4(col("n_moved").cast("double") / col("n_common")).as("moved_frac"))
+    }),
+
     // extension: per-label centroid DRIFT between snapshot versions —
     // the embedding-space monitoring dual of the change-log algebra:
     // deletes + perturbations move each label's mean, and this is the
@@ -1207,6 +1231,25 @@ object Queries {
     // models the uncapped join — is unaffected). Memoized per (session,
     // dir) — see [[cappedGroups]].
     "dedup_groups" -> ((s, dir) => cappedGroups(s, dir).orderBy("doc_id")),
+
+    // extension: dedup token-SAVINGS — the business metric of the whole
+    // dedup stack: training tokens removed by the keep-map (drop
+    // non-representative group members). Exact integer token sums
+    "dedup_savings" -> ((s, dir) => {
+      val toks = docs(s, dir).select(col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("long").as("__nt"))
+      val dropped = cappedGroups(s, dir).where(col("doc_id") =!= col("rep_id"))
+        .select(col("doc_id"))
+      val total = toks.agg(count(lit(1)).as("n_docs"),
+        sum(col("__nt")).as("total_tokens"))
+      val drop = toks.join(dropped, Seq("doc_id"))
+        .agg(count(lit(1)).as("n_dropped"),
+          coalesce(sum(col("__nt")), lit(0L)).as("dropped_tokens"))
+      total.crossJoin(broadcast(drop))
+        .select(col("n_docs"), col("total_tokens"), col("n_dropped"),
+          col("dropped_tokens"),
+          r4(col("dropped_tokens").cast("double") / col("total_tokens")).as("savings_frac"))
+    }),
 
     // extension: MinHash estimation-ACCURACY meter — the empirical
     // companion to dedup_banding_planner: over the verified pair set,
@@ -4608,6 +4651,40 @@ object Queries {
          |SELECT id AS vec_id, nn_id, ${sqlR4("d")} AS distance FROM (
          |  SELECT id, nn_id, d, row_number() OVER (PARTITION BY id ORDER BY d ASC, nn_id ASC) AS rn FROM cand)
          |WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+
+    // both assignments replayed against the ORIGINAL fixed centroids
+    "ivf_assignment_drift" ->
+      s"""WITH c AS (SELECT CAST(vec_id AS INTEGER) AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8),
+         |newv AS (SELECT vec_id,
+         |    CASE WHEN vec_id % 101 = 7
+         |      THEN list_prepend(CAST(embedding[1] + CAST(1.0 AS REAL) AS REAL), embedding[2:])
+         |      ELSE embedding END AS embedding
+         |  FROM embeddings WHERE NOT (vec_id % 97 = 3)),
+         |ao AS (SELECT vec_id, cid FROM (
+         |  SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id ORDER BY ${sqlSq("e.embedding", "c.cvec")} ASC, c.cid ASC) AS rn
+         |  FROM embeddings e CROSS JOIN c) WHERE rn = 1),
+         |an AS (SELECT vec_id, cid FROM (
+         |  SELECT n.vec_id, c.cid, row_number() OVER (PARTITION BY n.vec_id ORDER BY ${sqlSq("n.embedding", "c.cvec")} ASC, c.cid ASC) AS rn
+         |  FROM newv n CROSS JOIN c) WHERE rn = 1),
+         |j AS (SELECT ao.cid AS co, an.cid AS cn FROM ao JOIN an ON ao.vec_id = an.vec_id)
+         |SELECT CAST(count(*) AS BIGINT) AS n_common,
+         |  CAST(count(*) FILTER (co <> cn) AS BIGINT) AS n_moved,
+         |  ${sqlR4("CAST(count(*) FILTER (co <> cn) AS DOUBLE) / count(*)")} AS moved_frac
+         |FROM j""".stripMargin,
+
+    // the CC map's non-representative members joined to token counts
+    "dedup_savings" ->
+      s"""$sqlCcCte,
+         |g AS (SELECT node AS doc_id, min(lab) AS rep_id FROM reach GROUP BY node),
+         |tk AS (SELECT doc_id, CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS BIGINT) AS nt
+         |  FROM documents),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(nt) AS BIGINT) AS total_tokens FROM tk),
+         |dr AS (SELECT CAST(count(*) AS BIGINT) AS n_dropped,
+         |    CAST(coalesce(sum(tk.nt), 0) AS BIGINT) AS dropped_tokens
+         |  FROM g JOIN tk ON g.doc_id = tk.doc_id WHERE g.doc_id <> g.rep_id)
+         |SELECT tot.n_docs, tot.total_tokens, dr.n_dropped, dr.dropped_tokens,
+         |  ${sqlR4("CAST(dr.dropped_tokens AS DOUBLE) / tot.total_tokens")} AS savings_frac
+         |FROM tot, dr""".stripMargin,
 
     // same version transform, same quantized-int means, same
     // pos-ORDERED fold of the squared deltas (list(... ORDER BY pos) →
