@@ -601,6 +601,52 @@ object Queries {
     })
   }
 
+  /** The derived SCD2 change log shared by `snapshot_scd2` and
+    * `snapshot_time_travel` (and mirrored verbatim in their oracles):
+    * for every store id < 60 — a v1 upsert at seq 1; a delete at seq 2
+    * for id%3=0; a v2 rewrite at seq 2 for id%3=1; a v3 upsert at seq 3
+    * for id%4=0 (reviving the id%12=0 deletes). Derived from the store's
+    * own ids, so it exists at every scale factor; upserts carry the
+    * record's real embedding (vector immutability is [[Crud.merge]]'s
+    * caller contract, not re-checked here). */
+  private def scd2Log(s: SparkSession, dir: String): DataFrame = {
+    val b = recs(s, dir).where(col("id") < 60)
+    def up(pred: Column, seqv: Long, lab: String) = b.where(pred)
+      .select(col("id"), lit("upsert").as("op"), lit(seqv).as("seq"),
+        col("embedding"), lit(lab).as("lab"))
+    def del(pred: Column, seqv: Long) = b.where(pred)
+      .select(col("id"), lit("delete").as("op"), lit(seqv).as("seq"),
+        lit(null).cast("array<float>").as("embedding"),
+        lit(null).cast("string").as("lab"))
+    up(lit(true), 1L, "v1")
+      .unionByName(del(col("id") % 3 === 0, 2L))
+      .unionByName(up(col("id") % 3 === 1, 2L, "v2"))
+      .unionByName(up(col("id") % 4 === 0, 3L, "v3"))
+  }
+
+  /** Epoch-plan mix declaration shared by `corpus_epoch_plan` and its
+    * oracle — one Scala literal feeds both engines (the literal-model
+    * rule), so `budget · weight` multiplies identical doubles on both
+    * sides. src2/src4 etc. are deliberately unlisted: present-but-
+    * unweighted sources must surface with weight 0, not vanish. */
+  private val epochPlanWeights: Map[String, Double] =
+    Map("src0" -> 0.3, "src1" -> 0.25, "src3" -> 0.2, "src5" -> 0.15,
+      "src7" -> 0.1)
+  private val epochPlanBudget: Long = 100000L
+
+  /** The scd2Log replayed in DuckDB — ONE definition string shared by
+    * both snapshot_scd2 and snapshot_time_travel oracles. */
+  private val scd2LogSql: String =
+    """log AS (
+      |  SELECT vec_id AS id, 'upsert' AS op, 1 AS seq, 'v1' AS lab
+      |    FROM embeddings WHERE vec_id < 60
+      |  UNION ALL SELECT vec_id, 'delete', 2, NULL
+      |    FROM embeddings WHERE vec_id < 60 AND vec_id % 3 = 0
+      |  UNION ALL SELECT vec_id, 'upsert', 2, 'v2'
+      |    FROM embeddings WHERE vec_id < 60 AND vec_id % 3 = 1
+      |  UNION ALL SELECT vec_id, 'upsert', 3, 'v3'
+      |    FROM embeddings WHERE vec_id < 60 AND vec_id % 4 = 0)""".stripMargin
+
   // ---------- query implementations ----------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -904,6 +950,46 @@ object Queries {
         .orderBy("vec_id")
     }),
 
+    // extension: SCD2 version HISTORY — the change log unfolded into
+    // slowly-changing-dimension intervals (seq_from, seq_to, is_current),
+    // deletes kept as interval-closing tombstones so revivals
+    // reconstruct. The log is DERIVED from the store's own ids (v1
+    // upsert for every id < 60, delete at seq 2 for id%3=0, v2 rewrite
+    // at seq 2 for id%3=1, v3 upsert at seq 3 for id%4=0 — covering
+    // update, delete, revive, and untouched-tail lifecycles), so the
+    // query replays identically at any scale factor
+    "snapshot_scd2" -> ((s, dir) =>
+      Crud.history(scd2Log(s, dir).drop("embedding", "metadata")
+          .withColumnRenamed("lab", "label"))
+        .select(col("id").as("vec_id"), col("seq_from"), col("seq_to"),
+          col("op"), col("label"), col("is_current"))
+        .orderBy("vec_id", "seq_from")),
+
+    // extension: TIME TRAVEL — the store replayed as of log positions
+    // 1, 2, 3 (merge over the seq-truncated log); each version profiled
+    // by row count, id checksum, and per-label-state counts, so a wrong
+    // cutoff (a row leaking from the future or a delete applied early)
+    // flips at least one cell. Three bounded merges over one shared log
+    "snapshot_time_travel" -> ((s, dir) => {
+      val r = recs(s, dir)
+      val log = scd2Log(s, dir)
+        .select(col("id"), col("op"), col("seq"), col("embedding"),
+          when(col("op") === "upsert", map(lit("label"), col("lab")))
+            .otherwise(lit(null).cast("map<string,string>")).as("metadata"))
+      Seq(1L, 2L, 3L).map { v =>
+        Crud.snapshotAt(r, log, v)
+          .agg(count(lit(1)).as("n"), sum(col("id")).as("id_sum"),
+            count(when(try_element_at(col("metadata"), lit("label")) === "v1", 1))
+              .as("n_v1"),
+            count(when(try_element_at(col("metadata"), lit("label")) === "v2", 1))
+              .as("n_v2"),
+            count(when(try_element_at(col("metadata"), lit("label")) === "v3", 1))
+              .as("n_v3"))
+          .select(lit(v).as("version"), col("n"), col("id_sum"),
+            col("n_v1"), col("n_v2"), col("n_v3"))
+      }.reduce(_ unionByName _).orderBy("version")
+    }),
+
     // extension: incremental index maintenance — apply the change log
     // derived by snapshot_diff to the fixed-centroid index WITHOUT
     // re-assigning the unchanged rows; verified by the per-cluster
@@ -1015,6 +1101,30 @@ object Queries {
     // extension: leave-one-out 1-NN label accuracy per class — the
     // embedding-quality eval (does the space cluster by label?). Reuses
     // the blocked NN self-join; exact integer counts per label
+    // extension: kNN-distance OUTLIER detection — each vector scored by
+    // its 3rd-nearest-neighbor distance over the shared blocked
+    // candidate frame (the classic kNN outlier score: isolated points
+    // have FAR third neighbors; duplicates/dense clusters have near
+    // ones), then the global top-10. Two bounded heaps (per-id 3-NN,
+    // global top-10) — no ranking window, no all-pairs; the blocked
+    // candidate set IS the operating regime at 100 TB (a vector's
+    // outlier-ness is judged against its own probe neighborhood, the
+    // same blocks the ANN serving path reads)
+    "embed_outliers" -> ((s, dir) => {
+      import graft.functions.TopKPairsAgg.topKPairs
+      val k3 = blockedSqPairs(s, dir).distinct()
+        .groupBy(col("id"))
+        .agg(topKPairs(col("d"), col("cand_id"), 3).as("__nn"))
+        .where(size(col("__nn")) === 3)
+        .select(col("id"), col("__nn")(2)("distance").as("__kd"))
+      k3.agg(topKPairs(lit(0.0) - col("__kd"), col("id"), 10).as("__top"))
+        .select(posexplode(col("__top")).as(Seq("rank", "p")))
+        .select((col("rank") + 1).cast("long").as("rank"),
+          col("p.id").as("vec_id"),
+          r4(lit(0.0) - col("p.distance")).as("knn_dist"))
+        .orderBy("rank")
+    }),
+
     "embed_knn_accuracy" -> ((s, dir) => {
       val lab = emb(s, dir).select(col("vec_id"), col("label"))
       val nn = Knn.nnFromPairs(blockedSqPairs(s, dir))
@@ -2287,6 +2397,27 @@ object Queries {
           budgets = Map("src0" -> 800L, "src1" -> 5000L, "src3" -> 300L))
         .orderBy("doc_id")),
 
+    // extension: deterministic seeded SHUFFLE — every doc's (shard, pos)
+    // training-read address as a pure function of (seed, doc_id): stable
+    // across reruns, resumable mid-epoch, re-dealt by changing the seed.
+    // No engine RNG anywhere; the oracle replays the same md5-derived
+    // 56-bit permutation key
+    "corpus_shuffle" -> ((s, dir) =>
+      graft.operators.Corpus.deterministicShuffle(
+          docs(s, dir).select("doc_id"), col("doc_id"), seed = 42L, nShards = 8)
+        .orderBy("doc_id")),
+
+    // extension: multi-EPOCH sampling plan — passes over each source to
+    // hit a declared mix at a token budget (full epochs + the partial-
+    // pass remainder + the oversampling ratio the repetition literature
+    // caps). Integer arithmetic end-to-end except the advisory ratio;
+    // the weight table is ONE Scala literal feeding both engines
+    "corpus_epoch_plan" -> ((s, dir) =>
+      graft.operators.Corpus.epochPlan(
+          docs(s, dir).withColumn("__nt", size(TextOps.tokens(col("text")))),
+          col("source"), col("__nt"), epochPlanWeights, epochPlanBudget)
+        .orderBy("source")),
+
     // extension: dedup THRESHOLD curve — verified-pair counts at a
     // ladder of Jaccard thresholds over one LSH candidate pass (the
     // tuning table for picking a near-dup threshold: how aggressive
@@ -3486,6 +3617,44 @@ object Queries {
         |  UNION ALL
         |  SELECT (SELECT max(vec_id) + 1 FROM embeddings), 'upsert', '777')
         |ORDER BY vec_id""".stripMargin,
+
+    // the same derived log unfolded by the same lead() window — the SCD2
+    // interval semantics replayed verbatim
+    "snapshot_scd2" ->
+      s"""WITH $scd2LogSql,
+         |h AS (SELECT id, op, lab, seq AS seq_from,
+         |  lead(seq) OVER (PARTITION BY id ORDER BY seq) AS seq_to FROM log)
+         |SELECT id AS vec_id, CAST(seq_from AS BIGINT) AS seq_from,
+         |  CAST(seq_to AS BIGINT) AS seq_to, op, lab AS label,
+         |  (seq_to IS NULL AND op <> 'delete') AS is_current
+         |FROM h ORDER BY vec_id, seq_from""".stripMargin,
+
+    // each version replayed independently: untouched base rows keep
+    // their original label, touched ids resolve to the last op at or
+    // before the cutoff (rn = 1 over seq DESC), deletes drop the id
+    "snapshot_time_travel" -> {
+      def ver(v: Int) =
+        s"""s$v AS (
+           |  SELECT e.vec_id AS id, CAST(e.label AS VARCHAR) AS lab FROM embeddings e
+           |  WHERE e.vec_id NOT IN (SELECT id FROM log WHERE seq <= $v)
+           |  UNION ALL
+           |  SELECT id, lab FROM (
+           |    SELECT id, lab, op,
+           |      row_number() OVER (PARTITION BY id ORDER BY seq DESC) AS rn
+           |    FROM log WHERE seq <= $v) WHERE rn = 1 AND op <> 'delete'),
+           |a$v AS (SELECT CAST($v AS BIGINT) AS version,
+           |  CAST(count(*) AS BIGINT) AS n, CAST(sum(id) AS BIGINT) AS id_sum,
+           |  CAST(count(CASE WHEN lab = 'v1' THEN 1 END) AS BIGINT) AS n_v1,
+           |  CAST(count(CASE WHEN lab = 'v2' THEN 1 END) AS BIGINT) AS n_v2,
+           |  CAST(count(CASE WHEN lab = 'v3' THEN 1 END) AS BIGINT) AS n_v3
+           |  FROM s$v)""".stripMargin
+      s"""WITH $scd2LogSql,
+         |${ver(1)},
+         |${ver(2)},
+         |${ver(3)}
+         |SELECT * FROM a1 UNION ALL SELECT * FROM a2 UNION ALL SELECT * FROM a3
+         |ORDER BY version""".stripMargin
+    },
 
     // expected end state spelled out: 0,1 deleted; 5,6,8 upserted (5 via
     // last-write-wins over two seqs, 8 revived after a delete); 7 dead
@@ -4735,6 +4904,26 @@ object Queries {
          |FROM p JOIN n ON p.id = n.id ORDER BY vec_id""".stripMargin,
 
     // the ann_self_join NN map joined to both labels; exact counts
+    // same blocked candidate set, DISTINCT pairs, rank-3 per id, then
+    // the global top-10 by (kd DESC, id ASC)
+    "embed_outliers" ->
+      s"""WITH c AS (SELECT CAST(vec_id AS INTEGER) AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8),
+         |asg AS (SELECT vec_id, cid FROM (
+         |  SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id ORDER BY ${sqlSq("e.embedding", "c.cvec")} ASC, c.cid ASC) AS rn
+         |  FROM embeddings e CROSS JOIN c) WHERE rn <= 2),
+         |cand AS (SELECT DISTINCT a.vec_id AS id, b.vec_id AS cand_id,
+         |    ${sqlSq("a.embedding", "b.embedding")} AS d
+         |  FROM embeddings a JOIN asg aa ON a.vec_id = aa.vec_id
+         |  JOIN asg ab ON aa.cid = ab.cid
+         |  JOIN embeddings b ON b.vec_id = ab.vec_id AND a.vec_id <> b.vec_id
+         |  WHERE NOT isnan(${sqlSq("a.embedding", "b.embedding")})),
+         |k3 AS (SELECT id, d AS kd FROM (
+         |  SELECT id, d, row_number() OVER (PARTITION BY id ORDER BY d ASC, cand_id ASC) AS rn
+         |  FROM cand) WHERE rn = 3)
+         |SELECT CAST(row_number() OVER (ORDER BY kd DESC, id ASC) AS BIGINT) AS rank,
+         |  id AS vec_id, ${sqlR4("kd")} AS knn_dist
+         |FROM k3 ORDER BY kd DESC, id ASC LIMIT 10""".stripMargin,
+
     "embed_knn_accuracy" ->
       s"""WITH c AS (SELECT CAST(vec_id AS INTEGER) AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8),
          |asg AS (SELECT vec_id, cid FROM (
@@ -5259,6 +5448,33 @@ object Queries {
         |    sum(n) OVER (ORDER BY hv, doc_id ROWS UNBOUNDED PRECEDING) AS cum
         |  FROM h WHERE n >= 1)
         |SELECT doc_id, n AS n_tokens FROM p WHERE cum <= 12000 ORDER BY doc_id""".stripMargin,
+
+    // same 56-bit md5 permutation key, same per-shard rank
+    "corpus_shuffle" ->
+      """WITH w AS (SELECT doc_id,
+        |  CAST(('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 14)) AS BIGINT) AS w
+        |  FROM documents)
+        |SELECT doc_id, CAST(w % 8 AS INT) AS shard,
+        |  CAST(row_number() OVER (PARTITION BY w % 8 ORDER BY w, doc_id) AS BIGINT) - 1 AS pos
+        |FROM w ORDER BY doc_id""".stripMargin,
+
+    // the same literal weight table as a CASE; integer division via //
+    "corpus_epoch_plan" -> {
+      val caseW = epochPlanWeights
+        .map { case (k, v) => s"WHEN '$k' THEN $v" }.mkString(" ")
+      s"""WITH t AS (SELECT source,
+         |  CAST(sum(len(regexp_split_to_array(lower(trim(text)), '\\s+'))) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY source),
+         |p AS (SELECT source, n_tokens,
+         |  CASE source $caseW ELSE 0.0 END AS weight FROM t),
+         |q AS (SELECT source, n_tokens, weight,
+         |  CAST(floor($epochPlanBudget.0 * weight + 0.5) AS BIGINT) AS target_tokens FROM p)
+         |SELECT source, n_tokens, weight, target_tokens,
+         |  target_tokens // n_tokens AS full_epochs,
+         |  target_tokens % n_tokens AS rem_tokens,
+         |  ${sqlR4("CAST(target_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE)")} AS oversample_x
+         |FROM q ORDER BY source""".stripMargin
+    },
 
     "mix_token_budget" ->
       """WITH h AS (SELECT doc_id, source, list_reduce(list_transform(string_split_regex(substr(md5(text), 1, 8), ''),

@@ -816,4 +816,83 @@ object Corpus {
       .select(col("group"), col("__p.id").as("id"),
         (lit(0.0) - col("__p.distance")).as("score"))
   }
+
+  /** Deterministic seeded global shuffle — the training-data ordering
+    * primitive: every row gets a `(shard, pos)` address that is a pure
+    * function of `(seed, id)`, so the "random" read order is stable
+    * across reruns, resumable mid-epoch (restart at the last consumed
+    * address — no RNG state to restore), and re-dealt by changing the
+    * seed per epoch. No engine RNG is involved anywhere
+    * (`rand()`-free); the permutation key is the first 56 bits of
+    * `md5(seed:id)` — the repo's engine-portable hash (same construction
+    * as rendezvous sharding / [[mixSample]]'s content-hash quota).
+    *
+    * Plan: one map pass to derive `(weight, shard)`, one shuffle on
+    * `shard`, and a per-shard sort for `pos` — a window whose partition
+    * is the SHARD, not a data key: per-task volume is |data|/nShards by
+    * the hash's uniformity, so the caller sizes `nShards` exactly like
+    * [[pack]]'s (one task's rows ≈ one output file). A global
+    * `orderBy(weight)` would instead range-shuffle the full corpus;
+    * shard-local positions give the same read order (readers consume
+    * shards in shard order) for half the shuffle. */
+  def deterministicShuffle(
+      docs: DataFrame,
+      id: Column,
+      seed: Long,
+      nShards: Int): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val w = conv(substr(md5(concat(lit(seed.toString), lit(":"),
+      id.cast("string"))), lit(1), lit(14)), 16, 10).cast("long")
+    docs
+      .withColumn("__w", w)
+      .withColumn("shard", pmod(col("__w"), lit(nShards.toLong)).cast("int"))
+      .withColumn("pos",
+        row_number().over(Window.partitionBy(col("shard"))
+          .orderBy(col("__w").asc, id.asc)).cast("long") - 1L)
+      .drop("__w")
+  }
+
+  /** Multi-epoch sampling plan: how many passes over each source a
+    * training run makes to hit a target mix at a token budget — the
+    * Llama/Gopher-style "epochs per source" table. For each source with
+    * `nTokens` available and target share `weights(source)`, the plan
+    * allocates `target = round(budget · weight)` tokens =
+    * `full_epochs = target / nTokens` complete passes plus a
+    * `rem_tokens = target % nTokens` partial pass (the caller samples
+    * that remainder with [[sampleToBudget]] / [[deterministicShuffle]]
+    * prefixes). `oversample_x` (r4 of target/nTokens) makes the
+    * repetition risk visible — the quantity the data-quality literature
+    * caps (e.g. ≤4 epochs before diminishing returns).
+    *
+    * One aggregate over the corpus + a broadcast literal weight table;
+    * integer arithmetic end-to-end except the advisory ratio. Sources
+    * present in the data but absent from `weights` get weight 0 (and
+    * surface with zero target rather than vanishing — auditability);
+    * weights for sources with no data are ignored. */
+  def epochPlan(
+      docs: DataFrame,
+      source: Column,
+      nTokens: Column,
+      weights: Map[String, Double],
+      budgetTokens: Long): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens must be positive, got $budgetTokens")
+    val weightOf = weights.foldLeft(lit(0.0)) { case (acc, (src, wt)) =>
+      when(col("source") === src, lit(wt)).otherwise(acc)
+    }
+    docs
+      .select(source.as("source"), nTokens.cast("long").as("__nt"))
+      .groupBy(col("source"))
+      .agg(sum(col("__nt")).as("n_tokens"))
+      .withColumn("weight", weightOf)
+      .withColumn("target_tokens",
+        floor(lit(budgetTokens.toDouble) * col("weight") + lit(0.5)).cast("long"))
+      // `div`, not `/`: Spark's `/` on longs is DOUBLE division, and a
+      // cast-back truncation could flip at a representability boundary;
+      // integer division is exact in both engines (`//` in DuckDB)
+      .withColumn("full_epochs", expr("target_tokens div n_tokens"))
+      .withColumn("rem_tokens", col("target_tokens") % col("n_tokens"))
+      .withColumn("oversample_x",
+        floor(col("target_tokens").cast("double") / col("n_tokens").cast("double")
+          * lit(10000.0) + lit(0.5)) / lit(10000.0))
+  }
 }

@@ -90,6 +90,41 @@ object Crud {
   /** Count (O16, reference `src/cores/storage.rs:78-80`). */
   def count(records: DataFrame): Long = records.count()
 
+  /** SCD2 version history: turn a change log (id, `opCol`, monotone
+    * `seqCol`, payload…) into the slowly-changing-dimension interval
+    * table — one row per (id, version) with `seq_from` (the change's own
+    * seq), `seq_to` (the NEXT change's seq, null while current) and
+    * `is_current` (last change for the id AND not a delete). Delete rows
+    * close the previous interval and open a tombstone interval (op =
+    * 'delete', is_current = false) so the full lifecycle — including
+    * revivals — is reconstructable; [[merge]] is exactly "keep the
+    * is_current rows".
+    *
+    * Plan: one shuffle of the LOG on id + a per-id window (lead). The
+    * window partitions on id, so task skew is bounded by the hottest
+    * id's change count — a change log's per-key cardinality is small by
+    * construction (it is a log, not the store), unlike the store-sized
+    * frames where this repo avoids per-key windows. */
+  def history(changes: DataFrame,
+      opCol: String = "op", seqCol: String = "seq"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("id")).orderBy(col(seqCol).asc)
+    changes
+      .withColumn("seq_from", col(seqCol))
+      .withColumn("seq_to", lead(col(seqCol), 1).over(w))
+      .withColumn("is_current",
+        col("seq_to").isNull && col(opCol) =!= "delete")
+      .drop(seqCol)
+  }
+
+  /** Time travel: the store as of log position `atSeq` — [[merge]] with
+    * the change log truncated to `seq <= atSeq`. Same single-reduction +
+    * anti-join plan as merge; nothing reads log entries past the cutoff
+    * (the filter sits under the shuffle). */
+  def snapshotAt(records: DataFrame, changes: DataFrame, atSeq: Long,
+      opCol: String = "op", seqCol: String = "seq"): DataFrame =
+    merge(records, changes.where(col(seqCol) <= atSeq), opCol, seqCol)
+
   /** Snapshot DIFF — the inverse of [[merge]]: given two store versions,
     * derive the minimal change log that turns `oldStore` into `newStore`
     * (`op = 'upsert'` for inserts and changed rows carrying the NEW

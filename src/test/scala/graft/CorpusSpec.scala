@@ -638,4 +638,48 @@ class CorpusSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(w === want)
   }
+
+  test("deterministicShuffle: (shard, pos) is a bijection, stable, seed-sensitive") {
+    val out = Corpus.deterministicShuffle(corpus, col("doc_id"), seed = 7L, nShards = 4)
+      .select("doc_id", "shard", "pos").as[(Long, Int, Long)].collect()
+    assert(out.length === 100)
+    // addresses are unique and dense per shard (pos = 0..n_shard-1)
+    val byShard = out.groupBy(_._2)
+    byShard.foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq === (0L until rows.length).toSeq)
+    }
+    // pure function of (seed, id): a rerun and a corpus subset agree
+    val again = Corpus.deterministicShuffle(corpus, col("doc_id"), 7L, 4)
+      .select("doc_id", "shard").as[(Long, Int)].collect().toMap
+    assert(out.map(t => t._1 -> t._2).toMap === again)
+    val subset = Corpus.deterministicShuffle(
+        corpus.where(col("doc_id") < 50), col("doc_id"), 7L, 4)
+      .select("doc_id", "shard").as[(Long, Int)].collect().toMap
+    subset.foreach { case (id, sh) => assert(sh === again(id)) }
+    // a different seed re-deals the permutation
+    val other = Corpus.deterministicShuffle(corpus, col("doc_id"), 8L, 4)
+      .select("doc_id", "shard", "pos").as[(Long, Int, Long)].collect()
+    assert(other.map(t => (t._1, t._2, t._3)).toSet !== out.toSet)
+  }
+
+  test("epochPlan: token conservation, integer epochs, unlisted sources get weight 0") {
+    val plan = Corpus.epochPlan(
+        corpus.withColumn("__nt", TextOps.tokenCount(col("text"))),
+        col("source"), col("__nt"),
+        Map("src0" -> 0.5, "src1" -> 0.3, "src9" -> 0.2), budgetTokens = 10000L)
+      .select("source", "n_tokens", "weight", "target_tokens",
+        "full_epochs", "rem_tokens")
+      .as[(String, Long, Double, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // every source present in the data surfaces, even unweighted ones
+    assert(plan.keySet === Set("src0", "src1", "src2", "src3"))
+    assert(plan("src2")._3 === 0.0 && plan("src2")._4 === 0L)
+    // weight for a source with no data (src9) is simply ignored
+    plan.values.foreach { case (_, n, _, target, epochs, rem) =>
+      assert(target === epochs * n + rem) // exact decomposition
+      assert(rem >= 0 && rem < n)
+    }
+    assert(plan("src0")._4 === 5000L)
+    assert(plan("src1")._4 === 3000L)
+  }
 }

@@ -161,6 +161,47 @@ class CrudSpec extends SparkSpec {
     assert(spark.read.parquet(s"$base/many").count() === 200L)
   }
 
+  test("history unfolds a change log into SCD2 intervals; merge == is_current rows") {
+    val base = mkRecords(4) // ids 0..3
+    val changes = Seq(
+      (0L, "upsert", 1L, Seq(9f, 9f), Map("v" -> "a")), // update, stays current
+      (1L, "delete", 1L, null, null),                   // delete, tombstone current? no
+      (2L, "upsert", 1L, Seq(8f, 8f), Map("v" -> "b")),
+      (2L, "delete", 2L, null, null),                   // update then delete
+      (3L, "upsert", 1L, Seq(7f, 7f), Map("v" -> "c")),
+      (3L, "delete", 2L, null, null),
+      (3L, "upsert", 3L, Seq(6f, 6f), Map("v" -> "d"))) // revival
+      .toDF("id", "op", "seq", "embedding", "metadata")
+    val h = Crud.history(changes)
+    val rows = h.select("id", "seq_from", "seq_to", "op", "is_current")
+      .as[(Long, Long, Option[Long], String, Boolean)].collect().toSet
+    assert(rows === Set(
+      (0L, 1L, None, "upsert", true),
+      (1L, 1L, None, "delete", false),
+      (2L, 1L, Some(2L), "upsert", false),
+      (2L, 2L, None, "delete", false),
+      (3L, 1L, Some(2L), "upsert", false),
+      (3L, 2L, Some(3L), "delete", false),
+      (3L, 3L, None, "upsert", true)))
+    // merge's survivors == base untouched by the log + is_current versions
+    val merged = Crud.merge(base, changes).select("id").as[Long].collect().toSet
+    val current = h.where(col("is_current")).select("id").as[Long].collect().toSet
+    assert(merged === current ++ Set(0L, 1L, 2L, 3L).diff(
+      changes.select("id").as[Long].collect().toSet))
+    // snapshotAt replays any prefix: at seq 1 every id is live; at seq 2
+    // ids 1,2,3 are dead; at seq 3 id 3 revives
+    def live(at: Long) =
+      Crud.snapshotAt(base, changes, at).select("id").as[Long].collect().toSet
+    assert(live(1L) === Set(0L, 1L, 2L, 3L) -- Set(1L))
+    assert(live(2L) === Set(0L))
+    assert(live(3L) === Set(0L, 3L))
+    // the revived row carries the LAST payload, not the pre-delete one
+    val revived = Crud.snapshotAt(base, changes, 3L)
+      .where(col("id") === 3L).select("metadata")
+      .as[Map[String, String]].head()
+    assert(revived === Map("v" -> "d"))
+  }
+
   test("snapshot write/read round-trips the record frame (database.rs:174-187)") {
     val dir = java.nio.file.Files.createTempDirectory(
       java.nio.file.Paths.get("/root/repo/target"), "snap").toString
