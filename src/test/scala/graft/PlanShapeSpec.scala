@@ -443,6 +443,38 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Window"), "no ranking window — ties resolve inside the bounded heap")
   }
 
+  test("deterministicShuffle: one hash exchange on shard, window never partition-less") {
+    import spark.implicits._
+    val df = graft.operators.Corpus.deterministicShuffle(
+      (0L until 64L).toDF("doc_id"), col("doc_id"), seed = 1L, nShards = 4)
+    // parse the plan STRING: collect() would not descend into the
+    // AdaptiveSparkPlan wrapper's inner plan
+    val p = plan(df)
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.length === 1, exchanges.mkString("\n"))
+    assert(exchanges.head.contains("hashpartitioning"),
+      s"shard shuffle must be hash, not range (a global sort): ${exchanges.head}")
+    val global = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.isEmpty => w
+    }
+    assert(global.isEmpty, "pos rank must stay per-shard")
+  }
+
+  test("SCD2 history is join-free: one log shuffle + per-id window") {
+    import spark.implicits._
+    val log = Seq((1L, "upsert", 1L), (1L, "delete", 2L), (2L, "upsert", 1L))
+      .toDF("id", "op", "seq")
+    val p = plan(graft.operators.Crud.history(log))
+    assert(!p.contains("Join"), s"history must not join the log to itself:\n$p")
+  }
+
+  test("embed_outliers: two bounded heaps, no ranking window") {
+    val p = plan(Queries.queries("embed_outliers")(spark, sf))
+    assert(!p.contains("Window"),
+      "kNN-outlier scoring must use the bounded heap, not a rank window")
+  }
+
   test("plan hygiene sweep: no query plans a cartesian product or an unlisted corpus-wide window") {
     // Partition-less windows collapse the frame into ONE task — allowed
     // only over tiny bucket-count frames (the two-level prefix-sum
