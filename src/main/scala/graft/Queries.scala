@@ -2358,6 +2358,23 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    // extension: Bloom-prefiltered decontamination — the scale shape for
+    // a benchmark gram set too big to broadcast raw: the test split's
+    // distinct gram hashes fold into ONE fixed-size Bloom filter
+    // (Spark's runtime-filter aggregate), every train gram probes it
+    // map-only, and only survivors reach the exact semi-join. No false
+    // negatives → the result is EXACTLY the exact join's, which is what
+    // the oracle replays (it knows nothing of the filter)
+    "corpus_decontaminate_bloom" -> ((s, dir) => {
+      val sp = graft.operators.Corpus.assignSplit(
+        docs(s, dir).repartition(col("doc_id")), col("text"))
+      graft.operators.Corpus.decontaminateBloom(
+          sp.where(col("split") === "train").select(col("doc_id"), col("text")),
+          sp.where(col("split") === "test").select(col("text")), n = 8,
+          estimatedItems = 100000L, numBits = 800000L)
+        .orderBy("doc_id")
+    }),
+
     // extension: NOVELTY scoring — decontamination's complement: the
     // fraction of each val-split document's distinct 8-gram hashes never
     // seen in the train split (the acquisition-time "is this batch worth
@@ -5417,6 +5434,24 @@ object Queries {
          |vg AS (SELECT DISTINCT list_reduce(list_transform(string_split_regex(substr(md5(u.s), 1, 14), ''),
          |    c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a * 16 + b) AS hh
          |  FROM toks, unnest(sh) AS u(s) WHERE bucket >= 80 AND bucket < 90)
+         |SELECT doc_id, count(DISTINCT hh) AS n_shared
+         |FROM tg JOIN vg USING (hh) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // the Bloom pre-filter is invisible to exact semantics (no false
+    // negatives): the oracle is the plain exact decontamination against
+    // the TEST split's gram set
+    "corpus_decontaminate_bloom" ->
+      s"""WITH h AS (SELECT doc_id, text, list_reduce(list_transform(string_split_regex(substr(md5(text), 1, 8), ''),
+         |    c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a * 16 + b) % 100 AS bucket FROM documents),
+         |toks AS (SELECT doc_id, bucket, list_distinct(list_transform(generate_series(1, greatest(len(tk) - 7, 0)),
+         |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4] || ' ' || tk[i+5] || ' ' || tk[i+6] || ' ' || tk[i+7])) AS sh
+         |  FROM (SELECT doc_id, bucket, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk FROM h)),
+         |tg AS (SELECT doc_id, list_reduce(list_transform(string_split_regex(substr(md5(u.s), 1, 14), ''),
+         |    c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a * 16 + b) AS hh
+         |  FROM toks, unnest(sh) AS u(s) WHERE bucket < 80),
+         |vg AS (SELECT DISTINCT list_reduce(list_transform(string_split_regex(substr(md5(u.s), 1, 14), ''),
+         |    c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a * 16 + b) AS hh
+         |  FROM toks, unnest(sh) AS u(s) WHERE bucket >= 90)
          |SELECT doc_id, count(DISTINCT hh) AS n_shared
          |FROM tg JOIN vg USING (hh) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 

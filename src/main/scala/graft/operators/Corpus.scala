@@ -332,6 +332,45 @@ object Corpus {
       .agg(count_distinct(col("h")).as("n_shared"))
   }
 
+  /** [[decontaminate]] with a Bloom pre-filter — the shape that survives
+    * a benchmark/blocklist gram set too large to broadcast raw: the
+    * benchmark's distinct gram hashes fold into ONE `numBits`-bit Bloom
+    * filter (a `TypedImperativeAggregate`, map-side combined), which
+    * broadcasts at a fixed size regardless of benchmark cardinality;
+    * every training-doc gram probes the filter (codegen'd, map-only) and
+    * only the surviving ~fpp fraction of non-matching grams reaches the
+    * exact semi-join. Bloom filters have no false negatives, so the
+    * result is EXACTLY [[decontaminate]]'s — same rows, same counts —
+    * which is what the oracle checks.
+    *
+    * Scale: the exact join's probe side shrinks from |doc grams| to
+    * |true hits| + fpp·|doc grams|; at fpp = 1% that is a ~100× shuffle
+    * reduction on a clean corpus. Size `numBits ≈ -1.44·items·log2(fpp)`
+    * (8 bits/item ≈ 2%). */
+  def decontaminateBloom(
+      docs: DataFrame,
+      benchmark: DataFrame,
+      n: Int = 8,
+      estimatedItems: Long = 1000000L,
+      numBits: Long = 8000000L): DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    def grams(df: DataFrame, keep: Column*): DataFrame =
+      df.select(keep :+ explode(
+        TextOps.shingleHashes(
+          TextOps.shinglesFromTokens(TextOps.tokens(col("text")), n))).as("h"): _*)
+    val benchGrams = grams(benchmark).select(col("h")).distinct()
+    val bloom = benchGrams
+      .agg(graft.functions.Bloom.bloomAgg(col("h"), estimatedItems, numBits)
+        .as("__bf"))
+    val candidates = grams(docs, col("doc_id"))
+      .where(graft.functions.Bloom.mightContain(col("h"), bloom))
+      .select(col("doc_id"), col("h"))
+    candidates
+      .join(benchGrams, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count_distinct(col("h")).as("n_shared"))
+  }
+
   /** Per-document NOVELTY against a reference corpus: for each candidate
     * document, the fraction of its distinct word-`n`-gram hashes that do
     * NOT occur anywhere in `reference` — [[decontaminate]]'s complement,

@@ -639,6 +639,37 @@ class CorpusSpec extends SparkSpec {
     assert(w === want)
   }
 
+  test("decontaminateBloom == decontaminate exactly (no false negatives), probe is prefiltered") {
+    // train docs 0..39; benchmark shares the exact text of docs 5 and 17
+    // (guaranteed gram overlap) plus an unrelated line
+    val train = docsDf((0L until 40L).map { i =>
+      (i, (0 until 12).map(j => s"w${i}_$j").mkString(" "), "src0")
+    })
+    val bench = Seq(
+      (0 until 12).map(j => s"w5_$j").mkString(" "),
+      (0 until 12).map(j => s"w17_$j").mkString(" "),
+      "completely unrelated benchmark sentence with enough tokens to gram")
+      .toDF("text")
+    val exact = Corpus.decontaminate(train, bench, n = 8)
+      .as[(Long, Long)].collect().toMap
+    val bloom = Corpus.decontaminateBloom(train, bench, n = 8,
+      estimatedItems = 1000L, numBits = 8000L)
+      .as[(Long, Long)].collect().toMap
+    assert(exact.keySet === Set(5L, 17L))
+    assert(bloom === exact)
+    // even a tiny, saturated filter (high fpp) must stay exact — the
+    // verify join absorbs every false positive
+    val saturated = Corpus.decontaminateBloom(train, bench, n = 8,
+      estimatedItems = 4L, numBits = 16L)
+      .as[(Long, Long)].collect().toMap
+    assert(saturated === exact)
+    // plan: the might_contain prefilter sits on the probe side before
+    // the exact join
+    val p = Corpus.decontaminateBloom(train, bench, n = 8)
+      .queryExecution.optimizedPlan.toString
+    assert(p.contains("might_contain"), p.linesIterator.take(12).mkString("\n"))
+  }
+
   test("deterministicShuffle: (shard, pos) is a bijection, stable, seed-sensitive") {
     val out = Corpus.deterministicShuffle(corpus, col("doc_id"), seed = 7L, nShards = 4)
       .select("doc_id", "shard", "pos").as[(Long, Int, Long)].collect()
