@@ -241,9 +241,14 @@ object Temporal {
       .withColumn("__b",
         explode(sequence(bucket(col("__rts")), bucket(col("__rts")) + nBack)))
     val probe = left.withColumn("__lb", bucket(col(ts)))
+    // null-safe key equality: null keys form a real group (anonymous
+    // events), matching asofJoin's window-partitioning semantics and
+    // intervalJoinBinned's declared contract — `===` would silently
+    // null-extend every null-key left row even when null-key right rows
+    // sit inside its window
     probe
       .join(build,
-        probe(key) === build("__rk") && probe("__lb") === build("__b") &&
+        probe(key) <=> build("__rk") && probe("__lb") === build("__b") &&
           build("__rts") > probe(ts) - expr(s"INTERVAL $windowSec SECONDS") &&
           build("__rts") <= probe(ts) - expr(s"INTERVAL $offsetSec SECONDS"),
         "left_outer")

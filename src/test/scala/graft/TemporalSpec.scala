@@ -299,6 +299,24 @@ class TemporalSpec extends SparkSpec {
     assert(got.size === lRows.length)
   }
 
+  test("rangeJoinBinned: null keys form a group (asofJoin/intervalJoin-consistent)") {
+    // an anonymous (null-user) left event must see anonymous right rows
+    // in its window — and must NOT see keyed rows, nor they it
+    val l = Seq(
+      (1L, Some(7L), new java.sql.Timestamp(1704100300000L)),
+      (2L, None, new java.sql.Timestamp(1704100300000L)))
+      .toDF("event_id", "user_id", "ts")
+    val r = Seq(
+      (Some(7L), new java.sql.Timestamp(1704100200000L), 1.0),
+      (None, new java.sql.Timestamp(1704100210000L), 2.0),
+      (None, new java.sql.Timestamp(1704100220000L), 3.0))
+      .toDF("user_id", "ts", "value")
+    val got = Temporal.rangeJoinBinned(l, r, "user_id", "ts", windowSec = 600L)
+      .select(col("event_id"), col("range_match.value"))
+      .as[(Long, Option[Double])].collect().toSeq.sorted
+    assert(got === Seq((1L, Some(1.0)), (2L, Some(2.0)), (2L, Some(3.0))))
+  }
+
   test("rangeJoinBinned plan: equi-join on (key, bucket), no nested-loop fallback") {
     val plan = Temporal.rangeJoinBinned(lefts, rights, "user_id", "ts", 600L)
       .queryExecution.executedPlan.toString
