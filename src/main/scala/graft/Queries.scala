@@ -2375,6 +2375,31 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    // extension: contamination REPORT — decontaminate pivoted to the
+    // benchmark axis: per val-split item, how many train docs share a
+    // gram with it and how many of its grams leak; zero rows kept (the
+    // full benchmark enumerates). The eval team's view of the same leak
+    "corpus_contamination_report" -> ((s, dir) => {
+      val sp = graft.operators.Corpus.assignSplit(
+        docs(s, dir).repartition(col("doc_id")), col("text"))
+      graft.operators.Corpus.contaminationReport(
+          sp.where(col("split") === "train").select(col("doc_id"), col("text")),
+          sp.where(col("split") === "val").select(col("doc_id"), col("text")),
+          col("doc_id"), n = 8)
+        .orderBy("bench_id")
+    }),
+
+    // extension: TEMPERATURE-scaled mixing shares (mT5/XLM-R style,
+    // T = 2 square-root smoothing): per-source natural share, flattened
+    // share, and the boost factor the mixer applies. sqrt is IEEE
+    // correctly-rounded in both engines and each root is quantized
+    // before the integer-exact sum, so every share is bit-identical
+    "corpus_temperature_mix" -> ((s, dir) =>
+      graft.operators.Corpus.temperatureMix(
+          docs(s, dir).withColumn("__nt", size(TextOps.tokens(col("text")))),
+          col("source"), col("__nt"))
+        .orderBy("source")),
+
     // extension: NOVELTY scoring — decontamination's complement: the
     // fraction of each val-split document's distinct 8-gram hashes never
     // seen in the train split (the acquisition-time "is this batch worth
@@ -5454,6 +5479,43 @@ object Queries {
          |  FROM toks, unnest(sh) AS u(s) WHERE bucket >= 90)
          |SELECT doc_id, count(DISTINCT hh) AS n_shared
          |FROM tg JOIN vg USING (hh) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // the benchmark-axis pivot of the same gram pipeline: the base list
+    // comes from ALL val docs (h), so gram-less short docs keep zeros
+    "corpus_contamination_report" ->
+      s"""WITH h AS (SELECT doc_id, text, list_reduce(list_transform(string_split_regex(substr(md5(text), 1, 8), ''),
+         |    c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a * 16 + b) % 100 AS bucket FROM documents),
+         |toks AS (SELECT doc_id, bucket, list_distinct(list_transform(generate_series(1, greatest(len(tk) - 7, 0)),
+         |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4] || ' ' || tk[i+5] || ' ' || tk[i+6] || ' ' || tk[i+7])) AS sh
+         |  FROM (SELECT doc_id, bucket, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk FROM h)),
+         |vg AS (SELECT DISTINCT doc_id AS bench_id, list_reduce(list_transform(string_split_regex(substr(md5(u.s), 1, 14), ''),
+         |    c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a * 16 + b) AS hh
+         |  FROM toks, unnest(sh) AS u(s) WHERE bucket >= 80 AND bucket < 90),
+         |tg AS (SELECT DISTINCT doc_id, list_reduce(list_transform(string_split_regex(substr(md5(u.s), 1, 14), ''),
+         |    c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a * 16 + b) AS hh
+         |  FROM toks, unnest(sh) AS u(s) WHERE bucket < 80),
+         |hits AS (SELECT bench_id, CAST(count(DISTINCT tg.doc_id) AS BIGINT) AS n_train_docs,
+         |    CAST(count(DISTINCT vg.hh) AS BIGINT) AS n_leaked_grams
+         |  FROM vg JOIN tg USING (hh) GROUP BY bench_id)
+         |SELECT b.bench_id, coalesce(hits.n_train_docs, 0) AS n_train_docs,
+         |  coalesce(hits.n_leaked_grams, 0) AS n_leaked_grams
+         |FROM (SELECT DISTINCT doc_id AS bench_id FROM h WHERE bucket >= 80 AND bucket < 90) b
+         |LEFT JOIN hits USING (bench_id) ORDER BY b.bench_id""".stripMargin,
+
+    // the same quantize-each-root-then-integer-sum construction; every
+    // double op replays in the same operand order
+    "corpus_temperature_mix" ->
+      s"""WITH t AS (SELECT source,
+         |  CAST(sum(len(regexp_split_to_array(lower(trim(text)), '\\s+'))) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY source),
+         |q AS (SELECT source, n_tokens,
+         |  CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 10000.0 + 0.5) AS BIGINT) AS qq FROM t),
+         |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tn, CAST(sum(qq) AS BIGINT) AS tq FROM q)
+         |SELECT source, n_tokens,
+         |  floor(CAST(n_tokens AS DOUBLE) / CAST(tn AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS raw_share,
+         |  floor(CAST(qq AS DOUBLE) / CAST(tq AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS t_share,
+         |  floor(CAST(qq AS DOUBLE) * CAST(tn AS DOUBLE) / (CAST(tq AS DOUBLE) * CAST(n_tokens AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS boost
+         |FROM q, tot ORDER BY source""".stripMargin,
 
     // novelty = decontaminate's complement: val-doc grams LEFT-joined
     // against the train gram set; same gram-hash pipeline as above

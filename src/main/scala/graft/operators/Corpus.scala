@@ -371,6 +371,42 @@ object Corpus {
       .agg(count_distinct(col("h")).as("n_shared"))
   }
 
+  /** Contamination REPORT — [[decontaminate]] pivoted to the benchmark
+    * axis: for each benchmark item, how many training documents share at
+    * least one word-`n`-gram with it (`n_train_docs`) and how many of
+    * its own distinct grams leak (`n_leaked_grams`). This is the view an
+    * eval team reads ("which of MY items are compromised, how badly")
+    * where decontaminate's per-train-doc view drives the drop list.
+    * Benchmark items with no leakage report zeros (left join), so the
+    * output enumerates the full benchmark — auditability over brevity.
+    *
+    * Scale: one hash-join on 8-byte gram hashes; both distinct counts
+    * are the Expand-free two-stage shape. The benchmark side is small by
+    * definition; the train gram frame is the standing index
+    * [[novelty]] describes. */
+  def contaminationReport(
+      docs: DataFrame,
+      benchmark: DataFrame,
+      benchId: Column,
+      n: Int = 8): DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    def grams(df: DataFrame, keep: Column*): DataFrame =
+      df.select(keep :+ explode(
+        TextOps.shingleHashes(
+          TextOps.shinglesFromTokens(TextOps.tokens(col("text")), n))).as("h"): _*)
+    val bg = grams(benchmark, benchId.as("bench_id")).distinct()
+    val tg = grams(docs, col("doc_id")).distinct()
+    val hits = bg.join(tg, Seq("h"))
+      .groupBy(col("bench_id"))
+      .agg(count_distinct(col("doc_id")).as("n_train_docs"),
+        count_distinct(col("h")).as("n_leaked_grams"))
+    benchmark.select(benchId.as("bench_id")).distinct()
+      .join(hits, Seq("bench_id"), "left_outer")
+      .select(col("bench_id"),
+        coalesce(col("n_train_docs"), lit(0L)).as("n_train_docs"),
+        coalesce(col("n_leaked_grams"), lit(0L)).as("n_leaked_grams"))
+  }
+
   /** Per-document NOVELTY against a reference corpus: for each candidate
     * document, the fraction of its distinct word-`n`-gram hashes that do
     * NOT occur anywhere in `reference` — [[decontaminate]]'s complement,
@@ -889,6 +925,44 @@ object Corpus {
         row_number().over(Window.partitionBy(col("shard"))
           .orderBy(col("__w").asc, id.asc)).cast("long") - 1L)
       .drop("__w")
+  }
+
+  /** Temperature-scaled mixing shares — the multilingual/multi-source
+    * rebalancing standard (mT5/XLM-R style): source `i`'s sampling share
+    * is `n_i^(1/T) / Σ n_j^(1/T)`, flattening the natural distribution
+    * toward uniform as `T` grows so low-resource sources are not drowned
+    * out. This implementation fixes `T = 2` (square-root smoothing, the
+    * common default): IEEE `sqrt` is correctly rounded in every engine,
+    * and each root is quantized to 1e-4 BEFORE the integer-exact sum, so
+    * shares are bit-identical cross-engine (a non-integer `pow` exponent
+    * would be libm-dependent — see the repo's literal-model rule).
+    *
+    * Returns per source: `n_tokens`, `raw_share` (natural), `t_share`
+    * (temperature-scaled), `boost` = t_share/raw_share (the up/down-
+    * sampling factor the mixer applies). One aggregate + a 1-row total
+    * cross-joined back — nothing proportional to the corpus after the
+    * first rollup. */
+  def temperatureMix(
+      docs: DataFrame,
+      source: Column,
+      nTokens: Column): DataFrame = {
+    val per = docs
+      .select(source.as("source"), nTokens.cast("long").as("__nt"))
+      .groupBy(col("source"))
+      .agg(sum(col("__nt")).as("n_tokens"))
+      .withColumn("__q", floor(sqrt(col("n_tokens").cast("double"))
+        * lit(10000.0) + lit(0.5)).cast("long"))
+    val tot = per.agg(sum(col("n_tokens")).as("__tot_n"),
+      sum(col("__q")).as("__tot_q"))
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_tokens"),
+        (floor(col("n_tokens").cast("double") / col("__tot_n").cast("double")
+          * lit(10000.0) + lit(0.5)) / lit(10000.0)).as("raw_share"),
+        (floor(col("__q").cast("double") / col("__tot_q").cast("double")
+          * lit(10000.0) + lit(0.5)) / lit(10000.0)).as("t_share"),
+        (floor(col("__q").cast("double") * col("__tot_n").cast("double")
+          / (col("__tot_q").cast("double") * col("n_tokens").cast("double"))
+          * lit(10000.0) + lit(0.5)) / lit(10000.0)).as("boost"))
   }
 
   /** Multi-epoch sampling plan: how many passes over each source a

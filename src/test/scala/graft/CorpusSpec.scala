@@ -670,6 +670,54 @@ class CorpusSpec extends SparkSpec {
     assert(p.contains("might_contain"), p.linesIterator.take(12).mkString("\n"))
   }
 
+  test("contaminationReport: per-benchmark leak counts, clean items keep zeros") {
+    val train = docsDf((0L until 30L).map { i =>
+      (i, (0 until 12).map(j => s"w${i}_$j").mkString(" "), "src0")
+    })
+    // bench 100 leaks from train docs 3 AND 4 (two full-doc copies glued),
+    // bench 101 is clean, bench 102 is too short to gram (stays zero)
+    val bench = Seq(
+      (100L, (0 until 12).map(j => s"w3_$j").mkString(" ") + " " +
+        (0 until 12).map(j => s"w4_$j").mkString(" ")),
+      (101L, "completely clean benchmark item with enough tokens to gram"),
+      (102L, "too short")).toDF("doc_id", "text")
+    val rep = Corpus.contaminationReport(train, bench, col("doc_id"), n = 8)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(rep.keySet === Set(100L, 101L, 102L))
+    assert(rep(100L)._1 === 2L) // both source docs implicated
+    assert(rep(100L)._2 >= 10L) // at least the two full-doc gram runs
+    assert(rep(101L) === ((0L, 0L)))
+    assert(rep(102L) === ((0L, 0L)))
+    // cross-check vs decontaminate: implicated train docs match
+    val decon = Corpus.decontaminate(train, bench.select(col("text")), n = 8)
+      .select("doc_id").as[Long].collect().toSet
+    assert(decon === Set(3L, 4L))
+  }
+
+  test("temperatureMix: shares sum to ~1, T=2 flattens toward uniform, small sources boosted") {
+    // source sizes 1 : 4 : 16 docs (same text length each)
+    val skewed = docsDf((0L until 21L).map { i =>
+      val src = if (i < 1) "small" else if (i < 5) "mid" else "big"
+      (i, (0 until 10).map(j => s"w${i}_$j").mkString(" "), src)
+    })
+    val m = Corpus.temperatureMix(
+        skewed.withColumn("__nt", TextOps.tokenCount(col("text"))),
+        col("source"), col("__nt"))
+      .select("source", "raw_share", "t_share", "boost")
+      .as[(String, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(math.abs(m.values.map(_._2).sum - 1.0) < 2e-4)
+    assert(math.abs(m.values.map(_._3).sum - 1.0) < 2e-4)
+    // flattening: the small source's share grows, the big one's shrinks
+    assert(m("small")._3 > m("small")._2)
+    assert(m("big")._3 < m("big")._2)
+    assert(m("small")._4 > 1.0 && m("big")._4 < 1.0)
+    // with 1:4:16 tokens, sqrt gives 1:2:4 → t_shares 1/7, 2/7, 4/7
+    assert(math.abs(m("small")._3 - 1.0 / 7) < 1e-3)
+    assert(math.abs(m("mid")._3 - 2.0 / 7) < 1e-3)
+    assert(math.abs(m("big")._3 - 4.0 / 7) < 1e-3)
+  }
+
   test("deterministicShuffle: (shard, pos) is a bijection, stable, seed-sensitive") {
     val out = Corpus.deterministicShuffle(corpus, col("doc_id"), seed = 7L, nShards = 4)
       .select("doc_id", "shard", "pos").as[(Long, Int, Long)].collect()
