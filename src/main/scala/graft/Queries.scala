@@ -2068,6 +2068,22 @@ object Queries {
           col("total_tokens"), r4(col("avg_quality")).as("avg_quality"))
         .orderBy("source", "lang")),
 
+    // extension: hierarchical ROLLUP — (source, lang), per-source, and
+    // grand-total rows from ONE pass (Catalyst's Expand; fine here
+    // because the aggregates are ADDITIVE — the repo's no-Expand rule
+    // targets count_distinct, where Expand multiplies the shuffle by
+    // the grouping-set count for non-combinable state). Subtotal rows
+    // surface as 'ALL' (the data has no null source/lang to conflate)
+    "corpus_rollup" -> ((s, dir) =>
+      docs(s, dir)
+        .withColumn("__nt", size(TextOps.tokens(col("text"))).cast("long"))
+        .rollup(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("__nt")).as("total_tokens"))
+        .select(coalesce(col("source"), lit("ALL")).as("source"),
+          coalesce(col("lang"), lit("ALL")).as("lang"),
+          col("n_docs"), col("total_tokens"))
+        .orderBy("source", "lang")),
+
     // extension: EXACT per-source median document length — the
     // two-level rank layout per group (no per-source sort of raw rows);
     // lower median = value at rank ceil(n/2), interpolation-free so the
@@ -3543,6 +3559,28 @@ object Queries {
           r4(col("qs")(0)).as("p25"), r4(col("qs")(1)).as("p50"),
           r4(col("qs")(2)).as("p90"), r4(col("qs")(3)).as("p99"))
         .orderBy("event_type")),
+
+    // extension: view→purchase CONVERSION-TIME distribution — per user,
+    // the latency from first view to the first purchase at or after it;
+    // summarized as exact interpolated quantiles + mean. Two per-user
+    // reductions and one (broadcastable) join — no window, no event-log
+    // self-join; deltas are exact micros longs so the mean is
+    // order-independent
+    "events_conversion_time" -> ((s, dir) => {
+      val e = events(s, dir)
+      val tv = e.where(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(unix_micros(col("ts"))).as("__tv"))
+      val d = e.where(col("event_type") === "purchase")
+        .join(tv, Seq("user_id"))
+        .where(unix_micros(col("ts")) >= col("__tv"))
+        .groupBy(col("user_id"))
+        .agg((min(unix_micros(col("ts"))) - min(col("__tv"))).as("__dus"))
+      d.agg(count(lit(1)).as("n_users"),
+        r4(expr("percentile(__dus, 0.5D)") / lit(1000000.0)).as("p50_sec"),
+        r4(expr("percentile(__dus, 0.9D)") / lit(1000000.0)).as("p90_sec"),
+        r4((sum(col("__dus")).cast("double") / count(lit(1))) / lit(1000000.0))
+          .as("mean_sec"))
+    }),
 
     // extension: fixed-width value HISTOGRAM per event type — the
     // observability staple exact quantiles don't give (shape, not just
@@ -5175,6 +5213,14 @@ object Queries {
          |FROM r WHERE CAST(rk - 1 AS DOUBLE) / (n - 1) >= 0.1 AND CAST(rk - 1 AS DOUBLE) / (n - 1) <= 0.9
          |ORDER BY doc_id""".stripMargin,
 
+    // GROUP BY ROLLUP replays the grouping sets; same 'ALL' coalesce
+    "corpus_rollup" ->
+      """SELECT coalesce(source, 'ALL') AS source, coalesce(lang, 'ALL') AS lang,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(len(regexp_split_to_array(lower(trim(text)), '\s+'))) AS BIGINT) AS total_tokens
+        |FROM documents GROUP BY ROLLUP (source, lang)
+        |ORDER BY source, lang""".stripMargin,
+
     "corpus_stats" ->
       s"""WITH b AS (SELECT source, text, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk,
          |  CAST(length(text) AS DOUBLE) AS nc,
@@ -5872,6 +5918,20 @@ object Queries {
       s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
         |  count(*) AS n, ${sqlR4("sum(value)")} AS value_sum
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+
+    // the same two reductions; min(tv.tv) is the per-user constant
+    "events_conversion_time" ->
+      s"""WITH tv AS (SELECT user_id, min(epoch_us(ts)) AS tv FROM events
+         |  WHERE event_type = 'view' GROUP BY 1),
+         |d AS (SELECT e.user_id, min(epoch_us(e.ts)) - min(tv.tv) AS dus
+         |  FROM events e JOIN tv ON e.user_id = tv.user_id
+         |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= tv.tv
+         |  GROUP BY e.user_id)
+         |SELECT CAST(count(*) AS BIGINT) AS n_users,
+         |  ${sqlR4("quantile_cont(dus, 0.5) / 1000000.0")} AS p50_sec,
+         |  ${sqlR4("quantile_cont(dus, 0.9) / 1000000.0")} AS p90_sec,
+         |  ${sqlR4("(CAST(sum(dus) AS DOUBLE) / count(*)) / 1000000.0")} AS mean_sec
+         |FROM d""".stripMargin,
 
     "events_interarrival" ->
       s"""WITH g AS (SELECT event_type,
