@@ -927,6 +927,33 @@ object Corpus {
       .drop("__w")
   }
 
+  /** Materialize a [[deterministicShuffle]]d corpus as its physical
+    * training layout: one directory per shard, rows stored in `pos`
+    * order inside, and a one-row `_graft_layout` descriptor carrying
+    * `(seed, n_shards)` so a reader (or a resumed run) can re-derive —
+    * and audit — every address without out-of-band state. Trainers
+    * consume shards in shard order and rows in file order; that IS the
+    * seeded permutation.
+    *
+    * Write shape mirrors [[graft.sources.Records.snapshotById]]: one
+    * task per shard (repartition on the partition column), so exactly
+    * one file per shard, sorted by `pos` — the sort is per-shard, never
+    * global. */
+  def writeShuffled(
+      docs: DataFrame,
+      id: Column,
+      path: String,
+      seed: Long,
+      nShards: Int): Unit = {
+    deterministicShuffle(docs, id, seed, nShards)
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("pos"))
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+    docs.sparkSession.range(1)
+      .select(lit(seed).as("seed"), lit(nShards).as("n_shards"))
+      .write.mode("overwrite").parquet(s"$path/_graft_layout")
+  }
+
   /** Temperature-scaled mixing shares — the multilingual/multi-source
     * rebalancing standard (mT5/XLM-R style): source `i`'s sampling share
     * is `n_i^(1/T) / Σ n_j^(1/T)`, flattening the natural distribution

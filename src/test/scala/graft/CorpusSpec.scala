@@ -741,6 +741,34 @@ class CorpusSpec extends SparkSpec {
     assert(other.map(t => (t._1, t._2, t._3)).toSet !== out.toSet)
   }
 
+  test("writeShuffled: one file per shard, file order IS the permutation, layout self-describes") {
+    val dir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "shuf").toString
+    Corpus.writeShuffled(corpus, col("doc_id"), dir, seed = 7L, nShards = 4)
+    val layout = spark.read.parquet(s"$dir/_graft_layout")
+      .as[(Long, Int)].head()
+    assert(layout === ((7L, 4)))
+    val back = spark.read.parquet(dir)
+    assert(back.count() === 100)
+    // exactly one file per shard
+    val filesByShard = back.inputFiles.groupBy(f => "shard=(\\d+)".r
+      .findFirstMatchIn(f).get.group(1).toInt)
+    assert(filesByShard.keySet === Set(0, 1, 2, 3))
+    filesByShard.values.foreach(fs => assert(fs.length === 1))
+    // physical row order within each shard file == pos order
+    (0 until 4).foreach { sh =>
+      val physical = spark.read.parquet(filesByShard(sh).head)
+        .select("pos").as[Long].collect().toSeq
+      assert(physical === physical.sorted, s"shard $sh not pos-ordered")
+    }
+    // addresses round-trip the logical operator exactly
+    val want = Corpus.deterministicShuffle(corpus, col("doc_id"), 7L, 4)
+      .select("doc_id", "shard", "pos").as[(Long, Int, Long)].collect().toSet
+    val got = back.select(col("doc_id"), col("shard"), col("pos"))
+      .as[(Long, Int, Long)].collect().toSet
+    assert(got === want)
+  }
+
   test("epochPlan: token conservation, integer epochs, unlisted sources get weight 0") {
     val plan = Corpus.epochPlan(
         corpus.withColumn("__nt", TextOps.tokenCount(col("text"))),
