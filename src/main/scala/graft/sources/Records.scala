@@ -42,6 +42,45 @@ object Records {
         lit("n_chars"), col("n_chars").cast("string"),
         lit("text"), col("text")).as("metadata"))
 
+  /** JSONL record source — the interchange format embedding pipelines
+    * actually exchange (`{"id":…,"embedding":[…],"metadata":{…}}` per
+    * line) read into the canonical record frame with the validation the
+    * reference applies at insert (dimension check,
+    * `src/cores/database.rs:189-199`) plus the malformed-line handling
+    * a 100 TB ingest needs: PERMISSIVE parse routes unparseable lines
+    * and schema mismatches to a quarantine instead of failing the job
+    * or silently dropping. Returns `(good, quarantined)` — `good` is
+    * insert-ready; `quarantined` carries the raw line for triage.
+    * Schema is declared, not inferred: inference would scan the corpus
+    * twice and let one stray file widen a type for everyone. */
+  def fromJsonl(
+      spark: SparkSession,
+      path: String,
+      dim: Int): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("metadata", MapType(StringType, StringType)),
+      StructField("_corrupt", StringType)))
+    val raw = spark.read
+      .schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .json(path)
+    // coalesce(…, false): a null embedding makes validDimension null,
+    // and a three-valued `!ok` would drop the row from BOTH frames
+    val ok = coalesce(col("_corrupt").isNull && col("id").isNotNull &&
+      graft.types.Metric.validDimension(col("embedding"), dim), lit(false))
+    val good = raw.where(ok).select(col("id"), col("embedding"),
+      coalesce(col("metadata"),
+        lit(null).cast("map<string,string>")).as("metadata"))
+    val bad = raw.where(!ok)
+      .select(coalesce(col("_corrupt"), to_json(struct(col("id"),
+        col("embedding"), col("metadata")))).as("raw_line"))
+    (good, bad)
+  }
+
   /** The canonical record row (reference `src/types/record.rs:110-114`)
     * for callers who want the compile-time-typed `Dataset[Record]` view.
     * Internals stay `DataFrame`-based — `Column` expressions keep Catalyst

@@ -202,6 +202,32 @@ class CrudSpec extends SparkSpec {
     assert(revived === Map("v" -> "d"))
   }
 
+  test("fromJsonl: good rows load, malformed/wrong-dim/null-id lines quarantine with the raw line") {
+    val dir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "jsonl").toString
+    val lines = Seq(
+      """{"id": 1, "embedding": [1.0, 2.0], "metadata": {"k": "v"}}""",
+      """{"id": 2, "embedding": [3.0, 4.0]}""",                // no metadata: ok
+      """{"id": 3, "embedding": [1.0, 2.0, 3.0]}""",           // wrong dim
+      """{"embedding": [5.0, 6.0]}""",                         // null id
+      """{"id": 5, "embedding": [7.0, 8.0], BROKEN""",         // unparseable
+      """{"id": 6}""")                                         // no embedding
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "part0.jsonl"),
+      String.join("\n", lines: _*).getBytes)
+    val (good, bad) = Records.fromJsonl(spark, dir, dim = 2)
+    val g = good.as[(Long, Seq[Float], Option[Map[String, String]])]
+      .collect().sortBy(_._1)
+    assert(g.map(_._1).toSeq === Seq(1L, 2L))
+    assert(g.head._3 === Some(Map("k" -> "v")))
+    assert(bad.count() === 4)
+    // the unparseable line survives verbatim for triage
+    val raws = bad.as[String].collect()
+    assert(raws.exists(_.contains("BROKEN")))
+    // good feeds insertValidated without further checks
+    assert(Crud.count(Crud.insertValidated(
+      good.limit(0), good, dim = 2)) === 2L)
+  }
+
   test("snapshot write/read round-trips the record frame (database.rs:174-187)") {
     val dir = java.nio.file.Files.createTempDirectory(
       java.nio.file.Paths.get("/root/repo/target"), "snap").toString
