@@ -56,18 +56,29 @@ object Records {
   def fromJsonl(
       spark: SparkSession,
       path: String,
-      dim: Int): (DataFrame, DataFrame) = {
+      dim: Int): (DataFrame, DataFrame) =
+    splitValidated(spark.read
+      .schema(jsonlSchema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .json(path), dim)
+
+  /** The declared JSONL wire schema (+ the PERMISSIVE corrupt-line
+    * column). Declared, never inferred: inference scans twice and lets
+    * one stray file widen a type for the whole read. */
+  val jsonlSchema: org.apache.spark.sql.types.StructType = {
     import org.apache.spark.sql.types._
-    val schema = StructType(Seq(
+    StructType(Seq(
       StructField("id", LongType),
       StructField("embedding", ArrayType(FloatType)),
       StructField("metadata", MapType(StringType, StringType)),
       StructField("_corrupt", StringType)))
-    val raw = spark.read
-      .schema(schema)
-      .option("mode", "PERMISSIVE")
-      .option("columnNameOfCorruptRecord", "_corrupt")
-      .json(path)
+  }
+
+  /** ONE validation definition shared by the batch reader and the
+    * streaming ingest (the repo's streaming==batch rule): split a
+    * PERMISSIVE-parsed frame into (insert-ready, quarantined-raw). */
+  def splitValidated(raw: DataFrame, dim: Int): (DataFrame, DataFrame) = {
     // coalesce(…, false): a null embedding makes validDimension null,
     // and a three-valued `!ok` would drop the row from BOTH frames
     val ok = coalesce(col("_corrupt").isNull && col("id").isNotNull &&

@@ -95,6 +95,45 @@ object VectorIngest {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** JSONL ingest with a QUARANTINE lane — the interchange-format edge
+    * of the insert path: lines stream in as PERMISSIVE-parsed JSON,
+    * [[graft.sources.Records.splitValidated]] (ONE definition with the
+    * batch reader) routes insert-ready rows to the record store and
+    * unparseable / wrong-dimension / null-id lines — raw, verbatim — to
+    * a quarantine directory for triage, instead of failing the job or
+    * silently dropping. `foreachBatch` + per-batch `batch_id` column:
+    * the dual-sink write is idempotent under micro-batch replay (a
+    * replayed batch overwrites its own partition, the standard
+    * exactly-once recipe when one stream feeds two sinks — the built-in
+    * file sink's commit log covers only single-sink jobs). */
+  def startJsonlQuarantined(
+      spark: SparkSession,
+      dir: String,
+      dim: Int,
+      goodPath: String,
+      quarantinePath: String,
+      checkpointPath: String): StreamingQuery =
+    spark.readStream
+      .schema(graft.sources.Records.jsonlSchema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .json(dir)
+      .writeStream
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val (good, bad) = graft.sources.Records.splitValidated(batch, dim)
+        good.withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(goodPath)
+        bad.withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(quarantinePath)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Ingest with AUTOMATED index maintenance — the reference's
     * insert→adaptive-split lifecycle (`src/cores/database.rs:227-254` →
     * `src/cores/index.rs:127-132`) as one callable production job,

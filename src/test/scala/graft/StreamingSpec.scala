@@ -124,6 +124,36 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.size === 200)
   }
 
+  test("streaming JSONL ingest: good rows land, malformed lines quarantine, stream == batch split") {
+    import graft.sources.Records
+    import graft.streaming.VectorIngest
+    val base = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "jsonl_stream").toString
+    val inDir = s"$base/in"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inDir))
+    val lines = Seq(
+      """{"id": 1, "embedding": [1.0, 2.0], "metadata": {"k": "v"}}""",
+      """{"id": 2, "embedding": [3.0, 4.0]}""",
+      """{"id": 3, "embedding": [1.0, 2.0, 3.0]}""",   // wrong dim
+      """{"id": 4, "embedding": [5.0, BROKEN""")       // unparseable
+    java.nio.file.Files.write(java.nio.file.Paths.get(inDir, "w0.jsonl"),
+      String.join("\n", lines: _*).getBytes)
+    val q = VectorIngest.startJsonlQuarantined(spark, inDir, dim = 2,
+      s"$base/good", s"$base/quarantine", s"$base/ckpt")
+    q.awaitTermination()
+    val good = spark.read.parquet(s"$base/good")
+    assert(good.select("id").as[Long].collect().sorted.toSeq === Seq(1L, 2L))
+    val quarantined = spark.read.parquet(s"$base/quarantine")
+      .select("raw_line").as[String].collect()
+    assert(quarantined.length === 2)
+    assert(quarantined.exists(_.contains("BROKEN")))
+    // ONE split definition: the streamed result equals the batch reader's
+    val (bGood, bBad) = Records.fromJsonl(spark, inDir, dim = 2)
+    assert(good.select("id", "embedding").as[(Long, Seq[Float])].collect().toSet
+      === bGood.select("id", "embedding").as[(Long, Seq[Float])].collect().toSet)
+    assert(bBad.count() === 2)
+  }
+
   test("streaming ingest → cluster_id-partitioned store == batch store; probe query still prunes") {
     import graft.operators.IvfIndex
     import graft.streaming.VectorIngest
