@@ -146,18 +146,24 @@ object Bench {
         }
       name -> passes
     }.toMap
+    // 4-decimal (0.1 ms) formatting: the artifact is ONE line, and at
+    // ~190 queries full-precision doubles pushed past the harness's line
+    // budget — round 6's recorded tail was truncated mid-JSON. Four
+    // decimals is far below run-to-run noise and halves the line.
+    def f4(v: Double): String = BigDecimal(v)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
     val mins = results.map { case (k, ps) => k -> (if (ps.isEmpty) 0.0 else ps.min) }
-    val qs = mins.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = mins.map { case (k, v) => s"\"" + k + "\":" + f4(v) }
       .mkString("{", ",", "}")
     val passesJson = results.map { case (k, ps) =>
-      s"\"" + k + "\":" + ps.mkString("[", ",", "]")
+      s"\"" + k + "\":" + ps.map(f4).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val total = if (mins.nonEmpty) mins.values.sum else 0.0
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val warmupTotal = warmupSteps.values.sum
-    val warmupJson = warmupSteps.map { case (k, v) => s"\"" + k + "\":" + v }
+    val warmupJson = warmupSteps.map { case (k, v) => s"\"" + k + "\":" + f4(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":$qs,"passes":$passesJson,"failed":$failedJson,"warmup_s":$warmupTotal,"warmup":$warmupJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f4(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"passes":$passesJson,"failed":$failedJson,"warmup_s":${f4(warmupTotal)},"warmup":$warmupJson,"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }
