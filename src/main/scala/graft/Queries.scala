@@ -3362,6 +3362,55 @@ object Queries {
           min(col("__k")).as("k_min"), max(col("__k")).as("k_max"))
         .orderBy("event_type")),
 
+    // extension: LAST-TOUCH ATTRIBUTION — each purchase credited to the
+    // campaign (props.k) of the user's most recent view at or before it,
+    // via the zero-join as-of pass; revenue rolled up per campaign from
+    // quantized-int sums (order-independent). Unattributed purchases
+    // surface as campaign −1 — auditability over brevity
+    "events_attribution" -> ((s, dir) => {
+      val e = events(s, dir)
+      val purchases = e.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          floor(col("value") * lit(10000.0) + lit(0.5)).cast("long").as("__qv"))
+      val views = e.where(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("event_id").as("view_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("campaign"))
+      Temporal.asofJoin(purchases, views, "user_id", "ts",
+          rightCols = Seq("campaign"), tieBreak = "view_id")
+        .groupBy(coalesce(col("asof_campaign"), lit(-1L)).as("campaign"))
+        .agg(count(lit(1)).as("n_conversions"),
+          r4(sum(col("__qv")).cast("double") / lit(10000.0)).as("total_value"))
+        .orderBy("campaign")
+    }),
+
+    // extension: WINDOWED funnel — view → click within 1 h of the first
+    // view → purchase within 1 h of that click (the attribution-window
+    // semantics product funnels actually use; the unwindowed funnel
+    // counts any later event). Three chained per-user min-reductions
+    // with the window constraint folded into each stage's filter —
+    // whale-user safe, no window function, no event-log self-join
+    "events_funnel_windowed" -> ((s, dir) => {
+      val e = events(s, dir)
+      val winUs = 3600L * 1000000L
+      val tv = e.where(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(unix_micros(col("ts"))).as("__tv"))
+      val tc = e.where(col("event_type") === "click")
+        .join(tv, Seq("user_id"))
+        .where(unix_micros(col("ts")) >= col("__tv") &&
+          unix_micros(col("ts")) <= col("__tv") + winUs)
+        .groupBy(col("user_id")).agg(min(unix_micros(col("ts"))).as("__tc"))
+      val tp = e.where(col("event_type") === "purchase")
+        .join(tc, Seq("user_id"))
+        .where(unix_micros(col("ts")) >= col("__tc") &&
+          unix_micros(col("ts")) <= col("__tc") + winUs)
+        .groupBy(col("user_id")).agg(min(unix_micros(col("ts"))).as("__tp"))
+      tv.join(tc, Seq("user_id"), "left_outer")
+        .join(tp, Seq("user_id"), "left_outer")
+        .agg(count(col("__tv")).as("n_view"),
+          count(col("__tc")).as("n_click_1h"),
+          count(col("__tp")).as("n_purchase_1h"))
+    }),
+
     // extension: the sketch path — HyperLogLog distinct + quantile
     // sketch, the mergeable O(1)-state operators the exact twins
     // (events_user_activity, events_quantiles) swap to at 100 TB.
@@ -5989,6 +6038,46 @@ object Queries {
          |FROM (SELECT event_type, CAST(json_extract(props, '$$.k') AS BIGINT) AS k
          |      FROM events)
          |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // the as-of credit replayed as rn=1 over (ts DESC, view_id DESC);
+    // revenue from the same quantized longs
+    "events_attribution" ->
+      s"""WITH p AS (SELECT event_id, user_id, ts,
+         |    CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS qv
+         |  FROM events WHERE event_type = 'purchase'),
+         |v AS (SELECT user_id, ts, event_id AS view_id,
+         |    CAST(json_extract(props, '$$.k') AS BIGINT) AS campaign
+         |  FROM events WHERE event_type = 'view'),
+         |a AS (SELECT event_id, qv, campaign FROM (
+         |  SELECT p.event_id, p.qv, v.campaign,
+         |    row_number() OVER (PARTITION BY p.event_id
+         |      ORDER BY v.ts DESC, v.view_id DESC) AS rn
+         |  FROM p LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts)
+         |  WHERE rn = 1)
+         |SELECT coalesce(campaign, -1) AS campaign,
+         |  CAST(count(*) AS BIGINT) AS n_conversions,
+         |  ${sqlR4("CAST(sum(qv) AS DOUBLE) / 10000.0")} AS total_value
+         |FROM a GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // same three chained reductions with the hour window in each stage
+    "events_funnel_windowed" ->
+      s"""WITH tv AS (SELECT user_id, min(epoch_us(ts)) AS tv FROM events
+         |  WHERE event_type = 'view' GROUP BY 1),
+         |tc AS (SELECT e.user_id, min(epoch_us(e.ts)) AS tc
+         |  FROM events e JOIN tv ON e.user_id = tv.user_id
+         |  WHERE e.event_type = 'click' AND epoch_us(e.ts) >= tv.tv
+         |    AND epoch_us(e.ts) <= tv.tv + 3600000000
+         |  GROUP BY e.user_id),
+         |tp AS (SELECT e.user_id, min(epoch_us(e.ts)) AS tp
+         |  FROM events e JOIN tc ON e.user_id = tc.user_id
+         |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= tc.tc
+         |    AND epoch_us(e.ts) <= tc.tc + 3600000000
+         |  GROUP BY e.user_id)
+         |SELECT CAST(count(tv.tv) AS BIGINT) AS n_view,
+         |  CAST(count(tc.tc) AS BIGINT) AS n_click_1h,
+         |  CAST(count(tp.tp) AS BIGINT) AS n_purchase_1h
+         |FROM tv LEFT JOIN tc ON tv.user_id = tc.user_id
+         |LEFT JOIN tp ON tv.user_id = tp.user_id""".stripMargin,
 
     // invariant-style oracle (same family as ivf_build_stats): the
     // booleans are the sketch error contracts, computed Spark-side
