@@ -396,12 +396,17 @@ object Corpus {
           TextOps.shinglesFromTokens(TextOps.tokens(col("text")), n))).as("h"): _*)
     val bg = grams(benchmark, benchId.as("bench_id")).distinct()
     val tg = grams(docs, col("doc_id")).distinct()
+    // TWO single-distinct rollups joined — never two distinct aggregates
+    // in one agg(), which Catalyst plans as an Expand that doubles every
+    // hit row through the shuffle (the repo's no-Expand rule)
     val hits = bg.join(tg, Seq("h"))
-      .groupBy(col("bench_id"))
-      .agg(count_distinct(col("doc_id")).as("n_train_docs"),
-        count_distinct(col("h")).as("n_leaked_grams"))
+    val docsPer = hits.select(col("bench_id"), col("doc_id")).distinct()
+      .groupBy(col("bench_id")).agg(count(lit(1)).as("n_train_docs"))
+    val gramsPer = hits.select(col("bench_id"), col("h")).distinct()
+      .groupBy(col("bench_id")).agg(count(lit(1)).as("n_leaked_grams"))
     benchmark.select(benchId.as("bench_id")).distinct()
-      .join(hits, Seq("bench_id"), "left_outer")
+      .join(docsPer, Seq("bench_id"), "left_outer")
+      .join(gramsPer, Seq("bench_id"), "left_outer")
       .select(col("bench_id"),
         coalesce(col("n_train_docs"), lit(0L)).as("n_train_docs"),
         coalesce(col("n_leaked_grams"), lit(0L)).as("n_leaked_grams"))
