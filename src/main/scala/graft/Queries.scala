@@ -2391,6 +2391,25 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    // extension: data-quality EXPECTATIONS — the declared-constraint
+    // gate (Deequ shape) a pipeline runs before promoting a corpus
+    // version: five row-level checks from ONE scan + the uniqueness
+    // set-check, each reported as (check, n_rows, n_violations, pass).
+    // text_min_50_chars deliberately FAILS on this corpus — the report
+    // must demonstrably report violations, not only zeros
+    "corpus_expectations" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.operators.Corpus.expectations(d, Seq(
+          "doc_id_not_null" -> col("doc_id").isNotNull,
+          "lang_known" -> col("lang").isin("en", "de", "zh", "fr", "es"),
+          "n_chars_consistent" -> (col("n_chars") === length(col("text"))),
+          "text_min_50_chars" -> (length(col("text")) >= 50),
+          "text_tokenizable" -> (size(TextOps.tokens(col("text"))) >= 1)))
+        .unionByName(
+          graft.operators.Corpus.expectUnique(d, col("doc_id"), "doc_id_unique"))
+        .orderBy("check")
+    }),
+
     // extension: contamination REPORT — decontaminate pivoted to the
     // benchmark axis: per val-split item, how many train docs share a
     // gram with it and how many of its grams leak; zero rows kept (the
@@ -5574,6 +5593,25 @@ object Queries {
          |  FROM toks, unnest(sh) AS u(s) WHERE bucket >= 90)
          |SELECT doc_id, count(DISTINCT hh) AS n_shared
          |FROM tg JOIN vg USING (hh) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // each constraint replayed as a conditional sum; "check" quoted
+    // (reserved in DuckDB)
+    "corpus_expectations" ->
+      s"""WITH base AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(CASE WHEN NOT coalesce(doc_id IS NOT NULL, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+         |  CAST(sum(CASE WHEN NOT coalesce(lang IN ('en','de','zh','fr','es'), FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+         |  CAST(sum(CASE WHEN NOT coalesce(n_chars = length(text), FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v3,
+         |  CAST(sum(CASE WHEN NOT coalesce(length(text) >= 50, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v4,
+         |  CAST(sum(CASE WHEN NOT coalesce(len(regexp_split_to_array(lower(trim(text)), '\\s+')) >= 1, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v5,
+         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS d FROM documents)
+         |SELECT * FROM (
+         |  SELECT 'doc_id_not_null' AS "check", n AS n_rows, v1 AS n_violations, v1 = 0 AS pass FROM base
+         |  UNION ALL SELECT 'lang_known', n, v2, v2 = 0 FROM base
+         |  UNION ALL SELECT 'n_chars_consistent', n, v3, v3 = 0 FROM base
+         |  UNION ALL SELECT 'text_min_50_chars', n, v4, v4 = 0 FROM base
+         |  UNION ALL SELECT 'text_tokenizable', n, v5, v5 = 0 FROM base
+         |  UNION ALL SELECT 'doc_id_unique', n, n - d, n = d FROM base)
+         |ORDER BY "check"""".stripMargin,
 
     // the benchmark-axis pivot of the same gram pipeline: the base list
     // comes from ALL val docs (h), so gram-less short docs keep zeros

@@ -371,6 +371,46 @@ object Corpus {
       .agg(count_distinct(col("h")).as("n_shared"))
   }
 
+  /** Declarative data-quality EXPECTATIONS (the Deequ/Great-Expectations
+    * shape): evaluate a set of named row-level constraints in ONE scan
+    * and report `(check, n_rows, n_violations, pass)` per constraint —
+    * the contract gate a pipeline runs before promoting a corpus
+    * version. Null predicate results count as violations (a constraint
+    * that cannot be evaluated is not satisfied).
+    *
+    * Plan: one aggregate computes every constraint's violation count
+    * (conditional sums, map-side combined), then a `stack` unpivots the
+    * single row — the corpus is read ONCE no matter how many checks.
+    * Set-level constraints (uniqueness) need their own aggregation
+    * shape — see [[expectUnique]] — and union onto the same report. */
+  def expectations(
+      df: DataFrame,
+      checks: Seq[(String, Column)]): DataFrame = {
+    require(checks.nonEmpty, "at least one expectation required")
+    require(checks.forall(_._1.matches("[A-Za-z0-9_]+")),
+      s"check names must be identifier-safe: ${checks.map(_._1)}")
+    val aggs = count(lit(1)).as("__n") +: checks.map { case (n, p) =>
+      sum(when(!coalesce(p, lit(false)), 1L).otherwise(0L)).as(s"__v_$n")
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = checks.map { case (n, _) => s"'$n', __v_$n" }.mkString(", ")
+    row
+      .select(col("__n").as("n_rows"),
+        expr(s"stack(${checks.size}, $stackArgs) AS (check, n_violations)"))
+      .select(col("check"), col("n_rows"), col("n_violations"),
+        (col("n_violations") === 0L).as("pass"))
+  }
+
+  /** Uniqueness expectation — the set-level constraint [[expectations]]'
+    * row-local scan cannot express: violations = rows beyond the first
+    * per key (n − distinct), via the single-distinct two-phase
+    * aggregate (no Expand). */
+  def expectUnique(df: DataFrame, key: Column, name: String): DataFrame =
+    df.agg(count(lit(1)).as("n_rows"), count_distinct(key).as("__d"))
+      .select(lit(name).as("check"), col("n_rows"),
+        (col("n_rows") - col("__d")).as("n_violations"),
+        (col("n_rows") === col("__d")).as("pass"))
+
   /** Contamination REPORT — [[decontaminate]] pivoted to the benchmark
     * axis: for each benchmark item, how many training documents share at
     * least one word-`n`-gram with it (`n_train_docs`) and how many of

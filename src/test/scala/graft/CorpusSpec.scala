@@ -670,6 +670,35 @@ class CorpusSpec extends SparkSpec {
     assert(p.contains("might_contain"), p.linesIterator.take(12).mkString("\n"))
   }
 
+  test("expectations: one-scan constraint report; null predicates violate; uniqueness composes") {
+    val d = Seq(
+      (1L, "alpha beta", "en"),
+      (2L, "gamma", "en"),
+      (2L, "delta", "fr"),      // duplicate id
+      (4L, null, "en"),         // null text → length pred null → violation
+      (5L, "epsilon zeta", "xx")) // unknown lang
+      .toDF("doc_id", "text", "lang")
+    val rep = Corpus.expectations(d, Seq(
+        "lang_known" -> col("lang").isin("en", "fr"),
+        "text_min_6_chars" -> (length(col("text")) >= 6)))
+      .unionByName(Corpus.expectUnique(d, col("doc_id"), "doc_id_unique"))
+      .as[(String, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(rep("lang_known") === (("lang_known", 5L, 1L, false)))
+    // "gamma" and "delta" (5 chars each) and the null text all violate
+    assert(rep("text_min_6_chars") === (("text_min_6_chars", 5L, 3L, false)))
+    assert(rep("doc_id_unique") === (("doc_id_unique", 5L, 1L, false)))
+    // all-pass corpus: every check true
+    val clean = Corpus.expectations(d.where(col("doc_id") === 1L),
+        Seq("nonempty" -> (length(col("text")) > 0)))
+      .as[(String, Long, Long, Boolean)].head()
+    assert(clean === (("nonempty", 1L, 0L, true)))
+    // bad check names are rejected before they reach generated SQL
+    intercept[IllegalArgumentException] {
+      Corpus.expectations(d, Seq("bad name', x" -> lit(true)))
+    }
+  }
+
   test("contaminationReport: per-benchmark leak counts, clean items keep zeros") {
     val train = docsDf((0L until 30L).map { i =>
       (i, (0 until 12).map(j => s"w${i}_$j").mkString(" "), "src0")
