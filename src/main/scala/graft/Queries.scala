@@ -3499,6 +3499,19 @@ object Queries {
           col("stage"))
         .orderBy("user_id")),
 
+    // extension: the stage-list generality of [[operators.Events.funnel]]
+    // exercised at FOUR stages (signup → view → click → purchase),
+    // summarized as users-per-depth — the same chained min-reduction
+    // shape at any funnel length (the 3-stage row pins per-user detail).
+    // On this synthetic corpus every active user completes the chain
+    // (events are dense over the month), so the row is a single
+    // (stage=4, n) cell — the windowed funnel is where attrition shows
+    "events_funnel4" -> ((s, dir) =>
+      operators.Events.funnel(events(s, dir),
+          Seq("signup", "view", "click", "purchase"))
+        .groupBy(col("stage")).agg(count(lit(1)).as("n_users"))
+        .orderBy("stage")),
+
     // extension: top-N per group without a ranking window — per-user
     // totals (map-side combinable), then the bounded heap (TopKPairsAgg,
     // O(k) memory per group) on negated totals; the corpus-scale
@@ -6141,6 +6154,29 @@ object Queries {
          |FROM v LEFT JOIN c ON v.user_id = c.user_id
          |LEFT JOIN p ON v.user_id = p.user_id
          |ORDER BY v.user_id""".stripMargin,
+
+    // four chained reductions, depth from the monotone null chain
+    "events_funnel4" ->
+      s"""WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+         |  WHERE event_type = 'signup' GROUP BY 1),
+         |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+         |  JOIN s1 ON e.user_id = s1.user_id
+         |  WHERE e.event_type = 'view' AND e.ts >= s1.t1 GROUP BY 1),
+         |s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+         |  JOIN s2 ON e.user_id = s2.user_id
+         |  WHERE e.event_type = 'click' AND e.ts >= s2.t2 GROUP BY 1),
+         |s4 AS (SELECT e.user_id, min(e.ts) AS t4 FROM events e
+         |  JOIN s3 ON e.user_id = s3.user_id
+         |  WHERE e.event_type = 'purchase' AND e.ts >= s3.t3 GROUP BY 1),
+         |u AS (SELECT s1.user_id,
+         |  1 + CASE WHEN s2.user_id IS NULL THEN 0 ELSE 1 END
+         |    + CASE WHEN s3.user_id IS NULL THEN 0 ELSE 1 END
+         |    + CASE WHEN s4.user_id IS NULL THEN 0 ELSE 1 END AS stage
+         |  FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+         |  LEFT JOIN s3 ON s1.user_id = s3.user_id
+         |  LEFT JOIN s4 ON s1.user_id = s4.user_id)
+         |SELECT CAST(stage AS INT) AS stage, CAST(count(*) AS BIGINT) AS n_users
+         |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "events_top_users" ->
       s"""WITH per AS (SELECT event_type, user_id, sum(value) AS total
