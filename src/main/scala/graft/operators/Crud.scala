@@ -104,7 +104,13 @@ object Crud {
     * window partitions on id, so task skew is bounded by the hottest
     * id's change count — a change log's per-key cardinality is small by
     * construction (it is a log, not the store), unlike the store-sized
-    * frames where this repo avoids per-key windows. */
+    * frames where this repo avoids per-key windows.
+    *
+    * Contract: `seqCol` must be UNIQUE per id (the same monotone-log
+    * contract [[merge]] relies on — its `max_by` is equally arbitrary
+    * on ties). Duplicate seqs would make the lead() interval order
+    * nondeterministic; validate upstream if the log source can emit
+    * them. */
   def history(changes: DataFrame,
       opCol: String = "op", seqCol: String = "seq"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
