@@ -95,4 +95,50 @@ class CorpusPropSpec extends SparkSpec {
       }
     }
   }
+
+  test("deterministicShuffle: bijection + per-shard density for arbitrary ids and shard counts") {
+    (1L to 6L).foreach { seed =>
+      val ids = sample(Gen.pick(sample(Gen.chooseNum(1, 150), seed * 3),
+        0L until 5000L), seed).toList
+      val nShards = sample(Gen.chooseNum(1, 11), seed * 19)
+      val out = Corpus.deterministicShuffle(
+          ids.toDF("doc_id"), col("doc_id"), seed, nShards)
+        .select("doc_id", "shard", "pos").as[(Long, Int, Long)].collect()
+      assert(out.length === ids.length)
+      assert(out.map(_._1).toSet === ids.toSet)
+      out.groupBy(_._2).foreach { case (sh, g) =>
+        assert(sh >= 0 && sh < nShards)
+        assert(g.map(_._3).sorted.toSeq === (0L until g.length).toSeq,
+          s"seed=$seed nShards=$nShards shard=$sh positions not dense")
+      }
+    }
+  }
+
+  test("temperatureMix: shares are valid distributions and sqrt-proportional for arbitrary mixes") {
+    (1L to 5L).foreach { seed =>
+      val nSrc = sample(Gen.chooseNum(2, 12), seed * 5)
+      val sizes = sample(Gen.listOfN(nSrc, Gen.chooseNum(1, 5000)), seed * 11)
+      val rows = sizes.zipWithIndex.flatMap { case (tok, i) =>
+        Seq((i.toLong, s"s$i", tok.toLong))
+      }
+      val m = Corpus.temperatureMix(
+          rows.toDF("doc_id", "source", "nt"), col("source"), col("nt"))
+        .select("source", "n_tokens", "raw_share", "t_share")
+        .as[(String, Long, Double, Double)].collect()
+      assert(m.length === nSrc)
+      // quantized shares sum to 1 within nSrc rounding steps
+      assert(math.abs(m.map(_._3).sum - 1.0) <= nSrc * 1e-4)
+      assert(math.abs(m.map(_._4).sum - 1.0) <= nSrc * 1e-4)
+      // t_share ordering follows sqrt(n) ordering (monotone transform)
+      val bySize = m.sortBy(_._2)
+      assert(bySize.map(_._4).toSeq === bySize.map(_._4).sorted.toSeq,
+        s"seed=$seed t_share must be monotone in n_tokens")
+      // flattening: t_share ratio between extreme sources is compressed
+      val (lo, hi) = (bySize.head, bySize.last)
+      if (lo._2 < hi._2 && lo._3 > 0 && lo._4 > 0) {
+        assert(hi._4 / lo._4 <= hi._3 / lo._3 * 1.01,
+          s"seed=$seed temperature must compress the spread")
+      }
+    }
+  }
 }
