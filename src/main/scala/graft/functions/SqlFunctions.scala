@@ -18,6 +18,15 @@ object SqlFunctions {
       throw new IllegalArgumentException(s"$what must be an integer literal, got: $other")
   }
 
+  /** SQL integer literals parse as INT; promote to the LONG literal the
+    * bloom aggregate's type check requires. */
+  private def longLit(e: Expression, what: String): Expression = e match {
+    case Literal(v: Int, IntegerType) => Literal(v.toLong)
+    case l @ Literal(_: Long, _) => l
+    case other =>
+      throw new IllegalArgumentException(s"$what must be an integer literal, got: $other")
+  }
+
   /** `perms` bound shared with [[graft.operators.Dedup.minhashSignature]]:
     * the Kirsch-Mitzenmacher derived hash `h1 + p·h2` over 56-bit halves
     * only stays inside a signed long for perms ≤ 16 — larger values
@@ -55,7 +64,19 @@ object SqlFunctions {
     // registry builder into an AggregateExpression, same as the built-ins
     "graft_vector_mean" -> (es => VectorMeanAgg(es(0))),
     "graft_topk_pairs" -> (es =>
-      TopKPairsAgg(es(0), es(1), intLit(es(2), "k"))))
+      TopKPairsAgg(es(0), es(1), intLit(es(2), "k"))),
+    // the Bloom prefilter pair ([[Bloom]]): build with
+    //   SELECT graft_bloom_agg(h, 1000000, 8000000) FROM bench
+    // and probe with the builder as a scalar subquery —
+    //   WHERE graft_might_contain((SELECT … FROM b), h)
+    // (might_contain requires a constant/subquery filter operand)
+    "graft_bloom_agg" -> (es =>
+      new org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(es(0), longLit(es(1), "estimatedItems"),
+          longLit(es(2), "numBits"))),
+    "graft_might_contain" -> (es =>
+      org.apache.spark.sql.catalyst.expressions
+        .BloomFilterMightContain(es(0), es(1))))
 
   /** Register every kernel as a temp function on the session. */
   def registerAll(spark: SparkSession): Unit =

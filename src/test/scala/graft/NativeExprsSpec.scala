@@ -183,6 +183,21 @@ class NativeExprsSpec extends SparkSpec {
     assert(rows(1) === ((1L, Seq(2f, 2f), Seq((3.0, 9L)))))
   }
 
+  test("SQL surface: bloom build + probe via scalar subquery; no false negatives") {
+    graft.functions.SqlFunctions.registerAll(spark)
+    (0L until 100L).toDF("h").createOrReplaceTempView("bloom_keys")
+    (0L until 1000L).toDF("h").createOrReplaceTempView("bloom_probe")
+    val hits = spark.sql(
+      """SELECT h FROM bloom_probe
+        |WHERE graft_might_contain(
+        |  (SELECT graft_bloom_agg(h, 100, 800) FROM bloom_keys), h)""".stripMargin)
+      .as[Long].collect().toSet
+    // every true member passes (no false negatives); false positives
+    // are bounded by the filter's geometry, not zero
+    assert((0L until 100L).toSet.subsetOf(hits))
+    assert(hits.size < 1000)
+  }
+
   test("TopKPairsAgg == slice(sort_array(collect_list(struct))) twin") {
     import graft.functions.TopKPairsAgg.topKPairs
     val rows = (0 until 500).map { i =>
