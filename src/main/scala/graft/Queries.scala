@@ -3368,6 +3368,50 @@ object Queries {
         .orderBy("cohort", "week_n")
     }),
 
+    // extension: session AFFINITY (market-basket lift) — which event
+    // types co-occur in the same session beyond chance: per unordered
+    // type pair, co-occurring-session count and lift
+    // n_both·N / (n_a·n_b). Session ids from the lag/cumsum sessionizer
+    // (the sessionize oracle's own construction; tied timestamps land
+    // in the same session under any tie order, so the (user, sid, type)
+    // set is order-stable). Pair fan-out per session is bounded by the
+    // TYPE VOCABULARY (≤ C(5,2) here), never by session length —
+    // the self-join runs on the distinct (user, sid, type) frame
+    "events_affinity" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"))
+      val cum = w.rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, org.apache.spark.sql.expressions.Window.currentRow)
+      val st = events(s, dir)
+        .withColumn("__new", when(lag(col("ts"), 1).over(w).isNull ||
+          unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w))
+            >= 1800L * 1000000L, 1L).otherwise(0L))
+        .withColumn("__sid", sum(col("__new")).over(cum))
+        .select(col("user_id"), col("__sid"), col("event_type"))
+        .distinct()
+      val total = st.select(col("user_id"), col("__sid")).distinct()
+        .agg(count(lit(1)).as("__N"))
+      val per = st.groupBy(col("event_type")).agg(count(lit(1)).as("__c"))
+      val pairs = st.select(col("user_id"), col("__sid"),
+          col("event_type").as("type_a"))
+        .join(st.select(col("user_id"), col("__sid"),
+          col("event_type").as("type_b")), Seq("user_id", "__sid"))
+        .where(col("type_a") < col("type_b"))
+        .groupBy(col("type_a"), col("type_b"))
+        .agg(count(lit(1)).as("n_both"))
+      pairs
+        .join(per.select(col("event_type").as("type_a"), col("__c").as("__ca")),
+          Seq("type_a"))
+        .join(per.select(col("event_type").as("type_b"), col("__c").as("__cb")),
+          Seq("type_b"))
+        .crossJoin(broadcast(total))
+        .select(col("type_a"), col("type_b"), col("n_both"),
+          r4(col("n_both").cast("double") * col("__N").cast("double")
+            / (col("__ca").cast("double") * col("__cb").cast("double")))
+            .as("lift"))
+        .orderBy("type_a", "type_b")
+    }),
+
     // extension: semi-structured props — JSON field extraction
     // (codegen'd get_json_object, no UDF) rolled up per event type;
     // the "parse the payload" step every event pipeline has
@@ -5942,6 +5986,29 @@ object Queries {
          |SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start, user_id,
          |  count(*) AS n_events, ${sqlR4("sum(value)")} AS value_sum
          |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+
+    // the same lag/cumsum session ids; lift from the identical
+    // integer-count operand order
+    "events_affinity" ->
+      s"""WITH o AS (SELECT user_id, ts, event_type,
+         |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+         |         OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTE
+         |       THEN 1 ELSE 0 END AS new_s
+         |  FROM events),
+         |sx AS (SELECT user_id, event_type,
+         |  sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM o),
+         |st AS (SELECT DISTINCT user_id, sid, event_type FROM sx),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM (SELECT DISTINCT user_id, sid FROM st)),
+         |per AS (SELECT event_type, CAST(count(*) AS BIGINT) AS c FROM st GROUP BY 1),
+         |pr AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+         |    CAST(count(*) AS BIGINT) AS n_both
+         |  FROM st a JOIN st b ON a.user_id = b.user_id AND a.sid = b.sid
+         |    AND a.event_type < b.event_type GROUP BY 1, 2)
+         |SELECT type_a, type_b, n_both,
+         |  ${sqlR4("CAST(n_both AS DOUBLE) * CAST(n AS DOUBLE) / (CAST(pa.c AS DOUBLE) * CAST(pb.c AS DOUBLE))")} AS lift
+         |FROM pr JOIN per pa ON pr.type_a = pa.event_type
+         |JOIN per pb ON pr.type_b = pb.event_type, tot
+         |ORDER BY type_a, type_b""".stripMargin,
 
     // the sessionize CTE + a duration rollup; durations are exact micro
     // diffs / 1e6
