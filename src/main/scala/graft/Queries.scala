@@ -3368,6 +3368,32 @@ object Queries {
         .orderBy("cohort", "week_n")
     }),
 
+    // extension: WINSORIZATION audit — cap each type's values at its
+    // own exact p99 (the standard outlier treatment before value sums
+    // feed dashboards/models) and report what the cap would change:
+    // clipped-row count and the quantized-exact value mass removed.
+    // One exact-percentile rollup (types × 1 rows) broadcast back over
+    // the log — the same two-step shape as events_anomaly; nothing
+    // after the first aggregate is data-proportional
+    "events_winsorize" -> ((s, dir) => {
+      val e = events(s, dir)
+      val caps = e.groupBy(col("event_type"))
+        .agg(expr("percentile(value, 0.99D)").as("__cap"))
+      e.join(broadcast(caps), Seq("event_type"))
+        .select(col("event_type"), col("__cap"),
+          when(col("value") > col("__cap"), 1L).otherwise(0L).as("__clip"),
+          when(col("value") > col("__cap"),
+            floor((col("value") - col("__cap")) * lit(10000.0) + lit(0.5))
+              .cast("long")).otherwise(lit(0L)).as("__qd"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("__clip")).as("n_clipped"),
+          max(col("__cap")).as("__c"), sum(col("__qd")).as("__mass"))
+        .select(col("event_type"), col("n"), col("n_clipped"),
+          r4(col("__c")).as("p99"),
+          r4(col("__mass").cast("double") / lit(10000.0)).as("mass_removed"))
+        .orderBy("event_type")
+    }),
+
     // extension: session AFFINITY (market-basket lift) — which event
     // types co-occur in the same session beyond chance: per unordered
     // type pair, co-occurring-session count and lift
@@ -5986,6 +6012,23 @@ object Queries {
          |SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start, user_id,
          |  count(*) AS n_events, ${sqlR4("sum(value)")} AS value_sum
          |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+
+    // quantile_cont == Spark's exact percentile (events_quantiles
+    // precedent); the clipped mass from the same quantized longs
+    "events_winsorize" ->
+      s"""WITH caps AS (SELECT event_type, quantile_cont(value, 0.99) AS cap
+         |  FROM events GROUP BY 1),
+         |j AS (SELECT e.event_type, caps.cap,
+         |  CASE WHEN e.value > caps.cap THEN 1 ELSE 0 END AS clip,
+         |  CASE WHEN e.value > caps.cap
+         |       THEN CAST(floor((e.value - caps.cap) * 10000.0 + 0.5) AS BIGINT)
+         |       ELSE 0 END AS qd
+         |  FROM events e JOIN caps ON e.event_type = caps.event_type)
+         |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(clip) AS BIGINT) AS n_clipped,
+         |  ${sqlR4("max(cap)")} AS p99,
+         |  ${sqlR4("CAST(sum(qd) AS DOUBLE) / 10000.0")} AS mass_removed
+         |FROM j GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // the same lag/cumsum session ids; lift from the identical
     // integer-count operand order
