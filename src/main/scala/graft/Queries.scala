@@ -1101,6 +1101,35 @@ object Queries {
     // extension: leave-one-out 1-NN label accuracy per class — the
     // embedding-quality eval (does the space cluster by label?). Reuses
     // the blocked NN self-join; exact integer counts per label
+    // extension: per-DIMENSION embedding health — mean/std/min/max for
+    // every vector position (dead-dimension and scale-drift detection,
+    // the embedding-QC table a feature store publishes per version).
+    // Moments from exact quantized-int sums (Σq, Σq² longs — partition-
+    // order-independent; q ≤ 1e4·|x| keeps Σq² far under 2^63 at any
+    // corpus size that fits a long row count), posexplode is the one
+    // data-proportional pass
+    "embed_dim_stats" -> ((s, dir) => {
+      val q = emb(s, dir)
+        .select(posexplode(col("embedding")).as(Seq("pos", "__v")))
+        .select(col("pos"),
+          floor(col("__v").cast("double") * lit(10000.0) + lit(0.5))
+            .cast("long").as("__q"))
+        .groupBy(col("pos"))
+        .agg(count(lit(1)).as("__n"), sum(col("__q")).as("__s"),
+          sum(col("__q") * col("__q")).as("__s2"),
+          min(col("__q")).as("__mn"), max(col("__q")).as("__mx"))
+      q.select(col("pos"),
+          r4(col("__s").cast("double") / col("__n") / lit(10000.0)).as("mean"),
+          r4(sqrt(greatest(lit(0.0),
+            col("__s2").cast("double") / col("__n")
+              - (col("__s").cast("double") / col("__n"))
+              * (col("__s").cast("double") / col("__n")))) / lit(10000.0))
+            .as("std"),
+          (col("__mn").cast("double") / lit(10000.0)).as("min_v"),
+          (col("__mx").cast("double") / lit(10000.0)).as("max_v"))
+        .orderBy("pos")
+    }),
+
     // extension: kNN-distance OUTLIER detection — each vector scored by
     // its 3rd-nearest-neighbor distance over the shared blocked
     // candidate frame (the classic kNN outlier score: isolated points
@@ -5135,6 +5164,23 @@ object Queries {
          |FROM p JOIN n ON p.id = n.id ORDER BY vec_id""".stripMargin,
 
     // the ann_self_join NN map joined to both labels; exact counts
+    // identical quantize-then-integer-moment construction; std from the
+    // same operand order (E[q²] − E[q]² before the one sqrt)
+    "embed_dim_stats" ->
+      s"""WITH q AS (SELECT u.i - 1 AS pos,
+         |    CAST(floor(CAST(embedding[u.i] AS DOUBLE) * 10000.0 + 0.5) AS BIGINT) AS q
+         |  FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(i)),
+         |m AS (SELECT pos, CAST(count(*) AS BIGINT) AS n, CAST(sum(q) AS BIGINT) AS s,
+         |    CAST(sum(q * q) AS BIGINT) AS s2,
+         |    CAST(min(q) AS BIGINT) AS mn, CAST(max(q) AS BIGINT) AS mx
+         |  FROM q GROUP BY pos)
+         |SELECT CAST(pos AS INT) AS pos,
+         |  ${sqlR4("CAST(s AS DOUBLE) / n / 10000.0")} AS mean,
+         |  ${sqlR4("sqrt(greatest(0.0, CAST(s2 AS DOUBLE) / n - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))) / 10000.0")} AS std,
+         |  CAST(mn AS DOUBLE) / 10000.0 AS min_v,
+         |  CAST(mx AS DOUBLE) / 10000.0 AS max_v
+         |FROM m ORDER BY pos""".stripMargin,
+
     // same blocked candidate set, DISTINCT pairs, rank-3 per id, then
     // the global top-10 by (kd DESC, id ASC)
     "embed_outliers" ->
