@@ -2420,6 +2420,16 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    // extension: k-fold cross-validation assignment — the CV analog of
+    // corpus_split: fold = contentHash32 % k, a pure function of text
+    // (same content → same fold in ANY corpus; no RNG, no state), so
+    // folds survive re-runs and incremental appends. Map-only
+    "corpus_folds" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+          (graft.operators.Corpus.contentHash32(col("text")) % 5)
+            .cast("int").as("fold"))
+        .orderBy("doc_id")),
+
     // extension: data-quality EXPECTATIONS — the declared-constraint
     // gate (Deequ shape) a pipeline runs before promoting a corpus
     // version: five row-level checks from ONE scan + the uniqueness
@@ -5722,6 +5732,13 @@ object Queries {
          |  FROM toks, unnest(sh) AS u(s) WHERE bucket >= 90)
          |SELECT doc_id, count(DISTINCT hh) AS n_shared
          |FROM tg JOIN vg USING (hh) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // the same first-8-md5-hex content hash mod k
+    "corpus_folds" ->
+      """SELECT doc_id,
+        |  CAST(list_reduce(list_transform(string_split_regex(substr(md5(text), 1, 8), ''),
+        |    c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a * 16 + b) % 5 AS INT) AS fold
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // each constraint replayed as a conditional sum; "check" quoted
     // (reserved in DuckDB)
