@@ -228,6 +228,34 @@ class CrudSpec extends SparkSpec {
       good.limit(0), good, dim = 2)) === 2L)
   }
 
+  test("history and snapshotAt agree: the interval containing seq v IS the version at v") {
+    val base = mkRecords(6)
+    val changes = Seq(
+      (0L, "upsert", 1L, Seq(9f, 9f), Map("v" -> "a")),
+      (0L, "upsert", 3L, Seq(8f, 8f), Map("v" -> "b")),
+      (1L, "delete", 2L, null, null),
+      (2L, "upsert", 2L, Seq(7f, 7f), Map("v" -> "c")),
+      (2L, "delete", 4L, null, null),
+      (3L, "delete", 1L, null, null),
+      (3L, "upsert", 5L, Seq(6f, 6f), Map("v" -> "d")))
+      .toDF("id", "op", "seq", "embedding", "metadata")
+    val h = Crud.history(changes)
+    (1L to 5L).foreach { v =>
+      // ids alive at v per the interval table: last interval starting
+      // at or before v is an upsert
+      val aliveFromHistory = h
+        .where(col("seq_from") <= v &&
+          (col("seq_to").isNull || col("seq_to") > v) &&
+          col("op") === "upsert")
+        .select("id").as[Long].collect().toSet
+      val untouched = (0L until 6L).toSet
+        .diff(changes.where(col("seq") <= v).select("id").as[Long].collect().toSet)
+      val live = Crud.snapshotAt(base, changes, v).select("id").as[Long]
+        .collect().toSet
+      assert(live === aliveFromHistory ++ untouched, s"at seq $v")
+    }
+  }
+
   test("snapshot write/read round-trips the record frame (database.rs:174-187)") {
     val dir = java.nio.file.Files.createTempDirectory(
       java.nio.file.Paths.get("/root/repo/target"), "snap").toString
