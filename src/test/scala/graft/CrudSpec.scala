@@ -228,6 +228,35 @@ class CrudSpec extends SparkSpec {
       good.limit(0), good, dim = 2)) === 2L)
   }
 
+  test("re-bucketing the id store (8 → 16) keeps data identical and point lookups pruned") {
+    val base = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "rebucket").toString
+    val r = mkRecords(200)
+    Records.snapshotById(r, s"$base/b8", buckets = 8)
+    // layout evolution: open the 8-bucket store, rewrite at 16 — the
+    // descriptor travels with each layout, so readers never guess
+    Records.snapshotById(Records.openById(spark, s"$base/b8"),
+      s"$base/b16", buckets = 16)
+    val a = Records.openById(spark, s"$base/b8")
+      .select("id", "metadata").as[(Long, Map[String, String])].collect().sortBy(_._1)
+    val b = Records.openById(spark, s"$base/b16")
+      .select("id", "metadata").as[(Long, Map[String, String])].collect().sortBy(_._1)
+    assert(a.toSeq === b.toSeq)
+    // lookups prune to ONE file under either geometry (scan metrics —
+    // inputFiles lists the relation pre-pruning)
+    Seq(s"$base/b8" -> 8, s"$base/b16" -> 16).foreach { case (p, n) =>
+      val look = Records.getById(spark, p, 57L)
+      // collect() drives THIS plan instance — metrics fill on it
+      val rows = look.collect()
+      assert(rows.map(_.getAs[Long]("id")).toSeq === Seq(57L))
+      val scan = look.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }
+      assert(scan.head.metrics("numFiles").value === 1,
+        s"$n-bucket lookup must scan one file")
+    }
+  }
+
   test("history and snapshotAt agree: the interval containing seq v IS the version at v") {
     val base = mkRecords(6)
     val changes = Seq(
