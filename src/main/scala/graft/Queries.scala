@@ -58,6 +58,30 @@ object Queries {
 
   private def sqlR4(e: String): String = s"floor(($e) * 10000.0 + 0.5) / 10000.0"
 
+  /** The 64 bit values of [[operators.VectorOps.BinaryBitValues]] as a
+    * DuckDB BIGINT list literal — shared with the Spark side from ONE
+    * Scala definition (DuckDB's checked `<<` rejects `1::BIGINT << 63`,
+    * so the sign bit must arrive as data in both engines). */
+  private val sqlBinBits: String =
+    operators.VectorOps.BinaryBitValues
+      .map(b => s"CAST($b AS BIGINT)").mkString("[", ",", "]")
+
+  /** DuckDB twin of [[operators.VectorOps.binaryCodes]]: sign-pack `v`
+    * into `ceil(len/64)` BIGINT words (bit set iff component strictly
+    * positive). */
+  private def sqlBinCode(v: String): String =
+    s"list_transform(generate_series(0, CAST(floor((len($v) + 63) / 64.0) AS INT) - 1), w -> " +
+      s"list_reduce(list_transform(generate_series(0, 63), i -> " +
+      s"CASE WHEN w * 64 + i < len($v) AND CAST($v[w * 64 + i + 1] AS DOUBLE) > 0.0 " +
+      s"THEN $sqlBinBits[i + 1] ELSE 0::BIGINT END), (a, b) -> a | b))"
+
+  /** DuckDB twin of [[operators.VectorOps.hammingDistance]] — exact
+    * integer XOR+popcount, cast back to BIGINT (DuckDB's `list_sum`
+    * over BIGINT widens to HUGEINT). */
+  private def sqlHamming(a: String, b: String): String =
+    s"CAST(list_sum(list_transform(list_zip($a, $b), " +
+      s"p -> CAST(bit_count(xor(p[1], p[2])) AS BIGINT))) AS BIGINT)"
+
   /** Seeded ±1 JL-projection matrix (8 × 64) shared by `embed_project`
     * and its oracle — ONE Scala definition feeds both engines (the
     * literal-model rule), so every sign and the scale double are
@@ -1304,6 +1328,41 @@ object Queries {
       Knn.searchBatch(recs(s, dir), q, 5, Metric.Cosine)
         .orderBy(col("query_id"), col("distance"), col("id"))
         .select(col("query_id"), col("id").as("vec_id"), r4(col("distance")).as("distance"))
+    }),
+
+    // extension: 1-bit binary quantization — sign-pack each embedding
+    // into ceil(d/64) longs (32× smaller than f32; the most aggressive
+    // point on the int8→PQ→binary compression ladder)
+    "embed_binary_codes" -> ((s, dir) =>
+      emb(s, dir)
+        .select(col("vec_id"),
+          posexplode(operators.VectorOps.binaryCodes(col("embedding"))))
+        .select(col("vec_id"), col("pos").cast("int").as("pos"),
+          col("col").as("code"))
+        .orderBy("vec_id", "pos")),
+
+    // extension: full-corpus Hamming scan over packed sign bits — one
+    // integer XOR+POPCNT per 64 dims per record, no float math at all
+    "ann_hamming_query" -> ((s, dir) => {
+      val store = recs(s, dir)
+        .withColumn("__bc", operators.VectorOps.binaryCodes(col("embedding")))
+      val q = qvec0(s, dir)
+        .select(operators.VectorOps.binaryCodes(col("qvec")).as("__qc"))
+      store.crossJoin(broadcast(q))
+        .withColumn("hamming",
+          operators.VectorOps.hammingDistance(col("__bc"), col("__qc")))
+        .orderBy(col("hamming").asc, col("id").asc).limit(10)
+        .select(col("id").as("vec_id"), col("hamming"))
+    }),
+
+    // extension: the binary serving funnel — Hamming shortlist (50),
+    // exact sq-L2 rerank (10); one scan, two chained bounded heaps
+    "ann_hamming_rerank" -> ((s, dir) => {
+      val store = recs(s, dir)
+        .withColumn("bcode", operators.VectorOps.binaryCodes(col("embedding")))
+      val q = qvec0(s, dir)
+        .withColumn("qcode", operators.VectorOps.binaryCodes(col("qvec")))
+      knnOut(Knn.searchHammingRerank(store, q, k = 10, shortlist = 50))
     }),
 
     // extension: exact dedup (hash groupBy)
@@ -4080,6 +4139,30 @@ object Queries {
          |d AS (SELECT q.query_id, e.vec_id, ${sqlCosDist("e.embedding", "q.qvec")} AS dist FROM embeddings e CROSS JOIN q),
          |r AS (SELECT query_id, vec_id, dist, row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, vec_id ASC) AS rn FROM d)
          |SELECT query_id, vec_id, ${sqlR4("dist")} AS distance FROM r WHERE rn <= 5 ORDER BY query_id, dist, vec_id""".stripMargin,
+
+    "embed_binary_codes" ->
+      s"""WITH c AS (SELECT vec_id, ${sqlBinCode("embedding")} AS words FROM embeddings)
+         |SELECT vec_id, CAST(u.i AS INT) AS pos, words[u.i + 1] AS code
+         |FROM c, unnest(generate_series(0, len(words) - 1)) AS u(i)
+         |ORDER BY vec_id, pos""".stripMargin,
+
+    "ann_hamming_query" ->
+      s"""WITH q AS (SELECT ${sqlBinCode("embedding")} AS qc FROM embeddings WHERE vec_id = 0),
+         |c AS (SELECT vec_id, ${sqlBinCode("embedding")} AS bc FROM embeddings)
+         |SELECT c.vec_id AS vec_id, ${sqlHamming("c.bc", "q.qc")} AS hamming
+         |FROM c, q
+         |ORDER BY hamming ASC, c.vec_id ASC LIMIT 10""".stripMargin,
+
+    "ann_hamming_rerank" ->
+      s"""WITH q AS (SELECT embedding AS qvec, ${sqlBinCode("embedding")} AS qc
+         |  FROM embeddings WHERE vec_id = 0),
+         |sl AS (SELECT e.vec_id, e.embedding,
+         |    ${sqlHamming(sqlBinCode("e.embedding"), "q.qc")} AS h
+         |  FROM embeddings e, q
+         |  ORDER BY h ASC, e.vec_id ASC LIMIT 50)
+         |SELECT sl.vec_id AS vec_id, ${sqlR4(sqlSq("sl.embedding", "q.qvec"))} AS distance
+         |FROM sl, q
+         |ORDER BY ${sqlSq("sl.embedding", "q.qvec")} ASC, sl.vec_id ASC LIMIT 10""".stripMargin,
 
     "dedup_exact" ->
       "SELECT min(doc_id) AS keep_id, count(*) AS n_dups FROM documents GROUP BY sha256(text) ORDER BY keep_id",

@@ -99,6 +99,37 @@ object Knn {
       .select(col("id"), col("metadata"), col("distance"))
   }
 
+  /** Binary-funnel search: a Hamming shortlist over packed sign codes,
+    * then exact rerank at full precision. Same one-scan, two-chained-
+    * bounded-heaps shape as [[searchPrefixRerank]] — but the first
+    * stage's per-row cost is d/64 integer XOR+POPCNTs over the `bcode`
+    * column (no float math at all), which is what lets the scan stage
+    * run against a store whose vectors live in cold storage and only
+    * the 8-byte-per-64-dims codes stay hot. `records` must carry
+    * `bcode` (from [[VectorOps.binaryCodes]]) next to `embedding`;
+    * `query` is a one-row frame with `qvec` and `qcode`. Both stages
+    * tiebreak on `id`, so the funnel is a total order end-to-end
+    * (oracle-checkable). Recall contract: any true neighbor outside
+    * the Hamming shortlist is lost — same trade as IVF probing. */
+  def searchHammingRerank(
+      records: DataFrame,
+      query: DataFrame,
+      k: Int,
+      shortlist: Int,
+      metric: Metric = Metric.Euclidean): DataFrame = {
+    require(k > 0 && shortlist >= k, "need shortlist >= k > 0")
+    records
+      .crossJoin(broadcast(query))
+      .withColumn("__h", VectorOps.hammingDistance(col("bcode"), col("qcode")))
+      .orderBy(col("__h").asc, col("id").asc)
+      .limit(shortlist)
+      .withColumn("distance", metric.distance(col("embedding"), col("qvec")))
+      .where(!isnan(col("distance")))
+      .orderBy(col("distance").asc, col("id").asc)
+      .limit(k)
+      .select(col("id"), col("metadata"), col("distance"))
+  }
+
   /** MMR diversity rerank (Carbonell & Goldstein 1998): a relevance
     * shortlist, then greedy maximal-marginal-relevance selection —
     * each pick balances closeness to the query against redundancy with

@@ -220,6 +220,54 @@ object VectorOps {
   def l2Norm(v: Column): Column =
     sqrt(graft.functions.NativeExprs.dot(v, v))
 
+  // ---------- 1-bit binary quantization ----------
+  //
+  // The most aggressive point on the compression ladder (int8 → PQ →
+  // sign bits): one BIT per dimension, packed 64 dims to a long — a
+  // 64-dim f32 embedding (256 bytes) becomes ONE 8-byte word, a 32×
+  // reduction that fits a 100 TB corpus's vectors in ~tens of GB per
+  // thousand executors. Hamming distance between sign patterns is a
+  // monotone proxy for angular distance (Charikar 2002, SimHash with
+  // identity hyperplanes), so the serving shape is the standard cheap
+  // funnel: Hamming shortlist over packed words (XOR + POPCNT — both
+  // codegen'd integer ops), exact rerank of the shortlist at full
+  // precision. The reference stores raw f32 only (src/types/vector.rs:
+  // 8-9); this is the compressed-store extension of its search surface.
+
+  /** Bit value of position i (0..63) as a Long — `1L << i`, with bit 63
+    * the sign bit. Declared as data (not shifts) because the DuckDB
+    * oracle must restate the same 64 constants: DuckDB's checked
+    * arithmetic rejects `1::BIGINT << 63` outright, so BOTH engines
+    * consume this literal table (the literal-model rule). */
+  val BinaryBitValues: Seq[Long] = (0 until 64).map(i => 1L << i)
+
+  /** Sign-bit pack: word w of the result has bit i set iff component
+    * `w·64 + i` is strictly positive (zero and −0.0 → 0; NaN compares
+    * greater than 0 in BOTH Spark and DuckDB's total order, so a NaN
+    * component sets its bit identically in both engines). Output length
+    * is `ceil(d / 64)` longs; trailing bits of a ragged last word stay
+    * 0. Map-only, no shuffle; the fold runs once per stored vector at
+    * encode time (not on the serve path — that scans only [[hammingDistance]]). */
+  def binaryCodes(v: Column): Column = {
+    val bitVals = array(BinaryBitValues.map(lit): _*)
+    val nWords = floor((size(v).cast("double") + 63.0) / 64.0).cast("int")
+    transform(sequence(lit(0), nWords - lit(1)), w =>
+      aggregate(sequence(lit(0), lit(63)), lit(0L), (acc, i) =>
+        when(w * lit(64) + i < size(v) &&
+            element_at(v, w * lit(64) + i + lit(1)).cast("double") > lit(0.0),
+          acc.bitwiseOR(element_at(bitVals, i + lit(1)))).otherwise(acc)))
+  }
+
+  /** Hamming distance between two packed codes: `Σ_w popcount(a_w XOR
+    * b_w)` — exact integers, so the oracle hash-compares with no
+    * rounding convention at all. Per-record serve cost is one XOR +
+    * one POPCNT per word (d/64 of them): the cheapest distance kernel
+    * in the engine, and the reason the binary funnel scans the full
+    * corpus without touching a float. */
+  def hammingDistance(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+
   // ---------- random projection ----------
 
   /** splitmix64 — the standard public-domain 64-bit mixer (Steele et

@@ -228,4 +228,67 @@ class VectorOpsSpec extends SparkSpec {
     assert(ratios.forall(r => r > 0.05 && r < 5.0),
       s"pathological per-pair distortion: ${ratios.min} .. ${ratios.max}")
   }
+
+  test("binaryCodes: popcount == positive-component count; scala-model bit " +
+    "identity; ragged tail bits stay zero") {
+    val rnd = new scala.util.Random(11)
+    // widths straddling the word boundary: ragged, exact, multi-word
+    val vecs = Seq(3, 63, 64, 65, 100, 128).zipWithIndex.map { case (d, i) =>
+      (i.toLong, Seq.fill(d)((rnd.nextFloat() - 0.5f) * 2f))
+    } :+ (99L, Seq.fill(64)(0.0f)) // all-zero → all bits clear
+    val rows = vecs.toDF("id", "v")
+      .select(col("id"), col("v"), VectorOps.binaryCodes(col("v")).as("c"))
+      .as[(Long, Seq[Float], Seq[Long])].collect()
+    rows.foreach { case (id, v, code) =>
+      assert(code.length === (v.length + 63) / 64, s"id=$id word count")
+      // scala model: same sign rule, same packing
+      val model = Array.fill((v.length + 63) / 64)(0L)
+      v.zipWithIndex.foreach { case (x, i) =>
+        if (x > 0f) model(i / 64) |= (1L << (i % 64))
+      }
+      assert(code === model.toSeq, s"id=$id code mismatch")
+      assert(code.map(java.lang.Long.bitCount).sum === v.count(_ > 0f),
+        s"id=$id popcount != positive count")
+    }
+  }
+
+  test("hammingDistance: zero on self, symmetric, equals sign-mismatch count") {
+    val rnd = new scala.util.Random(12)
+    val pairs = (0L until 40L).map(i =>
+      (i, Seq.fill(64)((rnd.nextFloat() - 0.5f) * 2f),
+        Seq.fill(64)((rnd.nextFloat() - 0.5f) * 2f)))
+    val df = pairs.toDF("id", "a", "b")
+      .withColumn("ca", VectorOps.binaryCodes(col("a")))
+      .withColumn("cb", VectorOps.binaryCodes(col("b")))
+    val rows = df.select(col("id"), col("a"), col("b"),
+        VectorOps.hammingDistance(col("ca"), col("cb")).as("h"),
+        VectorOps.hammingDistance(col("cb"), col("ca")).as("hs"),
+        VectorOps.hammingDistance(col("ca"), col("ca")).as("h0"))
+      .as[(Long, Seq[Float], Seq[Float], Long, Long, Long)].collect()
+    rows.foreach { case (id, a, b, h, hs, h0) =>
+      assert(h0 === 0L, s"id=$id self-distance")
+      assert(h === hs, s"id=$id asymmetric")
+      val mism = a.zip(b).count { case (x, y) => (x > 0f) != (y > 0f) }
+      assert(h === mism.toLong, s"id=$id hamming $h != sign mismatches $mism")
+    }
+  }
+
+  test("binary funnel: Hamming shortlist at 4x k recovers most of the exact " +
+    "top-10 (sign bits preserve angular neighborhoods)") {
+    import graft.operators.Knn
+    import graft.types.Metric
+    val r = graft.sources.Records.fromEmbeddings(spark, "/root/testdata/sf0.001")
+      .withColumn("bcode", VectorOps.binaryCodes(col("embedding")))
+    val q = r.where(col("id") === 0)
+      .select(col("embedding").as("qvec"),
+        VectorOps.binaryCodes(col("embedding")).as("qcode"))
+    val exact = Knn.search(r.drop("bcode"), q.select("qvec"), 10, Metric.Cosine)
+      .select("id").as[Long].collect().toSet
+    val funnel = Knn.searchHammingRerank(r, q, k = 10, shortlist = 40,
+        metric = Metric.Cosine)
+      .select("id").as[Long].collect().toSet
+    assert(funnel.contains(0L), "query vector must be its own 0-distance hit")
+    val recall = exact.intersect(funnel).size
+    assert(recall >= 6, s"binary funnel recall too low: $recall/10")
+  }
 }
