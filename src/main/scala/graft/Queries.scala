@@ -103,6 +103,45 @@ object Queries {
     * step — each step excludes the previous picks and orders by the
     * same `lam·dq − (1−lam)·min-dist-to-selected` objective the
     * expression evaluates, with the identical id tiebreak. */
+  /** The `events_markov` oracle: the power iteration UNROLLED as
+    * `iters` chained MATERIALIZED CTE list folds (the BPE-oracle
+    * technique). Every double op restates the Spark driver loop in
+    * [[operators.Events.stationaryDistribution]] verbatim: exact-long
+    * count/rowsum casts, `CAST(1.0 AS DOUBLE)/n` uniform fill (a bare
+    * `1.0` would be DECIMAL — the literal-typing trap), and
+    * `list_sum` over an ascending-i product list == the ascending fold
+    * from 0.0 (0.0 + a == a for the non-negative terms here). */
+  private def markovOracleSql(iters: Int): String = {
+    val steps = (1 to iters).map { k =>
+      s"""x$k AS MATERIALIZED (SELECT list_transform(generate_series(1, len(x)), j ->
+         |  list_sum(list_transform(generate_series(1, len(x)), i -> x[i] * p[i][j]))) AS x, p
+         |  FROM x${k - 1})""".stripMargin
+    }
+    s"""WITH tr AS MATERIALIZED (SELECT event_type AS f,
+       |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t
+       |  FROM events WHERE user_id IS NOT NULL),
+       |c AS MATERIALIZED (SELECT f, t, CAST(count(*) AS BIGINT) AS n
+       |  FROM tr WHERE t IS NOT NULL GROUP BY f, t),
+       |ty AS MATERIALIZED (SELECT t, CAST(row_number() OVER (ORDER BY t) AS INT) AS idx
+       |  FROM (SELECT f AS t FROM c UNION SELECT t FROM c)),
+       |nn AS MATERIALIZED (SELECT CAST(count(*) AS INT) AS n FROM ty),
+       |rs AS MATERIALIZED (SELECT ti.idx AS i, CAST(coalesce(sum(c.n), 0) AS BIGINT) AS s
+       |  FROM ty ti LEFT JOIN c ON c.f = ti.t GROUP BY ti.idx),
+       |cell AS MATERIALIZED (SELECT ti.idx AS i, tj.idx AS j,
+       |    CASE WHEN rs.s = 0 THEN CAST(1.0 AS DOUBLE) / CAST(nn.n AS DOUBLE)
+       |         ELSE CAST(coalesce(c.n, 0) AS DOUBLE) / CAST(rs.s AS DOUBLE) END AS v
+       |  FROM ty ti CROSS JOIN ty tj CROSS JOIN nn
+       |  JOIN rs ON rs.i = ti.idx
+       |  LEFT JOIN c ON c.f = ti.t AND c.t = tj.t),
+       |pm AS MATERIALIZED (SELECT list(rw ORDER BY i) AS p FROM
+       |  (SELECT i, list(v ORDER BY j) AS rw FROM cell GROUP BY i)),
+       |x0 AS MATERIALIZED (SELECT list_transform(generate_series(1, nn.n), i ->
+       |    CAST(1.0 AS DOUBLE) / CAST(nn.n AS DOUBLE)) AS x, pm.p AS p FROM nn, pm),
+       |${steps.mkString(",\n")}
+       |SELECT ty.t AS event_type, ${sqlR4(s"x[ty.idx]")} AS prob
+       |FROM x$iters, ty ORDER BY event_type""".stripMargin
+  }
+
   private def mmrOracleSql(k: Int, shortlist: Int): String = {
     val steps = (2 to k).map { i =>
       val prevSel = (1 until i).map(j => s"SELECT id FROM s$j").mkString(" UNION ALL ")
@@ -2790,6 +2829,15 @@ object Queries {
         .orderBy("from_type", "to_type")
     }),
 
+    // extension: user-journey Markov chain — stationary distribution
+    // of the type-transition matrix via 12 power iterations; counting
+    // is distributed, the vocabulary-bounded matrix iterates on the
+    // driver (small-support-model rule), oracle unrolls the same steps
+    "events_markov" -> ((s, dir) =>
+      operators.Events.stationaryDistribution(events(s, dir), iters = 12)
+        .select(col("event_type"), r4(col("prob")).as("prob"))
+        .orderBy("event_type")),
+
     // extension: per-source QUALITY rollup — mean quality score
     // (r4-quantized-int mean) and Gopher pass rate per source: the
     // one-look curation scoreboard. All exact-int aggregation
@@ -4299,6 +4347,8 @@ object Queries {
          |SELECT c.from_type, c.to_type, c.n,
          |  ${sqlR4("CAST(c.n AS DOUBLE) / tt.t")} AS share
          |FROM c JOIN tt USING (from_type) ORDER BY from_type, to_type""".stripMargin,
+
+    "events_markov" -> markovOracleSql(iters = 12),
 
     // multiset n-gram windows over nonempty tokens (the shingles
     // contract); instance/type counts are exact ints

@@ -169,4 +169,61 @@ object Events {
       ra.as("rate_a"), rb.as("rate_b"), (rb - ra).as("lift"),
       when(se =!= 0.0, (rb - ra) / se).as("z"))
   }
+
+  /** Stationary distribution of the user-journey Markov chain: where
+    * does a long random walk over the event-type transition graph spend
+    * its time — the single-number-per-state summary behind "which state
+    * dominates the product's steady state" dashboards.
+    *
+    * Scale shape: the transition COUNTING is the distributed part (one
+    * per-user window + one (from, to) aggregation — both map-side
+    * combinable, state bounded by the type vocabulary squared); the
+    * matrix itself is model-bounded, so per the small-support-model
+    * rule it is collected and the `iters` power iterations run as plain
+    * driver arithmetic — never a join, never `iters` Spark jobs.
+    *
+    * Determinism contract (what makes the result oracle-exact): states
+    * ordered by code point (ASCII-safe; supplementary-plane state names
+    * would need code-point compare — the BPE-oracle caveat), uniform
+    * start `1/n`, row with no outgoing transitions → uniform row, and
+    * every double op in a fixed order: `P[i][j] = cnt/rowsum` (both
+    * cast from exact longs), `x'[j] = fold_i(0.0, acc + x[i]·P[i][j])`
+    * ascending in i. The oracle unrolls the same `iters` steps as
+    * MATERIALIZED CTE list folds. */
+  def stationaryDistribution(
+      events: DataFrame,
+      iters: Int = 12,
+      userCol: String = "user_id"): DataFrame = {
+    require(iters >= 0, "iters must be non-negative")
+    val spark = events.sparkSession
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col("ts"), col("event_id"))
+    val pairs = events
+      .where(col(userCol).isNotNull)
+      .withColumn("__to", lead(col("event_type"), 1).over(w))
+      .where(col("__to").isNotNull)
+      .groupBy(col("event_type").as("__from"), col("__to"))
+      .agg(count(lit(1)).as("__n"))
+    val cells = pairs.collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    val types = cells.keysIterator
+      .flatMap { case (a, b) => Iterator(a, b) }.toSeq.distinct.sorted
+    val n = types.length
+    require(n > 0, "no transitions in the event log")
+    val rowSums = types.map(f =>
+      types.iterator.map(t => cells.getOrElse((f, t), 0L)).sum)
+    val p = types.indices.map { i =>
+      types.indices.map { j =>
+        if (rowSums(i) == 0L) 1.0 / n.toDouble
+        else cells.getOrElse((types(i), types(j)), 0L).toDouble /
+          rowSums(i).toDouble
+      }
+    }
+    var x: IndexedSeq[Double] = IndexedSeq.fill(n)(1.0 / n.toDouble)
+    for (_ <- 0 until iters)
+      x = (0 until n).map(j =>
+        (0 until n).foldLeft(0.0)((acc, i) => acc + x(i) * p(i)(j)))
+    import spark.implicits._
+    types.zip(x).toDF("event_type", "prob")
+  }
 }

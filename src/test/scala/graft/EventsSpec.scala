@@ -126,4 +126,41 @@ class EventsSpec extends SparkSpec {
     val want = 0.75 / math.sqrt(pp * (1.0 - pp) * (1.0 / 4 + 1.0 / 2))
     assert(math.abs(g2._8 - want) < 1e-12, s"z = ${g2._8}, want $want")
   }
+
+  test("stationaryDistribution: valid distribution; hand-checked chains " +
+    "(2-cycle stays uniform, absorbing state swallows the mass)") {
+    def ev(rows: Seq[(Long, Long, String, Long)]) =
+      rows.map { case (id, u, t, ms) => (id, u, t, new java.sql.Timestamp(ms)) }
+        .toDF("event_id", "user_id", "event_type", "ts")
+
+    // one user alternating a,b,a,b,... → P is the 2-cycle permutation;
+    // from the uniform start every iterate is exactly (0.5, 0.5)
+    val cyc = ev((0 until 10).map(i =>
+      (i.toLong, 1L, if (i % 2 == 0) "a" else "b", 1704100000000L + i * 1000L)))
+    val gc = Events.stationaryDistribution(cyc, iters = 7)
+      .as[(String, Double)].collect().toMap
+    assert(gc === Map("a" -> 0.5, "b" -> 0.5), s"2-cycle: $gc")
+
+    // a→b once, then b→b forever: b is absorbing, mass drains to it
+    val abs = ev(Seq((0L, 1L, "a", 0L), (1L, 1L, "b", 1000L)) ++
+      (2 until 12).map(i => (i.toLong, 1L, "b", i * 1000L)))
+    val ga = Events.stationaryDistribution(abs, iters = 30)
+      .as[(String, Double)].collect().toMap
+    assert(ga("b") > 0.999 && ga("a") < 0.001, s"absorbing: $ga")
+
+    // real log: probabilities non-negative and sum to 1 (permutation-
+    // free invariant of every row-stochastic iterate)
+    val real = graft.streaming.EventStream.loadEvents(spark, "/root/testdata/sf0.001")
+    val gr = Events.stationaryDistribution(real, iters = 12)
+      .as[(String, Double)].collect()
+    assert(gr.forall(_._2 >= 0.0), s"negative prob: ${gr.mkString(",")}")
+    assert(math.abs(gr.map(_._2).sum - 1.0) < 1e-9,
+      s"not a distribution: ${gr.map(_._2).sum}")
+    // iterating further must not move the result materially (convergence)
+    val gr2 = Events.stationaryDistribution(real, iters = 40)
+      .as[(String, Double)].collect().toMap
+    gr.foreach { case (t, p) =>
+      assert(math.abs(p - gr2(t)) < 1e-6, s"$t not converged: $p vs ${gr2(t)}")
+    }
+  }
 }
