@@ -103,6 +103,47 @@ object Queries {
     * step — each step excludes the previous picks and orders by the
     * same `lam·dq − (1−lam)·min-dist-to-selected` objective the
     * expression evaluates, with the identical id tiebreak. */
+  /** The `embed_pca` oracle: exact-integer moment sums recomputed from
+    * the parquet (the same q3 quantization), then the same `iters`
+    * power iterations UNROLLED as MATERIALIZED CTE list folds — every
+    * double op (covariance normalization, matvec folds, IEEE sqrt
+    * norms, sign fix, Rayleigh/trace share) restates
+    * [[operators.VectorOps.pcaTop]] verbatim. */
+  private def pcaOracleSql(iters: Int): String = {
+    val steps = (1 to iters).map { k =>
+      s"""x$k AS MATERIALIZED (SELECT list_transform(generate_series(1, len(y)), i ->
+         |    CASE WHEN nrm > 0 THEN y[i] / nrm ELSE y[i] END) AS x, c FROM (
+         |  SELECT y, sqrt(list_sum(list_transform(y, v -> v * v))) AS nrm, c FROM (
+         |    SELECT list_transform(generate_series(1, len(x)), i ->
+         |      list_sum(list_transform(generate_series(1, len(x)), j -> c[i][j] * x[j]))) AS y, c
+         |    FROM x${k - 1})))""".stripMargin
+    }
+    s"""WITH qv AS MATERIALIZED (SELECT list_transform(embedding, x ->
+       |    CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT)) AS q FROM embeddings),
+       |dd AS MATERIALIZED (SELECT CAST(max(len(q)) AS INT) AS d, CAST(count(*) AS BIGINT) AS n FROM qv),
+       |s1 AS MATERIALIZED (SELECT u.i AS i, CAST(sum(q[u.i]) AS BIGINT) AS s
+       |  FROM qv, dd, unnest(generate_series(1, dd.d)) AS u(i) GROUP BY u.i),
+       |s2 AS MATERIALIZED (SELECT ui.i AS i, uj.i AS j, CAST(sum(q[ui.i] * q[uj.i]) AS BIGINT) AS s
+       |  FROM qv, dd, unnest(generate_series(1, dd.d)) AS ui(i), unnest(generate_series(1, dd.d)) AS uj(i)
+       |  GROUP BY ui.i, uj.i),
+       |cm AS MATERIALIZED (SELECT list(rw ORDER BY i) AS c FROM (
+       |  SELECT s2.i AS i, list((CAST(s2.s AS DOUBLE) - CAST(a.s AS DOUBLE) * CAST(b.s AS DOUBLE)
+       |      / CAST(dd.n AS DOUBLE)) / CAST(dd.n AS DOUBLE) ORDER BY s2.j) AS rw
+       |  FROM s2 CROSS JOIN dd JOIN s1 a ON a.i = s2.i JOIN s1 b ON b.i = s2.j GROUP BY s2.i)),
+       |x0 AS MATERIALIZED (SELECT list_transform(generate_series(1, dd.d), i ->
+       |    CAST(1.0 AS DOUBLE) / sqrt(CAST(dd.d AS DOUBLE))) AS x, cm.c AS c FROM dd, cm),
+       |${steps.mkString(",\n")},
+       |fl AS MATERIALIZED (SELECT CASE WHEN list_sum(x) < 0
+       |    THEN list_transform(x, v -> -v) ELSE x END AS xs, c FROM x$iters),
+       |fin AS MATERIALIZED (SELECT xs,
+       |    list_sum(list_transform(generate_series(1, len(xs)), i -> xs[i] *
+       |      list_sum(list_transform(generate_series(1, len(xs)), j -> c[i][j] * xs[j])))) AS lam,
+       |    list_sum(list_transform(generate_series(1, len(xs)), i -> c[i][i])) AS tr
+       |  FROM fl)
+       |SELECT CAST(u.i AS INT) AS pos, ${sqlR4("xs[u.i + 1]")} AS loading, ${sqlR4("lam / tr")} AS share
+       |FROM fin, unnest(generate_series(0, len(xs) - 1)) AS u(i) ORDER BY pos""".stripMargin
+  }
+
   /** The `events_markov` oracle: the power iteration UNROLLED as
     * `iters` chained MATERIALIZED CTE list folds (the BPE-oracle
     * technique). Every double op restates the Spark driver loop in
@@ -1367,6 +1408,21 @@ object Queries {
       Knn.searchBatch(recs(s, dir), q, 5, Metric.Cosine)
         .orderBy(col("query_id"), col("distance"), col("id"))
         .select(col("query_id"), col("id").as("vec_id"), r4(col("distance")).as("distance"))
+    }),
+
+    // extension: top principal component + explained-variance share
+    // from exact integer moments — ONE distributed GramSumAgg pass
+    // (d+d² longs per partition through the shuffle), 24 power
+    // iterations on the collected model; oracle replays both halves
+    "embed_pca" -> ((s, dir) => {
+      val (loadings, share) =
+        operators.VectorOps.pcaTop(emb(s, dir), "embedding", iters = 24)
+      import s.implicits._
+      loadings.zipWithIndex.map { case (v, i) => (i, v, share) }
+        .toDF("pos", "loading", "share")
+        .select(col("pos").cast("int").as("pos"),
+          r4(col("loading")).as("loading"), r4(col("share")).as("share"))
+        .orderBy("pos")
     }),
 
     // extension: 1-bit binary quantization — sign-pack each embedding
@@ -4187,6 +4243,8 @@ object Queries {
          |d AS (SELECT q.query_id, e.vec_id, ${sqlCosDist("e.embedding", "q.qvec")} AS dist FROM embeddings e CROSS JOIN q),
          |r AS (SELECT query_id, vec_id, dist, row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, vec_id ASC) AS rn FROM d)
          |SELECT query_id, vec_id, ${sqlR4("dist")} AS distance FROM r WHERE rn <= 5 ORDER BY query_id, dist, vec_id""".stripMargin,
+
+    "embed_pca" -> pcaOracleSql(iters = 24),
 
     "embed_binary_codes" ->
       s"""WITH c AS (SELECT vec_id, ${sqlBinCode("embedding")} AS words FROM embeddings)

@@ -268,6 +268,66 @@ object VectorOps {
     aggregate(zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
       lit(0L), (acc, x) => acc + x)
 
+  // ---------- PCA from exact integer moments ----------
+
+  /** q3 quantization: `floor(x·1000 + 0.5)` as long — the exact-integer
+    * encoding that makes the covariance's sufficient statistics
+    * ([[graft.functions.GramSumAgg]]) a pure function of the input
+    * multiset (partition-order-independent, oracle-hashable). The
+    * 5·10⁻⁴ per-component quantization error is far below what a
+    * principal-direction QC dashboard resolves. */
+  def quantizeQ3(v: Column): Column =
+    transform(v, x => floor(x.cast("double") * lit(1000.0) + lit(0.5)).cast("long"))
+
+  /** Top principal component by `iters` power iterations, from the
+    * exact-integer moment sums — the embedding-health/whitening
+    * primitive ("is one direction eating the variance?").
+    *
+    * Scale shape: ONE distributed pass ([[graft.functions.GramSumAgg]]:
+    * d + d² exact longs per partition through the shuffle, corpus-size-
+    * independent); the covariance is model-bounded, so the iteration is
+    * plain driver arithmetic (small-support-model rule) — never `iters`
+    * Spark jobs.
+    *
+    * Determinism contract (every double op fixed-order, so the DuckDB
+    * oracle replays it bit-for-bit): `C[i][j] = (s2 − s1ᵢ·s1ⱼ/n)/n`
+    * with the longs cast to double exactly; start vector `1/√d`;
+    * per-step matvec as ascending-j folds from 0.0, L2 normalization
+    * (IEEE sqrt), zero-norm guard keeps y; final sign fixed so the
+    * loadings sum non-negative. Returns `(loadings, explainedShare)` —
+    * share = Rayleigh quotient / trace, scale-free so the q3 units
+    * cancel. The result is "the `iters`-step power iterate" (a pinned
+    * deterministic object), with convergence asserted separately in
+    * VectorOpsSpec rather than claimed by the operator. */
+  def pcaTop(embeddings: DataFrame, vecCol: String, iters: Int): (Seq[Double], Double) = {
+    require(iters >= 0, "iters must be non-negative")
+    val g = embeddings
+      .agg(graft.functions.GramSumAgg.gramSum(quantizeQ3(col(vecCol))).as("g"))
+      .select(col("g.n"), col("g.s1"), col("g.s2"))
+      .head()
+    val n = g.getLong(0)
+    val s1 = g.getSeq[Long](1)
+    val s2 = g.getSeq[Long](2)
+    val d = s1.length
+    require(n > 0 && d > 0, "empty input")
+    val nD = n.toDouble
+    val c = Array.tabulate(d, d)((i, j) =>
+      (s2(i * d + j).toDouble - s1(i).toDouble * s1(j).toDouble / nD) / nD)
+    var x: IndexedSeq[Double] = IndexedSeq.fill(d)(1.0 / math.sqrt(d.toDouble))
+    for (_ <- 0 until iters) {
+      val y = (0 until d).map(i =>
+        (0 until d).foldLeft(0.0)((acc, j) => acc + c(i)(j) * x(j)))
+      val norm = math.sqrt(y.foldLeft(0.0)((acc, v) => acc + v * v))
+      x = if (norm > 0) y.map(_ / norm) else y
+    }
+    val xs = if (x.foldLeft(0.0)(_ + _) < 0) x.map(v => -v) else x
+    val z = (0 until d).map(i =>
+      (0 until d).foldLeft(0.0)((acc, j) => acc + c(i)(j) * xs(j)))
+    val lambda = (0 until d).foldLeft(0.0)((acc, i) => acc + xs(i) * z(i))
+    val trace = (0 until d).foldLeft(0.0)((acc, i) => acc + c(i)(i))
+    (xs, lambda / trace)
+  }
+
   // ---------- random projection ----------
 
   /** splitmix64 — the standard public-domain 64-bit mixer (Steele et

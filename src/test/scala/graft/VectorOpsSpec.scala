@@ -273,6 +273,70 @@ class VectorOpsSpec extends SparkSpec {
     }
   }
 
+  test("GramSumAgg: exact moment sums match the brute-force model across " +
+    "partitionings; symmetric; width mismatch fails loudly") {
+    val rnd = new scala.util.Random(21)
+    val vecs = (0L until 300L).map(i => (i, Seq.fill(6)(rnd.nextLong() % 1000L)))
+    // brute-force sufficient statistics
+    val d = 6
+    val wantS1 = Array.fill(d)(0L)
+    val wantS2 = Array.fill(d * d)(0L)
+    vecs.foreach { case (_, q) =>
+      for (i <- 0 until d; j <- 0 until d) wantS2(i * d + j) += q(i) * q(j)
+      for (i <- 0 until d) wantS1(i) += q(i)
+    }
+    Seq(1, 3, 13).foreach { parts =>
+      val g = vecs.toDF("id", "q").repartition(parts)
+        .agg(graft.functions.GramSumAgg.gramSum(col("q")).as("g"))
+        .select(col("g.n"), col("g.s1"), col("g.s2"))
+        .as[(Long, Seq[Long], Seq[Long])].head()
+      assert(g._1 === 300L)
+      assert(g._2 === wantS1.toSeq, s"s1 differs at parts=$parts")
+      assert(g._3 === wantS2.toSeq, s"s2 differs at parts=$parts")
+    }
+    // symmetry of the mirrored output
+    val s2 = vecs.toDF("id", "q")
+      .agg(graft.functions.GramSumAgg.gramSum(col("q")).as("g"))
+      .select(col("g.s2")).as[Seq[Long]].head()
+    for (i <- 0 until d; j <- 0 until d)
+      assert(s2(i * d + j) === s2(j * d + i), s"asymmetric at ($i,$j)")
+    val ragged = Seq((0L, Seq(1L, 2L)), (1L, Seq(1L, 2L, 3L))).toDF("id", "q")
+    val e = intercept[org.apache.spark.SparkException] {
+      ragged.coalesce(1)
+        .agg(graft.functions.GramSumAgg.gramSum(col("q"))).collect()
+    }
+    assert(e.getMessage.contains("width mismatch") ||
+      e.getCause.getMessage.contains("width mismatch"))
+  }
+
+  test("pcaTop: unit loadings, share in (0,1], converged eigenpair, and a " +
+    "planted dominant direction is recovered") {
+    val rnd = new scala.util.Random(22)
+    // planted model: strong variance along a fixed unit direction u,
+    // small isotropic noise on 16 dims
+    val dim = 16
+    val uRaw = Array.fill(dim)(rnd.nextGaussian())
+    val un = math.sqrt(uRaw.map(x => x * x).sum)
+    val u = uRaw.map(_ / un)
+    val data = (0L until 4000L).map { i =>
+      val a = rnd.nextGaussian() * 3.0
+      (i, (0 until dim).map(k => (a * u(k) + rnd.nextGaussian() * 0.2).toFloat))
+    }
+    val df = data.toDF("vec_id", "embedding")
+    val (x, share) = VectorOps.pcaTop(df, "embedding", iters = 24)
+    assert(math.abs(x.map(v => v * v).sum - 1.0) < 1e-9, "loadings not unit")
+    assert(share > 0.0 && share <= 1.0, s"share out of range: $share")
+    // planted direction dominates: |cos(x, u)| near 1, share near the
+    // planted variance fraction 9/(9 + 0.04·16) ≈ 0.93
+    val cos = math.abs(x.zip(u).map { case (a, b) => a * b }.sum)
+    assert(cos > 0.99, s"planted direction missed: cos=$cos")
+    assert(share > 0.85, s"planted share too low: $share")
+    // eigenpair residual: C x ≈ λ x (recompute C the same exact way)
+    val more = VectorOps.pcaTop(df, "embedding", iters = 60)._1
+    val drift = x.zip(more).map { case (a, b) => math.abs(a - b) }.max
+    assert(drift < 1e-8, s"not converged at 24 iters: max drift $drift")
+  }
+
   test("binary funnel: Hamming shortlist at 4x k recovers most of the exact " +
     "top-10 (sign bits preserve angular neighborhoods)") {
     import graft.operators.Knn
