@@ -144,6 +144,61 @@ object Queries {
        |FROM fin, unnest(generate_series(0, len(xs) - 1)) AS u(i) ORDER BY pos""".stripMargin
   }
 
+  /** The `embed_pca_scree` oracle: k deflation rounds of the
+    * [[pcaOracleSql]] machinery — each round unrolls `iters` matvec
+    * CTEs from the CURRENT matrix, fixes the sign, takes the Rayleigh
+    * λ, and deflates `c[i][j] − λ·xs[i]·xs[j]` for the next round;
+    * shares all divide the ORIGINAL trace. Mirrors
+    * [[operators.VectorOps.pcaTopK]] op-for-op. */
+  private def pcaScreeOracleSql(k: Int, iters: Int): String = {
+    val blocks = (0 until k).map { m =>
+      val steps = (1 to iters).map { t =>
+        s"""x${m}_$t AS MATERIALIZED (SELECT list_transform(generate_series(1, len(y)), i ->
+           |    CASE WHEN nrm > 0 THEN y[i] / nrm ELSE y[i] END) AS x, c FROM (
+           |  SELECT y, sqrt(list_sum(list_transform(y, v -> v * v))) AS nrm, c FROM (
+           |    SELECT list_transform(generate_series(1, len(x)), i ->
+           |      list_sum(list_transform(generate_series(1, len(x)), j -> c[i][j] * x[j]))) AS y, c
+           |    FROM x${m}_${t - 1})))""".stripMargin
+      }
+      val deflate =
+        if (m + 1 < k)
+          s""",
+             |cm${m + 1} AS MATERIALIZED (SELECT list_transform(generate_series(1, len(xs)), i ->
+             |    list_transform(generate_series(1, len(xs)), j ->
+             |      c[i][j] - lam * xs[i] * xs[j])) AS c FROM fin$m)""".stripMargin
+        else ""
+      s"""x${m}_0 AS MATERIALIZED (SELECT list_transform(generate_series(1, dd.d), i ->
+         |    CAST(1.0 AS DOUBLE) / sqrt(CAST(dd.d AS DOUBLE))) AS x, cm$m.c AS c FROM dd, cm$m),
+         |${steps.mkString(",\n")},
+         |fin$m AS MATERIALIZED (SELECT xs, c,
+         |    list_sum(list_transform(generate_series(1, len(xs)), i -> xs[i] *
+         |      list_sum(list_transform(generate_series(1, len(xs)), j -> c[i][j] * xs[j])))) AS lam
+         |  FROM (SELECT CASE WHEN list_sum(x) < 0
+         |    THEN list_transform(x, v -> -v) ELSE x END AS xs, c FROM x${m}_$iters))$deflate""".stripMargin
+    }
+    val sel = (0 until k).map { m =>
+      s"""SELECT CAST($m AS INT) AS component, CAST(u.i AS INT) AS pos,
+         |  ${sqlR4("xs[u.i + 1]")} AS loading, ${sqlR4("lam / tr.tr")} AS share
+         |FROM fin$m, tr, unnest(generate_series(0, len(xs) - 1)) AS u(i)""".stripMargin
+    }
+    s"""WITH qv AS MATERIALIZED (SELECT list_transform(embedding, x ->
+       |    CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT)) AS q FROM embeddings),
+       |dd AS MATERIALIZED (SELECT CAST(max(len(q)) AS INT) AS d, CAST(count(*) AS BIGINT) AS n FROM qv),
+       |s1 AS MATERIALIZED (SELECT u.i AS i, CAST(sum(q[u.i]) AS BIGINT) AS s
+       |  FROM qv, dd, unnest(generate_series(1, dd.d)) AS u(i) GROUP BY u.i),
+       |s2 AS MATERIALIZED (SELECT ui.i AS i, uj.i AS j, CAST(sum(q[ui.i] * q[uj.i]) AS BIGINT) AS s
+       |  FROM qv, dd, unnest(generate_series(1, dd.d)) AS ui(i), unnest(generate_series(1, dd.d)) AS uj(i)
+       |  GROUP BY ui.i, uj.i),
+       |cm0 AS MATERIALIZED (SELECT list(rw ORDER BY i) AS c FROM (
+       |  SELECT s2.i AS i, list((CAST(s2.s AS DOUBLE) - CAST(a.s AS DOUBLE) * CAST(b.s AS DOUBLE)
+       |      / CAST(dd.n AS DOUBLE)) / CAST(dd.n AS DOUBLE) ORDER BY s2.j) AS rw
+       |  FROM s2 CROSS JOIN dd JOIN s1 a ON a.i = s2.i JOIN s1 b ON b.i = s2.j GROUP BY s2.i)),
+       |tr AS MATERIALIZED (SELECT list_sum(list_transform(generate_series(1, len(c)), i -> c[i][i])) AS tr FROM cm0),
+       |${blocks.mkString(",\n")}
+       |${sel.mkString("\nUNION ALL\n")}
+       |ORDER BY component, pos""".stripMargin
+  }
+
   /** The `events_markov` oracle: the power iteration UNROLLED as
     * `iters` chained MATERIALIZED CTE list folds (the BPE-oracle
     * technique). Every double op restates the Spark driver loop in
@@ -1423,6 +1478,51 @@ object Queries {
         .select(col("pos").cast("int").as("pos"),
           r4(col("loading")).as("loading"), r4(col("share")).as("share"))
         .orderBy("pos")
+    }),
+
+    // extension: PCA scree — top-3 components by Hotelling deflation,
+    // shares against the original trace: the anisotropy/spectrum-decay
+    // dashboard. Same one-pass moment aggregate, k·iters driver math
+    "embed_pca_scree" -> ((s, dir) => {
+      val comps =
+        operators.VectorOps.pcaTopK(emb(s, dir), "embedding", k = 3, iters = 24)
+      import s.implicits._
+      comps.zipWithIndex.flatMap { case ((loadings, share), m) =>
+        loadings.zipWithIndex.map { case (v, i) => (m, i, v, share) }
+      }.toDF("component", "pos", "loading", "share")
+        .select(col("component").cast("int").as("component"),
+          col("pos").cast("int").as("pos"),
+          r4(col("loading")).as("loading"), r4(col("share")).as("share"))
+        .orderBy("component", "pos")
+    }),
+
+    // extension: exact per-label centroid distance matrix — q4 integer
+    // moment sums per (label, dim) make the centroids order-independent
+    // doubles, so inter-label geometry ("which classes collide") is
+    // hash-exact; the pairwise stage runs on the label-bounded frame
+    "embed_label_dist" -> ((s, dir) => {
+      val cent = emb(s, dir)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "__v")))
+        .select(col("label"), col("pos"),
+          floor(col("__v").cast("double") * lit(10000.0) + lit(0.5))
+            .cast("long").as("__q"))
+        .groupBy(col("label"), col("pos"))
+        .agg(sum(col("__q")).as("__s"), count(lit(1)).as("__n"))
+        .select(col("label"), col("pos"),
+          (col("__s").cast("double") / col("__n").cast("double")
+            / lit(10000.0)).as("__c"))
+        .groupBy(col("label"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("__c")))).as("__pc"))
+        .select(col("label"),
+          transform(col("__pc"), e => e.getField("__c")).as("cv"))
+      val a = cent.select(col("label").as("label_a"), col("cv").as("__ca"))
+      val b = cent.select(col("label").as("label_b"), col("cv").as("__cb"))
+      a.join(b, col("label_a") < col("label_b"))
+        .select(col("label_a"), col("label_b"),
+          r4(aggregate(
+            zip_with(col("__ca"), col("__cb"), (x, y) => (x - y) * (x - y)),
+            lit(0.0), (acc, v) => acc + v)).as("dist"))
+        .orderBy("label_a", "label_b")
     }),
 
     // extension: 1-bit binary quantization — sign-pack each embedding
@@ -4245,6 +4345,21 @@ object Queries {
          |SELECT query_id, vec_id, ${sqlR4("dist")} AS distance FROM r WHERE rn <= 5 ORDER BY query_id, dist, vec_id""".stripMargin,
 
     "embed_pca" -> pcaOracleSql(iters = 24),
+
+    "embed_pca_scree" -> pcaScreeOracleSql(k = 3, iters = 24),
+
+    "embed_label_dist" ->
+      s"""WITH e AS (SELECT label, u.i AS pos,
+         |    CAST(floor(CAST(embedding[u.i + 1] AS DOUBLE) * 10000.0 + 0.5) AS BIGINT) AS q
+         |  FROM embeddings, unnest(generate_series(0, len(embedding) - 1)) AS u(i)),
+         |c AS (SELECT label, pos, CAST(sum(q) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n
+         |  FROM e GROUP BY label, pos),
+         |v AS (SELECT label, list(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 10000.0 ORDER BY pos) AS cv
+         |  FROM c GROUP BY label)
+         |SELECT a.label AS label_a, b.label AS label_b,
+         |  ${sqlR4("list_sum(list_transform(list_zip(a.cv, b.cv), p -> (p[1] - p[2]) * (p[1] - p[2])))")} AS dist
+         |FROM v a JOIN v b ON a.label < b.label
+         |ORDER BY label_a, label_b""".stripMargin,
 
     "embed_binary_codes" ->
       s"""WITH c AS (SELECT vec_id, ${sqlBinCode("embedding")} AS words FROM embeddings)

@@ -300,7 +300,25 @@ object VectorOps {
     * deterministic object), with convergence asserted separately in
     * VectorOpsSpec rather than claimed by the operator. */
   def pcaTop(embeddings: DataFrame, vecCol: String, iters: Int): (Seq[Double], Double) = {
+    val r = pcaTopK(embeddings, vecCol, k = 1, iters).head
+    (r._1, r._2)
+  }
+
+  /** Top-k principal components by Hotelling deflation: extract a
+    * component as in [[pcaTop]], then subtract its rank-1 contribution
+    * (`C ← C − λ·v·vᵀ`, fixed operand order `λ·vᵢ·vⱼ` left-assoc) and
+    * repeat — the scree view ("is the embedding space anisotropic, and
+    * how fast does the spectrum fall?"). Each share divides by the
+    * ORIGINAL trace, so shares across components are comparable and sum
+    * toward 1. Same one-pass/driver-math scale shape and determinism
+    * contract as [[pcaTop]]; k is model-bounded (k ≤ d). */
+  def pcaTopK(
+      embeddings: DataFrame,
+      vecCol: String,
+      k: Int,
+      iters: Int): Seq[(Seq[Double], Double)] = {
     require(iters >= 0, "iters must be non-negative")
+    require(k > 0, "k must be positive")
     val g = embeddings
       .agg(graft.functions.GramSumAgg.gramSum(quantizeQ3(col(vecCol))).as("g"))
       .select(col("g.n"), col("g.s1"), col("g.s2"))
@@ -310,22 +328,30 @@ object VectorOps {
     val s2 = g.getSeq[Long](2)
     val d = s1.length
     require(n > 0 && d > 0, "empty input")
+    require(k <= d, s"k=$k exceeds dimension $d")
     val nD = n.toDouble
-    val c = Array.tabulate(d, d)((i, j) =>
+    var c = Array.tabulate(d, d)((i, j) =>
       (s2(i * d + j).toDouble - s1(i).toDouble * s1(j).toDouble / nD) / nD)
-    var x: IndexedSeq[Double] = IndexedSeq.fill(d)(1.0 / math.sqrt(d.toDouble))
-    for (_ <- 0 until iters) {
-      val y = (0 until d).map(i =>
-        (0 until d).foldLeft(0.0)((acc, j) => acc + c(i)(j) * x(j)))
-      val norm = math.sqrt(y.foldLeft(0.0)((acc, v) => acc + v * v))
-      x = if (norm > 0) y.map(_ / norm) else y
-    }
-    val xs = if (x.foldLeft(0.0)(_ + _) < 0) x.map(v => -v) else x
-    val z = (0 until d).map(i =>
-      (0 until d).foldLeft(0.0)((acc, j) => acc + c(i)(j) * xs(j)))
-    val lambda = (0 until d).foldLeft(0.0)((acc, i) => acc + xs(i) * z(i))
     val trace = (0 until d).foldLeft(0.0)((acc, i) => acc + c(i)(i))
-    (xs, lambda / trace)
+    val out = Seq.newBuilder[(Seq[Double], Double)]
+    for (_ <- 0 until k) {
+      var x: IndexedSeq[Double] = IndexedSeq.fill(d)(1.0 / math.sqrt(d.toDouble))
+      for (_ <- 0 until iters) {
+        val cc = c
+        val y = (0 until d).map(i =>
+          (0 until d).foldLeft(0.0)((acc, j) => acc + cc(i)(j) * x(j)))
+        val norm = math.sqrt(y.foldLeft(0.0)((acc, v) => acc + v * v))
+        x = if (norm > 0) y.map(_ / norm) else y
+      }
+      val xs = if (x.foldLeft(0.0)(_ + _) < 0) x.map(v => -v) else x
+      val cc = c
+      val z = (0 until d).map(i =>
+        (0 until d).foldLeft(0.0)((acc, j) => acc + cc(i)(j) * xs(j)))
+      val lambda = (0 until d).foldLeft(0.0)((acc, i) => acc + xs(i) * z(i))
+      out += ((xs, lambda / trace))
+      c = Array.tabulate(d, d)((i, j) => cc(i)(j) - lambda * xs(i) * xs(j))
+    }
+    out.result()
   }
 
   // ---------- random projection ----------

@@ -337,6 +337,44 @@ class VectorOpsSpec extends SparkSpec {
     assert(drift < 1e-8, s"not converged at 24 iters: max drift $drift")
   }
 
+  test("pcaTopK: first component == pcaTop; components orthonormal; shares " +
+    "non-increasing and recover a planted 2-direction spectrum") {
+    val rnd = new scala.util.Random(23)
+    val dim = 12
+    // two orthogonal planted directions with variances 9 and 4
+    val u1 = Array.tabulate(dim)(i => if (i < 6) 1.0 / math.sqrt(6.0) else 0.0)
+    val u2 = Array.tabulate(dim)(i => if (i >= 6) 1.0 / math.sqrt(6.0) else 0.0)
+    val data = (0L until 5000L).map { i =>
+      val a = rnd.nextGaussian() * 3.0
+      val b = rnd.nextGaussian() * 2.0
+      (i, (0 until dim).map(k =>
+        (a * u1(k) + b * u2(k) + rnd.nextGaussian() * 0.1).toFloat))
+    }
+    val df = data.toDF("vec_id", "embedding")
+    val comps = VectorOps.pcaTopK(df, "embedding", k = 3, iters = 30)
+    val (top, topShare) = VectorOps.pcaTop(df, "embedding", iters = 30)
+    assert(comps.head._1 === top && comps.head._2 === topShare,
+      "k=1 path diverged from the head of the k=3 path")
+    // orthonormality across the deflated components
+    for (m <- comps.indices) {
+      val norm = comps(m)._1.map(v => v * v).sum
+      assert(math.abs(norm - 1.0) < 1e-9, s"component $m not unit: $norm")
+      for (l <- 0 until m) {
+        val dot = comps(m)._1.zip(comps(l)._1).map { case (x, y) => x * y }.sum
+        assert(math.abs(dot) < 1e-6, s"components $l,$m not orthogonal: $dot")
+      }
+    }
+    val shares = comps.map(_._2)
+    assert(shares === shares.sortBy(-_), s"shares increased: $shares")
+    // spectrum: 9 / (9+4+0.01·12) ≈ 0.68, 4 / 13.12 ≈ 0.30, rest tiny
+    assert(shares(0) > 0.6 && shares(0) < 0.75, s"share0 off: ${shares(0)}")
+    assert(shares(1) > 0.25 && shares(1) < 0.35, s"share1 off: ${shares(1)}")
+    assert(shares(2) < 0.01, s"noise share too big: ${shares(2)}")
+    val cos1 = math.abs(comps(0)._1.zip(u1).map { case (a, b) => a * b }.sum)
+    val cos2 = math.abs(comps(1)._1.zip(u2).map { case (a, b) => a * b }.sum)
+    assert(cos1 > 0.99 && cos2 > 0.99, s"planted directions missed: $cos1, $cos2")
+  }
+
   test("binary funnel: Hamming shortlist at 4x k recovers most of the exact " +
     "top-10 (sign bits preserve angular neighborhoods)") {
     import graft.operators.Knn
