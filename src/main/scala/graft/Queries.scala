@@ -1560,6 +1560,12 @@ object Queries {
       knnOut(Knn.searchHammingRerank(store, q, k = 10, shortlist = 50))
     }),
 
+    // extension: PMI-lift collocation mining — top adjacent token pairs
+    // by p(ab)/(p(a)p(b)) from exact corpus counts; min-count gate,
+    // quantize-then-rank bounded heap
+    "text_pmi" -> ((s, dir) =>
+      graft.operators.TextOps.collocations(docs(s, dir), minCount = 5L, k = 20)),
+
     // extension: exact dedup (hash groupBy)
     "dedup_exact" -> ((s, dir) =>
       Dedup.exact(docs(s, dir)).orderBy("keep_id")),
@@ -4384,6 +4390,23 @@ object Queries {
          |SELECT sl.vec_id AS vec_id, ${sqlR4(sqlSq("sl.embedding", "q.qvec"))} AS distance
          |FROM sl, q
          |ORDER BY ${sqlSq("sl.embedding", "q.qvec")} ASC, sl.vec_id ASC LIMIT 10""".stripMargin,
+
+    "text_pmi" -> {
+      val lift = "((CAST(bc.n AS DOUBLE) * CAST(tot.nt AS DOUBLE) * CAST(tot.nt AS DOUBLE)) / " +
+        "(CAST(tot.nb AS DOUBLE) * CAST(a.c AS DOUBLE) * CAST(b.c AS DOUBLE)))"
+      s"""WITH tok AS (SELECT regexp_split_to_array(lower(trim(text)), '\\s+') AS t FROM documents),
+         |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM
+         |  (SELECT unnest(t) AS w FROM tok) GROUP BY w),
+         |bi AS (SELECT t[g.i] AS w1, t[g.i + 1] AS w2
+         |  FROM tok, unnest(generate_series(1, len(t) - 1)) AS g(i)),
+         |bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n FROM bi GROUP BY w1, w2),
+         |tot AS (SELECT CAST((SELECT sum(n) FROM bc) AS BIGINT) AS nb,
+         |  CAST((SELECT sum(c) FROM uni) AS BIGINT) AS nt)
+         |SELECT bc.w1, bc.w2, bc.n, ${sqlR4(lift)} AS lift
+         |FROM bc JOIN uni a ON a.w = bc.w1 JOIN uni b ON b.w = bc.w2 CROSS JOIN tot
+         |WHERE bc.n >= 5
+         |ORDER BY ${sqlR4(lift)} DESC, bc.w1 ASC, bc.w2 ASC LIMIT 20""".stripMargin
+    },
 
     "dedup_exact" ->
       "SELECT min(doc_id) AS keep_id, count(*) AS n_dups FROM documents GROUP BY sha256(text) ORDER BY keep_id",

@@ -828,4 +828,49 @@ object TextOps {
       .select(col("query_id"), (col("rank") + 1).cast("long").as("rank"),
         col("p.id").as("doc_id"), (-col("p.distance")).as("score"))
   }
+
+  /** Top-`k` collocations by PMI lift: adjacent token pairs ranked by
+    * `p(ab) / (p(a)·p(b))` — the multi-word-expression detector ("new
+    * york"-style units a tokenizer or stopword list should know about).
+    * `lift` is computed as `(c_ab·N_t·N_t) / (N_b·c_a·c_b)` from exact
+    * corpus counts in a fixed operand order (one double division), so
+    * the ranking key is engine-identical; a `minCount` gate kills the
+    * hapax noise that otherwise dominates PMI.
+    *
+    * Scale shape: two map-side-combinable counts (unigrams, adjacent
+    * pairs — the explode is 1× and 2× the token stream, never d²), two
+    * narrow equi-joins on word keys, a 1×1 broadcast of the two totals,
+    * and a bounded top-k heap (`TakeOrderedAndProject`) with
+    * quantize-then-rank (r4 lift, then (w1, w2) ascending) so the
+    * boundary is deterministic cross-engine. */
+  def collocations(docs: DataFrame, minCount: Long, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    val tk = docs.select(tokens(col("text")).as("__t"))
+    val bi = tk
+      .where(size(col("__t")) >= 2)
+      .select(explode(zip_with(
+        slice(col("__t"), lit(1), size(col("__t")) - 1),
+        slice(col("__t"), lit(2), size(col("__t")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("__p"))
+      .select(col("__p.w1").as("w1"), col("__p.w2").as("w2"))
+    val bc = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n"))
+    val uni = tk.select(explode(col("__t")).as("__w"))
+      .groupBy(col("__w")).agg(count(lit(1)).as("__c"))
+    val tot = bc.agg(sum(col("n")).as("__nb"))
+      .crossJoin(uni.agg(sum(col("__c")).as("__nt")))
+    val r4 = (c: Column) => floor(c * lit(10000.0) + lit(0.5)) / lit(10000.0)
+    bc.where(col("n") >= minCount)
+      .join(uni.select(col("__w").as("w1"), col("__c").as("__ca")), Seq("w1"))
+      .join(uni.select(col("__w").as("w2"), col("__c").as("__cb")), Seq("w2"))
+      .crossJoin(broadcast(tot))
+      .withColumn("lift", r4(
+        (col("n").cast("double") * col("__nt").cast("double")
+          * col("__nt").cast("double")) /
+        (col("__nb").cast("double") * col("__ca").cast("double")
+          * col("__cb").cast("double"))))
+      .orderBy(col("lift").desc, col("w1").asc, col("w2").asc)
+      .limit(k)
+      .select(col("w1"), col("w2"), col("n"), col("lift"))
+  }
 }

@@ -397,4 +397,29 @@ class TextOpsSpec extends SparkSpec {
     assert(g._5 === 0.5)                 // 1 of 2 lines ellipsis-ended
     assert(g._6 === 1L)                  // only "the"
   }
+
+  test("collocations: planted adjacent pair tops the lift ranking with the " +
+    "hand-computed value; minCount gates hapax pairs") {
+    // 10 docs each containing "san francisco" once amid filler; "san"
+    // and "francisco" never occur apart
+    val filler = "the cat sat on the mat and the dog ran"
+    val docs = (0L until 10L)
+      .map(i => (i, s"$filler san francisco $filler"))
+      .toDF("doc_id", "text")
+    val got = TextOps.collocations(docs, minCount = 5L, k = 5)
+      .as[(String, String, Long, Double)].collect()
+    assert(got.head._1 === "san" && got.head._2 === "francisco",
+      s"planted pair not top: ${got.head}")
+    assert(got.head._3 === 10L)
+    // hand computation: per doc 22 tokens, 21 bigrams; c(san)=c(francisco)=10
+    val nt = 220.0; val nb = 210.0
+    val wantLift = (10.0 * nt * nt) / (nb * 10.0 * 10.0)
+    val r4 = (x: Double) => math.floor(x * 10000.0 + 0.5) / 10000.0
+    assert(got.head._4 === r4(wantLift), s"lift ${got.head._4} != $wantLift")
+    // a pair occurring < minCount times never surfaces
+    val one = docs.union(Seq((99L, "zzz qqq")).toDF("doc_id", "text"))
+    val g2 = TextOps.collocations(one, minCount = 5L, k = 100)
+      .as[(String, String, Long, Double)].collect()
+    assert(!g2.exists(r => r._1 == "zzz"), "hapax pair leaked through gate")
+  }
 }
