@@ -3000,6 +3000,15 @@ object Queries {
         .select(col("event_type"), r4(col("prob")).as("prob"))
         .orderBy("event_type")),
 
+    // extension: Holt linear-trend forecast of daily volume — dyadic
+    // smoothing coefficients (0.5/0.25) make the recursion exactly
+    // replayable; day counting distributed, recursion on the driver
+    "events_forecast" -> ((s, dir) =>
+      operators.Events.holtForecast(events(s, dir), horizon = 7)
+        .select(col("horizon").cast("int").as("horizon"),
+          r4(col("forecast")).as("forecast"))
+        .orderBy("horizon")),
+
     // extension: per-source QUALITY rollup — mean quality score
     // (r4-quantized-int mean) and Gopher pass rate per source: the
     // one-look curation scoreboard. All exact-int aggregation
@@ -4545,6 +4554,23 @@ object Queries {
          |FROM c JOIN tt USING (from_type) ORDER BY from_type, to_type""".stripMargin,
 
     "events_markov" -> markovOracleSql(iters = 12),
+
+    // the Holt recursion as ONE list_reduce fold: state packed [l, b],
+    // the new l recomputed inline (pure expression, identical bits),
+    // every coefficient CAST to DOUBLE (decimal-literal trap)
+    "events_forecast" ->
+      s"""WITH dc AS (SELECT date_trunc('day', ts) AS day, CAST(count(*) AS DOUBLE) AS n
+         |  FROM events GROUP BY day),
+         |ys AS (SELECT list(n ORDER BY day) AS y FROM dc),
+         |st AS (SELECT list_reduce(
+         |    list_prepend([y[1], y[2] - y[1]], list_transform(list_slice(y, 2, len(y)), v -> [v])),
+         |    (acc, x) -> [
+         |      CAST(0.5 AS DOUBLE) * x[1] + CAST(0.5 AS DOUBLE) * (acc[1] + acc[2]),
+         |      CAST(0.25 AS DOUBLE) * ((CAST(0.5 AS DOUBLE) * x[1] + CAST(0.5 AS DOUBLE) * (acc[1] + acc[2])) - acc[1])
+         |        + CAST(0.75 AS DOUBLE) * acc[2]
+         |    ]) AS s FROM ys)
+         |SELECT CAST(u.h AS INT) AS horizon, ${sqlR4("s[1] + CAST(u.h AS DOUBLE) * s[2]")} AS forecast
+         |FROM st, unnest(generate_series(1, 7)) AS u(h) ORDER BY horizon""".stripMargin,
 
     // multiset n-gram windows over nonempty tokens (the shingles
     // contract); instance/type counts are exact ints

@@ -226,4 +226,43 @@ object Events {
     import spark.implicits._
     types.zip(x).toDF("event_type", "prob")
   }
+
+  /** Holt linear-trend forecast of the daily event volume — the
+    * capacity-planning dual of [[anomalousWindows]] ("where is traffic
+    * heading", not "where did it spike").
+    *
+    * Scale shape: ONE distributed day-count aggregation (map-side
+    * combinable); the day series is model-bounded (one row per day), so
+    * the smoothing recursion runs as driver arithmetic
+    * (small-support-model rule).
+    *
+    * Determinism contract: the smoothing coefficients are pinned DYADIC
+    * (α = 0.5, β = 0.25) — exactly representable doubles, so unlike a
+    * general (α, β) the recursion has no literal-precision hazard; the
+    * recursion `l ← α·y + (1−α)(l+b); b ← β·(l−l_prev) + (1−β)·b` runs
+    * in one fixed operand order and the oracle replays it as a
+    * `list_reduce` fold with the state packed as `[l, b]` (the new `l`
+    * recomputed inline — pure expression, identical bits). Initial
+    * state: `l₀ = y₀, b₀ = y₁ − y₀` (needs ≥ 2 days). */
+  def holtForecast(events: DataFrame, horizon: Int = 7): DataFrame = {
+    require(horizon > 0, "horizon must be positive")
+    val spark = events.sparkSession
+    val ys = events
+      .select(window(col("ts"), "1 day")("start").as("__day"))
+      .groupBy(col("__day")).agg(count(lit(1)).as("__n"))
+      .orderBy(col("__day"))
+      .select(col("__n").cast("double"))
+      .collect().map(_.getDouble(0)).toIndexedSeq
+    require(ys.length >= 2, s"need >= 2 days of data, got ${ys.length}")
+    var l = ys(0)
+    var b = ys(1) - ys(0)
+    for (t <- 1 until ys.length) {
+      val lPrev = l
+      l = 0.5 * ys(t) + 0.5 * (lPrev + b)
+      b = 0.25 * (l - lPrev) + 0.75 * b
+    }
+    import spark.implicits._
+    (1 to horizon).map(h => (h, l + h.toDouble * b))
+      .toDF("horizon", "forecast")
+  }
 }

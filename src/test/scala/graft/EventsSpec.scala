@@ -163,4 +163,31 @@ class EventsSpec extends SparkSpec {
       assert(math.abs(p - gr2(t)) < 1e-6, s"$t not converged: $p vs ${gr2(t)}")
     }
   }
+
+  test("holtForecast: exact on a linear series (10 + 3t events/day), " +
+    "rejects < 2 days") {
+    // day t gets 10 + 3t events; Holt with any (alpha, beta) is exact on
+    // a noiseless linear trend, and the dyadic coefficients keep every
+    // intermediate double exact, so equality is ==, not approx
+    val dayMs = 86400000L
+    val rows = (0 until 10).flatMap { t =>
+      (0 until 10 + 3 * t).map { j =>
+        ((t * 1000 + j).toLong, 1L, "view",
+          new java.sql.Timestamp(1704067200000L + t * dayMs + j * 1000L))
+      }
+    }
+    val ev = rows.toDF("event_id", "user_id", "event_type", "ts")
+    val got = Events.holtForecast(ev, horizon = 5)
+      .as[(Int, Double)].collect().toMap
+    (1 to 5).foreach { h =>
+      val want = (10 + 3 * 9).toDouble + 3.0 * h
+      assert(got(h) === want, s"h=$h: ${got(h)} != $want")
+    }
+    val one = rows.filter(_._4.getTime < 1704067200000L + dayMs)
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val e = intercept[IllegalArgumentException] {
+      Events.holtForecast(one, horizon = 3)
+    }
+    assert(e.getMessage.contains(">= 2 days"))
+  }
 }
