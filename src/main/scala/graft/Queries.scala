@@ -151,6 +151,38 @@ object Queries {
     * shares all divide the ORIGINAL trace. Mirrors
     * [[operators.VectorOps.pcaTopK]] op-for-op. */
   private def pcaScreeOracleSql(k: Int, iters: Int): String = {
+    s"""${pcaCtesSql(k, iters)}
+       |${(0 until k).map { m =>
+      s"""SELECT CAST($m AS INT) AS component, CAST(u.i AS INT) AS pos,
+         |  ${sqlR4("xs[u.i + 1]")} AS loading, ${sqlR4("lam / tr.tr")} AS share
+         |FROM fin$m, tr, unnest(generate_series(0, len(xs) - 1)) AS u(i)""".stripMargin
+    }.mkString("\nUNION ALL\n")}
+       |ORDER BY component, pos""".stripMargin
+  }
+
+  /** The `embed_pca_project` oracle: the [[pcaCtesSql]] component
+    * machinery plus a per-row projection — `Σᵢ (xᵢ − μᵢ)·v⁽ᵐ⁾ᵢ` as an
+    * ascending list fold against the 1-row mean/component frames,
+    * mirroring the literal-array map in
+    * [[operators.VectorOps.pcaProject]]. */
+  private def pcaProjectOracleSql(k: Int, iters: Int): String = {
+    val pcs = (0 until k).map { m =>
+      s"""${sqlR4(s"list_sum(list_transform(generate_series(1, len(e.embedding)), i -> " +
+        s"(CAST(e.embedding[i] AS DOUBLE) - mu.mu[i]) * f$m.xs[i]))")} AS pc$m"""
+    }
+    val fins = (0 until k).map(m => s"fin$m f$m").mkString(", ")
+    s"""${pcaCtesSql(k, iters)},
+       |mu AS MATERIALIZED (SELECT list(CAST(s1.s AS DOUBLE) / CAST(dd.n AS DOUBLE) / 1000.0
+       |    ORDER BY s1.i) AS mu FROM s1, dd)
+       |SELECT e.vec_id AS vec_id,
+       |  ${pcs.mkString(",\n  ")}
+       |FROM embeddings e, mu, $fins
+       |ORDER BY vec_id""".stripMargin
+  }
+
+  /** Shared CTE body of the PCA oracles: exact q3 moments, covariance,
+    * trace, and `k` deflation blocks ending in `fin0..fin{k-1}`. */
+  private def pcaCtesSql(k: Int, iters: Int): String = {
     val blocks = (0 until k).map { m =>
       val steps = (1 to iters).map { t =>
         s"""x${m}_$t AS MATERIALIZED (SELECT list_transform(generate_series(1, len(y)), i ->
@@ -176,11 +208,6 @@ object Queries {
          |  FROM (SELECT CASE WHEN list_sum(x) < 0
          |    THEN list_transform(x, v -> -v) ELSE x END AS xs, c FROM x${m}_$iters))$deflate""".stripMargin
     }
-    val sel = (0 until k).map { m =>
-      s"""SELECT CAST($m AS INT) AS component, CAST(u.i AS INT) AS pos,
-         |  ${sqlR4("xs[u.i + 1]")} AS loading, ${sqlR4("lam / tr.tr")} AS share
-         |FROM fin$m, tr, unnest(generate_series(0, len(xs) - 1)) AS u(i)""".stripMargin
-    }
     s"""WITH qv AS MATERIALIZED (SELECT list_transform(embedding, x ->
        |    CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT)) AS q FROM embeddings),
        |dd AS MATERIALIZED (SELECT CAST(max(len(q)) AS INT) AS d, CAST(count(*) AS BIGINT) AS n FROM qv),
@@ -194,9 +221,7 @@ object Queries {
        |      / CAST(dd.n AS DOUBLE)) / CAST(dd.n AS DOUBLE) ORDER BY s2.j) AS rw
        |  FROM s2 CROSS JOIN dd JOIN s1 a ON a.i = s2.i JOIN s1 b ON b.i = s2.j GROUP BY s2.i)),
        |tr AS MATERIALIZED (SELECT list_sum(list_transform(generate_series(1, len(c)), i -> c[i][i])) AS tr FROM cm0),
-       |${blocks.mkString(",\n")}
-       |${sel.mkString("\nUNION ALL\n")}
-       |ORDER BY component, pos""".stripMargin
+       |${blocks.mkString(",\n")}""".stripMargin
   }
 
   /** The `events_markov` oracle: the power iteration UNROLLED as
@@ -1495,6 +1520,15 @@ object Queries {
           r4(col("loading")).as("loading"), r4(col("share")).as("share"))
         .orderBy("component", "pos")
     }),
+
+    // extension: materialized PCA projection — per-vector scores on the
+    // top-3 components; the fitted mean/loadings ride the plan as
+    // literals, so the projection is map-only at any corpus size
+    "embed_pca_project" -> ((s, dir) =>
+      operators.VectorOps.pcaProject(emb(s, dir), "embedding", k = 3, iters = 24)
+        .select(col("vec_id"), r4(col("pc0")).as("pc0"),
+          r4(col("pc1")).as("pc1"), r4(col("pc2")).as("pc2"))
+        .orderBy("vec_id")),
 
     // extension: exact per-label centroid distance matrix — q4 integer
     // moment sums per (label, dim) make the centroids order-independent
@@ -4362,6 +4396,8 @@ object Queries {
     "embed_pca" -> pcaOracleSql(iters = 24),
 
     "embed_pca_scree" -> pcaScreeOracleSql(k = 3, iters = 24),
+
+    "embed_pca_project" -> pcaProjectOracleSql(k = 3, iters = 24),
 
     "embed_label_dist" ->
       s"""WITH e AS (SELECT label, u.i AS pos,

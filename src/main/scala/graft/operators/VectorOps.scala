@@ -312,20 +312,34 @@ object VectorOps {
     * ORIGINAL trace, so shares across components are comparable and sum
     * toward 1. Same one-pass/driver-math scale shape and determinism
     * contract as [[pcaTop]]; k is model-bounded (k ≤ d). */
+  /** The one distributed pass: collected `(n, Σq, Σq·qᵀ)` in q3 units. */
+  private def gramMoments(
+      embeddings: DataFrame, vecCol: String): (Long, Seq[Long], Seq[Long]) = {
+    val g = embeddings
+      .agg(graft.functions.GramSumAgg.gramSum(quantizeQ3(col(vecCol))).as("g"))
+      .select(col("g.n"), col("g.s1"), col("g.s2"))
+      .head()
+    (g.getLong(0), g.getSeq[Long](1), g.getSeq[Long](2))
+  }
+
   def pcaTopK(
       embeddings: DataFrame,
       vecCol: String,
       k: Int,
       iters: Int): Seq[(Seq[Double], Double)] = {
+    val (n, s1, s2) = gramMoments(embeddings, vecCol)
+    pcaComponents(n, s1, s2, k, iters)
+  }
+
+  /** Deflation loop on collected moments (driver math; see [[pcaTopK]]). */
+  private def pcaComponents(
+      n: Long,
+      s1: Seq[Long],
+      s2: Seq[Long],
+      k: Int,
+      iters: Int): Seq[(Seq[Double], Double)] = {
     require(iters >= 0, "iters must be non-negative")
     require(k > 0, "k must be positive")
-    val g = embeddings
-      .agg(graft.functions.GramSumAgg.gramSum(quantizeQ3(col(vecCol))).as("g"))
-      .select(col("g.n"), col("g.s1"), col("g.s2"))
-      .head()
-    val n = g.getLong(0)
-    val s1 = g.getSeq[Long](1)
-    val s2 = g.getSeq[Long](2)
     val d = s1.length
     require(n > 0 && d > 0, "empty input")
     require(k <= d, s"k=$k exceeds dimension $d")
@@ -352,6 +366,38 @@ object VectorOps {
       c = Array.tabulate(d, d)((i, j) => cc(i)(j) - lambda * xs(i) * xs(j))
     }
     out.result()
+  }
+
+  /** Materialized PCA projection: per-vector scores on the top-k
+    * components — the dimension-reduction write path (store 3 doubles
+    * per vector instead of d floats for clustering/viz/coarse search).
+    *
+    * Scale shape: [[pcaTopK]]'s one distributed moment pass fits the
+    * model; the mean and loadings are then model-bounded LITERALS
+    * riding the plan (small-support-model rule), so the projection
+    * itself is map-only — no join, no second aggregate, embarrassingly
+    * parallel at any corpus size. Score m = Σᵢ (xᵢ − μᵢ)·v⁽ᵐ⁾ᵢ as an
+    * ascending fold; μ = s1/n/1000 returns the q3-space means to input
+    * units (the loadings are unit vectors, so their q3 fit is
+    * directly applicable). */
+  def pcaProject(
+      embeddings: DataFrame,
+      vecCol: String,
+      k: Int,
+      iters: Int): DataFrame = {
+    val (n, s1, s2) = gramMoments(embeddings, vecCol)
+    val mu = s1.map(s => s.toDouble / n.toDouble / 1000.0)
+    val comps = pcaComponents(n, s1, s2, k, iters)
+    val muLit = array(mu.map(lit): _*)
+    val scores = comps.zipWithIndex.map { case ((loadings, _), m) =>
+      val vLit = array(loadings.map(lit): _*)
+      aggregate(
+        zip_with(
+          zip_with(col(vecCol), muLit, (x, u) => x.cast("double") - u),
+          vLit, (cxu, v) => cxu * v),
+        lit(0.0), (acc, t) => acc + t).as(s"pc$m")
+    }
+    embeddings.select(col("*") +: scores: _*)
   }
 
   // ---------- random projection ----------

@@ -375,6 +375,32 @@ class VectorOpsSpec extends SparkSpec {
     assert(cos1 > 0.99 && cos2 > 0.99, s"planted directions missed: $cos1, $cos2")
   }
 
+  test("pcaProject: scores centered, variance ordered by component, and the " +
+    "original columns survive") {
+    val rnd = new scala.util.Random(24)
+    val dim = 10
+    val data = (0L until 3000L).map { i =>
+      val a = rnd.nextGaussian() * 2.0
+      (i, (0 until dim).map(k =>
+        (if (k == 0) a else rnd.nextGaussian() * 0.3).toFloat))
+    }
+    val df = data.toDF("vec_id", "embedding")
+    val got = VectorOps.pcaProject(df, "embedding", k = 2, iters = 24)
+      .select("vec_id", "pc0", "pc1").as[(Long, Double, Double)].collect()
+    assert(got.length === 3000)
+    def stats(xs: Seq[Double]) = {
+      val m = xs.sum / xs.length
+      (m, xs.map(x => (x - m) * (x - m)).sum / xs.length)
+    }
+    val (m0, v0) = stats(got.map(_._2).toSeq)
+    val (m1, v1) = stats(got.map(_._3).toSeq)
+    // mean-centered projection: scores center near 0 (quantization only)
+    assert(math.abs(m0) < 1e-2 && math.abs(m1) < 1e-2, s"not centered: $m0 $m1")
+    // dominant direction carries the planted variance ~4, noise ~0.09
+    assert(v0 > 3.0 && v0 < 5.0, s"pc0 variance off: $v0")
+    assert(v1 < 0.5 && v0 > v1, s"variance not ordered: $v0 vs $v1")
+  }
+
   test("binary funnel: Hamming shortlist at 4x k recovers most of the exact " +
     "top-10 (sign bits preserve angular neighborhoods)") {
     import graft.operators.Knn
