@@ -874,6 +874,46 @@ object NativeExprs {
 
   def householder(v: Column, w: Seq[Double]): Column = asCol(HouseholderExpr(ex(v), w))
 
+  /** Sign-bit pack to `ceil(d/64)` longs — the fused twin of
+    * [[graft.operators.VectorOps.binaryCodesHof]], which walks an
+    * interpreted 64-step fold per word per row; this kernel is one
+    * branchy scan per row. Semantics replicated from the HOF exactly:
+    * bit set iff the component compares `> 0.0` under SPARK SQL
+    * ordering — so NaN (greater than everything in Spark's total
+    * order) SETS its bit, and a null element (condition → null) leaves
+    * its bit clear; null vector → null; empty vector → empty array.
+    * Bit-identity with the HOF is fuzz-pinned in NativeExprsSpec. */
+  case class BinaryCodesExpr(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    @transient private lazy val readV: (ArrayData, Int) => Double = reader(child.dataType)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = true
+    override def eval(input: InternalRow): Any = {
+      val v = child.eval(input).asInstanceOf[ArrayData]
+      if (v == null) return null
+      val d = v.numElements()
+      val nw = (d + 63) >>> 6
+      val words = new Array[Long](nw)
+      var i = 0
+      while (i < d) {
+        if (!v.isNullAt(i)) {
+          val x = readV(v, i)
+          // Spark SQL comparison semantics: NaN > 0.0 is TRUE
+          if (x > 0.0 || java.lang.Double.isNaN(x))
+            words(i >>> 6) |= (1L << (i & 63))
+        }
+        i += 1
+      }
+      val out = new Array[Any](nw)
+      i = 0
+      while (i < nw) { out(i) = words(i); i += 1 }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  def binaryCodes(v: Column): Column = asCol(BinaryCodesExpr(ex(v)))
+
   /** Per-document character-distribution stats in ONE map-only pass:
     * `struct(n_cp, n_distinct, sum_sq, max_n)` where `n_cp` counts code
     * points, `sum_sq = Σ n_c²` and `max_n = max n_c` over per-character

@@ -60,6 +60,7 @@ object SqlFunctions {
       NativeExprs.TokenStatsExpr(es(0),
         graft.operators.TextOps.StopwordsByLang.map(_._2))),
     "graft_pq_codes" -> (es => NativeExprs.PqCodesExpr(es(0), es(1))),
+    "graft_binary_codes" -> (es => NativeExprs.BinaryCodesExpr(es(0))),
     // aggregates: the analyzer wraps a raw AggregateFunction returned by a
     // registry builder into an AggregateExpression, same as the built-ins
     "graft_vector_mean" -> (es => VectorMeanAgg(es(0))),

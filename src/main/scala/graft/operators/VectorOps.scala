@@ -246,16 +246,31 @@ object VectorOps {
     * greater than 0 in BOTH Spark and DuckDB's total order, so a NaN
     * component sets its bit identically in both engines). Output length
     * is `ceil(d / 64)` longs; trailing bits of a ragged last word stay
-    * 0. Map-only, no shuffle; the fold runs once per stored vector at
-    * encode time (not on the serve path — that scans only [[hammingDistance]]). */
-  def binaryCodes(v: Column): Column = {
+    * 0. Map-only, no shuffle.
+    *
+    * Runs the fused native kernel
+    * ([[graft.functions.NativeExprs.BinaryCodesExpr]]): the encode is
+    * the store-side hot loop of the binary serving path, and the HOF
+    * formulation below walks a 64-step interpreted fold per word per
+    * row — the same overhead class the PQ-encode kernel killed.
+    * Bit-identity between the two is fuzz-pinned in NativeExprsSpec. */
+  def binaryCodes(v: Column): Column =
+    graft.functions.NativeExprs.binaryCodes(v)
+
+  /** Interpreted HOF twin of [[binaryCodes]] — the formulation the
+    * DuckDB oracle SQL mirrors, retained as the native kernel's
+    * executable specification (and its fuzz oracle). Not used on any
+    * hot path. Guarded for empty vectors (Spark's `sequence(0, -1)`
+    * would otherwise DESCEND and index out of bounds). */
+  def binaryCodesHof(v: Column): Column = {
     val bitVals = array(BinaryBitValues.map(lit): _*)
     val nWords = floor((size(v).cast("double") + 63.0) / 64.0).cast("int")
-    transform(sequence(lit(0), nWords - lit(1)), w =>
-      aggregate(sequence(lit(0), lit(63)), lit(0L), (acc, i) =>
-        when(w * lit(64) + i < size(v) &&
-            element_at(v, w * lit(64) + i + lit(1)).cast("double") > lit(0.0),
-          acc.bitwiseOR(element_at(bitVals, i + lit(1)))).otherwise(acc)))
+    when(size(v) === 0, array().cast("array<long>")).otherwise(
+      transform(sequence(lit(0), nWords - lit(1)), w =>
+        aggregate(sequence(lit(0), lit(63)), lit(0L), (acc, i) =>
+          when(w * lit(64) + i < size(v) &&
+              element_at(v, w * lit(64) + i + lit(1)).cast("double") > lit(0.0),
+            acc.bitwiseOR(element_at(bitVals, i + lit(1)))).otherwise(acc))))
   }
 
   /** Hamming distance between two packed codes: `Σ_w popcount(a_w XOR

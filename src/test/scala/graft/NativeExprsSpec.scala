@@ -396,4 +396,30 @@ class NativeExprsSpec extends SparkSpec {
       }
     }
   }
+
+  test("binaryCodes == interpreted HOF twin, bit-identical incl. zeros, " +
+    "-0.0, NaN, and word-boundary widths") {
+    import graft.operators.VectorOps
+    val widths = Seq(1, 3, 63, 64, 65, 127, 128)
+    val rows = widths.zipWithIndex.flatMap { case (d, wi) =>
+      (0 until 30).map { i =>
+        val v = Seq.fill(d)(rnd.nextFloat() * 4 - 2).zipWithIndex.map {
+          case (_, j) if (i + j) % 11 == 0 => 0.0f
+          case (_, j) if (i + j) % 13 == 0 => -0.0f
+          case (_, j) if (i + j) % 17 == 0 => Float.NaN
+          case (x, _) => x
+        }
+        ((wi * 100 + i).toLong, v)
+      }
+    }
+    val df = rows.toDF("id", "v")
+    assertSame(
+      VectorOps.binaryCodes(col("v")),
+      VectorOps.binaryCodesHof(col("v")), df)
+    // empty vector: both sides yield an empty word array, not an error
+    val empty = Seq((0L, Seq.empty[Float])).toDF("id", "v")
+    assertSame(
+      VectorOps.binaryCodes(col("v")),
+      VectorOps.binaryCodesHof(col("v")), empty)
+  }
 }
