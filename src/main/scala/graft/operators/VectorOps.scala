@@ -343,11 +343,14 @@ object VectorOps {
       k: Int,
       iters: Int): Seq[(Seq[Double], Double)] = {
     val (n, s1, s2) = gramMoments(embeddings, vecCol)
-    pcaComponents(n, s1, s2, k, iters)
+    pcaFromMoments(n, s1, s2, k, iters)
   }
 
-  /** Deflation loop on collected moments (driver math; see [[pcaTopK]]). */
-  private def pcaComponents(
+  /** Deflation loop on collected `(n, Σq, Σq·qᵀ)` moments (driver math;
+    * see [[pcaTopK]]). Public so streaming monitors that accumulate
+    * moments incrementally (exact integer adds — streaming ≡ batch by
+    * construction) can refit without a second distributed pass. */
+  def pcaFromMoments(
       n: Long,
       s1: Seq[Long],
       s2: Seq[Long],
@@ -402,7 +405,7 @@ object VectorOps {
       iters: Int): DataFrame = {
     val (n, s1, s2) = gramMoments(embeddings, vecCol)
     val mu = s1.map(s => s.toDouble / n.toDouble / 1000.0)
-    val comps = pcaComponents(n, s1, s2, k, iters)
+    val comps = pcaFromMoments(n, s1, s2, k, iters)
     val muLit = array(mu.map(lit): _*)
     val scores = comps.zipWithIndex.map { case ((loadings, _), m) =>
       val vLit = array(loadings.map(lit): _*)

@@ -181,6 +181,83 @@ object VectorIngest {
     state.attach(query)
     state
   }
+
+  /** Streaming embedding-DRIFT monitor: per micro-batch, fold the
+    * batch's exact integer Gram partials
+    * ([[graft.functions.GramSumAgg]]) into a durable cumulative moment
+    * state, refit the top principal component from the moments (driver
+    * math — no second distributed pass), and record how far the
+    * corpus's dominant direction has rotated from `baseline` (the
+    * |cosine| of the current top loadings against it). The alert
+    * condition "a new source is bending the embedding space" is then a
+    * threshold on the newest row.
+    *
+    * Exactness law (pinned in StreamingSpec): the cumulative moments
+    * are exact integer sums, so after any sequence of micro-batches
+    * they EQUAL the single-pass batch moments over the union — the
+    * streaming and batch fits are indistinguishable, not approximately
+    * so.
+    *
+    * State layout: one row per processed batch under `stateDir`,
+    * partitioned by `batch_id` (cumulative `n`/`s1`/`s2` plus the
+    * fitted `cos_top`/`share_top`) — a self-describing audit trail
+    * whose newest row is the current state. Each batch reads the
+    * newest row with `batch_id < current` and dynamically overwrites
+    * its own partition, so an at-least-once `foreachBatch` retry
+    * recomputes identical content instead of double-counting. */
+  def startDriftMonitor(
+      spark: SparkSession,
+      dir: String,
+      dim: Int,
+      baseline: Seq[Double],
+      stateDir: String,
+      checkpointPath: String,
+      iters: Int = 24): StreamingQuery = {
+    require(baseline.length == dim, "baseline loading width must match dim")
+    readRecords(spark, dir, dim)
+      .writeStream
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val g = batch
+          .where(Metric.validDimension(col("embedding"), dim))
+          .agg(graft.functions.GramSumAgg.gramSum(
+            graft.operators.VectorOps.quantizeQ3(col("embedding"))).as("g"))
+          .select(col("g.n"), col("g.s1"), col("g.s2")).head()
+        if (!g.isNullAt(0)) { // empty batch: nothing to fold
+          val bn = g.getLong(0)
+          val bs1 = g.getSeq[Long](1)
+          val bs2 = g.getSeq[Long](2)
+          val fs = new org.apache.hadoop.fs.Path(stateDir)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val prior =
+            if (!fs.exists(new org.apache.hadoop.fs.Path(stateDir))) None
+            else {
+              val st = spark.read.parquet(stateDir)
+                .where(col("batch_id") < batchId)
+                .orderBy(col("batch_id").desc).limit(1)
+                .select(col("n"), col("s1"), col("s2")).collect()
+              st.headOption
+            }
+          val n = prior.map(_.getLong(0)).getOrElse(0L) + bn
+          val s1 = prior.map(_.getSeq[Long](1).zip(bs1).map(t => t._1 + t._2))
+            .getOrElse(bs1)
+          val s2 = prior.map(_.getSeq[Long](2).zip(bs2).map(t => t._1 + t._2))
+            .getOrElse(bs2)
+          val (xs, share) =
+            graft.operators.VectorOps.pcaFromMoments(n, s1, s2, 1, iters).head
+          val cos = math.abs(xs.zip(baseline)
+            .foldLeft(0.0)((acc, t) => acc + t._1 * t._2))
+          import spark.implicits._
+          Seq((batchId, n, s1, s2, cos, share))
+            .toDF("batch_id", "n", "s1", "s2", "cos_top", "share_top")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id").parquet(stateDir)
+        }
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
 }
 
 /** Mutable driver-side state of a [[VectorIngest.startMaintained]] job:

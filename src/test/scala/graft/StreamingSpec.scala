@@ -706,4 +706,51 @@ class StreamingSpec extends SparkSpec {
       catch { case _: org.apache.spark.sql.AnalysisException => Set.empty[Long] }
     assert(admitted.isEmpty, s"near-dup must be rejected under matched params, got $admitted")
   }
+
+  test("streaming drift monitor: cumulative moments exactly equal the batch " +
+    "fit; a rotated second wave drops the baseline cosine") {
+    import graft.streaming.VectorIngest
+    val base = java.nio.file.Files.createTempDirectory("graft_drift").toString
+    val dir = s"$base/in"; val state = s"$base/state"; val ckpt = s"$base/ckpt"
+    val dim = 8
+    val rnd = new scala.util.Random(41)
+    def wave(ids: Range, hot: Int) = ids.map { i =>
+      val a = rnd.nextGaussian() * 3.0
+      (i.toLong, (0 until dim).map(k =>
+        ((if (k == hot) a else 0.0) + rnd.nextGaussian() * 0.1).toFloat),
+        Map.empty[String, String])
+    }.toDF("id", "embedding", "metadata")
+    // baseline: wave 1's dominant direction is axis 0
+    val baseline = (0 until dim).map(k => if (k == 0) 1.0 else 0.0)
+
+    wave(0 until 1500, hot = 0).write.mode("append").parquet(dir)
+    VectorIngest.startDriftMonitor(spark, dir, dim, baseline, state, ckpt)
+      .awaitTermination()
+    val r1 = spark.read.parquet(state).orderBy(col("batch_id").desc)
+      .select("n", "cos_top", "share_top")
+      .as[(Long, Double, Double)].head()
+    assert(r1._1 === 1500L)
+    assert(r1._2 > 0.98, s"wave-1 top component should be the baseline: ${r1._2}")
+
+    // wave 2: the dominant direction rotates to axis 3
+    wave(2000 until 5000, hot = 3).write.mode("append").parquet(dir)
+    VectorIngest.startDriftMonitor(spark, dir, dim, baseline, state, ckpt)
+      .awaitTermination()
+    val rows = spark.read.parquet(state).orderBy(col("batch_id"))
+      .select("batch_id", "n", "s1", "s2", "cos_top")
+      .as[(Long, Long, Seq[Long], Seq[Long], Double)].collect()
+    assert(rows.length === 2, s"one state row per batch: ${rows.length}")
+    val last = rows.last
+    assert(last._2 === 4500L)
+    assert(last._5 < 0.5, s"drift undetected: cos ${last._5}")
+
+    // the exactness law: cumulative streaming moments == one batch pass
+    val g = spark.read.parquet(dir)
+      .agg(graft.functions.GramSumAgg.gramSum(
+        graft.operators.VectorOps.quantizeQ3(col("embedding"))).as("g"))
+      .select(col("g.n"), col("g.s1"), col("g.s2"))
+      .as[(Long, Seq[Long], Seq[Long])].head()
+    assert(last._2 === g._1 && last._3 === g._2 && last._4 === g._3,
+      "cumulative moments diverged from the single-pass batch moments")
+  }
 }
