@@ -3034,6 +3034,31 @@ object Queries {
         .select(col("event_type"), r4(col("prob")).as("prob"))
         .orderBy("event_type")),
 
+    // extension: top session PATHS — the most common first-5-event type
+    // sequences per 30-min session: the "how do users actually move"
+    // product analytic. Session ids by the lag/cumsum shape (one
+    // shuffle), per-session order fixed by (ts, event_id), exact counts,
+    // bounded top-k heap
+    "events_paths" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val cum = w.rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, org.apache.spark.sql.expressions.Window.currentRow)
+      events(s, dir)
+        .withColumn("__new", when(lag(col("ts"), 1).over(w).isNull ||
+          unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w))
+            >= 1800L * 1000000L, 1L).otherwise(0L))
+        .withColumn("__sid", sum(col("__new")).over(cum))
+        .groupBy(col("user_id"), col("__sid"))
+        .agg(array_sort(collect_list(struct(
+          col("ts"), col("event_id"), col("event_type")))).as("__evs"))
+        .select(concat_ws(" > ", slice(
+          transform(col("__evs"), e => e.getField("event_type")),
+          lit(1), lit(5))).as("path"))
+        .groupBy(col("path")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("path").asc).limit(20)
+    }),
+
     // extension: Holt linear-trend forecast of daily volume — dyadic
     // smoothing coefficients (0.5/0.25) make the recursion exactly
     // replayable; day counting distributed, recursion on the driver
@@ -4590,6 +4615,21 @@ object Queries {
          |FROM c JOIN tt USING (from_type) ORDER BY from_type, to_type""".stripMargin,
 
     "events_markov" -> markovOracleSql(iters = 12),
+
+    "events_paths" ->
+      s"""WITH o AS (SELECT user_id, ts, event_id, event_type,
+         |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+         |         OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) >= INTERVAL 30 MINUTE
+         |       THEN 1 ELSE 0 END AS new_s
+         |  FROM events),
+         |sx AS (SELECT user_id, ts, event_id, event_type,
+         |  sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
+         |  FROM o),
+         |p AS (SELECT array_to_string(list_slice(
+         |    list(event_type ORDER BY ts, event_id), 1, 5), ' > ') AS path
+         |  FROM sx GROUP BY user_id, sid)
+         |SELECT path, CAST(count(*) AS BIGINT) AS n FROM p
+         |GROUP BY path ORDER BY n DESC, path ASC LIMIT 20""".stripMargin,
 
     // the Holt recursion as ONE list_reduce fold: state packed [l, b],
     // the new l recomputed inline (pure expression, identical bits),

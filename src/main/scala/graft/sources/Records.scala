@@ -220,4 +220,34 @@ object Records {
       .write.mode("overwrite").parquet(dst)
     nFiles
   }
+
+  /** Version RETENTION — the missing half of the versioned-store
+    * lifecycle ([[graft.streaming.MaintainedIngest]] and the refine
+    * path create `v0, v1, …` directories; nothing ever reclaimed
+    * them). Deletes all but the newest `keepLast` version directories
+    * under `base`, together with their per-version companion files
+    * (`centroids_vN`, same suffix convention). Returns the versions
+    * removed, oldest first.
+    *
+    * Safety contract: the newest version — the one readers resolve —
+    * is always kept (`keepLast >= 1` enforced), deletion proceeds
+    * oldest-first so a crash mid-vacuum leaves a contiguous suffix of
+    * versions, and time travel ([[graft.operators.Crud.snapshotAt]])
+    * into a vacuumed version correctly fails rather than silently
+    * reading partial data — the trade every retention policy makes. */
+  def vacuumVersions(spark: SparkSession, base: String, keepLast: Int): Seq[Int] = {
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    val p = new org.apache.hadoop.fs.Path(base)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return Seq.empty
+    val versions = fs.listStatus(p).filter(_.isDirectory)
+      .map(_.getPath.getName).filter(_.matches("v\\d+"))
+      .map(_.drop(1).toInt).sorted.toSeq
+    val doomed = versions.dropRight(keepLast)
+    doomed.foreach { v =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$base/v$v"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$base/centroids_v$v"), true)
+    }
+    doomed
+  }
 }

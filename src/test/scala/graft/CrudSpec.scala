@@ -298,4 +298,34 @@ class CrudSpec extends SparkSpec {
     val b = back.select("id", "metadata").as[(Long, Map[String, String])].collect().sortBy(_._1)
     assert(a.toSeq === b.toSeq)
   }
+
+  test("vacuumVersions: keeps the newest keepLast versions plus companions, " +
+    "no-ops beyond history, newest data stays readable") {
+    import graft.sources.Records
+    val base = java.nio.file.Files.createTempDirectory("graft_vacuum").toString
+    (0 to 3).foreach { v =>
+      Seq((v.toLong, s"v$v")).toDF("id", "tag")
+        .write.mode("overwrite").parquet(s"$base/v$v")
+      Seq((v, Seq.fill(4)(0.1f))).toDF("cluster_id", "centroid")
+        .write.mode("overwrite").parquet(s"$base/centroids_v$v")
+    }
+    val removed = Records.vacuumVersions(spark, base, keepLast = 2)
+    assert(removed === Seq(0, 1))
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def exists(n: String) = fs.exists(new org.apache.hadoop.fs.Path(s"$base/$n"))
+    assert(!exists("v0") && !exists("v1") && !exists("centroids_v0") &&
+      !exists("centroids_v1"))
+    assert(exists("v2") && exists("v3") && exists("centroids_v2") &&
+      exists("centroids_v3"))
+    assert(spark.read.parquet(s"$base/v3").as[(Long, String)].head() === ((3L, "v3")))
+    // retention wider than history: nothing removed
+    assert(Records.vacuumVersions(spark, base, keepLast = 10) === Seq.empty)
+    // absent base: empty, no error; zero retention: rejected
+    assert(Records.vacuumVersions(spark, s"$base/nope", 1) === Seq.empty)
+    val e = intercept[IllegalArgumentException] {
+      Records.vacuumVersions(spark, base, keepLast = 0)
+    }
+    assert(e.getMessage.contains("keepLast"))
+  }
 }
