@@ -1600,6 +1600,20 @@ object Queries {
     "text_pmi" -> ((s, dir) =>
       graft.operators.TextOps.collocations(docs(s, dir), minCount = 5L, k = 20)),
 
+    // extension: batch Hamming top-k — the bounded-heap two-stage
+    // reduction (no ranking window) over packed sign codes
+    "ann_hamming_batch" -> ((s, dir) => {
+      val store = recs(s, dir)
+        .withColumn("bcode", operators.VectorOps.binaryCodes(col("embedding")))
+      val q = recs(s, dir).where(col("id") < 5)
+        .select(col("id").as("query_id"),
+          operators.VectorOps.binaryCodes(col("embedding")).as("qcode"))
+      Knn.searchHammingBatch(store, q, 5)
+        .orderBy(col("query_id"), col("distance"), col("id"))
+        .select(col("query_id"), col("id").as("vec_id"),
+          col("distance").cast("long").as("hamming"))
+    }),
+
     // extension: exact dedup (hash groupBy)
     "dedup_exact" -> ((s, dir) =>
       Dedup.exact(docs(s, dir)).orderBy("keep_id")),
@@ -4477,6 +4491,17 @@ object Queries {
          |WHERE bc.n >= 5
          |ORDER BY ${sqlR4(lift)} DESC, bc.w1 ASC, bc.w2 ASC LIMIT 20""".stripMargin
     },
+
+    "ann_hamming_batch" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, ${sqlBinCode("embedding")} AS qc
+         |  FROM embeddings WHERE vec_id < 5),
+         |c AS (SELECT vec_id, ${sqlBinCode("embedding")} AS bc FROM embeddings),
+         |d AS (SELECT q.query_id, c.vec_id, ${sqlHamming("c.bc", "q.qc")} AS h
+         |  FROM c CROSS JOIN q),
+         |r AS (SELECT query_id, vec_id, h,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY h ASC, vec_id ASC) AS rn FROM d)
+         |SELECT query_id, vec_id, h AS hamming FROM r WHERE rn <= 5
+         |ORDER BY query_id, h, vec_id""".stripMargin,
 
     "dedup_exact" ->
       "SELECT min(doc_id) AS keep_id, count(*) AS n_dups FROM documents GROUP BY sha256(text) ORDER BY keep_id",

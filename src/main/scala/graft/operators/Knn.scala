@@ -130,6 +130,26 @@ object Knn {
       .select(col("id"), col("metadata"), col("distance"))
   }
 
+  /** Batch form of the Hamming scan: top-k per query over packed sign
+    * codes via the same bounded-heap two-stage reduction as
+    * [[searchBatch]] (map-side partial heaps, merge, broadcast
+    * join-back) — no ranking window anywhere. `records` carries
+    * `bcode`, `queries` is `(query_id, qcode)`; the heap key is the
+    * Hamming distance cast to double (exact for any realistic d), ties
+    * by id ascending. */
+  def searchHammingBatch(
+      records: DataFrame,
+      queries: DataFrame,
+      k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val candidates = records
+      .crossJoin(broadcast(queries))
+      .withColumn("distance",
+        VectorOps.hammingDistance(col("bcode"), col("qcode")).cast("double"))
+      .select(col("query_id"), col("distance"), col("id"))
+    topKPerQuery(candidates, records, k)
+  }
+
   /** MMR diversity rerank (Carbonell & Goldstein 1998): a relevance
     * shortlist, then greedy maximal-marginal-relevance selection —
     * each pick balances closeness to the query against redundancy with
