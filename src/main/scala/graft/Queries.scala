@@ -103,6 +103,12 @@ object Queries {
     * step — each step excludes the previous picks and orders by the
     * same `lam·dq − (1−lam)·min-dist-to-selected` objective the
     * expression evaluates, with the identical id tiebreak. */
+  /** Tertile boundaries for `events_rfm` — ONE Scala definition feeds
+    * both engines' percentile calls (shortest-round-trip toString
+    * parses back to identical double bits in DuckDB). */
+  private val RfmP1: Double = 1.0 / 3
+  private val RfmP2: Double = 2.0 / 3
+
   /** The `embed_pca` oracle: exact-integer moment sums recomputed from
     * the parquet (the same q3 quantization), then the same `iters`
     * power iterations UNROLLED as MATERIALIZED CTE list folds — every
@@ -1402,6 +1408,13 @@ object Queries {
     "ivf_matryoshka_query" -> ((s, dir) =>
       knnOut(IvfIndex.queryPrefixRerank(fixedModel(s, dir, Metric.Euclidean),
         qvec0(s, dir), k = 10, probes = 3, prefixDim = 16, shortlist = 50))),
+
+    // extension: the three-level BINARY funnel — IVF probe pruning,
+    // then an integer Hamming shortlist over packed sign codes, then
+    // exact rerank of the shortlist only
+    "ivf_hamming_query" -> ((s, dir) =>
+      knnOut(IvfIndex.queryHammingRerank(fixedModel(s, dir, Metric.Euclidean),
+        qvec0(s, dir), k = 10, probes = 3, shortlist = 50))),
 
     // O17/O18 × O6 — the 100 TB index LAYOUT in the correctness gate:
     // write the assignment partitionBy(cluster_id) (posting lists as
@@ -3073,6 +3086,41 @@ object Queries {
         .orderBy(col("n").desc, col("path").asc).limit(20)
     }),
 
+    // extension: RFM segmentation — per-user recency (micros since the
+    // corpus-max ts), frequency, and q4-exact monetary sum bucketed
+    // into tertiles by interpolated percentiles over exact longs; the
+    // 27-cell segment census is the classic lifecycle-marketing rollup.
+    // One per-user reduction, a 1-row threshold broadcast, exact counts
+    "events_rfm" -> ((s, dir) => {
+      val ev = events(s, dir).where(col("user_id").isNotNull)
+      val mx = ev.agg(max(unix_micros(col("ts"))).as("__mx"))
+      val per = ev.groupBy(col("user_id")).agg(
+          max(unix_micros(col("ts"))).as("__last"),
+          count(lit(1)).as("__f"),
+          sum(floor(coalesce(col("value").cast("double"), lit(0.0))
+            * lit(10000.0) + lit(0.5)).cast("long")).as("__m"))
+        .crossJoin(broadcast(mx))
+        .select(col("user_id"), (col("__mx") - col("__last")).as("__r"),
+          col("__f"), col("__m"))
+      val th = per.agg(
+        expr(s"percentile(__r, ${RfmP1}D)").as("r1"),
+        expr(s"percentile(__r, ${RfmP2}D)").as("r2"),
+        expr(s"percentile(__f, ${RfmP1}D)").as("f1"),
+        expr(s"percentile(__f, ${RfmP2}D)").as("f2"),
+        expr(s"percentile(__m, ${RfmP1}D)").as("m1"),
+        expr(s"percentile(__m, ${RfmP2}D)").as("m2"))
+      def b(v: Column, t1: Column, t2: Column) =
+        when(v.cast("double") <= t1, 0).when(v.cast("double") <= t2, 1)
+          .otherwise(2)
+      per.crossJoin(broadcast(th))
+        .select(b(col("__r"), col("r1"), col("r2")).as("r_bucket"),
+          b(col("__f"), col("f1"), col("f2")).as("f_bucket"),
+          b(col("__m"), col("m1"), col("m2")).as("m_bucket"))
+        .groupBy("r_bucket", "f_bucket", "m_bucket")
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("r_bucket", "f_bucket", "m_bucket")
+    }),
+
     // extension: Holt linear-trend forecast of daily volume — dyadic
     // smoothing coefficients (0.5/0.25) make the recursion exactly
     // replayable; day counting distributed, recursion on the driver
@@ -4659,6 +4707,27 @@ object Queries {
     // the Holt recursion as ONE list_reduce fold: state packed [l, b],
     // the new l recomputed inline (pure expression, identical bits),
     // every coefficient CAST to DOUBLE (decimal-literal trap)
+    "events_rfm" ->
+      s"""WITH mx AS (SELECT max(epoch_us(ts)) AS m FROM events WHERE user_id IS NOT NULL),
+         |per AS (SELECT user_id, mx.m - max(epoch_us(ts)) AS r,
+         |    CAST(count(*) AS BIGINT) AS f,
+         |    CAST(sum(CAST(floor(coalesce(CAST(value AS DOUBLE), 0.0) * 10000.0 + 0.5) AS BIGINT)) AS BIGINT) AS m
+         |  FROM events, mx WHERE user_id IS NOT NULL GROUP BY user_id, mx.m),
+         |th AS (SELECT
+         |    quantile_cont(CAST(r AS DOUBLE), CAST($RfmP1 AS DOUBLE)) AS r1,
+         |    quantile_cont(CAST(r AS DOUBLE), CAST($RfmP2 AS DOUBLE)) AS r2,
+         |    quantile_cont(CAST(f AS DOUBLE), CAST($RfmP1 AS DOUBLE)) AS f1,
+         |    quantile_cont(CAST(f AS DOUBLE), CAST($RfmP2 AS DOUBLE)) AS f2,
+         |    quantile_cont(CAST(m AS DOUBLE), CAST($RfmP1 AS DOUBLE)) AS m1,
+         |    quantile_cont(CAST(m AS DOUBLE), CAST($RfmP2 AS DOUBLE)) AS m2
+         |  FROM per)
+         |SELECT
+         |  CAST(CASE WHEN CAST(r AS DOUBLE) <= r1 THEN 0 WHEN CAST(r AS DOUBLE) <= r2 THEN 1 ELSE 2 END AS INT) AS r_bucket,
+         |  CAST(CASE WHEN CAST(f AS DOUBLE) <= f1 THEN 0 WHEN CAST(f AS DOUBLE) <= f2 THEN 1 ELSE 2 END AS INT) AS f_bucket,
+         |  CAST(CASE WHEN CAST(m AS DOUBLE) <= m1 THEN 0 WHEN CAST(m AS DOUBLE) <= m2 THEN 1 ELSE 2 END AS INT) AS m_bucket,
+         |  CAST(count(*) AS BIGINT) AS n_users
+         |FROM per, th GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
     "events_forecast" ->
       s"""WITH dc AS (SELECT date_trunc('day', ts) AS day, CAST(count(*) AS DOUBLE) AS n
          |  FROM events GROUP BY day),
@@ -5287,6 +5356,20 @@ object Queries {
          |  FROM embeddings e JOIN asg ON e.vec_id = asg.vec_id JOIN probed ON asg.cid = probed.cid, q),
          |sl AS (SELECT vec_id, embedding, qvec FROM cand
          |  ORDER BY ${sqlSq("embedding[1:16]", "qvec[1:16]")} ASC, vec_id ASC LIMIT 50)
+         |SELECT vec_id, ${sqlR4(sqlSq("embedding", "qvec"))} AS distance
+         |FROM sl ORDER BY ${sqlSq("embedding", "qvec")} ASC, vec_id ASC LIMIT 10""".stripMargin,
+
+    "ivf_hamming_query" ->
+      s"""WITH c AS (SELECT CAST(vec_id AS INTEGER) AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8),
+         |q AS (SELECT embedding AS qvec, ${sqlBinCode("embedding")} AS qc FROM embeddings WHERE vec_id = 0),
+         |asg AS (SELECT vec_id, cid FROM (
+         |  SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id ORDER BY ${sqlSq("e.embedding", "c.cvec")} ASC, c.cid ASC) AS rn
+         |  FROM embeddings e CROSS JOIN c) WHERE rn = 1),
+         |probed AS (SELECT c.cid FROM c, q ORDER BY ${sqlSq("c.cvec", "q.qvec")} ASC, c.cid ASC LIMIT 3),
+         |cand AS (SELECT e.vec_id AS vec_id, e.embedding AS embedding, q.qvec AS qvec, q.qc AS qc
+         |  FROM embeddings e JOIN asg ON e.vec_id = asg.vec_id JOIN probed ON asg.cid = probed.cid, q),
+         |sl AS (SELECT vec_id, embedding, qvec FROM cand
+         |  ORDER BY ${sqlHamming(sqlBinCode("embedding"), "qc")} ASC, vec_id ASC LIMIT 50)
          |SELECT vec_id, ${sqlR4(sqlSq("embedding", "qvec"))} AS distance
          |FROM sl ORDER BY ${sqlSq("embedding", "qvec")} ASC, vec_id ASC LIMIT 10""".stripMargin,
 

@@ -288,6 +288,37 @@ object IvfIndex {
     Knn.searchPrefixRerank(candidates, query, k, prefixDim, shortlist, metric)
   }
 
+  /** Three-level BINARY serving funnel: IVF probe pruning → Hamming
+    * shortlist over packed sign codes → exact rerank. The 100 TB shape
+    * for a compressed binary store: the probe prunes to `probes`
+    * posting lists (partition pruning on the written layout), the
+    * shortlist stage costs d/64 integer XOR+POPCNTs per surviving
+    * candidate ([[VectorOps.hammingDistance]]; no float math), and only
+    * `shortlist` rows reach the full-precision kernel. Same recall
+    * contract as every funnel here: a true neighbor outside the probed
+    * clusters or the Hamming shortlist is lost. Deterministic end to
+    * end (probe, Hamming, and rerank stages all tiebreak ascending), so
+    * the composition is oracle-checkable. */
+  def queryHammingRerank(
+      model: Model,
+      query: DataFrame,
+      k: Int,
+      probes: Int,
+      shortlist: Int,
+      metric: Metric = Metric.Euclidean): DataFrame = {
+    val probed = model.centroids
+      .crossJoin(broadcast(query))
+      .withColumn("__cdist", metric.distance(col("centroid"), col("qvec")))
+      .orderBy(isnan(col("__cdist")).asc, col("__cdist").asc, col("cluster_id").asc)
+      .limit(probes)
+      .select("cluster_id")
+    val candidates = model.assigned
+      .join(broadcast(probed), Seq("cluster_id"), "left_semi")
+      .withColumn("bcode", VectorOps.binaryCodes(col("embedding")))
+    val q = query.withColumn("qcode", VectorOps.binaryCodes(col("qvec")))
+    Knn.searchHammingRerank(candidates, q, k, shortlist, metric)
+  }
+
   /** IVF-PQ probe served ENTIRELY from codes — the compressed-store
     * twin of [[query]] for squared L2. `codeStore` holds
     * `(id, cluster_id, codes)` (see [[VectorOps.pqCodes]]; 2 bytes per
