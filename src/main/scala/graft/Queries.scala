@@ -1607,6 +1607,31 @@ object Queries {
       knnOut(Knn.searchHammingRerank(store, q, k = 10, shortlist = 50))
     }),
 
+    // extension: ANALYZE-style table profile — per column: row count,
+    // nulls, exact distinct count, and min/max rendered as strings
+    // (full text omits min/max; its length profile is in corpus_stats).
+    // The planner-stats report every engine ships; one pass per column,
+    // all exact counts
+    "corpus_profile" -> ((s, dir) => {
+      val d = docs(s, dir)
+      def prof(c: String, withMinMax: Boolean) = {
+        val base = d.agg(
+          count(lit(1)).as("n"),
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as("nulls"),
+          count_distinct(col(c)).as("n_distinct"),
+          (if (withMinMax) min(col(c)).cast("string") else lit(null).cast("string")).as("min_v"),
+          (if (withMinMax) max(col(c)).cast("string") else lit(null).cast("string")).as("max_v"))
+        base.select(lit(c).as("column"), col("n"), col("nulls"),
+          col("n_distinct"), col("min_v"), col("max_v"))
+      }
+      prof("doc_id", withMinMax = true)
+        .union(prof("lang", withMinMax = true))
+        .union(prof("source", withMinMax = true))
+        .union(prof("n_chars", withMinMax = true))
+        .union(prof("text", withMinMax = false))
+        .orderBy("column")
+    }),
+
     // extension: PMI-lift collocation mining — top adjacent token pairs
     // by p(ab)/(p(a)p(b)) from exact corpus counts; min-count gate,
     // quantize-then-rank bounded heap
@@ -4522,6 +4547,20 @@ object Queries {
          |SELECT sl.vec_id AS vec_id, ${sqlR4(sqlSq("sl.embedding", "q.qvec"))} AS distance
          |FROM sl, q
          |ORDER BY ${sqlSq("sl.embedding", "q.qvec")} ASC, sl.vec_id ASC LIMIT 10""".stripMargin,
+
+    "corpus_profile" -> {
+      def p(c: String, mm: Boolean) = {
+        val minv = if (mm) s"CAST(min($c) AS VARCHAR)" else "CAST(NULL AS VARCHAR)"
+        val maxv = if (mm) s"CAST(max($c) AS VARCHAR)" else "CAST(NULL AS VARCHAR)"
+        s"""SELECT '$c' AS "column", CAST(count(*) AS BIGINT) AS n,
+           |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls,
+           |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  $minv AS min_v, $maxv AS max_v FROM documents""".stripMargin
+      }
+      Seq(p("doc_id", true), p("lang", true), p("source", true),
+        p("n_chars", true), p("text", false))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
+    },
 
     "text_pmi" -> {
       val lift = "((CAST(bc.n AS DOUBLE) * CAST(tot.nt AS DOUBLE) * CAST(tot.nt AS DOUBLE)) / " +

@@ -250,4 +250,30 @@ object Records {
     }
     doomed
   }
+
+  /** ROLLBACK: re-publish version `v`'s data (and its centroids
+    * companion, when present) as a NEW newest version — never by
+    * deleting newer versions, so the operation is itself versioned,
+    * auditable, and vacuum-safe (the bad versions age out through
+    * [[vacuumVersions]] like any other). Readers that resolve "the
+    * newest version" see the restored data atomically once the new
+    * directory is fully written (the same reader contract as the
+    * refine swap in [[graft.streaming.MaintainedIngest]]). Returns the
+    * new version number. */
+  def restoreVersion(spark: SparkSession, base: String, v: Int): Int = {
+    val p = new org.apache.hadoop.fs.Path(base)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new org.apache.hadoop.fs.Path(s"$base/v$v")),
+      s"version v$v does not exist under $base")
+    val versions = fs.listStatus(p).filter(_.isDirectory)
+      .map(_.getPath.getName).filter(_.matches("v\\d+"))
+      .map(_.drop(1).toInt)
+    val next = versions.max + 1
+    spark.read.parquet(s"$base/v$v")
+      .write.mode("overwrite").parquet(s"$base/v$next")
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$base/centroids_v$v")))
+      spark.read.parquet(s"$base/centroids_v$v")
+        .write.mode("overwrite").parquet(s"$base/centroids_v$next")
+    next
+  }
 }

@@ -328,4 +328,27 @@ class CrudSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("keepLast"))
   }
+
+  test("restoreVersion: rollback publishes the old data as a NEW newest " +
+    "version with its centroids; missing source rejected") {
+    import graft.sources.Records
+    val base = java.nio.file.Files.createTempDirectory("graft_restore").toString
+    (0 to 2).foreach { v =>
+      Seq((v.toLong, s"v$v")).toDF("id", "tag")
+        .write.mode("overwrite").parquet(s"$base/v$v")
+    }
+    Seq((0, Seq.fill(4)(0.5f))).toDF("cluster_id", "centroid")
+      .write.mode("overwrite").parquet(s"$base/centroids_v0")
+    val next = Records.restoreVersion(spark, base, v = 0)
+    assert(next === 3)
+    // the restored newest version carries v0's data and companion
+    assert(spark.read.parquet(s"$base/v3").as[(Long, String)].head() === ((0L, "v0")))
+    assert(spark.read.parquet(s"$base/centroids_v3").count() === 1L)
+    // nothing deleted: the bad versions remain for audit until vacuumed
+    assert(spark.read.parquet(s"$base/v2").as[(Long, String)].head() === ((2L, "v2")))
+    val e = intercept[IllegalArgumentException] {
+      Records.restoreVersion(spark, base, v = 99)
+    }
+    assert(e.getMessage.contains("v99"))
+  }
 }
