@@ -1632,6 +1632,18 @@ object Queries {
         .orderBy("column")
     }),
 
+    // extension: Unicode-script mix per document — exact code-point
+    // counts by explicit range table (shared with the oracle as data):
+    // the mixed-script / wrong-script curation signal. One fused scan
+    "text_scripts" -> ((s, dir) => {
+      val m = graft.functions.NativeExprs.scriptMix(col("text"))
+      docs(s, dir).select(col("doc_id"), m.as("__m"))
+        .select(col("doc_id") +: ("n_cp" +:
+          graft.functions.NativeExprs.ScriptOrder :+ "other")
+          .map(f => col(s"__m.$f").as(f)): _*)
+        .orderBy("doc_id")
+    }),
+
     // extension: PMI-lift collocation mining — top adjacent token pairs
     // by p(ab)/(p(a)p(b)) from exact corpus counts; min-count gate,
     // quantize-then-rank bounded heap
@@ -4560,6 +4572,27 @@ object Queries {
       Seq(p("doc_id", true), p("lang", true), p("source", true),
         p("n_chars", true), p("text", false))
         .mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
+    },
+
+    // per-char unnest with the SAME range table the kernel classifies
+    // by (generated CASE arms; code-point semantics on both engines)
+    "text_scripts" -> {
+      val order = graft.functions.NativeExprs.ScriptOrder
+      val sums = order.map { cat =>
+        val conds = graft.functions.NativeExprs.ScriptRanges(cat)
+          .map { case (lo, hi) => s"cp BETWEEN $lo AND $hi" }.mkString(" OR ")
+        s"CAST(sum(CASE WHEN $conds THEN 1 ELSE 0 END) AS BIGINT) AS $cat"
+      }.mkString(",\n  ")
+      val outs = order.map(c => s"coalesce(g.$c, 0) AS $c").mkString(", ")
+      val sub = order.map(c => s"g.$c").mkString(" - ")
+      s"""WITH x AS (SELECT doc_id, unicode(text[u.i + 1:u.i + 1]) AS cp
+         |  FROM documents, unnest(range(length(text))) AS u(i)),
+         |g AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_cp,
+         |  $sums
+         |  FROM x GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(g.n_cp, 0) AS n_cp, $outs,
+         |  coalesce(g.n_cp - $sub, 0) AS other
+         |FROM documents d LEFT JOIN g USING (doc_id) ORDER BY doc_id""".stripMargin
     },
 
     "text_pmi" -> {

@@ -914,6 +914,75 @@ object NativeExprs {
 
   def binaryCodes(v: Column): Column = asCol(BinaryCodesExpr(ex(v)))
 
+  /** Code-point ranges for [[ScriptMixExpr]], declared as DATA so the
+    * DuckDB oracle derives its CASE arms from the SAME Scala values
+    * (the literal-model rule). Ranges are disjoint; classification
+    * tries them in [[ScriptOrder]]. Deliberately range-based (not
+    * regex script classes): Java counts `\\p{...}` matches in UTF-16
+    * units while DuckDB counts characters, so only explicit code-point
+    * arithmetic is engine-identical for supplementary-plane input. */
+  val ScriptRanges: Map[String, Seq[(Int, Int)]] = Map(
+    "latin" -> Seq((0x41, 0x5A), (0x61, 0x7A), (0xC0, 0x24F)),
+    "cyrillic" -> Seq((0x400, 0x4FF)),
+    "cjk" -> Seq((0x3040, 0x30FF), (0x4E00, 0x9FFF), (0xAC00, 0xD7AF)),
+    "digit" -> Seq((0x30, 0x39)),
+    "space" -> Seq((0x20, 0x20), (0x9, 0x9), (0xA, 0xA), (0xD, 0xD)))
+
+  /** Category evaluation order (first match wins; ranges disjoint). */
+  val ScriptOrder: Seq[String] = Seq("latin", "cyrillic", "cjk", "digit", "space")
+
+  /** Unicode-SCRIPT mix per document in one code-point scan:
+    * `struct(n_cp, latin, cyrillic, cjk, digit, space, other)` — the
+    * mixed-script/wrong-script curation signal (CJK inside a claimed-en
+    * doc, Cyrillic homoglyph spam). All exact integer counts over CODE
+    * POINTS (a surrogate pair counts once, matching DuckDB's
+    * character semantics); null text → null; empty → zeros. */
+  case class ScriptMixExpr(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    @transient private lazy val cats: Array[Array[Int]] =
+      ScriptOrder.map(c => ScriptRanges(c).flatMap(r => Seq(r._1, r._2)).toArray).toArray
+    override def dataType: DataType = StructType(
+      ("n_cp" +: ScriptOrder :+ "other")
+        .map(n => StructField(n, LongType, nullable = false)))
+    override def nullable: Boolean = child.nullable
+    override def eval(input: InternalRow): Any = {
+      val t = child.eval(input).asInstanceOf[UTF8String]
+      if (t == null) return null
+      val s = t.toString
+      val counts = new Array[Long](cats.length)
+      var nCp = 0L
+      var i = 0
+      while (i < s.length) {
+        val cp = s.codePointAt(i)
+        i += Character.charCount(cp)
+        nCp += 1L
+        var c = 0
+        var done = false
+        while (c < cats.length && !done) {
+          val rs = cats(c)
+          var r = 0
+          while (r < rs.length && !done) {
+            if (cp >= rs(r) && cp <= rs(r + 1)) { counts(c) += 1L; done = true }
+            r += 2
+          }
+          c += 1
+        }
+      }
+      val out = new Array[Any](cats.length + 2)
+      out(0) = nCp
+      var c = 0
+      var classified = 0L
+      while (c < cats.length) {
+        out(c + 1) = counts(c); classified += counts(c); c += 1
+      }
+      out(cats.length + 1) = nCp - classified
+      InternalRow.fromSeq(out.toIndexedSeq)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  def scriptMix(text: Column): Column = asCol(ScriptMixExpr(ex(text)))
+
   /** Per-document character-distribution stats in ONE map-only pass:
     * `struct(n_cp, n_distinct, sum_sq, max_n)` where `n_cp` counts code
     * points, `sum_sq = Σ n_c²` and `max_n = max n_c` over per-character

@@ -422,4 +422,37 @@ class NativeExprsSpec extends SparkSpec {
       VectorOps.binaryCodes(col("v")),
       VectorOps.binaryCodesHof(col("v")), empty)
   }
+
+  test("scriptMix: scala-model equality incl. supplementary planes; " +
+    "counts partition n_cp exactly") {
+    import graft.functions.NativeExprs
+    val docs = Seq(
+      (0L, "Héllo мир 你好 123\tok"),
+      (1L, ""),
+      (2L, "🎉🎉 emoji only"),          // supplementary: 1 code point each
+      (3L, "ひらがな カタカナ 漢字 한글"),
+      (4L, "plain ascii text with 42 numbers\n"),
+      (5L, "ЖЗИ mixed Кирилл and latin")).toDF("doc_id", "text")
+    val got = docs.select(col("doc_id"), NativeExprs.scriptMix(col("text")).as("m"))
+      .select(col("doc_id"), col("m.n_cp"), col("m.latin"), col("m.cyrillic"),
+        col("m.cjk"), col("m.digit"), col("m.space"), col("m.other"))
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    // scala model over code points with the same range table
+    def classify(cp: Int): Option[String] =
+      NativeExprs.ScriptOrder.find(c =>
+        NativeExprs.ScriptRanges(c).exists(r => cp >= r._1 && cp <= r._2))
+    docs.as[(Long, String)].collect().foreach { case (id, s) =>
+      val cps = s.codePoints().toArray
+      val want = NativeExprs.ScriptOrder
+        .map(c => cps.count(cp => classify(cp).contains(c)).toLong)
+      val r = got(id)
+      assert(r._2 === cps.length.toLong, s"id=$id n_cp")
+      assert(Seq(r._3, r._4, r._5, r._6, r._7) === want, s"id=$id counts")
+      assert(r._2 === r._3 + r._4 + r._5 + r._6 + r._7 + r._8,
+        s"id=$id counts don't partition n_cp")
+    }
+    // the emoji doc: each 🎉 is ONE code point, classified other
+    assert(got(2L)._2 === 13L && got(2L)._8 === 2L)
+  }
 }
