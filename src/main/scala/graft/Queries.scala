@@ -3123,6 +3123,25 @@ object Queries {
         .orderBy(col("n").desc, col("path").asc).limit(20)
     }),
 
+    // extension: cohort LTV matrix — users cohorted by first-event
+    // epoch week, q4-exact revenue by weeks-since-cohort: the lifetime
+    // value dual of events_retention. Two reductions + one narrow join,
+    // week index by integer floor-division (no window function)
+    "events_ltv" -> ((s, dir) => {
+      val e2 = events(s, dir).where(col("user_id").isNotNull)
+        .select(col("user_id"),
+          expr("unix_micros(ts) DIV 604800000000").as("__wk"),
+          floor(coalesce(col("value").cast("double"), lit(0.0))
+            * lit(10000.0) + lit(0.5)).cast("long").as("__v4"))
+      val coh = e2.groupBy(col("user_id")).agg(min(col("__wk")).as("__c"))
+      e2.join(coh, Seq("user_id"))
+        .groupBy(col("__c").as("cohort_week"),
+          (col("__wk") - col("__c")).as("week_n"))
+        .agg(count_distinct(col("user_id")).as("n_active"),
+          r4(sum(col("__v4")).cast("double") / lit(10000.0)).as("revenue"))
+        .orderBy("cohort_week", "week_n")
+    }),
+
     // extension: RFM segmentation — per-user recency (micros since the
     // corpus-max ts), frequency, and q4-exact monetary sum bucketed
     // into tertiles by interpolated percentiles over exact longs; the
@@ -4779,6 +4798,16 @@ object Queries {
     // the Holt recursion as ONE list_reduce fold: state packed [l, b],
     // the new l recomputed inline (pure expression, identical bits),
     // every coefficient CAST to DOUBLE (decimal-literal trap)
+    "events_ltv" ->
+      s"""WITH e AS (SELECT user_id, epoch_us(ts) // 604800000000 AS wk,
+         |    CAST(floor(coalesce(CAST(value AS DOUBLE), 0.0) * 10000.0 + 0.5) AS BIGINT) AS v4
+         |  FROM events WHERE user_id IS NOT NULL),
+         |c AS (SELECT user_id, min(wk) AS c FROM e GROUP BY user_id)
+         |SELECT c.c AS cohort_week, e.wk - c.c AS week_n,
+         |  CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_active,
+         |  ${sqlR4("CAST(sum(e.v4) AS DOUBLE) / 10000.0")} AS revenue
+         |FROM e JOIN c USING (user_id) GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     "events_rfm" ->
       s"""WITH mx AS (SELECT max(epoch_us(ts)) AS m FROM events WHERE user_id IS NOT NULL),
          |per AS (SELECT user_id, mx.m - max(epoch_us(ts)) AS r,
