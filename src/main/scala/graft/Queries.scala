@@ -1664,6 +1664,73 @@ object Queries {
           col("distance").cast("long").as("hamming"))
     }),
 
+    // extension: relational analytics over the TPC-H-ish tables —
+    // revenue per nation through a 4-way join (lineitem ⋈ orders ⋈
+    // customer ⋈ broadcast nation). Revenue is quantized per row
+    // (q4 of extprice·(1−disc), fixed operand order) then summed as
+    // exact longs, so the multi-way shuffle sum is order-independent
+    "sales_by_nation" -> ((s, dir) => {
+      val li = Records.table(s, dir, "lineitem")
+        .select(col("l_orderkey"),
+          floor(col("l_extendedprice").cast("double")
+            * (lit(1.0) - col("l_discount").cast("double"))
+            * lit(10000.0) + lit(0.5)).cast("long").as("__rev4"))
+      val o = Records.table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+      val c = Records.table(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))
+      val n = Records.table(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_items"),
+          r4(sum(col("__rev4")).cast("double") / lit(10000.0)).as("revenue"))
+        .orderBy("n_name")
+    }),
+
+    // extension: revenue + order stats per market segment (broadcast
+    // dim join, exact q4 sums, single-distinct order count)
+    "sales_by_segment" -> ((s, dir) => {
+      val li = Records.table(s, dir, "lineitem")
+        .select(col("l_orderkey"),
+          floor(col("l_extendedprice").cast("double")
+            * (lit(1.0) - col("l_discount").cast("double"))
+            * lit(10000.0) + lit(0.5)).cast("long").as("__rev4"))
+      val o = Records.table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+      val c = Records.table(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count_distinct(col("o_orderkey")).as("n_orders"),
+          r4(sum(col("__rev4")).cast("double") / lit(10000.0)).as("revenue"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // extension: top-10 customers by exact revenue — quantize-then-rank
+    // with the custkey tiebreak, bounded heap
+    "top_customers" -> ((s, dir) => {
+      val li = Records.table(s, dir, "lineitem")
+        .select(col("l_orderkey"),
+          floor(col("l_extendedprice").cast("double")
+            * (lit(1.0) - col("l_discount").cast("double"))
+            * lit(10000.0) + lit(0.5)).cast("long").as("__rev4"))
+      val o = Records.table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+      val c = Records.table(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey")).agg(sum(col("__rev4")).as("__r4"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .orderBy(col("__r4").desc, col("c_custkey").asc)
+        .limit(10)
+        .select(col("c_custkey"), col("c_name"),
+          r4(col("__r4").cast("double") / lit(10000.0)).as("revenue"))
+    }),
+
     // extension: exact dedup (hash groupBy)
     "dedup_exact" -> ((s, dir) =>
       Dedup.exact(docs(s, dir)).orderBy("keep_id")),
@@ -4641,6 +4708,37 @@ object Queries {
          |  row_number() OVER (PARTITION BY query_id ORDER BY h ASC, vec_id ASC) AS rn FROM d)
          |SELECT query_id, vec_id, h AS hamming FROM r WHERE rn <= 5
          |ORDER BY query_id, h, vec_id""".stripMargin,
+
+    "sales_by_nation" ->
+      s"""WITH li AS (SELECT l_orderkey,
+         |    CAST(floor(CAST(l_extendedprice AS DOUBLE) * (1.0 - CAST(l_discount AS DOUBLE)) * 10000.0 + 0.5) AS BIGINT) AS rev4
+         |  FROM lineitem)
+         |SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_items,
+         |  ${sqlR4("CAST(sum(li.rev4) AS DOUBLE) / 10000.0")} AS revenue
+         |FROM li JOIN orders o ON li.l_orderkey = o.o_orderkey
+         |JOIN customer c ON o.o_custkey = c.c_custkey
+         |JOIN nation n ON c.c_nationkey = n.n_nationkey
+         |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin,
+
+    "sales_by_segment" ->
+      s"""WITH li AS (SELECT l_orderkey,
+         |    CAST(floor(CAST(l_extendedprice AS DOUBLE) * (1.0 - CAST(l_discount AS DOUBLE)) * 10000.0 + 0.5) AS BIGINT) AS rev4
+         |  FROM lineitem)
+         |SELECT c.c_mktsegment, CAST(count(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders,
+         |  ${sqlR4("CAST(sum(li.rev4) AS DOUBLE) / 10000.0")} AS revenue
+         |FROM li JOIN orders o ON li.l_orderkey = o.o_orderkey
+         |JOIN customer c ON o.o_custkey = c.c_custkey
+         |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin,
+
+    "top_customers" ->
+      s"""WITH li AS (SELECT l_orderkey,
+         |    CAST(floor(CAST(l_extendedprice AS DOUBLE) * (1.0 - CAST(l_discount AS DOUBLE)) * 10000.0 + 0.5) AS BIGINT) AS rev4
+         |  FROM lineitem),
+         |r AS (SELECT o.o_custkey, CAST(sum(li.rev4) AS BIGINT) AS r4
+         |  FROM li JOIN orders o ON li.l_orderkey = o.o_orderkey GROUP BY o.o_custkey)
+         |SELECT c.c_custkey, c.c_name, ${sqlR4("CAST(r.r4 AS DOUBLE) / 10000.0")} AS revenue
+         |FROM r JOIN customer c ON r.o_custkey = c.c_custkey
+         |ORDER BY r.r4 DESC, c.c_custkey ASC LIMIT 10""".stripMargin,
 
     "dedup_exact" ->
       "SELECT min(doc_id) AS keep_id, count(*) AS n_dups FROM documents GROUP BY sha256(text) ORDER BY keep_id",

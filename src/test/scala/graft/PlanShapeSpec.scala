@@ -517,4 +517,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(j.select("id", "x", "y").as[(Long, String, Int)].collect().sorted.toSeq
       === Seq((1L, "a", 10), (5L, "e", 50)))
   }
+
+  test("sales_by_nation: dim tables broadcast, lineitem scan pruned to 3 columns") {
+    val p = plan(Queries.queries("sales_by_nation")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"),
+      "nation (25 rows) must ride a broadcast join\n" + p.take(1500))
+    assert(!p.contains("CartesianProduct"), p)
+    // column pruning: the lineitem scan must not read unused measures
+    assert(!p.contains("l_tax") && !p.contains("l_shipdate"),
+      "lineitem scan reads unused columns\n" + p.take(1500))
+  }
 }
