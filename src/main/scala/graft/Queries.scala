@@ -1731,6 +1731,43 @@ object Queries {
           r4(col("__r4").cast("double") / lit(10000.0)).as("revenue"))
     }),
 
+    // extension: supplier census through the region→nation→supplier
+    // dimension chain (both joins broadcast; q4-exact balance sums)
+    "supplier_by_region" -> ((s, dir) => {
+      val sup = Records.table(s, dir, "supplier")
+        .select(col("s_nationkey"),
+          floor(col("s_acctbal").cast("double") * lit(10000.0) + lit(0.5))
+            .cast("long").as("__b4"))
+      val n = Records.table(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_regionkey"))
+      val r = Records.table(s, dir, "region")
+        .select(col("r_regionkey"), col("r_name"))
+      sup.join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_suppliers"),
+          r4(sum(col("__b4")).cast("double") / lit(10000.0)).as("acctbal_sum"))
+        .orderBy("r_name")
+    }),
+
+    // extension: part catalog stats per brand — exact count/min/max and
+    // a q4-exact mean retail price
+    "parts_price_stats" -> ((s, dir) =>
+      Records.table(s, dir, "part")
+        .select(col("p_brand"),
+          floor(col("p_retailprice").cast("double") * lit(10000.0) + lit(0.5))
+            .cast("long").as("__p4"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_parts"),
+          min(col("__p4")).as("__mn"), max(col("__p4")).as("__mx"),
+          sum(col("__p4")).as("__s"))
+        .select(col("p_brand"), col("n_parts"),
+          r4(col("__mn").cast("double") / lit(10000.0)).as("min_price"),
+          r4(col("__mx").cast("double") / lit(10000.0)).as("max_price"),
+          r4(col("__s").cast("double") / col("n_parts").cast("double")
+            / lit(10000.0)).as("mean_price"))
+        .orderBy("p_brand")),
+
     // extension: exact dedup (hash groupBy)
     "dedup_exact" -> ((s, dir) =>
       Dedup.exact(docs(s, dir)).orderBy("keep_id")),
@@ -4708,6 +4745,27 @@ object Queries {
          |  row_number() OVER (PARTITION BY query_id ORDER BY h ASC, vec_id ASC) AS rn FROM d)
          |SELECT query_id, vec_id, h AS hamming FROM r WHERE rn <= 5
          |ORDER BY query_id, h, vec_id""".stripMargin,
+
+    "supplier_by_region" ->
+      s"""SELECT r.r_name, CAST(count(*) AS BIGINT) AS n_suppliers,
+         |  ${sqlR4("CAST(sum(CAST(floor(CAST(s.s_acctbal AS DOUBLE) * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0")} AS acctbal_sum
+         |FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+         |JOIN region r ON n.n_regionkey = r.r_regionkey
+         |GROUP BY r.r_name ORDER BY r.r_name""".stripMargin,
+
+    "parts_price_stats" ->
+      s"""WITH p AS (SELECT p_brand,
+         |    CAST(floor(CAST(p_retailprice AS DOUBLE) * 10000.0 + 0.5) AS BIGINT) AS p4
+         |  FROM part),
+         |g AS (SELECT p_brand, CAST(count(*) AS BIGINT) AS n_parts,
+         |    CAST(min(p4) AS BIGINT) AS mn, CAST(max(p4) AS BIGINT) AS mx,
+         |    CAST(sum(p4) AS BIGINT) AS s
+         |  FROM p GROUP BY p_brand)
+         |SELECT p_brand, n_parts,
+         |  ${sqlR4("CAST(mn AS DOUBLE) / 10000.0")} AS min_price,
+         |  ${sqlR4("CAST(mx AS DOUBLE) / 10000.0")} AS max_price,
+         |  ${sqlR4("CAST(s AS DOUBLE) / CAST(n_parts AS DOUBLE) / 10000.0")} AS mean_price
+         |FROM g ORDER BY p_brand""".stripMargin,
 
     "sales_by_nation" ->
       s"""WITH li AS (SELECT l_orderkey,
