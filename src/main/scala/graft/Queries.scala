@@ -3246,6 +3246,38 @@ object Queries {
         .orderBy("cohort_week", "week_n")
     }),
 
+    // extension: next-event prediction accuracy — the argmax of the
+    // transition matrix as a 1-gram Markov predictor, scored on the
+    // log itself (vocabulary-bounded argmax map rides the plan as a
+    // literal; counting stays distributed; tie → lexicographic type)
+    "events_markov_acc" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val trans = events(s, dir)
+        .where(col("user_id").isNotNull)
+        .withColumn("__to", lead(col("event_type"), 1).over(w))
+        .where(col("__to").isNotNull)
+        .select(col("event_type").as("__from"), col("__to"))
+      val cells = trans.groupBy(col("__from"), col("__to"))
+        .agg(count(lit(1)).as("__n")).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      val predMap = cells.groupBy(_._1).map { case (f, cs) =>
+        f -> cs.minBy(c => (-c._3, c._2))._2
+      }
+      val pred = typedLit(predMap)
+      trans
+        .groupBy(col("__from").as("from_type"))
+        .agg(count(lit(1)).as("n_trans"),
+          sum(when(element_at(pred, col("__from")) === col("__to"), 1L)
+            .otherwise(0L)).as("n_correct"))
+        .select(col("from_type"),
+          element_at(pred, col("from_type")).as("predicted"),
+          col("n_trans"), col("n_correct"),
+          r4(col("n_correct").cast("double") / col("n_trans").cast("double"))
+            .as("accuracy"))
+        .orderBy("from_type")
+    }),
+
     // extension: RFM segmentation — per-user recency (micros since the
     // corpus-max ts), frequency, and q4-exact monetary sum bucketed
     // into tertiles by interpolated percentiles over exact longs; the
@@ -4954,6 +4986,21 @@ object Queries {
     // the Holt recursion as ONE list_reduce fold: state packed [l, b],
     // the new l recomputed inline (pure expression, identical bits),
     // every coefficient CAST to DOUBLE (decimal-literal trap)
+    "events_markov_acc" ->
+      s"""WITH tr AS (SELECT event_type AS f,
+         |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t
+         |  FROM events WHERE user_id IS NOT NULL),
+         |tt AS (SELECT f, t FROM tr WHERE t IS NOT NULL),
+         |c AS (SELECT f, t, count(*) AS n FROM tt GROUP BY f, t),
+         |pm AS (SELECT f, t AS pred FROM (
+         |  SELECT f, t, row_number() OVER (PARTITION BY f ORDER BY n DESC, t ASC) AS rn FROM c)
+         |  WHERE rn = 1)
+         |SELECT tt.f AS from_type, pm.pred AS predicted,
+         |  CAST(count(*) AS BIGINT) AS n_trans,
+         |  CAST(sum(CASE WHEN tt.t = pm.pred THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+         |  ${sqlR4("CAST(sum(CASE WHEN tt.t = pm.pred THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)")} AS accuracy
+         |FROM tt JOIN pm USING (f) GROUP BY tt.f, pm.pred ORDER BY from_type""".stripMargin,
+
     "events_ltv" ->
       s"""WITH e AS (SELECT user_id, epoch_us(ts) // 604800000000 AS wk,
          |    CAST(floor(coalesce(CAST(value AS DOUBLE), 0.0) * 10000.0 + 0.5) AS BIGINT) AS v4
