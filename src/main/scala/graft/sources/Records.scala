@@ -75,6 +75,47 @@ object Records {
       StructField("_corrupt", StringType)))
   }
 
+  /** CSV DOCUMENT source — the other interchange format corpora arrive
+    * in (`doc_id,text,lang,source` with RFC-4180 quoting). Same
+    * contract as [[fromJsonl]]: declared schema (never inferred),
+    * PERMISSIVE parse, and a quarantine lane for malformed rows — one
+    * poison line in a 100 TB feed must neither fail the job nor vanish.
+    * Returns `(good, quarantined)`; `good` is the documents frame. */
+  def fromCsv(spark: SparkSession, path: String): (DataFrame, DataFrame) =
+    splitCsvValidated(spark.read
+      .schema(csvSchema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .option("header", "true")
+      .option("multiLine", "true")
+      .option("escape", "\"")
+      .csv(path))
+
+  /** The declared CSV wire schema (+ the PERMISSIVE corrupt-row column). */
+  val csvSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType),
+      StructField("lang", StringType),
+      StructField("source", StringType),
+      StructField("_corrupt", StringType)))
+  }
+
+  /** ONE CSV validation definition for batch and streaming (the
+    * streaming==batch rule): a row is good iff it parsed clean and has
+    * a key and a body. */
+  def splitCsvValidated(raw: DataFrame): (DataFrame, DataFrame) = {
+    val ok = coalesce(col("_corrupt").isNull && col("doc_id").isNotNull &&
+      col("text").isNotNull, lit(false))
+    val good = raw.where(ok)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+    val bad = raw.where(!ok)
+      .select(coalesce(col("_corrupt"), to_json(struct(col("doc_id"),
+        col("text"), col("lang"), col("source")))).as("raw_line"))
+    (good, bad)
+  }
+
   /** ONE validation definition shared by the batch reader and the
     * streaming ingest (the repo's streaming==batch rule): split a
     * PERMISSIVE-parsed frame into (insert-ready, quarantined-raw). */

@@ -294,4 +294,41 @@ object DocIngest {
       .queryName(name)
       .trigger(Trigger.AvailableNow())
       .start()
+
+  /** Continuous CSV document ingest with the quarantine lane — the CSV
+    * twin of [[graft.streaming.VectorIngest.startJsonlQuarantined]].
+    * ONE split definition ([[graft.sources.Records.splitCsvValidated]])
+    * serves batch and streaming (the streaming==batch rule); both sinks
+    * partition by `batch_id` with dynamic overwrite, so a micro-batch
+    * replay is idempotent — the built-in file sink's commit log covers
+    * only single-sink jobs. */
+  def startCsvQuarantined(
+      spark: SparkSession,
+      dir: String,
+      goodPath: String,
+      quarantinePath: String,
+      checkpointPath: String): StreamingQuery =
+    spark.readStream
+      .schema(graft.sources.Records.csvSchema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .option("header", "true")
+      .option("multiLine", "true")
+      .option("escape", "\"")
+      .csv(dir)
+      .writeStream
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val (good, bad) = graft.sources.Records.splitCsvValidated(batch)
+        good.withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(goodPath)
+        bad.withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(quarantinePath)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
 }

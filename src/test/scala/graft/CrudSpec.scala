@@ -329,6 +329,29 @@ class CrudSpec extends SparkSpec {
     assert(e.getMessage.contains("keepLast"))
   }
 
+  test("fromCsv: declared schema, quoted commas and newlines survive, " +
+    "malformed rows quarantine with their raw content") {
+    import graft.sources.Records
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    val csv = Seq(
+      "doc_id,text,lang,source",
+      "1,\"hello, world\",en,web",
+      "2,\"two\nlines\",fr,books",
+      "abc,broken id,en,web",      // type mismatch → corrupt
+      "4,,en,web",                 // missing text → invalid
+      "5,fine,de,wiki").mkString("\n")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/part.csv"), csv)
+    val (good, bad) = Records.fromCsv(spark, dir)
+    val g = good.as[(Long, String, String, String)].collect().sortBy(_._1)
+    assert(g.map(_._1).toSeq === Seq(1L, 2L, 5L))
+    assert(g(0)._2 === "hello, world", "quoted comma must survive")
+    assert(g(1)._2 === "two\nlines", "quoted newline must survive")
+    val b = bad.as[String].collect()
+    assert(b.length === 2, s"expected 2 quarantined rows: ${b.toSeq}")
+    assert(b.exists(_.contains("abc")), "corrupt row must carry its raw line")
+  }
+
   test("restoreVersion: rollback publishes the old data as a NEW newest " +
     "version with its centroids; missing source rejected") {
     import graft.sources.Records

@@ -707,6 +707,37 @@ class StreamingSpec extends SparkSpec {
     assert(admitted.isEmpty, s"near-dup must be rejected under matched params, got $admitted")
   }
 
+  test("streaming CSV ingest: quoted fields survive, malformed rows " +
+    "quarantine, stream == batch split") {
+    import graft.sources.Records
+    import graft.streaming.DocIngest
+    val base = java.nio.file.Files.createTempDirectory("graft_csvstream").toString
+    val dir = s"$base/in"; val good = s"$base/good"
+    val quar = s"$base/quar"; val ckpt = s"$base/ckpt"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    val csv = Seq(
+      "doc_id,text,lang,source",
+      "1,\"hello, world\",en,web",
+      "oops,bad,en,web",
+      "3,\"multi\nline\",fr,books",
+      "4,,en,web",
+      "5,ok,de,wiki").mkString("\n")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/part.csv"), csv)
+    DocIngest.startCsvQuarantined(spark, dir, good, quar, ckpt)
+      .awaitTermination()
+    val g = spark.read.parquet(good)
+      .select("doc_id", "text").as[(Long, String)].collect().sortBy(_._1)
+    assert(g.map(_._1).toSeq === Seq(1L, 3L, 5L))
+    assert(g(1)._2 === "multi\nline")
+    assert(spark.read.parquet(quar).count() === 2L)
+    // stream == batch: the same split definition over the same files
+    val (bg, bb) = Records.fromCsv(spark, dir)
+    assert(bg.select("doc_id").as[Long].collect().sorted.toSeq ===
+      g.map(_._1).toSeq)
+    assert(bb.count() === 2L)
+  }
+
   test("streaming drift monitor: cumulative moments exactly equal the batch " +
     "fit; a rotated second wave drops the baseline cosine") {
     import graft.streaming.VectorIngest
