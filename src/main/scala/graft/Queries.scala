@@ -1731,6 +1731,32 @@ object Queries {
           r4(col("__r4").cast("double") / lit(10000.0)).as("revenue"))
     }),
 
+    // extension: late-interaction (MaxSim) scoring — ColBERT-style
+    // multi-vector relevance: each query token contributes its best
+    // match within the candidate group, summed in a FIXED order via
+    // per-token max columns (a bare sum over the shuffle would be
+    // partial-aggregation-order-dependent). Query tokens broadcast;
+    // per-group state is one max per token
+    "ann_maxsim_label" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.where(col("vec_id") < 4)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val dot = (a: Column, b: Column) => graft.functions.NativeExprs.dot(a, b)
+      val sim = dot(col("embedding"), col("qvec")) /
+        (sqrt(dot(col("embedding"), col("embedding")))
+          * sqrt(dot(col("qvec"), col("qvec"))))
+      val aggs = (0 until 4).map(i =>
+        max(when(col("qid") === i, col("__s"))).as(s"__m$i"))
+      e.crossJoin(broadcast(q))
+        .select(col("label"), col("qid"), sim.as("__s"))
+        .groupBy(col("label"))
+        .agg(aggs.head, aggs.tail: _*)
+        .select(col("label"),
+          r4(col("__m0") + col("__m1") + col("__m2") + col("__m3"))
+            .as("maxsim"))
+        .orderBy("label")
+    }),
+
     // extension: supplier census through the region→nation→supplier
     // dimension chain (both joins broadcast; q4-exact balance sums)
     "supplier_by_region" -> ((s, dir) => {
@@ -4777,6 +4803,17 @@ object Queries {
          |  row_number() OVER (PARTITION BY query_id ORDER BY h ASC, vec_id ASC) AS rn FROM d)
          |SELECT query_id, vec_id, h AS hamming FROM r WHERE rn <= 5
          |ORDER BY query_id, h, vec_id""".stripMargin,
+
+    "ann_maxsim_label" -> {
+      val ms = (0 until 4)
+        .map(i => s"max(CASE WHEN qid = $i THEN s END) AS m$i").mkString(", ")
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 4),
+         |s AS (SELECT e.label, q.qid, ${sqlCosSim("e.embedding", "q.qvec")} AS s
+         |  FROM embeddings e CROSS JOIN q),
+         |m AS (SELECT label, $ms FROM s GROUP BY label)
+         |SELECT label, ${sqlR4("m0 + m1 + m2 + m3")} AS maxsim
+         |FROM m ORDER BY label""".stripMargin
+    },
 
     "supplier_by_region" ->
       s"""SELECT r.r_name, CAST(count(*) AS BIGINT) AS n_suppliers,
