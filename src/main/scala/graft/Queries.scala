@@ -1731,6 +1731,39 @@ object Queries {
           r4(col("__r4").cast("double") / lit(10000.0)).as("revenue"))
     }),
 
+    // extension: compression-tier recall report — which tier suffices?
+    // int8 dequantized scan, binary Hamming funnel (50), and
+    // Matryoshka prefix-16 funnel (50), each scored by overlap with
+    // the exact top-10. Every method is deterministic, so the report
+    // is exact integers — no sampling, no invariant oracle
+    "ann_recall_methods" -> ((s, dir) => {
+      val r = recs(s, dir)
+      val q = qvec0(s, dir)
+      val exact = Knn.search(r, q, 10, Metric.Euclidean).select(col("id"))
+      val deq = r
+        .withColumn("__sc", operators.VectorOps.int8Scale(col("embedding")))
+        .withColumn("embedding", operators.VectorOps.dequantizeInt8(
+          operators.VectorOps.quantizeInt8(col("embedding"), col("__sc")),
+          col("__sc")))
+        .drop("__sc")
+      val m8 = Knn.search(deq, q, 10, Metric.Euclidean).select(col("id"))
+      val bin = Knn.searchHammingRerank(
+        r.withColumn("bcode", operators.VectorOps.binaryCodes(col("embedding"))),
+        q.withColumn("qcode", operators.VectorOps.binaryCodes(col("qvec"))),
+        k = 10, shortlist = 50).select(col("id"))
+      val pre = Knn.searchPrefixRerank(r, q, 10, prefixDim = 16,
+        shortlist = 50).select(col("id"))
+      Seq(("binary", bin), ("int8", m8), ("prefix16", pre))
+        .map { case (n, df) => df.select(lit(n).as("method"), col("id")) }
+        .reduce(_ union _)
+        .join(broadcast(exact), Seq("id"), "left_semi")
+        .groupBy(col("method"))
+        .agg(count(lit(1)).as("n_hit"))
+        .select(col("method"), col("n_hit"),
+          r4(col("n_hit").cast("double") / lit(10.0)).as("recall"))
+        .orderBy("method")
+    }),
+
     // extension: late-interaction (MaxSim) scoring — ColBERT-style
     // multi-vector relevance: each query token contributes its best
     // match within the candidate group, summed in a FIXED order via
@@ -4803,6 +4836,26 @@ object Queries {
          |  row_number() OVER (PARTITION BY query_id ORDER BY h ASC, vec_id ASC) AS rn FROM d)
          |SELECT query_id, vec_id, h AS hamming FROM r WHERE rn <= 5
          |ORDER BY query_id, h, vec_id""".stripMargin,
+
+    "ann_recall_methods" ->
+      s"""WITH q AS (SELECT embedding AS qvec, ${sqlBinCode("embedding")} AS qc FROM embeddings WHERE vec_id = 0),
+         |ex AS (SELECT e.vec_id FROM embeddings e, q ORDER BY ${sqlSq("e.embedding", "q.qvec")} ASC, e.vec_id ASC LIMIT 10),
+         |d0 AS (SELECT vec_id, embedding, list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS sc FROM embeddings),
+         |dq AS (SELECT vec_id, list_transform(embedding, x -> CAST((CASE WHEN sc > 0 THEN CAST(floor(CAST(x AS DOUBLE) / sc + 0.5) AS INT) ELSE 0 END) AS DOUBLE) * sc) AS demb FROM d0),
+         |m8 AS (SELECT dq.vec_id FROM dq, q ORDER BY ${sqlSq("dq.demb", "q.qvec")} ASC, dq.vec_id ASC LIMIT 10),
+         |bsl AS (SELECT e.vec_id, e.embedding, q.qvec FROM embeddings e, q
+         |  ORDER BY ${sqlHamming(sqlBinCode("e.embedding"), "q.qc")} ASC, e.vec_id ASC LIMIT 50),
+         |bin AS (SELECT vec_id FROM bsl ORDER BY ${sqlSq("embedding", "qvec")} ASC, vec_id ASC LIMIT 10),
+         |psl AS (SELECT e.vec_id, e.embedding, q.qvec FROM embeddings e, q
+         |  ORDER BY ${sqlSq("e.embedding[1:16]", "q.qvec[1:16]")} ASC, e.vec_id ASC LIMIT 50),
+         |pre AS (SELECT vec_id FROM psl ORDER BY ${sqlSq("embedding", "qvec")} ASC, vec_id ASC LIMIT 10),
+         |u AS (SELECT 'binary' AS method, vec_id FROM bin
+         |  UNION ALL SELECT 'int8', vec_id FROM m8
+         |  UNION ALL SELECT 'prefix16', vec_id FROM pre)
+         |SELECT u.method, CAST(count(*) AS BIGINT) AS n_hit,
+         |  ${sqlR4("CAST(count(*) AS DOUBLE) / 10.0")} AS recall
+         |FROM u JOIN ex ON u.vec_id = ex.vec_id
+         |GROUP BY u.method ORDER BY u.method""".stripMargin,
 
     "ann_maxsim_label" -> {
       val ms = (0 until 4)
