@@ -2476,6 +2476,25 @@ object Queries {
           TextOps.langFromVotes(col("__stats.votes")).as("lang_pred"))
         .orderBy("doc_id")),
 
+    // extension: language-ID CONFUSION matrix — predicted × declared
+    // label counts plus per-declared-language accuracy: the detector's
+    // eval report, exact integers end to end
+    "lang_confusion" -> ((s, dir) =>
+      docs(s, dir)
+        .withColumn("__toks", TextOps.tokens(col("text")))
+        .withColumn("__stats", TextOps.tokenStats(col("__toks")))
+        .select(col("lang").as("declared"),
+          TextOps.langFromVotes(col("__stats.votes")).as("predicted"))
+        .groupBy(col("declared"), col("predicted"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("declared_total",
+          sum(col("n")).over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("declared"))))
+        .select(col("declared"), col("predicted"), col("n"),
+          r4(col("n").cast("double") / col("declared_total").cast("double"))
+            .as("share"))
+        .orderBy("declared", "predicted")),
+
     // extension: token counting + quality scoring (tokens + fused stats
     // materialized once)
     // extension: Gopher-style intra-document repetition filters —
@@ -6211,6 +6230,29 @@ object Queries {
          |  WHEN f >= d AND f >= z THEN 'fr'
          |  WHEN d >= z THEN 'de' ELSE 'zh' END AS lang_pred
          |FROM s ORDER BY doc_id""".stripMargin,
+
+    // same vote CTE, aggregated to the confusion matrix; the window
+    // partitions by declared language (vocabulary-bounded)
+    "lang_confusion" ->
+      s"""WITH t AS (SELECT doc_id, lang, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk FROM documents),
+         |s AS (SELECT doc_id, lang,
+         |  len(list_filter(tk, x -> list_contains(['the','a','of','to','and','is','in','it'], x))) AS e,
+         |  len(list_filter(tk, x -> list_contains(['el','la','de','que','y','en','un','es'], x))) AS sp,
+         |  len(list_filter(tk, x -> list_contains(['le','la','de','et','un','que','les','des'], x))) AS f,
+         |  len(list_filter(tk, x -> list_contains(['der','die','das','und','ist','ein','zu','den'], x))) AS d,
+         |  len(list_filter(tk, x -> list_contains(['de','shi','bu','le','zai','ren','you','wo'], x))) AS z
+         |  FROM t),
+         |p AS (SELECT lang AS declared, CASE WHEN greatest(e, sp, f, d, z) = 0 THEN 'und'
+         |  WHEN e >= sp AND e >= f AND e >= d AND e >= z THEN 'en'
+         |  WHEN sp >= f AND sp >= d AND sp >= z THEN 'es'
+         |  WHEN f >= d AND f >= z THEN 'fr'
+         |  WHEN d >= z THEN 'de' ELSE 'zh' END AS predicted
+         |FROM s),
+         |c AS (SELECT declared, predicted, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY 1, 2),
+         |tt AS (SELECT declared, CAST(sum(n) AS BIGINT) AS t FROM c GROUP BY declared)
+         |SELECT c.declared, c.predicted, c.n,
+         |  ${sqlR4("CAST(c.n AS DOUBLE) / CAST(tt.t AS DOUBLE)")} AS share
+         |FROM c JOIN tt USING (declared) ORDER BY declared, predicted""".stripMargin,
 
     // every trigram is corpus-seen here (the model IS this corpus), so
     // the smoothing floor never fires in the oracle comparison; the
