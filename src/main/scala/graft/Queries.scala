@@ -3391,6 +3391,28 @@ object Queries {
         .orderBy("r_bucket", "f_bucket", "m_bucket")
     }),
 
+    // extension: robust volume anomalies — median/MAD instead of
+    // mean/σ (events_anomaly's dual: one outage day cannot drag the
+    // threshold). Interpolated medians over exact hour-count longs;
+    // the 1.4826 normal-consistency constant and the 3.0 gate are
+    // shared literals; flagged hours are exact comparisons
+    "events_anomaly_mad" -> ((s, dir) => {
+      val hourly = events(s, dir)
+        .groupBy(window(col("ts"), "1 hour")("start").as("hour"))
+        .agg(count(lit(1)).as("n"))
+      val med = hourly.agg(expr("percentile(n, 0.5D)").as("med"))
+      val mad = hourly.crossJoin(broadcast(med))
+        .select(abs(col("n").cast("double") - col("med")).as("__d"), col("med"))
+        .agg(expr("percentile(__d, 0.5D)").as("mad"), first(col("med")).as("med"))
+      hourly.crossJoin(broadcast(mad))
+        .where(col("n").cast("double") >
+          col("med") + lit(3.0) * lit(1.4826) * col("mad"))
+        .select(date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("n"),
+          r4(col("med")).as("med"), r4(col("mad")).as("mad"))
+        .orderBy("hour")
+    }),
+
     // extension: Holt linear-trend forecast of daily volume — dyadic
     // smoothing coefficients (0.5/0.25) make the recursion exactly
     // replayable; day counting distributed, recursion on the driver
@@ -5095,6 +5117,18 @@ object Queries {
     // the Holt recursion as ONE list_reduce fold: state packed [l, b],
     // the new l recomputed inline (pure expression, identical bits),
     // every coefficient CAST to DOUBLE (decimal-literal trap)
+    "events_anomaly_mad" ->
+      s"""WITH h AS (SELECT date_trunc('hour', ts) AS hour, CAST(count(*) AS BIGINT) AS n
+         |  FROM events GROUP BY hour),
+         |md AS (SELECT quantile_cont(CAST(n AS DOUBLE), CAST(0.5 AS DOUBLE)) AS med FROM h),
+         |ma AS (SELECT quantile_cont(abs(CAST(h.n AS DOUBLE) - md.med), CAST(0.5 AS DOUBLE)) AS mad,
+         |    any_value(md.med) AS med FROM h, md)
+         |SELECT strftime(h.hour, '%Y-%m-%d %H:%M:%S') AS hour, h.n,
+         |  ${sqlR4("ma.med")} AS med, ${sqlR4("ma.mad")} AS mad
+         |FROM h, ma
+         |WHERE CAST(h.n AS DOUBLE) > ma.med + CAST(3.0 AS DOUBLE) * CAST(1.4826 AS DOUBLE) * ma.mad
+         |ORDER BY hour""".stripMargin,
+
     "events_markov_acc" ->
       s"""WITH tr AS (SELECT event_type AS f,
          |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t
