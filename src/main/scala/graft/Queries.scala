@@ -839,6 +839,42 @@ object Queries {
 
   // ---------- query implementations ----------
 
+  /** Quality-score + Gopher-flag CTE block (`b` → `m` → `d`, with
+    * `d(source, qq, gp)`) shared by the `corpus_source_quality` and
+    * `corpus_quality_calibration` oracles — ONE restatement of the
+    * scoring arithmetic, two consumers. */
+  private def sqlQualityGopherCtes: String =
+    s"""b AS (SELECT source, text, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk,
+         |    string_split(text, chr(10)) AS ls,
+         |    CAST(length(text) AS DOUBLE) AS nc,
+         |    CAST(length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) AS DOUBLE) AS punct
+         |  FROM documents),
+         |m AS (SELECT source,
+         |  CASE WHEN nc > 0 THEN punct / nc ELSE 0.0 END AS punct_ratio,
+         |  CASE WHEN len(tk) > 0 THEN CAST(len(list_filter(tk, x -> list_contains($stopAllSql, x))) AS DOUBLE) / len(tk) ELSE 0.0 END AS stop_ratio,
+         |  CASE WHEN len(tk) > 0 THEN list_sum(list_transform(tk, x -> CAST(length(x) AS DOUBLE))) / len(tk) ELSE 0.0 END AS avg_len,
+         |  CAST(len(tk) AS BIGINT) AS n_words,
+         |  CAST(coalesce(list_sum(list_transform(tk, x -> CAST(length(x) AS BIGINT))), 0) AS BIGINT) AS len_sum,
+         |  CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS n_hash,
+         |  CAST((length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT) AS n_ell,
+         |  CAST(len(list_filter(tk, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS n_alpha,
+         |  CAST(len(ls) AS BIGINT) AS n_lines,
+         |  CAST(len(list_filter(ls, l -> ltrim(l) LIKE '-%' OR ltrim(l) LIKE '*%' OR ltrim(l) LIKE '•%')) AS BIGINT) AS n_bullet,
+         |  CAST(len(list_filter(ls, l -> rtrim(l) LIKE '%...' OR rtrim(l) LIKE '%…')) AS BIGINT) AS n_ellend,
+         |  CAST(len(list_intersect(tk, ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS stop_hits
+         |  FROM b),
+         |d AS (SELECT source,
+         |  CAST(floor(least(1.0, greatest(0.0, 0.2 + 0.5 * stop_ratio + 0.05 * avg_len - punct_ratio)) * 10000.0 + 0.5) AS BIGINT) AS qq,
+         |  (n_words >= 50 AND n_words <= 100000
+         |    AND (CASE WHEN n_words > 0 THEN CAST(len_sum AS DOUBLE) / n_words ELSE 0.0 END) >= 3.0
+         |    AND (CASE WHEN n_words > 0 THEN CAST(len_sum AS DOUBLE) / n_words ELSE 0.0 END) <= 10.0
+         |    AND (CASE WHEN n_words > 0 THEN CAST(n_hash + n_ell AS DOUBLE) / n_words ELSE 0.0 END) <= 0.1
+         |    AND (CASE WHEN n_lines > 0 THEN CAST(n_bullet AS DOUBLE) / n_lines ELSE 0.0 END) <= 0.9
+         |    AND (CASE WHEN n_lines > 0 THEN CAST(n_ellend AS DOUBLE) / n_lines ELSE 0.0 END) <= 0.3
+         |    AND (CASE WHEN n_words > 0 THEN CAST(n_alpha AS DOUBLE) / n_words ELSE 0.0 END) >= 0.8
+         |    AND stop_hits >= 2) AS gp
+         |  FROM m)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // O1,O2,O21 — exact top-k, squared L2 (reference metric.rs:29)
     // extension: per-group embedding centroids (cluster profiling) via
@@ -3441,6 +3477,33 @@ object Queries {
           r4(col("__np").cast("double") / col("n_docs")).as("gopher_pass_rate"))
         .orderBy("source")),
 
+    // extension: quality-score CALIBRATION — decile the corpus by the
+    // heuristic quality score (interpolated percentile thresholds over
+    // the quantized-long scores) and report the Gopher pass rate per
+    // decile: does the cheap score actually order the rule battery?
+    "corpus_quality_calibration" -> ((s, dir) => {
+      val base = docs(s, dir)
+        .withColumn("__toks", TextOps.tokens(col("text")))
+        .withColumn("__stats", TextOps.tokenStats(col("__toks")))
+        .select(
+          floor(TextOps.qualityFromStats(col("text"), col("__toks"), col("__stats"))
+            * lit(10000.0) + lit(0.5)).cast("long").as("__qq"),
+          TextOps.gopherFlags(col("text"), col("__toks")).getField("pass").as("__gp"))
+      val th = base.agg(expr(
+        "percentile(__qq, array(0.1D,0.2D,0.3D,0.4D,0.5D,0.6D,0.7D,0.8D,0.9D))")
+        .as("t"))
+      base.crossJoin(broadcast(th))
+        .withColumn("decile", aggregate(col("t"), lit(0),
+          (acc, x) => acc + when(col("__qq").cast("double") > x, 1).otherwise(0)))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_docs"),
+          r4(sum(col("__qq")).cast("double") / count(lit(1)) / lit(10000.0))
+            .as("mean_quality"),
+          r4(count(when(col("__gp"), 1)).cast("double") / count(lit(1)))
+            .as("gopher_pass_rate"))
+        .orderBy("decile")
+    }),
+
     // extension: TF-IDF keyword extraction — top-5 terms per doc by
     // tf·ln(N/df), quantized-then-ranked (engine-independent order,
     // token tiebreak). Vocabulary-bounded df aggregate + per-doc
@@ -5226,40 +5289,24 @@ object Queries {
     // the text_stats quality CTE + the Gopher pass conjunction, rolled
     // up per source with quantized-int means
     "corpus_source_quality" ->
-      s"""WITH b AS (SELECT source, text, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk,
-         |    string_split(text, chr(10)) AS ls,
-         |    CAST(length(text) AS DOUBLE) AS nc,
-         |    CAST(length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) AS DOUBLE) AS punct
-         |  FROM documents),
-         |m AS (SELECT source,
-         |  CASE WHEN nc > 0 THEN punct / nc ELSE 0.0 END AS punct_ratio,
-         |  CASE WHEN len(tk) > 0 THEN CAST(len(list_filter(tk, x -> list_contains($stopAllSql, x))) AS DOUBLE) / len(tk) ELSE 0.0 END AS stop_ratio,
-         |  CASE WHEN len(tk) > 0 THEN list_sum(list_transform(tk, x -> CAST(length(x) AS DOUBLE))) / len(tk) ELSE 0.0 END AS avg_len,
-         |  CAST(len(tk) AS BIGINT) AS n_words,
-         |  CAST(coalesce(list_sum(list_transform(tk, x -> CAST(length(x) AS BIGINT))), 0) AS BIGINT) AS len_sum,
-         |  CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS n_hash,
-         |  CAST((length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT) AS n_ell,
-         |  CAST(len(list_filter(tk, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS n_alpha,
-         |  CAST(len(ls) AS BIGINT) AS n_lines,
-         |  CAST(len(list_filter(ls, l -> ltrim(l) LIKE '-%' OR ltrim(l) LIKE '*%' OR ltrim(l) LIKE '•%')) AS BIGINT) AS n_bullet,
-         |  CAST(len(list_filter(ls, l -> rtrim(l) LIKE '%...' OR rtrim(l) LIKE '%…')) AS BIGINT) AS n_ellend,
-         |  CAST(len(list_intersect(tk, ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS stop_hits
-         |  FROM b),
-         |d AS (SELECT source,
-         |  CAST(floor(least(1.0, greatest(0.0, 0.2 + 0.5 * stop_ratio + 0.05 * avg_len - punct_ratio)) * 10000.0 + 0.5) AS BIGINT) AS qq,
-         |  (n_words >= 50 AND n_words <= 100000
-         |    AND (CASE WHEN n_words > 0 THEN CAST(len_sum AS DOUBLE) / n_words ELSE 0.0 END) >= 3.0
-         |    AND (CASE WHEN n_words > 0 THEN CAST(len_sum AS DOUBLE) / n_words ELSE 0.0 END) <= 10.0
-         |    AND (CASE WHEN n_words > 0 THEN CAST(n_hash + n_ell AS DOUBLE) / n_words ELSE 0.0 END) <= 0.1
-         |    AND (CASE WHEN n_lines > 0 THEN CAST(n_bullet AS DOUBLE) / n_lines ELSE 0.0 END) <= 0.9
-         |    AND (CASE WHEN n_lines > 0 THEN CAST(n_ellend AS DOUBLE) / n_lines ELSE 0.0 END) <= 0.3
-         |    AND (CASE WHEN n_words > 0 THEN CAST(n_alpha AS DOUBLE) / n_words ELSE 0.0 END) >= 0.8
-         |    AND stop_hits >= 2) AS gp
-         |  FROM m)
+      s"""WITH ${sqlQualityGopherCtes}
          |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
          |  ${sqlR4("CAST(sum(qq) AS DOUBLE) / count(*) / 10000.0")} AS mean_quality,
          |  ${sqlR4("CAST(count(*) FILTER (gp) AS DOUBLE) / count(*)")} AS gopher_pass_rate
          |FROM d GROUP BY source ORDER BY source""".stripMargin,
+
+    "corpus_quality_calibration" -> {
+      val ps = (1 to 9).map(i => s"CAST(0.$i AS DOUBLE)").mkString("[", ", ", "]")
+      s"""WITH ${sqlQualityGopherCtes},
+         |th AS (SELECT quantile_cont(CAST(qq AS DOUBLE), $ps) AS t FROM d),
+         |e AS (SELECT d.qq, d.gp, CAST(list_sum(list_transform(th.t, x ->
+         |    CASE WHEN CAST(d.qq AS DOUBLE) > x THEN 1 ELSE 0 END)) AS INT) AS decile
+         |  FROM d, th)
+         |SELECT decile, CAST(count(*) AS BIGINT) AS n_docs,
+         |  ${sqlR4("CAST(sum(qq) AS DOUBLE) / count(*) / 10000.0")} AS mean_quality,
+         |  ${sqlR4("CAST(count(*) FILTER (gp) AS DOUBLE) / count(*)")} AS gopher_pass_rate
+         |FROM e GROUP BY decile ORDER BY decile""".stripMargin
+    },
 
     // DuckDB dayofweek is 0 (Sunday) – 6; Spark is 1 – 7 → +1
     "events_heatmap" ->
