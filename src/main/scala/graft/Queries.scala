@@ -1800,6 +1800,28 @@ object Queries {
         .orderBy("method")
     }),
 
+    // extension: binary-funnel TUNING curve — recall@10 of the Hamming
+    // shortlist → exact rerank at shortlist ∈ {10, 20, 50, 100}; every
+    // point is a deterministic funnel, so the curve is exact integers
+    "ann_hamming_recall_curve" -> ((s, dir) => {
+      val store = recs(s, dir)
+        .withColumn("bcode", operators.VectorOps.binaryCodes(col("embedding")))
+      val q = qvec0(s, dir)
+        .withColumn("qcode", operators.VectorOps.binaryCodes(col("qvec")))
+      val exact = Knn.search(recs(s, dir), qvec0(s, dir), 10, Metric.Euclidean)
+        .select(col("id"))
+      Seq(10, 20, 50, 100).map { sl =>
+        Knn.searchHammingRerank(store, q, k = 10, shortlist = sl)
+          .select(lit(sl).as("shortlist"), col("id"))
+      }.reduce(_ union _)
+        .join(broadcast(exact), Seq("id"), "left_semi")
+        .groupBy(col("shortlist"))
+        .agg(count(lit(1)).as("n_hit"))
+        .select(col("shortlist"), col("n_hit"),
+          r4(col("n_hit").cast("double") / lit(10.0)).as("recall"))
+        .orderBy("shortlist")
+    }),
+
     // extension: late-interaction (MaxSim) scoring — ColBERT-style
     // multi-vector relevance: each query token contributes its best
     // match within the candidate group, summed in a FIXED order via
@@ -4940,6 +4962,25 @@ object Queries {
          |  row_number() OVER (PARTITION BY query_id ORDER BY h ASC, vec_id ASC) AS rn FROM d)
          |SELECT query_id, vec_id, h AS hamming FROM r WHERE rn <= 5
          |ORDER BY query_id, h, vec_id""".stripMargin,
+
+    "ann_hamming_recall_curve" -> {
+      val sls = Seq(10, 20, 50, 100)
+      val ctes = sls.map { sl =>
+        s"""bsl$sl AS (SELECT e.vec_id, e.embedding, q.qvec FROM embeddings e, q
+           |  ORDER BY ${sqlHamming(sqlBinCode("e.embedding"), "q.qc")} ASC, e.vec_id ASC LIMIT $sl),
+           |bin$sl AS (SELECT vec_id FROM bsl$sl ORDER BY ${sqlSq("embedding", "qvec")} ASC, vec_id ASC LIMIT 10)""".stripMargin
+      }
+      val uni = sls.map(sl => s"SELECT $sl AS shortlist, vec_id FROM bin$sl")
+        .mkString("\nUNION ALL\n")
+      s"""WITH q AS (SELECT embedding AS qvec, ${sqlBinCode("embedding")} AS qc FROM embeddings WHERE vec_id = 0),
+         |ex AS (SELECT e.vec_id FROM embeddings e, q ORDER BY ${sqlSq("e.embedding", "q.qvec")} ASC, e.vec_id ASC LIMIT 10),
+         |${ctes.mkString(",\n")},
+         |u AS ($uni)
+         |SELECT CAST(u.shortlist AS INT) AS shortlist, CAST(count(*) AS BIGINT) AS n_hit,
+         |  ${sqlR4("CAST(count(*) AS DOUBLE) / 10.0")} AS recall
+         |FROM u JOIN ex ON u.vec_id = ex.vec_id
+         |GROUP BY u.shortlist ORDER BY shortlist""".stripMargin
+    },
 
     "ann_recall_methods" ->
       s"""WITH q AS (SELECT embedding AS qvec, ${sqlBinCode("embedding")} AS qc FROM embeddings WHERE vec_id = 0),
