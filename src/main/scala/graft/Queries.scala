@@ -1800,6 +1800,35 @@ object Queries {
         .orderBy("method")
     }),
 
+    // extension: FILTERED binary funnel — the metadata predicate gates
+    // candidates before both heaps (the knn_filtered contract composed
+    // with the Hamming shortlist)
+    "ann_hamming_filtered" -> ((s, dir) => {
+      val store = recs(s, dir)
+        .where(FilterDsl.predicate(col("metadata"), "label >= 5"))
+        .withColumn("bcode", operators.VectorOps.binaryCodes(col("embedding")))
+      val q = qvec0(s, dir)
+        .withColumn("qcode", operators.VectorOps.binaryCodes(col("qvec")))
+      knnOut(Knn.searchHammingRerank(store, q, k = 10, shortlist = 50))
+    }),
+
+    // extension: shingle document-frequency histogram — the blocking
+    // profile behind every MinHash/containment tuning decision ("is the
+    // df mass where the rare-shingle blocker assumes?"). Exact counts
+    // into fixed df bands
+    "dedup_df_histogram" -> ((s, dir) => {
+      val sh = docs(s, dir)
+        .select(col("doc_id"),
+          explode(array_distinct(TextOps.shingles(col("text"), 3))).as("__sh"))
+        .groupBy(col("__sh")).agg(count(lit(1)).as("__df"))
+      sh.select(
+          when(col("__df") === 1, "1").when(col("__df") === 2, "2")
+            .when(col("__df") <= 5, "3-5").when(col("__df") <= 10, "6-10")
+            .otherwise("11+").as("df_band"))
+        .groupBy(col("df_band")).agg(count(lit(1)).as("n_shingles"))
+        .orderBy("df_band")
+    }),
+
     // extension: binary-funnel TUNING curve — recall@10 of the Hamming
     // shortlist → exact rerank at shortlist ∈ {10, 20, 50, 100}; every
     // point is a deterministic funnel, so the curve is exact integers
@@ -4962,6 +4991,26 @@ object Queries {
          |  row_number() OVER (PARTITION BY query_id ORDER BY h ASC, vec_id ASC) AS rn FROM d)
          |SELECT query_id, vec_id, h AS hamming FROM r WHERE rn <= 5
          |ORDER BY query_id, h, vec_id""".stripMargin,
+
+    "ann_hamming_filtered" ->
+      s"""WITH q AS (SELECT embedding AS qvec, ${sqlBinCode("embedding")} AS qc
+         |  FROM embeddings WHERE vec_id = 0),
+         |f AS (SELECT vec_id, embedding FROM embeddings WHERE label >= 5),
+         |sl AS (SELECT f.vec_id, f.embedding, q.qvec FROM f, q
+         |  ORDER BY ${sqlHamming(sqlBinCode("f.embedding"), "q.qc")} ASC, f.vec_id ASC LIMIT 50)
+         |SELECT sl.vec_id AS vec_id, ${sqlR4(sqlSq("sl.embedding", "sl.qvec"))} AS distance
+         |FROM sl ORDER BY ${sqlSq("sl.embedding", "sl.qvec")} ASC, sl.vec_id ASC LIMIT 10""".stripMargin,
+
+    "dedup_df_histogram" ->
+      s"""WITH toks AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(len(tk) - 2, 0)),
+         |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
+         |  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk FROM documents)),
+         |df AS (SELECT u.s AS sh, CAST(count(*) AS BIGINT) AS df
+         |  FROM toks, unnest(sh) AS u(s) GROUP BY u.s)
+         |SELECT CASE WHEN df = 1 THEN '1' WHEN df = 2 THEN '2'
+         |  WHEN df <= 5 THEN '3-5' WHEN df <= 10 THEN '6-10' ELSE '11+' END AS df_band,
+         |  CAST(count(*) AS BIGINT) AS n_shingles
+         |FROM df GROUP BY 1 ORDER BY df_band""".stripMargin,
 
     "ann_hamming_recall_curve" -> {
       val sls = Seq(10, 20, 50, 100)
