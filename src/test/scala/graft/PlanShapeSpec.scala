@@ -518,6 +518,20 @@ class PlanShapeSpec extends SparkSpec {
       === Seq((1L, "a", 10), (5L, "e", 50)))
   }
 
+  test("binary Hamming funnels: chained bounded heaps, no ranking window, " +
+    "no cartesian") {
+    val p = plan(Queries.queries("ann_hamming_rerank")(spark, sf))
+    assert(p.split("TakeOrderedAndProject").length - 1 === 2,
+      "funnel must be exactly two chained bounded heaps\n" + p.take(1500))
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"), p.take(1500))
+    val pb = plan(Queries.queries("ann_hamming_batch")(spark, sf))
+    assert(!pb.contains("Window"),
+      "batch top-k must use the bounded-heap aggregate, not a ranking window\n"
+        + pb.take(1500))
+    assert(!pb.contains("SortMergeJoin") && !pb.contains("CartesianProduct"),
+      pb.take(1500))
+  }
+
   test("sales_by_nation: dim tables broadcast, lineitem scan pruned to 3 columns") {
     val p = plan(Queries.queries("sales_by_nation")(spark, sf))
     assert(p.contains("BroadcastHashJoin"),
