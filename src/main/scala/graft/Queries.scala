@@ -1651,10 +1651,14 @@ object Queries {
     "corpus_profile" -> ((s, dir) => {
       val d = docs(s, dir)
       def prof(c: String, withMinMax: Boolean) = {
+        // the TEXT column's ndv counts distinct md5 digests, not raw
+        // strings — same answer, but the distinct shuffle carries
+        // 32-byte keys instead of documents (the never-shuffle-text rule)
+        val key = if (c == "text") md5(col(c)) else col(c)
         val base = d.agg(
           count(lit(1)).as("n"),
           sum(when(col(c).isNull, 1L).otherwise(0L)).as("nulls"),
-          count_distinct(col(c)).as("n_distinct"),
+          count_distinct(key).as("n_distinct"),
           (if (withMinMax) min(col(c)).cast("string") else lit(null).cast("string")).as("min_v"),
           (if (withMinMax) max(col(c)).cast("string") else lit(null).cast("string")).as("max_v"))
         base.select(lit(c).as("column"), col("n"), col("nulls"),
@@ -1820,7 +1824,9 @@ object Queries {
       val sh = docs(s, dir)
         .select(col("doc_id"),
           explode(array_distinct(TextOps.shingles(col("text"), 3))).as("__sh"))
-        .groupBy(col("__sh")).agg(count(lit(1)).as("__df"))
+        // count df per md5 digest: the shuffle carries 32-byte keys,
+        // never shingle text (the same rule the dedup pipelines follow)
+        .groupBy(md5(col("__sh")).as("__k")).agg(count(lit(1)).as("__df"))
       sh.select(
           when(col("__df") === 1, "1").when(col("__df") === 2, "2")
             .when(col("__df") <= 5, "3-5").when(col("__df") <= 10, "6-10")
@@ -4935,7 +4941,7 @@ object Queries {
         val maxv = if (mm) s"CAST(max($c) AS VARCHAR)" else "CAST(NULL AS VARCHAR)"
         s"""SELECT '$c' AS "column", CAST(count(*) AS BIGINT) AS n,
            |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls,
-           |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  CAST(count(DISTINCT ${if (c == "text") "md5(" + c + ")" else c}) AS BIGINT) AS n_distinct,
            |  $minv AS min_v, $maxv AS max_v FROM documents""".stripMargin
       }
       Seq(p("doc_id", true), p("lang", true), p("source", true),
@@ -5005,8 +5011,8 @@ object Queries {
       s"""WITH toks AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(len(tk) - 2, 0)),
          |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
          |  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk FROM documents)),
-         |df AS (SELECT u.s AS sh, CAST(count(*) AS BIGINT) AS df
-         |  FROM toks, unnest(sh) AS u(s) GROUP BY u.s)
+         |df AS (SELECT md5(u.s) AS k, CAST(count(*) AS BIGINT) AS df
+         |  FROM toks, unnest(sh) AS u(s) GROUP BY md5(u.s))
          |SELECT CASE WHEN df = 1 THEN '1' WHEN df = 2 THEN '2'
          |  WHEN df <= 5 THEN '3-5' WHEN df <= 10 THEN '6-10' ELSE '11+' END AS df_band,
          |  CAST(count(*) AS BIGINT) AS n_shingles
