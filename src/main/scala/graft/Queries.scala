@@ -3377,7 +3377,10 @@ object Queries {
     // sequences per 30-min session: the "how do users actually move"
     // product analytic. Session ids by the lag/cumsum shape (one
     // shuffle), per-session order fixed by (ts, event_id), exact counts,
-    // bounded top-k heap
+    // bounded top-k heap. Whale contract: the per-session collect_list
+    // is bounded by session length — a bot session with millions of
+    // events should be pre-gated by the events_user_cap rate limiter
+    // (the documented upstream), same skew contract as the as-of join
     "events_paths" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
