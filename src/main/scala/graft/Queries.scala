@@ -875,6 +875,23 @@ object Queries {
          |    AND stop_hits >= 2) AS gp
          |  FROM m)""".stripMargin
 
+  /** q4-exact per-line revenue `(l_orderkey, __rev4)` — ONE definition
+    * of `floor(extprice·(1−disc)·10⁴ + 0.5)` for the three sales
+    * queries, twinned by [[sqlLineRev4]] so the hash-exactness-bearing
+    * arithmetic can never diverge per query. */
+  private def lineRev4(s: SparkSession, dir: String): DataFrame =
+    Records.table(s, dir, "lineitem")
+      .select(col("l_orderkey"),
+        floor(col("l_extendedprice").cast("double")
+          * (lit(1.0) - col("l_discount").cast("double"))
+          * lit(10000.0) + lit(0.5)).cast("long").as("__rev4"))
+
+  /** DuckDB twin of [[lineRev4]] as a `li(l_orderkey, rev4)` CTE. */
+  private val sqlLineRev4: String =
+    """li AS (SELECT l_orderkey,
+      |    CAST(floor(CAST(l_extendedprice AS DOUBLE) * (1.0 - CAST(l_discount AS DOUBLE)) * 10000.0 + 0.5) AS BIGINT) AS rev4
+      |  FROM lineitem)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // O1,O2,O21 — exact top-k, squared L2 (reference metric.rs:29)
     // extension: per-group embedding centroids (cluster profiling) via
@@ -1629,6 +1646,7 @@ object Queries {
       store.crossJoin(broadcast(q))
         .withColumn("hamming",
           operators.VectorOps.hammingDistance(col("__bc"), col("__qc")))
+        .where(col("hamming").isNotNull) // nulls sort FIRST ascending
         .orderBy(col("hamming").asc, col("id").asc).limit(10)
         .select(col("id").as("vec_id"), col("hamming"))
     }),
@@ -1710,11 +1728,7 @@ object Queries {
     // (q4 of extprice·(1−disc), fixed operand order) then summed as
     // exact longs, so the multi-way shuffle sum is order-independent
     "sales_by_nation" -> ((s, dir) => {
-      val li = Records.table(s, dir, "lineitem")
-        .select(col("l_orderkey"),
-          floor(col("l_extendedprice").cast("double")
-            * (lit(1.0) - col("l_discount").cast("double"))
-            * lit(10000.0) + lit(0.5)).cast("long").as("__rev4"))
+      val li = lineRev4(s, dir)
       val o = Records.table(s, dir, "orders")
         .select(col("o_orderkey"), col("o_custkey"))
       val c = Records.table(s, dir, "customer")
@@ -1733,11 +1747,7 @@ object Queries {
     // extension: revenue + order stats per market segment (broadcast
     // dim join, exact q4 sums, single-distinct order count)
     "sales_by_segment" -> ((s, dir) => {
-      val li = Records.table(s, dir, "lineitem")
-        .select(col("l_orderkey"),
-          floor(col("l_extendedprice").cast("double")
-            * (lit(1.0) - col("l_discount").cast("double"))
-            * lit(10000.0) + lit(0.5)).cast("long").as("__rev4"))
+      val li = lineRev4(s, dir)
       val o = Records.table(s, dir, "orders")
         .select(col("o_orderkey"), col("o_custkey"))
       val c = Records.table(s, dir, "customer")
@@ -1753,11 +1763,7 @@ object Queries {
     // extension: top-10 customers by exact revenue — quantize-then-rank
     // with the custkey tiebreak, bounded heap
     "top_customers" -> ((s, dir) => {
-      val li = Records.table(s, dir, "lineitem")
-        .select(col("l_orderkey"),
-          floor(col("l_extendedprice").cast("double")
-            * (lit(1.0) - col("l_discount").cast("double"))
-            * lit(10000.0) + lit(0.5)).cast("long").as("__rev4"))
+      val li = lineRev4(s, dir)
       val o = Records.table(s, dir, "orders")
         .select(col("o_orderkey"), col("o_custkey"))
       val c = Records.table(s, dir, "customer")
@@ -5093,9 +5099,7 @@ object Queries {
          |FROM g ORDER BY p_brand""".stripMargin,
 
     "sales_by_nation" ->
-      s"""WITH li AS (SELECT l_orderkey,
-         |    CAST(floor(CAST(l_extendedprice AS DOUBLE) * (1.0 - CAST(l_discount AS DOUBLE)) * 10000.0 + 0.5) AS BIGINT) AS rev4
-         |  FROM lineitem)
+      s"""WITH $sqlLineRev4
          |SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_items,
          |  ${sqlR4("CAST(sum(li.rev4) AS DOUBLE) / 10000.0")} AS revenue
          |FROM li JOIN orders o ON li.l_orderkey = o.o_orderkey
@@ -5104,9 +5108,7 @@ object Queries {
          |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin,
 
     "sales_by_segment" ->
-      s"""WITH li AS (SELECT l_orderkey,
-         |    CAST(floor(CAST(l_extendedprice AS DOUBLE) * (1.0 - CAST(l_discount AS DOUBLE)) * 10000.0 + 0.5) AS BIGINT) AS rev4
-         |  FROM lineitem)
+      s"""WITH $sqlLineRev4
          |SELECT c.c_mktsegment, CAST(count(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders,
          |  ${sqlR4("CAST(sum(li.rev4) AS DOUBLE) / 10000.0")} AS revenue
          |FROM li JOIN orders o ON li.l_orderkey = o.o_orderkey
@@ -5114,9 +5116,7 @@ object Queries {
          |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin,
 
     "top_customers" ->
-      s"""WITH li AS (SELECT l_orderkey,
-         |    CAST(floor(CAST(l_extendedprice AS DOUBLE) * (1.0 - CAST(l_discount AS DOUBLE)) * 10000.0 + 0.5) AS BIGINT) AS rev4
-         |  FROM lineitem),
+      s"""WITH $sqlLineRev4,
          |r AS (SELECT o.o_custkey, CAST(sum(li.rev4) AS BIGINT) AS r4
          |  FROM li JOIN orders o ON li.l_orderkey = o.o_orderkey GROUP BY o.o_custkey)
          |SELECT c.c_custkey, c.c_name, ${sqlR4("CAST(r.r4 AS DOUBLE) / 10000.0")} AS revenue
@@ -5276,9 +5276,6 @@ object Queries {
          |SELECT path, CAST(count(*) AS BIGINT) AS n FROM p
          |GROUP BY path ORDER BY n DESC, path ASC LIMIT 20""".stripMargin,
 
-    // the Holt recursion as ONE list_reduce fold: state packed [l, b],
-    // the new l recomputed inline (pure expression, identical bits),
-    // every coefficient CAST to DOUBLE (decimal-literal trap)
     "events_anomaly_mad" ->
       s"""WITH h AS (SELECT date_trunc('hour', ts) AS hour, CAST(count(*) AS BIGINT) AS n
          |  FROM events GROUP BY hour),
@@ -5337,10 +5334,18 @@ object Queries {
          |  CAST(count(*) AS BIGINT) AS n_users
          |FROM per, th GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
 
+    // the Holt recursion as ONE list_reduce fold: state packed [l, b],
+    // the new l recomputed inline (pure expression, identical bits),
+    // every coefficient CAST to DOUBLE (decimal-literal trap); zero
+    // days filled over the full calendar range
     "events_forecast" ->
-      s"""WITH dc AS (SELECT date_trunc('day', ts) AS day, CAST(count(*) AS DOUBLE) AS n
-         |  FROM events GROUP BY day),
-         |ys AS (SELECT list(n ORDER BY day) AS y FROM dc),
+      s"""WITH dc AS (SELECT epoch_us(ts) // 86400000000 AS d, CAST(count(*) AS DOUBLE) AS n
+         |  FROM events GROUP BY d),
+         |bounds AS (SELECT min(d) AS mn, max(d) AS mx FROM dc),
+         |filled AS (SELECT u.d AS d, coalesce(dc.n, CAST(0.0 AS DOUBLE)) AS n
+         |  FROM bounds, unnest(generate_series(bounds.mn, bounds.mx)) AS u(d)
+         |  LEFT JOIN dc ON dc.d = u.d),
+         |ys AS (SELECT list(n ORDER BY d) AS y FROM filled),
          |st AS (SELECT list_reduce(
          |    list_prepend([y[1], y[2] - y[1]], list_transform(list_slice(y, 2, len(y)), v -> [v])),
          |    (acc, x) -> [

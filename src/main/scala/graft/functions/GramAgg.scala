@@ -139,6 +139,10 @@ object GramSumAgg {
         s"vector width mismatch in gram: ${s1.length} vs $d")
       var i = 0
       while (i < d) {
+        // a null ELEMENT would unbox to 0 and silently zero the moments
+        // — fail loudly like the width mismatch (quantize upstream of
+        // this aggregate never produces one from a non-null component)
+        require(!a.isNullAt(i), s"null vector element at position $i in gram")
         val qi = a.getLong(i)
         s1(i) += qi
         var j = i

@@ -247,12 +247,17 @@ object Events {
   def holtForecast(events: DataFrame, horizon: Int = 7): DataFrame = {
     require(horizon > 0, "horizon must be positive")
     val spark = events.sparkSession
-    val ys = events
-      .select(window(col("ts"), "1 day")("start").as("__day"))
-      .groupBy(col("__day")).agg(count(lit(1)).as("__n"))
-      .orderBy(col("__day"))
-      .select(col("__n").cast("double"))
-      .collect().map(_.getDouble(0)).toIndexedSeq
+    // day INDEX by integer floor division so calendar gaps are explicit:
+    // a zero-event day (the outage the forecast exists to see) must
+    // contribute y = 0, not silently vanish from the series — and
+    // `horizon` must mean calendar days, not observed days
+    val byDay = events
+      .select(expr("unix_micros(ts) DIV 86400000000").as("__d"))
+      .groupBy(col("__d")).agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    require(byDay.nonEmpty, "empty event log")
+    val (dMin, dMax) = (byDay.keys.min, byDay.keys.max)
+    val ys = (dMin to dMax).map(d => byDay.getOrElse(d, 0L).toDouble)
     require(ys.length >= 2, s"need >= 2 days of data, got ${ys.length}")
     var l = ys(0)
     var b = ys(1) - ys(0)

@@ -243,6 +243,23 @@ object IvfIndex {
     * `probed` is a ≤probes-row frame → broadcast semi-join prunes the big
     * table (partition pruning when `assigned` is disk-partitioned by
     * cluster_id); the exact re-rank inherits Knn's TakeOrderedAndProject. */
+  /** The probe stage shared by every funnel: rank ALL centroids by
+    * distance to the query (NaN last), keep the nearest `probes`
+    * cluster ids — ONE definition so the probe tiebreak and NaN
+    * handling can never diverge across the exact / prefix / Hamming
+    * serving paths. */
+  private def probedClusters(
+      model: Model,
+      query: DataFrame,
+      probes: Int,
+      metric: Metric): DataFrame =
+    model.centroids
+      .crossJoin(broadcast(query))
+      .withColumn("__cdist", metric.distance(col("centroid"), col("qvec")))
+      .orderBy(isnan(col("__cdist")).asc, col("__cdist").asc, col("cluster_id").asc)
+      .limit(probes)
+      .select("cluster_id")
+
   def query(
       model: Model,
       query: DataFrame,
@@ -251,12 +268,7 @@ object IvfIndex {
       metric: Metric = Metric.Euclidean,
       radius: Double = Double.PositiveInfinity,
       filter: Column = lit(true)): DataFrame = {
-    val probed = model.centroids
-      .crossJoin(broadcast(query))
-      .withColumn("__cdist", metric.distance(col("centroid"), col("qvec")))
-      .orderBy(isnan(col("__cdist")).asc, col("__cdist").asc, col("cluster_id").asc)
-      .limit(probes)
-      .select("cluster_id")
+    val probed = probedClusters(model, query, probes, metric)
     val candidates = model.assigned.join(broadcast(probed), Seq("cluster_id"), "left_semi")
     Knn.search(candidates, query, k, metric, radius, filter)
   }
@@ -278,12 +290,7 @@ object IvfIndex {
       prefixDim: Int,
       shortlist: Int,
       metric: Metric = Metric.Euclidean): DataFrame = {
-    val probed = model.centroids
-      .crossJoin(broadcast(query))
-      .withColumn("__cdist", metric.distance(col("centroid"), col("qvec")))
-      .orderBy(isnan(col("__cdist")).asc, col("__cdist").asc, col("cluster_id").asc)
-      .limit(probes)
-      .select("cluster_id")
+    val probed = probedClusters(model, query, probes, metric)
     val candidates = model.assigned.join(broadcast(probed), Seq("cluster_id"), "left_semi")
     Knn.searchPrefixRerank(candidates, query, k, prefixDim, shortlist, metric)
   }
@@ -306,12 +313,7 @@ object IvfIndex {
       probes: Int,
       shortlist: Int,
       metric: Metric = Metric.Euclidean): DataFrame = {
-    val probed = model.centroids
-      .crossJoin(broadcast(query))
-      .withColumn("__cdist", metric.distance(col("centroid"), col("qvec")))
-      .orderBy(isnan(col("__cdist")).asc, col("__cdist").asc, col("cluster_id").asc)
-      .limit(probes)
-      .select("cluster_id")
+    val probed = probedClusters(model, query, probes, metric)
     val candidates = model.assigned
       .join(broadcast(probed), Seq("cluster_id"), "left_semi")
       .withColumn("bcode", VectorOps.binaryCodes(col("embedding")))

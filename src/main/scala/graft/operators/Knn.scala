@@ -121,6 +121,10 @@ object Knn {
     records
       .crossJoin(broadcast(query))
       .withColumn("__h", VectorOps.hammingDistance(col("bcode"), col("qcode")))
+      // a null Hamming distance (null/ragged codes) must not fill
+      // shortlist slots: Spark sorts nulls FIRST ascending — the same
+      // invalid-candidate guard every sibling funnel stage applies
+      .where(col("__h").isNotNull)
       .orderBy(col("__h").asc, col("id").asc)
       .limit(shortlist)
       .withColumn("distance", metric.distance(col("embedding"), col("qvec")))
@@ -146,6 +150,7 @@ object Knn {
       .crossJoin(broadcast(queries))
       .withColumn("distance",
         VectorOps.hammingDistance(col("bcode"), col("qcode")).cast("double"))
+      .where(col("distance").isNotNull) // invalid codes never enter a heap
       .select(col("query_id"), col("distance"), col("id"))
     topKPerQuery(candidates, records, k)
   }

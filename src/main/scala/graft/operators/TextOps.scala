@@ -854,9 +854,15 @@ object TextOps {
         slice(col("__t"), lit(2), size(col("__t")) - 1),
         (a, b) => struct(a.as("w1"), b.as("w2")))).as("__p"))
       .select(col("__p.w1").as("w1"), col("__p.w2").as("w2"))
+    // both count frames feed multiple consumers (totals + joins); they
+    // are vocabulary-bounded, so persisting them stops the corpus from
+    // being re-tokenized once per DAG branch (the memoize-converged-
+    // RESULTS rule; blocks fall away on the session's catalog clears)
     val bc = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n"))
+      .persist()
     val uni = tk.select(explode(col("__t")).as("__w"))
       .groupBy(col("__w")).agg(count(lit(1)).as("__c"))
+      .persist()
     val tot = bc.agg(sum(col("n")).as("__nb"))
       .crossJoin(uni.agg(sum(col("__c")).as("__nt")))
     val r4 = (c: Column) => floor(c * lit(10000.0) + lit(0.5)) / lit(10000.0)

@@ -319,14 +319,6 @@ object VectorOps {
     (r._1, r._2)
   }
 
-  /** Top-k principal components by Hotelling deflation: extract a
-    * component as in [[pcaTop]], then subtract its rank-1 contribution
-    * (`C ← C − λ·v·vᵀ`, fixed operand order `λ·vᵢ·vⱼ` left-assoc) and
-    * repeat — the scree view ("is the embedding space anisotropic, and
-    * how fast does the spectrum fall?"). Each share divides by the
-    * ORIGINAL trace, so shares across components are comparable and sum
-    * toward 1. Same one-pass/driver-math scale shape and determinism
-    * contract as [[pcaTop]]; k is model-bounded (k ≤ d). */
   /** The one distributed pass: collected `(n, Σq, Σq·qᵀ)` in q3 units. */
   private def gramMoments(
       embeddings: DataFrame, vecCol: String): (Long, Seq[Long], Seq[Long]) = {
@@ -337,6 +329,14 @@ object VectorOps {
     (g.getLong(0), g.getSeq[Long](1), g.getSeq[Long](2))
   }
 
+  /** Top-k principal components by Hotelling deflation: extract a
+    * component as in [[pcaTop]], then subtract its rank-1 contribution
+    * (`C ← C − λ·v·vᵀ`, fixed operand order `λ·vᵢ·vⱼ` left-assoc) and
+    * repeat — the scree view ("is the embedding space anisotropic, and
+    * how fast does the spectrum fall?"). Each share divides by the
+    * ORIGINAL trace, so shares across components are comparable and sum
+    * toward 1. One [[gramMoments]] pass, then the [[pcaFromMoments]]
+    * deflation loop as driver math; k is model-bounded (k ≤ d). */
   def pcaTopK(
       embeddings: DataFrame,
       vecCol: String,

@@ -296,11 +296,16 @@ object Records {
     * companion, when present) as a NEW newest version — never by
     * deleting newer versions, so the operation is itself versioned,
     * auditable, and vacuum-safe (the bad versions age out through
-    * [[vacuumVersions]] like any other). Readers that resolve "the
-    * newest version" see the restored data atomically once the new
-    * directory is fully written (the same reader contract as the
-    * refine swap in [[graft.streaming.MaintainedIngest]]). Returns the
-    * new version number. */
+    * [[vacuumVersions]] like any other).
+    *
+    * Crash safety: the copy lands in a hidden staging directory
+    * (`.v{next}.tmp` — invisible to the `v\\d+` listings readers and
+    * the restart recovery use) and is RENAMED into place only once
+    * fully written, centroids first. A plain write to `v{next}` would
+    * be listable the moment it starts, so a crash mid-copy would leave
+    * a partial directory as the authoritative newest version — which
+    * [[vacuumVersions]] would then faithfully preserve while aging out
+    * the good ones. Returns the new version number. */
   def restoreVersion(spark: SparkSession, base: String, v: Int): Int = {
     val p = new org.apache.hadoop.fs.Path(base)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -310,11 +315,18 @@ object Records {
       .map(_.getPath.getName).filter(_.matches("v\\d+"))
       .map(_.drop(1).toInt)
     val next = versions.max + 1
+    val tmp = new org.apache.hadoop.fs.Path(s"$base/.v$next.tmp")
+    fs.delete(tmp, true) // stale staging from an earlier crash
     spark.read.parquet(s"$base/v$v")
-      .write.mode("overwrite").parquet(s"$base/v$next")
-    if (fs.exists(new org.apache.hadoop.fs.Path(s"$base/centroids_v$v")))
+      .write.mode("overwrite").parquet(tmp.toString)
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$base/centroids_v$v"))) {
+      val ctmp = new org.apache.hadoop.fs.Path(s"$base/.centroids_v$next.tmp")
+      fs.delete(ctmp, true)
       spark.read.parquet(s"$base/centroids_v$v")
-        .write.mode("overwrite").parquet(s"$base/centroids_v$next")
+        .write.mode("overwrite").parquet(ctmp.toString)
+      fs.rename(ctmp, new org.apache.hadoop.fs.Path(s"$base/centroids_v$next"))
+    }
+    fs.rename(tmp, new org.apache.hadoop.fs.Path(s"$base/v$next"))
     next
   }
 }

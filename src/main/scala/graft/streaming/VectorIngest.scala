@@ -227,16 +227,17 @@ object VectorIngest {
           val bn = g.getLong(0)
           val bs1 = g.getSeq[Long](1)
           val bs2 = g.getSeq[Long](2)
-          val fs = new org.apache.hadoop.fs.Path(stateDir)
-            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          // a crashed FIRST write can leave stateDir existing but with
+          // no committed parquet; an existence check alone would then
+          // wedge every retry on "unable to infer schema" — treat any
+          // unreadable state as absent instead
           val prior =
-            if (!fs.exists(new org.apache.hadoop.fs.Path(stateDir))) None
-            else {
-              val st = spark.read.parquet(stateDir)
-                .where(col("batch_id") < batchId)
-                .orderBy(col("batch_id").desc).limit(1)
-                .select(col("n"), col("s1"), col("s2")).collect()
-              st.headOption
+            try spark.read.parquet(stateDir)
+              .where(col("batch_id") < batchId)
+              .orderBy(col("batch_id").desc).limit(1)
+              .select(col("n"), col("s1"), col("s2")).collect().headOption
+            catch {
+              case _: org.apache.spark.sql.AnalysisException => None
             }
           val n = prior.map(_.getLong(0)).getOrElse(0L) + bn
           val s1 = prior.map(_.getSeq[Long](1).zip(bs1).map(t => t._1 + t._2))

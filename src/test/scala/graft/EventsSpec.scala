@@ -190,4 +190,29 @@ class EventsSpec extends SparkSpec {
     }
     assert(e.getMessage.contains(">= 2 days"))
   }
+
+  test("holtForecast: a zero-event calendar day enters the series as y = 0 " +
+    "instead of vanishing") {
+    val dayMs = 86400000L
+    // events on days 0 and 2 only; day 1 is an outage
+    val rows = Seq(0, 2).flatMap { t =>
+      (0 until 10).map { j =>
+        ((t * 100 + j).toLong, 1L, "view",
+          new java.sql.Timestamp(1704067200000L + t * dayMs + j * 1000L))
+      }
+    }
+    val got = Events.holtForecast(rows.toDF("event_id", "user_id", "event_type", "ts"),
+      horizon = 2).as[(Int, Double)].collect().toMap
+    // replicate the recursion over the FILLED series [10, 0, 10]
+    val ys = Seq(10.0, 0.0, 10.0)
+    var l = ys(0); var b = ys(1) - ys(0)
+    for (t <- 1 until ys.length) {
+      val lp = l
+      l = 0.5 * ys(t) + 0.5 * (lp + b)
+      b = 0.25 * (l - lp) + 0.75 * b
+    }
+    (1 to 2).foreach(h => assert(got(h) === l + h.toDouble * b, s"h=$h"))
+    // a gap-blind series [10, 10] would forecast a flat 10 — guard that
+    assert(got(1) !== 10.0, "outage day was dropped from the series")
+  }
 }

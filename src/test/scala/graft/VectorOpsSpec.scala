@@ -307,6 +307,14 @@ class VectorOpsSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("width mismatch") ||
       e.getCause.getMessage.contains("width mismatch"))
+    // a null ELEMENT must fail loudly too, never unbox to a silent 0
+    val withNull = spark.range(1)
+      .select(array(lit(1L), lit(null).cast("long")).as("q"))
+    val e2 = intercept[org.apache.spark.SparkException] {
+      withNull.agg(graft.functions.GramSumAgg.gramSum(col("q"))).collect()
+    }
+    assert(e2.getMessage.contains("null vector element") ||
+      e2.getCause.getMessage.contains("null vector element"))
   }
 
   test("pcaTop: unit loadings, share in (0,1], converged eigenpair, and a " +
@@ -418,5 +426,24 @@ class VectorOpsSpec extends SparkSpec {
     assert(funnel.contains(0L), "query vector must be its own 0-distance hit")
     val recall = exact.intersect(funnel).size
     assert(recall >= 6, s"binary funnel recall too low: $recall/10")
+  }
+
+  test("binary funnel: null codes never fill shortlist slots (nulls would " +
+    "sort FIRST ascending)") {
+    import graft.operators.Knn
+    val rnd = new scala.util.Random(33)
+    val good = (0L until 100L).map(i =>
+      (i, Option(Seq.fill(16)((rnd.nextFloat() - 0.5f) * 2f))))
+    val nulls = (1000L until 1060L).map(i => (i, Option.empty[Seq[Float]]))
+    val r = (good ++ nulls).toDF("id", "embedding")
+      .withColumn("metadata", map(lit("k"), col("id").cast("string")))
+      .withColumn("bcode", VectorOps.binaryCodes(col("embedding")))
+    val q = good.take(1).toDF("id", "embedding")
+      .select(col("embedding").as("qvec"),
+        VectorOps.binaryCodes(col("embedding")).as("qcode"))
+    val got = Knn.searchHammingRerank(r, q, k = 10, shortlist = 50)
+      .select("id").as[Long].collect()
+    assert(got.length === 10, s"null codes starved the shortlist: ${got.length}")
+    assert(got.forall(_ < 1000L), "a null-embedding row surfaced")
   }
 }
