@@ -716,23 +716,30 @@ object Queries {
     * id ≡ 7 (mod 101) vector-perturbed (+1 on component 0), plus one
     * fresh insert at max(id)+1 — all four change classes, recomputable
     * in SQL at any scale factor. */
+  /** The shared delete + vector-perturbation legs of the deterministic
+    * store evolution (id ≡ 3 (mod 97) deleted; surviving id ≡ 7
+    * (mod 101) gets +1 on component 0) — ONE definition for
+    * [[diffNewStore]] and the drift monitors, restated in SQL by their
+    * oracles. `idCol` differs per frame (id vs vec_id). */
+  private def perturbStore(df: DataFrame, idCol: String): DataFrame =
+    df.where(!(col(idCol) % 97 === 3))
+      .withColumn("embedding",
+        when(col(idCol) % 101 === 7,
+          transform(col("embedding"),
+            (x, i) => when(i === 0, x + lit(1.0f)).otherwise(x)))
+          .otherwise(col("embedding")))
+
   private def diffNewStore(s: SparkSession, old: DataFrame): DataFrame = {
     import s.implicits._
     val maxId = old.agg(max(col("id"))).head.getLong(0)
     val fresh = Seq((maxId + 1L, Seq.fill(Dim)(0.9f), Map("label" -> "777")))
       .toDF("id", "embedding", "metadata")
-    old
-      .where(!(col("id") % 97 === 3))
+    perturbStore(old, "id")
       .withColumn("metadata",
         when(col("id") % 89 === 5,
           map(lit("label"),
             concat(try_element_at(col("metadata"), lit("label")), lit("_v2"))))
           .otherwise(col("metadata")))
-      .withColumn("embedding",
-        when(col("id") % 101 === 7,
-          transform(col("embedding"),
-            (x, i) => when(i === 0, x + lit(1.0f)).otherwise(x)))
-          .otherwise(col("embedding")))
       .unionByName(fresh)
   }
 
@@ -1268,12 +1275,7 @@ object Queries {
       val cents = fixedCentroids(s, dir)
       val oldA = IvfIndex.assign(recs(s, dir), cents, Metric.Euclidean)
         .select(col("id"), col("cluster_id").as("__co"))
-      val newRecs = recs(s, dir)
-        .where(!(col("id") % 97 === 3))
-        .withColumn("embedding", when(col("id") % 101 === 7,
-          transform(col("embedding"),
-            (x, i) => when(i === 0, x + lit(1.0f)).otherwise(x)))
-          .otherwise(col("embedding")))
+      val newRecs = perturbStore(recs(s, dir), "id")
       val newA = IvfIndex.assign(newRecs, cents, Metric.Euclidean)
         .select(col("id"), col("cluster_id").as("__cn"))
       oldA.join(newA, Seq("id"))
@@ -1292,11 +1294,7 @@ object Queries {
     // doubles would be partial-aggregation-order-dependent
     "embed_centroid_drift" -> ((s, dir) => {
       val oldE = emb(s, dir).select(col("vec_id"), col("label"), col("embedding"))
-      val newE = oldE.where(!(col("vec_id") % 97 === 3))
-        .withColumn("embedding", when(col("vec_id") % 101 === 7,
-          transform(col("embedding"),
-            (x, i) => when(i === 0, x + lit(1.0f)).otherwise(x)))
-          .otherwise(col("embedding")))
+      val newE = perturbStore(oldE, "vec_id")
       def qmeans(df: DataFrame, mAs: String) = df
         .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "__v")))
         .select(col("label"), col("pos"),

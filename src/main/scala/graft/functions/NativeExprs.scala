@@ -1044,6 +1044,10 @@ object NativeExprs {
     * eval total). */
   case class GopherTokenStatsExpr(child: Expression, stopwords: Seq[String])
       extends UnaryExpression with CodegenFallback {
+    // the distinct-stopword tracker is a 64-bit mask; entry 64 would
+    // alias entry 0 (1L << 64 wraps) and silently undercount stop_hits
+    require(stopwords.size <= 64,
+      s"at most 64 stopwords supported, got ${stopwords.size}")
     override def dataType: DataType = StructType(Seq(
       StructField("n_words", LongType, nullable = false),
       StructField("len_sum", LongType, nullable = false),
@@ -1196,15 +1200,22 @@ object NativeExprs {
       val embs = new Array[ArrayData](n)
       var m = 0
       var i = 0
+      var dim = -1 // adopted from the first accepted candidate
       while (i < n) {
         if (!cands.isNullAt(i)) {
           val e = cands.getStruct(i, nf)
           if (!e.isNullAt(dqIdx) && !e.isNullAt(idIdx) && !e.isNullAt(embIdx)) {
             val dq = e.getDouble(dqIdx)
-            if (!dq.isNaN) {
+            val emb = e.getArray(embIdx)
+            // dimension-mismatched candidates are dropped at intake: a
+            // NaN pairwise distance would leave their minD at +Infinity,
+            // making them either the forced #2 pick (-Infinity score) or
+            // unpickable (NaN at lam=1) — both wrong, and inconsistent
+            if (!dq.isNaN && (dim < 0 || emb.numElements() == dim)) {
+              if (dim < 0) dim = emb.numElements()
               ids(m) = e.getLong(idIdx)
               dqs(m) = dq
-              embs(m) = e.getArray(embIdx)
+              embs(m) = emb
               m += 1
             }
           }

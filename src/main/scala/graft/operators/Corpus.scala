@@ -390,7 +390,11 @@ object Corpus {
     require(checks.forall(_._1.matches("[A-Za-z0-9_]+")),
       s"check names must be identifier-safe: ${checks.map(_._1)}")
     val aggs = count(lit(1)).as("__n") +: checks.map { case (n, p) =>
-      sum(when(!coalesce(p, lit(false)), 1L).otherwise(0L)).as(s"__v_$n")
+      // coalesce the SUM too: on an empty frame sum() is NULL, which
+      // would make n_violations/pass three-valued and let the report
+      // vanish from either polarity of a downstream gate's filter
+      coalesce(sum(when(!coalesce(p, lit(false)), 1L).otherwise(0L)), lit(0L))
+        .as(s"__v_$n")
     }
     val row = df.agg(aggs.head, aggs.tail: _*)
     val stackArgs = checks.map { case (n, _) => s"'$n', __v_$n" }.mkString(", ")

@@ -155,9 +155,13 @@ object Crud {
         array_sort(map_entries(col("metadata"))).as("__meta_key")).as(tag))
     canonical(oldStore, "__old")
       .join(canonical(newStore, "__new"), Seq("id"), "full_outer")
+      // null-SAFE inequality (`<=>` negated): with `=!=`, a null
+      // embedding/metadata on exactly ONE side yields SQL NULL, the
+      // filter drops the row, and a real null↔non-null change silently
+      // never enters the log — violating the merge∘diff round-trip law
       .where(col("__old").isNull || col("__new").isNull ||
-        col("__old.embedding") =!= col("__new.embedding") ||
-        col("__old.__meta_key") =!= col("__new.__meta_key"))
+        !(col("__old.embedding") <=> col("__new.embedding")) ||
+        !(col("__old.__meta_key") <=> col("__new.__meta_key")))
       .select(col("id"),
         when(col("__new").isNull, lit("delete")).otherwise(lit("upsert")).as("op"),
         col("__new.embedding").as("embedding"),

@@ -293,7 +293,13 @@ object EventStream {
       else {
         var st = state.getOption.getOrElse(FunnelProgress(0, Long.MinValue))
         var hit: Option[FunnelHit] = None
-        it.toSeq.sortBy(e => (e.ts_us, e.event_type)).foreach { e =>
+        // same-timestamp ordering must follow STAGE order, not event-type
+        // alphabet: the batch funnel's inclusive `ts >=` bound lets a
+        // user pass two stages at one timestamp, so the state machine
+        // must see the earlier stage first or stream diverges from batch
+        val stageIdx = stages.zipWithIndex.toMap
+        it.toSeq.sortBy(e =>
+          (e.ts_us, stageIdx.getOrElse(e.event_type, stages.size))).foreach { e =>
           // stage == stages.size is the DONE marker: kept (not removed)
           // so a completed user's later events cannot restart the funnel
           // and double-emit; the TTL timeout reclaims it

@@ -277,6 +277,7 @@ final class MaintainedIngest private[streaming] (
   import org.apache.spark.sql.functions.{col, count, lit}
 
   @volatile private var vers = 0
+  @volatile private var lastFailedMax = -1L
   @volatile private var cents = initialCentroids
   @volatile private var refines = 0
   @volatile private var compactions = 0
@@ -371,7 +372,11 @@ final class MaintainedIngest private[streaming] (
       batchCounts.map(_._1)
     } finally assigned.unpersist()
     touched.foreach(c => clusterFiles(c) = listClusterFiles(c))
-    if (sizes.nonEmpty && sizes.values.max > density) refineNow()
+    // lastFailedMax: a violation refine could not split (degenerate
+    // duplicate-spam cluster) must not re-fire a full-store rewrite on
+    // every batch — suppress until the violation actually grows
+    if (sizes.nonEmpty && sizes.values.max > density
+        && sizes.values.max != lastFailedMax) refineNow()
     else if (maxStoreFiles > 0 && storeFileCount > maxStoreFiles) compactNow()
   }
 
@@ -394,7 +399,8 @@ final class MaintainedIngest private[streaming] (
   }
 
   private def refineNow(): Unit = {
-    var m = IvfIndex.Model(cents, spark.read.parquet(storePath))
+    val initial = IvfIndex.Model(cents, spark.read.parquet(storePath))
+    var m = initial
     var prev: IvfIndex.Model = null
     var rounds = 0
     while (!(m eq prev) && rounds < maxRefineRounds) {
@@ -402,6 +408,14 @@ final class MaintainedIngest private[streaming] (
       m = IvfIndex.refine(m, density, metric)
       rounds += 1
     }
+    if (m eq initial) {
+      // no cluster could be split (refine's fixed point is the input):
+      // a rewrite would copy the store for nothing, every batch — record
+      // the failed violation size and keep serving the current version
+      lastFailedMax = if (sizes.nonEmpty) sizes.values.max else -1L
+      return
+    }
+    lastFailedMax = -1L
     val next = vers + 1
     val nextPath = s"$storeBase/v$next"
     IvfIndex.writePartitioned(m, nextPath)

@@ -139,6 +139,26 @@ class CrudSpec extends SparkSpec {
     assert(Crud.diff(a, b).count() === 0L)
   }
 
+  test("diff: a null↔non-null metadata or embedding change IS a change " +
+    "(null-safe comparison, not three-valued =!=)") {
+    val old = Seq(
+      (1L, Option(Seq(1f)), Option.empty[Map[String, String]]),
+      (2L, Option.empty[Seq[Float]], Option(Map("k" -> "v"))))
+      .toDF("id", "embedding", "metadata")
+    val neu = Seq(
+      (1L, Option(Seq(1f)), Option(Map("k" -> "x"))),  // null → map
+      (2L, Option(Seq(2f)), Option(Map("k" -> "v"))))  // null → vector
+      .toDF("id", "embedding", "metadata")
+    val d = Crud.diff(old, neu)
+    assert(d.count() === 2L,
+      "null-to-value transitions must enter the change log")
+    // and the round-trip law still closes over them
+    val merged = Crud.merge(old, d.withColumn("seq", col("id")))
+      .select("id", "metadata").as[(Long, Option[Map[String, String]])]
+      .collect().toMap
+    assert(merged(1L).contains(Map("k" -> "x")))
+  }
+
   test("compaction: many small files → few target-size files, data identical") {
     val base = java.nio.file.Files.createTempDirectory(
       java.nio.file.Paths.get("/root/repo/target"), "compact").toString

@@ -440,6 +440,33 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("stream_funnel_test").count() === got.size.toLong)
   }
 
+  test("streaming funnel: same-timestamp stage pair completes like the " +
+    "batch funnel's inclusive bound (stage order, not alphabet)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_funnel_tie").toString
+    val t0 = new java.sql.Timestamp(1704067200000L)
+    val t1 = new java.sql.Timestamp(1704067260000L)
+    // 'click' < 'view' alphabetically: an event-type sort would process
+    // click first and never complete; stage-order processing must
+    Seq((1L, t0, 1L, "view", 0.0, "{}"),
+        (2L, t0, 1L, "click", 0.0, "{}"),
+        (3L, t1, 1L, "purchase", 1.0, "{}"),
+        (4L, t1, 2L, "view", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/w")
+    // readEvents expects a FILE named events.parquet (testdata layout)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val part = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/w"))
+      .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+    fs.rename(part, new org.apache.hadoop.fs.Path(s"$dir/events.parquet"))
+    val q = EventStream.startFunnelToMemory(spark, dir,
+      Seq("view", "click", "purchase"), "stream_funnel_tie_test")
+    q.awaitTermination()
+    val got = spark.table("stream_funnel_tie_test")
+      .select("user_id").as[Long].collect().toSet
+    assert(got === Set(1L), s"tied-timestamp funnel must complete: $got")
+  }
+
   test("stream-stream time-bounded join equals the batch range join's pairs") {
     val batchEvents = EventStream.loadEvents(spark, sf0001)
     // batch twin: the binned range join with identical bounds — matched
