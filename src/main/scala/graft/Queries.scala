@@ -1928,6 +1928,18 @@ object Queries {
     "dedup_exact" -> ((s, dir) =>
       Dedup.exact(docs(s, dir)).orderBy("keep_id")),
 
+    // extension: NORMALIZED exact dedup — case-folded, whitespace-
+    // collapsed content key catches the trivial variants byte-exact
+    // dedup misses (trailing spaces, casing, reflowed lines) while
+    // still shuffling only the 64-byte digest
+    "dedup_exact_normalized" -> ((s, dir) =>
+      docs(s, dir)
+        .groupBy(sha2(regexp_replace(lower(trim(col("text"))), "\\s+", " "), 256)
+          .as("__k"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+        .select(col("keep_id"), col("n_dups"))
+        .orderBy("keep_id")),
+
     // extension: MinHash(16 perms) + LSH(4 bands) near-dup join, 3-gram shingles
     "dedup_minhash" -> ((s, dir) =>
       Dedup.minhashLsh(docs(s, dir), shingleN = 3, perms = 16, bands = 4, threshold = 0.5)
@@ -5123,6 +5135,11 @@ object Queries {
 
     "dedup_exact" ->
       "SELECT min(doc_id) AS keep_id, count(*) AS n_dups FROM documents GROUP BY sha256(text) ORDER BY keep_id",
+
+    "dedup_exact_normalized" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_dups FROM documents
+        |GROUP BY sha256(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+        |ORDER BY keep_id""".stripMargin,
 
     "dedup_minhash" ->
       s"""WITH toks AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(len(tk) - 2, 0)),
