@@ -167,7 +167,19 @@ object Bench {
     val warmupTotal = warmupSteps.values.sum
     val warmupJson = warmupSteps.map { case (k, v) => s"\"" + k + "\":" + f4(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${f4(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"passes":$passesJson,"failed":$failedJson,"warmup_s":${f4(warmupTotal)},"warmup":$warmupJson,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${f4(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"passes":$passesJson,"failed":$failedJson,"warmup_s":${f4(warmupTotal)},"warmup":$warmupJson,"sf":"$sfDir"}"""
+    println(line)
+    // Also persist to a file: the stdout line can land inside a
+    // truncated log tail (r6/r7 artifacts show "parsed": null), and a
+    // file survives any amount of surrounding log noise.
+    try {
+      val out = java.nio.file.Paths.get("target", "bench.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.write(out,
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] bench.json write failed: ${e.getMessage}")
+    }
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

@@ -7078,14 +7078,17 @@ object Queries {
       s"""WITH $sqlDsirCtes
          |SELECT doc_id, n_tokens, logw FROM w ORDER BY logw DESC, doc_id LIMIT 100""".stripMargin,
 
-    // hugeint sum cast to the same DECIMAL(38,0) the Spark side declares
+    // hugeint sum surfaced as two BIGINT halves (div/mod 2^62) — never
+    // a DECIMAL(38,0) output column, whose canonicalization diverges
+    // across engines even on bit-identical values (r7 red row)
     "corpus_checksum" ->
       s"""WITH h AS (SELECT source, n_chars, list_reduce(list_transform(string_split_regex(substr(md5(text), 1, 14), ''),
          |    c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a * 16 + b) AS hv
          |  FROM documents)
          |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
          |  CAST(count(DISTINCT hv) AS BIGINT) AS n_unique,
-         |  CAST(sum(hv) AS DECIMAL(38,0)) AS checksum,
+         |  CAST(sum(hv) // 4611686018427387904 AS BIGINT) AS checksum_hi,
+         |  CAST(sum(hv) % 4611686018427387904 AS BIGINT) AS checksum_lo,
          |  CAST(sum(n_chars) AS BIGINT) AS total_chars
          |FROM h GROUP BY source ORDER BY source""".stripMargin,
 

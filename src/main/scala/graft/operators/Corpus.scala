@@ -894,7 +894,13 @@ object Corpus {
     * The hash sum runs in DECIMAL so it is exact at any scale (10^12
     * documents × 2^56 is 29 digits — inside DECIMAL(38,0); a long would
     * overflow and a double would lose the low bits that make the
-    * checksum sensitive). Scale: one map-side-combinable aggregate over
+    * checksum sensitive). The SURFACE, though, is two BIGINT halves
+    * (`checksum_hi` = sum div 2^62, `checksum_lo` = sum mod 2^62):
+    * wide-decimal output columns canonicalize differently across
+    * engines/arrow readers even when the values are bit-identical,
+    * while a pair of longs is representation-unambiguous everywhere.
+    * hi stays inside a long up to ~4.2e37 total — far past the 29-digit
+    * worst case. Scale: one map-side-combinable aggregate over
     * (source); nothing but the scan is proportional to the corpus. */
   def checksum(
       docs: DataFrame,
@@ -908,8 +914,13 @@ object Corpus {
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         count_distinct(col("__h")).as("n_unique"),
-        sum(col("__h")).cast("decimal(38,0)").as("checksum"),
+        sum(col("__h")).cast("decimal(38,0)").as("__sum"),
         sum(col("__nc")).as("total_chars"))
+      .select(col("source"), col("n_docs"), col("n_unique"),
+        expr("__sum div 4611686018427387904").as("checksum_hi"),
+        (col("__sum") % lit(4611686018427387904L)).cast("long")
+          .as("checksum_lo"),
+        col("total_chars"))
 
   /** Per-group top-k selection by an arbitrary score — the bounded-heap
     * generalization of [[mixSample]]'s content-hash quota: keep the `k`

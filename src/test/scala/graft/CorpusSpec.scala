@@ -555,8 +555,10 @@ class CorpusSpec extends SparkSpec {
   test("checksum manifest: partition-invariant, flips on a one-character edit") {
     def manifest(df: org.apache.spark.sql.DataFrame) =
       Corpus.checksum(df, col("source"), col("text"), length(col("text")))
-        .select("source", "n_docs", "n_unique", "checksum", "total_chars")
-        .as[(String, Long, Long, BigDecimal, Long)].collect().sortBy(_._1).toSeq
+        .select("source", "n_docs", "n_unique",
+          "checksum_hi", "checksum_lo", "total_chars")
+        .as[(String, Long, Long, Long, Long, Long)].collect()
+        .sortBy(_._1).toSeq
     val base = manifest(corpus)
     // row order and partitioning never move the manifest
     assert(manifest(corpus.orderBy(col("doc_id").desc).repartition(7)) === base)
@@ -567,7 +569,8 @@ class CorpusSpec extends SparkSpec {
     assert(editedM.map(_._1) === base.map(_._1))
     val changed = base.zip(editedM).filter { case (a, b) => a != b }
     assert(changed.length === 1 && changed.head._1._1 === "src2") // 42 % 4 = 2
-    assert(changed.head._1._4 !== changed.head._2._4, "checksum must move")
+    assert((changed.head._1._4, changed.head._1._5) !==
+      (changed.head._2._4, changed.head._2._5), "checksum must move")
   }
 
   test("topKPerGroup matches window-rank brute force, ties break on smaller id") {
