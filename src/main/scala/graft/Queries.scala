@@ -3842,6 +3842,20 @@ object Queries {
       Multimodal.resizeGrid(Multimodal.syntheticMedia(docs(s, dir)), thumbW = 4, thumbH = 4)
         .orderBy("media_id", "y", "x")),
 
+    // extension: REAL-codec roundtrip — encode each document's bytes
+    // into a real container (P6 PPM for even ids, 16-bit PCM WAV for
+    // odd), then decode with the pure-JVM codec and emit exact-integer
+    // pixel/sample statistics. The oracle computes the same features
+    // DIRECTLY from the text, so a broken encoder or decoder diverges.
+    "media_codec_features" -> ((s, dir) =>
+      Multimodal.extractFeatures(
+          Multimodal.codecMedia(docs(s, dir)), Multimodal.Codec.Real)
+        .select(col("media_id"), col("kind"), posexplode(col("features")))
+        .select(col("media_id"), col("kind"),
+          col("pos").cast("int").as("feature_idx"),
+          r4(col("col").cast("double")).as("value"))
+        .orderBy("media_id", "feature_idx")),
+
     // extension: video frame sampling plumbing (stride-2 over payload stripes)
     "media_frame_sample" -> ((s, dir) =>
       Multimodal.sampleFrames(Multimodal.syntheticMedia(docs(s, dir)), stride = 2)
@@ -7216,6 +7230,68 @@ object Queries {
          |SELECT media_id, kind, CAST(feature_idx AS INT) AS feature_idx,
          |  ${sqlR4("CAST(fv AS DOUBLE)")} AS value
          |FROM f ORDER BY media_id, feature_idx""".stripMargin,
+
+    // the real-codec roundtrip's features re-derived DIRECTLY from the
+    // text (the encode maps are pure integer arithmetic over the bytes,
+    // so encode→container→decode must land exactly here); float-cast
+    // then r4, same as the Spark side's Array[Float] surface
+    "media_codec_features" ->
+      s"""WITH d0 AS (SELECT doc_id, text, n_chars, strlen(text) AS len FROM documents WHERE strlen(text) > 0),
+         |fx AS (SELECT unnest(generate_series(0, 7)) AS feature_idx),
+         |img AS (SELECT doc_id, text, len, CAST(n_chars % 16 + 4 AS BIGINT) AS w, CAST(n_chars % 12 + 4 AS BIGINT) AS h
+         |  FROM d0 WHERE doc_id % 2 = 0),
+         |ipx AS (SELECT doc_id, w, h, u.i AS i,
+         |    ord(substr(text, CAST((u.i % len) + 1 AS INT), 1)) AS r,
+         |    ord(substr(text, CAST(((u.i + 1) % len) + 1 AS INT), 1)) AS g,
+         |    ord(substr(text, CAST(((u.i + 2) % len) + 1 AS INT), 1)) AS b
+         |  FROM img, unnest(generate_series(0, w * h - 1)) AS u(i)),
+         |iagg AS (SELECT doc_id, w, h, count(*) AS n,
+         |    CAST(sum(r) AS BIGINT) AS sr, CAST(sum(g) AS BIGINT) AS sg, CAST(sum(b) AS BIGINT) AS sb,
+         |    CAST(sum(CASE WHEN r + 2 * g + b >= 510 THEN 1 ELSE 0 END) AS BIGINT) AS bright,
+         |    max(r + 2 * g + b) AS maxl, min(r + 2 * g + b) AS minl
+         |  FROM ipx GROUP BY 1, 2, 3),
+         |ifeat AS (SELECT doc_id AS media_id, 'image' AS kind, fx.feature_idx,
+         |    CASE fx.feature_idx
+         |      WHEN 0 THEN CAST(w AS DOUBLE) WHEN 1 THEN CAST(h AS DOUBLE)
+         |      WHEN 2 THEN CAST(sr AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(255 AS DOUBLE))
+         |      WHEN 3 THEN CAST(sg AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(255 AS DOUBLE))
+         |      WHEN 4 THEN CAST(sb AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(255 AS DOUBLE))
+         |      WHEN 5 THEN CAST(sr + 2 * sg + sb AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(1020 AS DOUBLE))
+         |      WHEN 6 THEN CAST(bright AS DOUBLE) / CAST(n AS DOUBLE)
+         |      ELSE CAST(maxl - minl AS DOUBLE) / CAST(1020 AS DOUBLE) END AS fv
+         |  FROM iagg CROSS JOIN fx),
+         |aud AS (SELECT doc_id, text, least(len, 2048) AS n FROM d0 WHERE doc_id % 2 = 1),
+         |asmp AS (SELECT doc_id, n, u.i AS i,
+         |    (ord(substr(text, CAST(u.i + 1 AS INT), 1)) - 128) * 256 AS s
+         |  FROM aud, unnest(generate_series(0, n - 1)) AS u(i)),
+         |azc AS (SELECT doc_id, n, i, abs(s) AS a,
+         |    CASE WHEN lag(s) OVER (PARTITION BY doc_id ORDER BY i) IS NULL THEN 0
+         |         WHEN (lag(s) OVER (PARTITION BY doc_id ORDER BY i) >= 0) <> (s >= 0) THEN 1 ELSE 0 END AS zc,
+         |    CASE WHEN i < n // 3 THEN 0 WHEN i < 2 * (n // 3) THEN 1 ELSE 2 END AS seg
+         |  FROM asmp),
+         |aagg AS (SELECT doc_id, n, CAST(sum(a) AS BIGINT) AS sa, CAST(sum(zc) AS BIGINT) AS zc,
+         |    CAST(max(a) AS BIGINT) AS ma,
+         |    CAST(sum(CASE WHEN seg = 0 THEN a ELSE 0 END) AS BIGINT) AS s0,
+         |    CAST(sum(CASE WHEN seg = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+         |    CAST(sum(CASE WHEN seg = 1 THEN a ELSE 0 END) AS BIGINT) AS s1,
+         |    CAST(sum(CASE WHEN seg = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         |    CAST(sum(CASE WHEN seg = 2 THEN a ELSE 0 END) AS BIGINT) AS s2,
+         |    CAST(sum(CASE WHEN seg = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+         |  FROM azc GROUP BY 1, 2),
+         |afeat AS (SELECT doc_id AS media_id, 'audio' AS kind, fx.feature_idx,
+         |    CASE fx.feature_idx
+         |      WHEN 0 THEN CAST(n AS DOUBLE) WHEN 1 THEN CAST(8000 AS DOUBLE)
+         |      WHEN 2 THEN CAST(sa AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(32768 AS DOUBLE))
+         |      WHEN 3 THEN CAST(zc AS DOUBLE) / CAST(n AS DOUBLE)
+         |      WHEN 4 THEN CAST(ma AS DOUBLE) / CAST(32768 AS DOUBLE)
+         |      WHEN 5 THEN CASE WHEN c0 > 0 THEN CAST(s0 AS DOUBLE) / (CAST(c0 AS DOUBLE) * CAST(32768 AS DOUBLE)) ELSE CAST(0 AS DOUBLE) END
+         |      WHEN 6 THEN CASE WHEN c1 > 0 THEN CAST(s1 AS DOUBLE) / (CAST(c1 AS DOUBLE) * CAST(32768 AS DOUBLE)) ELSE CAST(0 AS DOUBLE) END
+         |      ELSE CASE WHEN c2 > 0 THEN CAST(s2 AS DOUBLE) / (CAST(c2 AS DOUBLE) * CAST(32768 AS DOUBLE)) ELSE CAST(0 AS DOUBLE) END END AS fv
+         |  FROM aagg CROSS JOIN fx),
+         |allf AS (SELECT * FROM ifeat UNION ALL SELECT * FROM afeat)
+         |SELECT media_id, kind, CAST(feature_idx AS INT) AS feature_idx,
+         |  ${sqlR4("CAST(CAST(fv AS REAL) AS DOUBLE)")} AS value
+         |FROM allf ORDER BY media_id, feature_idx""".stripMargin,
 
     "media_resize" ->
       """WITH m AS (SELECT doc_id AS media_id, strlen(text) AS len, text,

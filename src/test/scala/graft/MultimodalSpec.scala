@@ -78,4 +78,125 @@ class MultimodalSpec extends SparkSpec {
     val b = Multimodal.resizeGrid(media, 4, 4).orderBy("media_id", "y", "x").collect()
     assert(a.sameElements(b))
   }
+
+  // ---- real codec goldens: hand-built containers with known answers ----
+
+  test("PPM golden: 2x2 P6 with a comment decodes to the exact pixel set") {
+    // pixels: (255,0,0) (0,255,0) / (0,0,255) (255,255,255)
+    val raster = Array[Int](255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255)
+    val bytes = "P6\n# golden fixture\n2 2\n255\n".getBytes("US-ASCII") ++
+      raster.map(_.toByte)
+    val (w, h, maxval, rgb) = Multimodal.Codec.parsePpm(bytes)
+    assert((w, h, maxval) === (2, 2, 255))
+    assert(rgb.toSeq === raster.toSeq)
+    val f = Multimodal.Codec.imageFeatures(w, h, maxval, rgb)
+    assert(f.length === 8)
+    assert(f(0) === 2.0f && f(1) === 2.0f)
+    // sums: r=510 g=510 b=510 over 4 px; luma = r+2g+b: 255, 510, 255, 1020
+    assert(f(2) === (510 / (4 * 255.0)).toFloat)
+    assert(f(3) === f(2) && f(4) === f(2))
+    assert(f(5) === (2040 / (4 * 1020.0)).toFloat)
+    assert(f(6) === 0.5f)           // two pixels with luma >= 510
+    assert(f(7) === (765 / 1020.0).toFloat) // 1020 - 255
+  }
+
+  test("BMP golden: 2x2 24-bit bottom-up BMP decodes to the same pixels as the PPM") {
+    // same logical image as the PPM golden, but BGR, bottom-up, 4-byte
+    // row padding (stride 8 for w=2)
+    def row(px: Seq[(Int, Int, Int)]): Array[Byte] =
+      (px.flatMap { case (r, g, b) => Seq(b, g, r) } ++ Seq(0, 0)).map(_.toByte).toArray
+    val bottomRow = row(Seq((0, 0, 255), (255, 255, 255)))  // image row 1
+    val topRow = row(Seq((255, 0, 0), (0, 255, 0)))         // image row 0
+    val data = bottomRow ++ topRow // bottom-up: last image row first
+    val header = new Array[Byte](54)
+    def put16(o: Int, v: Int): Unit = { header(o) = v.toByte; header(o + 1) = (v >> 8).toByte }
+    def put32(o: Int, v: Int): Unit = {
+      header(o) = v.toByte; header(o + 1) = (v >> 8).toByte
+      header(o + 2) = (v >> 16).toByte; header(o + 3) = (v >> 24).toByte
+    }
+    header(0) = 'B'; header(1) = 'M'
+    put32(2, 54 + data.length); put32(10, 54) // file size, data offset
+    put32(14, 40); put32(18, 2); put32(22, 2) // BITMAPINFOHEADER, w, h (positive = bottom-up)
+    put16(26, 1); put16(28, 24); put32(30, 0) // planes, bpp, BI_RGB
+    val (w, h, rgb) = Multimodal.Codec.parseBmp(header ++ data)
+    assert((w, h) === (2, 2))
+    assert(rgb.toSeq === Seq(255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255))
+    // identical features as the PPM golden — format-independent decode
+    val ppm = Multimodal.Codec.imageFeatures(2, 2, 255,
+      Array(255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255))
+    assert(Multimodal.Codec.imageFeatures(w, h, 255, rgb).toSeq === ppm.toSeq)
+  }
+
+  test("WAV golden: encode→parse roundtrip, extra chunk walked, known features") {
+    val samples = Array[Short](0, 16384, -16384, 32767, -32768, 0)
+    val bytes = Multimodal.Codec.encodeWavPcm16(samples, 8000)
+    val (sr, got) = Multimodal.Codec.parseWav(bytes)
+    assert(sr === 8000)
+    assert(got.toSeq === samples.map(_.toInt).toSeq)
+    val f = Multimodal.Codec.audioFeatures(sr, got)
+    assert(f(0) === 6.0f && f(1) === 8000.0f)
+    val sumAbs = 16384L + 16384 + 32767 + 32768
+    assert(f(2) === (sumAbs / (6 * 32768.0)).toFloat)
+    // sign flips at i=2 (+→−), i=3 (−→+), i=4 (+→−), i=5 (−→+): 4/6
+    assert(f(3) === (4 / 6.0).toFloat)
+    assert(f(4) === (32768 / 32768.0).toFloat)
+    // thirds of 6: [0,2) [2,4) [4,6)
+    assert(f(5) === (16384 / (2 * 32768.0)).toFloat)
+    assert(f(6) === ((16384L + 32767) / (2 * 32768.0)).toFloat)
+    assert(f(7) === (32768 / (2 * 32768.0)).toFloat)
+    // an unknown chunk (odd-sized, word-aligned) before data is skipped
+    val junk = "LIST".getBytes("US-ASCII") ++ Array[Byte](3, 0, 0, 0, 1, 2, 3, 0)
+    val withJunk = bytes.take(36) ++ junk ++ bytes.drop(36)
+    // fix up the RIFF size field
+    val (sr2, got2) = Multimodal.Codec.parseWav(withJunk)
+    assert(sr2 === 8000 && got2.toSeq === got.toSeq)
+  }
+
+  test("Real codec: stereo WAV keeps channel 0; unknown magic falls back to the fake") {
+    // stereo: frames (L,R) = (100, -7), (-200, 9) → channel 0 = 100, -200
+    val stereo = new Array[Byte](44 + 8)
+    System.arraycopy(Multimodal.Codec.encodeWavPcm16(Array[Short](), 44100), 0, stereo, 0, 44)
+    def put16(o: Int, v: Int): Unit = { stereo(o) = v.toByte; stereo(o + 1) = (v >> 8).toByte }
+    put16(22, 2)           // channels = 2
+    put16(32, 4)           // block align
+    put16(40, 8)           // data size
+    put16(4, 36 + 8)       // riff size
+    put16(44, 100); put16(46, -7 & 0xffff); put16(48, -200 & 0xffff); put16(50, 9)
+    val (_, ch0) = Multimodal.Codec.parseWav(stereo)
+    assert(ch0.toSeq === Seq(100, -200))
+    // unknown magic → DeterministicFake byte statistics
+    val blob = Array[Byte](1, 2, 3, 4, 5, 6, 7, 8, 9)
+    val real = Multimodal.Codec.Real.decodeFeatures("image", blob, null)
+    val fake = Multimodal.Codec.DeterministicFake.decodeFeatures("image", blob, null)
+    assert(real.toSeq === fake.toSeq)
+  }
+
+  test("codecMedia roundtrip: decoded features equal direct computation from text bytes") {
+    val m = Multimodal.codecMedia(docs).cache()
+    assert(m.where(col("kind") === "image").count() > 0)
+    assert(m.where(col("kind") === "audio").count() > 0)
+    val feats = Multimodal.extractFeatures(m, Multimodal.Codec.Real)
+      .select("media_id", "features").as[(Long, Seq[Float])].collect().toMap
+    val src = docs.select("doc_id", "text", "n_chars")
+      .as[(Long, String, Long)].collect().filter(_._2.nonEmpty)
+    src.foreach { case (id, text, nc) =>
+      val b = text.getBytes("UTF-8")
+      val want: Array[Float] =
+        if (id % 2 == 0) {
+          val w = (nc % 16 + 4).toInt; val h = (nc % 12 + 4).toInt
+          val rgb = new Array[Int](w * h * 3)
+          for (i <- 0 until w * h) {
+            rgb(3 * i) = b(i % b.length) & 0xff
+            rgb(3 * i + 1) = b((i + 1) % b.length) & 0xff
+            rgb(3 * i + 2) = b((i + 2) % b.length) & 0xff
+          }
+          Multimodal.Codec.imageFeatures(w, h, 255, rgb)
+        } else {
+          val n = math.min(b.length, 2048)
+          Multimodal.Codec.audioFeatures(8000,
+            Array.tabulate(n)(i => ((b(i) & 0xff) - 128) * 256))
+        }
+      assert(feats(id).toSeq === want.toSeq, s"media_id=$id")
+    }
+  }
 }
