@@ -28,6 +28,7 @@ object Bench {
     // session pays once per corpus version — invisible steady-state
     // numbers alone would under-state total cost of ownership.
     val warmupSteps = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val corpusStateTimes = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     def step[T](label: String)(body: => T): T = {
       val t0 = System.nanoTime()
       val r = body
@@ -50,13 +51,40 @@ object Bench {
       // query followed the build.
       // embed_knn_accuracy materializes the shared blocked pair-distance
       // frame (Queries.blockedSqPairs) — session state for the embed/ann
-      // consumer family, same once-per-corpus-version argument
-      Seq("dedup_apply", "dedup_semantic", "dedup_multi",
-          "embed_knn_accuracy").foreach { q =>
-        step(s"corpus_state:$q") {
-          SparkEntry.queries(q)(spark, sfDir)
-            .write.format("noop").mode("overwrite").save()
-        }
+      // consumer family, same once-per-corpus-version argument.
+      //
+      // The builds run as TWO concurrent lanes (Spark's scheduler
+      // interleaves their jobs across the executor threads): the MinHash
+      // lane is sequential internally (dedup_multi extends dedup_apply's
+      // converged map incrementally), the blocked-pairs lane likewise
+      // (dedup_semantic reads the frame embed_knn_accuracy materializes).
+      // Lanes share no state with each other, so overlapping them cuts
+      // the session-boot wall-clock to max(lane) instead of sum — the
+      // same overlap a production cluster gets from concurrent jobs.
+      // Per-build times are still measured inside each lane.
+      val lanes = Seq(
+        Seq("dedup_apply", "dedup_multi"),
+        Seq("embed_knn_accuracy", "dedup_semantic"))
+      val laneTimes = new java.util.concurrent.ConcurrentHashMap[String, Double]()
+      val laneError = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+      val threads = lanes.map { lane =>
+        val t = new Thread(() =>
+          try lane.foreach { q =>
+            val t0 = System.nanoTime()
+            SparkEntry.queries(q)(spark, sfDir)
+              .write.format("noop").mode("overwrite").save()
+            laneTimes.put(q, (System.nanoTime() - t0) / 1e9)
+          } catch { case e: Throwable => laneError.compareAndSet(null, e) })
+        t.setDaemon(true); t.start(); t
+      }
+      step("corpus_state") { threads.foreach(_.join()) }
+      // a failed state build would silently re-run inside whichever timed
+      // consumer query comes first — fail the bench loudly instead
+      if (laneError.get() != null) throw laneError.get()
+      // per-build attribution (concurrent, so NOT added into warmup_s —
+      // the "corpus_state" wall-clock step above carries the real cost)
+      lanes.flatten.foreach { q =>
+        corpusStateTimes(q) = laneTimes.getOrDefault(q, -1.0)
       }
       spark.catalog.clearCache()
       val tiny = spark.read.parquet(s"$sfDir/embeddings.parquet").limit(64)
@@ -167,7 +195,9 @@ object Bench {
     val warmupTotal = warmupSteps.values.sum
     val warmupJson = warmupSteps.map { case (k, v) => s"\"" + k + "\":" + f4(v) }
       .mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":${f4(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"passes":$passesJson,"failed":$failedJson,"warmup_s":${f4(warmupTotal)},"warmup":$warmupJson,"sf":"$sfDir"}"""
+    val corpusStateJson = corpusStateTimes.map { case (k, v) => s"\"" + k + "\":" + f4(v) }
+      .mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":${f4(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"passes":$passesJson,"failed":$failedJson,"warmup_s":${f4(warmupTotal)},"warmup":$warmupJson,"warmup_corpus_state":$corpusStateJson,"sf":"$sfDir"}"""
     println(line)
     // Also persist to a file: the stdout line can land inside a
     // truncated log tail (r6/r7 artifacts show "parsed": null), and a

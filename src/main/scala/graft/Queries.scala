@@ -769,11 +769,17 @@ object Queries {
   private def multiGroups(s: SparkSession, dir: String): DataFrame = {
     multiGroupsCache.keySet.removeIf(_._1.sparkContext.isStopped)
     multiGroupsCache.computeIfAbsent((s, dir), _ => {
-      val mh = minhashPairs(s, dir)
       val sh = Dedup.simhashPairs(docs(s, dir), maxHamming = 8,
         maxBucket = Dedup.DefaultPipelineMaxBucket)
         .select(col("doc_id_a"), col("doc_id_b"))
-      val groups = Dedup.duplicateGroups(mh.unionByName(sh).distinct())
+      // INCREMENTAL over the memoized MinHash map: contract the SimHash
+      // pairs through [[cappedGroups]] and converge only the rep-graph
+      // (law: equals duplicateGroups(mh ∪ sh) — DedupSpec) instead of
+      // re-running label propagation over the MinHash edge set the
+      // session already converged.
+      val groups = org.apache.spark.sql.graft.PlanBridge.statsReset(
+        Dedup.extendGroups(cappedGroups(s, dir), sh)
+          .localCheckpoint(eager = true))
       s.catalog.clearCache() // same lifecycle as [[cappedGroups]]
       groups
     })
@@ -2565,12 +2571,18 @@ object Queries {
       val exactIds = Knn.search(recs(s, dir), qvec0(s, dir), k = 10,
           Metric.Euclidean)
         .select(col("id"))
+      // EXACT report (upgraded from the r6 boolean contract, which lives
+      // on as an IvfIndexSpec law): recall@10 of the raw PQ top-10 and
+      // of the rerank funnel, both against the true top-10 — exact
+      // integers the oracle re-derives by replaying the codebook
+      // assignment, LUT scan, and rerank in SQL
       reranked.join(exactIds, Seq("id")).agg(count(lit(1)).as("__hr"))
         .crossJoin(
           pqTop(10).join(exactIds, Seq("id")).agg(count(lit(1)).as("__hp")))
-        .select(lit(10L).as("n_rerank"),
-          (col("__hr") >= col("__hp")).as("rerank_not_worse"),
-          (col("__hr") > 0L).as("rerank_nonempty_overlap"))
+        .select(col("__hp").cast("long").as("n_hit_pq"),
+          col("__hr").cast("long").as("n_hit_rerank"),
+          r4(col("__hp").cast("double") / lit(10.0)).as("recall_pq"),
+          r4(col("__hr").cast("double") / lit(10.0)).as("recall_rerank"))
     }),
 
     // extension: stopword-heuristic language ID. Tokens and the fused
@@ -2832,21 +2844,31 @@ object Queries {
     // and probing every cluster recovers the exact top-10 — the same
     // argument ivf_build_query pins as full SQL. Probes {1,2,4,8,all};
     // "all" clamps to n_centroids, so the invariant holds at ANY SF.
+    // EXACT per-probe recall report over the fixed-centroid model
+    // (upgraded from the r6 monotonicity booleans, which live on as an
+    // IvfIndexSpec law against the seeded-kmeans build): recall@10 at
+    // probes ∈ {1,2,4,8,999} (999 clamps to all 8 clusters — the probes-
+    // clamp contract, O6), every number an exact integer the oracle
+    // re-derives by replaying assignment + probe + top-k in SQL
     "ivf_recall_curve" -> ((s, dir) => {
-      val r = recs(s, dir)
-      val model = IvfIndex.buildCached(r, dir, density = 64, Metric.Euclidean, seed = 42L)
-      val exact10 = Knn.search(r, qvec0(s, dir), 10, Metric.Euclidean).select(col("id"))
-      def recallAt(p: Int, nm: String): DataFrame =
-        IvfIndex.query(model, qvec0(s, dir), k = 10, probes = p, Metric.Euclidean)
-          .select(col("id")).join(exact10, Seq("id"), "left_semi")
-          .agg(count(lit(1)).as(nm))
-      recallAt(1, "__r1").crossJoin(recallAt(2, "__r2"))
-        .crossJoin(recallAt(4, "__r4")).crossJoin(recallAt(8, "__r8"))
-        .crossJoin(recallAt(Int.MaxValue, "__rall"))
-        .select(
-          (col("__r1") <= col("__r2") && col("__r2") <= col("__r4") &&
-            col("__r4") <= col("__r8") && col("__r8") <= col("__rall")).as("recall_monotone"),
-          (col("__rall") === 10).as("exact_at_full_probe"))
+      import s.implicits._
+      val model = fixedModel(s, dir, Metric.Euclidean)
+      val exact10 = Knn.search(recs(s, dir), qvec0(s, dir), 10, Metric.Euclidean)
+        .select(col("id"))
+      val hits = Seq(1, 2, 4, 8, 999)
+        .map { p =>
+          IvfIndex.query(model, qvec0(s, dir), k = 10, probes = p, Metric.Euclidean)
+            .select(lit(p).as("probes"), col("id"))
+        }
+        .reduce(_ unionByName _)
+        .join(broadcast(exact10), Seq("id"), "left_semi")
+        .groupBy(col("probes")).agg(count(lit(1)).as("__h"))
+      Seq(1, 2, 4, 8, 999).toDF("probes")
+        .join(hits, Seq("probes"), "left")
+        .select(col("probes"),
+          coalesce(col("__h"), lit(0L)).as("n_hit"),
+          r4(coalesce(col("__h"), lit(0L)).cast("double") / lit(10.0)).as("recall"))
+        .orderBy("probes")
     }),
 
     // extension: adaptive cluster split (reference O9/O11 in batch form) —
@@ -5528,9 +5550,32 @@ object Queries {
 
     // invariant oracle (same family as ivf_build_stats): re-rank
     // monotonicity, computed Spark-side
+    // full-SQL replay of the PQ funnel (same CTE machinery as
+    // ivf_adc_rerank): codebook assignment, full-probe LUT scan, raw
+    // top-10 vs rerank-of-top-50, recall against the exact top-10
     "ivf_pq_rerank" ->
-      """SELECT CAST(10 AS BIGINT) AS n_rerank, true AS rerank_not_worse,
-        |  true AS rerank_nonempty_overlap""".stripMargin,
+      s"""WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+         |cb AS (SELECT CAST(vec_id AS INT) AS code, embedding FROM embeddings WHERE vec_id < 16),
+         |books AS (SELECT u.s AS sub_idx, code,
+         |  list_slice(embedding, CAST(u.s * 16 + 1 AS INT), CAST(u.s * 16 + 16 AS INT)) AS cvec
+         |  FROM cb, unnest(generate_series(0, 3)) AS u(s)),
+         |enc AS (SELECT e.vec_id, b.sub_idx, b.cvec,
+         |  row_number() OVER (PARTITION BY e.vec_id, b.sub_idx ORDER BY ${sqlSq("list_slice(e.embedding, CAST(b.sub_idx * 16 + 1 AS INT), CAST(b.sub_idx * 16 + 16 AS INT))", "b.cvec")} ASC, b.code ASC) AS rn
+         |  FROM embeddings e CROSS JOIN books b),
+         |adc AS (SELECT enc.vec_id,
+         |  list_sum(list((${sqlSq("list_slice(q.qvec, CAST(enc.sub_idx * 16 + 1 AS INT), CAST(enc.sub_idx * 16 + 16 AS INT))", "enc.cvec")}) ORDER BY enc.sub_idx)) AS dist
+         |  FROM enc, q WHERE rn = 1 GROUP BY enc.vec_id),
+         |pq10 AS (SELECT vec_id FROM adc ORDER BY dist ASC, vec_id ASC LIMIT 10),
+         |short AS (SELECT vec_id FROM adc ORDER BY dist ASC, vec_id ASC LIMIT 50),
+         |rr10 AS (SELECT e.vec_id FROM embeddings e JOIN short USING (vec_id), q
+         |  ORDER BY ${sqlSq("e.embedding", "q.qvec")} ASC, e.vec_id ASC LIMIT 10),
+         |ex10 AS (SELECT e.vec_id FROM embeddings e, q
+         |  ORDER BY ${sqlSq("e.embedding", "q.qvec")} ASC, e.vec_id ASC LIMIT 10)
+         |SELECT
+         |  (SELECT CAST(count(*) AS BIGINT) FROM pq10 JOIN ex10 USING (vec_id)) AS n_hit_pq,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM rr10 JOIN ex10 USING (vec_id)) AS n_hit_rerank,
+         |  ${sqlR4("CAST((SELECT count(*) FROM pq10 JOIN ex10 USING (vec_id)) AS DOUBLE) / 10.0")} AS recall_pq,
+         |  ${sqlR4("CAST((SELECT count(*) FROM rr10 JOIN ex10 USING (vec_id)) AS DOUBLE) / 10.0")} AS recall_rerank""".stripMargin,
 
     "ivf_quantized_query" ->
       s"""WITH c AS (SELECT CAST(vec_id AS INTEGER) AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8),
@@ -6729,9 +6774,27 @@ object Queries {
     // recall-curve invariants of the seeded build (like ivf_build_stats,
     // these booleans are computed Spark-side and asserted constant; the
     // independent full-SQL check of the same build is ivf_build_query)
+    // full-SQL replay of the probe funnel at each probe count: fixed
+    // centroids (vec_id < 8), nearest-cluster assignment, probe the p
+    // closest clusters, exact top-10 inside them, recall vs global top-10
     "ivf_recall_curve" ->
-      """SELECT CAST(1 AS BOOLEAN) AS recall_monotone,
-        |  CAST(1 AS BOOLEAN) AS exact_at_full_probe FROM (SELECT 1)""".stripMargin,
+      s"""WITH c AS (SELECT CAST(vec_id AS INTEGER) AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8),
+         |q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+         |asg AS (SELECT vec_id, cid FROM (
+         |  SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id ORDER BY ${sqlSq("e.embedding", "c.cvec")} ASC, c.cid ASC) AS rn
+         |  FROM embeddings e CROSS JOIN c) WHERE rn = 1),
+         |ex AS (SELECT e.vec_id FROM embeddings e, q ORDER BY ${sqlSq("e.embedding", "q.qvec")} ASC, e.vec_id ASC LIMIT 10),
+         |crank AS (SELECT c.cid, row_number() OVER (ORDER BY ${sqlSq("c.cvec", "q.qvec")} ASC, c.cid ASC) AS prank FROM c, q),
+         |p AS (SELECT unnest([1, 2, 4, 8, 999]) AS probes),
+         |res AS (SELECT p.probes, r.vec_id FROM p, LATERAL (
+         |  SELECT e.vec_id FROM embeddings e JOIN asg ON e.vec_id = asg.vec_id
+         |    JOIN crank ON asg.cid = crank.cid, q
+         |  WHERE crank.prank <= p.probes
+         |  ORDER BY ${sqlSq("e.embedding", "q.qvec")} ASC, e.vec_id ASC LIMIT 10) r),
+         |hits AS (SELECT probes, count(*) AS h FROM res JOIN ex USING (vec_id) GROUP BY probes)
+         |SELECT p.probes AS probes, CAST(coalesce(h.h, 0) AS BIGINT) AS n_hit,
+         |  ${sqlR4("CAST(coalesce(h.h, 0) AS DOUBLE) / 10.0")} AS recall
+         |FROM p LEFT JOIN hits h ON p.probes = h.probes ORDER BY probes""".stripMargin,
 
     "filter_mismatch" ->
       """SELECT

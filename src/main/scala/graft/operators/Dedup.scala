@@ -478,6 +478,55 @@ object Dedup {
     labels.select(col("node").as("doc_id"), col("lab").as("rep_id"))
   }
 
+  /** INCREMENTAL connected components: extend a converged group map with
+    * a second pair signal WITHOUT re-converging over the first signal's
+    * edges. The new edges are CONTRACTED through `baseGroups` (every
+    * endpoint replaced by its representative; endpoints outside the base
+    * map stand for themselves), [[duplicateGroups]] runs on the tiny
+    * contracted rep-graph only, and the result composes back over the
+    * base map.
+    *
+    * Soundness: a base representative is the MIN id of its base
+    * component, so the min over a merged set of contracted nodes equals
+    * the min over the union-graph component — the contracted fixed point
+    * IS the union fixed point (law-pinned in DedupSpec:
+    * `extendGroups(cc(P1), P2) == cc(P1 ∪ P2)`).
+    *
+    * Scale: the expensive signal-1 convergence is paid once per corpus
+    * version and memoized; each additional signal costs one broadcast-
+    * sized map join over ITS pairs plus CC over a graph bounded by the
+    * number of AFFECTED GROUPS, not corpus edges. This is how a
+    * production session layers signals (MinHash ∪ SimHash ∪ semantic)
+    * without multiplying label-propagation rounds. */
+  def extendGroups(
+      baseGroups: DataFrame,
+      extraPairs: DataFrame,
+      srcCol: String = "doc_id_a",
+      dstCol: String = "doc_id_b"): DataFrame = {
+    val base = baseGroups.select(col("doc_id"), col("rep_id"))
+    val e = extraPairs.select(col(srcCol).as("__a"), col(dstCol).as("__b"))
+      .join(base.select(col("doc_id").as("__a"), col("rep_id").as("__ra")),
+        Seq("__a"), "left")
+      .join(base.select(col("doc_id").as("__b"), col("rep_id").as("__rb")),
+        Seq("__b"), "left")
+      .select(coalesce(col("__ra"), col("__a")).as("src"),
+        coalesce(col("__rb"), col("__b")).as("dst"))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+    val repCC = duplicateGroups(e, srcCol = "src", dstCol = "dst")
+      .select(col("doc_id").as("__node"), col("rep_id").as("__lab"))
+    // compose: base members follow their rep's new label; nodes touched
+    // only by the extra signal keep their contracted-CC label; base
+    // groups untouched by any extra edge pass through unchanged
+    val rebased = base
+      .join(repCC.withColumnRenamed("__node", "rep_id"), Seq("rep_id"), "left")
+      .select(col("doc_id"), coalesce(col("__lab"), col("rep_id")).as("rep_id"))
+    val fresh = repCC
+      .join(base.select(col("doc_id").as("__node")), Seq("__node"), "left_anti")
+      .select(col("__node").as("doc_id"), col("__lab").as("rep_id"))
+    rebased.unionByName(fresh)
+  }
+
   /** Quality-aware representative selection: for each duplicate group of
     * `groups` (a [[duplicateGroups]] keep/drop map), pick the member
     * with the highest `scoreCol` from `scored` (`doc_id`, score) —

@@ -125,6 +125,32 @@ class DedupSpec extends SparkSpec {
       20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("extendGroups law: incremental CC over a second signal equals from-scratch CC over the union") {
+    // graphs chosen to exercise every composition case: a second-signal
+    // edge merging two base components (1-2-3 with 10-11 via 3~10), a
+    // second-signal-only component (50-51), a base component untouched
+    // by signal 2 (20-21-22), and an extra edge INSIDE a base component
+    // (1~3, a no-op after contraction)
+    val p1 = Seq((2L, 1L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L))
+      .toDF("doc_id_a", "doc_id_b")
+    val p2 = Seq((3L, 10L), (50L, 51L), (1L, 3L))
+      .toDF("doc_id_a", "doc_id_b")
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long)].collect().toMap
+    val incremental = asMap(
+      Dedup.extendGroups(Dedup.duplicateGroups(p1), p2))
+    val scratch = asMap(
+      Dedup.duplicateGroups(p1.unionByName(p2).distinct()))
+    assert(incremental === scratch)
+    assert(incremental(11L) === 1L) // merged across signals
+    assert(incremental(51L) === 50L) // signal-2-only component
+    assert(incremental(22L) === 20L) // untouched base component
+    // layering a third empty signal is the identity
+    val empty = Seq.empty[(Long, Long)].toDF("doc_id_a", "doc_id_b")
+    assert(asMap(Dedup.extendGroups(Dedup.duplicateGroups(p1), empty)) ===
+      asMap(Dedup.duplicateGroups(p1)))
+  }
+
   test("duplicateGroups: empty pair graph returns an empty map (no NPE on the null sum)") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("doc_id_a", "doc_id_b")

@@ -89,6 +89,56 @@ class IvfIndexSpec extends SparkSpec {
     assert((approx & exact).size >= 3, s"recall too low: ${(approx & exact).size}/10")
   }
 
+  test("recall curve law (seeded build): monotone in probes, exact at full probe") {
+    // the boolean contract that ivf_recall_curve carried before its r8
+    // upgrade to an exact fixed-model report — kept as a law against the
+    // seeded-kmeans build path the oracle can't replay
+    val model = IvfIndex.build(records, density = 64, Metric.Euclidean, seed = 42L)
+    val q = records.where(col("id") === 7).select(col("embedding").as("qvec"))
+    val exact = Knn.search(records, q, 10, Metric.Euclidean)
+      .select("id").as[Long].collect().toSet
+    val recalls = Seq(1, 2, 4, 8, Int.MaxValue).map { p =>
+      (IvfIndex.query(model, q, 10, probes = p, Metric.Euclidean)
+        .select("id").as[Long].collect().toSet & exact).size
+    }
+    assert(recalls.sliding(2).forall { case Seq(a, b) => a <= b },
+      s"recall not monotone in probes: $recalls")
+    assert(recalls.last === 10, "full probe must reproduce exact kNN")
+  }
+
+  test("PQ rerank law: reranking the ADC top-50 never lowers recall@10 vs raw ADC top-10") {
+    // the boolean contract that ivf_pq_rerank carried before its r8
+    // upgrade to an exact recall report
+    import graft.operators.VectorOps
+    val booksFrame = VectorOps.pqPack(
+      records.where(col("id") < 16)
+        .select(col("id").cast("int").as("code"), col("embedding"))
+        .select(explode(sequence(lit(0), lit(3))).as("sub_idx"),
+          col("code"), col("embedding"))
+        .select(col("sub_idx"), col("code"),
+          slice(col("embedding"), col("sub_idx") * 4 + 1, lit(4)).as("cvec")))
+    val codeStore = records.crossJoin(broadcast(booksFrame))
+      .select(col("id"), VectorOps.pqCodes(col("embedding"), col("books")).as("codes"))
+    val q = records.where(col("id") === 7).select(col("embedding").as("qvec"))
+    val luts = q.crossJoin(broadcast(booksFrame))
+      .select(VectorOps.pqLuts(col("qvec"), col("books")).as("luts"))
+    def adcTop(k: Int): Set[Long] = codeStore.crossJoin(broadcast(luts))
+      .withColumn("__d", VectorOps.adcDistance(col("codes"), col("luts")))
+      .orderBy(col("__d").asc, col("id").asc).limit(k)
+      .select("id").as[Long].collect().toSet
+    val exact = Knn.search(records, q, 10, Metric.Euclidean)
+      .select("id").as[Long].collect().toSet
+    val rawHits = (adcTop(10) & exact).size
+    val short = adcTop(50)
+    val reranked = Knn.search(records.where(col("id").isInCollection(short)),
+        q, 10, Metric.Euclidean)
+      .select("id").as[Long].collect().toSet
+    val rerankHits = (reranked & exact).size
+    assert(rerankHits >= rawHits,
+      s"rerank lowered recall: $rerankHits < $rawHits")
+    assert(rerankHits > 0, "rerank overlap must be nonempty")
+  }
+
   test("deleted records drop out of the index (empty clusters vanish)") {
     val model = IvfIndex.build(records, density = 64, Metric.Euclidean, seed = 42L)
     val ids = records.where(col("id") >= 500).select("id")

@@ -256,6 +256,23 @@ class PlanShapeSpec extends SparkSpec {
       s"corpus scan must prune to doc_id: $schemas")
   }
 
+  test("relational family: fixed-size dim joins (nation/region) broadcast, never sort-merge") {
+    // nation (25 rows) and region (5 rows) are FIXED-SIZE at any scale
+    // factor — a statistics regression that let AQE plan a sort-merge
+    // join against them would shuffle the fact side at 100 TB for
+    // nothing. The fact-fact joins (lineitem⋈orders⋈customer) are NOT
+    // pinned: those scale together and sort-merge is the correct shape.
+    Seq("sales_by_nation", "supplier_by_region").foreach { q =>
+      val p = plan(Queries.queries(q)(spark, sf))
+      p.linesIterator.filter(_.contains("SortMergeJoin")).foreach { l =>
+        assert(!l.contains("n_nationkey") && !l.contains("r_regionkey"),
+          s"$q plans a sort-merge join against a fixed-size dim:\n$l")
+      }
+      assert(p.contains("BroadcastHashJoin"),
+        s"$q must broadcast its nation/region dim join")
+    }
+  }
+
   test("events_user_activity distinct-user rollup plans without Expand") {
     val p = plan(Queries.queries("events_user_activity")(spark, sf))
     assert(!p.contains("Expand"),
