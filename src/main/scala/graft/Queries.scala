@@ -77,10 +77,17 @@ object Queries {
 
   /** DuckDB twin of [[operators.VectorOps.hammingDistance]] — exact
     * integer XOR+popcount, cast back to BIGINT (DuckDB's `list_sum`
-    * over BIGINT widens to HUGEINT). */
+    * over BIGINT widens to HUGEINT). The length guard mirrors the
+    * Spark side's ragged-input semantics: mixed-width codes yield NULL
+    * (Spark's `zip_with` pads with null and the fold propagates it),
+    * whereas an unguarded `list_sum` would SKIP the padded nulls and
+    * return a partial sum — a silent cross-engine divergence on any
+    * store with mixed dimensions. */
   private def sqlHamming(a: String, b: String): String =
-    s"CAST(list_sum(list_transform(list_zip($a, $b), " +
-      s"p -> CAST(bit_count(xor(p[1], p[2])) AS BIGINT))) AS BIGINT)"
+    s"CASE WHEN len($a) = len($b) THEN " +
+      s"CAST(list_sum(list_transform(list_zip($a, $b), " +
+      s"p -> CAST(bit_count(xor(p[1], p[2])) AS BIGINT))) AS BIGINT) " +
+      s"ELSE NULL END"
 
   /** Seeded ±1 JL-projection matrix (8 × 64) shared by `embed_project`
     * and its oracle — ONE Scala definition feeds both engines (the
@@ -109,46 +116,18 @@ object Queries {
   private val RfmP1: Double = 1.0 / 3
   private val RfmP2: Double = 2.0 / 3
 
-  /** The `embed_pca` oracle: exact-integer moment sums recomputed from
-    * the parquet (the same q3 quantization), then the same `iters`
-    * power iterations UNROLLED as MATERIALIZED CTE list folds — every
-    * double op (covariance normalization, matvec folds, IEEE sqrt
-    * norms, sign fix, Rayleigh/trace share) restates
-    * [[operators.VectorOps.pcaTop]] verbatim. */
-  private def pcaOracleSql(iters: Int): String = {
-    val steps = (1 to iters).map { k =>
-      s"""x$k AS MATERIALIZED (SELECT list_transform(generate_series(1, len(y)), i ->
-         |    CASE WHEN nrm > 0 THEN y[i] / nrm ELSE y[i] END) AS x, c FROM (
-         |  SELECT y, sqrt(list_sum(list_transform(y, v -> v * v))) AS nrm, c FROM (
-         |    SELECT list_transform(generate_series(1, len(x)), i ->
-         |      list_sum(list_transform(generate_series(1, len(x)), j -> c[i][j] * x[j]))) AS y, c
-         |    FROM x${k - 1})))""".stripMargin
-    }
-    s"""WITH qv AS MATERIALIZED (SELECT list_transform(embedding, x ->
-       |    CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT)) AS q FROM embeddings),
-       |dd AS MATERIALIZED (SELECT CAST(max(len(q)) AS INT) AS d, CAST(count(*) AS BIGINT) AS n FROM qv),
-       |s1 AS MATERIALIZED (SELECT u.i AS i, CAST(sum(q[u.i]) AS BIGINT) AS s
-       |  FROM qv, dd, unnest(generate_series(1, dd.d)) AS u(i) GROUP BY u.i),
-       |s2 AS MATERIALIZED (SELECT ui.i AS i, uj.i AS j, CAST(sum(q[ui.i] * q[uj.i]) AS BIGINT) AS s
-       |  FROM qv, dd, unnest(generate_series(1, dd.d)) AS ui(i), unnest(generate_series(1, dd.d)) AS uj(i)
-       |  GROUP BY ui.i, uj.i),
-       |cm AS MATERIALIZED (SELECT list(rw ORDER BY i) AS c FROM (
-       |  SELECT s2.i AS i, list((CAST(s2.s AS DOUBLE) - CAST(a.s AS DOUBLE) * CAST(b.s AS DOUBLE)
-       |      / CAST(dd.n AS DOUBLE)) / CAST(dd.n AS DOUBLE) ORDER BY s2.j) AS rw
-       |  FROM s2 CROSS JOIN dd JOIN s1 a ON a.i = s2.i JOIN s1 b ON b.i = s2.j GROUP BY s2.i)),
-       |x0 AS MATERIALIZED (SELECT list_transform(generate_series(1, dd.d), i ->
-       |    CAST(1.0 AS DOUBLE) / sqrt(CAST(dd.d AS DOUBLE))) AS x, cm.c AS c FROM dd, cm),
-       |${steps.mkString(",\n")},
-       |fl AS MATERIALIZED (SELECT CASE WHEN list_sum(x) < 0
-       |    THEN list_transform(x, v -> -v) ELSE x END AS xs, c FROM x$iters),
-       |fin AS MATERIALIZED (SELECT xs,
-       |    list_sum(list_transform(generate_series(1, len(xs)), i -> xs[i] *
-       |      list_sum(list_transform(generate_series(1, len(xs)), j -> c[i][j] * xs[j])))) AS lam,
-       |    list_sum(list_transform(generate_series(1, len(xs)), i -> c[i][i])) AS tr
-       |  FROM fl)
-       |SELECT CAST(u.i AS INT) AS pos, ${sqlR4("xs[u.i + 1]")} AS loading, ${sqlR4("lam / tr")} AS share
-       |FROM fin, unnest(generate_series(0, len(xs) - 1)) AS u(i) ORDER BY pos""".stripMargin
-  }
+  /** The `embed_pca` oracle: the k=1 instance of the SHARED
+    * [[pcaCtesSql]] machinery (one definition of the hash-exactness-
+    * bearing moment/covariance/power-iteration arithmetic — the scree
+    * and project oracles reuse the same CTEs) plus a final SELECT over
+    * `fin0`/`tr`. Arithmetic-identical to the pre-r8 standalone chain:
+    * with a single component the deflation loop degenerates to exactly
+    * [[operators.VectorOps.pcaTop]]'s unrolled iterations, and `tr` is
+    * the original covariance trace. */
+  private def pcaOracleSql(iters: Int): String =
+    s"""${pcaCtesSql(k = 1, iters)}
+       |SELECT CAST(u.i AS INT) AS pos, ${sqlR4("xs[u.i + 1]")} AS loading, ${sqlR4("lam / tr.tr")} AS share
+       |FROM fin0, tr, unnest(generate_series(0, len(xs) - 1)) AS u(i) ORDER BY pos""".stripMargin
 
   /** The `embed_pca_scree` oracle: k deflation rounds of the
     * [[pcaOracleSql]] machinery — each round unrolls `iters` matvec
@@ -5013,15 +4992,21 @@ object Queries {
           .map { case (lo, hi) => s"cp BETWEEN $lo AND $hi" }.mkString(" OR ")
         s"CAST(sum(CASE WHEN $conds THEN 1 ELSE 0 END) AS BIGINT) AS $cat"
       }.mkString(",\n  ")
-      val outs = order.map(c => s"coalesce(g.$c, 0) AS $c").mkString(", ")
+      // the coalesce-to-0 arm covers EMPTY text (no exploded rows); a
+      // NULL text stays NULL end-to-end, matching ScriptMixExpr's
+      // null-in-null-out struct on the Spark side
+      val outs = order
+        .map(c => s"CASE WHEN d.text IS NULL THEN NULL ELSE coalesce(g.$c, 0) END AS $c")
+        .mkString(", ")
       val sub = order.map(c => s"g.$c").mkString(" - ")
       s"""WITH x AS (SELECT doc_id, unicode(text[u.i + 1:u.i + 1]) AS cp
          |  FROM documents, unnest(range(length(text))) AS u(i)),
          |g AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_cp,
          |  $sums
          |  FROM x GROUP BY doc_id)
-         |SELECT d.doc_id, coalesce(g.n_cp, 0) AS n_cp, $outs,
-         |  coalesce(g.n_cp - $sub, 0) AS other
+         |SELECT d.doc_id,
+         |  CASE WHEN d.text IS NULL THEN NULL ELSE coalesce(g.n_cp, 0) END AS n_cp, $outs,
+         |  CASE WHEN d.text IS NULL THEN NULL ELSE coalesce(g.n_cp - $sub, 0) END AS other
          |FROM documents d LEFT JOIN g USING (doc_id) ORDER BY doc_id""".stripMargin
     },
 

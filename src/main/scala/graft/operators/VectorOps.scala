@@ -278,7 +278,14 @@ object VectorOps {
     * rounding convention at all. Per-record serve cost is one XOR +
     * one POPCNT per word (d/64 of them): the cheapest distance kernel
     * in the engine, and the reason the binary funnel scans the full
-    * corpus without touching a float. */
+    * corpus without touching a float.
+    *
+    * EQUAL-WIDTH PRECONDITION: both codes must have the same word
+    * count (one store, one encode dimension). Ragged inputs yield NULL
+    * — `zip_with` pads the shorter side with null and the fold
+    * propagates it — and the SQL twin (`Queries.sqlHamming`) guards on
+    * `len(a) = len(b)` to return NULL identically, never a partial
+    * sum over the overlapping prefix. */
   def hammingDistance(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
       lit(0L), (acc, x) => acc + x)

@@ -319,14 +319,28 @@ object Records {
     fs.delete(tmp, true) // stale staging from an earlier crash
     spark.read.parquet(s"$base/v$v")
       .write.mode("overwrite").parquet(tmp.toString)
+    // Publish = checked rename into a target that is guaranteed absent.
+    // Hadoop rename-into-existing-DIRECTORY nests the source inside the
+    // target (posix mv semantics) and still returns true — so a retry
+    // after a crash between the two renames below would silently bury
+    // the staging copy inside the half-published directory. Any
+    // pre-existing target at `next` can only be leftover from exactly
+    // such a crashed attempt (next is past every listed version), so
+    // delete it before renaming, and fail loudly if the rename itself
+    // reports false.
+    def publish(src: org.apache.hadoop.fs.Path, dstName: String): Unit = {
+      val dst = new org.apache.hadoop.fs.Path(s"$base/$dstName")
+      fs.delete(dst, true) // stale target from a crashed earlier attempt
+      require(fs.rename(src, dst), s"rename $src -> $dst failed")
+    }
     if (fs.exists(new org.apache.hadoop.fs.Path(s"$base/centroids_v$v"))) {
       val ctmp = new org.apache.hadoop.fs.Path(s"$base/.centroids_v$next.tmp")
       fs.delete(ctmp, true)
       spark.read.parquet(s"$base/centroids_v$v")
         .write.mode("overwrite").parquet(ctmp.toString)
-      fs.rename(ctmp, new org.apache.hadoop.fs.Path(s"$base/centroids_v$next"))
+      publish(ctmp, s"centroids_v$next")
     }
-    fs.rename(tmp, new org.apache.hadoop.fs.Path(s"$base/v$next"))
+    publish(tmp, s"v$next")
     next
   }
 }

@@ -277,7 +277,11 @@ final class MaintainedIngest private[streaming] (
   import org.apache.spark.sql.functions.{col, count, lit}
 
   @volatile private var vers = 0
-  @volatile private var lastFailedMax = -1L
+  // per-cluster suppression state: cluster id -> its size when a refine
+  // pass failed to split it (degenerate duplicate-spam cluster). A
+  // single global max would also suppress OTHER clusters that later
+  // violate density below that max, skipping productive splits.
+  @volatile private var failedAt = Map.empty[Int, Long]
   @volatile private var cents = initialCentroids
   @volatile private var refines = 0
   @volatile private var compactions = 0
@@ -372,11 +376,15 @@ final class MaintainedIngest private[streaming] (
       batchCounts.map(_._1)
     } finally assigned.unpersist()
     touched.foreach(c => clusterFiles(c) = listClusterFiles(c))
-    // lastFailedMax: a violation refine could not split (degenerate
-    // duplicate-spam cluster) must not re-fire a full-store rewrite on
-    // every batch — suppress until the violation actually grows
-    if (sizes.nonEmpty && sizes.values.max > density
-        && sizes.values.max != lastFailedMax) refineNow()
+    // failedAt: a violating cluster a refine pass could not split
+    // (degenerate duplicate-spam cluster) must not re-fire a full-store
+    // rewrite on every batch — suppress THAT cluster until its violation
+    // grows, but let any other cluster's fresh violation trigger refine
+    val violating = sizes.filter(_._2 > density)
+    val actionable = violating.exists { case (c, n) =>
+      failedAt.get(c).forall(n > _)
+    }
+    if (actionable) refineNow()
     else if (maxStoreFiles > 0 && storeFileCount > maxStoreFiles) compactNow()
   }
 
@@ -412,10 +420,10 @@ final class MaintainedIngest private[streaming] (
       // no cluster could be split (refine's fixed point is the input):
       // a rewrite would copy the store for nothing, every batch — record
       // the failed violation size and keep serving the current version
-      lastFailedMax = if (sizes.nonEmpty) sizes.values.max else -1L
+      failedAt = sizes.filter(_._2 > density).toMap
       return
     }
-    lastFailedMax = -1L
+    failedAt = Map.empty
     val next = vers + 1
     val nextPath = s"$storeBase/v$next"
     IvfIndex.writePartitioned(m, nextPath)
@@ -428,6 +436,11 @@ final class MaintainedIngest private[streaming] (
       .collect().map(r => r.getInt(0) -> r.getLong(1))
     sizes.clear()
     refinedCounts.foreach { case (c, n) => sizes(c) = n }
+    // clusters STILL violating after a pass that reached its fixed point
+    // (m eq prev, not the round cap) are exactly the unsplittable ones —
+    // record them so the next batch doesn't burn a refine attempt
+    // rediscovering that; a round-capped pass leaves them re-attemptable
+    if (m eq prev) failedAt = sizes.filter(_._2 > density).toMap
     // subsequent batches assign against the PERSISTED centroids — a flat
     // parquet scan, not the refine loop's lineage
     cents = recovered

@@ -273,6 +273,16 @@ class VectorOpsSpec extends SparkSpec {
     }
   }
 
+  test("hammingDistance: ragged (mixed-width) codes yield NULL, never a partial sum") {
+    // the documented equal-width precondition: zip_with pads the short
+    // side with null and the fold propagates it — pinned so the SQL
+    // twin's len(a)=len(b) guard stays aligned with engine behavior
+    val df = Seq((1L, Seq(3L, 5L), Seq(3L))).toDF("id", "ca", "cb")
+      .select(VectorOps.hammingDistance(col("ca"), col("cb")).as("h"))
+    assert(df.collect().head.isNullAt(0),
+      "ragged codes must surface as NULL, not a prefix distance")
+  }
+
   test("GramSumAgg: exact moment sums match the brute-force model across " +
     "partitionings; symmetric; width mismatch fails loudly") {
     val rnd = new scala.util.Random(21)
