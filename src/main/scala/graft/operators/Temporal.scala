@@ -67,7 +67,11 @@ object Temporal {
     *                 summary table (one row per key×chunk — bounded by
     *                 time span, not data). Same results for any value;
     *                 pick chunkSec so one chunk of the hottest key fits
-    *                 a task
+    *                 a task. BOUND: each task sorts at most the rows of
+    *                 one (key, chunk) group = the key's densest
+    *                 chunkSec-wide slice of both sides — never the
+    *                 key's full history (TemporalSpec pins this on a
+    *                 50%-whale fixture: 4000-row whale, ≤292-row groups)
     */
   def asofJoin(
       left: DataFrame,

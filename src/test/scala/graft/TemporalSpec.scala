@@ -237,6 +237,50 @@ class TemporalSpec extends SparkSpec {
     }
   }
 
+  test("asofJoin chunked: whale key's per-task sort is bounded by its densest chunk, not its history") {
+    // 50%-whale fixture: user 0 owns half of 4000 rows at a 25 s cadence
+    // (~14 h of history); everyone else spreads over 100 keys. The
+    // segmented path's window partitions on (key, chunk), so the whale's
+    // sort groups hold ~chunkSec/cadence rows each — assert the ACTUAL
+    // max group size the executor sorts, and that the whale's full
+    // 4000-row history never lands in one group. Correctness vs the
+    // single-window path is re-pinned on the same fixture.
+    val n = 4000
+    val half = n / 2
+    val chunkSec = 3600L
+    def whaleTs(i: Int) = ts("2024-01-01 00:00:00").toLocalDateTime
+      .plusSeconds(i * 25L)
+    def mk(idBase: Long) = (0 until n).map { i =>
+      val k = if (i < half) 0L else 1L + i % 100
+      (idBase + i, k, java.sql.Timestamp.valueOf(whaleTs(i)))
+    }.toDF("event_id", "user_id", "ts")
+    val l = mk(0L)
+    val r = mk(100000L).withColumnRenamed("event_id", "rid")
+    // the sort-group axis the segmented window actually partitions on
+    val groupSizes = l.select(col("user_id"), col("ts"))
+      .unionByName(r.select(col("user_id"), col("ts")))
+      .groupBy(col("user_id"),
+        floor(unix_timestamp(col("ts")) / chunkSec).as("chunk"))
+      .count().as[(Long, Long, Long)].collect()
+    val maxGroup = groupSizes.map(_._3).max
+    val whaleTotal = groupSizes.filter(_._1 == 0L).map(_._3).sum
+    assert(whaleTotal === 2L * half, "fixture: whale must own half of both sides")
+    // 3600 s / 25 s cadence = 144 whale rows per side per chunk; the
+    // bound is the densest chunk (+boundary slack), a ~13x reduction
+    // from the 4000-row unchunked whale partition
+    assert(maxGroup <= 2 * (chunkSec / 25) + 4,
+      s"per-(key, chunk) sort group exceeded the chunk-density bound: $maxGroup")
+    assert(maxGroup < whaleTotal / 4,
+      s"chunking failed to break up the whale: maxGroup=$maxGroup of $whaleTotal")
+    val plain = Temporal.asofJoin(l, r, "user_id", "ts", Seq("rid"), "rid")
+      .select("event_id", "asof_rid").as[(Long, Option[Long])].collect().toMap
+    val chunked = Temporal.asofJoin(l, r, "user_id", "ts", Seq("rid"), "rid",
+        chunkSec = chunkSec)
+      .select("event_id", "asof_rid").as[(Long, Option[Long])].collect().toMap
+    assert(chunked === plain)
+    assert(chunked.size === n)
+  }
+
   test("asofJoin chunked plan: ONE full-row sort; the carry comes from a partial aggregate") {
     val df = Temporal.asofJoin(lefts, rights, "user_id", "ts", Seq("rid"), "rid",
       chunkSec = 3600L)
