@@ -722,6 +722,21 @@ object Queries {
       .unionByName(fresh)
   }
 
+  /** The ExactSubstr window-hash census at the library's pinned
+    * 10-token window, memoized per (session, dir) and checkpoint-backed
+    * — the same once-per-corpus-version argument as [[minhashPairs]]:
+    * the span REPORT and the scrub APPLY both consume this frame, and
+    * it is bounded by the flagged-doc subset, not the corpus. */
+  private val substringSpansCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private def substringSpans10(s: SparkSession, dir: String): DataFrame = {
+    substringSpansCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    substringSpansCache.computeIfAbsent((s, dir), _ =>
+      org.apache.spark.sql.graft.PlanBridge.statsReset(
+        Dedup.substringSpans(docs(s, dir), windowTokens = 10)
+          .localCheckpoint(eager = true)))
+  }
+
   private def cappedGroups(s: SparkSession, dir: String): DataFrame = {
     dedupGroupsCache.keySet.removeIf(_._1.sparkContext.isStopped)
     dedupGroupsCache.computeIfAbsent((s, dir), _ => {
@@ -2659,15 +2674,17 @@ object Queries {
     // the interval-union token coverage. Catches boilerplate embedded in
     // otherwise-unique documents that doc-level dedup cannot see.
     "corpus_substring_dedup" -> ((s, dir) =>
-      Dedup.substringSpans(docs(s, dir), windowTokens = 10)
+      substringSpans10(s, dir)
         .select(col("doc_id"), col("n_tokens"), col("n_flagged"),
           col("covered_tokens"))
         .orderBy("doc_id")),
 
     // the APPLY step, verified by full-text equality: every doc re-emitted
-    // with repeated regions cut and survivors space-joined
+    // with repeated regions cut and survivors space-joined — consuming
+    // the same memoized census frame as the span report
     "corpus_substring_scrub" -> ((s, dir) =>
-      Dedup.substringScrub(docs(s, dir), windowTokens = 10)
+      Dedup.substringScrubWith(docs(s, dir),
+          substringSpans10(s, dir), windowTokens = 10)
         .orderBy("doc_id")),
 
     "text_stats" -> ((s, dir) =>

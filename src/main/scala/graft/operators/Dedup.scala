@@ -613,9 +613,22 @@ object Dedup {
   def substringScrub(
       docs: DataFrame,
       windowTokens: Int = 20,
-      minCount: Int = 2): DataFrame = {
+      minCount: Int = 2): DataFrame =
+    substringScrubWith(docs,
+      substringSpans(docs, windowTokens, minCount), windowTokens)
+
+  /** [[substringScrub]] against a PRECOMPUTED [[substringSpans]] frame —
+    * the session-state shape: the census is one corpus-version artifact
+    * consumed by both the span report and the scrub apply, so a caller
+    * holding the (small, flagged-docs-bounded) spans frame pays the
+    * O(corpus-tokens) window-hash pass once. `windowTokens` must match
+    * the value the spans were computed with (it defines span width). */
+  def substringScrubWith(
+      docs: DataFrame,
+      spansFrame: DataFrame,
+      windowTokens: Int = 20): DataFrame = {
     val w = windowTokens.toLong
-    val spans = substringSpans(docs, windowTokens, minCount)
+    val spans = spansFrame
       .select(col("doc_id"), col("span_starts"))
     docs
       .join(spans, Seq("doc_id"), "left_outer")
