@@ -405,7 +405,7 @@ object Queries {
   private val sqlAssembleKeptCtes: String =
     s"""keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY sha256(text)),
        |t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk FROM documents),
-       |lang AS (SELECT doc_id, CASE WHEN greatest(e, sp, f, d, z) = 0 THEN 'und'
+       |lang AS (SELECT doc_id, CASE WHEN coalesce(greatest(e, sp, f, d, z), 0) = 0 THEN 'und'
        |    WHEN e >= sp AND e >= f AND e >= d AND e >= z THEN 'en'
        |    WHEN sp >= f AND sp >= d AND sp >= z THEN 'es'
        |    WHEN f >= d AND f >= z THEN 'fr'
@@ -2618,10 +2618,12 @@ object Queries {
     "text_repetition" -> ((s, dir) =>
       docs(s, dir)
         .withColumn("__rep", TextOps.repetitionStats(TextOps.tokens(col("text"))))
-        .select(col("doc_id"),
-          r4(col("__rep.top_token_frac")).as("top_token_frac"),
-          r4(col("__rep.dup_2gram_frac")).as("dup_2gram_frac"),
-          r4(col("__rep.dup_3gram_frac")).as("dup_3gram_frac"))
+        .select(col("doc_id") +:
+          Seq("top_token_frac", "dup_2gram_frac", "dup_3gram_frac").map(f =>
+            // null text → NULL fractions (null-in-null-out, the
+            // text_scripts convention) — the unguarded kernel output
+            // would surface a 0/0 NaN here (adversarial-data finding, r8)
+            when(col("text").isNotNull, r4(col(s"__rep.$f"))).as(f)): _*)
         .orderBy("doc_id")),
 
     // extension: PII scrubbing over synthetically-dirtied docs (the
@@ -4410,8 +4412,14 @@ object Queries {
     "events_sketch_check" -> ((s, dir) => {
       val ev = events(s, dir)
       // distinct-then-count (two-stage, Expand-free) joined with the
-      // exact band; see events_user_activity for the same shape
-      val exact = ev.select(col("event_type"), col("user_id")).distinct()
+      // exact band; see events_user_activity for the same shape. The
+      // exact leg drops null users so it measures the SAME population
+      // approx_count_distinct does (HLL ignores nulls; an unfiltered
+      // distinct() would count the null group and the two sides would
+      // disagree by exactly the null-user presence — adversarial-data
+      // finding, r8)
+      val exact = ev.where(col("user_id").isNotNull)
+        .select(col("event_type"), col("user_id")).distinct()
         .groupBy(col("event_type")).agg(count(lit(1)).as("__ed"))
         .join(ev.groupBy(col("event_type"))
           .agg(expr("percentile(value, array(0.49D, 0.51D))").as("__band")),
@@ -6112,7 +6120,7 @@ object Queries {
 
     "media_dedup" ->
       """WITH m AS (SELECT ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
-        |    md5(text) AS digest FROM documents),
+        |    md5(text) AS digest FROM documents WHERE text IS NOT NULL),
         |g AS (SELECT kind, digest, CAST(count(*) AS BIGINT) AS n FROM m GROUP BY kind, digest)
         |SELECT kind, CAST(sum(n) AS BIGINT) AS n_media,
         |  CAST(count(*) AS BIGINT) AS n_distinct,
@@ -6485,7 +6493,7 @@ object Queries {
          |  len(list_filter(tk, x -> list_contains(['der','die','das','und','ist','ein','zu','den'], x))) AS d,
          |  len(list_filter(tk, x -> list_contains(['de','shi','bu','le','zai','ren','you','wo'], x))) AS z
          |  FROM t)
-         |SELECT doc_id, CASE WHEN greatest(e, sp, f, d, z) = 0 THEN 'und'
+         |SELECT doc_id, CASE WHEN coalesce(greatest(e, sp, f, d, z), 0) = 0 THEN 'und'
          |  WHEN e >= sp AND e >= f AND e >= d AND e >= z THEN 'en'
          |  WHEN sp >= f AND sp >= d AND sp >= z THEN 'es'
          |  WHEN f >= d AND f >= z THEN 'fr'
@@ -6503,7 +6511,7 @@ object Queries {
          |  len(list_filter(tk, x -> list_contains(['der','die','das','und','ist','ein','zu','den'], x))) AS d,
          |  len(list_filter(tk, x -> list_contains(['de','shi','bu','le','zai','ren','you','wo'], x))) AS z
          |  FROM t),
-         |p AS (SELECT lang AS declared, CASE WHEN greatest(e, sp, f, d, z) = 0 THEN 'und'
+         |p AS (SELECT lang AS declared, CASE WHEN coalesce(greatest(e, sp, f, d, z), 0) = 0 THEN 'und'
          |  WHEN e >= sp AND e >= f AND e >= d AND e >= z THEN 'en'
          |  WHEN sp >= f AND sp >= d AND sp >= z THEN 'es'
          |  WHEN f >= d AND f >= z THEN 'fr'
@@ -6513,7 +6521,8 @@ object Queries {
          |tt AS (SELECT declared, CAST(sum(n) AS BIGINT) AS t FROM c GROUP BY declared)
          |SELECT c.declared, c.predicted, c.n,
          |  ${sqlR4("CAST(c.n AS DOUBLE) / CAST(tt.t AS DOUBLE)")} AS share
-         |FROM c JOIN tt USING (declared) ORDER BY declared, predicted""".stripMargin,
+         |FROM c JOIN tt ON c.declared IS NOT DISTINCT FROM tt.declared
+         |ORDER BY c.declared, c.predicted""".stripMargin,
 
     // every trigram is corpus-seen here (the model IS this corpus), so
     // the smoothing floor never fires in the oracle comparison; the
@@ -6579,7 +6588,8 @@ object Queries {
         |kept AS (SELECT toks.doc_id, string_agg(toks.tok, ' ' ORDER BY toks.pos) AS text_scrubbed
         |  FROM toks LEFT JOIN cp ON toks.doc_id = cp.doc_id AND toks.pos = cp.cpos
         |  WHERE cp.cpos IS NULL GROUP BY toks.doc_id)
-        |SELECT d.doc_id, coalesce(kept.text_scrubbed, '') AS text_scrubbed
+        |SELECT d.doc_id,
+        |  CASE WHEN d.text IS NULL THEN NULL ELSE coalesce(kept.text_scrubbed, '') END AS text_scrubbed
         |FROM documents d LEFT JOIN kept USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     "corpus_scrub" ->
@@ -6608,9 +6618,9 @@ object Queries {
          |    FROM (SELECT doc_id, unnest(tk) AS w FROM b) GROUP BY doc_id, w)
          |  GROUP BY doc_id)
          |SELECT b.doc_id,
-         |  ${sqlR4("CASE WHEN top.n > 0 THEN CAST(top.bc AS DOUBLE) / top.n ELSE 0.0 END")} AS top_token_frac,
-         |  ${sqlR4("CASE WHEN len(sh.g2) > 0 THEN CAST(len(sh.g2) - len(list_distinct(sh.g2)) AS DOUBLE) / len(sh.g2) ELSE 0.0 END")} AS dup_2gram_frac,
-         |  ${sqlR4("CASE WHEN len(sh.g3) > 0 THEN CAST(len(sh.g3) - len(list_distinct(sh.g3)) AS DOUBLE) / len(sh.g3) ELSE 0.0 END")} AS dup_3gram_frac
+         |  CASE WHEN b.tk IS NULL THEN NULL ELSE ${sqlR4("CASE WHEN top.n > 0 THEN CAST(top.bc AS DOUBLE) / top.n ELSE 0.0 END")} END AS top_token_frac,
+         |  CASE WHEN b.tk IS NULL THEN NULL ELSE ${sqlR4("CASE WHEN len(sh.g2) > 0 THEN CAST(len(sh.g2) - len(list_distinct(sh.g2)) AS DOUBLE) / len(sh.g2) ELSE 0.0 END")} END AS dup_2gram_frac,
+         |  CASE WHEN b.tk IS NULL THEN NULL ELSE ${sqlR4("CASE WHEN len(sh.g3) > 0 THEN CAST(len(sh.g3) - len(list_distinct(sh.g3)) AS DOUBLE) / len(sh.g3) ELSE 0.0 END")} END AS dup_3gram_frac
          |FROM b JOIN sh ON b.doc_id = sh.doc_id LEFT JOIN top ON b.doc_id = top.doc_id
          |ORDER BY b.doc_id""".stripMargin,
 
@@ -6681,12 +6691,16 @@ object Queries {
          |    + 0.05 * (CASE WHEN len(tk) > 0 THEN list_sum(list_transform(tk, x -> CAST(length(x) AS DOUBLE))) / len(tk) ELSE 0.0 END)
          |    - (CASE WHEN nc > 0 THEN punct / nc ELSE 0.0 END))) AS q
          |  FROM b),
-         |l AS (SELECT source, CASE WHEN greatest(e, sp, f, d, z) = 0 THEN 'und'
+         |l AS (SELECT source, CASE WHEN coalesce(greatest(e, sp, f, d, z), 0) = 0 THEN 'und'
          |  WHEN e >= sp AND e >= f AND e >= d AND e >= z THEN 'en'
          |  WHEN sp >= f AND sp >= d AND sp >= z THEN 'es'
          |  WHEN f >= d AND f >= z THEN 'fr'
          |  WHEN d >= z THEN 'de' ELSE 'zh' END AS lang, nt, q, sha256(text) AS h FROM m)
-         |SELECT source, lang, count(*) AS n_docs, count(DISTINCT h) AS n_unique,
+         |SELECT source, lang, count(*) AS n_docs,
+         |  -- the engine's two-stage distinct counts the null-hash group
+         |  -- as one unique (all null-text docs collapse together), while
+         |  -- count(DISTINCT) would skip it — add it back explicitly
+         |  count(DISTINCT h) + CAST(max(CASE WHEN h IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
          |  CAST(sum(nt) AS BIGINT) AS total_tokens, ${sqlR4("sum(q) / count(*)")} AS avg_quality
          |FROM l GROUP BY source, lang ORDER BY source, lang""".stripMargin,
 
@@ -6821,7 +6835,7 @@ object Queries {
     "corpus_clean" ->
       s"""WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY sha256(text)),
          |t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk FROM documents),
-         |lang AS (SELECT doc_id, CASE WHEN greatest(e, sp, f, d, z) = 0 THEN 'und'
+         |lang AS (SELECT doc_id, CASE WHEN coalesce(greatest(e, sp, f, d, z), 0) = 0 THEN 'und'
          |    WHEN e >= sp AND e >= f AND e >= d AND e >= z THEN 'en'
          |    WHEN sp >= f AND sp >= d AND sp >= z THEN 'es'
          |    WHEN f >= d AND f >= z THEN 'fr'
@@ -6867,7 +6881,11 @@ object Queries {
          |tok AS (SELECT doc_id, CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS BIGINT) AS n
          |  FROM documents)
          |SELECT (SELECT count(*) FROM documents) AS n_raw,
-         |  (SELECT count(DISTINCT sha256(text)) FROM documents) AS n_exact,
+         |  -- distinct-then-count on the Spark side groups null-text
+         |  -- docs into one (counted) group; count(DISTINCT) skips it
+         |  (SELECT count(DISTINCT sha256(text))
+         |     + CAST(max(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |   FROM documents) AS n_exact,
          |  (SELECT count(*) FROM kept) AS n_filtered,
          |  (SELECT CAST(sum(tok.n) AS BIGINT) FROM kept JOIN tok USING (doc_id)) AS tokens_filtered,
          |  (SELECT count(*) FROM kept2) AS n_final,
@@ -6936,10 +6954,13 @@ object Queries {
          |  ${sqlR4("CAST(count(*) FILTER (s_member = s_rep) AS DOUBLE) / count(*)")} AS purity
          |FROM w GROUP BY rep_id ORDER BY rep_id""".stripMargin,
 
+    // null text carries no content hash: the heap skips it (null-key
+    // heap rule) — the oracle must too, or NULLS-LAST ranking would
+    // smuggle the doc into an under-quota source's sample
     "mix_sample" ->
       """WITH h AS (SELECT doc_id, source, list_reduce(list_transform(string_split_regex(substr(md5(text), 1, 8), ''),
         |    c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a * 16 + b) AS hv
-        |  FROM documents),
+        |  FROM documents WHERE text IS NOT NULL),
         |r AS (SELECT doc_id, source, row_number() OVER (PARTITION BY source ORDER BY hv, doc_id) AS rn FROM h)
         |SELECT doc_id, source FROM r WHERE rn <= 10 ORDER BY doc_id""".stripMargin,
 
@@ -7284,7 +7305,7 @@ object Queries {
          |  CAST(sum(label) AS DOUBLE) AS label_sum FROM embeddings""".stripMargin,
 
     "media_features" ->
-      s"""WITH m AS (SELECT doc_id AS media_id, ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS kind, text FROM documents),
+      s"""WITH m AS (SELECT doc_id AS media_id, ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS kind, text FROM documents WHERE text IS NOT NULL),
          |idx AS (SELECT unnest(generate_series(0, 7)) AS feature_idx),
          |b AS (SELECT media_id, (u.i - 1) % 8 AS fi, ord(substr(text, CAST(u.i AS INT), 1)) AS bv
          |  FROM m, unnest(generate_series(1, strlen(text))) AS u(i)),
@@ -7374,7 +7395,7 @@ object Queries {
 
     "media_frame_sample" ->
       """WITH m AS (SELECT doc_id AS media_id, strlen(text) AS clen, CAST(n_chars % 30 + 1 AS BIGINT) AS nf
-        |  FROM documents WHERE doc_id % 3 = 2),
+        |  FROM documents WHERE doc_id % 3 = 2 AND text IS NOT NULL),
         |f AS (SELECT media_id, clen, nf, greatest(CAST(floor(clen / nf) AS BIGINT), 1) AS flen FROM m),
         |x AS (SELECT media_id, u.i AS frame_idx, flen, clen FROM f, unnest(generate_series(0, nf - 1, 2)) AS u(i))
         |SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
@@ -7846,7 +7867,7 @@ object Queries {
          |  len(list_filter(tk, x -> list_contains(['der','die','das','und','ist','ein','zu','den'], x))) AS d,
          |  len(list_filter(tk, x -> list_contains(['de','shi','bu','le','zai','ren','you','wo'], x))) AS z
          |  FROM t),
-         |l AS (SELECT source, CASE WHEN greatest(e, sp, f, d, z) = 0 THEN 'und'
+         |l AS (SELECT source, CASE WHEN coalesce(greatest(e, sp, f, d, z), 0) = 0 THEN 'und'
          |  WHEN e >= sp AND e >= f AND e >= d AND e >= z THEN 'en'
          |  WHEN sp >= f AND sp >= d AND sp >= z THEN 'es'
          |  WHEN f >= d AND f >= z THEN 'fr'

@@ -44,9 +44,13 @@ object Multimodal {
 
   /** Deterministic synthetic media derived from the documents table (the
     * container has no real media); payload = utf8 text bytes, metadata
-    * derived from doc stats. Kind round-robins by doc_id. */
+    * derived from doc stats. Kind round-robins by doc_id. Null-text
+    * docs are dropped at construction: [[mediaSchema]] declares
+    * `content` non-null (a media row without a payload is malformed at
+    * ingest), and an unfiltered cast would smuggle a null binary into
+    * the codec (NPE — adversarial-data finding, r8). */
   def syntheticMedia(docs: DataFrame): DataFrame =
-    docs.select(
+    docs.where(col("text").isNotNull).select(
       col("doc_id").as("media_id"),
       element_at(array(lit("image"), lit("audio"), lit("video")),
         (col("doc_id") % 3 + 1).cast("int")).as("kind"),

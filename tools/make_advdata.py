@@ -1,0 +1,70 @@
+#!/usr/bin/env python3
+"""Build the ADVERSARIAL testdata dir used by the r8 null/tie/degenerate
+walk: a copy of a base SF dir with hostile rows appended to documents
+(null / empty / whitespace-only / single-char / repeated-token /
+duplicate text) and events (tied timestamps, null user_id, a
+constant-value series, a singleton event type, a null value).
+
+Usage: python3 tools/make_advdata.py [base_sf_dir] [out_dir]
+Then:  sbt "runMain graft.Verify <out_dir> <dump_dir>"
+       python3 tools/compare.py <out_dir> <dump_dir>
+
+Every cross-engine divergence this surfaces is a real finding: either
+an engine crash (r8: null-text media payload NPE), a population
+mismatch (r8: HLL ignores null users, the exact leg counted them), or
+an oracle that silently disagrees with the engine on edge rows (r8:
+seven null-text semantic misalignments). Text stays ASCII — the
+byte==codepoint contract the text oracles rely on.
+"""
+import sys, os, shutil, datetime as dt
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+src = sys.argv[1] if len(sys.argv) > 1 else '/root/testdata/sf0.001'
+dst = sys.argv[2] if len(sys.argv) > 2 else '/root/repo/target/advdata'
+
+shutil.rmtree(dst, ignore_errors=True)
+os.makedirs(dst)
+for f in os.listdir(src):
+    if f not in ('documents.parquet', 'events.parquet'):
+        shutil.copy(f'{src}/{f}', f'{dst}/{f}')
+
+d = pq.read_table(f'{src}/documents.parquet')
+adv_docs = {
+    'doc_id':  [900001, 900002, 900003, 900004, 900005, 900006, 900007, 900008],
+    'text':    [None, '', 'a', '   ', 'x x x x x x x x x x',
+                'the quick brown fox', 'the quick brown fox', '\t\n  \n\t'],
+    'lang':    [None, 'en', 'en', 'en', 'en', 'en', 'en', 'en'],
+    'source':  ['advnull', 'advempty', 'adv1', 'advws', 'advrep',
+                'advdup', 'advdup', 'advws'],
+    'n_chars': [0, 0, 1, 3, 19, 19, 19, 6],
+}
+pq.write_table(
+    pa.concat_tables([d, pa.table(adv_docs, schema=d.schema)]),
+    f'{dst}/documents.parquet')
+
+e = pq.read_table(f'{src}/events.parquet')
+ts0 = dt.datetime(2024, 3, 1, 12, 0, 0)
+rows = [
+    # tied timestamps: same user, same ts, different event_id/type
+    (900001, ts0, 777001, 'view', 1.0, '{}'),
+    (900002, ts0, 777001, 'click', 2.0, '{}'),
+    # null user
+    (900003, ts0 + dt.timedelta(seconds=5), None, 'view', 3.0, '{}'),
+]
+# constant-value series (degenerate variance)
+rows += [(900010 + i, ts0 + dt.timedelta(minutes=i), 777002, 'ping', 5.0, '{}')
+         for i in range(8)]
+rows += [
+    # singleton event type
+    (900030, ts0 + dt.timedelta(hours=1), 777003, 'advrare', 9.5, '{}'),
+    # null value
+    (900031, ts0 + dt.timedelta(hours=2), 777003, 'view', None, '{}'),
+]
+adv_e = pa.table(
+    {'event_id': [r[0] for r in rows], 'ts': [r[1] for r in rows],
+     'user_id': [r[2] for r in rows], 'event_type': [r[3] for r in rows],
+     'value': [r[4] for r in rows], 'props': [r[5] for r in rows]},
+    schema=e.schema)
+pq.write_table(pa.concat_tables([e, adv_e]), f'{dst}/events.parquet')
+print(f'adversarial dir ready at {dst}')
