@@ -907,20 +907,54 @@ object Corpus {
       source: Column,
       text: Column,
       nChars: Column): DataFrame =
-    docs.select(source.as("source"),
-        conv(substr(md5(text), lit(1), lit(14)), 16, 10)
-          .cast("decimal(20,0)").as("__h"),
-        nChars.cast("long").as("__nc"))
+    checksumProjected(docs, source, text, nChars)
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         count_distinct(col("__h")).as("n_unique"),
         sum(col("__h")).cast("decimal(38,0)").as("__sum"),
         sum(col("__nc")).as("total_chars"))
-      .select(col("source"), col("n_docs"), col("n_unique"),
-        expr("__sum div 4611686018427387904").as("checksum_hi"),
-        (col("__sum") % lit(4611686018427387904L)).cast("long")
-          .as("checksum_lo"),
-        col("total_chars"))
+      .select(Seq(col("source"), col("n_docs"), col("n_unique")) ++
+        hiLo("__sum") :+ col("total_chars"): _*)
+
+  /** The MERGEABLE subset of [[checksum]]'s manifest — everything but
+    * the distinct count (counts, the exact DECIMAL hash sum, and char
+    * mass are commutative monoids; exact distinct is not mergeable
+    * without per-hash state): `(source, n_docs, hash_sum DECIMAL(38,0),
+    * total_chars)`. Partials from DISJOINT corpus slices fold by
+    * summing per source — [[graft.streaming.DocIngest.startChecksum]]
+    * does exactly that per micro-batch; two partial frames over the
+    * same rows fold to the same manifest in any grouping or order. */
+  def checksumPartials(
+      docs: DataFrame,
+      source: Column,
+      text: Column,
+      nChars: Column): DataFrame =
+    checksumProjected(docs, source, text, nChars)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__h")).cast("decimal(38,0)").as("hash_sum"),
+        sum(col("__nc")).as("total_chars"))
+
+  /** Surface a [[checksumPartials]]-shaped frame (column `hash_sum`)
+    * in the hash-robust two-BIGINT layout [[checksum]] publishes. */
+  def checksumSurface(partials: DataFrame): DataFrame =
+    partials.select(Seq(col("source"), col("n_docs")) ++
+      hiLo("hash_sum") :+ col("total_chars"): _*)
+
+  /** div/mod 2^62 as BIGINT halves (the hash-robust surface — §note 40). */
+  private def hiLo(sumCol: String): Seq[Column] = Seq(
+    expr(s"$sumCol div 4611686018427387904").as("checksum_hi"),
+    (col(sumCol) % lit(4611686018427387904L)).cast("long").as("checksum_lo"))
+
+  private def checksumProjected(
+      docs: DataFrame,
+      source: Column,
+      text: Column,
+      nChars: Column): DataFrame =
+    docs.select(source.as("source"),
+        conv(substr(md5(text), lit(1), lit(14)), 16, 10)
+          .cast("decimal(20,0)").as("__h"),
+        nChars.cast("long").as("__nc"))
 
   /** Per-group top-k selection by an arbitrary score — the bounded-heap
     * generalization of [[mixSample]]'s content-hash quota: keep the `k`

@@ -34,6 +34,15 @@ object DocIngest {
     StructField("doc_id", LongType, nullable = false),
     StructField("text", StringType, nullable = true)))
 
+  /** The full documents-table shape (testdata parquet layout) for
+    * streams that need provenance columns ([[startChecksum]]). */
+  val corpusDocSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("text", StringType, nullable = true),
+    StructField("lang", StringType, nullable = true),
+    StructField("source", StringType, nullable = true),
+    StructField("n_chars", LongType, nullable = true)))
+
   /** Static index of the current corpus: `(banded, hashes)` where
     * `banded` is the (corpus_doc_id, band_idx, band_hash) LSH view and
     * `hashes` the per-doc 56-bit shingle identities — both derived from
@@ -331,4 +340,77 @@ object DocIngest {
       }
       .trigger(Trigger.AvailableNow())
       .start()
+
+  /** Streaming CHECKSUM manifest — the reproducibility gate
+    * ([[graft.operators.Corpus.checksum]]) maintained INCREMENTALLY at
+    * the ingest door. Every folded component is a commutative monoid
+    * (doc count, the exact DECIMAL(38,0) hash sum, char mass —
+    * [[graft.operators.Corpus.checksumPartials]]; the non-mergeable
+    * distinct count stays batch-only), so the cumulative manifest is
+    * independent of micro-batch boundaries: stream == batch for any
+    * arrival order, pinned in StreamingSpec.
+    *
+    * State: one parquet row per (batch_id, source) — the newest
+    * batch_id is the authoritative manifest, the partition history is
+    * the audit trail. A `batch_id < current` read + dynamic partition
+    * overwrite makes a foreachBatch replay idempotent (same recovery
+    * discipline as the drift monitor's moment state). Scale: state is
+    * bounded by sources × retained batches, never data; the per-batch
+    * fold is one map-side-combinable aggregate over the batch plus a
+    * sources-sized union. */
+  def startChecksum(
+      spark: SparkSession,
+      dir: String,
+      stateDir: String,
+      checkpointPath: String): StreamingQuery =
+    spark.readStream
+      .schema(corpusDocSchema)
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(dir)
+      .writeStream
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val parts = graft.operators.Corpus.checksumPartials(
+          batch, col("source"), col("text"), col("n_chars"))
+        val prior =
+          try {
+            val st = spark.read.parquet(stateDir)
+              .where(col("batch_id") < batchId)
+            // partition-column type inference reads batch_id back as
+            // INT — cast before the driver-side getLong
+            val mb = st.agg(max(col("batch_id").cast("long"))).head()
+            if (mb.isNullAt(0)) None
+            else Some(st.where(col("batch_id").cast("long") === mb.getLong(0))
+              .select(col("source"), col("n_docs"), col("hash_sum"),
+                col("total_chars")))
+          } catch {
+            case _: org.apache.spark.sql.AnalysisException => None
+          }
+        val folded = prior match {
+          case None => parts
+          case Some(p) => p.unionByName(parts)
+            .groupBy(col("source"))
+            .agg(sum(col("n_docs")).cast("long").as("n_docs"),
+              sum(col("hash_sum")).cast("decimal(38,0)").as("hash_sum"),
+              sum(col("total_chars")).cast("long").as("total_chars"))
+        }
+        folded.withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(stateDir)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** The newest cumulative manifest from a [[startChecksum]] state dir,
+    * in [[graft.operators.Corpus.checksum]]'s hash-robust two-BIGINT
+    * surface (minus the batch-only `n_unique`). */
+  def checksumManifest(spark: SparkSession, stateDir: String): DataFrame = {
+    val st = spark.read.parquet(stateDir)
+    val mb = st.agg(max(col("batch_id").cast("long"))).head().getLong(0)
+    graft.operators.Corpus.checksumSurface(
+      st.where(col("batch_id").cast("long") === mb)
+        .select(col("source"), col("n_docs"), col("hash_sum"),
+          col("total_chars")))
+  }
 }

@@ -629,6 +629,46 @@ class StreamingSpec extends SparkSpec {
       s"duplicate across restart must stay suppressed, got $afterRun2")
   }
 
+  test("streaming checksum manifest: incremental fold across waves equals the batch manifest") {
+    import graft.streaming.DocIngest
+    import graft.operators.Corpus
+    val root = java.nio.file.Files.createTempDirectory("graft_ck_stream")
+    val inDir = s"$root/in"
+    val state = s"$root/state"
+    val ckpt = s"$root/ckpt"
+    def docsDf(rows: Seq[(Long, String, String)]) = rows
+      .map { case (id, t, src) =>
+        (id, t, "en", src, Option(t).map(_.length.toLong).getOrElse(0L))
+      }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+    // wave 1, then wave 2 through a RESTARTED query (fresh driver, same
+    // checkpoint + state dir): the fold must continue, not restart.
+    // Wave 2 includes a cross-wave duplicate text (sums still move), a
+    // null-text doc (hash skipped, count and chars still fold), and a
+    // brand-new source (full-outer fold semantics via the union+groupBy)
+    val w1 = Seq((1L, "alpha beta", "s0"), (2L, "gamma", "s0"), (3L, "delta", "s1"))
+    val w2 = Seq((4L, "alpha beta", "s0"), (5L, null.asInstanceOf[String], "s1"),
+      (6L, "epsilon zeta", "s2"))
+    docsDf(w1).write.mode("append").parquet(inDir)
+    DocIngest.startChecksum(spark, inDir, state, ckpt).awaitTermination()
+    docsDf(w2).write.mode("append").parquet(inDir)
+    DocIngest.startChecksum(spark, inDir, state, ckpt).awaitTermination()
+
+    val streamed = DocIngest.checksumManifest(spark, state)
+      .as[(String, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // batch twin over ALL docs, minus the non-mergeable n_unique
+    val batch = Corpus.checksum(docsDf(w1 ++ w2),
+        col("source"), col("text"), col("n_chars"))
+      .select("source", "n_docs", "checksum_hi", "checksum_lo", "total_chars")
+      .as[(String, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(streamed === batch,
+      s"stream fold diverged from batch manifest:\n$streamed\nvs\n$batch")
+    assert(streamed.map(_._1) === Seq("s0", "s1", "s2"))
+    // the state dir keeps the per-batch audit trail (one partition per fold)
+    assert(spark.read.parquet(state).select("batch_id").distinct().count() >= 2)
+  }
+
   test("streaming DSIR gate admits exactly the batch-filtered set, stateless across restarts") {
     import graft.streaming.DocIngest
     import graft.operators.Corpus
