@@ -42,6 +42,14 @@ object Queries {
   private def sqlCosSim(a: String, b: String): String =
     s"(${sqlDot(a, b)} / (sqrt(${sqlDot(a, a)}) * sqrt(${sqlDot(b, b)})))"
 
+  /** Zero-norm exclusion for raw-cosine candidate oracles — the twin of
+    * [[operators.Dedup.embeddingNearDup]]'s `__norm > 0` gate (a zero
+    * vector has no direction; under ANSI its 0/0 similarity would kill
+    * the Spark job, so the engine excludes it from angular candidates
+    * and the oracles must too — adversarial-data finding, r8). */
+  private def sqlNormPos(x: String): String =
+    s"${sqlDot(x, x)} > 0"
+
   /** Round to 4 decimals as `floor(x·10⁴ + 0.5)/10⁴` — the SAME double
     * operations the oracle runs (see [[sqlR4]]), so results are
     * bit-identical even on `.xxxx5` ties, where Spark's BigDecimal
@@ -1877,7 +1885,12 @@ object Queries {
           * sqrt(dot(col("qvec"), col("qvec"))))
       val aggs = (0 until 4).map(i =>
         max(when(col("qid") === i, col("__s"))).as(s"__m$i"))
-      e.crossJoin(broadcast(q))
+      // zero-norm exclusion on both sides (the embeddingNearDup gate):
+      // a zero token embedding has no direction and contributes nothing
+      // to MaxSim; unguarded it ANSI-fails the job on one row
+      e.where(dot(col("embedding"), col("embedding")) > 0)
+        .crossJoin(broadcast(
+          q.where(dot(col("qvec"), col("qvec")) > 0)))
         .select(col("label"), col("qid"), sim.as("__s"))
         .groupBy(col("label"))
         .agg(aggs.head, aggs.tail: _*)
@@ -2162,6 +2175,10 @@ object Queries {
       val corpus = side(_ >= 50, "vec_id", "__ce")
       val dot = (a: Column, b: Column) => graft.functions.NativeExprs.dot(a, b)
       corpus.join(bench, Seq("block"))
+        // zero-norm exclusion (the embeddingNearDup gate): a zero
+        // vector's 0/0 similarity would ANSI-fail the job on one row
+        .where(dot(col("__ce"), col("__ce")) > 0 &&
+          dot(col("__be"), col("__be")) > 0)
         .withColumn("cos_sim", dot(col("__ce"), col("__be")) /
           (sqrt(dot(col("__ce"), col("__ce"))) * sqrt(dot(col("__be"), col("__be")))))
         .where(col("cos_sim") >= 0.2)
@@ -5125,9 +5142,10 @@ object Queries {
     "ann_maxsim_label" -> {
       val ms = (0 until 4)
         .map(i => s"max(CASE WHEN qid = $i THEN s END) AS m$i").mkString(", ")
-      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 4),
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings
+         |  WHERE vec_id < 4 AND ${sqlNormPos("embedding")}),
          |s AS (SELECT e.label, q.qid, ${sqlCosSim("e.embedding", "q.qvec")} AS s
-         |  FROM embeddings e CROSS JOIN q),
+         |  FROM embeddings e CROSS JOIN q WHERE ${sqlNormPos("e.embedding")}),
          |m AS (SELECT label, $ms FROM s GROUP BY label)
          |SELECT label, ${sqlR4("m0 + m1 + m2 + m3")} AS maxsim
          |FROM m ORDER BY label""".stripMargin
@@ -5840,9 +5858,15 @@ object Queries {
 
     // the ivf_adc_query oracle over the normalized table, final /2 —
     // the unit-vector identity cosine = sqL2/2 replayed end to end
+    // the normalize twin carries l2Normalize's zero-norm guard (zero
+    // vector → zero vector, never 0/0 NaN) — an unguarded division gave
+    // the zero vector NaN-keyed code assignments that landed it a
+    // spurious 0-distance serve (adversarial-data finding, r8)
     "ivf_adc_cosine_query" ->
       s"""WITH nv AS (SELECT vec_id, list_transform(embedding,
-         |    x -> CAST(x AS DOUBLE) / sqrt(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS embedding
+         |    x -> CASE WHEN list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))) > 0
+         |         THEN CAST(x AS DOUBLE) / sqrt(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))
+         |         ELSE CAST(0 AS DOUBLE) END) AS embedding
          |  FROM embeddings),
          |c AS (SELECT CAST(vec_id AS INTEGER) AS cid, embedding AS cvec FROM nv WHERE vec_id < 8),
          |q AS (SELECT embedding AS qvec FROM nv WHERE vec_id = 0),
@@ -6297,7 +6321,8 @@ object Queries {
          |FROM embeddings a JOIN asg aa ON a.vec_id = aa.vec_id
          |JOIN asg ab ON aa.cid = ab.cid
          |JOIN embeddings b ON b.vec_id = ab.vec_id AND a.vec_id < b.vec_id
-         |WHERE ${sqlCosSim("a.embedding", "b.embedding")} >= 0.2 ORDER BY id_a, id_b""".stripMargin,
+         |WHERE ${sqlNormPos("a.embedding")} AND ${sqlNormPos("b.embedding")}
+         |  AND ${sqlCosSim("a.embedding", "b.embedding")} >= 0.2 ORDER BY id_a, id_b""".stripMargin,
 
     "ann_self_join" ->
       s"""WITH c AS (SELECT CAST(vec_id AS INTEGER) AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8),
@@ -6461,7 +6486,8 @@ object Queries {
          |  FROM embeddings a JOIN asg aa ON a.vec_id = aa.vec_id
          |  JOIN asg ab ON aa.cid = ab.cid
          |  JOIN embeddings b ON b.vec_id = ab.vec_id AND a.vec_id < b.vec_id
-         |  WHERE ${sqlCosSim("a.embedding", "b.embedding")} >= 0.2),
+         |  WHERE ${sqlNormPos("a.embedding")} AND ${sqlNormPos("b.embedding")}
+         |    AND ${sqlCosSim("a.embedding", "b.embedding")} >= 0.2),
          |e AS (SELECT id_a AS a, id_b AS b FROM j UNION SELECT id_b, id_a FROM j),
          |reach(node, lab) AS (
          |  SELECT DISTINCT a, a FROM e
@@ -6480,6 +6506,7 @@ object Queries {
          |  JOIN asg ab ON ac.cid = ab.cid
          |  JOIN embeddings be ON be.vec_id = ab.vec_id
          |  WHERE co.vec_id >= 50 AND be.vec_id < 50
+         |    AND ${sqlNormPos("co.embedding")} AND ${sqlNormPos("be.embedding")}
          |    AND ${sqlCosSim("co.embedding", "be.embedding")} >= 0.2)
          |SELECT vec_id, count(*) AS n_bench, ${sqlR4("max(s)")} AS max_sim
          |FROM pairs GROUP BY vec_id ORDER BY vec_id""".stripMargin,

@@ -383,6 +383,12 @@ object Dedup {
     // the same expression over the same row.
     val withNorm = blocked.select(col("block"), col("id"),
       col("embedding"), sqrt(dot(col("embedding"), col("embedding"))).as("__norm"))
+      // a zero-norm vector has no direction: cosine similarity to it is
+      // 0/0, which under ANSI SQL kills the whole job on ONE corrupt row.
+      // Zero vectors cannot near-duplicate anything in angular space, so
+      // they are excluded from candidate generation (adversarial-data
+      // finding, r8)
+      .where(col("__norm") > 0.0)
     val a = withNorm.select(col("block"), col("id").as("id_a"),
       col("embedding").as("__ea"), col("__norm").as("__na"))
     val b = withNorm.select(col("block"), col("id").as("id_b"),

@@ -120,10 +120,14 @@ object Records {
     * streaming ingest (the repo's streaming==batch rule): split a
     * PERMISSIVE-parsed frame into (insert-ready, quarantined-raw). */
   def splitValidated(raw: DataFrame, dim: Int): (DataFrame, DataFrame) = {
-    // coalesce(…, false): a null embedding makes validDimension null,
-    // and a three-valued `!ok` would drop the row from BOTH frames
+    // coalesce(…, false): a null embedding makes the validity predicate
+    // null, and a three-valued `!ok` would drop the row from BOTH frames.
+    // validRecord = dimension AND component domain (±Metric
+    // .MaxAbsComponent, NaN/Inf rejected): corrupt magnitudes quarantine
+    // at the door so the exact-integer analytics lane's quantization
+    // domain holds downstream (adversarial-data finding, r8)
     val ok = coalesce(col("_corrupt").isNull && col("id").isNotNull &&
-      graft.types.Metric.validDimension(col("embedding"), dim), lit(false))
+      graft.types.Metric.validRecord(col("embedding"), dim), lit(false))
     val good = raw.where(ok).select(col("id"), col("embedding"),
       coalesce(col("metadata"),
         lit(null).cast("map<string,string>")).as("metadata"))

@@ -38,7 +38,10 @@ object VectorIngest {
       metric: Metric,
       dim: Int): DataFrame =
     IvfIndex.assign(
-      newRecords.where(Metric.validDimension(col("embedding"), dim)),
+      // full ingest gate: dimension AND component domain — one corrupt
+      // magnitude would otherwise long-overflow the exact-quantized
+      // dashboards downstream (adversarial-data finding, r8)
+      newRecords.where(Metric.validRecord(col("embedding"), dim)),
       centroids, metric)
 
   /** Open a directory of record parquet files as a stream. */
@@ -219,7 +222,7 @@ object VectorIngest {
       .option("checkpointLocation", checkpointPath)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val g = batch
-          .where(Metric.validDimension(col("embedding"), dim))
+          .where(Metric.validRecord(col("embedding"), dim))
           .agg(graft.functions.GramSumAgg.gramSum(
             graft.operators.VectorOps.quantizeQ3(col("embedding"))).as("g"))
           .select(col("g.n"), col("g.s1"), col("g.s2")).head()

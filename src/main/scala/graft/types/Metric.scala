@@ -59,4 +59,27 @@ object Metric {
     * rows whose embedding length ≠ `dim` are rejected. */
   def validDimension(embedding: Column, dim: Int): Column =
     size(embedding) === lit(dim)
+
+  /** Domain bound for the exact-integer analytics lane: every component
+    * must be finite and within ±[[MaxAbsComponent]]. Real embedding
+    * models emit O(1)–O(100) components; values beyond this bound are
+    * corrupt payloads. The binding constraint is the q4-SQUARED
+    * dashboards (per-dimension variance sums `Σ(x·10⁴)²` in a long): at
+    * the bound one row contributes (100·10⁴)² = 10¹², leaving ~9·10⁶
+    * rows of headroom even if EVERY row sits at the bound and ~9·10¹⁰
+    * rows at O(1) magnitudes — while a single unvalidated 10¹⁸ payload
+    * overflows the very first multiplication (adversarial-data finding,
+    * r8). NaN/Inf also fail (NaN comparisons are false) — they would
+    * otherwise poison distance heaps. Reject at the door, like
+    * dimension (O20) — validation is a codegen'd map predicate, one
+    * comparison per component. */
+  val MaxAbsComponent: Double = 100.0
+
+  /** Dimension AND component-domain validation: the full ingest gate.
+    * NaN/Inf fail the range check (NaN comparisons are false). */
+  def validRecord(embedding: Column, dim: Int): Column =
+    validDimension(embedding, dim) &&
+      forall(embedding, x =>
+        x.cast("double") >= lit(-MaxAbsComponent) &&
+          x.cast("double") <= lit(MaxAbsComponent))
 }

@@ -149,6 +149,19 @@ class DedupSpec extends SparkSpec {
     val empty = Seq.empty[(Long, Long)].toDF("doc_id_a", "doc_id_b")
     assert(asMap(Dedup.extendGroups(Dedup.duplicateGroups(p1), empty)) ===
       asMap(Dedup.duplicateGroups(p1)))
+    // CHAINING: a third signal extends the already-extended map —
+    // production layering (MinHash ∪ SimHash ∪ semantic) — and still
+    // equals from-scratch CC over the triple union. p3 bridges a
+    // signal-2-only component into a base component and adds its own
+    // fresh component.
+    val p3 = Seq((51L, 20L), (70L, 71L)).toDF("doc_id_a", "doc_id_b")
+    val chained = asMap(Dedup.extendGroups(
+      Dedup.extendGroups(Dedup.duplicateGroups(p1), p2), p3))
+    val flat = asMap(Dedup.duplicateGroups(
+      p1.unionByName(p2).unionByName(p3).distinct()))
+    assert(chained === flat)
+    assert(chained(51L) === 20L && chained(22L) === 20L) // bridged across three signals
+    assert(chained(71L) === 70L)
   }
 
   test("duplicateGroups: empty pair graph returns an empty map (no NPE on the null sum)") {

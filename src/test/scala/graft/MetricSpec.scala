@@ -33,4 +33,34 @@ class MetricSpec extends SparkSpec {
       .select("id").as[Long].collect()
     assert(ok.toSeq === Seq(1L))
   }
+
+  test("validRecord: component-domain gate rejects overflow-scale, NaN, and Inf payloads") {
+    // |x| beyond MaxAbsComponent would long-overflow the q3/q4
+    // exact-quantized dashboards downstream — rejected at the ingest
+    // door like a wrong dimension (adversarial-data finding, r8)
+    val df = Seq(
+      (1L, Seq(1f, -2f)),                          // normal
+      (2L, Seq(100f, -100f)),                      // extreme but in-domain (the edge)
+      (3L, Seq(101f, 0f)),                         // just past the bound: out
+      (4L, Seq(Float.NaN, 0f)),                    // NaN: out
+      (5L, Seq(Float.PositiveInfinity, 0f)),       // Inf: out
+      (6L, Seq(0f, 0f)),                           // zero vector: in (Euclidean-legal)
+      (7L, Seq(1f, 2f, 3f))                        // wrong dim: out
+    ).toDF("id", "embedding")
+    val ok = df.where(Metric.validRecord(col("embedding"), 2))
+      .select("id").as[Long].collect().sorted
+    assert(ok.toSeq === Seq(1L, 2L, 6L))
+  }
+
+  test("zero vectors are excluded from angular candidates but legal in Euclidean space") {
+    import graft.operators.Dedup
+    val blocked = Seq(
+      (0, 1L, Seq(1f, 0f)), (0, 2L, Seq(1f, 0.01f)), (0, 3L, Seq(0f, 0f))
+    ).toDF("block", "id", "embedding")
+    // under ANSI, an unguarded 0/0 cosine would fail the job on row 3;
+    // the norm gate drops it and keeps the true near-dup pair
+    val pairs = Dedup.embeddingNearDup(blocked, threshold = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L)))
+  }
 }

@@ -26,8 +26,33 @@ dst = sys.argv[2] if len(sys.argv) > 2 else '/root/repo/target/advdata'
 shutil.rmtree(dst, ignore_errors=True)
 os.makedirs(dst)
 for f in os.listdir(src):
-    if f not in ('documents.parquet', 'events.parquet'):
+    if f not in ('documents.parquet', 'events.parquet', 'embeddings.parquet'):
         shutil.copy(f'{src}/{f}', f'{dst}/{f}')
+
+# embeddings: the float-ordering traps — an all-zeros vector (cosine
+# 0/0), an exact duplicate of the flagship query vector vec_id=0
+# (distance ties at the top of every funnel), its exact negation
+# (cosine -1 pole), and an extreme-magnitude vector at the EDGE of the
+# validated ingest domain (|x| <= Metric.MaxAbsComponent = 100; values
+# beyond it are quarantined at the door precisely because they would
+# long-overflow the exact-quantized dashboards — the r8 finding that
+# produced the validRecord gate). Appended with high ids so the
+# fixed-model contracts (centroids = vec_id < 8, codebooks < 16, query
+# = vec_id 0) are untouched.
+emb = pq.read_table(f'{src}/embeddings.parquet')
+dim = len(emb.column('embedding')[0])
+v0 = [float(x) for x in emb.column('embedding')[0].as_py()]
+adv_emb = pa.table({
+    'vec_id': [900001, 900002, 900003, 900004],
+    'embedding': [
+        [0.0] * dim,                 # zero vector
+        v0,                          # exact tie with the query vector
+        [-x for x in v0],            # exact negation
+        [100.0] * dim,               # extreme in-domain magnitude (the edge)
+    ],
+    'label': [0, 1, 2, 3],
+}, schema=emb.schema)
+pq.write_table(pa.concat_tables([emb, adv_emb]), f'{dst}/embeddings.parquet')
 
 d = pq.read_table(f'{src}/documents.parquet')
 adv_docs = {
