@@ -7626,7 +7626,9 @@ object Queries {
       s"""SELECT event_type,
          |  count(k) AS n_parsed, CAST(sum(k) AS BIGINT) AS k_sum,
          |  CAST(min(k) AS BIGINT) AS k_min, CAST(max(k) AS BIGINT) AS k_max
-         |FROM (SELECT event_type, CAST(json_extract(props, '$$.k') AS BIGINT) AS k
+         |FROM (SELECT event_type,
+         |        CASE WHEN props IS NOT NULL AND json_valid(props)
+         |             THEN CAST(json_extract(props, '$$.k') AS BIGINT) END AS k
          |      FROM events)
          |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
@@ -7637,7 +7639,8 @@ object Queries {
          |    CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS qv
          |  FROM events WHERE event_type = 'purchase'),
          |v AS (SELECT user_id, ts, event_id AS view_id,
-         |    CAST(json_extract(props, '$$.k') AS BIGINT) AS campaign
+         |    CASE WHEN props IS NOT NULL AND json_valid(props)
+         |         THEN CAST(json_extract(props, '$$.k') AS BIGINT) END AS campaign
          |  FROM events WHERE event_type = 'view'),
          |a AS (SELECT event_id, qv, campaign FROM (
          |  SELECT p.event_id, p.qv, v.campaign,

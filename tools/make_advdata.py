@@ -85,6 +85,11 @@ rows += [
     (900030, ts0 + dt.timedelta(hours=1), 777003, 'advrare', 9.5, '{}'),
     # null value
     (900031, ts0 + dt.timedelta(hours=2), 777003, 'view', None, '{}'),
+    # malformed + null props payloads (JSON-parse lanes)
+    (900032, ts0 + dt.timedelta(hours=3), 777003, 'view', 1.0, 'not json {'),
+    (900033, ts0 + dt.timedelta(hours=3, seconds=1), 777003, 'view', 1.0, None),
+    # exact midnight boundary (day/window floor edges)
+    (900034, dt.datetime(2024, 3, 2, 0, 0, 0), 777004, 'view', 2.0, '{}'),
 ]
 adv_e = pa.table(
     {'event_id': [r[0] for r in rows], 'ts': [r[1] for r in rows],
