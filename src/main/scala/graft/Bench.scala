@@ -64,7 +64,10 @@ object Bench {
       // Per-build times are still measured inside each lane.
       val lanes = Seq(
         Seq("dedup_apply", "dedup_multi"),
-        Seq("embed_knn_accuracy", "dedup_semantic"))
+        // corpus_substring_dedup materializes the ExactSubstr census
+        // memo its scrub sibling shares — same corpus-version-state
+        // treatment as the group maps
+        Seq("embed_knn_accuracy", "dedup_semantic", "corpus_substring_dedup"))
       val laneTimes = new java.util.concurrent.ConcurrentHashMap[String, Double]()
       val laneError = new java.util.concurrent.atomic.AtomicReference[Throwable]()
       val threads = lanes.map { lane =>
