@@ -1417,6 +1417,31 @@ object Queries {
         .orderBy("label")
     }),
 
+    // extension: simplified (centroid-based) silhouette — the cluster-
+    // quality dashboard over the fixed-centroid model: s = (d2−d1)/d2
+    // with (d1, d2) the two nearest centroid distances (0 when d2 = 0,
+    // i.e. the vector coincides with both centroids). O(n·k) map-side
+    // distances + a k-key rollup; the textbook O(n²) pairwise
+    // silhouette does not exist at 100 TB. s is quantized to exact
+    // 1e-4 ints BEFORE summing (the checksum trick), so the per-cluster
+    // mean is partition-order-independent; rows whose distances are all
+    // NaN/null (no assignment) are excluded on both engines.
+    "embed_silhouette" -> ((s, dir) => {
+      IvfIndex.assignTop2WithDists(recs(s, dir), fixedCentroids(s, dir),
+          Metric.Euclidean)
+        .where(col("cluster_id") >= 0 && col("cluster_id2") >= 0)
+        .select(col("cluster_id"),
+          floor(when(col("d2") > 0, (col("d2") - col("d1")) / col("d2"))
+              .otherwise(lit(0.0)) * lit(10000.0) + lit(0.5))
+            .cast("long").as("__s4"))
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("n"), sum(col("__s4")).as("sum_s4"))
+        .select(col("cluster_id"), col("n"), col("sum_s4"),
+          r4(col("sum_s4").cast("double")
+            / (col("n").cast("double") * lit(10000.0))).as("mean_silhouette"))
+        .orderBy("cluster_id")
+    }),
+
     // extension: index-HEALTH dashboard — per-cluster population and
     // distance-to-centroid stats (the density/drift monitor that decides
     // refine). Distances r4-quantized to exact ints BEFORE aggregation
@@ -4568,6 +4593,29 @@ object Queries {
         .orderBy("purchase_id")
     }),
 
+    // the SAME join under a 1-hour staleness bound (toleranceSec) — the
+    // feature-store contract that a feature older than the bound must
+    // NOT be attached: matches outside it become nulls, never dropped
+    // rows (left-outer cardinality preserved). Exercises all three
+    // branches at this SF: within-bound match, nulled stale match, and
+    // never-matched purchase.
+    "events_asof_tolerance" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts"),
+          col("value"))
+      Temporal.asofJoin(purchases, clicks, "user_id", "ts",
+          Seq("click_id", "value"), tieBreak = "click_id",
+          toleranceSec = 3600L)
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
+          col("asof_click_id").as("click_id"),
+          r4(col("asof_value")).as("click_value"))
+        .orderBy("purchase_id")
+    }),
+
     // extension: FORWARD as-of — each click attributed to the next
     // purchase by the same user (conversion latency), same zero-join
     // window pass with the time axis reversed
@@ -6477,6 +6525,24 @@ object Queries {
          |  ${sqlR4("CAST(sum(ok) AS DOUBLE) / count(*)")} AS accuracy
          |FROM r GROUP BY label ORDER BY label""".stripMargin,
 
+    // simplified silhouette replayed in full: per-vector top-2 centroid
+    // distances (ties → smaller cid, matching the engine fold), s =
+    // (d2−d1)/d2 quantized to 1e-4 ints before the per-cluster sum;
+    // all-NaN/null rows drop on both engines (engine: cluster_id = −1)
+    "embed_silhouette" ->
+      s"""WITH c AS (SELECT CAST(vec_id AS INTEGER) AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8),
+         |d AS (SELECT e.vec_id, c.cid, ${sqlSq("e.embedding", "c.cvec")} AS d
+         |  FROM embeddings e CROSS JOIN c),
+         |r AS (SELECT vec_id, cid, d,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cid ASC) AS rn
+         |  FROM d WHERE NOT isnan(d)),
+         |s AS (SELECT a.cid AS cluster_id,
+         |    CAST(floor((CASE WHEN b.d > 0 THEN (b.d - a.d) / b.d ELSE CAST(0 AS DOUBLE) END) * 10000.0 + 0.5) AS BIGINT) AS s4
+         |  FROM r a JOIN r b ON a.vec_id = b.vec_id AND b.rn = 2 WHERE a.rn = 1)
+         |SELECT cluster_id, CAST(count(*) AS BIGINT) AS n, CAST(sum(s4) AS BIGINT) AS sum_s4,
+         |  ${sqlR4("CAST(sum(s4) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 10000.0)")} AS mean_silhouette
+         |FROM s GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
+
     "dedup_semantic" ->
       s"""WITH RECURSIVE c AS (SELECT CAST(vec_id AS INTEGER) AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8),
          |asg AS (SELECT vec_id, cid FROM (
@@ -7762,6 +7828,29 @@ object Queries {
          |FROM (
          |  SELECT p.purchase_id, p.user_id, p.ts AS p_ts, c.click_id,
          |    ${sqlR4("c.value")} AS click_value,
+         |    row_number() OVER (PARTITION BY p.purchase_id
+         |      ORDER BY c.ts DESC, c.click_id DESC) AS rn
+         |  FROM p LEFT JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts)
+         |WHERE rn = 1 ORDER BY purchase_id""".stripMargin,
+
+    // staleness bound: the most-recent-prior match is found FIRST, then
+    // nulled when its floored-seconds gap exceeds the bound (with
+    // backward direction the nearest prior minimizes the gap, so the
+    // two formulations coincide); rows are never dropped
+    "events_asof_tolerance" ->
+      s"""WITH p AS (SELECT event_id AS purchase_id, user_id, ts FROM events
+         |           WHERE event_type = 'purchase'),
+         |c AS (SELECT event_id AS click_id, user_id, ts, value FROM events
+         |      WHERE event_type = 'click')
+         |SELECT purchase_id, user_id,
+         |  strftime(p_ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+         |  CASE WHEN ok THEN click_id END AS click_id,
+         |  CASE WHEN ok THEN click_value END AS click_value
+         |FROM (
+         |  SELECT p.purchase_id, p.user_id, p.ts AS p_ts, c.click_id,
+         |    ${sqlR4("c.value")} AS click_value,
+         |    CAST(floor(epoch(p.ts)) AS BIGINT)
+         |      - CAST(floor(epoch(c.ts)) AS BIGINT) <= 3600 AS ok,
          |    row_number() OVER (PARTITION BY p.purchase_id
          |      ORDER BY c.ts DESC, c.click_id DESC) AS rn
          |  FROM p LEFT JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts)

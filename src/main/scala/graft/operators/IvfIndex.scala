@@ -65,7 +65,18 @@ object IvfIndex {
     * Same shape as [[assign]]: one broadcast packed row, one map-side
     * fold tracking (best, second) — no shuffle, 2× the downstream join
     * input. `cluster_id2` is −1 when only one centroid exists. */
-  def assignTop2(records: DataFrame, centroids: DataFrame, metric: Metric): DataFrame = {
+  def assignTop2(records: DataFrame, centroids: DataFrame, metric: Metric): DataFrame =
+    assignTop2WithDists(records, centroids, metric).drop("d1", "d2")
+
+  /** [[assignTop2]] keeping the two distances (`d1` ≤ `d2`) — the inputs
+    * of the simplified (centroid-based) silhouette s = (d2−d1)/d2: the
+    * cluster-quality monitor that reads O(n·k) distances instead of the
+    * textbook O(n²) pairwise formulation, the only silhouette that exists
+    * at 100 TB. Ties on distance resolve to the smaller cluster_id at
+    * both ranks (matching [[assign]]); `d2` is `Double.MaxValue` when
+    * `cluster_id2` is −1. */
+  def assignTop2WithDists(records: DataFrame, centroids: DataFrame,
+      metric: Metric): DataFrame = {
     val packed = centroids
       .agg(collect_list(struct(col("cluster_id"), col("centroid"))).as("__cents"))
     val init = struct(
@@ -94,6 +105,8 @@ object IvfIndex {
       .crossJoin(broadcast(packed))
       .withColumn("cluster_id", best2.getField("cid1"))
       .withColumn("cluster_id2", best2.getField("cid2"))
+      .withColumn("d1", best2.getField("d1"))
+      .withColumn("d2", best2.getField("d2"))
       .drop("__cents")
   }
 

@@ -311,6 +311,31 @@ class IvfIndexSpec extends SparkSpec {
     assert(pairs.toSeq === Seq((0L, 1L)))
   }
 
+  test("assignTop2WithDists: ordered exact distances, cid tie-break, single-centroid sentinel") {
+    val c = Seq((0, Seq.fill(dim)(0.0f)), (1, Seq.fill(dim)(1.0f)))
+      .toDF("cluster_id", "centroid")
+      .withColumn("centroid", col("centroid").cast("array<float>"))
+    val pts = Seq((0L, Seq.fill(dim)(0.25f), Map.empty[String, String]))
+      .toDF("id", "embedding", "metadata")
+    val r = IvfIndex.assignTop2WithDists(pts, c, Metric.Euclidean)
+      .select("cluster_id", "d1", "cluster_id2", "d2")
+      .as[(Int, Double, Int, Double)].head()
+    // sq-L2: dim·0.25² vs dim·0.75² — exact dyadic values
+    assert(r === ((0, dim * 0.0625, 1, dim * 0.5625)))
+    // equidistant point: both ranks resolve ties to the smaller cid
+    val mid = Seq((0L, Seq.fill(dim)(0.5f), Map.empty[String, String]))
+      .toDF("id", "embedding", "metadata")
+    val m = IvfIndex.assignTop2WithDists(mid, c, Metric.Euclidean)
+      .select("cluster_id", "cluster_id2", "d1", "d2")
+      .as[(Int, Int, Double, Double)].head()
+    assert((m._1, m._2) === ((0, 1)))
+    assert(m._3 === m._4)
+    // one centroid: runner-up is the −1 sentinel with an unusable d2
+    val one = IvfIndex.assignTop2WithDists(pts, c.where(col("cluster_id") === 0),
+      Metric.Euclidean).select("cluster_id2", "d2").as[(Int, Double)].head()
+    assert(one === ((-1, Double.MaxValue)))
+  }
+
   test("cosine-metric build: assign agrees with brute-force cosine argmin") {
     val model = IvfIndex.build(records, density = 64, Metric.Cosine, seed = 42L)
     assert(model.assigned.count() === 1000)
