@@ -1125,6 +1125,20 @@ object Queries {
           sum(try_element_at(col("metadata"), lit("label")).cast("double")).as("label_sum"))
     }),
 
+    // the SAME round-trip through the ORC sink/source twin — the interop
+    // format for ORC-standardized warehouses; identical content contract,
+    // so it shares snapshot_roundtrip's oracle shape
+    "snapshot_orc_roundtrip" -> ((s, dir) => {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_snapshot_orc_" +
+        s.sparkContext.applicationId
+      Records.snapshotOrc(recs(s, dir), path)
+      Records.openOrc(s, path)
+        .agg(count(lit(1)).as("n"),
+          sum(col("id")).as("id_sum"),
+          sum(size(col("embedding")).cast("long")).as("dim_sum"),
+          sum(try_element_at(col("metadata"), lit("label")).cast("double")).as("label_sum"))
+    }),
+
     // extension: small-file compaction — fragment the store into many
     // tiny files (the streaming-ingest end state), compact to the target
     // size, and prove the rewritten store is byte-for-byte the same data.
@@ -7380,6 +7394,13 @@ object Queries {
         |GROUP BY p.shard, p.pack_id ORDER BY p.shard, p.pack_id""".stripMargin,
 
     "snapshot_roundtrip" ->
+      s"""SELECT count(*) AS n, CAST(sum(vec_id) AS BIGINT) AS id_sum,
+         |  CAST(count(*) * $Dim AS BIGINT) AS dim_sum,
+         |  CAST(sum(label) AS DOUBLE) AS label_sum FROM embeddings""".stripMargin,
+
+    // the ORC store holds exactly the source rows — the oracle reads the
+    // parquet truth the snapshot was taken from
+    "snapshot_orc_roundtrip" ->
       s"""SELECT count(*) AS n, CAST(sum(vec_id) AS BIGINT) AS id_sum,
          |  CAST(count(*) * $Dim AS BIGINT) AS dim_sum,
          |  CAST(sum(label) AS DOUBLE) AS label_sum FROM embeddings""".stripMargin,

@@ -17,6 +17,19 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // A FULL run owns the dump dir: clear stale per-query dumps first, so
+    // a leftover parquet from an earlier narrowed run (or a renamed query)
+    // can never satisfy the compare with pre-change results. Narrowed runs
+    // deliberately keep the rest of the dir (local iteration aid).
+    if (only.isEmpty) {
+      val d = new java.io.File(outDir)
+      Option(d.listFiles()).foreach(_.foreach { f =>
+        def rm(x: java.io.File): Unit = {
+          Option(x.listFiles()).foreach(_.foreach(rm)); x.delete()
+        }
+        rm(f)
+      })
+    }
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }

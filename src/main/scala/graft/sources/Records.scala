@@ -164,6 +164,19 @@ object Records {
   def open(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** ORC twin of [[snapshot]]/[[open]] — the interop tier of O17/O18 for
+    * warehouses that standardize on ORC (Hive/Trino): same eager atomic-
+    * overwrite commit protocol, same schema; `array<float>` embeddings
+    * and `map<string,string>` metadata round-trip natively, and the id
+    * predicate pushes into ORC row-group min/max stats exactly as it
+    * does for parquet. Parquet stays the default store format. */
+  def snapshotOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
+  /** ORC snapshot source — see [[snapshotOrc]]. */
+  def openOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   // ---------- id-bucketed layout: the point-lookup store ----------
   //
   // The reference's get is an O(1) hashmap probe

@@ -319,6 +319,23 @@ class CrudSpec extends SparkSpec {
     assert(a.toSeq === b.toSeq)
   }
 
+  test("ORC snapshot twin round-trips the record frame and pushes the id predicate") {
+    val dir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "snap_orc").toString
+    val r = mkRecords(20)
+    Records.snapshotOrc(r, dir)
+    val back = Records.openOrc(spark, dir)
+    assert(back.count() === 20L)
+    assert(back.schema.simpleString === r.schema.simpleString)
+    val a = r.select("id", "metadata").as[(Long, Map[String, String])].collect().sortBy(_._1)
+    val b = back.select("id", "metadata").as[(Long, Map[String, String])].collect().sortBy(_._1)
+    assert(a.toSeq === b.toSeq)
+    // the point-lookup predicate reaches the ORC scan (row-group pruning
+    // at scale), same contract the parquet store relies on
+    val p = back.where(col("id") === 7L).queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [IsNotNull(id), EqualTo(id,7)]"), p.take(800))
+  }
+
   test("vacuumVersions: keeps the newest keepLast versions plus companions, " +
     "no-ops beyond history, newest data stays readable") {
     import graft.sources.Records
