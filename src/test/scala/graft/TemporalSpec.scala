@@ -107,6 +107,21 @@ class TemporalSpec extends SparkSpec {
     assert(got.size === 4)
   }
 
+  test("asofJoin tolerance composes with the chunked skew path (identical results)") {
+    // gapOk is applied AFTER the branch split, so the segmented scan must
+    // null stale matches exactly like the single-window path — including
+    // a match carried across a chunk boundary that tolerance then rejects
+    val plain = Temporal.asofJoin(lefts, rights, "user_id", "ts", Seq("rid"), "rid",
+        toleranceSec = 60)
+      .select("event_id", "asof_rid").as[(Long, Option[Long])].collect().toMap
+    Seq(60L, 3600L, 86400L).foreach { cs =>
+      val chunked = Temporal.asofJoin(lefts, rights, "user_id", "ts", Seq("rid"), "rid",
+          toleranceSec = 60, chunkSec = cs)
+        .select("event_id", "asof_rid").as[(Long, Option[Long])].collect().toMap
+      assert(chunked === plain, s"chunkSec=$cs")
+    }
+  }
+
   test("asofJoin plan: zero joins — one window pass (no per-key cartesian)") {
     val plan = Temporal.asofJoin(lefts, rights, "user_id", "ts", Seq("rid"), "rid")
       .queryExecution.executedPlan.toString
