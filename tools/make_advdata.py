@@ -55,14 +55,20 @@ adv_emb = pa.table({
 pq.write_table(pa.concat_tables([emb, adv_emb]), f'{dst}/embeddings.parquet')
 
 d = pq.read_table(f'{src}/documents.parquet')
+# a VERY LONG document (~120 KB, ~20k tokens): catches quadratic text
+# kernels and window-census blow-ups that short fixtures never exercise;
+# deterministic word stream so both engines tokenize identically
+long_text = ' '.join(f'w{i % 997}' for i in range(20000))
 adv_docs = {
-    'doc_id':  [900001, 900002, 900003, 900004, 900005, 900006, 900007, 900008],
+    'doc_id':  [900001, 900002, 900003, 900004, 900005, 900006, 900007,
+                900008, 900009],
     'text':    [None, '', 'a', '   ', 'x x x x x x x x x x',
-                'the quick brown fox', 'the quick brown fox', '\t\n  \n\t'],
-    'lang':    [None, 'en', 'en', 'en', 'en', 'en', 'en', 'en'],
+                'the quick brown fox', 'the quick brown fox', '\t\n  \n\t',
+                long_text],
+    'lang':    [None, 'en', 'en', 'en', 'en', 'en', 'en', 'en', 'en'],
     'source':  ['advnull', 'advempty', 'adv1', 'advws', 'advrep',
-                'advdup', 'advdup', 'advws'],
-    'n_chars': [0, 0, 1, 3, 19, 19, 19, 6],
+                'advdup', 'advdup', 'advws', 'advlong'],
+    'n_chars': [0, 0, 1, 3, 19, 19, 19, 6, len(long_text)],
 }
 pq.write_table(
     pa.concat_tables([d, pa.table(adv_docs, schema=d.schema)]),
@@ -90,7 +96,26 @@ rows += [
     (900033, ts0 + dt.timedelta(hours=3, seconds=1), 777003, 'view', 1.0, None),
     # exact midnight boundary (day/window floor edges)
     (900034, dt.datetime(2024, 3, 2, 0, 0, 0), 777004, 'view', 2.0, '{}'),
+    # as-of tolerance boundary: click exactly 3600 s before a purchase
+    # (the <= bound is inclusive — the match must SURVIVE), plus one at
+    # 3601 s (must be nulled)
+    (900040, dt.datetime(2024, 3, 5, 9, 0, 0), 777005, 'click', 1.5, '{}'),
+    (900041, dt.datetime(2024, 3, 5, 10, 0, 0), 777005, 'purchase', 20.0, '{}'),
+    (900042, dt.datetime(2024, 3, 5, 11, 0, 1), 777005, 'purchase', 30.0, '{}'),
 ]
+# whale key: ONE user holding a 300-event burst spread across 3 days
+# (crosses the 86400 s chunk boundary of the segmented as-of path) with
+# heavy timestamp ties (4 events per instant) — the skew regime the
+# chunked/windowed operators exist for, at a size every LATERAL-replay
+# oracle can still afford
+rows += [(910000 + i,
+          dt.datetime(2024, 3, 10, 0, 0, 0)
+            + dt.timedelta(minutes=20 * (i // 4)),
+          777999,
+          ['view', 'click', 'purchase', 'error'][i % 4],
+          float(i % 7),
+          '{}')
+         for i in range(300)]
 adv_e = pa.table(
     {'event_id': [r[0] for r in rows], 'ts': [r[1] for r in rows],
      'user_id': [r[2] for r in rows], 'event_type': [r[3] for r in rows],
