@@ -1,0 +1,82 @@
+#!/usr/bin/env python3
+"""Round-over-round bench comparison: per-query wall-time diff between two
+bench artifacts, so regressions are machine-checked instead of eyeballed.
+
+Usage: python3 tools/bench_diff.py <old> <new> [--threshold 1.5]
+
+Accepts any of the three artifact shapes that exist in this repo:
+  - the bare bench JSON line Bench.scala prints (and writes to
+    target/bench.json): {"metric":"total",...,"queries":{name:sec,...}}
+  - the driver's BENCH_rN.json wrapper with a non-null "parsed" field
+  - the driver wrapper with parsed=null: per-query times are scraped
+    from the truncated "tail" string (pairs it cut off are skipped —
+    the tool says how many names it recovered)
+
+Prints total/count deltas, the worst regressions above the threshold,
+the best improvements, and queries present on one side only.
+"""
+import json, re, sys
+
+
+def load_queries(path):
+    with open(path) as f:
+        raw = f.read()
+    d = json.loads(raw)
+    if 'queries' in d and isinstance(d['queries'], dict):
+        return d.get('value'), d['queries']
+    p = d.get('parsed')
+    if isinstance(p, dict) and isinstance(p.get('queries'), dict):
+        return p.get('value'), p['queries']
+    # driver wrapper with parsed=null: scrape the truncated tail. Match
+    # both the summary form "name":1.23 and the passes form
+    # "name":[1.2,0.9] (taking the min, same as the summary).
+    tail = d.get('tail', '')
+    q = {}
+    for m in re.finditer(r'"([a-z0-9_]+)":(\d+\.\d+)', tail):
+        q.setdefault(m.group(1), float(m.group(2)))
+    for m in re.finditer(r'"([a-z0-9_]+)":\[([\d.,]+)\]', tail):
+        q.setdefault(m.group(1), min(float(x) for x in m.group(2).split(',')))
+    for k in ('metric', 'value', 'sf', 'warmup_s', 'tables', 'codegen_jit',
+              'mllib_jit', 'text_kernel_jit', 'lsh_pipeline_jit'):
+        q.pop(k, None)
+    print(f'[{path}] parsed=null: recovered {len(q)} query times from tail')
+    return None, q
+
+
+def main():
+    args = [a for a in sys.argv[1:] if not a.startswith('--')]
+    thr = 1.5
+    for a in sys.argv[1:]:
+        if a.startswith('--threshold'):
+            thr = float(a.split('=', 1)[1] if '=' in a else sys.argv[sys.argv.index(a) + 1])
+    old_path, new_path = args[:2]
+    old_total, old = load_queries(old_path)
+    new_total, new = load_queries(new_path)
+
+    common = sorted(set(old) & set(new))
+    print(f'old: {len(old)} queries' + (f', total {old_total:.1f}s' if old_total else ''))
+    print(f'new: {len(new)} queries' + (f', total {new_total:.1f}s' if new_total else ''))
+    if common:
+        so, sn = sum(old[q] for q in common), sum(new[q] for q in common)
+        print(f'common set ({len(common)}): {so:.1f}s -> {sn:.1f}s ({sn / so:.2f}x)')
+
+    regress = [(new[q] / old[q], q) for q in common
+               if new[q] > old[q] * thr and new[q] - old[q] > 0.05]
+    improve = [(old[q] / new[q], q) for q in common
+               if old[q] > new[q] * thr and old[q] - new[q] > 0.05]
+    for title, rows in ((f'regressions >{thr}x', sorted(regress, reverse=True)),
+                        (f'improvements >{thr}x', sorted(improve, reverse=True))):
+        print(f'-- {title}: {len(rows)}')
+        for ratio, q in rows[:15]:
+            print(f'   {q}: {old[q]:.2f}s -> {new[q]:.2f}s ({ratio:.1f}x)')
+    only_old = sorted(set(old) - set(new))
+    only_new = sorted(set(new) - set(old))
+    if only_old:
+        print(f'-- removed ({len(only_old)}): {" ".join(only_old)}')
+    if only_new:
+        print(f'-- added ({len(only_new)}): {" ".join(only_new)}')
+    sys.exit(1 if regress else 0)
+
+
+if __name__ == '__main__':
+    main()
