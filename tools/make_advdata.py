@@ -59,16 +59,26 @@ d = pq.read_table(f'{src}/documents.parquet')
 # kernels and window-census blow-ups that short fixtures never exercise;
 # deterministic word stream so both engines tokenize identically
 long_text = ' '.join(f'w{i % 997}' for i in range(20000))
+# word-free but NON-empty texts: tokens exist yet alpha-word counts are
+# zero — a different division-guard path than the empty/whitespace rows
+# (mean word length, stopword ratio, readability syllables all see a
+# populated token list with nothing countable in it)
+punct_text = '!!! ??? ... ;;; ::: --- ((( ))) *** &&&'
+digit_text = '123 456 789 000 111 222 333 444 555 666'
+char_rep = 'a' * 5000
 adv_docs = {
     'doc_id':  [900001, 900002, 900003, 900004, 900005, 900006, 900007,
-                900008, 900009],
+                900008, 900009, 900010, 900011, 900012],
     'text':    [None, '', 'a', '   ', 'x x x x x x x x x x',
                 'the quick brown fox', 'the quick brown fox', '\t\n  \n\t',
-                long_text],
-    'lang':    [None, 'en', 'en', 'en', 'en', 'en', 'en', 'en', 'en'],
+                long_text, punct_text, digit_text, char_rep],
+    'lang':    [None, 'en', 'en', 'en', 'en', 'en', 'en', 'en', 'en',
+                'en', 'en', 'en'],
     'source':  ['advnull', 'advempty', 'adv1', 'advws', 'advrep',
-                'advdup', 'advdup', 'advws', 'advlong'],
-    'n_chars': [0, 0, 1, 3, 19, 19, 19, 6, len(long_text)],
+                'advdup', 'advdup', 'advws', 'advlong', 'advpunct',
+                'advdigit', 'advchar'],
+    'n_chars': [0, 0, 1, 3, 19, 19, 19, 6, len(long_text),
+                len(punct_text), len(digit_text), len(char_rep)],
 }
 pq.write_table(
     pa.concat_tables([d, pa.table(adv_docs, schema=d.schema)]),
