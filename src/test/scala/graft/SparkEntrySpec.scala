@@ -8,9 +8,14 @@ class SparkEntrySpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("oracleSql keys are a subset of queries keys") {
-    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
-    assert(missing.isEmpty, s"oracles without queries: $missing")
+  test("oracleSql and queries carry EXACTLY the same keys") {
+    // Not just oracles ⊆ queries: a query key without an oracle would
+    // silently degrade to the driver's weaker rows-only check, breaking
+    // the SURVEY §2 claim that every inventory row is oracle-gated.
+    val noQuery = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(noQuery.isEmpty, s"oracles without queries: $noQuery")
+    assert(noOracle.isEmpty, s"queries without oracles: $noOracle")
   }
 
   test("declared SURVEY §2.3 inventory is fully implemented") {
