@@ -58,9 +58,16 @@ object Bench {
       // lane is sequential internally (dedup_multi extends dedup_apply's
       // converged map incrementally), the blocked-pairs lane likewise
       // (dedup_semantic reads the frame embed_knn_accuracy materializes).
-      // Lanes share no state with each other, so overlapping them cuts
-      // the session-boot wall-clock to max(lane) instead of sum — the
-      // same overlap a production cluster gets from concurrent jobs.
+      // Lanes share no MEMO state with each other, so overlapping them
+      // cuts the session-boot wall-clock to max(lane) instead of sum —
+      // the same overlap a production cluster gets from concurrent jobs.
+      // They DO share the session CacheManager: the group-map builders
+      // end with a global clearCache (dropping the LSH pipeline's dead
+      // intermediates), which mid-lane would evict the other lane's
+      // live ensureCached frames — bounded and correctness-neutral
+      // (checkpoint-backed memos are immune, ensureCached re-persists),
+      // but it jitters exactly the per-lane timings bench_diff gates
+      // on. Defer the builders' clear to the single post-lane clear.
       // Per-build times are still measured inside each lane.
       val lanes = Seq(
         Seq("dedup_apply", "dedup_multi"),
@@ -70,6 +77,7 @@ object Bench {
         Seq("embed_knn_accuracy", "dedup_semantic", "corpus_substring_dedup"))
       val laneTimes = new java.util.concurrent.ConcurrentHashMap[String, Double]()
       val laneError = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+      Queries.deferBuilderCacheClear.set(true)
       val threads = lanes.map { lane =>
         val t = new Thread(() =>
           try lane.foreach { q =>
@@ -89,6 +97,7 @@ object Bench {
       lanes.flatten.foreach { q =>
         corpusStateTimes(q) = laneTimes.getOrDefault(q, -1.0)
       }
+      Queries.deferBuilderCacheClear.set(false)
       spark.catalog.clearCache()
       val tiny = spark.read.parquet(s"$sfDir/embeddings.parquet").limit(64)
       step("codegen_jit") {

@@ -745,6 +745,20 @@ object Queries {
           .localCheckpoint(eager = true)))
   }
 
+  /** Bench-lane coordination: the group-map builders end with a global
+    * `clearCache()` (the LSH pipeline's dead persisted intermediates
+    * measurably slow the NEXT query via cache/GC pressure). During the
+    * bench's PARALLEL warmup lanes that global clear would evict a
+    * concurrent lane's live frames mid-job — bounded and correctness-
+    * neutral (ensureCached re-persists) but it jitters the per-lane
+    * timings — so the bench sets this flag around the lanes and issues
+    * ONE clear after they join. Sequential callers (Verify, the driver)
+    * keep the per-builder clear. */
+  private[graft] val deferBuilderCacheClear =
+    new java.util.concurrent.atomic.AtomicBoolean(false)
+  private def builderCacheClear(s: SparkSession): Unit =
+    if (!deferBuilderCacheClear.get()) s.catalog.clearCache()
+
   private def cappedGroups(s: SparkSession, dir: String): DataFrame = {
     dedupGroupsCache.keySet.removeIf(_._1.sparkContext.isStopped)
     dedupGroupsCache.computeIfAbsent((s, dir), _ => {
@@ -755,7 +769,7 @@ object Queries {
       // NEXT unrelated query 4× via cache/GC pressure). Catalog-level
       // clear only touches CacheManager entries — consumers re-persist
       // on demand (Caching.ensureCached), the memoized frame survives.
-      s.catalog.clearCache()
+      builderCacheClear(s)
       groups
     })
   }
@@ -782,7 +796,7 @@ object Queries {
       val groups = org.apache.spark.sql.graft.PlanBridge.statsReset(
         Dedup.extendGroups(cappedGroups(s, dir), sh)
           .localCheckpoint(eager = true))
-      s.catalog.clearCache() // same lifecycle as [[cappedGroups]]
+      builderCacheClear(s) // same lifecycle as [[cappedGroups]]
       groups
     })
   }
@@ -801,7 +815,7 @@ object Queries {
         Dedup.embeddingNearDup(top2Blocked(s, dir), threshold = 0.2)
           .select(col("id_a"), col("id_b")).distinct(),
         srcCol = "id_a", dstCol = "id_b")
-      s.catalog.clearCache() // same lifecycle as [[cappedGroups]]
+      builderCacheClear(s) // same lifecycle as [[cappedGroups]]
       groups
     })
   }

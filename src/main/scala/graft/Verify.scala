@@ -17,17 +17,24 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // A FULL run owns the dump dir: clear stale per-query dumps first, so
-    // a leftover parquet from an earlier narrowed run (or a renamed query)
-    // can never satisfy the compare with pre-change results. Narrowed runs
-    // deliberately keep the rest of the dir (local iteration aid).
+    // A FULL run owns its dumps: clear stale per-query dumps first, so a
+    // leftover parquet from an earlier narrowed run (or a renamed query)
+    // can never satisfy the compare with pre-change results. Only entries
+    // this tool writes are touched — current query names, dump-shaped
+    // directories (holding parquet part files — covers renamed/removed
+    // queries), and oracle_sql.json — never unrelated files a caller may
+    // keep beside the dumps. Narrowed runs keep everything (iteration aid).
     if (only.isEmpty) {
-      val d = new java.io.File(outDir)
-      Option(d.listFiles()).foreach(_.foreach { f =>
-        def rm(x: java.io.File): Unit = {
-          Option(x.listFiles()).foreach(_.foreach(rm)); x.delete()
-        }
-        rm(f)
+      def rm(x: java.io.File): Unit = {
+        Option(x.listFiles()).foreach(_.foreach(rm)); x.delete()
+      }
+      def dumpShaped(f: java.io.File) = f.isDirectory &&
+        Option(f.listFiles()).exists(_.forall(c =>
+          c.getName.startsWith("part-") || c.getName.startsWith("_SUCCESS") ||
+            c.getName.startsWith(".")))
+      Option(new java.io.File(outDir).listFiles()).foreach(_.foreach { f =>
+        if (SparkEntry.queries.contains(f.getName) ||
+            f.getName == "oracle_sql.json" || dumpShaped(f)) rm(f)
       })
     }
     new java.io.File(outDir).mkdirs()

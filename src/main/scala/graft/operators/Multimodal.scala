@@ -116,19 +116,30 @@ object Multimodal {
       * maxAbs, meanAbs of each third] normalized by 32768. */
     object Real extends Codec {
       val featureDim = 8
+      // Magic bytes alone don't prove format: an opaque blob that merely
+      // STARTS with "P6"/"BM"/"RIFF…WAVE" must not kill the job (the
+      // mixed-corpus contract above). A sniffed payload whose body fails
+      // the strict parse is therefore treated as opaque → fallback
+      // features, while the parsers themselves stay loud for callers
+      // that decode directly (MultimodalPropSpec pins both behaviors).
       def decodeFeatures(kind: String, content: Array[Byte], meta: Row): Array[Float] = {
         val c = content
-        if (c.length >= 2 && c(0) == 'P' && c(1) == '6') {
-          val (w, h, maxval, rgb) = parsePpm(c)
-          imageFeatures(w, h, maxval, rgb)
-        } else if (c.length >= 2 && c(0) == 'B' && c(1) == 'M') {
-          val (w, h, rgb) = parseBmp(c)
-          imageFeatures(w, h, 255, rgb)
-        } else if (c.length >= 12 && c(0) == 'R' && c(1) == 'I' && c(2) == 'F' &&
-            c(3) == 'F' && c(8) == 'W' && c(9) == 'A' && c(10) == 'V' && c(11) == 'E') {
-          val (sr, samples) = parseWav(c)
-          audioFeatures(sr, samples)
-        } else DeterministicFake.decodeFeatures(kind, content, meta)
+        try {
+          if (c.length >= 2 && c(0) == 'P' && c(1) == '6') {
+            val (w, h, maxval, rgb) = parsePpm(c)
+            imageFeatures(w, h, maxval, rgb)
+          } else if (c.length >= 2 && c(0) == 'B' && c(1) == 'M') {
+            val (w, h, rgb) = parseBmp(c)
+            imageFeatures(w, h, 255, rgb)
+          } else if (c.length >= 12 && c(0) == 'R' && c(1) == 'I' && c(2) == 'F' &&
+              c(3) == 'F' && c(8) == 'W' && c(9) == 'A' && c(10) == 'V' && c(11) == 'E') {
+            val (sr, samples) = parseWav(c)
+            audioFeatures(sr, samples)
+          } else DeterministicFake.decodeFeatures(kind, content, meta)
+        } catch {
+          case _: IllegalArgumentException =>
+            DeterministicFake.decodeFeatures(kind, content, meta)
+        }
       }
     }
 
@@ -205,15 +216,24 @@ object Multimodal {
         new String(bytes, s, pos - s, java.nio.charset.StandardCharsets.US_ASCII)
       }
       require(token() == "P6", "not a binary PPM (P6) payload")
-      val w = token().toInt; val h = token().toInt; val maxval = token().toInt
+      def intToken(): Int = {
+        val t = token()
+        try t.toInt catch {
+          case _: NumberFormatException =>
+            throw new IllegalArgumentException(s"bad PPM header token '$t'")
+        }
+      }
+      val w = intToken(); val h = intToken(); val maxval = intToken()
       require(w > 0 && h > 0 && maxval > 0 && maxval <= 255,
         s"unsupported PPM header w=$w h=$h maxval=$maxval")
       pos += 1 // exactly one whitespace byte separates header and raster
-      val n = w * h * 3
-      require(bytes.length >= pos + n, "truncated PPM raster")
-      val rgb = new Array[Int](n)
+      // raster size in LONG: w·h·3 on hostile headers overflows Int and
+      // would wrap past the truncation require into garbage features
+      val n = w.toLong * h * 3
+      require(n <= Int.MaxValue && bytes.length >= pos + n, "truncated PPM raster")
+      val rgb = new Array[Int](n.toInt)
       var i = 0
-      while (i < n) { rgb(i) = bytes(pos + i) & 0xff; i += 1 }
+      while (i < n.toInt) { rgb(i) = bytes(pos + i) & 0xff; i += 1 }
       (w, h, maxval, rgb)
     }
 
@@ -226,14 +246,22 @@ object Multimodal {
         ((bytes(o + 2) & 0xff) << 16) | ((bytes(o + 3) & 0xff) << 24)
       require(bytes.length >= 54 && bytes(0) == 'B' && bytes(1) == 'M', "not a BMP payload")
       val dataOff = i32(10)
+      // a negative/backwards data offset is hostile-header territory: it
+      // would pass a naive length check and index bytes negatively
+      require(dataOff >= 54, s"bad BMP data offset $dataOff")
       require(i32(14) >= 40, "BMP: BITMAPINFOHEADER required")
       val w = i32(18); val hRaw = i32(22)
-      val bottomUp = hRaw > 0; val h = math.abs(hRaw)
+      val bottomUp = hRaw > 0
+      val h = if (hRaw == Int.MinValue) -1 else math.abs(hRaw)
       require(w > 0 && h > 0, s"bad BMP dims ${w}x$hRaw")
       require(u16(26) == 1 && u16(28) == 24 && i32(30) == 0,
         "only 24-bit uncompressed (BI_RGB) BMP supported")
-      val rowStride = ((w * 3 + 3) / 4) * 4
-      require(bytes.length >= dataOff + rowStride.toLong * h, "truncated BMP raster")
+      // stride and raster bounds in LONG — w·3 alone overflows Int past
+      // ~715M columns, wrapping the stride negative
+      val strideL = ((w.toLong * 3 + 3) / 4) * 4
+      require(w.toLong * h * 3 <= Int.MaxValue, s"BMP raster too large ${w}x$h")
+      require(bytes.length >= dataOff + strideL * h, "truncated BMP raster")
+      val rowStride = strideL.toInt // ≤ bytes.length after the require
       val rgb = new Array[Int](w * h * 3)
       var row = 0
       while (row < h) {
@@ -267,6 +295,9 @@ object Multimodal {
         val sz = i32(pos + 4)
         require(sz >= 0 && pos + 8 + sz.toLong <= bytes.length, s"bad WAV chunk '$id' size $sz")
         if (id == "fmt ") {
+          // the fields below span 16 bytes; a smaller declared chunk
+          // would read past it (and possibly the buffer)
+          require(sz >= 16, s"WAV fmt chunk too small ($sz)")
           require(u16(pos + 8) == 1, "only PCM (format 1) WAV supported")
           channels = u16(pos + 10)
           sampleRate = i32(pos + 12)

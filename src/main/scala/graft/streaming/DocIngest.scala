@@ -404,13 +404,35 @@ object DocIngest {
 
   /** The newest cumulative manifest from a [[startChecksum]] state dir,
     * in [[graft.operators.Corpus.checksum]]'s hash-robust two-BIGINT
-    * surface (minus the batch-only `n_unique`). */
+    * surface (minus the batch-only `n_unique`). A state dir that does
+    * not exist yet, or holds no committed fold (stream started but no
+    * batch landed), yields an EMPTY manifest frame — the "no manifest
+    * yet" signal — instead of an AnalysisException/NPE. */
   def checksumManifest(spark: SparkSession, stateDir: String): DataFrame = {
-    val st = spark.read.parquet(stateDir)
-    val mb = st.agg(max(col("batch_id").cast("long"))).head().getLong(0)
-    graft.operators.Corpus.checksumSurface(
-      st.where(col("batch_id").cast("long") === mb)
-        .select(col("source"), col("n_docs"), col("hash_sum"),
-          col("total_chars")))
+    val st =
+      try spark.read.parquet(stateDir)
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getMessage.contains("PATH_NOT_FOUND") ||
+              e.getMessage.contains("Path does not exist") =>
+          return graft.operators.Corpus.checksumSurface(
+            spark.emptyDataFrame
+              .select(lit("").as("source"), lit(0L).as("n_docs"),
+                lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)").as("hash_sum"),
+                lit(0L).as("total_chars"))
+              .limit(0))
+      }
+    val mbRow = st.agg(max(col("batch_id").cast("long"))).head()
+    if (mbRow.isNullAt(0)) {
+      graft.operators.Corpus.checksumSurface(
+        st.select(col("source"), col("n_docs"), col("hash_sum"),
+          col("total_chars")).limit(0))
+    } else {
+      val mb = mbRow.getLong(0)
+      graft.operators.Corpus.checksumSurface(
+        st.where(col("batch_id").cast("long") === mb)
+          .select(col("source"), col("n_docs"), col("hash_sum"),
+            col("total_chars")))
+    }
   }
 }

@@ -667,6 +667,14 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.map(_._1) === Seq("s0", "s1", "s2"))
     // the state dir keeps the per-batch audit trail (one partition per fold)
     assert(spark.read.parquet(state).select("batch_id").distinct().count() >= 2)
+
+    // a manifest read BEFORE any fold committed is the "no manifest yet"
+    // signal: an empty frame with the full surface, not an
+    // AnalysisException (missing dir) or NPE (null max batch_id)
+    val noState = DocIngest.checksumManifest(spark, s"$root/never_written")
+    assert(noState.columns.toSeq ===
+      Seq("source", "n_docs", "checksum_hi", "checksum_lo", "total_chars"))
+    assert(noState.count() === 0L)
   }
 
   test("streaming DSIR gate admits exactly the batch-filtered set, stateless across restarts") {

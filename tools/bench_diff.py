@@ -44,18 +44,30 @@ def load_queries(path):
 
 
 def main():
-    args = [a for a in sys.argv[1:] if not a.startswith('--')]
     thr = 1.5
-    for a in sys.argv[1:]:
+    args = []
+    argv = sys.argv[1:]
+    i = 0
+    while i < len(argv):
+        a = argv[i]
         if a.startswith('--threshold'):
-            thr = float(a.split('=', 1)[1] if '=' in a else sys.argv[sys.argv.index(a) + 1])
-    old_path, new_path = args[:2]
+            if '=' in a:
+                thr = float(a.split('=', 1)[1])
+            else:
+                thr = float(argv[i + 1])
+                i += 1  # consume the value so it never lands in args
+        else:
+            args.append(a)
+        i += 1
+    if len(args) != 2:
+        sys.exit(f'usage: bench_diff.py <old> <new> [--threshold N] (got {args})')
+    old_path, new_path = args
     old_total, old = load_queries(old_path)
     new_total, new = load_queries(new_path)
 
     common = sorted(set(old) & set(new))
-    print(f'old: {len(old)} queries' + (f', total {old_total:.1f}s' if old_total else ''))
-    print(f'new: {len(new)} queries' + (f', total {new_total:.1f}s' if new_total else ''))
+    print(f'old: {len(old)} queries' + (f', total {old_total:.1f}s' if old_total is not None else ''))
+    print(f'new: {len(new)} queries' + (f', total {new_total:.1f}s' if new_total is not None else ''))
     if common:
         so, sn = sum(old[q] for q in common), sum(new[q] for q in common)
         print(f'common set ({len(common)}): {so:.1f}s -> {sn:.1f}s ({sn / so:.2f}x)')
