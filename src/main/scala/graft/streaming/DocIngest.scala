@@ -372,20 +372,7 @@ object DocIngest {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val parts = graft.operators.Corpus.checksumPartials(
           batch, col("source"), col("text"), col("n_chars"))
-        val prior =
-          try {
-            val st = spark.read.parquet(stateDir)
-              .where(col("batch_id") < batchId)
-            // partition-column type inference reads batch_id back as
-            // INT — cast before the driver-side getLong
-            val mb = st.agg(max(col("batch_id").cast("long"))).head()
-            if (mb.isNullAt(0)) None
-            else Some(st.where(col("batch_id").cast("long") === mb.getLong(0))
-              .select(col("source"), col("n_docs"), col("hash_sum"),
-                col("total_chars")))
-          } catch {
-            case _: org.apache.spark.sql.AnalysisException => None
-          }
+        val prior = readNewestState(spark, stateDir, Some(batchId))
         val folded = prior match {
           case None => parts
           case Some(p) => p.unionByName(parts)
@@ -402,37 +389,47 @@ object DocIngest {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** The newest committed `(source, n_docs, hash_sum, total_chars)`
+    * fold in a [[startChecksum]] state dir, `None` when no fold has
+    * committed yet — a missing dir AND an existing-but-empty dir (a
+    * crashed FIRST write leaves `stateDir` with only `_temporary/`,
+    * the hazard the drift monitor documents). ONLY the two no-state
+    * error conditions map to None; any other analysis error (e.g.
+    * schema drift in an old state dir) propagates — mapping it to None
+    * would silently restart the cumulative fold from the current batch
+    * and corrupt the manifest with no error anywhere. */
+  private def readNewestState(spark: SparkSession, stateDir: String,
+      beforeBatch: Option[Long]): Option[DataFrame] = {
+    val st =
+      try {
+        val full = spark.read.parquet(stateDir)
+        beforeBatch.fold(full)(b => full.where(col("batch_id") < b))
+      } catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getCondition == "PATH_NOT_FOUND" ||
+              e.getCondition == "UNABLE_TO_INFER_SCHEMA" =>
+          return None
+      }
+    // partition-column type inference reads batch_id back as INT —
+    // cast before the driver-side getLong
+    val mb = st.agg(max(col("batch_id").cast("long"))).head()
+    if (mb.isNullAt(0)) None
+    else Some(st.where(col("batch_id").cast("long") === mb.getLong(0))
+      .select(col("source"), col("n_docs"), col("hash_sum"),
+        col("total_chars")))
+  }
+
   /** The newest cumulative manifest from a [[startChecksum]] state dir,
     * in [[graft.operators.Corpus.checksum]]'s hash-robust two-BIGINT
     * surface (minus the batch-only `n_unique`). A state dir that does
-    * not exist yet, or holds no committed fold (stream started but no
-    * batch landed), yields an EMPTY manifest frame — the "no manifest
-    * yet" signal — instead of an AnalysisException/NPE. */
-  def checksumManifest(spark: SparkSession, stateDir: String): DataFrame = {
-    val st =
-      try spark.read.parquet(stateDir)
-      catch {
-        case e: org.apache.spark.sql.AnalysisException
-            if e.getMessage.contains("PATH_NOT_FOUND") ||
-              e.getMessage.contains("Path does not exist") =>
-          return graft.operators.Corpus.checksumSurface(
-            spark.emptyDataFrame
-              .select(lit("").as("source"), lit(0L).as("n_docs"),
-                lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)").as("hash_sum"),
-                lit(0L).as("total_chars"))
-              .limit(0))
-      }
-    val mbRow = st.agg(max(col("batch_id").cast("long"))).head()
-    if (mbRow.isNullAt(0)) {
-      graft.operators.Corpus.checksumSurface(
-        st.select(col("source"), col("n_docs"), col("hash_sum"),
-          col("total_chars")).limit(0))
-    } else {
-      val mb = mbRow.getLong(0)
-      graft.operators.Corpus.checksumSurface(
-        st.where(col("batch_id").cast("long") === mb)
-          .select(col("source"), col("n_docs"), col("hash_sum"),
-            col("total_chars")))
-    }
-  }
+    * not exist, or holds no committed fold (stream started but no batch
+    * landed, or a crashed first write), yields an EMPTY manifest frame —
+    * the "no manifest yet" signal — instead of an AnalysisException/NPE. */
+  def checksumManifest(spark: SparkSession, stateDir: String): DataFrame =
+    graft.operators.Corpus.checksumSurface(
+      readNewestState(spark, stateDir, beforeBatch = None).getOrElse(
+        spark.emptyDataFrame
+          .select(lit("").as("source"), lit(0L).as("n_docs"),
+            lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)").as("hash_sum"),
+            lit(0L).as("total_chars"))))
 }

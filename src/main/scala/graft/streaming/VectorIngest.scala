@@ -23,8 +23,12 @@ import org.apache.spark.sql.types._
   */
 object VectorIngest {
 
-  /** Record stream schema: the canonical record frame. */
-  def recordSchema(dim: Int): StructType = StructType(Seq(
+  /** Record stream schema: the canonical record frame. Width-independent
+    * on purpose — a parquet schema cannot constrain array length, so
+    * vector width is enforced at exactly ONE point, the
+    * `Metric.validRecord` gate in [[validateAndAssign]] (a `dim`
+    * parameter here would misleadingly imply read-time enforcement). */
+  val recordSchema: StructType = StructType(Seq(
     StructField("id", LongType, nullable = false),
     StructField("embedding", ArrayType(FloatType, containsNull = false), nullable = false),
     StructField("metadata", MapType(StringType, StringType), nullable = true)))
@@ -47,7 +51,7 @@ object VectorIngest {
   /** Open a directory of record parquet files as a stream. */
   def readRecords(spark: SparkSession, dir: String, dim: Int, glob: String = "*.parquet"): DataFrame =
     spark.readStream
-      .schema(recordSchema(dim))
+      .schema(recordSchema)
       .option("pathGlobFilter", glob)
       .parquet(dir)
 

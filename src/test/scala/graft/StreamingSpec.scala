@@ -675,6 +675,13 @@ class StreamingSpec extends SparkSpec {
     assert(noState.columns.toSeq ===
       Seq("source", "n_docs", "checksum_hi", "checksum_lo", "total_chars"))
     assert(noState.count() === 0L)
+    // the crashed-FIRST-write shape: stateDir exists but holds no
+    // committed parquet (only write-attempt debris) — same signal
+    val crashed = s"$root/crashed_state"
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$crashed/_temporary"))
+    val crashedManifest = DocIngest.checksumManifest(spark, crashed)
+    assert(crashedManifest.count() === 0L)
   }
 
   test("streaming DSIR gate admits exactly the batch-filtered set, stateless across restarts") {
