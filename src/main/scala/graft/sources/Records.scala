@@ -80,7 +80,13 @@ object Records {
     * contract as [[fromJsonl]]: declared schema (never inferred),
     * PERMISSIVE parse, and a quarantine lane for malformed rows — one
     * poison line in a 100 TB feed must neither fail the job nor vanish.
-    * Returns `(good, quarantined)`; `good` is the documents frame. */
+    * Returns `(good, quarantined)`; `good` is the documents frame.
+    *
+    * ⚠ `multiLine=true` (required for RFC-4180 embedded newlines) makes
+    * each CSV FILE unsplittable — one task reads the whole file. Fine
+    * for many-file feeds; a corpus delivered as a few huge CSVs should
+    * be split upstream or declared newline-free and read with
+    * multiLine=false. */
   def fromCsv(spark: SparkSession, path: String): (DataFrame, DataFrame) =
     splitCsvValidated(spark.read
       .schema(csvSchema)
@@ -128,9 +134,13 @@ object Records {
     // domain holds downstream (adversarial-data finding, r8)
     val ok = coalesce(col("_corrupt").isNull && col("id").isNotNull &&
       graft.types.Metric.validRecord(col("embedding"), dim), lit(false))
+    // absent metadata defaults to the EMPTY map, matching the reference's
+    // always-present metadata field (`src/types/record.rs:110-114`) and
+    // keeping the typed Dataset[Record] view null-safe (the old
+    // coalesce-with-null was an identity no-op)
     val good = raw.where(ok).select(col("id"), col("embedding"),
       coalesce(col("metadata"),
-        lit(null).cast("map<string,string>")).as("metadata"))
+        typedLit(Map.empty[String, String])).as("metadata"))
     val bad = raw.where(!ok)
       .select(coalesce(col("_corrupt"), to_json(struct(col("id"),
         col("embedding"), col("metadata")))).as("raw_line"))
@@ -153,29 +163,81 @@ object Records {
     fromEmbeddings(spark, sfDir).as[Record]
   }
 
-  /** Snapshot sink (O17): atomic overwrite via Parquet commit protocol.
-    * ⚠ EAGER — a write action, not a plan: the snapshot executes `df` and
-    * hits disk before this returns (the reference's `Snapshot` RPC is the
-    * same blocking call, `src/cores/database.rs:215-225`). */
-  def snapshot(df: DataFrame, path: String): Unit =
-    df.write.mode("overwrite").parquet(path)
+  // ---------- staged overwrite: the snapshot durability protocol ----------
+  //
+  // A plain `mode("overwrite")` DELETES the existing directory before the
+  // write job runs, so a mid-job crash destroys the previous good
+  // snapshot — the opposite of the reference's write-then-atomic-rename
+  // (`src/cores/database.rs:215-225`). The staged protocol writes the
+  // COMPLETE new snapshot beside the store first, so the old data is only
+  // deleted once its replacement is fully committed:
+  //   crash during the stage write  → old snapshot untouched;
+  //   crash between delete & rename → the committed stage survives, and
+  //                                    the open paths finish the rename
+  //                                    (self-heal) on next read.
+  // Single-writer, like the reference's RwLock'd store.
 
-  /** Snapshot source (O18). */
-  def open(spark: SparkSession, path: String): DataFrame =
+  private val StageSuffix = ".__stage"
+
+  private def fsOf(spark: SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def publishStage(spark: SparkSession, path: String): Unit = {
+    val fs = fsOf(spark, path)
+    val dest = new org.apache.hadoop.fs.Path(path)
+    val stage = new org.apache.hadoop.fs.Path(path + StageSuffix)
+    fs.delete(dest, true) // the stage is complete and committed
+    require(fs.rename(stage, dest), s"rename $stage -> $dest failed")
+  }
+
+  /** Finish a crashed publish: a missing final dir beside a committed
+    * stage can only be the delete→rename window. */
+  private def healStage(spark: SparkSession, path: String): Unit = {
+    val fs = fsOf(spark, path)
+    val dest = new org.apache.hadoop.fs.Path(path)
+    val stage = new org.apache.hadoop.fs.Path(path + StageSuffix)
+    if (!fs.exists(dest) && fs.exists(stage))
+      require(fs.rename(stage, dest), s"heal rename $stage -> $dest failed")
+  }
+
+  /** Snapshot sink (O17): staged overwrite (see above) — a crash never
+    * destroys the previous snapshot. ⚠ EAGER — a write action, not a
+    * plan: the snapshot executes `df` and hits disk before this returns
+    * (the reference's `Snapshot` RPC is the same blocking call,
+    * `src/cores/database.rs:215-225`). */
+  def snapshot(df: DataFrame, path: String): Unit = {
+    fsOf(df.sparkSession, path)
+      .delete(new org.apache.hadoop.fs.Path(path + StageSuffix), true)
+    df.write.mode("overwrite").parquet(path + StageSuffix)
+    publishStage(df.sparkSession, path)
+  }
+
+  /** Snapshot source (O18); self-heals a crashed publish. */
+  def open(spark: SparkSession, path: String): DataFrame = {
+    healStage(spark, path)
     spark.read.parquet(path)
+  }
 
   /** ORC twin of [[snapshot]]/[[open]] — the interop tier of O17/O18 for
-    * warehouses that standardize on ORC (Hive/Trino): same eager atomic-
-    * overwrite commit protocol, same schema; `array<float>` embeddings
-    * and `map<string,string>` metadata round-trip natively, and the id
+    * warehouses that standardize on ORC (Hive/Trino): same staged
+    * overwrite protocol, same schema; `array<float>` embeddings and
+    * `map<string,string>` metadata round-trip natively, and the id
     * predicate pushes into ORC row-group min/max stats exactly as it
     * does for parquet. Parquet stays the default store format. */
-  def snapshotOrc(df: DataFrame, path: String): Unit =
-    df.write.mode("overwrite").orc(path)
+  def snapshotOrc(df: DataFrame, path: String): Unit = {
+    fsOf(df.sparkSession, path)
+      .delete(new org.apache.hadoop.fs.Path(path + StageSuffix), true)
+    df.write.mode("overwrite").orc(path + StageSuffix)
+    publishStage(df.sparkSession, path)
+  }
 
-  /** ORC snapshot source — see [[snapshotOrc]]. */
-  def openOrc(spark: SparkSession, path: String): DataFrame =
+  /** ORC snapshot source — see [[snapshotOrc]]; self-heals a crashed
+    * publish. */
+  def openOrc(spark: SparkSession, path: String): DataFrame = {
+    healStage(spark, path)
     spark.read.orc(path)
+  }
 
   // ---------- id-bucketed layout: the point-lookup store ----------
   //
@@ -195,30 +257,65 @@ object Records {
     * id-sorted within. The bucket count is recorded in a `_graft_layout`
     * descriptor (underscore-prefixed: invisible to the data reads), so
     * readers need no out-of-band knowledge. Each bucket is written by
-    * exactly one task → exactly one file per bucket. */
+    * exactly one task → exactly one file per bucket.
+    *
+    * Staged like [[snapshot]] — data and descriptor land in ONE staging
+    * directory published by a single rename, which also makes the
+    * partitioned write immune to a session-level
+    * `partitionOverwriteMode=dynamic` (a dynamic overwrite onto a
+    * previous snapshot with more buckets would keep the stale extra
+    * bucket directories and resurrect their rows; the stage is always
+    * fresh). The sort lists `id_bucket` FIRST: the partitioned writer
+    * requires its ordering to start with the partition column and would
+    * otherwise insert its own sort by `id_bucket` alone, destroying the
+    * within-bucket id order the row-group pruning contract needs. */
   def snapshotById(df: DataFrame, path: String, buckets: Int = 256): Unit = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
+    val stage = path + StageSuffix
+    fsOf(df.sparkSession, path).delete(new org.apache.hadoop.fs.Path(stage), true)
     df.withColumn("id_bucket", pmod(col("id"), lit(buckets.toLong)).cast("int"))
       .repartition(col("id_bucket"))
-      .sortWithinPartitions(col("id"))
-      .write.mode("overwrite").partitionBy("id_bucket").parquet(path)
+      .sortWithinPartitions(col("id_bucket"), col("id"))
+      .write.mode("overwrite").partitionBy("id_bucket").parquet(stage)
     df.sparkSession.range(1).select(lit(buckets).as("buckets"))
-      .write.mode("overwrite").parquet(layoutPath(path))
+      .write.mode("overwrite").parquet(layoutPath(stage))
+    publishStage(df.sparkSession, path)
   }
 
   /** Open a [[snapshotById]] store as the canonical record frame (the
     * physical `id_bucket` column is dropped; use [[getById]] for pruned
     * point lookups). */
-  def openById(spark: SparkSession, path: String): DataFrame =
+  def openById(spark: SparkSession, path: String): DataFrame = {
+    healStage(spark, path)
     spark.read.parquet(path).drop("id_bucket")
+  }
+
+  /** Layout-descriptor memo: the bucket count is immutable per PUBLISHED
+    * store version, but the same path can be re-snapshotted with a
+    * different count — so the cache key includes the descriptor dir's
+    * modification time (one cheap namenode stat per lookup instead of a
+    * full Spark read job, the difference between the advertised O(1)
+    * hashmap-get analog and a 2-job point lookup). */
+  private val layoutCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), Int]()
+
+  private def bucketsOf(spark: SparkSession, path: String): Int = {
+    val lp = new org.apache.hadoop.fs.Path(layoutPath(path))
+    val mod = fsOf(spark, path).getFileStatus(lp).getModificationTime
+    layoutCache.keySet.removeIf(k => k._1 == path && k._2 != mod) // superseded versions
+    layoutCache.computeIfAbsent((path, mod), _ =>
+      spark.read.parquet(layoutPath(path)).head().getAs[Int]("buckets"))
+  }
 
   /** Pruned point lookup (O7) over a [[snapshotById]] store: reads the
-    * bucket count from the layout descriptor and constrains BOTH the
-    * partition column (one directory survives planning) and the id (one
-    * row group survives the parquet stats). Plan shape pinned in
-    * PlanShapeSpec: the scan reads exactly one file. */
+    * bucket count from the layout descriptor (memoized per published
+    * version) and constrains BOTH the partition column (one directory
+    * survives planning) and the id (one row group survives the parquet
+    * stats). Plan shape pinned in PlanShapeSpec: the scan reads exactly
+    * one file. */
   def getById(spark: SparkSession, path: String, id: Long): DataFrame = {
-    val buckets = spark.read.parquet(layoutPath(path)).head().getAs[Int]("buckets")
+    healStage(spark, path)
+    val buckets = bucketsOf(spark, path)
     spark.read.parquet(path)
       .where(col("id_bucket") === lit(java.lang.Math.floorMod(id, buckets.toLong)).cast("int")
         && col("id") === lit(id))
@@ -293,18 +390,46 @@ object Records {
     * versions, and time travel ([[graft.operators.Crud.snapshotAt]])
     * into a vacuumed version correctly fails rather than silently
     * reading partial data — the trade every retention policy makes. */
+  /** THE definition of "which directories are versions" — shared by
+    * [[vacuumVersions]], [[restoreVersion]], and the streaming restart
+    * recovery ([[graft.streaming.VectorIngest]]), so the lifecycle tools
+    * can never disagree about what exists. Sorted ascending. */
+  private[graft] def listVersions(fs: org.apache.hadoop.fs.FileSystem,
+      base: String): Seq[Int] = {
+    val p = new org.apache.hadoop.fs.Path(base)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).filter(_.isDirectory)
+      .map(_.getPath.getName).filter(_.matches("v\\d+"))
+      .map(_.drop(1).toInt).sorted.toSeq
+  }
+
   def vacuumVersions(spark: SparkSession, base: String, keepLast: Int): Seq[Int] = {
     require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
     val p = new org.apache.hadoop.fs.Path(base)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return Seq.empty
-    val versions = fs.listStatus(p).filter(_.isDirectory)
-      .map(_.getPath.getName).filter(_.matches("v\\d+"))
-      .map(_.drop(1).toInt).sorted.toSeq
+    val versions = listVersions(fs, base)
     val doomed = versions.dropRight(keepLast)
     doomed.foreach { v =>
       fs.delete(new org.apache.hadoop.fs.Path(s"$base/v$v"), true)
       fs.delete(new org.apache.hadoop.fs.Path(s"$base/centroids_v$v"), true)
+    }
+    // Sweep staging debris from crashed restoreVersion attempts: a
+    // `.vN.tmp` whose N is not past every published version can never be
+    // published (restoreVersion always targets max+1), so it is a
+    // full-size orphaned copy the v\d+ listing would otherwise preserve
+    // forever. An in-flight restore (N = max+1) is left alone.
+    if (versions.nonEmpty) {
+      val maxV = versions.max
+      fs.listStatus(p).map(_.getPath.getName)
+        .flatMap { n =>
+          "^\\.(?:centroids_)?v(\\d+)\\.tmp$".r.findFirstMatchIn(n)
+            .map(m => (n, m.group(1).toInt))
+        }
+        .filter(_._2 <= maxV)
+        .foreach { case (n, _) =>
+          fs.delete(new org.apache.hadoop.fs.Path(s"$base/$n"), true)
+        }
     }
     doomed
   }
@@ -328,10 +453,7 @@ object Records {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(new org.apache.hadoop.fs.Path(s"$base/v$v")),
       s"version v$v does not exist under $base")
-    val versions = fs.listStatus(p).filter(_.isDirectory)
-      .map(_.getPath.getName).filter(_.matches("v\\d+"))
-      .map(_.drop(1).toInt)
-    val next = versions.max + 1
+    val next = listVersions(fs, base).max + 1
     val tmp = new org.apache.hadoop.fs.Path(s"$base/.v$next.tmp")
     fs.delete(tmp, true) // stale staging from an earlier crash
     spark.read.parquet(s"$base/v$v")

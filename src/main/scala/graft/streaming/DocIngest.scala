@@ -328,15 +328,20 @@ object DocIngest {
       .writeStream
       .option("checkpointLocation", checkpointPath)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val (good, bad) = graft.sources.Records.splitCsvValidated(batch)
-        good.withColumn("batch_id", lit(batchId))
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("batch_id").parquet(goodPath)
-        bad.withColumn("batch_id", lit(batchId))
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("batch_id").parquet(quarantinePath)
+        // persist once: both lanes filter the same parsed frame, and CSV
+        // with multiLine re-parses whole files per action otherwise
+        val parsed = batch.persist()
+        try {
+          val (good, bad) = graft.sources.Records.splitCsvValidated(parsed)
+          good.withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id").parquet(goodPath)
+          bad.withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id").parquet(quarantinePath)
+        } finally parsed.unpersist()
       }
       .trigger(Trigger.AvailableNow())
       .start()

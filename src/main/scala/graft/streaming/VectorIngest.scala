@@ -128,15 +128,20 @@ object VectorIngest {
       .writeStream
       .option("checkpointLocation", checkpointPath)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val (good, bad) = graft.sources.Records.splitValidated(batch, dim)
-        good.withColumn("batch_id", lit(batchId))
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("batch_id").parquet(goodPath)
-        bad.withColumn("batch_id", lit(batchId))
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("batch_id").parquet(quarantinePath)
+        // both lanes filter the SAME parsed frame — persist it once so
+        // the dual-sink write parses each source file once, not twice
+        val parsed = batch.persist()
+        try {
+          val (good, bad) = graft.sources.Records.splitValidated(parsed, dim)
+          good.withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id").parquet(goodPath)
+          bad.withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id").parquet(quarantinePath)
+        } finally parsed.unpersist()
       }
       .trigger(Trigger.AvailableNow())
       .start()
@@ -311,10 +316,8 @@ final class MaintainedIngest private[streaming] (
   locally {
     val p = new org.apache.hadoop.fs.Path(storeBase)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val versions =
-      if (!fs.exists(p)) Array.empty[Int]
-      else fs.listStatus(p).filter(_.isDirectory).map(_.getPath.getName)
-        .filter(_.matches("v\\d+")).map(_.drop(1).toInt)
+    // ONE version-listing definition across the lifecycle tools
+    val versions = graft.sources.Records.listVersions(fs, storeBase)
     if (versions.nonEmpty) {
       vers = versions.max
       if (fs.exists(new org.apache.hadoop.fs.Path(centroidsPath(vers))))

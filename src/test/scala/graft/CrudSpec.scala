@@ -319,6 +319,71 @@ class CrudSpec extends SparkSpec {
     assert(a.toSeq === b.toSeq)
   }
 
+  test("staged snapshot: old data survives a crashed write; a crashed publish self-heals") {
+    val dir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "snap_staged").toString + "/store"
+    Records.snapshot(mkRecords(10), dir)
+    // no stage directory survives a successful publish
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir + ".__stage")))
+    // crash window: delete happened, rename didn't — the committed stage
+    // exists beside a missing final dir; open() finishes the rename
+    assert(fs.rename(new org.apache.hadoop.fs.Path(dir),
+      new org.apache.hadoop.fs.Path(dir + ".__stage")))
+    assert(Records.open(spark, dir).count() === 10L)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(dir)) &&
+      !fs.exists(new org.apache.hadoop.fs.Path(dir + ".__stage")))
+  }
+
+  test("snapshotById: fresh staged publish under dynamic overwrite mode, ids sorted per bucket") {
+    val dir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "snap_dyn").toString + "/store"
+    val old = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      Records.snapshotById(mkRecords(40), dir, buckets = 8)
+      // re-snapshot the SAME path with fewer rows and fewer buckets: a
+      // dynamic in-place overwrite would keep buckets 2..7's old rows
+      Records.snapshotById(mkRecords(6), dir, buckets = 2)
+      assert(Records.openById(spark, dir).count() === 6L)
+      assert(Records.getById(spark, dir, 5L).count() === 1L)
+      assert(Records.getById(spark, dir, 25L).count() === 0L, "resurrected row")
+    } finally old match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    // within-bucket id order (the row-group pruning contract): each
+    // bucket's single file holds its ids ascending
+    val big = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "snap_sorted").toString + "/store"
+    Records.snapshotById(mkRecords(300), big, buckets = 4)
+    (0 until 4).foreach { b =>
+      val ids = spark.read.parquet(s"$big/id_bucket=$b").select("id")
+        .as[Long].collect()
+      assert(ids.toSeq === ids.sorted.toSeq, s"bucket $b ids out of order")
+    }
+  }
+
+  test("vacuumVersions sweeps orphaned restore staging, spares the in-flight one") {
+    val base = java.nio.file.Files.createTempDirectory("graft_vacuum_tmp").toString
+    (0 to 3).foreach { v =>
+      Seq((v.toLong, s"v$v")).toDF("id", "tag")
+        .write.mode("overwrite").parquet(s"$base/v$v")
+    }
+    // debris from a crashed restoreVersion (1 <= max): unreachable forever
+    Seq((9L, "junk")).toDF("id", "tag").write.parquet(s"$base/.v1.tmp")
+    // an IN-FLIGHT restore targets max+1 = 4: must be left alone
+    Seq((9L, "inflight")).toDF("id", "tag").write.parquet(s"$base/.v4.tmp")
+    Records.vacuumVersions(spark, base, keepLast = 4)
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$base/.v1.tmp")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$base/.v4.tmp")))
+    (0 to 3).foreach(v =>
+      assert(fs.exists(new org.apache.hadoop.fs.Path(s"$base/v$v"))))
+  }
+
   test("ORC snapshot twin round-trips the record frame and pushes the id predicate") {
     val dir = java.nio.file.Files.createTempDirectory(
       java.nio.file.Paths.get("/root/repo/target"), "snap_orc").toString
