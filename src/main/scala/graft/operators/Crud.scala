@@ -28,9 +28,14 @@ object Crud {
     records.unionByName(
       newRows.where(graft.types.Metric.validDimension(col("embedding"), dim)))
 
-  /** The rejected complement of [[insertValidated]]. */
+  /** The rejected complement of [[insertValidated]]. Null-safe negation:
+    * a NULL embedding makes the validity predicate NULL, and a plain
+    * `!pred` would drop the row from BOTH complements — the accepted ∪
+    * rejected = batch contract must hold for hostile rows too. */
   def invalidDim(newRows: DataFrame, dim: Int): DataFrame =
-    newRows.where(!graft.types.Metric.validDimension(col("embedding"), dim))
+    newRows.where(
+      !coalesce(graft.types.Metric.validDimension(col("embedding"), dim),
+        lit(false)))
 
   /** Point lookup (O7, reference `src/cores/storage.rs:33-41`). With the
     * table sorted/bucketed by id, Parquet min/max stats prune to one file. */
@@ -45,20 +50,31 @@ object Crud {
   def delete(records: DataFrame, ids: DataFrame): DataFrame =
     records.join(ids, Seq("id"), "left_anti")
 
-  /** Delete by predicate — the set-oriented generalization. */
+  /** Delete by predicate — the set-oriented generalization. Null-safe:
+    * only rows where the predicate is TRUE are deleted. A plain
+    * `where(!pred)` would also delete every row where the predicate is
+    * NULL (e.g. a metadata-key lookup on rows lacking the key). */
   def deleteWhere(records: DataFrame, pred: Column): DataFrame =
-    records.where(!pred)
+    records.where(!coalesce(pred, lit(false)))
 
   /** Metadata update (O14, reference `src/cores/storage.rs:55-70`): the
     * ENTIRE metadata map is replaced (not merged); the vector is immutable
     * by policy (`storage.rs:52-54`). Left join + coalesce; join strategy
     * is left to AQE (see [[delete]] for why there is no broadcast hint). */
   def updateMetadata(records: DataFrame, updates: DataFrame): DataFrame = {
-    val u = updates.withColumnRenamed("metadata", "__new_metadata")
+    // Narrow to (id, metadata): extra columns in the update frame would
+    // duplicate record columns through the join (AMBIGUOUS_REFERENCE
+    // downstream). The match MARKER — not coalesce — decides whether to
+    // replace: coalesce can't distinguish "no update for this id" from
+    // an explicit (id, null) update, which under replace-the-entire-map
+    // semantics must actually null the map out.
+    val u = updates.select(col("id"), col("metadata").as("__new_metadata"))
+      .withColumn("__matched", lit(true))
     records
       .join(u, Seq("id"), "left_outer")
-      .withColumn("metadata", coalesce(col("__new_metadata"), col("metadata")))
-      .drop("__new_metadata")
+      .withColumn("metadata",
+        when(col("__matched"), col("__new_metadata")).otherwise(col("metadata")))
+      .drop("__new_metadata", "__matched")
   }
 
   /** Batch MERGE (upsert + delete): the reference's Insert/Update/Delete
@@ -75,15 +91,21 @@ object Crud {
     * proportional to |records| except the anti-join scan itself. */
   def merge(records: DataFrame, changes: DataFrame,
       opCol: String = "op", seqCol: String = "seq"): DataFrame = {
+    // Only RECOGNIZED ops participate. A malformed log row (NULL or
+    // unknown op) must neither insert its payload nor — the worse
+    // failure — delete the record: unfiltered, its id joins the
+    // touched-id anti-join set while `op =!= 'delete'` (NULL) drops the
+    // row from the union, i.e. a NULL-op row silently acts as a delete.
+    val clean = changes.where(col(opCol).isin("upsert", "delete"))
     val dataCols = changes.columns.filter(c => c != opCol && c != seqCol).toSeq
-    val latest = changes
+    val latest = clean
       .groupBy(col("id"))
       .agg(max_by(struct((dataCols.filter(_ != "id") :+ opCol).map(col): _*),
         col(seqCol)).as("__w"))
       .select((col("id") +: dataCols.filter(_ != "id").map(c => col(s"__w.$c")))
         :+ col(s"__w.$opCol"): _*)
     records
-      .join(changes.select(col("id")).distinct(), Seq("id"), "left_anti")
+      .join(clean.select(col("id")).distinct(), Seq("id"), "left_anti")
       .unionByName(latest.where(col(opCol) =!= "delete").drop(opCol))
   }
 
@@ -118,8 +140,10 @@ object Crud {
     changes
       .withColumn("seq_from", col(seqCol))
       .withColumn("seq_to", lead(col(seqCol), 1).over(w))
+      // null-safe op compare: is_current must be a BOOLEAN for every
+      // row — a NULL op would otherwise make it NULL instead of true
       .withColumn("is_current",
-        col("seq_to").isNull && col(opCol) =!= "delete")
+        col("seq_to").isNull && !(col(opCol) <=> lit("delete")))
       .drop(seqCol)
   }
 

@@ -45,9 +45,24 @@ object EventStream {
     *    against historically;
     *  - TIMESTAMP: already canonical. */
   def normalizeTs(df: DataFrame): DataFrame = df.schema("ts").dataType match {
-    case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // FLOOR division, not `div` (truncation toward zero): a pre-epoch
+    // nano timestamp like -1500 ns must floor to -2 µs, not round up to
+    // -1 µs. For the non-negative common case the two are identical;
+    // pmod keeps the arithmetic exact-integer either way.
+    case LongType =>
+      df.withColumn("ts", timestamp_micros(expr("(ts - pmod(ts, 1000)) div 1000")))
     case TimestampNTZType => df.withColumn("ts", col("ts").cast("timestamp"))
     case _                => df
+  }
+
+  /** Is this footer-probe failure the ONE condition the legacy fallback
+    * exists for — Spark refusing a TIMESTAMP(NANOS) parquet footer? Any
+    * other failure (transient IO, permissions, missing dir) must
+    * propagate: swallowing it would silently pick the legacy int64
+    * decode for a current-layout file and corrupt every timestamp 1000×. */
+  private def isNanosFooterRefusal(e: Throwable): Boolean = {
+    val m = Option(e.getMessage).getOrElse("")
+    m.contains("NANOS") || m.contains("Illegal Parquet type")
   }
 
   /** Batch read of `dir/events.parquet` with canonical TIMESTAMP `ts`.
@@ -58,7 +73,10 @@ object EventStream {
     val path = s"$dir/events.parquet"
     val df =
       try spark.read.parquet(path)
-      catch { case _: Exception => spark.read.schema(rawSchema).parquet(path) }
+      catch {
+        case e: Exception if isNanosFooterRefusal(e) =>
+          spark.read.schema(rawSchema).parquet(path)
+      }
     normalizeTs(df)
   }
 
@@ -98,7 +116,17 @@ object EventStream {
     * supported in append mode; batch runs the same plan as a plain
     * distinct + groupBy (stream==batch pinned in StreamingSpec on the
     * emitted, watermark-closed days). */
-  def dailyActiveUsers(events: DataFrame, watermark: String = "1 day"): DataFrame =
+  def dailyActiveUsers(events: DataFrame, watermark: String = "1 day"): DataFrame = {
+    // The dedup key is (user, DAY): a watermark horizon shorter than a
+    // day would evict a user's state row mid-day, and their next
+    // (non-late) event would pass dedup again — silent double-counting.
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.safeStringToInterval(
+      org.apache.spark.unsafe.types.UTF8String.fromString(watermark))
+    require(iv != null &&
+      (iv.months > 0 || iv.days >= 1 || iv.microseconds >= 86400000000L),
+      s"dailyActiveUsers watermark '$watermark' is shorter than the 1-day " +
+        "dedup key granularity — the (user, day) state would expire " +
+        "mid-day and users would be double-counted")
     events
       .withWatermark("ts", watermark)
       .withColumn("day", date_trunc("day", col("ts")))
@@ -106,6 +134,7 @@ object EventStream {
       .groupBy(window(col("ts"), "1 day"))
       .agg(count(lit(1)).as("dau"))
       .select(col("window.start").as("day"), col("dau"))
+  }
 
   /** [[dailyActiveUsers]] to a memory sink (append: only watermark-closed
     * days emit). */
@@ -128,7 +157,7 @@ object EventStream {
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     val schema =
       try spark.read.parquet(s"$dir/events.parquet").schema
-      catch { case _: Exception => rawSchema }
+      catch { case e: Exception if isNanosFooterRefusal(e) => rawSchema }
     normalizeTs(
       spark.readStream
         .schema(schema)
@@ -283,6 +312,11 @@ object EventStream {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val typed = events
+      // non-stage events are ignored by the fold — filter them BEFORE
+      // the shuffle so state rows exist only for funnel PARTICIPANTS:
+      // unfiltered, every user ever seen (heartbeats included) would
+      // cost a shuffled row and a TTL-held state entry
+      .where(col("event_type").isin(stages: _*))
       .withWatermark("ts", watermark)
       .select(col("user_id").cast("long").as("user_id"), col("ts"),
         unix_micros(col("ts")).as("ts_us"), col("event_type"))

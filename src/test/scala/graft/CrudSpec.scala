@@ -26,6 +26,53 @@ class CrudSpec extends SparkSpec {
     assert(rejected.toSeq === Seq(101L))
   }
 
+  test("null conventions: hostile rows never silently lose data across the CRUD surface") {
+    // (a) accepted ∪ rejected = batch, even for a NULL embedding (the
+    // validity predicate is NULL: a plain !pred drops it from BOTH)
+    val batch = Seq(
+      (100L, Some(Seq(1f, 2f)), Map("k" -> "ok")),
+      (101L, None: Option[Seq[Float]], Map("k" -> "nullvec")))
+      .toDF("id", "embedding", "metadata")
+    assert(Crud.insertValidated(mkRecords(2), batch, dim = 2).count() === 3)
+    assert(Crud.invalidDim(batch, dim = 2).select("id").as[Long].collect().toSeq
+      === Seq(101L))
+    // (b) deleteWhere deletes only rows where the predicate is TRUE — a
+    // metadata-key lookup is NULL on rows lacking the key, which must
+    // NOT delete them
+    val store = Seq(
+      (0L, Seq(1f), Map("flag" -> "x")),
+      (1L, Seq(2f), Map("other" -> "y"))).toDF("id", "embedding", "metadata")
+    val kept = Crud.deleteWhere(store, col("metadata")("flag") === "x")
+      .select("id").as[Long].collect()
+    assert(kept.toSeq === Seq(1L))
+    // (c) merge ignores a malformed (NULL-op) change row entirely: it
+    // must neither insert its payload nor act as a delete of the record
+    val changes = Seq(
+      (0L, Option.empty[String], 5L, Seq(9f), Map("k" -> "junk")),
+      (1L, Some("upsert"), 6L, Seq(7f), Map("k" -> "new")))
+      .toDF("id", "op", "seq", "embedding", "metadata")
+    val merged = Crud.merge(mkRecords(2), changes)
+    assert(merged.count() === 2)
+    assert(merged.where(col("id") === 0L).select(col("metadata")("k"))
+      .as[String].head() === "v0", "NULL-op row must not touch the record")
+    assert(merged.where(col("id") === 1L).select(col("metadata")("k"))
+      .as[String].head() === "new")
+    // (d) history keeps is_current BOOLEAN for a NULL-op last row
+    val hist = Crud.history(changes)
+    assert(hist.where(col("is_current").isNull).count() === 0)
+    // (e) updateMetadata: an explicit (id, null) update REPLACES the map
+    // with null (not a silent no-op), and extra update columns don't
+    // collide with record columns
+    val upd = Seq((0L, Option.empty[Map[String, String]]))
+      .toDF("id", "metadata")
+      .withColumn("embedding", typedLit(Seq(42f))) // extra col must be ignored
+    val updated = Crud.updateMetadata(mkRecords(2), upd)
+    assert(updated.where(col("id") === 0L).select("metadata")
+      .as[Option[Map[String, String]]].head().isEmpty)
+    assert(updated.where(col("id") === 1L).select(col("metadata")("k"))
+      .as[String].head() === "v1")
+  }
+
   test("typed Dataset[Record] facade matches the DataFrame record frame") {
     val dir = "/root/testdata/sf0.001"
     val ds = Records.typed(spark, dir)

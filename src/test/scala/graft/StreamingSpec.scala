@@ -51,6 +51,15 @@ class StreamingSpec extends SparkSpec {
     }
     // no day emitted twice (exactly-once per closed window)
     assert(streamed.map(_._1).distinct.length === streamed.length)
+
+    // a watermark shorter than the 1-day dedup key granularity would
+    // evict (user, day) state mid-day and double-count — rejected loudly
+    val events = EventStream.loadEvents(spark, sf0001)
+    intercept[IllegalArgumentException](
+      EventStream.dailyActiveUsers(events, watermark = "1 hour"))
+    // at-or-above the granularity is accepted, in any interval spelling
+    EventStream.dailyActiveUsers(events, watermark = "25 hours")
+    EventStream.dailyActiveUsers(events, watermark = "2 days")
   }
 
   test("streaming sessionization (session_window) equals the batch result") {
