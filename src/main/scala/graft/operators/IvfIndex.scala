@@ -151,6 +151,10 @@ object IvfIndex {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
 
+    // density=0 would silently yield k=kMax (n/0.0 → ∞ → Int.MaxValue →
+    // min kMax): a 65536-cluster fit over a possibly tiny sample, with
+    // no error. Fail fast like every sibling knob (k, maxWay, prefixDim).
+    require(density > 0, s"density must be positive, got $density")
     val n = records.count()
     val k = math.max(1, math.min(kMax, math.ceil(n.toDouble / density).toInt))
     val distanceMeasure = metric match {
@@ -160,12 +164,34 @@ object IvfIndex {
     // Deterministic sample: keep rows by content hash of the id, not by
     // Spark's partition-seeded sample(), so the fit set is identical for
     // any partitioning of the input.
-    val fitRows =
+    val sampled =
       if (n <= maxFitRows) records
       else {
         val keep = math.max(1L, (maxFitRows * 1000000L) / n)
         records.where(pmod(xxhash64(col("id"), lit(seed)), lit(1000000L)) < lit(keep))
       }
+    // Hostile rows every SERVING path tolerates via null-safe kernels
+    // would KILL the MLlib fit: a null embedding or a ragged dimension
+    // crashes the featurizer, a non-finite component poisons centroids,
+    // and CosineDistanceMeasure rejects zero-norm vectors outright. Fit
+    // on clean rows only — the sample's dominant dimension, finite
+    // components, and (under cosine) nonzero norm; the FULL table is
+    // still assigned row by row through the null-safe kernels. The
+    // dim-mode pass runs over the bounded fit sample, not the table.
+    val dimRow = sampled.where(col("embedding").isNotNull)
+      .groupBy(size(col("embedding")).as("__d")).agg(count(lit(1)).as("__c"))
+      .orderBy(col("__c").desc, col("__d").asc)
+      .limit(1).collect()
+    require(dimRow.nonEmpty, "cannot build an index: no non-null embeddings in the fit sample")
+    val fitDim = dimRow(0).getInt(0)
+    val finite = sampled.where(
+      col("embedding").isNotNull && size(col("embedding")) === lit(fitDim) &&
+        forall(col("embedding"), e =>
+          e.isNotNull && !isnan(e) && abs(e) <= lit(Float.MaxValue)))
+    val fitRows = metric match {
+      case Metric.Cosine => finite.where(exists(col("embedding"), e => e =!= lit(0.0f)))
+      case _             => finite
+    }
     // Cache the featurized frame: Lloyd's iterates over it many times and
     // MLlib does NOT cache its input — uncached, every iteration re-reads
     // the parquet scan + conversion lineage. Partition count is a PURE
@@ -248,6 +274,38 @@ object IvfIndex {
     }
   }
 
+  /** The probe stage shared by every funnel: rank ALL centroids by
+    * distance to the query (NaN last), keep the nearest `probes`
+    * cluster ids — ONE definition so the probe tiebreak, NaN handling,
+    * and invalid-row exclusion can never diverge across the exact /
+    * prefix / Hamming / ADC serving paths. A NULL centroid distance
+    * (null or wrong-length centroid/query — the kernels return null,
+    * not NaN) is an invalid row, not a near one: unguarded it sorts
+    * FIRST ascending and steals a probe slot from a real cluster, so
+    * it is excluded outright. `keep` selects the columns retained for
+    * the caller (the residual-ADC path also needs centroid and qvec
+    * for its per-cluster LUTs). */
+  private def probedClusters(
+      centroids: DataFrame,
+      query: DataFrame,
+      probes: Int,
+      metric: Metric,
+      keep: Seq[String]): DataFrame =
+    centroids
+      .crossJoin(broadcast(query))
+      .withColumn("__cdist", metric.distance(col("centroid"), col("qvec")))
+      .where(col("__cdist").isNotNull)
+      .orderBy(isnan(col("__cdist")).asc, col("__cdist").asc, col("cluster_id").asc)
+      .limit(probes)
+      .select(keep.map(col): _*)
+
+  private def probedClusters(
+      model: Model,
+      query: DataFrame,
+      probes: Int,
+      metric: Metric): DataFrame =
+    probedClusters(model.centroids, query, probes, metric, Seq("cluster_id"))
+
   /** Probed ANN query (reference `src/cores/index.rs:168-214`):
     * rank ALL centroids by distance to the query — NaN ranks last
     * (`index.rs:269-272`) — visit the nearest `min(probes, n_centroids)`
@@ -256,23 +314,6 @@ object IvfIndex {
     * `probed` is a ≤probes-row frame → broadcast semi-join prunes the big
     * table (partition pruning when `assigned` is disk-partitioned by
     * cluster_id); the exact re-rank inherits Knn's TakeOrderedAndProject. */
-  /** The probe stage shared by every funnel: rank ALL centroids by
-    * distance to the query (NaN last), keep the nearest `probes`
-    * cluster ids — ONE definition so the probe tiebreak and NaN
-    * handling can never diverge across the exact / prefix / Hamming
-    * serving paths. */
-  private def probedClusters(
-      model: Model,
-      query: DataFrame,
-      probes: Int,
-      metric: Metric): DataFrame =
-    model.centroids
-      .crossJoin(broadcast(query))
-      .withColumn("__cdist", metric.distance(col("centroid"), col("qvec")))
-      .orderBy(isnan(col("__cdist")).asc, col("__cdist").asc, col("cluster_id").asc)
-      .limit(probes)
-      .select("cluster_id")
-
   def query(
       model: Model,
       query: DataFrame,
@@ -318,7 +359,15 @@ object IvfIndex {
     * contract as every funnel here: a true neighbor outside the probed
     * clusters or the Hamming shortlist is lost. Deterministic end to
     * end (probe, Hamming, and rerank stages all tiebreak ascending), so
-    * the composition is oracle-checkable. */
+    * the composition is oracle-checkable.
+    *
+    * A store that has already MATERIALIZED the codes (the documented
+    * 100 TB layout: `bcode` written next to `embedding` at index-build
+    * time) serves straight from the stored column; only a store without
+    * one pays the sign-encode kernel per query — otherwise the funnel's
+    * cost model ("only the 8-byte-per-64-dims codes stay hot") would be
+    * negated by re-reading every candidate's full float vector on every
+    * query. */
   def queryHammingRerank(
       model: Model,
       query: DataFrame,
@@ -327,9 +376,11 @@ object IvfIndex {
       shortlist: Int,
       metric: Metric = Metric.Euclidean): DataFrame = {
     val probed = probedClusters(model, query, probes, metric)
-    val candidates = model.assigned
+    val pruned = model.assigned
       .join(broadcast(probed), Seq("cluster_id"), "left_semi")
-      .withColumn("bcode", VectorOps.binaryCodes(col("embedding")))
+    val candidates =
+      if (pruned.columns.contains("bcode")) pruned
+      else pruned.withColumn("bcode", VectorOps.binaryCodes(col("embedding")))
     val q = query.withColumn("qcode", VectorOps.binaryCodes(col("qvec")))
     Knn.searchHammingRerank(candidates, q, k, shortlist, metric)
   }
@@ -357,12 +408,7 @@ object IvfIndex {
       k: Int,
       probes: Int = 32,
       filterIds: Option[DataFrame] = None): DataFrame = {
-    val probed = centroids
-      .crossJoin(broadcast(query))
-      .withColumn("__cdist", Metric.Euclidean.distance(col("centroid"), col("qvec")))
-      .orderBy(isnan(col("__cdist")).asc, col("__cdist").asc, col("cluster_id").asc)
-      .limit(probes)
-      .select("cluster_id")
+    val probed = probedClusters(centroids, query, probes, Metric.Euclidean, Seq("cluster_id"))
     val luts = query.crossJoin(broadcast(books))
       .select(VectorOps.pqLuts(col("qvec"), col("books")).as("luts"))
     val candidates = codeStore
@@ -377,6 +423,11 @@ object IvfIndex {
     admitted
       .crossJoin(broadcast(luts))
       .withColumn("distance", VectorOps.adcDistance(col("codes"), col("luts")))
+      // invalid candidate guard (same as every sibling funnel stage):
+      // null codes / ragged codes / sentinel codes yield distance NULL,
+      // which would sort FIRST ascending and fill the top-k with
+      // garbage; NaN never wins but would fill an underfull heap
+      .where(col("distance").isNotNull && !isnan(col("distance")))
       .orderBy(col("distance").asc, col("id").asc)
       .limit(k)
       .select(col("id"), col("distance"))
@@ -425,12 +476,8 @@ object IvfIndex {
       query: DataFrame,
       k: Int,
       probes: Int = 32): DataFrame = {
-    val probed = centroids
-      .crossJoin(broadcast(query))
-      .withColumn("__cdist", Metric.Euclidean.distance(col("centroid"), col("qvec")))
-      .orderBy(isnan(col("__cdist")).asc, col("__cdist").asc, col("cluster_id").asc)
-      .limit(probes)
-      .select(col("cluster_id"), col("centroid"), col("qvec"))
+    val probed = probedClusters(centroids, query, probes, Metric.Euclidean,
+      Seq("cluster_id", "centroid", "qvec"))
     val cluts = probed.crossJoin(broadcast(books))
       .select(col("cluster_id"),
         VectorOps.pqLuts(
@@ -439,6 +486,8 @@ object IvfIndex {
     codeStore
       .join(broadcast(cluts), Seq("cluster_id"))
       .withColumn("distance", VectorOps.adcDistance(col("codes"), col("luts")))
+      // same invalid-candidate guard as queryAdc: NULL sorts first
+      .where(col("distance").isNotNull && !isnan(col("distance")))
       .orderBy(col("distance").asc, col("id").asc)
       .limit(k)
       .select(col("id"), col("distance"))
@@ -460,13 +509,13 @@ object IvfIndex {
       k: Int,
       probes: Int = 32): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    import graft.functions.TopKPairsAgg.topKPairs
     require(k > 0, "k must be positive")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(isnan(col("__cdist")).asc, col("__cdist").asc, col("cluster_id").asc)
     val probedQ = centroids
       .crossJoin(broadcast(queries))
       .withColumn("__cdist", Metric.Euclidean.distance(col("centroid"), col("qvec")))
+      .where(col("__cdist").isNotNull) // invalid centroid rows never probe
       .withColumn("__rn", row_number().over(w))
       .where(col("__rn") <= lit(probes))
       .select(col("query_id"), col("cluster_id"), col("centroid"), col("qvec"))
@@ -475,19 +524,14 @@ object IvfIndex {
         VectorOps.pqLuts(
           VectorOps.residual(col("qvec"), col("centroid")),
           col("books")).as("luts"))
-    codeStore
+    val candidates = codeStore
       .join(broadcast(cluts), Seq("cluster_id"))
       .withColumn("distance", VectorOps.adcDistance(col("codes"), col("luts")))
+      // NULLs are skipped by the heap, but NaN would fill an underfull
+      // one — same guard as the single-query twin
+      .where(col("distance").isNotNull && !isnan(col("distance")))
       .select(col("query_id"), col("distance"), col("id"))
-      .withColumn("__pid", spark_partition_id())
-      .groupBy(col("query_id"), col("__pid"))
-      .agg(topKPairs(col("distance"), col("id"), k).as("__top"))
-      .select(col("query_id"), explode(col("__top")).as("__r"))
-      .select(col("query_id"), col("__r.distance").as("distance"), col("__r.id").as("id"))
-      .groupBy(col("query_id"))
-      .agg(topKPairs(col("distance"), col("id"), k).as("__top"))
-      .select(col("query_id"), explode(col("__top")).as("__r"))
-      .select(col("query_id"), col("__r.id").as("id"), col("__r.distance").as("distance"))
+    Knn.topKPerQueryPairs(candidates, k)
   }
 
   /** Batch analog of the reference's ADAPTIVE CLUSTER SPLIT (O9/O11,
@@ -522,7 +566,8 @@ object IvfIndex {
       // 3 Lloyd steps: farthest-point seeds separate a 2-means in 1-2
       // steps; extra steps are extra sequential stages in the one
       // checkpoint chain for no measurable balance gain
-      iters: Int = 3): Model =
+      iters: Int = 3): Model = {
+    require(density > 0, s"density must be positive, got $density")
     refineImpl(model, density, metric, iters) match {
       case None => model
       case Some((refined, members)) =>
@@ -532,6 +577,7 @@ object IvfIndex {
         members.unpersist()
         refined
     }
+  }
 
   private def refineImpl(
       model: Model,
@@ -725,13 +771,15 @@ object IvfIndex {
       density: Int,
       metric: Metric = Metric.Euclidean,
       iters: Int = 5,
-      maxWay: Int = DefaultMaxWay): Model =
+      maxWay: Int = DefaultMaxWay): Model = {
+    require(density > 0, s"density must be positive, got $density")
     splitKWayImpl(model, density, metric, iters, maxWay) match {
       case None => model
       case Some((split, members)) =>
         members.unpersist()
         split
     }
+  }
 
   /** [[splitKWay]] for callers that materialize eagerly (the
     * [[buildBalanced]] round loop): the oversized-member cache stays
@@ -947,6 +995,7 @@ object IvfIndex {
     val probedQ = model.centroids
       .crossJoin(broadcast(queries))
       .withColumn("__cdist", cdist)
+      .where(col("__cdist").isNotNull) // invalid centroid rows never probe
       .withColumn("__rn", row_number().over(w))
       .where(col("__rn") <= lit(probes))
       .select(col("query_id"), col("cluster_id"), col("qvec"))
@@ -984,12 +1033,18 @@ object IvfIndex {
     * anti-join scan itself. */
   def applyDiff(model: Model, changes: DataFrame, metric: Metric): Model = {
     import org.apache.spark.sql.functions.col
-    val upserts = changes.where(col("op") === "upsert")
+    // Only RECOGNIZED ops participate — the same guard as Crud.merge:
+    // unfiltered, a NULL/unknown-op row's id joins the anti-join set
+    // while `op === 'upsert'` (NULL) keeps it out of the re-add, i.e. a
+    // malformed log row silently DELETES the record from the index while
+    // the store keeps it — index and store permanently inconsistent.
+    val clean = changes.where(col("op").isin("upsert", "delete"))
+    val upserts = clean.where(col("op") === "upsert")
       .select("id", "embedding", "metadata")
     Model(
       model.centroids,
       model.assigned
-        .join(changes.select("id").distinct(), Seq("id"), "left_anti")
+        .join(clean.select("id").distinct(), Seq("id"), "left_anti")
         .unionByName(assign(upserts, model.centroids, metric)))
   }
 
@@ -1008,14 +1063,17 @@ object IvfIndex {
       books: DataFrame,
       metric: Metric): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col}
+    // same recognized-op guard as applyDiff / Crud.merge: a malformed
+    // log row must neither insert nor silently delete
+    val clean = changes.where(col("op").isin("upsert", "delete"))
     val upserts = assign(
-      changes.where(col("op") === "upsert").select("id", "embedding", "metadata"),
+      clean.where(col("op") === "upsert").select("id", "embedding", "metadata"),
       centroids, metric)
       .crossJoin(broadcast(books))
       .select(col("id"), col("cluster_id"),
         VectorOps.pqCodes(col("embedding"), col("books")).as("codes"))
     codeStore
-      .join(changes.select(col("id")).distinct(), Seq("id"), "left_anti")
+      .join(clean.select(col("id")).distinct(), Seq("id"), "left_anti")
       .unionByName(upserts)
   }
 
@@ -1034,13 +1092,13 @@ object IvfIndex {
       k: Int,
       probes: Int = 32): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    import graft.functions.TopKPairsAgg.topKPairs
     require(k > 0, "k must be positive")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(isnan(col("__cdist")).asc, col("__cdist").asc, col("cluster_id").asc)
     val probedQ = centroids
       .crossJoin(broadcast(queries))
       .withColumn("__cdist", Metric.Euclidean.distance(col("centroid"), col("qvec")))
+      .where(col("__cdist").isNotNull) // invalid centroid rows never probe
       .withColumn("__rn", row_number().over(w))
       .where(col("__rn") <= lit(probes))
       .select(col("query_id"), col("cluster_id"))
@@ -1050,16 +1108,10 @@ object IvfIndex {
       .join(broadcast(probedQ), Seq("cluster_id"))
       .join(broadcast(luts), Seq("query_id"))
       .withColumn("distance", VectorOps.adcDistance(col("codes"), col("luts")))
+      // NULLs are skipped by the heap, but NaN would fill an underfull
+      // one — same guard as the single-query twin
+      .where(col("distance").isNotNull && !isnan(col("distance")))
       .select(col("query_id"), col("distance"), col("id"))
-    candidates
-      .withColumn("__pid", spark_partition_id())
-      .groupBy(col("query_id"), col("__pid"))
-      .agg(topKPairs(col("distance"), col("id"), k).as("__top"))
-      .select(col("query_id"), explode(col("__top")).as("__r"))
-      .select(col("query_id"), col("__r.distance").as("distance"), col("__r.id").as("id"))
-      .groupBy(col("query_id"))
-      .agg(topKPairs(col("distance"), col("id"), k).as("__top"))
-      .select(col("query_id"), explode(col("__top")).as("__r"))
-      .select(col("query_id"), col("__r.id").as("id"), col("__r.distance").as("distance"))
+    Knn.topKPerQueryPairs(candidates, k)
   }
 }

@@ -89,11 +89,11 @@ object Knn {
     records
       .crossJoin(broadcast(query))
       .withColumn("__pd", pre)
-      .where(!isnan(col("__pd")))
+      .where(col("__pd").isNotNull && !isnan(col("__pd")))
       .orderBy(col("__pd").asc, col("id").asc)
       .limit(shortlist)
       .withColumn("distance", metric.distance(col("embedding"), col("qvec")))
-      .where(!isnan(col("distance")))
+      .where(col("distance").isNotNull && !isnan(col("distance")))
       .orderBy(col("distance").asc, col("id").asc)
       .limit(k)
       .select(col("id"), col("metadata"), col("distance"))
@@ -128,7 +128,7 @@ object Knn {
       .orderBy(col("__h").asc, col("id").asc)
       .limit(shortlist)
       .withColumn("distance", metric.distance(col("embedding"), col("qvec")))
-      .where(!isnan(col("distance")))
+      .where(col("distance").isNotNull && !isnan(col("distance")))
       .orderBy(col("distance").asc, col("id").asc)
       .limit(k)
       .select(col("id"), col("metadata"), col("distance"))
@@ -186,7 +186,7 @@ object Knn {
     records
       .crossJoin(broadcast(query))
       .withColumn("__dq", metric.distance(col("embedding"), col("qvec")))
-      .where(!isnan(col("__dq")))
+      .where(col("__dq").isNotNull && !isnan(col("__dq")))
       .orderBy(col("__dq").asc, col("id").asc)
       .limit(shortlist)
       .agg(array_sort(collect_list(struct(
@@ -264,7 +264,7 @@ object Knn {
     a.join(b, Seq("block"))
       .where(col("id") =!= col("cand_id"))
       .withColumn("d", metric.distance(col("embedding"), col("__eb")))
-      .where(!isnan(col("d")))
+      .where(col("d").isNotNull && !isnan(col("d")))
       .select(col("id"), col("cand_id"), col("d"))
   }
 
@@ -292,6 +292,27 @@ object Knn {
       candidates: DataFrame,
       records: DataFrame,
       k: Int): DataFrame = {
+    val flat = topKPerQueryPairs(candidates, k)
+    // k × |queries| rows → broadcast; the big table is streamed map-side.
+    broadcast(flat)
+      .join(records.select(col("id"), col("metadata")), Seq("id"))
+      .select(col("query_id"), col("id"), col("metadata"), col("distance"))
+  }
+
+  /** The bare two-phase reduction of [[topKPerQuery]] — per-query top-k
+    * over a `(query_id, distance, id)` candidate frame WITHOUT the
+    * metadata re-attach, for stores that carry no metadata (the
+    * compressed code stores: [[IvfIndex.queryAdcBatch]],
+    * [[IvfIndex.queryAdcResidualBatch]]). ONE definition of the
+    * partial-heap / merge / explode pipeline so ordering and null
+    * handling can't drift between the exact and ADC batch paths.
+    * Emits `(query_id, id, distance)` — null distances are skipped by
+    * the heap ([[graft.functions.TopKPairsAgg]]); callers drop NaN
+    * before this reduction (NaN never wins, but an underfull heap
+    * would otherwise admit it). */
+  private[operators] def topKPerQueryPairs(
+      candidates: DataFrame,
+      k: Int): DataFrame = {
     import graft.functions.TopKPairsAgg.topKPairs
     val partial = candidates
       .withColumn("__pid", spark_partition_id())
@@ -302,13 +323,9 @@ object Knn {
       .select(col("query_id"), col("__r.distance").as("distance"), col("__r.id").as("id"))
       .groupBy(col("query_id"))
       .agg(topKPairs(col("distance"), col("id"), k).as("__top"))
-    val flat = merged
+    merged
       .select(col("query_id"), explode(col("__top")).as("__r"))
       .select(col("query_id"), col("__r.id").as("id"), col("__r.distance").as("distance"))
-    // k × |queries| rows → broadcast; the big table is streamed map-side.
-    broadcast(flat)
-      .join(records.select(col("id"), col("metadata")), Seq("id"))
-      .select(col("query_id"), col("id"), col("metadata"), col("distance"))
   }
 
   /** Reciprocal-rank fusion of retrieval shortlists (Cormack et al.,

@@ -176,10 +176,21 @@ object VectorOps {
     * m·|book|·dsub encode loop that justified [[pqCodes]]'s native
     * kernel. Equal to `sqEuclidean(q, pqReconstruct(codes, books))` up
     * to floating-point regrouping (per-subspace partial sums); the
-    * equality is asserted to 1e-9 in VectorOpsSpec. */
+    * equality is asserted to 1e-9 in VectorOpsSpec.
+    *
+    * Invalid codes yield NULL, never a crash: [[pqCodes]] emits a −1
+    * sentinel when a subspace can't be encoded (geometry mismatch), and
+    * an externally-written code store can carry out-of-range or null
+    * codes — under ANSI mode (Spark 4 default) a raw `element_at` on
+    * any of those throws and kills the whole scan. The range guard maps
+    * every such sub-distance to NULL, which poisons the fold, so the
+    * record surfaces as `distance = NULL` and the serving paths'
+    * invalid-candidate filters drop it — the same degrade-don't-crash
+    * contract as the float kernels. */
   def adcDistance(codes: Column, luts: Column): Column =
     aggregate(
-      zip_with(luts, codes, (lut, c) => element_at(lut, c + lit(1))),
+      zip_with(luts, codes, (lut, c) =>
+        when(c.isNotNull && c >= lit(0) && c < size(lut), element_at(lut, c + lit(1)))),
       lit(0.0), (acc, x) => acc + x)
 
   /** Trained codebooks — the production path ([[pqPack]] the result):

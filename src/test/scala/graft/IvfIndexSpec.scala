@@ -619,4 +619,141 @@ class IvfIndexSpec extends SparkSpec {
     assert(incr === scratch)
     assert(incr.exists(_._1 == 9002L) && !incr.exists(_._1 % 6 == 1))
   }
+
+  // ---- hostile-input hardening (round-8 adversarial review of the ----
+  // ---- IVF serving/build paths)                                    ----
+
+  test("corrupt code rows degrade, never crash: sentinel / out-of-range / " +
+    "null codes are excluded from ADC serving") {
+    import graft.operators.VectorOps
+    val model = IvfIndex.build(records, density = 64, Metric.Euclidean, seed = 42L)
+    val books = VectorOps.pqPack(VectorOps.pqTrain(records, m = 4, dsub = 4, k = 8))
+    val clean = model.assigned
+      .crossJoin(broadcast(books))
+      .select(col("id"), col("cluster_id"),
+        VectorOps.pqCodes(col("embedding"), col("books")).as("codes"))
+    // an externally-written store can carry the pqCodes -1 sentinel
+    // (geometry mismatch), out-of-range codes, and null code arrays —
+    // under ANSI mode an unguarded element_at would kill the whole scan
+    val corrupt = clean
+      .withColumn("codes",
+        when(col("id") === 11L, array(lit(-1), lit(0), lit(0), lit(0)))
+          .when(col("id") === 13L, array(lit(0), lit(999), lit(0), lit(0)))
+          .when(col("id") === 17L, lit(null).cast("array<int>"))
+          .otherwise(col("codes")))
+    val q = records.where(col("id") === 3).select(col("embedding").as("qvec"))
+    val got = IvfIndex.queryAdc(model.centroids, corrupt, books, q,
+        k = 1000, probes = Int.MaxValue)
+      .as[(Long, Double)].collect().toSeq
+    val want = IvfIndex.queryAdc(model.centroids,
+        clean.where(!col("id").isin(11L, 13L, 17L)), books, q,
+        k = 1000, probes = Int.MaxValue)
+      .as[(Long, Double)].collect().toSeq
+    assert(got === want) // corrupt rows dropped; every other ranking intact
+    assert(!got.exists(r => Set(11L, 13L, 17L)(r._1)))
+    // batch twin: same guard, same result shape
+    val qb = records.where(col("id") === 3)
+      .select(lit(0L).as("query_id"), col("embedding").as("qvec"))
+    val gotB = IvfIndex.queryAdcBatch(model.centroids, corrupt, books, qb,
+        k = 1000, probes = Int.MaxValue)
+      .select("id", "distance").as[(Long, Double)].collect().toSeq
+      .sortBy { case (id, d) => (d, id) }
+    assert(gotB === want)
+  }
+
+  test("applyDiff ignores malformed ops: a NULL-op change neither deletes " +
+    "nor inserts (matches Crud.merge)") {
+    val model = IvfIndex.build(records, density = 64, Metric.Euclidean, seed = 42L)
+    val changes = Seq(
+      (7L, "upsert", Seq.fill(dim)(0.5f), Map("k" -> "upd")),
+      (11L, "delete", Seq.empty[Float], Map.empty[String, String]),
+      (13L, null.asInstanceOf[String], Seq.fill(dim)(0.9f), Map.empty[String, String]),
+      (17L, "garbage", Seq.fill(dim)(0.1f), Map.empty[String, String]))
+      .toDF("id", "op", "embedding", "metadata")
+    val after = IvfIndex.applyDiff(model, changes, Metric.Euclidean)
+      .assigned.select("id").as[Long].collect().toSet
+    assert(!after.contains(11L), "delete applies")
+    assert(after.contains(7L), "upsert stays")
+    assert(after.contains(13L), "NULL-op row must NOT act as a delete")
+    assert(after.contains(17L), "unknown-op row must NOT act as a delete")
+
+    import graft.operators.VectorOps
+    val books = VectorOps.pqPack(VectorOps.pqTrain(records, m = 4, dsub = 4, k = 8))
+    val codeStore = model.assigned
+      .crossJoin(broadcast(books))
+      .select(col("id"), col("cluster_id"),
+        VectorOps.pqCodes(col("embedding"), col("books")).as("codes"))
+    val afterCodes = IvfIndex.applyDiffToCodes(codeStore, changes,
+        model.centroids, books, Metric.Euclidean)
+      .select("id").as[Long].collect().toSet
+    assert(!afterCodes.contains(11L) && afterCodes.contains(13L) &&
+      afterCodes.contains(17L))
+  }
+
+  test("build survives hostile fit rows: null / ragged / non-finite " +
+    "embeddings and (under cosine) the zero-norm vector") {
+    val hostile = Seq(
+      (9100L, null.asInstanceOf[Seq[Float]], Map.empty[String, String]),
+      (9101L, Seq.fill(dim + 3)(0.2f), Map.empty[String, String]),
+      (9102L, Seq.fill(dim)(Float.NaN), Map.empty[String, String]),
+      (9103L, Seq.fill(dim)(Float.PositiveInfinity), Map.empty[String, String]),
+      (9104L, Seq.fill(dim)(0.0f), Map.empty[String, String]))
+      .toDF("id", "embedding", "metadata")
+    val mixed = records.unionByName(hostile)
+    // the fit used to crash on any of these (MLlib featurizer / Cosine
+    // zero-norm rejection); now it fits on the clean majority and the
+    // null-safe assign still covers every row
+    for (metric <- Seq(Metric.Euclidean, Metric.Cosine)) {
+      val model = IvfIndex.build(mixed, density = 64, metric, seed = 42L)
+      assert(model.centroids.count() >= 1)
+      assert(model.assigned.count() === mixed.count())
+    }
+  }
+
+  test("an invalid centroid row (null distance) never steals a probe slot") {
+    val model = IvfIndex.build(records, density = 64, Metric.Euclidean, seed = 42L)
+    val junk = Seq((999, null.asInstanceOf[Seq[Float]]))
+      .toDF("cluster_id", "centroid")
+      .withColumn("centroid", col("centroid").cast("array<float>"))
+    val polluted = IvfIndex.Model(
+      model.centroids.unionByName(junk), model.assigned)
+    val q = records.where(col("id") === 7).select(col("embedding").as("qvec"))
+    val want = IvfIndex.query(model, q, 10, probes = 2, Metric.Euclidean)
+      .select("id").as[Long].collect().toSeq
+    // null centroid distance sorts FIRST ascending unguarded — it would
+    // occupy one of the two probe slots and silently halve recall
+    val got = IvfIndex.query(polluted, q, 10, probes = 2, Metric.Euclidean)
+      .select("id").as[Long].collect().toSeq
+    assert(got === want)
+  }
+
+  test("density must be positive at every entry point") {
+    val model = IvfIndex.build(records, density = 64, Metric.Euclidean, seed = 42L)
+    intercept[IllegalArgumentException] {
+      IvfIndex.build(records, density = 0, Metric.Euclidean, seed = 42L)
+    }
+    intercept[IllegalArgumentException] {
+      IvfIndex.refine(model, density = 0, Metric.Euclidean)
+    }
+    intercept[IllegalArgumentException] {
+      IvfIndex.splitKWay(model, density = -1, Metric.Euclidean)
+    }
+  }
+
+  test("queryHammingRerank serves from a stored bcode column without " +
+    "re-encoding, with identical results") {
+    import graft.operators.VectorOps
+    val model = IvfIndex.build(records, density = 64, Metric.Euclidean, seed = 42L)
+    val q = records.where(col("id") === 7).select(col("embedding").as("qvec"))
+    val onTheFly = IvfIndex.queryHammingRerank(model, q, k = 10,
+        probes = 16, shortlist = 40)
+      .select("id", "distance").as[(Long, Double)].collect().toSeq
+    val encoded = IvfIndex.Model(
+      model.centroids,
+      model.assigned.withColumn("bcode", VectorOps.binaryCodes(col("embedding"))))
+    val fromStore = IvfIndex.queryHammingRerank(encoded, q, k = 10,
+        probes = 16, shortlist = 40)
+      .select("id", "distance").as[(Long, Double)].collect().toSeq
+    assert(fromStore === onTheFly)
+  }
 }

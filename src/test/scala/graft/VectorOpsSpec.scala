@@ -456,4 +456,23 @@ class VectorOpsSpec extends SparkSpec {
     assert(got.length === 10, s"null codes starved the shortlist: ${got.length}")
     assert(got.forall(_ < 1000L), "a null-embedding row surfaced")
   }
+
+  test("adcDistance: sentinel / out-of-range / null codes yield NULL, " +
+    "never an ANSI crash or a partial sum") {
+    val df = Seq(
+      (1L, Seq(0, 1)),            // valid
+      (2L, Seq(-1, 1)),           // pqCodes sentinel
+      (3L, Seq(0, 99)),           // out of range
+      (4L, null.asInstanceOf[Seq[Int]]), // null array
+      (5L, Seq(0))                // ragged (shorter than luts)
+    ).toDF("id", "codes")
+      .withColumn("luts", array(
+        array(lit(1.0), lit(2.0)), array(lit(10.0), lit(20.0))))
+    val got = df
+      .select(col("id"), VectorOps.adcDistance(col("codes"), col("luts")).as("d"))
+      .as[(Long, Option[Double])].collect().toMap
+    assert(got(1L) === Some(21.0))
+    assert(got(2L) === None && got(3L) === None && got(4L) === None &&
+      got(5L) === None)
+  }
 }
