@@ -579,6 +579,20 @@ object IvfIndex {
     }
   }
 
+  /** [[refine]] for callers that materialize eagerly (the streaming
+    * maintenance loop, mirroring [[splitKWayKeepCache]]): the
+    * oversized-member cache stays alive through the caller's
+    * materialization — unpersist it afterwards. `None` at the fixed
+    * point (nothing splittable). */
+  private[graft] def refineKeepCache(
+      model: Model,
+      density: Int,
+      metric: Metric,
+      iters: Int = 3): Option[(Model, DataFrame)] = {
+    require(density > 0, s"density must be positive, got $density")
+    refineImpl(model, density, metric, iters)
+  }
+
   private def refineImpl(
       model: Model,
       density: Int,

@@ -143,27 +143,35 @@ object DocIngest {
       .outputMode("append")
       .option("checkpointLocation", checkpointPath)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val scored = batch.repartition(col("doc_id"))
-          .withColumn("__toks", TextOps.tokens(col("text")))
-          .withColumn("__stats", TextOps.tokenStats(col("__toks")))
-          .select(col("doc_id"), col("text"),
-            TextOps.langFromVotes(col("__stats.votes")).as("__lang"),
-            TextOps.qualityFromStats(col("text"), col("__toks"), col("__stats")).as("__q"))
-          .where(col("__lang") === lang && col("__q") >= minQuality)
-        val lmGated = lmModel match {
-          case Some(m) =>
-            val ok = TextOps.charLmScore(batch, m, col("text"))
-              .where(col("lm_score") >= minLmScore)
-              .select("doc_id")
-            scored.join(ok, Seq("doc_id"), "left_semi")
-          case None => scored
-        }
-        val dups = matches(batch, corpusBanded, corpusHashes,
-          shingleN = shingleN, perms = perms, bands = bands, threshold = threshold)
-          .select("doc_id").distinct()
-        lmGated.join(dups, Seq("doc_id"), "left_anti")
-          .select("doc_id", "text")
-          .write.mode("append").parquet(storePath)
+        // the sink's DAG references the micro-batch in up to three
+        // independent legs (quality-scored, LM-scored, dup-matches) —
+        // persist once so each source file is read and tokenized once
+        // per trigger, not two-to-three times (the quarantine sinks'
+        // established discipline)
+        val b = batch.persist()
+        try {
+          val scored = b.repartition(col("doc_id"))
+            .withColumn("__toks", TextOps.tokens(col("text")))
+            .withColumn("__stats", TextOps.tokenStats(col("__toks")))
+            .select(col("doc_id"), col("text"),
+              TextOps.langFromVotes(col("__stats.votes")).as("__lang"),
+              TextOps.qualityFromStats(col("text"), col("__toks"), col("__stats")).as("__q"))
+            .where(col("__lang") === lang && col("__q") >= minQuality)
+          val lmGated = lmModel match {
+            case Some(m) =>
+              val ok = TextOps.charLmScore(b, m, col("text"))
+                .where(col("lm_score") >= minLmScore)
+                .select("doc_id")
+              scored.join(ok, Seq("doc_id"), "left_semi")
+            case None => scored
+          }
+          val dups = matches(b, corpusBanded, corpusHashes,
+            shingleN = shingleN, perms = perms, bands = bands, threshold = threshold)
+            .select("doc_id").distinct()
+          lmGated.join(dups, Seq("doc_id"), "left_anti")
+            .select("doc_id", "text")
+            .write.mode("append").parquet(storePath)
+        } finally b.unpersist()
         ()
       }
       .trigger(Trigger.AvailableNow())
@@ -179,8 +187,12 @@ object DocIngest {
     * re-admits a duplicate.
     *
     * Scale shape: state is ONE boolean per distinct text hash, keyed by
-    * the 32-char md5 — the state store shuffles and holds hashes, never
-    * documents; back it with RocksDB
+    * sha-256 — the SAME collision-resistant key as the batch twin
+    * (`Dedup.exact`): md5 collisions are practically constructible, and
+    * an adversarial pair of distinct documents must not silently merge
+    * (the second would be suppressed forever, breaking stream == batch
+    * under hostile input). The state store shuffles and holds hashes,
+    * never documents; back it with RocksDB
     * (`spark.sql.streaming.stateStore.providerClass`) once distinct
     * count exceeds executor heap. The near-dup gate ([[startAdmission]])
     * stays a stream-static join because ITS corpus side is a maintained
@@ -191,7 +203,7 @@ object DocIngest {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     docs
-      .select(md5(col("text")).as("_1"), col("doc_id").as("_2"), col("text").as("_3"))
+      .select(sha2(col("text"), 256).as("_1"), col("doc_id").as("_2"), col("text").as("_3"))
       .as[(String, Long, String)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[Boolean, (Long, String)](

@@ -48,8 +48,12 @@ object VectorIngest {
       newRecords.where(Metric.validRecord(col("embedding"), dim)),
       centroids, metric)
 
-  /** Open a directory of record parquet files as a stream. */
-  def readRecords(spark: SparkSession, dir: String, dim: Int, glob: String = "*.parquet"): DataFrame =
+  /** Open a directory of record parquet files as a stream. No `dim`
+    * parameter on purpose — width is enforced at exactly ONE point, the
+    * `Metric.validRecord` gate in [[validateAndAssign]] (same rationale
+    * as [[recordSchema]]); a parameter here would misleadingly imply
+    * read-time enforcement. */
+  def readRecords(spark: SparkSession, dir: String, glob: String = "*.parquet"): DataFrame =
     spark.readStream
       .schema(recordSchema)
       .option("pathGlobFilter", glob)
@@ -64,7 +68,7 @@ object VectorIngest {
       metric: Metric,
       dim: Int,
       name: String): StreamingQuery =
-    validateAndAssign(readRecords(spark, dir, dim), centroids, metric, dim)
+    validateAndAssign(readRecords(spark, dir), centroids, metric, dim)
       .select(col("id"), col("cluster_id"))
       .writeStream
       .outputMode("append")
@@ -92,7 +96,7 @@ object VectorIngest {
       dim: Int,
       storePath: String,
       checkpointPath: String): StreamingQuery =
-    validateAndAssign(readRecords(spark, dir, dim), centroids, metric, dim)
+    validateAndAssign(readRecords(spark, dir), centroids, metric, dim)
       .writeStream
       .outputMode("append")
       .format("parquet")
@@ -184,7 +188,7 @@ object VectorIngest {
       maxStoreFiles: Int = 0): MaintainedIngest = {
     val state = new MaintainedIngest(spark, initialCentroids, metric, dim,
       storeBase, density, maxRefineRounds, maxStoreFiles)
-    val query = readRecords(spark, dir, dim)
+    val query = readRecords(spark, dir)
       .writeStream
       .foreachBatch((batch: DataFrame, _: Long) => state.processBatch(batch))
       .option("checkpointLocation", checkpointPath)
@@ -226,7 +230,7 @@ object VectorIngest {
       checkpointPath: String,
       iters: Int = 24): StreamingQuery = {
     require(baseline.length == dim, "baseline loading width must match dim")
-    readRecords(spark, dir, dim)
+    readRecords(spark, dir)
       .writeStream
       .option("checkpointLocation", checkpointPath)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -241,16 +245,31 @@ object VectorIngest {
           val bs2 = g.getSeq[Long](2)
           // a crashed FIRST write can leave stateDir existing but with
           // no committed parquet; an existence check alone would then
-          // wedge every retry on "unable to infer schema" — treat any
-          // unreadable state as absent instead
+          // wedge every retry on "unable to infer schema". ONLY the two
+          // no-state conditions map to None (the readNewestState
+          // discipline) — any other analysis error (schema drift, a
+          // misconfigured stateDir) must propagate: mapping it to None
+          // would silently re-base the cumulative fold from the current
+          // batch and break the streaming==batch moments law quietly
           val prior =
             try spark.read.parquet(stateDir)
               .where(col("batch_id") < batchId)
               .orderBy(col("batch_id").desc).limit(1)
               .select(col("n"), col("s1"), col("s2")).collect().headOption
             catch {
-              case _: org.apache.spark.sql.AnalysisException => None
+              case e: org.apache.spark.sql.AnalysisException
+                  if e.getCondition == "PATH_NOT_FOUND" ||
+                    e.getCondition == "UNABLE_TO_INFER_SCHEMA" => None
             }
+          // zip would silently TRUNCATE on width mismatch — a monitor
+          // restarted at a different dim than its state dir would mix
+          // moments from two geometries into plausible-looking garbage
+          prior.foreach { p =>
+            require(p.getSeq[Long](1).length == bs1.length,
+              s"drift state at $stateDir holds dim-${p.getSeq[Long](1).length} " +
+                s"moments but the monitor is running at dim ${bs1.length}; " +
+                "point it at a fresh stateDir or restart at the original dim")
+          }
           val n = prior.map(_.getLong(0)).getOrElse(0L) + bn
           val s1 = prior.map(_.getSeq[Long](1).zip(bs1).map(t => t._1 + t._2))
             .getOrElse(bs1)
@@ -276,7 +295,12 @@ object VectorIngest {
 /** Mutable driver-side state of a [[VectorIngest.startMaintained]] job:
   * the current centroids, store version, and per-cluster running sizes.
   * Micro-batches are processed sequentially by the streaming engine, so
-  * `processBatch` never races itself; reader methods are volatile-safe. */
+  * `processBatch` never races itself. Reader methods (a monitoring or
+  * serving thread) see a CONSISTENT view: centroids and store version
+  * publish as one volatile pair — a reader can never pair refined
+  * centroids with the previous store version (cluster ids that don't
+  * exist in the data) — and the file-count watch reads a volatile
+  * scalar, not the stream thread's working HashMap. */
 final class MaintainedIngest private[streaming] (
     spark: SparkSession,
     initialCentroids: DataFrame,
@@ -288,15 +312,18 @@ final class MaintainedIngest private[streaming] (
     maxStoreFiles: Int = 0) {
   import org.apache.spark.sql.functions.{col, count, lit}
 
-  @volatile private var vers = 0
+  // (centroids, version) publish ATOMICALLY — one volatile read/write
+  @volatile private var published: (DataFrame, Int) = (initialCentroids, 0)
+  private def cents: DataFrame = published._1
+  private def vers: Int = published._2
   // per-cluster suppression state: cluster id -> its size when a refine
   // pass failed to split it (degenerate duplicate-spam cluster). A
   // single global max would also suppress OTHER clusters that later
   // violate density below that max, skipping productive splits.
   @volatile private var failedAt = Map.empty[Int, Long]
-  @volatile private var cents = initialCentroids
   @volatile private var refines = 0
   @volatile private var compactions = 0
+  @volatile private var fileCount = 0
   private val sizes = scala.collection.mutable.HashMap.empty[Int, Long]
   // Exact per-cluster FILE counts for the small-file watch: refreshed
   // per batch by listing ONLY the cluster directories that batch
@@ -319,12 +346,30 @@ final class MaintainedIngest private[streaming] (
     // ONE version-listing definition across the lifecycle tools
     val versions = graft.sources.Records.listVersions(fs, storeBase)
     if (versions.nonEmpty) {
-      vers = versions.max
-      if (fs.exists(new org.apache.hadoop.fs.Path(centroidsPath(vers))))
-        cents = spark.read.parquet(centroidsPath(vers))
-      spark.read.parquet(storePath)
+      val v = versions.max
+      // Refine/compact publish atomically (staged rename, data last),
+      // so a listable version is complete — but the FIRST append into
+      // v0 is the streaming engine's own parquet append, and a crash
+      // there can leave the dir with only _temporary debris. Both
+      // recovery reads therefore map exactly the two no-data analysis
+      // errors to "empty"; anything else (schema drift, wrong dir)
+      // still fails loudly.
+      def orEmpty[T](read: => Seq[T]): Seq[T] =
+        try read catch {
+          case e: org.apache.spark.sql.AnalysisException
+              if e.getCondition == "PATH_NOT_FOUND" ||
+                e.getCondition == "UNABLE_TO_INFER_SCHEMA" => Seq.empty
+        }
+      val c =
+        if (fs.exists(new org.apache.hadoop.fs.Path(centroidsPath(v)))) {
+          val rows = orEmpty(Seq(spark.read.parquet(centroidsPath(v))))
+          rows.headOption.getOrElse(initialCentroids)
+        } else initialCentroids
+      published = (c, v)
+      orEmpty(spark.read.parquet(storePath)
         .groupBy(col("cluster_id")).agg(count(lit(1)).as("n"))
-        .collect().foreach(r => sizes(r.getInt(0)) = r.getLong(1))
+        .collect().toSeq)
+        .foreach(r => sizes(r.getInt(0)) = r.getLong(1))
       relistFiles()
     }
   }
@@ -354,6 +399,7 @@ final class MaintainedIngest private[streaming] (
             .count(s => s.isFile && !s.getPath.getName.startsWith("_")
               && !s.getPath.getName.startsWith("."))
         }
+    fileCount = clusterFiles.values.sum
   }
 
   private def centroidsPath(v: Int): String = s"$storeBase/centroids_v$v"
@@ -365,14 +411,20 @@ final class MaintainedIngest private[streaming] (
   def streamingQuery: StreamingQuery = query
   /** Current store version directory (readers open this). */
   def storePath: String = s"$storeBase/v$vers"
-  /** Current index view over the store — probe with [[graft.operators.IvfIndex.query]]. */
-  def model: IvfIndex.Model = IvfIndex.Model(cents, spark.read.parquet(storePath))
+  /** Current index view over the store — probe with
+    * [[graft.operators.IvfIndex.query]]. One volatile read: the
+    * centroids and the store version are always from the SAME commit. */
+  def model: IvfIndex.Model = {
+    val (c, v) = published
+    IvfIndex.Model(c, spark.read.parquet(s"$storeBase/v$v"))
+  }
   /** How many automated refine passes have fired. */
   def refineCount: Int = refines
   /** How many automated small-file compactions have fired. */
   def compactionCount: Int = compactions
-  /** Current data-file count across the store's cluster partitions. */
-  def storeFileCount: Int = clusterFiles.values.sum
+  /** Current data-file count across the store's cluster partitions
+    * (volatile snapshot — safe against the stream thread's updates). */
+  def storeFileCount: Int = fileCount
 
   private[streaming] def processBatch(batch: DataFrame): Unit = {
     val assigned = VectorIngest.validateAndAssign(batch, cents, metric, dim)
@@ -386,6 +438,7 @@ final class MaintainedIngest private[streaming] (
       batchCounts.map(_._1)
     } finally assigned.unpersist()
     touched.foreach(c => clusterFiles(c) = listClusterFiles(c))
+    fileCount = clusterFiles.values.sum
     // failedAt: a violating cluster a refine pass could not split
     // (degenerate duplicate-spam cluster) must not re-fire a full-store
     // rewrite on every batch — suppress THAT cluster until its violation
@@ -398,6 +451,34 @@ final class MaintainedIngest private[streaming] (
     else if (maxStoreFiles > 0 && storeFileCount > maxStoreFiles) compactNow()
   }
 
+  /** Staged publish of the NEXT version (the [[graft.sources.Records]]
+    * `restoreVersion` discipline): `write` fills hidden `.tmp` dirs,
+    * then checked renames publish — centroids FIRST, data LAST — so the
+    * version becomes listable (`listVersions` keys on `v\d+`) only with
+    * its companion centroids already in place. A crash anywhere before
+    * the final rename leaves only invisible staging debris, which the
+    * next attempt deletes; a direct write to the listable path would
+    * instead make a partial or centroid-less version the authoritative
+    * newest version at restart. */
+  private def publishVersion(next: Int)(write: (String, String) => Unit): Unit = {
+    val fs = fileSystem
+    val dtmp = new org.apache.hadoop.fs.Path(s"$storeBase/.v$next.tmp")
+    val ctmp = new org.apache.hadoop.fs.Path(s"$storeBase/.centroids_v$next.tmp")
+    fs.delete(dtmp, true) // stale staging from an earlier crash
+    fs.delete(ctmp, true)
+    write(dtmp.toString, ctmp.toString)
+    // rename-into-existing-dir NESTS silently (posix mv semantics) —
+    // delete any stale target from a crashed earlier attempt and fail
+    // loudly if the rename itself reports false
+    def publish(src: org.apache.hadoop.fs.Path, dstName: String): Unit = {
+      val dst = new org.apache.hadoop.fs.Path(s"$storeBase/$dstName")
+      fs.delete(dst, true)
+      require(fs.rename(src, dst), s"rename $src -> $dst failed")
+    }
+    publish(ctmp, s"centroids_v$next")
+    publish(dtmp, s"v$next")
+  }
+
   /** Layout-only rewrite: same rows, same assignment, same centroids —
     * the NEXT version directory holds one consolidated file per cluster
     * (`repartition(cluster_id)` puts each cluster in exactly one task).
@@ -406,27 +487,38 @@ final class MaintainedIngest private[streaming] (
     * resets the layout), so at most one rewrite runs per batch. */
   private def compactNow(): Unit = {
     val next = vers + 1
-    val nextPath = s"$storeBase/v$next"
-    spark.read.parquet(storePath)
-      .repartition(col("cluster_id"))
-      .write.mode("overwrite").partitionBy("cluster_id").parquet(nextPath)
-    cents.write.mode("overwrite").parquet(centroidsPath(next))
-    vers = next
+    val snapshot = cents
+    publishVersion(next) { (dataTmp, centTmp) =>
+      spark.read.parquet(storePath)
+        .repartition(col("cluster_id"))
+        .write.mode("overwrite").partitionBy("cluster_id").parquet(dataTmp)
+      snapshot.write.mode("overwrite").parquet(centTmp)
+    }
+    published = (snapshot, next)
     relistFiles()
     compactions += 1
   }
 
   private def refineNow(): Unit = {
-    val initial = IvfIndex.Model(cents, spark.read.parquet(storePath))
-    var m = initial
-    var prev: IvfIndex.Model = null
+    def truncate(df: DataFrame): DataFrame =
+      org.apache.spark.sql.graft.PlanBridge.statsReset(df.localCheckpoint())
+    var m = IvfIndex.Model(cents, spark.read.parquet(storePath))
     var rounds = 0
-    while (!(m eq prev) && rounds < maxRefineRounds) {
-      prev = m
-      m = IvfIndex.refine(m, density, metric)
-      rounds += 1
+    var fixedPoint = false
+    // per-round truncation — the buildBalanced discipline: each refine
+    // round nests a union+join layer and the loop (plus the final
+    // rewrite) actions the frame several times; raw, every action would
+    // re-run the whole nested lineage from the parquet scan
+    while (!fixedPoint && rounds < maxRefineRounds) {
+      IvfIndex.refineKeepCache(m, density, metric) match {
+        case None => fixedPoint = true
+        case Some((refined, members)) =>
+          m = IvfIndex.Model(refined.centroids, truncate(refined.assigned))
+          members.unpersist() // checkpoint is materialized; cache done
+          rounds += 1
+      }
     }
-    if (m eq initial) {
+    if (rounds == 0) {
       // no cluster could be split (refine's fixed point is the input):
       // a rewrite would copy the store for nothing, every batch — record
       // the failed violation size and keep serving the current version
@@ -435,26 +527,27 @@ final class MaintainedIngest private[streaming] (
     }
     failedAt = Map.empty
     val next = vers + 1
-    val nextPath = s"$storeBase/v$next"
-    IvfIndex.writePartitioned(m, nextPath)
-    m.centroids.write.mode("overwrite").parquet(centroidsPath(next))
+    publishVersion(next) { (dataTmp, centTmp) =>
+      m.assigned.write.mode("overwrite").partitionBy("cluster_id").parquet(dataTmp)
+      m.centroids.write.mode("overwrite").parquet(centTmp)
+    }
     val recovered = spark.read.parquet(centroidsPath(next))
     // re-seed the running sizes from the rewritten store's partition
     // column only (footer-cheap; bounded output by cluster count)
-    val refinedCounts = spark.read.parquet(nextPath)
+    val refinedCounts = spark.read.parquet(s"$storeBase/v$next")
       .groupBy(col("cluster_id")).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getInt(0) -> r.getLong(1))
     sizes.clear()
     refinedCounts.foreach { case (c, n) => sizes(c) = n }
     // clusters STILL violating after a pass that reached its fixed point
-    // (m eq prev, not the round cap) are exactly the unsplittable ones —
-    // record them so the next batch doesn't burn a refine attempt
-    // rediscovering that; a round-capped pass leaves them re-attemptable
-    if (m eq prev) failedAt = sizes.filter(_._2 > density).toMap
+    // (not the round cap) are exactly the unsplittable ones — record
+    // them so the next batch doesn't burn a refine attempt rediscovering
+    // that; a round-capped pass leaves them re-attemptable
+    if (fixedPoint) failedAt = sizes.filter(_._2 > density).toMap
     // subsequent batches assign against the PERSISTED centroids — a flat
-    // parquet scan, not the refine loop's lineage
-    cents = recovered
-    vers = next
+    // parquet scan, not the refine loop's lineage — and centroids+version
+    // publish as ONE volatile pair (reader consistency)
+    published = (recovered, next)
     relistFiles()
     refines += 1
   }
