@@ -315,7 +315,7 @@ object Queries {
       s"""SELECT step, lft AS left_sym, rgt AS right_sym, c AS freq FROM (
          | $union)
          |ORDER BY step""".stripMargin)
-    s"""WITH tok AS (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token FROM documents),
+    s"""WITH tok AS (SELECT unnest(regexp_split_to_array(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+')) AS token FROM documents),
        |tv AS MATERIALIZED (SELECT token, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY token
        |  ORDER BY tf DESC, token ASC LIMIT $vocabCap),
        |w0 AS MATERIALIZED (SELECT token, tf,
@@ -348,7 +348,7 @@ object Queries {
   private val sqlMinhashPairsCtes: String =
     """toks AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(len(tk) - 2, 0)),
       |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
-      |  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tk FROM documents)),
+      |  FROM (SELECT doc_id, regexp_split_to_array(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\s+') AS tk FROM documents)),
       |ne AS (SELECT doc_id, sh FROM toks WHERE len(sh) > 0),
       |hh AS (SELECT doc_id, sh,
       |  list_transform(sh, s -> list_reduce(list_transform(string_split_regex(substr(md5(s), 1, 14), ''),
@@ -389,7 +389,7 @@ object Queries {
     * terminates). Yields `btok(source, token)` (raw token instances) and
     * `bseg(token, seg, n_sym)` (one row per distinct token). */
   private val sqlBpeSegCtes: String =
-    s"""btok AS (SELECT source, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token FROM documents),
+    s"""btok AS (SELECT source, unnest(regexp_split_to_array(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+')) AS token FROM documents),
        |bv AS (SELECT DISTINCT token FROM btok WHERE token <> ''),
        |bm(mr, pat, rep) AS (VALUES
        |  (1, ' t h ', ' th '), (2, ' th e ', ' the '), (3, ' i n ', ' in '),
@@ -412,7 +412,7 @@ object Queries {
     * `corpus_assemble_dedup` (which splices the CC drop set after it). */
   private val sqlAssembleKeptCtes: String =
     s"""keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY sha256(text)),
-       |t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk FROM documents),
+       |t AS (SELECT doc_id, regexp_split_to_array(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+') AS tk FROM documents),
        |lang AS (SELECT doc_id, CASE WHEN coalesce(greatest(e, sp, f, d, z), 0) = 0 THEN 'und'
        |    WHEN e >= sp AND e >= f AND e >= d AND e >= z THEN 'en'
        |    WHEN sp >= f AND sp >= d AND sp >= z THEN 'es'
@@ -426,7 +426,7 @@ object Queries {
        |    len(list_filter(tk, x -> list_contains(['de','shi','bu','le','zai','ren','you','wo'], x))) AS z
        |    FROM t)),
        |qb AS (SELECT doc_id, tk, CAST(length(text) AS DOUBLE) AS nc,
-       |    CAST(length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) AS DOUBLE) AS punct
+       |    CAST(length(regexp_replace(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9\\s]', '', 'g')) AS DOUBLE) AS punct
        |  FROM documents JOIN t USING (doc_id)),
        |q AS (SELECT doc_id,
        |  least(1.0, greatest(0.0, 0.2
@@ -445,7 +445,7 @@ object Queries {
     * with the r4-rounded importance log-weight. Shared by `corpus_dsir`
     * (global top-100) and `corpus_dsir_mix` (per-source quota). */
   private val sqlDsirCtes: String =
-    s"""tok AS (SELECT doc_id, source, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t
+    s"""tok AS (SELECT doc_id, source, unnest(regexp_split_to_array(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+')) AS t
        |  FROM documents),
        |hb AS (SELECT doc_id, source, list_reduce(list_transform(string_split_regex(substr(md5(t), 1, 14), ''),
        |    c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a * 16 + b) % 64 AS b
@@ -468,7 +468,7 @@ object Queries {
     s"""m AS (SELECT d.doc_id,
        |    list_reduce(list_transform(string_split_regex(substr(md5(d.text), 1, 8), ''),
        |      c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a * 16 + b) % 100 AS b,
-       |    CAST(len(regexp_split_to_array(lower(trim(d.text)), '\\s+')) AS BIGINT) AS n_tokens
+       |    CAST(len(regexp_split_to_array(translate(trim(d.text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+')) AS BIGINT) AS n_tokens
        |  FROM documents d JOIN $kept USING (doc_id)),
        |s AS (SELECT doc_id, CASE WHEN b < 90 THEN 'train' ELSE 'val' END AS split,
        |    doc_id % 4 AS shard, n_tokens FROM m),
@@ -873,10 +873,10 @@ object Queries {
     * `corpus_quality_calibration` oracles — ONE restatement of the
     * scoring arithmetic, two consumers. */
   private def sqlQualityGopherCtes: String =
-    s"""b AS (SELECT source, text, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk,
+    s"""b AS (SELECT source, text, regexp_split_to_array(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+') AS tk,
          |    string_split(text, chr(10)) AS ls,
          |    CAST(length(text) AS DOUBLE) AS nc,
-         |    CAST(length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) AS DOUBLE) AS punct
+         |    CAST(length(regexp_replace(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9\\s]', '', 'g')) AS DOUBLE) AS punct
          |  FROM documents),
          |m AS (SELECT source,
          |  CASE WHEN nc > 0 THEN punct / nc ELSE 0.0 END AS punct_ratio,
@@ -2000,11 +2000,34 @@ object Queries {
     // still shuffling only the 64-byte digest
     "dedup_exact_normalized" -> ((s, dir) =>
       docs(s, dir)
-        .groupBy(sha2(regexp_replace(lower(trim(col("text"))), "\\s+", " "), 256)
+        .groupBy(sha2(regexp_replace(TextOps.asciiLower(trim(col("text"))), "\\s+", " "), 256)
           .as("__k"))
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
         .select(col("keep_id"), col("n_dups"))
         .orderBy("keep_id")),
+
+    // extension: exact dedup over NFC-canonicalized text — merges the
+    // composed/decomposed spellings of the same rendered text that
+    // byte-exact dedup keeps apart (both engines implement UAX #15)
+    "dedup_exact_nfc" -> ((s, dir) =>
+      Dedup.exactNfc(docs(s, dir)).orderBy("keep_id")),
+
+    // extension: per-document Unicode shape profile — codepoints vs
+    // UTF-8 bytes (the storage-bloat factor), astral count (UTF-16
+    // surrogate load), and an is-NFC flag (how much of the corpus the
+    // NFC dedup pass would actually rewrite). Map-only; null text
+    // keeps NULL metrics (the null-in/NULL-out convention)
+    "text_unicode_profile" -> ((s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_cp"),
+        octet_length(col("text")).cast("long").as("n_bytes"),
+        regexp_count(col("text"), lit("[\\x{10000}-\\x{10FFFF}]"))
+          .cast("long").as("n_astral"),
+        when(col("text").isNull, lit(null).cast("long"))
+          .otherwise((TextOps.nfc(col("text")) === col("text")).cast("long"))
+          .as("is_nfc"))
+        .orderBy("doc_id")),
 
     // extension: MinHash(16 perms) + LSH(4 bands) near-dup join, 3-gram shingles
     "dedup_minhash" -> ((s, dir) =>
@@ -5131,7 +5154,7 @@ object Queries {
     "text_pmi" -> {
       val lift = "((CAST(bc.n AS DOUBLE) * CAST(tot.nt AS DOUBLE) * CAST(tot.nt AS DOUBLE)) / " +
         "(CAST(tot.nb AS DOUBLE) * CAST(a.c AS DOUBLE) * CAST(b.c AS DOUBLE)))"
-      s"""WITH tok AS (SELECT regexp_split_to_array(lower(trim(text)), '\\s+') AS t FROM documents),
+      s"""WITH tok AS (SELECT regexp_split_to_array(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+') AS t FROM documents),
          |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM
          |  (SELECT unnest(t) AS w FROM tok) GROUP BY w),
          |bi AS (SELECT t[g.i] AS w1, t[g.i + 1] AS w2
@@ -5168,7 +5191,7 @@ object Queries {
     "dedup_df_histogram" ->
       s"""WITH toks AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(len(tk) - 2, 0)),
          |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
-         |  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk FROM documents)),
+         |  FROM (SELECT doc_id, regexp_split_to_array(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+') AS tk FROM documents)),
          |df AS (SELECT md5(u.s) AS k, CAST(count(*) AS BIGINT) AS df
          |  FROM toks, unnest(sh) AS u(s) GROUP BY md5(u.s))
          |SELECT CASE WHEN df = 1 THEN '1' WHEN df = 2 THEN '2'
@@ -5278,13 +5301,31 @@ object Queries {
 
     "dedup_exact_normalized" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_dups FROM documents
-        |GROUP BY sha256(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+        |GROUP BY sha256(regexp_replace(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\s+', ' ', 'g'))
         |ORDER BY keep_id""".stripMargin,
+
+    // utf8proc's nfc_normalize and java.text.Normalizer both implement
+    // UAX #15 — canonical composition is engine-portable (unlike case
+    // folding, see the asciiLower convention)
+    "dedup_exact_nfc" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_dups FROM documents
+        |GROUP BY sha256(nfc_normalize(text)) ORDER BY keep_id""".stripMargin,
+
+    // length() counts codepoints and strlen() UTF-8 bytes in DuckDB,
+    // matching Spark length()/octet_length(); the astral class is the
+    // same \x{..} escape in RE2 and Java regex; NULL = NULL is NULL
+    // (null text keeps NULL metrics on both sides)
+    "text_unicode_profile" ->
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_cp,
+        |  CAST(strlen(text) AS BIGINT) AS n_bytes,
+        |  CAST(len(regexp_extract_all(text, '[\x{10000}-\x{10FFFF}]')) AS BIGINT) AS n_astral,
+        |  CAST(text = nfc_normalize(text) AS BIGINT) AS is_nfc
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "dedup_minhash" ->
       s"""WITH toks AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(len(tk) - 2, 0)),
          |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
-         |  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk FROM documents)),
+         |  FROM (SELECT doc_id, regexp_split_to_array(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+') AS tk FROM documents)),
          |ne AS (SELECT doc_id, sh FROM toks WHERE len(sh) > 0),
          |hh AS (SELECT doc_id, sh,
          |  list_transform(sh, s -> list_reduce(list_transform(string_split_regex(substr(md5(s), 1, 14), ''),
@@ -5309,7 +5350,7 @@ object Queries {
     "dedup_containment" ->
       s"""WITH toks AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(len(tk) - 2, 0)),
          |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
-         |  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk FROM documents)),
+         |  FROM (SELECT doc_id, regexp_split_to_array(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+') AS tk FROM documents)),
          |ne AS (SELECT doc_id, sh FROM toks WHERE len(sh) > 0),
          |hh AS (SELECT doc_id,
          |  list_distinct(list_transform(sh, s -> list_reduce(list_transform(string_split_regex(substr(md5(s), 1, 14), ''),
@@ -5335,7 +5376,7 @@ object Queries {
     "dedup_threshold_curve" ->
       s"""WITH toks AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(len(tk) - 2, 0)),
          |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
-         |  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk FROM documents)),
+         |  FROM (SELECT doc_id, regexp_split_to_array(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+') AS tk FROM documents)),
          |ne AS (SELECT doc_id, sh FROM toks WHERE len(sh) > 0),
          |hh AS (SELECT doc_id, sh,
          |  list_transform(sh, s -> list_reduce(list_transform(string_split_regex(substr(md5(s), 1, 14), ''),
@@ -5392,7 +5433,7 @@ object Queries {
     // note-26 decimal-literal trap)
     "text_readability" ->
       s"""WITH b AS (SELECT doc_id, text,
-         |    list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '') AS tk
+         |    list_filter(regexp_split_to_array(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+'), x -> x <> '') AS tk
          |  FROM documents),
          |m AS (SELECT doc_id,
          |  CAST(len(tk) AS BIGINT) AS n_words,
@@ -5514,7 +5555,7 @@ object Queries {
     // multiset n-gram windows over nonempty tokens (the shingles
     // contract); instance/type counts are exact ints
     "corpus_ngram_stats" ->
-      s"""WITH tk AS (SELECT list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '') AS t
+      s"""WITH tk AS (SELECT list_filter(regexp_split_to_array(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+'), x -> x <> '') AS t
          |  FROM documents),
          |g1 AS (SELECT unnest(t) AS g FROM tk),
          |g2 AS (SELECT t[i] || ' ' || t[i + 1] AS g
@@ -5604,7 +5645,7 @@ object Queries {
     // avoid CTE collisions; both pair sets union into one edge list
     "dedup_multi" ->
       s"""WITH RECURSIVE $sqlMinhashPairsCtes,
-         |stoks AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t FROM documents),
+         |stoks AS (SELECT doc_id, regexp_split_to_array(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+') AS t FROM documents),
          |sh0 AS (SELECT doc_id, list_transform(t, tk -> list_reduce(
          |  list_transform(string_split_regex(substr(md5(tk), 1, 15), ''), c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
          |  (a, b) -> a * 16 + b)) AS hs FROM stoks),
@@ -6158,7 +6199,7 @@ object Queries {
     // same cumulative flag conjunctions over the Gopher CTE
     "corpus_gopher_funnel" ->
       s"""WITH b AS (SELECT doc_id, text,
-         |    regexp_split_to_array(lower(trim(text)), '\\s+') AS tk,
+         |    regexp_split_to_array(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+') AS tk,
          |    string_split(text, chr(10)) AS ls
          |  FROM documents),
          |m AS (SELECT doc_id,
@@ -6228,7 +6269,7 @@ object Queries {
         |FROM g GROUP BY kind ORDER BY kind""".stripMargin,
 
     "corpus_length_histogram" ->
-      s"""WITH b AS (SELECT CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS BIGINT) // 64 AS bucket
+      s"""WITH b AS (SELECT CAST(len(regexp_split_to_array(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+')) AS BIGINT) // 64 AS bucket
          |  FROM documents),
          |c AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY bucket),
          |t AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM c)
@@ -6272,7 +6313,7 @@ object Queries {
     // the 1000-word vocabulary cut is (tf DESC, token ASC) — fully
     // deterministic, so both engines cut the identical boundary
     "vocab_oov_rate" ->
-      s"""WITH toks AS (SELECT source, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token
+      s"""WITH toks AS (SELECT source, unnest(regexp_split_to_array(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+')) AS token
          |  FROM documents),
          |tk AS (SELECT source, token FROM toks WHERE token <> ''),
          |v AS (SELECT token FROM (SELECT token, count(*) AS tf FROM tk
@@ -6341,7 +6382,7 @@ object Queries {
     "dedup_incremental" ->
       s"""WITH toks AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(len(tk) - 2, 0)),
          |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
-         |  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk FROM documents)),
+         |  FROM (SELECT doc_id, regexp_split_to_array(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+') AS tk FROM documents)),
          |ne AS (SELECT doc_id, sh FROM toks WHERE len(sh) > 0),
          |hh AS (SELECT doc_id, sh,
          |  list_transform(sh, s -> list_reduce(list_transform(string_split_regex(substr(md5(s), 1, 14), ''),
@@ -6361,7 +6402,7 @@ object Queries {
          |SELECT doc_id, dup_of, ${sqlR4("jaccard")} AS jaccard FROM j WHERE jaccard >= 0.5 ORDER BY doc_id, dup_of""".stripMargin,
 
     "dedup_simhash" ->
-      s"""WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t FROM documents),
+      s"""WITH toks AS (SELECT doc_id, regexp_split_to_array(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+') AS t FROM documents),
          |h AS (SELECT doc_id, list_transform(t, tk -> list_reduce(
          |  list_transform(string_split_regex(substr(md5(tk), 1, 15), ''), c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
          |  (a, b) -> a * 16 + b)) AS hs FROM toks),
@@ -6379,7 +6420,7 @@ object Queries {
     "ngram_jaccard" ->
       s"""WITH t0 AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(len(tk) - 2, 0)),
          |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
-         |  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk FROM documents)),
+         |  FROM (SELECT doc_id, regexp_split_to_array(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+') AS tk FROM documents)),
          |t AS (SELECT doc_id, list_transform(sh, s -> list_reduce(list_transform(string_split_regex(substr(md5(s), 1, 14), ''),
          |    c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a * 16 + b)) AS h
          |  FROM t0),
@@ -6437,7 +6478,7 @@ object Queries {
     "dedup_savings" ->
       s"""$sqlCcCte,
          |g AS (SELECT node AS doc_id, min(lab) AS rep_id FROM reach GROUP BY node),
-         |tk AS (SELECT doc_id, CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS BIGINT) AS nt
+         |tk AS (SELECT doc_id, CAST(len(regexp_split_to_array(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+')) AS BIGINT) AS nt
          |  FROM documents),
          |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(nt) AS BIGINT) AS total_tokens FROM tk),
          |dr AS (SELECT CAST(count(*) AS BIGINT) AS n_dropped,
@@ -6606,7 +6647,7 @@ object Queries {
          |FROM pairs GROUP BY vec_id ORDER BY vec_id""".stripMargin,
 
     "lang_id" ->
-      s"""WITH t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk FROM documents),
+      s"""WITH t AS (SELECT doc_id, regexp_split_to_array(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+') AS tk FROM documents),
          |s AS (SELECT doc_id,
          |  len(list_filter(tk, x -> list_contains(['the','a','of','to','and','is','in','it'], x))) AS e,
          |  len(list_filter(tk, x -> list_contains(['el','la','de','que','y','en','un','es'], x))) AS sp,
@@ -6624,7 +6665,7 @@ object Queries {
     // same vote CTE, aggregated to the confusion matrix; the window
     // partitions by declared language (vocabulary-bounded)
     "lang_confusion" ->
-      s"""WITH t AS (SELECT doc_id, lang, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk FROM documents),
+      s"""WITH t AS (SELECT doc_id, lang, regexp_split_to_array(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+') AS tk FROM documents),
          |s AS (SELECT doc_id, lang,
          |  len(list_filter(tk, x -> list_contains(['the','a','of','to','and','is','in','it'], x))) AS e,
          |  len(list_filter(tk, x -> list_contains(['el','la','de','que','y','en','un','es'], x))) AS sp,
@@ -6680,7 +6721,7 @@ object Queries {
     // covered_tokens recomputed the expensive way (explode + distinct) —
     // the oracle needn't scale, the operator's interval-union fold must
     "corpus_substring_dedup" ->
-      """WITH tk AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents),
+      """WITH tk AS (SELECT doc_id, regexp_split_to_array(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\s+') AS t FROM documents),
         |w AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens, CAST(u.i - 1 AS BIGINT) AS pos,
         |    list_reduce(list_transform(string_split_regex(substr(md5(array_to_string(t[CAST(u.i AS INT):CAST(u.i + 9 AS INT)], ' ')), 1, 14), ''),
         |      c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a * 16 + b) AS h
@@ -6695,7 +6736,7 @@ object Queries {
         |GROUP BY f.doc_id ORDER BY f.doc_id""".stripMargin,
 
     "corpus_substring_scrub" ->
-      """WITH tk AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents),
+      """WITH tk AS (SELECT doc_id, regexp_split_to_array(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\s+') AS t FROM documents),
         |w AS (SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS pos,
         |    list_reduce(list_transform(string_split_regex(substr(md5(array_to_string(t[CAST(u.i AS INT):CAST(u.i + 9 AS INT)], ' ')), 1, 14), ''),
         |      c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a * 16 + b) AS h
@@ -6729,7 +6770,7 @@ object Queries {
     // the dedup oracles; top token via the grouped counts (the oracle
     // needn't be map-only — only the Spark plan does)
     "text_repetition" ->
-      s"""WITH b AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk FROM documents),
+      s"""WITH b AS (SELECT doc_id, regexp_split_to_array(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+') AS tk FROM documents),
          |sh AS (SELECT doc_id,
          |  list_transform(generate_series(1, greatest(len(tk) - 1, 0)), i -> tk[i] || ' ' || tk[i+1]) AS g2,
          |  list_transform(generate_series(1, greatest(len(tk) - 2, 0)), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) AS g3
@@ -6746,12 +6787,12 @@ object Queries {
          |ORDER BY b.doc_id""".stripMargin,
 
     "text_stats" ->
-      s"""WITH b AS (SELECT doc_id, text, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk,
+      s"""WITH b AS (SELECT doc_id, text, regexp_split_to_array(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+') AS tk,
          |  CAST(length(text) AS DOUBLE) AS nc,
-         |  CAST(length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) AS DOUBLE) AS punct
+         |  CAST(length(regexp_replace(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9\\s]', '', 'g')) AS DOUBLE) AS punct
          |  FROM documents),
          |m AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
-         |  CAST(len(regexp_extract_all(lower(trim(text)), ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s]+|\\s+')) AS BIGINT) AS n_bpe_tokens,
+         |  CAST(len(regexp_extract_all(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s]+|\\s+')) AS BIGINT) AS n_bpe_tokens,
          |  CASE WHEN nc > 0 THEN punct / nc ELSE 0.0 END AS punct_ratio,
          |  CASE WHEN len(tk) > 0 THEN CAST(len(list_filter(tk, x -> list_contains($stopAllSql, x))) AS DOUBLE) / len(tk) ELSE 0.0 END AS stop_ratio,
          |  CASE WHEN len(tk) > 0 THEN list_sum(list_transform(tk, x -> CAST(length(x) AS DOUBLE))) / len(tk) ELSE 0.0 END AS avg_len
@@ -6772,9 +6813,9 @@ object Queries {
     // (quality, doc_id) total order is engine-independent; percent_rank
     // spelled as (row_number − 1)/(n − 1) — tie-free by construction
     "corpus_quality_band" ->
-      s"""WITH b AS (SELECT doc_id, text, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk,
+      s"""WITH b AS (SELECT doc_id, text, regexp_split_to_array(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+') AS tk,
          |  CAST(length(text) AS DOUBLE) AS nc,
-         |  CAST(length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) AS DOUBLE) AS punct
+         |  CAST(length(regexp_replace(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9\\s]', '', 'g')) AS DOUBLE) AS punct
          |  FROM documents),
          |m AS (SELECT doc_id,
          |  CASE WHEN nc > 0 THEN punct / nc ELSE 0.0 END AS punct_ratio,
@@ -6791,14 +6832,14 @@ object Queries {
     "corpus_rollup" ->
       """SELECT coalesce(source, 'ALL') AS source, coalesce(lang, 'ALL') AS lang,
         |  CAST(count(*) AS BIGINT) AS n_docs,
-        |  CAST(sum(len(regexp_split_to_array(lower(trim(text)), '\s+'))) AS BIGINT) AS total_tokens
+        |  CAST(sum(len(regexp_split_to_array(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\s+'))) AS BIGINT) AS total_tokens
         |FROM documents GROUP BY ROLLUP (source, lang)
         |ORDER BY source, lang""".stripMargin,
 
     "corpus_stats" ->
-      s"""WITH b AS (SELECT source, text, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk,
+      s"""WITH b AS (SELECT source, text, regexp_split_to_array(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+') AS tk,
          |  CAST(length(text) AS DOUBLE) AS nc,
-         |  CAST(length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) AS DOUBLE) AS punct
+         |  CAST(length(regexp_replace(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9\\s]', '', 'g')) AS DOUBLE) AS punct
          |  FROM documents),
          |m AS (SELECT source, text, tk,
          |  len(list_filter(tk, x -> list_contains(['the','a','of','to','and','is','in','it'], x))) AS e,
@@ -6826,7 +6867,7 @@ object Queries {
          |FROM l GROUP BY source, lang ORDER BY source, lang""".stripMargin,
 
     "text_bm25" ->
-      s"""WITH t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk FROM documents),
+      s"""WITH t AS (SELECT doc_id, regexp_split_to_array(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+') AS tk FROM documents),
          |st AS (SELECT count(*) AS n, avg(len(tk)) AS avgdl FROM t),
          |tf AS (SELECT doc_id, term, len(list_filter(tk, x -> x = term)) AS tf, len(tk) AS dl
          |  FROM t, (SELECT unnest(['key', 'table', 'scan']) AS term) q),
@@ -6839,7 +6880,7 @@ object Queries {
     // ranking done with a window HERE is fine — the oracle is DuckDB
     // single-node; the Spark side uses the bounded heap
     "text_bm25_topk" ->
-      s"""WITH t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk FROM documents),
+      s"""WITH t AS (SELECT doc_id, regexp_split_to_array(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+') AS tk FROM documents),
          |st AS (SELECT count(*) AS n, avg(len(tk)) AS avgdl FROM t),
          |q AS (SELECT * FROM (VALUES ('q_key_table', ['key','table']), ('q_scan', ['scan','key'])) v(query_id, terms)),
          |terms AS (SELECT DISTINCT unnest(terms) AS term FROM q),
@@ -6860,7 +6901,7 @@ object Queries {
     // semantic arm = the ivf_probe_query ranking (top-20); fusion sums
     // 1/(60+rank) — two terms per doc, so addition order can't matter
     "hybrid_rrf_query" ->
-      s"""WITH t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk FROM documents),
+      s"""WITH t AS (SELECT doc_id, regexp_split_to_array(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+') AS tk FROM documents),
          |st AS (SELECT count(*) AS n, avg(len(tk)) AS avgdl FROM t),
          |terms AS (SELECT unnest(['key', 'table']) AS term),
          |tf AS (SELECT doc_id, term, len(list_filter(tk, x -> x = term)) AS tf, len(tk) AS dl FROM t, terms),
@@ -6955,7 +6996,7 @@ object Queries {
 
     "corpus_clean" ->
       s"""WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY sha256(text)),
-         |t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk FROM documents),
+         |t AS (SELECT doc_id, regexp_split_to_array(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+') AS tk FROM documents),
          |lang AS (SELECT doc_id, CASE WHEN coalesce(greatest(e, sp, f, d, z), 0) = 0 THEN 'und'
          |    WHEN e >= sp AND e >= f AND e >= d AND e >= z THEN 'en'
          |    WHEN sp >= f AND sp >= d AND sp >= z THEN 'es'
@@ -6969,7 +7010,7 @@ object Queries {
          |    len(list_filter(tk, x -> list_contains(['de','shi','bu','le','zai','ren','you','wo'], x))) AS z
          |    FROM t)),
          |qb AS (SELECT doc_id, tk, CAST(length(text) AS DOUBLE) AS nc,
-         |    CAST(length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) AS DOUBLE) AS punct
+         |    CAST(length(regexp_replace(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9\\s]', '', 'g')) AS DOUBLE) AS punct
          |  FROM documents JOIN t USING (doc_id)),
          |q AS (SELECT doc_id,
          |  least(1.0, greatest(0.0, 0.2
@@ -6999,7 +7040,7 @@ object Queries {
          |$sqlAssembleKeptCtes,
          |drops AS (SELECT node FROM (SELECT node, min(lab) AS rep FROM reach GROUP BY node) WHERE node <> rep),
          |kept2 AS (SELECT doc_id FROM kept WHERE doc_id NOT IN (SELECT node FROM drops)),
-         |tok AS (SELECT doc_id, CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS BIGINT) AS n
+         |tok AS (SELECT doc_id, CAST(len(regexp_split_to_array(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+')) AS BIGINT) AS n
          |  FROM documents)
          |SELECT (SELECT count(*) FROM documents) AS n_raw,
          |  -- distinct-then-count on the Spark side groups null-text
@@ -7034,7 +7075,7 @@ object Queries {
 
     "seq_pack" ->
       """WITH t AS (SELECT doc_id, doc_id % 8 AS shard,
-        |    CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS BIGINT) AS n_tokens
+        |    CAST(len(regexp_split_to_array(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\s+')) AS BIGINT) AS n_tokens
         |  FROM documents),
         |tp AS (SELECT * FROM t WHERE n_tokens >= 1),
         |c AS (SELECT doc_id, shard, n_tokens,
@@ -7047,7 +7088,7 @@ object Queries {
     // the seq_pack CTE aggregated per shard
     "pack_efficiency" ->
       """WITH t AS (SELECT doc_id, doc_id % 8 AS shard,
-        |    CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS BIGINT) AS n_tokens
+        |    CAST(len(regexp_split_to_array(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\s+')) AS BIGINT) AS n_tokens
         |  FROM documents),
         |tp AS (SELECT * FROM t WHERE n_tokens >= 1),
         |c AS (SELECT doc_id, shard, n_tokens,
@@ -7087,7 +7128,7 @@ object Queries {
 
     "corpus_chunk" ->
       """WITH t AS (SELECT doc_id,
-        |    CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS BIGINT) AS n
+        |    CAST(len(regexp_split_to_array(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\s+')) AS BIGINT) AS n
         |  FROM documents),
         |tp AS (SELECT * FROM t WHERE n >= 1),
         |x AS (SELECT doc_id, n, u.i AS chunk_start
@@ -7101,7 +7142,7 @@ object Queries {
          |    c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a * 16 + b) % 100 AS bucket FROM documents),
          |toks AS (SELECT doc_id, bucket, list_distinct(list_transform(generate_series(1, greatest(len(tk) - 7, 0)),
          |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4] || ' ' || tk[i+5] || ' ' || tk[i+6] || ' ' || tk[i+7])) AS sh
-         |  FROM (SELECT doc_id, bucket, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk FROM h)),
+         |  FROM (SELECT doc_id, bucket, regexp_split_to_array(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+') AS tk FROM h)),
          |tg AS (SELECT doc_id, list_reduce(list_transform(string_split_regex(substr(md5(u.s), 1, 14), ''),
          |    c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a * 16 + b) AS hh
          |  FROM toks, unnest(sh) AS u(s) WHERE bucket < 80),
@@ -7119,7 +7160,7 @@ object Queries {
          |    c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a * 16 + b) % 100 AS bucket FROM documents),
          |toks AS (SELECT doc_id, bucket, list_distinct(list_transform(generate_series(1, greatest(len(tk) - 7, 0)),
          |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4] || ' ' || tk[i+5] || ' ' || tk[i+6] || ' ' || tk[i+7])) AS sh
-         |  FROM (SELECT doc_id, bucket, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk FROM h)),
+         |  FROM (SELECT doc_id, bucket, regexp_split_to_array(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+') AS tk FROM h)),
          |tg AS (SELECT doc_id, list_reduce(list_transform(string_split_regex(substr(md5(u.s), 1, 14), ''),
          |    c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a * 16 + b) AS hh
          |  FROM toks, unnest(sh) AS u(s) WHERE bucket < 80),
@@ -7144,7 +7185,7 @@ object Queries {
          |  CAST(sum(CASE WHEN NOT coalesce(lang IN ('en','de','zh','fr','es'), FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v2,
          |  CAST(sum(CASE WHEN NOT coalesce(n_chars = length(text), FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v3,
          |  CAST(sum(CASE WHEN NOT coalesce(length(text) >= 50, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v4,
-         |  CAST(sum(CASE WHEN NOT coalesce(len(regexp_split_to_array(lower(trim(text)), '\\s+')) >= 1, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v5,
+         |  CAST(sum(CASE WHEN NOT coalesce(len(regexp_split_to_array(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+')) >= 1, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v5,
          |  CAST(count(DISTINCT doc_id) AS BIGINT) AS d FROM documents)
          |SELECT * FROM (
          |  SELECT 'doc_id_not_null' AS "check", n AS n_rows, v1 AS n_violations, v1 = 0 AS pass FROM base
@@ -7162,7 +7203,7 @@ object Queries {
          |    c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a * 16 + b) % 100 AS bucket FROM documents),
          |toks AS (SELECT doc_id, bucket, list_distinct(list_transform(generate_series(1, greatest(len(tk) - 7, 0)),
          |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4] || ' ' || tk[i+5] || ' ' || tk[i+6] || ' ' || tk[i+7])) AS sh
-         |  FROM (SELECT doc_id, bucket, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk FROM h)),
+         |  FROM (SELECT doc_id, bucket, regexp_split_to_array(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+') AS tk FROM h)),
          |vg AS (SELECT DISTINCT doc_id AS bench_id, list_reduce(list_transform(string_split_regex(substr(md5(u.s), 1, 14), ''),
          |    c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a * 16 + b) AS hh
          |  FROM toks, unnest(sh) AS u(s) WHERE bucket >= 80 AND bucket < 90),
@@ -7181,7 +7222,7 @@ object Queries {
     // double op replays in the same operand order
     "corpus_temperature_mix" ->
       s"""WITH t AS (SELECT source,
-         |  CAST(sum(len(regexp_split_to_array(lower(trim(text)), '\\s+'))) AS BIGINT) AS n_tokens
+         |  CAST(sum(len(regexp_split_to_array(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+'))) AS BIGINT) AS n_tokens
          |  FROM documents GROUP BY source),
          |q AS (SELECT source, n_tokens,
          |  CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 10000.0 + 0.5) AS BIGINT) AS qq FROM t),
@@ -7199,7 +7240,7 @@ object Queries {
          |    c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a * 16 + b) % 100 AS bucket FROM documents),
          |toks AS (SELECT doc_id, bucket, list_distinct(list_transform(generate_series(1, greatest(len(tk) - 7, 0)),
          |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4] || ' ' || tk[i+5] || ' ' || tk[i+6] || ' ' || tk[i+7])) AS sh
-         |  FROM (SELECT doc_id, bucket, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk FROM h)),
+         |  FROM (SELECT doc_id, bucket, regexp_split_to_array(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+') AS tk FROM h)),
          |vg AS (SELECT DISTINCT doc_id, list_reduce(list_transform(string_split_regex(substr(md5(u.s), 1, 14), ''),
          |    c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a * 16 + b) AS hh
          |  FROM toks, unnest(sh) AS u(s) WHERE bucket >= 80 AND bucket < 90),
@@ -7214,7 +7255,7 @@ object Queries {
     "corpus_sample_budget" ->
       """WITH h AS (SELECT doc_id, list_reduce(list_transform(string_split_regex(substr(md5(text), 1, 8), ''),
         |    c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a * 16 + b) AS hv,
-        |    CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS BIGINT) AS n
+        |    CAST(len(regexp_split_to_array(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\s+')) AS BIGINT) AS n
         |  FROM documents),
         |p AS (SELECT doc_id, n,
         |    sum(n) OVER (ORDER BY hv, doc_id ROWS UNBOUNDED PRECEDING) AS cum
@@ -7235,7 +7276,7 @@ object Queries {
       val caseW = epochPlanWeights
         .map { case (k, v) => s"WHEN '$k' THEN $v" }.mkString(" ")
       s"""WITH t AS (SELECT source,
-         |  CAST(sum(len(regexp_split_to_array(lower(trim(text)), '\\s+'))) AS BIGINT) AS n_tokens
+         |  CAST(sum(len(regexp_split_to_array(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+'))) AS BIGINT) AS n_tokens
          |  FROM documents GROUP BY source),
          |p AS (SELECT source, n_tokens,
          |  CASE source $caseW ELSE 0.0 END AS weight FROM t),
@@ -7251,7 +7292,7 @@ object Queries {
     "mix_token_budget" ->
       """WITH h AS (SELECT doc_id, source, list_reduce(list_transform(string_split_regex(substr(md5(text), 1, 8), ''),
         |    c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a * 16 + b) AS hv,
-        |    CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS BIGINT) AS n
+        |    CAST(len(regexp_split_to_array(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\s+')) AS BIGINT) AS n
         |  FROM documents WHERE source IN ('src0', 'src1', 'src3')),
         |p AS (SELECT doc_id, source, n,
         |    sum(n) OVER (PARTITION BY source ORDER BY hv, doc_id ROWS UNBOUNDED PRECEDING) AS cum
@@ -7347,7 +7388,7 @@ object Queries {
     // vocab-weighted adjacent-pair counts; substr/len count characters in
     // both engines, and the ORDER BY ties break on binary collation in both
     "vocab_bpe_pairs" ->
-      """WITH tok AS (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t FROM documents),
+      """WITH tok AS (SELECT unnest(regexp_split_to_array(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\s+')) AS t FROM documents),
         |v AS (SELECT t, count(*) AS tf FROM tok GROUP BY t),
         |p AS (SELECT unnest(list_transform(generate_series(1, len(t) - 1), i -> substr(t, i, 2))) AS pair, tf
         |  FROM v WHERE len(t) >= 2),
@@ -7356,7 +7397,7 @@ object Queries {
 
     // each coverage point is an ordered LIMIT + sum of exact integers
     "vocab_coverage" ->
-      """WITH tok AS (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token FROM documents),
+      """WITH tok AS (SELECT unnest(regexp_split_to_array(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\s+')) AS token FROM documents),
         |v AS (SELECT token, count(*) AS tf FROM tok WHERE token <> '' GROUP BY token),
         |t AS (SELECT CAST(sum(tf) AS BIGINT) AS total, CAST(count(*) AS BIGINT) AS vocab_size FROM v),
         |k10 AS (SELECT CAST(coalesce(sum(tf), 0) AS BIGINT) AS s FROM (SELECT tf FROM v ORDER BY tf DESC, token ASC LIMIT 10)),
@@ -7369,7 +7410,7 @@ object Queries {
         |FROM t, k10, k100, k1000""".stripMargin,
 
     "vocab_top" ->
-      """WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
+      """WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\s+')) AS token
         |  FROM documents),
         |pd AS (SELECT token, doc_id, count(*) AS c FROM tok GROUP BY token, doc_id),
         |g AS (SELECT token, CAST(sum(c) AS BIGINT) AS tf, CAST(count(*) AS BIGINT) AS df
@@ -7394,7 +7435,7 @@ object Queries {
 
     "pack_sequences" ->
       """WITH t AS (SELECT doc_id, doc_id % 8 AS shard,
-        |    CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS BIGINT) AS n_tokens
+        |    CAST(len(regexp_split_to_array(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\s+')) AS BIGINT) AS n_tokens
         |  FROM documents),
         |tp AS (SELECT * FROM t WHERE n_tokens >= 1),
         |c AS (SELECT doc_id, shard, n_tokens,
@@ -7435,8 +7476,8 @@ object Queries {
     "media_features" ->
       s"""WITH m AS (SELECT doc_id AS media_id, ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS kind, text FROM documents WHERE text IS NOT NULL),
          |idx AS (SELECT unnest(generate_series(0, 7)) AS feature_idx),
-         |b AS (SELECT media_id, (u.i - 1) % 8 AS fi, ord(substr(text, CAST(u.i AS INT), 1)) AS bv
-         |  FROM m, unnest(generate_series(1, strlen(text))) AS u(i)),
+         |b AS (SELECT media_id, (u.i - 1) % 8 AS fi, ord(substr(text, CAST(u.i AS INT), 1)) % 256 AS bv
+         |  FROM m, unnest(generate_series(1, length(text))) AS u(i)),
          |a AS (SELECT media_id, fi, sum(bv) AS s, count(*) AS c FROM b GROUP BY 1, 2),
          |f AS (SELECT m.media_id, m.kind, idx.feature_idx,
          |    CAST(coalesce(a.s / (a.c * 255.0), 0.0) AS REAL) AS fv
@@ -7450,14 +7491,14 @@ object Queries {
     // so encode→container→decode must land exactly here); float-cast
     // then r4, same as the Spark side's Array[Float] surface
     "media_codec_features" ->
-      s"""WITH d0 AS (SELECT doc_id, text, n_chars, strlen(text) AS len FROM documents WHERE strlen(text) > 0),
+      s"""WITH d0 AS (SELECT doc_id, text, n_chars, length(text) AS len FROM documents WHERE length(text) > 0),
          |fx AS (SELECT unnest(generate_series(0, 7)) AS feature_idx),
          |img AS (SELECT doc_id, text, len, CAST(n_chars % 16 + 4 AS BIGINT) AS w, CAST(n_chars % 12 + 4 AS BIGINT) AS h
          |  FROM d0 WHERE doc_id % 2 = 0),
          |ipx AS (SELECT doc_id, w, h, u.i AS i,
-         |    ord(substr(text, CAST((u.i % len) + 1 AS INT), 1)) AS r,
-         |    ord(substr(text, CAST(((u.i + 1) % len) + 1 AS INT), 1)) AS g,
-         |    ord(substr(text, CAST(((u.i + 2) % len) + 1 AS INT), 1)) AS b
+         |    ord(substr(text, CAST((u.i % len) + 1 AS INT), 1)) % 256 AS r,
+         |    ord(substr(text, CAST(((u.i + 1) % len) + 1 AS INT), 1)) % 256 AS g,
+         |    ord(substr(text, CAST(((u.i + 2) % len) + 1 AS INT), 1)) % 256 AS b
          |  FROM img, unnest(generate_series(0, w * h - 1)) AS u(i)),
          |iagg AS (SELECT doc_id, w, h, count(*) AS n,
          |    CAST(sum(r) AS BIGINT) AS sr, CAST(sum(g) AS BIGINT) AS sg, CAST(sum(b) AS BIGINT) AS sb,
@@ -7476,7 +7517,7 @@ object Queries {
          |  FROM iagg CROSS JOIN fx),
          |aud AS (SELECT doc_id, text, least(len, 2048) AS n FROM d0 WHERE doc_id % 2 = 1),
          |asmp AS (SELECT doc_id, n, u.i AS i,
-         |    (ord(substr(text, CAST(u.i + 1 AS INT), 1)) - 128) * 256 AS s
+         |    (ord(substr(text, CAST(u.i + 1 AS INT), 1)) % 256 - 128) * 256 AS s
          |  FROM aud, unnest(generate_series(0, n - 1)) AS u(i)),
          |azc AS (SELECT doc_id, n, i, abs(s) AS a,
          |    CASE WHEN lag(s) OVER (PARTITION BY doc_id ORDER BY i) IS NULL THEN 0
@@ -7508,9 +7549,9 @@ object Queries {
          |FROM allf ORDER BY media_id, feature_idx""".stripMargin,
 
     "media_resize" ->
-      """WITH m AS (SELECT doc_id AS media_id, strlen(text) AS len, text,
+      """WITH m AS (SELECT doc_id AS media_id, length(text) AS len, text,
         |    CAST(n_chars % 64 + 16 AS BIGINT) AS w, CAST(n_chars % 48 + 16 AS BIGINT) AS h
-        |  FROM documents WHERE doc_id % 3 = 0 AND strlen(text) > 0),
+        |  FROM documents WHERE doc_id % 3 = 0 AND length(text) > 0),
         |g AS (SELECT media_id, text, len, w, h, u.y, v.x
         |  FROM m, (SELECT unnest(generate_series(0, 3)) AS y) u,
         |       (SELECT unnest(generate_series(0, 3)) AS x) v),
@@ -7518,11 +7559,11 @@ object Queries {
         |  (CAST(floor(y * h / 4) AS BIGINT) * w + CAST(floor(x * w / 4) AS BIGINT)) % len AS src
         |  FROM g)
         |SELECT media_id, CAST(y AS INT) AS y, CAST(x AS INT) AS x,
-        |  CAST(ord(substr(text, CAST(src + 1 AS INT), 1)) AS INT) AS value
+        |  CAST(ord(substr(text, CAST(src + 1 AS INT), 1)) % 256 AS INT) AS value
         |FROM s ORDER BY media_id, y, x""".stripMargin,
 
     "media_frame_sample" ->
-      """WITH m AS (SELECT doc_id AS media_id, strlen(text) AS clen, CAST(n_chars % 30 + 1 AS BIGINT) AS nf
+      """WITH m AS (SELECT doc_id AS media_id, length(text) AS clen, CAST(n_chars % 30 + 1 AS BIGINT) AS nf
         |  FROM documents WHERE doc_id % 3 = 2 AND text IS NOT NULL),
         |f AS (SELECT media_id, clen, nf, greatest(CAST(floor(clen / nf) AS BIGINT), 1) AS flen FROM m),
         |x AS (SELECT media_id, u.i AS frame_idx, flen, clen FROM f, unnest(generate_series(0, nf - 1, 2)) AS u(i))
@@ -7977,7 +8018,7 @@ object Queries {
     // token tiebreak; ln's last ulp is absorbed by the quantization
     // (text_lm_score precedent)
     "text_keywords" ->
-      s"""WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token
+      s"""WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+')) AS token
          |  FROM documents),
          |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
          |  FROM toks WHERE token <> '' GROUP BY doc_id, token),
@@ -8013,7 +8054,7 @@ object Queries {
     // the lang_id argmax CTE crossed with source; fractions divide
     // exact counts
     "corpus_lang_matrix" ->
-      s"""WITH t AS (SELECT source, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk FROM documents),
+      s"""WITH t AS (SELECT source, regexp_split_to_array(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+') AS tk FROM documents),
          |s AS (SELECT source,
          |  len(list_filter(tk, x -> list_contains(['the','a','of','to','and','is','in','it'], x))) AS e,
          |  len(list_filter(tk, x -> list_contains(['el','la','de','que','y','en','un','es'], x))) AS sp,
@@ -8040,7 +8081,7 @@ object Queries {
     // both deduplicate, so stop_hits counts DISTINCT stopwords present
     "text_gopher" ->
       s"""WITH b AS (SELECT doc_id, text,
-         |    regexp_split_to_array(lower(trim(text)), '\\s+') AS tk,
+         |    regexp_split_to_array(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+') AS tk,
          |    string_split(text, chr(10)) AS ls
          |  FROM documents),
          |m AS (SELECT doc_id,

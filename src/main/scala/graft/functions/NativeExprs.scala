@@ -51,7 +51,10 @@ object NativeExprs {
     asCol(Md5MinWindowExpr(ex(text), window))
 
   /** Lowercased whitespace tokenization — compiled twin of
-    * `split(lower(trim(text)), "\\s+")` with Spark's exact semantics:
+    * `split(translate(trim(text), 'A'..'Z', 'a'..'z'), "\\s+")` (ASCII-only
+    * case fold — see [[graft.operators.TextOps.asciiLower]] for why full
+    * Unicode lowering is NOT portable cross-engine) with Spark's exact
+    * semantics:
     * `trim` strips SPACES only (not tabs/newlines), `split` uses limit -1
     * (a leading whitespace run yields a leading "" element, a trailing
     * run a trailing "" element, and "" tokenizes to [""]). Whitespace =
@@ -66,7 +69,17 @@ object NativeExprs {
     override def eval(input: InternalRow): Any = {
       val t = child.eval(input).asInstanceOf[UTF8String]
       if (t == null) return null
-      val bytes = t.trim().toLowerCase.getBytes
+      // ASCII-only case fold (see TextOps.asciiLower for the convention).
+      // getBytes may alias the underlying buffer, so copy before mapping;
+      // multibyte UTF-8 units are negative bytes and fall outside [A-Z].
+      val raw = t.trim().getBytes
+      val bytes = java.util.Arrays.copyOf(raw, raw.length)
+      var k = 0
+      while (k < bytes.length) {
+        val b = bytes(k)
+        if (b >= 'A' && b <= 'Z') bytes(k) = (b + 32).toByte
+        k += 1
+      }
       val out = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
       val n = bytes.length
       var start = 0
@@ -86,6 +99,63 @@ object NativeExprs {
   }
 
   def whitespaceTokens(text: Column): Column = asCol(WhitespaceTokensExpr(ex(text)))
+
+  /** Text → binary, one byte per CHARACTER: byte i = codepoint i mod 256.
+    * The synthetic-media payload projection ([[graft.operators.Multimodal
+    * .syntheticMedia]]): identical to the raw UTF-8 bytes on ASCII text,
+    * but — unlike a UTF-8 byte stream — addressable per character in
+    * portable SQL (`ord(substr(text, i, 1)) % 256`), which is what keeps
+    * the media oracles expressible cross-engine on multibyte text. */
+  case class CodepointBytesExpr(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = BinaryType
+    override def nullable: Boolean = child.nullable
+    override def eval(input: InternalRow): Any = {
+      val t = child.eval(input).asInstanceOf[UTF8String]
+      if (t == null) return null
+      val s = t.toString
+      val out = new Array[Byte](s.codePointCount(0, s.length))
+      var i = 0
+      var k = 0
+      while (i < s.length) {
+        val cp = s.codePointAt(i)
+        out(k) = (cp & 0xff).toByte
+        k += 1
+        i += Character.charCount(cp)
+      }
+      out
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  def codepointBytes(text: Column): Column = asCol(CodepointBytesExpr(ex(text)))
+
+  /** NFC canonical normalization (Unicode UAX #15). Both java.text
+    * .Normalizer (this side) and utf8proc (the DuckDB oracle's
+    * `nfc_normalize`) implement the same standard algorithm, and NFC is
+    * stabilized for assigned codepoints — so unlike case folding (see
+    * [[graft.operators.TextOps.asciiLower]]) canonical composition IS
+    * portable cross-engine. The fast path matters at scale: real corpora
+    * are overwhelmingly already-NFC (all ASCII is), and `isNormalized`'s
+    * quick-check scan returns the input UTF8String untouched — no
+    * decode, no allocation — so the kernel is ~a byte scan except on the
+    * rare decomposed document. */
+  case class NfcNormalizeExpr(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = child.nullable
+    override def eval(input: InternalRow): Any = {
+      val t = child.eval(input).asInstanceOf[UTF8String]
+      if (t == null) return null
+      val s = t.toString
+      if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) t
+      else UTF8String.fromString(
+        java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  def nfcNormalize(text: Column): Column = asCol(NfcNormalizeExpr(ex(text)))
 
   /** Word n-gram shingles (multiset) — compiled twin of
     * `transform(sequence(0, size(t)-n), i -> concat_ws(" ", t[i+1..i+n]))`

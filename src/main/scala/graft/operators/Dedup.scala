@@ -29,6 +29,15 @@ object Dedup {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
       .select(col("keep_id"), col("n_dups"))
 
+  /** Exact dedup over the NFC-normalized text: canonically-equivalent
+    * spellings (composed é vs e + U+0301) hash to one group that raw
+    * [[exact]] keeps apart. Same scale shape — the normalize + sha-256
+    * is map-side, only the 64-byte digest shuffles. */
+  def exactNfc(docs: DataFrame): DataFrame =
+    docs.groupBy(sha2(TextOps.nfc(col("text")), 256).as("__h"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+      .select(col("keep_id"), col("n_dups"))
+
   /** MinHash signature via the Kirsch-Mitzenmacher construction: ONE md5
     * per shingle yields two independent 56-bit integers (hex substrings),
     * and permutation `i` is the derived hash `h1 + i·h2` — so the md5 cost

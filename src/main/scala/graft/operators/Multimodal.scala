@@ -43,9 +43,12 @@ object Multimodal {
       StructField("n_frames", IntegerType))), nullable = false)))
 
   /** Deterministic synthetic media derived from the documents table (the
-    * container has no real media); payload = utf8 text bytes, metadata
-    * derived from doc stats. Kind round-robins by doc_id. Null-text
-    * docs are dropped at construction: [[mediaSchema]] declares
+    * container has no real media); payload = one byte per CHARACTER
+    * (codepoint mod 256 — [[graft.functions.NativeExprs.codepointBytes]];
+    * identical to the raw UTF-8 bytes on ASCII text, and character-
+    * addressable in portable SQL where a UTF-8 byte stream is not),
+    * metadata derived from doc stats. Kind round-robins by doc_id.
+    * Null-text docs are dropped at construction: [[mediaSchema]] declares
     * `content` non-null (a media row without a payload is malformed at
     * ingest), and an unfiltered cast would smuggle a null binary into
     * the codec (NPE — adversarial-data finding, r8). */
@@ -54,7 +57,7 @@ object Multimodal {
       col("doc_id").as("media_id"),
       element_at(array(lit("image"), lit("audio"), lit("video")),
         (col("doc_id") % 3 + 1).cast("int")).as("kind"),
-      col("text").cast("binary").as("content"),
+      graft.functions.NativeExprs.codepointBytes(col("text")).as("content"),
       struct(
         (col("n_chars") % 64 + 16).cast("int").as("width"),
         (col("n_chars") % 48 + 16).cast("int").as("height"),
@@ -365,7 +368,8 @@ object Multimodal {
     }
   }
 
-  /** Real-codec media fixture: encodes each document's text bytes into a
+  /** Real-codec media fixture: encodes each document's payload bytes
+    * (the codepoint-mod-256 projection, see [[syntheticMedia]]) into a
     * REAL container — even doc_id → P6 PPM (w = n_chars%16+4,
     * h = n_chars%12+4, channels = bytes at i/i+1/i+2 mod len), odd
     * doc_id → mono 16-bit PCM WAV at 8 kHz (sample i =
@@ -377,7 +381,8 @@ object Multimodal {
   def codecMedia(docs: DataFrame, maxSamples: Int = 2048): DataFrame = {
     val enc = RowEncoder.encoderFor(mediaSchema)
     docs.where(length(col("text")) > 0)
-      .select(col("doc_id"), col("text").cast("binary").as("b"),
+      .select(col("doc_id"),
+        graft.functions.NativeExprs.codepointBytes(col("text")).as("b"),
         col("n_chars").cast("int").as("nc"))
       .mapPartitions { rows =>
         rows.map { r =>

@@ -18,9 +18,35 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
+  /** The canonical case fold for ALL text normalization in this engine:
+    * ASCII-only ('A'-'Z' → 'a'-'z'; every other codepoint untouched).
+    *
+    * Full Unicode lowering is deliberately NOT used: Java (Spark) applies
+    * full contextual mappings (İ → i+U+0307, final-sigma Σ → ς) while
+    * utf8proc (DuckDB et al.) applies simple 1:1 mappings (İ → i, Σ → σ
+    * everywhere) — so a cross-engine pipeline can never reproduce byte-
+    * identical tokens on such text, and even single-engine results drift
+    * with the JVM's Unicode data version across a mixed-version cluster.
+    * ASCII folding is deterministic forever, byte-local (stays inside the
+    * codegen'd byte-scan kernels), and loses nothing semantically: in a
+    * multilingual corpus non-ASCII case IS content. `translate` has
+    * identical per-codepoint semantics in Spark and DuckDB, so the oracle
+    * twin is the same expression verbatim. */
+  def asciiLower(c: Column): Column =
+    translate(c, "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz")
+
+  /** NFC canonical normalization (UAX #15) — the ONE Unicode transform
+    * this engine does apply (unlike full case folding, canonical
+    * composition is engine-portable; see [[graft.functions.NativeExprs
+    * .NfcNormalizeExpr]]). Use before exact-hash dedup so NFC/NFD
+    * spellings of the same text (café composed vs café decomposed)
+    * land in one group. */
+  def nfc(text: Column): Column =
+    graft.functions.NativeExprs.nfcNormalize(text)
+
   /** Lowercased whitespace tokenization. Native kernel; the declarative
     * twin (what the DuckDB oracle mirrors) is
-    * `split(lower(trim(text)), "\\s+")`. */
+    * `split(translate(trim(text), 'A'..'Z', 'a'..'z'), "\\s+")`. */
   def tokens(text: Column): Column =
     graft.functions.NativeExprs.whitespaceTokens(text)
 
@@ -35,9 +61,9 @@ object TextOps {
     * DuckDB oracle (`regexp_extract_all`) counts identically. */
   val BpeishPattern = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s]+|\\s+"
 
-  /** Approximate subword token count over the lowercased text. */
+  /** Approximate subword token count over the (ASCII-)lowercased text. */
   def bpeTokenCount(text: Column): Column =
-    regexp_count(lower(trim(text)), lit(BpeishPattern))
+    regexp_count(asciiLower(trim(text)), lit(BpeishPattern))
 
   /** Word n-gram shingles (MULTISET — duplicates kept). Native kernel;
     * the declarative twin is `transform(sequence(0, size(t)-n),
@@ -170,7 +196,7 @@ object TextOps {
   private def qualityFormula(
       text: Column, nTok: Column, stopHits: Column, lenSum: Column): Column = {
     val nChars = length(text).cast("double")
-    val punct = length(regexp_replace(lower(text), "[a-z0-9\\s]", "")).cast("double")
+    val punct = length(regexp_replace(asciiLower(text), "[a-z0-9\\s]", "")).cast("double")
     val punctRatio = when(nChars > 0, punct / nChars).otherwise(lit(0.0))
     val stopRatio = when(nTok > 0, stopHits / nTok).otherwise(lit(0.0))
     val avgTokLen = when(nTok > 0, lenSum / nTok).otherwise(lit(0.0))

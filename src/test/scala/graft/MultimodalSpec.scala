@@ -180,7 +180,8 @@ class MultimodalSpec extends SparkSpec {
     val src = docs.select("doc_id", "text", "n_chars")
       .as[(Long, String, Long)].collect().filter(_._2.nonEmpty)
     src.foreach { case (id, text, nc) =>
-      val b = text.getBytes("UTF-8")
+      // the payload projection: one byte per character, codepoint mod 256
+      val b = text.codePoints().toArray.map(cp => (cp & 0xff).toByte)
       val want: Array[Float] =
         if (id % 2 == 0) {
           val w = (nc % 16 + 4).toInt; val h = (nc % 12 + 4).toInt

@@ -42,7 +42,8 @@ class NativeExprsSpec extends SparkSpec {
 
   // --- HOF twins (the oracle-mirrored formulations) ---------------------
 
-  private def hofTokens(text: Column): Column = split(lower(trim(text)), "\\s+")
+  private def hofTokens(text: Column): Column =
+    split(graft.operators.TextOps.asciiLower(trim(text)), "\\s+")
 
   private def hofShingles(t: Column, n: Int): Column = {
     val grams = transform(
@@ -72,6 +73,28 @@ class NativeExprsSpec extends SparkSpec {
 
   test("whitespaceTokens == split(lower(trim), \\s+) incl. edge docs") {
     assertSame(NativeExprs.whitespaceTokens(col("text")), hofTokens(col("text")), docsDf)
+  }
+
+  test("nfcNormalize: NFD composes to NFC, NFC/ASCII are identity, null stays null") {
+    import java.text.Normalizer
+    // explicit escapes: composed \u00e9 / \u00fc / precomposed Hangul \uac00
+    val nfcText = "caf\u00e9 \u00fcber \uac00"
+    val nfdText = Normalizer.normalize(nfcText, Normalizer.Form.NFD)
+    assert(nfdText != nfcText) // the fixture really is decomposed
+    val rows = Seq(
+      (1L, nfdText, nfcText),                      // decomposed -> composed
+      (2L, "plain ascii", "plain ascii"),          // fast path identity
+      (3L, nfcText, nfcText),                      // already NFC
+      (4L, "", ""),                                // empty
+      (5L, null.asInstanceOf[String], null.asInstanceOf[String]))
+      .toDF("id", "text", "want")
+    val bad = rows.select(NativeExprs.nfcNormalize(col("text")).as("got"), col("want"))
+      .where(!(col("got") <=> col("want")))
+    assert(bad.count() === 0, bad.take(5).mkString(", "))
+    // the dedup use: the NFC and NFD spellings hash to ONE group
+    val merged = Seq((1L, "caf\u00e9 x"), (2L, "cafe\u0301 x")).toDF("doc_id", "text")
+      .groupBy(sha2(NativeExprs.nfcNormalize(col("text")), 256)).count().collect()
+    assert(merged.length === 1 && merged.head.getLong(1) === 2L)
   }
 
   test("shingles == transform/concat_ws twin (multiset, short-doc guard)") {

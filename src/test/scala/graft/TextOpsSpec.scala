@@ -89,7 +89,8 @@ class TextOpsSpec extends SparkSpec {
       .select($"doc_id", $"r.top_token_frac", $"r.dup_2gram_frac", $"r.dup_3gram_frac")
       .as[(Long, Double, Double, Double)].collect().sortBy(_._1)
     texts.zipWithIndex.foreach { case (t, i) =>
-      val tk = t.toLowerCase.trim.split("\\s+").toSeq
+      val tk = t.map(c => if (c >= 'A' && c <= 'Z') (c + 32).toChar else c)
+        .trim.split("\\s+").toSeq
       def grams(n: Int) = if (tk.size < n) Seq.empty
         else tk.sliding(n).map(_.mkString(" ")).toSeq
       def dupFrac(g: Seq[String]) =

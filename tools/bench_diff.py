@@ -21,6 +21,13 @@ import json, re, sys
 def load_queries(path):
     with open(path) as f:
         raw = f.read()
+    if not raw.lstrip().startswith('{'):
+        # raw sbt log capture: find the bench JSON line behind its prefix
+        for line in raw.splitlines():
+            i = line.find('{"metric"')
+            if i >= 0:
+                raw = line[i:]
+                break
     d = json.loads(raw)
     if 'queries' in d and isinstance(d['queries'], dict):
         return d.get('value'), d['queries']

@@ -13,8 +13,15 @@ Every cross-engine divergence this surfaces is a real finding: either
 an engine crash (r8: null-text media payload NPE), a population
 mismatch (r8: HLL ignores null users, the exact leg counted them), or
 an oracle that silently disagrees with the engine on edge rows (r8:
-seven null-text semantic misalignments). Text stays ASCII — the
-byte==codepoint contract the text oracles rely on.
+seven null-text semantic misalignments).
+
+The unicode axis (added late r8) deliberately BREAKS the byte==codepoint
+assumption: astral emoji (surrogate pairs in UTF-16, 4-byte UTF-8), NFC
+vs NFD combining-mark pairs, CJK spaceless text, RTL Arabic, case-fold
+traps (ß, Turkish İ/ı), unicode whitespace variants (NBSP, U+2028,
+U+3000), and escaped-surrogate JSON payloads — every place where a
+kernel counting bytes, UTF-16 units, or codepoints could diverge from
+the oracle's utf8proc view.
 """
 import sys, os, shutil, datetime as dt
 import pyarrow as pa
@@ -66,19 +73,49 @@ long_text = ' '.join(f'w{i % 997}' for i in range(20000))
 punct_text = '!!! ??? ... ;;; ::: --- ((( ))) *** &&&'
 digit_text = '123 456 789 000 111 222 333 444 555 666'
 char_rep = 'a' * 5000
+# unicode axis: texts that break byte==codepoint==UTF-16-unit equalities.
+# python len() is codepoints, matching Spark length() and DuckDB length().
+uni_texts = [
+    # astral emoji (4-byte UTF-8, surrogate pair in UTF-16) mixed with words
+    'rocket \U0001F680 launch \U0001F600 smile \U0001F680 again',
+    # NFC vs NFD pair: same rendered text, different codepoints — exact
+    # dedup must see them as DISTINCT on both engines
+    'caf\u00e9 norm caf\u00e9 norm',  # NFC (escape keeps the source ASCII-safe)
+    'cafe\u0301 norm cafe\u0301 norm',  # NFD: same rendering, different codepoints
+    # CJK, no ASCII spaces at all (whitespace tokenizers see ONE token)
+    '日本語のテキストです。'
+    '漢字と仮名が混在する文。',
+    # RTL Arabic with spaces
+    'مرحبا بالعالم'
+    ' هذا نص عربي',
+    # case-fold traps: ß (upper→SS in Java, ẞ in utf8proc?), Turkish İ/ı,
+    # and a mixed-case Greek word (final sigma lowercasing)
+    'straße STRASSE İstanbul ışık ΣΟΦΟΣ σοφός',
+    # unicode whitespace variants BETWEEN ascii words: NBSP, line sep,
+    # ideographic space, zero-width space — ASCII tokenizers keep these
+    # glued into single tokens on both engines (or not — that is the probe)
+    'aa bb cc dd ee　ff gg​hh',
+    # combining-heavy zalgo-ish cluster + an emoji ZWJ family sequence
+    'ź̂̃̄alg̀o \U0001F468‍\U0001F469‍\U0001F467 end',
+]
+uni_ids   = [900013 + i for i in range(len(uni_texts))]
+uni_langs = ['en', 'fr', 'fr', 'ja', 'ar', 'de', 'en', 'en']
+uni_srcs  = ['advemoji', 'advnfc', 'advnfd', 'advcjk', 'advrtl',
+             'advcase', 'advuws', 'advzalgo']
 adv_docs = {
     'doc_id':  [900001, 900002, 900003, 900004, 900005, 900006, 900007,
-                900008, 900009, 900010, 900011, 900012],
+                900008, 900009, 900010, 900011, 900012] + uni_ids,
     'text':    [None, '', 'a', '   ', 'x x x x x x x x x x',
                 'the quick brown fox', 'the quick brown fox', '\t\n  \n\t',
-                long_text, punct_text, digit_text, char_rep],
+                long_text, punct_text, digit_text, char_rep] + uni_texts,
     'lang':    [None, 'en', 'en', 'en', 'en', 'en', 'en', 'en', 'en',
-                'en', 'en', 'en'],
+                'en', 'en', 'en'] + uni_langs,
     'source':  ['advnull', 'advempty', 'adv1', 'advws', 'advrep',
                 'advdup', 'advdup', 'advws', 'advlong', 'advpunct',
-                'advdigit', 'advchar'],
+                'advdigit', 'advchar'] + uni_srcs,
     'n_chars': [0, 0, 1, 3, 19, 19, 19, 6, len(long_text),
-                len(punct_text), len(digit_text), len(char_rep)],
+                len(punct_text), len(digit_text), len(char_rep)]
+               + [len(t) for t in uni_texts],
 }
 pq.write_table(
     pa.concat_tables([d, pa.table(adv_docs, schema=d.schema)]),
@@ -112,6 +149,15 @@ rows += [
     (900040, dt.datetime(2024, 3, 5, 9, 0, 0), 777005, 'click', 1.5, '{}'),
     (900041, dt.datetime(2024, 3, 5, 10, 0, 0), 777005, 'purchase', 20.0, '{}'),
     (900042, dt.datetime(2024, 3, 5, 11, 0, 1), 777005, 'purchase', 30.0, '{}'),
+    # unicode JSON lanes: raw astral emoji in a string value, an ESCAPED
+    # surrogate pair (the JSON-legal spelling of the same emoji), and an
+    # escaped BMP char — extraction must agree cross-engine on all three
+    (900050, dt.datetime(2024, 3, 6, 9, 0, 0), 777006, 'view', 1.0,
+     '{"page": "café \U0001F680", "n": 1}'),
+    (900051, dt.datetime(2024, 3, 6, 9, 1, 0), 777006, 'view', 2.0,
+     '{"page": "caf\\u00e9 \\ud83d\\ude80", "n": 2}'),
+    (900052, dt.datetime(2024, 3, 6, 9, 2, 0), 777006, 'view', 3.0,
+     '{"page": "plain", "n": 3}'),
 ]
 # whale key: ONE user holding a 300-event burst spread across 3 days
 # (crosses the 86400 s chunk boundary of the segmented as-of path) with
