@@ -178,4 +178,72 @@ adv_e = pa.table(
      'value': [r[4] for r in rows], 'props': [r[5] for r in rows]},
     schema=e.schema)
 pq.write_table(pa.concat_tables([e, adv_e]), f'{dst}/events.parquet')
+
+# relational axis (late r8): the TPC-H tables were copied verbatim until
+# now, so the 5 sales_/supplier_/parts_ queries never saw a hostile row.
+# Probes: NULL group keys (segment/brand), NULL measures inside existing
+# groups (sum skips them on both engines, count(*) does not), orphan
+# orders / childless orders (inner joins drop identically), a negative-
+# revenue return line, and an EXACT revenue tie at the top of
+# top_customers so the custkey tiebreak is pinned in data, not just SQL.
+def _append(name, rows_dict):
+    t = pq.read_table(f'{src}/{name}.parquet')
+    extra = pa.table(rows_dict, schema=t.schema)
+    pq.write_table(pa.concat_tables([t, extra]), f'{dst}/{name}.parquet')
+
+_append('customer', {
+    'c_custkey':    [980001, 980002, 980003, 980004],
+    'c_name':       ['Adv Tie A', 'Adv Tie B', None, 'Adv NullSeg'],
+    'c_nationkey':  [0, 0, 1, None],          # 980004: null nation drops from nation join
+    'c_acctbal':    [0.0, 0.0, None, -999.99],
+    'c_mktsegment': ['BUILDING', 'BUILDING', 'MACHINERY', None],
+})
+_append('orders', {
+    'o_orderkey':   [980101, 980102, 980103, 980104, 980105, 980106],
+    # 980103 is an ORPHAN (custkey not in customer); 980106 has NO lines
+    'o_custkey':    [980001, 980002, 979999, 980003, 980004, 980001],
+    'o_orderstatus': ['F', 'F', 'O', 'O', 'F', 'F'],
+    'o_totalprice': [1000.0, 1000.0, 50.0, None, 10.0, 0.0],
+    'o_orderdate':  [dt.datetime(2024, 1, 1)] * 6,
+    'o_orderpriority': ['1-URGENT'] * 6,
+})
+_append('lineitem', {
+    # two EXACTLY tied revenue lines (the top-customers tie: rev4 =
+    # 9e12 quanta = $900M each, far above any sf0.001 organic revenue
+    # (~$4.2M max), so the tied pair IS ranks 1-2 and only c_custkey
+    # orders them); a negative return line; a NULL-discount line (rev4
+    # NULL: summed-over on both engines while count(*) still counts
+    # it); an orphan-order line; and a line for the null-segment /
+    # null-nationkey customer so the NULL segment group actually
+    # carries revenue into sales_by_segment (while dropping out of
+    # sales_by_nation's equality join on the null nationkey)
+    'l_orderkey':   [980101, 980102, 980104, 980103, 980104, 980105],
+    'l_partkey':    [1, 1, 1, 1, 1, 1],
+    'l_suppkey':    [1, 1, 1, 1, 1, 1],
+    'l_linenumber': [1, 1, 2, 1, 3, 1],
+    'l_quantity':   [1.0, 1.0, -3.0, 1.0, 2.0, 1.0],
+    'l_extendedprice': [900000000.0, 900000000.0, -500.25, 50.0, 123.45, 77.5],
+    'l_discount':   [0.0, 0.0, 0.0, 0.0, None, 0.2],
+    'l_tax':        [0.0, 0.0, 0.0, 0.0, 0.0, 0.0],
+    'l_returnflag': ['N', 'N', 'R', 'N', 'N', 'N'],
+    'l_linestatus': ['F', 'F', 'F', 'O', 'O', 'F'],
+    'l_shipdate':   [dt.datetime(2024, 1, 15)] * 6,
+})
+_append('supplier', {
+    # null acctbal inside an existing region group: sum skips, count keeps
+    's_suppkey':   [980201, 980202],
+    's_name':      ['Adv Supp NullBal', 'Adv Supp NegBal'],
+    's_nationkey': [0, 2],
+    's_acctbal':   [None, -12.34],
+})
+_append('part', {
+    # null price inside an EXISTING brand (mean = sum-skips-null / count-
+    # all on both engines) plus a NULL brand group of its own
+    'p_partkey':   [980301, 980302],
+    'p_name':      ['adv null price', 'adv null brand'],
+    'p_brand':     ['Brand#11', None],
+    'p_type':      ['ADV TYPE', 'ADV TYPE'],
+    'p_size':      [1, None],
+    'p_retailprice': [None, 1.2345],
+})
 print(f'adversarial dir ready at {dst}')
