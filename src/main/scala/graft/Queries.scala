@@ -2853,15 +2853,24 @@ object Queries {
     // grand-total rows from ONE pass (Catalyst's Expand; fine here
     // because the aggregates are ADDITIVE — the repo's no-Expand rule
     // targets count_distinct, where Expand multiplies the shuffle by
-    // the grouping-set count for non-combinable state). Subtotal rows
-    // surface as 'ALL' (the data has no null source/lang to conflate)
+    // the grouping-set count for non-combinable state). Subtotals are
+    // labeled via grouping() — NOT a bare coalesce, which would
+    // conflate a genuine NULL-lang data row with its source's
+    // subtotal row (two identically-keyed rows with different
+    // counts; the hostile fixture carries such a doc)
     "corpus_rollup" -> ((s, dir) =>
       docs(s, dir)
         .withColumn("__nt", size(TextOps.tokens(col("text"))).cast("long"))
         .rollup(col("source"), col("lang"))
-        .agg(count(lit(1)).as("n_docs"), sum(col("__nt")).as("total_tokens"))
-        .select(coalesce(col("source"), lit("ALL")).as("source"),
-          coalesce(col("lang"), lit("ALL")).as("lang"),
+        // grouping() must live INSIDE the agg — in a later projection
+        // it has no Aggregate to resolve against
+        .agg(count(lit(1)).as("n_docs"), sum(col("__nt")).as("total_tokens"),
+          grouping(col("source")).as("__gs"), grouping(col("lang")).as("__gl"))
+        .select(
+          when(col("__gs") === 1, lit("ALL"))
+            .otherwise(coalesce(col("source"), lit("(null)"))).as("source"),
+          when(col("__gl") === 1, lit("ALL"))
+            .otherwise(coalesce(col("lang"), lit("(null)"))).as("lang"),
           col("n_docs"), col("total_tokens"))
         .orderBy("source", "lang")),
 
@@ -6829,8 +6838,11 @@ object Queries {
          |ORDER BY doc_id""".stripMargin,
 
     // GROUP BY ROLLUP replays the grouping sets; same 'ALL' coalesce
+    // grouping()-labeled subtotals: a NULL-lang data row keeps its own
+    // '(null)' identity instead of conflating with the subtotal row
     "corpus_rollup" ->
-      """SELECT coalesce(source, 'ALL') AS source, coalesce(lang, 'ALL') AS lang,
+      """SELECT CASE WHEN grouping(source) = 1 THEN 'ALL' ELSE coalesce(source, '(null)') END AS source,
+        |  CASE WHEN grouping(lang) = 1 THEN 'ALL' ELSE coalesce(lang, '(null)') END AS lang,
         |  CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(len(regexp_split_to_array(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\s+'))) AS BIGINT) AS total_tokens
         |FROM documents GROUP BY ROLLUP (source, lang)
