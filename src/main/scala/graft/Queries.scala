@@ -4456,6 +4456,21 @@ object Queries {
           min(col("__k")).as("k_min"), max(col("__k")).as("k_max"))
         .orderBy("event_type")),
 
+    // extension: STRING-valued props extraction — per-page event rollup
+    // (the page-analytics twin of events_props_stats's numeric path).
+    // Pins cross-engine JSON STRING decoding: a raw astral emoji in the
+    // payload and its escaped-surrogate-pair spelling must decode to
+    // the same page key. Missing key / empty / invalid props group
+    // under NULL on both engines
+    "events_props_pages" -> ((s, dir) =>
+      events(s, dir)
+        .select(get_json_object(col("props"), "$.page").as("page"),
+          floor(col("value") * lit(10000.0) + lit(0.5)).cast("long").as("__qv"))
+        .groupBy(col("page"))
+        .agg(count(lit(1)).as("n_events"),
+          r4(sum(col("__qv")).cast("double") / lit(10000.0)).as("value_sum"))
+        .orderBy("page")),
+
     // extension: LAST-TOUCH ATTRIBUTION — each purchase credited to the
     // campaign (props.k) of the user's most recent view at or before it,
     // via the zero-join as-of pass; revenue rolled up per campaign from
@@ -7785,6 +7800,17 @@ object Queries {
          |             THEN CAST(json_extract(props, '$$.k') AS BIGINT) END AS k
          |      FROM events)
          |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // json_extract_string decodes escaped surrogate pairs to the same
+    // UTF-8 as Spark's get_json_object — the unicode JSON-lane pin
+    "events_props_pages" ->
+      s"""SELECT page, CAST(count(*) AS BIGINT) AS n_events,
+         |  ${sqlR4("CAST(sum(qv) AS DOUBLE) / 10000.0")} AS value_sum
+         |FROM (SELECT CASE WHEN props IS NOT NULL AND json_valid(props)
+         |        THEN json_extract_string(props, '$$.page') END AS page,
+         |      CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS qv
+         |      FROM events)
+         |GROUP BY page ORDER BY page""".stripMargin,
 
     // the as-of credit replayed as rn=1 over (ts DESC, view_id DESC);
     // revenue from the same quantized longs
