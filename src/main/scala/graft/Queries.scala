@@ -4456,6 +4456,34 @@ object Queries {
           min(col("__k")).as("k_min"), max(col("__k")).as("k_max"))
         .orderBy("event_type")),
 
+    // extension: the events-side domain gate — the expectations report
+    // a pipeline publishes BEFORE trusting the event stream. The value
+    // domain is "finite or NULL" by convention: a NaN/Inf value would
+    // fail both engines' quantize casts LOUDLY (ANSI), which is the
+    // correct behavior for corrupt revenue — this report is how a run
+    // pre-screens for it. The props contract is "NULL or a JSON
+    // object"; the timestamp window is the operating epoch range
+    // (pre-1970 and far-future rows are data errors at this pipeline's
+    // domain — the hostile fixture carries both, so the report's
+    // violation counts are pinned nonzero cross-engine)
+    "events_expectations" -> ((s, dir) => {
+      val e = events(s, dir)
+      graft.operators.Corpus.expectations(e, Seq(
+          "event_id_not_null" -> col("event_id").isNotNull,
+          "user_known" -> col("user_id").isNotNull,
+          "ts_in_epoch_range" -> (col("ts") >= lit("1970-01-01 00:00:00").cast("timestamp")
+            && col("ts") < lit("2100-01-01 00:00:00").cast("timestamp")),
+          "value_finite_or_null" -> (col("value").isNull ||
+            (!isnan(col("value")) && abs(col("value")) < lit(Double.PositiveInfinity))),
+          "type_known" -> col("event_type").isin("view", "click", "purchase", "error"),
+          "props_null_or_object" -> (col("props").isNull ||
+            (get_json_object(col("props"), "$").isNotNull
+              && trim(col("props")).startsWith("{")))))
+        .unionByName(
+          graft.operators.Corpus.expectUnique(e, col("event_id"), "event_id_unique"))
+        .orderBy("check")
+    }),
+
     // extension: STRING-valued props extraction — per-page event rollup
     // (the page-analytics twin of events_props_stats's numeric path).
     // Pins cross-engine JSON STRING decoding: a raw astral emoji in the
@@ -7800,6 +7828,28 @@ object Queries {
          |             THEN CAST(json_extract(props, '$$.k') AS BIGINT) END AS k
          |      FROM events)
          |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // same stacked-counters layout as corpus_expectations; json_valid +
+    // a leading-brace test twins Spark's get_json_object('$') probe
+    // (both reject non-object and malformed payloads identically)
+    "events_expectations" ->
+      s"""WITH base AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(CASE WHEN NOT coalesce(event_id IS NOT NULL, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+         |  CAST(sum(CASE WHEN NOT coalesce(user_id IS NOT NULL, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+         |  CAST(sum(CASE WHEN NOT coalesce(ts >= TIMESTAMP '1970-01-01 00:00:00' AND ts < TIMESTAMP '2100-01-01 00:00:00', FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v3,
+         |  CAST(sum(CASE WHEN NOT coalesce(value IS NULL OR isfinite(value), FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v4,
+         |  CAST(sum(CASE WHEN NOT coalesce(event_type IN ('view','click','purchase','error'), FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v5,
+         |  CAST(sum(CASE WHEN NOT coalesce(props IS NULL OR (json_valid(props) AND trim(props) LIKE '{%'), FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v6,
+         |  CAST(count(DISTINCT event_id) AS BIGINT) AS d FROM events)
+         |SELECT * FROM (
+         |  SELECT 'event_id_not_null' AS "check", n AS n_rows, v1 AS n_violations, v1 = 0 AS pass FROM base
+         |  UNION ALL SELECT 'user_known', n, v2, v2 = 0 FROM base
+         |  UNION ALL SELECT 'ts_in_epoch_range', n, v3, v3 = 0 FROM base
+         |  UNION ALL SELECT 'value_finite_or_null', n, v4, v4 = 0 FROM base
+         |  UNION ALL SELECT 'type_known', n, v5, v5 = 0 FROM base
+         |  UNION ALL SELECT 'props_null_or_object', n, v6, v6 = 0 FROM base
+         |  UNION ALL SELECT 'event_id_unique', n, n - d, n = d FROM base)
+         |ORDER BY "check"""".stripMargin,
 
     // json_extract_string decodes escaped surrogate pairs to the same
     // UTF-8 as Spark's get_json_object — the unicode JSON-lane pin

@@ -158,6 +158,25 @@ rows += [
      '{"page": "caf\\u00e9 \\ud83d\\ude80", "n": 2}'),
     (900052, dt.datetime(2024, 3, 6, 9, 2, 0), 777006, 'view', 3.0,
      '{"page": "plain", "n": 3}'),
+    # timestamp axis: pre-1970 epoch (negative unix seconds — the
+    # truncate-vs-floor division trap for every bucketing/chunking
+    # path), a sub-second PRE-epoch instant (negative fractional
+    # seconds), a far-future year-2199 row, and a microsecond-adjacent
+    # pair straddling a whole-second boundary (floored-seconds
+    # tolerance + unix_timestamp truncation probes)
+    (900060, dt.datetime(1969, 12, 31, 22, 0, 0), 777007, 'view', 1.0, '{}'),
+    (900061, dt.datetime(1969, 12, 31, 23, 59, 59, 500000), 777007, 'click', 2.0, '{}'),
+    (900062, dt.datetime(1970, 1, 1, 0, 30, 0), 777007, 'purchase', 5.0, '{}'),
+    (900063, dt.datetime(2199, 12, 31, 23, 59, 59, 999999), 777008, 'view', 1.0, '{}'),
+    (900064, dt.datetime(2024, 6, 1, 0, 0, 0, 999999), 777009, 'view', 1.0, '{}'),
+    (900065, dt.datetime(2024, 6, 1, 0, 0, 1, 0), 777009, 'click', 1.0, '{}'),
+    # hostile props lanes: malformed JSON, a JSON literal that is valid
+    # but not an object, and a non-object array — the props contract
+    # ("NULL or a JSON object") must classify all three as violations
+    # on both engines while the extraction queries yield NULL fields
+    (900070, dt.datetime(2024, 6, 2, 9, 0, 0), 777010, 'view', 1.0, '{"broken'),
+    (900071, dt.datetime(2024, 6, 2, 9, 1, 0), 777010, 'view', 1.0, 'null'),
+    (900072, dt.datetime(2024, 6, 2, 9, 2, 0), 777010, 'view', 1.0, '[1, 2]'),
 ]
 # whale key: ONE user holding a 300-event burst spread across 3 days
 # (crosses the 86400 s chunk boundary of the segmented as-of path) with
