@@ -2024,9 +2024,7 @@ object Queries {
         octet_length(col("text")).cast("long").as("n_bytes"),
         regexp_count(col("text"), lit("[\\x{10000}-\\x{10FFFF}]"))
           .cast("long").as("n_astral"),
-        when(col("text").isNull, lit(null).cast("long"))
-          .otherwise((TextOps.nfc(col("text")) === col("text")).cast("long"))
-          .as("is_nfc"))
+        (TextOps.nfc(col("text")) === col("text")).cast("long").as("is_nfc"))
         .orderBy("doc_id")),
 
     // extension: MinHash(16 perms) + LSH(4 bands) near-dup join, 3-gram shingles
@@ -6311,9 +6309,14 @@ object Queries {
          |  ${sqlR4("pcand")} AS p_candidate
          |FROM p ORDER BY bands, i""".stripMargin,
 
+    // the digest key replays the LOSSY codepoint-mod-256 payload
+    // projection (codepointBytes) — hashing the raw text would keep
+    // two texts distinct that project to identical payload bytes
     "media_dedup" ->
       """WITH m AS (SELECT ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
-        |    md5(text) AS digest FROM documents WHERE text IS NOT NULL),
+        |    array_to_string(list_transform(generate_series(1, length(text)),
+        |      i -> CAST(ord(substr(text, CAST(i AS INT), 1)) % 256 AS VARCHAR)), ',') AS digest
+        |  FROM documents WHERE text IS NOT NULL),
         |g AS (SELECT kind, digest, CAST(count(*) AS BIGINT) AS n FROM m GROUP BY kind, digest)
         |SELECT kind, CAST(sum(n) AS BIGINT) AS n_media,
         |  CAST(count(*) AS BIGINT) AS n_distinct,

@@ -18,6 +18,23 @@ class SparkEntrySpec extends SparkSpec {
     assert(noOracle.isEmpty, s"queries without oracles: $noOracle")
   }
 
+  test("every oracle translate() case fold is the canonical alphabet pair") {
+    // The ASCII fold appears verbatim in dozens of oracle strings (plain
+    // string literals can't interpolate a shared constant); a one-letter
+    // typo in any copy would silently skew that oracle's tokenization.
+    // This pins every occurrence to the exact canonical spelling.
+    val canonical =
+      "translate\\((?:trim\\()?[A-Za-z_.]*text\\)?, " +
+        "'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'\\)"
+    val loose = "translate\\([^)]*\\)?, '[A-Z]+', '[a-z]+'\\)".r
+    SparkEntry.oracleSql.foreach { case (name, sql) =>
+      loose.findAllIn(sql).foreach { occ =>
+        assert(occ.matches(canonical),
+          s"$name: non-canonical case fold: $occ")
+      }
+    }
+  }
+
   test("declared SURVEY §2.3 inventory is fully implemented") {
     val declared = Set(
       "knn_euclidean", "knn_cosine", "knn_radius", "filter_and", "filter_or",

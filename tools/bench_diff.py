@@ -23,11 +23,14 @@ def load_queries(path):
         raw = f.read()
     if not raw.lstrip().startswith('{'):
         # raw sbt log capture: find the bench JSON line behind its prefix
-        for line in raw.splitlines():
-            i = line.find('{"metric"')
-            if i >= 0:
-                raw = line[i:]
-                break
+        i = raw.find('{"metric"')
+        if i < 0:
+            sys.exit(f'{path}: no bench JSON found (expected a line '
+                     'containing {"metric"...} or a plain JSON file)')
+        # parse from the match onward; trailing log lines after the JSON
+        # object are tolerated via raw_decode
+        d, _ = json.JSONDecoder().raw_decode(raw[i:])
+        return d.get('value'), d.get('queries', {})
     d = json.loads(raw)
     if 'queries' in d and isinstance(d['queries'], dict):
         return d.get('value'), d['queries']

@@ -50,14 +50,23 @@ emb = pq.read_table(f'{src}/embeddings.parquet')
 dim = len(emb.column('embedding')[0])
 v0 = [float(x) for x in emb.column('embedding')[0].as_py()]
 adv_emb = pa.table({
-    'vec_id': [900001, 900002, 900003, 900004],
+    'vec_id': [900001, 900002, 900003, 900004, 900005, 900006],
     'embedding': [
         [0.0] * dim,                 # zero vector
         v0,                          # exact tie with the query vector
         [-x for x in v0],            # exact negation
         [100.0] * dim,               # extreme in-domain magnitude (the edge)
+        # float-edge lanes: NEGATIVE zero (sign-sensitive kernels — the
+        # 1-bit sign codes use x > 0, so ±0.0 must land identically on
+        # both engines) and subnormal/tiny components (IEEE gradual
+        # underflow; squared terms flush to 0.0 identically under
+        # double arithmetic on both engines; all values float32-
+        # representable — a double-only subnormal would flush to plain
+        # 0.0 at the list<float> parquet write and probe nothing)
+        [-0.0] * dim,
+        [1.4e-45, -1.4e-45, 1e-40, 1e-30] + [0.0] * (dim - 4),
     ],
-    'label': [0, 1, 2, 3],
+    'label': [0, 1, 2, 3, 4, 5],
 }, schema=emb.schema)
 pq.write_table(pa.concat_tables([emb, adv_emb]), f'{dst}/embeddings.parquet')
 
@@ -98,10 +107,15 @@ uni_texts = [
     # combining-heavy zalgo-ish cluster + an emoji ZWJ family sequence
     'ź̂̃̄alg̀o \U0001F468‍\U0001F469‍\U0001F467 end',
 ]
+# payload-collision probe: 'a' (U+0061) vs the codepoint-congruent
+# 's-caron' (U+0161 — same low byte) at an id with the same kind
+# (doc_id % 3): DISTINCT texts, IDENTICAL codepoint-mod-256 media
+# payload — media_dedup must merge them while text dedup keeps both
+uni_texts.append('\u0161')
 uni_ids   = [900013 + i for i in range(len(uni_texts))]
-uni_langs = ['en', 'fr', 'fr', 'ja', 'ar', 'de', 'en', 'en']
+uni_langs = ['en', 'fr', 'fr', 'ja', 'ar', 'de', 'en', 'en', 'en']
 uni_srcs  = ['advemoji', 'advnfc', 'advnfd', 'advcjk', 'advrtl',
-             'advcase', 'advuws', 'advzalgo']
+             'advcase', 'advuws', 'advzalgo', 'advbyte']
 adv_docs = {
     'doc_id':  [900001, 900002, 900003, 900004, 900005, 900006, 900007,
                 900008, 900009, 900010, 900011, 900012] + uni_ids,
