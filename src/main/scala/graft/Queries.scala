@@ -2027,6 +2027,17 @@ object Queries {
         (TextOps.nfc(col("text")) === col("text")).cast("long").as("is_nfc"))
         .orderBy("doc_id")),
 
+    // extension: code-vs-prose routing signals — exact-integer
+    // structural counters and an integer-arithmetic verdict (no float
+    // thresholds), so the report is bit-portable cross-engine
+    "text_code_detect" -> ((s, dir) =>
+      docs(s, dir)
+        .withColumn("__c", TextOps.codeSignals(col("text")))
+        .select(col("doc_id"), col("__c.n_lines").as("n_lines"),
+          col("__c.n_sym").as("n_sym"), col("__c.n_indent").as("n_indent"),
+          col("__c.n_stmt").as("n_stmt"), col("__c.is_code").as("is_code"))
+        .orderBy("doc_id")),
+
     // extension: MinHash(16 perms) + LSH(4 bands) near-dup join, 3-gram shingles
     "dedup_minhash" -> ((s, dir) =>
       Dedup.minhashLsh(docs(s, dir), shingleN = 3, perms = 16, bands = 4, threshold = 0.5)
@@ -5353,6 +5364,21 @@ object Queries {
       """SELECT min(doc_id) AS keep_id, count(*) AS n_dups FROM documents
         |GROUP BY sha256(regexp_replace(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\s+', ' ', 'g'))
         |ORDER BY keep_id""".stripMargin,
+
+    // same structural counters; rtrim strips spaces only on both
+    // engines, LIKE keeps { } literal
+    "text_code_detect" ->
+      """WITH b AS (SELECT doc_id, text, string_split(text, chr(10)) AS ls,
+        |    CAST(length(text) AS BIGINT) AS nc,
+        |    CAST(length(regexp_replace(text, '[^{}\[\]();=<>]', '', 'g')) AS BIGINT) AS n_sym
+        |  FROM documents),
+        |m AS (SELECT doc_id, CAST(len(ls) AS BIGINT) AS n_lines, n_sym,
+        |  CAST(len(list_filter(ls, l -> starts_with(l, '    ') OR starts_with(l, chr(9)))) AS BIGINT) AS n_indent,
+        |  CAST(len(list_filter(ls, l -> rtrim(l) LIKE '%;' OR rtrim(l) LIKE '%{' OR rtrim(l) LIKE '%}')) AS BIGINT) AS n_stmt,
+        |  nc FROM b)
+        |SELECT doc_id, n_lines, n_sym, n_indent, n_stmt,
+        |  CAST((n_sym * 20 >= nc AND n_sym > 0) OR (n_stmt * 3 >= n_lines AND n_lines >= 3) AS BIGINT) AS is_code
+        |FROM m ORDER BY doc_id""".stripMargin,
 
     // utf8proc's nfc_normalize and java.text.Normalizer both implement
     // UAX #15 — canonical composition is engine-portable (unlike case

@@ -905,4 +905,36 @@ object TextOps {
       .limit(k)
       .select(col("w1"), col("w2"), col("n"), col("lift"))
   }
+
+  /** Code-vs-prose signals — the routing/filter step a mixed web corpus
+    * needs before language-model training (code wants different
+    * dedup/quality treatment than prose). Three structural counters,
+    * all exact integers so the derived ratios and the verdict are
+    * bit-portable cross-engine:
+    *
+    *  - `n_sym`: occurrences of the code-symbol class `{}[]();=<>`
+    *  - `n_indent`: lines starting with 4 spaces or a tab
+    *  - `n_stmt`: lines whose space-trimmed tail ends in `;`, `{` or `}`
+    *
+    * The verdict is integer arithmetic only (no float thresholds):
+    * symbol-dense text (>= 1 symbol per 20 chars, at least one) or
+    * statement-shaped multi-line text (>= 1/3 of >= 3 lines) is code.
+    * Null text propagates NULL (the null-in/NULL-out convention);
+    * empty text is prose (the n_sym > 0 gate). Map-only pass. */
+  def codeSignals(text: Column): Column = {
+    val lines = split(text, "\n")
+    val nChars = length(text).cast("long")
+    val nSym = length(regexp_replace(text, "[^{}\\[\\]();=<>]", "")).cast("long")
+    val nLines = size(lines).cast("long")
+    val nIndent = size(filter(lines,
+      l => l.startsWith("    ") || l.startsWith("\t"))).cast("long")
+    val nStmt = size(filter(lines, l => {
+      val r = rtrim(l)
+      r.endsWith(";") || r.endsWith("{") || r.endsWith("}")
+    })).cast("long")
+    val isCode = ((nSym * 20 >= nChars && nSym > 0)
+      || (nStmt * 3 >= nLines && nLines >= 3))
+    struct(nLines.as("n_lines"), nSym.as("n_sym"), nIndent.as("n_indent"),
+      nStmt.as("n_stmt"), isCode.cast("long").as("is_code"))
+  }
 }

@@ -423,4 +423,27 @@ class TextOpsSpec extends SparkSpec {
       .as[(String, String, Long, Double)].collect()
     assert(!g2.exists(r => r._1 == "zzz"), "hapax pair leaked through gate")
   }
+
+  test("codeSignals: verdict fires on code, stays off on prose, NULL on null") {
+    val code = "int main() {\n    int x = f(1);\n    return x;\n}"
+    val prose = "The quick brown fox jumps over the lazy dog. " +
+      "It was the best of times, it was the worst of times."
+    val rows = Seq((1L, code), (2L, prose), (3L, ""), (4L, null))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), TextOps.codeSignals(col("text")).as("c"))
+      .select(col("doc_id"), col("c.n_lines"), col("c.n_sym"),
+        col("c.n_indent"), col("c.n_stmt"), col("c.is_code"))
+      .orderBy("doc_id").collect()
+    // hand-count: 4 lines; symbols ( ) { ( ) ; ; } = 9 incl. '='; 2 indented;
+    // lines ending ; { } = 4 (l1 '{', l2 ';', l3 ';', l4 '}')
+    assert(rows(0).getLong(1) === 4L)
+    assert(rows(0).getLong(2) === 9L)
+    assert(rows(0).getLong(3) === 2L)
+    assert(rows(0).getLong(4) === 4L)
+    assert(rows(0).getLong(5) === 1L, "code doc must flag")
+    assert(rows(1).getLong(5) === 0L, "prose must not flag")
+    // empty text: one empty line, zero symbols → prose (n_sym > 0 gate)
+    assert(rows(2).getLong(1) === 1L && rows(2).getLong(5) === 0L)
+    assert(rows(3).isNullAt(5), "null text → NULL verdict")
+  }
 }

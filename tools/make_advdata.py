@@ -112,10 +112,21 @@ uni_texts = [
 # (doc_id % 3): DISTINCT texts, IDENTICAL codepoint-mod-256 media
 # payload — media_dedup must merge them while text dedup keeps both
 uni_texts.append('\u0161')
+# code-shaped doc: symbol-dense, indented, statement-terminated lines —
+# the text_code_detect verdict must fire (is_code=1) on both engines,
+# while every prose doc in the corpus stays 0
+uni_texts.append(
+    'int main() {\n'
+    '    int x = compute(4);\n'
+    '    if (x > 0) {\n'
+    '        emit(x);\n'
+    '    }\n'
+    '    return x;\n'
+    '}')
 uni_ids   = [900013 + i for i in range(len(uni_texts))]
-uni_langs = ['en', 'fr', 'fr', 'ja', 'ar', 'de', 'en', 'en', 'en']
+uni_langs = ['en', 'fr', 'fr', 'ja', 'ar', 'de', 'en', 'en', 'en', 'en']
 uni_srcs  = ['advemoji', 'advnfc', 'advnfd', 'advcjk', 'advrtl',
-             'advcase', 'advuws', 'advzalgo', 'advbyte']
+             'advcase', 'advuws', 'advzalgo', 'advbyte', 'advcode']
 adv_docs = {
     'doc_id':  [900001, 900002, 900003, 900004, 900005, 900006, 900007,
                 900008, 900009, 900010, 900011, 900012] + uni_ids,
