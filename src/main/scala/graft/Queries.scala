@@ -3170,6 +3170,15 @@ object Queries {
           size(TextOps.tokens(col("text"))), budget = 32, overlap = 8)
         .orderBy("doc_id", "chunk_idx")),
 
+    // extension: the chunks MATERIALIZED — each window's token slice as
+    // text, the export that actually feeds a trainer/RAG store. Same
+    // budget/overlap as corpus_chunk; map-only, text never shuffles
+    "corpus_chunk_text" -> ((s, dir) =>
+      graft.operators.Corpus.chunkText(
+          docs(s, dir).repartition(col("doc_id")),
+          TextOps.tokens(col("text")), budget = 32, overlap = 8)
+        .orderBy("doc_id", "chunk_idx")),
+
     // extension: benchmark DECONTAMINATION — train-split documents
     // sharing any 8-gram with the val split (the leakage gate before a
     // corpus ships). Hash-only join; the benchmark side is the small
@@ -7219,6 +7228,20 @@ object Queries {
         |  FROM tp, unnest(generate_series(0, n - 1, 24)) AS u(i))
         |SELECT doc_id, chunk_start // 24 AS chunk_idx, chunk_start,
         |  least(32, n - chunk_start) AS chunk_len
+        |FROM x ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // same window arithmetic, plus the 1-based-inclusive list slice;
+    // empty text is one empty token on both engines (split convention)
+    "corpus_chunk_text" ->
+      """WITH t AS (SELECT doc_id,
+        |    regexp_split_to_array(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\s+') AS tk
+        |  FROM documents),
+        |tp AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n FROM t WHERE len(tk) >= 1),
+        |x AS (SELECT doc_id, tk, n, u.i AS chunk_start
+        |  FROM tp, unnest(generate_series(0, n - 1, 24)) AS u(i))
+        |SELECT doc_id, chunk_start // 24 AS chunk_idx, chunk_start,
+        |  least(32, n - chunk_start) AS chunk_len,
+        |  array_to_string(tk[chunk_start + 1 : chunk_start + least(32, n - chunk_start)], ' ') AS chunk_text
         |FROM x ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "corpus_decontaminate" ->

@@ -198,6 +198,41 @@ object Corpus {
         least(lit(budget.toLong), col("n_tokens") - col("col")).as("chunk_len"))
   }
 
+  /** [[chunk]] MATERIALIZED — the write path that turns window
+    * assignments into actual training/RAG sequences: each chunk row
+    * carries its text, the `budget`-token slice starting at
+    * `chunk_start` joined on single spaces (the [[packedSequences]]
+    * separator convention). Takes the token ARRAY column so the
+    * tokenization convention is the caller's choice and computed once.
+    *
+    * Map-only at any scale, like [[chunk]]: tokenize → explode starts →
+    * slice, no shuffle, no join-back (the tokens ride the row through
+    * the explode instead of being re-gathered — a chunk's text never
+    * moves off the partition that read its document). Output volume is
+    * bounded at (1 + overlap/(budget-overlap))× the input token mass.
+    * Null / non-positive token counts are dropped ([[chunk]]'s
+    * contract); a document of empty text is one token ([[graft
+    * .operators.TextOps.tokens]]'s empty-token convention) and yields
+    * one empty chunk. */
+  def chunkText(docs: DataFrame, tokens: Column, budget: Int, overlap: Int): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    require(overlap >= 0 && overlap < budget,
+      s"overlap must be in [0, budget), got overlap=$overlap budget=$budget")
+    val step = (budget - overlap).toLong
+    val len = least(lit(budget.toLong), col("__n") - col("col"))
+    docs.select(col("doc_id"), tokens.as("__tk"))
+      .withColumn("__n", size(col("__tk")).cast("long"))
+      .where(col("__n") >= 1)
+      .select(col("doc_id"), col("__tk"), col("__n"),
+        posexplode(sequence(lit(0L), col("__n") - 1, lit(step))))
+      .select(col("doc_id"),
+        col("pos").cast("long").as("chunk_idx"),
+        col("col").as("chunk_start"),
+        len.as("chunk_len"),
+        array_join(slice(col("__tk"), (col("col") + 1).cast("int"),
+          len.cast("int")), " ").as("chunk_text"))
+  }
+
   /** Deterministic per-source quota sampling — dataset mixing: keep the
     * `quota` documents with the smallest content hash per source. Hash
     * order is a fixed-key uniform "random" order, so this IS a uniform

@@ -326,6 +326,36 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("chunkText: slices reassemble the document; null dropped, empty text is one empty chunk") {
+    val budget = 8
+    val overlap = 3
+    val step = budget - overlap
+    val docs = Seq(
+      (1L, (1 to 20).map(i => s"t$i").mkString(" "), "s"), // straddles 4 windows
+      (2L, "solo", "s"),
+      (3L, "", "s"),        // one empty token -> one empty chunk
+      (4L, null, "s"))      // dropped
+    val out = Corpus.chunkText(docsDf(docs), TextOps.tokens(col("text")), budget, overlap)
+      .select("doc_id", "chunk_idx", "chunk_start", "chunk_len", "chunk_text")
+      .as[(Long, Long, Long, Long, String)].collect().sortBy(r => (r._1, r._2))
+    assert(!out.exists(_._1 == 4L), "null text must be dropped")
+    assert(out.filter(_._1 == 3L).map(r => (r._4, r._5)).toSeq === Seq((1L, "")))
+    assert(out.filter(_._1 == 2L).map(_._5).toSeq === Seq("solo"))
+    val d1 = out.filter(_._1 == 1L)
+    // each chunk's text IS the token slice, and dropping every later
+    // chunk's first `overlap` tokens reassembles the document exactly
+    d1.foreach { case (_, _, s, l, txt) =>
+      assert(txt === (s until s + l).map(i => s"t${i + 1}").mkString(" "))
+      assert(l === math.min(budget.toLong, 20L - s))
+    }
+    val reassembled = d1.map { case (_, idx, _, _, txt) =>
+      val toks = txt.split(" ").toSeq
+      if (idx == 0L) toks else toks.drop(overlap)
+    }.reduce(_ ++ _).mkString(" ")
+    assert(reassembled === (1 to 20).map(i => s"t$i").mkString(" "))
+    assert(d1.map(_._3).toSeq === d1.indices.map(_.toLong * step))
+  }
+
   test("vocabTop matches brute-force counts with deterministic tie-break") {
     val got = TextOps.vocabTop(corpus, k = 5)
       .as[(String, Long, Long)].collect()
