@@ -693,7 +693,7 @@ object Queries {
       org.apache.spark.sql.graft.PlanBridge.statsReset(
         Dedup.minhashLsh(docs(s, dir), shingleN = 3, perms = 16, bands = 4,
           threshold = 0.5, maxBucket = Dedup.DefaultPipelineMaxBucket)
-          .select(col("doc_id_a"), col("doc_id_b"))
+          .select(col("doc_id_a"), col("doc_id_b"), col("jaccard"))
           .localCheckpoint(eager = true)))
   }
 
@@ -3330,8 +3330,9 @@ object Queries {
     // make every count oracle-exact; monotone non-increasing by
     // construction (spec-pinned)
     "dedup_threshold_curve" -> ((s, dir) =>
-      Dedup.minhashLsh(docs(s, dir), shingleN = 3, perms = 16, bands = 4,
-          threshold = 0.5, maxBucket = Dedup.DefaultPipelineMaxBucket)
+      // the identical (params-and-all) pipeline the session memo holds —
+      // a reduction over the checkpointed pair list, not a rebuild
+      minhashPairs(s, dir)
         .select(col("jaccard"),
           explode(array(Seq(0.5, 0.6, 0.7, 0.8, 0.9).map(lit): _*)).as("threshold"))
         .groupBy(col("threshold"))
