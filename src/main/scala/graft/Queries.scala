@@ -1418,10 +1418,16 @@ object Queries {
     // same blocks the ANN serving path reads)
     "embed_outliers" -> ((s, dir) => {
       import graft.functions.TopKPairsAgg.topKPairs
-      val k3 = blockedSqPairs(s, dir).distinct()
+      // the shared-block pair frame emits each (id, cand_id) at most
+      // TWICE (once per common block) with bit-identical d — so a k=6
+      // heap over the raw multiset always contains the 3 nearest
+      // DISTINCT pairs, and the per-row array_distinct replaces what
+      // was a full extra shuffle (`.distinct()` before the heap) with
+      // map-side-combinable aggregation only
+      val k3 = blockedSqPairs(s, dir)
         .groupBy(col("id"))
-        .agg(topKPairs(col("d"), col("cand_id"), 3).as("__nn"))
-        .where(size(col("__nn")) === 3)
+        .agg(array_distinct(topKPairs(col("d"), col("cand_id"), 6)).as("__nn"))
+        .where(size(col("__nn")) >= 3)
         .select(col("id"), col("__nn")(2)("distance").as("__kd"))
       k3.agg(topKPairs(lit(0.0) - col("__kd"), col("id"), 10).as("__top"))
         .select(posexplode(col("__top")).as(Seq("rank", "p")))
