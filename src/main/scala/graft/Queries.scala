@@ -4438,21 +4438,27 @@ object Queries {
         .partitionBy(col("user_id")).orderBy(col("ts"))
       val cum = w.rowsBetween(org.apache.spark.sql.expressions.Window
         .unboundedPreceding, org.apache.spark.sql.expressions.Window.currentRow)
-      val st = events(s, dir)
+      // one session-keyed aggregate builds each session's distinct TYPE
+      // SET (vocabulary-bounded state), reusing the window pass's
+      // user_id partitioning (HashPartitioning(user) satisfies the
+      // (user, sid) clustering) — the pair table then fans out of the
+      // tiny per-session array map-side, replacing what was a distinct
+      // + session self-join (three more shuffles of the event mass).
+      // collect_set drops null types like the old pair/per joins did;
+      // an all-null-type session still counts in __N (empty set row)
+      val sess = events(s, dir)
         .withColumn("__new", when(lag(col("ts"), 1).over(w).isNull ||
           unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w))
             >= 1800L * 1000000L, 1L).otherwise(0L))
         .withColumn("__sid", sum(col("__new")).over(cum))
-        .select(col("user_id"), col("__sid"), col("event_type"))
-        .distinct()
-      val total = st.select(col("user_id"), col("__sid")).distinct()
-        .agg(count(lit(1)).as("__N"))
-      val per = st.groupBy(col("event_type")).agg(count(lit(1)).as("__c"))
-      val pairs = st.select(col("user_id"), col("__sid"),
-          col("event_type").as("type_a"))
-        .join(st.select(col("user_id"), col("__sid"),
-          col("event_type").as("type_b")), Seq("user_id", "__sid"))
-        .where(col("type_a") < col("type_b"))
+        .groupBy(col("user_id"), col("__sid"))
+        .agg(sort_array(collect_set(col("event_type"))).as("__ts"))
+      val total = sess.agg(count(lit(1)).as("__N"))
+      val per = sess.select(explode(col("__ts")).as("event_type"))
+        .groupBy(col("event_type")).agg(count(lit(1)).as("__c"))
+      val pairs = sess.select(explode(col("__ts")).as("type_a"), col("__ts"))
+        .select(col("type_a"),
+          explode(filter(col("__ts"), t => t > col("type_a"))).as("type_b"))
         .groupBy(col("type_a"), col("type_b"))
         .agg(count(lit(1)).as("n_both"))
       pairs
