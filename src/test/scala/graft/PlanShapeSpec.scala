@@ -229,6 +229,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(exchanges.isEmpty, "window chunking must not shuffle")
   }
 
+  test("chunkText materialization is map-only: no shuffle, no join-back") {
+    val df = graft.operators.Corpus.chunkText(
+      graft.sources.Records.table(spark, sf, "documents"),
+      graft.operators.TextOps.tokens(col("text")), budget = 32, overlap = 8)
+    val p = df.queryExecution.executedPlan
+    val exchanges = p.collect { case e if e.nodeName.contains("Exchange") => e }
+    assert(exchanges.isEmpty, "chunk text slices must ride the document's partition")
+    assert(!plan(df).contains("Join"), "tokens must ride the explode, never re-join")
+  }
+
   test("vocabTop plans the two-stage wordcount: no Expand, bounded TakeOrdered") {
     val df = graft.operators.TextOps.vocabTop(
       graft.sources.Records.table(spark, sf, "documents"), k = 100)
