@@ -1800,28 +1800,39 @@ object Queries {
         .select(col("c_custkey"), col("c_nationkey"))
       val n = Records.table(s, dir, "nation")
         .select(col("n_nationkey"), col("n_name"))
-      li.join(o, col("l_orderkey") === col("o_orderkey"))
+      // same pre-aggregate-before-join shape as sales_by_segment: the
+      // orderkey join moves one row per order, carrying exact partial
+      // (item count, q4-revenue) sums
+      li.groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("__ni"), sum(col("__rev4")).as("__r4"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
         .join(c, col("o_custkey") === col("c_custkey"))
         .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name"))
-        .agg(count(lit(1)).as("n_items"),
-          r4(sum(col("__rev4")).cast("double") / lit(10000.0)).as("revenue"))
+        .agg(sum(col("__ni")).as("n_items"),
+          r4(sum(col("__r4")).cast("double") / lit(10000.0)).as("revenue"))
         .orderBy("n_name")
     }),
 
     // extension: revenue + order stats per market segment (broadcast
-    // dim join, exact q4 sums, single-distinct order count)
+    // dim join, exact q4 sums; the order count is a plain count over
+    // the one-row-per-order pre-aggregate)
     "sales_by_segment" -> ((s, dir) => {
       val li = lineRev4(s, dir)
       val o = Records.table(s, dir, "orders")
         .select(col("o_orderkey"), col("o_custkey"))
       val c = Records.table(s, dir, "customer")
         .select(col("c_custkey"), col("c_mktsegment"))
-      li.join(o, col("l_orderkey") === col("o_orderkey"))
+      // pre-aggregate revenue to one row per order BEFORE the join: the
+      // order-key join then moves |orders| rows instead of |lineitem|,
+      // and the per-segment distinct-order count becomes a plain count
+      // (one row per order by construction — no count_distinct Expand)
+      li.groupBy(col("l_orderkey")).agg(sum(col("__rev4")).as("__r4"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
         .join(c, col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_mktsegment"))
-        .agg(count_distinct(col("o_orderkey")).as("n_orders"),
-          r4(sum(col("__rev4")).cast("double") / lit(10000.0)).as("revenue"))
+        .agg(count(lit(1)).as("n_orders"),
+          r4(sum(col("__r4")).cast("double") / lit(10000.0)).as("revenue"))
         .orderBy("c_mktsegment")
     }),
 
