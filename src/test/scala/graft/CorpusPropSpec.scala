@@ -74,6 +74,37 @@ class CorpusPropSpec extends SparkSpec {
     }
   }
 
+  test("chunkText: assignments equal chunk's, and the slices tile the token array (arbitrary corpora)") {
+    (1L to 8L).foreach { seed =>
+      val rows = sample(corpusGen, seed)
+      val budget = sample(Gen.chooseNum(1, 300), seed * 31)
+      val overlap = sample(Gen.chooseNum(0, budget - 1), seed * 17)
+      // synthesize a document whose token i is "w<i>": the slice content
+      // is then fully predicted by (chunk_start, chunk_len)
+      val df = rows.map { case (id, nt) =>
+        (id, (0 until nt).map(i => s"w$i").mkString(" "))
+      }.toDF("doc_id", "text")
+      val toks = split(col("text"), " ")
+      // empty text tokenizes to [""] under the split convention — emulate
+      // TextOps.tokens' nonempty result so counts match chunk's n >= 1 gate
+      val out = Corpus.chunkText(df, toks, budget, overlap)
+        .select("doc_id", "chunk_idx", "chunk_start", "chunk_len", "chunk_text")
+        .as[(Long, Long, Long, Long, String)].collect()
+      val assign = Corpus.chunk(df, size(toks), budget, overlap)
+        .select("doc_id", "chunk_idx", "chunk_start", "chunk_len")
+        .as[(Long, Long, Long, Long)].collect()
+      assert(out.map(r => (r._1, r._2, r._3, r._4)).sorted === assign.sorted,
+        s"seed=$seed: chunkText must assign exactly chunk's windows")
+      out.foreach { case (id, _, start, len, txt) =>
+        val nt = rows.find(_._1 == id).get._2
+        val expected =
+          if (nt == 0) "" // the one empty token
+          else (start until start + len).map(i => s"w$i").mkString(" ")
+        assert(txt === expected, s"seed=$seed id=$id start=$start len=$len")
+      }
+    }
+  }
+
   test("assignSplit: bucket is a pure function of text, independent of corpus and percentages") {
     val texts = (0 until 60).map(i => s"content $i ${"x" * (i % 7)}")
     val full = Corpus.assignSplit(
