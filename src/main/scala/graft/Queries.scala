@@ -3563,7 +3563,7 @@ object Queries {
       events(s, dir)
         .withColumn("__new", when(lag(col("ts"), 1).over(w).isNull ||
           unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w))
-            >= 1800L * 1000000L, 1L).otherwise(0L))
+            > 1800L * 1000000L, 1L).otherwise(0L))
         .withColumn("__sid", sum(col("__new")).over(cum))
         .groupBy(col("user_id"), col("__sid"))
         .agg(array_sort(collect_list(struct(
@@ -4460,7 +4460,7 @@ object Queries {
       val sess = events(s, dir)
         .withColumn("__new", when(lag(col("ts"), 1).over(w).isNull ||
           unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w))
-            >= 1800L * 1000000L, 1L).otherwise(0L))
+            > 1800L * 1000000L, 1L).otherwise(0L))
         .withColumn("__sid", sum(col("__new")).over(cum))
         .groupBy(col("user_id"), col("__sid"))
         .agg(sort_array(collect_set(col("event_type"))).as("__ts"))
@@ -5569,7 +5569,7 @@ object Queries {
     "events_paths" ->
       s"""WITH o AS (SELECT user_id, ts, event_id, event_type,
          |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
-         |         OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) >= INTERVAL 30 MINUTE
+         |         OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL 30 MINUTE
          |       THEN 1 ELSE 0 END AS new_s
          |  FROM events),
          |sx AS (SELECT user_id, ts, event_id, event_type,
@@ -7707,7 +7707,7 @@ object Queries {
     "events_sessionize" ->
       s"""WITH o AS (SELECT user_id, ts, value,
          |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-         |         OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTE
+         |         OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE
          |       THEN 1 ELSE 0 END AS new_s
          |  FROM events),
          |s AS (SELECT user_id, ts, value,
@@ -7738,7 +7738,7 @@ object Queries {
     "events_affinity" ->
       s"""WITH o AS (SELECT user_id, ts, event_type,
          |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-         |         OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTE
+         |         OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE
          |       THEN 1 ELSE 0 END AS new_s
          |  FROM events),
          |sx AS (SELECT user_id, event_type,
@@ -7761,7 +7761,7 @@ object Queries {
     "events_session_stats" ->
       s"""WITH o AS (SELECT user_id, ts,
          |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-         |         OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTE
+         |         OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE
          |       THEN 1 ELSE 0 END AS new_s
          |  FROM events),
          |s AS (SELECT user_id, ts,
@@ -7802,7 +7802,7 @@ object Queries {
          |  FROM events WHERE event_type = 'error' GROUP BY 1 HAVING count(*) >= 5),
          |o AS (SELECT user_id, ts,
          |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-         |         OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTE
+         |         OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE
          |       THEN 1 ELSE 0 END AS new_s
          |  FROM events),
          |s AS (SELECT user_id, ts,

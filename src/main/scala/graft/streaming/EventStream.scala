@@ -90,8 +90,12 @@ object EventStream {
         col("n"), col("value_sum"))
 
   /** Per-user sessionization via the built-in `session_window` operator —
-    * events within `gap` of the session's end extend it; a gap of `gap`
-    * or more closes it (half-open `[start, last_ts + gap)` windows).
+    * an event at or before the session's end (`last_ts + gap`) extends
+    * it; only a gap STRICTLY greater than `gap` starts a new session
+    * (verified empirically: events exactly `gap` apart merge — the
+    * window end is inclusive for merging). This platform-native
+    * boundary is the repo-wide session convention; every lag-based
+    * sessionization (engine and oracle) uses the matching strict `>`.
     * Identical semantics in batch and streaming; in streaming, state per
     * open session is bounded by the watermark horizon and sharded by the
     * group key, the `mapGroupsWithState` state pattern without the

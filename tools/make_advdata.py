@@ -202,6 +202,18 @@ rows += [
     (900070, dt.datetime(2024, 6, 2, 9, 0, 0), 777010, 'view', 1.0, '{"broken'),
     (900071, dt.datetime(2024, 6, 2, 9, 1, 0), 777010, 'view', 1.0, 'null'),
     (900072, dt.datetime(2024, 6, 2, 9, 2, 0), 777010, 'view', 1.0, '[1, 2]'),
+    # session-gap boundary (the probe that exposed the session_window
+    # vs lag->= divergence): the settled repo convention is Spark's
+    # session_window semantics — an event EXACTLY gap (1800 s) after
+    # the previous one MERGES into the session; only a strictly greater
+    # gap (1801 s) starts a new one. Sessions here: {view, click,
+    # purchase} (gaps 1799, 1800) then {error} (gap 1801) — a >= lag
+    # comparison on either engine splits the first session and trips
+    # sessionize/session_stats/affinity/paths
+    (900080, dt.datetime(2024, 6, 3, 9, 0, 0), 777011, 'view', 1.0, '{}'),
+    (900081, dt.datetime(2024, 6, 3, 9, 29, 59), 777011, 'click', 2.0, '{}'),
+    (900082, dt.datetime(2024, 6, 3, 9, 59, 59), 777011, 'purchase', 3.0, '{}'),
+    (900083, dt.datetime(2024, 6, 3, 10, 30, 0), 777011, 'error', 4.0, '{}'),
 ]
 # whale key: ONE user holding a 300-event burst spread across 3 days
 # (crosses the 86400 s chunk boundary of the segmented as-of path) with
