@@ -215,4 +215,36 @@ class EventsSpec extends SparkSpec {
     // a gap-blind series [10, 10] would forecast a flat 10 — guard that
     assert(got(1) !== 10.0, "outage day was dropped from the series")
   }
+
+  test("session boundary: events exactly gap apart merge; only > gap splits " +
+      "(session_window == the lag-based twin on boundary-heavy fixtures)") {
+    // user 1: gaps 1799 / 1800 / 1801 — sessions {e1,e2,e3} then {e4};
+    // user 2: a lone event; user 3: two events one second apart
+    val base = 1717405200L // 2024-06-03 09:00:00 UTC, seconds
+    val rows = Seq(
+      (1L, 0L), (1L, 1799L), (1L, 1799L + 1800L), (1L, 1799L + 1800L + 1801L),
+      (2L, 50L), (3L, 0L), (3L, 1L))
+    val df = rows.map { case (u, off) =>
+      (u, new java.sql.Timestamp((base + off) * 1000L), 1.0)
+    }.toDF("user_id", "ts", "value")
+    val sw = graft.streaming.EventStream.sessionAgg(df)
+      .select(col("user_id"), col("n_events")).as[(Long, Long)].collect().sorted
+    assert(sw.toSeq === Seq((1L, 1L), (1L, 3L), (2L, 1L), (3L, 2L)),
+      "exactly-gap must merge, gap+1 must split")
+    // the lag-based formulation (the affinity/paths shape, strict >)
+    // must produce identical session partitioning
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"))
+    val cum = w.rowsBetween(org.apache.spark.sql.expressions.Window
+      .unboundedPreceding, org.apache.spark.sql.expressions.Window.currentRow)
+    val lagBased = df
+      .withColumn("__new", when(lag(col("ts"), 1).over(w).isNull ||
+        unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w))
+          > 1800L * 1000000L, 1L).otherwise(0L))
+      .withColumn("__sid", sum(col("__new")).over(cum))
+      .groupBy(col("user_id"), col("__sid")).agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("n_events")).as[(Long, Long)].collect().sorted
+    assert(lagBased.toSeq === sw.toSeq,
+      "the two sessionization formulations must agree at the boundary")
+  }
 }
