@@ -1341,4 +1341,146 @@ object NativeExprs {
 
   def mmrSelect(cands: Column, lam: Double, oneMinusLam: Double, k: Int): Column =
     asCol(MmrSelectExpr(ex(cands), lam, oneMinusLam, k))
+
+  /** Capped Levenshtein distance over UTF-8 BYTES: `min(ed(a, b), cap+1)`.
+    *
+    * Byte semantics, NOT codepoints: the DuckDB oracle's `levenshtein`
+    * counts byte edits (probed: `levenshtein('café','cafe') = 2`,
+    * astral = 4), while Spark's built-in `levenshtein` counts
+    * codepoints — using the built-in would silently diverge on any
+    * multibyte name. The oracle twin is `least(levenshtein(a, b), cap+1)`.
+    *
+    * The band is the scale story: the verify stage of a fuzzy join calls
+    * this once per CANDIDATE pair, so the kernel must not pay the full
+    * O(m·n) DP when only distances ≤ cap matter. Cells farther than `cap`
+    * from the diagonal can never reach a value ≤ cap, so the DP visits an
+    * O((2·cap+1)·min(m,n)) band (Ukkonen), exits early when an entire row
+    * of the band exceeds the cap, and rejects on a length-difference
+    * check before allocating anything. */
+  private[graft] def editDistanceCapped(x: Array[Byte], y: Array[Byte], cap: Int): Int = {
+    val inf = cap + 1
+    // ed is symmetric; banding over the shorter side's rows keeps the
+    // row count (and the early-exit granularity) minimal.
+    val (s, t) = if (x.length <= y.length) (x, y) else (y, x)
+    val m = s.length
+    val n = t.length
+    if (n - m > cap) return inf
+    if (m == 0) return math.min(n, inf)
+    var prev = new Array[Int](n + 1)
+    var cur = new Array[Int](n + 1)
+    var j = 0
+    while (j <= n) {
+      prev(j) = if (j <= cap) j else inf
+      j += 1
+    }
+    var i = 1
+    while (i <= m) {
+      val lo = math.max(1, i - cap)
+      val hi = math.min(n, i + cap)
+      // D[i][lo-1]: the column-0 base when the band touches it, else a
+      // left sentinel (outside the band ⇒ provably > cap).
+      cur(lo - 1) = if (lo == 1) math.min(i, inf) else inf
+      var rowMin = cur(lo - 1)
+      j = lo
+      while (j <= hi) {
+        val sub = prev(j - 1) + (if (s(i - 1) == t(j - 1)) 0 else 1)
+        val del = prev(j) + 1
+        val ins = cur(j - 1) + 1
+        var v = if (sub < del) sub else del
+        if (ins < v) v = ins
+        if (v > inf) v = inf
+        cur(j) = v
+        if (v < rowMin) rowMin = v
+        j += 1
+      }
+      // right sentinel: the next row's `prev(j)` / `prev(j-1)` reads may
+      // touch one cell past this row's band; it is outside ⇒ > cap.
+      if (hi < n) cur(hi + 1) = inf
+      if (rowMin >= inf) return inf
+      val tmp = prev; prev = cur; cur = tmp
+      i += 1
+    }
+    math.min(prev(n), inf)
+  }
+
+  /** `min(byte-levenshtein(left, right), cap+1)` — see
+    * [[editDistanceCapped]]. NULL-propagating. */
+  case class ByteEditDistanceExpr(left: Expression, right: Expression, cap: Int)
+      extends BinaryExpression with CodegenFallback {
+    require(cap >= 0, s"cap must be non-negative, got $cap")
+    override def dataType: DataType = IntegerType
+    override def nullable: Boolean = left.nullable || right.nullable
+    override def eval(input: InternalRow): Any = {
+      val a = left.eval(input).asInstanceOf[UTF8String]
+      if (a == null) return null
+      val b = right.eval(input).asInstanceOf[UTF8String]
+      if (b == null) return null
+      editDistanceCapped(a.getBytes, b.getBytes, cap)
+    }
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  def byteEditDistance(a: Column, b: Column, cap: Int): Column =
+    asCol(ByteEditDistanceExpr(ex(a), ex(b), cap))
+
+  /** SymSpell deletion neighborhood: every DISTINCT string reachable by
+    * deleting at most `maxDel` CODEPOINTS from the first `prefixLen`
+    * codepoints of the input (the input's own prefix is the 0-deletion
+    * member), returned sorted ascending (deterministic, order-irrelevant
+    * to the join that consumes it as exploded keys).
+    *
+    * Deletions are by codepoint so every key is valid UTF-8 (a byte-level
+    * deletion inside a multibyte character would manufacture invalid
+    * strings). Completeness for the byte-distance verify still holds: a
+    * byte edit script of cost ≤ k between two VALID UTF-8 strings touches
+    * ≤ k codepoints on each side (each touched codepoint absorbs ≥ 1 byte
+    * op), and deleting exactly the touched codepoints from both sides
+    * leaves the identical untouched remainder — so the two radius-k
+    * codepoint-deletion neighborhoods intersect.
+    *
+    * `prefixLen` is the standard SymSpell prefix optimization: key count
+    * is O(prefixLen^maxDel), independent of string length. For strings
+    * longer than `prefixLen` the prefix block is a heuristic (an edit
+    * landing in the suffix shifts nothing; edits straddling the boundary
+    * can in principle escape) — callers needing exactness bound the
+    * string length to ≤ prefixLen in the query contract instead. */
+  case class DeletionVariantsExpr(child: Expression, maxDel: Int, prefixLen: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(maxDel >= 0 && maxDel <= 3, s"maxDel must be in [0, 3], got $maxDel")
+    require(prefixLen >= 1, s"prefixLen must be positive, got $prefixLen")
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullable: Boolean = child.nullable
+    override def eval(input: InternalRow): Any = {
+      val t = child.eval(input).asInstanceOf[UTF8String]
+      if (t == null) return null
+      val s = t.toString
+      val full = s.codePoints().toArray
+      val cps = if (full.length <= prefixLen) full else full.take(prefixLen)
+      val out = new java.util.TreeSet[String]()
+      def rec(current: Array[Int], d: Int): Unit = {
+        out.add(new String(current, 0, current.length))
+        if (d == 0 || current.length == 0) return
+        var i = 0
+        while (i < current.length) {
+          val nxt = new Array[Int](current.length - 1)
+          System.arraycopy(current, 0, nxt, 0, i)
+          System.arraycopy(current, i + 1, nxt, i, current.length - i - 1)
+          rec(nxt, d - 1)
+          i += 1
+        }
+      }
+      rec(cps, maxDel)
+      val arr = new Array[Any](out.size)
+      val it = out.iterator()
+      var k = 0
+      while (it.hasNext) { arr(k) = UTF8String.fromString(it.next()); k += 1 }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  def deletionVariants(text: Column, maxDel: Int, prefixLen: Int): Column =
+    asCol(DeletionVariantsExpr(ex(text), maxDel, prefixLen))
 }

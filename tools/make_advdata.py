@@ -254,6 +254,35 @@ _append('customer', {
     'c_acctbal':    [0.0, 0.0, None, -999.99],
     'c_mktsegment': ['BUILDING', 'BUILDING', 'MACHINERY', None],
 })
+
+# Fuzzy-match axis: hostile names INSIDE the fuzzy_* custkey bound
+# (< 2500; organic sf0.001 keys stop at 149, so 200+ is collision-free).
+# Probes: a null name (matches nothing), an exact duplicate pair
+# (dist 0), a dist-1 and an EXACTLY-at-the-boundary dist-3 pair (must
+# NOT match), a multibyte substitution (é = 2 byte edits — in at
+# maxDist 2 under BYTE semantics, and a codepoint-counting engine
+# would score it 1), an NFD name whose NFC twin is also present (the
+# NFC-normalize front step makes them dist 0; raw bytes would be 3
+# apart), a name differing only in ONE case flip (dist 1 — case is
+# content), and a 30-codepoint name pair (excluded by the length<=24
+# exactness bound on BOTH engines even though their distance is 1).
+_append('customer', {
+    'c_custkey':    [200, 201, 202, 203, 204, 205, 206, 207, 208, 209, 210, 211],
+    'c_name':       ['Fuzzy Probe Alpha', 'Fuzzy Probe Alpha',   # dup: dist 0
+                     'Fuzzy Probe Alphq',                        # dist 1 to 200/201
+                     'Fuzzy Prode Alphx Z',                      # dist 3+ to 200: out
+                     'Fuzzy Probé Alpha',                        # é: byte dist 2 to 200
+                     'Caf\u00e9 Corner',                       # NFC é (escape-explicit)
+                     'Cafe\u0301 Corner',                      # NFD e+combining acute -> NFC-equal to 205
+                     'fuzzy Probe Alpha',                        # one case flip: dist 1
+                     None,                                       # null name: no matches
+                     'Unrelated Entirely Q',                     # singleton: no matches
+                     'A Very Long Name Exceeding 24cp',          # 31 cp: length-excluded
+                     'A Very Long Name Exceeding 24cq'],         # its dist-1 twin
+    'c_nationkey':  [0, 0, 1, 0, 0, 2, 2, 0, 3, 3, 4, 4],
+    'c_acctbal':    [1.0] * 12,
+    'c_mktsegment': ['BUILDING'] * 12,
+})
 _append('orders', {
     'o_orderkey':   [980101, 980102, 980103, 980104, 980105, 980106],
     # 980103 is an ORPHAN (custkey not in customer); 980106 has NO lines
