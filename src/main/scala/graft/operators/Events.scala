@@ -270,4 +270,67 @@ object Events {
     (1 to horizon).map(h => (h, l + h.toDouble * b))
       .toDF("horizon", "forecast")
   }
+
+  // ------------------------------------------------------------------
+  // Count-Min sketch (Cormode–Muthukrishnan 2005)
+  // ------------------------------------------------------------------
+
+  /** Fixed (a, b) coefficients for the sketch's hash rows — classic
+    * public LCG multipliers/increments. Literal model data shared with
+    * the oracle's VALUES list, so both engines hash identically. */
+  val CmHashes: Seq[(Long, Long)] = Seq(
+    (1103515245L, 12345L), (214013L, 2531011L),
+    (69069L, 362437L), (1664525L, 1013904223L))
+
+  /** Hash-row modulus — 2³¹−1 (Mersenne prime). `a·key + b` stays far
+    * inside long range for any realistic 64-bit key magnitude
+    * (|a| < 2³¹, so overflow needs |key| ≳ 2³²). */
+  val CmPrime: Long = 2147483647L
+
+  /** Row-`(a, b)` cell index of `key`: `((a·key + b) mod p) mod w`,
+    * non-negative for negative keys too (`pmod` both engines' twin). */
+  def cmCell(key: Column, a: Long, b: Long, w: Int): Column =
+    pmod(pmod(lit(a) * key + lit(b), lit(CmPrime)), lit(w.toLong))
+
+  /** Count-Min sketch of a keyed count frame (`key` BIGINT, `n` BIGINT):
+    * one row per (hash row, cell) with the summed count of every key
+    * hashing there. Deterministic — cells are SUMS, so unlike
+    * Misra–Gries-style summaries the result is independent of partition
+    * and merge order, which is what makes it oracle-checkable bit-exactly
+    * AND mergeable: sketches of two shards (or two stream micro-batches)
+    * combine by cell-wise addition, the commutative-monoid shape of
+    * [[graft.operators.Corpus]]'s checksum manifest.
+    *
+    * Scale: the sketch is `depth × w` cells — O(1) state no matter how
+    * many keys or events; the build is one map-side-combinable
+    * aggregation over `depth` projections of the (already small) count
+    * frame. Point-estimate error: `est − true ≤ εN` with
+    * `ε = e/w` at probability `1 − e^(−depth)` — and `est ≥ true`
+    * always (counts are non-negative), which the estimate queries
+    * report as exact integers. */
+  def cmSketch(counts: DataFrame, w: Int): DataFrame = {
+    require(w > 0, "w must be positive")
+    CmHashes.zipWithIndex.map { case ((a, b), r) =>
+      counts.select(lit(r).as("row"),
+        cmCell(col("key"), a, b, w).as("cell"), col("n"))
+    }.reduce(_ unionByName _)
+      .groupBy(col("row"), col("cell"))
+      .agg(sum(col("n")).as("cell_n"))
+  }
+
+  /** Per-key point estimates against [[cmSketch]]: `n_true` (the input
+    * count, for the error report) and `n_est = min` over the key's
+    * `depth` cells. The sketch side is BROADCAST — it is depth×w rows by
+    * construction — so the only shuffle is the key-grouped min, bounded
+    * by the distinct-key count. */
+  def cmEstimates(counts: DataFrame, w: Int): DataFrame = {
+    val sk = cmSketch(counts, w)
+    CmHashes.zipWithIndex.map { case ((a, b), r) =>
+      counts.select(col("key"), col("n"), lit(r).as("row"),
+        cmCell(col("key"), a, b, w).as("cell"))
+    }.reduce(_ unionByName _)
+      .join(broadcast(sk), Seq("row", "cell"))
+      .groupBy(col("key"))
+      .agg(max(col("n")).as("n_true"), min(col("cell_n")).as("n_est"))
+  }
 }

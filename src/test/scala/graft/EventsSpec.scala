@@ -247,4 +247,45 @@ class EventsSpec extends SparkSpec {
     assert(lagBased.toSeq === sw.toSeq,
       "the two sessionization formulations must agree at the boundary")
   }
+
+  // --- Count-Min sketch laws ---------------------------------------------
+
+  private def cmCounts(rows: Seq[(Long, Long)]) = {
+    import spark.implicits._
+    rows.toDF("key", "n")
+  }
+
+  test("cmSketch: estimates never undercount, one row per input key") {
+    val rnd = new scala.util.Random(11)
+    val counts = cmCounts((0 until 300).map(i =>
+      (rnd.nextInt(5000).toLong - 1000L, 1L + rnd.nextInt(50))).toMap.toSeq)
+    val est = graft.operators.Events.cmEstimates(counts, w = 32)
+      .select("key", "n_true", "n_est")
+      .as[(Long, Long, Long)].collect()
+    assert(est.length === counts.count())
+    assert(est.forall { case (_, t, e) => e >= t },
+      "Count-Min never underestimates")
+  }
+
+  test("cmSketch: each hash row's cells sum to the total count") {
+    val counts = cmCounts(Seq((1L, 5L), (2L, 7L), (-9L, 3L), (64L, 1L)))
+    val rows = graft.operators.Events.cmSketch(counts, w = 8)
+      .groupBy(col("row")).agg(sum(col("cell_n")).as("s"))
+      .select("s").as[Long].collect()
+    assert(rows.length === graft.operators.Events.CmHashes.length)
+    assert(rows.forall(_ === 16L), "every row conserves the total mass")
+  }
+
+  test("cmSketch merges: sketch(a ++ b) == cellwise sum of the shard sketches") {
+    val a = cmCounts(Seq((1L, 2L), (2L, 3L), (100L, 4L)))
+    val b = cmCounts(Seq((1L, 10L), (7L, 1L)))
+    val whole = graft.operators.Events.cmSketch(
+      a.unionByName(b).groupBy("key").agg(sum(col("n")).as("n")), w = 16)
+    val merged = graft.operators.Events.cmSketch(a, 16)
+      .unionByName(graft.operators.Events.cmSketch(b, 16))
+      .groupBy(col("row"), col("cell")).agg(sum(col("cell_n")).as("cell_n"))
+    val k = (df: org.apache.spark.sql.DataFrame) =>
+      df.select("row", "cell", "cell_n").as[(Int, Long, Long)].collect().sorted.toSeq
+    assert(k(whole) === k(merged), "cell-wise addition IS the merge")
+  }
 }
