@@ -758,10 +758,12 @@ object Queries {
     * cell index spells out pmod explicitly (`%` keeps the dividend's
     * sign on both engines, so the double-mod must be parenthesized
     * identically). */
+  private val sqlCmHashRows: String = operators.Events.CmHashes.zipWithIndex
+    .map { case ((a, b), r) => s"($r, ${a}::BIGINT, ${b}::BIGINT)" }
+    .mkString(", ")
+
   private val sqlCmCtes: String = {
-    val hashRows = operators.Events.CmHashes.zipWithIndex
-      .map { case ((a, b), r) => s"($r, ${a}::BIGINT, ${b}::BIGINT)" }
-      .mkString(", ")
+    val hashRows = sqlCmHashRows
     val p = operators.Events.CmPrime
     s"""u AS (SELECT CAST(user_id AS BIGINT) AS key, CAST(count(*) AS BIGINT) AS n
        |  FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
@@ -4100,6 +4102,17 @@ object Queries {
         .select(col("doc_id"), col("source"))
         .orderBy("doc_id")),
 
+    // extension: importance sampling ∝ document length — the
+    // Efraimidis-Spirakis weighted draw (Corpus.importanceSample) with
+    // content-hash randomness: deterministic, stable under appends,
+    // quantized-then-ranked. Weight = codepoint length (portable both
+    // engines); null/empty texts have no mass and drop out.
+    "corpus_importance_sample" -> ((s, dir) =>
+      graft.operators.Corpus.importanceSample(
+          docs(s, dir), col("text"), length(col("text")), k = 64)
+        .select(col("doc_id"), col("source"),
+          length(col("text")).cast("long").as("weight"), col("es_key9"))),
+
     // extension: pack MATERIALIZATION — the write path that turns pack
     // assignments into actual training sequences: gather each pack's
     // documents in doc_id order, concatenate texts. One shuffle keyed
@@ -4852,6 +4865,34 @@ object Queries {
           sum(col("n_est") - col("n_true")).as("sum_over"),
           sum(when(col("n_est") === col("n_true"), lit(1L)).otherwise(lit(0L)))
             .as("n_exact"))),
+
+    // extension: sketch-based distribution drift — per-user activity on
+    // even vs odd days summarized as two CM sketches, compared cell-wise.
+    // Each row's L1 cell distance LOWER-bounds the true L1 distance
+    // between the key distributions (a cell merges its keys' masses —
+    // opposite-sign changes can cancel, never inflate), so max over the
+    // 4 rows is the tightest certificate; the monitor holds d×w state
+    // per window instead of a per-key frame. Exact integers throughout.
+    "events_cm_drift" -> ((s, dir) => {
+      val ev = events(s, dir).where(col("user_id").isNotNull)
+        .withColumn("__day", expr("unix_micros(ts) DIV 86400000000"))
+      def cnts(par: Int) = ev.where(pmod(col("__day"), lit(2L)) === par)
+        .groupBy(col("user_id").cast("long").as("key"))
+        .agg(count(lit(1)).as("n"))
+      val a = operators.Events.cmSketch(cnts(0), w = 64)
+        .withColumnRenamed("cell_n", "n_even")
+      val b = operators.Events.cmSketch(cnts(1), w = 64)
+        .withColumnRenamed("cell_n", "n_odd")
+      a.join(b, Seq("row", "cell"), "full_outer")
+        .select(col("row"),
+          coalesce(col("n_even"), lit(0L)).as("n_even"),
+          coalesce(col("n_odd"), lit(0L)).as("n_odd"))
+        .groupBy(col("row"))
+        .agg(count(lit(1)).as("n_cells"),
+          sum(col("n_even")).as("mass_even"), sum(col("n_odd")).as("mass_odd"),
+          sum(abs(col("n_even") - col("n_odd"))).as("l1"))
+        .orderBy("row")
+    }),
 
     // extension: point-in-time ("as-of") join — each purchase attached to
     // the same user's most recent prior-or-simultaneous click, the
@@ -7747,6 +7788,22 @@ object Queries {
         |WHERE rn <= CASE source WHEN 'src0' THEN 12 WHEN 'src1' THEN 5 WHEN 'src2' THEN 0 ELSE 30 END
         |ORDER BY doc_id""".stripMargin,
 
+    // the exponential-race key replayed with identical double-op order:
+    // u from the first-8-hex-digit content hash (exact in double), then
+    // ((-ln(u)) / w) * 1e9 + 0.5 floored — quantized-then-ranked with
+    // the doc_id tiebreak (the BM25/DSIR ln() portability discipline)
+    "corpus_importance_sample" ->
+      """WITH h AS (SELECT doc_id, source, CAST(length(text) AS BIGINT) AS weight,
+        |    list_reduce(list_transform(string_split_regex(substr(md5(text), 1, 8), ''),
+        |      c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a * 16 + b) AS hv
+        |  FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+        |k AS (SELECT doc_id, source, weight,
+        |    CAST(floor(((-ln((CAST(hv % 1048576 AS DOUBLE) + 0.5) / 1048576.0))
+        |      / CAST(weight AS DOUBLE)) * 1000000000.0 + 0.5) AS BIGINT) AS es_key9
+        |  FROM h)
+        |SELECT doc_id, source, weight, es_key9 FROM k
+        |ORDER BY es_key9 ASC, doc_id ASC LIMIT 64""".stripMargin,
+
     "pack_sequences" ->
       """WITH t AS (SELECT doc_id, doc_id % 8 AS shard,
         |    CAST(len(regexp_split_to_array(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\s+')) AS BIGINT) AS n_tokens
@@ -8233,6 +8290,29 @@ object Queries {
          |  CAST(sum(n_est - n_true) AS BIGINT) AS sum_over,
          |  CAST(sum(CASE WHEN n_est = n_true THEN 1 ELSE 0 END) AS BIGINT) AS n_exact
          |FROM est""".stripMargin,
+
+    // the two day-parity sketches replayed as conditional sums over one
+    // (r, cell) grouping; a cell empty on BOTH sides exists in neither
+    // engine's frame (full-outer union == any-count union)
+    "events_cm_drift" -> {
+      val p = operators.Events.CmPrime
+      s"""WITH h(r, a, b) AS (SELECT * FROM (VALUES $sqlCmHashRows) v(r, a, b)),
+         |c AS (SELECT CAST(user_id AS BIGINT) AS key,
+         |    (epoch_us(ts) // 86400000000) % 2 AS par, CAST(count(*) AS BIGINT) AS n
+         |  FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2),
+         |cells AS (SELECT h.r, ((((h.a * c.key + h.b) % $p) + $p) % $p) % 64 AS cell,
+         |    c.par, c.n
+         |  FROM c CROSS JOIN h),
+         |sk AS (SELECT r, cell,
+         |    CAST(sum(CASE WHEN par = 0 THEN n ELSE 0 END) AS BIGINT) AS n_even,
+         |    CAST(sum(CASE WHEN par = 1 THEN n ELSE 0 END) AS BIGINT) AS n_odd
+         |  FROM cells GROUP BY r, cell)
+         |SELECT CAST(r AS INT) AS row, CAST(count(*) AS BIGINT) AS n_cells,
+         |  CAST(sum(n_even) AS BIGINT) AS mass_even,
+         |  CAST(sum(n_odd) AS BIGINT) AS mass_odd,
+         |  CAST(sum(abs(n_even - n_odd)) AS BIGINT) AS l1
+         |FROM sk GROUP BY r ORDER BY row""".stripMargin
+    },
 
     // ties on click ts resolved to the greatest click_id (the operator's
     // deterministic tieBreak); <= is the inclusive as-of bound

@@ -150,6 +150,35 @@ object Corpus {
       .drop("__h", "__src")
   }
 
+  /** Efraimidis–Spirakis weighted sampling without replacement (the A-ES
+    * scheme, Inf. Proc. Letters 2006): item i with weight wᵢ > 0 gets key
+    * uᵢ^(1/wᵢ) for uniform uᵢ and the k LARGEST keys form a sample where
+    * inclusion probability is proportional to weight — here in the
+    * equivalent min-order "exponential race" form keyᵢ = −ln(uᵢ)/wᵢ
+    * (monotone transform, same ranking), which is the importance-sampling
+    * primitive for data mixing ("sample documents ∝ quality/length").
+    *
+    * uᵢ is derived from the CONTENT hash ((h mod 2²⁰ + 0.5)/2²⁰ — exact
+    * in double), so like [[assignSplit]] the draw is deterministic and
+    * stable under corpus changes: a document's key depends only on its
+    * own content and weight, never on position or other rows — re-runs
+    * and appends cannot silently reshuffle a training mix. The key is
+    * quantized to 1e-9 BEFORE ranking with a doc_id tiebreak, so the
+    * order both engines rank on is integer (the BM25/DSIR ln()
+    * portability discipline). Scale: map-only key computation + bounded
+    * top-k (TakeOrderedAndProject), never a global sort. */
+  def importanceSample(docs: DataFrame, text: Column, weight: Column, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val u = (pmod(contentHash32(text), lit(1048576L)).cast("double") + lit(0.5)) /
+      lit(1048576.0)
+    docs
+      .where(text.isNotNull && weight > 0)
+      .withColumn("es_key9",
+        floor(-log(u) / weight.cast("double") * lit(1.0e9) + lit(0.5)).cast("long"))
+      .orderBy(col("es_key9").asc, col("doc_id").asc)
+      .limit(k)
+  }
+
   /** Materialize the packs [[pack]] assigned: gather each pack's
     * documents in doc_id order and concatenate their texts — the write
     * path that turns assignments into actual training sequences.

@@ -851,4 +851,37 @@ class CorpusSpec extends SparkSpec {
     assert(plan("src0")._4 === 5000L)
     assert(plan("src1")._4 === 3000L)
   }
+
+  test("importanceSample: equals the brute-force A-ES ranking, stable under append") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    def doc(i: Int): (Long, String) =
+      (i.toLong, Seq.fill(1 + rnd.nextInt(40))(('a' + rnd.nextInt(26)).toChar).mkString)
+    val base = (0 until 200).map(doc) ++ Seq((900L, null: String), (901L, ""))
+    val df = base.toDF("doc_id", "text")
+    def key9(text: String): Long = {
+      // the kernel's exact double-op order, recomputed independently
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(text.getBytes("UTF-8")).take(4)
+      val h = md.foldLeft(0L)((a, b) => a * 256 + (b & 0xff))
+      val u = ((h % 1048576L).toDouble + 0.5) / 1048576.0
+      math.floor(-math.log(u) / text.length.toDouble * 1.0e9 + 0.5).toLong
+    }
+    val want = base.filter(d => d._2 != null && d._2.nonEmpty)
+      .map(d => (key9(d._2), d._1)).sorted.take(16).map(_._2)
+    val got = graft.operators.Corpus
+      .importanceSample(df, col("text"), length(col("text")), k = 16)
+      .select("doc_id").as[Long].collect().toSeq.sorted
+    assert(got === want.sorted)
+    // appending rows never changes surviving keys (content-only draw):
+    // the new sample is the top-k of the UNION of old keys and new keys
+    val more = (300 until 350).map(doc)
+    val got2 = graft.operators.Corpus
+      .importanceSample((base ++ more).toDF("doc_id", "text"),
+        col("text"), length(col("text")), k = 16)
+      .select("doc_id").as[Long].collect().toSeq.sorted
+    val want2 = (base ++ more).filter(d => d._2 != null && d._2.nonEmpty)
+      .map(d => (key9(d._2), d._1)).sorted.take(16).map(_._2).sorted
+    assert(got2 === want2)
+  }
 }
