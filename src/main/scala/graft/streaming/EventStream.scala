@@ -370,4 +370,95 @@ object EventStream {
       .queryName(name)
       .trigger(Trigger.AvailableNow())
       .start()
+
+  /** Count-Min sketch of per-user event counts maintained incrementally
+    * at the ingest door: [[graft.operators.Events.cmSketch]]'s merge law
+    * (cells are order-independent SUMS, so shard/batch sketches fold
+    * cell-wise — pinned in EventsSpec) applied per micro-batch, the
+    * streaming twin of `events_cm_topk`'s batch build.
+    *
+    * State: one `(row, cell, cell_n)` frame per `batch_id` partition —
+    * bounded by depth × w CELLS regardless of stream history or key
+    * cardinality (the whole point of sketching the stream instead of
+    * keeping per-key counts). The newest batch_id is the authoritative
+    * sketch; replay after a crash is idempotent because the fold reads
+    * only `batch_id < current` and rewrites its own partition (dynamic
+    * partition overwrite — the checksum manifest / drift monitor
+    * recovery discipline). */
+  def startCmSketch(
+      spark: SparkSession,
+      dir: String,
+      stateDir: String,
+      checkpointPath: String,
+      w: Int = 64): StreamingQuery =
+    readEventIngestDir(spark, dir)
+      .writeStream
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val counts = batch.where(col("user_id").isNotNull)
+          .groupBy(col("user_id").cast("long").as("key"))
+          .agg(count(lit(1)).as("n"))
+        val parts = graft.operators.Events.cmSketch(counts, w)
+        val folded = readCmState(spark, stateDir, Some(batchId)) match {
+          case None => parts
+          case Some(p) => p.unionByName(parts)
+            .groupBy(col("row"), col("cell"))
+            .agg(sum(col("cell_n")).cast("long").as("cell_n"))
+        }
+        folded.withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(stateDir)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** Event INGEST-DIR stream: unlike [[readEvents]] (pinned to the
+    * testdata layout's single `events.parquet`), this watches every
+    * parquet file landing in a dedicated arrival directory — the
+    * multi-wave production shape the checksum/dedup doc streams use.
+    * Schema from the footer of what's already there (same decode-tracks-
+    * physical-layout rule as [[readEvents]]). */
+  private def readEventIngestDir(spark: SparkSession, dir: String): DataFrame = {
+    val schema =
+      try spark.read.parquet(dir).schema
+      catch { case e: Exception if isNanosFooterRefusal(e) => rawSchema }
+    normalizeTs(
+      spark.readStream
+        .schema(schema)
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(dir))
+  }
+
+  /** The newest committed sketch in a [[startCmSketch]] state dir —
+    * empty (a valid all-zeros sketch: estimates come out 0) when no
+    * fold has committed yet. */
+  def cmSketchState(spark: SparkSession, stateDir: String): DataFrame =
+    readCmState(spark, stateDir, beforeBatch = None).getOrElse(
+      spark.emptyDataFrame
+        .select(lit(0).as("row"), lit(0L).as("cell"), lit(0L).as("cell_n"))
+        .where(lit(false)))
+
+  /** Newest `(row, cell, cell_n)` fold with `batch_id <` the bound —
+    * `None` only for the two no-state conditions (missing dir, dir with
+    * no readable footer from a crashed FIRST write); any other analysis
+    * error propagates rather than silently re-basing the cumulative
+    * fold (the narrow-catch discipline, see [[DocIngest]]). */
+  private def readCmState(spark: SparkSession, stateDir: String,
+      beforeBatch: Option[Long]): Option[DataFrame] = {
+    val st =
+      try {
+        val full = spark.read.parquet(stateDir)
+        beforeBatch.fold(full)(b => full.where(col("batch_id") < b))
+      } catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getCondition == "PATH_NOT_FOUND" ||
+              e.getCondition == "UNABLE_TO_INFER_SCHEMA" =>
+          return None
+      }
+    val mb = st.agg(max(col("batch_id").cast("long"))).head()
+    if (mb.isNullAt(0)) None
+    else Some(st.where(col("batch_id").cast("long") === mb.getLong(0))
+      .select(col("row"), col("cell"), col("cell_n")))
+  }
 }

@@ -693,6 +693,44 @@ class StreamingSpec extends SparkSpec {
     assert(crashedManifest.count() === 0L)
   }
 
+  test("streaming CM sketch: cell-wise fold across a restart equals the batch sketch") {
+    import graft.streaming.EventStream
+    import graft.operators.Events
+    val root = java.nio.file.Files.createTempDirectory("graft_cm_stream")
+    val inDir = s"$root/in"
+    val state = s"$root/state"
+    val ckpt = s"$root/ckpt"
+    def eventsDf(rows: Seq[(Long, Long)]) = rows.map { case (id, u) =>
+      (id, java.sql.Timestamp.valueOf("2024-03-01 12:00:00"), u, "click", 1.0)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+
+    // wave 1, then wave 2 through a RESTARTED query (same checkpoint +
+    // state): the fold must continue. Wave 2 repeats a wave-1 user
+    // (cells must accumulate, not overwrite) and brings a new user whose
+    // cell collides nowhere (w = 8 keeps collisions live anyway).
+    val w1 = (0L until 40L).map(i => (i, i % 5))
+    val w2 = (100L until 130L).map(i => (i, i % 3))
+    eventsDf(w1).write.mode("append").parquet(inDir)
+    EventStream.startCmSketch(spark, inDir, state, ckpt, w = 8).awaitTermination()
+    eventsDf(w2).write.mode("append").parquet(inDir)
+    EventStream.startCmSketch(spark, inDir, state, ckpt, w = 8).awaitTermination()
+
+    val streamed = EventStream.cmSketchState(spark, state)
+      .as[(Int, Long, Long)].collect().sorted.toSeq
+    val batch = Events.cmSketch(
+        eventsDf(w1 ++ w2).groupBy(col("user_id").cast("long").as("key"))
+          .agg(count(lit(1)).as("n")), w = 8)
+      .as[(Int, Long, Long)].collect().sorted.toSeq
+    assert(streamed === batch,
+      s"stream fold diverged from the batch sketch:\n$streamed\nvs\n$batch")
+    // bounded state: never more than depth × w cells, whatever the stream
+    assert(streamed.size <= Events.CmHashes.length * 8)
+    // audit trail: one partition per committed fold
+    assert(spark.read.parquet(state).select("batch_id").distinct().count() >= 2)
+    // no state yet → a valid empty (all-zeros) sketch, not an exception
+    assert(EventStream.cmSketchState(spark, s"$root/never").count() === 0L)
+  }
+
   test("streaming DSIR gate admits exactly the batch-filtered set, stateless across restarts") {
     import graft.streaming.DocIngest
     import graft.operators.Corpus
