@@ -5029,6 +5029,34 @@ object Queries {
           r4(col("qs")(2)).as("p90"), r4(col("qs")(3)).as("p99"))
         .orderBy("event_type")),
 
+    // extension: MERGEABLE quantiles — the decimal-digit fixed-bucket
+    // histogram (Events.ddHistogram: deterministic, merges by count
+    // addition, ≤ ~1700 buckets of state) read at p50/90/95/99, each
+    // estimate verified in-row against the exact interpolated percentile
+    // of the SAME quantized population with the relative error as an
+    // exact-arithmetic column. The exact legs are the verification twin
+    // (a full sort at scale); the sketch legs are the 100 TB path.
+    "events_value_sketch" -> ((s, dir) => {
+      val vals = events(s, dir).select(col("value"))
+      val qs = operators.Events.ddQuantiles(
+        operators.Events.ddHistogram(vals), Seq(50, 90, 95, 99))
+      val ex = operators.Events.ddQuantized(vals).agg(
+        expr("percentile(q2, 0.50D)").as("__e50"),
+        expr("percentile(q2, 0.90D)").as("__e90"),
+        expr("percentile(q2, 0.95D)").as("__e95"),
+        expr("percentile(q2, 0.99D)").as("__e99"))
+      qs.crossJoin(broadcast(ex))
+        .withColumn("__ex",
+          when(col("p") === 50, col("__e50"))
+            .when(col("p") === 90, col("__e90"))
+            .when(col("p") === 95, col("__e95"))
+            .otherwise(col("__e99")) / lit(100.0))
+        .select(col("p"), col("n"), r4(col("est")).as("est"),
+          r4(col("__ex")).as("exact"),
+          r4(abs(col("est") - col("__ex")) / col("__ex")).as("rel_err"))
+        .orderBy("p")
+    }),
+
     // extension: view→purchase CONVERSION-TIME distribution — per user,
     // the latency from first view to the first purchase at or after it;
     // summarized as exact interpolated quantiles + mean. Two per-user
@@ -8418,6 +8446,39 @@ object Queries {
          |  ${sqlR4("quantile_cont(value, 0.90)")} AS p90,
          |  ${sqlR4("quantile_cont(value, 0.99)")} AS p99
          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // the decimal-digit histogram replayed: bucket = (digit count,
+    // first two digits) of the 1e-2-quantized value, width via the
+    // string trick (pure integer math, no float pow), midpoint and
+    // rank probe in the identical double-op order
+    "events_value_sketch" ->
+      s"""WITH v AS (SELECT CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS q2 FROM events
+         |  WHERE value IS NOT NULL AND value > 0
+         |    AND CAST(floor(value * 100.0 + 0.5) AS BIGINT) >= 1),
+         |h AS (SELECT CAST(length(CAST(q2 AS VARCHAR)) AS BIGINT) AS digits,
+         |    CAST(substr(CAST(q2 AS VARCHAR), 1, 2) AS BIGINT) AS first2,
+         |    CAST(count(*) AS BIGINT) AS cnt
+         |  FROM v GROUP BY 1, 2),
+         |c AS (SELECT digits, first2, cnt,
+         |    CAST(sum(cnt) OVER (ORDER BY digits, first2 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+         |    CAST(concat('1', repeat('0', CAST(greatest(digits - 2, 0) AS INT))) AS BIGINT) AS width
+         |  FROM h),
+         |m AS (SELECT cum,
+         |    (CAST(first2 * width AS DOUBLE) + CAST(width AS DOUBLE) / 2.0) / 100.0 AS mid
+         |  FROM c),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+         |ex AS (SELECT quantile_cont(q2, 0.50) AS e50, quantile_cont(q2, 0.90) AS e90,
+         |    quantile_cont(q2, 0.95) AS e95, quantile_cont(q2, 0.99) AS e99 FROM v),
+         |p(p) AS (VALUES (50), (90), (95), (99)),
+         |e AS (SELECT p.p, n.n, min(m.mid) AS est
+         |  FROM p, n, m WHERE m.cum >= (n.n * p.p + 99) // 100 GROUP BY 1, 2),
+         |f AS (SELECT e.p, e.n, e.est,
+         |    (CASE e.p WHEN 50 THEN ex.e50 WHEN 90 THEN ex.e90
+         |      WHEN 95 THEN ex.e95 ELSE ex.e99 END) / 100.0 AS exv
+         |  FROM e, ex)
+         |SELECT p, n, ${sqlR4("est")} AS est, ${sqlR4("exv")} AS exact,
+         |  ${sqlR4("abs(est - exv) / exv")} AS rel_err
+         |FROM f ORDER BY p""".stripMargin,
 
     // the same two distincts + bounded day fan-out; stickiness divides
     // exact integers

@@ -318,6 +318,72 @@ object Events {
       .agg(sum(col("n")).as("cell_n"))
   }
 
+  // ------------------------------------------------------------------
+  // Decimal-digit quantile histogram (a DDSketch-flavored fixed-bucket
+  // family — Masson et al. 2019 motivates relative-error buckets; the
+  // decimal variant keeps every boundary integer-expressible)
+  // ------------------------------------------------------------------
+
+  /** Fixed-boundary relative-error histogram of a positive value column:
+    * quantize to 1e-2 (`q2 = floor(100·v + 0.5)`, the house quantization)
+    * and bucket by `(decimal digit count, first two digits)` of q2 —
+    * e.g. 1234 → (4, 12), covering [1200, 1300). Bucket boundaries are
+    * DATA-INDEPENDENT, so unlike rank-based quantile sketches (GK, KLL,
+    * t-digest — all merge-order sensitive) the histogram is
+    * deterministic, bit-exact oracle-replayable, and merges across
+    * shards/batches by `cnt` addition. State: ≤ 90 buckets per decade ×
+    * 19 decades regardless of data. Relative bucket width ≤ 10% ⇒ a
+    * quantile read from bucket midpoints carries ≤ ~5% relative error
+    * plus the 1e-2 quantization. Domain: q2 ≥ 1 (zero/negative values
+    * have no decimal-digit bucket — callers route them separately);
+    * digit math is pure string/integer ops, portable cross-engine. */
+  def ddHistogram(values: DataFrame): DataFrame = {
+    val s = col("q2").cast("string")
+    ddQuantized(values)
+      .groupBy(length(s).cast("long").as("digits"),
+        substring(s, 1, 2).cast("long").as("first2"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** The quantized positive-domain frame [[ddHistogram]] buckets —
+    * exposed so verification twins measure the SAME population. */
+  def ddQuantized(values: DataFrame): DataFrame =
+    values.where(col("value").isNotNull && col("value") > 0)
+      .select(floor(col("value") * lit(100.0) + lit(0.5)).cast("long").as("q2"))
+      .where(col("q2") >= 1)
+
+  /** Quantile reads at integer percents from a [[ddHistogram]]: for each
+    * p, the midpoint of the first bucket whose cumulative count reaches
+    * rank `ceil(n·p/100)`. The prefix-sum window is partition-less but
+    * runs over the BUCKET frame (bounded by construction — the
+    * two-level-prefix-sum allowance in the plan sweep); the rank probe
+    * is a broadcast of the one-row total and the literal percent list. */
+  def ddQuantiles(hist: DataFrame, percents: Seq[Int]): DataFrame = {
+    require(percents.nonEmpty && percents.forall(p => p >= 1 && p <= 100),
+      s"percents must be integer percentages, got $percents")
+    val spark = hist.sparkSession
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("digits"), col("first2"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val mids = hist
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("width",
+        expr("CAST(concat('1', repeat('0', CAST(greatest(digits - 2, 0) AS INT))) AS BIGINT)"))
+      // bucket midpoint in VALUE units — (lo + width/2) / 100, the same
+      // double-op order the oracle restates
+      .withColumn("mid",
+        ((col("first2") * col("width")).cast("double") +
+          col("width").cast("double") / lit(2.0)) / lit(100.0))
+    val n = hist.agg(sum(col("cnt")).as("n"))
+    mids.crossJoin(broadcast(n)).crossJoin(broadcast(percents.toDF("p")))
+      .where(col("cum") >= expr("(n * p + 99) div 100"))
+      .groupBy(col("p"))
+      .agg(max(col("n")).as("n"), min(col("mid")).as("est"))
+      .orderBy("p")
+  }
+
   /** Per-key point estimates against [[cmSketch]]: `n_true` (the input
     * count, for the error report) and `n_est = min` over the key's
     * `depth` cells. The sketch side is BROADCAST — it is depth×w rows by

@@ -288,4 +288,43 @@ class EventsSpec extends SparkSpec {
       df.select("row", "cell", "cell_n").as[(Int, Long, Long)].collect().sorted.toSeq
     assert(k(whole) === k(merged), "cell-wise addition IS the merge")
   }
+
+  // --- decimal-digit quantile histogram laws -------------------------------
+
+  test("ddHistogram merges by count addition; quantile reads stay within the bucket bound") {
+    def valsDf(seed: Int, n: Int) = {
+      val r = new scala.util.Random(seed)
+      (0 until n).map(_ => math.exp(r.nextGaussian() * 2 + 3)).toDF("value")
+    }
+    val a = valsDf(1, 800); val b = valsDf(2, 500)
+    val whole = graft.operators.Events.ddHistogram(a.unionByName(b))
+    val merged = graft.operators.Events.ddHistogram(a)
+      .unionByName(graft.operators.Events.ddHistogram(b))
+      .groupBy(col("digits"), col("first2")).agg(sum(col("cnt")).as("cnt"))
+    val key = (df: org.apache.spark.sql.DataFrame) =>
+      df.select("digits", "first2", "cnt").as[(Long, Long, Long)].collect().sorted.toSeq
+    assert(key(whole) === key(merged), "histograms merge by count addition")
+
+    // quantile read: the estimate's bucket CONTAINS the true rank element,
+    // so |est - exact| is at most half the bucket width (≤ 5% of lo) plus
+    // the interpolation inside the exact leg — assert a 6% relative bound
+    val est = graft.operators.Events.ddQuantiles(whole, Seq(50, 90, 99))
+      .select("p", "est").as[(Int, Double)].collect().toMap
+    val q2s = graft.operators.Events.ddQuantized(a.unionByName(b))
+      .as[Long].collect().sorted
+    for ((p, e) <- est) {
+      val r = (q2s.length * p + 99) / 100
+      val truth = q2s(r - 1).toDouble / 100.0
+      assert(math.abs(e - truth) / truth <= 0.06,
+        s"p$p: est $e vs rank-$r truth $truth")
+    }
+  }
+
+  test("ddHistogram domain: nulls, zeros, negatives and sub-quantum values drop out") {
+    val df = Seq[Option[Double]](Some(12.34), Some(0.0), Some(-5.0), None, Some(0.001))
+      .toDF("value")
+    val h = graft.operators.Events.ddHistogram(df)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(h === Seq((4L, 12L, 1L))) // only 12.34 → q2 = 1234 → (4, 12)
+  }
 }
