@@ -8453,7 +8453,7 @@ object Queries {
     // rank probe in the identical double-op order
     "events_value_sketch" ->
       s"""WITH v AS (SELECT CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS q2 FROM events
-         |  WHERE value IS NOT NULL AND value > 0
+         |  WHERE value IS NOT NULL AND value > 0 AND value < 9.0e16
          |    AND CAST(floor(value * 100.0 + 0.5) AS BIGINT) >= 1),
          |h AS (SELECT CAST(length(CAST(q2 AS VARCHAR)) AS BIGINT) AS digits,
          |    CAST(substr(CAST(q2 AS VARCHAR), 1, 2) AS BIGINT) AS first2,

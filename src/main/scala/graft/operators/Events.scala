@@ -346,9 +346,15 @@ object Events {
   }
 
   /** The quantized positive-domain frame [[ddHistogram]] buckets —
-    * exposed so verification twins measure the SAME population. */
+    * exposed so verification twins measure the SAME population. The
+    * upper bound is the long-headroom gate (the `Metric.validRecord`
+    * discipline): `floor(100·v + 0.5)` must fit BIGINT, and under ANSI
+    * arithmetic one `v ≥ ~9.2e16` row would otherwise kill the job on
+    * BOTH engines (Spark overflow-checked cast, DuckDB checked CAST) —
+    * a domain is validated, not crashed into. */
   def ddQuantized(values: DataFrame): DataFrame =
-    values.where(col("value").isNotNull && col("value") > 0)
+    values.where(col("value").isNotNull && col("value") > 0 &&
+        col("value") < lit(9.0e16))
       .select(floor(col("value") * lit(100.0) + lit(0.5)).cast("long").as("q2"))
       .where(col("q2") >= 1)
 

@@ -320,8 +320,11 @@ class EventsSpec extends SparkSpec {
     }
   }
 
-  test("ddHistogram domain: nulls, zeros, negatives and sub-quantum values drop out") {
-    val df = Seq[Option[Double]](Some(12.34), Some(0.0), Some(-5.0), None, Some(0.001))
+  test("ddHistogram domain: nulls, zeros, negatives, sub-quantum and overflow values drop out") {
+    // 1e18 would overflow the BIGINT quantization under ANSI arithmetic on
+    // BOTH engines — the domain gate must drop it, not crash the job
+    val df = Seq[Option[Double]](Some(12.34), Some(0.0), Some(-5.0), None,
+        Some(0.001), Some(1.0e18))
       .toDF("value")
     val h = graft.operators.Events.ddHistogram(df)
       .as[(Long, Long, Long)].collect().toSeq

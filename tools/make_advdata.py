@@ -214,6 +214,14 @@ rows += [
     (900081, dt.datetime(2024, 6, 3, 9, 29, 59), 777011, 'click', 2.0, '{}'),
     (900082, dt.datetime(2024, 6, 3, 9, 59, 59), 777011, 'purchase', 3.0, '{}'),
     (900083, dt.datetime(2024, 6, 3, 10, 30, 0), 777011, 'error', 4.0, '{}'),
+    # NEGATIVE user id: the sign-sensitive-mod probe (Count-Min hash
+    # rows, any % bucketing) — Spark's % and DuckDB's % both keep the
+    # dividend's sign, so every hash/bucket formula must spell out pmod
+    # ((x % p + p) % p) on BOTH sides or the engines agree with each
+    # other but put the key in a NEGATIVE cell index
+    (900090, dt.datetime(2024, 6, 4, 9, 0, 0), -7, 'view', 1.0, '{}'),
+    (900091, dt.datetime(2024, 6, 4, 9, 5, 0), -7, 'click', 2.0, '{}'),
+    (900092, dt.datetime(2024, 6, 4, 9, 10, 0), -7, 'purchase', 3.0, '{}'),
 ]
 # whale key: ONE user holding a 300-event burst spread across 3 days
 # (crosses the 86400 s chunk boundary of the segmented as-of path) with
