@@ -172,7 +172,10 @@ object Corpus {
     val u = (pmod(contentHash32(text), lit(1048576L)).cast("double") + lit(0.5)) /
       lit(1048576.0)
     docs
-      .where(text.isNotNull && weight > 0)
+      // NaN weight guard: Spark's total order makes NaN > 0 TRUE, and the
+      // NaN key would then die in the ANSI long cast — a malformed weight
+      // drops out instead (+Inf is harmless: key 0 ranks first)
+      .where(text.isNotNull && weight > 0 && !isnan(weight.cast("double")))
       .withColumn("es_key9",
         floor(-log(u) / weight.cast("double") * lit(1.0e9) + lit(0.5)).cast("long"))
       .orderBy(col("es_key9").asc, col("doc_id").asc)

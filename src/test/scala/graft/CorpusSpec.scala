@@ -883,5 +883,14 @@ class CorpusSpec extends SparkSpec {
     val want2 = (base ++ more).filter(d => d._2 != null && d._2.nonEmpty)
       .map(d => (key9(d._2), d._1)).sorted.take(16).map(_._2).sorted
     assert(got2 === want2)
+
+    // NaN weight: Spark's total order says NaN > 0, and the NaN key would
+    // die in the ANSI long cast — the guard must drop the row, not crash
+    val hostile = Seq((1L, "abc", Double.NaN), (2L, "def", 2.0), (3L, "ghi", 0.0))
+      .toDF("doc_id", "text", "w")
+    val picked = graft.operators.Corpus
+      .importanceSample(hostile, col("text"), col("w"), 5)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(picked === Seq(2L))
   }
 }
