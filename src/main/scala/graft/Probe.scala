@@ -21,6 +21,7 @@ object Probe {
     if (name == "ccprof") { corpusCleanProfile(spark, dir); spark.stop(); return }
     if (name == "groupsprof") { groupsProfile(spark, dir); spark.stop(); return }
     if (name == "contprof") { containmentProfile(spark, dir); spark.stop(); return }
+    if (name == "fzprof") { fuzzyProfile(spark, dir); spark.stop(); return }
     val df = SparkEntry.queries(name)(spark, dir)
     df.explain("formatted")
     (1 to 2).foreach { i =>
@@ -29,6 +30,40 @@ object Probe {
       println(f"RUN$i: $n rows in ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
     spark.stop()
+  }
+
+  /** Blocking-volume meter for the fuzzy-match pipeline (the
+    * metered-not-assumed rule from the containment restructure): key
+    * count, deletion-key bucket-size histogram, candidate-pair volume
+    * before the verify kernel, and survivors — the numbers that decide
+    * whether a corpus needs a maxBucket-style cap before SymSpell
+    * blocking is allowed to run on it. */
+  private def fuzzyProfile(spark: SparkSession, dir: String): Unit = {
+    import graft.functions.NativeExprs
+    import org.apache.spark.sql.functions._
+    def t[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"PHASE $label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    }
+    val names = spark.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_custkey").as("id"),
+        graft.operators.TextOps.nfc(col("c_name")).as("s"))
+      .where(col("id") < 2500 && col("s").isNotNull && length(col("s")) <= 24)
+    val keyed = graft.Caching.ensureCached(
+      names.select(col("id"),
+        explode(NativeExprs.deletionVariants(col("s"), 2, 24)).as("key")))
+    println("names: " + names.count() + ", keyed rows: " + t("keys")(keyed.count()))
+    println("bucket histogram (size -> n_keys):")
+    t("hist")(keyed.groupBy(col("key")).agg(count(lit(1)).as("b"))
+      .groupBy(col("b")).agg(count(lit(1)).as("n")).orderBy(col("b").desc)
+      .limit(12).collect().foreach(r => println("  " + r)))
+    val cand = keyed.as("a").join(keyed.as("b"), Seq("key"))
+      .where(col("a.id") < col("b.id"))
+      .select(col("a.id").as("ia"), col("b.id").as("ib"))
+    println("candidate pairs (pre-distinct): " + t("cand")(cand.count()))
+    println("distinct candidate pairs: " + t("dist")(cand.distinct().count()))
+    val pairs = graft.operators.Fuzzy.matchPairs(names, maxDist = 2, prefixLen = 24)
+    println("verified pairs: " + t("verify")(pairs.count()))
   }
 
   /** Stage attribution + volumes for the containment pipeline. */
