@@ -48,14 +48,35 @@ object Fuzzy {
     * codepoints; longer strings degrade to SymSpell's prefix heuristic
     * (documented on [[NativeExprs.DeletionVariantsExpr]]) — oracle-gated
     * callers bound the string length in the query instead. */
-  def matchPairs(df: DataFrame, maxDist: Int, prefixLen: Int = 24): DataFrame = {
+  def matchPairs(
+      df: DataFrame,
+      maxDist: Int,
+      prefixLen: Int = 24,
+      maxBucket: Int = Int.MaxValue): DataFrame = {
     require(maxDist >= 0 && maxDist <= 3, s"maxDist must be in [0, 3], got $maxDist")
+    require(maxBucket > 0, s"maxBucket must be positive, got $maxBucket")
     val keyed = df
       .where(col("s").isNotNull)
       .select(col("id"), col("s"),
         explode(NativeExprs.deletionVariants(col("s"), maxDist, prefixLen)).as("key"))
-    val a = keyed.select(col("key"), col("id").as("id_a"), col("s").as("s_a"))
-    val b = keyed.select(col("key"), col("id").as("id_b"), col("s").as("s_b"))
+    // Hot-bucket cap (the LSH dropHotBuckets discipline): a deletion key
+    // shared by m strings yields m² candidates, and a viral name (10⁶
+    // copies of one boilerplate entity) turns the join quadratic in join
+    // CARDINALITY — AQE can't help. Dropping a hot key loses only pairs
+    // whose EVERY shared variant is hot; exact duplicates of a viral
+    // string are better collapsed by exact dedup first (the corpus_clean
+    // composition order). Default = uncapped: unlike banded LSH the
+    // default inputs are bounded name frames — meter with `Probe fzprof`
+    // before capping (sf0.1: max bucket 322, far under any useful cap).
+    val blocked =
+      if (maxBucket == Int.MaxValue) keyed
+      else {
+        val hot = keyed.groupBy(col("key")).agg(count(lit(1)).as("__bn"))
+          .where(col("__bn") > maxBucket).select(col("key"))
+        keyed.join(broadcast(hot), Seq("key"), "left_anti")
+      }
+    val a = blocked.select(col("key"), col("id").as("id_a"), col("s").as("s_a"))
+    val b = blocked.select(col("key"), col("id").as("id_b"), col("s").as("s_b"))
     // distinct() collapses pairs that met under several shared variants;
     // the strings are functionally determined by the ids, so the 4-column
     // distinct equals a pair-key distinct without a second join-back.

@@ -140,4 +140,19 @@ class FuzzySpec extends SparkSpec {
     assert(want.exists(_._3 == 0) && want.exists(_._3 == 1) && want.exists(_._3 == 2))
     assert(got === want)
   }
+
+  test("matchPairs maxBucket: hot deletion keys drop; cool pairs survive") {
+    // 40 copies of one viral name (every variant-bucket of it has size
+    // ≥ 40) plus one cool near-pair that shares no key with the flood
+    val viral = (0L until 40L).map(i => (i, "Viral Boilerplate Co"))
+    val cool = Seq((100L, "Quiet Name"), (101L, "Quiet Namq"))
+    val df = (viral ++ cool).toDF("id", "s")
+    val capped = Fuzzy.matchPairs(df, maxDist = 1, maxBucket = 10)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(capped === Set((100L, 101L)),
+      "the viral family must drop under the cap; the cool pair must survive")
+    val uncapped = Fuzzy.matchPairs(df, maxDist = 1)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(uncapped.size === 40 * 39 / 2 + 1, "uncapped keeps the full quadratic family")
+  }
 }
