@@ -5029,6 +5029,28 @@ object Queries {
           r4(col("qs")(2)).as("p90"), r4(col("qs")(3)).as("p99"))
         .orderBy("event_type")),
 
+    // extension: deterministic DISTINCT sketch — linear probabilistic
+    // counting per event type (Events.lcCells/lcEstimates): the occupied-
+    // cell set is an OR-monoid bounded by k = 4096 cells per group, and
+    // unlike HLL++ (engine-internal hashing) the whole sketch replays in
+    // SQL, so estimate AND exact AND relative error are all oracle-gated.
+    // NULL users are excluded (no hashable identity); saturation (every
+    // cell occupied) surfaces as NULL est on both engines.
+    "events_lc_distinct" -> ((s, dir) => {
+      val tu = events(s, dir).where(col("user_id").isNotNull)
+        .select(col("event_type").as("grp"), col("user_id").cast("long").as("key"))
+        .distinct()
+      val est = operators.Events.lcEstimates(
+        operators.Events.lcCells(tu, k = 4096), k = 4096)
+      val ex = tu.groupBy(col("grp")).agg(count(lit(1)).as("n_exact"))
+      ex.join(est, Seq("grp"))
+        .select(col("grp").as("event_type"), col("n_exact"), col("occupied"),
+          r4(col("est")).as("est"),
+          r4(abs(col("est") - col("n_exact").cast("double"))
+            / col("n_exact").cast("double")).as("rel_err"))
+        .orderBy("event_type")
+    }),
+
     // extension: MERGEABLE quantiles — the decimal-digit fixed-bucket
     // histogram (Events.ddHistogram: deterministic, merges by count
     // addition, ≤ ~1700 buckets of state) read at p50/90/95/99, each
@@ -8446,6 +8468,31 @@ object Queries {
          |  ${sqlR4("quantile_cont(value, 0.90)")} AS p90,
          |  ${sqlR4("quantile_cont(value, 0.99)")} AS p99
          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // linear counting replayed: same first hash row as the CM oracle,
+    // est = -k*ln(z/k) in the identical double-op order on the RAW
+    // estimate (r4 applied at the surface only)
+    "events_lc_distinct" -> {
+      val (a1, b1) = operators.Events.CmHashes.head
+      val (a2, b2) = operators.Events.CmHashes(1)
+      val p = operators.Events.CmPrime
+      s"""WITH tu AS (SELECT DISTINCT event_type AS grp, CAST(user_id AS BIGINT) AS key
+         |  FROM events WHERE user_id IS NOT NULL),
+         |hh AS (SELECT grp, ((($a1 * key + $b1) % $p) + $p) % $p AS h FROM tu),
+         |mm AS (SELECT grp, xor(h, h // 65536) AS m FROM hh),
+         |c AS (SELECT DISTINCT grp, (((($a2 * m + $b2) % $p) + $p) % $p) % 4096 AS cell
+         |  FROM mm),
+         |o AS (SELECT grp, CAST(count(*) AS BIGINT) AS occupied FROM c GROUP BY grp),
+         |x AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_exact FROM tu GROUP BY grp),
+         |j AS (SELECT x.grp, x.n_exact, o.occupied,
+         |    CASE WHEN o.occupied < 4096 THEN
+         |      -4096.0 * ln((4096.0 - CAST(o.occupied AS DOUBLE)) / 4096.0)
+         |    ELSE NULL END AS est
+         |  FROM x JOIN o USING (grp))
+         |SELECT grp AS event_type, n_exact, occupied, ${sqlR4("est")} AS est,
+         |  ${sqlR4("abs(est - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE)")} AS rel_err
+         |FROM j ORDER BY event_type""".stripMargin
+    },
 
     // the decimal-digit histogram replayed: bucket = (digit count,
     // first two digits) of the 1e-2-quantized value, width via the

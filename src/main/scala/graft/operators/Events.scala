@@ -319,6 +319,56 @@ object Events {
   }
 
   // ------------------------------------------------------------------
+  // Linear probabilistic counting (Whang et al. 1990) — the distinct
+  // sketch that, unlike HLL++ (engine-internal hashing, not
+  // replayable), is fully deterministic and oracle-checkable
+  // ------------------------------------------------------------------
+
+  /** Occupied-cell frame of a linear-counting distinct sketch: each
+    * (group, key) marks cell `hash(key) mod k` using the first
+    * [[CmHashes]] row; the sketch IS the distinct set of (group, cell)
+    * rows — an OR-monoid (union across shards/batches = union of the
+    * frames, then distinct), bounded by k cells per group. Input:
+    * `grp`, `key` (BIGINT, pre-deduplicated or not — marking is
+    * idempotent). */
+  def lcCells(keyed: DataFrame, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    keyed.select(col("grp"), lcCell(col("key"), k).as("cell")).distinct()
+  }
+
+  /** LC cell index: affine → xor-fold → affine, mod k. An affine-only
+    * hash (the [[cmCell]] shape) is a bijection mod p, so a CLUSTERED
+    * key domain maps to a low-discrepancy (too-even) cell sequence —
+    * fewer collisions than Poisson and a systematic LC overestimate
+    * (measured: +31% at load 1.8 on keys from a 2000-value range). The
+    * xor of the high halfword breaks the affinity; the second affine
+    * pass spreads the fold. CM keeps its plain affine rows: its
+    * `est ≥ true` contract is structural, and too-even hashing only
+    * makes it MORE accurate. */
+  def lcCell(key: Column, k: Int): Column = {
+    val (a1, b1) = CmHashes.head
+    val (a2, b2) = CmHashes(1)
+    val h = pmod(lit(a1) * key + lit(b1), lit(CmPrime))
+    // shiftright == `h // 65536` in the oracle (h is non-negative mod p)
+    val m = h.bitwiseXOR(shiftright(h, 16))
+    pmod(pmod(lit(a2) * m + lit(b2), lit(CmPrime)), lit(k.toLong))
+  }
+
+  /** Linear-counting estimates per group from [[lcCells]]:
+    * `est = −k·ln(z/k)` for `z` empty cells — NULL when the sketch is
+    * saturated (z = 0; the estimator diverges, callers size k to the
+    * expected cardinality). The ln stays inside the quantize-then-
+    * compare discipline (callers round via r4). */
+  def lcEstimates(cells: DataFrame, k: Int): DataFrame =
+    cells.groupBy(col("grp"))
+      .agg(count(lit(1)).as("occupied"))
+      .withColumn("est",
+        when(col("occupied") < k,
+          lit(-k.toDouble) *
+            log((lit(k.toDouble) - col("occupied").cast("double")) / lit(k.toDouble)))
+          .otherwise(lit(null).cast("double")))
+
+  // ------------------------------------------------------------------
   // Decimal-digit quantile histogram (a DDSketch-flavored fixed-bucket
   // family — Masson et al. 2019 motivates relative-error buckets; the
   // decimal variant keeps every boundary integer-expressible)

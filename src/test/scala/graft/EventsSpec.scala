@@ -289,6 +289,30 @@ class EventsSpec extends SparkSpec {
     assert(k(whole) === k(merged), "cell-wise addition IS the merge")
   }
 
+  // --- linear-counting distinct sketch laws --------------------------------
+
+  test("lcCells: OR-monoid merge, estimate tracks exact, saturation yields NULL") {
+    import graft.operators.Events
+    def keyed(rows: Seq[(String, Long)]) = rows.toDF("grp", "key")
+    val rnd = new scala.util.Random(17)
+    val a = keyed((0 until 700).map(_ => ("t", rnd.nextInt(2000).toLong)))
+    val b = keyed((0 until 500).map(_ => ("t", rnd.nextInt(2000).toLong)))
+    // merge law: union-then-sketch == sketch-then-union-then-distinct
+    val whole = Events.lcCells(a.unionByName(b), k = 512)
+    val merged = Events.lcCells(a, 512).unionByName(Events.lcCells(b, 512)).distinct()
+    val cells = (df: org.apache.spark.sql.DataFrame) =>
+      df.as[(String, Long)].collect().sorted.toSeq
+    assert(cells(whole) === cells(merged), "occupied-cell union IS the merge")
+    // accuracy: estimate within 15% of the true distinct count at this load
+    val est = Events.lcEstimates(whole, 512).select("est").as[Double].head()
+    val truth = a.unionByName(b).distinct().count().toDouble
+    assert(math.abs(est - truth) / truth <= 0.15, s"est $est vs truth $truth")
+    // saturation: more distinct keys than cells → every cell occupied → NULL
+    val sat = Events.lcEstimates(
+      Events.lcCells(keyed((0L until 4000L).map(i => ("s", i))), k = 8), k = 8)
+    assert(sat.select("est").head().isNullAt(0), "saturated sketch must yield NULL")
+  }
+
   // --- decimal-digit quantile histogram laws -------------------------------
 
   test("ddHistogram merges by count addition; quantile reads stay within the bucket bound") {
