@@ -779,6 +779,30 @@ object Queries {
        |  GROUP BY c.key)""".stripMargin
   }
 
+  /** Linear-counting oracle tail (twin of [[operators.Events.lcCell]] +
+    * [[operators.Events.lcEstimates]]): consumers supply a `kk(grp, key)`
+    * CTE; this appends the affine→xor-fold→affine cell hash, the
+    * occupied-cell census, the exact distinct, and the estimate
+    * `−k·ln(z/k)` on the RAW double (r4 at the surface only) — ONE
+    * restatement of the estimator arithmetic for all LC queries. */
+  private def sqlLcCtes(k: Int): String = {
+    val (a1, b1) = operators.Events.CmHashes.head
+    val (a2, b2) = operators.Events.CmHashes(1)
+    val p = operators.Events.CmPrime
+    s"""hh AS (SELECT grp, key,
+       |    ((($a1 * (((key % $p) + $p) % $p) + $b1) % $p) + $p) % $p AS h FROM kk),
+       |mm AS (SELECT grp, key, xor(h, h // 65536) AS m FROM hh),
+       |c AS (SELECT DISTINCT grp, (((($a2 * m + $b2) % $p) + $p) % $p) % $k AS cell
+       |  FROM mm),
+       |o AS (SELECT grp, CAST(count(*) AS BIGINT) AS occupied FROM c GROUP BY grp),
+       |x AS (SELECT grp, CAST(count(DISTINCT key) AS BIGINT) AS n_exact FROM kk GROUP BY grp),
+       |j AS (SELECT x.grp, x.n_exact, o.occupied,
+       |    CASE WHEN o.occupied < $k THEN
+       |      -$k.0 * ln(($k.0 - CAST(o.occupied AS DOUBLE)) / $k.0)
+       |    ELSE NULL END AS est
+       |  FROM x JOIN o USING (grp))""".stripMargin
+  }
+
   /** The deterministically-transformed "next version" of a record store
     * shared by `snapshot_diff` and `ivf_apply_diff`: id ≡ 3 (mod 97)
     * deleted, surviving id ≡ 5 (mod 89) metadata-rewritten, surviving
@@ -4035,6 +4059,28 @@ object Queries {
         .select(col("n"), col("instances"), col("types"),
           r4(col("types").cast("double") / col("instances")).as("type_token_ratio"))
         .orderBy("n")
+    }),
+
+    // extension: per-source vocabulary richness WITHOUT the distinct
+    // shuffle — linear counting over the 56-bit shingle hashes (k = 16384
+    // cells per source, load ≤ 0.7 at every SF): at 100 TB the exact
+    // per-source distinct-shingle count shuffles the whole shingle
+    // multiset, while the LC cells frame is map-side-deduplicated and
+    // bounded; the exact column here is the verification twin.
+    "corpus_vocab_lc" -> ((s, dir) => {
+      val sh = docs(s, dir)
+        .select(col("source").as("grp"),
+          explode(TextOps.shingleHashes(TextOps.shingles(col("text"), 3))).as("key"))
+      val k = 16384
+      val ex = sh.distinct()
+        .groupBy(col("grp")).agg(count(lit(1)).as("n_exact"))
+      val est = operators.Events.lcEstimates(operators.Events.lcCells(sh, k), k)
+      ex.join(est, Seq("grp"))
+        .select(col("grp").as("source"), col("n_exact"), col("occupied"),
+          r4(col("est")).as("est"),
+          r4(abs(col("est") - col("n_exact").cast("double"))
+            / col("n_exact").cast("double")).as("rel_err"))
+        .orderBy("source")
     }),
 
     // extension: vocabulary COVERAGE — the fraction of all token
@@ -8472,27 +8518,28 @@ object Queries {
     // linear counting replayed: same first hash row as the CM oracle,
     // est = -k*ln(z/k) in the identical double-op order on the RAW
     // estimate (r4 applied at the surface only)
-    "events_lc_distinct" -> {
-      val (a1, b1) = operators.Events.CmHashes.head
-      val (a2, b2) = operators.Events.CmHashes(1)
-      val p = operators.Events.CmPrime
-      s"""WITH tu AS (SELECT DISTINCT event_type AS grp, CAST(user_id AS BIGINT) AS key
+    "events_lc_distinct" ->
+      s"""WITH kk AS (SELECT DISTINCT event_type AS grp, CAST(user_id AS BIGINT) AS key
          |  FROM events WHERE user_id IS NOT NULL),
-         |hh AS (SELECT grp, ((($a1 * key + $b1) % $p) + $p) % $p AS h FROM tu),
-         |mm AS (SELECT grp, xor(h, h // 65536) AS m FROM hh),
-         |c AS (SELECT DISTINCT grp, (((($a2 * m + $b2) % $p) + $p) % $p) % 4096 AS cell
-         |  FROM mm),
-         |o AS (SELECT grp, CAST(count(*) AS BIGINT) AS occupied FROM c GROUP BY grp),
-         |x AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_exact FROM tu GROUP BY grp),
-         |j AS (SELECT x.grp, x.n_exact, o.occupied,
-         |    CASE WHEN o.occupied < 4096 THEN
-         |      -4096.0 * ln((4096.0 - CAST(o.occupied AS DOUBLE)) / 4096.0)
-         |    ELSE NULL END AS est
-         |  FROM x JOIN o USING (grp))
+         |${sqlLcCtes(4096)}
          |SELECT grp AS event_type, n_exact, occupied, ${sqlR4("est")} AS est,
          |  ${sqlR4("abs(est - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE)")} AS rel_err
-         |FROM j ORDER BY event_type""".stripMargin
-    },
+         |FROM j ORDER BY event_type""".stripMargin,
+
+    // same LC tail over the 56-bit shingle hashes (the minhash oracle's
+    // hash fold), grouped by source
+    "corpus_vocab_lc" ->
+      s"""WITH tk AS (SELECT source AS grp, regexp_split_to_array(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+') AS t
+         |  FROM documents),
+         |sh AS (SELECT grp, unnest(list_transform(generate_series(1, greatest(len(t) - 2, 0)),
+         |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g FROM tk),
+         |kk AS (SELECT grp, list_reduce(list_transform(string_split_regex(substr(md5(g), 1, 14), ''),
+         |    c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a * 16 + b) AS key
+         |  FROM sh),
+         |${sqlLcCtes(16384)}
+         |SELECT grp AS source, n_exact, occupied, ${sqlR4("est")} AS est,
+         |  ${sqlR4("abs(est - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE)")} AS rel_err
+         |FROM j ORDER BY source""".stripMargin,
 
     // the decimal-digit histogram replayed: bucket = (digit count,
     // first two digits) of the 1e-2-quantized value, width via the

@@ -348,7 +348,10 @@ object Events {
   def lcCell(key: Column, k: Int): Column = {
     val (a1, b1) = CmHashes.head
     val (a2, b2) = CmHashes(1)
-    val h = pmod(lit(a1) * key + lit(b1), lit(CmPrime))
+    // pre-reduce mod p: LC keys can be 56-bit content hashes, and
+    // a₁·key would overflow the checked long multiply past |key| ≈ 2³²
+    val kr = pmod(key, lit(CmPrime))
+    val h = pmod(lit(a1) * kr + lit(b1), lit(CmPrime))
     // shiftright == `h // 65536` in the oracle (h is non-negative mod p)
     val m = h.bitwiseXOR(shiftright(h, 16))
     pmod(pmod(lit(a2) * m + lit(b2), lit(CmPrime)), lit(k.toLong))
