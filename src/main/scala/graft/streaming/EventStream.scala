@@ -430,6 +430,49 @@ object EventStream {
         .parquet(dir))
   }
 
+  /** Linear-counting distinct sketch maintained at the ingest door —
+    * the OR-monoid twin of [[startCmSketch]]'s SUM-monoid fold:
+    * per-(group, cell) occupancy is a SET, so the per-batch fold is
+    * union + distinct and replay is idempotent twice over (marking is
+    * idempotent AND the fold reads only `batch_id < current`). State is
+    * ≤ groups × k cells regardless of stream history; read the newest
+    * partition with [[lcState]] and estimate via
+    * [[graft.operators.Events.lcEstimates]]. */
+  def startLcSketch(
+      spark: SparkSession,
+      dir: String,
+      stateDir: String,
+      checkpointPath: String,
+      k: Int = 4096): StreamingQuery =
+    readEventIngestDir(spark, dir)
+      .writeStream
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val cells = graft.operators.Events.lcCells(
+          batch.where(col("user_id").isNotNull)
+            .select(col("event_type").as("grp"),
+              col("user_id").cast("long").as("key")), k)
+        val folded = readFold(spark, stateDir, Some(batchId),
+          Seq("grp", "cell")) match {
+          case None => cells
+          case Some(p) => p.unionByName(cells).distinct()
+        }
+        folded.withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(stateDir)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** The newest committed `(grp, cell)` occupancy set from a
+    * [[startLcSketch]] state dir — empty when no fold committed. */
+  def lcState(spark: SparkSession, stateDir: String): DataFrame =
+    readFold(spark, stateDir, beforeBatch = None, Seq("grp", "cell")).getOrElse(
+      spark.emptyDataFrame
+        .select(lit("").as("grp"), lit(0L).as("cell"))
+        .where(lit(false)))
+
   /** The newest committed sketch in a [[startCmSketch]] state dir —
     * empty (a valid all-zeros sketch: estimates come out 0) when no
     * fold has committed yet. */
@@ -439,13 +482,17 @@ object EventStream {
         .select(lit(0).as("row"), lit(0L).as("cell"), lit(0L).as("cell_n"))
         .where(lit(false)))
 
-  /** Newest `(row, cell, cell_n)` fold with `batch_id <` the bound —
-    * `None` only for the two no-state conditions (missing dir, dir with
-    * no readable footer from a crashed FIRST write); any other analysis
-    * error propagates rather than silently re-basing the cumulative
-    * fold (the narrow-catch discipline, see [[DocIngest]]). */
   private def readCmState(spark: SparkSession, stateDir: String,
-      beforeBatch: Option[Long]): Option[DataFrame] = {
+      beforeBatch: Option[Long]): Option[DataFrame] =
+    readFold(spark, stateDir, beforeBatch, Seq("row", "cell", "cell_n"))
+
+  /** Newest committed fold (`cols` projected) with `batch_id <` the
+    * bound — `None` only for the two no-state conditions (missing dir,
+    * dir with no readable footer from a crashed FIRST write); any other
+    * analysis error propagates rather than silently re-basing the
+    * cumulative fold (the narrow-catch discipline, see [[DocIngest]]). */
+  private def readFold(spark: SparkSession, stateDir: String,
+      beforeBatch: Option[Long], cols: Seq[String]): Option[DataFrame] = {
     val st =
       try {
         val full = spark.read.parquet(stateDir)
@@ -459,6 +506,6 @@ object EventStream {
     val mb = st.agg(max(col("batch_id").cast("long"))).head()
     if (mb.isNullAt(0)) None
     else Some(st.where(col("batch_id").cast("long") === mb.getLong(0))
-      .select(col("row"), col("cell"), col("cell_n")))
+      .select(cols.map(col): _*))
   }
 }

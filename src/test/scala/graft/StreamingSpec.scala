@@ -731,6 +731,42 @@ class StreamingSpec extends SparkSpec {
     assert(EventStream.cmSketchState(spark, s"$root/never").count() === 0L)
   }
 
+  test("streaming LC sketch: union fold across a restart equals the batch occupancy") {
+    import graft.streaming.EventStream
+    import graft.operators.Events
+    val root = java.nio.file.Files.createTempDirectory("graft_lc_stream")
+    val inDir = s"$root/in"
+    val state = s"$root/state"
+    val ckpt = s"$root/ckpt"
+    def eventsDf(rows: Seq[(Long, Long, String)]) = rows.map { case (id, u, t) =>
+      (id, java.sql.Timestamp.valueOf("2024-03-02 10:00:00"), u, t, 1.0)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+
+    // wave 2 repeats wave-1 users (idempotent marking: occupancy must
+    // not change for them) and adds new users in an existing group
+    val w1 = (0L until 60L).map(i => (i, i % 13, if (i % 2 == 0) "view" else "click"))
+    val w2 = (100L until 130L).map(i => (i, i % 17, "view"))
+    eventsDf(w1).write.mode("append").parquet(inDir)
+    EventStream.startLcSketch(spark, inDir, state, ckpt, k = 64).awaitTermination()
+    eventsDf(w2).write.mode("append").parquet(inDir)
+    EventStream.startLcSketch(spark, inDir, state, ckpt, k = 64).awaitTermination()
+
+    val streamed = EventStream.lcState(spark, state)
+      .as[(String, Long)].collect().sorted.toSeq
+    val batch = Events.lcCells(
+        eventsDf(w1 ++ w2).where(col("user_id").isNotNull)
+          .select(col("event_type").as("grp"), col("user_id").cast("long").as("key")),
+        k = 64)
+      .as[(String, Long)].collect().sorted.toSeq
+    assert(streamed === batch, "stream occupancy diverged from the batch sketch")
+    // estimates read straight off the streamed state
+    val est = Events.lcEstimates(
+        EventStream.lcState(spark, state).toDF("grp", "cell"), k = 64)
+      .as[(String, Long, Double)].collect()
+    assert(est.length === 2 && est.forall(_._3 > 0))
+    assert(EventStream.lcState(spark, s"$root/never").count() === 0L)
+  }
+
   test("streaming DSIR gate admits exactly the batch-filtered set, stateless across restarts") {
     import graft.streaming.DocIngest
     import graft.operators.Corpus
