@@ -4707,6 +4707,12 @@ object Queries {
             && col("ts") < lit("2100-01-01 00:00:00").cast("timestamp")),
           "value_finite_or_null" -> (col("value").isNull ||
             (!isnan(col("value")) && abs(col("value")) < lit(Double.PositiveInfinity))),
+          // quantization headroom (the Metric.validRecord discipline for
+          // the value column): every exact-stats query quantizes
+          // value·10⁴ into a checked BIGINT, so |value| ≥ ~9.2e14 would
+          // fail loudly on both engines — the gate names the domain
+          "value_in_domain" -> (col("value").isNull ||
+            abs(col("value")) < lit(9.0e14)),
           "type_known" -> col("event_type").isin("view", "click", "purchase", "error"),
           "props_null_or_object" -> (col("props").isNull ||
             (get_json_object(col("props"), "$").isNotNull
@@ -8250,6 +8256,7 @@ object Queries {
          |  CAST(sum(CASE WHEN NOT coalesce(user_id IS NOT NULL, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v2,
          |  CAST(sum(CASE WHEN NOT coalesce(ts >= TIMESTAMP '1970-01-01 00:00:00' AND ts < TIMESTAMP '2100-01-01 00:00:00', FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v3,
          |  CAST(sum(CASE WHEN NOT coalesce(value IS NULL OR isfinite(value), FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v4,
+         |  CAST(sum(CASE WHEN NOT coalesce(value IS NULL OR abs(value) < 9.0e14, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v4b,
          |  CAST(sum(CASE WHEN NOT coalesce(event_type IN ('view','click','purchase','error'), FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v5,
          |  CAST(sum(CASE WHEN NOT coalesce(props IS NULL OR (json_valid(props) AND trim(props) LIKE '{%'), FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v6,
          |  CAST(count(DISTINCT event_id) AS BIGINT) AS d FROM events)
@@ -8258,6 +8265,7 @@ object Queries {
          |  UNION ALL SELECT 'user_known', n, v2, v2 = 0 FROM base
          |  UNION ALL SELECT 'ts_in_epoch_range', n, v3, v3 = 0 FROM base
          |  UNION ALL SELECT 'value_finite_or_null', n, v4, v4 = 0 FROM base
+         |  UNION ALL SELECT 'value_in_domain', n, v4b, v4b = 0 FROM base
          |  UNION ALL SELECT 'type_known', n, v5, v5 = 0 FROM base
          |  UNION ALL SELECT 'props_null_or_object', n, v6, v6 = 0 FROM base
          |  UNION ALL SELECT 'event_id_unique', n, n - d, n = d FROM base)
