@@ -5131,6 +5131,28 @@ object Queries {
         .orderBy("p")
     }),
 
+    // extension: the GROUPED sketch read — per-event-type p50/p95 from
+    // per-group bucket frames (partitioned prefix-sum window, broadcast
+    // group totals), the production monitoring shape; same in-row
+    // exactness audit as the global sketch
+    "events_value_sketch_by_type" -> ((s, dir) => {
+      val vals = events(s, dir)
+        .select(col("event_type").as("grp"), col("value"))
+      val qs = operators.Events.ddQuantilesBy(
+        operators.Events.ddHistogramBy(vals), Seq(50, 95))
+      val ex = operators.Events.ddQuantizedBy(vals).groupBy(col("grp"))
+        .agg(expr("percentile(q2, 0.50D)").as("__e50"),
+          expr("percentile(q2, 0.95D)").as("__e95"))
+      qs.join(broadcast(ex), Seq("grp"))
+        .withColumn("__ex",
+          (when(col("p") === 50, col("__e50")).otherwise(col("__e95")))
+            / lit(100.0))
+        .select(col("grp").as("event_type"), col("p"), col("n"),
+          r4(col("est")).as("est"), r4(col("__ex")).as("exact"),
+          r4(abs(col("est") - col("__ex")) / col("__ex")).as("rel_err"))
+        .orderBy("event_type", "p")
+    }),
+
     // extension: view→purchase CONVERSION-TIME distribution — per user,
     // the latency from first view to the first purchase at or after it;
     // summarized as exact interpolated quantiles + mean. Two per-user
@@ -8281,6 +8303,38 @@ object Queries {
          |      CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS qv
          |      FROM events)
          |GROUP BY page ORDER BY page""".stripMargin,
+
+    // the grouped dd-histogram replayed with a PARTITIONED prefix sum
+    "events_value_sketch_by_type" ->
+      s"""WITH v AS (SELECT event_type AS grp, CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS q2
+         |  FROM events
+         |  WHERE value IS NOT NULL AND value > 0 AND value < 9.0e16
+         |    AND CAST(floor(value * 100.0 + 0.5) AS BIGINT) >= 1),
+         |h AS (SELECT grp, CAST(length(CAST(q2 AS VARCHAR)) AS BIGINT) AS digits,
+         |    CAST(substr(CAST(q2 AS VARCHAR), 1, 2) AS BIGINT) AS first2,
+         |    CAST(count(*) AS BIGINT) AS cnt
+         |  FROM v GROUP BY 1, 2, 3),
+         |c AS (SELECT grp, digits, first2, cnt,
+         |    CAST(sum(cnt) OVER (PARTITION BY grp ORDER BY digits, first2
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+         |    CAST(concat('1', repeat('0', CAST(greatest(digits - 2, 0) AS INT))) AS BIGINT) AS width
+         |  FROM h),
+         |m AS (SELECT grp, cum,
+         |    (CAST(first2 * width AS DOUBLE) + CAST(width AS DOUBLE) / 2.0) / 100.0 AS mid
+         |  FROM c),
+         |n AS (SELECT grp, CAST(count(*) AS BIGINT) AS n FROM v GROUP BY grp),
+         |ex AS (SELECT grp, quantile_cont(q2, 0.50) AS e50, quantile_cont(q2, 0.95) AS e95
+         |  FROM v GROUP BY grp),
+         |p(p) AS (VALUES (50), (95)),
+         |e AS (SELECT m.grp, p.p, n.n, min(m.mid) AS est
+         |  FROM p, n, m WHERE m.grp = n.grp AND m.cum >= (n.n * p.p + 99) // 100
+         |  GROUP BY 1, 2, 3),
+         |f AS (SELECT e.grp, e.p, e.n, e.est,
+         |    (CASE e.p WHEN 50 THEN ex.e50 ELSE ex.e95 END) / 100.0 AS exv
+         |  FROM e JOIN ex ON e.grp = ex.grp)
+         |SELECT grp AS event_type, p, n, ${sqlR4("est")} AS est, ${sqlR4("exv")} AS exact,
+         |  ${sqlR4("abs(est - exv) / exv")} AS rel_err
+         |FROM f ORDER BY event_type, p""".stripMargin,
 
     // the as-of credit replayed as rn=1 over (ts DESC, view_id DESC);
     // revenue from the same quantized longs

@@ -390,10 +390,15 @@ object Events {
     * plus the 1e-2 quantization. Domain: q2 ≥ 1 (zero/negative values
     * have no decimal-digit bucket — callers route them separately);
     * digit math is pure string/integer ops, portable cross-engine. */
-  def ddHistogram(values: DataFrame): DataFrame = {
+  def ddHistogram(values: DataFrame): DataFrame =
+    ddHistogramBy(values.withColumn("grp", lit("all"))).drop("grp")
+
+  /** Per-group histogram: input carries `grp` beside `value`; buckets
+    * are per (grp, digits, first2). */
+  def ddHistogramBy(values: DataFrame): DataFrame = {
     val s = col("q2").cast("string")
-    ddQuantized(values)
-      .groupBy(length(s).cast("long").as("digits"),
+    ddQuantizedBy(values)
+      .groupBy(col("grp"), length(s).cast("long").as("digits"),
         substring(s, 1, 2).cast("long").as("first2"))
       .agg(count(lit(1)).as("cnt"))
   }
@@ -406,23 +411,36 @@ object Events {
     * BOTH engines (Spark overflow-checked cast, DuckDB checked CAST) —
     * a domain is validated, not crashed into. */
   def ddQuantized(values: DataFrame): DataFrame =
+    ddQuantizedBy(values.withColumn("grp", lit("all"))).drop("grp")
+
+  /** Grouped twin of [[ddQuantized]] (carries `grp`). */
+  def ddQuantizedBy(values: DataFrame): DataFrame =
     values.where(col("value").isNotNull && col("value") > 0 &&
         col("value") < lit(9.0e16))
-      .select(floor(col("value") * lit(100.0) + lit(0.5)).cast("long").as("q2"))
+      .select(col("grp"),
+        floor(col("value") * lit(100.0) + lit(0.5)).cast("long").as("q2"))
       .where(col("q2") >= 1)
 
   /** Quantile reads at integer percents from a [[ddHistogram]]: for each
     * p, the midpoint of the first bucket whose cumulative count reaches
-    * rank `ceil(n·p/100)`. The prefix-sum window is partition-less but
-    * runs over the BUCKET frame (bounded by construction — the
-    * two-level-prefix-sum allowance in the plan sweep); the rank probe
-    * is a broadcast of the one-row total and the literal percent list. */
-  def ddQuantiles(hist: DataFrame, percents: Seq[Int]): DataFrame = {
+    * rank `ceil(n·p/100)`. */
+  def ddQuantiles(hist: DataFrame, percents: Seq[Int]): DataFrame =
+    ddQuantilesBy(hist.withColumn("grp", lit("all")), percents)
+      .drop("grp").orderBy("p")
+
+  /** Grouped quantile reads — one (grp, p) row per group and percent.
+    * The prefix-sum window is PARTITIONED by group and runs over the
+    * bucket frame (≤ ~1700 rows per group by construction); the
+    * group-total join is a broadcast of the per-group count frame
+    * (groups are a dimension vocabulary, never data-proportional — the
+    * caller's contract). */
+  def ddQuantilesBy(hist: DataFrame, percents: Seq[Int]): DataFrame = {
     require(percents.nonEmpty && percents.forall(p => p >= 1 && p <= 100),
       s"percents must be integer percentages, got $percents")
     val spark = hist.sparkSession
     import spark.implicits._
     val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp"))
       .orderBy(col("digits"), col("first2"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
@@ -435,12 +453,12 @@ object Events {
       .withColumn("mid",
         ((col("first2") * col("width")).cast("double") +
           col("width").cast("double") / lit(2.0)) / lit(100.0))
-    val n = hist.agg(sum(col("cnt")).as("n"))
-    mids.crossJoin(broadcast(n)).crossJoin(broadcast(percents.toDF("p")))
+    val n = hist.groupBy(col("grp")).agg(sum(col("cnt")).as("n"))
+    mids.join(broadcast(n), Seq("grp")).crossJoin(broadcast(percents.toDF("p")))
       .where(col("cum") >= expr("(n * p + 99) div 100"))
-      .groupBy(col("p"))
+      .groupBy(col("grp"), col("p"))
       .agg(max(col("n")).as("n"), min(col("mid")).as("est"))
-      .orderBy("p")
+      .orderBy("grp", "p")
   }
 
   /** Per-key point estimates against [[cmSketch]]: `n_true` (the input
