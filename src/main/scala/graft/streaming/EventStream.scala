@@ -465,6 +465,48 @@ object EventStream {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Decimal-digit value histogram maintained at the ingest door — the
+    * third monitor of the streaming sketch trio (CM frequencies: SUM
+    * cells; LC distincts: OR occupancy; DD quantiles: SUM buckets).
+    * Buckets are fixed and data-independent, so the per-batch fold is
+    * the same cell-wise addition as the CM fold; quantile reads come
+    * off the state via [[graft.operators.Events.ddQuantilesBy]]. */
+  def startDdHistogram(
+      spark: SparkSession,
+      dir: String,
+      stateDir: String,
+      checkpointPath: String): StreamingQuery =
+    readEventIngestDir(spark, dir)
+      .writeStream
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val h = graft.operators.Events.ddHistogramBy(
+          batch.select(col("event_type").as("grp"), col("value")))
+        val folded = readFold(spark, stateDir, Some(batchId),
+          Seq("grp", "digits", "first2", "cnt")) match {
+          case None => h
+          case Some(p) => p.unionByName(h)
+            .groupBy(col("grp"), col("digits"), col("first2"))
+            .agg(sum(col("cnt")).cast("long").as("cnt"))
+        }
+        folded.withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(stateDir)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** The newest committed `(grp, digits, first2, cnt)` histogram from a
+    * [[startDdHistogram]] state dir — empty when no fold committed. */
+  def ddHistogramState(spark: SparkSession, stateDir: String): DataFrame =
+    readFold(spark, stateDir, beforeBatch = None,
+      Seq("grp", "digits", "first2", "cnt")).getOrElse(
+      spark.emptyDataFrame
+        .select(lit("").as("grp"), lit(0L).as("digits"),
+          lit(0L).as("first2"), lit(0L).as("cnt"))
+        .where(lit(false)))
+
   /** The newest committed `(grp, cell)` occupancy set from a
     * [[startLcSketch]] state dir — empty when no fold committed. */
   def lcState(spark: SparkSession, stateDir: String): DataFrame =

@@ -767,6 +767,38 @@ class StreamingSpec extends SparkSpec {
     assert(EventStream.lcState(spark, s"$root/never").count() === 0L)
   }
 
+  test("streaming DD histogram: bucket fold across a restart equals batch; quantile reads work off state") {
+    import graft.streaming.EventStream
+    import graft.operators.Events
+    val root = java.nio.file.Files.createTempDirectory("graft_dd_stream")
+    val inDir = s"$root/in"
+    val state = s"$root/state"
+    val ckpt = s"$root/ckpt"
+    val rnd = new scala.util.Random(9)
+    def eventsDf(ids: Range) = ids.map { i =>
+      (i.toLong, java.sql.Timestamp.valueOf("2024-03-03 08:00:00"), 1L,
+        if (i % 2 == 0) "view" else "click", math.exp(rnd.nextGaussian() + 3))
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+
+    val w1 = eventsDf(0 until 300); val w2 = eventsDf(1000 until 1200)
+    w1.write.mode("append").parquet(inDir)
+    EventStream.startDdHistogram(spark, inDir, state, ckpt).awaitTermination()
+    w2.write.mode("append").parquet(inDir)
+    EventStream.startDdHistogram(spark, inDir, state, ckpt).awaitTermination()
+
+    val streamed = EventStream.ddHistogramState(spark, state)
+      .as[(String, Long, Long, Long)].collect().sorted.toSeq
+    val batch = Events.ddHistogramBy(
+        w1.unionByName(w2).select(col("event_type").as("grp"), col("value")))
+      .as[(String, Long, Long, Long)].collect().sorted.toSeq
+    assert(streamed === batch, "stream bucket fold diverged from batch")
+    // quantile reads straight off the streamed state
+    val qs = Events.ddQuantilesBy(
+        EventStream.ddHistogramState(spark, state), Seq(50, 95))
+      .as[(String, Int, Long, Double)].collect()
+    assert(qs.length === 4 && qs.forall(_._4 > 0))
+  }
+
   test("streaming DSIR gate admits exactly the batch-filtered set, stateless across restarts") {
     import graft.streaming.DocIngest
     import graft.operators.Corpus
