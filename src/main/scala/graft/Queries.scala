@@ -4318,6 +4318,14 @@ object Queries {
         .groupBy(session_window(col("ts"), "30 minutes").as("__sw"), col("user_id"))
         .agg(min(col("ts")).as("__s0"), max(col("ts")).as("__s1"))
         .select(col("user_id"), col("__s0"), col("__s1"))
+        // the binned join's span contract, enforced as a DOMAIN filter:
+        // a whale session outliving the incident scale (> 6 h) is its own
+        // anomaly (events_session_stats reports it), not an overlap row —
+        // and without this filter the join's raise_error guard fires
+        // DATA-DEPENDENTLY (only when a long session meets a candidate
+        // bucket; found by the sf0.01-based hostile gate, note 61)
+        .where(unix_micros(col("__s1")) - unix_micros(col("__s0"))
+          <= lit(6L * 3600 * 1000000))
       val pairs = Temporal.intervalJoinBinned(sess, inc, Seq.empty,
         ("__s0", "__s1"), ("__t0", "__t1"), bucketSec = 900L, maxSpanSec = 6L * 3600)
       pairs
@@ -8171,7 +8179,8 @@ object Queries {
          |  FROM events),
          |s AS (SELECT user_id, ts,
          |  sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM o),
-         |sess AS (SELECT user_id, sid, min(ts) AS s0, max(ts) AS s1 FROM s GROUP BY 1, 2),
+         |sess AS (SELECT user_id, sid, min(ts) AS s0, max(ts) AS s1 FROM s GROUP BY 1, 2
+         |  HAVING epoch_us(max(ts)) - epoch_us(min(ts)) <= 21600000000),
          |p AS (SELECT inc.t0, inc.n_errors, sess.user_id,
          |    epoch_us(least(sess.s1, inc.t1)) - epoch_us(greatest(sess.s0, inc.t0)) AS ov
          |  FROM sess JOIN inc ON sess.s0 <= inc.t1 AND inc.t0 <= sess.s1),

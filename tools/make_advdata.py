@@ -264,7 +264,12 @@ _append('customer', {
 })
 
 # Fuzzy-match axis: hostile names INSIDE the fuzzy_* custkey bound
-# (< 2500; organic sf0.001 keys stop at 149, so 200+ is collision-free).
+# (< 2500) at keys 2000+ — collision-free against the organic custkeys
+# of BOTH supported bases (sf0.001 tops out at 149, sf0.01 at 1499).
+# An sf0.1 base would collide (organic keys reach 14999): c_custkey is
+# a PRIMARY KEY the relational queries rely on (a duplicated key makes
+# fan-out-counting engines and DISTINCT-counting oracles legitimately
+# disagree), so this script supports sf0.001/sf0.01 bases only.
 # Probes: a null name (matches nothing), an exact duplicate pair
 # (dist 0), a dist-1 and an EXACTLY-at-the-boundary dist-3 pair (must
 # NOT match), a multibyte substitution (é = 2 byte edits — in at
@@ -275,7 +280,8 @@ _append('customer', {
 # content), and a 30-codepoint name pair (excluded by the length<=24
 # exactness bound on BOTH engines even though their distance is 1).
 _append('customer', {
-    'c_custkey':    [200, 201, 202, 203, 204, 205, 206, 207, 208, 209, 210, 211],
+    'c_custkey':    [2000, 2001, 2002, 2003, 2004, 2005, 2006, 2007, 2008,
+                     2009, 2010, 2011],
     'c_name':       ['Fuzzy Probe Alpha', 'Fuzzy Probe Alpha',   # dup: dist 0
                      'Fuzzy Probe Alphq',                        # dist 1 to 200/201
                      'Fuzzy Prode Alphx Z',                      # dist 3+ to 200: out
