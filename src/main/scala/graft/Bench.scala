@@ -78,26 +78,31 @@ object Bench {
       val laneTimes = new java.util.concurrent.ConcurrentHashMap[String, Double]()
       val laneError = new java.util.concurrent.atomic.AtomicReference[Throwable]()
       Queries.deferBuilderCacheClear.set(true)
-      val threads = lanes.map { lane =>
-        val t = new Thread(() =>
-          try lane.foreach { q =>
-            val t0 = System.nanoTime()
-            SparkEntry.queries(q)(spark, sfDir)
-              .write.format("noop").mode("overwrite").save()
-            laneTimes.put(q, (System.nanoTime() - t0) / 1e9)
-          } catch { case e: Throwable => laneError.compareAndSet(null, e) })
-        t.setDaemon(true); t.start(); t
-      }
-      step("corpus_state") { threads.foreach(_.join()) }
-      // a failed state build would silently re-run inside whichever timed
-      // consumer query comes first — fail the bench loudly instead
-      if (laneError.get() != null) throw laneError.get()
-      // per-build attribution (concurrent, so NOT added into warmup_s —
-      // the "corpus_state" wall-clock step above carries the real cost)
-      lanes.flatten.foreach { q =>
-        corpusStateTimes(q) = laneTimes.getOrDefault(q, -1.0)
-      }
-      Queries.deferBuilderCacheClear.set(false)
+      // finally-reset: a lane failure rethrows below, and leaving the
+      // global defer flag stuck true would make any later builder call
+      // in this JVM (e.g. a test harness reusing the session) silently
+      // skip its cache clear
+      try {
+        val threads = lanes.map { lane =>
+          val t = new Thread(() =>
+            try lane.foreach { q =>
+              val t0 = System.nanoTime()
+              SparkEntry.queries(q)(spark, sfDir)
+                .write.format("noop").mode("overwrite").save()
+              laneTimes.put(q, (System.nanoTime() - t0) / 1e9)
+            } catch { case e: Throwable => laneError.compareAndSet(null, e) })
+          t.setDaemon(true); t.start(); t
+        }
+        step("corpus_state") { threads.foreach(_.join()) }
+        // a failed state build would silently re-run inside whichever timed
+        // consumer query comes first — fail the bench loudly instead
+        if (laneError.get() != null) throw laneError.get()
+        // per-build attribution (concurrent, so NOT added into warmup_s —
+        // the "corpus_state" wall-clock step above carries the real cost)
+        lanes.flatten.foreach { q =>
+          corpusStateTimes(q) = laneTimes.getOrDefault(q, -1.0)
+        }
+      } finally Queries.deferBuilderCacheClear.set(false)
       spark.catalog.clearCache()
       val tiny = spark.read.parquet(s"$sfDir/embeddings.parquet").limit(64)
       step("codegen_jit") {
@@ -222,6 +227,11 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] bench.json write failed: ${e.getMessage}")
     }
+    // LAST line: a compact summary that fits the driver's 2000-char log
+    // tail whole (the full line above is ~8 KB and lands truncated →
+    // r6/r7/r8 artifacts show "parsed": null). Per-query detail lives in
+    // the full line and target/bench.json.
+    println(s"""{"metric":"total","value":${f4(total)},"unit":"sec","n_queries":${results.size},"failed":$failedJson,"warmup_s":${f4(warmupTotal)},"sf":"$sfDir","queries_file":"target/bench.json"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

@@ -769,7 +769,7 @@ object Queries {
        |  FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
        |h(r, a, b) AS (SELECT * FROM (VALUES $hashRows) v(r, a, b)),
        |cells AS (SELECT u.key, u.n, h.r,
-       |    ((((h.a * u.key + h.b) % $p) + $p) % $p) % 64 AS cell
+       |    ((((h.a * (((u.key % $p) + $p) % $p) + h.b) % $p) + $p) % $p) % 64 AS cell
        |  FROM u CROSS JOIN h),
        |sk AS (SELECT r, cell, CAST(sum(n) AS BIGINT) AS cell_n
        |  FROM cells GROUP BY r, cell),
@@ -4711,6 +4711,16 @@ object Queries {
       graft.operators.Corpus.expectations(e, Seq(
           "event_id_not_null" -> col("event_id").isNotNull,
           "user_known" -> col("user_id").isNotNull,
+          // id magnitude domain: |user_id| < 2⁵³ keeps ids EXACT through
+          // any float64-rendering lane (pandas/JSON render nullable
+          // BIGINT result columns as float64) — the bound under which
+          // cross-engine id comparison is loss-free. The CM/LC sketch
+          // hashes need no domain (they pre-reduce mod p); this row
+          // names the id-portability contract instead. No abs(): ANSI
+          // abs(Long.MinValue) itself overflows
+          "user_id_in_domain" -> (col("user_id").isNull ||
+            (col("user_id") > lit(-9007199254740992L)
+              && col("user_id") < lit(9007199254740992L))),
           "ts_in_epoch_range" -> (col("ts") >= lit("1970-01-01 00:00:00").cast("timestamp")
             && col("ts") < lit("2100-01-01 00:00:00").cast("timestamp")),
           "value_finite_or_null" -> (col("value").isNull ||
@@ -8285,6 +8295,7 @@ object Queries {
       s"""WITH base AS (SELECT CAST(count(*) AS BIGINT) AS n,
          |  CAST(sum(CASE WHEN NOT coalesce(event_id IS NOT NULL, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v1,
          |  CAST(sum(CASE WHEN NOT coalesce(user_id IS NOT NULL, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+         |  CAST(sum(CASE WHEN NOT coalesce(user_id IS NULL OR (user_id > -9007199254740992 AND user_id < 9007199254740992), FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v2b,
          |  CAST(sum(CASE WHEN NOT coalesce(ts >= TIMESTAMP '1970-01-01 00:00:00' AND ts < TIMESTAMP '2100-01-01 00:00:00', FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v3,
          |  CAST(sum(CASE WHEN NOT coalesce(value IS NULL OR isfinite(value), FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v4,
          |  CAST(sum(CASE WHEN NOT coalesce(value IS NULL OR abs(value) < 9.0e14, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v4b,
@@ -8294,6 +8305,7 @@ object Queries {
          |SELECT * FROM (
          |  SELECT 'event_id_not_null' AS "check", n AS n_rows, v1 AS n_violations, v1 = 0 AS pass FROM base
          |  UNION ALL SELECT 'user_known', n, v2, v2 = 0 FROM base
+         |  UNION ALL SELECT 'user_id_in_domain', n, v2b, v2b = 0 FROM base
          |  UNION ALL SELECT 'ts_in_epoch_range', n, v3, v3 = 0 FROM base
          |  UNION ALL SELECT 'value_finite_or_null', n, v4, v4 = 0 FROM base
          |  UNION ALL SELECT 'value_in_domain', n, v4b, v4b = 0 FROM base
@@ -8467,7 +8479,7 @@ object Queries {
          |c AS (SELECT CAST(user_id AS BIGINT) AS key,
          |    (epoch_us(ts) // 86400000000) % 2 AS par, CAST(count(*) AS BIGINT) AS n
          |  FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2),
-         |cells AS (SELECT h.r, ((((h.a * c.key + h.b) % $p) + $p) % $p) % 64 AS cell,
+         |cells AS (SELECT h.r, ((((h.a * (((c.key % $p) + $p) % $p) + h.b) % $p) + $p) % $p) % 64 AS cell,
          |    c.par, c.n
          |  FROM c CROSS JOIN h),
          |sk AS (SELECT r, cell,

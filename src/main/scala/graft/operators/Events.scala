@@ -282,15 +282,19 @@ object Events {
     (1103515245L, 12345L), (214013L, 2531011L),
     (69069L, 362437L), (1664525L, 1013904223L))
 
-  /** Hash-row modulus — 2³¹−1 (Mersenne prime). `a·key + b` stays far
-    * inside long range for any realistic 64-bit key magnitude
-    * (|a| < 2³¹, so overflow needs |key| ≳ 2³²). */
+  /** Hash-row modulus — 2³¹−1 (Mersenne prime). */
   val CmPrime: Long = 2147483647L
 
   /** Row-`(a, b)` cell index of `key`: `((a·key + b) mod p) mod w`,
-    * non-negative for negative keys too (`pmod` both engines' twin). */
+    * non-negative for negative keys too (`pmod` both engines' twin).
+    * The key is PRE-REDUCED mod p before the multiply ([[lcCell]]'s
+    * discipline): `a·(key mod p) ≡ a·key (mod p)` so the cell is
+    * unchanged, but the checked ANSI multiply stays under 2⁶² for ANY
+    * 64-bit key — snowflake-style ids (~4.6e17) would otherwise
+    * overflow `a·key` and kill the job. */
   def cmCell(key: Column, a: Long, b: Long, w: Int): Column =
-    pmod(pmod(lit(a) * key + lit(b), lit(CmPrime)), lit(w.toLong))
+    pmod(pmod(lit(a) * pmod(key, lit(CmPrime)) + lit(b), lit(CmPrime)),
+      lit(w.toLong))
 
   /** Count-Min sketch of a keyed count frame (`key` BIGINT, `n` BIGINT):
     * one row per (hash row, cell) with the summed count of every key

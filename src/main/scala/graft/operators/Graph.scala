@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over the similarity graphs the dedup family emits.
+  *
+  * The reference has no graph surface (its `duplicateGroups` analog is
+  * the whole story); this family is brief-driven: once a pipeline holds
+  * a verified near-duplicate pair list, link analysis over it answers
+  * "which document is the CANONICAL one" better than the min-id
+  * representative rule — a highly-connected hub inside a duplicate
+  * family is the original; satellites are the scrapes. PageRank over
+  * the pair graph is the standard formalization (Page et al. 1999).
+  */
+object Graph {
+
+  /** Fixed-point scale for integer PageRank mass: ranks are BIGINT
+    * multiples of 10⁻¹², so every arithmetic step is EXACT integer
+    * math — order-independent sums, engine-portable, hash-comparable.
+    * Headroom: total mass stays ≤ SCALE (mass only leaks to floors),
+    * so `rank_q * 85` ≤ 8.5·10¹³ — far inside checked-long range even
+    * before the per-degree split. */
+  val RankScale: Long = 1000000000000L
+
+  /** Damping numerator/denominator (d = 85/100 = the classic 0.85) as
+    * exact integers — the fixed-point twin of the float damping. */
+  val DampNum: Long = 85L
+  val DampDen: Long = 100L
+
+  /** PageRank over an UNDIRECTED pair list, in exact integer
+    * fixed-point arithmetic.
+    *
+    * Numeric contract (what makes this oracle-exact): every quantity is
+    * a BIGINT count of 10⁻¹²-quanta. Init `r₀ = SCALE div n`; teleport
+    * `t = (15·SCALE) div (100·n)`; per iteration each node sends every
+    * neighbor `(r·85) div (100·deg)` and receives `t + Σ incoming`.
+    * Integral `div` truncates (all operands non-negative, so truncate =
+    * floor); the discarded remainders mean total mass drifts slightly
+    * BELOW SCALE — deterministic on both engines, unlike float sums
+    * whose value depends on reduction order. The oracle unrolls the
+    * same `iters` steps as chained CTEs with DuckDB's integer `//`.
+    *
+    * Scale shape: edges are bounded by the verified-duplicate subset
+    * (the caller's pair list is the converged LSH result, memoized).
+    * Each iteration is ONE shuffle: an equi-join of ranks onto edges
+    * (both keyed by node) + a map-side-combinable sum — the standard
+    * Pregel step, linear in |E| per round with no driver traffic
+    * beyond the loop counter. Lineage is truncated per round
+    * ([[Dedup.duplicateGroups]]'s discipline) so round k's plan scans
+    * round k−1's materialized result, not the whole loop history.
+    *
+    * Isolated nodes cannot occur (every node of a pair list has
+    * degree ≥ 1). Empty pair list → empty result (no 0-division on n:
+    * guarded). */
+  def pageRank(
+      pairs: DataFrame,
+      iters: Int = 8,
+      srcCol: String = "doc_id_a",
+      dstCol: String = "doc_id_b"): DataFrame = {
+    require(iters >= 0, "iters must be non-negative")
+    def truncate(df: DataFrame): DataFrame =
+      org.apache.spark.sql.graft.PlanBridge.statsReset(df.localCheckpoint(eager = false))
+    // one eager materialization of the (typically pipeline-backed) pair
+    // list, then symmetric edges — same rationale as duplicateGroups
+    val p = org.apache.spark.sql.graft.PlanBridge.statsReset(
+      pairs.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+        .localCheckpoint(eager = true))
+    val edges = p.unionByName(p.select(col("dst").as("src"), col("src").as("dst")))
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val n = deg.count()
+    if (n == 0L)
+      return pairs.sparkSession.emptyDataFrame
+        .withColumn("doc_id", lit(null).cast("long"))
+        .withColumn("rank_q", lit(null).cast("long"))
+        .limit(0)
+    val teleport = (15L * RankScale) / (100L * n)
+    // edges pre-joined with the sender's degree ONCE (the degree never
+    // changes); each round then only joins the current ranks on
+    val edgesDeg = truncate(edges.join(deg, Seq("src")))
+    var ranks = truncate(deg.select(col("src").as("node"),
+      lit(RankScale / n).as("rank_q")))
+    for (_ <- 0 until iters) {
+      val contrib = edgesDeg
+        .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+        .selectExpr("dst", s"(rank_q * $DampNum) DIV ($DampDen * deg) AS c")
+        .groupBy(col("dst")).agg(sum(col("c")).as("__in"))
+      ranks = truncate(
+        ranks.select(col("node"))
+          .join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
+          .select(col("node"),
+            (lit(teleport) + coalesce(col("__in"), lit(0L))).as("rank_q")))
+    }
+    ranks.select(col("node").as("doc_id"), col("rank_q"))
+  }
+}

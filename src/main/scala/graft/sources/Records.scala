@@ -188,6 +188,11 @@ object Records {
     val dest = new org.apache.hadoop.fs.Path(path)
     val stage = new org.apache.hadoop.fs.Path(path + StageSuffix)
     fs.delete(dest, true) // the stage is complete and committed
+    // a false/soft-failed delete that leaves dest present would make the
+    // rename NEST the stage inside the live dir (posix-mv semantics) and
+    // still return true — silent snapshot corruption; require the target
+    // gone before renaming
+    require(!fs.exists(dest), s"delete $dest failed — refusing nested rename")
     require(fs.rename(stage, dest), s"rename $stage -> $dest failed")
   }
 
@@ -470,6 +475,8 @@ object Records {
     def publish(src: org.apache.hadoop.fs.Path, dstName: String): Unit = {
       val dst = new org.apache.hadoop.fs.Path(s"$base/$dstName")
       fs.delete(dst, true) // stale target from a crashed earlier attempt
+      // soft-failed delete (dst still present) → the rename would nest
+      require(!fs.exists(dst), s"delete $dst failed — refusing nested rename")
       require(fs.rename(src, dst), s"rename $src -> $dst failed")
     }
     if (fs.exists(new org.apache.hadoop.fs.Path(s"$base/centroids_v$v"))) {

@@ -59,11 +59,28 @@ object EventStream {
     * exists for — Spark refusing a TIMESTAMP(NANOS) parquet footer? Any
     * other failure (transient IO, permissions, missing dir) must
     * propagate: swallowing it would silently pick the legacy int64
-    * decode for a current-layout file and corrupt every timestamp 1000×. */
-  private def isNanosFooterRefusal(e: Throwable): Boolean = {
-    val m = Option(e.getMessage).getOrElse("")
-    m.contains("NANOS") || m.contains("Illegal Parquet type")
-  }
+    * decode for a current-layout file and corrupt every timestamp 1000×.
+    *
+    * Matches the STABLE error condition (`SparkThrowable.getCondition`,
+    * the machine-readable error class a Spark upgrade keeps even when it
+    * rewords the message) first, with the message substrings as a
+    * fallback for wrappers that drop the class; walks the cause chain
+    * because the refusal can arrive wrapped in a job-level exception.
+    * The exact condition AND message shape are pinned against a real
+    * parquet-mr-written TIMESTAMP(NANOS) fixture in StreamingSpec, so
+    * an upgrade that changes either fails the suite instead of silently
+    * disabling the fallback. */
+  private[graft] def isNanosFooterRefusal(e: Throwable): Boolean =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8).exists { t =>
+      val cond = t match {
+        case st: org.apache.spark.SparkThrowable =>
+          Option(st.getCondition).getOrElse("")
+        case _ => ""
+      }
+      val m = Option(t.getMessage).getOrElse("")
+      cond == "ILLEGAL_PARQUET_TYPE" ||
+        m.contains("NANOS") || m.contains("Illegal Parquet type")
+    }
 
   /** Batch read of `dir/events.parquet` with canonical TIMESTAMP `ts`.
     * Footer-driven: the file's own schema decides the decode path; only

@@ -473,6 +473,8 @@ final class MaintainedIngest private[streaming] (
     def publish(src: org.apache.hadoop.fs.Path, dstName: String): Unit = {
       val dst = new org.apache.hadoop.fs.Path(s"$storeBase/$dstName")
       fs.delete(dst, true)
+      // soft-failed delete (dst still present) → the rename would nest
+      require(!fs.exists(dst), s"delete $dst failed — refusing nested rename")
       require(fs.rename(src, dst), s"rename $src -> $dst failed")
     }
     publish(ctmp, s"centroids_v$next")

@@ -981,4 +981,70 @@ class StreamingSpec extends SparkSpec {
     assert(last._2 === g._1 && last._3 === g._2 && last._4 === g._3,
       "cumulative moments diverged from the single-pass batch moments")
   }
+
+  test("legacy TIMESTAMP(NANOS) parquet: the refusal's error class and message " +
+    "shape are pinned, and loadEvents takes the int64 fallback") {
+    // Spark cannot WRITE a TIMESTAMP(NANOS) file, so build the legacy
+    // fixture with parquet-mr directly — the real footer the fallback
+    // path exists for, not a message-string simulation.
+    import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, Types}
+    import org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    import org.apache.parquet.hadoop.example.ExampleParquetWriter
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    import org.apache.parquet.hadoop.util.HadoopOutputFile
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_nanos").toString
+    val file = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
+    val schema = new MessageType("events",
+      Types.required(PrimitiveTypeName.INT64).named("event_id"),
+      Types.required(PrimitiveTypeName.INT64)
+        .as(LogicalTypeAnnotation.timestampType(true, TimeUnit.NANOS)).named("ts"),
+      Types.optional(PrimitiveTypeName.INT64).named("user_id"),
+      Types.optional(PrimitiveTypeName.BINARY)
+        .as(LogicalTypeAnnotation.stringType()).named("event_type"),
+      Types.optional(PrimitiveTypeName.DOUBLE).named("value"),
+      Types.optional(PrimitiveTypeName.BINARY)
+        .as(LogicalTypeAnnotation.stringType()).named("props"))
+    val writer = ExampleParquetWriter.builder(
+        HadoopOutputFile.fromPath(file,
+          spark.sparkContext.hadoopConfiguration))
+      .withType(schema).build()
+    val gf = new SimpleGroupFactory(schema)
+    // sub-microsecond residue (…789 ns) proves the exact integer
+    // floor-div decode, and a pre-epoch nano pins the FLOOR (not
+    // truncate-toward-zero) branch: -1500 ns → -2 µs
+    Seq((1L, 1700000000123456789L, 10L, "view", 1.5),
+        (2L, -1500L, 11L, "click", 2.5)).foreach { case (id, ns, u, t, v) =>
+      val g = gf.newGroup()
+      g.add("event_id", id); g.add("ts", ns); g.add("user_id", u)
+      g.add("event_type", t); g.add("value", v)
+      writer.write(g)
+    }
+    writer.close()
+
+    // 1) the refusal fires at footer inference and matches the guard
+    val ex = intercept[Exception] { spark.read.parquet(file.toString).collect() }
+    assert(EventStream.isNanosFooterRefusal(ex),
+      s"nanos refusal no longer matches the guard — fallback silently dead: $ex")
+    // 2) pin the STABLE machine-readable condition: if an upgrade renames
+    //    ILLEGAL_PARQUET_TYPE (and rewords the message), fail HERE, not by
+    //    silently routing legacy files onto the erroring default read
+    val chain = Iterator.iterate(ex: Throwable)(_.getCause)
+      .takeWhile(_ != null).take(8).toList
+    val conds = chain.collect {
+      case st: org.apache.spark.SparkThrowable => Option(st.getCondition).getOrElse("")
+    }
+    val msgs = chain.map(t => Option(t.getMessage).getOrElse(""))
+    assert(conds.contains("ILLEGAL_PARQUET_TYPE")
+        || msgs.exists(_.contains("Illegal Parquet type")),
+      s"refusal shape changed: conds=$conds msgs=${msgs.map(_.take(80))}")
+    // 3) the fallback decodes the raw int64 nanos exactly
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    val got = EventStream.loadEvents(spark, dir)
+      .select(col("event_id"), unix_micros(col("ts"))) // µs since epoch
+      .as[(Long, Long)].collect().toMap
+    assert(got(1L) === 1700000000123456L, s"nanos→micros decode drifted: $got")
+    assert(got(2L) === -2L, s"pre-epoch floor decode drifted: $got")
+  }
 }
