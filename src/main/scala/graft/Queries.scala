@@ -365,6 +365,32 @@ object Queries {
       |  FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
       |  WHERE CAST(len(list_intersect(a.h1, b.h1)) AS DOUBLE) / len(list_distinct(a.h1 || b.h1)) >= 0.5)""".stripMargin
 
+  /** The dedup_pagerank oracle: [[operators.Graph.pageRank]]'s integer
+    * fixed-point iteration UNROLLED as chained CTEs over the same
+    * verified-pair graph ([[sqlMinhashPairsCtes]]). Every step is exact
+    * BIGINT arithmetic (DuckDB `//` = Spark `DIV` on the non-negative
+    * operands involved), so all `iters` rounds replay bit-identically. */
+  private def pageRankOracleSql(iters: Int, topN: Int): String = {
+    val scale = operators.Graph.RankScale
+    val steps = (1 to iters).map { k =>
+      s"""r$k AS MATERIALIZED (SELECT dg.node AS node,
+         |    CAST((SELECT t FROM tp) + coalesce(s.c, 0) AS BIGINT) AS rq
+         |  FROM deg dg LEFT JOIN (
+         |    SELECT e.b AS node, sum((r.rq * ${operators.Graph.DampNum}) // (${operators.Graph.DampDen} * d2.deg)) AS c
+         |    FROM e JOIN r${k - 1} r ON r.node = e.a JOIN deg d2 ON d2.node = e.a
+         |    GROUP BY e.b) s ON s.node = dg.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $sqlMinhashPairsCtes,
+       |e AS (SELECT doc_id_a AS a, doc_id_b AS b FROM j UNION SELECT doc_id_b, doc_id_a FROM j),
+       |deg AS (SELECT a AS node, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY a),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg),
+       |tp AS (SELECT (15 * $scale) // (100 * n) AS t FROM nn),
+       |r0 AS MATERIALIZED (SELECT node, CAST($scale // (SELECT n FROM nn) AS BIGINT) AS rq FROM deg),
+       |$steps
+       |SELECT node AS doc_id, rq AS rank_q FROM r$iters
+       |ORDER BY rq DESC, node ASC LIMIT $topN""".stripMargin
+  }
+
   /** Min-label reachability over a symmetric edge CTE `e` (consumer
     * supplies `e`); yields `reach(node, lab)`. */
   private val sqlCcReach: String =
@@ -2341,6 +2367,20 @@ object Queries {
           max(col("sz")).as("largest_group")))
     }),
 
+    // extension: PageRank over the verified near-duplicate graph — the
+    // canonical-document selector a min-id representative rule can't
+    // express: inside a duplicate family the highly-connected hub is
+    // the original, the satellites are the scrapes. Exact integer
+    // fixed-point arithmetic (10⁻¹² quanta, truncating div) so every
+    // iteration is order-independent and the oracle replays all 8
+    // steps as chained integer CTEs. Same memoized pair list as the
+    // rest of the dedup-graph family
+    "dedup_pagerank" -> ((s, dir) =>
+      operators.Graph.pageRank(minhashPairs(s, dir), iters = 8)
+        .orderBy(col("rank_q").desc, col("doc_id").asc)
+        .limit(20)
+        .select(col("doc_id"), col("rank_q"))),
+
     // extension: the keep/drop map APPLIED — the step after dedup_groups
     // that a pipeline actually ships: drop every group member except its
     // representative, keep all unpaired docs. Anti-join against the
@@ -3848,6 +3888,41 @@ object Queries {
         .select(col("horizon").cast("int").as("horizon"),
           r4(col("forecast")).as("forecast"))
         .orderBy("horizon")),
+
+    // extension: Kaplan–Meier retention survival — the censoring-aware
+    // churn curve (a user first seen 3 days before the log ends hasn't
+    // churned, they haven't had time to). Exact integer day durations,
+    // exact at-risk/churned counts; the survival product folds in one
+    // fixed ascending order on BOTH engines (driver fold here, list
+    // fold in the oracle), so the doubles agree bit-for-bit pre-r4
+    "events_survival" -> ((s, dir) =>
+      operators.Events.survivalCurve(events(s, dir), churnDays = 1)
+        .select(col("t_days"), col("n_risk"), col("n_churned"),
+          r4(col("survival")).as("survival"))
+        .orderBy("t_days")),
+
+    // extension: daily-series autocorrelation at lags 1..7 — the
+    // periodicity detector (weekly traffic shows the lag-7 spike) that
+    // says whether a trend-only forecast is admissible. Five exact
+    // BIGINT sums per lag; doubles only in the final 7-row select, in
+    // one operand shape shared with the oracle. Degenerate variance →
+    // NULL (a constant series has no correlation, not r = 1)
+    "events_acf" -> ((s, dir) =>
+      operators.Events.dailyAcf(events(s, dir), maxLag = 7)
+        .select(col("lag"), col("n_pairs"), r4(col("acf")).as("acf"))
+        .orderBy("lag")),
+
+    // extension: CUSUM changepoint on the daily series — the regime-
+    // shift locator ("traffic changed level on day X") complementing
+    // the single-day spike detectors. The statistic is scaled by the
+    // day count so it stays exact-integer (Σ(m·y − S) = m·CUSUM);
+    // argmax |C| at the earliest tied day; before/after means divide
+    // exact sums in the final 1-row select
+    "events_cusum" -> ((s, dir) =>
+      operators.Events.cusumChangepoint(events(s, dir))
+        .select(col("day_index"), col("cusum_scaled"), col("n_days"),
+          r4(col("mean_before")).as("mean_before"),
+          r4(col("mean_after")).as("mean_after"))),
 
     // extension: per-source QUALITY rollup — mean quality score
     // (r4-quantized-int mean) and Gopher pass rate per source: the
@@ -5893,6 +5968,8 @@ object Queries {
 
     // same pair list (j), symmetric edge list (e), and reach map; all
     // stats are scalar subqueries over exact integer aggregates
+    "dedup_pagerank" -> pageRankOracleSql(iters = 8, topN = 20),
+
     "dedup_graph_stats" ->
       s"""$sqlCcCte,
          |deg AS (SELECT a AS node, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY a),
@@ -6026,6 +6103,71 @@ object Queries {
          |    ]) AS s FROM ys)
          |SELECT CAST(u.h AS INT) AS horizon, ${sqlR4("s[1] + CAST(u.h AS DOUBLE) * s[2]")} AS forecast
          |FROM st, unnest(generate_series(1, 7)) AS u(h) ORDER BY horizon""".stripMargin,
+
+    // the KM fold replayed ascending: factors (1 − d/n) from exact ints,
+    // left-fold product with a prepended 1.0 — the same IEEE ops in the
+    // same order as the engine's driver fold, bit-identical pre-r4
+    "events_survival" ->
+      s"""WITH ue AS (SELECT user_id, min(ts) AS f, max(ts) AS l
+         |  FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+         |mx AS (SELECT max(l) AS e FROM ue),
+         |u2 AS (SELECT CASE WHEN ue.l <= mx.e - INTERVAL 1 DAY THEN 1 ELSE 0 END AS churn,
+         |    CASE WHEN ue.l <= mx.e - INTERVAL 1 DAY
+         |         THEN (epoch_us(ue.l) - epoch_us(ue.f)) // 86400000000
+         |         ELSE (epoch_us(mx.e) - epoch_us(ue.f)) // 86400000000 END AS t
+         |  FROM ue, mx),
+         |dt AS (SELECT t, CAST(sum(churn) AS BIGINT) AS d, CAST(count(*) AS BIGINT) AS c
+         |  FROM u2 GROUP BY t),
+         |ev AS (SELECT t, d,
+         |    (SELECT CAST(sum(c) AS BIGINT) FROM dt x WHERE x.t >= dt.t) AS nr
+         |  FROM dt WHERE d > 0),
+         |ord AS (SELECT list(struct_pack(t := t, d := d, nr := nr) ORDER BY t) AS xs FROM ev),
+         |rws AS (SELECT u.i AS i, xs FROM ord, unnest(generate_series(1, len(xs))) AS u(i))
+         |SELECT CAST(xs[i].t AS BIGINT) AS t_days, xs[i].nr AS n_risk, xs[i].d AS n_churned,
+         |  ${sqlR4("list_reduce(list_prepend(CAST(1.0 AS DOUBLE), list_transform(list_slice(xs, 1, i), y -> CAST(1.0 AS DOUBLE) - CAST(y.d AS DOUBLE) / CAST(y.nr AS DOUBLE))), (a, b) -> a * b)")} AS survival
+         |FROM rws ORDER BY t_days""".stripMargin,
+
+    // five exact BIGINT sums per lag; the Pearson arithmetic runs in
+    // the same double operand shape as the engine's final select
+    "events_acf" ->
+      s"""WITH dc AS (SELECT epoch_us(ts) // 86400000000 AS d, CAST(count(*) AS BIGINT) AS y
+         |  FROM events GROUP BY d),
+         |b AS (SELECT min(d) AS mn, max(d) AS mx FROM dc),
+         |f AS (SELECT u.d AS d, coalesce(dc.y, 0) AS y
+         |  FROM b, unnest(generate_series(b.mn, b.mx)) AS u(d) LEFT JOIN dc ON dc.d = u.d),
+         |l AS (SELECT unnest(generate_series(1, 7)) AS lag),
+         |p AS (SELECT l.lag AS lag, a.y AS x, c.y AS z
+         |  FROM l CROSS JOIN f a JOIN f c ON c.d = a.d + l.lag),
+         |s AS (SELECT lag, CAST(count(*) AS BIGINT) AS k,
+         |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(z) AS BIGINT) AS sz,
+         |    CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(z * z) AS BIGINT) AS szz,
+         |    CAST(sum(x * z) AS BIGINT) AS sxz
+         |  FROM p GROUP BY lag)
+         |SELECT CAST(lag AS INT) AS lag, k AS n_pairs,
+         |  CASE WHEN (CAST(k AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) > 0
+         |        AND (CAST(k AS DOUBLE) * szz - CAST(sz AS DOUBLE) * sz) > 0
+         |    THEN ${sqlR4("(CAST(k AS DOUBLE) * sxz - CAST(sx AS DOUBLE) * sz) / sqrt((CAST(k AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) * (CAST(k AS DOUBLE) * szz - CAST(sz AS DOUBLE) * sz))")}
+         |    ELSE NULL END AS acf
+         |FROM s ORDER BY lag""".stripMargin,
+
+    // exact-integer CUSUM (scaled by the day count), earliest tied
+    // argmax, before/after means from exact sums in the 1-row select
+    "events_cusum" ->
+      s"""WITH dc AS (SELECT epoch_us(ts) // 86400000000 AS d, CAST(count(*) AS BIGINT) AS y
+         |  FROM events GROUP BY d),
+         |b AS (SELECT min(d) AS mn, max(d) AS mx FROM dc),
+         |f AS (SELECT u.d AS d, coalesce(dc.y, 0) AS y
+         |  FROM b, unnest(generate_series(b.mn, b.mx)) AS u(d) LEFT JOIN dc ON dc.d = u.d),
+         |t AS (SELECT CAST(count(*) AS BIGINT) AS m, CAST(sum(y) AS BIGINT) AS s FROM f),
+         |c AS (SELECT f.d AS d, t.m AS m, t.s AS s,
+         |    CAST(sum(t.m * f.y - t.s) OVER (ORDER BY f.d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cc,
+         |    CAST(sum(f.y) OVER (ORDER BY f.d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS yc,
+         |    CAST(count(*) OVER (ORDER BY f.d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS nc
+         |  FROM f, t)
+         |SELECT d AS day_index, cc AS cusum_scaled, m AS n_days,
+         |  ${sqlR4("CAST(yc AS DOUBLE) / nc")} AS mean_before,
+         |  CASE WHEN nc < m THEN ${sqlR4("CAST(s - yc AS DOUBLE) / (m - nc)")} ELSE NULL END AS mean_after
+         |FROM c ORDER BY abs(cc) DESC, d ASC LIMIT 1""".stripMargin,
 
     // multiset n-gram windows over nonempty tokens (the shingles
     // contract); instance/type counts are exact ints

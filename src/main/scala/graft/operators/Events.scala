@@ -271,6 +271,168 @@ object Events {
       .toDF("horizon", "forecast")
   }
 
+  /** Kaplan–Meier survival curve of user retention — "what fraction of
+    * users are still active t days after their first event", with the
+    * censoring the naive ratio gets wrong: a user first seen 3 days
+    * before the log ends has not churned, they just haven't had TIME to
+    * (Kaplan & Meier 1958).
+    *
+    * Churn definition: observation end = the global latest per-user
+    * activity; a user whose last event is ≥ `churnDays` before that end
+    * CHURNED at duration `last − first` (whole days, floor); anyone
+    * more recent is CENSORED at duration `end − first`. Users censored
+    * exactly at an event time count as still at risk there (the
+    * standard convention; documented because it decides `n_risk` on
+    * tied days).
+    *
+    * Scale shape: one distributed per-user min/max pass, one
+    * distributed (duration, churned) count — the collected frame is
+    * bounded by the CALENDAR SPAN in days (≤ 2·span rows), never user
+    * count, so the survival fold is driver arithmetic per the
+    * small-support-model rule ([[holtForecast]]'s precedent).
+    *
+    * Determinism contract: durations are exact integer days; `n_risk`
+    * and `n_churned` are exact suffix-sum integers; the survival
+    * product folds `S ← S·(1 − d/n)` ascending in duration — one fixed
+    * IEEE operand order the oracle replays as a DuckDB list fold, so
+    * the doubles agree bit-for-bit before the final r4. */
+  def survivalCurve(events: DataFrame, churnDays: Int = 7,
+      userCol: String = "user_id"): DataFrame = {
+    require(churnDays >= 0, "churnDays must be non-negative")
+    val spark = events.sparkSession
+    val perUser = events
+      .where(col(userCol).isNotNull)
+      .groupBy(col(userCol))
+      .agg(min(col("ts")).as("__f"), max(col("ts")).as("__l"))
+    val durations = perUser
+      .crossJoin(broadcast(perUser.agg(max(col("__l")).as("__end"))))
+      .select(
+        when(col("__l") <= col("__end") - expr(s"INTERVAL $churnDays DAYS"), 1L)
+          .otherwise(0L).as("churn"),
+        expr(s"""CASE WHEN __l <= __end - INTERVAL $churnDays DAYS
+                 THEN (unix_micros(__l) - unix_micros(__f)) DIV 86400000000
+                 ELSE (unix_micros(__end) - unix_micros(__f)) DIV 86400000000
+                 END""").as("t"))
+      .groupBy(col("t"))
+      .agg(sum(col("churn")).as("d"), count(lit(1)).as("c"))
+    // bounded by distinct whole-day durations ≤ calendar span
+    val byT = durations.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val totalUsers = byT.iterator.map(_._3).sum
+    var atRisk = totalUsers
+    var surv = 1.0
+    val rows = byT.flatMap { case (t, d, c) =>
+      val out = if (d > 0) {
+        surv = surv * (1.0 - d.toDouble / atRisk.toDouble)
+        Some((t, atRisk, d, surv))
+      } else None
+      atRisk -= c // both churned and censored at t leave the risk set
+      out
+    }
+    import spark.implicits._
+    rows.toSeq.toDF("t_days", "n_risk", "n_churned", "survival")
+  }
+
+  /** Autocorrelation of the daily event-count series at lags 1..`maxLag`
+    * — the periodicity detector (a weekly-traffic corpus shows the lag-7
+    * spike) that tells a curator whether [[holtForecast]]'s trend-only
+    * model is even admissible.
+    *
+    * Scale shape: ONE distributed day-count aggregation; gaps are
+    * zero-filled over the calendar range (a quiet day is data, not a
+    * missing row) via a range frame, so the lag pairing is an equi-join
+    * on `d + lag = d2` — tiny frames, but the shape stays distributed
+    * (no collect of the series). Per lag, Pearson r from five exact
+    * BIGINT sums; doubles appear only in the final 7-row select, in one
+    * fixed operand shape both engines share. Degenerate variance on
+    * either margin → NULL acf (a constant series has no correlation,
+    * not r = 1). */
+  def dailyAcf(events: DataFrame, maxLag: Int = 7): DataFrame = {
+    require(maxLag >= 1, "maxLag must be >= 1")
+    val spark = events.sparkSession
+    val byDay = events
+      .select(expr("unix_micros(ts) DIV 86400000000").as("d"))
+      .groupBy(col("d")).agg(count(lit(1)).as("y"))
+    val bounds = byDay.agg(min(col("d")), max(col("d"))).head()
+    require(!bounds.isNullAt(0), "empty event log")
+    val (dMin, dMax) = (bounds.getLong(0), bounds.getLong(1))
+    val filled = spark.range(dMin, dMax + 1).toDF("d")
+      .join(byDay, Seq("d"), "left")
+      .select(col("d"), coalesce(col("y"), lit(0L)).as("y"))
+    import spark.implicits._
+    val lags = (1 to maxLag).map(_.toLong).toDF("lag")
+    val paired = filled.select(col("d"), col("y").as("x"))
+      .crossJoin(broadcast(lags))
+      .join(filled.select(col("d").as("__d2"), col("y").as("z")),
+        col("__d2") === col("d") + col("lag"))
+    val sums = paired.groupBy(col("lag"))
+      .agg(count(lit(1)).as("k"),
+        sum(col("x")).as("sx"), sum(col("z")).as("sz"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("z") * col("z")).as("szz"),
+        sum(col("x") * col("z")).as("sxz"))
+    val kd = col("k").cast("double")
+    val num = kd * col("sxz").cast("double") -
+      col("sx").cast("double") * col("sz").cast("double")
+    val vx = kd * col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double")
+    val vz = kd * col("szz").cast("double") -
+      col("sz").cast("double") * col("sz").cast("double")
+    sums.select(col("lag").cast("int").as("lag"), col("k").as("n_pairs"),
+      when(vx > 0.0 && vz > 0.0, num / sqrt(vx * vz))
+        .otherwise(lit(null).cast("double")).as("acf"))
+      .orderBy("lag")
+  }
+
+  /** CUSUM changepoint detection on the daily event-count series — the
+    * level-shift locator ("traffic changed regime on day X") that
+    * complements [[anomalousWindows]]'s single-day spikes (Page 1954).
+    *
+    * Exactness: the textbook statistic C_t = Σ_{i≤t}(y_i − ȳ) needs the
+    * float mean; scaling by the day count m keeps everything integer:
+    * C'_t = Σ_{i≤t}(m·y_i − S) = m·C_t with S = Σy — exact BIGINTs,
+    * identical on both engines, argmax |C'_t| at the earliest tied day.
+    * The reported shift magnitude (mean after − mean before) divides
+    * exact sums only in the final 1-row select.
+    *
+    * Scale note: the cumulative sum runs a partition-less window over
+    * the DAY frame — bounded by calendar span, never event count (the
+    * corpus_quality_band allowlist argument). */
+  def cusumChangepoint(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    val byDay = events
+      .select(expr("unix_micros(ts) DIV 86400000000").as("d"))
+      .groupBy(col("d")).agg(count(lit(1)).as("y"))
+    val bounds = byDay.agg(min(col("d")), max(col("d"))).head()
+    require(!bounds.isNullAt(0), "empty event log")
+    val (dMin, dMax) = (bounds.getLong(0), bounds.getLong(1))
+    val series = spark.range(dMin, dMax + 1).toDF("d")
+      .join(byDay, Seq("d"), "left")
+      .select(col("d"), coalesce(col("y"), lit(0L)).as("y"))
+    val totals = series.agg(count(lit(1)).as("m"), sum(col("y")).as("s"))
+    val filled = series.crossJoin(broadcast(totals))
+    val W = org.apache.spark.sql.expressions.Window
+    val w = W.orderBy(col("d")).rowsBetween(W.unboundedPreceding, 0)
+    val withCusum = filled
+      .withColumn("__c", sum(col("m") * col("y") - col("s")).over(w))
+      .withColumn("__yc", sum(col("y")).over(w))
+      .withColumn("__nc", count(lit(1)).over(w))
+    withCusum
+      .orderBy(abs(col("__c")).desc, col("d").asc)
+      .limit(1)
+      .select(col("d").as("day_index"), col("__c").as("cusum_scaled"),
+        col("m").as("n_days"),
+        (col("__yc").cast("double") / col("__nc").cast("double"))
+          .as("mean_before"),
+        // changepoint on the LAST day (possible only when the series is
+        // all-tied at 0) has no after-side: NULL, not a 0/0 NaN
+        when(col("__nc") < col("m"),
+          (col("s") - col("__yc")).cast("double")
+            / (col("m") - col("__nc")).cast("double"))
+          .otherwise(lit(null).cast("double")).as("mean_after"))
+  }
+
   // ------------------------------------------------------------------
   // Count-Min sketch (Cormode–Muthukrishnan 2005)
   // ------------------------------------------------------------------

@@ -354,4 +354,109 @@ class EventsSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSeq
     assert(h === Seq((4L, 12L, 1L))) // only 12.34 → q2 = 1234 → (4, 12)
   }
+
+  private val DayMs = 86400000L
+  private def dayTs(day: Int, offsetMs: Long = 0L) =
+    new java.sql.Timestamp(1704067200000L + day * DayMs + offsetMs) // 2024-01-01 + day
+
+  /** (user, first-day, last-day) triples → a minimal event frame. */
+  private def lifeEvents(lives: Seq[(Long, Int, Int)]) =
+    lives.zipWithIndex.flatMap { case ((u, f, l), i) =>
+      Seq((i * 2L, u, "view", dayTs(f)), (i * 2L + 1, u, "view", dayTs(l)))
+    }.toDF("event_id", "user_id", "event_type", "ts")
+
+  test("survivalCurve: hand-checked risk sets, KM product, and the " +
+    "censored-at-event-time convention") {
+    // end = day 30. churnDays = 7 → churned iff last ≤ day 23.
+    //   A 0..10 churn t=10   B 2..12 churn t=10   C 0..23 churn t=23
+    //   D 1..30 censored t=29   E 25..30 censored t=5
+    //   F 7..30 censored t=23  ← censored EXACTLY at an event time:
+    //                            still at risk there (n_risk = 3, not 2)
+    val ev = lifeEvents(Seq((1L, 0, 10), (2L, 2, 12), (3L, 0, 23),
+      (4L, 1, 30), (5L, 25, 30), (6L, 7, 30)))
+    val got = Events.survivalCurve(ev, churnDays = 7)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(got === Seq(
+      (10L, 5L, 2L, 1.0 * (1.0 - 2.0 / 5.0)),
+      (23L, 3L, 1L, (1.0 - 2.0 / 5.0) * (1.0 - 1.0 / 3.0))))
+  }
+
+  test("survivalCurve: everyone active at the end yields an empty curve, " +
+    "not a crash; single churned user survives to 0 at their duration") {
+    val allActive = lifeEvents(Seq((1L, 0, 30), (2L, 5, 30)))
+    assert(Events.survivalCurve(allActive, churnDays = 7).count() === 0L)
+    // one churned (0..3), one censored (0..30): S(3) = 1 − 1/2 = 0.5
+    val one = lifeEvents(Seq((1L, 0, 3), (2L, 0, 30)))
+    val got = Events.survivalCurve(one, churnDays = 7)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got === Seq((3L, 2L, 1L, 0.5)))
+  }
+
+  /** Day-count series → event frame (one event per count unit). */
+  private def seriesEvents(counts: Seq[Int]) =
+    counts.zipWithIndex.flatMap { case (n, day) =>
+      (0 until n).map(j => (day * 1000L + j, 1L, "view", dayTs(day, j * 1000L)))
+    }.toDF("event_id", "user_id", "event_type", "ts")
+
+  test("dailyAcf: period-2 series has acf(2) = 1 and acf(1) = −1; " +
+    "all lags match an independent brute force") {
+    val counts = Seq(3, 1, 3, 1, 3, 1, 3, 1)
+    val got = Events.dailyAcf(seriesEvents(counts), maxLag = 7)
+      .as[(Int, Long, Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(2)._2.get === 1.0)
+    assert(got(1)._2.get === -1.0)
+    // independent brute force with the same estimator
+    def brute(lag: Int): Option[Double] = {
+      val xs = counts.dropRight(lag).map(_.toDouble)
+      val zs = counts.drop(lag).map(_.toDouble)
+      val k = xs.length.toDouble
+      val (sx, sz) = (xs.sum, zs.sum)
+      val sxx = xs.map(x => x * x).sum; val szz = zs.map(z => z * z).sum
+      val sxz = xs.zip(zs).map { case (x, z) => x * z }.sum
+      val vx = k * sxx - sx * sx; val vz = k * szz - sz * sz
+      if (vx > 0 && vz > 0) Some((k * sxz - sx * sz) / math.sqrt(vx * vz)) else None
+    }
+    (1 to 7).foreach { lag =>
+      assert(got(lag)._1 === (counts.length - lag).toLong)
+      (got(lag)._2, brute(lag)) match {
+        case (Some(a), Some(b)) => assert(math.abs(a - b) < 1e-12, s"lag $lag: $a vs $b")
+        case (a, b) => assert(a === b, s"lag $lag: $a vs $b")
+      }
+    }
+  }
+
+  test("dailyAcf: a zero-event calendar day enters the series as 0, and a " +
+    "constant series yields NULL acf at every lag") {
+    // days 0,1,3 have events; day 2 is silent → series [2,2,0,2]
+    val gap = Seq((1L, 1L, "view", dayTs(0)), (2L, 1L, "view", dayTs(0, 1000L)),
+      (3L, 1L, "view", dayTs(1)), (4L, 1L, "view", dayTs(1, 1000L)),
+      (5L, 1L, "view", dayTs(3)), (6L, 1L, "view", dayTs(3, 1000L)))
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val g = Events.dailyAcf(gap, maxLag = 2)
+      .as[(Int, Long, Option[Double])].collect().map(r => r._1 -> r._3).toMap
+    // series [2,2,0,2]: lag-1 pairs (2,2),(2,0),(0,2) → r = −1/2
+    assert(math.abs(g(1).get - (-0.5)) < 1e-12, g.toString)
+    val const = Events.dailyAcf(seriesEvents(Seq(4, 4, 4, 4, 4)), maxLag = 3)
+      .as[(Int, Long, Option[Double])].collect()
+    assert(const.forall(_._3.isEmpty), const.mkString(","))
+  }
+
+  test("cusumChangepoint: step series locates the last pre-shift day with " +
+    "exact scaled statistic and both regime means") {
+    // 5 days of 10 then 5 days of 30: m=10, S=200; C' bottoms at −500 on
+    // day index 4 (the last low day); means 10 and 30
+    val got = Events.cusumChangepoint(seriesEvents(Seq.fill(5)(10) ++ Seq.fill(5)(30)))
+      .as[(Long, Long, Long, Double, Option[Double])].collect().head
+    val base = 1704067200000L / DayMs // epoch-day of the fixture origin
+    assert(got === ((base + 4L, -500L, 10L, 10.0, Some(30.0))))
+  }
+
+  test("cusumChangepoint: constant series ties at zero everywhere → earliest " +
+    "day wins and the after-mean stays defined") {
+    val got = Events.cusumChangepoint(seriesEvents(Seq(7, 7, 7, 7)))
+      .as[(Long, Long, Long, Double, Option[Double])].collect().head
+    val base = 1704067200000L / DayMs
+    assert(got === ((base, 0L, 4L, 7.0, Some(7.0))))
+  }
 }

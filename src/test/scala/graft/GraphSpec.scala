@@ -1,0 +1,73 @@
+package graft
+
+import graft.operators.Graph
+import org.apache.spark.sql.functions._
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ranks(pairs: Seq[(Long, Long)], iters: Int = 8): Map[Long, Long] =
+    Graph.pageRank(pairs.toDF("doc_id_a", "doc_id_b"), iters = iters)
+      .as[(Long, Long)].collect().toMap
+
+  /** Independent float power iteration with the same teleport/damping —
+    * the continuous model the integer fixed point approximates. */
+  private def floatPr(pairs: Seq[(Long, Long)], iters: Int): Map[Long, Double] = {
+    val edges = pairs.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+    val nodes = edges.map(_._1).distinct.sorted
+    val deg = edges.groupBy(_._1).map { case (k, v) => k -> v.size.toDouble }
+    val n = nodes.size.toDouble
+    var r = nodes.map(_ -> 1.0 / n).toMap
+    for (_ <- 0 until iters) {
+      val in = edges.groupBy(_._2).map { case (v, es) =>
+        v -> es.map { case (u, _) => 0.85 * r(u) / deg(u) }.sum
+      }
+      r = nodes.map(v => v -> (0.15 / n + in.getOrElse(v, 0.0))).toMap
+    }
+    r
+  }
+
+  test("pageRank star graph: hub dominates, satellites exactly equal, " +
+    "and the fixed point tracks the float model") {
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L))
+    val got = ranks(pairs)
+    assert(got.keySet === Set(1L, 2L, 3L, 4L, 5L))
+    assert(Seq(2L, 3L, 4L, 5L).forall(s => got(1L) > got(s)),
+      s"hub must out-rank every satellite: $got")
+    // satellites are symmetric — EXACT integer equality, not tolerance
+    assert(Seq(3L, 4L, 5L).forall(s => got(s) === got(2L)), got.toString)
+    val want = floatPr(pairs, 8)
+    got.foreach { case (v, q) =>
+      assert(math.abs(q.toDouble / Graph.RankScale - want(v)) < 1e-9,
+        s"node $v: fixed-point ${q.toDouble / Graph.RankScale} vs float ${want(v)}")
+    }
+  }
+
+  test("pageRank ring: full symmetry means exactly equal ranks and near-full mass") {
+    val got = ranks(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)))
+    assert(got.values.toSet.size === 1, s"ring nodes must tie exactly: $got")
+    val total = got.values.sum
+    // truncating divs only ever LEAK mass, a bounded number of quanta
+    assert(total <= Graph.RankScale, s"mass above SCALE: $total")
+    assert(total >= Graph.RankScale - 1000L, s"leaked more than div-floor slack: $total")
+  }
+
+  test("pageRank: iters = 0 returns the uniform init; empty graph returns no rows") {
+    val got0 = ranks(Seq((7L, 9L)), iters = 0)
+    assert(got0 === Map(7L -> Graph.RankScale / 2, 9L -> Graph.RankScale / 2))
+    val empty = Graph.pageRank(
+      Seq.empty[(Long, Long)].toDF("doc_id_a", "doc_id_b"))
+    assert(empty.count() === 0L)
+  }
+
+  test("pageRank path graph: interior node out-ranks endpoints (degree pull)") {
+    // 1 - 2 - 3: node 2 has degree 2, the ends degree 1
+    val got = ranks(Seq((1L, 2L), (2L, 3L)))
+    assert(got(2L) > got(1L) && got(2L) > got(3L), got.toString)
+    assert(got(1L) === got(3L), s"symmetric endpoints must tie exactly: $got")
+    val want = floatPr(Seq((1L, 2L), (2L, 3L)), 8)
+    got.foreach { case (v, q) =>
+      assert(math.abs(q.toDouble / Graph.RankScale - want(v)) < 1e-9, s"node $v")
+    }
+  }
+}

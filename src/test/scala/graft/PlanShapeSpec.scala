@@ -511,8 +511,10 @@ class PlanShapeSpec extends SparkSpec {
       "corpus_quality_band",   // per-bucket count frame (≤ nBuckets rows)
       "corpus_sample_budget",  // bucket-offset frame (≤ nBuckets rows)
       "mix_token_budget",      // per-(source, bucket) count frame
-      "events_value_sketch")   // dd-histogram bucket frame (≤ ~1700 rows by
+      "events_value_sketch",   // dd-histogram bucket frame (≤ ~1700 rows by
                                // construction; the wrapper's lit grp folds away)
+      "events_cusum")          // cumulative sum over the DAY frame — bounded
+                               // by calendar span, never event count
     val offenders = Queries.queries.keys.toSeq.sorted.flatMap { name =>
       val df = Queries.queries(name)(spark, sf)
       val globalWindows = df.queryExecution.optimizedPlan.collect {
