@@ -370,7 +370,7 @@ object Queries {
     * verified-pair graph ([[sqlMinhashPairsCtes]]). Every step is exact
     * BIGINT arithmetic (DuckDB `//` = Spark `DIV` on the non-negative
     * operands involved), so all `iters` rounds replay bit-identically. */
-  private def pageRankOracleSql(iters: Int, topN: Int): String = {
+  private def pageRankIterCtes(iters: Int): String = {
     val scale = operators.Graph.RankScale
     val steps = (1 to iters).map { k =>
       s"""r$k AS MATERIALIZED (SELECT dg.node AS node,
@@ -380,16 +380,19 @@ object Queries {
          |    FROM e JOIN r${k - 1} r ON r.node = e.a JOIN deg d2 ON d2.node = e.a
          |    GROUP BY e.b) s ON s.node = dg.node)""".stripMargin
     }.mkString(",\n")
-    s"""WITH $sqlMinhashPairsCtes,
-       |e AS (SELECT doc_id_a AS a, doc_id_b AS b FROM j UNION SELECT doc_id_b, doc_id_a FROM j),
-       |deg AS (SELECT a AS node, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY a),
+    s"""deg AS (SELECT a AS node, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY a),
        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg),
        |tp AS (SELECT (15 * $scale) // (100 * n) AS t FROM nn),
        |r0 AS MATERIALIZED (SELECT node, CAST($scale // (SELECT n FROM nn) AS BIGINT) AS rq FROM deg),
-       |$steps
+       |$steps""".stripMargin
+  }
+
+  private def pageRankOracleSql(iters: Int, topN: Int): String =
+    s"""WITH $sqlMinhashPairsCtes,
+       |e AS (SELECT doc_id_a AS a, doc_id_b AS b FROM j UNION SELECT doc_id_b, doc_id_a FROM j),
+       |${pageRankIterCtes(iters)}
        |SELECT node AS doc_id, rq AS rank_q FROM r$iters
        |ORDER BY rq DESC, node ASC LIMIT $topN""".stripMargin
-  }
 
   /** Min-label reachability over a symmetric edge CTE `e` (consumer
     * supplies `e`); yields `reach(node, lab)`. */
@@ -2381,6 +2384,31 @@ object Queries {
         .limit(20)
         .select(col("doc_id"), col("rank_q"))),
 
+    // extension: triangle census of the near-duplicate graph — the LSH
+    // integrity meter: genuine duplicate families are near-cliques
+    // (clustering coefficient → 1); a low coefficient means chains of
+    // borderline pairs are BRIDGING unrelated documents and the
+    // threshold needs raising. Exact integer triangle/wedge counts via
+    // the ordered-triple join (each edge stored once as a < b, so
+    // a < b < c counts every triangle exactly once), bounded by the
+    // verified-pair graph
+    "dedup_triangles" -> ((s, dir) =>
+      operators.Graph.triangleCensus(minhashPairs(s, dir))
+        .select(col("n_triangles"), col("n_wedges"),
+          r4(col("global_cc")).as("global_cc"))),
+
+    // extension: the CANONICAL document per duplicate family — the
+    // selector [[Graph.pageRank]] exists for: within each connected
+    // component, keep the member with the highest centrality (the hub
+    // every scrape links near; tie → lowest id). Composes the memoized
+    // group map with the exact-integer rank frame, so the whole
+    // pipeline stays hash-comparable
+    "dedup_canonical" -> ((s, dir) => {
+      val pr = operators.Graph.pageRank(minhashPairs(s, dir), iters = 8)
+      Dedup.bestRepresentatives(cappedGroups(s, dir), pr, "rank_q")
+        .orderBy("rep_id")
+    }),
+
     // extension: the keep/drop map APPLIED — the step after dedup_groups
     // that a pipeline actually ships: drop every group member except its
     // representative, keep all unpaired docs. Anti-join against the
@@ -3885,6 +3913,17 @@ object Queries {
     // replayable; day counting distributed, recursion on the driver
     "events_forecast" -> ((s, dir) =>
       operators.Events.holtForecast(events(s, dir), horizon = 7)
+        .select(col("horizon").cast("int").as("horizon"),
+          r4(col("forecast")).as("forecast"))
+        .orderBy("horizon")),
+
+    // extension: Holt–Winters additive seasonal forecast — the
+    // seasonality-aware upgrade of events_forecast that events_acf's
+    // lag-7 spike calls for. Dyadic smoothing coefficients; rotating
+    // seasonal state (consume head, append tail) keeps the recursion
+    // index-free so the oracle replays it as one list fold
+    "events_holt_winters" -> ((s, dir) =>
+      operators.Events.holtWintersForecast(events(s, dir), horizon = 7)
         .select(col("horizon").cast("int").as("horizon"),
           r4(col("forecast")).as("forecast"))
         .orderBy("horizon")),
@@ -5970,6 +6009,35 @@ object Queries {
     // stats are scalar subqueries over exact integer aggregates
     "dedup_pagerank" -> pageRankOracleSql(iters = 8, topN = 20),
 
+    // ordered-triple join over the a<b pair list; wedges from the
+    // symmetric degree table — all exact integers
+    "dedup_triangles" ->
+      s"""WITH $sqlMinhashPairsCtes,
+         |e AS (SELECT doc_id_a AS a, doc_id_b AS b FROM j UNION SELECT doc_id_b, doc_id_a FROM j),
+         |tri AS (SELECT CAST(count(*) AS BIGINT) AS t
+         |  FROM j x JOIN j y ON x.doc_id_b = y.doc_id_a
+         |    JOIN j z ON z.doc_id_a = x.doc_id_a AND z.doc_id_b = y.doc_id_b),
+         |deg AS (SELECT a AS node, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY a),
+         |w AS (SELECT CAST(sum(d * (d - 1)) // 2 AS BIGINT) AS w FROM deg)
+         |SELECT t AS n_triangles, w AS n_wedges,
+         |  CASE WHEN w > 0 THEN ${sqlR4("CAST(3 * t AS DOUBLE) / w")} ELSE NULL END AS global_cc
+         |FROM tri, w""".stripMargin,
+
+    // PageRank iterations + min-label reachability in ONE statement:
+    // per component, the max-rank member (tie → lowest id)
+    "dedup_canonical" ->
+      s"""WITH RECURSIVE $sqlMinhashPairsCtes,
+         |e AS (SELECT doc_id_a AS a, doc_id_b AS b FROM j UNION SELECT doc_id_b, doc_id_a FROM j),
+         |${pageRankIterCtes(8)},
+         |$sqlCcReach,
+         |g AS (SELECT node AS doc_id, min(lab) AS rep_id FROM reach GROUP BY node)
+         |SELECT rep_id, doc_id AS keep_id, n_docs FROM (
+         |  SELECT g.rep_id, g.doc_id,
+         |    count(*) OVER (PARTITION BY g.rep_id) AS n_docs,
+         |    row_number() OVER (PARTITION BY g.rep_id ORDER BY r.rq DESC, g.doc_id ASC) AS rn
+         |  FROM g JOIN r8 r ON g.doc_id = r.node)
+         |WHERE rn = 1 ORDER BY rep_id""".stripMargin,
+
     "dedup_graph_stats" ->
       s"""$sqlCcCte,
          |deg AS (SELECT a AS node, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY a),
@@ -6102,6 +6170,37 @@ object Queries {
          |        + CAST(0.75 AS DOUBLE) * acc[2]
          |    ]) AS s FROM ys)
          |SELECT CAST(u.h AS INT) AS horizon, ${sqlR4("s[1] + CAST(u.h AS DOUBLE) * s[2]")} AS forecast
+         |FROM st, unnest(generate_series(1, 7)) AS u(h) ORDER BY horizon""".stripMargin,
+
+    // the Holt–Winters recursion as ONE list fold: state [l, b, s₁..s₇]
+    // with the rotating-seasonal layout (head = the factor due now), new
+    // l recomputed inline wherever b/s need it — pure expressions,
+    // identical bits to the engine's driver fold
+    "events_holt_winters" ->
+      s"""WITH dc AS (SELECT epoch_us(ts) // 86400000000 AS d, CAST(count(*) AS DOUBLE) AS n
+         |  FROM events GROUP BY d),
+         |bounds AS (SELECT min(d) AS mn, max(d) AS mx FROM dc),
+         |filled AS (SELECT u.d AS d, coalesce(dc.n, CAST(0.0 AS DOUBLE)) AS n
+         |  FROM bounds, unnest(generate_series(bounds.mn, bounds.mx)) AS u(d)
+         |  LEFT JOIN dc ON dc.d = u.d),
+         |ys AS (SELECT list(n ORDER BY d) AS y FROM filled),
+         |init AS (SELECT y,
+         |    list_reduce(list_slice(y, 1, 7), (a, b) -> a + b) / CAST(7.0 AS DOUBLE) AS m1,
+         |    list_reduce(list_slice(y, 8, 14), (a, b) -> a + b) / CAST(7.0 AS DOUBLE) AS m2
+         |  FROM ys),
+         |st AS (SELECT list_reduce(
+         |    list_prepend(
+         |      list_concat([m1, (m2 - m1) / CAST(7.0 AS DOUBLE)],
+         |        list_transform(list_slice(y, 1, 7), v -> v - m1)),
+         |      list_transform(list_slice(y, 8, len(y)), v -> [v])),
+         |    (acc, x) -> list_concat(
+         |      [CAST(0.5 AS DOUBLE) * (x[1] - acc[3]) + CAST(0.5 AS DOUBLE) * (acc[1] + acc[2]),
+         |       CAST(0.25 AS DOUBLE) * ((CAST(0.5 AS DOUBLE) * (x[1] - acc[3]) + CAST(0.5 AS DOUBLE) * (acc[1] + acc[2])) - acc[1]) + CAST(0.75 AS DOUBLE) * acc[2]],
+         |      list_append(list_slice(acc, 4, len(acc)),
+         |        CAST(0.25 AS DOUBLE) * (x[1] - (CAST(0.5 AS DOUBLE) * (x[1] - acc[3]) + CAST(0.5 AS DOUBLE) * (acc[1] + acc[2]))) + CAST(0.75 AS DOUBLE) * acc[3]))
+         |  ) AS s FROM init)
+         |SELECT CAST(u.h AS INT) AS horizon,
+         |  ${sqlR4("s[1] + CAST(u.h AS DOUBLE) * s[2] + s[3 + ((u.h - 1) % 7)]")} AS forecast
          |FROM st, unnest(generate_series(1, 7)) AS u(h) ORDER BY horizon""".stripMargin,
 
     // the KM fold replayed ascending: factors (1 − d/n) from exact ints,

@@ -271,6 +271,56 @@ object Events {
       .toDF("horizon", "forecast")
   }
 
+  /** Holt–Winters additive seasonal forecast of the daily event volume
+    * — the seasonality-aware extension of [[holtForecast]] that
+    * [[dailyAcf]]'s lag-7 spike says the traffic needs (a trend-only
+    * model forecasts Wednesday's volume for Sunday).
+    *
+    * Scale shape: identical to [[holtForecast]] — ONE distributed
+    * day-count aggregation, then the recursion runs on the
+    * span-bounded series as driver arithmetic.
+    *
+    * Determinism contract: dyadic coefficients (α = 0.5, β = γ = 0.25);
+    * init `l₀ = mean(y₀..y₆)`, `b₀ = (mean(y₇..y₁₃) − mean(y₀..y₆))/7`,
+    * `sᵢ = yᵢ − l₀` — every mean a left-fold sum then one division,
+    * the exact operand order the oracle's `list_reduce` replays. The
+    * seasonal state ROTATES (consume head, append tail) so the factor
+    * due at step t is always the head — index-free, which is what
+    * makes the oracle's list-fold formulation possible. Needs ≥ 2
+    * seasons (14 days) of data. */
+  def holtWintersForecast(events: DataFrame, horizon: Int = 7,
+      period: Int = 7): DataFrame = {
+    require(horizon > 0, "horizon must be positive")
+    require(period > 1, "period must be > 1")
+    val spark = events.sparkSession
+    val byDay = events
+      .select(expr("unix_micros(ts) DIV 86400000000").as("__d"))
+      .groupBy(col("__d")).agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    require(byDay.nonEmpty, "empty event log")
+    val (dMin, dMax) = (byDay.keys.min, byDay.keys.max)
+    val ys = (dMin to dMax).map(d => byDay.getOrElse(d, 0L).toDouble)
+    require(ys.length >= 2 * period,
+      s"need >= ${2 * period} days of data, got ${ys.length}")
+    val mean1 = ys.take(period).foldLeft(0.0)(_ + _) / period.toDouble
+    val mean2 = ys.slice(period, 2 * period).foldLeft(0.0)(_ + _) / period.toDouble
+    var l = mean1
+    var b = (mean2 - mean1) / period.toDouble
+    var seasons = scala.collection.immutable.Queue(
+      ys.take(period).map(_ - mean1): _*)
+    for (t <- period until ys.length) {
+      val (sUsed, rest) = seasons.dequeue
+      val lPrev = l
+      l = 0.5 * (ys(t) - sUsed) + 0.5 * (lPrev + b)
+      b = 0.25 * (l - lPrev) + 0.75 * b
+      seasons = rest.enqueue(0.25 * (ys(t) - l) + 0.75 * sUsed)
+    }
+    import spark.implicits._
+    val sArr = seasons.toIndexedSeq
+    (1 to horizon).map(h => (h, l + h.toDouble * b + sArr((h - 1) % period)))
+      .toDF("horizon", "forecast")
+  }
+
   /** Kaplan–Meier survival curve of user retention — "what fraction of
     * users are still active t days after their first event", with the
     * censoring the naive ratio gets wrong: a user first seen 3 days

@@ -93,4 +93,43 @@ object Graph {
     }
     ranks.select(col("node").as("doc_id"), col("rank_q"))
   }
+
+  /** Triangle / wedge census of an undirected pair list — the global
+    * clustering coefficient `3T/W` that meters LSH-family integrity:
+    * genuine duplicate families are near-cliques (coefficient → 1); a
+    * low value means chains of borderline pairs are BRIDGING unrelated
+    * documents and the verify threshold needs raising.
+    *
+    * Exactness: each edge is stored once as `a < b`, so the ordered
+    * triple join (`(a,b) ⋈ (b,c) ⋈ (a,c)` with `a < b < c` by
+    * construction) counts every triangle exactly once — exact BIGINTs,
+    * and the wedge count `Σ d(d−1)/2` divides an always-even integer
+    * with integral `DIV`. One nullable double (the coefficient, NULL
+    * when the graph has no wedges) in the final 1-row select.
+    *
+    * Scale shape: two equi-joins on the verified-pair graph (bounded by
+    * the duplicate subset, eagerly materialized once); degree table via
+    * one map-side-combinable count. */
+  def triangleCensus(
+      pairs: DataFrame,
+      srcCol: String = "doc_id_a",
+      dstCol: String = "doc_id_b"): DataFrame = {
+    val p = org.apache.spark.sql.graft.PlanBridge.statsReset(
+      pairs.select(col(srcCol).as("a"), col(dstCol).as("b"))
+        .localCheckpoint(eager = true))
+    val tri = p.as("e1")
+      .join(p.as("e2"), col("e1.b") === col("e2.a"))
+      .join(p.as("e3"),
+        col("e1.a") === col("e3.a") && col("e2.b") === col("e3.b"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val wedges = p.select(col("a").as("n")).unionByName(p.select(col("b").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+      .selectExpr("CAST(sum(d * (d - 1)) DIV 2 AS BIGINT) AS n_wedges")
+    tri.crossJoin(wedges)
+      .select(col("n_triangles"), col("n_wedges"),
+        when(col("n_wedges") > 0L,
+          (col("n_triangles") * lit(3L)).cast("double")
+            / col("n_wedges").cast("double"))
+          .otherwise(lit(null).cast("double")).as("global_cc"))
+  }
 }

@@ -442,6 +442,41 @@ class EventsSpec extends SparkSpec {
     assert(const.forall(_._3.isEmpty), const.mkString(","))
   }
 
+  test("holtWintersForecast: EXACT on a pure zero-mean seasonal pattern " +
+    "(the model's fixed point), and the horizon picks the right phase") {
+    // weekly pattern [12,8,10,11,9,10,10] (mean 10) for 3 full weeks:
+    // l stays 10, b stays 0, seasons reproduce the pattern exactly —
+    // dyadic coefficients make every step's arithmetic exact
+    val pattern = Seq(12, 8, 10, 11, 9, 10, 10)
+    val got = Events.holtWintersForecast(
+        seriesEvents(Seq.fill(3)(pattern).flatten), horizon = 7)
+      .as[(Int, Double)].collect().sortBy(_._1)
+    assert(got === (1 to 7).map(h => (h, pattern(h - 1).toDouble)))
+  }
+
+  test("holtWintersForecast: seasonal + linear trend is tracked, and " +
+    "< 2 full seasons of data is refused") {
+    // y_t = (10 + t) + pattern: after 4 weeks the forecast should sit
+    // near (10 + (27 + h)) + s — not exact (init b is week-mean based),
+    // but within a unit after 21 smoothing steps
+    val pattern = Seq(3, -3, 0, 2, -2, 0, 0)
+    val ys = (0 until 28).map(t => 10 + t + pattern(t % 7))
+    val got = Events.holtWintersForecast(seriesEvents(ys), horizon = 7)
+      .as[(Int, Double)].collect().sortBy(_._1)
+    got.foreach { case (h, f) =>
+      // the α=0.5 level lags a ramp by a few units after 3 smoothing
+      // weeks — sanity band, the exactness pin is the fixed-point test
+      val want = 10.0 + (27 + h) + pattern((27 + h) % 7)
+      assert(math.abs(f - want) < 5.0, s"h=$h: $f vs $want")
+    }
+    // the trend is recovered as positive drift across the horizon
+    assert(got.last._2 > got.head._2 - 3.0, got.mkString(","))
+    val short = intercept[IllegalArgumentException] {
+      Events.holtWintersForecast(seriesEvents(Seq.fill(13)(5)))
+    }
+    assert(short.getMessage.contains("14"))
+  }
+
   test("cusumChangepoint: step series locates the last pre-shift day with " +
     "exact scaled statistic and both regime means") {
     // 5 days of 10 then 5 days of 30: m=10, S=200; C' bottoms at −500 on

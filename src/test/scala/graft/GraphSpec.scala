@@ -60,6 +60,30 @@ class GraphSpec extends SparkSpec {
     assert(empty.count() === 0L)
   }
 
+  test("triangleCensus: hand-counted triangles, wedges, and coefficient; " +
+    "triangle-free and empty graphs") {
+    // triangle 1-2-3 plus pendant 3-4: T=1; degrees 2,2,3,1 →
+    // wedges 1+1+3+0 = 5; cc = 3/5
+    val got = Graph.triangleCensus(
+        Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("doc_id_a", "doc_id_b"))
+      .as[(Long, Long, Option[Double])].collect().head
+    assert(got === ((1L, 5L, Some(0.6))))
+    // 4-clique: T = 4, every degree 3 → wedges 4·3 = 12, cc = 1.0
+    val clique = (for {a <- 1L to 4L; b <- (a + 1) to 4L} yield (a, b))
+      .toDF("doc_id_a", "doc_id_b")
+    assert(Graph.triangleCensus(clique)
+      .as[(Long, Long, Option[Double])].collect().head === ((4L, 12L, Some(1.0))))
+    // star: no triangles but wedges exist → cc = 0.0, not NULL
+    val star = Graph.triangleCensus(
+        Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("doc_id_a", "doc_id_b"))
+      .as[(Long, Long, Option[Double])].collect().head
+    assert(star === ((0L, 3L, Some(0.0))))
+    // single edge: no wedges → NULL coefficient (0/0 is undefined, not 0)
+    val lone = Graph.triangleCensus(Seq((1L, 2L)).toDF("doc_id_a", "doc_id_b"))
+      .as[(Long, Long, Option[Double])].collect().head
+    assert(lone === ((0L, 0L, None)))
+  }
+
   test("pageRank path graph: interior node out-ranks endpoints (degree pull)") {
     // 1 - 2 - 3: node 2 has degree 2, the ends degree 1
     val got = ranks(Seq((1L, 2L), (2L, 3L)))
