@@ -289,13 +289,17 @@ object Events {
     * makes the oracle's list-fold formulation possible. Needs ≥ 2
     * seasons (14 days) of data. */
   def holtWintersForecast(events: DataFrame, horizon: Int = 7,
+      period: Int = 7): DataFrame =
+    holtWintersFromDayCounts(dayCounts(events), horizon, period)
+
+  /** [[holtWintersForecast]] over a pre-aggregated `(d, y)` day-count
+    * frame — the read side of the streaming day-count fold. */
+  def holtWintersFromDayCounts(byDayDf: DataFrame, horizon: Int = 7,
       period: Int = 7): DataFrame = {
     require(horizon > 0, "horizon must be positive")
     require(period > 1, "period must be > 1")
-    val spark = events.sparkSession
-    val byDay = events
-      .select(expr("unix_micros(ts) DIV 86400000000").as("__d"))
-      .groupBy(col("__d")).agg(count(lit(1)).as("__n"))
+    val spark = byDayDf.sparkSession
+    val byDay = byDayDf.select(col("d"), col("y"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     require(byDay.nonEmpty, "empty event log")
     val (dMin, dMax) = (byDay.keys.min, byDay.keys.max)
@@ -398,12 +402,25 @@ object Events {
     * fixed operand shape both engines share. Degenerate variance on
     * either margin → NULL acf (a constant series has no correlation,
     * not r = 1). */
-  def dailyAcf(events: DataFrame, maxLag: Int = 7): DataFrame = {
-    require(maxLag >= 1, "maxLag must be >= 1")
-    val spark = events.sparkSession
-    val byDay = events
+  def dailyAcf(events: DataFrame, maxLag: Int = 7): DataFrame =
+    dailyAcfFromDayCounts(dayCounts(events), maxLag)
+
+  /** The per-day event-count frame `(d, y)` every daily-series operator
+    * reduces over — `d` is the integer epoch-day (truncating `DIV`,
+    * matching the oracles' `//`). This is also the streaming DAY-COUNT
+    * FOLD's state shape ([[graft.streaming.EventStream.startDayCounts]]):
+    * counts are a SUM monoid over fixed day keys, so batch and stream
+    * folds commute and every `FromDayCounts` reader below serves
+    * identically off either. */
+  def dayCounts(events: DataFrame): DataFrame =
+    events
       .select(expr("unix_micros(ts) DIV 86400000000").as("d"))
       .groupBy(col("d")).agg(count(lit(1)).as("y"))
+
+  /** [[dailyAcf]] over a pre-aggregated `(d, y)` day-count frame. */
+  def dailyAcfFromDayCounts(byDay: DataFrame, maxLag: Int = 7): DataFrame = {
+    require(maxLag >= 1, "maxLag must be >= 1")
+    val spark = byDay.sparkSession
     val bounds = byDay.agg(min(col("d")), max(col("d"))).head()
     require(!bounds.isNullAt(0), "empty event log")
     val (dMin, dMax) = (bounds.getLong(0), bounds.getLong(1))
@@ -449,11 +466,13 @@ object Events {
     * Scale note: the cumulative sum runs a partition-less window over
     * the DAY frame — bounded by calendar span, never event count (the
     * corpus_quality_band allowlist argument). */
-  def cusumChangepoint(events: DataFrame): DataFrame = {
-    val spark = events.sparkSession
-    val byDay = events
-      .select(expr("unix_micros(ts) DIV 86400000000").as("d"))
-      .groupBy(col("d")).agg(count(lit(1)).as("y"))
+  def cusumChangepoint(events: DataFrame): DataFrame =
+    cusumFromDayCounts(dayCounts(events))
+
+  /** [[cusumChangepoint]] over a pre-aggregated `(d, y)` day-count
+    * frame — the read side of the streaming day-count fold. */
+  def cusumFromDayCounts(byDay: DataFrame): DataFrame = {
+    val spark = byDay.sparkSession
     val bounds = byDay.agg(min(col("d")), max(col("d"))).head()
     require(!bounds.isNullAt(0), "empty event log")
     val (dMin, dMax) = (bounds.getLong(0), bounds.getLong(1))

@@ -514,6 +514,50 @@ object EventStream {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Daily event-count series maintained at the ingest door — the
+    * FOURTH monitor beside the sketch trio, and the one whose state is
+    * not an approximation: per-day counts are a SUM monoid over fixed
+    * day keys, so the fold is exact and the whole time-series family
+    * ([[graft.operators.Events.cusumFromDayCounts]] changepoints,
+    * [[graft.operators.Events.dailyAcfFromDayCounts]] periodicity,
+    * [[graft.operators.Events.holtWintersFromDayCounts]] forecasts)
+    * reads off committed state with results IDENTICAL to the batch
+    * queries over the same events — no re-scan of history. State is
+    * bounded by the calendar span in days, never event count; replay
+    * after a crash is idempotent (fold reads only `batch_id < current`,
+    * rewrites its own partition — the sketch-trio recovery discipline). */
+  def startDayCounts(
+      spark: SparkSession,
+      dir: String,
+      stateDir: String,
+      checkpointPath: String): StreamingQuery =
+    readEventIngestDir(spark, dir)
+      .writeStream
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val counts = graft.operators.Events.dayCounts(batch)
+        val folded = readFold(spark, stateDir, Some(batchId),
+          Seq("d", "y")) match {
+          case None => counts
+          case Some(p) => p.unionByName(counts)
+            .groupBy(col("d")).agg(sum(col("y")).cast("long").as("y"))
+        }
+        folded.withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(stateDir)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** The newest committed `(d, y)` day-count series from a
+    * [[startDayCounts]] state dir — empty when no fold committed. */
+  def dayCountState(spark: SparkSession, stateDir: String): DataFrame =
+    readFold(spark, stateDir, beforeBatch = None, Seq("d", "y")).getOrElse(
+      spark.emptyDataFrame
+        .select(lit(0L).as("d"), lit(0L).as("y"))
+        .where(lit(false)))
+
   /** The newest committed `(grp, digits, first2, cnt)` histogram from a
     * [[startDdHistogram]] state dir — empty when no fold committed. */
   def ddHistogramState(spark: SparkSession, stateDir: String): DataFrame =

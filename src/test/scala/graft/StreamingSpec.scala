@@ -731,6 +731,47 @@ class StreamingSpec extends SparkSpec {
     assert(EventStream.cmSketchState(spark, s"$root/never").count() === 0L)
   }
 
+  test("streaming day-count fold: the time-series family served off committed " +
+    "state equals the batch queries, across a restart") {
+    import graft.streaming.EventStream
+    import graft.operators.Events
+    val root = java.nio.file.Files.createTempDirectory("graft_days_stream")
+    val inDir = s"$root/in"
+    val state = s"$root/state"
+    val ckpt = s"$root/ckpt"
+    def eventsDf(rows: Seq[(Long, Int)]) = rows.map { case (id, day) =>
+      (id, new java.sql.Timestamp(1709251200000L + day * 86400000L + id % 1000),
+        1L, "view", 1.0)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+
+    // two waves through a RESTARTED query; wave 2 adds events to days
+    // wave 1 already counted (SUM fold, not overwrite) plus new days —
+    // 15 days of a step series so CUSUM/HW read non-trivially
+    val w1 = (0L until 200L).map(i => (i, (i % 8).toInt))
+    val w2 = (1000L until 1160L).map(i => (i, (8 + i % 7).toInt))
+    eventsDf(w1).write.mode("append").parquet(inDir)
+    EventStream.startDayCounts(spark, inDir, state, ckpt).awaitTermination()
+    eventsDf(w2).write.mode("append").parquet(inDir)
+    EventStream.startDayCounts(spark, inDir, state, ckpt).awaitTermination()
+
+    val st = EventStream.dayCountState(spark, state)
+    val all = eventsDf(w1 ++ w2)
+    // the state IS the batch day-count frame
+    assert(st.as[(Long, Long)].collect().sorted.toSeq ===
+      Events.dayCounts(all).as[(Long, Long)].collect().sorted.toSeq)
+    // and every reader serves identically off it
+    assert(Events.cusumFromDayCounts(st).collect().toSeq ===
+      Events.cusumChangepoint(all).collect().toSeq)
+    assert(Events.dailyAcfFromDayCounts(st).collect().toSeq ===
+      Events.dailyAcf(all).collect().toSeq)
+    assert(Events.holtWintersFromDayCounts(st).collect().toSeq ===
+      Events.holtWintersForecast(all).collect().toSeq)
+    // state bounded by calendar span, audit trail per committed fold
+    assert(st.count() === 15L)
+    assert(spark.read.parquet(state).select("batch_id").distinct().count() >= 2)
+    assert(EventStream.dayCountState(spark, s"$root/never").count() === 0L)
+  }
+
   test("streaming LC sketch: union fold across a restart equals the batch occupancy") {
     import graft.streaming.EventStream
     import graft.operators.Events
