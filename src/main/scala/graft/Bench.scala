@@ -70,7 +70,10 @@ object Bench {
       // on. Defer the builders' clear to the single post-lane clear.
       // Per-build times are still measured inside each lane.
       val lanes = Seq(
-        Seq("dedup_apply", "dedup_multi"),
+        // dedup_pagerank materializes the converged rank frame its
+        // canonical-selection sibling shares; it extends the MinHash
+        // lane because it consumes that lane's memoized pair list
+        Seq("dedup_apply", "dedup_multi", "dedup_pagerank"),
         // corpus_substring_dedup materializes the ExactSubstr census
         // memo its scrub sibling shares — same corpus-version-state
         // treatment as the group maps
