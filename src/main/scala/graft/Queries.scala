@@ -394,6 +394,36 @@ object Queries {
        |SELECT node AS doc_id, rq AS rank_q FROM r$iters
        |ORDER BY rq DESC, node ASC LIMIT $topN""".stripMargin
 
+  /** The embed_coreset oracle: [[operators.VectorOps.greedyKCenters]]
+    * unrolled — per round, the min-distance frame excludes the chosen
+    * center and folds `least` with the distance to it; the argmax
+    * orders by the same quantized key. */
+  private def kCentersOracleSql(k: Int): String = {
+    val steps = (2 to k).map { i =>
+      val prev = i - 1
+      val mPrev = if (prev == 1) "m1" else s"m$prev"
+      s"""c$i AS MATERIALIZED (SELECT vec_id, embedding, mind FROM $mPrev
+         |  WHERE NOT isnan(mind)
+         |  ORDER BY floor(mind * 10000.0 + 0.5) DESC, vec_id ASC LIMIT 1)""".stripMargin +
+        (if (i == k) "" else s""",
+           |m$i AS MATERIALIZED (SELECT m.vec_id, m.embedding,
+           |    least(m.mind, ${sqlSq("m.embedding", "c.embedding")}) AS mind
+           |  FROM $mPrev m, c$i c WHERE m.vec_id <> c.vec_id)""".stripMargin)
+    }.mkString(",\n")
+    val union = (2 to k)
+      .map(i => s"SELECT $i AS step, vec_id, ${sqlR4("mind")} AS radius FROM c$i")
+      .mkString("\n UNION ALL ")
+    s"""WITH c1 AS (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id ASC LIMIT 1),
+       |m1 AS MATERIALIZED (SELECT e.vec_id, e.embedding,
+       |    ${sqlSq("e.embedding", "c.embedding")} AS mind
+       |  FROM embeddings e, c1 c WHERE e.vec_id <> c.vec_id),
+       |$steps
+       |SELECT CAST(step AS INT) AS step, vec_id, radius FROM (
+       |  SELECT 1 AS step, vec_id, CAST(NULL AS DOUBLE) AS radius FROM c1
+       | UNION ALL $union)
+       |ORDER BY step""".stripMargin
+  }
+
   /** Min-label reachability over a symmetric edge CTE `e` (consumer
     * supplies `e`); yields `reach(node, lab)`. */
   private val sqlCcReach: String =
@@ -3607,6 +3637,16 @@ object Queries {
           col("cluster_id"), col("id").cast("string"), col("id"), k = 5)
         .select(col("cluster_id"), col("id").as("vec_id"))
         .orderBy("cluster_id", "vec_id")),
+
+    // extension: greedy k-center coreset (farthest-point traversal) —
+    // the diversity-maximizing exemplar selector (labeling seeds, eval
+    // probes, codebook inits); selection per round on the r4-QUANTIZED
+    // min-distance with id tiebreak, so the greedy path is engine-
+    // independent and the oracle unrolls all 8 rounds as chained CTEs
+    "embed_coreset" -> ((s, dir) =>
+      operators.VectorOps.greedyKCenters(recs(s, dir), k = 8, Metric.Euclidean)
+        .select(col("step"), col("id").as("vec_id"), r4(col("radius")).as("radius"))
+        .orderBy("step")),
 
     // extension: mix-DRIFT monitoring — actual vs declared per-source
     // composition (char mass) with per-source KL and total-variation
@@ -7329,6 +7369,8 @@ object Queries {
          |SELECT label, CAST(count(*) AS BIGINT) AS n, CAST(sum(ok) AS BIGINT) AS n_correct,
          |  ${sqlR4("CAST(sum(ok) AS DOUBLE) / count(*)")} AS accuracy
          |FROM r GROUP BY label ORDER BY label""".stripMargin,
+
+    "embed_coreset" -> kCentersOracleSql(k = 8),
 
     // simplified silhouette replayed in full: per-vector top-2 centroid
     // distances (ties → smaller cid, matching the engine fold), s =

@@ -476,4 +476,62 @@ object VectorOps {
         lit(0.0), (acc, x) => acc + x) * lit(scale)
     }: _*)
   }
+
+  /** Greedy k-center coreset selection (farthest-point traversal,
+    * Gonzalez 1985) — the diversity-maximizing subset selector a
+    * training-data curator runs to pick k MAXIMALLY-SPREAD exemplars
+    * (seed documents for labeling, eval probes, codebook inits); the
+    * classic 2-approximation of the k-center objective. The dual of
+    * [[graft.operators.Corpus.sampleDiverse]]'s per-cluster quota: this
+    * selects ACROSS the space with no pre-clustering.
+    *
+    * Scale shape: k−1 passes, each a map (one distance against the
+    * broadcast newest center, a `least` fold into the running min) plus
+    * ONE bounded argmax (TakeOrdered over the quantized min-distance) —
+    * the same per-round bill as a Lloyd iteration, linear in n·k with
+    * no shuffle of vectors; lineage truncated per round. Driver state:
+    * k centers (model-bounded).
+    *
+    * Determinism contract: seed = lowest id; each round's argmax orders
+    * by the r4-QUANTIZED min-distance (desc, id asc tiebreak) so the
+    * selection boundary is engine-independent (the DSIR/BM25 rank
+    * discipline); NaN min-distances never win (the [[IvfIndex.assign]]
+    * rule — defensive, the validated domain admits no NaN). Returns
+    * `(step, id, radius)`: `radius` is the selected point's distance to
+    * the prior centers — the k-center coverage radius of the first
+    * step−1 centers — NULL for the seed. */
+  def greedyKCenters(records: DataFrame, k: Int,
+      metric: graft.types.Metric): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val spark = records.sparkSession
+    def truncate(df: DataFrame): DataFrame =
+      org.apache.spark.sql.graft.PlanBridge.statsReset(
+        df.localCheckpoint(eager = false))
+    val base = records.select(col("id"), col("embedding"))
+      .where(col("embedding").isNotNull)
+    val seed = base.orderBy(col("id").asc).limit(1).collect()
+    require(seed.nonEmpty, "no records to select from")
+    val seedId = seed.head.getLong(0)
+    val seedVec = seed.head.getSeq[Float](1)
+    val out = scala.collection.mutable.ArrayBuffer[(Int, Long, Option[Double])](
+      (1, seedId, None))
+    var cur = truncate(base
+      .withColumn("__mind", metric.distance(col("embedding"), typedLit(seedVec)))
+      .where(col("id") =!= lit(seedId)))
+    for (step <- 2 to k) {
+      val q4 = floor(col("__mind") * lit(10000.0) + lit(0.5))
+      val best = cur.where(!isnan(col("__mind")))
+        .orderBy(q4.desc, col("id").asc).limit(1).collect()
+      require(best.nonEmpty, s"fewer than $k selectable records (step $step)")
+      val bid = best.head.getLong(0)
+      val bvec = best.head.getSeq[Float](1)
+      out += ((step, bid, Some(best.head.getDouble(2))))
+      cur = truncate(cur
+        .withColumn("__mind",
+          least(col("__mind"), metric.distance(col("embedding"), typedLit(bvec))))
+        .where(col("id") =!= lit(bid)))
+    }
+    import spark.implicits._
+    out.toSeq.toDF("step", "id", "radius")
+  }
 }

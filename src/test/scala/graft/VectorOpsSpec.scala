@@ -475,4 +475,36 @@ class VectorOpsSpec extends SparkSpec {
     assert(got(2L) === None && got(3L) === None && got(4L) === None &&
       got(5L) === None)
   }
+
+  test("greedyKCenters: hand-traced farthest-point walk with the quantized " +
+    "tie-break, and radii never increase") {
+    import graft.types.Metric
+    // 1-D line (padded to 2-D): 0, 1, 10, 11, 100. From seed id0 the
+    // walk is 100 → 11 → then a 1.0² TIE between ids 1 and 2 → id wins
+    val pts = Seq(0L -> 0f, 1L -> 1f, 2L -> 10f, 3L -> 11f, 4L -> 100f)
+      .map { case (id, x) => (id, Seq(x, 0f)) }
+      .toDF("id", "embedding")
+    val got = VectorOps.greedyKCenters(pts, k = 5, Metric.Euclidean)
+      .as[(Int, Long, Option[Double])].collect().sortBy(_._1).toSeq
+    assert(got === Seq(
+      (1, 0L, None), (2, 4L, Some(10000.0)), (3, 3L, Some(121.0)),
+      (4, 1L, Some(1.0)), (5, 2L, Some(1.0))))
+    // law: coverage radii are non-increasing (each selection can only
+    // shrink the max-min distance), fuzzed on a random cloud
+    val rnd = new scala.util.Random(11)
+    val cloud = (0L until 200L)
+      .map(i => (i, Seq.fill(4)(rnd.nextFloat() * 10f - 5f)))
+      .toDF("id", "embedding")
+    val radii = VectorOps.greedyKCenters(cloud, k = 10, Metric.Euclidean)
+      .as[(Int, Long, Option[Double])].collect().sortBy(_._1)
+      .flatMap(_._3)
+    assert(radii.zip(radii.tail).forall { case (a, b) => b <= a },
+      radii.mkString(","))
+    // k = 1 is just the seed; empty input refuses
+    assert(VectorOps.greedyKCenters(pts, k = 1, Metric.Euclidean)
+      .as[(Int, Long, Option[Double])].collect().toSeq === Seq((1, 0L, None)))
+    intercept[IllegalArgumentException] {
+      VectorOps.greedyKCenters(pts.where(lit(false)), k = 2, Metric.Euclidean)
+    }
+  }
 }
