@@ -394,6 +394,35 @@ object Queries {
        |SELECT node AS doc_id, rq AS rank_q FROM r$iters
        |ORDER BY rq DESC, node ASC LIMIT $topN""".stripMargin
 
+  /** The seeded variant: per-node teleport column (seeds only), seeded
+    * init; requires an `sd(node)` seed CTE beside `e`. */
+  private def personalizedPageRankOracleSql(iters: Int, topN: Int,
+      seedSql: String): String = {
+    val scale = operators.Graph.RankScale
+    val steps = (1 to iters).map { k =>
+      s"""r$k AS MATERIALIZED (SELECT nt.node AS node,
+         |    CAST(nt.t + coalesce(s.c, 0) AS BIGINT) AS rq
+         |  FROM nt LEFT JOIN (
+         |    SELECT e.b AS node, sum((r.rq * ${operators.Graph.DampNum}) // (${operators.Graph.DampDen} * d2.deg)) AS c
+         |    FROM e JOIN r${k - 1} r ON r.node = e.a JOIN deg d2 ON d2.node = e.a
+         |    GROUP BY e.b) s ON s.node = nt.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $sqlMinhashPairsCtes,
+       |e AS (SELECT doc_id_a AS a, doc_id_b AS b FROM j UNION SELECT doc_id_b, doc_id_a FROM j),
+       |sd AS ($seedSql),
+       |deg AS (SELECT a AS node, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY a),
+       |ns AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg dg JOIN sd ON sd.node = dg.node),
+       |nt AS (SELECT dg.node AS node,
+       |    CASE WHEN sd.node IS NOT NULL THEN (15 * $scale) // (100 * (SELECT n FROM ns)) ELSE 0 END AS t
+       |  FROM deg dg LEFT JOIN sd ON sd.node = dg.node),
+       |r0 AS MATERIALIZED (SELECT node,
+       |    CAST(CASE WHEN t > 0 THEN $scale // (SELECT n FROM ns) ELSE 0 END AS BIGINT) AS rq
+       |  FROM nt),
+       |$steps
+       |SELECT node AS doc_id, rq AS rank_q FROM r$iters
+       |ORDER BY rq DESC, node ASC LIMIT $topN""".stripMargin
+  }
+
   /** The embed_coreset oracle: [[operators.VectorOps.greedyKCenters]]
     * unrolled — per round, the min-distance frame excludes the chosen
     * center and folds `least` with the distance to it; the argmax
@@ -2454,6 +2483,20 @@ object Queries {
           "rank_q")
         .orderBy("rep_id")),
 
+    // extension: PERSONALIZED PageRank — teleport pinned to a trust
+    // list (here the even-id half, standing in for any external curated
+    // set): rank measures proximity-to-trusted through the duplicate
+    // graph, the provenance selector for scraped families. Same integer
+    // fixed point; mass is zero outside seed-reachable components
+    "dedup_pagerank_seeded" -> ((s, dir) =>
+      operators.Graph.personalizedPageRank(minhashPairs(s, dir),
+          docs(s, dir).select(col("doc_id").as("node"))
+            .where(col("doc_id") % 2 === 0),
+          iters = 8)
+        .orderBy(col("rank_q").desc, col("doc_id").asc)
+        .limit(20)
+        .select(col("doc_id"), col("rank_q"))),
+
     // extension: the keep/drop map APPLIED — the step after dedup_groups
     // that a pipeline actually ships: drop every group member except its
     // representative, keep all unpaired docs. Anti-join against the
@@ -3971,6 +4014,38 @@ object Queries {
         .select(col("horizon").cast("int").as("horizon"),
           r4(col("forecast")).as("forecast"))
         .orderBy("horizon")),
+
+    // extension: BOT-CADENCE detection — machine traffic beats human
+    // traffic in REGULARITY: per-user coefficient of variation of the
+    // inter-event gap (exact whole-second integer gaps; the 30-day
+    // domain filter keeps epoch-apart sessions out of cadence math and
+    // the squared sums in long headroom). Lowest-CV high-volume users
+    // surface first (quantize-then-rank, id tiebreak) — the traffic-
+    // cleaning dual of events_interarrival's global profile
+    "events_bot_cadence" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val gaps = events(s, dir)
+        .where(col("user_id").isNotNull)
+        .select(col("user_id"), col("ts"), col("event_id"))
+        .withColumn("__prev", lag(col("ts"), 1).over(w))
+        .where(col("__prev").isNotNull)
+        .select(col("user_id"),
+          expr("(unix_micros(ts) - unix_micros(__prev)) DIV 1000000").as("gap_s"))
+        .where(col("gap_s") <= lit(2592000L))
+      val a = gaps.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"), sum(col("gap_s")).as("s1"),
+          sum(col("gap_s") * col("gap_s")).as("s2"))
+        .where(col("n") >= 20 && col("s1") > 0)
+      val mean = col("s1").cast("double") / col("n")
+      val sd = sqrt(greatest(lit(0.0),
+        col("s2").cast("double") / col("n") - mean * mean))
+      a.select(col("user_id"), col("n").as("n_gaps"),
+          r4(mean).as("mean_gap_s"), r4(sd).as("std_gap_s"),
+          r4(sd / mean).as("cv"))
+        .orderBy(col("cv").asc, col("user_id").asc)
+        .limit(20)
+    }),
 
     // extension: Holt–Winters additive seasonal forecast — the
     // seasonality-aware upgrade of events_forecast that events_acf's
@@ -6064,6 +6139,10 @@ object Queries {
     // stats are scalar subqueries over exact integer aggregates
     "dedup_pagerank" -> pageRankOracleSql(iters = 8, topN = 20),
 
+    "dedup_pagerank_seeded" -> personalizedPageRankOracleSql(iters = 8,
+      topN = 20,
+      seedSql = "SELECT DISTINCT doc_id AS node FROM documents WHERE doc_id % 2 = 0"),
+
     // ordered-triple join over the a<b pair list; wedges from the
     // symmetric degree table — all exact integers
     "dedup_triangles" ->
@@ -6226,6 +6305,23 @@ object Queries {
          |    ]) AS s FROM ys)
          |SELECT CAST(u.h AS INT) AS horizon, ${sqlR4("s[1] + CAST(u.h AS DOUBLE) * s[2]")} AS forecast
          |FROM st, unnest(generate_series(1, 7)) AS u(h) ORDER BY horizon""".stripMargin,
+
+    // whole-second integer gaps, the value-stats variance operand
+    // shape, quantize-then-rank on cv with id tiebreak
+    "events_bot_cadence" ->
+      s"""WITH g AS (SELECT user_id,
+         |    (epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))) // 1000000 AS gap_s
+         |  FROM events WHERE user_id IS NOT NULL),
+         |g2 AS (SELECT user_id, gap_s FROM g WHERE gap_s IS NOT NULL AND gap_s <= 2592000),
+         |a AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(gap_s) AS BIGINT) AS s1, CAST(sum(gap_s * gap_s) AS BIGINT) AS s2
+         |  FROM g2 GROUP BY user_id),
+         |b AS (SELECT user_id, n, CAST(s1 AS DOUBLE) / n AS mean,
+         |    sqrt(greatest(0.0, CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))) AS sd
+         |  FROM a WHERE n >= 20 AND s1 > 0)
+         |SELECT user_id, n AS n_gaps, ${sqlR4("mean")} AS mean_gap_s,
+         |  ${sqlR4("sd")} AS std_gap_s, ${sqlR4("sd / mean")} AS cv
+         |FROM b ORDER BY ${sqlR4("sd / mean")} ASC, user_id ASC LIMIT 20""".stripMargin,
 
     // the Holt–Winters recursion as ONE list fold: state [l, b, s₁..s₇]
     // with the rotating-seasonal layout (head = the factor due now), new

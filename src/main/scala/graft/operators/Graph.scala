@@ -94,6 +94,63 @@ object Graph {
     ranks.select(col("node").as("doc_id"), col("rank_q"))
   }
 
+  /** Personalized PageRank: [[pageRank]] with the teleport mass pinned
+    * to a SEED set — "how close is every document to the trusted ones,
+    * through the duplicate graph" (Jeh & Widom 2003's topic-sensitive
+    * variant in the same integer fixed point). Rank concentrates around
+    * seeds instead of global degree: the trust-propagation selector for
+    * picking which member of a scraped family descends from the curated
+    * source.
+    *
+    * Same numeric contract as [[pageRank]]; differences: init mass
+    * `SCALE div |seeds|` on seeds (0 elsewhere) and teleport
+    * `(15·SCALE) div (100·|seeds|)` only to seeds. Seeds outside the
+    * graph are ignored; no seed in the graph → empty result. */
+  def personalizedPageRank(
+      pairs: DataFrame,
+      seeds: DataFrame, // one column "node"
+      iters: Int = 8,
+      srcCol: String = "doc_id_a",
+      dstCol: String = "doc_id_b"): DataFrame = {
+    require(iters >= 0, "iters must be non-negative")
+    def truncate(df: DataFrame): DataFrame =
+      org.apache.spark.sql.graft.PlanBridge.statsReset(df.localCheckpoint(eager = false))
+    val p = org.apache.spark.sql.graft.PlanBridge.statsReset(
+      pairs.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+        .localCheckpoint(eager = true))
+    val edges = p.unionByName(p.select(col("dst").as("src"), col("src").as("dst")))
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val nodes = deg.select(col("src").as("node"))
+      .join(seeds.select(col("node")).distinct()
+        .withColumn("__seed", lit(true)), Seq("node"), "left")
+      .select(col("node"), coalesce(col("__seed"), lit(false)).as("is_seed"))
+    val nSeeds = nodes.where(col("is_seed")).count()
+    if (nSeeds == 0L)
+      return pairs.sparkSession.emptyDataFrame
+        .withColumn("doc_id", lit(null).cast("long"))
+        .withColumn("rank_q", lit(null).cast("long"))
+        .limit(0)
+    val teleport = (15L * RankScale) / (100L * nSeeds)
+    val init = RankScale / nSeeds
+    val edgesDeg = truncate(edges.join(deg, Seq("src")))
+    val nodesT = truncate(nodes.select(col("node"),
+      when(col("is_seed"), lit(teleport)).otherwise(lit(0L)).as("__t")))
+    var ranks = truncate(nodes.select(col("node"),
+      when(col("is_seed"), lit(init)).otherwise(lit(0L)).as("rank_q")))
+    for (_ <- 0 until iters) {
+      val contrib = edgesDeg
+        .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+        .selectExpr("dst", s"(rank_q * $DampNum) DIV ($DampDen * deg) AS c")
+        .groupBy(col("dst")).agg(sum(col("c")).as("__in"))
+      ranks = truncate(
+        nodesT
+          .join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
+          .select(col("node"),
+            (col("__t") + coalesce(col("__in"), lit(0L))).as("rank_q")))
+    }
+    ranks.select(col("node").as("doc_id"), col("rank_q"))
+  }
+
   /** Triangle / wedge census of an undirected pair list — the global
     * clustering coefficient `3T/W` that meters LSH-family integrity:
     * genuine duplicate families are near-cliques (coefficient → 1); a

@@ -60,6 +60,29 @@ class GraphSpec extends SparkSpec {
     assert(empty.count() === 0L)
   }
 
+  private def pranks(pairs: Seq[(Long, Long)], seeds: Seq[Long],
+      iters: Int = 8): Map[Long, Long] =
+    Graph.personalizedPageRank(pairs.toDF("doc_id_a", "doc_id_b"),
+        seeds.toDF("node"), iters = iters)
+      .as[(Long, Long)].collect().toMap
+
+  test("personalizedPageRank: mass stays in seed-reachable components, " +
+    "decays with distance from the seed, and seeds-everywhere equals pageRank") {
+    // two components; only {1,2,3} holds the seed → {8,9} gets ZERO mass
+    val pairs = Seq((1L, 2L), (2L, 3L), (8L, 9L))
+    val got = pranks(pairs, Seq(1L))
+    assert(got(8L) === 0L && got(9L) === 0L, got.toString)
+    // proximity ordering along the path from the seed
+    assert(got(1L) > got(2L) && got(2L) > got(3L), got.toString)
+    // seeding EVERY node degenerates to the global walk — exact equality
+    val all = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+    assert(pranks(all, Seq(1L, 2L, 3L, 4L)) === ranks(all))
+    // seeds outside the graph are ignored; none inside → empty result
+    assert(pranks(pairs, Seq(1L, 77L)) === got)
+    assert(Graph.personalizedPageRank(
+      pairs.toDF("doc_id_a", "doc_id_b"), Seq(77L).toDF("node")).count() === 0L)
+  }
+
   test("triangleCensus: hand-counted triangles, wedges, and coefficient; " +
     "triangle-free and empty graphs") {
     // triangle 1-2-3 plus pendant 3-4: T=1; degrees 2,2,3,1 →
