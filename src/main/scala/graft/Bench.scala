@@ -73,7 +73,8 @@ object Bench {
         // dedup_pagerank materializes the converged rank frame its
         // canonical-selection sibling shares; it extends the MinHash
         // lane because it consumes that lane's memoized pair list
-        Seq("dedup_apply", "dedup_multi", "dedup_pagerank"),
+        Seq("dedup_apply", "dedup_multi", "dedup_pagerank",
+          "dedup_pagerank_seeded"),
         // corpus_substring_dedup materializes the ExactSubstr census
         // memo its scrub sibling shares — same corpus-version-state
         // treatment as the group maps

@@ -664,6 +664,22 @@ object Queries {
           .localCheckpoint(eager = true)))
   }
 
+  /** Memoized converged PERSONALIZED rank frame (even-id trust list) —
+    * same session-state argument as [[pageRankFrame]]; a distinct fixed
+    * point (seeded teleport), so a distinct memo. */
+  private val pprCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private def pprFrame(s: SparkSession, dir: String): DataFrame = {
+    pprCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    pprCache.computeIfAbsent((s, dir), _ =>
+      org.apache.spark.sql.graft.PlanBridge.statsReset(
+        operators.Graph.personalizedPageRank(minhashPairs(s, dir),
+            docs(s, dir).select(col("doc_id").as("node"))
+              .where(col("doc_id") % 2 === 0),
+            iters = 8)
+          .localCheckpoint(eager = true)))
+  }
+
   private val top2BlockedCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
   private def top2Blocked(s: SparkSession, dir: String): DataFrame = {
@@ -2489,10 +2505,7 @@ object Queries {
     // graph, the provenance selector for scraped families. Same integer
     // fixed point; mass is zero outside seed-reachable components
     "dedup_pagerank_seeded" -> ((s, dir) =>
-      operators.Graph.personalizedPageRank(minhashPairs(s, dir),
-          docs(s, dir).select(col("doc_id").as("node"))
-            .where(col("doc_id") % 2 === 0),
-          iters = 8)
+      pprFrame(s, dir)
         .orderBy(col("rank_q").desc, col("doc_id").asc)
         .limit(20)
         .select(col("doc_id"), col("rank_q"))),
@@ -4033,6 +4046,9 @@ object Queries {
         .select(col("user_id"),
           expr("(unix_micros(ts) - unix_micros(__prev)) DIV 1000000").as("gap_s"))
         .where(col("gap_s") <= lit(2592000L))
+      // s1 > 0 excludes the all-zero-gap burst user (CV undefined at
+      // mean 0); such bursts surface via events_key_skew/user_cap, and
+      // a NULL-cv row here would hit the NULLS FIRST/LAST divergence
       val a = gaps.groupBy(col("user_id"))
         .agg(count(lit(1)).as("n"), sum(col("gap_s")).as("s1"),
           sum(col("gap_s") * col("gap_s")).as("s2"))
