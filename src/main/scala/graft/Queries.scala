@@ -4074,6 +4074,18 @@ object Queries {
           r4(col("forecast")).as("forecast"))
         .orderBy("horizon")),
 
+    // extension: seasonality-ADJUSTED anomaly report — one-step-ahead
+    // Holt–Winters forecast errors, centered and ranked: the detector
+    // that doesn't flag every Sunday on weekly traffic. Top-3 days by
+    // |error − μ| (quantized, day tiebreak) so calm corpora still
+    // exercise the contract; is_anomaly pins the kσ gate
+    "events_seasonal_anomaly" -> ((s, dir) =>
+      operators.Events.holtWintersAnomalies(events(s, dir))
+        .select(col("rank"), col("day_index"), col("n"),
+          r4(col("expected")).as("expected"), r4(col("error")).as("error"),
+          col("is_anomaly"))
+        .orderBy("rank")),
+
     // extension: Kaplan–Meier retention survival — the censoring-aware
     // churn curve (a user first seen 3 days before the log ends hasn't
     // churned, they haven't had time to). Exact integer day durations,
@@ -6369,6 +6381,54 @@ object Queries {
          |SELECT CAST(u.h AS INT) AS horizon,
          |  ${sqlR4("s[1] + CAST(u.h AS DOUBLE) * s[2] + s[3 + ((u.h - 1) % 7)]")} AS forecast
          |FROM st, unnest(generate_series(1, 7)) AS u(h) ORDER BY horizon""".stripMargin,
+
+    // the HW fold extended with a growing error tail (positions 10+ of
+    // the fold state); μ/σ reductions replay the engine's exact
+    // ascending operand order
+    "events_seasonal_anomaly" ->
+      s"""WITH dc AS (SELECT epoch_us(ts) // 86400000000 AS d, CAST(count(*) AS DOUBLE) AS n
+         |  FROM events GROUP BY d),
+         |bounds AS (SELECT min(d) AS mn, max(d) AS mx FROM dc),
+         |filled AS (SELECT u.d AS d, coalesce(dc.n, CAST(0.0 AS DOUBLE)) AS n
+         |  FROM bounds, unnest(generate_series(bounds.mn, bounds.mx)) AS u(d)
+         |  LEFT JOIN dc ON dc.d = u.d),
+         |ys AS (SELECT list(n ORDER BY d) AS y FROM filled),
+         |init AS (SELECT y,
+         |    list_reduce(list_slice(y, 1, 7), (a, b) -> a + b) / CAST(7.0 AS DOUBLE) AS m1,
+         |    list_reduce(list_slice(y, 8, 14), (a, b) -> a + b) / CAST(7.0 AS DOUBLE) AS m2
+         |  FROM ys),
+         |st AS (SELECT y, list_reduce(
+         |    list_prepend(
+         |      list_concat([m1, (m2 - m1) / CAST(7.0 AS DOUBLE)],
+         |        list_transform(list_slice(y, 1, 7), v -> v - m1)),
+         |      list_transform(list_slice(y, 8, len(y)), v -> [v])),
+         |    (acc, x) -> list_concat(
+         |      list_concat(
+         |        [CAST(0.5 AS DOUBLE) * (x[1] - acc[3]) + CAST(0.5 AS DOUBLE) * (acc[1] + acc[2]),
+         |         CAST(0.25 AS DOUBLE) * ((CAST(0.5 AS DOUBLE) * (x[1] - acc[3]) + CAST(0.5 AS DOUBLE) * (acc[1] + acc[2])) - acc[1]) + CAST(0.75 AS DOUBLE) * acc[2]],
+         |        list_append(list_slice(acc, 4, 9),
+         |          CAST(0.25 AS DOUBLE) * (x[1] - (CAST(0.5 AS DOUBLE) * (x[1] - acc[3]) + CAST(0.5 AS DOUBLE) * (acc[1] + acc[2]))) + CAST(0.75 AS DOUBLE) * acc[3])),
+         |      list_append(list_slice(acc, 10, len(acc)),
+         |        x[1] - (acc[1] + acc[2] + acc[3])))
+         |  ) AS s FROM init),
+         |er AS (SELECT y, list_slice(s, 10, len(s)) AS errs FROM st),
+         |mo AS (SELECT y, errs,
+         |    list_reduce(errs, (a, b) -> a + b) / CAST(len(errs) AS DOUBLE) AS mu
+         |  FROM er),
+         |si AS (SELECT y, errs, mu,
+         |    sqrt(list_reduce(list_transform(errs, v -> (v - mu) * (v - mu)), (a, b) -> a + b) / CAST(len(errs) AS DOUBLE)) AS sg
+         |  FROM mo),
+         |rws AS (SELECT u.i AS i, errs[u.i] AS e, y[7 + u.i] AS yv, mu, sg
+         |  FROM si, unnest(generate_series(1, len(errs))) AS u(i)),
+         |b2 AS (SELECT (SELECT mn FROM bounds) + 7 + i - 1 AS day_index,
+         |    CAST(yv AS BIGINT) AS n, yv - e AS expected, e AS error,
+         |    abs(e - mu) > CAST(3.0 AS DOUBLE) * sg AS is_anomaly,
+         |    floor(abs(e - mu) * 10000.0 + 0.5) AS q
+         |  FROM rws)
+         |SELECT CAST(row_number() OVER (ORDER BY q DESC, day_index ASC) AS INT) AS rank,
+         |  day_index, n, ${sqlR4("expected")} AS expected,
+         |  ${sqlR4("error")} AS error, is_anomaly
+         |FROM b2 ORDER BY q DESC, day_index ASC LIMIT 3""".stripMargin,
 
     // the KM fold replayed ascending: factors (1 − d/n) from exact ints,
     // left-fold product with a prepended 1.0 — the same IEEE ops in the

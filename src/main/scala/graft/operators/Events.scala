@@ -325,6 +325,66 @@ object Events {
       .toDF("horizon", "forecast")
   }
 
+  /** Seasonality-adjusted anomaly detection: one-step-ahead
+    * Holt–Winters forecast errors, ranked — the anomaly model that
+    * does NOT flag every Sunday on weekly-periodic traffic (a global-
+    * mean z-score does; [[anomalousWindows]] keeps that role for
+    * aperiodic series).
+    *
+    * Runs [[holtWintersForecast]]'s exact recursion collecting
+    * `e_t = y_t − (l+b+s_head)` per step, then centers against the
+    * error mean and reports the TOP-3 days by |e − μ| (quantized desc,
+    * day-index tiebreak — always non-empty, so the contract is
+    * exercised on calm corpora too) with `is_anomaly = |e − μ| > kσ`.
+    * Every fold and the μ/σ reductions run in one fixed ascending
+    * operand order the oracle's list folds replay bit-for-bit. */
+  def holtWintersAnomalies(events: DataFrame, period: Int = 7,
+      k: Double = 3.0): DataFrame =
+    holtWintersAnomaliesFromDayCounts(dayCounts(events), period, k)
+
+  /** [[holtWintersAnomalies]] over a `(d, y)` day-count frame. */
+  def holtWintersAnomaliesFromDayCounts(byDayDf: DataFrame,
+      period: Int = 7, k: Double = 3.0): DataFrame = {
+    require(period > 1, "period must be > 1")
+    val spark = byDayDf.sparkSession
+    val byDay = byDayDf.select(col("d"), col("y"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    require(byDay.nonEmpty, "empty event log")
+    val (dMin, dMax) = (byDay.keys.min, byDay.keys.max)
+    val ys = (dMin to dMax).map(d => byDay.getOrElse(d, 0L).toDouble)
+    require(ys.length >= 2 * period,
+      s"need >= ${2 * period} days of data, got ${ys.length}")
+    val mean1 = ys.take(period).foldLeft(0.0)(_ + _) / period.toDouble
+    val mean2 = ys.slice(period, 2 * period).foldLeft(0.0)(_ + _) / period.toDouble
+    var l = mean1
+    var b = (mean2 - mean1) / period.toDouble
+    var seasons = scala.collection.immutable.Queue(
+      ys.take(period).map(_ - mean1): _*)
+    val errs = scala.collection.mutable.ArrayBuffer[(Long, Double, Double)]()
+    for (t <- period until ys.length) {
+      val (sUsed, rest) = seasons.dequeue
+      errs += ((dMin + t, ys(t), ys(t) - (l + b + sUsed)))
+      val lPrev = l
+      l = 0.5 * (ys(t) - sUsed) + 0.5 * (lPrev + b)
+      b = 0.25 * (l - lPrev) + 0.75 * b
+      seasons = rest.enqueue(0.25 * (ys(t) - l) + 0.75 * sUsed)
+    }
+    val n = errs.length.toDouble
+    val mu = errs.foldLeft(0.0)(_ + _._3) / n
+    val sigma = math.sqrt(
+      errs.map(x => (x._3 - mu) * (x._3 - mu)).foldLeft(0.0)(_ + _) / n)
+    val top = errs
+      .map { case (d, y, e) =>
+        (d, y.toLong, y - e, e, math.abs(e - mu) > k * sigma) }
+      .sortBy { case (d, _, _, e, _) =>
+        (-math.floor(math.abs(e - mu) * 10000.0 + 0.5), d) }
+      .take(3)
+      .zipWithIndex
+      .map { case ((d, y, exp, e, flag), i) => (i + 1, d, y, exp, e, flag) }
+    import spark.implicits._
+    top.toSeq.toDF("rank", "day_index", "n", "expected", "error", "is_anomaly")
+  }
+
   /** Kaplan–Meier survival curve of user retention — "what fraction of
     * users are still active t days after their first event", with the
     * censoring the naive ratio gets wrong: a user first seen 3 days

@@ -477,6 +477,27 @@ class EventsSpec extends SparkSpec {
     assert(short.getMessage.contains("14"))
   }
 
+  test("holtWintersAnomalies: a spike on periodic traffic is rank 1 and " +
+    "flagged; the exact-fit fixture flags nothing (σ = 0, ties → earliest days)") {
+    val pattern = Seq(12, 8, 10, 11, 9, 10, 10)
+    // 4 weeks of the exact pattern, but day 24 (pattern value 11) bursts to 60
+    val counts = Seq.fill(4)(pattern).flatten.updated(24, 60)
+    val got = Events.holtWintersAnomalies(seriesEvents(counts))
+      .as[(Int, Long, Long, Double, Double, Boolean)].collect().sortBy(_._1)
+    val base = 1704067200000L / DayMs
+    val top = got.head
+    assert(top._2 === base + 24 && top._3 === 60L && top._6 === true, got.mkString(","))
+    // pre-spike the model is at its fixed point → expected == pattern value
+    assert(top._4 === 11.0, s"expected ${top._4}")
+    // exact-fit fixture: every error is 0.0 → σ = 0, nothing flagged,
+    // and the top-3 tie resolves to the three EARLIEST forecastable days
+    val calm = Events.holtWintersAnomalies(seriesEvents(Seq.fill(3)(pattern).flatten))
+      .as[(Int, Long, Long, Double, Double, Boolean)].collect().sortBy(_._1)
+    assert(calm.forall(!_._6), calm.mkString(","))
+    assert(calm.map(_._2).toSeq === Seq(base + 7, base + 8, base + 9))
+    assert(calm.forall(_._5 === 0.0))
+  }
+
   test("cusumChangepoint: step series locates the last pre-shift day with " +
     "exact scaled statistic and both regime means") {
     // 5 days of 10 then 5 days of 30: m=10, S=200; C' bottoms at −500 on
