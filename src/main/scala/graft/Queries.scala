@@ -423,6 +423,74 @@ object Queries {
        |ORDER BY rq DESC, node ASC LIMIT $topN""".stripMargin
   }
 
+  /** The events_attribution_markov oracle: journey extraction with the
+    * same window passes, then the removal dimension as a fanned matrix
+    * frame — one (removal × state × state) dense probability grid,
+    * `iters` matrix-vector steps as nested ascending list folds
+    * (the [[operators.Events.markovRemovalEffects]] operand order). */
+  private def markovRemovalOracleSql(iters: Int): String = {
+    val steps = (1 to iters).map { t =>
+      s"""x$t AS MATERIALIZED (SELECT r, list_transform(generate_series(1, len(x)), j ->
+         |    list_sum(list_transform(generate_series(1, len(x)), i -> x[i] * m[i][j]))) AS x, m
+         |  FROM x${t - 1})""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ev AS (SELECT user_id, ts, event_id, event_type,
+       |    CASE WHEN event_type = 'view' AND props IS NOT NULL AND json_valid(props)
+       |         THEN CAST(json_extract(props, '$$.k') AS BIGINT) END AS camp
+       |  FROM events WHERE user_id IS NOT NULL),
+       |cum AS (SELECT user_id, ts, event_id, event_type, camp,
+       |    coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior_p
+       |  FROM ev),
+       |kept AS (SELECT user_id, ts, event_id,
+       |    CASE WHEN event_type = 'purchase' THEN 'conv' ELSE 'c' || CAST(camp AS VARCHAR) END AS state
+       |  FROM cum WHERE prior_p = 0 AND (event_type = 'purchase' OR (event_type = 'view' AND camp IS NOT NULL))),
+       |sq AS (SELECT user_id, state,
+       |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS ord,
+       |    lead(state) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+       |  FROM kept),
+       |tr AS (SELECT f, t FROM (
+       |    SELECT state AS f, coalesce(nxt, CASE WHEN state = 'conv' THEN NULL ELSE 'drop' END) AS t FROM sq
+       |    UNION ALL SELECT 'start', state FROM sq WHERE ord = 1)
+       |  WHERE t IS NOT NULL),
+       |cb AS (SELECT f, t, CAST(count(*) AS BIGINT) AS c FROM tr GROUP BY f, t),
+       |sts AS (SELECT DISTINCT s FROM (SELECT f AS s FROM cb UNION ALL SELECT t FROM cb
+       |  UNION ALL SELECT unnest(['start', 'conv', 'drop']))),
+       |sl AS (SELECT list(s ORDER BY s) AS ss FROM sts),
+       |rs AS (SELECT f, CAST(sum(c) AS BIGINT) AS rs FROM cb GROUP BY f),
+       |rml AS (SELECT s AS r FROM sts WHERE s NOT IN ('start', 'conv', 'drop')
+       |  UNION ALL SELECT '<none>'),
+       |cr AS (SELECT rml.r AS r, cb.f AS f,
+       |    CASE WHEN cb.t = rml.r THEN 'drop' ELSE cb.t END AS t,
+       |    CAST(sum(cb.c) AS BIGINT) AS c
+       |  FROM rml, cb GROUP BY 1, 2, 3),
+       |grid AS (SELECT rml.r AS r, u.i AS i, v.j AS j, sl.ss AS ss
+       |  FROM rml CROSS JOIN sl
+       |  CROSS JOIN unnest(generate_series(1, len(sl.ss))) AS u(i)
+       |  CROSS JOIN unnest(generate_series(1, len(sl.ss))) AS v(j)),
+       |dn AS (SELECT g.r, g.i, g.j,
+       |    CASE WHEN g.ss[g.i] IN ('conv', 'drop') OR rs.rs IS NULL
+       |         THEN CASE WHEN g.i = g.j THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+       |         ELSE coalesce(CAST(cr.c AS DOUBLE), CAST(0.0 AS DOUBLE)) / CAST(rs.rs AS DOUBLE) END AS p
+       |  FROM grid g
+       |  LEFT JOIN rs ON rs.f = g.ss[g.i]
+       |  LEFT JOIN cr ON cr.r = g.r AND cr.f = g.ss[g.i] AND cr.t = g.ss[g.j]),
+       |rowl AS (SELECT r, i, list(p ORDER BY j) AS pr FROM dn GROUP BY r, i),
+       |mat AS MATERIALIZED (SELECT r, list(pr ORDER BY i) AS m FROM rowl GROUP BY r),
+       |x0 AS MATERIALIZED (SELECT mat.r AS r,
+       |    list_transform(generate_series(1, len(sl.ss)), j ->
+       |      CASE WHEN sl.ss[j] = 'start' THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END) AS x,
+       |    mat.m AS m
+       |  FROM mat, sl),
+       |$steps,
+       |cv AS (SELECT r, x[(SELECT list_position(ss, 'conv') FROM sl)] AS cp FROM x$iters),
+       |bs AS (SELECT cp AS b FROM cv WHERE r = '<none>')
+       |SELECT cv.r AS channel, ${sqlR4("bs.b")} AS conv_base,
+       |  ${sqlR4("cv.cp")} AS conv_without,
+       |  CASE WHEN bs.b > 0 THEN ${sqlR4("(bs.b - cv.cp) / bs.b")} ELSE NULL END AS removal_effect
+       |FROM cv, bs WHERE cv.r <> '<none>' ORDER BY channel""".stripMargin
+  }
+
   /** The embed_coreset oracle: [[operators.VectorOps.greedyKCenters]]
     * unrolled — per round, the min-distance frame excludes the chosen
     * center and folds `least` with the distance to it; the argmax
@@ -4074,6 +4142,20 @@ object Queries {
           r4(col("forecast")).as("forecast"))
         .orderBy("horizon")),
 
+    // extension: data-driven MULTI-TOUCH attribution — Markov removal
+    // effects (how much does 16-step conversion probability fall when a
+    // channel's inbound transitions redirect to drop), the principled
+    // complement to events_attribution's last-touch rule. Journey
+    // extraction is one partitioned window pass; the chain model is
+    // campaign-vocabulary-bounded driver math the oracle replays as
+    // nested list folds
+    "events_attribution_markov" -> ((s, dir) =>
+      operators.Events.markovRemovalEffects(events(s, dir), iters = 16)
+        .select(col("channel"), r4(col("conv_base")).as("conv_base"),
+          r4(col("conv_without")).as("conv_without"),
+          r4(col("removal_effect")).as("removal_effect"))
+        .orderBy("channel")),
+
     // extension: seasonality-ADJUSTED anomaly report — one-step-ahead
     // Holt–Winters forecast errors, centered and ranked: the detector
     // that doesn't flag every Sunday on weekly traffic. Top-3 days by
@@ -6381,6 +6463,8 @@ object Queries {
          |SELECT CAST(u.h AS INT) AS horizon,
          |  ${sqlR4("s[1] + CAST(u.h AS DOUBLE) * s[2] + s[3 + ((u.h - 1) % 7)]")} AS forecast
          |FROM st, unnest(generate_series(1, 7)) AS u(h) ORDER BY horizon""".stripMargin,
+
+    "events_attribution_markov" -> markovRemovalOracleSql(iters = 16),
 
     // the HW fold extended with a growing error tail (positions 10+ of
     // the fold state); μ/σ reductions replay the engine's exact

@@ -325,6 +325,111 @@ object Events {
       .toDF("horizon", "forecast")
   }
 
+  /** Data-driven multi-touch attribution via Markov REMOVAL EFFECTS —
+    * the principled alternative to `events_attribution`'s last-touch
+    * rule: model user journeys (campaign views up to the first
+    * purchase) as a first-order chain with absorbing `conv`/`drop`
+    * states, and credit each channel by how much the conversion
+    * probability falls when every transition INTO it is redirected to
+    * `drop` (Anderl et al. 2014's removal-effect formulation).
+    *
+    * The reported statistic is the `iters`-step absorption probability
+    * (mass on `conv` after a FIXED number of chain steps) — a defined,
+    * engine-replayable quantity rather than a solve-to-convergence
+    * (journeys absorb in a handful of steps; the oracle unrolls the
+    * same `iters` matrix-vector products as list folds).
+    *
+    * Journey contract: per user, events ordered by (ts, event_id);
+    * rows after the first purchase are cut; states are `c<k>` for
+    * views carrying campaign `props.k` (other events and campaign-less
+    * views are skipped), `conv` for the purchase, `drop` appended when
+    * the journey ends unconverted; `start` precedes the first state.
+    *
+    * Scale shape: journey extraction is one partitioned window pass +
+    * one count aggregation; the transition table is bounded by the
+    * campaign vocabulary squared, so (the [[stationaryDistribution]]
+    * rule) the per-removal iteration runs as driver arithmetic —
+    * ascending-index folds, division only at matrix build, the exact
+    * operand order the oracle's nested `list_transform` replays. */
+  def markovRemovalEffects(events: DataFrame, iters: Int = 16,
+      userCol: String = "user_id"): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val spark = events.sparkSession
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col("ts"), col("event_id"))
+    val ev = events.where(col(userCol).isNotNull)
+      .select(col(userCol), col("ts"), col("event_id"), col("event_type"),
+        when(col("event_type") === "view",
+          get_json_object(col("props"), "$.k").cast("long")).as("__camp"))
+    val kept = ev
+      .withColumn("__prior", coalesce(
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .over(w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .where(col("__prior") === 0L &&
+        (col("event_type") === "purchase" ||
+          (col("event_type") === "view" && col("__camp").isNotNull)))
+      .select(col(userCol), col("ts"), col("event_id"),
+        when(col("event_type") === "purchase", lit("conv"))
+          .otherwise(concat(lit("c"), col("__camp").cast("string"))).as("state"))
+    val seq = kept
+      .withColumn("__ord", row_number().over(w))
+      .withColumn("__nxt", lead(col("state"), 1).over(w))
+    val trans = seq
+      .select(col("state").as("f"),
+        coalesce(col("__nxt"),
+          when(col("state") === "conv", lit(null).cast("string"))
+            .otherwise(lit("drop"))).as("t"))
+      .unionByName(seq.where(col("__ord") === 1)
+        .select(lit("start").as("f"), col("state").as("t")))
+      .where(col("t").isNotNull)
+    val cnt = trans.groupBy(col("f"), col("t")).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    import spark.implicits._
+    if (cnt.isEmpty)
+      return Seq.empty[(String, Double, Double, Option[Double])]
+        .toDF("channel", "conv_base", "conv_without", "removal_effect")
+    val channels = cnt.keysIterator.flatMap { case (f, t) => Iterator(f, t) }
+      .filterNot(Set("start", "conv", "drop")).toSeq.distinct.sorted
+    val ss = (channels ++ Seq("start", "conv", "drop")).distinct.sorted
+    val n = ss.length
+    val idx = ss.zipWithIndex.toMap
+    val rowSums = ss.map(f =>
+      ss.iterator.map(t => cnt.getOrElse((f, t), 0L)).sum)
+    def matrix(removed: Option[String]): IndexedSeq[IndexedSeq[Double]] =
+      ss.indices.map { i =>
+        val f = ss(i)
+        if (f == "conv" || f == "drop")
+          ss.indices.map(j => if (j == i) 1.0 else 0.0)
+        else if (rowSums(i) == 0L) // unreachable isolated state: inert self-loop
+          ss.indices.map(j => if (j == i) 1.0 else 0.0)
+        else
+          ss.indices.map { j =>
+            // exact integer merge BEFORE the one division
+            val cij = ss.indices.iterator.map { tj =>
+              val target = if (removed.contains(ss(tj))) "drop" else ss(tj)
+              if (target == ss(j)) cnt.getOrElse((f, ss(tj)), 0L) else 0L
+            }.sum
+            cij.toDouble / rowSums(i).toDouble
+          }
+      }
+    def convProb(p: IndexedSeq[IndexedSeq[Double]]): Double = {
+      var x: IndexedSeq[Double] =
+        ss.indices.map(j => if (ss(j) == "start") 1.0 else 0.0)
+      for (_ <- 0 until iters)
+        x = ss.indices.map(j =>
+          ss.indices.foldLeft(0.0)((acc, i) => acc + x(i) * p(i)(j)))
+      x(idx("conv"))
+    }
+    val base = convProb(matrix(None))
+    channels.map { c =>
+      val without = convProb(matrix(Some(c)))
+      // no conversions at all → the effect is undefined (NULL, never NaN)
+      val eff = if (base > 0.0) Some((base - without) / base) else None
+      (c, base, without, eff)
+    }.toDF("channel", "conv_base", "conv_without", "removal_effect")
+  }
+
   /** Seasonality-adjusted anomaly detection: one-step-ahead
     * Holt–Winters forecast errors, ranked — the anomaly model that
     * does NOT flag every Sunday on weekly-periodic traffic (a global-

@@ -477,6 +477,38 @@ class EventsSpec extends SparkSpec {
     assert(short.getMessage.contains("14"))
   }
 
+  test("markovRemovalEffects: hand-computed chain — removing the only " +
+    "converting channel is effect 1.0, a drop-only channel is 0.0; " +
+    "journeys cut at the first purchase") {
+    def row(id: Long, u: Long, t: String, sec: Int, k: Option[Long]) =
+      (id, u, t, ts(f"2024-01-01 10:00:$sec%02d"),
+        k.map(v => s"""{"k":$v}""").orNull)
+    // u1, u2: view c1 → purchase; u3: view c2, no purchase.
+    // u1 also has post-purchase views (must be CUT) and a click (skipped)
+    val ev = Seq(
+      row(1, 1, "view", 1, Some(1L)), row(2, 1, "click", 2, None),
+      row(3, 1, "purchase", 3, None), row(4, 1, "view", 4, Some(2L)),
+      row(5, 2, "view", 1, Some(1L)), row(6, 2, "purchase", 2, None),
+      row(7, 3, "view", 1, Some(2L))
+    ).toDF("event_id", "user_id", "event_type", "ts", "props")
+    // chain: start→c1 (2/3), start→c2 (1/3), c1→conv (1), c2→drop (1)
+    // base = 2/3; without c1 = 0 → effect 1; without c2 = 2/3 → effect 0
+    val got = Events.markovRemovalEffects(ev)
+      .as[(String, Double, Double, Option[Double])].collect().sortBy(_._1).toSeq
+    val b = 2.0 / 3.0
+    assert(got === Seq(("c1", b, 0.0, Some(1.0)), ("c2", b, b, Some(0.0))))
+    // no conversions anywhere → base 0, effects NULL (never NaN)
+    val noConv = Seq(row(1, 1, "view", 1, Some(5L)))
+      .toDF("event_id", "user_id", "event_type", "ts", "props")
+    val g2 = Events.markovRemovalEffects(noConv)
+      .as[(String, Double, Double, Option[Double])].collect().toSeq
+    assert(g2 === Seq(("c5", 0.0, 0.0, None)))
+    // empty journey set → empty result
+    assert(Events.markovRemovalEffects(
+      Seq(row(1, 1, "click", 1, None))
+        .toDF("event_id", "user_id", "event_type", "ts", "props")).count() === 0L)
+  }
+
   test("holtWintersAnomalies: a spike on periodic traffic is rank 1 and " +
     "flagged; the exact-fit fixture flags nothing (σ = 0, ties → earliest days)") {
     val pattern = Seq(12, 8, 10, 11, 9, 10, 10)

@@ -766,6 +766,8 @@ class StreamingSpec extends SparkSpec {
       Events.dailyAcf(all).collect().toSeq)
     assert(Events.holtWintersFromDayCounts(st).collect().toSeq ===
       Events.holtWintersForecast(all).collect().toSeq)
+    assert(Events.holtWintersAnomaliesFromDayCounts(st).collect().toSeq ===
+      Events.holtWintersAnomalies(all).collect().toSeq)
     // state bounded by calendar span, audit trail per committed fold
     assert(st.count() === 15L)
     assert(spark.read.parquet(state).select("batch_id").distinct().count() >= 2)
