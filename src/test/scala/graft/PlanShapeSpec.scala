@@ -502,6 +502,18 @@ class PlanShapeSpec extends SparkSpec {
       "kNN-outlier scoring must use the bounded heap, not a rank window")
   }
 
+  test("events_bot_cadence: bounded top-k heap, per-user window only") {
+    val df = Queries.queries("events_bot_cadence")(spark, sf)
+    val p = plan(df)
+    assert(p.contains("TakeOrderedAndProject"),
+      "lowest-CV selection must be a bounded heap, not a global sort")
+    val global = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.isEmpty => w
+    }
+    assert(global.isEmpty, "gap lag must stay per-user")
+  }
+
   test("plan hygiene sweep: no query plans a cartesian product or an unlisted corpus-wide window") {
     // Partition-less windows collapse the frame into ONE task — allowed
     // only over tiny bucket-count frames (the two-level prefix-sum
