@@ -394,36 +394,42 @@ object Events {
     val ss = (channels ++ Seq("start", "conv", "drop")).distinct.sorted
     val n = ss.length
     val idx = ss.zipWithIndex.toMap
-    val rowSums = ss.map(f =>
-      ss.iterator.map(t => cnt.getOrElse((f, t), 0L)).sum)
-    def matrix(removed: Option[String]): IndexedSeq[IndexedSeq[Double]] =
-      ss.indices.map { i =>
-        val f = ss(i)
-        if (f == "conv" || f == "drop")
-          ss.indices.map(j => if (j == i) 1.0 else 0.0)
-        else if (rowSums(i) == 0L) // unreachable isolated state: inert self-loop
-          ss.indices.map(j => if (j == i) 1.0 else 0.0)
-        else
-          ss.indices.map { j =>
-            // exact integer merge BEFORE the one division
-            val cij = ss.indices.iterator.map { tj =>
-              val target = if (removed.contains(ss(tj))) "drop" else ss(tj)
-              if (target == ss(j)) cnt.getOrElse((f, ss(tj)), 0L) else 0L
-            }.sum
-            cij.toDouble / rowSums(i).toDouble
-          }
+    // dense count matrix ONCE; each removal is then an O(n²) exact-long
+    // redirect + divide (the first cut rebuilt rows with an O(n) lookup
+    // scan per CELL — n³ per removal, ~37 s at a 100-channel vocabulary)
+    val cm = Array.tabulate(n, n)((i, j) => cnt.getOrElse((ss(i), ss(j)), 0L))
+    val rowSums = Array.tabulate(n)(i => cm(i).sum)
+    val idxDrop = idx("drop")
+    def matrix(removed: Option[Int]): Array[Array[Double]] =
+      Array.tabulate(n) { i =>
+        if (ss(i) == "conv" || ss(i) == "drop" || rowSums(i) == 0L)
+          Array.tabulate(n)(j => if (j == i) 1.0 else 0.0)
+        else {
+          // exact integer merge BEFORE the one division
+          val cr = java.util.Arrays.copyOf(cm(i), n)
+          removed.foreach { r => cr(idxDrop) += cr(r); cr(r) = 0L }
+          Array.tabulate(n)(j => cr(j).toDouble / rowSums(i).toDouble)
+        }
       }
-    def convProb(p: IndexedSeq[IndexedSeq[Double]]): Double = {
-      var x: IndexedSeq[Double] =
-        ss.indices.map(j => if (ss(j) == "start") 1.0 else 0.0)
-      for (_ <- 0 until iters)
-        x = ss.indices.map(j =>
-          ss.indices.foldLeft(0.0)((acc, i) => acc + x(i) * p(i)(j)))
+    def convProb(p: Array[Array[Double]]): Double = {
+      var x = Array.tabulate(n)(j => if (ss(j) == "start") 1.0 else 0.0)
+      for (_ <- 0 until iters) {
+        val nx = new Array[Double](n)
+        var j = 0
+        while (j < n) {
+          var acc = 0.0 // ascending-i fold: the oracle's list_sum order
+          var i = 0
+          while (i < n) { acc += x(i) * p(i)(j); i += 1 }
+          nx(j) = acc
+          j += 1
+        }
+        x = nx
+      }
       x(idx("conv"))
     }
     val base = convProb(matrix(None))
     channels.map { c =>
-      val without = convProb(matrix(Some(c)))
+      val without = convProb(matrix(Some(idx(c))))
       // no conversions at all → the effect is undefined (NULL, never NaN)
       val eff = if (base > 0.0) Some((base - without) / base) else None
       (c, base, without, eff)
