@@ -4180,6 +4180,17 @@ object Queries {
           r4(col("survival")).as("survival"))
         .orderBy("t_days")),
 
+    // extension: cohort-STRATIFIED survival — the retention-curve
+    // comparison across signup months ("is March churning faster than
+    // January"), with one GLOBAL observation end so late cohorts don't
+    // look artificially loyal. Same exact-integer KM machinery, risk
+    // sets and product per cohort
+    "events_survival_cohort" -> ((s, dir) =>
+      operators.Events.survivalCurveByCohort(events(s, dir), churnDays = 1)
+        .select(col("cohort"), col("t_days"), col("n_risk"), col("n_churned"),
+          r4(col("survival")).as("survival"))
+        .orderBy("cohort", "t_days")),
+
     // extension: daily-series autocorrelation at lags 1..7 — the
     // periodicity detector (weekly traffic shows the lag-7 spike) that
     // says whether a trend-only forecast is admissible. Five exact
@@ -6536,6 +6547,31 @@ object Queries {
          |SELECT CAST(xs[i].t AS BIGINT) AS t_days, xs[i].nr AS n_risk, xs[i].d AS n_churned,
          |  ${sqlR4("list_reduce(list_prepend(CAST(1.0 AS DOUBLE), list_transform(list_slice(xs, 1, i), y -> CAST(1.0 AS DOUBLE) - CAST(y.d AS DOUBLE) / CAST(y.nr AS DOUBLE))), (a, b) -> a * b)")} AS survival
          |FROM rws ORDER BY t_days""".stripMargin,
+
+    // the KM fold per cohort: suffix sums and the ascending product
+    // both PARTITIONED by the signup month; strftime twins date_format
+    "events_survival_cohort" ->
+      s"""WITH ue AS (SELECT user_id, min(ts) AS f, max(ts) AS l
+         |  FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+         |mx AS (SELECT max(l) AS e FROM ue),
+         |u2 AS (SELECT strftime(date_trunc('month', ue.f), '%Y-%m') AS cohort,
+         |    CASE WHEN ue.l <= mx.e - INTERVAL 1 DAY THEN 1 ELSE 0 END AS churn,
+         |    CASE WHEN ue.l <= mx.e - INTERVAL 1 DAY
+         |         THEN (epoch_us(ue.l) - epoch_us(ue.f)) // 86400000000
+         |         ELSE (epoch_us(mx.e) - epoch_us(ue.f)) // 86400000000 END AS t
+         |  FROM ue, mx),
+         |dt AS (SELECT cohort, t, CAST(sum(churn) AS BIGINT) AS d, CAST(count(*) AS BIGINT) AS c
+         |  FROM u2 GROUP BY cohort, t),
+         |ev AS (SELECT cohort, t, d,
+         |    (SELECT CAST(sum(x.c) AS BIGINT) FROM dt x
+         |      WHERE x.cohort = dt.cohort AND x.t >= dt.t) AS nr
+         |  FROM dt WHERE d > 0),
+         |ord AS (SELECT cohort, list(struct_pack(t := t, d := d, nr := nr) ORDER BY t) AS xs
+         |  FROM ev GROUP BY cohort),
+         |rws AS (SELECT cohort, u.i AS i, xs FROM ord, unnest(generate_series(1, len(xs))) AS u(i))
+         |SELECT cohort, CAST(xs[i].t AS BIGINT) AS t_days, xs[i].nr AS n_risk, xs[i].d AS n_churned,
+         |  ${sqlR4("list_reduce(list_prepend(CAST(1.0 AS DOUBLE), list_transform(list_slice(xs, 1, i), y -> CAST(1.0 AS DOUBLE) - CAST(y.d AS DOUBLE) / CAST(y.nr AS DOUBLE))), (a, b) -> a * b)")} AS survival
+         |FROM rws ORDER BY cohort, t_days""".stripMargin,
 
     // five exact BIGINT sums per lag; the Pearson arithmetic runs in
     // the same double operand shape as the engine's final select

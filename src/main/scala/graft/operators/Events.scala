@@ -559,6 +559,55 @@ object Events {
     rows.toSeq.toDF("t_days", "n_risk", "n_churned", "survival")
   }
 
+  /** [[survivalCurve]] stratified by SIGNUP-MONTH cohort — the
+    * retention-curve comparison every growth dashboard runs ("is the
+    * March cohort churning faster than January's"). Same censoring
+    * contract with ONE global observation end (the latest activity
+    * anywhere — per-cohort ends would make late cohorts look
+    * artificially loyal); risk sets, event counts, and the KM product
+    * all per cohort, the product folding ascending within each cohort
+    * (the oracle replays it as a per-cohort list fold). Collected frame
+    * bounded by cohorts × calendar-span days. */
+  def survivalCurveByCohort(events: DataFrame, churnDays: Int = 7,
+      userCol: String = "user_id"): DataFrame = {
+    require(churnDays >= 0, "churnDays must be non-negative")
+    val spark = events.sparkSession
+    val perUser = events
+      .where(col(userCol).isNotNull)
+      .groupBy(col(userCol))
+      .agg(min(col("ts")).as("__f"), max(col("ts")).as("__l"))
+    val durations = perUser
+      .crossJoin(broadcast(perUser.agg(max(col("__l")).as("__end"))))
+      .select(
+        date_format(date_trunc("month", col("__f")), "yyyy-MM").as("cohort"),
+        when(col("__l") <= col("__end") - expr(s"INTERVAL $churnDays DAYS"), 1L)
+          .otherwise(0L).as("churn"),
+        expr(s"""CASE WHEN __l <= __end - INTERVAL $churnDays DAYS
+                 THEN (unix_micros(__l) - unix_micros(__f)) DIV 86400000000
+                 ELSE (unix_micros(__end) - unix_micros(__f)) DIV 86400000000
+                 END""").as("t"))
+      .groupBy(col("cohort"), col("t"))
+      .agg(sum(col("churn")).as("d"), count(lit(1)).as("c"))
+    val byCohort = durations.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1)
+    val rows = byCohort.toSeq.sortBy(_._1).flatMap { case (cohort, xs) =>
+      val byT = xs.map(x => (x._2, x._3, x._4)).sortBy(_._1)
+      var atRisk = byT.iterator.map(_._3).sum
+      var surv = 1.0
+      byT.flatMap { case (t, d, c) =>
+        val out = if (d > 0) {
+          surv = surv * (1.0 - d.toDouble / atRisk.toDouble)
+          Some((cohort, t, atRisk, d, surv))
+        } else None
+        atRisk -= c
+        out
+      }
+    }
+    import spark.implicits._
+    rows.toDF("cohort", "t_days", "n_risk", "n_churned", "survival")
+  }
+
   /** Autocorrelation of the daily event-count series at lags 1..`maxLag`
     * — the periodicity detector (a weekly-traffic corpus shows the lag-7
     * spike) that tells a curator whether [[holtForecast]]'s trend-only

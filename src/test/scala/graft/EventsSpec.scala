@@ -392,6 +392,19 @@ class EventsSpec extends SparkSpec {
     assert(got === Seq((3L, 2L, 1L, 0.5)))
   }
 
+  test("survivalCurveByCohort: per-cohort risk sets with ONE global " +
+    "observation end") {
+    // end = day 40. Jan cohort: A churned t=5, B censored t=40;
+    // Feb cohort: C churned t=2 (last day exactly at the cutoff), D
+    // censored t=9 — each cohort's KM is independent (both 0.5 here)
+    val ev = lifeEvents(Seq((1L, 0, 5), (2L, 0, 40), (3L, 31, 33), (4L, 31, 40)))
+    val got = Events.survivalCurveByCohort(ev, churnDays = 7)
+      .as[(String, Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(got === Seq(
+      ("2024-01", 5L, 2L, 1L, 0.5),
+      ("2024-02", 2L, 2L, 1L, 0.5)))
+  }
+
   /** Day-count series → event frame (one event per count unit). */
   private def seriesEvents(counts: Seq[Int]) =
     counts.zipWithIndex.flatMap { case (n, day) =>
