@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked run's stdout through RAW instead of routing it via
+// sbt's logger: the logger prefixes every line with "[info] ", which
+// breaks any consumer scraping machine-readable lines from the log tail
+// (the bench's one-line JSON summary arrived as `[info] {...}` and
+// failed to parse, rounds 6-9).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -386,18 +386,35 @@ object Corpus {
       .withColumn("text", coalesce(col("text"), lit("")))
   }
 
-  def decontaminate(docs: DataFrame, benchmark: DataFrame, n: Int = 8): DataFrame = {
+  /** The word-`n`-gram hash frame every decontamination-family operator
+    * consumes: one row per DISTINCT (keep-cols, gram hash). This is the
+    * pipeline's STANDING INDEX — at 100 TB it is built once per corpus
+    * version, written next to the corpus, and semi-joined by every
+    * decontamination / novelty / contamination-report pass; rebuilding
+    * the tokenize + shingle + hash + distinct per query is the recompute
+    * waste the FromGrams variants below exist to avoid. */
+  def gramIndex(docs: DataFrame, n: Int, keep: Column*): DataFrame = {
     require(n > 0, s"n must be positive, got $n")
-    def grams(df: DataFrame, keep: Column*): DataFrame =
-      df.select(keep :+ explode(
+    docs.select(keep :+ explode(
         TextOps.shingleHashes(
           TextOps.shinglesFromTokens(TextOps.tokens(col("text")), n))).as("h"): _*)
-    val benchGrams = grams(benchmark).select(col("h")).distinct()
-    grams(docs, col("doc_id"))
-      .join(benchGrams, Seq("h"))
-      .groupBy(col("doc_id"))
-      .agg(count_distinct(col("h")).as("n_shared"))
+      .distinct()
   }
+
+  /** [[decontaminate]] over prebuilt gram frames. PRECONDITION: both
+    * inputs are DISTINCT per row ([[gramIndex]] shape) — `n_shared` is
+    * then a plain count (each (doc_id, h) matches the distinct bench set
+    * at most once), which is also why the standing index stores grams
+    * deduplicated. */
+  def decontaminateFromGrams(docGrams: DataFrame, benchGrams: DataFrame): DataFrame =
+    docGrams.select(col("doc_id"), col("h"))
+      .join(benchGrams.select(col("h")).distinct(), Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+
+  def decontaminate(docs: DataFrame, benchmark: DataFrame, n: Int = 8): DataFrame =
+    decontaminateFromGrams(
+      gramIndex(docs, n, col("doc_id")), gramIndex(benchmark, n))
 
   /** [[decontaminate]] with a Bloom pre-filter — the shape that survives
     * a benchmark/blocklist gram set too large to broadcast raw: the
@@ -414,29 +431,33 @@ object Corpus {
     * |true hits| + fpp·|doc grams|; at fpp = 1% that is a ~100× shuffle
     * reduction on a clean corpus. Size `numBits ≈ -1.44·items·log2(fpp)`
     * (8 bits/item ≈ 2%). */
+  /** [[decontaminateBloom]] over prebuilt gram frames — same
+    * distinct-input precondition as [[decontaminateFromGrams]]. */
+  def decontaminateBloomFromGrams(
+      docGrams: DataFrame,
+      benchGrams: DataFrame,
+      estimatedItems: Long = 1000000L,
+      numBits: Long = 8000000L): DataFrame = {
+    val bg = benchGrams.select(col("h")).distinct()
+    val bloom = bg
+      .agg(graft.functions.Bloom.bloomAgg(col("h"), estimatedItems, numBits)
+        .as("__bf"))
+    docGrams.select(col("doc_id"), col("h"))
+      .where(graft.functions.Bloom.mightContain(col("h"), bloom))
+      .join(bg, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   def decontaminateBloom(
       docs: DataFrame,
       benchmark: DataFrame,
       n: Int = 8,
       estimatedItems: Long = 1000000L,
-      numBits: Long = 8000000L): DataFrame = {
-    require(n > 0, s"n must be positive, got $n")
-    def grams(df: DataFrame, keep: Column*): DataFrame =
-      df.select(keep :+ explode(
-        TextOps.shingleHashes(
-          TextOps.shinglesFromTokens(TextOps.tokens(col("text")), n))).as("h"): _*)
-    val benchGrams = grams(benchmark).select(col("h")).distinct()
-    val bloom = benchGrams
-      .agg(graft.functions.Bloom.bloomAgg(col("h"), estimatedItems, numBits)
-        .as("__bf"))
-    val candidates = grams(docs, col("doc_id"))
-      .where(graft.functions.Bloom.mightContain(col("h"), bloom))
-      .select(col("doc_id"), col("h"))
-    candidates
-      .join(benchGrams, Seq("h"))
-      .groupBy(col("doc_id"))
-      .agg(count_distinct(col("h")).as("n_shared"))
-  }
+      numBits: Long = 8000000L): DataFrame =
+    decontaminateBloomFromGrams(
+      gramIndex(docs, n, col("doc_id")), gramIndex(benchmark, n),
+      estimatedItems, numBits)
 
   /** Declarative data-quality EXPECTATIONS (the Deequ/Great-Expectations
     * shape): evaluate a set of named row-level constraints in ONE scan
@@ -495,18 +516,16 @@ object Corpus {
     * are the Expand-free two-stage shape. The benchmark side is small by
     * definition; the train gram frame is the standing index
     * [[novelty]] describes. */
-  def contaminationReport(
-      docs: DataFrame,
-      benchmark: DataFrame,
-      benchId: Column,
-      n: Int = 8): DataFrame = {
-    require(n > 0, s"n must be positive, got $n")
-    def grams(df: DataFrame, keep: Column*): DataFrame =
-      df.select(keep :+ explode(
-        TextOps.shingleHashes(
-          TextOps.shinglesFromTokens(TextOps.tokens(col("text")), n))).as("h"): _*)
-    val bg = grams(benchmark, benchId.as("bench_id")).distinct()
-    val tg = grams(docs, col("doc_id")).distinct()
+  /** [[contaminationReport]] over prebuilt gram frames — same
+    * distinct-input precondition as [[decontaminateFromGrams]].
+    * `benchIds` enumerates the FULL benchmark (one `bench_id` per item,
+    * including items too short to have grams — they report zeros). */
+  def contaminationReportFromGrams(
+      benchIds: DataFrame,
+      benchGrams: DataFrame,
+      trainGrams: DataFrame): DataFrame = {
+    val bg = benchGrams.select(col("bench_id"), col("h"))
+    val tg = trainGrams.select(col("doc_id"), col("h"))
     // TWO single-distinct rollups joined — never two distinct aggregates
     // in one agg(), which Catalyst plans as an Expand that doubles every
     // hit row through the shuffle (the repo's no-Expand rule)
@@ -515,13 +534,23 @@ object Corpus {
       .groupBy(col("bench_id")).agg(count(lit(1)).as("n_train_docs"))
     val gramsPer = hits.select(col("bench_id"), col("h")).distinct()
       .groupBy(col("bench_id")).agg(count(lit(1)).as("n_leaked_grams"))
-    benchmark.select(benchId.as("bench_id")).distinct()
+    benchIds.select(col("bench_id")).distinct()
       .join(docsPer, Seq("bench_id"), "left_outer")
       .join(gramsPer, Seq("bench_id"), "left_outer")
       .select(col("bench_id"),
         coalesce(col("n_train_docs"), lit(0L)).as("n_train_docs"),
         coalesce(col("n_leaked_grams"), lit(0L)).as("n_leaked_grams"))
   }
+
+  def contaminationReport(
+      docs: DataFrame,
+      benchmark: DataFrame,
+      benchId: Column,
+      n: Int = 8): DataFrame =
+    contaminationReportFromGrams(
+      benchmark.select(benchId.as("bench_id")),
+      gramIndex(benchmark, n, benchId.as("bench_id")),
+      gramIndex(docs, n, col("doc_id")))
 
   /** Per-document NOVELTY against a reference corpus: for each candidate
     * document, the fraction of its distinct word-`n`-gram hashes that do
@@ -538,21 +567,20 @@ object Corpus {
     * The reference gram set is |distinct grams|-sized — at 100 TB the
     * deduplicated gram table is the pipeline's standing index, built once
     * per corpus version and semi-joined by every incoming batch. */
-  def novelty(docs: DataFrame, reference: DataFrame, n: Int = 8): DataFrame = {
-    require(n > 0, s"n must be positive, got $n")
-    def grams(df: DataFrame, keep: Column*): DataFrame =
-      df.select(keep :+ explode(
-        TextOps.shingleHashes(
-          TextOps.shinglesFromTokens(TextOps.tokens(col("text")), n))).as("h"): _*)
-    val refGrams = grams(reference).select(col("h")).distinct()
-      .withColumn("__seen", lit(1))
-    grams(docs, col("doc_id")).distinct()
-      .join(refGrams, Seq("h"), "left")
+  /** [[novelty]] over prebuilt gram frames — same distinct-input
+    * precondition as [[decontaminateFromGrams]]. */
+  def noveltyFromGrams(docGrams: DataFrame, refGrams: DataFrame): DataFrame = {
+    val rg = refGrams.select(col("h")).distinct().withColumn("__seen", lit(1))
+    docGrams.select(col("doc_id"), col("h"))
+      .join(rg, Seq("h"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"),
         sum(when(col("__seen").isNull, 1L).otherwise(0L)).as("n_novel"))
       .withColumn("novelty", col("n_novel").cast("double") / col("n_grams"))
   }
+
+  def novelty(docs: DataFrame, reference: DataFrame, n: Int = 8): DataFrame =
+    noveltyFromGrams(gramIndex(docs, n, col("doc_id")), gramIndex(reference, n))
 
   /** TOKEN-BUDGET sampling: the maximal prefix of the corpus, in
     * deterministic content-hash order, whose cumulative token count fits

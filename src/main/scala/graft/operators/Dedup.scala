@@ -477,18 +477,37 @@ object Dedup {
     var prevSum = labSum(labels)
     var changed = true
     var i = 0
-    while (changed && i < maxIter) {
+    // One ITERATION = propagate one hop over the edges, take the min,
+    // then POINTER-JUMP (lab' = lab(lab) — every label is a live node
+    // id since init lab = node and mins range over node ids, so the
+    // self-join hits a row for every label; left join + coalesce is
+    // belt-and-braces). The jump is monotone (lab(lab) ≤ lab) and
+    // preserves the fixed point (prop-stable + jump-stable ⇒ labels
+    // constant per component ⇒ component min), so the label-sum
+    // convergence invariant is unchanged while long drift-chains
+    // converge in far fewer rounds than their diameter — existential at
+    // 100 TB where a boilerplate-drift chain can be thousands of docs.
+    def iterate(cur: DataFrame): DataFrame = {
       val prop = edges
-        .join(labels.withColumnRenamed("node", "dst"), Seq("dst"))
+        .join(cur.withColumnRenamed("node", "dst"), Seq("dst"))
         .select(col("src").as("node"), col("lab"))
-      val next = truncate(
-        labels.unionByName(prop)
+      val merged = truncate(
+        cur.unionByName(prop)
           .groupBy(col("node")).agg(min(col("lab")).as("lab")))
+      merged.join(
+          merged.select(col("node").as("lab"), col("lab").as("__lab2")),
+          Seq("lab"), "left")
+        .select(col("node"), coalesce(col("__lab2"), col("lab")).as("lab"))
+    }
+    while (changed && i < maxIter) {
+      val next = truncate(iterate(labels))
       val nextSum = labSum(next)
       changed = nextSum.compareTo(prevSum) != 0
       prevSum = nextSum
       labels = next
       i += 1
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        System.err.println(s"[cc] round $i changed=$changed")
     }
     labels.select(col("node").as("doc_id"), col("lab").as("rep_id"))
   }
