@@ -412,11 +412,14 @@ object Queries {
        |sd AS ($seedSql),
        |deg AS (SELECT a AS node, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY a),
        |ns AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg dg JOIN sd ON sd.node = dg.node),
-       |nt AS (SELECT dg.node AS node,
+       |nt AS (SELECT dg.node AS node, (sd.node IS NOT NULL) AS is_seed,
        |    CASE WHEN sd.node IS NOT NULL THEN (15 * $scale) // (100 * (SELECT n FROM ns)) ELSE 0 END AS t
        |  FROM deg dg LEFT JOIN sd ON sd.node = dg.node),
+       |-- init keyed on actual seed MEMBERSHIP (is_seed), not t > 0: if the
+       |-- integer teleport ever truncated to 0 the engine would still seed
+       |-- the init, and an oracle keyed on t would silently diverge
        |r0 AS MATERIALIZED (SELECT node,
-       |    CAST(CASE WHEN t > 0 THEN $scale // (SELECT n FROM ns) ELSE 0 END AS BIGINT) AS rq
+       |    CAST(CASE WHEN is_seed THEN $scale // (SELECT n FROM ns) ELSE 0 END AS BIGINT) AS rq
        |  FROM nt),
        |$steps
        |SELECT node AS doc_id, rq AS rank_q FROM r$iters
@@ -6476,10 +6479,12 @@ object Queries {
          |  FROM bounds, unnest(generate_series(bounds.mn, bounds.mx)) AS u(d)
          |  LEFT JOIN dc ON dc.d = u.d),
          |ys AS (SELECT list(n ORDER BY d) AS y FROM filled),
+         |-- short-span gate (shared convention with the engine): fewer than
+         |-- two seasons of days -> zero init rows -> zero output rows
          |init AS (SELECT y,
          |    list_reduce(list_slice(y, 1, 7), (a, b) -> a + b) / CAST(7.0 AS DOUBLE) AS m1,
          |    list_reduce(list_slice(y, 8, 14), (a, b) -> a + b) / CAST(7.0 AS DOUBLE) AS m2
-         |  FROM ys),
+         |  FROM ys WHERE len(y) >= 14),
          |st AS (SELECT list_reduce(
          |    list_prepend(
          |      list_concat([m1, (m2 - m1) / CAST(7.0 AS DOUBLE)],
@@ -6508,10 +6513,12 @@ object Queries {
          |  FROM bounds, unnest(generate_series(bounds.mn, bounds.mx)) AS u(d)
          |  LEFT JOIN dc ON dc.d = u.d),
          |ys AS (SELECT list(n ORDER BY d) AS y FROM filled),
+         |-- short-span gate (shared convention with the engine): fewer than
+         |-- two seasons of days -> zero init rows -> zero output rows
          |init AS (SELECT y,
          |    list_reduce(list_slice(y, 1, 7), (a, b) -> a + b) / CAST(7.0 AS DOUBLE) AS m1,
          |    list_reduce(list_slice(y, 8, 14), (a, b) -> a + b) / CAST(7.0 AS DOUBLE) AS m2
-         |  FROM ys),
+         |  FROM ys WHERE len(y) >= 14),
          |st AS (SELECT y, list_reduce(
          |    list_prepend(
          |      list_concat([m1, (m2 - m1) / CAST(7.0 AS DOUBLE)],

@@ -299,13 +299,19 @@ object Events {
     require(horizon > 0, "horizon must be positive")
     require(period > 1, "period must be > 1")
     val spark = byDayDf.sparkSession
+    import spark.implicits._
     val byDay = byDayDf.select(col("d"), col("y"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    require(byDay.nonEmpty, "empty event log")
+    // SHORT-SPAN CONVENTION (both engines): a series shorter than two
+    // seasons has no fittable seasonal state — return an EMPTY frame
+    // ("no forecast yet"), never throw: a monitoring query must not
+    // crash a session because the corpus is young. The oracle gates the
+    // same way (its init CTE emits zero rows when len(y) < 2·period).
+    if (byDay.isEmpty) return Seq.empty[(Int, Double)].toDF("horizon", "forecast")
     val (dMin, dMax) = (byDay.keys.min, byDay.keys.max)
     val ys = (dMin to dMax).map(d => byDay.getOrElse(d, 0L).toDouble)
-    require(ys.length >= 2 * period,
-      s"need >= ${2 * period} days of data, got ${ys.length}")
+    if (ys.length < 2 * period)
+      return Seq.empty[(Int, Double)].toDF("horizon", "forecast")
     val mean1 = ys.take(period).foldLeft(0.0)(_ + _) / period.toDouble
     val mean2 = ys.slice(period, 2 * period).foldLeft(0.0)(_ + _) / period.toDouble
     var l = mean1
@@ -319,7 +325,6 @@ object Events {
       b = 0.25 * (l - lPrev) + 0.75 * b
       seasons = rest.enqueue(0.25 * (ys(t) - l) + 0.75 * sUsed)
     }
-    import spark.implicits._
     val sArr = seasons.toIndexedSeq
     (1 to horizon).map(h => (h, l + h.toDouble * b + sArr((h - 1) % period)))
       .toDF("horizon", "forecast")
@@ -458,13 +463,16 @@ object Events {
       period: Int = 7, k: Double = 3.0): DataFrame = {
     require(period > 1, "period must be > 1")
     val spark = byDayDf.sparkSession
+    import spark.implicits._
+    def empty = Seq.empty[(Int, Long, Long, Double, Double, Boolean)]
+      .toDF("rank", "day_index", "n", "expected", "error", "is_anomaly")
     val byDay = byDayDf.select(col("d"), col("y"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    require(byDay.nonEmpty, "empty event log")
+    // same short-span empty-frame convention as [[holtWintersFromDayCounts]]
+    if (byDay.isEmpty) return empty
     val (dMin, dMax) = (byDay.keys.min, byDay.keys.max)
     val ys = (dMin to dMax).map(d => byDay.getOrElse(d, 0L).toDouble)
-    require(ys.length >= 2 * period,
-      s"need >= ${2 * period} days of data, got ${ys.length}")
+    if (ys.length < 2 * period) return empty
     val mean1 = ys.take(period).foldLeft(0.0)(_ + _) / period.toDouble
     val mean2 = ys.slice(period, 2 * period).foldLeft(0.0)(_ + _) / period.toDouble
     var l = mean1
@@ -492,7 +500,6 @@ object Events {
       .take(3)
       .zipWithIndex
       .map { case ((d, y, exp, e, flag), i) => (i + 1, d, y, exp, e, flag) }
-    import spark.implicits._
     top.toSeq.toDF("rank", "day_index", "n", "expected", "error", "is_anomaly")
   }
 

@@ -157,12 +157,26 @@ object Graph {
     * low value means chains of borderline pairs are BRIDGING unrelated
     * documents and the verify threshold needs raising.
     *
-    * Exactness: each edge is stored once as `a < b`, so the ordered
-    * triple join (`(a,b) ⋈ (b,c) ⋈ (a,c)` with `a < b < c` by
-    * construction) counts every triangle exactly once — exact BIGINTs,
-    * and the wedge count `Σ d(d−1)/2` divides an always-even integer
-    * with integral `DIV`. One nullable double (the coefficient, NULL
-    * when the graph has no wedges) in the final 1-row select.
+    * Exactness: edges are DEGREE-ORIENTED (low-degree endpoint →
+    * high-degree endpoint, ties by id — a strict total order, so each
+    * undirected edge gets exactly one direction) and the path join
+    * `(u→v) ⋈ (v→w)` checked against `(u→w)` counts every triangle
+    * exactly once: a triangle's three nodes have a unique ≺-ordering
+    * u ≺ v ≺ w, and only that rotation survives the orientation. Exact
+    * BIGINTs throughout; the wedge count `Σ d(d−1)/2` divides an
+    * always-even integer with integral `DIV`. One nullable double (the
+    * coefficient, NULL when the graph has no wedges) in the final
+    * 1-row select.
+    *
+    * Why degree order and not id order: the path join fans out per
+    * node as (out-degree)², and under id order a low-id hub keeps all
+    * its edges outgoing — one viral doc with d neighbors materializes
+    * ~d² path rows on id luck alone. Low→high degree orientation
+    * bounds every node's out-degree by the graph's degeneracy
+    * (arboricity-class bound, Chiba–Nishizeki 1985): a hub's edges all
+    * point INTO it, so it fans out nothing, independent of id
+    * assignment. Same count either way — GraphSpec pins both the
+    * equality and the hub-fanout bound.
     *
     * Scale shape: two equi-joins on the verified-pair graph (bounded by
     * the duplicate subset, eagerly materialized once); degree table via
@@ -174,10 +188,12 @@ object Graph {
     val p = org.apache.spark.sql.graft.PlanBridge.statsReset(
       pairs.select(col(srcCol).as("a"), col(dstCol).as("b"))
         .localCheckpoint(eager = true))
-    val tri = p.as("e1")
-      .join(p.as("e2"), col("e1.b") === col("e2.a"))
-      .join(p.as("e3"),
-        col("e1.a") === col("e3.a") && col("e2.b") === col("e3.b"))
+    val o = org.apache.spark.sql.graft.PlanBridge.statsReset(
+      orientByDegree(p).localCheckpoint(eager = true))
+    val tri = o.as("e1")
+      .join(o.as("e2"), col("e1.dst") === col("e2.src"))
+      .join(o.as("e3"),
+        col("e1.src") === col("e3.src") && col("e2.dst") === col("e3.dst"))
       .agg(count(lit(1)).as("n_triangles"))
     val wedges = p.select(col("a").as("n")).unionByName(p.select(col("b").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("d"))
@@ -188,5 +204,21 @@ object Graph {
           (col("n_triangles") * lit(3L)).cast("double")
             / col("n_wedges").cast("double"))
           .otherwise(lit(null).cast("double")).as("global_cc"))
+  }
+
+  /** Orient a once-per-edge `(a, b)` list low-degree → high-degree
+    * (ties by id): `src` is the ≺-smaller endpoint under the strict
+    * total order (degree, id). Package-private so GraphSpec can assert
+    * the fan-out bound directly. */
+  private[graft] def orientByDegree(p: DataFrame): DataFrame = {
+    val deg = p.select(col("a").as("n")).unionByName(p.select(col("b").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    // a < b by construction, so on a degree tie the stored order is
+    // already the (degree, id) order
+    p.join(deg.select(col("n").as("a"), col("d").as("__da")), Seq("a"))
+      .join(deg.select(col("n").as("b"), col("d").as("__db")), Seq("b"))
+      .select(
+        when(col("__da") <= col("__db"), col("a")).otherwise(col("b")).as("src"),
+        when(col("__da") <= col("__db"), col("b")).otherwise(col("a")).as("dst"))
   }
 }

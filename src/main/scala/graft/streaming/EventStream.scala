@@ -78,8 +78,13 @@ object EventStream {
         case _ => ""
       }
       val m = Option(t.getMessage).getOrElse("")
+      // message fallback requires BOTH tokens: a bare "NANOS" anywhere
+      // in an 8-deep cause chain (a path name, a TIME(NANOS) column
+      // error) must not route a current-layout file onto the 1000×
+      // legacy decode — the fixture pins the stable condition, so the
+      // substring path only covers wrappers that drop the class
       cond == "ILLEGAL_PARQUET_TYPE" ||
-        m.contains("NANOS") || m.contains("Illegal Parquet type")
+        (m.contains("NANOS") && m.contains("Illegal Parquet type"))
     }
 
   /** Batch read of `dir/events.parquet` with canonical TIMESTAMP `ts`.

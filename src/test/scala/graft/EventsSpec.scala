@@ -484,10 +484,11 @@ class EventsSpec extends SparkSpec {
     }
     // the trend is recovered as positive drift across the horizon
     assert(got.last._2 > got.head._2 - 3.0, got.mkString(","))
-    val short = intercept[IllegalArgumentException] {
-      Events.holtWintersForecast(seriesEvents(Seq.fill(13)(5)))
-    }
-    assert(short.getMessage.contains("14"))
+    // SHORT-SPAN CONVENTION: fewer than two seasons of days → an EMPTY
+    // frame on both engines ("no forecast yet"), never a throw — the
+    // oracle's init CTE gates on len(y) >= 14 the same way
+    assert(Events.holtWintersForecast(seriesEvents(Seq.fill(13)(5))).count() === 0L)
+    assert(Events.holtWintersAnomalies(seriesEvents(Seq.fill(13)(5))).count() === 0L)
   }
 
   test("markovRemovalEffects: hand-computed chain — removing the only " +

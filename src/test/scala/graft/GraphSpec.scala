@@ -107,6 +107,42 @@ class GraphSpec extends SparkSpec {
     assert(lone === ((0L, 0L, None)))
   }
 
+  test("triangleCensus degree orientation: count matches a brute-force " +
+    "census on a random graph, and a mid-id hub fans out nothing") {
+    // random-ish deterministic graph: edges (a,b) with a<b from a fixed
+    // congruential sequence — dense enough to hold many triangles
+    val es = (for (i <- 0 until 220) yield {
+      val a = (i * 37 + 11) % 25; val b = (i * 61 + 7) % 25
+      if (a < b) Some((a.toLong, b.toLong)) else if (b < a) Some((b.toLong, a.toLong))
+      else None
+    }).flatten.distinct
+    val adj = es.toSet
+    val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val want = (for {
+      i <- nodes; j <- nodes if j > i && adj((i, j))
+      k <- nodes if k > j && adj((j, k)) && adj((i, k))
+    } yield 1).size.toLong
+    val got = Graph.triangleCensus(es.toDF("doc_id_a", "doc_id_b"))
+      .as[(Long, Long, Option[Double])].collect().head
+    assert(got._1 === want, s"degree-oriented count $got vs brute-force $want")
+    // hub fixture: node 500 linked to 0..499 and 501..1000 — under id
+    // orientation the hub keeps 500 outgoing edges (→ ~250k path rows);
+    // degree orientation points every edge INTO the hub, so the path
+    // join's intermediate is EMPTY. This is the per-node fan-out bound
+    // that makes the census survive skewed graphs at 100 TB.
+    val hub = ((0L until 500L).map(k => (k, 500L)) ++
+      (501L to 1000L).map(k => (500L, k))).toDF("doc_id_a", "doc_id_b")
+    val p = hub.select(col("doc_id_a").as("a"), col("doc_id_b").as("b"))
+    val o = Graph.orientByDegree(p)
+    val paths = o.as("e1").join(o.as("e2"), col("e1.dst") === col("e2.src"))
+    assert(paths.count() === 0L,
+      "degree orientation must eliminate the hub's wedge fan-out")
+    // and the census itself still reports the star's truth
+    val census = Graph.triangleCensus(hub)
+      .as[(Long, Long, Option[Double])].collect().head
+    assert(census._1 === 0L && census._2 === 1000L * 999L / 2)
+  }
+
   test("pageRank path graph: interior node out-ranks endpoints (degree pull)") {
     // 1 - 2 - 3: node 2 has degree 2, the ends degree 1
     val got = ranks(Seq((1L, 2L), (2L, 3L)))
