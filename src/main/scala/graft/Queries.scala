@@ -4127,15 +4127,9 @@ object Queries {
     // surface first (quantize-then-rank, id tiebreak) — the traffic-
     // cleaning dual of events_interarrival's global profile
     "events_bot_cadence" -> ((s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-      val gaps = events(s, dir)
-        .where(col("user_id").isNotNull)
-        .select(col("user_id"), col("ts"), col("event_id"))
-        .withColumn("__prev", lag(col("ts"), 1).over(w))
-        .where(col("__prev").isNotNull)
-        .select(col("user_id"),
-          expr("(unix_micros(ts) - unix_micros(__prev)) DIV 1000000").as("gap_s"))
+      // chunkSec = 1 day: bot traffic is exactly where one user can carry
+      // 10⁷+ events, so the gap scan runs the segmented whale-safe path
+      val gaps = operators.Events.userGaps(events(s, dir), chunkSec = 86400L)
         .where(col("gap_s") <= lit(2592000L))
       // s1 > 0 excludes the all-zero-gap burst user (CV undefined at
       // mean 0); such bursts surface via events_key_skew/user_cap, and
@@ -4173,7 +4167,8 @@ object Queries {
     // campaign-vocabulary-bounded driver math the oracle replays as
     // nested list folds
     "events_attribution_markov" -> ((s, dir) =>
-      operators.Events.markovRemovalEffects(events(s, dir), iters = 16)
+      operators.Events.markovRemovalEffects(events(s, dir), iters = 16,
+          chunkSec = 86400L)
         .select(col("channel"), r4(col("conv_base")).as("conv_base"),
           r4(col("conv_without")).as("conv_without"),
           r4(col("removal_effect")).as("removal_effect"))

@@ -350,14 +350,73 @@ object Events {
     * views are skipped), `conv` for the purchase, `drop` appended when
     * the journey ends unconverted; `start` precedes the first state.
     *
-    * Scale shape: journey extraction is one partitioned window pass +
-    * one count aggregation; the transition table is bounded by the
-    * campaign vocabulary squared, so (the [[stationaryDistribution]]
-    * rule) the per-removal iteration runs as driver arithmetic —
-    * ascending-index folds, division only at matrix build, the exact
-    * operand order the oracle's nested `list_transform` replays. */
-  def markovRemovalEffects(events: DataFrame, iters: Int = 16,
+    * Scale shape — whale-user safe: the first-purchase cut is an
+    * AGGREGATE + join (min (ts, event_id) over purchases per user),
+    * never a running-sum window over each user's full history; with
+    * `chunkSec > 0` the sequence scan itself runs segmented — lead
+    * within (user, chunk) partitions plus a per-chunk-summary pass
+    * whose per-user row count is bounded by the CALENDAR (span ÷
+    * chunkSec), the [[asofJoin]] `chunkSec` discipline — so a 10⁷-event
+    * bot cannot pin its whole history into one task's sort. The
+    * transition table is bounded by the campaign vocabulary squared, so
+    * (the [[stationaryDistribution]] rule) the per-removal iteration
+    * runs as driver arithmetic — ascending-index folds, division only
+    * at matrix build, the exact operand order the oracle's nested
+    * `list_transform` replays. Chunked == unchunked is law-pinned in
+    * EventsSpec. */
+  /** Consecutive inter-event gaps per (non-null) user, in whole seconds
+    * (`gap_s = Δunix_micros DIV 10⁶`) — the input of the bot-cadence
+    * detector. Events are ordered by (ts, event_id).
+    *
+    * `chunkSec = 0` runs one `lag` window per user — fine when no single
+    * user dominates. `chunkSec > 0` is the whale-user escape hatch (the
+    * [[asofJoin]] `chunkSec` discipline): gaps WITHIN a `chunkSec`-wide
+    * time chunk come from a lag over (user, chunk) partitions, and the
+    * one gap ACROSS each pair of consecutive non-empty chunks comes from
+    * a per-chunk min/max summary whose per-user row count is bounded by
+    * the CALENDAR (span ÷ chunkSec) — a 10⁷-event bot (exactly the user
+    * this detector exists to find) no longer sorts its whole history in
+    * one task. Chunk ids are truncating-div buckets: monotone in ts
+    * (pre-1970 included) and tied timestamps share a chunk, so the pair
+    * decomposition is exact — chunked == unchunked is law-pinned in
+    * EventsSpec. */
+  def userGaps(events: DataFrame, chunkSec: Long = 0L,
       userCol: String = "user_id"): DataFrame = {
+    val ev = events.where(col(userCol).isNotNull)
+      .select(col(userCol), col("ts"), col("event_id"))
+    // whole-second truncating DIV over (prev, cur) pair rows — the same
+    // expression text as the oracle's `// 1000000`
+    def gaps(pairs: DataFrame): DataFrame = pairs.select(col(userCol),
+      expr("(unix_micros(__cur) - unix_micros(__prev)) DIV 1000000").as("gap_s"))
+    if (chunkSec <= 0L) {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(userCol)).orderBy(col("ts"), col("event_id"))
+      gaps(ev.withColumn("__prev", lag(col("ts"), 1).over(w))
+        .where(col("__prev").isNotNull)
+        .select(col(userCol), col("__prev"), col("ts").as("__cur")))
+    } else {
+      val e2 = ev.withColumn("__chunk",
+        expr(s"unix_micros(ts) DIV ${chunkSec * 1000000L}"))
+      val wc = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(userCol), col("__chunk")).orderBy(col("ts"), col("event_id"))
+      val within = e2.withColumn("__prev", lag(col("ts"), 1).over(wc))
+        .where(col("__prev").isNotNull)
+        .select(col(userCol), col("__prev"), col("ts").as("__cur"))
+      val summ = e2.groupBy(col(userCol), col("__chunk"))
+        .agg(min(col("ts")).as("__first"), max(col("ts")).as("__last"))
+      val ws = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(userCol)).orderBy(col("__chunk"))
+      val boundary = summ
+        .withColumn("__prevLast", lag(col("__last"), 1).over(ws))
+        .where(col("__prevLast").isNotNull)
+        .select(col(userCol), col("__prevLast").as("__prev"),
+          col("__first").as("__cur"))
+      gaps(within.unionByName(boundary))
+    }
+  }
+
+  def markovRemovalEffects(events: DataFrame, iters: Int = 16,
+      userCol: String = "user_id", chunkSec: Long = 0L): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
     val spark = events.sparkSession
     val w = org.apache.spark.sql.expressions.Window
@@ -366,28 +425,66 @@ object Events {
       .select(col(userCol), col("ts"), col("event_id"), col("event_type"),
         when(col("event_type") === "view",
           get_json_object(col("props"), "$.k").cast("long")).as("__camp"))
-    val kept = ev
-      .withColumn("__prior", coalesce(
-        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
-          .over(w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
-        lit(0L)))
-      .where(col("__prior") === 0L &&
+    // "no purchase strictly before this row" ⇔ (ts, event_id) ≤ the
+    // user's FIRST purchase (the order is total: event_id tiebreak) —
+    // one aggregate + one equi-join instead of an unbounded-preceding
+    // running sum over each user's entire history
+    val firstPurchase = ev.where(col("event_type") === "purchase")
+      .groupBy(col(userCol))
+      .agg(min(struct(col("ts"), col("event_id"))).as("__fp"))
+    val kept = ev.join(firstPurchase, Seq(userCol), "left")
+      .where((col("__fp").isNull ||
+          struct(col("ts"), col("event_id")) <= col("__fp")) &&
         (col("event_type") === "purchase" ||
           (col("event_type") === "view" && col("__camp").isNotNull)))
       .select(col(userCol), col("ts"), col("event_id"),
         when(col("event_type") === "purchase", lit("conv"))
           .otherwise(concat(lit("c"), col("__camp").cast("string"))).as("state"))
-    val seq = kept
-      .withColumn("__ord", row_number().over(w))
-      .withColumn("__nxt", lead(col("state"), 1).over(w))
-    val trans = seq
-      .select(col("state").as("f"),
-        coalesce(col("__nxt"),
-          when(col("state") === "conv", lit(null).cast("string"))
-            .otherwise(lit("drop"))).as("t"))
-      .unionByName(seq.where(col("__ord") === 1)
-        .select(lit("start").as("f"), col("state").as("t")))
-      .where(col("t").isNotNull)
+    val trans = (if (chunkSec <= 0L) {
+      val seq = kept
+        .withColumn("__ord", row_number().over(w))
+        .withColumn("__nxt", lead(col("state"), 1).over(w))
+      seq
+        .select(col("state").as("f"),
+          coalesce(col("__nxt"),
+            when(col("state") === "conv", lit(null).cast("string"))
+              .otherwise(lit("drop"))).as("t"))
+        .unionByName(seq.where(col("__ord") === 1)
+          .select(lit("start").as("f"), col("state").as("t")))
+    } else {
+      // Segmented sequence scan: a transition is either WITHIN a chunk
+      // (lead over (user, chunk) — the whale's history splits across
+      // chunks), ACROSS two consecutive non-empty chunks (last state of
+      // one → first state of the next, from the per-chunk summary whose
+      // per-user cardinality is calendar-bounded), the TERMINAL drop
+      // (the last chunk's last state), or the START row (the first
+      // chunk's first state). Chunk ids are truncating-div buckets —
+      // monotone in ts even pre-1970, and ties stay in one chunk.
+      val k2 = kept.withColumn("__chunk",
+        expr(s"unix_micros(ts) DIV ${chunkSec * 1000000L}"))
+      val wc = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(userCol), col("__chunk")).orderBy(col("ts"), col("event_id"))
+      val within = k2.withColumn("__nxt", lead(col("state"), 1).over(wc))
+        .where(col("__nxt").isNotNull)
+        .select(col("state").as("f"), col("__nxt").as("t"))
+      val summ = k2.groupBy(col(userCol), col("__chunk"))
+        .agg(min_by(col("state"), struct(col("ts"), col("event_id"))).as("__cfirst"),
+          max_by(col("state"), struct(col("ts"), col("event_id"))).as("__clast"))
+      val ws = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(userCol)).orderBy(col("__chunk"))
+      val s2 = summ
+        .withColumn("__nfirst", lead(col("__cfirst"), 1).over(ws))
+        .withColumn("__rk", row_number().over(ws))
+      val boundary = s2.where(col("__nfirst").isNotNull)
+        .select(col("__clast").as("f"), col("__nfirst").as("t"))
+      val terminal = s2.where(col("__nfirst").isNull)
+        .select(col("__clast").as("f"),
+          when(col("__clast") === "conv", lit(null).cast("string"))
+            .otherwise(lit("drop")).as("t"))
+      val start = s2.where(col("__rk") === 1)
+        .select(lit("start").as("f"), col("__cfirst").as("t"))
+      within.unionByName(boundary).unionByName(terminal).unionByName(start)
+    }).where(col("t").isNotNull)
     val cnt = trans.groupBy(col("f"), col("t")).agg(count(lit(1)).as("c"))
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     import spark.implicits._

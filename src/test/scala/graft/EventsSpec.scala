@@ -523,6 +523,51 @@ class EventsSpec extends SparkSpec {
         .toDF("event_id", "user_id", "event_type", "ts", "props")).count() === 0L)
   }
 
+  test("userGaps / markovRemovalEffects chunked == unchunked: the " +
+    "segmented whale-safe path is exact across chunk boundaries, " +
+    "boundary ties, and a dominant whale user") {
+    val rnd = new scala.util.Random(47)
+    // 2000 events for the whale (user 1), sparse traffic for 20 others;
+    // timestamps cluster around day boundaries (ties included) so the
+    // chunk decomposition's boundary pairs are genuinely exercised
+    val rows = (0 until 2600).map { i =>
+      val u = if (i < 2000) 1L else (2L + rnd.nextInt(20)).toLong
+      val day = rnd.nextInt(10)
+      val ms: Long = rnd.nextInt(4) match {
+        case 0 => 0L                            // exactly at a chunk edge
+        case 1 => DayMs - 1L                    // last instant of the chunk
+        case 2 => rnd.nextInt(5) * 1000L        // tied small offsets
+        case _ => rnd.nextInt(86400000).toLong
+      }
+      val typ = rnd.nextInt(10) match {
+        case 0 => "purchase"
+        case 1 | 2 | 3 => "click"
+        case _ => "view"
+      }
+      val props =
+        if (typ == "view" && rnd.nextInt(4) > 0) s"""{"k":${rnd.nextInt(5)}}"""
+        else null
+      (i.toLong, u, typ, dayTs(day, ms), props)
+    }
+    val ev = rows.toDF("event_id", "user_id", "event_type", "ts", "props")
+    // gaps: multiset equality per user (the chunked union emits pair
+    // rows in a different order; content must match exactly)
+    def gapBag(chunkSec: Long) =
+      Events.userGaps(ev, chunkSec = chunkSec)
+        .groupBy(col("user_id"), col("gap_s")).agg(count(lit(1)).as("n"))
+        .as[(Long, Long, Long)].collect().toSet
+    assert(gapBag(86400L) === gapBag(0L))
+    assert(gapBag(3600L) === gapBag(0L)) // chunk width must not matter
+    // markov: the full report frame is identical
+    def markov(chunkSec: Long) =
+      Events.markovRemovalEffects(ev, chunkSec = chunkSec)
+        .as[(String, Double, Double, Option[Double])].collect().sortBy(_._1).toSeq
+    val unchunked = markov(0L)
+    assert(unchunked.nonEmpty)
+    assert(markov(86400L) === unchunked)
+    assert(markov(3600L) === unchunked)
+  }
+
   test("holtWintersAnomalies: a spike on periodic traffic is rank 1 and " +
     "flagged; the exact-fit fixture flags nothing (σ = 0, ties → earliest days)") {
     val pattern = Seq(12, 8, 10, 11, 9, 10, 10)
