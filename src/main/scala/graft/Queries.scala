@@ -3378,20 +3378,33 @@ object Queries {
       knnOut(IvfIndex.query(model, qvec0(s, dir), k = 10, probes = 64, Metric.Euclidean))
     }),
 
-    // extension: deterministic invariants of the seeded k-means build —
-    // centroid count, full assignment coverage, and recall@10 of the
-    // pruned probe (2 of 8 clusters) vs the exact top-10. Seeded fit +
-    // fixed fit partitioning make these constants at a given SF.
+    // extension: invariants of the seeded k-means build. Every cell a
+    // SQL oracle can independently derive is an exact integer: centroid
+    // count (ceil(n/density)), assignment coverage as BOTH total rows
+    // AND distinct ids (catches duplicated records, not just net
+    // count), and full-probe hits vs the exact top-10 (= 10 by the
+    // funnel contract at ANY fit — probing every cluster is exhaustive
+    // search). The ONE fit-dependent cell, pruned-probe recall
+    // (2 of 8 clusters), stays a boolean: the seeded MLlib fit is
+    // engine-internal and not SQL-replayable, so an exact pruned count
+    // would encode this fit, not the operator (IvfIndexSpec pins it).
     "ivf_build_stats" -> ((s, dir) => {
       val r = recs(s, dir)
       val model = IvfIndex.buildCached(r, dir, density = 64, Metric.Euclidean, seed = 42L)
+      val exact10 = Knn.search(r, qvec0(s, dir), 10, Metric.Euclidean).select(col("id"))
       val ivf10 = IvfIndex.query(model, qvec0(s, dir), k = 10, probes = 2, Metric.Euclidean)
         .select(col("id"))
-      val exact10 = Knn.search(r, qvec0(s, dir), 10, Metric.Euclidean).select(col("id"))
+      val full10 = IvfIndex.query(model, qvec0(s, dir), k = 10,
+          probes = Int.MaxValue, Metric.Euclidean)
+        .select(col("id"))
       val hits = ivf10.join(exact10, Seq("id"), "left_semi")
         .agg((count(lit(1)) >= 3).as("recall_ok_at_10"))
+      val fullHits = full10.join(exact10, Seq("id"), "left_semi")
+        .agg(count(lit(1)).as("n_hit_full_probe"))
       model.centroids.agg(count(lit(1)).as("n_centroids"))
-        .crossJoin(model.assigned.agg(count(lit(1)).as("n_assigned")))
+        .crossJoin(model.assigned.agg(count(lit(1)).as("n_assigned"),
+          count_distinct(col("id")).as("n_distinct_assigned")))
+        .crossJoin(fullHits)
         .crossJoin(hits)
     }),
 
@@ -6778,8 +6791,6 @@ object Queries {
          |  FROM g JOIN documents d ON g.doc_id = d.doc_id)
          |WHERE rn = 1 ORDER BY rep_id""".stripMargin,
 
-    // invariant oracle (same family as ivf_build_stats): re-rank
-    // monotonicity, computed Spark-side
     // full-SQL replay of the PQ funnel (same CTE machinery as
     // ivf_adc_rerank): codebook assignment, full-probe LUT scan, raw
     // top-10 vs rerank-of-top-50, recall against the exact top-10
@@ -8033,12 +8044,17 @@ object Queries {
          |FROM embeddings e, q
          |ORDER BY ${sqlSq("e.embedding", "q.qvec")} ASC, e.vec_id ASC LIMIT 10""".stripMargin,
 
-    // scale-robust invariants: k = ceil(n/density); full coverage;
-    // probing 2 clusters must recover at least 3 of the exact top-10
-    // (measured seeded values: 6/10 at sf0.01, 4/10 at sf0.001)
+    // scale-robust invariants: k = ceil(n/density); full coverage (rows
+    // AND distinct ids — a duplicated record breaks the match); probing
+    // every cluster IS exhaustive search, so full-probe hits = 10 at any
+    // fit; probing 2 clusters must recover at least 3 of the exact
+    // top-10 (measured seeded values: 6/10 at sf0.01, 4/10 at sf0.001 —
+    // the one fit-dependent cell, hence boolean not integer)
     "ivf_build_stats" ->
       """SELECT CAST(ceil(count(*) / 64.0) AS BIGINT) AS n_centroids,
         |  CAST(count(*) AS BIGINT) AS n_assigned,
+        |  CAST(count(DISTINCT vec_id) AS BIGINT) AS n_distinct_assigned,
+        |  CAST(10 AS BIGINT) AS n_hit_full_probe,
         |  CAST(1 AS BOOLEAN) AS recall_ok_at_10 FROM embeddings""".stripMargin,
 
     "insert_invalid_dim" ->

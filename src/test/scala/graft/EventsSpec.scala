@@ -405,6 +405,16 @@ class EventsSpec extends SparkSpec {
       ("2024-02", 2L, 2L, 1L, 0.5)))
   }
 
+  test("survivalCurveByCohort: a single-user cohort — churned user gives " +
+    "a one-step curve to 0.0; censored-only cohort gives no curve rows") {
+    // end = day 40. Jan: lone user churned at t=5 → S(5) = 0.
+    // Feb: lone user censored (active at end) → cohort emits nothing.
+    val ev = lifeEvents(Seq((1L, 0, 5), (2L, 31, 40)))
+    val got = Events.survivalCurveByCohort(ev, churnDays = 7)
+      .as[(String, Long, Long, Long, Double)].collect().toSeq
+    assert(got === Seq(("2024-01", 5L, 1L, 1L, 0.0)))
+  }
+
   /** Day-count series → event frame (one event per count unit). */
   private def seriesEvents(counts: Seq[Int]) =
     counts.zipWithIndex.flatMap { case (n, day) =>
@@ -521,6 +531,37 @@ class EventsSpec extends SparkSpec {
     assert(Events.markovRemovalEffects(
       Seq(row(1, 1, "click", 1, None))
         .toDF("event_id", "user_id", "event_type", "ts", "props")).count() === 0L)
+  }
+
+  test("markovRemovalEffects: every journey converts (drop unreachable) — " +
+    "base = 1.0, removal effects still defined; lone-purchase journeys " +
+    "(no channel touch) contribute start→conv") {
+    def row(id: Long, u: Long, t: String, sec: Int, k: Option[Long]) =
+      (id, u, t, ts(f"2024-01-01 10:00:$sec%02d"),
+        k.map(v => s"""{"k":$v}""").orNull)
+    // u1: c1 → purchase; u2: c1 → purchase — drop has NO inbound edges
+    val allConv = Seq(
+      row(1, 1, "view", 1, Some(1L)), row(2, 1, "purchase", 2, None),
+      row(3, 2, "view", 1, Some(1L)), row(4, 2, "purchase", 2, None)
+    ).toDF("event_id", "user_id", "event_type", "ts", "props")
+    val got = Events.markovRemovalEffects(allConv)
+      .as[(String, Double, Double, Option[Double])].collect().toSeq
+    assert(got === Seq(("c1", 1.0, 0.0, Some(1.0))))
+    // chunked path agrees on the degenerate chain too
+    val chunked = Events.markovRemovalEffects(allConv, chunkSec = 3600L)
+      .as[(String, Double, Double, Option[Double])].collect().toSeq
+    assert(chunked === got)
+    // a user who purchases with NO channel touches: start→conv directly;
+    // removing the only channel then cannot zero the base
+    val mixed = Seq(
+      row(1, 1, "view", 1, Some(1L)), row(2, 1, "purchase", 2, None),
+      row(3, 2, "purchase", 1, None)
+    ).toDF("event_id", "user_id", "event_type", "ts", "props")
+    val g2 = Events.markovRemovalEffects(mixed)
+      .as[(String, Double, Double, Option[Double])].collect().toSeq
+    assert(g2.length === 1)
+    val (ch, base, without, eff) = g2.head
+    assert(ch === "c1" && base === 1.0 && without === 0.5 && eff === Some(0.5))
   }
 
   test("userGaps / markovRemovalEffects chunked == unchunked: the " +

@@ -107,6 +107,27 @@ class GraphSpec extends SparkSpec {
     assert(lone === ((0L, 0L, None)))
   }
 
+  test("pageRank / personalizedPageRank: a self-loop pair is legal input " +
+    "(mass conserved, no crash) even though the LSH emitters never " +
+    "produce one") {
+    // (5,5) alongside a normal edge: the symmetric-union gives node 5
+    // two self-edge copies — degree 2 loops back to itself. Mass must
+    // stay ≤ SCALE and every node keeps a row.
+    val pairs = Seq((1L, 2L), (5L, 5L))
+    val got = ranks(pairs)
+    assert(got.keySet === Set(1L, 2L, 5L))
+    assert(got.values.sum <= Graph.RankScale)
+    assert(got.values.forall(_ >= 0L))
+    // isolated self-loop component: node 5 receives only its own mass +
+    // teleport; with seeds pinned elsewhere it must get EXACTLY zero
+    val seeded = pranks(pairs, Seq(1L))
+    assert(seeded(5L) === 0L, seeded.toString)
+    // and seeding the self-loop node keeps all mass inside it
+    val selfSeeded = pranks(pairs, Seq(5L))
+    assert(selfSeeded(1L) === 0L && selfSeeded(2L) === 0L, selfSeeded.toString)
+    assert(selfSeeded(5L) > 0L)
+  }
+
   test("triangleCensus degree orientation: count matches a brute-force " +
     "census on a random graph, and a mid-id hub fans out nothing") {
     // random-ish deterministic graph: edges (a,b) with a<b from a fixed
