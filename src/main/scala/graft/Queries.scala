@@ -365,6 +365,22 @@ object Queries {
       |  FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
       |  WHERE CAST(len(list_intersect(a.h1, b.h1)) AS DOUBLE) / len(list_distinct(a.h1 || b.h1)) >= 0.5)""".stripMargin
 
+  /** Band layouts of the 16-permutation MinHash signature the LSH
+    * planner evaluates: (bands, rows-per-band) with bands·rows = 16. */
+  private val lshPlanLayouts = Seq((1, 16), (2, 8), (4, 4), (8, 2), (16, 1))
+
+  /** The S-curve candidate probability `1 − (1 − j^r)^b` as ONE SQL
+    * expression string shared verbatim by engine and oracle: powers are
+    * UNROLLED as left-associated multiplication chains (IEEE `*` is
+    * correctly rounded, so the same chain is bit-identical on both
+    * engines — `pow()` is libm and is not), and every literal is CAST
+    * to DOUBLE (DuckDB parses bare decimals as DECIMAL). */
+  private def sqlLshCandidateP(bands: Int, rows: Int): String = {
+    val jr = List.fill(rows)("jaccard").mkString(" * ")
+    val q = List.fill(bands)(s"(CAST(1.0 AS DOUBLE) - ($jr))").mkString(" * ")
+    s"CAST(1.0 AS DOUBLE) - ($q)"
+  }
+
   /** The dedup_pagerank oracle: [[operators.Graph.pageRank]]'s integer
     * fixed-point iteration UNROLLED as chained CTEs over the same
     * verified-pair graph ([[sqlMinhashPairsCtes]]). Every step is exact
@@ -2517,6 +2533,32 @@ object Queries {
           r4(col("dropped_tokens").cast("double") / col("total_tokens")).as("savings_frac"))
     }),
 
+    // extension: LSH layout EXPECTED RECALL over the corpus's OBSERVED
+    // verified pair set — the third leg of the banding toolkit:
+    // dedup_banding_planner gives the analytic S-curve, the accuracy
+    // meter gives estimator error, and THIS answers the question a
+    // tuner actually asks: "of the near-dup pairs this corpus really
+    // contains, what fraction would each band layout surface as
+    // candidates?" Per layout (b·r = 16): Σ (1 − (1 − j^r)^b) over
+    // verified pairs' exact Jaccards, r4-quantized to ints BEFORE the
+    // sum (shuffle-order-independent), powers unrolled as shared
+    // multiplication chains ([[sqlLshCandidateP]] — the identical
+    // expression text runs on both engines)
+    "dedup_lsh_expected_recall" -> ((s, dir) => {
+      val pairs = minhashPairs(s, dir)
+      lshPlanLayouts.map { case (b, r) =>
+        pairs.select(lit(b).as("bands"), lit(r).as("rows_per_band"),
+            expr(s"CAST(floor((${sqlLshCandidateP(b, r)}) * CAST(10000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)")
+              .as("__q"))
+          .groupBy(col("bands"), col("rows_per_band"))
+          .agg(count(lit(1)).as("n_pairs"), sum(col("__q")).as("__sq"))
+      }.reduce(_ unionByName _)
+        .select(col("bands"), col("rows_per_band"), col("n_pairs"),
+          r4(expr("CAST(__sq AS DOUBLE) / CAST(10000.0 AS DOUBLE) / CAST(n_pairs AS DOUBLE)"))
+            .as("expected_recall"))
+        .orderBy("bands")
+    }),
+
     // extension: MinHash estimation-ACCURACY meter — the empirical
     // companion to dedup_banding_planner: over the verified pair set,
     // |sig-estimated Jaccard − exact Jaccard| summarized with exact
@@ -3718,6 +3760,32 @@ object Queries {
     // fraction of each val-split document's distinct 8-gram hashes never
     // seen in the train split (the acquisition-time "is this batch worth
     // its training tokens?" check); only 8-byte hashes shuffle
+    // extension: the STANDING GRAM INDEX surfaced as a first-class
+    // report — per split: document count, documents carrying ≥1 8-gram,
+    // index rows (distinct (doc, gram) pairs), distinct grams. The
+    // capacity/coverage dashboard of the decontamination family's
+    // shared index (built once per corpus version; this query reads the
+    // same memoized frame the other four consume). Single-distinct
+    // rollups joined — never two distincts in one agg (no-Expand rule)
+    "corpus_gram_index_stats" -> ((s, dir) => {
+      val g = splitGrams8(s, dir)
+      val gr = g.where(col("h").isNotNull)
+      val nd = g.select(col("split"), col("doc_id")).distinct()
+        .groupBy(col("split")).agg(count(lit(1)).as("n_docs"))
+      val ndg = gr.select(col("split"), col("doc_id")).distinct()
+        .groupBy(col("split")).agg(count(lit(1)).as("n_docs_with_grams"))
+      val nr = gr.groupBy(col("split")).agg(count(lit(1)).as("n_gram_rows"))
+      val dg = gr.select(col("split"), col("h")).distinct()
+        .groupBy(col("split")).agg(count(lit(1)).as("n_distinct_grams"))
+      nd.join(ndg, Seq("split"), "left").join(nr, Seq("split"), "left")
+        .join(dg, Seq("split"), "left")
+        .select(col("split"), col("n_docs"),
+          coalesce(col("n_docs_with_grams"), lit(0L)).as("n_docs_with_grams"),
+          coalesce(col("n_gram_rows"), lit(0L)).as("n_gram_rows"),
+          coalesce(col("n_distinct_grams"), lit(0L)).as("n_distinct_grams"))
+        .orderBy("split")
+    }),
+
     "corpus_novelty" -> ((s, dir) =>
       graft.operators.Corpus.noveltyFromGrams(
           splitGramRows(s, dir, "val"), splitGramRows(s, dir, "train"))
@@ -6272,6 +6340,37 @@ object Queries {
       s"""$sqlCcCte
          |SELECT node AS doc_id, min(lab) AS rep_id FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
 
+    // the verified pair list with RAW jaccard (a ratio of exact ints —
+    // bit-identical across engines), then each band layout's unrolled
+    // S-curve chain summed over r4-quantized per-pair probabilities
+    "dedup_lsh_expected_recall" ->
+      s"""WITH toks AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(len(tk) - 2, 0)),
+         |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
+         |  FROM (SELECT doc_id, regexp_split_to_array(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+') AS tk FROM documents)),
+         |ne AS (SELECT doc_id, sh FROM toks WHERE len(sh) > 0),
+         |hh AS (SELECT doc_id, sh,
+         |  list_transform(sh, s -> list_reduce(list_transform(string_split_regex(substr(md5(s), 1, 14), ''),
+         |    c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a * 16 + b)) AS h1,
+         |  list_transform(sh, s -> list_reduce(list_transform(string_split_regex(substr(md5(s), 17, 14), ''),
+         |    c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a * 16 + b)) AS h2
+         |  FROM ne),
+         |sig AS (SELECT doc_id, h1, list_transform(generate_series(0, 15), i ->
+         |  list_min(list_transform(list_zip(h1, h2), p -> p[1] + i * p[2]))) AS sg FROM hh),
+         |bands AS (SELECT doc_id, h1, u.b AS band_idx,
+         |  md5(array_to_string(list_slice(sg, u.b * 4 + 1, u.b * 4 + 4), '|')) AS band_hash
+         |  FROM sig, (SELECT unnest([0, 1, 2, 3]) AS b) u),
+         |j AS (SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+         |  CAST(len(list_intersect(a.h1, b.h1)) AS DOUBLE) / len(list_distinct(a.h1 || b.h1)) AS jaccard
+         |  FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+         |jf AS (SELECT jaccard FROM j WHERE jaccard >= 0.5)
+         |${lshPlanLayouts.map { case (b, r) =>
+             s"""SELECT CAST($b AS INT) AS bands, CAST($r AS INT) AS rows_per_band,
+                |  CAST(count(*) AS BIGINT) AS n_pairs,
+                |  ${sqlR4(s"CAST(sum(CAST(floor((${sqlLshCandidateP(b, r)}) * CAST(10000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS DOUBLE) / CAST(10000.0 AS DOUBLE) / CAST(count(*) AS DOUBLE)")} AS expected_recall
+                |FROM jf GROUP BY 1, 2""".stripMargin
+           }.mkString("\nUNION ALL\n")}
+         |ORDER BY bands""".stripMargin,
+
     // the pair CTEs expose sig (sg) and distinct shingle hashes (h1);
     // the same r4-quantize-before-mean discipline
     "dedup_minhash_accuracy" ->
@@ -8294,6 +8393,30 @@ object Queries {
          |  FROM toks, unnest(sh) AS u(s) WHERE bucket >= 90)
          |SELECT doc_id, count(DISTINCT hh) AS n_shared
          |FROM tg JOIN vg USING (hh) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // the standing index replayed: same split CASE (NULL bucket → ELSE
+    // 'test', matching Spark's when-otherwise on a null hash), same
+    // 56-bit md5-prefix gram hashes, single-distinct rollups
+    "corpus_gram_index_stats" ->
+      s"""WITH h AS (SELECT doc_id, text, list_reduce(list_transform(string_split_regex(substr(md5(text), 1, 8), ''),
+         |    c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a * 16 + b) % 100 AS bucket FROM documents),
+         |sp AS (SELECT doc_id, text,
+         |  CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split FROM h),
+         |toks AS (SELECT doc_id, split, list_distinct(list_transform(generate_series(1, greatest(len(tk) - 7, 0)),
+         |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4] || ' ' || tk[i+5] || ' ' || tk[i+6] || ' ' || tk[i+7])) AS sh
+         |  FROM (SELECT doc_id, split, regexp_split_to_array(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+') AS tk FROM sp)),
+         |gd AS (SELECT DISTINCT split, doc_id, list_reduce(list_transform(string_split_regex(substr(md5(u.s), 1, 14), ''),
+         |    c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a * 16 + b) AS hh
+         |  FROM toks, unnest(sh) AS u(s)),
+         |nd AS (SELECT split, CAST(count(*) AS BIGINT) AS n_docs FROM sp GROUP BY split),
+         |x AS (SELECT split, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs_with_grams,
+         |  CAST(count(*) AS BIGINT) AS n_gram_rows,
+         |  CAST(count(DISTINCT hh) AS BIGINT) AS n_distinct_grams FROM gd GROUP BY split)
+         |SELECT nd.split, nd.n_docs,
+         |  coalesce(x.n_docs_with_grams, 0) AS n_docs_with_grams,
+         |  coalesce(x.n_gram_rows, 0) AS n_gram_rows,
+         |  coalesce(x.n_distinct_grams, 0) AS n_distinct_grams
+         |FROM nd LEFT JOIN x USING (split) ORDER BY split""".stripMargin,
 
     // the same first-8-md5-hex content hash mod k
     "corpus_folds" ->
