@@ -69,20 +69,25 @@ object Bench {
       // but it jitters exactly the per-lane timings bench_diff gates
       // on. Defer the builders' clear to the single post-lane clear.
       // Per-build times are still measured inside each lane.
+      // Lane balance (measured at sf0.1): apply+multi ≈ 13 s,
+      // knn+semantic ≈ 12 s, decon+substring+rank frames ≈ 12 s — max
+      // lane ≈ 13 s vs 18 s when the rank builds trailed the MinHash
+      // lane. Cross-lane memo dependencies are SAFE, not racy: the
+      // memos are ConcurrentHashMap.computeIfAbsent, so when lane 3's
+      // pagerank reaches for the MinHash pair list while lane 1's
+      // dedup_apply is still building it, it blocks on the same
+      // compute and reuses the one result.
       val lanes = Seq(
-        // dedup_pagerank materializes the converged rank frame its
-        // canonical-selection sibling shares; it extends the MinHash
-        // lane because it consumes that lane's memoized pair list
-        Seq("dedup_apply", "dedup_multi", "dedup_pagerank",
-          "dedup_pagerank_seeded"),
-        // corpus_substring_dedup materializes the ExactSubstr census
-        // memo its scrub sibling shares — same corpus-version-state
-        // treatment as the group maps
-        Seq("embed_knn_accuracy", "dedup_semantic", "corpus_substring_dedup"),
+        // dedup_multi extends dedup_apply's converged map incrementally
+        Seq("dedup_apply", "dedup_multi"),
+        Seq("embed_knn_accuracy", "dedup_semantic"),
         // corpus_decontaminate materializes the standing split-gram
-        // index (Queries.splitGrams8) its three decontamination-family
-        // siblings share — the "built once per corpus version" index
-        Seq("corpus_decontaminate"))
+        // index (Queries.splitGrams8) its decontamination-family
+        // siblings share; corpus_substring_dedup the ExactSubstr census
+        // memo; the two rank builds the converged PageRank frames —
+        // all "built once per corpus version" session state
+        Seq("corpus_decontaminate", "corpus_substring_dedup",
+          "dedup_pagerank", "dedup_pagerank_seeded"))
       val laneTimes = new java.util.concurrent.ConcurrentHashMap[String, Double]()
       val laneError = new java.util.concurrent.atomic.AtomicReference[Throwable]()
       Queries.deferBuilderCacheClear.set(true)
