@@ -729,23 +729,26 @@ object Queries {
     * corpus, and semi-joined by every batch
     * ([[operators.Corpus.gramIndex]]). */
   private val splitGramsCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-  private def splitGrams8(s: SparkSession, dir: String): DataFrame = {
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Int), DataFrame]()
+  private def splitGrams(s: SparkSession, dir: String, n: Int): DataFrame = {
     splitGramsCache.keySet.removeIf(_._1.sparkContext.isStopped)
-    splitGramsCache.computeIfAbsent((s, dir), _ =>
+    splitGramsCache.computeIfAbsent((s, dir, n), _ =>
       org.apache.spark.sql.graft.PlanBridge.statsReset(
         graft.operators.Corpus.assignSplit(
             docs(s, dir).repartition(col("doc_id")), col("text"))
           .select(col("split"), col("doc_id"), explode_outer(
             TextOps.shingleHashes(
-              TextOps.shinglesFromTokens(TextOps.tokens(col("text")), 8))).as("h"))
+              TextOps.shinglesFromTokens(TextOps.tokens(col("text")), n))).as("h"))
           .distinct()
           .localCheckpoint(eager = true)))
   }
-  /** One split's gram rows from [[splitGrams8]] (gram-less docs' null
+  private def splitGrams8(s: SparkSession, dir: String): DataFrame =
+    splitGrams(s, dir, 8)
+  /** One split's gram rows from [[splitGrams]] (gram-less docs' null
     * rows dropped — the FromGrams consumers count gram rows). */
-  private def splitGramRows(s: SparkSession, dir: String, split: String): DataFrame =
-    splitGrams8(s, dir)
+  private def splitGramRows(s: SparkSession, dir: String, split: String,
+      n: Int = 8): DataFrame =
+    splitGrams(s, dir, n)
       .where(col("split") === split && col("h").isNotNull)
       .select(col("doc_id"), col("h"))
 
@@ -3689,6 +3692,17 @@ object Queries {
     "corpus_decontaminate" -> ((s, dir) =>
       graft.operators.Corpus.decontaminateFromGrams(
           splitGramRows(s, dir, "train"), splitGramRows(s, dir, "val"))
+        .orderBy("doc_id")),
+
+    // extension: 13-gram decontamination — the GPT-3 convention (Brown
+    // et al. 2020 appendix C decontaminates on 13-gram overlap): longer
+    // grams trade recall for precision, flagging only near-verbatim
+    // leakage. Same standing-index machinery at n = 13 (its own memoized
+    // frame — a 13-gram index shares nothing with the 8-gram one)
+    "corpus_decontaminate_13" -> ((s, dir) =>
+      graft.operators.Corpus.decontaminateFromGrams(
+          splitGramRows(s, dir, "train", n = 13),
+          splitGramRows(s, dir, "val", n = 13))
         .orderBy("doc_id")),
 
     // extension: Bloom-prefiltered decontamination — the scale shape for
@@ -8366,6 +8380,22 @@ object Queries {
          |    c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a * 16 + b) % 100 AS bucket FROM documents),
          |toks AS (SELECT doc_id, bucket, list_distinct(list_transform(generate_series(1, greatest(len(tk) - 7, 0)),
          |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4] || ' ' || tk[i+5] || ' ' || tk[i+6] || ' ' || tk[i+7])) AS sh
+         |  FROM (SELECT doc_id, bucket, regexp_split_to_array(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+') AS tk FROM h)),
+         |tg AS (SELECT doc_id, list_reduce(list_transform(string_split_regex(substr(md5(u.s), 1, 14), ''),
+         |    c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a * 16 + b) AS hh
+         |  FROM toks, unnest(sh) AS u(s) WHERE bucket < 80),
+         |vg AS (SELECT DISTINCT list_reduce(list_transform(string_split_regex(substr(md5(u.s), 1, 14), ''),
+         |    c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a * 16 + b) AS hh
+         |  FROM toks, unnest(sh) AS u(s) WHERE bucket >= 80 AND bucket < 90)
+         |SELECT doc_id, count(DISTINCT hh) AS n_shared
+         |FROM tg JOIN vg USING (hh) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // the 8-gram oracle at the GPT-3 13-gram window
+    "corpus_decontaminate_13" ->
+      s"""WITH h AS (SELECT doc_id, text, list_reduce(list_transform(string_split_regex(substr(md5(text), 1, 8), ''),
+         |    c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a * 16 + b) % 100 AS bucket FROM documents),
+         |toks AS (SELECT doc_id, bucket, list_distinct(list_transform(generate_series(1, greatest(len(tk) - 12, 0)),
+         |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4] || ' ' || tk[i+5] || ' ' || tk[i+6] || ' ' || tk[i+7] || ' ' || tk[i+8] || ' ' || tk[i+9] || ' ' || tk[i+10] || ' ' || tk[i+11] || ' ' || tk[i+12])) AS sh
          |  FROM (SELECT doc_id, bucket, regexp_split_to_array(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+') AS tk FROM h)),
          |tg AS (SELECT doc_id, list_reduce(list_transform(string_split_regex(substr(md5(u.s), 1, 14), ''),
          |    c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a * 16 + b) AS hh

@@ -235,6 +235,75 @@ object DocIngest {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming DECONTAMINATION hits — the ingest-door half of
+    * [[graft.operators.Corpus.decontaminate]]: each incoming document's
+    * DISTINCT word-`n`-gram hashes (`array_distinct` BEFORE the explode —
+    * per-doc dedup with NO streaming state; a streaming `distinct()`
+    * would need an unbounded state store) stream-static-join the
+    * maintained benchmark gram set and emit one `(doc_id, h)` row per
+    * leaked gram. The benchmark side is the standing gram index
+    * ([[graft.operators.Corpus.gramIndex]] — built once per benchmark
+    * version, a stored table at warehouse scale); its rows must be
+    * DISTINCT on `h`, the same precondition as the batch FromGrams
+    * consumers, so per-doc leak counts are plain `count(1)`s.
+    *
+    * Works identically on batch and streaming inputs (stateless
+    * projections + one stream-static join) — [[startDecontamination]]
+    * aggregates per micro-batch in `foreachBatch`. */
+  def contaminationHits(
+      newDocs: DataFrame,
+      benchGrams: DataFrame,
+      n: Int = 8): DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    newDocs
+      .select(col("doc_id"), explode(array_distinct(
+        TextOps.shingleHashes(
+          TextOps.shinglesFromTokens(TextOps.tokens(col("text")), n)))).as("h"))
+      .join(benchGrams.select(col("h")), Seq("h"))
+      .select(col("doc_id"), col("h"))
+  }
+
+  /** Streaming decontamination ADMISSION — the 5th ingest-door gate:
+    * documents sharing more than `maxShared` distinct `n`-grams with the
+    * benchmark are quarantined to `flaggedPath` as `(doc_id, n_shared)`
+    * (the audit trail an eval team reads); clean documents append to
+    * `storePath`. Per micro-batch: one map-only gram pass, one
+    * stream-static hash join, one count per flagged doc — throughput
+    * scales with executors and is independent of benchmark size.
+    * Stream == batch ([[graft.operators.Corpus.decontaminate]] over the
+    * union of waves) is pinned in StreamingSpec, including across a
+    * restart on the same checkpoint. */
+  def startDecontamination(
+      spark: SparkSession,
+      dir: String,
+      benchGrams: DataFrame,
+      storePath: String,
+      flaggedPath: String,
+      checkpointPath: String,
+      n: Int = 8,
+      maxShared: Long = 0L): StreamingQuery =
+    readDocs(spark, dir)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // two sink legs (flagged, admitted) read the micro-batch — persist
+        // once so each source file is read and tokenized once per trigger
+        val b = batch.persist()
+        try {
+          val flagged = contaminationHits(b, benchGrams, n)
+            .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+            .where(col("n_shared") > maxShared)
+          flagged.write.mode("append").parquet(flaggedPath)
+          b.join(flagged, Seq("doc_id"), "left_anti")
+            .select(col("doc_id"), col("text"))
+            .write.mode("append").parquet(storePath)
+        } finally b.unpersist()
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Streaming DSIR admission — importance resampling at the ingest
     * door: each incoming document is scored for target-likeness with the
     * map-only [[graft.operators.Corpus.dsirScore]] expression over a

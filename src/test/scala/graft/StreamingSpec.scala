@@ -555,6 +555,55 @@ class StreamingSpec extends SparkSpec {
     assert(!streamed.exists(_._1 == 102L), "novel doc must pass the gate unmatched")
   }
 
+  test("streaming decontamination gate: flagged counts equal the batch " +
+    "decontaminate across two waves and a restart; clean docs pass") {
+    import graft.streaming.DocIngest
+    import graft.operators.Corpus
+    import org.apache.spark.sql.functions.{col, lit}
+    val root = java.nio.file.Files.createTempDirectory("graft_decon_stream")
+    val inDir = s"$root/in"
+    val store = s"$root/store"
+    val flagged = s"$root/flagged"
+    val ckpt = s"$root/ckpt"
+    // benchmark: two eval items; leak = any shared 8-gram
+    val bench = Seq(
+      (900L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (901L, "one two three four five six seven eight nine ten eleven"))
+      .toDF("doc_id", "text")
+    val benchGrams = Corpus.gramIndex(bench, 8).cache()
+    // wave 1: doc 1 embeds a full benchmark 8-gram run (leaks), doc 2 is
+    // clean, doc 3 shares only 7 consecutive tokens (NOT a leak at n=8)
+    val w1 = Seq(
+      (1L, "prefix alpha beta gamma delta epsilon zeta eta theta iota kappa suffix"),
+      (2L, "completely novel text about catalyst rules and physical plans today"),
+      (3L, "alpha beta gamma delta epsilon zeta eta padding padding padding"))
+    // wave 2 (through a RESTARTED query, same checkpoint): doc 4 leaks
+    // from the OTHER benchmark item, doc 5 has null text (no grams)
+    val w2 = Seq(
+      (4L, "noise one two three four five six seven eight nine ten eleven more"),
+      (5L, null.asInstanceOf[String]))
+    w1.toDF("doc_id", "text").write.mode("append").parquet(inDir)
+    DocIngest.startDecontamination(spark, inDir, benchGrams, store, flagged, ckpt)
+      .awaitTermination()
+    w2.toDF("doc_id", "text").write.mode("append").parquet(inDir)
+    DocIngest.startDecontamination(spark, inDir, benchGrams, store, flagged, ckpt)
+      .awaitTermination()
+
+    val streamedFlagged = spark.read.parquet(flagged)
+      .as[(Long, Long)].collect().toSet
+    val batchFlagged = Corpus.decontaminate(
+        (w1 ++ w2).toDF("doc_id", "text"), bench, n = 8)
+      .where(col("n_shared") > lit(0L))
+      .as[(Long, Long)].collect().toSet
+    assert(streamedFlagged === batchFlagged,
+      s"stream flagged $streamedFlagged vs batch $batchFlagged")
+    assert(streamedFlagged.map(_._1) === Set(1L, 4L))
+    val admitted = spark.read.parquet(store)
+      .select("doc_id").as[Long].collect().toSet
+    assert(admitted === Set(2L, 3L, 5L),
+      s"7-token overlap and null text must pass, got $admitted")
+  }
+
   test("streaming admission: quality + language + near-dup gates compose end-to-end") {
     import graft.streaming.DocIngest
     val base = "the quick brown fox jumps over the lazy dog and it is " +
