@@ -252,6 +252,24 @@ class PlanShapeSpec extends SparkSpec {
       assert(!e.contains("text#"), s"text column in shuffle: $e"))
   }
 
+  test("standing gram index: once materialized, every decontamination-family " +
+    "consumer plans over the checkpointed RDD — zero documents-parquet rescans") {
+    // materialize the memo (any consumer builds it)
+    Queries.queries("corpus_decontaminate")(spark, sf)
+      .write.format("noop").mode("overwrite").save()
+    // each sibling's physical plan must read the memoized index (an
+    // ExistingRDD scan), never re-tokenize the corpus: a regression here
+    // is exactly the 7.6 s-per-query recompute the index exists to kill
+    Seq("corpus_decontaminate", "corpus_decontaminate_bloom",
+      "corpus_decontaminate_13", "corpus_contamination_report",
+      "corpus_novelty", "corpus_gram_index_stats").foreach { q =>
+      val p = plan(Queries.queries(q)(spark, sf))
+      assert(!p.contains("documents.parquet"),
+        s"$q re-scans the corpus instead of the standing gram index")
+      assert(p.contains("ExistingRDD"), s"$q must scan the checkpointed index")
+    }
+  }
+
   test("dedup_apply anti-join shuffles only the doc_id key, scan is column-pruned") {
     val p = plan(Queries.queries("dedup_apply")(spark, sf))
     // a dedup drop list can be a large fraction of the corpus, so the
