@@ -3694,6 +3694,29 @@ object Queries {
           splitGramRows(s, dir, "train"), splitGramRows(s, dir, "val"))
         .orderBy("doc_id")),
 
+    // extension: contamination BY SOURCE — the acquisition-side view of
+    // the leak: for each ingestion source, how many of its train-split
+    // docs share a val 8-gram and how many leaked gram incidences it
+    // carries. This is the report that decides which CRAWL to fix (a
+    // benchmark leaking through one scraped mirror is one source row
+    // here). Composes the standing index with one narrow (doc_id,
+    // source) join; sources with no leak report zeros (the full source
+    // roster enumerates — auditability over brevity)
+    "corpus_contamination_by_source" -> ((s, dir) => {
+      // '(null)' sentinel for a null source — the repo's established
+      // convention (corpus_rollup): a raw null group key would hit the
+      // NULLS FIRST/LAST sort divergence
+      val d = docs(s, dir).select(col("doc_id"),
+        coalesce(col("source"), lit("(null)")).as("source"))
+      val flagged = graft.operators.Corpus.decontaminateFromGrams(
+        splitGramRows(s, dir, "train"), splitGramRows(s, dir, "val"))
+      d.join(flagged, Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(sum(when(col("n_shared").isNotNull, 1L).otherwise(0L)).as("n_flagged_docs"),
+          coalesce(sum(col("n_shared")), lit(0L)).as("n_leaked_grams"))
+        .orderBy("source")
+    }),
+
     // extension: 13-gram decontamination — the GPT-3 convention (Brown
     // et al. 2020 appendix C decontaminates on 13-gram overlap): longer
     // grams trade recall for precision, flagging only near-verbatim
@@ -8389,6 +8412,28 @@ object Queries {
          |  FROM toks, unnest(sh) AS u(s) WHERE bucket >= 80 AND bucket < 90)
          |SELECT doc_id, count(DISTINCT hh) AS n_shared
          |FROM tg JOIN vg USING (hh) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // the decontaminate oracle pivoted to the source axis: flagged train
+    // docs left-joined back onto the full doc roster, '(null)' sentinel
+    "corpus_contamination_by_source" ->
+      s"""WITH h AS (SELECT doc_id, text, list_reduce(list_transform(string_split_regex(substr(md5(text), 1, 8), ''),
+         |    c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a * 16 + b) % 100 AS bucket FROM documents),
+         |toks AS (SELECT doc_id, bucket, list_distinct(list_transform(generate_series(1, greatest(len(tk) - 7, 0)),
+         |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4] || ' ' || tk[i+5] || ' ' || tk[i+6] || ' ' || tk[i+7])) AS sh
+         |  FROM (SELECT doc_id, bucket, regexp_split_to_array(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+') AS tk FROM h)),
+         |tg AS (SELECT doc_id, list_reduce(list_transform(string_split_regex(substr(md5(u.s), 1, 14), ''),
+         |    c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a * 16 + b) AS hh
+         |  FROM toks, unnest(sh) AS u(s) WHERE bucket < 80),
+         |vg AS (SELECT DISTINCT list_reduce(list_transform(string_split_regex(substr(md5(u.s), 1, 14), ''),
+         |    c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a * 16 + b) AS hh
+         |  FROM toks, unnest(sh) AS u(s) WHERE bucket >= 80 AND bucket < 90),
+         |fl AS (SELECT doc_id, CAST(count(DISTINCT hh) AS BIGINT) AS n_shared
+         |  FROM tg JOIN vg USING (hh) GROUP BY doc_id)
+         |SELECT coalesce(d.source, '(null)') AS source,
+         |  CAST(sum(CASE WHEN fl.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged_docs,
+         |  CAST(coalesce(sum(fl.n_shared), 0) AS BIGINT) AS n_leaked_grams
+         |FROM documents d LEFT JOIN fl ON d.doc_id = fl.doc_id
+         |GROUP BY 1 ORDER BY source""".stripMargin,
 
     // the 8-gram oracle at the GPT-3 13-gram window
     "corpus_decontaminate_13" ->
