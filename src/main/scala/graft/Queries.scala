@@ -5013,6 +5013,27 @@ object Queries {
             / col("s").cast("double")).as("top10_share"))
     }),
 
+    // extension: SALTED equi-join — the whale-key join shape the
+    // events_key_skew diagnostic decides on: the per-user signup-month
+    // dim (data-proportional — NOT broadcastable at 100 TB) joins back
+    // onto the fact stream with each user's rows spread across 16 salt
+    // lanes (dim replicated ×16, facts routed by pmod(event_id, 16)),
+    // so the whale user's history occupies 16 tasks instead of one.
+    // Result == the plain join row-for-row (law-pinned in EventsSpec);
+    // the oracle replays the UNSALTED join — same rows by construction
+    "events_salted_enrich" -> ((s, dir) => {
+      val ev = events(s, dir).where(col("user_id").isNotNull)
+        .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      val dim = ev.groupBy(col("user_id")).agg(min(col("ts")).as("__f"))
+        .select(col("user_id"),
+          date_format(date_trunc("month", col("__f")), "yyyy-MM").as("cohort"))
+      operators.Skew.saltedEquiJoin(ev, dim, "user_id", col("event_id"), salts = 16)
+        .groupBy(col("cohort"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          count_distinct(col("user_id")).as("n_users"))
+        .orderBy("cohort", "event_type")
+    }),
+
     // extension: key-SKEW diagnostic — the pre-join probe that decides
     // salting/AQE-skew handling: the 10 hottest join keys with their
     // share of all rows and the whale ratio vs a uniform spread. One
@@ -7537,6 +7558,16 @@ object Queries {
          |  ${sqlR4("CAST(mad.mad AS DOUBLE) / (CAST(2.0 AS DOUBLE) * CAST(tot.n AS DOUBLE) * CAST(tot.s AS DOUBLE))")} AS gini,
          |  ${sqlR4("(CAST(bd.cum_e AS DOUBLE) - CAST(bd.ua AS DOUBLE) * bd.va + CAST(bd.k - (bd.cum_u - bd.ua) AS DOUBLE) * bd.va) / CAST(tot.s AS DOUBLE)")} AS top10_share
          |FROM tot, mad, bd""".stripMargin,
+
+    // salting is invisible to semantics: the oracle is the plain join
+    "events_salted_enrich" ->
+      """WITH ev AS (SELECT user_id, event_id, event_type, ts FROM events WHERE user_id IS NOT NULL),
+        |dim AS (SELECT user_id, strftime(date_trunc('month', min(ts)), '%Y-%m') AS cohort
+        |  FROM ev GROUP BY user_id)
+        |SELECT d.cohort, e.event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+        |FROM ev e JOIN dim d ON e.user_id = d.user_id
+        |GROUP BY 1, 2 ORDER BY cohort, event_type""".stripMargin,
 
     "events_key_skew" ->
       s"""WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY user_id),

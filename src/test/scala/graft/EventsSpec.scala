@@ -564,6 +564,40 @@ class EventsSpec extends SparkSpec {
     assert(ch === "c1" && base === 1.0 && without === 0.5 && eff === Some(0.5))
   }
 
+  test("Skew.saltedEquiJoin == plain equi-join: exact row multiset under " +
+    "inner and left_outer, whale key spread across lanes, outer refusal") {
+    import graft.operators.Skew
+    val rnd = new scala.util.Random(59)
+    // whale: key 7 carries 500 fact rows; 20 other keys sparse; key 99
+    // has facts but NO dim row (exercises left_outer null lane)
+    val facts = ((0 until 500).map(i => (7L, i.toLong, rnd.nextInt(100))) ++
+      (0 until 200).map(i => ((rnd.nextInt(20) + 10).toLong, 1000L + i, rnd.nextInt(100))) ++
+      (0 until 5).map(i => (99L, 2000L + i, i)))
+      .toDF("k", "row_id", "v")
+    val dim = (Seq(7L) ++ (10L until 30L) ++ Seq(50L) /* dim-only key */)
+      .map(k => (k, s"d$k")).toDF("k", "attr")
+    def bag(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("k"), col("row_id"), col("v"),
+        coalesce(col("attr"), lit("(none)")).as("attr"))
+      .as[(Long, Long, Int, String)].collect().sorted.toSeq
+    for (salts <- Seq(1, 4, 16)) {
+      val inner = bag(Skew.saltedEquiJoin(facts, dim, "k", col("row_id"), salts))
+      assert(inner === bag(facts.join(dim, Seq("k"))), s"inner salts=$salts")
+      val lo = bag(Skew.saltedEquiJoin(facts, dim, "k", col("row_id"), salts,
+        joinType = "left_outer"))
+      assert(lo === bag(facts.join(dim, Seq("k"), "left_outer")),
+        s"left_outer salts=$salts (unmatched facts appear exactly once)")
+    }
+    // the whale's rows really do split: 16 salts → 16 distinct lanes
+    val lanes = facts.where(col("k") === 7L)
+      .select(pmod(col("row_id"), lit(16L)).cast("int").as("salt"))
+      .distinct().count()
+    assert(lanes === 16L)
+    intercept[IllegalArgumentException] {
+      Skew.saltedEquiJoin(facts, dim, "k", col("row_id"), 4, joinType = "right_outer")
+    }
+  }
+
   test("userGaps / markovRemovalEffects chunked == unchunked: the " +
     "segmented whale-safe path is exact across chunk boundaries, " +
     "boundary ties, and a dominant whale user") {
