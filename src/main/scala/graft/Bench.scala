@@ -80,14 +80,14 @@ object Bench {
       val lanes = Seq(
         // dedup_multi extends dedup_apply's converged map incrementally
         Seq("dedup_apply", "dedup_multi"),
-        Seq("embed_knn_accuracy", "dedup_semantic"),
+        // corpus_substring_dedup materializes the ExactSubstr census memo
+        Seq("embed_knn_accuracy", "dedup_semantic", "corpus_substring_dedup"),
         // corpus_decontaminate materializes the standing split-gram
         // index (Queries.splitGrams8) its decontamination-family
-        // siblings share; corpus_substring_dedup the ExactSubstr census
-        // memo; the two rank builds the converged PageRank frames —
-        // all "built once per corpus version" session state
-        Seq("corpus_decontaminate", "corpus_substring_dedup",
-          "dedup_pagerank", "dedup_pagerank_seeded"))
+        // siblings share; the two rank builds the converged PageRank
+        // frames — all "built once per corpus version" session state
+        Seq("corpus_decontaminate", "dedup_pagerank",
+          "dedup_pagerank_seeded"))
       val laneTimes = new java.util.concurrent.ConcurrentHashMap[String, Double]()
       val laneError = new java.util.concurrent.atomic.AtomicReference[Throwable]()
       Queries.deferBuilderCacheClear.set(true)

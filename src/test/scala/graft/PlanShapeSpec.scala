@@ -270,6 +270,25 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("events_salted_enrich: the fact-dim join Exchange partitions on " +
+    "(user_id, __salt) — dropping the salt from the join key would " +
+    "silently restore the whale-key funnel") {
+    // at test scale Catalyst (rightly) broadcasts the tiny dim and no
+    // join shuffle exists; the property under pin is the 100 TB shape,
+    // where the data-proportional dim exceeds any broadcast threshold —
+    // force the shuffle path to expose it
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan(Queries.queries("events_salted_enrich")(spark, sf))
+      val saltedExchange = p.linesIterator.exists(l =>
+        l.contains("hashpartitioning") && l.contains("user_id") && l.contains("__salt"))
+      assert(saltedExchange,
+        "expected a shuffle keyed on (user_id, __salt):\n" +
+          p.linesIterator.filter(_.contains("hashpartitioning")).mkString("\n"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("dedup_apply anti-join shuffles only the doc_id key, scan is column-pruned") {
     val p = plan(Queries.queries("dedup_apply")(spark, sf))
     // a dedup drop list can be a large fraction of the corpus, so the
