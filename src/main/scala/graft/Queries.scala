@@ -4712,6 +4712,26 @@ object Queries {
           length(col("frame_bytes")).as("frame_len"))
         .orderBy("media_id", "frame_idx")),
 
+    // extension: PERCEPTUAL-hash image dedup — the pixel-level twin of
+    // media_dedup's byte-level pass: aHash (grid-4, exact-integer block
+    // means) over REAL PPM-decoded rasters, then the O(n) exact-hash
+    // grouping. Byte-distinct re-encodes of the same raster collide
+    // here; the summary row is never vacuous (group listings can be).
+    // At real-raster scale the same hash feeds the banded-Hamming
+    // near-dup pass (simhashPairs machinery on a 64-bit grid-8 hash)
+    "media_phash_dedup" -> ((s, dir) => {
+      val hashed = Multimodal.perceptualHash(
+        Multimodal.codecMedia(docs(s, dir)).where(col("kind") === "image"),
+        grid = 4)
+      val groups = hashed.groupBy(col("ahash")).agg(count(lit(1)).as("__n"))
+      groups.agg(
+        sum(col("__n")).cast("long").as("n_images"),
+        count(lit(1)).as("n_distinct_hashes"),
+        sum(when(col("__n") >= 2, 1L).otherwise(0L)).as("n_dup_groups"),
+        (sum(col("__n")) - count(lit(1))).cast("long").as("n_dup_copies"),
+        max(col("__n")).cast("long").as("max_group"))
+    }),
+
     // extension: exact binary-content dedup stats per media kind —
     // md5 over the payload BYTES (identical hex semantics in both
     // engines), two-stage Expand-free distinct; the keeper rule and
@@ -8860,6 +8880,32 @@ object Queries {
     // text (the encode maps are pure integer arithmetic over the bytes,
     // so encode→container→decode must land exactly here); float-cast
     // then r4, same as the Spark side's Array[Float] surface
+    // the aHash replayed from the text-derived pixel arithmetic: same
+    // (i, i+1, i+2 mod len) channel layout as the codec fixtures, block
+    // index by integer div, exact cross-product mean comparison
+    "media_phash_dedup" ->
+      """WITH d0 AS (SELECT doc_id, text, n_chars, length(text) AS len FROM documents WHERE length(text) > 0),
+        |img AS (SELECT doc_id, text, len, CAST(n_chars % 16 + 4 AS BIGINT) AS w, CAST(n_chars % 12 + 4 AS BIGINT) AS h
+        |  FROM d0 WHERE doc_id % 2 = 0),
+        |px AS (SELECT doc_id, w, h, u.i AS i,
+        |    (ord(substr(text, CAST((u.i % len) + 1 AS INT), 1)) % 256
+        |     + 2 * (ord(substr(text, CAST(((u.i + 1) % len) + 1 AS INT), 1)) % 256)
+        |     + ord(substr(text, CAST(((u.i + 2) % len) + 1 AS INT), 1)) % 256) AS lum
+        |  FROM img, unnest(generate_series(0, w * h - 1)) AS u(i)),
+        |bk AS (SELECT doc_id, ((i // w) * 4 // h) * 4 + ((i % w) * 4 // w) AS b, lum FROM px),
+        |bs AS (SELECT doc_id, b, CAST(sum(lum) AS BIGINT) AS bsum, CAST(count(*) AS BIGINT) AS bn FROM bk GROUP BY 1, 2),
+        |tt AS (SELECT doc_id, CAST(sum(lum) AS BIGINT) AS tsum, CAST(count(*) AS BIGINT) AS nt FROM bk GROUP BY 1),
+        |hs AS (SELECT bs.doc_id,
+        |    CAST(sum(CASE WHEN bsum * nt >= tsum * bn THEN CAST(1 AS BIGINT) << CAST(b AS INT) ELSE 0 END) AS BIGINT) AS ahash
+        |  FROM bs JOIN tt ON bs.doc_id = tt.doc_id GROUP BY 1),
+        |g AS (SELECT ahash, CAST(count(*) AS BIGINT) AS n FROM hs GROUP BY 1)
+        |SELECT CAST(sum(n) AS BIGINT) AS n_images,
+        |  CAST(count(*) AS BIGINT) AS n_distinct_hashes,
+        |  CAST(sum(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups,
+        |  CAST(sum(n) - count(*) AS BIGINT) AS n_dup_copies,
+        |  CAST(max(n) AS BIGINT) AS max_group
+        |FROM g""".stripMargin,
+
     "media_codec_features" ->
       s"""WITH d0 AS (SELECT doc_id, text, n_chars, length(text) AS len FROM documents WHERE length(text) > 0),
          |fx AS (SELECT unnest(generate_series(0, 7)) AS feature_idx),

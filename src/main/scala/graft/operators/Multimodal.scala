@@ -422,6 +422,66 @@ object Multimodal {
     }(enc)
   }
 
+  /** Perceptual AVERAGE-HASH (aHash) per decoded image: integer
+    * luminance `r + 2g + b` per pixel, the raster split into
+    * `grid × grid` blocks (pixel (x, y) → block (y·grid div h,
+    * x·grid div w)), bit `by·grid + bx` set iff the block's mean
+    * luminance is at or above the image's global mean. The comparison
+    * is an EXACT integer cross-product (`blockSum·nTotal ≥
+    * totalSum·nBlock` — no float means), so the hash is bit-identical
+    * on any engine and the oracle replays it in SQL. Blocks with no
+    * pixels (raster smaller than the grid) contribute 0 bits.
+    *
+    * This is the standard image near-dup key of a training-data
+    * pipeline (identical hash ⇒ perceptually-identical raster;
+    * re-encoded/slightly-edited copies agree on most bits): exact-hash
+    * grouping is the O(n) dedup pass, banded-Hamming the near-dup pass
+    * ([[Dedup.simhashPairs]]'s machinery applies unchanged — the hash
+    * IS a 64-bit fingerprint column). grid = 8 is the standard 64-bit
+    * aHash for real rasters; the synthetic fixtures go as small as
+    * 4×4, so the oracle-gated query runs grid = 4 (every block
+    * non-empty at w, h ≥ 4). Headroom: blockSum·n ≤ 1020·n² — exact
+    * longs past 10⁸-pixel rasters.
+    *
+    * `mapPartitions` is the codec boundary (same argument as
+    * [[extractFeatures]]); everything after the hash is plain
+    * DataFrame algebra. */
+  def perceptualHash(media: DataFrame, grid: Int = 8): DataFrame = {
+    require(grid >= 1 && grid * grid <= 64, s"grid² must fit a long, got $grid")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("ahash", LongType, nullable = false)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    media.where(col("kind") === "image")
+      .select(col("media_id"), col("content"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val (w, h, _, rgb) = Codec.parsePpm(r.getAs[Array[Byte]](1))
+          val nb = grid * grid
+          val bSum = new Array[Long](nb)
+          val bCnt = new Array[Long](nb)
+          var tSum = 0L
+          val n = w * h
+          var i = 0
+          while (i < n) {
+            val lum = rgb(3 * i) + 2L * rgb(3 * i + 1) + rgb(3 * i + 2)
+            val b = (i / w * grid / h) * grid + (i % w * grid / w)
+            bSum(b) += lum; bCnt(b) += 1; tSum += lum
+            i += 1
+          }
+          var hash = 0L
+          var k = 0
+          while (k < nb) {
+            if (bCnt(k) > 0 && bSum(k) * n >= tSum * bCnt(k)) hash |= 1L << k
+            k += 1
+          }
+          Row(r.getLong(0), w, h, hash)
+        }
+      }(enc)
+  }
+
   /** Thumbnail resize plumbing for image payloads: nearest-neighbor
     * downsample of the payload interpreted as a `meta.width × meta.height`
     * byte grid (the stub decode: one byte = one pixel) to a fixed

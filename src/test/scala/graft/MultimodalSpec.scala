@@ -100,6 +100,40 @@ class MultimodalSpec extends SparkSpec {
     assert(f(7) === (765 / 1020.0).toFloat) // 1020 - 255
   }
 
+  test("perceptualHash golden: 4x4 half-dark/half-bright raster sets " +
+    "exactly the bright half's bits; identical rasters collide; a " +
+    "one-pixel tweak moves few bits") {
+    import org.apache.spark.sql.Row
+    def ppm(w: Int, h: Int, lums: Seq[Int]): Array[Byte] = {
+      // encode luminance L as gray (L/4, L/4, L/4)·(1,2,1) ≈ L: use
+      // (v, v, v) with v = L/4 so r+2g+b = 4v — monotone in L
+      val raster = lums.flatMap(l => Seq(l / 4, l / 4, l / 4)).map(_.toByte)
+      s"P6\n$w $h\n255\n".getBytes("US-ASCII") ++ raster.toArray
+    }
+    def mediaRow(id: Long, bytes: Array[Byte]) =
+      Row(id, "image", bytes, Row(4, 4, null, null))
+    val schema = Multimodal.mediaSchema
+    // left two columns dark (L=40), right two bright (L=800)
+    val half = (0 until 16).map(i => if (i % 4 < 2) 40 else 800)
+    val tweak = half.updated(0, 44) // one dark pixel slightly brighter
+    val rows = Seq(
+      mediaRow(1L, ppm(4, 4, half)), mediaRow(2L, ppm(4, 4, half)),
+      mediaRow(3L, ppm(4, 4, tweak)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), schema)
+    val got = Multimodal.perceptualHash(df, grid = 4)
+      .select("media_id", "ahash").as[(Long, Long)].collect().toMap
+    // grid 4 on a 4x4 raster: one block per pixel; mean is between the
+    // two levels, so exactly the 8 bright pixels' bits set: columns 2,3
+    // of every row → bits {2,3, 6,7, 10,11, 14,15}
+    val wantBits = (0 until 16).filter(i => i % 4 >= 2)
+      .map(1L << _).reduce(_ | _)
+    assert(got(1L) === wantBits, s"got ${got(1L).toBinaryString}")
+    assert(got(2L) === got(1L), "identical rasters must collide exactly")
+    val hamming = java.lang.Long.bitCount(got(3L) ^ got(1L))
+    assert(hamming <= 2, s"one-pixel tweak flipped $hamming bits")
+  }
+
   test("BMP golden: 2x2 24-bit bottom-up BMP decodes to the same pixels as the PPM") {
     // same logical image as the PPM golden, but BGR, bottom-up, 4-byte
     // row padding (stride 8 for w=2)
