@@ -337,6 +337,14 @@ object Queries {
   private val simhashMasksSql =
     simhashLayout.map { case (_, w) => (1L << w) - 1 }.mkString("[", ",", "]")
 
+  /** The perceptual-hash banding layout (64-bit grid-8 aHash, hamming
+    * ≤ 2 → 3 bands), interpolated into the oracle like the simhash
+    * arrays so both engines band identically. */
+  private val phashLayout = Dedup.fingerprintBandLayout(64, 3)
+  private val phashOffsetsSql = phashLayout.map(_._1).mkString("[", ",", "]")
+  private val phashMasksSql =
+    phashLayout.map { case (_, w) => (1L << w) - 1 }.mkString("[", ",", "]")
+
   /** Shared DuckDB CTE for the connected-component family: MinHash-LSH
     * verified pairs → symmetric edge list → recursive min-label
     * reachability (`reach(node, lab)`) — the oracle twin of
@@ -4732,6 +4740,24 @@ object Queries {
         max(col("__n")).cast("long").as("max_group"))
     }),
 
+    // extension: perceptual NEAR-dup image pairs — the full-width
+    // (grid-8, 64-bit) aHash through the generic banded-Hamming
+    // machinery (Dedup.fingerprintPairs — pigeonhole-complete 3 bands
+    // for hamming ≤ 2, exact bit_count(xor) verify, finite maxBucket):
+    // re-encoded or lightly-edited rasters pair up even when their
+    // bytes differ. The oracle replays hash, banding (shared
+    // offset/mask arrays), and verification
+    "media_phash_pairs" -> ((s, dir) => {
+      val hashed = Multimodal.perceptualHash(
+        Multimodal.codecMedia(docs(s, dir)).where(col("kind") === "image"),
+        grid = 8)
+      graft.operators.Dedup.fingerprintPairs(hashed, "media_id", "ahash",
+          bits = 64, maxHamming = 2,
+          maxBucket = graft.operators.Dedup.DefaultPipelineMaxBucket)
+        .select(col("id_a"), col("id_b"), col("hamming").cast("int").as("hamming"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // extension: exact binary-content dedup stats per media kind —
     // md5 over the payload BYTES (identical hex semantics in both
     // engines), two-stage Expand-free distinct; the keeper rule and
@@ -8905,6 +8931,33 @@ object Queries {
         |  CAST(sum(n) - count(*) AS BIGINT) AS n_dup_copies,
         |  CAST(max(n) AS BIGINT) AS max_group
         |FROM g""".stripMargin,
+
+    // grid-8 hash replay (bit 63 via (1<<62)*-2 — a direct 1<<63 throws
+    // in DuckDB), shared band offset/mask arrays, exact xor verify
+    "media_phash_pairs" ->
+      s"""WITH d0 AS (SELECT doc_id, text, n_chars, length(text) AS len FROM documents WHERE length(text) > 0),
+         |img AS (SELECT doc_id, text, len, CAST(n_chars % 16 + 4 AS BIGINT) AS w, CAST(n_chars % 12 + 4 AS BIGINT) AS h
+         |  FROM d0 WHERE doc_id % 2 = 0),
+         |px AS (SELECT doc_id, w, h, u.i AS i,
+         |    (ord(substr(text, CAST((u.i % len) + 1 AS INT), 1)) % 256
+         |     + 2 * (ord(substr(text, CAST(((u.i + 1) % len) + 1 AS INT), 1)) % 256)
+         |     + ord(substr(text, CAST(((u.i + 2) % len) + 1 AS INT), 1)) % 256) AS lum
+         |  FROM img, unnest(generate_series(0, w * h - 1)) AS u(i)),
+         |bk AS (SELECT doc_id, ((i // w) * 8 // h) * 8 + ((i % w) * 8 // w) AS b, lum FROM px),
+         |bs AS (SELECT doc_id, b, CAST(sum(lum) AS BIGINT) AS bsum, CAST(count(*) AS BIGINT) AS bn FROM bk GROUP BY 1, 2),
+         |tt AS (SELECT doc_id, CAST(sum(lum) AS BIGINT) AS tsum, CAST(count(*) AS BIGINT) AS nt FROM bk GROUP BY 1),
+         |hs AS (SELECT bs.doc_id,
+         |    CAST(sum(CASE WHEN bsum * nt >= tsum * bn THEN
+         |      CASE WHEN b = 63 THEN (CAST(1 AS BIGINT) << 62) * -2 ELSE CAST(1 AS BIGINT) << CAST(b AS INT) END
+         |      ELSE 0 END) AS BIGINT) AS ahash
+         |  FROM bs JOIN tt ON bs.doc_id = tt.doc_id GROUP BY 1),
+         |banded AS (SELECT doc_id, ahash, u.b AS band_idx,
+         |  (ahash >> ($phashOffsetsSql)[u.b + 1]) & ($phashMasksSql)[u.b + 1] AS band_key
+         |  FROM hs, (SELECT unnest(generate_series(0, ${phashLayout.size - 1})) AS b) u),
+         |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(bit_count(xor(a.ahash, b.ahash)) AS INTEGER) AS hamming
+         |  FROM banded a JOIN banded b ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 2 ORDER BY id_a, id_b""".stripMargin,
 
     "media_codec_features" ->
       s"""WITH d0 AS (SELECT doc_id, text, n_chars, length(text) AS len FROM documents WHERE length(text) > 0),

@@ -321,12 +321,63 @@ object Dedup {
         graft.functions.NativeExprs.simhash60(TextOps.tokens(col("text"))))
 
   /** Contiguous band (offset, width-in-bits) layout: `bands` chunks
-    * covering all 60 fingerprint bits, widths differing by at most one. */
-  private[graft] def simhashBandLayout(bands: Int): Seq[(Int, Int)] = {
-    val base = 60 / bands
-    val extra = 60 % bands
+    * covering all `bits` fingerprint bits, widths differing by at most
+    * one. `bits` may be 64 (a full long — perceptual hashes); masking
+    * after the arithmetic shift keeps band keys sign-safe, so no band
+    * may be the whole word. */
+  private[graft] def fingerprintBandLayout(bits: Int, bands: Int): Seq[(Int, Int)] = {
+    require(bits >= 1 && bits <= 64, s"bits must be in [1, 64], got $bits")
+    require(bands >= 1 && bands <= bits, s"bands must be in [1, $bits], got $bands")
+    require(bits / bands < 64, "a 64-bit single band has no in-range mask")
+    val base = bits / bands
+    val extra = bits % bands
     val widths = Seq.tabulate(bands)(b => if (b < extra) base + 1 else base)
     widths.scanLeft(0)(_ + _).zip(widths)
+  }
+
+  private[graft] def simhashBandLayout(bands: Int): Seq[(Int, Int)] =
+    fingerprintBandLayout(60, bands)
+
+  /** Near-dup PAIRS over an arbitrary per-row bit FINGERPRINT
+    * `(idCol, hashCol)` — the banded-Hamming machinery behind
+    * [[simhashPairs]], factored out so any 64-bit-or-narrower
+    * fingerprint column rides it (the perceptual image aHash is the
+    * second producer). Pigeonhole-complete: `maxHamming + 1` contiguous
+    * bands, so two fingerprints within the threshold collide in at
+    * least one band; verification is the exact `bit_count(xor)`.
+    * `maxBucket` caps viral buckets ([[dropHotBuckets]]). Emits
+    * `(id_a, id_b, hamming)` once per verified pair. */
+  def fingerprintPairs(
+      fp: DataFrame,
+      idCol: String,
+      hashCol: String,
+      bits: Int,
+      maxHamming: Int,
+      maxBucket: Int = Int.MaxValue): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < bits,
+      s"maxHamming must be in [0, $bits), got $maxHamming")
+    val base = graft.Caching.ensureCached(
+      fp.select(col(idCol).as("__id"), col(hashCol).as("__fp")))
+    val bandKeys = fingerprintBandLayout(bits, maxHamming + 1).map { case (off, w) =>
+      // arithmetic shift + mask: bits above the band width (sign fill
+      // included) are masked away, so negative 64-bit hashes band safely
+      shiftright(col("__fp"), off).bitwiseAND(lit((1L << w) - 1))
+    }
+    val banded = dropHotBuckets(
+      base.select(col("__id"), col("__fp"),
+        posexplode(array(bandKeys: _*)))
+        .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band_key"),
+      Seq("band_idx", "band_key"), maxBucket)
+    val a = banded.select(col("band_idx"), col("band_key"),
+      col("__id").as("id_a"), col("__fp").as("__ha"))
+    val b = banded.select(col("band_idx"), col("band_key"),
+      col("__id").as("id_b"), col("__fp").as("__hb"))
+    a.join(b, Seq("band_idx", "band_key"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("__ha").bitwiseXOR(col("__hb"))).as("hamming"))
+      .where(col("hamming") <= lit(maxHamming))
+      .distinct()
   }
 
   /** SimHash near-dup pairs, blocked on `maxHamming + 1` contiguous bands:
@@ -340,37 +391,16 @@ object Dedup {
   def simhashPairs(
       docs: DataFrame,
       maxHamming: Int = 8,
-      maxBucket: Int = Int.MaxValue): DataFrame = {
-    require(maxHamming >= 0 && maxHamming < 60, "maxHamming must be in [0, 60)")
-    // Persist the (doc_id, simhash) frame — 2 longs per doc — so the band
-    // self-join's two legs read the cache instead of each re-running the
-    // tokenize + fingerprint kernels over the corpus (audited: unpersisted,
-    // the physical plan showed two full parquet-scan+kernel pipelines).
-    // Lifecycle: lives with the returned lazy plan, like minhashLsh's sig.
-    val sh = graft.Caching.ensureCached(
-      simhash(docs).select(col("doc_id"), col("simhash")))
-    val bandKeys = simhashBandLayout(maxHamming + 1).map { case (off, w) =>
-      shiftright(col("simhash"), off).bitwiseAND(lit((1L << w) - 1))
-    }
-    val banded = dropHotBuckets(
-      sh.select(col("doc_id"), col("simhash"),
-        posexplode(array(bandKeys: _*)))
-        .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band_key"),
-      Seq("band_idx", "band_key"), maxBucket)
-    val a = banded.select(col("band_idx"), col("band_key"),
-      col("doc_id").as("doc_id_a"), col("simhash").as("__ha"))
-    val b = banded.select(col("band_idx"), col("band_key"),
-      col("doc_id").as("doc_id_b"), col("simhash").as("__hb"))
-    a.join(b, Seq("band_idx", "band_key"))
-      .where(col("doc_id_a") < col("doc_id_b"))
-      .select(col("doc_id_a"), col("doc_id_b"),
-        bit_count(col("__ha").bitwiseXOR(col("__hb"))).as("hamming"))
-      // verify BEFORE the distinct: hamming is functionally dependent on
-      // the pair, so filtering first is result-identical and shrinks the
-      // dedup shuffle to surviving pairs only
-      .where(col("hamming") <= lit(maxHamming))
-      .distinct()
-  }
+      maxBucket: Int = Int.MaxValue): DataFrame =
+    // the generic banded-Hamming machinery over the 60-bit text
+    // fingerprint; [[fingerprintPairs]] persists the (id, fingerprint)
+    // frame internally so the band self-join's two legs read the cache
+    // instead of each re-running the tokenize + fingerprint kernels
+    fingerprintPairs(simhash(docs).select(col("doc_id"), col("simhash")),
+        "doc_id", "simhash", bits = 60, maxHamming = maxHamming,
+        maxBucket = maxBucket)
+      .select(col("id_a").as("doc_id_a"), col("id_b").as("doc_id_b"),
+        col("hamming"))
 
   /** Embedding-cosine near-dup over a PRE-BLOCKED frame
     * `(block, id, embedding)`. The block key must have data-proportional
