@@ -1339,6 +1339,65 @@ object Queries {
     "knn_cosine" -> ((s, dir) =>
       knnOut(Knn.search(recs(s, dir), qvec0(s, dir), 10, Metric.Cosine))),
 
+    // extension: MAX-INNER-PRODUCT top-k (MIPS) — the recommendation-
+    // serving metric the reference's L2/cosine pair lacks: score = raw
+    // dot product, descending (ties by id). Same native dot kernel and
+    // fold order as the cosine family, so the doubles are bit-identical
+    // to the oracle's list_sum; non-finite norms are excluded (a vector
+    // whose score can be NaN is not servable — and NaN sorts HIGH under
+    // Spark's descending total order, which would corrupt the top-k)
+    "knn_mips" -> ((s, dir) =>
+      recs(s, dir).crossJoin(broadcast(qvec0(s, dir)))
+        .withColumn("__s",
+          graft.functions.NativeExprs.dot(col("embedding"), col("qvec")))
+        .where(!isnan(col("__s")))
+        .orderBy(col("__s").desc, col("id").asc).limit(10)
+        .select(col("id").as("vec_id"), r4(col("__s")).as("score"))),
+
+    // extension: IVF-pruned MIPS via the norm-augmentation reduction
+    // (Bachrach et al. 2014, RecSys): x̃ = x ++ [√(M² − |x|²)] with
+    // M² = max |x|², q̃ = q ++ [0] — then |x̃|² is the CONSTANT M², so
+    // L2 order on the augmented vectors equals dot-product order and
+    // the whole IVF probe machinery applies to MIPS unchanged. Probe =
+    // 3 nearest augmented fixed centroids (records 0..7); exact dot
+    // rerank inside the probed clusters. All augmentation arithmetic in
+    // doubles (float→double widening is exact; sqrt is correctly
+    // rounded), every fold in index order — the oracle replays
+    // augmentation, assignment, probe, and rerank list-for-list
+    "ivf_mips_query" -> ((s, dir) => {
+      def sqD(a: Column, b: Column): Column =
+        aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), _ + _)
+      val base = recs(s, dir)
+        .withColumn("__n2",
+          graft.functions.NativeExprs.dot(col("embedding"), col("embedding")))
+        .where(!isnan(col("__n2")))
+      // M² is a one-scalar model (bounded driver state, rule 19a):
+      // the augmentation pads against the corpus-wide max norm
+      val m2 = base.agg(max(col("__n2"))).head().getDouble(0)
+      val aug = base.select(col("id"), col("embedding"),
+        concat(col("embedding").cast("array<double>"),
+          array(sqrt(lit(m2) - col("__n2")))).as("__aug"))
+      val cents = aug.where(col("id") < 8)
+        .select(col("id").cast("int").as("cid"), col("__aug").as("__caug"))
+      val assigned = aug.crossJoin(broadcast(cents))
+        .withColumn("__d", sqD(col("__aug"), col("__caug")))
+        .groupBy(col("id"))
+        .agg(min_by(col("cid"), struct(col("__d"), col("cid"))).as("cid"),
+          first(col("embedding")).as("embedding"))
+      val qa = qvec0(s, dir).select(col("qvec"),
+        concat(col("qvec").cast("array<double>"),
+          array(lit(0.0))).as("__qaug"))
+      val probed = cents.crossJoin(broadcast(qa))
+        .withColumn("__cd", sqD(col("__caug"), col("__qaug")))
+        .orderBy(col("__cd").asc, col("cid").asc).limit(3)
+        .select(col("cid"), col("qvec"))
+      assigned.join(broadcast(probed), Seq("cid"))
+        .withColumn("__s",
+          graft.functions.NativeExprs.dot(col("embedding"), col("qvec")))
+        .orderBy(col("__s").desc, col("id").asc).limit(10)
+        .select(col("id").as("vec_id"), r4(col("__s")).as("score"))
+    }),
+
     // O3 — radius gate, <= inclusive (reference index.rs:197)
     "knn_radius" -> ((s, dir) =>
       knnOut(Knn.search(recs(s, dir), qvec0(s, dir), 50, Metric.Euclidean, radius = 1.7))),
@@ -5788,6 +5847,32 @@ object Queries {
          |SELECT e.vec_id AS vec_id, ${sqlR4(sqlCosDist("e.embedding", "q.qvec"))} AS distance
          |FROM embeddings e, q
          |ORDER BY ${sqlCosDist("e.embedding", "q.qvec")} ASC, e.vec_id ASC LIMIT 10""".stripMargin,
+
+    "knn_mips" ->
+      s"""WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0)
+         |SELECT e.vec_id AS vec_id, ${sqlR4(sqlDot("e.embedding", "q.qvec"))} AS score
+         |FROM embeddings e, q
+         |WHERE NOT isnan(${sqlDot("e.embedding", "e.embedding")})
+         |ORDER BY ${sqlDot("e.embedding", "q.qvec")} DESC, e.vec_id ASC LIMIT 10""".stripMargin,
+
+    // augmentation + assignment + probe + dot rerank replayed list-for-list
+    "ivf_mips_query" ->
+      s"""WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+         |n2 AS (SELECT vec_id, embedding, ${sqlDot("embedding", "embedding")} AS nn
+         |  FROM embeddings WHERE NOT isnan(${sqlDot("embedding", "embedding")})),
+         |m AS (SELECT max(nn) AS m2 FROM n2),
+         |aug AS (SELECT vec_id, embedding,
+         |  list_append(list_transform(embedding, v -> CAST(v AS DOUBLE)), sqrt(m.m2 - nn)) AS a
+         |  FROM n2, m),
+         |c AS (SELECT CAST(vec_id AS INT) AS cid, a AS ca FROM aug WHERE vec_id < 8),
+         |qa AS (SELECT qvec, list_append(list_transform(qvec, v -> CAST(v AS DOUBLE)), CAST(0.0 AS DOUBLE)) AS qaug FROM q),
+         |asg AS (SELECT vec_id, cid FROM (
+         |  SELECT aug.vec_id, c.cid, row_number() OVER (PARTITION BY aug.vec_id ORDER BY ${sqlSq("aug.a", "c.ca")} ASC, c.cid ASC) AS rn
+         |  FROM aug CROSS JOIN c) WHERE rn = 1),
+         |probed AS (SELECT c.cid FROM c, qa ORDER BY ${sqlSq("c.ca", "qa.qaug")} ASC, c.cid ASC LIMIT 3)
+         |SELECT aug.vec_id AS vec_id, ${sqlR4(sqlDot("aug.embedding", "q.qvec"))} AS score
+         |FROM aug JOIN asg ON aug.vec_id = asg.vec_id JOIN probed ON asg.cid = probed.cid, q
+         |ORDER BY ${sqlDot("aug.embedding", "q.qvec")} DESC, aug.vec_id ASC LIMIT 10""".stripMargin,
 
     "knn_radius" ->
       s"""WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0)
