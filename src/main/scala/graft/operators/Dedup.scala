@@ -345,6 +345,9 @@ object Dedup {
     * second producer). Pigeonhole-complete: `maxHamming + 1` contiguous
     * bands, so two fingerprints within the threshold collide in at
     * least one band; verification is the exact `bit_count(xor)`.
+    * `maxHamming = 0` degenerates to an exact-hash self-join (no
+    * banding — the one band would be the whole word, maskless at 64
+    * bits).
     * `maxBucket` caps viral buckets ([[dropHotBuckets]]). Emits
     * `(id_a, id_b, hamming)` once per verified pair. */
   def fingerprintPairs(
@@ -358,26 +361,41 @@ object Dedup {
       s"maxHamming must be in [0, $bits), got $maxHamming")
     val base = graft.Caching.ensureCached(
       fp.select(col(idCol).as("__id"), col(hashCol).as("__fp")))
-    val bandKeys = fingerprintBandLayout(bits, maxHamming + 1).map { case (off, w) =>
-      // arithmetic shift + mask: bits above the band width (sign fill
-      // included) are masked away, so negative 64-bit hashes band safely
-      shiftright(col("__fp"), off).bitwiseAND(lit((1L << w) - 1))
+    if (maxHamming == 0) {
+      // Hamming 0 = identical fingerprints: the single pigeonhole band is
+      // the WHOLE word, which needs no banding at all (and at bits = 64
+      // has no in-range mask — the fingerprintBandLayout require this
+      // special case keeps off the public [0, bits) contract). Exact-hash
+      // self-join on the fingerprint; one bucket per distinct value, so
+      // no distinct() is needed on the output.
+      val keyed = dropHotBuckets(base, Seq("__fp"), maxBucket)
+      keyed.select(col("__fp"), col("__id").as("id_a"))
+        .join(keyed.select(col("__fp"), col("__id").as("id_b")), Seq("__fp"))
+        .where(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          bit_count(col("__fp").bitwiseXOR(col("__fp"))).as("hamming"))
+    } else {
+      val bandKeys = fingerprintBandLayout(bits, maxHamming + 1).map { case (off, w) =>
+        // arithmetic shift + mask: bits above the band width (sign fill
+        // included) are masked away, so negative 64-bit hashes band safely
+        shiftright(col("__fp"), off).bitwiseAND(lit((1L << w) - 1))
+      }
+      val banded = dropHotBuckets(
+        base.select(col("__id"), col("__fp"),
+          posexplode(array(bandKeys: _*)))
+          .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band_key"),
+        Seq("band_idx", "band_key"), maxBucket)
+      val a = banded.select(col("band_idx"), col("band_key"),
+        col("__id").as("id_a"), col("__fp").as("__ha"))
+      val b = banded.select(col("band_idx"), col("band_key"),
+        col("__id").as("id_b"), col("__fp").as("__hb"))
+      a.join(b, Seq("band_idx", "band_key"))
+        .where(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          bit_count(col("__ha").bitwiseXOR(col("__hb"))).as("hamming"))
+        .where(col("hamming") <= lit(maxHamming))
+        .distinct()
     }
-    val banded = dropHotBuckets(
-      base.select(col("__id"), col("__fp"),
-        posexplode(array(bandKeys: _*)))
-        .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band_key"),
-      Seq("band_idx", "band_key"), maxBucket)
-    val a = banded.select(col("band_idx"), col("band_key"),
-      col("__id").as("id_a"), col("__fp").as("__ha"))
-    val b = banded.select(col("band_idx"), col("band_key"),
-      col("__id").as("id_b"), col("__fp").as("__hb"))
-    a.join(b, Seq("band_idx", "band_key"))
-      .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        bit_count(col("__ha").bitwiseXOR(col("__hb"))).as("hamming"))
-      .where(col("hamming") <= lit(maxHamming))
-      .distinct()
   }
 
   /** SimHash near-dup pairs, blocked on `maxHamming + 1` contiguous bands:

@@ -1023,6 +1023,109 @@ object IvfIndex {
     Knn.topKPerQuery(candidates, model.assigned, k)
   }
 
+  /** Probe-SWEEP evaluation: [[query]]'s top-k at EVERY probe count in
+    * `probePoints`, from ONE scan of the assignment — the recall-curve /
+    * parameter-tuning pass (`ivf_recall_curve`). Re-running [[query]]
+    * per probe point costs Σ_p (p/k_centroids) full distance scans
+    * (≈ 2.9× the corpus for the {1,2,4,8,all} sweep); here each record's
+    * exact distance is computed once, and only NARROW
+    * `(probes, distance, id)` rows fan out to the probe points that
+    * admit the record's cluster.
+    *
+    * Exactness: a cluster's centroid RANK under probedClusters' order
+    * (NaN-last, ties to the lower cluster_id — `index.rs:269-272`) is a
+    * total order, so `rank <= p` reproduces `ORDER BY … LIMIT p` for
+    * every p at once; the rank window runs over |centroids| rows —
+    * never the data (same bounded shape as [[queryBatch]]'s probe).
+    * Per-point top-k is the two-phase bounded heap; output
+    * `(probes, id, distance)` is row-identical to [[query]] at each
+    * probe count (law-pinned in IvfIndexSpec). */
+  def queryProbeSweep(
+      model: Model,
+      query: DataFrame,
+      k: Int,
+      probePoints: Seq[Int],
+      metric: Metric = Metric.Euclidean): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0, "k must be positive")
+    require(probePoints.nonEmpty, "probePoints must be non-empty")
+    val spark = model.assigned.sparkSession
+    import spark.implicits._
+    // partitioned BY THE QUERY VECTOR (non-foldable, so the window stays
+    // partitioned in the optimized plan — a literal query_id constant-
+    // folds away and leaves a partition-less window): one ≤|centroids|-row
+    // partition per query, the bounded shape of queryBatch's probe window
+    val w = Window.partitionBy(col("qvec"))
+      .orderBy(isnan(col("__cdist")).asc, col("__cdist").asc, col("cluster_id").asc)
+    val ranked = model.centroids.crossJoin(broadcast(query))
+      .withColumn("__cdist", metric.distance(col("centroid"), col("qvec")))
+      .where(col("__cdist").isNotNull)
+      .withColumn("__rank", row_number().over(w))
+      .select(col("cluster_id"), col("__rank"))
+    val points = probePoints.toDF("probes")
+    val cands = model.assigned
+      .join(broadcast(ranked), Seq("cluster_id"))
+      .crossJoin(broadcast(query))
+      .withColumn("distance", metric.distance(col("embedding"), col("qvec")))
+      .where(!isnan(col("distance")))
+      .select(col("id"), col("__rank"), col("distance"))
+      // 5-row broadcast nested-loop fan-out on the rank predicate — each
+      // record row multiplies only into the points whose probe budget
+      // admits its cluster, and only after the wide embedding is dropped
+      .join(broadcast(points), col("__rank") <= col("probes"))
+      .select(col("probes").as("query_id"), col("distance"), col("id"))
+    Knn.topKPerQueryPairs(cands, k)
+      .select(col("query_id").as("probes"), col("id"), col("distance"))
+  }
+
+  /** Batch MIPS serving — [[queryBatch]] for DOT-PRODUCT order via the
+    * norm-augmentation reduction (Bachrach et al., RecSys 2014): with
+    * x̃ = x ++ [√(M² − |x|²)] and q̃ = q ++ [0], |x̃|² is the constant
+    * M², so ascending L2 over augmented vectors equals descending dot —
+    * the whole IVF probe machinery serves MIPS unchanged. The caller
+    * builds the index in AUGMENTED space ONCE per corpus version
+    * (`augCentroids` holds augmented centroids; `assigned` keeps the
+    * ORIGINAL embeddings for the exact rerank); queries arrive
+    * unaugmented and are padded with a literal 0 here.
+    *
+    * Probe selection per query is [[queryBatch]]'s bounded
+    * centroids×queries window (|centroids|·|queries| rows — never the
+    * data); the exact dot rerank inside the probed clusters feeds the
+    * two-phase bounded heap ([[Knn.topKPerQueryPairs]]) on the NEGATED
+    * score — IEEE negation is exact, so ascending −dot is exactly
+    * descending dot with ties to the smaller id. NaN scores are dropped
+    * on both engines (an underfull heap would otherwise admit NaN).
+    * Emits `(query_id, id, score)`, score = the raw dot product. */
+  def queryMipsBatch(
+      augCentroids: DataFrame,
+      assigned: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      probes: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0, "k must be positive")
+    val qAug = queries.select(col("query_id"), col("qvec"),
+      concat(col("qvec").cast("array<double>"),
+        array(lit(0.0))).as("__qaug"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(isnan(col("__cdist")).asc, col("__cdist").asc, col("cluster_id").asc)
+    val probedQ = augCentroids
+      .crossJoin(broadcast(qAug))
+      .withColumn("__cdist", Metric.Euclidean.distance(col("centroid"), col("__qaug")))
+      .where(col("__cdist").isNotNull)
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= lit(probes))
+      .select(col("query_id"), col("cluster_id"), col("qvec"))
+    val cands = assigned
+      .join(broadcast(probedQ), Seq("cluster_id"))
+      .withColumn("__s",
+        graft.functions.NativeExprs.dot(col("embedding"), col("qvec")))
+      .where(!isnan(col("__s")))
+      .select(col("query_id"), negate(col("__s")).as("distance"), col("id"))
+    Knn.topKPerQueryPairs(cands, k)
+      .select(col("query_id"), col("id"), negate(col("distance")).as("score"))
+  }
+
   /** The 100 TB layout: posting lists as Parquet partitions. */
   def writePartitioned(model: Model, path: String): Unit =
     model.assigned.write.mode("overwrite").partitionBy("cluster_id").parquet(path)

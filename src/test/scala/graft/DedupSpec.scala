@@ -297,4 +297,20 @@ class DedupSpec extends SparkSpec {
       pairs.agg(min(col("containment")), max(col("containment")))
         .as[(Double, Double)].head() === ((1.0, 1.0)))
   }
+
+  test("fingerprintPairs maxHamming=0 degenerates to the exact-hash " +
+    "self-join — legal at bits=64, where one band would be maskless") {
+    // negative (sign-bit-set) 64-bit fingerprints exercise the full-word
+    // path the banded branch's arithmetic-shift masking exists for
+    val fp = Seq(
+      (1L, 0x8000000000000001L), (2L, 0x8000000000000001L),
+      (3L, 0x8000000000000000L), // hamming 1 from the pair above: excluded
+      (4L, 5L), (5L, 5L), (6L, 6L)).toDF("doc_id", "fp")
+    val got = Dedup.fingerprintPairs(fp, "doc_id", "fp", bits = 64, maxHamming = 0)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got === Set((1L, 2L, 0), (4L, 5L, 0)))
+    // and the hot-bucket cap applies to the degenerate branch too
+    assert(Dedup.fingerprintPairs(fp, "doc_id", "fp", bits = 64,
+      maxHamming = 0, maxBucket = 1).count() === 0)
+  }
 }

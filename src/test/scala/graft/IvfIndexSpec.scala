@@ -158,6 +158,55 @@ class IvfIndexSpec extends SparkSpec {
     assert(ivf === brute)
   }
 
+  test("queryProbeSweep law: row-identical to query() at every probe point") {
+    val model = IvfIndex.build(records, density = 64, Metric.Euclidean, seed = 42L)
+    val q = records.where(col("id") === 7).select(col("embedding").as("qvec"))
+    val points = Seq(1, 2, 4, 16, 999) // 999 exercises the probes clamp
+    val sweep = IvfIndex.queryProbeSweep(model, q, 10, points, Metric.Euclidean)
+      .select("probes", "id", "distance").as[(Int, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3)).toSet).toMap
+    points.foreach { p =>
+      val direct = IvfIndex.query(model, q, 10, probes = p, Metric.Euclidean)
+        .select("id", "distance").as[(Long, Double)].collect().toSet
+      assert(sweep(p) === direct, s"probes=$p")
+    }
+  }
+
+  test("queryMipsBatch at full probe equals brute-force per-query dot top-k " +
+    "(descending dot, ties to the smaller id)") {
+    val base = records.withColumn("__n2",
+      graft.functions.NativeExprs.dot(col("embedding"), col("embedding")))
+    val m2 = base.agg(max(col("__n2"))).head().getDouble(0)
+    val aug = base.select(col("id"), col("embedding"),
+      concat(col("embedding").cast("array<double>"),
+        array(sqrt(lit(m2) - col("__n2")))).as("__aug"))
+    val cents = aug.where(col("id") < 8)
+      .select(col("id").cast("int").as("cluster_id"), col("__aug").as("centroid"))
+    val assigned = IvfIndex.assign(
+        aug.select(col("id"), col("__aug").as("embedding"),
+          col("embedding").as("__orig")),
+        cents, Metric.Euclidean)
+      .select(col("id"), col("cluster_id"), col("__orig").as("embedding"))
+    val q = records.where(col("id") < 4)
+      .select(col("id").as("query_id"), col("embedding").as("qvec"))
+    val got = IvfIndex.queryMipsBatch(cents, assigned, q, k = 5, probes = 8)
+      .select("query_id", "id", "score").as[(Long, Long, Double)].collect()
+      .groupBy(_._1).view
+      .mapValues(_.map(r => (r._2, r._3)).sortBy { case (id, s) => (-s, id) })
+      .toMap
+    val vecs = records.select("id", "embedding").as[(Long, Seq[Float])]
+      .collect().sortBy(_._1)
+    (0L until 4L).foreach { qid =>
+      val qv = vecs(qid.toInt)._2
+      // left-to-right double fold — the dot kernel's exact order
+      val expected = vecs.map { case (id, v) =>
+        (id, v.zip(qv).foldLeft(0.0) { case (s, (a, b)) =>
+          s + a.toDouble * b.toDouble })
+      }.sortBy { case (id, s) => (-s, id) }.take(5).toSeq
+      assert(got(qid) === expected, s"query $qid")
+    }
+  }
+
   test("queryBatch pruned probing: each query's own record always found") {
     val model = IvfIndex.build(records, density = 64, Metric.Euclidean, seed = 42L)
     val q = records.where(col("id") < 4)

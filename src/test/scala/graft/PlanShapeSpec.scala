@@ -43,6 +43,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), "probe list must broadcast against the data table")
   }
 
+  test("ivf_mips_batch: bounded-heap rerank (no ranking window over the " +
+    "data) and a broadcast probe join, like ivf_adc_batch") {
+    val p = plan(Queries.queries("ivf_mips_batch")(spark, sf))
+    // exactly one window shape is admissible: the probe ranking over the
+    // tiny centroids × queries frame (partitioned by query_id); the dot
+    // rerank itself must be the two-phase TopKPairsAgg heap
+    assert(p.contains("TopKPairsAgg") || p.contains("topkpairsagg"),
+      "MIPS rerank must run through the bounded heap\n" + p.take(1500))
+    assert(p.contains("BroadcastHashJoin"),
+      "the per-query probe list must broadcast against the data table")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+  }
+
   test("metadata-only queries never read the embedding column") {
     // filter_and scans the embeddings TABLE but only needs (vec_id, label)
     val p = plan(Queries.queries("filter_and")(spark, sf))

@@ -127,20 +127,62 @@ uni_ids   = [900013 + i for i in range(len(uni_texts))]
 uni_langs = ['en', 'fr', 'fr', 'ja', 'ar', 'de', 'en', 'en', 'en', 'en']
 uni_srcs  = ['advemoji', 'advnfc', 'advnfd', 'advcjk', 'advrtl',
              'advcase', 'advuws', 'advzalgo', 'advbyte', 'advcode']
+
+# perceptual NEAR-dup image pair (r10 advice: media_phash_pairs matched
+# the oracle with 0 rows on the default sf0.01 gate, leaving the banded
+# xor/verify path vacuously green): two EVEN doc_ids (codecMedia: even →
+# P6 PPM image) with n_chars = 100 → an 8×8 raster, so every grid-8
+# aHash block is exactly one pixel. Text A is a period-4 luminance
+# pattern ('!!zz': lum alternates 221/399, global mean 310); text B
+# changes ONE byte at position 65 ('!' 0x21 → 'ÿ' U+00FF = byte 255),
+# which feeds only pixel 63's lum (bytes 65/64/63 feed pixels 65/64/63,
+# and 64/65 are out of the 64-pixel raster) lifting it 221 → 443 across
+# the mean — exactly one aHash bit flips, hamming 1 ≤ 2, while the
+# payload bytes differ (not an exact-dup pair). The mirror below
+# re-derives both hashes with the engine's exact integer arithmetic and
+# asserts the distance, so a codec or layout change cannot silently
+# devacuate the fixture.
+def _ahash(text, grid=8):
+    src = [ord(c) % 256 for c in text]
+    nc = len(text)
+    w, h = nc % 16 + 4, nc % 12 + 4
+    n, L = w * h, len(src)
+    bs, bc, t = [0] * (grid * grid), [0] * (grid * grid), 0
+    for i in range(n):
+        lum = src[i % L] + 2 * src[(i + 1) % L] + src[(i + 2) % L]
+        b = (i // w * grid // h) * grid + (i % w * grid // w)
+        bs[b] += lum
+        bc[b] += 1
+        t += lum
+    hv = 0
+    for k in range(grid * grid):
+        if bc[k] > 0 and bs[k] * n >= t * bc[k]:
+            hv |= 1 << k
+    return hv
+
+
+phash_a = '!!zz' * 25
+phash_b = phash_a[:65] + 'ÿ' + phash_a[66:]
+_pd = bin(_ahash(phash_a) ^ _ahash(phash_b)).count('1')
+assert 1 <= _pd <= 2, f'phash fixture pair drifted to hamming {_pd}'
+
 adv_docs = {
     'doc_id':  [900001, 900002, 900003, 900004, 900005, 900006, 900007,
-                900008, 900009, 900010, 900011, 900012] + uni_ids,
+                900008, 900009, 900010, 900011, 900012] + uni_ids
+               + [900024, 900026],
     'text':    [None, '', 'a', '   ', 'x x x x x x x x x x',
                 'the quick brown fox', 'the quick brown fox', '\t\n  \n\t',
-                long_text, punct_text, digit_text, char_rep] + uni_texts,
+                long_text, punct_text, digit_text, char_rep] + uni_texts
+               + [phash_a, phash_b],
     'lang':    [None, 'en', 'en', 'en', 'en', 'en', 'en', 'en', 'en',
-                'en', 'en', 'en'] + uni_langs,
+                'en', 'en', 'en'] + uni_langs + ['en', 'en'],
     'source':  ['advnull', 'advempty', 'adv1', 'advws', 'advrep',
                 'advdup', 'advdup', 'advws', 'advlong', 'advpunct',
-                'advdigit', 'advchar'] + uni_srcs,
+                'advdigit', 'advchar'] + uni_srcs
+               + ['advphash', 'advphash'],
     'n_chars': [0, 0, 1, 3, 19, 19, 19, 6, len(long_text),
                 len(punct_text), len(digit_text), len(char_rep)]
-               + [len(t) for t in uni_texts],
+               + [len(t) for t in uni_texts] + [100, 100],
 }
 pq.write_table(
     pa.concat_tables([d, pa.table(adv_docs, schema=d.schema)]),
