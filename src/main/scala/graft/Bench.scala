@@ -29,10 +29,29 @@ object Bench {
     // numbers alone would under-state total cost of ownership.
     val warmupSteps = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val corpusStateTimes = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val warmupLaneWalls = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    // Host-contention instrumentation (r10 finding: driver-run warmup
+    // numbers contradicted quiet-host claims and were only reconcilable
+    // by hand): the artifact records the 1-min load average at start/end
+    // and, per warmup step and for the timed section, the JVM's OWN
+    // process-CPU seconds next to wall seconds. A reader then separates
+    // "this code got slower" from "the host was busy" without outside
+    // context: cpu_s ≈ wall_s × (our parallelism) and low load → real
+    // cost; wall_s ≫ cpu_s/cpus or load ≫ 0 → contention-inflated.
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    def loadAvg: Double = osBean.getSystemLoadAverage // -1 when unsupported
+    def procCpuNs: Long = osBean match {
+      case b: com.sun.management.OperatingSystemMXBean => b.getProcessCpuTime
+      case _ => -1L
+    }
+    val loadAvgStart = loadAvg
+    val warmupCpu = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     def step[T](label: String)(body: => T): T = {
-      val t0 = System.nanoTime()
+      val t0 = System.nanoTime(); val c0 = procCpuNs
       val r = body
       warmupSteps(label) = (System.nanoTime() - t0) / 1e9
+      val c1 = procCpuNs
+      if (c0 >= 0 && c1 >= 0) warmupCpu(label) = (c1 - c0) / 1e9
       r
     }
     locally {
@@ -89,6 +108,12 @@ object Bench {
         Seq("corpus_decontaminate", "dedup_pagerank",
           "dedup_pagerank_seeded"))
       val laneTimes = new java.util.concurrent.ConcurrentHashMap[String, Double]()
+      // per-lane WALL time (thread start → last build done): under host
+      // contention the concurrent lanes are exactly what degrades first,
+      // so the artifact carries each lane's wall next to the step's
+      // process-CPU — a reader sees which lane was the straggler and
+      // whether the JVM was actually computing during it
+      val laneWalls = new java.util.concurrent.ConcurrentHashMap[String, Double]()
       val laneError = new java.util.concurrent.atomic.AtomicReference[Throwable]()
       Queries.deferBuilderCacheClear.set(true)
       // finally-reset: a lane failure rethrows below, and leaving the
@@ -96,14 +121,18 @@ object Bench {
       // in this JVM (e.g. a test harness reusing the session) silently
       // skip its cache clear
       try {
-        val threads = lanes.map { lane =>
-          val t = new Thread(() =>
+        val threads = lanes.zipWithIndex.map { case (lane, li) =>
+          val t = new Thread(() => {
+            val lt0 = System.nanoTime()
             try lane.foreach { q =>
               val t0 = System.nanoTime()
               SparkEntry.queries(q)(spark, sfDir)
                 .write.format("noop").mode("overwrite").save()
               laneTimes.put(q, (System.nanoTime() - t0) / 1e9)
-            } catch { case e: Throwable => laneError.compareAndSet(null, e) })
+            } catch { case e: Throwable => laneError.compareAndSet(null, e) }
+            finally laneWalls.put(s"lane${li + 1}",
+              (System.nanoTime() - lt0) / 1e9)
+          })
           t.setDaemon(true); t.start(); t
         }
         step("corpus_state") { threads.foreach(_.join()) }
@@ -114,6 +143,10 @@ object Bench {
         // the "corpus_state" wall-clock step above carries the real cost)
         lanes.flatten.foreach { q =>
           corpusStateTimes(q) = laneTimes.getOrDefault(q, -1.0)
+        }
+        lanes.indices.foreach { li =>
+          val k = s"lane${li + 1}"
+          warmupLaneWalls(k) = laneWalls.getOrDefault(k, -1.0)
         }
       } finally Queries.deferBuilderCacheClear.set(false)
       spark.catalog.clearCache()
@@ -172,6 +205,7 @@ object Bench {
     // Optional positional args narrow the run to the named queries — a
     // local-iteration aid; the driver invokes with no args (= run all).
     val only = args.toSet
+    val queriesT0 = System.nanoTime(); val queriesC0 = procCpuNs
     var failed = List.empty[String]
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
@@ -218,6 +252,11 @@ object Bench {
         }
       name -> passes
     }.toMap
+    val queriesWall = (System.nanoTime() - queriesT0) / 1e9
+    val queriesC1 = procCpuNs
+    val queriesCpu =
+      if (queriesC0 >= 0 && queriesC1 >= 0) (queriesC1 - queriesC0) / 1e9 else -1.0
+    val loadAvgEnd = loadAvg
     // 4-decimal (0.1 ms) formatting: the artifact is ONE line, and at
     // ~190 queries full-precision doubles pushed past the harness's line
     // budget — round 6's recorded tail was truncated mid-JSON. Four
@@ -237,12 +276,21 @@ object Bench {
       .mkString("{", ",", "}")
     val corpusStateJson = corpusStateTimes.map { case (k, v) => s"\"" + k + "\":" + f4(v) }
       .mkString("{", ",", "}")
+    val warmupCpuJson = warmupCpu.map { case (k, v) => s"\"" + k + "\":" + f4(v) }
+      .mkString("{", ",", "}")
+    val laneWallsJson = warmupLaneWalls
+      .map { case (k, v) => s"\"" + k + "\":" + f4(v) }
+      .mkString("{", ",", "}")
+    // the contention block repeats on BOTH lines: the compact last line
+    // is often the only part of the artifact that survives log-tail
+    // truncation, and it must be self-interpreting on its own
+    val hostJson = s""""load_avg_start":${f4(loadAvgStart)},"load_avg_end":${f4(loadAvgEnd)},"cpus":$cpus,"queries_wall_s":${f4(queriesWall)},"queries_cpu_s":${f4(queriesCpu)}"""
     // The full-detail line is tagged "total_detail" so exactly ONE line
     // in the whole output carries "metric":"total" (the compact last
     // line below) — a consumer grepping for the total can neither hit
     // the ~8 KB detail line (truncated in the driver's log tail,
     // r6-r9's "parsed": null) nor double-count two totals.
-    val line = s"""{"metric":"total_detail","value":${f4(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"passes":$passesJson,"failed":$failedJson,"warmup_s":${f4(warmupTotal)},"warmup":$warmupJson,"warmup_corpus_state":$corpusStateJson,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total_detail","value":${f4(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"passes":$passesJson,"failed":$failedJson,"warmup_s":${f4(warmupTotal)},"warmup":$warmupJson,"warmup_cpu":$warmupCpuJson,"warmup_lanes":$laneWallsJson,"warmup_corpus_state":$corpusStateJson,$hostJson,"sf":"$sfDir"}"""
     println(line)
     // Also persist to a file: the stdout line can land inside a
     // truncated log tail (r6/r7 artifacts show "parsed": null), and a
@@ -261,7 +309,7 @@ object Bench {
     // tail whole (the full line above is ~8 KB and lands truncated →
     // r6/r7/r8 artifacts show "parsed": null). Per-query detail lives in
     // the full line and target/bench.json.
-    println(s"""{"metric":"total","value":${f4(total)},"unit":"sec","n_queries":${results.size},"failed":$failedJson,"warmup_s":${f4(warmupTotal)},"sf":"$sfDir","queries_file":"target/bench.json"}""")
+    println(s"""{"metric":"total","value":${f4(total)},"unit":"sec","n_queries":${results.size},"failed":$failedJson,"warmup_s":${f4(warmupTotal)},$hostJson,"sf":"$sfDir","queries_file":"target/bench.json"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

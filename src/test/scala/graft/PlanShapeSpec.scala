@@ -302,6 +302,53 @@ class PlanShapeSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("AQE skew-join does NOT fire on the broadcast-ineligible whale-key " +
+    "shape Skew.saltedEquiJoin covers; recommendSalts measures the whale") {
+    import graft.operators.Skew
+    import spark.implicits._
+    // a whale key (8k of 9k fact rows) on a dim too big to broadcast
+    // (threshold forced off) — the row-count straggler whose shuffle
+    // partition stays far below AQE's 256 MB skewedPartitionThreshold,
+    // so runtime re-planning never splits it (the decision-table row
+    // salting exists for)
+    val facts = ((0 until 8000).map(i => (1L, i.toLong)) ++
+      (0 until 1000).map(i => (2L + i % 50, 8000L + i)))
+      .toDF("k", "row_id")
+    val dim = (1L to 60L).map(k => (k, s"d$k")).toDF("k", "attr")
+    val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevS = spark.conf.get("spark.sql.adaptive.skewJoin.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    try {
+      val plain = facts.join(dim, Seq("k"))
+      assert(plain.count() === 9000)
+      // the FINAL adaptive plan after execution: sort-merge join, no
+      // skew=true split marker anywhere
+      val executed = plain.queryExecution.executedPlan.toString
+      assert(executed.contains("SortMergeJoin"), executed.take(800))
+      assert(!executed.contains("skew=true"),
+        "AQE split this tiny-bytes whale — the decision table is wrong:\n" +
+          executed.take(800))
+      // the measurement helpers see the whale and size the spread
+      val head = Skew.skewProfile(facts, "k", topN = 1)
+        .as[(Long, Long)].head()
+      assert(head === ((1L, 8000L)))
+      assert(Skew.recommendSalts(facts, "k", targetRowsPerTask = 1000) === 8)
+      assert(Skew.recommendSalts(facts, "k", targetRowsPerTask = 1000,
+        maxSalts = 4) === 4)
+      assert(Skew.recommendSalts(facts.where(col("k") > 1L), "k",
+        targetRowsPerTask = 1000) === 1) // no whale -> don't salt
+      // and the salted shape actually spreads the whale across lanes
+      val lanes = Skew.saltedEquiJoin(facts, dim, "k", col("row_id"), 8)
+        .where(col("k") === 1L)
+        .select(pmod(col("row_id"), lit(8L))).distinct().count()
+      assert(lanes === 8L, s"whale rows occupied $lanes of 8 salt lanes")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", prevS)
+    }
+  }
+
   test("dedup_apply anti-join shuffles only the doc_id key, scan is column-pruned") {
     val p = plan(Queries.queries("dedup_apply")(spark, sf))
     // a dedup drop list can be a large fraction of the corpus, so the
