@@ -735,6 +735,65 @@ object Queries {
     })
   }
 
+  /** The fixed augmented MIPS geometry shared by the `ivf_mips_*` family
+    * (Bachrach et al. 2014 norm augmentation: x̃ = x ++ [√(M² − |x|²)],
+    * so augmented-L2 order equals descending-dot order and the IVF probe
+    * machinery serves MIPS unchanged): augmented fixed centroids
+    * (records 0..7) and the map-only argmin assignment
+    * ([[IvfIndex.assign]]'s broadcast packed-centroid fold — the r10
+    * crossJoin + groupBy(id) form SHUFFLED every (id, embedding) row, a
+    * full store shuffle at 100 TB), persisted once for the family like
+    * [[fixedModel]]'s assignment. `assigned` keeps metadata so the
+    * filtered variant composes (O4 × O6).
+    *
+    * M² is a one-scalar model (bounded driver state, rule 19a), guarded:
+    * on an EMPTY admissible corpus max() is NULL (getDouble would NPE —
+    * the repo's empty-frame-over-throw convention), and a non-finite M²
+    * (an Inf-norm payload beyond the Metric.validRecord domain) would
+    * poison every augmentation via sqrt(∞ − n²) — both return `None`
+    * and the callers emit the oracle's zero-row frame. */
+  private def mipsFixedIndex(
+      s: SparkSession, dir: String): Option[(DataFrame, DataFrame)] = {
+    val base = recs(s, dir)
+      .withColumn("__n2",
+        graft.functions.NativeExprs.dot(col("embedding"), col("embedding")))
+      .where(!isnan(col("__n2")))
+    val m2Row = base.agg(max(col("__n2"))).head()
+    val m2 = if (m2Row.isNullAt(0)) Double.NaN else m2Row.getDouble(0)
+    if (!java.lang.Double.isFinite(m2)) None
+    else {
+      val aug = base.select(col("id"), col("embedding"), col("metadata"),
+        concat(col("embedding").cast("array<double>"),
+          array(sqrt(lit(m2) - col("__n2")))).as("__aug"))
+      val cents = aug.where(col("id") < 8)
+        .select(col("id").cast("int").as("cluster_id"),
+          col("__aug").as("centroid"))
+      val assigned = Caching.ensureCached(IvfIndex.assign(
+          aug.select(col("id"), col("__aug").as("embedding"),
+            col("embedding").as("__orig"), col("metadata")),
+          cents, Metric.Euclidean)
+        .select(col("id"), col("cluster_id"), col("__orig").as("embedding"),
+          col("metadata")))
+      Some((cents, assigned))
+    }
+  }
+
+  /** The single-query MIPS probe: the 3 nearest AUGMENTED centroids to
+    * the zero-padded query (ties to the lower cluster_id), carrying the
+    * raw qvec for the exact dot rerank — the native sq-L2 kernel is the
+    * fuzz-pinned twin of the sqlSq fold the oracle replays. */
+  private def mipsProbed(s: SparkSession, dir: String,
+      cents: DataFrame): DataFrame = {
+    val qa = qvec0(s, dir).select(col("qvec"),
+      concat(col("qvec").cast("array<double>"),
+        array(lit(0.0))).as("__qaug"))
+    cents.crossJoin(broadcast(qa))
+      .withColumn("__cd",
+        Metric.Euclidean.distance(col("centroid"), col("__qaug")))
+      .orderBy(col("__cd").asc, col("cluster_id").asc).limit(3)
+      .select(col("cluster_id"), col("qvec"))
+  }
+
   /** Corpus char-trigram LM model, memoized per (session, dir) — the
     * session-lifecycle-state pattern of [[fixedModel]]: a production
     * pipeline fits the quality model ONCE per corpus version and every
@@ -1394,59 +1453,37 @@ object Queries {
     // doubles (float→double widening is exact; sqrt is correctly
     // rounded), every fold in index order — the oracle replays
     // augmentation, assignment, probe, and rerank list-for-list
-    "ivf_mips_query" -> ((s, dir) => {
-      def sqD(a: Column, b: Column): Column =
-        aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), _ + _)
-      val base = recs(s, dir)
-        .withColumn("__n2",
-          graft.functions.NativeExprs.dot(col("embedding"), col("embedding")))
-        .where(!isnan(col("__n2")))
-      // M² is a one-scalar model (bounded driver state, rule 19a):
-      // the augmentation pads against the corpus-wide max norm.
-      // Guarded: on an EMPTY admissible corpus max() is NULL (getDouble
-      // would NPE — the repo's empty-frame-over-throw convention), and a
-      // non-finite M² (an Inf-norm payload beyond the Metric.validRecord
-      // domain) would poison every augmentation via sqrt(∞ − n²) — both
-      // return the oracle's zero-row frame instead.
-      val m2Row = base.agg(max(col("__n2"))).head()
-      val m2 = if (m2Row.isNullAt(0)) Double.NaN else m2Row.getDouble(0)
-      if (!java.lang.Double.isFinite(m2))
-        recs(s, dir).limit(0)
+    "ivf_mips_query" -> ((s, dir) =>
+      mipsFixedIndex(s, dir) match {
+        case None => recs(s, dir).limit(0)
           .select(col("id").as("vec_id"), lit(0.0).as("score"))
-      else {
-        val aug = base.select(col("id"), col("embedding"),
-          concat(col("embedding").cast("array<double>"),
-            array(sqrt(lit(m2) - col("__n2")))).as("__aug"))
-        val cents = aug.where(col("id") < 8)
-          .select(col("id").cast("int").as("cid"), col("__aug").as("__caug"))
-        // map-only argmin assignment (IvfIndex.assign over the augmented
-        // arrays): the r10 crossJoin + groupBy(id) + min_by form SHUFFLED
-        // every (id, embedding) row — a full store shuffle at 100 TB;
-        // assign's broadcast packed-centroid fold decides in the scan
-        // with no exchange. Same argmin semantics (NaN never wins, ties
-        // to the lower cid) the oracle's row_number replays, and the
-        // native kernel is the fuzz-pinned twin of the sqD HOF.
-        val assigned = Caching.ensureCached(IvfIndex.assign(
-            aug.select(col("id"), col("__aug").as("embedding"),
-              col("embedding").as("__orig")),
-            cents.select(col("cid").as("cluster_id"), col("__caug").as("centroid")),
-            Metric.Euclidean)
-          .select(col("id"), col("cluster_id").as("cid"),
-            col("__orig").as("embedding")))
-        val qa = qvec0(s, dir).select(col("qvec"),
-          concat(col("qvec").cast("array<double>"),
-            array(lit(0.0))).as("__qaug"))
-        val probed = cents.crossJoin(broadcast(qa))
-          .withColumn("__cd", sqD(col("__caug"), col("__qaug")))
-          .orderBy(col("__cd").asc, col("cid").asc).limit(3)
-          .select(col("cid"), col("qvec"))
-        assigned.join(broadcast(probed), Seq("cid"))
-          .withColumn("__s",
-            graft.functions.NativeExprs.dot(col("embedding"), col("qvec")))
-          .orderBy(col("__s").desc, col("id").asc).limit(10)
-          .select(col("id").as("vec_id"), r4(col("__s")).as("score"))
-      }
-    }),
+        case Some((cents, assigned)) =>
+          assigned.join(broadcast(mipsProbed(s, dir, cents)), Seq("cluster_id"))
+            .withColumn("__s",
+              graft.functions.NativeExprs.dot(col("embedding"), col("qvec")))
+            .orderBy(col("__s").desc, col("id").asc).limit(10)
+            .select(col("id").as("vec_id"), r4(col("__s")).as("score"))
+      }),
+
+    // extension: METADATA-FILTERED MIPS — the O4 × O6 composition on the
+    // dot-product order, completing the MIPS family's symmetry with the
+    // L2/cosine serving paths (knn_filtered / ivf_batch_filtered): the
+    // predicate evaluates on the probed candidates BEFORE the top-k
+    // (predicate precedes ranking, reference index.rs:197-199), so a
+    // selective filter never widens the probe. Same fixed augmented
+    // geometry and oracle-replayed probe as ivf_mips_query.
+    "ivf_mips_filtered" -> ((s, dir) =>
+      mipsFixedIndex(s, dir) match {
+        case None => recs(s, dir).limit(0)
+          .select(col("id").as("vec_id"), lit(0.0).as("score"))
+        case Some((cents, assigned)) =>
+          assigned.join(broadcast(mipsProbed(s, dir, cents)), Seq("cluster_id"))
+            .where(FilterDsl.predicate(col("metadata"), "label >= 5"))
+            .withColumn("__s",
+              graft.functions.NativeExprs.dot(col("embedding"), col("qvec")))
+            .orderBy(col("__s").desc, col("id").asc).limit(10)
+            .select(col("id").as("vec_id"), r4(col("__s")).as("score"))
+      }),
 
     // extension: BATCH MIPS serving — the r10 single-query norm-augmented
     // probe generalized to many queries ([[IvfIndex.queryMipsBatch]]):
@@ -1456,41 +1493,19 @@ object Queries {
     // per query through the two-phase bounded heap on the negated score.
     // Same guarded M² scalar as the single-query form; the oracle
     // replays augmentation, assignment, per-query probe, and rerank.
-    "ivf_mips_batch" -> ((s, dir) => {
-      val base = recs(s, dir)
-        .withColumn("__n2",
-          graft.functions.NativeExprs.dot(col("embedding"), col("embedding")))
-        .where(!isnan(col("__n2")))
-      val m2Row = base.agg(max(col("__n2"))).head()
-      val m2 = if (m2Row.isNullAt(0)) Double.NaN else m2Row.getDouble(0)
-      if (!java.lang.Double.isFinite(m2))
-        recs(s, dir).limit(0)
+    "ivf_mips_batch" -> ((s, dir) =>
+      mipsFixedIndex(s, dir) match {
+        case None => recs(s, dir).limit(0)
           .select(col("id").as("query_id"), col("id").as("vec_id"),
             lit(0.0).as("score"))
-      else {
-        val aug = base.select(col("id"), col("embedding"),
-          concat(col("embedding").cast("array<double>"),
-            array(sqrt(lit(m2) - col("__n2")))).as("__aug"))
-        val cents = aug.where(col("id") < 8)
-          .select(col("id").cast("int").as("cluster_id"),
-            col("__aug").as("centroid"))
-        // persisted like fixedModel's assignment: the reference serves
-        // every query from ONE held index; re-deriving the augmented
-        // assignment per materialization is a batch-harness artifact
-        // (bench family hygiene reclaims it)
-        val assigned = Caching.ensureCached(IvfIndex.assign(
-            aug.select(col("id"), col("__aug").as("embedding"),
-              col("embedding").as("__orig")),
-            cents, Metric.Euclidean)
-          .select(col("id"), col("cluster_id"), col("__orig").as("embedding")))
-        val queries = recs(s, dir).where(col("id") < 5)
-          .select(col("id").as("query_id"), col("embedding").as("qvec"))
-        IvfIndex.queryMipsBatch(cents, assigned, queries, k = 5, probes = 3)
-          .orderBy(col("query_id").asc, col("score").desc, col("id").asc)
-          .select(col("query_id"), col("id").as("vec_id"),
-            r4(col("score")).as("score"))
-      }
-    }),
+        case Some((cents, assigned)) =>
+          val queries = recs(s, dir).where(col("id") < 5)
+            .select(col("id").as("query_id"), col("embedding").as("qvec"))
+          IvfIndex.queryMipsBatch(cents, assigned, queries, k = 5, probes = 3)
+            .orderBy(col("query_id").asc, col("score").desc, col("id").asc)
+            .select(col("query_id"), col("id").as("vec_id"),
+              r4(col("score")).as("score"))
+      }),
 
     // O3 — radius gate, <= inclusive (reference index.rs:197)
     "knn_radius" -> ((s, dir) =>
@@ -6004,6 +6019,27 @@ object Queries {
          |r AS (SELECT query_id, vec_id, s, row_number() OVER (PARTITION BY query_id ORDER BY s DESC, vec_id ASC) AS rn FROM cand)
          |SELECT query_id, vec_id, ${sqlR4("s")} AS score FROM r WHERE rn <= 5
          |ORDER BY query_id ASC, s DESC, vec_id ASC""".stripMargin,
+
+    // the filtered twin: same augmented probe replay, predicate applied
+    // to the probed candidates BEFORE the top-k (filter precedes ranking)
+    "ivf_mips_filtered" ->
+      s"""WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+         |n2 AS (SELECT vec_id, embedding, label, ${sqlDot("embedding", "embedding")} AS nn
+         |  FROM embeddings WHERE NOT isnan(${sqlDot("embedding", "embedding")})),
+         |m AS (SELECT max(nn) AS m2 FROM n2),
+         |aug AS (SELECT vec_id, embedding, label,
+         |  list_append(list_transform(embedding, v -> CAST(v AS DOUBLE)), sqrt(m.m2 - nn)) AS a
+         |  FROM n2, m),
+         |c AS (SELECT CAST(vec_id AS INT) AS cid, a AS ca FROM aug WHERE vec_id < 8),
+         |qa AS (SELECT qvec, list_append(list_transform(qvec, v -> CAST(v AS DOUBLE)), CAST(0.0 AS DOUBLE)) AS qaug FROM q),
+         |asg AS (SELECT vec_id, cid FROM (
+         |  SELECT aug.vec_id, c.cid, row_number() OVER (PARTITION BY aug.vec_id ORDER BY ${sqlSq("aug.a", "c.ca")} ASC, c.cid ASC) AS rn
+         |  FROM aug CROSS JOIN c) WHERE rn = 1),
+         |probed AS (SELECT c.cid FROM c, qa ORDER BY ${sqlSq("c.ca", "qa.qaug")} ASC, c.cid ASC LIMIT 3)
+         |SELECT aug.vec_id AS vec_id, ${sqlR4(sqlDot("aug.embedding", "q.qvec"))} AS score
+         |FROM aug JOIN asg ON aug.vec_id = asg.vec_id JOIN probed ON asg.cid = probed.cid, q
+         |WHERE aug.label >= 5
+         |ORDER BY ${sqlDot("aug.embedding", "q.qvec")} DESC, aug.vec_id ASC LIMIT 10""".stripMargin,
 
     "knn_radius" ->
       s"""WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0)
