@@ -134,6 +134,43 @@ object Knn {
       .select(col("id"), col("metadata"), col("distance"))
   }
 
+  /** Shortlist-budget SWEEP of [[searchHammingRerank]]: the rerank
+    * result at EVERY budget in `shortlists`, from ONE Hamming scan —
+    * the recall-vs-budget evaluation pass (`ann_hamming_recall_curve`).
+    * Because the shortlist stage is a DETERMINISTIC total order
+    * (hamming asc, id asc), the budget-`s` shortlist is exactly the
+    * s-prefix of the budget-max shortlist — so one scan at the largest
+    * budget plus per-budget prefix slices over those ≤max rows is
+    * row-identical to running the funnel per budget (law-pinned in
+    * KnnSpec), at 1/|shortlists| the scan cost. The exact distance is
+    * computed once per surviving candidate; all per-budget work runs
+    * over the cached ≤max-row frame. Emits
+    * `(shortlist, id, metadata, distance)`. */
+  def searchHammingRerankSweep(
+      records: DataFrame,
+      query: DataFrame,
+      k: Int,
+      shortlists: Seq[Int],
+      metric: Metric = Metric.Euclidean): DataFrame = {
+    require(shortlists.nonEmpty, "need at least one shortlist budget")
+    require(k > 0 && shortlists.min >= k, "need every shortlist >= k > 0")
+    val top = graft.Caching.ensureCached(records
+      .crossJoin(broadcast(query))
+      .withColumn("__h", VectorOps.hammingDistance(col("bcode"), col("qcode")))
+      .where(col("__h").isNotNull) // same invalid-candidate guard as the single-budget funnel
+      .orderBy(col("__h").asc, col("id").asc)
+      .limit(shortlists.max)
+      .select(col("id"), col("metadata"), col("__h"),
+        metric.distance(col("embedding"), col("qvec")).as("distance")))
+    shortlists.map { sl =>
+      top.orderBy(col("__h").asc, col("id").asc).limit(sl)
+        .where(col("distance").isNotNull && !isnan(col("distance")))
+        .orderBy(col("distance").asc, col("id").asc).limit(k)
+        .select(lit(sl).as("shortlist"), col("id"), col("metadata"),
+          col("distance"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Batch form of the Hamming scan: top-k per query over packed sign
     * codes via the same bounded-heap two-stage reduction as
     * [[searchBatch]] (map-side partial heaps, merge, broadcast

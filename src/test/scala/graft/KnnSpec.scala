@@ -227,4 +227,20 @@ class KnnSpec extends SparkSpec {
     assert(mmrDup.map(_._2) === Seq(10L, 12L, 11L),
       s"diversity must evict the near-duplicate: $mmrDup")
   }
+
+  test("searchHammingRerankSweep law: row-identical to searchHammingRerank " +
+    "at every shortlist budget (prefix property of the total order)") {
+    import graft.operators.VectorOps
+    val store = records.withColumn("bcode", VectorOps.binaryCodes(col("embedding")))
+    val q = query.withColumn("qcode", VectorOps.binaryCodes(col("qvec")))
+    val budgets = Seq(10, 25, 100)
+    val sweep = Knn.searchHammingRerankSweep(store, q, k = 10, budgets)
+      .select("shortlist", "id", "distance").as[(Int, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3)).toSet).toMap
+    budgets.foreach { sl =>
+      val direct = Knn.searchHammingRerank(store, q, k = 10, shortlist = sl)
+        .select("id", "distance").as[(Long, Double)].collect().toSet
+      assert(sweep(sl) === direct, s"shortlist=$sl")
+    }
+  }
 }
