@@ -1545,6 +1545,47 @@ object Queries {
               r4(col("score")).as("score"))
       }),
 
+    // extension: MIPS recall curve — the parameter-tuning pass every
+    // other ANN family already has (ivf_recall_curve,
+    // ann_hamming_recall_curve): recall@10 of the norm-augmented probe
+    // funnel vs the exact dot top-10, at probe counts {1,2,4,8} over the
+    // 8 augmented fixed centroids, from ONE scan
+    // ([[IvfIndex.queryMipsProbeSweep]]'s rank <= p derivation — the
+    // per-point re-probe would cost ≈1.9 full scans for this sweep).
+    // NaN scores are dropped on BOTH the funnel and the exact reference
+    // (the funnel's bounded heap never admits NaN), so the curve
+    // measures pruning loss only, reaching 1.0 at full probe.
+    "ivf_mips_recall_curve" -> ((s, dir) => {
+      import s.implicits._
+      val points = Seq(1, 2, 4, 8)
+      mipsFixedIndex(s, dir) match {
+        case None =>
+          // empty admissible corpus: zero hits at every point — the
+          // oracle's LEFT JOIN … coalesce(0) shape, not an empty frame
+          points.toDF("probes").select(col("probes"),
+            lit(0L).as("n_hit"), lit(0.0).as("recall"))
+        case Some((cents, assigned)) =>
+          val q = qvec0(s, dir)
+          val exact10 = assigned.crossJoin(broadcast(q))
+            .withColumn("__s",
+              graft.functions.NativeExprs.dot(col("embedding"), col("qvec")))
+            .where(!isnan(col("__s")))
+            .orderBy(col("__s").desc, col("id").asc).limit(10)
+            .select(col("id"))
+          val hits = IvfIndex.queryMipsProbeSweep(cents, assigned, q,
+              k = 10, points)
+            .join(broadcast(exact10), Seq("id"), "left_semi")
+            .groupBy(col("probes")).agg(count(lit(1)).as("__h"))
+          points.toDF("probes")
+            .join(hits, Seq("probes"), "left")
+            .select(col("probes"),
+              coalesce(col("__h"), lit(0L)).as("n_hit"),
+              r4(coalesce(col("__h"), lit(0L)).cast("double") / lit(10.0))
+                .as("recall"))
+            .orderBy("probes")
+      }
+    }),
+
     // O3 — radius gate, <= inclusive (reference index.rs:197)
     "knn_radius" -> ((s, dir) =>
       knnOut(Knn.search(recs(s, dir), qvec0(s, dir), 50, Metric.Euclidean, radius = 1.7))),
@@ -6070,6 +6111,36 @@ object Queries {
          |FROM aug JOIN asg ON aug.vec_id = asg.vec_id JOIN probed ON asg.cid = probed.cid, q
          |WHERE aug.label >= 5
          |ORDER BY ${sqlDot("aug.embedding", "q.qvec")} DESC, aug.vec_id ASC LIMIT 10""".stripMargin,
+
+    // augmented probe funnel replayed at each probe count via the
+    // centroid-rank derivation (rank <= p == ORDER BY … LIMIT p), recall
+    // vs the exact dot top-10 — NaN scores excluded on both paths
+    "ivf_mips_recall_curve" ->
+      s"""WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+         |n2 AS (SELECT vec_id, embedding, ${sqlDot("embedding", "embedding")} AS nn
+         |  FROM embeddings WHERE NOT isnan(${sqlDot("embedding", "embedding")})),
+         |m AS (SELECT max(nn) AS m2 FROM n2),
+         |aug AS (SELECT vec_id, embedding,
+         |  list_append(list_transform(embedding, v -> CAST(v AS DOUBLE)), sqrt(m.m2 - nn)) AS a
+         |  FROM n2, m),
+         |c AS (SELECT CAST(vec_id AS INT) AS cid, a AS ca FROM aug WHERE vec_id < 8),
+         |qa AS (SELECT qvec, list_append(list_transform(qvec, v -> CAST(v AS DOUBLE)), CAST(0.0 AS DOUBLE)) AS qaug FROM q),
+         |asg AS (SELECT vec_id, cid FROM (
+         |  SELECT aug.vec_id, c.cid, row_number() OVER (PARTITION BY aug.vec_id ORDER BY ${sqlSq("aug.a", "c.ca")} ASC, c.cid ASC) AS rn
+         |  FROM aug CROSS JOIN c) WHERE rn = 1),
+         |crank AS (SELECT c.cid, row_number() OVER (ORDER BY ${sqlSq("c.ca", "qa.qaug")} ASC, c.cid ASC) AS prank FROM c, qa),
+         |ex AS (SELECT aug.vec_id FROM aug, q WHERE NOT isnan(${sqlDot("aug.embedding", "q.qvec")})
+         |  ORDER BY ${sqlDot("aug.embedding", "q.qvec")} DESC, aug.vec_id ASC LIMIT 10),
+         |p AS (SELECT unnest([1, 2, 4, 8]) AS probes),
+         |res AS (SELECT p.probes, r.vec_id FROM p, LATERAL (
+         |  SELECT aug.vec_id FROM aug JOIN asg ON aug.vec_id = asg.vec_id
+         |    JOIN crank ON asg.cid = crank.cid, q
+         |  WHERE crank.prank <= p.probes AND NOT isnan(${sqlDot("aug.embedding", "q.qvec")})
+         |  ORDER BY ${sqlDot("aug.embedding", "q.qvec")} DESC, aug.vec_id ASC LIMIT 10) r),
+         |hits AS (SELECT probes, count(*) AS h FROM res JOIN ex USING (vec_id) GROUP BY probes)
+         |SELECT p.probes AS probes, CAST(coalesce(h.h, 0) AS BIGINT) AS n_hit,
+         |  ${sqlR4("CAST(coalesce(h.h, 0) AS DOUBLE) / 10.0")} AS recall
+         |FROM p LEFT JOIN hits h ON p.probes = h.probes ORDER BY probes""".stripMargin,
 
     "knn_radius" ->
       s"""WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0)

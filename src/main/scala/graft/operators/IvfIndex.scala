@@ -1126,6 +1126,57 @@ object IvfIndex {
       .select(col("query_id"), col("id"), negate(col("distance")).as("score"))
   }
 
+  /** Probe-SWEEP evaluation for MIPS — [[queryProbeSweep]]'s one-scan
+    * rank-derivation applied to the norm-augmented geometry
+    * ([[queryMipsBatch]]): the AUGMENTED centroids are ranked once by
+    * L2 distance to the zero-padded query (NaN-last, ties to the lower
+    * cluster_id — the same total order every probe funnel uses), each
+    * record's exact DOT score is computed once, and only narrow
+    * `(rank, score, id)` rows fan out to the probe points whose budget
+    * admits the record's cluster. `rank <= p` reproduces
+    * `ORDER BY … LIMIT p` for every p at once, so each point's output
+    * is row-identical to a fresh probe-p MIPS query (law-pinned in
+    * IvfIndexSpec). Per-point top-k is the two-phase bounded heap on
+    * the negated score; NaN scores are dropped (an underfull heap would
+    * otherwise admit NaN). Emits `(probes, id, score)`. */
+  def queryMipsProbeSweep(
+      augCentroids: DataFrame,
+      assigned: DataFrame,
+      query: DataFrame,
+      k: Int,
+      probePoints: Seq[Int]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0, "k must be positive")
+    require(probePoints.nonEmpty, "probePoints must be non-empty")
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    val qAug = query.select(col("qvec"),
+      concat(col("qvec").cast("array<double>"),
+        array(lit(0.0))).as("__qaug"))
+    // partitioned BY THE QUERY VECTOR (non-foldable — queryProbeSweep's
+    // bounded-window note): one ≤|centroids|-row partition per query
+    val w = Window.partitionBy(col("qvec"))
+      .orderBy(isnan(col("__cdist")).asc, col("__cdist").asc, col("cluster_id").asc)
+    val ranked = augCentroids.crossJoin(broadcast(qAug))
+      .withColumn("__cdist",
+        Metric.Euclidean.distance(col("centroid"), col("__qaug")))
+      .where(col("__cdist").isNotNull)
+      .withColumn("__rank", row_number().over(w))
+      .select(col("cluster_id"), col("__rank"), col("qvec"))
+    val points = probePoints.toDF("probes")
+    val cands = assigned
+      .join(broadcast(ranked), Seq("cluster_id"))
+      .withColumn("__s",
+        graft.functions.NativeExprs.dot(col("embedding"), col("qvec")))
+      .where(!isnan(col("__s")))
+      .select(col("id"), col("__rank"), negate(col("__s")).as("distance"))
+      .join(broadcast(points), col("__rank") <= col("probes"))
+      .select(col("probes").as("query_id"), col("distance"), col("id"))
+    Knn.topKPerQueryPairs(cands, k)
+      .select(col("query_id").as("probes"), col("id"),
+        negate(col("distance")).as("score"))
+  }
+
   /** The 100 TB layout: posting lists as Parquet partitions. */
   def writePartitioned(model: Model, path: String): Unit =
     model.assigned.write.mode("overwrite").partitionBy("cluster_id").parquet(path)

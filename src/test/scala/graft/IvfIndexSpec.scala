@@ -207,6 +207,33 @@ class IvfIndexSpec extends SparkSpec {
     }
   }
 
+  test("queryMipsProbeSweep law: row-identical to queryMipsBatch at every probe point") {
+    val base = records.withColumn("__n2",
+      graft.functions.NativeExprs.dot(col("embedding"), col("embedding")))
+    val m2 = base.agg(max(col("__n2"))).head().getDouble(0)
+    val aug = base.select(col("id"), col("embedding"),
+      concat(col("embedding").cast("array<double>"),
+        array(sqrt(lit(m2) - col("__n2")))).as("__aug"))
+    val cents = aug.where(col("id") < 8)
+      .select(col("id").cast("int").as("cluster_id"), col("__aug").as("centroid"))
+    val assigned = IvfIndex.assign(
+        aug.select(col("id"), col("__aug").as("embedding"),
+          col("embedding").as("__orig")),
+        cents, Metric.Euclidean)
+      .select(col("id"), col("cluster_id"), col("__orig").as("embedding"))
+    val q = records.where(col("id") === 7).select(col("embedding").as("qvec"))
+    val points = Seq(1, 2, 4, 8, 999) // 999 exercises the probes clamp
+    val sweep = IvfIndex.queryMipsProbeSweep(cents, assigned, q, 10, points)
+      .select("probes", "id", "score").as[(Int, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3)).toSet).toMap
+    points.foreach { p =>
+      val direct = IvfIndex.queryMipsBatch(cents, assigned,
+          q.select(lit(0L).as("query_id"), col("qvec")), k = 10, probes = p)
+        .select("id", "score").as[(Long, Double)].collect().toSet
+      assert(sweep(p) === direct, s"probes=$p")
+    }
+  }
+
   test("queryBatch pruned probing: each query's own record always found") {
     val model = IvfIndex.build(records, density = 64, Metric.Euclidean, seed = 42L)
     val q = records.where(col("id") < 4)
