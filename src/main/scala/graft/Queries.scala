@@ -5006,6 +5006,26 @@ object Queries {
         .orderBy("id_a", "id_b")
     }),
 
+    // extension: perceptual near-dup GROUP map — the image pipeline's
+    // missing third stage (hash → pairs → GROUPS), completing parity
+    // with the text side's dedup_groups: connected components over the
+    // verified hamming-≤2 pair graph (pointer-jumped label propagation,
+    // Dedup.duplicateGroups), rep = min media_id per component — the
+    // keep/drop map an image-dedup pass applies. Nodes are only media
+    // that appear in some pair (singletons need no map row).
+    "media_phash_groups" -> ((s, dir) => {
+      val hashed = Multimodal.perceptualHash(
+        Multimodal.codecMedia(docs(s, dir)).where(col("kind") === "image"),
+        grid = 8)
+      val pairs = graft.operators.Dedup.fingerprintPairs(hashed,
+        "media_id", "ahash", bits = 64, maxHamming = 2,
+        maxBucket = graft.operators.Dedup.DefaultPipelineMaxBucket)
+      graft.operators.Dedup.duplicateGroups(pairs,
+          srcCol = "id_a", dstCol = "id_b")
+        .select(col("doc_id").as("media_id"), col("rep_id"))
+        .orderBy("media_id")
+    }),
+
     // extension: exact binary-content dedup stats per media kind —
     // md5 over the payload BYTES (identical hex semantics in both
     // engines), two-stage Expand-free distinct; the keeper rule and
@@ -9311,6 +9331,36 @@ object Queries {
          |  CAST(bit_count(xor(a.ahash, b.ahash)) AS INTEGER) AS hamming
          |  FROM banded a JOIN banded b ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
          |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 2 ORDER BY id_a, id_b""".stripMargin,
+
+    // same hash/band/verify replay, then min-label reachability over the
+    // symmetric verified-pair graph (the sqlCcReach recursion) — rep =
+    // min media_id per connected component
+    "media_phash_groups" ->
+      s"""WITH RECURSIVE d0 AS (SELECT doc_id, text, n_chars, length(text) AS len FROM documents WHERE length(text) > 0),
+         |img AS (SELECT doc_id, text, len, CAST(n_chars % 16 + 4 AS BIGINT) AS w, CAST(n_chars % 12 + 4 AS BIGINT) AS h
+         |  FROM d0 WHERE doc_id % 2 = 0),
+         |px AS (SELECT doc_id, w, h, u.i AS i,
+         |    (ord(substr(text, CAST((u.i % len) + 1 AS INT), 1)) % 256
+         |     + 2 * (ord(substr(text, CAST(((u.i + 1) % len) + 1 AS INT), 1)) % 256)
+         |     + ord(substr(text, CAST(((u.i + 2) % len) + 1 AS INT), 1)) % 256) AS lum
+         |  FROM img, unnest(generate_series(0, w * h - 1)) AS u(i)),
+         |bk AS (SELECT doc_id, ((i // w) * 8 // h) * 8 + ((i % w) * 8 // w) AS b, lum FROM px),
+         |bs AS (SELECT doc_id, b, CAST(sum(lum) AS BIGINT) AS bsum, CAST(count(*) AS BIGINT) AS bn FROM bk GROUP BY 1, 2),
+         |tt AS (SELECT doc_id, CAST(sum(lum) AS BIGINT) AS tsum, CAST(count(*) AS BIGINT) AS nt FROM bk GROUP BY 1),
+         |hs AS (SELECT bs.doc_id,
+         |    CAST(sum(CASE WHEN bsum * nt >= tsum * bn THEN
+         |      CASE WHEN b = 63 THEN (CAST(1 AS BIGINT) << 62) * -2 ELSE CAST(1 AS BIGINT) << CAST(b AS INT) END
+         |      ELSE 0 END) AS BIGINT) AS ahash
+         |  FROM bs JOIN tt ON bs.doc_id = tt.doc_id GROUP BY 1),
+         |banded AS (SELECT doc_id, ahash, u.b AS band_idx,
+         |  (ahash >> ($phashOffsetsSql)[u.b + 1]) & ($phashMasksSql)[u.b + 1] AS band_key
+         |  FROM hs, (SELECT unnest(generate_series(0, ${phashLayout.size - 1})) AS b) u),
+         |vp AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM banded a JOIN banded b ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.ahash, b.ahash)) <= 2),
+         |e AS (SELECT id_a AS a, id_b AS b FROM vp UNION SELECT id_b, id_a FROM vp),
+         |$sqlCcReach
+         |SELECT node AS media_id, min(lab) AS rep_id FROM reach GROUP BY node ORDER BY media_id""".stripMargin,
 
     "media_codec_features" ->
       s"""WITH d0 AS (SELECT doc_id, text, n_chars, length(text) AS len FROM documents WHERE length(text) > 0),
