@@ -1888,7 +1888,10 @@ object Queries {
     // recomputes by assigning the transformed store from scratch
     "ivf_apply_diff" -> ((s, dir) => {
       val old = recs(s, dir)
-      val changes = Crud.diff(old, diffNewStore(s, old))
+      // the change log is ~0.3 % of the store but applyDiff consumes it
+      // TWICE (anti-join + re-add) — uncached, the full-outer diff join
+      // over the whole store executes once per consumer
+      val changes = Caching.ensureCached(Crud.diff(old, diffNewStore(s, old)))
       IvfIndex.applyDiff(fixedModel(s, dir, Metric.Euclidean), changes,
           Metric.Euclidean)
         .assigned
@@ -3284,7 +3287,10 @@ object Queries {
         .select(col("id"), col("cluster_id"),
           operators.VectorOps.pqCodes(col("embedding"), col("books")).as("codes"))
       val old = recs(s, dir)
-      val changes = Crud.diff(old, diffNewStore(s, old))
+      // same cached-change-log shape as ivf_apply_diff: two consumers,
+      // and the plan-keyed persist lets the sibling diff query's
+      // materialization serve this one within the family
+      val changes = Caching.ensureCached(Crud.diff(old, diffNewStore(s, old)))
       IvfIndex.applyDiffToCodes(codeStore, changes, model.centroids, books,
           Metric.Euclidean)
         .groupBy(col("cluster_id"))
