@@ -1523,6 +1523,31 @@ object Queries {
             .select(col("id").as("vec_id"), r4(col("__s")).as("score"))
       }),
 
+    // extension: the MIPS 100 TB LAYOUT — the norm-augmented assignment
+    // written as cluster_id-partitioned parquet (posting lists on disk,
+    // ivf_store_query's shape applied to dot order) and probed from the
+    // reopened store: the 3-centroid probe list must prune partitions at
+    // the scan (DPP, pinned in PlanShapeSpec), and the pruned store
+    // answers exactly like the in-memory ivf_mips_query — same oracle.
+    // Augmented centroids stay in memory (the model side); only the
+    // data-proportional posting lists live on disk.
+    "ivf_mips_store_query" -> ((s, dir) =>
+      mipsFixedIndex(s, dir) match {
+        case None => recs(s, dir).limit(0)
+          .select(col("id").as("vec_id"), lit(0.0).as("score"))
+        case Some((cents, assigned)) =>
+          val path = s"${System.getProperty("java.io.tmpdir")}/graft_mips_store_" +
+            s"${s.sparkContext.applicationId}_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+          if (!new java.io.File(s"$path/_SUCCESS").exists())
+            assigned.write.mode("overwrite").partitionBy("cluster_id").parquet(path)
+          s.read.parquet(path)
+            .join(broadcast(mipsProbed(s, dir, cents)), Seq("cluster_id"))
+            .withColumn("__s",
+              graft.functions.NativeExprs.dot(col("embedding"), col("qvec")))
+            .orderBy(col("__s").desc, col("id").asc).limit(10)
+            .select(col("id").as("vec_id"), r4(col("__s")).as("score"))
+      }),
+
     // extension: BATCH MIPS serving — the r10 single-query norm-augmented
     // probe generalized to many queries ([[IvfIndex.queryMipsBatch]]):
     // the augmented index is built once (map-only assign), each of the 5
@@ -6050,6 +6075,28 @@ object Queries {
 
   // ---------- oracle SQL (DuckDB) ----------
 
+  /** The ivf_mips_query funnel replay (augmentation + assignment +
+    * probe + dot rerank, list-for-list) — shared VERBATIM by
+    * `ivf_mips_store_query`: the on-disk posting-list roundtrip must
+    * not change a single row, so the two queries carry one oracle. */
+  private lazy val mipsQueryOracleSql: String =
+    s"""WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+       |n2 AS (SELECT vec_id, embedding, ${sqlDot("embedding", "embedding")} AS nn
+       |  FROM embeddings WHERE NOT isnan(${sqlDot("embedding", "embedding")})),
+       |m AS (SELECT max(nn) AS m2 FROM n2),
+       |aug AS (SELECT vec_id, embedding,
+       |  list_append(list_transform(embedding, v -> CAST(v AS DOUBLE)), sqrt(m.m2 - nn)) AS a
+       |  FROM n2, m),
+       |c AS (SELECT CAST(vec_id AS INT) AS cid, a AS ca FROM aug WHERE vec_id < 8),
+       |qa AS (SELECT qvec, list_append(list_transform(qvec, v -> CAST(v AS DOUBLE)), CAST(0.0 AS DOUBLE)) AS qaug FROM q),
+       |asg AS (SELECT vec_id, cid FROM (
+       |  SELECT aug.vec_id, c.cid, row_number() OVER (PARTITION BY aug.vec_id ORDER BY ${sqlSq("aug.a", "c.ca")} ASC, c.cid ASC) AS rn
+       |  FROM aug CROSS JOIN c) WHERE rn = 1),
+       |probed AS (SELECT c.cid FROM c, qa ORDER BY ${sqlSq("c.ca", "qa.qaug")} ASC, c.cid ASC LIMIT 3)
+       |SELECT aug.vec_id AS vec_id, ${sqlR4(sqlDot("aug.embedding", "q.qvec"))} AS score
+       |FROM aug JOIN asg ON aug.vec_id = asg.vec_id JOIN probed ON asg.cid = probed.cid, q
+       |ORDER BY ${sqlDot("aug.embedding", "q.qvec")} DESC, aug.vec_id ASC LIMIT 10""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "knn_euclidean" ->
       s"""WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0)
@@ -6071,23 +6118,11 @@ object Queries {
          |ORDER BY ${sqlDot("e.embedding", "q.qvec")} DESC, e.vec_id ASC LIMIT 10""".stripMargin,
 
     // augmentation + assignment + probe + dot rerank replayed list-for-list
-    "ivf_mips_query" ->
-      s"""WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
-         |n2 AS (SELECT vec_id, embedding, ${sqlDot("embedding", "embedding")} AS nn
-         |  FROM embeddings WHERE NOT isnan(${sqlDot("embedding", "embedding")})),
-         |m AS (SELECT max(nn) AS m2 FROM n2),
-         |aug AS (SELECT vec_id, embedding,
-         |  list_append(list_transform(embedding, v -> CAST(v AS DOUBLE)), sqrt(m.m2 - nn)) AS a
-         |  FROM n2, m),
-         |c AS (SELECT CAST(vec_id AS INT) AS cid, a AS ca FROM aug WHERE vec_id < 8),
-         |qa AS (SELECT qvec, list_append(list_transform(qvec, v -> CAST(v AS DOUBLE)), CAST(0.0 AS DOUBLE)) AS qaug FROM q),
-         |asg AS (SELECT vec_id, cid FROM (
-         |  SELECT aug.vec_id, c.cid, row_number() OVER (PARTITION BY aug.vec_id ORDER BY ${sqlSq("aug.a", "c.ca")} ASC, c.cid ASC) AS rn
-         |  FROM aug CROSS JOIN c) WHERE rn = 1),
-         |probed AS (SELECT c.cid FROM c, qa ORDER BY ${sqlSq("c.ca", "qa.qaug")} ASC, c.cid ASC LIMIT 3)
-         |SELECT aug.vec_id AS vec_id, ${sqlR4(sqlDot("aug.embedding", "q.qvec"))} AS score
-         |FROM aug JOIN asg ON aug.vec_id = asg.vec_id JOIN probed ON asg.cid = probed.cid, q
-         |ORDER BY ${sqlDot("aug.embedding", "q.qvec")} DESC, aug.vec_id ASC LIMIT 10""".stripMargin,
+    "ivf_mips_query" -> mipsQueryOracleSql,
+
+    // the on-disk posting-list twin answers IDENTICALLY (same fixed
+    // augmented geometry; only the storage layout differs)
+    "ivf_mips_store_query" -> mipsQueryOracleSql,
 
     // batch twin: augmentation + assignment + PER-QUERY probe + dot
     // rerank replayed with window functions (the per-query top-5 of the

@@ -116,6 +116,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("cluster-partitioned MIPS store: the augmented probe prunes partitions at the scan") {
+    // the query writes the augmented posting lists once per (app, dir)
+    // and reopens them; the 3-cluster probe list must reach the parquet
+    // scan as dynamic partition pruning — without it every MIPS serve
+    // reads the full store
+    val df = Queries.queries("ivf_mips_store_query")(spark, sf)
+    val p = plan(df)
+    assert(p.contains("dynamicpruning") || p.contains("PartitionFilters: [dynamic"),
+      p.linesIterator.filter(_.contains("PartitionFilters")).mkString("\n"))
+    assert(df.collect().length === 10)
+  }
+
   test("cluster-partitioned CODE store: the ADC probe prunes partitions at the scan") {
     import graft.operators.{IvfIndex, VectorOps}
     val r = graft.sources.Records.fromEmbeddings(spark, sf)
