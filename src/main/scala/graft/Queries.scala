@@ -1301,6 +1301,31 @@ object Queries {
     })
   }
 
+  /** The perceptual-hash duplicate-group map (media_id, rep_id),
+    * memoized per (session, dir) with the converged label table
+    * checkpoint-backed — the image-space twin of [[cappedGroups]], same
+    * lifecycle: decode + grid-8 aHash + banded pairs + CC is a build a
+    * pipeline runs once per corpus version. [[Dedup.duplicateGroups]]
+    * materializes eagerly, so the memo holds the fixed point. */
+  private val mediaGroupsCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private def mediaPhashGroups(s: SparkSession, dir: String): DataFrame = {
+    mediaGroupsCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    mediaGroupsCache.computeIfAbsent((s, dir), _ => {
+      val hashed = Multimodal.perceptualHash(
+        Multimodal.codecMedia(docs(s, dir)).where(col("kind") === "image"),
+        grid = 8)
+      val pairs = graft.operators.Dedup.fingerprintPairs(hashed,
+        "media_id", "ahash", bits = 64, maxHamming = 2,
+        maxBucket = graft.operators.Dedup.DefaultPipelineMaxBucket)
+      val groups = graft.operators.Dedup.duplicateGroups(pairs,
+          srcCol = "id_a", dstCol = "id_b")
+        .select(col("doc_id").as("media_id"), col("rep_id"))
+      builderCacheClear(s) // same lifecycle as [[cappedGroups]]
+      groups
+    })
+  }
+
   /** The derived SCD2 change log shared by `snapshot_scd2` and
     * `snapshot_time_travel` (and mirrored verbatim in their oracles):
     * for every store id < 60 — a v1 upsert at seq 1; a delete at seq 2
@@ -5043,19 +5068,12 @@ object Queries {
     // verified hamming-≤2 pair graph (pointer-jumped label propagation,
     // Dedup.duplicateGroups), rep = min media_id per component — the
     // keep/drop map an image-dedup pass applies. Nodes are only media
-    // that appear in some pair (singletons need no map row).
-    "media_phash_groups" -> ((s, dir) => {
-      val hashed = Multimodal.perceptualHash(
-        Multimodal.codecMedia(docs(s, dir)).where(col("kind") === "image"),
-        grid = 8)
-      val pairs = graft.operators.Dedup.fingerprintPairs(hashed,
-        "media_id", "ahash", bits = 64, maxHamming = 2,
-        maxBucket = graft.operators.Dedup.DefaultPipelineMaxBucket)
-      graft.operators.Dedup.duplicateGroups(pairs,
-          srcCol = "id_a", dstCol = "id_b")
-        .select(col("doc_id").as("media_id"), col("rep_id"))
-        .orderBy("media_id")
-    }),
+    // that appear in some pair (singletons need no map row). The
+    // converged map is memoized per (session, dir) like the text-side
+    // group maps — decode + hash + CC is a build a session pays once
+    // per corpus version, never per consuming query.
+    "media_phash_groups" -> ((s, dir) =>
+      mediaPhashGroups(s, dir).orderBy("media_id")),
 
     // extension: exact binary-content dedup stats per media kind —
     // md5 over the payload BYTES (identical hex semantics in both
