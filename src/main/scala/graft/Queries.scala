@@ -5540,13 +5540,16 @@ object Queries {
       // + session self-join (three more shuffles of the event mass).
       // collect_set drops null types like the old pair/per joins did;
       // an all-null-type session still counts in __N (empty set row)
-      val sess = events(s, dir)
+      // cached: three consumers (total, per-type, pairs) would otherwise
+      // re-run the sessionization window over the event mass each — the
+      // frame itself is tiny (one row per session, vocabulary-bounded set)
+      val sess = Caching.ensureCached(events(s, dir)
         .withColumn("__new", when(lag(col("ts"), 1).over(w).isNull ||
           unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w))
             > 1800L * 1000000L, 1L).otherwise(0L))
         .withColumn("__sid", sum(col("__new")).over(cum))
         .groupBy(col("user_id"), col("__sid"))
-        .agg(sort_array(collect_set(col("event_type"))).as("__ts"))
+        .agg(sort_array(collect_set(col("event_type"))).as("__ts")))
       val total = sess.agg(count(lit(1)).as("__N"))
       val per = sess.select(explode(col("__ts")).as("event_type"))
         .groupBy(col("event_type")).agg(count(lit(1)).as("__c"))
