@@ -198,6 +198,53 @@ object VectorIngest {
     state
   }
 
+  /** Query stream schema for [[startMipsServing]]: the batch MIPS
+    * family's `(query_id, qvec)` shape. */
+  val querySchema: StructType = StructType(Seq(
+    StructField("query_id", LongType, nullable = false),
+    StructField("qvec", ArrayType(FloatType, containsNull = false), nullable = false)))
+
+  /** Streaming MIPS SERVING — the online half of the `ivf_mips_*`
+    * family: query vectors stream in and every micro-batch is answered
+    * against the STATIC norm-augmented index (augmented centroids +
+    * original-embedding posting lists — built once per corpus version,
+    * exactly the geometry the batch family probes). The per-batch
+    * transform IS [[graft.operators.IvfIndex.queryMipsBatch]] — the
+    * same operator the batch path runs, so stream == batch is by
+    * construction (pinned in StreamingSpec, including across a restart
+    * on the same checkpoint). No streaming state: the probe window is
+    * bounded (|centroids| × |batch queries| rows), the rerank is the
+    * two-phase bounded heap, throughput scales with executors, and the
+    * index frames can be swapped between micro-batches (an index
+    * refresh never restarts the serving job). Results land partitioned
+    * by `batch_id` with dynamic overwrite, so an at-least-once
+    * `foreachBatch` retry rewrites identical content instead of
+    * duplicating answers. */
+  def startMipsServing(
+      spark: SparkSession,
+      queryDir: String,
+      augCentroids: DataFrame,
+      assigned: DataFrame,
+      resultPath: String,
+      checkpointPath: String,
+      k: Int = 5,
+      probes: Int = 3): StreamingQuery =
+    spark.readStream
+      .schema(querySchema)
+      .parquet(queryDir)
+      .writeStream
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        IvfIndex.queryMipsBatch(augCentroids, assigned, batch, k, probes)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(resultPath)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Streaming embedding-DRIFT monitor: per micro-batch, fold the
     * batch's exact integer Gram partials
     * ([[graft.functions.GramSumAgg]]) into a durable cumulative moment

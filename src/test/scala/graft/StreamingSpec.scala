@@ -133,6 +133,51 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.size === 200)
   }
 
+  test("streaming MIPS serving: per-batch answers equal the batch operator, " +
+    "waves survive a restart on the same checkpoint") {
+    import graft.operators.IvfIndex
+    import graft.streaming.VectorIngest
+    import graft.types.Metric
+    val dim = 8
+    val rnd = new scala.util.Random(7)
+    val recs = (0 until 120).map(i => (i.toLong, Seq.fill(dim)(rnd.nextFloat())))
+      .toDF("id", "embedding")
+    // the fixed augmented geometry (Queries.mipsFixedIndex's shape)
+    val base = recs.withColumn("__n2",
+      graft.functions.NativeExprs.dot(col("embedding"), col("embedding")))
+    val m2 = base.agg(max(col("__n2"))).head().getDouble(0)
+    val aug = base.select(col("id"), col("embedding"),
+      concat(col("embedding").cast("array<double>"),
+        array(sqrt(lit(m2) - col("__n2")))).as("__aug"))
+    val cents = aug.where(col("id") < 4)
+      .select(col("id").cast("int").as("cluster_id"), col("__aug").as("centroid"))
+    val assigned = IvfIndex.assign(
+        aug.select(col("id"), col("__aug").as("embedding"),
+          col("embedding").as("__orig")),
+        cents, Metric.Euclidean)
+      .select(col("id"), col("cluster_id"), col("__orig").as("embedding"))
+
+    val root = java.nio.file.Files.createTempDirectory("graft_mips_serve")
+    val qDir = s"$root/queries"; val out = s"$root/results"; val ckpt = s"$root/ckpt"
+    val w1 = (0 until 3).map(i => (i.toLong, Seq.fill(dim)(rnd.nextFloat())))
+    val w2 = (3 until 5).map(i => (i.toLong, Seq.fill(dim)(rnd.nextFloat())))
+    w1.toDF("query_id", "qvec").write.mode("append").parquet(qDir)
+    VectorIngest.startMipsServing(spark, qDir, cents, assigned, out, ckpt,
+      k = 5, probes = 2).awaitTermination()
+    // restart on the same checkpoint: only wave 2 is a new batch
+    w2.toDF("query_id", "qvec").write.mode("append").parquet(qDir)
+    VectorIngest.startMipsServing(spark, qDir, cents, assigned, out, ckpt,
+      k = 5, probes = 2).awaitTermination()
+
+    val streamed = spark.read.parquet(out)
+      .select("query_id", "id", "score").as[(Long, Long, Double)].collect().toSet
+    val batch = IvfIndex.queryMipsBatch(cents, assigned,
+        (w1 ++ w2).toDF("query_id", "qvec"), k = 5, probes = 2)
+      .select("query_id", "id", "score").as[(Long, Long, Double)].collect().toSet
+    assert(streamed === batch)
+    assert(streamed.map(_._1) === (0L until 5L).toSet)
+  }
+
   test("streaming JSONL ingest: good rows land, malformed lines quarantine, stream == batch split") {
     import graft.sources.Records
     import graft.streaming.VectorIngest
