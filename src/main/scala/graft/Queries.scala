@@ -846,6 +846,34 @@ object Queries {
       _ => TextOps.charLmModel(docs(s, dir), col("text"))))
   }
 
+  /** Trained NB language model (char-trigram multinomial,
+    * [[TextOps.nbCharGramModel]]) fit ONCE per (session, dir) on the
+    * content-hash train split — the same fit-once-score-many lifecycle
+    * as [[lmModel]]; both model frames are charset³×|langs|-bounded and
+    * persist because the scorer broadcasts them per materialization. */
+  private val nbModelCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), TextOps.NbModel]()
+  private def nbLangModel(s: SparkSession, dir: String): TextOps.NbModel = {
+    nbModelCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    val m = nbModelCache.computeIfAbsent((s, dir), _ =>
+      TextOps.nbCharGramModel(
+        graft.operators.Corpus.assignSplit(docs(s, dir), col("text"))
+          .where(col("split") === "train"),
+        col("text"), col("lang")))
+    TextOps.NbModel(Caching.ensureCached(m.grams), Caching.ensureCached(m.labels))
+  }
+
+  /** Held-out NB predictions joined with declared labels — shared by
+    * `text_nb_langid` (per-doc) and `text_nb_confusion` (rollup). */
+  private def nbScored(s: SparkSession, dir: String): DataFrame = {
+    val held = graft.operators.Corpus.assignSplit(docs(s, dir), col("text"))
+      .where(col("split") =!= "train")
+    TextOps.nbClassify(held, col("text"), nbLangModel(s, dir))
+      .join(held.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .select(col("doc_id"), col("lang"),
+        col("pred_label").as("pred_lang"), col("score"))
+  }
+
   /** The STANDING word-8-gram index over the split-assigned corpus,
     * memoized per (session, dir) and checkpoint-backed — one row per
     * distinct (split, doc_id, gram hash), plus an `h IS NULL` row for
@@ -3568,6 +3596,28 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    // extension: TRAINED language classifier — multinomial Naive Bayes
+    // over char trigrams (the fasttext-langid shape: learn evidence from
+    // labeled data instead of shipping stopword lists) fit on the
+    // content-hash train split, scored on the held-out 20%. Scores are
+    // fixed-point integers (⌊ln·10⁶+½⌋ per model entry, summed exactly),
+    // so the argmax is bit-portable cross-engine; ties break label-asc
+    "text_nb_langid" -> ((s, dir) =>
+      nbScored(s, dir).orderBy("doc_id")),
+
+    // extension: the classifier's confusion matrix + per-declared-lang
+    // share — the report a pipeline owner reads before trusting the
+    // filter (which languages bleed into which). Same model, one rollup
+    "text_nb_confusion" -> ((s, dir) => {
+      val cm = nbScored(s, dir)
+        .groupBy(col("lang"), col("pred_lang")).agg(count(lit(1)).as("n"))
+      val tot = cm.groupBy(col("lang")).agg(sum(col("n")).as("__t"))
+      cm.join(tot, Seq("lang"))
+        .select(col("lang"), col("pred_lang"), col("n"),
+          r4(col("n").cast("double") / col("__t").cast("double")).as("share"))
+        .orderBy("lang", "pred_lang")
+    }),
+
     // extension: C4-style cross-document LINE dedup (boilerplate scrub).
     // The synthetic docs are single-line, so the query synthesizes the
     // boilerplate the way corpus_scrub synthesizes PII: every doc gains
@@ -6096,6 +6146,44 @@ object Queries {
 
   // ---------- oracle SQL (DuckDB) ----------
 
+  /** NB classifier replay, shared by `text_nb_langid` (per-doc) and
+    * `text_nb_confusion` (rollup): md5-bucket split, train-split char
+    * trigram counts, the fixed-point add-one model (gram log-likelihood,
+    * per-label prior and unseen-gram floor, each ⌊ln·10⁶+½⌋), exact
+    * BIGINT per-(doc,label) scores, argmax with label-asc tie-break. */
+  private lazy val nbPredSql: String =
+    """WITH sp AS (SELECT doc_id, lang, text,
+      |    list_reduce(list_transform(string_split_regex(substr(md5(text), 1, 8), ''),
+      |      c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a * 16 + b) % 100 AS bucket
+      |  FROM documents),
+      |tr AS (SELECT * FROM sp WHERE bucket < 80),
+      |te AS (SELECT * FROM sp WHERE bucket >= 80),
+      |g AS (SELECT lang AS label, substr(text, CAST(u.i AS INT), 3) AS tri
+      |  FROM tr, unnest(generate_series(1, greatest(length(text) - 2, 0))) AS u(i)),
+      |c AS (SELECT label, tri, count(*) AS c FROM g GROUP BY 1, 2),
+      |nl AS (SELECT label, CAST(sum(c) AS BIGINT) AS n FROM c GROUP BY 1),
+      |v AS (SELECT count(DISTINCT tri) AS v FROM c),
+      |dl AS (SELECT lang AS label, count(*) AS d FROM tr GROUP BY 1),
+      |dt AS (SELECT count(*) AS dt FROM tr),
+      |lp AS (SELECT c.label, c.tri,
+      |    CAST(floor(ln((CAST(c.c AS DOUBLE) + 1) / CAST(nl.n + v.v AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS lp
+      |  FROM c JOIN nl USING (label), v),
+      |lb AS (SELECT nl.label,
+      |    CAST(floor(ln(CAST(dl.d AS DOUBLE) / CAST(dt.dt AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS prior,
+      |    CAST(floor(ln(1.0 / CAST(nl.n + v.v AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS fl
+      |  FROM nl JOIN dl USING (label), dt, v),
+      |dg AS (SELECT doc_id, substr(text, CAST(u.i AS INT), 3) AS tri
+      |  FROM te, unnest(generate_series(1, greatest(length(text) - 2, 0))) AS u(i)),
+      |dm AS (SELECT doc_id, tri, count(*) AS m FROM dg GROUP BY 1, 2),
+      |sc AS (SELECT dm.doc_id, lb.label,
+      |    max(lb.prior) + CAST(sum(dm.m * coalesce(lp.lp, lb.fl)) AS BIGINT) AS score
+      |  FROM dm CROSS JOIN lb LEFT JOIN lp ON lp.label = lb.label AND lp.tri = dm.tri
+      |  GROUP BY 1, 2),
+      |pr AS (SELECT doc_id, label, score,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, label ASC) AS rn FROM sc),
+      |pred AS (SELECT te.doc_id, te.lang, pr.label AS pred_lang, pr.score
+      |  FROM te JOIN pr ON te.doc_id = pr.doc_id WHERE pr.rn = 1)""".stripMargin
+
   /** The ivf_mips_query funnel replay (augmentation + assignment +
     * probe + dot rerank, list-for-list) — shared VERBATIM by
     * `ivf_mips_store_query`: the on-disk posting-list roundtrip must
@@ -8436,6 +8524,23 @@ object Queries {
          |  ${sqlR4("CAST(c.n AS DOUBLE) / CAST(tt.t AS DOUBLE)")} AS share
          |FROM c JOIN tt ON c.declared IS NOT DISTINCT FROM tt.declared
          |ORDER BY c.declared, c.predicted""".stripMargin,
+
+    // full replay of the NB fit + score: train-split gram counts,
+    // fixed-point model (⌊ln·10⁶+½⌋ — floor(x+0.5) because round()
+    // half-case semantics differ across engines), exact-integer
+    // per-label scores, argmax with label-asc ties. sum(BIGINT) is
+    // HUGEINT in DuckDB — cast back so schemas agree
+    "text_nb_langid" ->
+      s"""$nbPredSql
+         |SELECT doc_id, lang, pred_lang, score FROM pred ORDER BY doc_id""".stripMargin,
+
+    "text_nb_confusion" ->
+      s"""$nbPredSql,
+         |cm AS (SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n FROM pred GROUP BY 1, 2),
+         |tt AS (SELECT lang, CAST(sum(n) AS BIGINT) AS t FROM cm GROUP BY lang)
+         |SELECT cm.lang, cm.pred_lang, cm.n,
+         |  ${sqlR4("CAST(cm.n AS DOUBLE) / CAST(tt.t AS DOUBLE)")} AS share
+         |FROM cm JOIN tt USING (lang) ORDER BY cm.lang, cm.pred_lang""".stripMargin,
 
     // every trigram is corpus-seen here (the model IS this corpus), so
     // the smoothing floor never fires in the oracle comparison; the

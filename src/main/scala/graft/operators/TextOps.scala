@@ -937,4 +937,84 @@ object TextOps {
     struct(nLines.as("n_lines"), nSym.as("n_sym"), nIndent.as("n_indent"),
       nStmt.as("n_stmt"), isCode.cast("long").as("is_code"))
   }
+
+  /** TRAINED multinomial Naive Bayes over character n-grams — the
+    * fasttext-langid / CCNet-classifier shape: fit per-label gram counts
+    * on a TRAINING split, score held-out documents by
+    * `argmax_l [ln P(l) + Σ_g m_g · ln P(g|l)]` with add-one smoothing.
+    * Complements the fixed-stopword-vote heuristic ([[langFromVotes]]):
+    * that one ships hand-picked evidence, this one LEARNS its evidence
+    * from labeled data, which is how production language/quality filters
+    * are actually built.
+    *
+    * Every log-probability is FIXED-POINT quantized at train time —
+    * `⌊ln(p)·10⁶ + ½⌋` as a 64-bit integer — so document scores are
+    * exact-integer sums in any order and the argmax is bit-portable
+    * cross-engine (summing raw doubles would make near-tie predictions
+    * depend on aggregation order; the quantum 1e-6 is far below any
+    * meaningful evidence difference, the same quantize-before-sum rule
+    * as `dedup_lsh_expected_recall`). Ties break on label ascending.
+    *
+    * Scale shape: the model is bounded by charset^n × |labels| (never
+    * data-proportional), built with one map-side-combinable count pass
+    * over the training split and broadcast to the scorer; scoring is
+    * explode → broadcast join → two partial aggregations — the only
+    * shuffles carry (doc, gram) and (doc, label) keys, never text. */
+  case class NbModel(grams: DataFrame, labels: DataFrame)
+
+  /** Fit the NB model: `grams` = sparse `(label, tri, lp)` fixed-point
+    * gram log-likelihoods; `labels` = `(label, prior, floor)` with the
+    * unseen-gram floor `⌊ln(1/(N_l+V))·10⁶+½⌋` per label (V = the union
+    * vocabulary, so smoothing mass is comparable across labels). */
+  def nbCharGramModel(
+      train: DataFrame,
+      text: Column,
+      label: Column,
+      n: Int = 3): NbModel = {
+    def fix(x: Column): Column = floor(x * lit(1e6) + lit(0.5)).cast("long")
+    val c = train.select(label.as("label"), explode(charNgrams(text, n)).as("tri"))
+      .groupBy(col("label"), col("tri")).agg(count(lit(1)).as("__c"))
+    val nl = c.groupBy(col("label")).agg(sum(col("__c")).as("__n"))
+    val v = c.agg(count_distinct(col("tri")).as("__v"))
+    val dl = train.groupBy(label.as("label")).agg(count(lit(1)).as("__d"))
+    val dt = train.agg(count(lit(1)).as("__dt"))
+    val grams = c.join(nl, Seq("label")).crossJoin(broadcast(v))
+      .select(col("label"), col("tri"),
+        fix(log((col("__c") + lit(1)).cast("double")
+          / (col("__n") + col("__v")).cast("double"))).as("lp"))
+    val labels = nl.join(dl, Seq("label"))
+      .crossJoin(broadcast(dt)).crossJoin(broadcast(v))
+      .select(col("label"),
+        fix(log(col("__d").cast("double") / col("__dt").cast("double")))
+          .as("prior"),
+        fix(log(lit(1.0) / (col("__n") + col("__v")).cast("double")))
+          .as("floor"))
+    NbModel(grams, labels)
+  }
+
+  /** Score `docs` against a fitted [[NbModel]]: emits
+    * `(doc_id, pred_label, score)` — the argmax label and its
+    * exact-integer fixed-point log-posterior. Documents shorter than `n`
+    * code points have no grams and are absent (the per-gram-operator
+    * convention, cf. [[charLmScore]]). Both model frames ride
+    * broadcasts; the label fan-out multiplies the per-doc DISTINCT-gram
+    * frame (already count-collapsed), not raw occurrences. */
+  def nbClassify(
+      docs: DataFrame,
+      text: Column,
+      model: NbModel,
+      n: Int = 3): DataFrame = {
+    val dm = docs.select(col("doc_id"), explode(charNgrams(text, n)).as("tri"))
+      .groupBy(col("doc_id"), col("tri")).agg(count(lit(1)).as("__m"))
+    dm.crossJoin(broadcast(model.labels))
+      .join(broadcast(model.grams), Seq("label", "tri"), "left_outer")
+      .withColumn("__lp", coalesce(col("lp"), col("floor")))
+      .groupBy(col("doc_id"), col("label"))
+      .agg((max(col("prior")) + sum(col("__m") * col("__lp"))).as("score"))
+      .groupBy(col("doc_id"))
+      .agg(min(struct((-col("score")).as("__neg"), col("label"),
+        col("score").as("score"))).as("__m"))
+      .select(col("doc_id"), col("__m.label").as("pred_label"),
+        col("__m.score").as("score"))
+  }
 }

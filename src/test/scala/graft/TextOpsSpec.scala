@@ -446,4 +446,39 @@ class TextOpsSpec extends SparkSpec {
     assert(rows(2).getLong(1) === 1L && rows(2).getLong(5) === 0L)
     assert(rows(3).isNullAt(5), "null text → NULL verdict")
   }
+
+  test("nbCharGramModel + nbClassify: recovers planted char distributions; " +
+    "priors break even-evidence ties; short docs absent") {
+    // three "languages" with disjoint character inventories — any
+    // correct trained classifier must recover them on unseen docs
+    // equal docs-per-label and equal text lengths → equal priors AND
+    // equal per-label gram mass N_l, so the all-unseen fallback below
+    // is a genuine three-way tie
+    val train = Seq(
+      (1L, "aaab aaba abaa", "aa"), (2L, "aaaa baaa aaab", "aa"),
+      (3L, "xxxy xyxx yxxx", "xx"), (4L, "xxxx xyxx xxxy", "xx"),
+      (5L, "mmmn mnmm mmmm", "mm"), (6L, "mmmm nmmm mmnm", "mm"))
+      .toDF("doc_id", "text", "lang")
+    val model = TextOps.nbCharGramModel(train, col("text"), col("lang"))
+    // model is bounded: every (label, tri) came from the train split
+    assert(model.grams.select("label").distinct().count() === 3)
+    val test = Seq(
+      (10L, "aaba abab"), (11L, "xyxy xxxx"), (12L, "mnmn mmmm"),
+      (13L, "zq")) // < 3 cp after any gram window at n=3? "zq" has len 2 → no grams
+      .toDF("doc_id", "text")
+    val out = TextOps.nbClassify(test, col("text"), model)
+      .orderBy("doc_id").collect()
+    assert(out.map(r => r.getLong(0) -> r.getString(1)).toSeq ===
+      Seq(10L -> "aa", 11L -> "xx", 12L -> "mm"),
+      "planted distributions must be recovered; gramless doc absent")
+    // scores are exact integers (fixed-point), strictly negative
+    assert(out.forall(_.getLong(2) < 0L))
+    // unseen-everywhere grams: every label scores prior + m·floor, and
+    // the fixture makes priors and floors identical across labels — a
+    // genuine three-way tie that must resolve label-ascending
+    val alien = Seq((20L, "qqqq")).toDF("doc_id", "text")
+    val a = TextOps.nbClassify(alien, col("text"), model).head()
+    assert(a.getString(1) === "aa",
+      "all-floor three-way tie must resolve label-asc")
+  }
 }
