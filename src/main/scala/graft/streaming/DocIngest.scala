@@ -304,6 +304,43 @@ object DocIngest {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming LANGUAGE ROUTING — the fitted NB classifier
+    * ([[graft.operators.TextOps.nbClassify]]) applied at the ingest door
+    * (the 7th streaming door): each micro-batch is scored against the
+    * STATIC model frames (broadcast joins only — no keyed state, so the
+    * model can be refreshed between batches) and lands PARTITIONED BY
+    * PREDICTED LANGUAGE — the physical layout a multilingual training
+    * pipeline reads per-language mixtures from, routed at write time so
+    * no downstream job ever rescans other languages' bytes. Documents
+    * too short to carry a gram route to `pred_lang=und` instead of
+    * silently dropping (ingest must be total — the admission-door
+    * convention). Runs in `foreachBatch` (the scorer aggregates per
+    * doc); per-batch cost is one score pass over the batch. */
+  def startLangRouting(
+      spark: SparkSession,
+      dir: String,
+      model: TextOps.NbModel,
+      storePath: String,
+      checkpointPath: String): StreamingQuery =
+    readDocs(spark, dir)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = batch.persist()
+        try {
+          val pred = TextOps.nbClassify(b, col("text"), model)
+            .select(col("doc_id"), col("pred_label"))
+          b.join(pred, Seq("doc_id"), "left_outer")
+            .select(col("doc_id"), col("text"),
+              coalesce(col("pred_label"), lit("und")).as("pred_lang"))
+            .write.mode("append").partitionBy("pred_lang").parquet(storePath)
+        } finally b.unpersist()
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Streaming DSIR admission — importance resampling at the ingest
     * door: each incoming document is scored for target-likeness with the
     * map-only [[graft.operators.Corpus.dsirScore]] expression over a

@@ -649,6 +649,44 @@ class StreamingSpec extends SparkSpec {
       s"7-token overlap and null text must pass, got $admitted")
   }
 
+  test("streaming language routing: partitions equal the batch classifier " +
+    "across two waves and a restart; gramless docs route to und") {
+    import graft.streaming.DocIngest
+    import graft.operators.TextOps
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("graft_langroute")
+    val inDir = s"$root/in"
+    val store = s"$root/store"
+    val ckpt = s"$root/ckpt"
+    val train = Seq(
+      (1L, "aaab aaba abaa", "aa"), (2L, "aaaa baaa aaab", "aa"),
+      (3L, "xxxy xyxx yxxx", "xx"), (4L, "xxxx xyxx xxxy", "xx"))
+      .toDF("doc_id", "text", "lang")
+    val model = TextOps.nbCharGramModel(train, col("text"), col("lang"))
+    model.grams.cache(); model.labels.cache()
+    val w1 = Seq((10L, "aaba abab aaaa"), (11L, "xyxy xxxx yxyx"))
+    // wave 2 through a RESTARTED query on the same checkpoint: one more
+    // classifiable doc, one too short to carry a trigram, one null
+    val w2 = Seq((12L, "abab aaab"), (13L, "zq"), (14L, null.asInstanceOf[String]))
+    w1.toDF("doc_id", "text").write.mode("append").parquet(inDir)
+    DocIngest.startLangRouting(spark, inDir, model, store, ckpt).awaitTermination()
+    w2.toDF("doc_id", "text").write.mode("append").parquet(inDir)
+    DocIngest.startLangRouting(spark, inDir, model, store, ckpt).awaitTermination()
+
+    val routed = spark.read.parquet(store)
+      .select("doc_id", "pred_lang").as[(Long, String)].collect().toSet
+    val batchPred = TextOps.nbClassify(
+        (w1 ++ w2).toDF("doc_id", "text"), col("text"), model)
+      .select("doc_id", "pred_label").as[(Long, String)].collect().toSet
+    assert(routed === batchPred ++ Set(10L, 11L, 12L, 13L, 14L)
+      .diff(batchPred.map(_._1)).map(_ -> "und"),
+      s"stream routing $routed must equal batch predictions plus und rows")
+    assert(routed.contains(10L -> "aa") && routed.contains(11L -> "xx")
+      && routed.contains(12L -> "aa"))
+    assert(routed.contains(13L -> "und") && routed.contains(14L -> "und"),
+      "gramless and null docs must route to und, not drop")
+  }
+
   test("streaming admission: quality + language + near-dup gates compose end-to-end") {
     import graft.streaming.DocIngest
     val base = "the quick brown fox jumps over the lazy dog and it is " +
