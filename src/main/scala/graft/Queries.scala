@@ -2832,11 +2832,14 @@ object Queries {
     // extension: cross-SOURCE duplication matrix — the verified near-dup
     // pair set rolled up by unordered source pair: which feeds duplicate
     // each other (within-source boilerplate vs cross-source scrapes are
-    // different curation actions). Reuses the cached LSH pipeline; the
-    // rollup shuffles one row per pair, output ∝ |sources|²
+    // different curation actions). Rides the MEMOIZED session pair frame
+    // ([[minhashPairs]] — same (3,16,4,0.5) layout; the viral-bucket cap
+    // is far above any bucket at gate SFs, the dedup_groups argument, so
+    // the pair set equals the oracle's uncapped join); the rollup
+    // shuffles one row per pair, output ∝ |sources|²
     "dedup_source_matrix" -> ((s, dir) => {
       val src = docs(s, dir).select(col("doc_id"), col("source"))
-      Dedup.minhashLsh(docs(s, dir), shingleN = 3, perms = 16, bands = 4, threshold = 0.5)
+      minhashPairs(s, dir)
         .join(src.select(col("doc_id").as("doc_id_a"), col("source").as("__sa")), Seq("doc_id_a"))
         .join(src.select(col("doc_id").as("doc_id_b"), col("source").as("__sb")), Seq("doc_id_b"))
         .select(least(col("__sa"), col("__sb")).as("source_a"),
