@@ -852,16 +852,19 @@ object Queries {
     * as [[lmModel]]; both model frames are charset³×|langs|-bounded and
     * persist because the scorer broadcasts them per materialization. */
   private val nbModelCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), TextOps.NbModel]()
-  private def nbLangModel(s: SparkSession, dir: String): TextOps.NbModel = {
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), TextOps.NbModel]()
+  private def nbModelOf(s: SparkSession, dir: String, tag: String)(
+      train: => DataFrame): TextOps.NbModel = {
     nbModelCache.keySet.removeIf(_._1.sparkContext.isStopped)
-    val m = nbModelCache.computeIfAbsent((s, dir), _ =>
-      TextOps.nbCharGramModel(
-        graft.operators.Corpus.assignSplit(docs(s, dir), col("text"))
-          .where(col("split") === "train"),
-        col("text"), col("lang")))
+    val m = nbModelCache.computeIfAbsent((s, dir, tag), _ =>
+      TextOps.nbCharGramModel(train, col("text"), col("label")))
     TextOps.NbModel(Caching.ensureCached(m.grams), Caching.ensureCached(m.labels))
   }
+  private def nbLangModel(s: SparkSession, dir: String): TextOps.NbModel =
+    nbModelOf(s, dir, "lang")(
+      graft.operators.Corpus.assignSplit(
+          docs(s, dir).withColumn("label", col("lang")), col("text"))
+        .where(col("split") === "train"))
 
   /** Held-out NB predictions joined with declared labels — shared by
     * `text_nb_langid` (per-doc) and `text_nb_confusion` (rollup). */
@@ -3621,6 +3624,40 @@ object Queries {
         .orderBy("lang", "pred_lang")
     }),
 
+    // extension: DISTILLED quality filter — the production two-tier
+    // shape (CCNet/RedPajama): an expensive teacher (the Gopher rule
+    // battery) labels the train split, a cheap student (the NB
+    // char-trigram classifier — one broadcast-join score pass, no line
+    // parsing) learns it, and THIS report is the go/no-go: the
+    // teacher×student agreement matrix on held-out docs. The teacher is
+    // the LANGUAGE-AGNOSTIC subset of the battery (ok_stop excluded:
+    // it is anchored to an English stopword list that this synthetic
+    // vocabulary never hits, which would make the teacher all-fail and
+    // the distillation vacuous; production uses per-language lists).
+    // Same fit-once lifecycle (model memoized under the "gopher" tag)
+    "corpus_nb_quality" -> ((s, dir) => {
+      val labeled = docs(s, dir)
+        .withColumn("__toks", TextOps.tokens(col("text")))
+        .withColumn("__g", TextOps.gopherFlags(col("text"), col("__toks")))
+        .select(col("doc_id"), col("text"),
+          when(col("__g.ok_words") && col("__g.ok_mean_len")
+              && col("__g.ok_symbol") && col("__g.ok_bullet")
+              && col("__g.ok_ellipsis") && col("__g.ok_alpha"),
+            lit("pass")).otherwise(lit("fail")).as("label"))
+      val sp = graft.operators.Corpus.assignSplit(labeled, col("text"))
+      val model = nbModelOf(s, dir, "gopher")(sp.where(col("split") === "train"))
+      val held = sp.where(col("split") =!= "train")
+      val cm = TextOps.nbClassify(held, col("text"), model)
+        .join(held.select(col("doc_id"), col("label").as("teacher")), Seq("doc_id"))
+        .select(col("teacher"), col("pred_label").as("student"))
+        .groupBy(col("teacher"), col("student")).agg(count(lit(1)).as("n"))
+      val tot = cm.groupBy(col("teacher")).agg(sum(col("n")).as("__t"))
+      cm.join(tot, Seq("teacher"))
+        .select(col("teacher"), col("student"), col("n"),
+          r4(col("n").cast("double") / col("__t").cast("double")).as("share"))
+        .orderBy("teacher", "student")
+    }),
+
     // extension: C4-style cross-document LINE dedup (boilerplate scrub).
     // The synthetic docs are single-line, so the query synthesizes the
     // boilerplate the way corpus_scrub synthesizes PII: every doc gains
@@ -6149,16 +6186,20 @@ object Queries {
 
   // ---------- oracle SQL (DuckDB) ----------
 
-  /** NB classifier replay, shared by `text_nb_langid` (per-doc) and
-    * `text_nb_confusion` (rollup): md5-bucket split, train-split char
-    * trigram counts, the fixed-point add-one model (gram log-likelihood,
-    * per-label prior and unseen-gram floor, each ⌊ln·10⁶+½⌋), exact
-    * BIGINT per-(doc,label) scores, argmax with label-asc tie-break. */
+  /** NB classifier replay over a labeled CTE `lbl(doc_id, label, text)` —
+    * shared by `text_nb_langid`/`text_nb_confusion` (label = declared
+    * lang) and `corpus_nb_quality` (label = the Gopher teacher verdict):
+    * md5-bucket split, train-split char trigram counts, the fixed-point
+    * add-one model (gram log-likelihood, per-label prior and unseen-gram
+    * floor, each ⌊ln·10⁶+½⌋), exact BIGINT per-(doc,label) scores,
+    * argmax with label-asc tie-break. Ends in
+    * `pred(doc_id, true_label, pred_label, score)`; callers prepend
+    * `WITH lbl AS (...)` and select from `pred`. */
   private lazy val nbPredSql: String =
-    """WITH sp AS (SELECT doc_id, lang, text,
+    """sp AS (SELECT doc_id, label AS lang, text,
       |    list_reduce(list_transform(string_split_regex(substr(md5(text), 1, 8), ''),
       |      c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a * 16 + b) % 100 AS bucket
-      |  FROM documents),
+      |  FROM lbl),
       |tr AS (SELECT * FROM sp WHERE bucket < 80),
       |te AS (SELECT * FROM sp WHERE bucket >= 80),
       |g AS (SELECT lang AS label, substr(text, CAST(u.i AS INT), 3) AS tri
@@ -8534,16 +8575,63 @@ object Queries {
     // per-label scores, argmax with label-asc ties. sum(BIGINT) is
     // HUGEINT in DuckDB — cast back so schemas agree
     "text_nb_langid" ->
-      s"""$nbPredSql
+      s"""WITH lbl AS (SELECT doc_id, lang AS label, text FROM documents),
+         |$nbPredSql
          |SELECT doc_id, lang, pred_lang, score FROM pred ORDER BY doc_id""".stripMargin,
 
     "text_nb_confusion" ->
-      s"""$nbPredSql,
+      s"""WITH lbl AS (SELECT doc_id, lang AS label, text FROM documents),
+         |$nbPredSql,
          |cm AS (SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n FROM pred GROUP BY 1, 2),
          |tt AS (SELECT lang, CAST(sum(n) AS BIGINT) AS t FROM cm GROUP BY lang)
          |SELECT cm.lang, cm.pred_lang, cm.n,
          |  ${sqlR4("CAST(cm.n AS DOUBLE) / CAST(tt.t AS DOUBLE)")} AS share
          |FROM cm JOIN tt USING (lang) ORDER BY cm.lang, cm.pred_lang""".stripMargin,
+
+    // the DISTILLED quality filter's replay: the Gopher teacher verdict
+    // (the text_gopher CTEs verbatim, down to the 0-fallback fractions;
+    // stopword rule excluded — see the query comment) becomes the NB
+    // label, then the same fit/score/argmax machinery; the rollup is
+    // the teacher×student agreement matrix
+    "corpus_nb_quality" ->
+      s"""WITH gb AS (SELECT doc_id, text,
+         |    regexp_split_to_array(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+') AS tk,
+         |    string_split(text, chr(10)) AS ls
+         |  FROM documents),
+         |gm AS (SELECT doc_id,
+         |  CAST(len(tk) AS BIGINT) AS n_words,
+         |  CAST(coalesce(list_sum(list_transform(tk, x -> CAST(length(x) AS BIGINT))), 0) AS BIGINT) AS len_sum,
+         |  CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS n_hash,
+         |  CAST((length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT) AS n_ell,
+         |  CAST(len(list_filter(tk, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS n_alpha,
+         |  CAST(len(ls) AS BIGINT) AS n_lines,
+         |  CAST(len(list_filter(ls, l -> ltrim(l) LIKE '-%' OR ltrim(l) LIKE '*%' OR ltrim(l) LIKE '•%')) AS BIGINT) AS n_bullet,
+         |  CAST(len(list_filter(ls, l -> rtrim(l) LIKE '%...' OR rtrim(l) LIKE '%…')) AS BIGINT) AS n_ellend,
+         |  CAST(len(list_intersect(tk, ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS stop_hits
+         |  FROM gb),
+         |gd AS (SELECT doc_id, n_words,
+         |  CASE WHEN n_words > 0 THEN CAST(len_sum AS DOUBLE) / n_words ELSE 0.0 END AS mean_word_len,
+         |  CASE WHEN n_words > 0 THEN CAST(n_hash + n_ell AS DOUBLE) / n_words ELSE 0.0 END AS symbol_ratio,
+         |  CASE WHEN n_words > 0 THEN CAST(n_alpha AS DOUBLE) / n_words ELSE 0.0 END AS alpha_frac,
+         |  CASE WHEN n_lines > 0 THEN CAST(n_bullet AS DOUBLE) / n_lines ELSE 0.0 END AS bullet_frac,
+         |  CASE WHEN n_lines > 0 THEN CAST(n_ellend AS DOUBLE) / n_lines ELSE 0.0 END AS ellipsis_frac
+         |  FROM gm),
+         |lbl AS (SELECT d.doc_id,
+         |  CASE WHEN (g.n_words >= 50 AND g.n_words <= 100000
+         |    AND g.mean_word_len >= 3.0 AND g.mean_word_len <= 10.0
+         |    AND g.symbol_ratio <= 0.1 AND g.bullet_frac <= 0.9
+         |    AND g.ellipsis_frac <= 0.3 AND g.alpha_frac >= 0.8)
+         |    THEN 'pass' ELSE 'fail' END AS label,
+         |  d.text
+         |  FROM documents d JOIN gd g ON d.doc_id = g.doc_id),
+         |$nbPredSql,
+         |cm AS (SELECT lang AS teacher, pred_lang AS student,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM pred GROUP BY 1, 2),
+         |tt AS (SELECT teacher, CAST(sum(n) AS BIGINT) AS t FROM cm GROUP BY teacher)
+         |SELECT cm.teacher, cm.student, cm.n,
+         |  ${sqlR4("CAST(cm.n AS DOUBLE) / CAST(tt.t AS DOUBLE)")} AS share
+         |FROM cm JOIN tt USING (teacher) ORDER BY cm.teacher, cm.student""".stripMargin,
 
     // every trigram is corpus-seen here (the model IS this corpus), so
     // the smoothing floor never fires in the oracle comparison; the
