@@ -3624,6 +3624,34 @@ object Queries {
         .orderBy("lang", "pred_lang")
     }),
 
+    // extension: classifier CALIBRATION — held-out accuracy by
+    // confidence-margin band (margin = exact fixed-point gap between
+    // best and second-best label scores). The operational question a
+    // cheap filter answers with this: above which margin can its
+    // verdict be auto-applied, and how much coverage does that leave?
+    // Bands are integer thresholds on the ⌊ln·10⁶⌋ scale (0.01/0.1/1
+    // nat), so banding is exact on both engines
+    "text_nb_margin" -> ((s, dir) => {
+      val held = graft.operators.Corpus.assignSplit(docs(s, dir), col("text"))
+        .where(col("split") =!= "train")
+      TextOps.nbClassifyTop2(held, col("text"), nbLangModel(s, dir))
+        .join(held.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .withColumn("band",
+          when(col("margin").isNull, "solo")
+            .when(col("margin") < 10000L, "<0.01")
+            .when(col("margin") < 100000L, "<0.1")
+            .when(col("margin") < 1000000L, "<1")
+            .otherwise(">=1"))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("lang") === col("pred_label"), 1L).otherwise(0L))
+            .as("n_correct"))
+        .select(col("band"), col("n"), col("n_correct"),
+          r4(col("n_correct").cast("double") / col("n").cast("double"))
+            .as("accuracy"))
+        .orderBy("band")
+    }),
+
     // extension: DISTILLED quality filter — the production two-tier
     // shape (CCNet/RedPajama): an expensive teacher (the Gopher rule
     // battery) labels the train split, a cheap student (the NB
@@ -8587,6 +8615,28 @@ object Queries {
          |SELECT cm.lang, cm.pred_lang, cm.n,
          |  ${sqlR4("CAST(cm.n AS DOUBLE) / CAST(tt.t AS DOUBLE)")} AS share
          |FROM cm JOIN tt USING (lang) ORDER BY cm.lang, cm.pred_lang""".stripMargin,
+
+    // calibration replay: rn=1/rn=2 pivot of the scored frame gives the
+    // exact-integer margin; banding thresholds are integers on the
+    // fixed-point scale, counts exact, accuracy r4
+    "text_nb_margin" ->
+      s"""WITH lbl AS (SELECT doc_id, lang AS label, text FROM documents),
+         |$nbPredSql,
+         |top2 AS (SELECT a.doc_id, a.label AS pred_lang, a.score,
+         |    a.score - b.score AS margin
+         |  FROM pr a LEFT JOIN pr b ON a.doc_id = b.doc_id AND b.rn = 2
+         |  WHERE a.rn = 1),
+         |j AS (SELECT t.doc_id, te.lang, t.pred_lang,
+         |    CASE WHEN t.margin IS NULL THEN 'solo'
+         |         WHEN t.margin < 10000 THEN '<0.01'
+         |         WHEN t.margin < 100000 THEN '<0.1'
+         |         WHEN t.margin < 1000000 THEN '<1'
+         |         ELSE '>=1' END AS band
+         |  FROM top2 t JOIN te ON t.doc_id = te.doc_id)
+         |SELECT band, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(coalesce(sum(CASE WHEN lang = pred_lang THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_correct,
+         |  ${sqlR4("CAST(coalesce(sum(CASE WHEN lang = pred_lang THEN 1 ELSE 0 END), 0) AS DOUBLE) / count(*)")} AS accuracy
+         |FROM j GROUP BY band ORDER BY band""".stripMargin,
 
     // the DISTILLED quality filter's replay: the Gopher teacher verdict
     // (the text_gopher CTEs verbatim, down to the 0-fallback fractions;

@@ -1003,7 +1003,44 @@ object TextOps {
       docs: DataFrame,
       text: Column,
       model: NbModel,
-      n: Int = 3): DataFrame = {
+      n: Int = 3): DataFrame =
+    nbScores(docs, text, model, n)
+      .groupBy(col("doc_id"))
+      .agg(min(struct((-col("score")).as("__neg"), col("label"),
+        col("score").as("score"))).as("__m"))
+      .select(col("doc_id"), col("__m.label").as("pred_label"),
+        col("__m.score").as("score"))
+
+  /** [[nbClassify]] plus the CONFIDENCE margin: the exact-integer gap
+    * between the best and second-best label scores (NULL when the model
+    * has a single label). The margin is the calibration signal — a
+    * pipeline trusts the cheap classifier only where the margin says
+    * the evidence is decisive. The per-doc label list is
+    * |labels|-bounded, so the sort_array pick is model-bounded state,
+    * never data-proportional. */
+  def nbClassifyTop2(
+      docs: DataFrame,
+      text: Column,
+      model: NbModel,
+      n: Int = 3): DataFrame =
+    nbScores(docs, text, model, n)
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct((-col("score")).as("__neg"),
+        col("label"), col("score").as("score")))).as("__l"))
+      .select(col("doc_id"),
+        col("__l")(0).getField("label").as("pred_label"),
+        col("__l")(0).getField("score").as("score"),
+        when(size(col("__l")) > 1,
+          col("__l")(0).getField("score") - col("__l")(1).getField("score"))
+          .as("margin"))
+
+  /** Shared scorer: exact-integer `(doc_id, label, score)` for every
+    * (held-out doc, model label) pair. */
+  private def nbScores(
+      docs: DataFrame,
+      text: Column,
+      model: NbModel,
+      n: Int): DataFrame = {
     val dm = docs.select(col("doc_id"), explode(charNgrams(text, n)).as("tri"))
       .groupBy(col("doc_id"), col("tri")).agg(count(lit(1)).as("__m"))
     dm.crossJoin(broadcast(model.labels))
@@ -1011,10 +1048,5 @@ object TextOps {
       .withColumn("__lp", coalesce(col("lp"), col("floor")))
       .groupBy(col("doc_id"), col("label"))
       .agg((max(col("prior")) + sum(col("__m") * col("__lp"))).as("score"))
-      .groupBy(col("doc_id"))
-      .agg(min(struct((-col("score")).as("__neg"), col("label"),
-        col("score").as("score"))).as("__m"))
-      .select(col("doc_id"), col("__m.label").as("pred_label"),
-        col("__m.score").as("score"))
   }
 }

@@ -481,4 +481,28 @@ class TextOpsSpec extends SparkSpec {
     assert(a.getString(1) === "aa",
       "all-floor three-way tie must resolve label-asc")
   }
+
+  test("nbClassifyTop2: same argmax as nbClassify, margin = exact gap, " +
+    "NULL margin on a single-label model") {
+    val train = Seq(
+      (1L, "aaab aaba abaa", "aa"), (2L, "aaaa baaa aaab", "aa"),
+      (3L, "xxxy xyxx yxxx", "xx"), (4L, "xxxx xyxx xxxy", "xx"))
+      .toDF("doc_id", "text", "lang")
+    val model = TextOps.nbCharGramModel(train, col("text"), col("lang"))
+    val test = Seq((10L, "aaba abab"), (11L, "xyxy xxxx")).toDF("doc_id", "text")
+    val t1 = TextOps.nbClassify(test, col("text"), model)
+      .select("doc_id", "pred_label", "score").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val t2rows = TextOps.nbClassifyTop2(test, col("text"), model)
+      .orderBy("doc_id").collect()
+    assert(t2rows.map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet === t1,
+      "top2's winner must equal nbClassify exactly")
+    assert(t2rows.forall(r => !r.isNullAt(3) && r.getLong(3) > 0L),
+      "two-label model on decisive docs: positive exact margin")
+    // single-label model → no runner-up → NULL margin (the 'solo' band)
+    val solo = TextOps.nbCharGramModel(
+      train.where(col("lang") === "aa"), col("text"), col("lang"))
+    val s = TextOps.nbClassifyTop2(test, col("text"), solo).orderBy("doc_id").collect()
+    assert(s.forall(r => r.getString(1) === "aa" && r.isNullAt(3)))
+  }
 }
