@@ -673,6 +673,22 @@ object Queries {
   private def events(s: SparkSession, dir: String): DataFrame =
     graft.streaming.EventStream.loadEvents(s, dir)
   private def recs(s: SparkSession, dir: String): DataFrame = Records.fromEmbeddings(s, dir)
+
+  /** The sign-packed binary-code store `recs + bcode`, memoized per
+    * (session, dir) and persisted — session state for the whole binary
+    * Hamming family (query/rerank/batch/filtered/curve/methods-report):
+    * the codes are deterministic per record, so six queries re-deriving
+    * them per materialization was pure recompute. At 100 TB this IS the
+    * layout: binary codes live next to the vectors as a maintained
+    * column (32× smaller), not as a per-query projection. */
+  private val binStoreCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private def binStore(s: SparkSession, dir: String): DataFrame = {
+    binStoreCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    Caching.ensureCached(binStoreCache.computeIfAbsent((s, dir), _ =>
+      recs(s, dir).withColumn("bcode",
+        operators.VectorOps.binaryCodes(col("embedding")))))
+  }
   private def qvec0(s: SparkSession, dir: String): DataFrame =
     recs(s, dir).where(col("id") === 0).select(col("embedding").as("qvec"))
 
@@ -2393,13 +2409,12 @@ object Queries {
     // extension: full-corpus Hamming scan over packed sign bits — one
     // integer XOR+POPCNT per 64 dims per record, no float math at all
     "ann_hamming_query" -> ((s, dir) => {
-      val store = recs(s, dir)
-        .withColumn("__bc", operators.VectorOps.binaryCodes(col("embedding")))
+      val store = binStore(s, dir)
       val q = qvec0(s, dir)
         .select(operators.VectorOps.binaryCodes(col("qvec")).as("__qc"))
       store.crossJoin(broadcast(q))
         .withColumn("hamming",
-          operators.VectorOps.hammingDistance(col("__bc"), col("__qc")))
+          operators.VectorOps.hammingDistance(col("bcode"), col("__qc")))
         .where(col("hamming").isNotNull) // nulls sort FIRST ascending
         .orderBy(col("hamming").asc, col("id").asc).limit(10)
         .select(col("id").as("vec_id"), col("hamming"))
@@ -2408,8 +2423,7 @@ object Queries {
     // extension: the binary serving funnel — Hamming shortlist (50),
     // exact sq-L2 rerank (10); one scan, two chained bounded heaps
     "ann_hamming_rerank" -> ((s, dir) => {
-      val store = recs(s, dir)
-        .withColumn("bcode", operators.VectorOps.binaryCodes(col("embedding")))
+      val store = binStore(s, dir)
       val q = qvec0(s, dir)
         .withColumn("qcode", operators.VectorOps.binaryCodes(col("qvec")))
       knnOut(Knn.searchHammingRerank(store, q, k = 10, shortlist = 50))
@@ -2465,8 +2479,7 @@ object Queries {
     // extension: batch Hamming top-k — the bounded-heap two-stage
     // reduction (no ranking window) over packed sign codes
     "ann_hamming_batch" -> ((s, dir) => {
-      val store = recs(s, dir)
-        .withColumn("bcode", operators.VectorOps.binaryCodes(col("embedding")))
+      val store = binStore(s, dir)
       val q = recs(s, dir).where(col("id") < 5)
         .select(col("id").as("query_id"),
           operators.VectorOps.binaryCodes(col("embedding")).as("qcode"))
@@ -2559,7 +2572,7 @@ object Queries {
         .drop("__sc")
       val m8 = Knn.search(deq, q, 10, Metric.Euclidean).select(col("id"))
       val bin = Knn.searchHammingRerank(
-        r.withColumn("bcode", operators.VectorOps.binaryCodes(col("embedding"))),
+        binStore(s, dir),
         q.withColumn("qcode", operators.VectorOps.binaryCodes(col("qvec"))),
         k = 10, shortlist = 50).select(col("id"))
       val pre = Knn.searchPrefixRerank(r, q, 10, prefixDim = 16,
@@ -2579,9 +2592,11 @@ object Queries {
     // candidates before both heaps (the knn_filtered contract composed
     // with the Hamming shortlist)
     "ann_hamming_filtered" -> ((s, dir) => {
-      val store = recs(s, dir)
+      // filter over the memoized code store: codes are per-record, so
+      // filtering before or after coding yields identical rows, and the
+      // predicate still gates candidates BEFORE the shortlist heap
+      val store = binStore(s, dir)
         .where(FilterDsl.predicate(col("metadata"), "label >= 5"))
-        .withColumn("bcode", operators.VectorOps.binaryCodes(col("embedding")))
       val q = qvec0(s, dir)
         .withColumn("qcode", operators.VectorOps.binaryCodes(col("qvec")))
       knnOut(Knn.searchHammingRerank(store, q, k = 10, shortlist = 50))
@@ -2610,8 +2625,7 @@ object Queries {
     // shortlist → exact rerank at shortlist ∈ {10, 20, 50, 100}; every
     // point is a deterministic funnel, so the curve is exact integers
     "ann_hamming_recall_curve" -> ((s, dir) => {
-      val store = recs(s, dir)
-        .withColumn("bcode", operators.VectorOps.binaryCodes(col("embedding")))
+      val store = binStore(s, dir)
       val q = qvec0(s, dir)
         .withColumn("qcode", operators.VectorOps.binaryCodes(col("qvec")))
       val exact = Knn.search(recs(s, dir), qvec0(s, dir), 10, Metric.Euclidean)
