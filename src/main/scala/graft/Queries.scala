@@ -681,6 +681,23 @@ object Queries {
     * them per materialization was pure recompute. At 100 TB this IS the
     * layout: binary codes live next to the vectors as a maintained
     * column (32× smaller), not as a per-query projection. */
+  /** DSIR importance weights over the corpus vs the src0 target,
+    * memoized per (session, dir) — the fit-once lifecycle: production
+    * fits the hashed-ngram ratio model once per (corpus, target) pair
+    * and every sampling/mixing pass reads the weights. Shared by
+    * `corpus_dsir` (global top-k) and `corpus_dsir_mix` (per-source
+    * quota), which previously each paid the token explode. */
+  private val dsirWeightsCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private def dsirWeightsMemo(s: SparkSession, dir: String): DataFrame = {
+    dsirWeightsCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    Caching.ensureCached(dsirWeightsCache.computeIfAbsent((s, dir), _ => {
+      val d = docs(s, dir).repartition(col("doc_id"))
+      graft.operators.Corpus.dsirWeights(
+        d, d.where(col("source") === "src0").select(col("text")), nBuckets = 64)
+    }))
+  }
+
   private val binStoreCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
   private def binStore(s: SparkSession, dir: String): DataFrame = {
@@ -4375,13 +4392,10 @@ object Queries {
     // curated 'src0' slice. Top-100 in (rounded-weight desc, doc_id)
     // order — the selection step of data selection via importance
     // resampling (Xie et al. 2023)
-    "corpus_dsir" -> ((s, dir) => {
-      val d = docs(s, dir).repartition(col("doc_id"))
-      graft.operators.Corpus.dsirWeights(
-          d, d.where(col("source") === "src0").select(col("text")), nBuckets = 64)
+    "corpus_dsir" -> ((s, dir) =>
+      dsirWeightsMemo(s, dir)
         .select(col("doc_id"), col("n_tokens"), r4(col("logw")).as("logw"))
-        .orderBy(desc("logw"), col("doc_id")).limit(100)
-    }),
+        .orderBy(desc("logw"), col("doc_id")).limit(100)),
 
     // extension: corpus CHECKSUM manifest — per-source row count,
     // distinct-content count, exact decimal sum of 56-bit content
@@ -4399,11 +4413,9 @@ object Queries {
     // source (bounded heap per source, never a ranking window; r4-
     // quantized weights so the rank boundary is engine-independent)
     "corpus_dsir_mix" -> ((s, dir) => {
-      val d = docs(s, dir).repartition(col("doc_id"))
-      val w = graft.operators.Corpus.dsirWeights(
-          d, d.where(col("source") === "src0").select(col("text")), nBuckets = 64)
+      val w = dsirWeightsMemo(s, dir)
         .select(col("doc_id"), r4(col("logw")).as("logw"))
-        .join(d.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .join(docs(s, dir).select(col("doc_id"), col("source")), Seq("doc_id"))
       graft.operators.Corpus.topKPerGroup(
           w, col("source"), col("logw"), col("doc_id"), k = 10)
         .select(col("group").as("source"), col("id").as("doc_id"),

@@ -564,13 +564,18 @@ class PlanShapeSpec extends SparkSpec {
       "top-100 selection must be a bounded heap, not a global sort")
     assert(!p.contains("SortMergeJoin"),
       "the ≤nBuckets log-ratio table must broadcast — a shuffle join on 64 bucket keys would be all skew")
-    // the per-doc bucket-count exchange feeds both the raw model and the
-    // scoring pass: after execution the adaptive plan must reuse it, so
-    // the corpus pays ONE token explode (AQE stage reuse)
+    // the weights frame is memoized session state (fit-once lifecycle):
+    // the query must plan over the persisted frame, and inside the
+    // cached build the per-doc bucket-count exchange feeds both the raw
+    // model and the scoring pass (AQE stage reuse), so the corpus pays
+    // ONE token explode. The second consumer (corpus_dsir_mix) must hit
+    // the same cache.
+    assert(p.contains("InMemoryTableScan") || p.contains("Scan ExistingRDD"),
+      p.linesIterator.take(12).mkString("\n"))
     df.collect()
-    val fin = df.queryExecution.executedPlan.toString
-    assert(fin.contains("ReusedExchange") || fin.contains("ReusedQueryStage"),
-      fin.linesIterator.take(30).mkString("\n"))
+    val mix = Queries.queries("corpus_dsir_mix")(spark, sf)
+    assert(plan(mix).contains("InMemoryTableScan"),
+      "corpus_dsir_mix must read the memoized weights, not refit")
   }
 
   test("BPE merge pairs: bounded top-k over the vocab, never a corpus-wide sort") {
