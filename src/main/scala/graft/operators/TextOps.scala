@@ -962,22 +962,46 @@ object TextOps {
     * shuffles carry (doc, gram) and (doc, label) keys, never text. */
   case class NbModel(grams: DataFrame, labels: DataFrame)
 
-  /** Fit the NB model: `grams` = sparse `(label, tri, lp)` fixed-point
-    * gram log-likelihoods; `labels` = `(label, prior, floor)` with the
-    * unseen-gram floor `⌊ln(1/(N_l+V))·10⁶+½⌋` per label (V = the union
-    * vocabulary, so smoothing mass is comparable across labels). */
-  def nbCharGramModel(
+  /** The SUFFICIENT STATISTICS of the NB fit: per-(label, gram)
+    * occurrence counts plus per-label document counts. Counts are
+    * trivially mergeable (integer sums), so a production pipeline
+    * maintains THESE next to the corpus and refreshes the classifier
+    * incrementally — re-deriving log-probabilities from merged counts
+    * equals retraining on the concatenated corpus exactly (law-pinned
+    * in TextOpsSpec), without ever re-reading old shards. The same
+    * incremental-maintenance contract as [[graft.operators.IvfIndex]]'s
+    * applyDiff. */
+  case class NbCounts(gramCounts: DataFrame, docCounts: DataFrame)
+
+  /** Count pass of the NB fit (the only corpus-proportional work). */
+  def nbCharGramCounts(
       train: DataFrame,
       text: Column,
       label: Column,
-      n: Int = 3): NbModel = {
+      n: Int = 3): NbCounts = NbCounts(
+    train.select(label.as("label"), explode(charNgrams(text, n)).as("tri"))
+      .groupBy(col("label"), col("tri")).agg(count(lit(1)).as("c")),
+    train.groupBy(label.as("label")).agg(count(lit(1)).as("d")))
+
+  /** Merge two count sets (integer sums — the incremental refresh). */
+  def nbMergeCounts(a: NbCounts, b: NbCounts): NbCounts = NbCounts(
+    a.gramCounts.unionByName(b.gramCounts)
+      .groupBy(col("label"), col("tri")).agg(sum(col("c")).as("c")),
+    a.docCounts.unionByName(b.docCounts)
+      .groupBy(col("label")).agg(sum(col("d")).as("d")))
+
+  /** Quantized model from counts: `grams` = sparse `(label, tri, lp)`
+    * fixed-point gram log-likelihoods; `labels` = `(label, prior,
+    * floor)` with the unseen-gram floor `⌊ln(1/(N_l+V))·10⁶+½⌋` per
+    * label (V = the union vocabulary, so smoothing mass is comparable
+    * across labels). Model-sized work only. */
+  def nbModelFromCounts(counts: NbCounts): NbModel = {
     def fix(x: Column): Column = floor(x * lit(1e6) + lit(0.5)).cast("long")
-    val c = train.select(label.as("label"), explode(charNgrams(text, n)).as("tri"))
-      .groupBy(col("label"), col("tri")).agg(count(lit(1)).as("__c"))
+    val c = counts.gramCounts.select(col("label"), col("tri"), col("c").as("__c"))
     val nl = c.groupBy(col("label")).agg(sum(col("__c")).as("__n"))
     val v = c.agg(count_distinct(col("tri")).as("__v"))
-    val dl = train.groupBy(label.as("label")).agg(count(lit(1)).as("__d"))
-    val dt = train.agg(count(lit(1)).as("__dt"))
+    val dl = counts.docCounts.select(col("label"), col("d").as("__d"))
+    val dt = counts.docCounts.agg(sum(col("d")).as("__dt"))
     val grams = c.join(nl, Seq("label")).crossJoin(broadcast(v))
       .select(col("label"), col("tri"),
         fix(log((col("__c") + lit(1)).cast("double")
@@ -991,6 +1015,15 @@ object TextOps {
           .as("floor"))
     NbModel(grams, labels)
   }
+
+  /** Fit the NB model end-to-end: [[nbCharGramCounts]] →
+    * [[nbModelFromCounts]]. */
+  def nbCharGramModel(
+      train: DataFrame,
+      text: Column,
+      label: Column,
+      n: Int = 3): NbModel =
+    nbModelFromCounts(nbCharGramCounts(train, text, label, n))
 
   /** Score `docs` against a fitted [[NbModel]]: emits
     * `(doc_id, pred_label, score)` — the argmax label and its

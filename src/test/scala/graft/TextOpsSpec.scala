@@ -482,6 +482,29 @@ class TextOpsSpec extends SparkSpec {
       "all-floor three-way tie must resolve label-asc")
   }
 
+  test("NB incremental law: model from merged counts == retraining on the " +
+    "concatenated corpus, exactly") {
+    val wave1 = Seq(
+      (1L, "aaab aaba abaa", "aa"), (3L, "xxxy xyxx yxxx", "xx"),
+      (5L, "mmmn mnmm mmmm", "mm")).toDF("doc_id", "text", "lang")
+    val wave2 = Seq(
+      (2L, "aaaa baaa aaab", "aa"), (4L, "xxxx xyxx xxxy", "xx"),
+      (6L, "qqqa aqqq", "aa")).toDF("doc_id", "text", "lang")
+    val merged = TextOps.nbModelFromCounts(TextOps.nbMergeCounts(
+      TextOps.nbCharGramCounts(wave1, col("text"), col("lang")),
+      TextOps.nbCharGramCounts(wave2, col("text"), col("lang"))))
+    val retrained = TextOps.nbCharGramModel(
+      wave1.unionByName(wave2), col("text"), col("lang"))
+    def gset(m: TextOps.NbModel) = m.grams
+      .as[(String, String, Long)].collect().toSet
+    def lset(m: TextOps.NbModel) = m.labels
+      .as[(String, Long, Long)].collect().toSet
+    assert(gset(merged) === gset(retrained),
+      "merged-count gram log-likelihoods must equal full retrain")
+    assert(lset(merged) === lset(retrained),
+      "merged-count priors/floors must equal full retrain")
+  }
+
   test("nbClassifyTop2: same argmax as nbClassify, margin = exact gap, " +
     "NULL margin on a single-label model") {
     val train = Seq(
