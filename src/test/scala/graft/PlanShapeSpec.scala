@@ -557,6 +557,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(n >= 3 && n <= 4, s"expected 3-4 pruned day files, scanned $n")
   }
 
+  test("NB classifier: model rides broadcasts, no shuffle ever carries text") {
+    val df = Queries.queries("text_nb_langid")(spark, sf)
+    val p = plan(df)
+    assert(!p.contains("SortMergeJoin"),
+      "the charset³-bounded model frames must broadcast:\n" +
+        p.linesIterator.take(20).mkString("\n"))
+    // the only exchanges key on (doc_id[, tri|label]) — hash-partitioned
+    // aggregation keys, never the document text
+    val exchanges = p.linesIterator.filter(_.contains("hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty && exchanges.forall(!_.contains("text")),
+      s"no shuffle may carry text:\n${exchanges.mkString("\n")}")
+  }
+
   test("DSIR: bounded top-k, broadcast log-ratio join, and a single token explode") {
     val df = Queries.queries("corpus_dsir")(spark, sf)
     val p = plan(df)
