@@ -64,10 +64,9 @@ object Bench {
       // almost entirely one-time JVM/reader/sink initialization, not
       // scan volume (full scans measured 3.8 s) — the slice just stops
       // charging the step for data the lanes re-read
-      step("tables") { Seq("embeddings", "documents").foreach { t =>
-        spark.read.parquet(s"$sfDir/$t.parquet").limit(20000)
-          .write.format("noop").mode("overwrite").save()
-      } }
+      // (the reader-init "tables" touch now runs as the jit lane's first
+      // step — the corpus-state lanes read the same parquet files anyway,
+      // so a sequential pre-touch only added its wall to warmup_s)
       // Session-lifecycle corpus state (the memoized duplicate-group
       // maps): a production session computes these ONCE per corpus
       // version; every query that consumes them reads the converged,
@@ -140,6 +139,10 @@ object Bench {
           val t0 = System.nanoTime(); body
           jitTimes.put(label, (System.nanoTime() - t0) / 1e9); ()
         }
+        jstep("tables") { Seq("embeddings", "documents").foreach { t =>
+          spark.read.parquet(s"$sfDir/$t.parquet").limit(20000)
+            .write.format("noop").mode("overwrite").save()
+        } }
         val tiny = spark.read.parquet(s"$sfDir/embeddings.parquet").limit(64)
         jstep("codegen_jit") {
           tiny.groupBy(col("label")).agg(count(lit(1)).as("n"))

@@ -899,12 +899,32 @@ object Queries {
           docs(s, dir).withColumn("label", col("lang")), col("text"))
         .where(col("split") === "train"))
 
+  /** Held-out per-(doc, label) NB score frame, memoized per (session,
+    * dir) and persisted — scoring the held-out split is the shared
+    * prefix of `text_nb_langid`, `text_nb_confusion`, AND
+    * `text_nb_margin` (argmax, rollup, and top-2 are all cheap derived
+    * aggregations over it); re-scoring per query was pure recompute. */
+  private val nbHeldScoresCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+  private def nbHeldScoresOf(s: SparkSession, dir: String, tag: String)(
+      build: => DataFrame): DataFrame = {
+    nbHeldScoresCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    Caching.ensureCached(
+      nbHeldScoresCache.computeIfAbsent((s, dir, tag), _ => build))
+  }
+  private def nbHeldScores(s: SparkSession, dir: String): DataFrame =
+    nbHeldScoresOf(s, dir, "lang")(
+      TextOps.nbScoreAll(
+        graft.operators.Corpus.assignSplit(docs(s, dir), col("text"))
+          .where(col("split") =!= "train"),
+        col("text"), nbLangModel(s, dir)))
+
   /** Held-out NB predictions joined with declared labels — shared by
     * `text_nb_langid` (per-doc) and `text_nb_confusion` (rollup). */
   private def nbScored(s: SparkSession, dir: String): DataFrame = {
     val held = graft.operators.Corpus.assignSplit(docs(s, dir), col("text"))
       .where(col("split") =!= "train")
-    TextOps.nbClassify(held, col("text"), nbLangModel(s, dir))
+    TextOps.nbClassifyFromScores(nbHeldScores(s, dir))
       .join(held.select(col("doc_id"), col("lang")), Seq("doc_id"))
       .select(col("doc_id"), col("lang"),
         col("pred_label").as("pred_lang"), col("score"))
@@ -3665,7 +3685,7 @@ object Queries {
     "text_nb_margin" -> ((s, dir) => {
       val held = graft.operators.Corpus.assignSplit(docs(s, dir), col("text"))
         .where(col("split") =!= "train")
-      TextOps.nbClassifyTop2(held, col("text"), nbLangModel(s, dir))
+      TextOps.nbTop2FromScores(nbHeldScores(s, dir))
         .join(held.select(col("doc_id"), col("lang")), Seq("doc_id"))
         .withColumn("band",
           when(col("margin").isNull, "solo")
@@ -3706,7 +3726,9 @@ object Queries {
       val sp = graft.operators.Corpus.assignSplit(labeled, col("text"))
       val model = nbModelOf(s, dir, "gopher")(sp.where(col("split") === "train"))
       val held = sp.where(col("split") =!= "train")
-      val cm = TextOps.nbClassify(held, col("text"), model)
+      val scores = nbHeldScoresOf(s, dir, "gopher")(
+        TextOps.nbScoreAll(held, col("text"), model))
+      val cm = TextOps.nbClassifyFromScores(scores)
         .join(held.select(col("doc_id"), col("label").as("teacher")), Seq("doc_id"))
         .select(col("teacher"), col("pred_label").as("student"))
         .groupBy(col("teacher"), col("student")).agg(count(lit(1)).as("n"))

@@ -1037,7 +1037,14 @@ object TextOps {
       text: Column,
       model: NbModel,
       n: Int = 3): DataFrame =
-    nbScores(docs, text, model, n)
+    nbClassifyFromScores(nbScoreAll(docs, text, model, n))
+
+  /** Argmax over an [[nbScoreAll]] frame — split out so a session can
+    * memoize the scored frame once and derive the prediction, the
+    * confusion rollup, and the margin bands from it without re-scoring
+    * (the serving-side memoize-converged-results rule). */
+  def nbClassifyFromScores(scores: DataFrame): DataFrame =
+    scores
       .groupBy(col("doc_id"))
       .agg(min(struct((-col("score")).as("__neg"), col("label"),
         col("score").as("score"))).as("__m"))
@@ -1056,7 +1063,12 @@ object TextOps {
       text: Column,
       model: NbModel,
       n: Int = 3): DataFrame =
-    nbScores(docs, text, model, n)
+    nbTop2FromScores(nbScoreAll(docs, text, model, n))
+
+  /** Top-2 pick over an [[nbScoreAll]] frame (see
+    * [[nbClassifyFromScores]] for why it is split out). */
+  def nbTop2FromScores(scores: DataFrame): DataFrame =
+    scores
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(struct((-col("score")).as("__neg"),
         col("label"), col("score").as("score")))).as("__l"))
@@ -1069,11 +1081,11 @@ object TextOps {
 
   /** Shared scorer: exact-integer `(doc_id, label, score)` for every
     * (held-out doc, model label) pair. */
-  private def nbScores(
+  def nbScoreAll(
       docs: DataFrame,
       text: Column,
       model: NbModel,
-      n: Int): DataFrame = {
+      n: Int = 3): DataFrame = {
     val dm = docs.select(col("doc_id"), explode(charNgrams(text, n)).as("tri"))
       .groupBy(col("doc_id"), col("tri")).agg(count(lit(1)).as("__m"))
     dm.crossJoin(broadcast(model.labels))
