@@ -938,8 +938,10 @@ object TextOps {
       nStmt.as("n_stmt"), isCode.cast("long").as("is_code"))
   }
 
-  /** TRAINED multinomial Naive Bayes over character n-grams — the
-    * fasttext-langid / CCNet-classifier shape: fit per-label gram counts
+  /** TRAINED multinomial Naive Bayes over character n-grams — the shape
+    * of the char-ngram language/quality filters in production LLM data
+    * pipelines (fastText lang-id, Joulin et al. 2016; the CCNet filter
+    * stack, Wenzek et al. 2019): fit per-label gram counts
     * on a TRAINING split, score held-out documents by
     * `argmax_l [ln P(l) + Σ_g m_g · ln P(g|l)]` with add-one smoothing.
     * Complements the fixed-stopword-vote heuristic ([[langFromVotes]]):
