@@ -341,6 +341,71 @@ object DocIngest {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming CONTINUOUS TRAINING (8th door): maintain the NB
+    * classifier's sufficient statistics from a LABELED document stream.
+    * Each micro-batch counts its own (label, gram) and per-label doc
+    * occurrences ([[graft.operators.TextOps.nbCharGramCounts]] — the
+    * only corpus-proportional pass) and merges them into the versioned
+    * count store; by the merge law (spec-pinned), the classifier
+    * derived from the maintained store equals retraining on every
+    * document ever streamed — continuous refresh without re-reading
+    * old shards. The store itself is MODEL-BOUNDED (≤ charsetⁿ ×
+    * |labels| rows), so the per-batch read-merge-rewrite is
+    * constant-cost at any corpus scale.
+    *
+    * Exactly-once on the store without keyed state: version `v=batchId`
+    * is derived by merging the batch onto the newest version STRICTLY
+    * BELOW `batchId` ([[nbCountsAt]]), so a replayed batch rewrites
+    * byte-identical content instead of double-counting. Unlabeled
+    * (null-lang) docs are skipped — they cannot supervise. Readers take
+    * the max version; older versions are retained for time travel and
+    * compactable like any snapshot chain. */
+  def startNbCountsMaintenance(
+      spark: SparkSession,
+      dir: String,
+      storePath: String,
+      checkpointPath: String,
+      n: Int = 3): StreamingQuery =
+    spark.readStream
+      .schema(corpusDocSchema)
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(dir)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val bc = TextOps.nbCharGramCounts(
+          batch.where(col("lang").isNotNull), col("text"), col("lang"), n)
+        val merged = nbCountsAt(spark, storePath, beforeBatch = batchId)
+          .map(prev => TextOps.nbMergeCounts(prev, bc)).getOrElse(bc)
+        merged.gramCounts.write.mode("overwrite")
+          .parquet(s"$storePath/grams/v=$batchId")
+        merged.docCounts.write.mode("overwrite")
+          .parquet(s"$storePath/docs/v=$batchId")
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** Newest count-store version strictly below `beforeBatch`
+    * (`Long.MaxValue` = the current state a reader trains from). */
+  def nbCountsAt(
+      spark: SparkSession,
+      storePath: String,
+      beforeBatch: Long = Long.MaxValue): Option[TextOps.NbCounts] = {
+    val versions = Option(new java.io.File(s"$storePath/grams").listFiles())
+      .toSeq.flatten.map(_.getName)
+      .filter(_.startsWith("v=")).map(_.drop(2).toLong)
+      .filter(_ < beforeBatch)
+    if (versions.isEmpty) None
+    else {
+      val v = versions.max
+      Some(graft.operators.TextOps.NbCounts(
+        spark.read.parquet(s"$storePath/grams/v=$v"),
+        spark.read.parquet(s"$storePath/docs/v=$v")))
+    }
+  }
+
   /** Streaming DSIR admission — importance resampling at the ingest
     * door: each incoming document is scored for target-likeness with the
     * map-only [[graft.operators.Corpus.dsirScore]] expression over a

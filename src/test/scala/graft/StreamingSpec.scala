@@ -687,6 +687,53 @@ class StreamingSpec extends SparkSpec {
       "gramless and null docs must route to und, not drop")
   }
 
+  test("streaming NB counts maintenance: store after two waves and a restart " +
+    "equals retraining on everything streamed; unlabeled docs skipped") {
+    import graft.streaming.DocIngest
+    import graft.operators.TextOps
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("graft_nbcounts")
+    val inDir = s"$root/in"
+    val store = s"$root/store"
+    val ckpt = s"$root/ckpt"
+    def docsDF(rows: Seq[(Long, String, String)]) = rows
+      .toDF("doc_id", "text", "lang")
+      .withColumn("source", org.apache.spark.sql.functions.lit("s"))
+      .withColumn("n_chars", org.apache.spark.sql.functions.length(col("text")).cast("long"))
+    val w1 = Seq((1L, "aaab aaba abaa", "aa"), (3L, "xxxy xyxx yxxx", "xx"))
+    val w2 = Seq((2L, "aaaa baaa aaab", "aa"), (4L, "xxxx xyxx xxxy", "xx"),
+      (5L, "unlabeled text here", null.asInstanceOf[String]))
+    docsDF(w1).write.mode("append").parquet(inDir)
+    DocIngest.startNbCountsMaintenance(spark, inDir, store, ckpt).awaitTermination()
+    docsDF(w2).write.mode("append").parquet(inDir)
+    DocIngest.startNbCountsMaintenance(spark, inDir, store, ckpt).awaitTermination()
+
+    val maintained = DocIngest.nbCountsAt(spark, store).get
+    val retrained = TextOps.nbCharGramCounts(
+      docsDF(w1 ++ w2).where(col("lang").isNotNull), col("text"), col("lang"))
+    def g(c: TextOps.NbCounts) = c.gramCounts
+      .as[(String, String, Long)].collect().toSet
+    def d(c: TextOps.NbCounts) = c.docCounts
+      .as[(String, Long)].collect().toSet
+    assert(g(maintained) === g(retrained),
+      "maintained gram counts must equal retraining on everything streamed")
+    assert(d(maintained) === d(retrained))
+    assert(!d(maintained).exists(_._1 == null), "null-lang docs must not train")
+    // the derived classifiers agree exactly (merge law, end to end)
+    val test = Seq((10L, "aaba abab"), (11L, "xyxy xxxx")).toDF("doc_id", "text")
+    val fromStore = TextOps.nbClassify(test, col("text"),
+      TextOps.nbModelFromCounts(maintained))
+      .select("doc_id", "pred_label").as[(Long, String)].collect().toSet
+    val fromRetrain = TextOps.nbClassify(test, col("text"),
+      TextOps.nbModelFromCounts(retrained))
+      .select("doc_id", "pred_label").as[(Long, String)].collect().toSet
+    assert(fromStore === fromRetrain)
+    // versioned chain: wave-1's state is still readable (time travel)
+    val versions = new java.io.File(s"$store/grams").listFiles()
+      .map(_.getName).filter(_.startsWith("v=")).sorted
+    assert(versions.length === 2, versions.mkString(","))
+  }
+
   test("streaming admission: quality + language + near-dup gates compose end-to-end") {
     import graft.streaming.DocIngest
     val base = "the quick brown fox jumps over the lazy dog and it is " +
