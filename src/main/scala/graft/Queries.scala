@@ -3723,6 +3723,47 @@ object Queries {
         .orderBy("band")
     }),
 
+    // extension: METHODS-AGREEMENT report for language ID — the
+    // ann_recall_methods symmetry applied to classifiers: the fixed
+    // stopword-vote heuristic vs the trained NB student on the SAME
+    // held-out docs, as an agreement matrix with per-cell correctness
+    // against the declared label. The report a curator reads to decide
+    // which detector to trust where (and when the two disagree, which
+    // one is right more often). Gramless docs take 'und' on the NB side
+    // (the routing-door convention) so the matrix stays total
+    "corpus_langid_agreement" -> ((s, dir) => {
+      // bucket >= 80, not split != 'train': a null-text doc has a NULL
+      // content bucket and belongs to NO held-out split (the oracle's
+      // te convention) — `split != train` would sweep it into 'test'
+      // via the otherwise() arm. The NB-side queries never see the
+      // difference (gramless docs drop at the inner join); this report
+      // keeps every held doc on the heuristic side, so it must cut the
+      // split exactly like the oracle does
+      val held = graft.operators.Corpus.assignSplit(docs(s, dir), col("text"))
+        .where(col("bucket") >= 80)
+      val hx = held
+        .withColumn("__toks", TextOps.tokens(col("text")))
+        .withColumn("__stats", TextOps.tokenStats(col("__toks")))
+        .select(col("doc_id"), col("lang"),
+          TextOps.langFromVotes(col("__stats.votes")).as("hx_pred"))
+      val nb = TextOps.nbClassifyFromScores(nbHeldScores(s, dir))
+        .select(col("doc_id"), col("pred_label").as("__nb"))
+      val j = hx.join(nb, Seq("doc_id"), "left_outer")
+        .withColumn("nb_pred", coalesce(col("__nb"), lit("und")))
+      val cm = j.groupBy(col("hx_pred"), col("nb_pred"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("lang") === col("hx_pred"), 1L).otherwise(0L))
+            .as("n_hx_correct"),
+          sum(when(col("lang") === col("nb_pred"), 1L).otherwise(0L))
+            .as("n_nb_correct"))
+      val tot = j.agg(count(lit(1)).as("__t"))
+      cm.crossJoin(broadcast(tot))
+        .select(col("hx_pred"), col("nb_pred"), col("n"),
+          col("n_hx_correct"), col("n_nb_correct"),
+          r4(col("n").cast("double") / col("__t").cast("double")).as("share"))
+        .orderBy("hx_pred", "nb_pred")
+    }),
+
     // extension: DISTILLED quality filter — the production two-tier
     // shape (CCNet/RedPajama): an expensive teacher (the Gopher rule
     // battery) labels the train split, a cheap student (the NB
@@ -8705,6 +8746,37 @@ object Queries {
          |  CAST(coalesce(sum(CASE WHEN lang = pred_lang THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_correct,
          |  ${sqlR4("CAST(coalesce(sum(CASE WHEN lang = pred_lang THEN 1 ELSE 0 END), 0) AS DOUBLE) / count(*)")} AS accuracy
          |FROM j GROUP BY band ORDER BY band""".stripMargin,
+
+    // methods-agreement replay: the lang_id vote CASE over the held-out
+    // split joined against the NB prediction (LEFT, gramless → 'und'),
+    // rolled to the agreement matrix with per-cell correctness counts
+    "corpus_langid_agreement" ->
+      s"""WITH lbl AS (SELECT doc_id, lang AS label, text FROM documents),
+         |$nbPredSql,
+         |t2 AS (SELECT doc_id, lang, regexp_split_to_array(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+') AS tk FROM te),
+         |s2 AS (SELECT doc_id, lang,
+         |  len(list_filter(tk, x -> list_contains(['the','a','of','to','and','is','in','it'], x))) AS e,
+         |  len(list_filter(tk, x -> list_contains(['el','la','de','que','y','en','un','es'], x))) AS sp,
+         |  len(list_filter(tk, x -> list_contains(['le','la','de','et','un','que','les','des'], x))) AS f,
+         |  len(list_filter(tk, x -> list_contains(['der','die','das','und','ist','ein','zu','den'], x))) AS d,
+         |  len(list_filter(tk, x -> list_contains(['de','shi','bu','le','zai','ren','you','wo'], x))) AS z
+         |  FROM t2),
+         |hx AS (SELECT doc_id, lang, CASE WHEN coalesce(greatest(e, sp, f, d, z), 0) = 0 THEN 'und'
+         |  WHEN e >= sp AND e >= f AND e >= d AND e >= z THEN 'en'
+         |  WHEN sp >= f AND sp >= d AND sp >= z THEN 'es'
+         |  WHEN f >= d AND f >= z THEN 'fr'
+         |  WHEN d >= z THEN 'de' ELSE 'zh' END AS hx_pred
+         |FROM s2),
+         |j AS (SELECT hx.hx_pred, coalesce(pred.pred_lang, 'und') AS nb_pred, hx.lang
+         |  FROM hx LEFT JOIN pred ON hx.doc_id = pred.doc_id),
+         |cm AS (SELECT hx_pred, nb_pred, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(coalesce(sum(CASE WHEN lang = hx_pred THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_hx_correct,
+         |    CAST(coalesce(sum(CASE WHEN lang = nb_pred THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_nb_correct
+         |  FROM j GROUP BY 1, 2),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM j)
+         |SELECT cm.hx_pred, cm.nb_pred, cm.n, cm.n_hx_correct, cm.n_nb_correct,
+         |  ${sqlR4("CAST(cm.n AS DOUBLE) / CAST(tot.t AS DOUBLE)")} AS share
+         |FROM cm, tot ORDER BY cm.hx_pred, cm.nb_pred""".stripMargin,
 
     // the DISTILLED quality filter's replay: the Gopher teacher verdict
     // (the text_gopher CTEs verbatim, down to the 0-fallback fractions;
