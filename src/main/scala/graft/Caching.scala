@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.storage.StorageLevel
 
 /** Scoped-persist helper shared by the operators that cache reusable
@@ -28,5 +28,29 @@ object Caching {
     if (df.storageLevel == StorageLevel.NONE)
       df.persist(StorageLevel.MEMORY_AND_DISK)
     df
+  }
+
+  /** Repartition `df` on `key` ONLY when its planned partition count is
+    * below the session's parallelism floor — the conditional form of the
+    * "single-file input → spread CPU work" repartition the CPU-heavy
+    * text queries used to apply UNCONDITIONALLY. Unconditional was wrong
+    * at scale: a 100 TB documents table arrives in thousands of splits,
+    * and a blanket `repartition(doc_id)` is a full shuffle OF THE TEXT
+    * COLUMN (banned — text moves through shuffle exactly never; only
+    * hashes/ids do) that buys nothing the scan's own parallelism doesn't
+    * already provide. Narrow inputs — a single-file local fixture, a
+    * tiny micro-batch — still get spread so per-row CPU kernels
+    * (tokenize, hash, quality) use every core.
+    *
+    * `df.rdd.getNumPartitions` plans the physical scan (file listing +
+    * split arithmetic — no job, no data read) — the same number of
+    * input tasks Spark would launch; `>= floor` means the scan is
+    * already as parallel as the session can exploit, and the returned
+    * frame is `df` itself (reference-equal), so the no-shuffle plan
+    * shape is pinnable (PlanShapeSpec). */
+  def spreadIfNarrow(df: DataFrame, key: Column): DataFrame = {
+    val floor = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= floor) df
+    else df.repartition(floor, key)
   }
 }

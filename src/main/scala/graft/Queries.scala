@@ -666,6 +666,16 @@ object Queries {
 
   private def emb(s: SparkSession, dir: String): DataFrame = Records.table(s, dir, "embeddings")
   private def docs(s: SparkSession, dir: String): DataFrame = Records.table(s, dir, "documents")
+  /** The documents table, spread across the parallelism floor ONLY when
+    * the scan itself is narrow ([[Caching.spreadIfNarrow]]) — the
+    * CPU-heavy text queries' input. At gate SFs the table is one parquet
+    * file (one split), so the spread fires and every core tokenizes; at
+    * warehouse scale the scan arrives in thousands of splits and this is
+    * the IDENTITY — no Exchange, text never shuffles (pinned in
+    * PlanShapeSpec: chunkText over an already-parallel input plans zero
+    * hash-partition exchanges). */
+  private def docsSpread(s: SparkSession, dir: String): DataFrame =
+    Caching.spreadIfNarrow(docs(s, dir), col("doc_id"))
   /** events.parquet's physical `ts` encoding has varied across testdata
     * generations (raw int64 nanos vs native TIMESTAMP micros);
     * [[graft.streaming.EventStream.loadEvents]] is the single
@@ -692,7 +702,7 @@ object Queries {
   private def dsirWeightsMemo(s: SparkSession, dir: String): DataFrame = {
     dsirWeightsCache.keySet.removeIf(_._1.sparkContext.isStopped)
     Caching.ensureCached(dsirWeightsCache.computeIfAbsent((s, dir), _ => {
-      val d = docs(s, dir).repartition(col("doc_id"))
+      val d = docsSpread(s, dir)
       graft.operators.Corpus.dsirWeights(
         d, d.where(col("source") === "src0").select(col("text")), nBuckets = 64)
     }))
@@ -968,7 +978,7 @@ object Queries {
     splitGramsCache.computeIfAbsent((s, dir, n), _ =>
       org.apache.spark.sql.graft.PlanBridge.statsReset(
         graft.operators.Corpus.assignSplit(
-            docs(s, dir).repartition(col("doc_id")), col("text"))
+            docsSpread(s, dir), col("text"))
           .select(col("split"), col("doc_id"), explode_outer(
             TextOps.shingleHashes(
               TextOps.shinglesFromTokens(TextOps.tokens(col("text")), n))).as("h"))
@@ -1125,7 +1135,7 @@ object Queries {
     * collapsed into the groupBy, then the lang+quality gate. Shared by
     * `corpus_assemble` and `corpus_assemble_dedup`. */
   private def assembleFiltered(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir).repartition(col("doc_id"))
+    docsSpread(s, dir)
       .withColumn("__toks", TextOps.tokens(col("text")))
       .withColumn("__stats", TextOps.tokenStats(col("__toks")))
       .select(col("doc_id"), sha2(col("text"), 256).as("__h"),
@@ -3111,7 +3121,7 @@ object Queries {
       val d = docs(s, dir)
       val q = d.where(col("doc_id") === 0)
         .select(TextOps.shingleHashes(TextOps.shingles(col("text"), 3)).as("__qshh"))
-      d.repartition(col("doc_id")) // single-file input → spread CPU work
+      docsSpread(s, dir) // spread the CPU work only when the scan is narrow
         .withColumn("__toks", TextOps.tokens(col("text")))
         .withColumn("__sh", TextOps.shinglesFromTokens(col("__toks"), 3))
         .select(col("doc_id"), TextOps.shingleHashes(col("__sh")).as("__shh"))
@@ -3601,8 +3611,7 @@ object Queries {
     // stats are materialized as attributes so each kernel runs once per
     // row; repartition spreads the CPU of a single-file input.
     "lang_id" -> ((s, dir) =>
-      docs(s, dir)
-        .repartition(col("doc_id"))
+      docsSpread(s, dir)
         .withColumn("__toks", TextOps.tokens(col("text")))
         .withColumn("__stats", TextOps.tokenStats(col("__toks")))
         .select(col("doc_id"),
@@ -3667,7 +3676,7 @@ object Queries {
     // mojibake and wrong-language text sink). Model bounded by charset³,
     // rides a broadcast; scoring is explode + map-side partial mean
     "text_lm_score" -> ((s, dir) => {
-      val d = docs(s, dir).repartition(col("doc_id"))
+      val d = docsSpread(s, dir)
       TextOps.charLmScoreFused(d, lmModel(s, dir), col("text"))
         .select(col("doc_id"), col("n_trigrams"), r4(col("lm_score")).as("lm_score"))
         .orderBy("doc_id")
@@ -3835,8 +3844,7 @@ object Queries {
         .orderBy("doc_id")),
 
     "text_stats" -> ((s, dir) =>
-      docs(s, dir)
-        .repartition(col("doc_id"))
+      docsSpread(s, dir)
         .withColumn("__toks", TextOps.tokens(col("text")))
         .withColumn("__stats", TextOps.tokenStats(col("__toks")))
         .select(
@@ -3851,7 +3859,7 @@ object Queries {
     // df/avgdl reduction shuffles; the score pass is map-only over a
     // one-row broadcast of idfs.
     "text_bm25" -> ((s, dir) =>
-      TextOps.bm25(docs(s, dir).repartition(col("doc_id")), col("text"),
+      TextOps.bm25(docsSpread(s, dir), col("text"),
           Seq("key", "table", "scan"))
         .select(col("doc_id"), r4(col("score")).as("score"))
         .orderBy("doc_id")),
@@ -3861,7 +3869,7 @@ object Queries {
     // of its own term contributions, bounded-heap top-k (no ranking
     // window — pinned in PlanShapeSpec)
     "text_bm25_topk" -> ((s, dir) =>
-      TextOps.bm25TopK(docs(s, dir).repartition(col("doc_id")), col("text"),
+      TextOps.bm25TopK(docsSpread(s, dir), col("text"),
           Seq("q_key_table" -> Seq("key", "table"), "q_scan" -> Seq("scan", "key")),
           k = 5)
         .select(col("query_id"), col("rank"), col("doc_id"),
@@ -3874,7 +3882,7 @@ object Queries {
     // shape: two bounded shortlists, fusion cost independent of corpus
     // size; vec_id ≡ doc_id in the demo tables
     "hybrid_rrf_query" -> ((s, dir) => {
-      val lex = TextOps.bm25TopK(docs(s, dir).repartition(col("doc_id")),
+      val lex = TextOps.bm25TopK(docsSpread(s, dir),
           col("text"), Seq("q" -> Seq("key", "table")), k = 20)
         .select(col("doc_id").as("id"), col("rank").cast("long").as("rank"))
       // rank the k-row shortlist without a window: one array_sort
@@ -3896,7 +3904,7 @@ object Queries {
     // publishes.
     "corpus_stats" -> ((s, dir) =>
       graft.operators.Corpus.stats(
-          docs(s, dir).repartition(col("doc_id")), col("source"), col("text"))
+          docsSpread(s, dir), col("source"), col("text"))
         .select(col("source"), col("lang"), col("n_docs"), col("n_unique"),
           col("total_tokens"), r4(col("avg_quality")).as("avg_quality"))
         .orderBy("source", "lang")),
@@ -3932,7 +3940,7 @@ object Queries {
     // oracle can replay it row-exactly
     "corpus_median_length" -> ((s, dir) =>
       graft.operators.Corpus.groupMedian(
-          docs(s, dir).repartition(col("doc_id")),
+          docsSpread(s, dir),
           col("source"), col("n_chars"), col("doc_id"), hi = 4096L)
         .select(col("group").as("source"), col("median").as("median_chars"))
         .orderBy("source")),
@@ -3942,7 +3950,7 @@ object Queries {
     // AND the top tail as templated text). Exact ranks via the two-level
     // prefix-sum layout — no single-partition global window
     "corpus_quality_band" -> ((s, dir) => {
-      val scored = docs(s, dir).repartition(col("doc_id"))
+      val scored = docsSpread(s, dir)
         .withColumn("__toks", TextOps.tokens(col("text")))
         .withColumn("__stats", TextOps.tokenStats(col("__toks")))
         .select(col("doc_id"),
@@ -4082,7 +4090,7 @@ object Queries {
     // scanned documents twice; round 3 persisted a narrow frame for two
     // consumers). Shuffled rows are narrow: hash + id + lang + score.
     "corpus_clean" -> ((s, dir) =>
-      docs(s, dir).repartition(col("doc_id"))
+      docsSpread(s, dir)
         .withColumn("__toks", TextOps.tokens(col("text")))
         // stats MUST be its own projection level: langFromVotes reads its
         // argument once per language, so inlining the stats kernel would
@@ -4164,7 +4172,7 @@ object Queries {
     // 512-token training chunks, shard-parallel running totals
     "seq_pack" -> ((s, dir) =>
       graft.operators.Corpus.pack(
-          docs(s, dir).repartition(col("doc_id")),
+          docsSpread(s, dir),
           size(TextOps.tokens(col("text"))), budget = 512, nShards = 8)
         .orderBy("doc_id")),
 
@@ -4174,7 +4182,7 @@ object Queries {
     // ints until the final fill division
     "pack_efficiency" -> ((s, dir) =>
       graft.operators.Corpus.pack(
-          docs(s, dir).repartition(col("doc_id")),
+          docsSpread(s, dir),
           size(TextOps.tokens(col("text"))), budget = 512, nShards = 8)
         .groupBy(col("shard"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"),
@@ -4207,7 +4215,7 @@ object Queries {
     // per-source ranking window
     "mix_sample" -> ((s, dir) =>
       graft.operators.Corpus.mixSample(
-          docs(s, dir).repartition(col("doc_id")), col("source"), col("text"), quota = 10)
+          docsSpread(s, dir), col("source"), col("text"), quota = 10)
         .select(col("doc_id"), col("source"))
         .orderBy("doc_id")),
 
@@ -4216,7 +4224,7 @@ object Queries {
     // by 24); the long-doc half of sequence assembly, map-only
     "corpus_chunk" -> ((s, dir) =>
       graft.operators.Corpus.chunk(
-          docs(s, dir).repartition(col("doc_id")),
+          docsSpread(s, dir),
           size(TextOps.tokens(col("text"))), budget = 32, overlap = 8)
         .orderBy("doc_id", "chunk_idx")),
 
@@ -4225,7 +4233,7 @@ object Queries {
     // budget/overlap as corpus_chunk; map-only, text never shuffles
     "corpus_chunk_text" -> ((s, dir) =>
       graft.operators.Corpus.chunkText(
-          docs(s, dir).repartition(col("doc_id")),
+          docsSpread(s, dir),
           TextOps.tokens(col("text")), budget = 32, overlap = 8)
         .orderBy("doc_id", "chunk_idx")),
 
@@ -4382,7 +4390,7 @@ object Queries {
     // bucket pays a partition-local running sum.
     "corpus_sample_budget" -> ((s, dir) =>
       graft.operators.Corpus.sampleToBudget(
-          docs(s, dir).repartition(col("doc_id")), col("text"),
+          docsSpread(s, dir), col("text"),
           size(TextOps.tokens(col("text"))), budget = 12000L)
         .orderBy("doc_id")),
 
@@ -4393,7 +4401,7 @@ object Queries {
     // unlisted sources drop). Stratified two-level prefix sum.
     "mix_token_budget" -> ((s, dir) =>
       graft.operators.Corpus.mixTokenBudget(
-          docs(s, dir).repartition(col("doc_id")), col("source"), col("text"),
+          docsSpread(s, dir), col("source"), col("text"),
           size(TextOps.tokens(col("text"))),
           budgets = Map("src0" -> 800L, "src1" -> 5000L, "src3" -> 300L))
         .orderBy("doc_id")),
@@ -4487,7 +4495,7 @@ object Queries {
     // content — this project's own oracle gate, productized
     "corpus_checksum" -> ((s, dir) =>
       graft.operators.Corpus.checksum(
-          docs(s, dir).repartition(col("doc_id")),
+          docsSpread(s, dir),
           col("source"), col("text"), col("n_chars"))
         .orderBy("source")),
 
@@ -4512,7 +4520,7 @@ object Queries {
     // never corpus tokens); top-50, ties by pair
     "vocab_bpe_pairs" -> ((s, dir) =>
       graft.operators.TextOps.bpeMergePairs(
-        docs(s, dir).repartition(col("doc_id")), k = 50)),
+        docsSpread(s, dir), k = 50)),
 
     // extension: BPE merge APPLICATION — the pinned ranked merge list
     // ([[TextOps.BpeMerges]], literal-model rule) applied to the
@@ -4522,13 +4530,13 @@ object Queries {
     // verbatim as a recursive CTE over the same `replace` primitive.
     "text_bpe_apply" -> ((s, dir) =>
       graft.operators.TextOps.bpeSegmentations(
-        docs(s, dir).repartition(col("doc_id")), k = 200)),
+        docsSpread(s, dir), k = 200)),
 
     // extension: per-source tokenizer FERTILITY (subwords per word)
     // under the pinned merges — the tokenizer-eval metric; segmentation
     // runs once per distinct token, the rollup is one row per source
     "text_bpe_fertility" -> ((s, dir) =>
-      graft.operators.TextOps.bpeFertility(docs(s, dir).repartition(col("doc_id")))
+      graft.operators.TextOps.bpeFertility(docsSpread(s, dir))
         .select(col("source"), col("n_words"), col("n_subwords"),
           r4(col("n_subwords").cast("double") / col("n_words")).as("fertility"))
         .orderBy("source")),
@@ -5149,7 +5157,7 @@ object Queries {
     // map-side-combinable wordcount (no Expand, no corpus-wide sort)
     "vocab_top" -> ((s, dir) =>
       graft.operators.TextOps.vocabTop(
-        docs(s, dir).repartition(col("doc_id")), k = 100)),
+        docsSpread(s, dir), k = 100)),
 
     // extension: BPE TRAINER — the full iterative merge-learning loop
     // (count pairs → argmax → merge everywhere, 8 rounds) over the
@@ -5161,7 +5169,7 @@ object Queries {
     // learned (pair, freq) row is hash-checked, not just invariants
     "vocab_bpe_train" -> ((s, dir) =>
       graft.operators.TextOps.bpeTrain(
-          docs(s, dir).repartition(col("doc_id")), nMerges = 8, vocabCap = 500)
+          docsSpread(s, dir), nMerges = 8, vocabCap = 500)
         .orderBy("step")),
 
     // extension: train → apply end-to-end — the vocabulary segmented
@@ -5173,7 +5181,7 @@ object Queries {
     // end state
     "text_bpe_train_apply" -> ((s, dir) =>
       graft.operators.TextOps.bpeTrainSegmentations(
-        docs(s, dir).repartition(col("doc_id")), nMerges = 8, vocabCap = 500)),
+        docsSpread(s, dir), nMerges = 8, vocabCap = 500)),
 
     // extension: WEIGHTED dataset mixing — per-source quotas (the real
     // "2 parts web, 1 part code" shape): each listed source keeps its own
@@ -5183,7 +5191,7 @@ object Queries {
     // per-source ranking window.
     "mix_weighted" -> ((s, dir) =>
       graft.operators.Corpus.mixSampleWeighted(
-          docs(s, dir).repartition(col("doc_id")), col("source"), col("text"),
+          docsSpread(s, dir), col("source"), col("text"),
           quotas = Map("src0" -> 12, "src1" -> 5, "src2" -> 0, "src3" -> 30))
         .select(col("doc_id"), col("source"))
         .orderBy("doc_id")),
@@ -5205,7 +5213,7 @@ object Queries {
     // (shard, pack_id); group size is bounded by the packing contract
     // (documents whose starts fall in one budget-token chunk).
     "pack_sequences" -> ((s, dir) => {
-      val d = docs(s, dir).repartition(col("doc_id"))
+      val d = docsSpread(s, dir)
       val packed = graft.operators.Corpus.pack(
         d, size(TextOps.tokens(col("text"))), budget = 512, nShards = 8)
       graft.operators.Corpus.packedSequences(d, packed, col("text"))

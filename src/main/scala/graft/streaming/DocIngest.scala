@@ -150,7 +150,7 @@ object DocIngest {
         // established discipline)
         val b = batch.persist()
         try {
-          val scored = b.repartition(col("doc_id"))
+          val scored = graft.Caching.spreadIfNarrow(b, col("doc_id"))
             .withColumn("__toks", TextOps.tokens(col("text")))
             .withColumn("__stats", TextOps.tokenStats(col("__toks")))
             .select(col("doc_id"), col("text"),

@@ -244,6 +244,43 @@ class PlanShapeSpec extends SparkSpec {
       s"packing window must partition by (split, shard): $w"))
   }
 
+  test("corpus_chunk_text over an ALREADY-PARALLEL input plans no hash " +
+    "Exchange: spreadIfNarrow is the identity and text never shuffles") {
+    // Build a documents store whose SCAN is already as parallel as the
+    // session (4 splits at local[4]): 4 part files, with
+    // maxPartitionBytes shrunk below the 4 MiB per-file open cost so the
+    // reader cannot coalesce the tiny files into one split — the shape a
+    // warehouse-scale table always has. The r11-flagged wrapper
+    // (`docs.repartition(doc_id)`) would shuffle the text column here;
+    // the conditional spread must plan NOTHING but the scan, the chunk
+    // projection, and the output sort's range exchange.
+    val dir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "wide_docs").toString
+    val prev = spark.conf.get("spark.sql.files.maxPartitionBytes", null)
+    try {
+      spark.read.parquet(s"$sf/documents.parquet").repartition(4)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "1m")
+      // the SCAN is what must be wide (the final orderBy's post-shuffle
+      // partition count is AQE-coalesced and irrelevant here)
+      assert(spark.read.parquet(s"$dir/documents.parquet")
+        .rdd.getNumPartitions >= 4, "fixture must present a wide scan")
+      val df = Queries.queries("corpus_chunk_text")(spark, dir)
+      val p = plan(df)
+      p.linesIterator.filter(_.contains("Exchange")).foreach { e =>
+        assert(e.contains("rangepartitioning"),
+          s"only the output sort may exchange — found: $e")
+        assert(!e.contains("text#"), s"text column in shuffle: $e")
+      }
+      // and the helper itself is the identity on a wide frame
+      val wide = spark.read.parquet(s"$dir/documents.parquet")
+      assert(Caching.spreadIfNarrow(wide, col("doc_id")) eq wide)
+    } finally {
+      if (prev == null) spark.conf.unset("spark.sql.files.maxPartitionBytes")
+      else spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+    }
+  }
+
   test("corpus chunking is map-only: no shuffle anywhere in the operator") {
     val df = graft.operators.Corpus.chunk(
       graft.sources.Records.table(spark, sf, "documents"),
