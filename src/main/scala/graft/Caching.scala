@@ -48,9 +48,17 @@ object Caching {
     * already as parallel as the session can exploit, and the returned
     * frame is `df` itself (reference-equal), so the no-shuffle plan
     * shape is pinnable (PlanShapeSpec). */
-  def spreadIfNarrow(df: DataFrame, key: Column): DataFrame = {
-    val floor = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= floor) df
-    else df.repartition(floor, key)
-  }
+  def spreadIfNarrow(df: DataFrame, key: Column): DataFrame =
+    if (df.isStreaming)
+      // a streaming plan has no resolvable partition count at build time
+      // (`.rdd` throws); micro-batches are bounded by the trigger, so the
+      // unconditional spread is a bounded per-batch cost, not a corpus
+      // shuffle — foreachBatch sinks pass their (batch) frame here and
+      // take the conditional path instead
+      df.repartition(key)
+    else {
+      val floor = df.sparkSession.sparkContext.defaultParallelism
+      if (df.rdd.getNumPartitions >= floor) df
+      else df.repartition(floor, key)
+    }
 }

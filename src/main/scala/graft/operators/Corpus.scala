@@ -1002,7 +1002,16 @@ object Corpus {
       source: Column,
       text: Column,
       nChars: Column): DataFrame =
-    checksumProjected(docs, source, text, nChars)
+    checksumFromProjected(checksumProjected(docs, source, text, nChars))
+
+  /** [[checksum]] over an ALREADY-HASHED projection `(source, __h
+    * DECIMAL(20,0) 56-bit content hash, __nc BIGINT)` — the shape a
+    * warehouse corpus maintains as ingest-written columns, and the shape
+    * [[graft.Queries]] memoizes once per (session, corpus) so the
+    * checksum/funnel/exact-dedup consumers share ONE digest pass instead
+    * of each re-hashing the full text column. */
+  def checksumFromProjected(projected: DataFrame): DataFrame =
+    projected
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         count_distinct(col("__h")).as("n_unique"),

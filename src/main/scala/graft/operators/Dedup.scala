@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.types.Metric
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
@@ -25,7 +25,15 @@ object Dedup {
     * pipeline over untrusted training data must not have. Returns one row
     * per distinct text: the kept (minimum) id and the duplicate count. */
   def exact(docs: DataFrame): DataFrame =
-    docs.groupBy(sha2(col("text"), 256).as("__h"))
+    exactFromHashed(docs, sha2(col("text"), 256))
+
+  /** [[exact]] over a PRE-HASHED content key — the entry point for a
+    * corpus whose sha-256 digest is a maintained column (written at
+    * ingest; [[graft.Queries]] memoizes that projection per session so
+    * the exact-dedup / checksum / funnel consumers share one digest
+    * pass). Only the 64-byte key and the id shuffle, never text. */
+  def exactFromHashed(docs: DataFrame, key: Column): DataFrame =
+    docs.groupBy(key.as("__h"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
       .select(col("keep_id"), col("n_dups"))
 
@@ -52,12 +60,11 @@ object Dedup {
     * so [[minhashLsh]] never re-tokenizes or re-hashes a candidate doc. */
   def minhashSignature(docs: DataFrame, shingleN: Int = 3, perms: Int = 16): DataFrame = {
     require(perms <= 16, "perms > 16 risks long overflow in derived hashes")
-    docs
-      // The signature is the CPU-heavy stage; spread it across all cores
-      // regardless of input file layout (the testdata is one parquet
-      // row-group = one partition; a production table has many splits,
-      // making this a no-op cost-wise but never a correctness change).
-      .repartition(col("doc_id"))
+    // The signature is the CPU-heavy stage; spread it across all cores
+    // WHEN the input scan is narrow (the testdata is one parquet
+    // row-group = one partition; a production table has many splits, and
+    // there the spread is the identity — no text shuffle at scale).
+    graft.Caching.spreadIfNarrow(docs, col("doc_id"))
       // tokens, shingles, and md5s materialize as separate projections so
       // HOF lambdas reference attributes, not re-executed subtrees
       // (interpreted HOFs re-evaluate inlined children per element access).
@@ -316,7 +323,7 @@ object Dedup {
     * vote array — is what the DuckDB oracle mirrors; values are
     * identical. */
   def simhash(docs: DataFrame): DataFrame =
-    docs.repartition(col("doc_id"))
+    graft.Caching.spreadIfNarrow(docs, col("doc_id"))
       .withColumn("simhash",
         graft.functions.NativeExprs.simhash60(TextOps.tokens(col("text"))))
 
