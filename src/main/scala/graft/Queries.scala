@@ -1211,12 +1211,35 @@ object Queries {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
   private def minhashPairs(s: SparkSession, dir: String): DataFrame = {
     minhashPairsCache.keySet.removeIf(_._1.sparkContext.isStopped)
-    minhashPairsCache.computeIfAbsent((s, dir), _ =>
+    minhashPairsCache.computeIfAbsent((s, dir), _ => {
+      // CONTRACT ENFORCEMENT, not an operator limit: every consumer's
+      // DuckDB oracle replays the UNCAPPED banded join, while this
+      // composed pipeline runs with the production viral-bucket cap.
+      // Equality of the two is an assumption about the gate data (no
+      // LSH bucket exceeds the cap) that previously lived only in a
+      // comment — assert it AT MEMO BUILD, so a future corpus with a
+      // viral family fails loudly here instead of silently dropping
+      // pairs the oracle keeps. One count-only agg over the narrow
+      // banded frame, paid once per session. Production callers use
+      // the [[Dedup]] operators directly and keep the cap semantics.
+      // the cached signature plan is IDENTICAL to the one minhashLsh
+      // registers below, so the assert rides the same one digest pass
+      val banded = Dedup.bandedSignature(
+        Caching.ensureCached(Dedup.minhashSignature(docs(s, dir), 3, 16)
+          .select(col("doc_id"), col("__sig"), col("__shh"))), 16, 4)
+      val hottest = banded.groupBy(col("band_idx"), col("band_hash"))
+        .agg(count(lit(1)).as("__bn")).agg(max(col("__bn"))).head()
+      val maxBucket = if (hottest.isNullAt(0)) 0L else hottest.getLong(0)
+      require(maxBucket <= Dedup.DefaultPipelineMaxBucket,
+        s"LSH bucket of $maxBucket docs exceeds the pipeline cap " +
+          s"(${Dedup.DefaultPipelineMaxBucket}): the capped pair set no " +
+          "longer equals the uncapped oracle join — cap the oracle too")
       org.apache.spark.sql.graft.PlanBridge.statsReset(
         Dedup.minhashLsh(docs(s, dir), shingleN = 3, perms = 16, bands = 4,
           threshold = 0.5, maxBucket = Dedup.DefaultPipelineMaxBucket)
           .select(col("doc_id_a"), col("doc_id_b"), col("jaccard"))
-          .localCheckpoint(eager = true)))
+          .localCheckpoint(eager = true))
+    })
   }
 
   /** The BOUNDED customer-name frame the fuzzy-match family runs on:

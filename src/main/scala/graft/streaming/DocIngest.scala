@@ -315,7 +315,18 @@ object DocIngest {
     * too short to carry a gram route to `pred_lang=und` instead of
     * silently dropping (ingest must be total — the admission-door
     * convention). Runs in `foreachBatch` (the scorer aggregates per
-    * doc); per-batch cost is one score pass over the batch. */
+    * doc); per-batch cost is one score pass over the batch.
+    *
+    * Replay idempotence: rows land under `(pred_lang, batch_id)` with
+    * DYNAMIC partition overwrite, so a micro-batch replayed after a
+    * crash rewrites exactly its own partitions instead of appending
+    * duplicates (the CSV-quarantine door's discipline — the built-in
+    * file sink's commit log covers only single-sink jobs). Caveat: the
+    * guarantee assumes the model frames are unchanged across the replay
+    * — a model refreshed BETWEEN the failed attempt and the replay can
+    * re-route a doc to a different language, leaving the old attempt's
+    * row in the other language's partition (refresh the model at batch
+    * boundaries you checkpoint, or compact by batch_id downstream). */
   def startLangRouting(
       spark: SparkSession,
       dir: String,
@@ -326,7 +337,7 @@ object DocIngest {
       .writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointPath)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val b = batch.persist()
         try {
           val pred = TextOps.nbClassify(b, col("text"), model)
@@ -334,7 +345,10 @@ object DocIngest {
           b.join(pred, Seq("doc_id"), "left_outer")
             .select(col("doc_id"), col("text"),
               coalesce(col("pred_label"), lit("und")).as("pred_lang"))
-            .write.mode("append").partitionBy("pred_lang").parquet(storePath)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("pred_lang", "batch_id").parquet(storePath)
         } finally b.unpersist()
         ()
       }
@@ -378,25 +392,41 @@ object DocIngest {
           batch.where(col("lang").isNotNull), col("text"), col("lang"), n)
         val merged = nbCountsAt(spark, storePath, beforeBatch = batchId)
           .map(prev => TextOps.nbMergeCounts(prev, bc)).getOrElse(bc)
-        merged.gramCounts.write.mode("overwrite")
-          .parquet(s"$storePath/grams/v=$batchId")
+        // COMMIT ORDER: docs first, grams LAST — version discovery
+        // ([[nbCountsAt]]) keys on the grams directory, so a version only
+        // becomes visible once BOTH frames exist; a crash between the two
+        // writes leaves an invisible docs/v=N that the batch replay
+        // overwrites, never a reader-visible version missing its docs leg
         merged.docCounts.write.mode("overwrite")
           .parquet(s"$storePath/docs/v=$batchId")
+        merged.gramCounts.write.mode("overwrite")
+          .parquet(s"$storePath/grams/v=$batchId")
         ()
       }
       .trigger(Trigger.AvailableNow())
       .start()
 
   /** Newest count-store version strictly below `beforeBatch`
-    * (`Long.MaxValue` = the current state a reader trains from). */
+    * (`Long.MaxValue` = the current state a reader trains from).
+    * Version discovery goes through the HADOOP FileSystem API resolved
+    * from the store path itself — `java.io.File.listFiles` (the r11
+    * form) silently returns null on hdfs:// / s3a:// URIs, which would
+    * have disabled merging (every version holding only its own batch)
+    * with no error anywhere. Discovery keys on `grams/` — the LAST
+    * directory [[startNbCountsMaintenance]] commits — so a half-written
+    * version is never visible. */
   def nbCountsAt(
       spark: SparkSession,
       storePath: String,
       beforeBatch: Long = Long.MaxValue): Option[TextOps.NbCounts] = {
-    val versions = Option(new java.io.File(s"$storePath/grams").listFiles())
-      .toSeq.flatten.map(_.getName)
-      .filter(_.startsWith("v=")).map(_.drop(2).toLong)
-      .filter(_ < beforeBatch)
+    val grams = new org.apache.hadoop.fs.Path(s"$storePath/grams")
+    val fs = grams.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val versions =
+      if (!fs.exists(grams)) Seq.empty[Long]
+      else fs.listStatus(grams).toSeq
+        .filter(_.isDirectory).map(_.getPath.getName)
+        .filter(_.startsWith("v=")).map(_.drop(2).toLong)
+        .filter(_ < beforeBatch)
     if (versions.isEmpty) None
     else {
       val v = versions.max
