@@ -2440,7 +2440,12 @@ object Queries {
         .select(col("query_id"), col("id").as("vec_id"), r4(col("distance")).as("distance"))
     }),
 
-    // extension: brute-force batch ANN (baseline for the IVF scale path)
+    // extension: brute-force batch ANN — the EXACT baseline, pinned as
+    // such: this row is the ground truth every ANN funnel's recall is
+    // judged against, so its full scan over the store is the CONTRACT,
+    // not a missed optimization (its ~2.4 s at sf0.1 is #3 on the bench
+    // BY DESIGN). The scale/serving paths are ivf_batch_query /
+    // ann_lsh_batch / ivf_adc_batch; do not "optimize" this one.
     "ann_topk_batch" -> ((s, dir) => {
       val q = recs(s, dir).where(col("id") < 5)
         .select(col("id").as("query_id"), col("embedding").as("qvec"))
@@ -4238,6 +4243,24 @@ object Queries {
       graft.operators.Corpus.pack(
           docsSpread(s, dir),
           size(TextOps.tokens(col("text"))), budget = 512, nShards = 8)
+        .orderBy("doc_id")),
+
+    // extension: BPE-TOKEN-AWARE packing — the packer budgeted in
+    // TRAINED-tokenizer tokens (the pinned [[TextOps.BpeMerges]] list
+    // applied to fixpoint per token), not whitespace words: whitespace
+    // budgets under-count everything the tokenizer splits, so those
+    // packs overflow a real context window. The count is MAP-ONLY
+    // ([[TextOps.bpeTokenCountTrained]] — the segmentation kernel runs
+    // per token instance inside one fused projection; no vocabulary
+    // join, no text shuffle), so the only exchanges are the packing
+    // window's narrow (doc_id, shard, n_tokens) shuffle and the output
+    // sort — plan-pinned in PlanShapeSpec. The oracle replays the merge
+    // list to fixpoint per vocab token (the text_bpe_apply CTEs) and
+    // re-runs the running-sum pack arithmetic.
+    "pack_bpe" -> ((s, dir) =>
+      graft.operators.Corpus.pack(
+          docsSpread(s, dir),
+          TextOps.bpeTokenCountTrained(col("text")), budget = 512, nShards = 8)
         .orderBy("doc_id")),
 
     // extension: PACKING-efficiency report — per-shard document/token
@@ -9305,6 +9328,22 @@ object Queries {
         |  FROM tp)
         |SELECT doc_id, shard, n_tokens, strt // 512 AS pack_id, strt % 512 AS tok_offset
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // seq_pack with the trained-BPE token count: segmentation replayed
+    // to fixpoint per DISTINCT vocab token (the text_bpe_apply CTEs),
+    // summed per token INSTANCE per doc, then the same pack arithmetic
+    "pack_bpe" ->
+      s"""WITH RECURSIVE $sqlBpeSegCtes,
+         |bdoc AS (SELECT doc_id, unnest(regexp_split_to_array(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+')) AS token FROM documents),
+         |dn AS (SELECT d.doc_id, CAST(sum(b.n_sym) AS BIGINT) AS n_tokens
+         |  FROM bdoc d JOIN bseg b USING (token) WHERE d.token <> '' GROUP BY d.doc_id),
+         |base AS (SELECT doc_id, doc_id % 8 AS shard, n_tokens FROM dn WHERE n_tokens >= 1),
+         |c AS (SELECT doc_id, shard, n_tokens,
+         |    CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - n_tokens AS strt
+         |  FROM base)
+         |SELECT doc_id, shard, n_tokens, strt // 512 AS pack_id, strt % 512 AS tok_offset
+         |FROM c ORDER BY doc_id""".stripMargin,
 
     // the seq_pack CTE aggregated per shard
     "pack_efficiency" ->

@@ -462,6 +462,25 @@ object TextOps {
   def bpeApply(token: Column, merges: Seq[(String, String)] = BpeMerges): Column =
     graft.functions.NativeExprs.bpeApply(token, merges)
 
+  /** Per-document token count under a TRAINED BPE merge list — what
+    * [[graft.operators.Corpus.pack]] budgets by when packing for a real
+    * tokenizer (whitespace words under-count everything the tokenizer
+    * splits, so whitespace-budgeted packs overflow the context window).
+    * MAP-ONLY by design: one [[bpeApply]] kernel call per token INSTANCE
+    * inside a fused filter+aggregate — no vocabulary join, no shuffle,
+    * so the packer's count input rides the scan partition. The
+    * per-instance kernel is O(len · merges) (merges is a small model
+    * constant); [[bpeFertility]] shows the join variant that amortizes
+    * segmentation over distinct vocabulary when a token shuffle is
+    * already being paid. Null text → null (dropped by the packer's
+    * `n_tokens >= 1` gate, like every degenerate count). */
+  def bpeTokenCountTrained(
+      text: Column, merges: Seq[(String, String)] = BpeMerges): Column =
+    aggregate(
+      filter(tokens(text), t => t =!= ""),
+      lit(0L),
+      (acc, t) => acc + size(split(bpeApply(t, merges), " ")).cast("long"))
+
   /** BPE segmentation table: the top-`k` vocabulary tokens by corpus
     * term frequency with their merged segmentations and subword counts —
     * the tokenizer-debugging view ("what does the vocab actually

@@ -281,6 +281,24 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("pack_bpe: trained-token count is map-only (no vocabulary join); " +
+    "only the shard window and the output sort exchange, never text") {
+    val df = Queries.queries("pack_bpe")(spark, sf)
+    val p = plan(df)
+    assert(!p.contains("Join"),
+      "the per-instance BPE kernel must not plan a vocabulary join")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    exchanges.foreach { e =>
+      // REPARTITION_BY_NUM is the conditional narrow-input CPU spread
+      // (sf0.001 is one split here; identity on wide inputs — pinned by
+      // the ALREADY-PARALLEL test above)
+      assert(e.contains("rangepartitioning") || e.contains("shard")
+          || e.contains("REPARTITION_BY_NUM"),
+        s"only the shard window + output sort may exchange: $e")
+      assert(!e.contains("text#"), s"text column in shuffle: $e")
+    }
+  }
+
   test("corpus chunking is map-only: no shuffle anywhere in the operator") {
     val df = graft.operators.Corpus.chunk(
       graft.sources.Records.table(spark, sf, "documents"),
