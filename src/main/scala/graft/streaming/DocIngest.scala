@@ -235,6 +235,81 @@ object DocIngest {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** The COMPOSED ingest pipeline in ONE streaming query (9th door) —
+    * the streaming twin of the batch `corpus_assemble_dedup` gate chain:
+    * quality gate → stateful exact-dedup admission → near-dup drop
+    * against the corpus index → NB language routing, sharing one
+    * checkpoint and one pass over each micro-batch. The individually
+    * pinned doors compose without new machinery because each stage keeps
+    * its own scale shape:
+    *
+    *   1. QUALITY — stateless map expressions before the state store, so
+    *      rejected docs never enter keyed state (state is bounded by
+    *      ADMITTED-quality distinct hashes, not arrivals);
+    *   2. EXACT DEDUP — [[exactDedupStream]]'s keyed first-arrival state
+    *      (restart-durable; a replayed duplicate stays suppressed);
+    *   3. NEAR-DUP — the stream-static band join of [[matches]] against
+    *      the maintained corpus index, anti-joined per micro-batch;
+    *   4. ROUTING — [[graft.operators.TextOps.nbClassify]] against the
+    *      broadcast model, landing under `(pred_lang, batch_id)` with
+    *      dynamic overwrite (the [[startLangRouting]] idempotence
+    *      discipline, same model-stability caveat).
+    *
+    * Stream == batch (the same four gates composed over the union of all
+    * waves, exact dedup keeping the min doc_id per hash) is pinned in
+    * StreamingSpec, including across a restart on the same checkpoint. */
+  def startComposedAdmission(
+      spark: SparkSession,
+      dir: String,
+      corpusBanded: DataFrame,
+      corpusHashes: DataFrame,
+      model: TextOps.NbModel,
+      storePath: String,
+      checkpointPath: String,
+      minQuality: Double = 0.45,
+      // MUST match the corpus index's build parameters (startAdmission's
+      // rule: a mismatch silently disables the near-dup gate)
+      shingleN: Int = 3,
+      perms: Int = 16,
+      bands: Int = 4,
+      threshold: Double = 0.5): StreamingQuery = {
+    val scored = readDocs(spark, dir)
+      .withColumn("__toks", TextOps.tokens(col("text")))
+      .withColumn("__stats", TextOps.tokenStats(col("__toks")))
+      .withColumn("__q",
+        TextOps.qualityFromStats(col("text"), col("__toks"), col("__stats")))
+      .where(col("__q") >= minQuality)
+      .select(col("doc_id"), col("text"))
+    exactDedupStream(scored)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // three legs read the (already quality-gated, exact-deduped)
+        // micro-batch: dup matches, the anti-join, the classifier
+        val b = batch.persist()
+        try {
+          val dups = matches(b, corpusBanded, corpusHashes,
+            shingleN = shingleN, perms = perms, bands = bands,
+            threshold = threshold)
+            .select("doc_id").distinct()
+          val kept = b.join(dups, Seq("doc_id"), "left_anti")
+          val pred = TextOps.nbClassify(kept, col("text"), model)
+            .select(col("doc_id"), col("pred_label"))
+          kept.join(pred, Seq("doc_id"), "left_outer")
+            .select(col("doc_id"), col("text"),
+              coalesce(col("pred_label"), lit("und")).as("pred_lang"))
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("pred_lang", "batch_id").parquet(storePath)
+        } finally b.unpersist()
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Streaming DECONTAMINATION hits — the ingest-door half of
     * [[graft.operators.Corpus.decontaminate]]: each incoming document's
     * DISTINCT word-`n`-gram hashes (`array_distinct` BEFORE the explode —

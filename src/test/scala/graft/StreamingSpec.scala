@@ -817,6 +817,88 @@ class StreamingSpec extends SparkSpec {
       s"duplicate across restart must stay suppressed, got $afterRun2")
   }
 
+  test("composed admission door: quality → exact dedup → near-dup → routing " +
+    "equals the batch chain across two waves and a restart") {
+    import graft.streaming.DocIngest
+    import graft.operators.TextOps
+    val base = "the quick brown fox jumps over the lazy dog and it is " +
+      "a fine day in the old house of the hill it is warm and the fire is lit"
+    val novelEn = "it is the best of the days and the worst of the days to " +
+      "be in a house of fire and it is a fine day in the hills"
+    val novelEs = "el la de que y en un es el la de que y en un es el la " +
+      "de que y en un es la casa es grande y el sol es"
+    val corpus = Seq((0L, base)).toDF("doc_id", "text")
+    val (banded, hashes) = DocIngest.corpusIndex(corpus)
+    // NB routing model: one label per "language" of the fixtures
+    val model = TextOps.nbCharGramModel(
+      Seq((0L, base, "en"), (1L, novelEn, "en"), (2L, novelEs, "es"))
+        .toDF("doc_id", "text", "lang"),
+      col("text"), col("lang"))
+    model.grams.cache(); model.labels.cache()
+
+    val w1 = Seq(
+      (100L, base.replace("lazy", "sleepy")), // near-dup of corpus → dropped
+      (101L, novelEn),                        // admitted, routed en
+      (105L, novelEn),                        // same-batch exact dup → suppressed
+      (102L, "zzz !!!! ???? ;;;; ...."))      // junk → quality gate drops
+    val w2 = Seq(
+      (109L, novelEn),                        // dup ACROSS restart → suppressed
+      (110L, novelEs),                        // admitted, routed es
+      // null text: quality is exactly 0.2 (every null-guarded term zeroes
+      // out) — above this fixture's cut, gramless → routed to und (ingest
+      // is total, the admission-door convention)
+      (112L, null.asInstanceOf[String]))
+
+    // quality threshold from the BATCH scorer: midpoint between the junk
+    // doc and the worst non-junk (the gate must reproduce batch exactly)
+    def qualityOf(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("__toks", TextOps.tokens(col("text")))
+      .withColumn("__stats", TextOps.tokenStats(col("__toks")))
+      .select(col("doc_id"),
+        TextOps.qualityFromStats(col("text"), col("__toks"), col("__stats")).as("q"))
+    val scores = qualityOf((w1 ++ w2).toDF("doc_id", "text"))
+      .where(col("q").isNotNull)
+      .as[(Long, Double)].collect().toMap
+    val others = scores.view.filterKeys(_ != 102L).values
+    assert(scores(102L) < others.min, "junk fixture must score lowest")
+    val cut = (scores(102L) + others.min) / 2
+
+    val root = java.nio.file.Files.createTempDirectory("graft_composed")
+    val inDir = s"$root/in"
+    val store = s"$root/store"
+    val ckpt = s"$root/ckpt"
+    w1.toDF("doc_id", "text").write.mode("append").parquet(inDir)
+    DocIngest.startComposedAdmission(spark, inDir, banded, hashes, model,
+      store, ckpt, minQuality = cut, threshold = 0.4).awaitTermination()
+    w2.toDF("doc_id", "text").write.mode("append").parquet(inDir)
+    DocIngest.startComposedAdmission(spark, inDir, banded, hashes, model,
+      store, ckpt, minQuality = cut, threshold = 0.4).awaitTermination()
+
+    val routed = spark.read.parquet(store)
+      .select("doc_id", "pred_lang").as[(Long, String)].collect().toSet
+
+    // BATCH TWIN: the same four gates over the union of both waves
+    val union = (w1 ++ w2).toDF("doc_id", "text")
+    val gated = union.join(
+      qualityOf(union).where(col("q") >= cut).select("doc_id"), Seq("doc_id"))
+    val keepIds = gated.groupBy(sha2(col("text"), 256))
+      .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+    val exDeduped = gated.join(keepIds, Seq("doc_id"), "left_semi")
+    val dupIds = DocIngest.matches(exDeduped, banded, hashes, threshold = 0.4)
+      .select("doc_id").distinct()
+    val kept = exDeduped.join(dupIds, Seq("doc_id"), "left_anti")
+    val batchRouted = kept
+      .join(TextOps.nbClassify(kept, col("text"), model)
+        .select(col("doc_id"), col("pred_label")), Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), coalesce(col("pred_label"), lit("und")).as("pred_lang"))
+      .as[(Long, String)].collect().toSet
+
+    assert(routed === batchRouted,
+      s"composed stream $routed must equal the batch chain $batchRouted")
+    assert(routed === Set(101L -> "en", 110L -> "es", 112L -> "und"),
+      s"got $routed")
+  }
+
   test("streaming checksum manifest: incremental fold across waves equals the batch manifest") {
     import graft.streaming.DocIngest
     import graft.operators.Corpus
