@@ -589,6 +589,89 @@ object Queries {
        |bseg AS (SELECT token, trim(s) AS seg, CAST(len(string_split(trim(s), ' ')) AS BIGINT) AS n_sym
        |  FROM bit WHERE r = 13)""".stripMargin
 
+  /** The fixed-4-centroid argmin assignment (base state of the
+    * deterministic IVF builds): centroids = embeddings `vec_id < 4`,
+    * each vector assigned to the squared-L2-nearest (ties → lower
+    * cluster id) — the SQL twin of [[operators.IvfIndex.assign]] over
+    * `fixedCentroids.where(cluster_id < 4)`. Emits `asg0(vec_id, cid)`. */
+  private val sqlFixed4AsgCtes: String =
+    s"""c4 AS (SELECT CAST(vec_id AS INT) AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 4),
+       |asg0 AS MATERIALIZED (SELECT vec_id, cid FROM (
+       |  SELECT e.vec_id, c4.cid, row_number() OVER (PARTITION BY e.vec_id ORDER BY ${sqlSq("e.embedding", "c4.cvec")} ASC, c4.cid ASC) AS rn
+       |  FROM embeddings e CROSS JOIN c4) WHERE rn = 1)""".stripMargin
+
+  /** DuckDB replay of ONE deterministic [[operators.IvfIndex.refine]]
+    * round over the running assignment `asgPrev(vec_id, cid)` — the full
+    * step-by-step restatement of the engine's adaptive binary split:
+    *
+    *   1. sizes → oversized set (`n > density`), members re-joined to
+    *      their embeddings;
+    *   2. 2-means seeds: sub-0 = the min-id member, sub-1 = the member
+    *      FARTHEST from it (ties → min id; degenerate clusters —
+    *      `dmax ≤ 0` or NaN — excluded, exactly the engine's guard);
+    *   3. `iters` unrolled Lloyd rounds, each sub-assigning by squared-L2
+    *      (`≤` → sub-0, the engine's tie rule) and recomputing
+    *      r4-QUANTIZED per-dimension means (⌊mean·10⁴+½⌋/10⁴ — the
+    *      quantize-before-compare rule that makes the two engines' means
+    *      bit-identical despite different summation orders; an emptied
+    *      sub keeps its previous centroid);
+    *   4. final membership under the PENULTIMATE centroids (the
+    *      engine's one-exact-Lloyd-step invariant), effective splits =
+    *      clusters whose sub-1 received members in the LAST round,
+    *      replace-and-append ids (`sub-0` keeps the old id, `sub-1` gets
+    *      `maxid + rank`), non-effective clusters keep their assignment.
+    *
+    * Emits `asg$o(vec_id, cid)` and the running max-centroid-id scalar
+    * `mx$o(m)`; `sz$o` holds the BEFORE sizes. Chain rounds by feeding
+    * `asg$o` / `(SELECT m FROM mx$o)` into round o+1 — a round whose
+    * oversized set is empty degrades to the identity, mirroring the
+    * engine's fixed-point early stop. */
+  private def sqlRefineRoundCtes(o: Int, asgPrev: String, maxidPrev: String,
+      density: Int, iters: Int = 3): String = {
+    val inner = (1 to iters).map { r =>
+      s"""x${o}_$r AS MATERIALIZED (SELECT m.cid, m.vec_id, m.embedding,
+         |  CASE WHEN ${sqlSq("m.embedding", "c.s0")} <= ${sqlSq("m.embedding", "c.s1")} THEN 0 ELSE 1 END AS sub
+         |  FROM mem$o m JOIN c${o}_${r - 1} c USING (cid)),
+         |md${o}_$r AS MATERIALIZED (SELECT cid, sub, g.i AS i,
+         |    floor((sum(CAST(embedding[g.i] AS DOUBLE)) / count(*)) * 10000.0 + 0.5) / 10000.0 AS m
+         |  FROM x${o}_$r, unnest(generate_series(1, len(embedding))) AS g(i)
+         |  GROUP BY cid, sub, g.i),
+         |mv${o}_$r AS MATERIALIZED (SELECT cid, sub, list(m ORDER BY i) AS mv FROM md${o}_$r GROUP BY cid, sub),
+         |c${o}_$r AS MATERIALIZED (SELECT c.cid, coalesce(m0.mv, c.s0) AS s0, coalesce(m1.mv, c.s1) AS s1,
+         |    m1.mv IS NOT NULL AS has1
+         |  FROM c${o}_${r - 1} c
+         |  LEFT JOIN (SELECT cid, mv FROM mv${o}_$r WHERE sub = 0) m0 ON m0.cid = c.cid
+         |  LEFT JOIN (SELECT cid, mv FROM mv${o}_$r WHERE sub = 1) m1 ON m1.cid = c.cid)""".stripMargin
+    }.mkString(",\n")
+    s"""sz$o AS MATERIALIZED (SELECT cid, CAST(count(*) AS BIGINT) AS n FROM $asgPrev GROUP BY cid),
+       |ov$o AS MATERIALIZED (SELECT cid FROM sz$o WHERE n > $density),
+       |mem$o AS MATERIALIZED (SELECT a.vec_id, a.cid, e.embedding
+       |  FROM $asgPrev a JOIN ov$o USING (cid) JOIN embeddings e USING (vec_id)),
+       |sa$o AS MATERIALIZED (SELECT cid, embedding AS s0 FROM (
+       |    SELECT cid, embedding, row_number() OVER (PARTITION BY cid ORDER BY vec_id ASC) AS rn FROM mem$o) WHERE rn = 1),
+       |db$o AS MATERIALIZED (SELECT m.cid, m.vec_id, m.embedding, ${sqlSq("m.embedding", "s.s0")} AS d
+       |  FROM mem$o m JOIN sa$o s USING (cid)),
+       |sb$o AS MATERIALIZED (SELECT cid, embedding AS s1 FROM (
+       |    SELECT cid, embedding, d, max(d) OVER (PARTITION BY cid) AS dmax,
+       |      row_number() OVER (PARTITION BY cid ORDER BY d DESC, vec_id ASC) AS rn FROM db$o)
+       |  WHERE rn = 1 AND dmax > 0 AND NOT isnan(dmax)),
+       |c${o}_0 AS MATERIALIZED (SELECT sa$o.cid,
+       |    CAST(sa$o.s0 AS DOUBLE[]) AS s0, CAST(sb$o.s1 AS DOUBLE[]) AS s1
+       |  FROM sa$o JOIN sb$o USING (cid)),
+       |$inner,
+       |fn$o AS MATERIALIZED (SELECT m.cid, m.vec_id,
+       |    CASE WHEN ${sqlSq("m.embedding", "c.s0")} <= ${sqlSq("m.embedding", "c.s1")} THEN 0 ELSE 1 END AS sub
+       |  FROM mem$o m JOIN c${o}_${iters - 1} c USING (cid)),
+       |ef$o AS MATERIALIZED (SELECT cid, CAST(row_number() OVER (ORDER BY cid ASC) AS BIGINT) AS rk
+       |  FROM c${o}_$iters WHERE has1),
+       |mx$o AS MATERIALIZED (SELECT ($maxidPrev) + (SELECT count(*) FROM ef$o) AS m),
+       |asg$o AS MATERIALIZED (
+       |  SELECT vec_id, cid FROM $asgPrev WHERE cid NOT IN (SELECT cid FROM ef$o)
+       |  UNION ALL
+       |  SELECT f.vec_id, CASE WHEN f.sub = 0 THEN f.cid ELSE CAST(($maxidPrev) + e.rk AS INT) END AS cid
+       |  FROM fn$o f JOIN ef$o e USING (cid))""".stripMargin
+  }
+
   /** Corpus-assembly oracle, front half (mirror of [[assembleFiltered]]):
     * exact-dedup keep set, tokenization, language vote, quality score,
     * and the `kept` gate. Shared by `corpus_assemble` and
@@ -783,11 +866,21 @@ object Queries {
     * between-family clearCache. */
   private val balancedModelCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), IvfIndex.Model]()
+  /** r12: the build behind `ivf_balanced_stats` switched from
+    * [[IvfIndex.buildBalanced]] (MLlib coarse fit — engine-internal, so
+    * the oracle could only state boolean invariants) to the
+    * DETERMINISTIC [[IvfIndex.buildBalancedRefine]] over the fixed
+    * 4-centroid coarse partition: same two-level semantics (a forced-
+    * tiny coarse model whose clusters all violate density, restored by
+    * the adaptive-split loop), but every step SQL-replayable, so the
+    * oracle states the exact final cluster census. buildBalanced stays
+    * the production fast path, law-pinned in IvfIndexSpec. */
   private def balancedModel(s: SparkSession, dir: String): IvfIndex.Model = {
     balancedModelCache.keySet.removeIf(_._1.sparkContext.isStopped)
     balancedModelCache.computeIfAbsent((s, dir), _ => {
-      val m = IvfIndex.buildBalanced(recs(s, dir), density = 64,
-        Metric.Euclidean, seed = 42L, kMax = 4)
+      val m = IvfIndex.buildBalancedRefine(recs(s, dir),
+        fixedCentroids(s, dir).where(col("cluster_id") < 4),
+        density = 64, Metric.Euclidean, maxRounds = 6)
       IvfIndex.Model(
         org.apache.spark.sql.graft.PlanBridge.statsReset(
           m.centroids.localCheckpoint(eager = true)),
@@ -4117,30 +4210,46 @@ object Queries {
     // refined assignment: n_assigned is the sum of the per-cluster counts
     // the max/count invariants already aggregate (round 2 consumed the
     // refine plan three times).
+    // EXACT census (r12 upgrade from the r6 invariant booleans): every
+    // integer is independently re-derived by the oracle's full SQL
+    // replay of the deterministic refine — argmin assignment to the 4
+    // fixed centroids, min-id/farthest-point 2-means seeding, 3
+    // r4-quantized Lloyd rounds, replace-and-append reassignment. The
+    // booleans remain as DERIVED columns (computed from each engine's
+    // own census), not pinned constants.
     "ivf_refine_stats" -> ((s, dir) => {
       val (model, refined) = refinedFixedModel(s, dir)
       val before = model.assigned.groupBy(col("cluster_id")).agg(count(lit(1)).as("n"))
-        .agg(max(col("n")).as("max_before"), sum(when(col("n") > 100, 1).otherwise(0)).as("n_over"))
+        .agg(max(col("n")).as("max_before"),
+          sum(when(col("n") > 100, 1L).otherwise(0L)).as("n_over"))
       val after = refined.assigned.groupBy(col("cluster_id")).agg(count(lit(1)).as("n"))
         .agg(count(lit(1)).as("n_clusters_after"), max(col("n")).as("max_after"),
           sum(col("n")).as("n_assigned"))
       before.crossJoin(after)
         .select(col("n_assigned").cast("long").as("n_assigned"),
+          col("max_before").cast("long").as("max_before"),
+          col("n_over").cast("long").as("n_over"),
+          col("n_clusters_after").cast("long").as("n_clusters_after"),
+          col("max_after").cast("long").as("max_after"),
           (col("n_clusters_after") === lit(4) + col("n_over")).as("one_append_per_split"),
           (col("max_after") < col("max_before")).as("max_reduced"))
     }),
 
-    // extension: two-level build — coarse k-means capped at a forced-tiny
-    // kMax (so the initial clusters all violate density), then the
-    // adaptive-split loop restores the max-records-per-cluster contract.
-    // Invariants: no record lost, every cluster within density, the
-    // cluster count actually grew past the coarse cap.
+    // extension: two-level build — a forced-tiny coarse partition (4
+    // fixed centroids, so the initial clusters all violate density),
+    // then the adaptive-split loop restores the max-records-per-cluster
+    // contract. EXACT census (r12, like ivf_refine_stats): the oracle
+    // replays the whole deterministic build — up to 6 binary-split
+    // rounds, each an unrolled refine — and states n_clusters/max_size
+    // as values; booleans are derived, not pinned.
     "ivf_balanced_stats" -> ((s, dir) => {
       val m = balancedModel(s, dir)
       m.assigned.groupBy(col("cluster_id")).agg(count(lit(1)).as("n"))
         .agg(sum(col("n")).as("n_assigned"), max(col("n")).as("max_size"),
           count(lit(1)).as("n_clusters"))
         .select(col("n_assigned").cast("long").as("n_assigned"),
+          col("n_clusters").cast("long").as("n_clusters"),
+          col("max_size").cast("long").as("max_size"),
           (col("max_size") <= 64).as("density_ok"),
           (col("n_clusters") > 4).as("grew_past_kmax"))
     }),
@@ -9227,16 +9336,41 @@ object Queries {
         |  count(*) FILTER (WHERE contains(source, 'rc1')) AS n_contains
         |FROM documents""".stripMargin,
 
-    // invariants hold for any data once >=1 cluster exceeds density
+    // FULL replay of one deterministic refine round (r12 — exact census
+    // instead of pinned booleans): fixed-4 assignment, 2-means split of
+    // every >100 cluster, final sizes. sz1 = the BEFORE sizes.
     "ivf_refine_stats" ->
-      """SELECT count(*) AS n_assigned, CAST(1 AS BOOLEAN) AS one_append_per_split,
-        |  CAST(1 AS BOOLEAN) AS max_reduced FROM embeddings""".stripMargin,
+      s"""WITH $sqlFixed4AsgCtes,
+         |${sqlRefineRoundCtes(1, "asg0", "3", density = 100)},
+         |sza AS (SELECT cid, CAST(count(*) AS BIGINT) AS n FROM asg1 GROUP BY cid)
+         |SELECT
+         |  (SELECT CAST(count(*) AS BIGINT) FROM asg1) AS n_assigned,
+         |  (SELECT max(n) FROM sz1) AS max_before,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM sz1 WHERE n > 100) AS n_over,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM sza) AS n_clusters_after,
+         |  (SELECT max(n) FROM sza) AS max_after,
+         |  ((SELECT count(*) FROM sza) = 4 + (SELECT count(*) FROM sz1 WHERE n > 100)) AS one_append_per_split,
+         |  ((SELECT max(n) FROM sza) < (SELECT max(n) FROM sz1)) AS max_reduced""".stripMargin,
 
-    // scale-robust invariants of the two-level build: coverage preserved,
-    // density restored below the coarse cap's violation, clusters grew
-    "ivf_balanced_stats" ->
-      """SELECT count(*) AS n_assigned, CAST(1 AS BOOLEAN) AS density_ok,
-        |  CAST(1 AS BOOLEAN) AS grew_past_kmax FROM embeddings""".stripMargin,
+    // FULL replay of the deterministic two-level build (r12): the fixed-4
+    // coarse assignment refined by up to 6 chained binary-split rounds
+    // (each an unrolled refine at density 64; a converged round is the
+    // identity) — the exact final cluster census, booleans derived.
+    "ivf_balanced_stats" -> {
+      val rounds = (1 to 6).map { o =>
+        sqlRefineRoundCtes(o, s"asg${o - 1}",
+          if (o == 1) "3" else s"(SELECT m FROM mx${o - 1})", density = 64)
+      }.mkString(",\n")
+      s"""WITH $sqlFixed4AsgCtes,
+         |$rounds,
+         |szf AS (SELECT cid, CAST(count(*) AS BIGINT) AS n FROM asg6 GROUP BY cid)
+         |SELECT
+         |  (SELECT CAST(count(*) AS BIGINT) FROM asg6) AS n_assigned,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM szf) AS n_clusters,
+         |  (SELECT max(n) FROM szf) AS max_size,
+         |  ((SELECT max(n) FROM szf) <= 64) AS density_ok,
+         |  ((SELECT count(*) FROM szf) > 4) AS grew_past_kmax""".stripMargin
+    },
 
     "corpus_clean" ->
       s"""WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY sha256(text)),

@@ -27,12 +27,24 @@ import org.apache.spark.sql.types._
 case class VectorMeanAgg(
     vec: Expression,
     mutableAggBufferOffset: Int = 0,
-    inputAggBufferOffset: Int = 0)
+    inputAggBufferOffset: Int = 0,
+    // r4-QUANTIZED DOUBLE output (⌊mean·10⁴ + ½⌋ / 10⁴) instead of the
+    // float cast — the quantize-before-compare rule applied to Lloyd
+    // means: the double sum is partial-merge-order-dependent in its low
+    // bits, and an independent engine (the DuckDB oracle replaying a
+    // deterministic build) sums in ITS order; the coarse 1e-4 grid makes
+    // both land on the same value except within ~1e-13 of a grid edge,
+    // so downstream distance COMPARISONS are engine-independent. The
+    // float cast gave a ~2^-24 grid — three orders of magnitude more
+    // edge exposure per element.
+    quantized: Boolean = false)
   extends TypedImperativeAggregate[VectorMeanAgg.Buf] {
 
   override def children: Seq[Expression] = Seq(vec)
   override def nullable: Boolean = true
-  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def dataType: DataType =
+    if (quantized) ArrayType(DoubleType, containsNull = false)
+    else ArrayType(FloatType, containsNull = false)
 
   override def createAggregationBuffer(): VectorMeanAgg.Buf = new VectorMeanAgg.Buf
 
@@ -53,7 +65,10 @@ case class VectorMeanAgg(
       val out = new Array[Any](buf.sums.length)
       var i = 0
       while (i < buf.sums.length) {
-        out(i) = (buf.sums(i) / buf.count).toFloat
+        val m = buf.sums(i) / buf.count
+        out(i) =
+          if (quantized) math.floor(m * 10000.0 + 0.5) / 10000.0
+          else m.toFloat
         i += 1
       }
       new GenericArrayData(out)
@@ -125,4 +140,11 @@ object VectorMeanAgg {
   def vectorMean(vec: Column): Column =
     ColumnBridge.column(
       VectorMeanAgg(ColumnBridge.expression(vec)).toAggregateExpression())
+
+  /** The r4-quantized double form (see the `quantized` field note) —
+    * the mean the SQL-replayable deterministic builds use. */
+  def vectorMeanQ4(vec: Column): Column =
+    ColumnBridge.column(
+      VectorMeanAgg(ColumnBridge.expression(vec), quantized = true)
+        .toAggregateExpression())
 }

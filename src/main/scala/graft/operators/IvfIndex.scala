@@ -639,9 +639,17 @@ object IvfIndex {
         .withColumn("__sub",
           when(metric.distance(col("embedding"), col("__s0")) <=
                metric.distance(col("embedding"), col("__s1")), 0).otherwise(1))
+      // r4-QUANTIZED means ([[graft.functions.VectorMeanAgg.vectorMeanQ4]]):
+      // refine is a DETERMINISTIC build an independent engine replays
+      // (the ivf_refine_stats / ivf_balanced_stats oracles restate the
+      // whole seed → Lloyd → reassign chain in SQL), and the raw double
+      // sum is partial-order-dependent in its low bits — the 1e-4 grid
+      // makes both engines' means identical, so every downstream distance
+      // comparison (and hence the final cluster census) is exact. A 1e-4
+      // perturbation of a centroid is far below any clustering signal.
       val means = sub
         .groupBy(col("cluster_id"), col("__sub"))
-        .agg(graft.functions.VectorMeanAgg.vectorMean(col("embedding")).as("__c"))
+        .agg(graft.functions.VectorMeanAgg.vectorMeanQ4(col("embedding")).as("__c"))
       val m0 = means.where(col("__sub") === 0).select(col("cluster_id"), col("__c").as("__m0"))
       val m1 = means.where(col("__sub") === 1).select(col("cluster_id"), col("__c").as("__m1"))
       // an emptied sub-cluster keeps its previous centroid (the reference
@@ -973,6 +981,45 @@ object IvfIndex {
           // materialization job per round.
           m = Model(split.centroids, truncate(split.assigned))
           members.unpersist() // checkpoint is materialized; cache done
+          rounds += 1
+      }
+    }
+    m
+  }
+
+  /** DETERMINISTIC two-level build: a caller-supplied coarse partition
+    * (fixed centroids here; any kMax-bounded coarse model) refined to
+    * the density contract by repeated BINARY adaptive splits
+    * ([[refine]]), at most `maxRounds` rounds, stopping early at the
+    * fixed point. [[buildBalanced]] (k-way splits over an MLlib coarse
+    * fit) is the production fast path — log_maxWay rounds instead of
+    * log₂ — but its coarse fit is engine-internal; THIS build is
+    * replayable step by step by an independent engine (seeded argmin
+    * assignment, min-id/farthest-point 2-means seeding, r4-quantized
+    * exact means), which is what lets the `ivf_balanced_stats` oracle
+    * state the exact final cluster census instead of boolean
+    * invariants. Semantics of "up to maxRounds" are part of the
+    * contract both engines share: a corpus that needs more rounds
+    * leaves the same residual oversize on both sides. */
+  def buildBalancedRefine(
+      records: DataFrame,
+      coarse: DataFrame,
+      density: Int,
+      metric: Metric = Metric.Euclidean,
+      maxRounds: Int = 6,
+      iters: Int = 3): Model = {
+    require(maxRounds > 0, s"maxRounds must be positive, got $maxRounds")
+    def truncate(df: DataFrame): DataFrame =
+      org.apache.spark.sql.graft.PlanBridge.statsReset(df.localCheckpoint())
+    var m = Model(coarse, truncate(assign(records, coarse, metric)))
+    var rounds = 0
+    var progressed = true
+    while (progressed && rounds < maxRounds) {
+      refineKeepCache(m, density, metric, iters) match {
+        case None => progressed = false
+        case Some((split, members)) =>
+          m = Model(split.centroids, truncate(split.assigned))
+          members.unpersist()
           rounds += 1
       }
     }
