@@ -133,14 +133,19 @@ object Bench {
       // target → ~22 s). Per-step attribution moves to "warmup_jit".
       val jitTimes = new java.util.concurrent.ConcurrentHashMap[String, Double]()
       def jitLane(): Unit = {
-        import graft.operators.{Dedup, TextOps}
+        import graft.operators.TextOps
         import org.apache.spark.ml.functions.array_to_vector
         def jstep(label: String)(body: => Unit): Unit = {
           val t0 = System.nanoTime(); body
           jitTimes.put(label, (System.nanoTime() - t0) / 1e9); ()
         }
+        // 4096 rows: the step exists for one-time reader/codec/sink init,
+        // which is size-independent — r11 spent 6.8 s here at 20k rows
+        // while the corpus-state lanes re-read the same files in full
+        // anyway; every surplus row is CPU stolen from the lanes that ARE
+        // the warmup critical path (lane1's sequential apply→multi chain)
         jstep("tables") { Seq("embeddings", "documents").foreach { t =>
-          spark.read.parquet(s"$sfDir/$t.parquet").limit(20000)
+          spark.read.parquet(s"$sfDir/$t.parquet").limit(4096)
             .write.format("noop").mode("overwrite").save()
         } }
         val tiny = spark.read.parquet(s"$sfDir/embeddings.parquet").limit(64)
@@ -171,11 +176,14 @@ object Bench {
               graft.functions.NativeExprs.simhash60(col("__toks")))
             .write.format("noop").mode("overwrite").save()
         }
-        jstep("lsh_pipeline_jit") {
-          val warmSlice = spark.read.parquet(s"$sfDir/documents.parquet").limit(512)
-          Dedup.duplicateGroups(Dedup.minhashLsh(warmSlice))
-            .write.format("noop").mode("overwrite").save()
-        }
+        // (r12) lsh_pipeline_jit REMOVED: the dedup_apply corpus-state
+        // lane compiles the exact same LSH/CC expression classes at real
+        // scale CONCURRENTLY with this lane — the 512-doc rehearsal was
+        // 7.3 s of duplicated compile+pipeline CPU competing with the
+        // lanes it was supposed to hide behind (r11: lane1 27.3 s was the
+        // warmup wall while jit idled at 22.3 s). Nothing is hidden from
+        // the artifact: the compile cost now lands inside dedup_apply's
+        // reported corpus-state time.
       }
       Queries.deferBuilderCacheClear.set(true)
       // finally-reset: a lane failure rethrows below, and leaving the
