@@ -672,6 +672,31 @@ object Queries {
        |  FROM fn$o f JOIN ef$o e USING (cid))""".stripMargin
   }
 
+  /** The incremental near-dup gate oracle (uncapped banded join of the
+    * arriving `doc_id >= 400` slice against the `< 400` corpus) — shared
+    * by `dedup_incremental` and its on-disk-store twin. */
+  private val sqlDedupIncremental: String =
+      s"""WITH toks AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(len(tk) - 2, 0)),
+         |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
+         |  FROM (SELECT doc_id, regexp_split_to_array(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+') AS tk FROM documents)),
+         |ne AS (SELECT doc_id, sh FROM toks WHERE len(sh) > 0),
+         |hh AS (SELECT doc_id, sh,
+         |  list_transform(sh, s -> list_reduce(list_transform(string_split_regex(substr(md5(s), 1, 14), ''),
+         |    c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a * 16 + b)) AS h1,
+         |  list_transform(sh, s -> list_reduce(list_transform(string_split_regex(substr(md5(s), 17, 14), ''),
+         |    c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a * 16 + b)) AS h2
+         |  FROM ne),
+         |sig AS (SELECT doc_id, h1, list_transform(generate_series(0, 15), i ->
+         |  list_min(list_transform(list_zip(h1, h2), p -> p[1] + i * p[2]))) AS sg FROM hh),
+         |bands AS (SELECT doc_id, h1, u.b AS band_idx,
+         |  md5(array_to_string(list_slice(sg, u.b * 4 + 1, u.b * 4 + 4), '|')) AS band_hash
+         |  FROM sig, (SELECT unnest([0, 1, 2, 3]) AS b) u),
+         |j AS (SELECT DISTINCT n.doc_id AS doc_id, c.doc_id AS dup_of,
+         |  CAST(len(list_intersect(n.h1, c.h1)) AS DOUBLE) / len(list_distinct(n.h1 || c.h1)) AS jaccard
+         |  FROM bands n JOIN bands c ON n.band_idx = c.band_idx AND n.band_hash = c.band_hash
+         |    AND n.doc_id >= 400 AND c.doc_id < 400)
+         |SELECT doc_id, dup_of, ${sqlR4("jaccard")} AS jaccard FROM j WHERE jaccard >= 0.5 ORDER BY doc_id, dup_of""".stripMargin
+
   /** Corpus-assembly oracle, front half (mirror of [[assembleFiltered]]):
     * exact-dedup keep set, tokenization, language vote, quality score,
     * and the `kept` gate. Shared by `corpus_assemble` and
@@ -802,11 +827,50 @@ object Queries {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (DataFrame, DataFrame)]()
   private def corpusIndexMemo(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     corpusIndexCache.keySet.removeIf(_._1.sparkContext.isStopped)
-    val (banded, hashes) = corpusIndexCache.computeIfAbsent((s, dir), _ =>
-      graft.streaming.DocIngest.corpusIndex(
-        docs(s, dir).where(col("doc_id") < 400),
-        shingleN = 3, perms = 16, bands = 4))
+    val (banded, hashes) = corpusIndexCache.computeIfAbsent((s, dir), _ => {
+      // same cap-symmetry contract as [[minhashPairs]]: the index is
+      // built with the production viral-bucket cap while the
+      // dedup_incremental oracle replays the UNCAPPED join — assert at
+      // build that no corpus-side bucket is hot, so the assumption
+      // fails loudly on a corpus where it stops holding
+      val slice = docs(s, dir).where(col("doc_id") < 400)
+      val idx = graft.streaming.DocIngest.corpusIndex(
+        slice, shingleN = 3, perms = 16, bands = 4)
+      // count the RAW banded view (the capped idx._1 would be vacuously
+      // under the cap); the signature plan below is the one corpusIndex
+      // cached, so this is one extra count agg, not a second digest pass
+      val hottest = Dedup.bandedSignature(
+          Caching.ensureCached(Dedup.minhashSignature(slice, 3, 16)), 16, 4)
+        .groupBy(col("band_idx"), col("band_hash"))
+        .agg(count(lit(1)).as("__bn")).agg(max(col("__bn"))).head()
+      val maxBucket = if (hottest.isNullAt(0)) 0L else hottest.getLong(0)
+      require(maxBucket <= Dedup.DefaultPipelineMaxBucket,
+        s"corpus-index LSH bucket of $maxBucket docs exceeds the pipeline " +
+          s"cap (${Dedup.DefaultPipelineMaxBucket}): capped gate join no " +
+          "longer equals the uncapped oracle — cap the oracle too")
+      idx
+    })
     (Caching.ensureCached(banded), Caching.ensureCached(hashes))
+  }
+
+  /** The on-disk near-dup index store (`dedup_incremental_store`):
+    * banded LSH view partitioned by band_idx + per-doc shingle
+    * identities, written ONCE per (session, dir) — the refresh a
+    * corpus-maintenance job runs per corpus version. Derived from the
+    * memoized in-memory index, so writing costs one cached-frame dump,
+    * not a second signature pass. */
+  private val dedupStoreCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+  private def dedupStorePath(s: SparkSession, dir: String): String = {
+    dedupStoreCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    dedupStoreCache.computeIfAbsent((s, dir), _ => {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_dedup_store_" +
+        s.sparkContext.applicationId + "_" + java.lang.Integer.toHexString(dir.hashCode)
+      val (banded, hashes) = corpusIndexMemo(s, dir)
+      banded.write.mode("overwrite").partitionBy("band_idx").parquet(s"$path/banded")
+      hashes.write.mode("overwrite").parquet(s"$path/hashes")
+      path
+    })
   }
 
   private val binStoreCache =
@@ -3066,6 +3130,31 @@ object Queries {
       val (banded, hashes) = corpusIndexMemo(s, dir)
       graft.streaming.DocIngest.matches(
           d.where(col("doc_id") >= 400), banded, hashes,
+          shingleN = 3, perms = 16, bands = 4, threshold = 0.5)
+        .select(col("doc_id"), col("dup_of"), r4(col("jaccard")).as("jaccard"))
+        .distinct()
+        .orderBy("doc_id", "dup_of")
+    }),
+
+    // extension: the near-dup gate served from the MAINTAINED ON-DISK
+    // index — the warehouse shape [[graft.streaming.DocIngest
+    // .corpusIndex]]'s scaladoc promises ("at warehouse scale both are
+    // stored tables"): the banded LSH view lands as parquet partitioned
+    // by band_idx (the posting-list layout) with the per-doc shingle
+    // identities beside it, and the arriving slice joins the REOPENED
+    // store. The corpus side of the plan is a PURE SCAN — zero
+    // re-tokenize/re-hash/re-signature (plan-pinned: exactly one
+    // signature kernel, on the stream side) — so per-batch gate cost is
+    // independent of corpus size. Same fixed (3,16,4,0.5) geometry →
+    // dedup_incremental's oracle applies verbatim.
+    "dedup_incremental_store" -> ((s, dir) => {
+      val path = dedupStorePath(s, dir)
+      val banded = s.read.parquet(s"$path/banded")
+        .select(col("dup_of"), col("band_idx").cast("int").as("band_idx"),
+          col("band_hash"))
+      val hashes = s.read.parquet(s"$path/hashes")
+      graft.streaming.DocIngest.matches(
+          docs(s, dir).where(col("doc_id") >= 400), banded, hashes,
           shingleN = 3, perms = 16, bands = 4, threshold = 0.5)
         .select(col("doc_id"), col("dup_of"), r4(col("jaccard")).as("jaccard"))
         .distinct()
@@ -8605,27 +8694,11 @@ object Queries {
          |FROM s
          |ORDER BY ${sqlSq("embedding", "qvec")} ASC, vec_id ASC LIMIT 10""".stripMargin,
 
-    "dedup_incremental" ->
-      s"""WITH toks AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(len(tk) - 2, 0)),
-         |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
-         |  FROM (SELECT doc_id, regexp_split_to_array(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+') AS tk FROM documents)),
-         |ne AS (SELECT doc_id, sh FROM toks WHERE len(sh) > 0),
-         |hh AS (SELECT doc_id, sh,
-         |  list_transform(sh, s -> list_reduce(list_transform(string_split_regex(substr(md5(s), 1, 14), ''),
-         |    c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a * 16 + b)) AS h1,
-         |  list_transform(sh, s -> list_reduce(list_transform(string_split_regex(substr(md5(s), 17, 14), ''),
-         |    c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a * 16 + b)) AS h2
-         |  FROM ne),
-         |sig AS (SELECT doc_id, h1, list_transform(generate_series(0, 15), i ->
-         |  list_min(list_transform(list_zip(h1, h2), p -> p[1] + i * p[2]))) AS sg FROM hh),
-         |bands AS (SELECT doc_id, h1, u.b AS band_idx,
-         |  md5(array_to_string(list_slice(sg, u.b * 4 + 1, u.b * 4 + 4), '|')) AS band_hash
-         |  FROM sig, (SELECT unnest([0, 1, 2, 3]) AS b) u),
-         |j AS (SELECT DISTINCT n.doc_id AS doc_id, c.doc_id AS dup_of,
-         |  CAST(len(list_intersect(n.h1, c.h1)) AS DOUBLE) / len(list_distinct(n.h1 || c.h1)) AS jaccard
-         |  FROM bands n JOIN bands c ON n.band_idx = c.band_idx AND n.band_hash = c.band_hash
-         |    AND n.doc_id >= 400 AND c.doc_id < 400)
-         |SELECT doc_id, dup_of, ${sqlR4("jaccard")} AS jaccard FROM j WHERE jaccard >= 0.5 ORDER BY doc_id, dup_of""".stripMargin,
+    "dedup_incremental" -> sqlDedupIncremental,
+
+    // the SAME contract served from the on-disk maintained index —
+    // identical fixed geometry, identical result set
+    "dedup_incremental_store" -> sqlDedupIncremental,
 
     "dedup_simhash" ->
       s"""WITH toks AS (SELECT doc_id, regexp_split_to_array(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+') AS t FROM documents),

@@ -281,6 +281,23 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("dedup_incremental_store: the corpus side is a PURE SCAN of the " +
+    "on-disk index — signature kernels run only on the arriving slice") {
+    val p = plan(Queries.queries("dedup_incremental_store")(spark, sf))
+    val kernelLines = p.linesIterator
+      .filter(_.toLowerCase.contains("minhashsighashesexpr")).toSeq
+    assert(kernelLines.nonEmpty, "the arriving slice must be signed")
+    kernelLines.foreach(l => assert(l.contains("text#"),
+      s"signature kernel off the stream side (corpus re-hash!): $l"))
+    // the stored index legs surface as plain columnar scans
+    assert(p.linesIterator.exists(l =>
+      (l.contains("FileScan") || l.contains("Scan parquet")) && l.contains("band_hash")),
+      "banded index must be read from the store, not recomputed")
+    assert(p.linesIterator.exists(l =>
+      (l.contains("FileScan") || l.contains("Scan parquet")) && l.contains("__corpus_shh")),
+      "shingle identities must be read from the store, not recomputed")
+  }
+
   test("pack_bpe: trained-token count is map-only (no vocabulary join); " +
     "only the shard window and the output sort exchange, never text") {
     val df = Queries.queries("pack_bpe")(spark, sf)
