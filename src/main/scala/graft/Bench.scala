@@ -107,8 +107,13 @@ object Bench {
       val lanes = Seq(
         // dedup_multi extends dedup_apply's converged map incrementally
         Seq("dedup_apply", "dedup_multi"),
-        // corpus_substring_dedup materializes the ExactSubstr census memo
-        Seq("embed_knn_accuracy", "dedup_semantic", "corpus_substring_dedup"),
+        // corpus_substring_dedup materializes the ExactSubstr census
+        // memo; corpus_checksum / corpus_assemble materialize the r12
+        // content-hash and assembly-verdict projections their families
+        // share (~1.2 s on the shortest lane — attribution, not wall:
+        // lane1's sequential apply→multi chain still binds)
+        Seq("embed_knn_accuracy", "dedup_semantic", "corpus_substring_dedup",
+          "corpus_checksum", "corpus_assemble"),
         // corpus_decontaminate materializes the standing split-gram
         // index (Queries.splitGrams8) its decontamination-family
         // siblings share; the two rank builds the converged PageRank

@@ -310,6 +310,78 @@ object DocIngest {
       .start()
   }
 
+  /** Streaming CORPUS-INDEX MAINTENANCE (10th door) — the refresh job
+    * behind the maintained near-dup gate tables ([[corpusIndex]]'s "at
+    * warehouse scale both are stored tables refreshed by the
+    * corpus-maintenance job"; the batch query `dedup_incremental_store`
+    * serves from exactly this layout): each micro-batch of admitted
+    * documents lands its banded LSH rows (band_idx leading — the
+    * posting-list key) and its per-doc shingle identities in the store,
+    * both partitioned by `batch_id` with DYNAMIC overwrite, so a
+    * replayed batch rewrites its own partitions instead of duplicating
+    * index rows. Map-only per batch: ONE fused signature pass, no
+    * stream state, no join — maintenance throughput scales with
+    * executors and is independent of index size.
+    *
+    * The store holds the UNCAPPED index: the viral-bucket cap is a
+    * property of a WHOLE bucket and cannot be applied batch-locally
+    * without losing exactness — readers apply it at open
+    * ([[corpusIndexFromStore]]), which makes store-then-read equal
+    * [[corpusIndex]] over the union of every batch (spec-pinned across
+    * a restart). */
+  def startCorpusIndexMaintenance(
+      spark: SparkSession,
+      dir: String,
+      storePath: String,
+      checkpointPath: String,
+      shingleN: Int = 3,
+      perms: Int = 16,
+      bands: Int = 4): StreamingQuery =
+    readDocs(spark, dir)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // two sink legs (banded, hashes) read the one signature pass
+        val sig = Dedup.minhashSignature(batch, shingleN, perms)
+          .select(col("doc_id"), col("__sig"), col("__shh")).persist()
+        try {
+          Dedup.bandedSignature(sig, perms, bands)
+            .select(col("doc_id").as("dup_of"), col("band_idx"), col("band_hash"))
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("band_idx", "batch_id").parquet(s"$storePath/banded")
+          sig.select(col("doc_id").as("dup_of"), col("__shh").as("__corpus_shh"))
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id").parquet(s"$storePath/hashes")
+        } finally sig.unpersist()
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** Open a [[startCorpusIndexMaintenance]] store as the `(banded,
+    * hashes)` pair every gate consumer expects — the read-side twin of
+    * [[corpusIndex]]: the viral-bucket cap applies HERE, over the whole
+    * stored bucket population, so the maintained store answers exactly
+    * like a from-scratch index build over everything ever streamed. */
+  def corpusIndexFromStore(
+      spark: SparkSession,
+      storePath: String,
+      maxBucket: Int = Dedup.DefaultPipelineMaxBucket): (DataFrame, DataFrame) = {
+    val banded = Dedup.dropHotBuckets(
+      spark.read.parquet(s"$storePath/banded")
+        .select(col("dup_of"), col("band_idx").cast("int").as("band_idx"),
+          col("band_hash")),
+      Seq("band_idx", "band_hash"), maxBucket)
+    val hashes = spark.read.parquet(s"$storePath/hashes")
+      .select(col("dup_of"), col("__corpus_shh"))
+    (banded, hashes)
+  }
+
   /** Streaming DECONTAMINATION hits — the ingest-door half of
     * [[graft.operators.Corpus.decontaminate]]: each incoming document's
     * DISTINCT word-`n`-gram hashes (`array_distinct` BEFORE the explode —

@@ -899,6 +899,49 @@ class StreamingSpec extends SparkSpec {
       s"got $routed")
   }
 
+  test("corpus-index maintenance door: store across two waves and a restart " +
+    "answers exactly like a from-scratch index over everything streamed") {
+    import graft.streaming.DocIngest
+    val base = "the quick brown fox jumps over the lazy dog and it is " +
+      "a fine day in the old house of the hill it is warm and the fire is lit"
+    val root = java.nio.file.Files.createTempDirectory("graft_idx_maint")
+    val inDir = s"$root/in"
+    val store = s"$root/store"
+    val ckpt = s"$root/ckpt"
+    val w1 = Seq((0L, base),
+      (1L, "it is the best of the days and the worst of the days to be here"))
+    val w2 = Seq((2L, base.replace("lazy", "sleepy")),
+      (3L, null.asInstanceOf[String])) // no shingles → indexes nothing
+    w1.toDF("doc_id", "text").write.mode("append").parquet(inDir)
+    DocIngest.startCorpusIndexMaintenance(spark, inDir, store, ckpt)
+      .awaitTermination()
+    w2.toDF("doc_id", "text").write.mode("append").parquet(inDir)
+    DocIngest.startCorpusIndexMaintenance(spark, inDir, store, ckpt)
+      .awaitTermination()
+
+    val (sb, sh) = DocIngest.corpusIndexFromStore(spark, store)
+    val (bb, bh) = DocIngest.corpusIndex((w1 ++ w2).toDF("doc_id", "text"))
+    def bandSet(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("dup_of"), col("band_idx").cast("int"), col("band_hash"))
+      .as[(Long, Int, String)].collect().toSet
+    def hashSet(df: org.apache.spark.sql.DataFrame) = df
+      .as[(Long, Seq[Long])].collect().map { case (id, a) => (id, a.toList) }.toSet
+    assert(bandSet(sb) === bandSet(bb),
+      "maintained banded rows must equal the from-scratch index")
+    assert(hashSet(sh) === hashSet(bh),
+      "maintained shingle identities must equal the from-scratch index")
+    // and the gate itself answers identically through the store
+    val arriving = Seq((100L, base.replace("warm", "cold")))
+      .toDF("doc_id", "text")
+    def gate(b: org.apache.spark.sql.DataFrame, h: org.apache.spark.sql.DataFrame) =
+      DocIngest.matches(arriving, b, h, threshold = 0.4)
+        .select("doc_id", "dup_of").distinct()
+        .as[(Long, Long)].collect().toSet
+    val viaStore = gate(sb, sh)
+    assert(viaStore === gate(bb, bh), "store-served gate must equal in-memory")
+    assert(viaStore.contains(100L -> 0L), s"near-dup must be caught, got $viaStore")
+  }
+
   test("streaming checksum manifest: incremental fold across waves equals the batch manifest") {
     import graft.streaming.DocIngest
     import graft.operators.Corpus
