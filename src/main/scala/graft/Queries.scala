@@ -4788,6 +4788,35 @@ object Queries {
             .select(col("source"), col("__h56").as("__h"), col("__nc")))
         .orderBy("source")),
 
+    // extension: corpus VERSION DIFF — the checksum manifest productized
+    // into change detection: per source, the manifest DELTA between an
+    // ancestor version (the `doc_id < 400` slice — a prior snapshot) and
+    // the current corpus, which is ITSELF a manifest (counts, the exact
+    // 56-bit hash-sum delta — any flipped character moves it — and char
+    // mass, surfaced as the hash-robust two-BIGINT halves). Both sides
+    // aggregate the ONE memoized content-hash projection: zero extra
+    // digest passes, map-side-combinable aggregates only. The cross-run
+    // form diffs two stored manifests without touching either corpus.
+    "corpus_version_diff" -> ((s, dir) => {
+      val h = hashedDocsMemo(s, dir)
+      def manifest(df: DataFrame): DataFrame = df.groupBy(col("source"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("__h56")).cast("decimal(38,0)").as("hs"),
+          sum(col("__nc")).as("tc"))
+      val o = manifest(h.where(col("doc_id") < 400))
+        .select(col("source"), col("n").as("__no"), col("hs").as("__ho"),
+          col("tc").as("__to"))
+      graft.operators.Corpus.checksumSurface(
+        manifest(h).join(o, Seq("source"), "left_outer")
+          .select(col("source"),
+            (col("n") - coalesce(col("__no"), lit(0L))).as("n_docs"),
+            (col("hs") - coalesce(col("__ho"),
+              lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)")))
+              .cast("decimal(38,0)").as("hash_sum"),
+            (col("tc") - coalesce(col("__to"), lit(0L))).as("total_chars")))
+        .orderBy("source")
+    }),
+
     // extension: DSIR under per-source quotas — the deployment shape of
     // importance resampling: the 10 most target-like documents of EACH
     // source (bounded heap per source, never a ranking window; r4-
@@ -9886,6 +9915,21 @@ object Queries {
     // hugeint sum surfaced as two BIGINT halves (div/mod 2^62) — never
     // a DECIMAL(38,0) output column, whose canonicalization diverges
     // across engines even on bit-identical values (r7 red row)
+    // the manifest DELTA between the < 400 ancestor slice and the full
+    // corpus, replayed from scratch (the engine rides the hash memo)
+    "corpus_version_diff" ->
+      s"""WITH h AS (SELECT doc_id, source, n_chars, list_reduce(list_transform(string_split_regex(substr(md5(text), 1, 14), ''),
+         |    c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a * 16 + b) AS hv
+         |  FROM documents),
+         |nw AS (SELECT source, CAST(count(*) AS BIGINT) AS n, sum(hv) AS hs, CAST(sum(n_chars) AS BIGINT) AS tc FROM h GROUP BY source),
+         |od AS (SELECT source, CAST(count(*) AS BIGINT) AS n, sum(hv) AS hs, CAST(sum(n_chars) AS BIGINT) AS tc FROM h WHERE doc_id < 400 GROUP BY source),
+         |d AS (SELECT nw.source, nw.n - coalesce(od.n, 0) AS n_docs, nw.hs - coalesce(od.hs, 0) AS dh,
+         |    nw.tc - coalesce(od.tc, 0) AS total_chars FROM nw LEFT JOIN od USING (source))
+         |SELECT source, n_docs,
+         |  CAST(dh // 4611686018427387904 AS BIGINT) AS checksum_hi,
+         |  CAST(dh % 4611686018427387904 AS BIGINT) AS checksum_lo,
+         |  total_chars FROM d ORDER BY source""".stripMargin,
+
     "corpus_checksum" ->
       s"""WITH h AS (SELECT source, n_chars, list_reduce(list_transform(string_split_regex(substr(md5(text), 1, 14), ''),
          |    c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a * 16 + b) AS hv
