@@ -864,8 +864,11 @@ object Queries {
   private def dedupStorePath(s: SparkSession, dir: String): String = {
     dedupStoreCache.keySet.removeIf(_._1.sparkContext.isStopped)
     dedupStoreCache.computeIfAbsent((s, dir), _ => {
+      // sanitized dir (not a hash — hashes can collide across dirs, and a
+      // collision would silently serve one corpus's index to the other)
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_dedup_store_" +
-        s.sparkContext.applicationId + "_" + java.lang.Integer.toHexString(dir.hashCode)
+        s.sparkContext.applicationId + "_" +
+        dir.replaceAll("[^A-Za-z0-9._-]", "_")
       val (banded, hashes) = corpusIndexMemo(s, dir)
       banded.write.mode("overwrite").partitionBy("band_idx").parquet(s"$path/banded")
       hashes.write.mode("overwrite").parquet(s"$path/hashes")
