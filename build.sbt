@@ -32,5 +32,12 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default (box has 128 GiB): the long bench run — 284 queries ×
+  // 2-3 passes plus session-lifetime localCheckpoint memos — has no
+  // reason to run near an 8g ceiling when the host has 16× headroom.
+  // (r12 note: raising it did NOT remove the multi-second single-pass
+  // stalls the variance investigation chased — those proved to be host
+  // noise, hitting different queries each run and vanishing in
+  // isolation — but the larger heap removes GC pressure as a suspect.)
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )
