@@ -3860,7 +3860,7 @@ object Queries {
 
     // extension: stopword-heuristic language ID. Tokens and the fused
     // stats are materialized as attributes so each kernel runs once per
-    // row; repartition spreads the CPU of a single-file input.
+    // row; spreadIfNarrow spreads the CPU only when the scan is narrow.
     "lang_id" -> ((s, dir) =>
       docsSpread(s, dir)
         .withColumn("__toks", TextOps.tokens(col("text")))
