@@ -947,7 +947,7 @@ object Queries {
     balancedModelCache.computeIfAbsent((s, dir), _ => {
       val m = IvfIndex.buildBalancedRefine(recs(s, dir),
         fixedCentroids(s, dir).where(col("cluster_id") < 4),
-        density = 64, Metric.Euclidean, maxRounds = 6)
+        density = 64, Metric.Euclidean, maxRounds = 12)
       IvfIndex.Model(
         org.apache.spark.sql.graft.PlanBridge.statsReset(
           m.centroids.localCheckpoint(eager = true)),
@@ -9458,19 +9458,19 @@ object Queries {
          |  ((SELECT max(n) FROM sza) < (SELECT max(n) FROM sz1)) AS max_reduced""".stripMargin,
 
     // FULL replay of the deterministic two-level build (r12): the fixed-4
-    // coarse assignment refined by up to 6 chained binary-split rounds
+    // coarse assignment refined by up to 12 chained binary-split rounds
     // (each an unrolled refine at density 64; a converged round is the
     // identity) — the exact final cluster census, booleans derived.
     "ivf_balanced_stats" -> {
-      val rounds = (1 to 6).map { o =>
+      val rounds = (1 to 12).map { o =>
         sqlRefineRoundCtes(o, s"asg${o - 1}",
           if (o == 1) "3" else s"(SELECT m FROM mx${o - 1})", density = 64)
       }.mkString(",\n")
       s"""WITH $sqlFixed4AsgCtes,
          |$rounds,
-         |szf AS (SELECT cid, CAST(count(*) AS BIGINT) AS n FROM asg6 GROUP BY cid)
+         |szf AS (SELECT cid, CAST(count(*) AS BIGINT) AS n FROM asg12 GROUP BY cid)
          |SELECT
-         |  (SELECT CAST(count(*) AS BIGINT) FROM asg6) AS n_assigned,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM asg12) AS n_assigned,
          |  (SELECT CAST(count(*) AS BIGINT) FROM szf) AS n_clusters,
          |  (SELECT max(n) FROM szf) AS max_size,
          |  ((SELECT max(n) FROM szf) <= 64) AS density_ok,

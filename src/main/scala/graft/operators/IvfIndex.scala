@@ -1006,7 +1006,11 @@ object IvfIndex {
       coarse: DataFrame,
       density: Int,
       metric: Metric = Metric.Euclidean,
-      maxRounds: Int = 6,
+      // binary splits are UNEVEN (farthest-point seeds cut where the
+      // data is widest, not where the median sits), so the round budget
+      // must exceed log2(coarse cluster / density): 6 rounds left a
+      // 92-doc cluster at density 64 from ~500-doc coarse clusters
+      maxRounds: Int = 12,
       iters: Int = 3): Model = {
     require(maxRounds > 0, s"maxRounds must be positive, got $maxRounds")
     def truncate(df: DataFrame): DataFrame =

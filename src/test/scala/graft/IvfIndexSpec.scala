@@ -333,6 +333,33 @@ class IvfIndexSpec extends SparkSpec {
     assert(probedAll === exact)
   }
 
+  test("buildBalancedRefine: coverage preserved, density restored from a " +
+    "forced-tiny coarse partition, deterministic across runs") {
+    val coarse = records.where(col("id") < 4)
+      .select(col("id").cast("int").as("cluster_id"), col("embedding").as("centroid"))
+    val m = IvfIndex.buildBalancedRefine(records, coarse, density = 64,
+      Metric.Euclidean)
+    val sizes = m.assigned.groupBy("cluster_id").count().as[(Int, Long)].collect()
+    assert(sizes.map(_._2).sum === 1000L, "no record lost")
+    assert(sizes.map(_._2).max <= 64L,
+      s"density not restored within the round budget: max=${sizes.map(_._2).max}")
+    assert(sizes.length > 4, "must grow past the coarse partition")
+    // full-probe query over the refined index stays exact (the funnel contract)
+    val q = records.where(col("id") === 7).select(col("embedding").as("qvec"))
+    val exact = Knn.search(records, q, 10, Metric.Euclidean)
+      .select("id").as[Long].collect().toSeq
+    val probedAll = IvfIndex.query(m, q, 10, probes = sizes.length, Metric.Euclidean)
+      .select("id").as[Long].collect().toSeq
+    assert(probedAll === exact)
+    // deterministic: the chain is seeded argmin + min-id/farthest seeds +
+    // r4-quantized means — a second build reproduces every assignment
+    val again = IvfIndex.buildBalancedRefine(records, coarse, density = 64,
+      Metric.Euclidean)
+      .assigned.select("id", "cluster_id").as[(Long, Int)].collect().toMap
+    assert(m.assigned.select("id", "cluster_id")
+      .as[(Long, Int)].collect().toMap === again)
+  }
+
   test("balanced build is deterministic: identical assignments across runs") {
     val a = IvfIndex.buildBalanced(records, density = 64, Metric.Euclidean, seed = 42L, kMax = 4)
       .assigned.select("id", "cluster_id").as[(Long, Int)].collect().toMap

@@ -942,6 +942,34 @@ class StreamingSpec extends SparkSpec {
     assert(viaStore.contains(100L -> 0L), s"near-dup must be caught, got $viaStore")
   }
 
+  test("corpusIndexFromStore applies the viral-bucket cap at open: a hot " +
+    "bucket is dropped read-side, not half-dropped batch-side") {
+    import graft.streaming.DocIngest
+    val base = "the quick brown fox jumps over the lazy dog and it is " +
+      "a fine day in the old house of the hill it is warm and the fire is lit"
+    val root = java.nio.file.Files.createTempDirectory("graft_idx_cap")
+    val inDir = s"$root/in"
+    // two docs sharing band buckets, arriving in SEPARATE batches — a
+    // batch-local cap could never see the whole bucket
+    Seq((0L, base)).toDF("doc_id", "text").write.mode("append").parquet(inDir)
+    DocIngest.startCorpusIndexMaintenance(spark, inDir, s"$root/store", s"$root/ckpt")
+      .awaitTermination()
+    Seq((1L, base.replace("lazy", "sleepy"))).toDF("doc_id", "text")
+      .write.mode("append").parquet(inDir)
+    DocIngest.startCorpusIndexMaintenance(spark, inDir, s"$root/store", s"$root/ckpt")
+      .awaitTermination()
+    val arriving = Seq((100L, base.replace("warm", "cold"))).toDF("doc_id", "text")
+    def hits(maxBucket: Int): Set[Long] = {
+      val (b, h) = DocIngest.corpusIndexFromStore(spark, s"$root/store", maxBucket)
+      DocIngest.matches(arriving, b, h, threshold = 0.4)
+        .select("dup_of").distinct().as[Long].collect().toSet
+    }
+    assert(hits(graft.operators.Dedup.DefaultPipelineMaxBucket).contains(0L),
+      "default cap must keep the 2-doc bucket and catch the near-dup")
+    assert(hits(1) === Set.empty[Long],
+      "cap=1 must drop every cross-batch 2-doc bucket at open")
+  }
+
   test("streaming checksum manifest: incremental fold across waves equals the batch manifest") {
     import graft.streaming.DocIngest
     import graft.operators.Corpus
