@@ -45,6 +45,20 @@ object Bench {
       case b: com.sun.management.OperatingSystemMXBean => b.getProcessCpuTime
       case _ => -1L
     }
+    // Cumulative stop-the-world GC milliseconds (all collectors): the
+    // r12 variance investigation found multi-second single-pass stalls
+    // hitting a DIFFERENT query each run (ivf_balanced_stats once
+    // measured 0.75 / 31.8 / 0.68 s across its three passes) — whether
+    // such a stall is a GC pause or host noise was not answerable from
+    // the artifact. Per-pass GC deltas make it mechanical: a stall with
+    // matching gc_spikes entry is the JVM; without one, the host.
+    def gcMs: Long = {
+      var t = 0L
+      val it = java.lang.management.ManagementFactory
+        .getGarbageCollectorMXBeans.iterator()
+      while (it.hasNext) { val c = it.next().getCollectionTime; if (c > 0) t += c }
+      t
+    }
     val loadAvgStart = loadAvg
     val warmupCpu = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     def step[T](label: String)(body: => T): T = {
@@ -262,15 +276,17 @@ object Bench {
     // never accumulate across the run. Frames cleared here re-persist on
     // next use (Caching.ensureCached).
     var prevFamily = ""
+    val gcSpikes = scala.collection.mutable.LinkedHashMap.empty[String, List[Double]]
     val results = selected.map { case (name, fn) =>
       val family = name.takeWhile(_ != '_')
       if (family != prevFamily) { spark.catalog.clearCache(); prevFamily = family }
-      def onePass(): Double = {
-        val t0 = System.nanoTime()
+      // (wall seconds, stop-the-world GC seconds) per pass
+      def onePass(): (Double, Double) = {
+        val t0 = System.nanoTime(); val g0 = gcMs
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
+        ((System.nanoTime() - t0) / 1e9, (gcMs - g0) / 1e3)
       }
-      val passes =
+      val timed =
         try {
           val two = List(onePass(), onePass())
           // Adaptive third pass: when the two passes disagree by >1.5×
@@ -280,7 +296,9 @@ object Bench {
           // keys (r8→r9: corpus_temperature_mix, embed_outliers). One
           // extra pass only on the noisy keys keeps the artifact
           // noise-robust without doubling the whole bench.
-          if (two.max / math.max(two.min, 1e-9) > 1.5) onePass() :: two else two
+          if (two.map(_._1).max / math.max(two.map(_._1).min, 1e-9) > 1.5)
+            onePass() :: two
+          else two
         }
         catch {
           case e: Throwable =>
@@ -288,7 +306,10 @@ object Bench {
             failed ::= name
             Nil
         }
-      name -> passes
+      // surface only the pathological passes (≥1 s of GC) — the map
+      // stays tiny on a healthy run and names the culprit on a bad one
+      if (timed.exists(_._2 >= 1.0)) gcSpikes(name) = timed.map(_._2)
+      name -> timed.map(_._1)
     }.toMap
     val queriesWall = (System.nanoTime() - queriesT0) / 1e9
     val queriesC1 = procCpuNs
@@ -325,7 +346,10 @@ object Bench {
     // the contention block repeats on BOTH lines: the compact last line
     // is often the only part of the artifact that survives log-tail
     // truncation, and it must be self-interpreting on its own
-    val hostJson = s""""load_avg_start":${f4(loadAvgStart)},"load_avg_end":${f4(loadAvgEnd)},"cpus":$cpus,"queries_wall_s":${f4(queriesWall)},"queries_cpu_s":${f4(queriesCpu)}"""
+    val gcSpikesJson = gcSpikes.map { case (k, gs) =>
+      s"\"" + k + "\":" + gs.map(f4).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val hostJson = s""""load_avg_start":${f4(loadAvgStart)},"load_avg_end":${f4(loadAvgEnd)},"cpus":$cpus,"queries_wall_s":${f4(queriesWall)},"queries_cpu_s":${f4(queriesCpu)},"queries_gc_s":${f4(gcMs / 1e3)},"gc_spikes":$gcSpikesJson"""
     // The full-detail line is tagged "total_detail" so exactly ONE line
     // in the whole output carries "metric":"total" (the compact last
     // line below) — a consumer grepping for the total can neither hit
