@@ -258,6 +258,10 @@ object Bench {
     // local-iteration aid; the driver invokes with no args (= run all).
     val only = args.toSet
     val queriesT0 = System.nanoTime(); val queriesC0 = procCpuNs
+    // GC baseline at the start of the timed section: queries_gc_s must be
+    // the DELTA over the queries phase (like queries_wall_s/queries_cpu_s),
+    // not cumulative-since-JVM-start, or it silently includes warmup GC.
+    val queriesG0 = gcMs
     var failed = List.empty[String]
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
@@ -349,7 +353,7 @@ object Bench {
     val gcSpikesJson = gcSpikes.map { case (k, gs) =>
       s"\"" + k + "\":" + gs.map(f4).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    val hostJson = s""""load_avg_start":${f4(loadAvgStart)},"load_avg_end":${f4(loadAvgEnd)},"cpus":$cpus,"queries_wall_s":${f4(queriesWall)},"queries_cpu_s":${f4(queriesCpu)},"queries_gc_s":${f4(gcMs / 1e3)},"gc_spikes":$gcSpikesJson"""
+    val hostJson = s""""load_avg_start":${f4(loadAvgStart)},"load_avg_end":${f4(loadAvgEnd)},"cpus":$cpus,"queries_wall_s":${f4(queriesWall)},"queries_cpu_s":${f4(queriesCpu)},"queries_gc_s":${f4((gcMs - queriesG0) / 1e3)},"gc_spikes":$gcSpikesJson"""
     // The full-detail line is tagged "total_detail" so exactly ONE line
     // in the whole output carries "metric":"total" (the compact last
     // line below) — a consumer grepping for the total can neither hit

@@ -672,10 +672,31 @@ object Queries {
        |  FROM fn$o f JOIN ef$o e USING (cid))""".stripMargin
   }
 
-  /** The incremental near-dup gate oracle (uncapped banded join of the
-    * arriving `doc_id >= 400` slice against the `< 400` corpus) — shared
-    * by `dedup_incremental` and its on-disk-store twin. */
-  private val sqlDedupIncremental: String =
+  /** The incremental near-dup gate oracle — banded join of the arriving
+    * `doc_id >= 400` slice against the `< 400` corpus. `capped = true`
+    * (the on-disk-store twin, which reads through the CAPPED
+    * `corpusIndexFromStore` entry point) additionally drops corpus-side
+    * LSH buckets larger than [[graft.operators.Dedup
+    * .DefaultPipelineMaxBucket]] before the join — the oracle models the
+    * production viral-bucket cap instead of assuming it is vacuous. */
+  private def sqlDedupIncrementalVariant(capped: Boolean): String = {
+    val corpusLeg =
+      if (!capped) "bands"
+      else s"""(SELECT cb.* FROM cb ANTI JOIN
+         | (SELECT band_idx, band_hash FROM cb GROUP BY 1, 2
+         |  HAVING count(*) > ${graft.operators.Dedup.DefaultPipelineMaxBucket}) hot
+         | USING (band_idx, band_hash))""".stripMargin
+    val cbCte =
+      if (!capped) ""
+      else
+        """,
+          |cb AS MATERIALIZED (SELECT doc_id, h1, band_idx, band_hash FROM bands WHERE doc_id < 400)""".stripMargin
+    sqlDedupIncrementalBody(cbCte, corpusLeg)
+  }
+
+  private val sqlDedupIncremental: String = sqlDedupIncrementalVariant(capped = false)
+
+  private def sqlDedupIncrementalBody(cbCte: String, corpusLeg: String): String =
       s"""WITH toks AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(len(tk) - 2, 0)),
          |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
          |  FROM (SELECT doc_id, regexp_split_to_array(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+') AS tk FROM documents)),
@@ -688,12 +709,12 @@ object Queries {
          |  FROM ne),
          |sig AS (SELECT doc_id, h1, list_transform(generate_series(0, 15), i ->
          |  list_min(list_transform(list_zip(h1, h2), p -> p[1] + i * p[2]))) AS sg FROM hh),
-         |bands AS (SELECT doc_id, h1, u.b AS band_idx,
+         |bands AS MATERIALIZED (SELECT doc_id, h1, u.b AS band_idx,
          |  md5(array_to_string(list_slice(sg, u.b * 4 + 1, u.b * 4 + 4), '|')) AS band_hash
-         |  FROM sig, (SELECT unnest([0, 1, 2, 3]) AS b) u),
+         |  FROM sig, (SELECT unnest([0, 1, 2, 3]) AS b) u)$cbCte,
          |j AS (SELECT DISTINCT n.doc_id AS doc_id, c.doc_id AS dup_of,
          |  CAST(len(list_intersect(n.h1, c.h1)) AS DOUBLE) / len(list_distinct(n.h1 || c.h1)) AS jaccard
-         |  FROM bands n JOIN bands c ON n.band_idx = c.band_idx AND n.band_hash = c.band_hash
+         |  FROM bands n JOIN $corpusLeg c ON n.band_idx = c.band_idx AND n.band_hash = c.band_hash
          |    AND n.doc_id >= 400 AND c.doc_id < 400)
          |SELECT doc_id, dup_of, ${sqlR4("jaccard")} AS jaccard FROM j WHERE jaccard >= 0.5 ORDER BY doc_id, dup_of""".stripMargin
 
@@ -3148,14 +3169,19 @@ object Queries {
     // store. The corpus side of the plan is a PURE SCAN — zero
     // re-tokenize/re-hash/re-signature (plan-pinned: exactly one
     // signature kernel, on the stream side) — so per-batch gate cost is
-    // independent of corpus size. Same fixed (3,16,4,0.5) geometry →
-    // dedup_incremental's oracle applies verbatim.
+    // independent of corpus size. Read through [[graft.streaming
+    // .DocIngest.corpusIndexFromStore]] — the CAPPED open every serving
+    // consumer must copy (the viral-bucket cap is a whole-bucket
+    // property, so it applies at read over the full stored population,
+    // not batch-locally at write) — and the oracle models the same cap
+    // (corpus-side buckets > [[graft.operators.Dedup
+    // .DefaultPipelineMaxBucket]] dropped before the band join), so the
+    // capped reader is what the green row actually certifies. Same
+    // fixed (3,16,4,0.5) geometry as dedup_incremental.
     "dedup_incremental_store" -> ((s, dir) => {
       val path = dedupStorePath(s, dir)
-      val banded = s.read.parquet(s"$path/banded")
-        .select(col("dup_of"), col("band_idx").cast("int").as("band_idx"),
-          col("band_hash"))
-      val hashes = s.read.parquet(s"$path/hashes")
+      val (banded, hashes) =
+        graft.streaming.DocIngest.corpusIndexFromStore(s, path)
       graft.streaming.DocIngest.matches(
           docs(s, dir).where(col("doc_id") >= 400), banded, hashes,
           shingleN = 3, perms = 16, bands = 4, threshold = 0.5)
@@ -8730,7 +8756,7 @@ object Queries {
 
     // the SAME contract served from the on-disk maintained index —
     // identical fixed geometry, identical result set
-    "dedup_incremental_store" -> sqlDedupIncremental,
+    "dedup_incremental_store" -> sqlDedupIncrementalVariant(capped = true),
 
     "dedup_simhash" ->
       s"""WITH toks AS (SELECT doc_id, regexp_split_to_array(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+') AS t FROM documents),

@@ -4,6 +4,7 @@ import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, Da
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -39,6 +40,15 @@ case class VectorMeanAgg(
     // edge exposure per element.
     quantized: Boolean = false)
   extends TypedImperativeAggregate[VectorMeanAgg.Buf] {
+
+  // Buf.add reads elements with getFloat unconditionally; an
+  // array<double> input (e.g. re-averaging quantized centroids) would
+  // silently misread bits, so reject it at ANALYSIS time instead.
+  override def checkInputDataTypes(): TypeCheckResult = vec.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"vector_mean requires array<float>, got ${other.catalogString}")
+  }
 
   override def children: Seq[Expression] = Seq(vec)
   override def nullable: Boolean = true

@@ -256,8 +256,15 @@ object DocIngest {
     *      discipline, same model-stability caveat).
     *
     * Stream == batch (the same four gates composed over the union of all
-    * waves, exact dedup keeping the min doc_id per hash) is pinned in
-    * StreamingSpec, including across a restart on the same checkpoint. */
+    * waves) is pinned in StreamingSpec, including across a restart on the
+    * same checkpoint. Exact-dedup contract: KEEP-FIRST-ARRIVAL per hash —
+    * min doc_id only WITHIN a micro-batch ([[exactDedupStream]]); if a
+    * smaller doc_id for the same text arrives in a later micro-batch the
+    * stream keeps the earlier (larger) id, so the stream == batch pin
+    * assumes doc_id-ordered arrivals (the batch twin keeps the global
+    * min). Production arrival order IS admission order, so first-arrival
+    * is the semantically-right gate; the ordered-arrival assumption only
+    * matters for the equality test. */
   def startComposedAdmission(
       spark: SparkSession,
       dir: String,

@@ -255,7 +255,8 @@ class PlanShapeSpec extends SparkSpec {
     // the conditional spread must plan NOTHING but the scan, the chunk
     // projection, and the output sort's range exchange.
     val dir = java.nio.file.Files.createTempDirectory(
-      java.nio.file.Paths.get("/root/repo/target"), "wide_docs").toString
+      java.nio.file.Files.createDirectories(
+        new java.io.File("target").toPath), "wide_docs").toString
     val prev = spark.conf.get("spark.sql.files.maxPartitionBytes", null)
     try {
       spark.read.parquet(s"$sf/documents.parquet").repartition(4)
