@@ -1349,25 +1349,41 @@ object Queries {
     assembleFilteredCache.keySet.removeIf(_._1.sparkContext.isStopped)
     assembleFilteredCache.computeIfAbsent((s, dir), _ =>
       org.apache.spark.sql.graft.PlanBridge.statsReset(
-        docsSpread(s, dir)
-          .withColumn("__toks", TextOps.tokens(col("text")))
-          .withColumn("__stats", TextOps.tokenStats(col("__toks")))
-          .select(col("doc_id"), sha2(col("text"), 256).as("__h"),
-            pmod(graft.operators.Corpus.contentHash32(col("text")), lit(100L)).as("__b"),
-            size(col("__toks")).cast("long").as("n_tokens"),
-            TextOps.langFromVotes(col("__stats.votes")).as("__lang"),
-            TextOps.qualityFromStats(col("text"), col("__toks"), col("__stats")).as("__q"))
-          .groupBy(col("__h"))
-          .agg(min(col("doc_id")).as("doc_id"), min(col("__b")).as("__b"),
-            min(col("n_tokens")).as("n_tokens"),
-            min(col("__lang")).as("__lang"), min(col("__q")).as("__q"))
-          .where(col("__lang") === "en" && col("__q") >= 0.45)
-          .localCheckpoint(eager = true)))
+        assembleFilteredDag(s, dir).localCheckpoint(eager = true)))
   }
 
+  /** The assemble front half as a PLAN (un-memoized — [[assembleFiltered]]
+    * checkpoints it once per (session, dir)): ONE tokenize pass computes
+    * every verdict column — hash, split bucket, whitespace token count,
+    * TRAINED-BPE token count (`n_tokens_bpe`, the [[TextOps
+    * .bpeTokenCountFromTokens]] map-only kernel riding the same pass),
+    * language, quality — then dedup collapses into the groupBy.
+    * `private[graft]` so PlanShapeSpec can pin the un-checkpointed shape
+    * (no joins; the budget kernel fused into the scan-side projection). */
+  private[graft] def assembleFilteredDag(s: SparkSession, dir: String): DataFrame =
+    docsSpread(s, dir)
+      .withColumn("__toks", TextOps.tokens(col("text")))
+      .withColumn("__stats", TextOps.tokenStats(col("__toks")))
+      .select(col("doc_id"), sha2(col("text"), 256).as("__h"),
+        pmod(graft.operators.Corpus.contentHash32(col("text")), lit(100L)).as("__b"),
+        size(col("__toks")).cast("long").as("n_tokens"),
+        TextOps.bpeTokenCountFromTokens(col("__toks")).as("n_tokens_bpe"),
+        TextOps.langFromVotes(col("__stats.votes")).as("__lang"),
+        TextOps.qualityFromStats(col("text"), col("__toks"), col("__stats")).as("__q"))
+      .groupBy(col("__h"))
+      .agg(min(col("doc_id")).as("doc_id"), min(col("__b")).as("__b"),
+        min(col("n_tokens")).as("n_tokens"),
+        min(col("n_tokens_bpe")).as("n_tokens_bpe"),
+        min(col("__lang")).as("__lang"), min(col("__q")).as("__q"))
+      .where(col("__lang") === "en" && col("__q") >= 0.45)
+
   /** The corpus-assembly back half: deterministic split, shard-parallel
-    * running-total packing windows, final (pack_id, tok_offset) layout. */
-  private def assemblePacked(base: DataFrame): DataFrame = {
+    * running-total packing windows, final (pack_id, tok_offset) layout.
+    * `tokCol` picks the packing budget column — whitespace `n_tokens`
+    * (`corpus_assemble`) or the trained-tokenizer `n_tokens_bpe`
+    * (`corpus_assemble_bpe`); the window arithmetic is identical. */
+  private def assemblePacked(
+      base: DataFrame, tokCol: String = "n_tokens"): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("split"), col("shard")).orderBy(col("doc_id"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
@@ -1375,7 +1391,7 @@ object Queries {
     base
       .withColumn("split", when(col("__b") < 90, lit("train")).otherwise(lit("val")))
       .withColumn("shard", pmod(col("doc_id"), lit(4L)))
-      .withColumn("__start", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .withColumn("__start", sum(col(tokCol)).over(w) - col(tokCol))
       .select(col("doc_id"), col("split"), col("shard"),
         expr("__start div 512").as("pack_id"), (col("__start") % 512).as("tok_offset"))
       .orderBy("doc_id")
@@ -4410,6 +4426,21 @@ object Queries {
     // input CPU-spread and the output sort.
     "corpus_assemble" -> ((s, dir) =>
       assemblePacked(assembleFiltered(s, dir))),
+
+    // extension: the SAME end-to-end assembly DAG budgeted in TRAINED
+    // BPE tokens — the composed pipeline a real pretraining user runs:
+    // whitespace-budgeted packs overflow a real context window by
+    // whatever the tokenizer splits, so the production packer must
+    // budget in tokenizer tokens. The budget kernel ([[TextOps
+    // .bpeTokenCountFromTokens]]) rides the assemble front half's ONE
+    // shared tokenize pass as a fused map-only expression (no
+    // vocabulary join, no extra pass — plan-pinned in PlanShapeSpec on
+    // the un-checkpointed DAG) and its verdict collapses into the same
+    // dedup groupBy; the back half is pack_bpe's running-sum window on
+    // `n_tokens_bpe`. Oracle = assemble's kept CTEs + pack_bpe's
+    // per-token segmentation replay + the shared pack arithmetic.
+    "corpus_assemble_bpe" -> ((s, dir) =>
+      assemblePacked(assembleFiltered(s, dir), tokCol = "n_tokens_bpe")),
 
     // extension: the FULL ingestion pipeline in one DAG — quality/lang
     // filters + exact dedup (assembleFiltered) + NEAR-dup drop (the CC
@@ -9534,6 +9565,31 @@ object Queries {
 
     "corpus_assemble" ->
       s"WITH $sqlAssembleKeptCtes,\n${sqlAssembleTail("kept")}",
+
+    // the assemble chain budgeted in trained-BPE tokens: kept CTEs +
+    // pack_bpe's segmentation replay (merge list to fixpoint per
+    // DISTINCT vocab token, summed per instance per kept doc) + the
+    // shared split/pack arithmetic on the BPE count
+    "corpus_assemble_bpe" ->
+      s"""WITH RECURSIVE $sqlBpeSegCtes,
+         |$sqlAssembleKeptCtes,
+         |abdoc AS (SELECT d.doc_id, unnest(regexp_split_to_array(translate(trim(d.text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+')) AS token
+         |  FROM documents d JOIN kept USING (doc_id)),
+         |adn AS (SELECT doc_id, CAST(sum(n_sym) AS BIGINT) AS n_tokens
+         |  FROM abdoc JOIN bseg USING (token) WHERE token <> '' GROUP BY doc_id),
+         |m AS (SELECT d.doc_id,
+         |    list_reduce(list_transform(string_split_regex(substr(md5(d.text), 1, 8), ''),
+         |      c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a * 16 + b) % 100 AS b,
+         |    adn.n_tokens
+         |  FROM documents d JOIN adn USING (doc_id)),
+         |s AS (SELECT doc_id, CASE WHEN b < 90 THEN 'train' ELSE 'val' END AS split,
+         |    doc_id % 4 AS shard, n_tokens FROM m),
+         |c AS (SELECT doc_id, split, shard,
+         |    CAST(sum(n_tokens) OVER (PARTITION BY split, shard ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - n_tokens AS strt
+         |  FROM s)
+         |SELECT doc_id, split, shard, strt // 512 AS pack_id, strt % 512 AS tok_offset
+         |FROM c ORDER BY doc_id""".stripMargin,
 
     // the assemble chain with the near-dup CC drop set spliced between
     // the filter gate (kept) and the split/pack tail

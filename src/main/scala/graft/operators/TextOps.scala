@@ -476,8 +476,16 @@ object TextOps {
     * `n_tokens >= 1` gate, like every degenerate count). */
   def bpeTokenCountTrained(
       text: Column, merges: Seq[(String, String)] = BpeMerges): Column =
+    bpeTokenCountFromTokens(tokens(text), merges)
+
+  /** [[bpeTokenCountTrained]] over an ALREADY-tokenized column — for
+    * DAGs (the assemble pipeline) that compute every verdict column off
+    * one shared tokenize pass: the budget kernel rides that pass instead
+    * of re-splitting the text. */
+  def bpeTokenCountFromTokens(
+      toks: Column, merges: Seq[(String, String)] = BpeMerges): Column =
     aggregate(
-      filter(tokens(text), t => t =!= ""),
+      filter(toks, t => t =!= ""),
       lit(0L),
       (acc, t) => acc + size(split(bpeApply(t, merges), " ")).cast("long"))
 

@@ -232,6 +232,30 @@ class PlanShapeSpec extends SparkSpec {
     assert(exchanges.isEmpty, "content-keyed split must not shuffle")
   }
 
+  test("corpus_assemble_bpe: the trained-token budget kernel is map-only " +
+    "inside the full assembly DAG — no vocabulary join, fused into the " +
+    "one shared tokenize pass before the dedup groupBy") {
+    // pin the UN-checkpointed front half (the memoized assembleFiltered
+    // truncates the plan at the localCheckpoint scan)
+    val p = plan(Queries.assembleFilteredDag(spark, sf))
+    assert(!p.contains("Join"),
+      "the BPE budget kernel must not plan a vocabulary join")
+    assert(p.toLowerCase.contains("bpeapply"),
+      "the trained-token kernel must appear in the assemble projection")
+    // the kernel's verdict collapses into the dedup groupBy like every
+    // other verdict column: exactly the aggregate exchange, nothing wide
+    p.linesIterator.filter(_.contains("Exchange")).foreach { e =>
+      assert(!e.contains("text#") && !e.contains("__toks#"),
+        s"wide column in assemble shuffle: $e")
+    }
+    // and the full query keeps corpus_assemble's packing shape
+    val full = plan(Queries.queries("corpus_assemble_bpe")(spark, sf))
+    val windows = full.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(windows.nonEmpty)
+    windows.foreach(w => assert(w.contains("split") && w.contains("shard"),
+      s"packing window must partition by (split, shard): $w"))
+  }
+
   test("corpus_assemble shuffles are narrow (no text/token arrays) and packing partitions by (split, shard)") {
     val p = plan(Queries.queries("corpus_assemble")(spark, sf))
     p.linesIterator.filter(_.contains("Exchange")).foreach { e =>
