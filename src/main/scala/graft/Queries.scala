@@ -4255,6 +4255,45 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    // extension: the SKETCH twin of corpus_quality_band — the 100 TB
+    // swap-in (the events_sketch_check pattern): per-source [p10, p90]
+    // quality trim thresholds from approx_percentile (mergeable GK
+    // sketch, O(1) state per source) instead of exact distributed
+    // ranks. Invariant oracle: each returned threshold must satisfy the
+    // sketch's RANK contract stated directly — the count of values
+    // strictly below / at-or-below it lands within ±(0.08·n + 2 ranks)
+    // of the target rank (tie-robust and tiny-group-robust where
+    // interpolated value bands are not), and the trimmed band keeps
+    // ≥ 0.6·n − 2 docs. n_docs is the exact oracle-derivable cell.
+    "corpus_quality_band_sketch" -> ((s, dir) => {
+      val scored = docsSpread(s, dir)
+        .withColumn("__toks", TextOps.tokens(col("text")))
+        .withColumn("__stats", TextOps.tokenStats(col("__toks")))
+        .select(coalesce(col("source"), lit("(null)")).as("source"),
+          r4(TextOps.qualityFromStats(col("text"), col("__toks"), col("__stats")))
+            .as("__q"))
+      val sk = scored.groupBy(col("source"))
+        .agg(percentile_approx(col("__q"), lit(0.1), lit(5000)).as("__lo"),
+          percentile_approx(col("__q"), lit(0.9), lit(5000)).as("__hi"))
+      val n = col("__n").cast("double")
+      scored.join(broadcast(sk), Seq("source"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("__n"),
+          sum(when(col("__q") < col("__lo"), 1L).otherwise(0L)).as("__lo_lt"),
+          sum(when(col("__q") <= col("__lo"), 1L).otherwise(0L)).as("__lo_le"),
+          sum(when(col("__q") < col("__hi"), 1L).otherwise(0L)).as("__hi_lt"),
+          sum(when(col("__q") <= col("__hi"), 1L).otherwise(0L)).as("__hi_le"),
+          sum(when(col("__q") >= col("__lo") && col("__q") <= col("__hi"), 1L)
+            .otherwise(0L)).as("__kept"))
+        .select(col("source"), col("__n").as("n_docs"),
+          (col("__lo_lt") <= n * 0.18 + 2 && col("__lo_le") >= n * 0.02 - 2)
+            .as("lo_ok"),
+          (col("__hi_lt") <= n * 0.98 + 2 && col("__hi_le") >= n * 0.82 - 2)
+            .as("hi_ok"),
+          (col("__kept") >= n * 0.6 - 2).as("band_ok"))
+        .orderBy("source")
+    }),
+
     // extension: md5 + rolling-window document fingerprints
     "doc_fingerprint" -> ((s, dir) =>
       docs(s, dir).select(
@@ -5987,6 +6026,43 @@ object Queries {
           r4((col("cum_e").cast("double") - col("ua").cast("double") * col("va")
             + (col("__k") - (col("cum_u") - col("ua"))).cast("double") * col("va"))
             / col("s").cast("double")).as("top10_share"))
+    }),
+
+    // extension: the SKETCH twin of events_gini's rank-based cells —
+    // the 100 TB swap-in: events_gini's exact machinery (the vf×vf
+    // cross join for mean absolute difference, the exact cumulative
+    // rank for top10_share) is value-frequency-bounded, which a 100 TB
+    // activity distribution (millions of distinct per-user counts)
+    // outgrows. The scale path keeps the per-user count reduction
+    // (map-side combinable at any SF) and swaps the rank machinery for
+    // ONE mergeable quantile sketch over the counts (p50/p90/p99 —
+    // the activity deciles any rank-based share is then derived from).
+    // Invariant oracle (events_sketch_check pattern): each sketch
+    // quantile must satisfy its rank contract stated directly —
+    // below-counts within ±(δ·n + 2 ranks) of the target rank
+    // (δ = 0.08/0.05/0.04) — with exact n_users/total_events as the
+    // oracle-derivable cells. Booleans are vacuously TRUE on an empty
+    // population (coalesce), matching the oracle's constant row.
+    "events_gini_sketch" -> ((s, dir) => {
+      val pu = events(s, dir).where(col("user_id").isNotNull)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+      val sk = pu.agg(percentile_approx(col("c"),
+        array(lit(0.5), lit(0.9), lit(0.99)), lit(5000)).as("__qs"))
+      val n = col("__n").cast("double")
+      pu.crossJoin(broadcast(sk))
+        .agg(count(lit(1)).as("__n"),
+          coalesce(sum(col("c")), lit(0L)).as("__tot"),
+          sum(when(col("c") < col("__qs")(0), 1L).otherwise(0L)).as("__p50_lt"),
+          sum(when(col("c") <= col("__qs")(0), 1L).otherwise(0L)).as("__p50_le"),
+          sum(when(col("c") < col("__qs")(1), 1L).otherwise(0L)).as("__p90_lt"),
+          sum(when(col("c") <= col("__qs")(1), 1L).otherwise(0L)).as("__p90_le"),
+          sum(when(col("c") <= col("__qs")(2), 1L).otherwise(0L)).as("__p99_le"))
+        .select(col("__n").as("n_users"), col("__tot").as("total_events"),
+          coalesce(col("__p50_lt") <= n * 0.58 + 2 &&
+            col("__p50_le") >= n * 0.42 - 2, lit(true)).as("p50_ok"),
+          coalesce(col("__p90_lt") <= n * 0.95 + 2 &&
+            col("__p90_le") >= n * 0.85 - 2, lit(true)).as("p90_ok"),
+          coalesce(col("__p99_le") >= n * 0.95 - 2, lit(true)).as("p99_ok"))
     }),
 
     // extension: SALTED equi-join — the whale-key join shape the
@@ -8695,6 +8771,13 @@ object Queries {
          |  ${sqlR4("(CAST(bd.cum_e AS DOUBLE) - CAST(bd.ua AS DOUBLE) * bd.va + CAST(bd.k - (bd.cum_u - bd.ua) AS DOUBLE) * bd.va) / CAST(tot.s AS DOUBLE)")} AS top10_share
          |FROM tot, mad, bd""".stripMargin,
 
+    // sketch-twin contract booleans pinned TRUE; exact population cells
+    "events_gini_sketch" ->
+      """SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  CAST(count(*) AS BIGINT) AS total_events,
+        |  true AS p50_ok, true AS p90_ok, true AS p99_ok
+        |FROM events WHERE user_id IS NOT NULL""".stripMargin,
+
     // salting is invisible to semantics: the oracle is the plain join
     "events_salted_enrich" ->
       """WITH ev AS (SELECT user_id, event_id, event_type, ts FROM events WHERE user_id IS NOT NULL),
@@ -9334,6 +9417,14 @@ object Queries {
          |SELECT doc_id, quality, ${sqlR4("CAST(rk - 1 AS DOUBLE) / (n - 1)")} AS pct_rank
          |FROM r WHERE CAST(rk - 1 AS DOUBLE) / (n - 1) >= 0.1 AND CAST(rk - 1 AS DOUBLE) / (n - 1) <= 0.9
          |ORDER BY doc_id""".stripMargin,
+
+    // the sketch twin's contract booleans are pinned TRUE per source
+    // (events_sketch_check pattern); n_docs is the exact cell
+    "corpus_quality_band_sketch" ->
+      """SELECT coalesce(source, '(null)') AS source,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  true AS lo_ok, true AS hi_ok, true AS band_ok
+        |FROM documents GROUP BY 1 ORDER BY source""".stripMargin,
 
     // GROUP BY ROLLUP replays the grouping sets; same 'ALL' coalesce
     // grouping()-labeled subtotals: a NULL-lang data row keeps its own
