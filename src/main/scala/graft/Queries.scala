@@ -2327,6 +2327,19 @@ object Queries {
       knnOut(IvfIndex.query(fixedModel(s, dir, Metric.Euclidean),
         qvec0(s, dir), k = 10, probes = 3, Metric.Euclidean))),
 
+    // extension: probe-cost OBSERVABILITY — per probe budget, the exact
+    // clusters-probed / rows-scanned census vs store totals off the
+    // assignment frame ([[IvfIndex.probeCost]] — the dashboard that
+    // says probes/density are mis-tuned; see its scaladoc for the
+    // reference defaults, density=256 records/cluster and probes=32,
+    // that size the 100 TB per-query scan at ~probes×density rows).
+    // Every cell is an exact integer the oracle derives by replaying
+    // the deterministic fixed-centroid probe ranking and assignment
+    "ivf_probe_cost" -> ((s, dir) =>
+      IvfIndex.probeCost(fixedModel(s, dir, Metric.Euclidean),
+          qvec0(s, dir), probesList = Seq(1, 2, 3, 4, 8), Metric.Euclidean)
+        .orderBy("probes")),
+
     // extension: ASSIGNMENT drift between snapshot versions — how many
     // surviving vectors change their nearest cluster under the same
     // fixed centroids after the version perturbation: the metric that
@@ -7114,6 +7127,28 @@ object Queries {
          |SELECT e.vec_id AS vec_id, ${sqlR4(sqlSq("e.embedding", "q.qvec"))} AS distance
          |FROM embeddings e JOIN asg ON e.vec_id = asg.vec_id JOIN probed ON asg.cid = probed.cid, q
          |ORDER BY ${sqlSq("e.embedding", "q.qvec")} ASC, e.vec_id ASC LIMIT 10""".stripMargin,
+
+    // replay the probe ranking once, join each probe budget against the
+    // ranked prefix, LEFT join sizes (a duplicate-tied-away centroid is
+    // probed with zero rows)
+    "ivf_probe_cost" ->
+      s"""WITH c AS (SELECT CAST(vec_id AS INTEGER) AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8),
+         |q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+         |asg AS (SELECT vec_id, cid FROM (
+         |  SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id ORDER BY ${sqlSq("e.embedding", "c.cvec")} ASC, c.cid ASC) AS rn
+         |  FROM embeddings e CROSS JOIN c) WHERE rn = 1),
+         |sz AS (SELECT cid, CAST(count(*) AS BIGINT) AS n FROM asg GROUP BY cid),
+         |pr AS (SELECT c.cid, row_number() OVER (ORDER BY ${sqlSq("c.cvec", "q.qvec")} ASC, c.cid ASC) AS prk FROM c, q),
+         |tot AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM embeddings) AS store_rows,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM c) AS store_clusters),
+         |p AS (SELECT unnest([1, 2, 3, 4, 8]) AS probes)
+         |SELECT p.probes, CAST(count(*) AS BIGINT) AS n_probed,
+         |  CAST(coalesce(sum(coalesce(sz.n, 0)), 0) AS BIGINT) AS rows_scanned,
+         |  tot.store_rows, tot.store_clusters,
+         |  ${sqlR4("CAST(coalesce(sum(coalesce(sz.n, 0)), 0) AS DOUBLE) / tot.store_rows")} AS scan_frac
+         |FROM p JOIN pr ON pr.prk <= p.probes LEFT JOIN sz ON sz.cid = pr.cid, tot
+         |GROUP BY p.probes, tot.store_rows, tot.store_clusters
+         |ORDER BY p.probes""".stripMargin,
 
     "ivf_store_query" ->
       s"""WITH c AS (SELECT CAST(vec_id AS INTEGER) AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8),

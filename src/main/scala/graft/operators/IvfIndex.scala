@@ -327,6 +327,46 @@ object IvfIndex {
     Knn.search(candidates, query, k, metric, radius, filter)
   }
 
+  /** Probe-COST observability — the dashboard row that tells an
+    * operator whether `density`/`probes` are mis-tuned for the store:
+    * for one query and probe budget, the EXACT clusters-probed and
+    * rows-scanned census from the assignment frame (the same probe
+    * selection [[query]] runs, so the numbers are what the serving path
+    * actually pays), against store totals.
+    *
+    * Why it matters at 100 TB: the funnel's per-query scan cost is
+    * `probes × density` rows (reference defaults: density = 256
+    * max records/cluster, `src/main.rs:83-86`; probes = 32,
+    * `src/cores/database.rs:35-42` — i.e. ~8k rows scanned per query
+    * regardless of store size). `scan_frac` drifting toward 1 means the
+    * store has too few clusters for its row count (rebuild with a
+    * smaller density); `rows_scanned` far above `probes × density`
+    * means over-dense clusters (the adaptive-split budget is behind —
+    * see [[refine]]). One row per requested probe budget; a probed
+    * cluster emptied by duplicate-tie assignment still counts as probed
+    * with zero rows (left join, not inner). */
+  def probeCost(
+      model: Model,
+      query: DataFrame,
+      probesList: Seq[Int],
+      metric: Metric = Metric.Euclidean): DataFrame = {
+    val sizes = model.assigned.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("__csz"))
+    val totals = model.assigned.agg(count(lit(1)).as("store_rows"))
+      .crossJoin(model.centroids.agg(count(lit(1)).as("store_clusters")))
+    probesList.map { p =>
+      probedClusters(model, query, p, metric)
+        .join(sizes, Seq("cluster_id"), "left_outer")
+        .agg(count(lit(1)).as("n_probed"),
+          coalesce(sum(col("__csz")), lit(0L)).as("rows_scanned"))
+        .crossJoin(broadcast(totals))
+        .select(lit(p).as("probes"), col("n_probed"), col("rows_scanned"),
+          col("store_rows"), col("store_clusters"),
+          (floor(col("rows_scanned").cast("double") / col("store_rows")
+            * lit(10000.0) + lit(0.5)) / lit(10000.0)).as("scan_frac"))
+    }.reduce(_.unionAll(_))
+  }
+
   /** IVF probe composed with the Matryoshka prefix funnel
     * ([[Knn.searchPrefixRerank]]): probes prune CLUSTERS, the
     * prefix-dim distance prunes WITHIN the probed clusters, and the
