@@ -557,9 +557,17 @@ final class MaintainedIngest private[streaming] (
     // per-round truncation — the buildBalanced discipline: each refine
     // round nests a union+join layer and the loop (plus the final
     // rewrite) actions the frame several times; raw, every action would
-    // re-run the whole nested lineage from the parquet scan
+    // re-run the whole nested lineage from the parquet scan.
+    // K-WAY splits (the buildBalanced operator), not binary refine: the
+    // r13 duplicate-skew fixture showed binary 2-means peels background
+    // off a duplicate-heavy ball a fringe at a time (farthest-point
+    // seeds land on outliers; the tight ball drags both means), needing
+    // rounds ∝ the co-resident population instead of log — a streaming
+    // maintenance loop must restore density in O(log_maxWay) rounds of
+    // the worst violation regardless of WHY the cluster is hot.
     while (!fixedPoint && rounds < maxRefineRounds) {
-      IvfIndex.refineKeepCache(m, density, metric) match {
+      IvfIndex.splitKWayKeepCache(m, density, metric, iters = 3,
+          maxWay = IvfIndex.DefaultMaxWay) match {
         case None => fixedPoint = true
         case Some((refined, members)) =>
           m = IvfIndex.Model(refined.centroids, truncate(refined.assigned))

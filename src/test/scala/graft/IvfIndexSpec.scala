@@ -843,6 +843,138 @@ class IvfIndexSpec extends SparkSpec {
     }
   }
 
+  // The maintenance rebalance loop the production door runs
+  // (VectorIngest.refineNow): k-way splits to the density fixed point,
+  // per-round lineage truncation. K-WAY is load-bearing for this
+  // fixture — binary 2-means refine peels background off a duplicate-
+  // heavy ball a fringe at a time (farthest-point seeds land on
+  // outliers, the tight ball drags both means; measured ~10%/round on
+  // this fixture), needing rounds ∝ co-resident population instead of
+  // log — which is exactly why refineNow switched to splitKWay (r13).
+  private def kwayToDensity(m0: IvfIndex.Model, density: Int): IvfIndex.Model = {
+    var m = m0
+    var rounds = 0
+    var done = false
+    while (!done && rounds < 32) {
+      IvfIndex.splitKWayKeepCache(m, density, Metric.Euclidean,
+          iters = 3, maxWay = IvfIndex.DefaultMaxWay) match {
+        case None => done = true
+        case Some((split, members)) =>
+          m = IvfIndex.Model(split.centroids,
+            org.apache.spark.sql.graft.PlanBridge.statsReset(
+              split.assigned.localCheckpoint()))
+          members.unpersist()
+          rounds += 1
+      }
+    }
+    m
+  }
+
+  test("adversarial skew: a near-duplicate family at 5x density collapses " +
+    "into one coarse cluster and the maintained path (build -> applyDiff " +
+    "-> refine -> store rewrite) keeps every cluster <= density") {
+    // the IVF analogue of the near-dup viral-bucket assert: a duplicate-
+    // heavy corpus slams one cluster with >density x mass, and the census
+    // must prove the rebalance at every maintenance step
+    val rnd = new scala.util.Random(7)
+    val background = (0 until 1000).map { i =>
+      (i.toLong, Seq.fill(dim)(rnd.nextFloat()), Map("n" -> i.toString))
+    }
+    // 320 NEAR-duplicates (distinct, hence splittable — jitter well above
+    // the r4 mean-quantization grid) in a tiny ball around (0.5)^dim
+    val family = (0 until 320).map { j =>
+      val v: Seq[Float] =
+        (0 until dim).map(d => 0.5f + ((j * 31 + d * 7) % 23 - 11) * 0.002f)
+      ((2000 + j).toLong, v, Map("n" -> s"f$j"))
+    }
+    val recs = (background ++ family).toDF("id", "embedding", "metadata").cache()
+    val coarse = recs.where(col("id") < 4)
+      .select(col("id").cast("int").as("cluster_id"), col("embedding").as("centroid"))
+    // the fixture is only adversarial if the family really lands in ONE
+    // coarse cluster (5x the density budget)
+    val preMax = IvfIndex.assign(recs, coarse, Metric.Euclidean)
+      .groupBy("cluster_id").count().agg(max("count")).as[Long].head()
+    assert(preMax >= 320L, s"family must pack one coarse cluster, max=$preMax")
+
+    val m = kwayToDensity(IvfIndex.Model(coarse,
+      IvfIndex.assign(recs, coarse, Metric.Euclidean).localCheckpoint()), 64)
+    val sizes = m.assigned.groupBy("cluster_id").count().as[(Int, Long)].collect()
+    assert(sizes.map(_._2).sum === 1320L, "no record lost")
+    assert(m.assigned.select("id").distinct().count() === 1320L, "no record duplicated")
+    assert(sizes.map(_._2).max <= 64L,
+      s"skewed family not rebalanced: max=${sizes.map(_._2).max}")
+
+    // maintained path: a change log dumping 100 MORE family members (a
+    // tight sub-ball, so they pile onto few clusters) + one delete.
+    // applyDiff alone must overflow a cluster — that's what the
+    // maintenance refine step is FOR — and the refine fixed point must
+    // restore the census
+    val diff = ((0 until 100).map { j =>
+      val v: Seq[Float] =
+        (0 until dim).map(d => 0.5f + ((j * 11 + d * 3) % 13 - 6) * 0.002f)
+      ((3000 + j).toLong, v, Map("n" -> s"g$j"), "upsert")
+    } :+ ((999L, Seq.fill(dim)(0f): Seq[Float], Map.empty[String, String], "delete")))
+      .toDF("id", "embedding", "metadata", "op")
+    val applied = IvfIndex.applyDiff(m, diff, Metric.Euclidean)
+    val appliedMax = applied.assigned.groupBy("cluster_id").count()
+      .agg(max("count")).as[Long].head()
+    assert(appliedMax > 64L,
+      s"diff must overflow a cluster or the fixture tests nothing: $appliedMax")
+    val rebal = kwayToDensity(applied, 64)
+    val rebalSizes = rebal.assigned.groupBy("cluster_id").count()
+      .as[(Int, Long)].collect()
+    assert(rebalSizes.map(_._2).sum === 1419L, "coverage after diff: 1320 - 1 + 100")
+    assert(rebalSizes.map(_._2).max <= 64L,
+      s"maintenance refine did not restore density: max=${rebalSizes.map(_._2).max}")
+
+    // store rewrite: the maintained assignment lands cluster_id-
+    // partitioned (the serving layout with pinned DPP) and the reopened
+    // store holds the SAME census and the same rows
+    val dir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Files.createDirectories(
+        new java.io.File("target").toPath), "ivf_skew_store").toString
+    rebal.assigned.write.mode("overwrite").partitionBy("cluster_id").parquet(dir)
+    val reopened = spark.read.parquet(dir)
+    assert(reopened.count() === 1419L)
+    assert(reopened.groupBy("cluster_id").count().agg(max("count"))
+      .as[Long].head() <= 64L, "store rewrite must preserve the census")
+    assert(reopened.select("id", "cluster_id").as[(Long, Int)].collect().toMap ===
+      rebal.assigned.select("id", "cluster_id").as[(Long, Int)].collect().toMap)
+  }
+
+  test("adversarial skew: an EXACT-duplicate core beyond density stays by " +
+    "the degenerate guard (2-means cannot separate identical points) and " +
+    "the build terminates at the fixed point") {
+    // the documented division of labor: exact-duplicate mass is the
+    // exact-dedup pass's job (composed upstream, like the LSH viral-
+    // bucket argument) — the index build must TERMINATE and keep the
+    // family intact rather than loop appending empty centroids
+    val rnd = new scala.util.Random(11)
+    val bg = (0 until 200).map { i =>
+      (i.toLong, Seq.fill(dim)(rnd.nextFloat()), Map("n" -> i.toString))
+    }
+    val dup = (0 until 130).map { j =>
+      ((5000 + j).toLong, Seq.fill(dim)(0.5f): Seq[Float], Map("n" -> s"d$j"))
+    }
+    val recs = (bg ++ dup).toDF("id", "embedding", "metadata").cache()
+    val coarse = recs.where(col("id") < 2)
+      .select(col("id").cast("int").as("cluster_id"), col("embedding").as("centroid"))
+    val m = kwayToDensity(IvfIndex.Model(coarse,
+      IvfIndex.assign(recs, coarse, Metric.Euclidean).localCheckpoint()), 64)
+    assert(m.assigned.count() === 330L, "no record lost")
+    val sizes = m.assigned.groupBy("cluster_id").count().as[(Int, Long)].collect()
+      .map(_._2)
+    assert(sizes.count(_ > 64L) === 1,
+      s"exactly the duplicate family may stay oversized: ${sizes.filter(_ > 64L).toSeq}")
+    assert(sizes.max >= 130L, "the family stays together")
+    // and the fixed point is reference-equal: NEITHER split operator can
+    // make progress on a pure-duplicate cluster (identical members tie to
+    // one sub / dmax = 0), and both return the input model rather than
+    // appending empty centroids forever
+    assert(IvfIndex.splitKWay(m, 64, Metric.Euclidean) eq m)
+    assert(IvfIndex.refine(m, 64, Metric.Euclidean) eq m)
+  }
+
   test("queryHammingRerank serves from a stored bcode column without " +
     "re-encoding, with identical results") {
     import graft.operators.VectorOps

@@ -3,6 +3,19 @@
 bench artifacts, so regressions are machine-checked instead of eyeballed.
 
 Usage: python3 tools/bench_diff.py <old> <new> [--threshold 1.5]
+                                   [--remeasured isolation.json]
+
+This IS the round close-out gate (SURVEY §"close-out checklist"): it
+exits 1 when any query's min-of-passes regresses >threshold vs the
+previous committed artifact, so a dirty measurement record cannot ship
+silently. The escape hatch for host-noise stalls is an ISOLATION
+re-measure: re-run the flagged queries solo
+(`sbt "runMain graft.Bench <q1> <q2>"`, which rewrites
+target/bench.json with just those queries), pass that file via
+--remeasured, and a flagged regression is WAIVED iff its solo time is
+back inside the threshold — the waiver is printed so the round notes
+can record the isolation numbers, making the noise claim
+self-contained in the artifact trail.
 
 Accepts any of the three artifact shapes that exist in this repo:
   - the bare bench JSON line Bench.scala prints (and writes to
@@ -47,7 +60,9 @@ def load_queries(path):
     for m in re.finditer(r'"([a-z0-9_]+)":\[([\d.,]+)\]', tail):
         q.setdefault(m.group(1), min(float(x) for x in m.group(2).split(',')))
     for k in ('metric', 'value', 'sf', 'warmup_s', 'tables', 'codegen_jit',
-              'mllib_jit', 'text_kernel_jit', 'lsh_pipeline_jit'):
+              'mllib_jit', 'text_kernel_jit', 'lsh_pipeline_jit',
+              'load_avg_start', 'load_avg_end', 'cpus', 'n_queries',
+              'queries_wall_s', 'queries_cpu_s', 'queries_gc_s'):
         q.pop(k, None)
     print(f'[{path}] parsed=null: recovered {len(q)} query times from tail')
     return None, q
@@ -55,6 +70,7 @@ def load_queries(path):
 
 def main():
     thr = 1.5
+    remeasured_path = None
     args = []
     argv = sys.argv[1:]
     i = 0
@@ -66,6 +82,12 @@ def main():
             else:
                 thr = float(argv[i + 1])
                 i += 1  # consume the value so it never lands in args
+        elif a.startswith('--remeasured'):
+            if '=' in a:
+                remeasured_path = a.split('=', 1)[1]
+            else:
+                remeasured_path = argv[i + 1]
+                i += 1
         else:
             args.append(a)
         i += 1
@@ -84,6 +106,19 @@ def main():
 
     regress = [(new[q] / old[q], q) for q in common
                if new[q] > old[q] * thr and new[q] - old[q] > 0.05]
+    if remeasured_path and regress:
+        # isolation escape hatch: a flagged regression is waived iff its
+        # SOLO re-measure is back inside the threshold (host-noise stalls
+        # land on a different query each run and vanish in isolation;
+        # real regressions reproduce solo)
+        _, solo = load_queries(remeasured_path)
+        waived = [(r, q) for (r, q) in regress
+                  if q in solo and not (solo[q] > old[q] * thr
+                                        and solo[q] - old[q] > 0.05)]
+        for r, q in sorted(waived, reverse=True):
+            print(f'-- WAIVED by isolation re-measure: {q}: committed '
+                  f'{new[q]:.2f}s ({r:.1f}x of {old[q]:.2f}s), solo {solo[q]:.2f}s')
+        regress = [x for x in regress if x not in waived]
     improve = [(old[q] / new[q], q) for q in common
                if old[q] > new[q] * thr and old[q] - new[q] > 0.05]
     for title, rows in ((f'regressions >{thr}x', sorted(regress, reverse=True)),
