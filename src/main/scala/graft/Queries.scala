@@ -696,8 +696,14 @@ object Queries {
 
   private val sqlDedupIncremental: String = sqlDedupIncrementalVariant(capped = false)
 
-  private def sqlDedupIncrementalBody(cbCte: String, corpusLeg: String): String =
-      s"""WITH toks AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(len(tk) - 2, 0)),
+  /** The MinHash banding pipeline through `bands(doc_id, h1, band_idx,
+    * band_hash)` as DuckDB CTEs — the (3, 16, 4) geometry every banded
+    * consumer replays. Shared by the incremental-gate oracles and the
+    * store-census oracle. LAZY: `sqlDedupIncremental` (a plain val
+    * declared above) evaluates at object init, before a later plain val
+    * here would initialize. */
+  private lazy val sqlBandsCtes: String =
+      s"""toks AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(len(tk) - 2, 0)),
          |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
          |  FROM (SELECT doc_id, regexp_split_to_array(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+') AS tk FROM documents)),
          |ne AS (SELECT doc_id, sh FROM toks WHERE len(sh) > 0),
@@ -711,7 +717,10 @@ object Queries {
          |  list_min(list_transform(list_zip(h1, h2), p -> p[1] + i * p[2]))) AS sg FROM hh),
          |bands AS MATERIALIZED (SELECT doc_id, h1, u.b AS band_idx,
          |  md5(array_to_string(list_slice(sg, u.b * 4 + 1, u.b * 4 + 4), '|')) AS band_hash
-         |  FROM sig, (SELECT unnest([0, 1, 2, 3]) AS b) u)$cbCte,
+         |  FROM sig, (SELECT unnest([0, 1, 2, 3]) AS b) u)""".stripMargin
+
+  private def sqlDedupIncrementalBody(cbCte: String, corpusLeg: String): String =
+      s"""WITH $sqlBandsCtes$cbCte,
          |j AS (SELECT DISTINCT n.doc_id AS doc_id, c.doc_id AS dup_of,
          |  CAST(len(list_intersect(n.h1, c.h1)) AS DOUBLE) / len(list_distinct(n.h1 || c.h1)) AS jaccard
          |  FROM bands n JOIN $corpusLeg c ON n.band_idx = c.band_idx AND n.band_hash = c.band_hash
@@ -3217,6 +3226,36 @@ object Queries {
         .select(col("doc_id"), col("dup_of"), r4(col("jaccard")).as("jaccard"))
         .distinct()
         .orderBy("doc_id", "dup_of")
+    }),
+
+    // extension: near-dup STORE census — the banding/cap dashboard (the
+    // dedup twin of ivf_probe_cost): per band, the exact row count,
+    // bucket count, hottest bucket, colliding buckets, candidate-pair
+    // fanout Σ n·(n−1)/2 (the quantity the viral-bucket cap bounds —
+    // the band join's cost is THIS, not the row count), and the number
+    // of buckets the capped reader ([[graft.streaming.DocIngest
+    // .corpusIndexFromStore]]) would drop. An operator alarms on
+    // n_over_cap > 0 (exact-dedup upstream is behind) and watches
+    // cand_pairs vs n_rows for banding geometry drift. Rides the one
+    // memoized signature pass; bounded output (one row per band)
+    "dedup_store_stats" -> ((s, dir) => {
+      val banded = Dedup.bandedSignature(
+        Caching.ensureCached(Dedup.minhashSignature(docs(s, dir), 3, 16)
+          .select(col("doc_id"), col("__sig"), col("__shh"))), 16, 4)
+      banded.groupBy(col("band_idx"), col("band_hash"))
+        .agg(count(lit(1)).as("__bn"))
+        .groupBy(col("band_idx"))
+        .agg(sum(col("__bn")).as("n_rows"),
+          count(lit(1)).as("n_buckets"),
+          max(col("__bn")).as("max_bucket"),
+          sum(when(col("__bn") >= 2, 1L).otherwise(0L)).as("n_colliding"),
+          sum(col("__bn") * (col("__bn") - 1) / 2).as("cand_pairs"),
+          sum(when(col("__bn") > Dedup.DefaultPipelineMaxBucket, 1L)
+            .otherwise(0L)).as("n_over_cap"))
+        .select(col("band_idx").cast("int").as("band_idx"), col("n_rows"),
+          col("n_buckets"), col("max_bucket"), col("n_colliding"),
+          col("cand_pairs").cast("long").as("cand_pairs"), col("n_over_cap"))
+        .orderBy("band_idx")
     }),
 
     // extension: cross-SOURCE duplication matrix — the verified near-dup
@@ -8906,6 +8945,21 @@ object Queries {
     // the SAME contract served from the on-disk maintained index —
     // identical fixed geometry, identical result set
     "dedup_incremental_store" -> sqlDedupIncrementalVariant(capped = true),
+
+    // the store census replays the banding pipeline and aggregates the
+    // bucket histogram per band — every cell an exact integer
+    "dedup_store_stats" ->
+      s"""WITH $sqlBandsCtes,
+         |bk AS (SELECT band_idx, band_hash, CAST(count(*) AS BIGINT) AS bn
+         |  FROM bands GROUP BY 1, 2)
+         |SELECT CAST(band_idx AS INT) AS band_idx,
+         |  CAST(sum(bn) AS BIGINT) AS n_rows,
+         |  CAST(count(*) AS BIGINT) AS n_buckets,
+         |  CAST(max(bn) AS BIGINT) AS max_bucket,
+         |  CAST(sum(CASE WHEN bn >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_colliding,
+         |  CAST(sum(bn * (bn - 1) // 2) AS BIGINT) AS cand_pairs,
+         |  CAST(sum(CASE WHEN bn > ${graft.operators.Dedup.DefaultPipelineMaxBucket} THEN 1 ELSE 0 END) AS BIGINT) AS n_over_cap
+         |FROM bk GROUP BY band_idx ORDER BY band_idx""".stripMargin,
 
     "dedup_simhash" ->
       s"""WITH toks AS (SELECT doc_id, regexp_split_to_array(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+') AS t FROM documents),
