@@ -256,6 +256,17 @@ class PlanShapeSpec extends SparkSpec {
       s"packing window must partition by (split, shard): $w"))
   }
 
+  test("dedup_store_stats: one signature kernel, text never shuffles — " +
+    "the census rides the digest pass and aggregates md5 band keys only") {
+    val p = plan(Queries.queries("dedup_store_stats")(spark, sf))
+    val kernels = p.linesIterator.count(_.toLowerCase.contains("minhashsighashesexpr"))
+    assert(kernels <= 1, s"census must ride ONE digest pass, found $kernels")
+    p.linesIterator.filter(_.contains("Exchange")).foreach { e =>
+      assert(!e.contains("text#") && !e.contains("__shh#"),
+        s"wide column in census shuffle: $e")
+    }
+  }
+
   test("corpus_assemble shuffles are narrow (no text/token arrays) and packing partitions by (split, shard)") {
     val p = plan(Queries.queries("corpus_assemble")(spark, sf))
     p.linesIterator.filter(_.contains("Exchange")).foreach { e =>
