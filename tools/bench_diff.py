@@ -53,7 +53,19 @@ def load_queries(path):
     # driver wrapper with parsed=null: scrape the truncated tail. Match
     # both the summary form "name":1.23 and the passes form
     # "name":[1.2,0.9] (taking the min, same as the summary).
+    #
+    # Per-query times live ONLY in the "queries":{...} summary and the
+    # "passes":{...} arrays, which Bench prints BEFORE the run metadata.
+    # Everything from "failed": onward — warmup_corpus_state, warmup_jit,
+    # gc_spikes — is a map whose KEYS reuse query names with non-query
+    # values (r13 verdict: r12's tail fed warmup_corpus_state.dedup_pagerank
+    # = 22.08s into the gate as a query time). Cut the tail at the first
+    # metadata marker so those maps can never shadow a truncated query.
     tail = d.get('tail', '')
+    for marker in ('"failed":', '"warmup', '"gc_spikes"', '"load_avg'):
+        j = tail.find(marker)
+        if j >= 0:
+            tail = tail[:j]
     q = {}
     for m in re.finditer(r'"([a-z0-9_]+)":(\d+\.\d+)', tail):
         q.setdefault(m.group(1), float(m.group(2)))
@@ -76,18 +88,27 @@ def main():
     i = 0
     while i < len(argv):
         a = argv[i]
-        if a.startswith('--threshold'):
+        # exact flag names only (a typo'd --remeasuredd must be an error,
+        # not silently consumed), and a trailing flag with no value is a
+        # usage error, not an IndexError
+        if a == '--threshold' or a.startswith('--threshold='):
             if '=' in a:
                 thr = float(a.split('=', 1)[1])
-            else:
+            elif i + 1 < len(argv):
                 thr = float(argv[i + 1])
                 i += 1  # consume the value so it never lands in args
-        elif a.startswith('--remeasured'):
+            else:
+                sys.exit('usage: --threshold requires a value')
+        elif a == '--remeasured' or a.startswith('--remeasured='):
             if '=' in a:
                 remeasured_path = a.split('=', 1)[1]
-            else:
+            elif i + 1 < len(argv):
                 remeasured_path = argv[i + 1]
                 i += 1
+            else:
+                sys.exit('usage: --remeasured requires a file path')
+        elif a.startswith('--'):
+            sys.exit(f'unknown flag {a} (expected --threshold or --remeasured)')
         else:
             args.append(a)
         i += 1
