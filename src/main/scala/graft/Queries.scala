@@ -883,12 +883,17 @@ object Queries {
     (Caching.ensureCached(banded), Caching.ensureCached(hashes))
   }
 
-  /** The on-disk near-dup index store (`dedup_incremental_store`):
-    * banded LSH view partitioned by band_idx + per-doc shingle
-    * identities, written ONCE per (session, dir) — the refresh a
-    * corpus-maintenance job runs per corpus version. Derived from the
-    * memoized in-memory index, so writing costs one cached-frame dump,
-    * not a second signature pass. */
+  /** The on-disk near-dup index store (`dedup_incremental_store`,
+    * `dedup_store_stats`): banded LSH view partitioned by band_idx +
+    * per-doc shingle identities, written ONCE per (session, dir) — the
+    * refresh a corpus-maintenance job runs per corpus version. The store
+    * holds the UNCAPPED banded view — the [[graft.streaming.DocIngest
+    * .startCorpusIndexMaintenance]] contract: the viral-bucket cap is a
+    * whole-bucket property, so readers apply it at open
+    * ([[graft.streaming.DocIngest.corpusIndexFromStore]]) while the
+    * census ([[graft.operators.Dedup.bandingCensus]]) audits the raw
+    * stored rows. Derived from the memoized signature cache, so writing
+    * costs one cached-frame dump, not a second signature pass. */
   private val dedupStoreCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
   private def dedupStorePath(s: SparkSession, dir: String): String = {
@@ -899,7 +904,13 @@ object Queries {
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_dedup_store_" +
         s.sparkContext.applicationId + "_" +
         dir.replaceAll("[^A-Za-z0-9._-]", "_")
-      val (banded, hashes) = corpusIndexMemo(s, dir)
+      val (_, hashes) = corpusIndexMemo(s, dir)
+      // the UNCAPPED banded rides the signature frame corpusIndexMemo
+      // already cached (identical plan → cache hit, no second digest)
+      val banded = Dedup.bandedSignature(
+          Caching.ensureCached(Dedup.minhashSignature(
+            docs(s, dir).where(col("doc_id") < 400), 3, 16)), 16, 4)
+        .select(col("doc_id").as("dup_of"), col("band_idx"), col("band_hash"))
       banded.write.mode("overwrite").partitionBy("band_idx").parquet(s"$path/banded")
       hashes.write.mode("overwrite").parquet(s"$path/hashes")
       path
@@ -3229,34 +3240,27 @@ object Queries {
     }),
 
     // extension: near-dup STORE census — the banding/cap dashboard (the
-    // dedup twin of ivf_probe_cost): per band, the exact row count,
-    // bucket count, hottest bucket, colliding buckets, candidate-pair
-    // fanout Σ n·(n−1)/2 (the quantity the viral-bucket cap bounds —
-    // the band join's cost is THIS, not the row count), and the number
-    // of buckets the capped reader ([[graft.streaming.DocIngest
-    // .corpusIndexFromStore]]) would drop. An operator alarms on
-    // n_over_cap > 0 (exact-dedup upstream is behind) and watches
-    // cand_pairs vs n_rows for banding geometry drift. Rides the one
-    // memoized signature pass; bounded output (one row per band)
-    "dedup_store_stats" -> ((s, dir) => {
-      val banded = Dedup.bandedSignature(
-        Caching.ensureCached(Dedup.minhashSignature(docs(s, dir), 3, 16)
-          .select(col("doc_id"), col("__sig"), col("__shh"))), 16, 4)
-      banded.groupBy(col("band_idx"), col("band_hash"))
-        .agg(count(lit(1)).as("__bn"))
-        .groupBy(col("band_idx"))
-        .agg(sum(col("__bn")).as("n_rows"),
-          count(lit(1)).as("n_buckets"),
-          max(col("__bn")).as("max_bucket"),
-          sum(when(col("__bn") >= 2, 1L).otherwise(0L)).as("n_colliding"),
-          sum(col("__bn") * (col("__bn") - 1) / 2).as("cand_pairs"),
-          sum(when(col("__bn") > Dedup.DefaultPipelineMaxBucket, 1L)
-            .otherwise(0L)).as("n_over_cap"))
-        .select(col("band_idx").cast("int").as("band_idx"), col("n_rows"),
-          col("n_buckets"), col("max_bucket"), col("n_colliding"),
-          col("cand_pairs").cast("long").as("cand_pairs"), col("n_over_cap"))
-        .orderBy("band_idx")
-    }),
+    // dedup twin of ivf_probe_cost): per band of the MAINTAINED ON-DISK
+    // index, the exact row count, bucket count, hottest bucket,
+    // colliding buckets, candidate-pair fanout Σ n·(n−1)/2 (the quantity
+    // the viral-bucket cap bounds — the band join's cost is THIS, not
+    // the row count), and the number of buckets the capped reader
+    // ([[graft.streaming.DocIngest.corpusIndexFromStore]]) would drop at
+    // open. An operator alarms on n_over_cap > 0 (exact-dedup upstream
+    // is behind) and watches cand_pairs vs n_rows for banding geometry
+    // drift. The input is the store's `banded` table itself — a PURE
+    // columnar scan of the narrow hash columns (plan-pinned: ZERO
+    // signature kernels), never a re-run of the signature pipeline over
+    // the corpus: at 100 TB re-deriving the banding costs the same as
+    // rebuilding the index the store exists to avoid, while this census
+    // costs two bounded aggregations. Store-census == rebuild-census is
+    // law-pinned in MaintainedLifecycleSpec; the oracle replays the
+    // banding over the stored population (the streamed slice,
+    // doc_id < 400 — the same rows dedup_incremental_store serves from)
+    "dedup_store_stats" -> ((s, dir) =>
+      Dedup.bandingCensus(
+          s.read.parquet(s"${dedupStorePath(s, dir)}/banded"))
+        .orderBy("band_idx")),
 
     // extension: cross-SOURCE duplication matrix — the verified near-dup
     // pair set rolled up by unordered source pair: which feeds duplicate
@@ -8946,12 +8950,17 @@ object Queries {
     // identical fixed geometry, identical result set
     "dedup_incremental_store" -> sqlDedupIncrementalVariant(capped = true),
 
-    // the store census replays the banding pipeline and aggregates the
-    // bucket histogram per band — every cell an exact integer
+    // the store census: the oracle replays the banding pipeline over the
+    // STORED population (the streamed corpus slice, doc_id < 400 — what
+    // startCorpusIndexMaintenance indexed and dedup_incremental_store
+    // serves from) and aggregates the bucket histogram per band — every
+    // cell an exact integer. The engine side is a pure scan of the
+    // store's banded table; equality here certifies the store holds
+    // exactly the uncapped banding of its population
     "dedup_store_stats" ->
       s"""WITH $sqlBandsCtes,
          |bk AS (SELECT band_idx, band_hash, CAST(count(*) AS BIGINT) AS bn
-         |  FROM bands GROUP BY 1, 2)
+         |  FROM bands WHERE doc_id < 400 GROUP BY 1, 2)
          |SELECT CAST(band_idx AS INT) AS band_idx,
          |  CAST(sum(bn) AS BIGINT) AS n_rows,
          |  CAST(count(*) AS BIGINT) AS n_buckets,

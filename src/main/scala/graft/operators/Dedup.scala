@@ -120,6 +120,33 @@ object Dedup {
       banded.join(broadcast(hot), keyCols, "left_anti")
     }
 
+  /** Banding/cap census of a banded LSH view — the monitoring dashboard
+    * behind [[dropHotBuckets]]'s cap: per band, the exact row count,
+    * bucket count, hottest bucket, colliding buckets, candidate-pair
+    * fanout Σ n·(n−1)/2 (the quantity the viral-bucket cap bounds — a
+    * band self-join's cost is THIS, not the row count), and how many
+    * buckets a capped reader would drop. Takes ANY banded frame with
+    * `(band_idx, band_hash)` columns — in production that is a pure
+    * columnar scan of the maintained on-disk store's `banded` table
+    * ([[graft.streaming.DocIngest.startCorpusIndexMaintenance]] layout:
+    * narrow hash columns, band_idx partitioned), NEVER a re-run of the
+    * signature kernel over the corpus: at 100 TB the census must cost a
+    * metadata-sized scan, not an index rebuild. Two bounded aggregations
+    * (bucket histogram → per-band rollup); output = one row per band. */
+  def bandingCensus(banded: DataFrame, maxBucket: Int = DefaultPipelineMaxBucket): DataFrame =
+    banded.groupBy(col("band_idx"), col("band_hash"))
+      .agg(count(lit(1)).as("__bn"))
+      .groupBy(col("band_idx"))
+      .agg(sum(col("__bn")).as("n_rows"),
+        count(lit(1)).as("n_buckets"),
+        max(col("__bn")).as("max_bucket"),
+        sum(when(col("__bn") >= 2, 1L).otherwise(0L)).as("n_colliding"),
+        sum(col("__bn") * (col("__bn") - 1) / 2).as("cand_pairs"),
+        sum(when(col("__bn") > maxBucket, 1L).otherwise(0L)).as("n_over_cap"))
+      .select(col("band_idx").cast("int").as("band_idx"), col("n_rows"),
+        col("n_buckets"), col("max_bucket"), col("n_colliding"),
+        col("cand_pairs").cast("long").as("cand_pairs"), col("n_over_cap"))
+
   /** `(doc_id, [carry...,] band_idx, band_hash)` banded view of a
     * [[minhashSignature]] frame — the LSH bucketing key: `bands` bands of
     * `perms / bands` signature rows each, hashed to one md5 per band.

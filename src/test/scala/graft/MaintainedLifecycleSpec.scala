@@ -138,6 +138,23 @@ class MaintainedLifecycleSpec extends SparkSpec {
     assert(hashSet(h2) === hashSet(fh),
       "maintained shingle identities must equal the from-scratch index")
 
+    // ---- outcome 1b: store-census == rebuild-census (the law behind
+    // dedup_store_stats) — the census is a PURE scan of the store's
+    // banded table, so it must agree exactly with censusing a
+    // from-scratch UNCAPPED banding of everything ever streamed; at
+    // 100 TB only the scan is affordable, so this equality is what makes
+    // the cheap census trustworthy ----
+    def censusSet(df: DataFrame) = df
+      .as[(Int, Long, Long, Long, Long, Long, Long)].collect().toSet
+    val storeCensus = graft.operators.Dedup.bandingCensus(
+      spark.read.parquet(s"$corpusStore/banded"))
+    val rebuildCensus = graft.operators.Dedup.bandingCensus(
+      graft.operators.Dedup.bandedSignature(
+        graft.operators.Dedup.minhashSignature(
+          (c1 ++ c2).toDF("doc_id", "text"), 3, 16), 16, 4))
+    assert(censusSet(storeCensus) === censusSet(rebuildCensus),
+      "store census (pure scan) must equal the from-scratch banding census")
+
     // ---- outcome 2: maintained counts == retraining on the union ----
     val maintained = DocIngest.nbCountsAt(spark, trainStore).get
     val retrained = TextOps.nbCharGramCounts(

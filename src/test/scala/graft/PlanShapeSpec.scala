@@ -256,13 +256,20 @@ class PlanShapeSpec extends SparkSpec {
       s"packing window must partition by (split, shard): $w"))
   }
 
-  test("dedup_store_stats: one signature kernel, text never shuffles — " +
-    "the census rides the digest pass and aggregates md5 band keys only") {
+  test("dedup_store_stats: a PURE scan of the maintained store — zero " +
+    "signature kernels, no documents scan, narrow columns only") {
     val p = plan(Queries.queries("dedup_store_stats")(spark, sf))
-    val kernels = p.linesIterator.count(_.toLowerCase.contains("minhashsighashesexpr"))
-    assert(kernels <= 1, s"census must ride ONE digest pass, found $kernels")
+    // the census must read the on-disk banded table, never re-run the
+    // signature pipeline over the corpus (at 100 TB the recompute costs
+    // an index rebuild; the store exists to avoid exactly that)
+    assert(!p.toLowerCase.contains("minhashsighashesexpr"),
+      "store census must not plan a signature kernel")
+    assert(!p.contains("documents.parquet"),
+      "store census must not scan the corpus — only the store's banded table")
+    assert(p.contains("graft_dedup_store_"),
+      "store census must scan the on-disk store")
     p.linesIterator.filter(_.contains("Exchange")).foreach { e =>
-      assert(!e.contains("text#") && !e.contains("__shh#"),
+      assert(!e.contains("text#") && !e.contains("__shh#") && !e.contains("__sig#"),
         s"wide column in census shuffle: $e")
     }
   }
