@@ -800,6 +800,36 @@ object Queries {
        |SELECT doc_id, split, shard, strt // 512 AS pack_id, strt % 512 AS tok_offset
        |FROM c ORDER BY doc_id""".stripMargin
 
+  /** Corpus-assembly oracle, BPE back half (mirror of [[assemblePacked]]
+    * on `n_tokens_bpe`), parameterized by the keep-set CTE it packs —
+    * shared by `corpus_assemble_bpe` (keep = `kept`) and
+    * `corpus_assemble_dedup_bpe` (keep = `kept2`, the near-dup drop
+    * spliced in). Requires `bseg` ([[sqlBpeSegCtes]]) in scope: pack
+    * budgets are pack_bpe's per-token segmentation replay summed per
+    * kept doc. The `adn` leg is a LEFT JOIN with coalesce-to-0 so a
+    * kept doc whose tokens are ALL empty keeps its Spark-side
+    * `n_tokens_bpe = 0` instead of dropping out of the pack — currently
+    * unreachable (the lang/quality gate requires real tokens), but the
+    * oracle must not encode that reachability argument. */
+  private def sqlAssembleBpeTail(kept: String): String =
+    s"""abdoc AS (SELECT d.doc_id, unnest(regexp_split_to_array(translate(trim(d.text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+')) AS token
+       |  FROM documents d JOIN $kept USING (doc_id)),
+       |adn AS (SELECT doc_id, CAST(sum(n_sym) AS BIGINT) AS n_tokens
+       |  FROM abdoc JOIN bseg USING (token) WHERE token <> '' GROUP BY doc_id),
+       |m AS (SELECT d.doc_id,
+       |    list_reduce(list_transform(string_split_regex(substr(md5(d.text), 1, 8), ''),
+       |      c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a * 16 + b) % 100 AS b,
+       |    coalesce(adn.n_tokens, 0) AS n_tokens
+       |  FROM documents d JOIN $kept USING (doc_id) LEFT JOIN adn ON adn.doc_id = d.doc_id),
+       |s AS (SELECT doc_id, CASE WHEN b < 90 THEN 'train' ELSE 'val' END AS split,
+       |    doc_id % 4 AS shard, n_tokens FROM m),
+       |c AS (SELECT doc_id, split, shard,
+       |    CAST(sum(n_tokens) OVER (PARTITION BY split, shard ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - n_tokens AS strt
+       |  FROM s)
+       |SELECT doc_id, split, shard, strt // 512 AS pack_id, strt % 512 AS tok_offset
+       |FROM c ORDER BY doc_id""".stripMargin
+
   // ---------- Spark-side helpers ----------
 
   private def emb(s: SparkSession, dir: String): DataFrame = Records.table(s, dir, "embeddings")
@@ -1365,7 +1395,7 @@ object Queries {
     * (written by the ingest gate), not a per-query tokenize. */
   private val assembleFilteredCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-  private def assembleFiltered(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def assembleFiltered(s: SparkSession, dir: String): DataFrame = {
     assembleFilteredCache.keySet.removeIf(_._1.sparkContext.isStopped)
     assembleFilteredCache.computeIfAbsent((s, dir), _ =>
       org.apache.spark.sql.graft.PlanBridge.statsReset(
@@ -1401,16 +1431,28 @@ object Queries {
     * running-total packing windows, final (pack_id, tok_offset) layout.
     * `tokCol` picks the packing budget column — whitespace `n_tokens`
     * (`corpus_assemble`) or the trained-tokenizer `n_tokens_bpe`
-    * (`corpus_assemble_bpe`); the window arithmetic is identical. */
-  private def assemblePacked(
-      base: DataFrame, tokCol: String = "n_tokens"): DataFrame = {
+    * (`corpus_assemble_bpe`); the window arithmetic is identical.
+    *
+    * `shards` sets the packing parallelism, and it is the SCALE knob:
+    * each (split, shard) running-sum window is one sequential pass (a
+    * sort bounded by that shard's rows), so the shard count is the pack
+    * stage's maximum parallelism AND its per-task memory bound — size
+    * it so corpus_rows / shards fits one task, exactly like
+    * [[graft.operators.Corpus.pack]]'s `nShards` (a 100 TB pack job
+    * wants thousands; the gate fixture keeps the default 4 because the
+    * oracles replay `doc_id % 4` literally). Packing is deterministic
+    * at ANY shard count and the kept-doc set is shard-invariant; only
+    * which pack a doc lands in differs (shards pack independently) —
+    * spec-pinned in CorpusSpec at shards=8. */
+  private[graft] def assemblePacked(
+      base: DataFrame, tokCol: String = "n_tokens", shards: Long = 4L): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("split"), col("shard")).orderBy(col("doc_id"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
     base
       .withColumn("split", when(col("__b") < 90, lit("train")).otherwise(lit("val")))
-      .withColumn("shard", pmod(col("doc_id"), lit(4L)))
+      .withColumn("shard", pmod(col("doc_id"), lit(shards)))
       .withColumn("__start", sum(col(tokCol)).over(w) - col(tokCol))
       .select(col("doc_id"), col("split"), col("shard"),
         expr("__start div 512").as("pack_id"), (col("__start") % 512).as("tok_offset"))
@@ -4547,6 +4589,22 @@ object Queries {
           cappedGroups(s, dir).where(col("doc_id") =!= col("rep_id"))
             .select(col("doc_id")),
           Seq("doc_id"), "left_anti"))),
+
+    // extension: the FULL pipeline budgeted in TRAINED tokens — the row
+    // a pretraining user actually ships: clean → exact dedup → NEAR-dup
+    // drop → split → pack, with the pack budget in trained-BPE tokens
+    // (whitespace budgets overflow a real context window by whatever
+    // the tokenizer splits). Same DAG as corpus_assemble_dedup; the
+    // budget kernel rides the one shared tokenize pass as a fused
+    // map-only expression (plan-pinned on the front half) and the CC
+    // anti-join sees only narrow columns
+    "corpus_assemble_dedup_bpe" -> ((s, dir) =>
+      assemblePacked(
+        assembleFiltered(s, dir).join(
+          cappedGroups(s, dir).where(col("doc_id") =!= col("rep_id"))
+            .select(col("doc_id")),
+          Seq("doc_id"), "left_anti"),
+        tokCol = "n_tokens_bpe")),
 
     // extension: the pipeline's own attrition funnel — corpus size and
     // token budget surviving each stage (raw → exact dedup → lang/
@@ -9762,23 +9820,7 @@ object Queries {
     "corpus_assemble_bpe" ->
       s"""WITH RECURSIVE $sqlBpeSegCtes,
          |$sqlAssembleKeptCtes,
-         |abdoc AS (SELECT d.doc_id, unnest(regexp_split_to_array(translate(trim(d.text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+')) AS token
-         |  FROM documents d JOIN kept USING (doc_id)),
-         |adn AS (SELECT doc_id, CAST(sum(n_sym) AS BIGINT) AS n_tokens
-         |  FROM abdoc JOIN bseg USING (token) WHERE token <> '' GROUP BY doc_id),
-         |m AS (SELECT d.doc_id,
-         |    list_reduce(list_transform(string_split_regex(substr(md5(d.text), 1, 8), ''),
-         |      c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a * 16 + b) % 100 AS b,
-         |    adn.n_tokens
-         |  FROM documents d JOIN adn USING (doc_id)),
-         |s AS (SELECT doc_id, CASE WHEN b < 90 THEN 'train' ELSE 'val' END AS split,
-         |    doc_id % 4 AS shard, n_tokens FROM m),
-         |c AS (SELECT doc_id, split, shard,
-         |    CAST(sum(n_tokens) OVER (PARTITION BY split, shard ORDER BY doc_id
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - n_tokens AS strt
-         |  FROM s)
-         |SELECT doc_id, split, shard, strt // 512 AS pack_id, strt % 512 AS tok_offset
-         |FROM c ORDER BY doc_id""".stripMargin,
+         |${sqlAssembleBpeTail("kept")}""".stripMargin,
 
     // the assemble chain with the near-dup CC drop set spliced between
     // the filter gate (kept) and the split/pack tail
@@ -9788,6 +9830,18 @@ object Queries {
          |drops AS (SELECT node FROM (SELECT node, min(lab) AS rep FROM reach GROUP BY node) WHERE node <> rep),
          |kept2 AS (SELECT doc_id FROM kept WHERE doc_id NOT IN (SELECT node FROM drops)),
          |${sqlAssembleTail("kept2")}""".stripMargin,
+
+    // the FULL pipeline on trained tokens: near-dup CC drop spliced
+    // after the filter gate AND the pack budget in BPE tokens — the
+    // composition of corpus_assemble_dedup's keep set with
+    // corpus_assemble_bpe's segmentation-replay budget
+    "corpus_assemble_dedup_bpe" ->
+      s"""WITH RECURSIVE $sqlBpeSegCtes,
+         |$sqlCcCteBody,
+         |$sqlAssembleKeptCtes,
+         |drops AS (SELECT node FROM (SELECT node, min(lab) AS rep FROM reach GROUP BY node) WHERE node <> rep),
+         |kept2 AS (SELECT doc_id FROM kept WHERE doc_id NOT IN (SELECT node FROM drops)),
+         |${sqlAssembleBpeTail("kept2")}""".stripMargin,
 
     "corpus_funnel" ->
       s"""WITH RECURSIVE $sqlCcCteBody,

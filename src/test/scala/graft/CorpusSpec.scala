@@ -893,4 +893,38 @@ class CorpusSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSeq
     assert(picked === Seq(2L))
   }
+
+  test("assemblePacked shard count is a scale parameter: kept set and splits " +
+    "are shard-invariant, and the running-sum arithmetic holds at shards=8") {
+    // the fixture default (4) is what the oracles replay literally; at
+    // 100 TB the shard count must scale with the corpus (each shard's
+    // window is ONE sequential pass), so pin the operator is correct at
+    // a non-fixture count too
+    val base = Queries.assembleFiltered(spark, sf0001)
+    def run(shards: Long) = Queries.assemblePacked(base, shards = shards)
+      .select("doc_id", "split", "shard", "pack_id", "tok_offset")
+      .as[(Long, String, Long, Long, Long)].collect()
+    val p4 = run(4L)
+    val p8 = run(8L)
+    assert(p8.map(_._1).toSet === p4.map(_._1).toSet,
+      "the kept-doc set must not depend on the shard count")
+    assert(p8.map(t => (t._1, t._2)).toSet === p4.map(t => (t._1, t._2)).toSet,
+      "splits are content-keyed — shard-count-independent")
+    assert(p8.forall { case (id, _, sh, _, _) => sh == id % 8 })
+    // per-(split, shard) sequential replay: pack_id/tok_offset are the
+    // running token sum div/mod 512 in doc_id order within the shard
+    val toks = base.select(col("doc_id"), col("n_tokens"))
+      .as[(Long, Long)].collect().toMap
+    assert(toks.values.sum > 0, "fixture must have tokens to pack")
+    p8.groupBy(t => (t._2, t._3)).foreach { case ((split, sh), grp) =>
+      var running = 0L
+      grp.sortBy(_._1).foreach { case (id, _, _, packId, off) =>
+        assert(packId === running / 512, s"pack_id of doc $id in ($split,$sh)")
+        assert(off === running % 512, s"tok_offset of doc $id in ($split,$sh)")
+        running += toks(id)
+      }
+    }
+    // shards=8 genuinely splits the fixture's windows (both parities occur)
+    assert(p8.map(_._3).distinct.length > p4.map(_._3).distinct.length)
+  }
 }

@@ -254,6 +254,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(windows.nonEmpty)
     windows.foreach(w => assert(w.contains("split") && w.contains("shard"),
       s"packing window must partition by (split, shard): $w"))
+    // the FULL pipeline on trained tokens (near-dup drop + BPE budget)
+    // keeps the same discipline: the kernel's verdict rides the shared
+    // front half (pinned above), the CC anti-join and packing shuffles
+    // stay narrow, and the packing window partitions by (split, shard)
+    val dedup = plan(Queries.queries("corpus_assemble_dedup_bpe")(spark, sf))
+    dedup.linesIterator.filter(_.contains("Exchange")).foreach { e =>
+      assert(!e.contains("text#") && !e.contains("__toks#"),
+        s"wide column in deduped-assemble shuffle: $e")
+    }
+    val dWindows = dedup.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(dWindows.nonEmpty)
+    dWindows.foreach(w => assert(w.contains("split") && w.contains("shard"),
+      s"packing window must partition by (split, shard): $w"))
   }
 
   test("dedup_store_stats: a PURE scan of the maintained store — zero " +
