@@ -4336,6 +4336,39 @@ object Queries {
         .select(col("group").as("source"), col("median").as("median_chars"))
         .orderBy("source")),
 
+    // extension: the SKETCH twin of corpus_median_length — the 100 TB
+    // swap-in, completing the set (corpus_quality_band_sketch,
+    // events_gini_sketch): per-source approx_percentile(0.5) (mergeable
+    // GK sketch, O(1) state per source) instead of the exact two-level
+    // rank layout. Invariant oracle: the returned median satisfies the
+    // sketch's RANK contract stated directly — the count of lengths
+    // strictly below / at-or-below it lands within ±(0.08·n + 2 ranks)
+    // of the target rank n/2 (tie-robust and tiny-group-robust where a
+    // value-band check is not), and the median lies inside the group's
+    // [min, max]. Booleans coalesce TRUE on a degenerate (all-null)
+    // population; n_docs is the exact oracle-derivable cell
+    "corpus_median_length_sketch" -> ((s, dir) => {
+      val scored = docsSpread(s, dir)
+        .select(coalesce(col("source"), lit("(null)")).as("source"),
+          col("n_chars"))
+      val sk = scored.groupBy(col("source"))
+        .agg(percentile_approx(col("n_chars"), lit(0.5), lit(5000)).as("__md"))
+      val n = col("__n").cast("double")
+      scored.join(broadcast(sk), Seq("source"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("__n"),
+          sum(when(col("n_chars") < col("__md"), 1L).otherwise(0L)).as("__md_lt"),
+          sum(when(col("n_chars") <= col("__md"), 1L).otherwise(0L)).as("__md_le"),
+          min(col("n_chars")).as("__mn"), max(col("n_chars")).as("__mx"),
+          first(col("__md")).as("__mdv"))
+        .select(col("source"), col("__n").as("n_docs"),
+          coalesce(col("__md_lt") <= n * 0.58 + 2
+            && col("__md_le") >= n * 0.42 - 2, lit(true)).as("med_ok"),
+          coalesce(col("__mdv") >= col("__mn")
+            && col("__mdv") <= col("__mx"), lit(true)).as("range_ok"))
+        .orderBy("source")
+    }),
+
     // extension: percentile-BAND quality trim — keep the middle 80% of
     // the r4-quantized quality distribution (drop the bottom tail as junk
     // AND the top tail as templated text). Exact ranks via the two-level
@@ -4470,6 +4503,35 @@ object Queries {
       Seq(1, 2, 4, 8, 999).toDF("probes")
         .join(hits, Seq("probes"), "left")
         .select(col("probes"),
+          coalesce(col("__h"), lit(0L)).as("n_hit"),
+          r4(coalesce(col("__h"), lit(0L)).cast("double") / lit(10.0)).as("recall"))
+        .orderBy("probes")
+    }),
+
+    // extension: the TUNING curve — cost JOINED to recall on the same
+    // probes axis, the dashboard a 100 TB operator actually tunes
+    // density/probes from: "what recall does each scan fraction buy?"
+    // ivf_probe_cost and ivf_recall_curve each publish half of that
+    // answer; this row is their composition — per probe budget, the
+    // exact clusters-probed / rows-scanned / scan-fraction census
+    // ([[IvfIndex.probeCost]], off the assignment frame) beside
+    // recall@10 vs the exact top-10 (one distance pass for the whole
+    // sweep via [[IvfIndex.queryProbeSweep]]). Every cell exact and
+    // oracle-replayed; recall is non-decreasing and scan_frac
+    // increasing in probes by construction — visible in the row set
+    "ivf_tuning_curve" -> ((s, dir) => {
+      val model = fixedModel(s, dir, Metric.Euclidean)
+      val probes = Seq(1, 2, 4, 8, 999)
+      val exact10 = Knn.search(recs(s, dir), qvec0(s, dir), 10, Metric.Euclidean)
+        .select(col("id"))
+      val hits = IvfIndex.queryProbeSweep(model, qvec0(s, dir), k = 10,
+          probes, Metric.Euclidean)
+        .join(broadcast(exact10), Seq("id"), "left_semi")
+        .groupBy(col("probes")).agg(count(lit(1)).as("__h"))
+      IvfIndex.probeCost(model, qvec0(s, dir), probes, Metric.Euclidean)
+        .join(hits, Seq("probes"), "left")
+        .select(col("probes"), col("n_probed"), col("rows_scanned"),
+          col("store_rows"), col("store_clusters"), col("scan_frac"),
           coalesce(col("__h"), lit(0L)).as("n_hit"),
           r4(coalesce(col("__h"), lit(0L)).cast("double") / lit(10.0)).as("recall"))
         .orderBy("probes")
@@ -9555,6 +9617,14 @@ object Queries {
         |SELECT source, n_chars AS median_chars FROM r
         |WHERE rk = (n + 1) // 2 ORDER BY source""".stripMargin,
 
+    // the sketch twin's contract booleans are pinned TRUE per source
+    // (events_sketch_check pattern); n_docs is the exact cell
+    "corpus_median_length_sketch" ->
+      """SELECT coalesce(source, '(null)') AS source,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  true AS med_ok, true AS range_ok
+        |FROM documents GROUP BY 1 ORDER BY source""".stripMargin,
+
     // same quality CTEs as text_stats, r4-quantized BEFORE ranking so the
     // (quality, doc_id) total order is engine-independent; percent_rank
     // spelled as (row_number − 1)/(n − 1) — tie-free by construction
@@ -9735,6 +9805,39 @@ object Queries {
          |SELECT p.probes AS probes, CAST(coalesce(h.h, 0) AS BIGINT) AS n_hit,
          |  ${sqlR4("CAST(coalesce(h.h, 0) AS DOUBLE) / 10.0")} AS recall
          |FROM p LEFT JOIN hits h ON p.probes = h.probes ORDER BY probes""".stripMargin,
+
+    // cost and recall replayed on the same probes axis and joined —
+    // the probe-cost census CTEs beside the recall-curve CTEs, one row
+    // per probe budget
+    "ivf_tuning_curve" ->
+      s"""WITH c AS (SELECT CAST(vec_id AS INTEGER) AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8),
+         |q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+         |asg AS MATERIALIZED (SELECT vec_id, cid FROM (
+         |  SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id ORDER BY ${sqlSq("e.embedding", "c.cvec")} ASC, c.cid ASC) AS rn
+         |  FROM embeddings e CROSS JOIN c) WHERE rn = 1),
+         |sz AS (SELECT cid, CAST(count(*) AS BIGINT) AS n FROM asg GROUP BY cid),
+         |crank AS MATERIALIZED (SELECT c.cid, row_number() OVER (ORDER BY ${sqlSq("c.cvec", "q.qvec")} ASC, c.cid ASC) AS prank FROM c, q),
+         |tot AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM embeddings) AS store_rows,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM c) AS store_clusters),
+         |p AS (SELECT unnest([1, 2, 4, 8, 999]) AS probes),
+         |cost AS (SELECT p.probes, CAST(count(*) AS BIGINT) AS n_probed,
+         |    CAST(coalesce(sum(coalesce(sz.n, 0)), 0) AS BIGINT) AS rows_scanned,
+         |    tot.store_rows, tot.store_clusters,
+         |    ${sqlR4("CAST(coalesce(sum(coalesce(sz.n, 0)), 0) AS DOUBLE) / tot.store_rows")} AS scan_frac
+         |  FROM p JOIN crank ON crank.prank <= p.probes LEFT JOIN sz ON sz.cid = crank.cid, tot
+         |  GROUP BY p.probes, tot.store_rows, tot.store_clusters),
+         |ex AS (SELECT e.vec_id FROM embeddings e, q ORDER BY ${sqlSq("e.embedding", "q.qvec")} ASC, e.vec_id ASC LIMIT 10),
+         |res AS (SELECT p.probes, r.vec_id FROM p, LATERAL (
+         |  SELECT e.vec_id FROM embeddings e JOIN asg ON e.vec_id = asg.vec_id
+         |    JOIN crank ON asg.cid = crank.cid, q
+         |  WHERE crank.prank <= p.probes
+         |  ORDER BY ${sqlSq("e.embedding", "q.qvec")} ASC, e.vec_id ASC LIMIT 10) r),
+         |hits AS (SELECT probes, count(*) AS h FROM res JOIN ex USING (vec_id) GROUP BY probes)
+         |SELECT cost.probes, cost.n_probed, cost.rows_scanned,
+         |  cost.store_rows, cost.store_clusters, cost.scan_frac,
+         |  CAST(coalesce(h.h, 0) AS BIGINT) AS n_hit,
+         |  ${sqlR4("CAST(coalesce(h.h, 0) AS DOUBLE) / 10.0")} AS recall
+         |FROM cost LEFT JOIN hits h ON cost.probes = h.probes ORDER BY cost.probes""".stripMargin,
 
     "filter_mismatch" ->
       """SELECT

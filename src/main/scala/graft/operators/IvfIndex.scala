@@ -350,6 +350,8 @@ object IvfIndex {
       query: DataFrame,
       probesList: Seq[Int],
       metric: Metric = Metric.Euclidean): DataFrame = {
+    require(probesList.nonEmpty,
+      "probeCost needs at least one probe budget (got an empty probesList)")
     val sizes = model.assigned.groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("__csz"))
     val totals = model.assigned.agg(count(lit(1)).as("store_rows"))
@@ -362,8 +364,10 @@ object IvfIndex {
         .crossJoin(broadcast(totals))
         .select(lit(p).as("probes"), col("n_probed"), col("rows_scanned"),
           col("store_rows"), col("store_clusters"),
-          (floor(col("rows_scanned").cast("double") / col("store_rows")
-            * lit(10000.0) + lit(0.5)) / lit(10000.0)).as("scan_frac"))
+          // an EMPTY store scans 0 of 0 rows — report 0.0, not null
+          when(col("store_rows") === 0L, lit(0.0))
+            .otherwise(floor(col("rows_scanned").cast("double") / col("store_rows")
+              * lit(10000.0) + lit(0.5)) / lit(10000.0)).as("scan_frac"))
     }.reduce(_.unionAll(_))
   }
 
