@@ -322,13 +322,23 @@ object DocIngest {
     * warehouse scale both are stored tables refreshed by the
     * corpus-maintenance job"; the batch query `dedup_incremental_store`
     * serves from exactly this layout): each micro-batch of admitted
-    * documents lands its banded LSH rows (band_idx leading — the
-    * posting-list key) and its per-doc shingle identities in the store,
-    * both partitioned by `batch_id` with DYNAMIC overwrite, so a
-    * replayed batch rewrites its own partitions instead of duplicating
-    * index rows. Map-only per batch: ONE fused signature pass, no
-    * stream state, no join — maintenance throughput scales with
-    * executors and is independent of index size.
+    * documents lands its banded LSH rows (band_idx nested under the
+    * batch — still a partition column, so band scans prune) and its
+    * per-doc shingle identities in the store. Map-only per batch: ONE
+    * fused signature pass, no stream state, no join — maintenance
+    * throughput scales with executors and is independent of index size.
+    *
+    * STAGED publish (the [[graft.streaming.MaintainedIngest]] version
+    * discipline): each batch writes to hidden `.staging` dirs,
+    * then checked renames land `hashes/batch_id=N` FIRST and
+    * `banded/batch_id=N` LAST — a hash row without its banded twin is
+    * inert (the candidate join is driven by banded), so a reader
+    * opening between the two renames sees exactly the store as of the
+    * previous batch. A crash anywhere before the final rename leaves
+    * only invisible staging debris, which the batch RETRY (same
+    * batch_id off the checkpoint) deletes before re-landing — the
+    * dynamic-partition-overwrite idempotency this replaces let a
+    * concurrent reader observe a half-written batch partition.
     *
     * The store holds the UNCAPPED index: the viral-bucket cap is a
     * property of a WHOLE bucket and cannot be applied batch-locally
@@ -353,17 +363,32 @@ object DocIngest {
         val sig = Dedup.minhashSignature(batch, shingleN, perms)
           .select(col("doc_id"), col("__sig"), col("__shh")).persist()
         try {
+          val fs = new org.apache.hadoop.fs.Path(storePath)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val bandedTmp =
+            new org.apache.hadoop.fs.Path(s"$storePath/.staging/banded_batch_$batchId")
+          val hashesTmp =
+            new org.apache.hadoop.fs.Path(s"$storePath/.staging/hashes_batch_$batchId")
+          fs.delete(bandedTmp, true) // stale staging from an earlier crash
+          fs.delete(hashesTmp, true)
           Dedup.bandedSignature(sig, perms, bands)
             .select(col("doc_id").as("dup_of"), col("band_idx"), col("band_hash"))
-            .withColumn("batch_id", lit(batchId))
             .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("band_idx", "batch_id").parquet(s"$storePath/banded")
+            .partitionBy("band_idx").parquet(bandedTmp.toString)
           sig.select(col("doc_id").as("dup_of"), col("__shh").as("__corpus_shh"))
-            .withColumn("batch_id", lit(batchId))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id").parquet(s"$storePath/hashes")
+            .write.mode("overwrite").parquet(hashesTmp.toString)
+          // checked renames — delete any stale target from a retried
+          // batch first (rename-into-existing-dir nests silently)
+          def publish(src: org.apache.hadoop.fs.Path, table: String): Unit = {
+            val dst = new org.apache.hadoop.fs.Path(
+              s"$storePath/$table/batch_id=$batchId")
+            fs.mkdirs(dst.getParent)
+            fs.delete(dst, true)
+            require(!fs.exists(dst), s"delete $dst failed — refusing nested rename")
+            require(fs.rename(src, dst), s"rename $src -> $dst failed")
+          }
+          publish(hashesTmp, "hashes")
+          publish(bandedTmp, "banded")
         } finally sig.unpersist()
         ()
       }

@@ -205,8 +205,14 @@ class MaintainedLifecycleSpec extends SparkSpec {
     val gramVersions = new java.io.File(s"$trainStore/grams").listFiles()
       .map(_.getName).count(_.startsWith("v="))
     assert(gramVersions === 2, s"expected 2 count-store versions, got $gramVersions")
-    val bandBatches = new java.io.File(s"$corpusStore/banded").listFiles()
-      .flatMap(_.listFiles()).map(_.getName).count(_.startsWith("batch_id="))
-    assert(bandBatches >= 2, s"expected >=2 index batches, got $bandBatches")
+    // staged-publish layout: batch dirs at the top (each landed by ONE
+    // atomic rename), band partitions nested beneath (pruning kept)
+    val bandBatchDirs = new java.io.File(s"$corpusStore/banded").listFiles()
+      .filter(_.getName.startsWith("batch_id="))
+    assert(bandBatchDirs.length >= 2,
+      s"expected >=2 index batches, got ${bandBatchDirs.length}")
+    assert(bandBatchDirs.forall(
+        _.listFiles().map(_.getName).exists(_.startsWith("band_idx="))),
+      "each batch dir must be band_idx-partitioned beneath")
   }
 }

@@ -970,6 +970,71 @@ class StreamingSpec extends SparkSpec {
       "cap=1 must drop every cross-batch 2-doc bucket at open")
   }
 
+  test("corpus-index store publish is STAGED: an in-flight batch is invisible, " +
+    "a half-published batch is inert, and the retry cleans the debris") {
+    import graft.streaming.DocIngest
+    import graft.operators.Dedup
+    val base = "the quick brown fox jumps over the lazy dog and it is " +
+      "a fine day in the old house of the hill it is warm and the fire is lit"
+    val root = java.nio.file.Files.createTempDirectory("graft_idx_staged")
+    val inDir = s"$root/in"; val store = s"$root/store"; val ckpt = s"$root/ckpt"
+    val w1 = Seq((0L, base))
+    w1.toDF("doc_id", "text").write.mode("append").parquet(inDir)
+    DocIngest.startCorpusIndexMaintenance(spark, inDir, store, ckpt)
+      .awaitTermination()
+
+    // ---- a batch whose staging is written but NOT yet renamed (crash, or
+    // a reader racing the writer) must be invisible: the reader sees the
+    // store exactly as of the previous batch ----
+    val inflightText = base.replace("fox", "cat")
+    val sig = Dedup.minhashSignature(
+      Seq((50L, inflightText)).toDF("doc_id", "text"), 3, 16)
+    Dedup.bandedSignature(sig, 16, 4)
+      .select(col("doc_id").as("dup_of"), col("band_idx"), col("band_hash"))
+      .write.partitionBy("band_idx").parquet(s"$store/.staging/banded_batch_1")
+    sig.select(col("doc_id").as("dup_of"), col("__shh").as("__corpus_shh"))
+      .write.parquet(s"$store/.staging/hashes_batch_1")
+    val (b1, h1) = DocIngest.corpusIndexFromStore(spark, store)
+    assert(!b1.select("dup_of").as[Long].collect().contains(50L),
+      "staged-but-unpublished batch rows must be invisible to readers")
+    assert(!h1.select("dup_of").as[Long].collect().contains(50L))
+
+    // ---- between the two renames (hashes landed FIRST, banded not yet):
+    // the hash leg without its banded twin is INERT — the gate answers
+    // exactly as before the batch ----
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    fs.mkdirs(p(s"$store/hashes"))
+    assert(fs.rename(p(s"$store/.staging/hashes_batch_1"),
+      p(s"$store/hashes/batch_id=1")))
+    val arriving = Seq((100L, inflightText)).toDF("doc_id", "text")
+    val (b2, h2) = DocIngest.corpusIndexFromStore(spark, store)
+    assert(DocIngest.matches(arriving, b2, h2, threshold = 0.4)
+        .where(col("dup_of") === 50L).isEmpty,
+      "a hash leg without its banded twin must be inert (banded lands last)")
+
+    // ---- the retry (real batch 1 off the checkpoint) deletes the crash
+    // debris and lands atomically: store == from-scratch over the real
+    // waves, and nothing of the phantom doc 50 survives anywhere ----
+    val w2 = Seq((2L, base.replace("lazy", "sleepy")))
+    w2.toDF("doc_id", "text").write.mode("append").parquet(inDir)
+    DocIngest.startCorpusIndexMaintenance(spark, inDir, store, ckpt)
+      .awaitTermination()
+    val (sb, sh) = DocIngest.corpusIndexFromStore(spark, store)
+    val (bb, bh) = DocIngest.corpusIndex((w1 ++ w2).toDF("doc_id", "text"))
+    def bandSet(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("dup_of"), col("band_idx").cast("int"), col("band_hash"))
+      .as[(Long, Int, String)].collect().toSet
+    assert(bandSet(sb) === bandSet(bb),
+      "after the retry the store must equal the from-scratch index")
+    assert(!sh.select("dup_of").as[Long].collect().contains(50L),
+      "the half-published hash leg must be overwritten by the retry")
+    assert(!fs.exists(p(s"$store/.staging/banded_batch_1")),
+      "staging debris must be consumed by the retry's publish")
+    assert(!fs.exists(p(s"$store/.staging/hashes_batch_1")))
+  }
+
   test("streaming checksum manifest: incremental fold across waves equals the batch manifest") {
     import graft.streaming.DocIngest
     import graft.operators.Corpus
