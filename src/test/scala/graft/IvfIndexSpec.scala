@@ -158,6 +158,37 @@ class IvfIndexSpec extends SparkSpec {
     assert(ivf === brute)
   }
 
+  test("tuning-curve law (seeded build): recall non-decreasing, scan cost " +
+    "strictly increasing below the cluster count, n_probed clamped") {
+    // the contract ivf_tuning_curve's row set exhibits, pinned as a law
+    // against the seeded-kmeans build path the oracle can't replay: more
+    // probes never buys less recall, and the cost census is exactly the
+    // probed prefix of the cluster-size ranking
+    val model = IvfIndex.build(records, density = 64, Metric.Euclidean, seed = 42L)
+    val q = records.where(col("id") === 7).select(col("embedding").as("qvec"))
+    val nClusters = model.centroids.count().toInt
+    val points = Seq(1, 2, 4, 8, 999)
+    val cost = IvfIndex.probeCost(model, q, points, Metric.Euclidean)
+      .select("probes", "n_probed", "rows_scanned", "scan_frac")
+      .as[(Int, Long, Long, Double)].collect().sortBy(_._1)
+    cost.foreach { case (p, nProbed, _, _) =>
+      assert(nProbed === math.min(p, nClusters).toLong, s"probes=$p") }
+    assert(cost.last._3 === records.count(), "full probe scans the store")
+    assert(cost.last._4 === 1.0)
+    val below = cost.filter(_._1 <= nClusters)
+    assert(below.sliding(2).forall { case Array(a, b) => a._3 < b._3 },
+      s"rows_scanned must strictly increase below the cluster count: ${cost.toSeq}")
+    val exact = Knn.search(records, q, 10, Metric.Euclidean)
+      .select("id").as[Long].collect().toSet
+    val recalls = IvfIndex.queryProbeSweep(model, q, 10, points, Metric.Euclidean)
+      .select("probes", "id").as[(Int, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet.count(exact)).toMap
+    val curve = points.map(p => recalls.getOrElse(p, 0))
+    assert(curve.sliding(2).forall { case Seq(a, b) => a <= b },
+      s"recall not monotone along the tuning curve: $curve")
+    assert(curve.last === 10)
+  }
+
   test("queryProbeSweep law: row-identical to query() at every probe point") {
     val model = IvfIndex.build(records, density = 64, Metric.Euclidean, seed = 42L)
     val q = records.where(col("id") === 7).select(col("embedding").as("qvec"))
