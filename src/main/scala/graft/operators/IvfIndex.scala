@@ -352,23 +352,44 @@ object IvfIndex {
       metric: Metric = Metric.Euclidean): DataFrame = {
     require(probesList.nonEmpty,
       "probeCost needs at least one probe budget (got an empty probesList)")
+    val spark = model.assigned.sparkSession
+    import spark.implicits._
+    // ONE centroid-distance pass for the whole sweep (the queryProbeSweep
+    // argument): rank all centroids once — same NaN-last / id-tiebreak
+    // total order as probedClusters — then every budget is the rank ≤ p
+    // prefix, so the r13 form's one-ranking-per-budget (≈|probesList|
+    // centroid scans) collapses to one window over a cluster-count-bounded
+    // frame. The window partitions BY THE QUERY VECTOR (non-foldable) so
+    // it never plans a partition-less global window.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("qvec"))
+      .orderBy(isnan(col("__cdist")).asc, col("__cdist").asc, col("cluster_id").asc)
     val sizes = model.assigned.groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("__csz"))
+    // a probed cluster emptied by duplicate-tie assignment still counts
+    // as probed with zero rows (left join, not inner)
+    val ranked = model.centroids.crossJoin(broadcast(query))
+      .withColumn("__cdist", metric.distance(col("centroid"), col("qvec")))
+      .where(col("__cdist").isNotNull)
+      .withColumn("__rank", row_number().over(w))
+      .select(col("cluster_id"), col("__rank"))
+      .join(sizes, Seq("cluster_id"), "left_outer")
     val totals = model.assigned.agg(count(lit(1)).as("store_rows"))
       .crossJoin(model.centroids.agg(count(lit(1)).as("store_clusters")))
-    probesList.map { p =>
-      probedClusters(model, query, p, metric)
-        .join(sizes, Seq("cluster_id"), "left_outer")
-        .agg(count(lit(1)).as("n_probed"),
-          coalesce(sum(col("__csz")), lit(0L)).as("rows_scanned"))
-        .crossJoin(broadcast(totals))
-        .select(lit(p).as("probes"), col("n_probed"), col("rows_scanned"),
-          col("store_rows"), col("store_clusters"),
-          // an EMPTY store scans 0 of 0 rows — report 0.0, not null
-          when(col("store_rows") === 0L, lit(0.0))
-            .otherwise(floor(col("rows_scanned").cast("double") / col("store_rows")
-              * lit(10000.0) + lit(0.5)) / lit(10000.0)).as("scan_frac"))
-    }.reduce(_.unionAll(_))
+    probesList.distinct.toDF("probes")
+      // rank-prefix fan-out: points × clusters nested-loop on a broadcast
+      // cluster-count frame; left join keeps a budget row even when no
+      // cluster is probeable (empty/NaN centroid set → n_probed = 0)
+      .join(broadcast(ranked), col("__rank") <= col("probes"), "left_outer")
+      .groupBy(col("probes"))
+      .agg(count(col("cluster_id")).as("n_probed"),
+        coalesce(sum(col("__csz")), lit(0L)).as("rows_scanned"))
+      .crossJoin(broadcast(totals))
+      .select(col("probes"), col("n_probed"), col("rows_scanned"),
+        col("store_rows"), col("store_clusters"),
+        // an EMPTY store scans 0 of 0 rows — report 0.0, not null
+        when(col("store_rows") === 0L, lit(0.0))
+          .otherwise(floor(col("rows_scanned").cast("double") / col("store_rows")
+            * lit(10000.0) + lit(0.5)) / lit(10000.0)).as("scan_frac"))
   }
 
   /** IVF probe composed with the Matryoshka prefix funnel
