@@ -811,11 +811,19 @@ object Queries {
     * `n_tokens_bpe = 0` instead of dropping out of the pack — currently
     * unreachable (the lang/quality gate requires real tokens), but the
     * oracle must not encode that reachability argument. */
-  private def sqlAssembleBpeTail(kept: String): String =
+  /** Per-kept-doc TRAINED-BPE token counts — `adn(doc_id, n_tokens)`,
+    * pack_bpe's per-token segmentation replay summed per doc. Requires
+    * `bseg` ([[sqlBpeSegCtes]]) in scope; consumers LEFT JOIN and
+    * coalesce to 0 (see [[sqlAssembleBpeTail]]'s reachability note).
+    * Shared by the two BPE assemble tails and the release manifest. */
+  private def sqlBpeDocCounts(kept: String): String =
     s"""abdoc AS (SELECT d.doc_id, unnest(regexp_split_to_array(translate(trim(d.text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+')) AS token
        |  FROM documents d JOIN $kept USING (doc_id)),
        |adn AS (SELECT doc_id, CAST(sum(n_sym) AS BIGINT) AS n_tokens
-       |  FROM abdoc JOIN bseg USING (token) WHERE token <> '' GROUP BY doc_id),
+       |  FROM abdoc JOIN bseg USING (token) WHERE token <> '' GROUP BY doc_id)""".stripMargin
+
+  private def sqlAssembleBpeTail(kept: String): String =
+    s"""${sqlBpeDocCounts(kept)},
        |m AS (SELECT d.doc_id,
        |    list_reduce(list_transform(string_split_regex(substr(md5(d.text), 1, 8), ''),
        |      c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a * 16 + b) % 100 AS b,
@@ -2372,6 +2380,38 @@ object Queries {
       // over the whole store executes once per consumer
       val changes = Caching.ensureCached(Crud.diff(old, diffNewStore(s, old)))
       IvfIndex.applyDiff(fixedModel(s, dir, Metric.Euclidean), changes,
+          Metric.Euclidean)
+        .assigned
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("n"), sum(col("id")).as("id_sum"))
+        .orderBy("cluster_id")
+    }),
+
+    // extension: cluster COMPACTION after churn — the maintenance
+    // composition the reference never closes: deletes ([[applyDiff]],
+    // O12/O15) drain posting lists but never retire a cluster, so the
+    // probe budget decays onto near-empty lists. Here a delete-only
+    // change log drains clusters 2 and 5 to ~1/7 fill, then
+    // [[IvfIndex.mergeSmall]] dissolves everything under the floor
+    // (ceil(n/16) = half the mean fill over the 8 fixed centroids) and
+    // re-assigns the remnants to their nearest surviving centroid.
+    // Emits the post-merge census — exact integers the oracle derives
+    // by replaying the assignment, the delete rule, the floor, and the
+    // survivor-only re-assignment
+    "ivf_merge_stats" -> ((s, dir) => {
+      val m = fixedModel(s, dir, Metric.Euclidean)
+      // the drain: delete all but every 7th member of clusters 2 and 5
+      // (by CURRENT assignment — deterministic, replayable); consumed
+      // twice inside applyDiff (anti-join + upsert split), so cached
+      val changes = Caching.ensureCached(
+        m.assigned.where(col("cluster_id").isin(2, 5) && col("id") % 7 =!= 0)
+          .select(col("id"), lit("delete").as("op"),
+            col("embedding"), col("metadata")))
+      val drained = IvfIndex.applyDiff(m, changes, Metric.Euclidean)
+      val drainedAssigned = Caching.ensureCached(drained.assigned)
+      val floor = (drainedAssigned.count() + 15L) / 16L
+      IvfIndex.mergeSmall(
+          IvfIndex.Model(drained.centroids, drainedAssigned), floor,
           Metric.Euclidean)
         .assigned
         .groupBy(col("cluster_id"))
@@ -4667,6 +4707,43 @@ object Queries {
             .select(col("doc_id")),
           Seq("doc_id"), "left_anti"),
         tokCol = "n_tokens_bpe")),
+
+    // extension: the RELEASE MANIFEST — the artifact of record shipped
+    // beside a packed pretraining corpus: per (split, source), doc
+    // count, whitespace AND trained-BPE token budgets, the exact
+    // order-invariant content checksum (56-bit md5 sum in
+    // corpus_checksum's hash-robust two-BIGINT halves), and char mass —
+    // over the FULL pipeline output (clean -> exact dedup -> lang/
+    // quality gate -> near-dup drop -> content-keyed split). Pure
+    // narrow-column aggregation: the verdict columns ride the memoized
+    // assemble front half, source/hash/chars ride the memoized
+    // content-hash projection — zero new text scans, text never
+    // shuffles, and every aggregate is a commutative monoid (two
+    // manifests over disjoint slices fold by summing per cell)
+    "corpus_release_manifest" -> ((s, dir) =>
+      assembleFiltered(s, dir)
+        .join(
+          cappedGroups(s, dir).where(col("doc_id") =!= col("rep_id"))
+            .select(col("doc_id")),
+          Seq("doc_id"), "left_anti")
+        .withColumn("split",
+          when(col("__b") < 90, lit("train")).otherwise(lit("val")))
+        .join(hashedDocsMemo(s, dir)
+            .select(col("doc_id"), col("source"), col("__h56"), col("__nc")),
+          Seq("doc_id"))
+        .groupBy(col("split"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"),
+          sum(col("n_tokens_bpe")).as("n_tokens_bpe"),
+          sum(col("__h56")).cast("decimal(38,0)").as("__cs"),
+          sum(col("__nc")).as("total_chars"))
+        .select(col("split"), col("source"), col("n_docs"),
+          col("n_tokens"), col("n_tokens_bpe"),
+          expr("__cs div 4611686018427387904").as("checksum_hi"),
+          (col("__cs") % lit(4611686018427387904L)).cast("long")
+            .as("checksum_lo"),
+          col("total_chars"))
+        .orderBy("split", "source")),
 
     // extension: the pipeline's own attrition funnel — corpus size and
     // token budget surviving each stage (raw → exact dedup → lang/
@@ -7201,6 +7278,36 @@ object Queries {
          |SELECT cid AS cluster_id, count(*) AS n,
          |  CAST(sum(vec_id) AS BIGINT) AS id_sum
          |FROM asg GROUP BY cid ORDER BY cid""".stripMargin,
+
+    // the drain + merge replayed end to end: assignment under the fixed
+    // centroids, the delete rule, the ceil(n/16) floor, survivor
+    // selection, and the survivor-only re-assignment of donor remnants
+    "ivf_merge_stats" ->
+      s"""WITH c AS MATERIALIZED (SELECT CAST(vec_id AS INTEGER) AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8),
+         |asg AS (SELECT vec_id, cid FROM (
+         |  SELECT e.vec_id, c.cid,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${sqlSq("e.embedding", "c.cvec")} ASC, c.cid ASC) AS rn
+         |  FROM embeddings e CROSS JOIN c) WHERE rn = 1),
+         |kept AS MATERIALIZED (SELECT vec_id, cid FROM asg
+         |  WHERE NOT (cid IN (2, 5) AND vec_id % 7 <> 0)),
+         |fl AS (SELECT (count(*) + 15) // 16 AS f FROM kept),
+         |surv AS MATERIALIZED (SELECT cid FROM (
+         |  SELECT cid, count(*) AS n FROM kept GROUP BY cid), fl WHERE n >= f),
+         |moved AS (SELECT vec_id, cid FROM (
+         |  SELECT k.vec_id, c.cid,
+         |    row_number() OVER (PARTITION BY k.vec_id
+         |      ORDER BY ${sqlSq("e.embedding", "c.cvec")} ASC, c.cid ASC) AS rn
+         |  FROM kept k
+         |  JOIN embeddings e ON e.vec_id = k.vec_id
+         |  CROSS JOIN c
+         |  WHERE k.cid NOT IN (SELECT cid FROM surv)
+         |    AND c.cid IN (SELECT cid FROM surv)) WHERE rn = 1),
+         |fin AS (SELECT vec_id, cid FROM kept WHERE cid IN (SELECT cid FROM surv)
+         |  UNION ALL SELECT vec_id, cid FROM moved)
+         |SELECT cid AS cluster_id, count(*) AS n,
+         |  CAST(sum(vec_id) AS BIGINT) AS id_sum
+         |FROM fin GROUP BY cid ORDER BY cid""".stripMargin,
 
     // the expected change log recomputed from the same deterministic
     // transform: upserts carry the NEW label, deletes a null label; an
@@ -9945,6 +10052,36 @@ object Queries {
          |drops AS (SELECT node FROM (SELECT node, min(lab) AS rep FROM reach GROUP BY node) WHERE node <> rep),
          |kept2 AS (SELECT doc_id FROM kept WHERE doc_id NOT IN (SELECT node FROM drops)),
          |${sqlAssembleBpeTail("kept2")}""".stripMargin,
+
+    // the manifest replayed: the same kept2 set, each cell recomputed
+    // from the representative doc's text (dup-group members share text,
+    // so min-over-group == recompute-on-rep for every column)
+    "corpus_release_manifest" ->
+      s"""WITH RECURSIVE $sqlBpeSegCtes,
+         |$sqlCcCteBody,
+         |$sqlAssembleKeptCtes,
+         |drops AS (SELECT node FROM (SELECT node, min(lab) AS rep FROM reach GROUP BY node) WHERE node <> rep),
+         |kept2 AS MATERIALIZED (SELECT doc_id FROM kept WHERE doc_id NOT IN (SELECT node FROM drops)),
+         |${sqlBpeDocCounts("kept2")},
+         |hb AS (SELECT d.doc_id,
+         |    CASE WHEN list_reduce(list_transform(string_split_regex(substr(md5(d.text), 1, 8), ''),
+         |      c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a * 16 + b) % 100 < 90
+         |      THEN 'train' ELSE 'val' END AS split,
+         |    d.source AS source,
+         |    CAST(len(regexp_split_to_array(translate(trim(d.text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+')) AS BIGINT) AS n_tokens,
+         |    coalesce(adn.n_tokens, 0) AS n_bpe,
+         |    list_reduce(list_transform(string_split_regex(substr(md5(d.text), 1, 14), ''),
+         |      c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a * 16 + b) AS hv,
+         |    CAST(d.n_chars AS BIGINT) AS nc
+         |  FROM documents d JOIN kept2 USING (doc_id)
+         |  LEFT JOIN adn ON adn.doc_id = d.doc_id)
+         |SELECT split, source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |  CAST(sum(n_bpe) AS BIGINT) AS n_tokens_bpe,
+         |  CAST(sum(hv) // 4611686018427387904 AS BIGINT) AS checksum_hi,
+         |  CAST(sum(hv) % 4611686018427387904 AS BIGINT) AS checksum_lo,
+         |  CAST(sum(nc) AS BIGINT) AS total_chars
+         |FROM hb GROUP BY split, source ORDER BY split, source""".stripMargin,
 
     "corpus_funnel" ->
       s"""WITH RECURSIVE $sqlCcCteBody,

@@ -983,6 +983,71 @@ object IvfIndex {
     Some((Model(newCentroids, newAssigned), members))
   }
 
+  /** Cluster COMPACTION — the inverse of [[splitKWay]]: clusters drained
+    * below `minSize` are dissolved and their members re-assigned to the
+    * nearest SURVIVING centroid. The reference's adaptive index only ever
+    * splits (`src/cores/index.rs:106-135`); its delete path
+    * (`index.rs:142-161`) removes rows but never retires a cluster, so a
+    * churned store accumulates near-empty posting lists. Probe budgets
+    * are cluster-COUNT-based (`index.rs:176-182`): every probe spent on a
+    * drained cluster buys almost no candidates, so recall per scanned row
+    * decays with churn. Merge restores the fill floor the way
+    * [[splitKWay]] restores the density ceiling.
+    *
+    * Semantics (all deterministic, oracle-replayable):
+    *   - survivors = clusters with at least `minSize` assigned rows;
+    *     their centroids are UNCHANGED (quantizer anchors — re-center by
+    *     composing with [[refine]], exactly as after a split);
+    *   - a centroid with NO assigned rows always dissolves (size 0 —
+    *     the drained-to-empty case this operator exists for);
+    *   - donor members re-assign via [[assign]] against the survivor
+    *     centroids only — one map-side pass over JUST the donor rows
+    *     (under [[writePartitioned]] the donor scan partition-prunes to
+    *     the dissolved clusters; never a store scan);
+    *   - if EVERY populated cluster is under the floor, the largest
+    *     (ties → lowest cluster_id) survives — a merge over a non-empty
+    *     store never empties the index;
+    *   - no donors → the input model returns REFERENCE-EQUAL (the
+    *     [[splitKWay]] fixed-point guard), so a maintenance loop's
+    *     convergence test is `merged eq model`;
+    *   - a donor row with no finite distance to any survivor keeps
+    *     `cluster_id = -1` (NaN never wins — `index.rs:189-193`): never
+    *     probed, still stored.
+    *
+    * At 100 TB: `sizes` is one map-side-combinable count (footer-cheap
+    * off the partitioned layout's partition column), the survivor id set
+    * is cluster-count-bounded and broadcasts, and the kept side of the
+    * store moves through a broadcast semi-join — the store itself never
+    * shuffles. */
+  def mergeSmall(
+      model: Model,
+      minSize: Long,
+      metric: Metric = Metric.Euclidean): Model = {
+    require(minSize > 0, s"minSize must be positive, got $minSize")
+    val sizes = model.assigned.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("__n"))
+    val bigEnough = sizes.where(col("__n") >= minSize)
+    // all-donor guard: with every populated cluster under the floor,
+    // the largest (ties -> lowest id) survives
+    val survivorIds =
+      (if (bigEnough.isEmpty)
+        sizes.orderBy(col("__n").desc, col("cluster_id").asc).limit(1)
+      else bigEnough).select("cluster_id")
+    val donorCentroids = model.centroids
+      .join(broadcast(survivorIds), Seq("cluster_id"), "left_anti")
+    if (donorCentroids.isEmpty) return model
+    val survivors = model.centroids
+      .join(broadcast(survivorIds), Seq("cluster_id"), "left_semi")
+    val kept = model.assigned
+      .join(broadcast(survivorIds), Seq("cluster_id"), "left_semi")
+    val moved = assign(
+      model.assigned
+        .join(broadcast(survivorIds), Seq("cluster_id"), "left_anti")
+        .drop("cluster_id"),
+      survivors, metric)
+    Model(survivors, kept.unionByName(moved.select(kept.columns.map(col): _*)))
+  }
+
   /** Default bound on [[buildBalanced]]'s split rounds. With the k-way
     * split each round multiplies the worst cluster's piece count by up to
     * `maxWay`; 32 rounds is unreachable headroom (binary-split refine

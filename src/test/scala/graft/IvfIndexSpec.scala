@@ -722,6 +722,80 @@ class IvfIndexSpec extends SparkSpec {
       .as[(Long, Int)].collect().toMap)
   }
 
+  test("mergeSmall laws: drained clusters dissolve to the nearest survivor; " +
+    "membership and survivor centroids preserved; fixed-point and guard cases") {
+    val cents = records.where(col("id") < 8)
+      .select(col("id").cast("int").as("cluster_id"), col("embedding").as("centroid"))
+    val m0 = IvfIndex.Model(cents, IvfIndex.assign(records, cents, Metric.Euclidean))
+    // the churn scenario: deletes drain clusters 2 and 5 to every 7th
+    // member (applyDiff removes rows but never retires a cluster)
+    val drained = IvfIndex.Model(cents,
+      m0.assigned.where(!(col("cluster_id").isin(2, 5) && col("id") % 7 =!= 0)))
+    val total = drained.assigned.count()
+    val merged = IvfIndex.mergeSmall(drained, (total + 15) / 16, Metric.Euclidean)
+
+    // donors dissolved; survivor centroid VECTORS unchanged
+    val survCents = merged.centroids.select("cluster_id", "centroid")
+      .as[(Int, Seq[Float])].collect().toMap
+    val origCents = cents.select("cluster_id", "centroid")
+      .as[(Int, Seq[Float])].collect().toMap
+    assert(survCents.keySet === Set(0, 1, 3, 4, 6, 7))
+    survCents.foreach { case (cid, v) => assert(v === origCents(cid), s"centroid $cid") }
+
+    // membership preserved; every row's cluster is a survivor
+    assert(merged.assigned.count() === total)
+    val got = merged.assigned.select("id", "cluster_id").as[(Long, Int)].collect().toMap
+    assert(got.values.toSet.subsetOf(survCents.keySet))
+
+    // every MOVED row landed on its true nearest survivor (brute force)
+    val survList = survCents.toSeq.sortBy(_._1)
+    drained.assigned.where(col("cluster_id").isin(2, 5))
+      .select("id", "embedding").as[(Long, Seq[Float])].collect()
+      .foreach { case (id, v) =>
+        val best = survList.minBy { case (ci, c) =>
+          (c.zip(v).map { case (a, b) => val d = a.toDouble - b.toDouble; d * d }.sum, ci)
+        }._1
+        assert(got(id) === best, s"moved record $id")
+      }
+    // unmoved rows keep their assignment
+    drained.assigned.where(!col("cluster_id").isin(2, 5))
+      .select("id", "cluster_id").as[(Long, Int)].collect()
+      .foreach { case (id, cid) => assert(got(id) === cid, s"kept record $id") }
+
+    // no donors -> the INPUT MODEL, reference-equal (the convergence test)
+    assert(IvfIndex.mergeSmall(m0, 1, Metric.Euclidean) eq m0)
+
+    // all clusters under the floor -> the largest survives alone,
+    // holding every record
+    val one = IvfIndex.mergeSmall(m0, 100000L, Metric.Euclidean)
+    assert(one.centroids.count() === 1)
+    assert(one.assigned.count() === m0.assigned.count())
+    val largest = m0.assigned.groupBy(col("cluster_id")).count()
+      .orderBy(col("count").desc, col("cluster_id").asc)
+      .select("cluster_id").as[Int].head()
+    assert(one.centroids.select("cluster_id").as[Int].head() === largest)
+
+    // a centroid with NO members always dissolves, even above the floor
+    val extra = cents.unionByName(
+      Seq((99, Seq.fill(dim)(99.0f))).toDF("cluster_id", "centroid"))
+    val m99 = IvfIndex.Model(extra, m0.assigned)
+    val dropped = IvfIndex.mergeSmall(m99, 1, Metric.Euclidean)
+    assert(dropped.centroids.select("cluster_id").as[Int].collect().toSet === Set(0, 1, 2, 3, 4, 5, 6, 7))
+    assert(dropped.assigned.count() === m0.assigned.count())
+
+    // a donor row with no finite distance to any survivor keeps
+    // cluster_id = -1 (NaN never wins) — never probed, still stored
+    val nanRow = Seq((5000L, Seq.fill(dim)(Float.NaN), Map("k" -> "nan")))
+      .toDF("id", "embedding", "metadata").withColumn("cluster_id", lit(5))
+    val withNan = IvfIndex.Model(cents,
+      drained.assigned.unionByName(nanRow.select(drained.assigned.columns.map(col): _*)))
+    val mergedNan = IvfIndex.mergeSmall(withNan, (total + 1 + 15) / 16, Metric.Euclidean)
+    val nanGot = mergedNan.assigned.where(col("id") === 5000L)
+      .select("cluster_id").as[Int].collect()
+    assert(nanGot.toSeq === Seq(-1))
+    assert(mergedNan.assigned.count() === total + 1)
+  }
+
   test("applyDiffToCodes law: incremental code store == re-encoding from scratch") {
     import graft.operators.{Crud, VectorOps}
     val old = records

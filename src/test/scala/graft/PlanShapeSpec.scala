@@ -287,6 +287,36 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("ivf_merge_stats: the store never shuffles wide — merge joins broadcast " +
+    "the cluster-count-bounded sides, embeddings stay out of data shuffles") {
+    val p = plan(Queries.queries("ivf_merge_stats")(spark, sf))
+    // survivor-id and change-log sides are bounded frames: a sort-merge
+    // join here would shuffle the full store at 100 TB
+    assert(!p.contains("SortMergeJoin"),
+      "merge path must broadcast its bounded sides, never shuffle the store")
+    // data shuffles (hash exchanges) carry only narrow census columns;
+    // the single-partition collect_list exchange that packs the 8
+    // centroids for the map-side argmin is model-sized by construction
+    p.linesIterator.filter(_.contains("Exchange hashpartitioning")).foreach { e =>
+      assert(!e.contains("embedding#") && !e.contains("centroid#"),
+        s"wide column in merge shuffle: $e")
+    }
+  }
+
+  test("corpus_release_manifest rides the memos: no text column anywhere, " +
+    "no fresh digest kernels, narrow shuffles only") {
+    val p = plan(Queries.queries("corpus_release_manifest")(spark, sf))
+    // both inputs are checkpoint-backed narrow projections (assemble
+    // front half + content-hash projection): a text#/md5/sha in this
+    // plan means the manifest re-scanned the corpus
+    assert(!p.contains("text#"), "manifest must not touch the text column")
+    assert(!p.toLowerCase.contains("sha2") && !p.toLowerCase.contains("md5("),
+      "manifest must ride the memoized digests, not recompute them")
+    p.linesIterator.filter(_.contains("Exchange")).foreach { e =>
+      assert(!e.contains("__toks#"), s"wide column in manifest shuffle: $e")
+    }
+  }
+
   test("corpus_assemble shuffles are narrow (no text/token arrays) and packing partitions by (split, shard)") {
     val p = plan(Queries.queries("corpus_assemble")(spark, sf))
     p.linesIterator.filter(_.contains("Exchange")).foreach { e =>
