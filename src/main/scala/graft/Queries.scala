@@ -999,6 +999,29 @@ object Queries {
     IvfIndex.Model(c, Caching.ensureCached(assigned))
   }
 
+  /** The CHURNED fixture shared by the maintenance dashboards
+    * (`ivf_merge_stats`, `ivf_maintenance_plan`): the fixed model with a
+    * delete-only change log applied through [[IvfIndex.applyDiff]] —
+    * clusters 2 and 5 drained to every 7th member, the drained-store
+    * state the compaction path exists for. Memoized per (session, dir),
+    * same rationale as [[fixedModel]]: one churn replay serves every
+    * consumer. */
+  private val drainedAssignedCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private def drainedAssigned(s: SparkSession, dir: String): DataFrame = {
+    drainedAssignedCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    val cached = drainedAssignedCache.computeIfAbsent((s, dir), _ => {
+      val m = fixedModel(s, dir, Metric.Euclidean)
+      // consumed twice inside applyDiff (anti-join + upsert split)
+      val changes = Caching.ensureCached(
+        m.assigned.where(col("cluster_id").isin(2, 5) && col("id") % 7 =!= 0)
+          .select(col("id"), lit("delete").as("op"),
+            col("embedding"), col("metadata")))
+      IvfIndex.applyDiff(m, changes, Metric.Euclidean).assigned
+    })
+    Caching.ensureCached(cached)
+  }
+
   /** The two-level balanced build (coarse seeded k-means at a forced-tiny
     * kMax + the adaptive-split loop), memoized per (session, dir) with
     * BOTH frames eagerly checkpoint-backed — the memoize-converged-
@@ -2399,23 +2422,31 @@ object Queries {
     // by replaying the assignment, the delete rule, the floor, and the
     // survivor-only re-assignment
     "ivf_merge_stats" -> ((s, dir) => {
-      val m = fixedModel(s, dir, Metric.Euclidean)
-      // the drain: delete all but every 7th member of clusters 2 and 5
-      // (by CURRENT assignment — deterministic, replayable); consumed
-      // twice inside applyDiff (anti-join + upsert split), so cached
-      val changes = Caching.ensureCached(
-        m.assigned.where(col("cluster_id").isin(2, 5) && col("id") % 7 =!= 0)
-          .select(col("id"), lit("delete").as("op"),
-            col("embedding"), col("metadata")))
-      val drained = IvfIndex.applyDiff(m, changes, Metric.Euclidean)
-      val drainedAssigned = Caching.ensureCached(drained.assigned)
-      val floor = (drainedAssigned.count() + 15L) / 16L
+      val da = drainedAssigned(s, dir)
+      val floor = (da.count() + 15L) / 16L
       IvfIndex.mergeSmall(
-          IvfIndex.Model(drained.centroids, drainedAssigned), floor,
+          IvfIndex.Model(fixedCentroids(s, dir), da), floor,
           Metric.Euclidean)
         .assigned
         .groupBy(col("cluster_id"))
         .agg(count(lit(1)).as("n"), sum(col("id")).as("id_sum"))
+        .orderBy("cluster_id")
+    }),
+
+    // extension: the maintenance PLANNER — the read-only census run
+    // before scheduling split/merge work: per centroid, the fill and
+    // the action the two maintenance ops would take at these knobs
+    // (density 64 = the split ceiling, floor = ceil(n/16) = the merge
+    // gate), with split_way stating splitKWay's own 1.3x-over-split
+    // target arithmetic. Over the churned fixture all three actions
+    // appear at every gate SF; every cell an exact integer/string the
+    // oracle re-derives
+    "ivf_maintenance_plan" -> ((s, dir) => {
+      val da = drainedAssigned(s, dir)
+      val floor = (da.count() + 15L) / 16L
+      IvfIndex.maintenancePlan(
+          IvfIndex.Model(fixedCentroids(s, dir), da),
+          density = 64, minSize = floor)
         .orderBy("cluster_id")
     }),
 
@@ -7308,6 +7339,27 @@ object Queries {
          |SELECT cid AS cluster_id, count(*) AS n,
          |  CAST(sum(vec_id) AS BIGINT) AS id_sum
          |FROM fin GROUP BY cid ORDER BY cid""".stripMargin,
+
+    // the planner re-derived over the same churned population: per
+    // centroid (LEFT JOIN — empty clusters are listed, at fill 0), the
+    // density-64 / ceil(n/16)-floor action and splitKWay's exact
+    // 1.3x-over-split target arithmetic
+    "ivf_maintenance_plan" ->
+      s"""WITH c AS MATERIALIZED (SELECT CAST(vec_id AS INTEGER) AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8),
+         |asg AS (SELECT vec_id, cid FROM (
+         |  SELECT e.vec_id, c.cid,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${sqlSq("e.embedding", "c.cvec")} ASC, c.cid ASC) AS rn
+         |  FROM embeddings e CROSS JOIN c) WHERE rn = 1),
+         |kept AS MATERIALIZED (SELECT vec_id, cid FROM asg
+         |  WHERE NOT (cid IN (2, 5) AND vec_id % 7 <> 0)),
+         |fl AS (SELECT (count(*) + 15) // 16 AS f FROM kept),
+         |sz AS (SELECT c.cid, coalesce(k.n, 0) AS n FROM c LEFT JOIN (
+         |  SELECT cid, count(*) AS n FROM kept GROUP BY cid) k ON k.cid = c.cid)
+         |SELECT cid AS cluster_id, CAST(n AS BIGINT) AS n,
+         |  CASE WHEN n > 64 THEN 'split' WHEN n < f THEN 'merge' ELSE 'ok' END AS action,
+         |  CASE WHEN n > 64 THEN CAST(least(ceil(n * 1.3 / 64), 256) AS INTEGER) END AS split_way
+         |FROM sz, fl ORDER BY cluster_id""".stripMargin,
 
     // the expected change log recomputed from the same deterministic
     // transform: upserts carry the NEW label, deletes a null label; an

@@ -1048,6 +1048,44 @@ object IvfIndex {
     Model(survivors, kept.unionByName(moved.select(kept.columns.map(col): _*)))
   }
 
+  /** The maintenance PLANNER — the read-only census an operator runs
+    * before scheduling [[splitKWay]] / [[mergeSmall]] work: one row per
+    * centroid with its fill and the action the two maintenance ops would
+    * take at these knobs. `action` is `split` above `density` (the
+    * reference's max-records-per-cluster contract,
+    * `src/cores/database.rs:16-22`), `merge` below `minSize` (including
+    * fill 0 — [[mergeSmall]] always dissolves empty clusters, so the
+    * planner lists them from the CENTROID set, not the assignment), else
+    * `ok`. `split_way` is [[splitKWay]]'s own target arithmetic
+    * (`ceil(n·1.3/density)` clamped to `maxWay` — the 30 % over-split
+    * documented there), null for non-split rows, so the plan states
+    * exactly what the executor would do, not an approximation of it.
+    *
+    * At 100 TB this is one map-side-combinable count plus a
+    * centroid-set left join (cluster-count-bounded output) — the
+    * dashboard is free relative to either action it schedules. */
+  def maintenancePlan(
+      model: Model,
+      density: Int,
+      minSize: Long,
+      maxWay: Int = DefaultMaxWay): DataFrame = {
+    require(density > 0, s"density must be positive, got $density")
+    require(minSize > 0, s"minSize must be positive, got $minSize")
+    val sizes = model.assigned.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("__n"))
+    model.centroids.select(col("cluster_id"))
+      .join(sizes, Seq("cluster_id"), "left_outer")
+      .select(col("cluster_id"), coalesce(col("__n"), lit(0L)).as("n"))
+      .withColumn("action",
+        when(col("n") > density, lit("split"))
+          .when(col("n") < minSize, lit("merge"))
+          .otherwise(lit("ok")))
+      .withColumn("split_way",
+        when(col("n") > density,
+          least(ceil(col("n").cast("double") * 1.3 / density), lit(maxWay))
+            .cast("int")))
+  }
+
   /** Default bound on [[buildBalanced]]'s split rounds. With the k-way
     * split each round multiplies the worst cluster's piece count by up to
     * `maxWay`; 32 rounds is unreachable headroom (binary-split refine

@@ -796,6 +796,48 @@ class IvfIndexSpec extends SparkSpec {
     assert(mergedNan.assigned.count() === total + 1)
   }
 
+  test("maintenancePlan law: the plan states exactly what the executors do " +
+    "at the same knobs — merge set matches mergeSmall, split set and way " +
+    "match splitKWay's targets, empty centroids listed at fill 0") {
+    val cents = records.where(col("id") < 8)
+      .select(col("id").cast("int").as("cluster_id"), col("embedding").as("centroid"))
+    val m0 = IvfIndex.Model(cents, IvfIndex.assign(records, cents, Metric.Euclidean))
+    val drained = IvfIndex.Model(cents,
+      m0.assigned.where(!(col("cluster_id").isin(2, 5) && col("id") % 7 =!= 0)))
+    val floor = (drained.assigned.count() + 15) / 16
+    val plan = IvfIndex.maintenancePlan(drained, density = 100, minSize = floor)
+      .select("cluster_id", "n", "action", "split_way").collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getString(2),
+        if (r.isNullAt(3)) None else Some(r.getInt(3)))).toMap
+    assert(plan.keySet === Set(0, 1, 2, 3, 4, 5, 6, 7))
+    // fills are the true census
+    val sizes = drained.assigned.groupBy(col("cluster_id")).count()
+      .as[(Int, Long)].collect().toMap
+    plan.foreach { case (cid, (n, _, _)) => assert(n === sizes.getOrElse(cid, 0L)) }
+    // action partition is exhaustive and knob-consistent
+    plan.foreach { case (cid, (n, action, way)) =>
+      val expected = if (n > 100) "split" else if (n < floor) "merge" else "ok"
+      assert(action === expected, s"cluster $cid at fill $n")
+      assert(way === (if (n > 100) Some(math.min(math.ceil(n * 1.3 / 100).toLong, 256L).toInt)
+        else None), s"split_way for cluster $cid")
+    }
+    // the fixture exercises all three actions
+    assert(plan.values.map(_._2).toSet === Set("split", "merge", "ok"))
+    // merge set == exactly the clusters mergeSmall dissolves at this floor
+    val survived = IvfIndex.mergeSmall(drained, floor, Metric.Euclidean)
+      .centroids.select("cluster_id").as[Int].collect().toSet
+    plan.foreach { case (cid, (_, action, _)) =>
+      assert((action == "merge") === !survived.contains(cid), s"cluster $cid") }
+    // an empty centroid is listed from the CENTROID set at fill 0
+    val extra = cents.unionByName(
+      Seq((99, Seq.fill(dim)(99.0f))).toDF("cluster_id", "centroid"))
+    val p99 = IvfIndex.maintenancePlan(
+        IvfIndex.Model(extra, drained.assigned), density = 100, minSize = floor)
+      .where(col("cluster_id") === 99)
+      .select("n", "action").as[(Long, String)].collect()
+    assert(p99.toSeq === Seq((0L, "merge")))
+  }
+
   test("applyDiffToCodes law: incremental code store == re-encoding from scratch") {
     import graft.operators.{Crud, VectorOps}
     val old = records
