@@ -1022,6 +1022,26 @@ object Queries {
     Caching.ensureCached(cached)
   }
 
+  /** The COMPACTED twin of [[drainedAssigned]]: [[IvfIndex.mergeSmall]]
+    * at the ceil(n/16) floor over the churned fixture, memoized per
+    * (session, dir) with both frames cached — merge once, serve every
+    * consumer (`ivf_merge_stats`, `ivf_compaction_gain`), exactly the
+    * [[fixedModel]] discipline: a production maintenance job compacts
+    * the store once and every dashboard reads the compacted version. */
+  private val mergedModelCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), IvfIndex.Model]()
+  private def mergedModel(s: SparkSession, dir: String): IvfIndex.Model = {
+    mergedModelCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    val m = mergedModelCache.computeIfAbsent((s, dir), _ => {
+      val da = drainedAssigned(s, dir)
+      val floor = (da.count() + 15L) / 16L
+      IvfIndex.mergeSmall(
+        IvfIndex.Model(fixedCentroids(s, dir), da), floor, Metric.Euclidean)
+    })
+    IvfIndex.Model(
+      Caching.ensureCached(m.centroids), Caching.ensureCached(m.assigned))
+  }
+
   /** The two-level balanced build (coarse seeded k-means at a forced-tiny
     * kMax + the adaptive-split loop), memoized per (session, dir) with
     * BOTH frames eagerly checkpoint-backed — the memoize-converged-
@@ -2421,17 +2441,11 @@ object Queries {
     // Emits the post-merge census — exact integers the oracle derives
     // by replaying the assignment, the delete rule, the floor, and the
     // survivor-only re-assignment
-    "ivf_merge_stats" -> ((s, dir) => {
-      val da = drainedAssigned(s, dir)
-      val floor = (da.count() + 15L) / 16L
-      IvfIndex.mergeSmall(
-          IvfIndex.Model(fixedCentroids(s, dir), da), floor,
-          Metric.Euclidean)
-        .assigned
+    "ivf_merge_stats" -> ((s, dir) =>
+      mergedModel(s, dir).assigned
         .groupBy(col("cluster_id"))
         .agg(count(lit(1)).as("n"), sum(col("id")).as("id_sum"))
-        .orderBy("cluster_id")
-    }),
+        .orderBy("cluster_id")),
 
     // extension: the maintenance PLANNER — the read-only census run
     // before scheduling split/merge work: per centroid, the fill and
@@ -2448,6 +2462,41 @@ object Queries {
           IvfIndex.Model(fixedCentroids(s, dir), da),
           density = 64, minSize = floor)
         .orderBy("cluster_id")
+    }),
+
+    // extension: the compaction PAYOFF dashboard — ivf_tuning_curve's
+    // cost-beside-recall join evaluated on the churned store BEFORE and
+    // AFTER [[IvfIndex.mergeSmall]], per probe budget, against the same
+    // exact top-10 over the same live rows (only the cluster geometry
+    // differs): the number that justifies scheduling a compaction. Both
+    // curves ride the shared churn memo and the one-pass sweep/cost
+    // machinery; every cell oracle-replayed
+    "ivf_compaction_gain" -> ((s, dir) => {
+      val da = drainedAssigned(s, dir)
+      val before = IvfIndex.Model(fixedCentroids(s, dir), da)
+      val after = mergedModel(s, dir)
+      val probes = Seq(1, 2, 4, 999)
+      // the query lands in the DRAINED region: vec 2 = the dissolved
+      // cluster's own (deleted) anchor — the case compaction exists for
+      val qv = recs(s, dir).where(col("id") === 2)
+        .select(col("embedding").as("qvec"))
+      val exact10 = Knn.search(da, qv, 10, Metric.Euclidean)
+        .select(col("id"))
+      def curve(m: IvfIndex.Model, suffix: String): DataFrame = {
+        val hits = IvfIndex.queryProbeSweep(m, qv, k = 10,
+            probes, Metric.Euclidean)
+          .join(broadcast(exact10), Seq("id"), "left_semi")
+          .groupBy(col("probes")).agg(count(lit(1)).as("__h"))
+        IvfIndex.probeCost(m, qv, probes, Metric.Euclidean)
+          .join(hits, Seq("probes"), "left")
+          .select(col("probes"),
+            col("rows_scanned").as(s"rows_$suffix"),
+            col("scan_frac").as(s"frac_$suffix"),
+            r4(coalesce(col("__h"), lit(0L)).cast("double") / lit(10.0))
+              .as(s"recall_$suffix"))
+      }
+      curve(before, "before").join(curve(after, "after"), Seq("probes"))
+        .orderBy("probes")
     }),
 
     // O6,O9 — nearest-centroid assignment over fixed centroids
@@ -7360,6 +7409,75 @@ object Queries {
          |  CASE WHEN n > 64 THEN 'split' WHEN n < f THEN 'merge' ELSE 'ok' END AS action,
          |  CASE WHEN n > 64 THEN CAST(least(ceil(n * 1.3 / 64), 256) AS INTEGER) END AS split_way
          |FROM sz, fl ORDER BY cluster_id""".stripMargin,
+
+    // both tuning curves replayed over the same churned population: the
+    // drain, the merge (floor / survivors / re-assignment), then per
+    // probe budget the cost census and the probed top-10 vs the exact
+    // top-10 over the SAME live rows, for each geometry
+    "ivf_compaction_gain" ->
+      s"""WITH c AS MATERIALIZED (SELECT CAST(vec_id AS INTEGER) AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8),
+         |q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 2),
+         |asg AS (SELECT vec_id, cid FROM (
+         |  SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id
+         |    ORDER BY ${sqlSq("e.embedding", "c.cvec")} ASC, c.cid ASC) AS rn
+         |  FROM embeddings e CROSS JOIN c) WHERE rn = 1),
+         |kept AS MATERIALIZED (SELECT vec_id, cid FROM asg
+         |  WHERE NOT (cid IN (2, 5) AND vec_id % 7 <> 0)),
+         |fl AS (SELECT (count(*) + 15) // 16 AS f FROM kept),
+         |surv AS MATERIALIZED (SELECT cid FROM (
+         |  SELECT cid, count(*) AS n FROM kept GROUP BY cid), fl WHERE n >= f),
+         |moved AS (SELECT vec_id, cid FROM (
+         |  SELECT k.vec_id, c.cid,
+         |    row_number() OVER (PARTITION BY k.vec_id
+         |      ORDER BY ${sqlSq("e.embedding", "c.cvec")} ASC, c.cid ASC) AS rn
+         |  FROM kept k
+         |  JOIN embeddings e ON e.vec_id = k.vec_id
+         |  CROSS JOIN c
+         |  WHERE k.cid NOT IN (SELECT cid FROM surv)
+         |    AND c.cid IN (SELECT cid FROM surv)) WHERE rn = 1),
+         |fin AS MATERIALIZED (SELECT vec_id, cid FROM kept WHERE cid IN (SELECT cid FROM surv)
+         |  UNION ALL SELECT vec_id, cid FROM moved),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS store_rows FROM kept),
+         |szb AS (SELECT cid, CAST(count(*) AS BIGINT) AS n FROM kept GROUP BY cid),
+         |sza AS (SELECT cid, CAST(count(*) AS BIGINT) AS n FROM fin GROUP BY cid),
+         |crb AS MATERIALIZED (SELECT c.cid, row_number() OVER (
+         |  ORDER BY ${sqlSq("c.cvec", "q.qvec")} ASC, c.cid ASC) AS prank FROM c, q),
+         |cra AS MATERIALIZED (SELECT c.cid, row_number() OVER (
+         |  ORDER BY ${sqlSq("c.cvec", "q.qvec")} ASC, c.cid ASC) AS prank
+         |  FROM c JOIN surv USING (cid), q),
+         |p AS (SELECT unnest([1, 2, 4, 999]) AS probes),
+         |costb AS (SELECT p.probes,
+         |    CAST(coalesce(sum(coalesce(szb.n, 0)), 0) AS BIGINT) AS rows_before,
+         |    ${sqlR4("CAST(coalesce(sum(coalesce(szb.n, 0)), 0) AS DOUBLE) / tot.store_rows")} AS frac_before
+         |  FROM p JOIN crb ON crb.prank <= p.probes LEFT JOIN szb ON szb.cid = crb.cid, tot
+         |  GROUP BY p.probes, tot.store_rows),
+         |costa AS (SELECT p.probes,
+         |    CAST(coalesce(sum(coalesce(sza.n, 0)), 0) AS BIGINT) AS rows_after,
+         |    ${sqlR4("CAST(coalesce(sum(coalesce(sza.n, 0)), 0) AS DOUBLE) / tot.store_rows")} AS frac_after
+         |  FROM p JOIN cra ON cra.prank <= p.probes LEFT JOIN sza ON sza.cid = cra.cid, tot
+         |  GROUP BY p.probes, tot.store_rows),
+         |ex AS MATERIALIZED (SELECT e.vec_id FROM embeddings e JOIN kept k ON e.vec_id = k.vec_id, q
+         |  ORDER BY ${sqlSq("e.embedding", "q.qvec")} ASC, e.vec_id ASC LIMIT 10),
+         |resb AS (SELECT p.probes, r.vec_id FROM p, LATERAL (
+         |  SELECT e.vec_id FROM embeddings e JOIN kept ON e.vec_id = kept.vec_id
+         |    JOIN crb ON kept.cid = crb.cid, q
+         |  WHERE crb.prank <= p.probes
+         |  ORDER BY ${sqlSq("e.embedding", "q.qvec")} ASC, e.vec_id ASC LIMIT 10) r),
+         |resa AS (SELECT p.probes, r.vec_id FROM p, LATERAL (
+         |  SELECT e.vec_id FROM embeddings e JOIN fin ON e.vec_id = fin.vec_id
+         |    JOIN cra ON fin.cid = cra.cid, q
+         |  WHERE cra.prank <= p.probes
+         |  ORDER BY ${sqlSq("e.embedding", "q.qvec")} ASC, e.vec_id ASC LIMIT 10) r),
+         |hb AS (SELECT probes, count(*) AS h FROM resb JOIN ex USING (vec_id) GROUP BY probes),
+         |ha AS (SELECT probes, count(*) AS h FROM resa JOIN ex USING (vec_id) GROUP BY probes)
+         |SELECT costb.probes, costb.rows_before, costb.frac_before,
+         |  ${sqlR4("CAST(coalesce(hb.h, 0) AS DOUBLE) / 10.0")} AS recall_before,
+         |  costa.rows_after, costa.frac_after,
+         |  ${sqlR4("CAST(coalesce(ha.h, 0) AS DOUBLE) / 10.0")} AS recall_after
+         |FROM costb JOIN costa ON costb.probes = costa.probes
+         |LEFT JOIN hb ON hb.probes = costb.probes
+         |LEFT JOIN ha ON ha.probes = costb.probes
+         |ORDER BY costb.probes""".stripMargin,
 
     // the expected change log recomputed from the same deterministic
     // transform: upserts carry the NEW label, deletes a null label; an

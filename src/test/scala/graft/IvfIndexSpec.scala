@@ -824,10 +824,14 @@ class IvfIndexSpec extends SparkSpec {
     // the fixture exercises all three actions
     assert(plan.values.map(_._2).toSet === Set("split", "merge", "ok"))
     // merge set == exactly the clusters mergeSmall dissolves at this floor
-    val survived = IvfIndex.mergeSmall(drained, floor, Metric.Euclidean)
-      .centroids.select("cluster_id").as[Int].collect().toSet
+    val merged = IvfIndex.mergeSmall(drained, floor, Metric.Euclidean)
+    val survived = merged.centroids.select("cluster_id").as[Int].collect().toSet
     plan.foreach { case (cid, (_, action, _)) =>
       assert((action == "merge") === !survived.contains(cid), s"cluster $cid") }
+    // one-pass convergence: survivors only GAIN members, so the plan at
+    // the same floor schedules no further merges after one merge pass
+    assert(IvfIndex.maintenancePlan(merged, density = 100, minSize = floor)
+      .where(col("action") === "merge").count() === 0L)
     // an empty centroid is listed from the CENTROID set at fill 0
     val extra = cents.unionByName(
       Seq((99, Seq.fill(dim)(99.0f))).toDF("cluster_id", "centroid"))
