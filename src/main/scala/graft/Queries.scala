@@ -7403,12 +7403,17 @@ object Queries {
          |kept AS MATERIALIZED (SELECT vec_id, cid FROM asg
          |  WHERE NOT (cid IN (2, 5) AND vec_id % 7 <> 0)),
          |fl AS (SELECT (count(*) + 15) // 16 AS f FROM kept),
-         |sz AS (SELECT c.cid, coalesce(k.n, 0) AS n FROM c LEFT JOIN (
-         |  SELECT cid, count(*) AS n FROM kept GROUP BY cid) k ON k.cid = c.cid)
+         |sz AS MATERIALIZED (SELECT c.cid, coalesce(k.n, 0) AS n FROM c LEFT JOIN (
+         |  SELECT cid, count(*) AS n FROM kept GROUP BY cid) k ON k.cid = c.cid),
+         |grd AS (SELECT coalesce(max(CASE WHEN n >= f THEN 1 ELSE 0 END), 0) AS anybig,
+         |  (SELECT cid FROM sz WHERE n > 0 ORDER BY n DESC, cid ASC LIMIT 1) AS topc
+         |  FROM sz, fl)
          |SELECT cid AS cluster_id, CAST(n AS BIGINT) AS n,
-         |  CASE WHEN n > 64 THEN 'split' WHEN n < f THEN 'merge' ELSE 'ok' END AS action,
+         |  CASE WHEN n > 64 THEN 'split'
+         |    WHEN n < f AND NOT (grd.anybig = 0 AND sz.cid IS NOT DISTINCT FROM grd.topc) THEN 'merge'
+         |    ELSE 'ok' END AS action,
          |  CASE WHEN n > 64 THEN CAST(least(ceil(n * 1.3 / 64), 256) AS INTEGER) END AS split_way
-         |FROM sz, fl ORDER BY cluster_id""".stripMargin,
+         |FROM sz, fl, grd ORDER BY cluster_id""".stripMargin,
 
     // both tuning curves replayed over the same churned population: the
     // drain, the merge (floor / survivors / re-assignment), then per

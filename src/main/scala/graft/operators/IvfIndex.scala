@@ -1056,7 +1056,11 @@ object IvfIndex {
     * `src/cores/database.rs:16-22`), `merge` below `minSize` (including
     * fill 0 — [[mergeSmall]] always dissolves empty clusters, so the
     * planner lists them from the CENTROID set, not the assignment), else
-    * `ok`. `split_way` is [[splitKWay]]'s own target arithmetic
+    * `ok` — INCLUDING [[mergeSmall]]'s all-donor guard: when every
+    * populated cluster is under the floor, the one that would survive
+    * (largest fill, ties → lowest id) reads `ok`, so the plan never
+    * schedules a merge the executor would refuse.
+    * `split_way` is [[splitKWay]]'s own target arithmetic
     * (`ceil(n·1.3/density)` clamped to `maxWay` — the 30 % over-split
     * documented there), null for non-split rows, so the plan states
     * exactly what the executor would do, not an approximation of it.
@@ -1073,17 +1077,31 @@ object IvfIndex {
     require(minSize > 0, s"minSize must be positive, got $minSize")
     val sizes = model.assigned.groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("__n"))
-    model.centroids.select(col("cluster_id"))
+    val base = model.centroids.select(col("cluster_id"))
       .join(sizes, Seq("cluster_id"), "left_outer")
       .select(col("cluster_id"), coalesce(col("__n"), lit(0L)).as("n"))
+    // the all-donor guard as one broadcast 1-row aggregate over the
+    // cluster-count-bounded census (no partition-less window): whether
+    // any cluster clears the floor, and the guard survivor otherwise
+    // (largest populated fill, ties -> lowest id; null on an empty
+    // store, where everything dissolves)
+    val guard = base.agg(
+      max(when(col("n") >= minSize, lit(1)).otherwise(lit(0))).as("__anyBig"),
+      max_by(when(col("n") > 0, col("cluster_id")),
+        when(col("n") > 0, struct(col("n"), (-col("cluster_id")).as("__negid"))))
+        .as("__topc"))
+    base.crossJoin(broadcast(guard))
       .withColumn("action",
         when(col("n") > density, lit("split"))
-          .when(col("n") < minSize, lit("merge"))
+          .when(col("n") < minSize &&
+            !(col("__anyBig") === 0 && (col("cluster_id") <=> col("__topc"))),
+            lit("merge"))
           .otherwise(lit("ok")))
       .withColumn("split_way",
         when(col("n") > density,
           least(ceil(col("n").cast("double") * 1.3 / density), lit(maxWay))
             .cast("int")))
+      .drop("__anyBig", "__topc")
   }
 
   /** Default bound on [[buildBalanced]]'s split rounds. With the k-way
