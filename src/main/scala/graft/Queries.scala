@@ -2411,6 +2411,51 @@ object Queries {
       }.reduce(_ unionByName _).orderBy("version")
     }),
 
+    // extension: version RETENTION — the lifecycle step the staged
+    // publishes make necessary (every refine/compact/restore lands a
+    // NEW version; nothing ever ages out): four versions written (three
+    // scd2 replay points + the current store), vacuum keepLast=2, then
+    // the per-version census of what survived — doomed versions as
+    // explicit kept=false rows, survivors re-read FROM THE STORE (the
+    // row proves the bytes vacuum spared are the right bytes, not just
+    // that the right names were deleted). The store builds ONCE per
+    // application (v4's presence is the marker; a crashed partial build
+    // self-heals by rebuilding) and vacuum is idempotent, so the row
+    // set is identical at any pass count — survival is read from the
+    // version listing, never from the first pass's removal list
+    "snapshot_vacuum" -> ((s, dir) => {
+      import s.implicits._
+      val base = "/tmp/graft_vacstore_" +
+        s.sparkContext.applicationId.replace(':', '-') + "_" +
+        dir.replace('/', '_').replace('.', '_')
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$base/v4"))) {
+        val r = recs(s, dir)
+        val log = scd2Log(s, dir)
+          .select(col("id"), col("op"), col("seq"), col("embedding"),
+            when(col("op") === "upsert", map(lit("label"), col("lab")))
+              .otherwise(lit(null).cast("map<string,string>")).as("metadata"))
+        (1 to 3).foreach { v =>
+          Crud.snapshotAt(r, log, v.toLong)
+            .write.mode("overwrite").parquet(s"$base/v$v")
+        }
+        recs(s, dir).write.mode("overwrite").parquet(s"$base/v4")
+      }
+      Records.vacuumVersions(s, base, keepLast = 2)
+      (1 to 4).map { v =>
+        if (!fs.exists(new org.apache.hadoop.fs.Path(s"$base/v$v")))
+          Seq((v.toLong, false)).toDF("version", "kept")
+            .select(col("version"), col("kept"),
+              lit(null).cast("long").as("n"), lit(null).cast("long").as("id_sum"))
+        else
+          s.read.parquet(s"$base/v$v")
+            .agg(count(lit(1)).as("n"), sum(col("id")).as("id_sum"))
+            .select(lit(v.toLong).as("version"), lit(true).as("kept"),
+              col("n"), col("id_sum"))
+      }.reduce(_ unionByName _).orderBy("version")
+    }),
+
     // extension: incremental index maintenance — apply the change log
     // derived by snapshot_diff to the fixed-centroid index WITHOUT
     // re-assigning the unchanged rows; verified by the per-cluster
@@ -7483,6 +7528,28 @@ object Queries {
          |LEFT JOIN hb ON hb.probes = costb.probes
          |LEFT JOIN ha ON ha.probes = costb.probes
          |ORDER BY costb.probes""".stripMargin,
+
+    // retention replayed: versions 1 and 2 doomed by keepLast=2 (kept
+    // false, null census); version 3 = the scd2 state at seq 3 (the
+    // time-travel ver(3) derivation), version 4 = the current store
+    "snapshot_vacuum" ->
+      s"""WITH $scd2LogSql,
+         |s3 AS (SELECT e.vec_id AS id FROM embeddings e
+         |  WHERE e.vec_id NOT IN (SELECT id FROM log WHERE seq <= 3)
+         |  UNION ALL
+         |  SELECT id FROM (
+         |    SELECT id, op, row_number() OVER (PARTITION BY id ORDER BY seq DESC) AS rn
+         |    FROM log WHERE seq <= 3) WHERE rn = 1 AND op <> 'delete')
+         |SELECT CAST(version AS BIGINT) AS version, kept,
+         |  CAST(n AS BIGINT) AS n, CAST(id_sum AS BIGINT) AS id_sum
+         |FROM (
+         |  SELECT 1 AS version, false AS kept, NULL AS n, NULL AS id_sum
+         |  UNION ALL SELECT 2, false, NULL, NULL
+         |  UNION ALL SELECT 3, true,
+         |    (SELECT count(*) FROM s3), (SELECT sum(id) FROM s3)
+         |  UNION ALL SELECT 4, true,
+         |    (SELECT count(*) FROM embeddings), (SELECT sum(vec_id) FROM embeddings))
+         |ORDER BY version""".stripMargin,
 
     // the expected change log recomputed from the same deterministic
     // transform: upserts carry the NEW label, deletes a null label; an
