@@ -141,7 +141,10 @@ object Dedup {
         count(lit(1)).as("n_buckets"),
         max(col("__bn")).as("max_bucket"),
         sum(when(col("__bn") >= 2, 1L).otherwise(0L)).as("n_colliding"),
-        sum(col("__bn") * (col("__bn") - 1) / 2).as("cand_pairs"),
+        // integral (`div`) pair count: the fractional `/` would sum the
+        // Σn(n−1)/2 fanout through doubles, losing exactness past 2^53
+        // — reachable for a whole-corpus census of a viral family
+        sum(expr("(__bn * (__bn - 1)) div 2")).as("cand_pairs"),
         sum(when(col("__bn") > maxBucket, 1L).otherwise(0L)).as("n_over_cap"))
       .select(col("band_idx").cast("int").as("band_idx"), col("n_rows"),
         col("n_buckets"), col("max_bucket"), col("n_colliding"),

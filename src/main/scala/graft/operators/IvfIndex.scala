@@ -1065,6 +1065,11 @@ object IvfIndex {
     * documented there), null for non-split rows, so the plan states
     * exactly what the executor would do, not an approximation of it.
     *
+    * The plan enumerates the CENTROID set: assigned rows under a
+    * cluster_id with no centroid row (a corrupt store) are not listed —
+    * they surface through the store-integrity checks, and [[mergeSmall]]
+    * heals them when under the floor (re-assigned to a real survivor).
+    *
     * At 100 TB this is one map-side-combinable count plus a
     * centroid-set left join (cluster-count-bounded output) — the
     * dashboard is free relative to either action it schedules. */
