@@ -22,6 +22,39 @@ object Probe {
     if (name == "groupsprof") { groupsProfile(spark, dir); spark.stop(); return }
     if (name == "contprof") { containmentProfile(spark, dir); spark.stop(); return }
     if (name == "fzprof") { fuzzyProfile(spark, dir); spark.stop(); return }
+    // `explainAll <outDir> <q1> <q2> ...` — the r14 measurement sweep:
+    // in ONE session (memos shared like the bench), per query: dump
+    // `.explain("formatted")` to <outDir>/<q>.txt, then time THREE full
+    // noop materializations (Bench methodology: min absorbs codegen
+    // compile + one-off noise) and print per-query mins. Queries run in
+    // sorted order with the bench's family-boundary clearCache so the
+    // family-memo attribution matches the bench artifact.
+    if (name == "explainAll") {
+      val sweepDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+      val outDir = java.nio.file.Paths.get(args(1))
+      java.nio.file.Files.createDirectories(outDir)
+      val names = args.drop(2).toSeq.sorted
+      var prevFamily = ""
+      val mins = names.map { q =>
+        val family = q.takeWhile(_ != '_')
+        if (family != prevFamily) { spark.catalog.clearCache(); prevFamily = family }
+        val df = SparkEntry.queries(q)(spark, sweepDir)
+        val plan = df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+        java.nio.file.Files.write(outDir.resolve(s"$q.txt"),
+          plan.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        val ts = (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          SparkEntry.queries(q)(spark, sweepDir)
+            .write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        println(f"PROBE $q min=${ts.min}%.3f passes=${ts.map(t => f"$t%.3f").mkString(",")}")
+        q -> ts.min
+      }
+      println(f"PROBE_TOTAL ${mins.map(_._2).sum}%.3f over ${names.size} queries")
+      spark.stop(); return
+    }
     val df = SparkEntry.queries(name)(spark, dir)
     df.explain("formatted")
     (1 to 2).foreach { i =>

@@ -1010,16 +1010,25 @@ object Queries {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
   private def drainedAssigned(s: SparkSession, dir: String): DataFrame = {
     drainedAssignedCache.keySet.removeIf(_._1.sparkContext.isStopped)
-    val cached = drainedAssignedCache.computeIfAbsent((s, dir), _ => {
+    drainedAssignedCache.computeIfAbsent((s, dir), _ => {
       val m = fixedModel(s, dir, Metric.Euclidean)
       // consumed twice inside applyDiff (anti-join + upsert split)
       val changes = Caching.ensureCached(
         m.assigned.where(col("cluster_id").isin(2, 5) && col("id") % 7 =!= 0)
           .select(col("id"), lit("delete").as("op"),
             col("embedding"), col("metadata")))
-      IvfIndex.applyDiff(m, changes, Metric.Euclidean).assigned
+      // checkpoint-backed, not merely persisted (r14): the churned frame
+      // is a converged RESULT (the memoize-results rule), and its three
+      // dashboards reference it several times EACH (sizes, totals,
+      // candidates, the exact baseline...). Plan-matched persistence
+      // still re-analyzes the full applyDiff-over-assign lineage at
+      // every reference — ivf_compaction_gain's physical plan was
+      // 11.5k lines / 1232 Exchange nodes, ~3.4 s of per-pass driver
+      // planning at sf0.1. A LogicalRDD leaf collapses every reference.
+      org.apache.spark.sql.graft.PlanBridge.statsReset(
+        IvfIndex.applyDiff(m, changes, Metric.Euclidean).assigned
+          .localCheckpoint(eager = true))
     })
-    Caching.ensureCached(cached)
   }
 
   /** The COMPACTED twin of [[drainedAssigned]]: [[IvfIndex.mergeSmall]]
@@ -1035,11 +1044,19 @@ object Queries {
     val m = mergedModelCache.computeIfAbsent((s, dir), _ => {
       val da = drainedAssigned(s, dir)
       val floor = (da.count() + 15L) / 16L
-      IvfIndex.mergeSmall(
+      val merged = IvfIndex.mergeSmall(
         IvfIndex.Model(fixedCentroids(s, dir), da), floor, Metric.Euclidean)
+      // checkpoint-backed like [[drainedAssigned]] (and [[balancedModel]]):
+      // the compacted store is a converged maintenance result; truncating
+      // the mergeSmall-over-churn lineage keeps every consumer reference a
+      // LogicalRDD leaf instead of a re-analyzed plan subtree
+      IvfIndex.Model(
+        org.apache.spark.sql.graft.PlanBridge.statsReset(
+          merged.centroids.localCheckpoint(eager = true)),
+        org.apache.spark.sql.graft.PlanBridge.statsReset(
+          merged.assigned.localCheckpoint(eager = true)))
     })
-    IvfIndex.Model(
-      Caching.ensureCached(m.centroids), Caching.ensureCached(m.assigned))
+    m
   }
 
   /** The two-level balanced build (coarse seeded k-means at a forced-tiny
@@ -1185,8 +1202,12 @@ object Queries {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
   private def lmModel(s: SparkSession, dir: String): DataFrame = {
     lmModelCache.keySet.removeIf(_._1.sparkContext.isStopped)
-    Caching.ensureCached(lmModelCache.computeIfAbsent((s, dir),
-      _ => TextOps.charLmModel(docs(s, dir), col("text"))))
+    // checkpoint-backed (r14), same argument as [[nbModelOf]]: fitted
+    // charset³-bounded model, explicitly broadcast by the scorer
+    lmModelCache.computeIfAbsent((s, dir), _ =>
+      org.apache.spark.sql.graft.PlanBridge.statsReset(
+        TextOps.charLmModel(docs(s, dir), col("text"))
+          .localCheckpoint(eager = true)))
   }
 
   /** Trained NB language model (char-trigram multinomial,
@@ -1199,9 +1220,20 @@ object Queries {
   private def nbModelOf(s: SparkSession, dir: String, tag: String)(
       train: => DataFrame): TextOps.NbModel = {
     nbModelCache.keySet.removeIf(_._1.sparkContext.isStopped)
-    val m = nbModelCache.computeIfAbsent((s, dir, tag), _ =>
-      TextOps.nbCharGramModel(train, col("text"), col("label")))
-    TextOps.NbModel(Caching.ensureCached(m.grams), Caching.ensureCached(m.labels))
+    // checkpoint-backed (r14): the fitted model is a converged RESULT the
+    // scorer broadcasts per materialization; keeping the fit lineage
+    // behind a plan-matched persist made every consumer re-analyze the
+    // whole train-split tokenize/count tree per pass (corpus_nb_quality's
+    // physical plan was ~1k lines). Both frames are charset³×|langs|-
+    // bounded, so the checkpoint is tiny.
+    nbModelCache.computeIfAbsent((s, dir, tag), _ => {
+      val m = TextOps.nbCharGramModel(train, col("text"), col("label"))
+      TextOps.NbModel(
+        org.apache.spark.sql.graft.PlanBridge.statsReset(
+          m.grams.localCheckpoint(eager = true)),
+        org.apache.spark.sql.graft.PlanBridge.statsReset(
+          m.labels.localCheckpoint(eager = true)))
+    })
   }
   private def nbLangModel(s: SparkSession, dir: String): TextOps.NbModel =
     nbModelOf(s, dir, "lang")(
@@ -1219,8 +1251,12 @@ object Queries {
   private def nbHeldScoresOf(s: SparkSession, dir: String, tag: String)(
       build: => DataFrame): DataFrame = {
     nbHeldScoresCache.keySet.removeIf(_._1.sparkContext.isStopped)
-    Caching.ensureCached(
-      nbHeldScoresCache.computeIfAbsent((s, dir, tag), _ => build))
+    // checkpoint-backed (r14), same argument as [[nbModelOf]]: the score
+    // frame is the converged shared prefix of three consumers; the frame
+    // is |held docs|×|labels| rows of (long, string, long) — bounded.
+    nbHeldScoresCache.computeIfAbsent((s, dir, tag), _ =>
+      org.apache.spark.sql.graft.PlanBridge.statsReset(
+        build.localCheckpoint(eager = true)))
   }
   private def nbHeldScores(s: SparkSession, dir: String): DataFrame =
     nbHeldScoresOf(s, dir, "lang")(
@@ -2532,8 +2568,11 @@ object Queries {
             probes, Metric.Euclidean)
           .join(broadcast(exact10), Seq("id"), "left_semi")
           .groupBy(col("probes")).agg(count(lit(1)).as("__h"))
+        // hits is ≤|probes| rows — broadcast keeps the final stitch a
+        // BroadcastHashJoin instead of a sort-merge (2 Sort + 1 Exchange
+        // stages dropped per curve; r14)
         IvfIndex.probeCost(m, qv, probes, Metric.Euclidean)
-          .join(hits, Seq("probes"), "left")
+          .join(broadcast(hits), Seq("probes"), "left")
           .select(col("probes"),
             col("rows_scanned").as(s"rows_$suffix"),
             col("scan_frac").as(s"frac_$suffix"),
@@ -2627,16 +2666,25 @@ object Queries {
         .join(lab.select(col("vec_id").as("id"), col("label").as("__la")), Seq("id"))
         .join(lab.select(col("vec_id").as("cand_id"), col("label").as("__lb")),
           Seq("cand_id"))
-      def argmin(df: DataFrame, out: String, outD: String) = df
+      // ONE conditional aggregation (r14): min() skips nulls, so
+      // min(when(same-label, struct)) is exactly the argmin over the
+      // same-label subset — the r13 form ran TWO groupBy(id) aggregates
+      // over the filtered pair frame and inner-joined them back (2
+      // aggregate exchanges + a join per pass); requiring both structs
+      // non-null reproduces the inner join's "has a pos AND a neg"
+      // membership. Same (d, cand_id) struct order, same ties.
+      pairs
         .groupBy(col("id"))
-        .agg(min(struct(col("__d"), col("cand_id"))).as("__b"))
-        .select(col("id"), col("__b.cand_id").as(out), col("__b.__d").as(outD))
-      val pos = argmin(pairs.where(col("__la") === col("__lb")), "pos_id", "__pd")
-      val neg = argmin(pairs.where(col("__la") =!= col("__lb")), "neg_id", "__nd")
-      pos.join(neg, Seq("id"))
-        .select(col("id").as("vec_id"), col("pos_id"), col("neg_id"),
-          r4(col("__pd")).as("pos_dist"), r4(col("__nd")).as("neg_dist"),
-          r4(col("__nd") - col("__pd")).as("margin"))
+        .agg(
+          min(when(col("__la") === col("__lb"),
+            struct(col("__d"), col("cand_id")))).as("__bp"),
+          min(when(col("__la") =!= col("__lb"),
+            struct(col("__d"), col("cand_id")))).as("__bn"))
+        .where(col("__bp").isNotNull && col("__bn").isNotNull)
+        .select(col("id").as("vec_id"),
+          col("__bp.cand_id").as("pos_id"), col("__bn.cand_id").as("neg_id"),
+          r4(col("__bp.__d")).as("pos_dist"), r4(col("__bn.__d")).as("neg_dist"),
+          r4(col("__bn.__d") - col("__bp.__d")).as("margin"))
         .orderBy("vec_id")
     }),
 
@@ -4666,7 +4714,7 @@ object Queries {
         .join(broadcast(exact10), Seq("id"), "left_semi")
         .groupBy(col("probes")).agg(count(lit(1)).as("__h"))
       Seq(1, 2, 4, 8, 999).toDF("probes")
-        .join(hits, Seq("probes"), "left")
+        .join(broadcast(hits), Seq("probes"), "left")
         .select(col("probes"),
           coalesce(col("__h"), lit(0L)).as("n_hit"),
           r4(coalesce(col("__h"), lit(0L)).cast("double") / lit(10.0)).as("recall"))
@@ -4693,8 +4741,9 @@ object Queries {
           probes, Metric.Euclidean)
         .join(broadcast(exact10), Seq("id"), "left_semi")
         .groupBy(col("probes")).agg(count(lit(1)).as("__h"))
+      // broadcast: same ≤5-row stitch as ivf_compaction_gain's curves
       IvfIndex.probeCost(model, qvec0(s, dir), probes, Metric.Euclidean)
-        .join(hits, Seq("probes"), "left")
+        .join(broadcast(hits), Seq("probes"), "left")
         .select(col("probes"), col("n_probed"), col("rows_scanned"),
           col("store_rows"), col("store_clusters"), col("scan_frac"),
           coalesce(col("__h"), lit(0L)).as("n_hit"),
@@ -5119,20 +5168,27 @@ object Queries {
     // same memoized frame the other four consume). Single-distinct
     // rollups joined — never two distincts in one agg (no-Expand rule)
     "corpus_gram_index_stats" -> ((s, dir) => {
+      // TWO aggregation chains instead of four (r14): the index frame is
+      // distinct per (split, doc_id, h) with one h-IS-NULL row per
+      // gramless doc, so a per-(split, doc_id) rollup (count(h) skips
+      // nulls) yields n_docs, n_docs_with_grams AND n_gram_rows in one
+      // exchange; only n_distinct_grams still needs its own
+      // single-distinct chain (never two distincts in one agg — the
+      // no-Expand rule). Was: 4 aggregate chains + 3 joins over the same
+      // memoized frame; results row-identical.
       val g = splitGrams8(s, dir)
-      val gr = g.where(col("h").isNotNull)
-      val nd = g.select(col("split"), col("doc_id")).distinct()
-        .groupBy(col("split")).agg(count(lit(1)).as("n_docs"))
-      val ndg = gr.select(col("split"), col("doc_id")).distinct()
-        .groupBy(col("split")).agg(count(lit(1)).as("n_docs_with_grams"))
-      val nr = gr.groupBy(col("split")).agg(count(lit(1)).as("n_gram_rows"))
-      val dg = gr.select(col("split"), col("h")).distinct()
+      val perDoc = g.groupBy(col("split"), col("doc_id"))
+        .agg(count(col("h")).as("__ng"))
+      val bySplit = perDoc.groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("__ng") > 0L, 1L).otherwise(0L)).as("n_docs_with_grams"),
+          sum(col("__ng")).as("n_gram_rows"))
+      val dg = g.where(col("h").isNotNull)
+        .select(col("split"), col("h")).distinct()
         .groupBy(col("split")).agg(count(lit(1)).as("n_distinct_grams"))
-      nd.join(ndg, Seq("split"), "left").join(nr, Seq("split"), "left")
-        .join(dg, Seq("split"), "left")
+      bySplit.join(dg, Seq("split"), "left")
         .select(col("split"), col("n_docs"),
-          coalesce(col("n_docs_with_grams"), lit(0L)).as("n_docs_with_grams"),
-          coalesce(col("n_gram_rows"), lit(0L)).as("n_gram_rows"),
+          col("n_docs_with_grams"), col("n_gram_rows"),
           coalesce(col("n_distinct_grams"), lit(0L)).as("n_distinct_grams"))
         .orderBy("split")
     }),

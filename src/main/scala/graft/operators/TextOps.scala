@@ -143,16 +143,22 @@ object TextOps {
     graft.functions.NativeExprs.tokenStats(t, StopwordsByLang.map(_._2))
 
   /** Argmax over a MATERIALIZED [[langVotes]] attribute: highest count
-    * wins, ties break by [[StopwordsByLang]] order; all-zero → "und". */
+    * wins, ties break by [[StopwordsByLang]] order; all-zero → "und".
+    *
+    * Implemented as `array_max` + first-index lookup (r14). The r13 form
+    * was a `when(n > acc.n, …).otherwise(acc)` foldLeft, which inlines
+    * the accumulator subtree into BOTH branches of every level — the
+    * 5-language argmax expanded to an ~80-copy `element_at` CASE tree
+    * per reference (3 KB of plan text per consumer; corpus_clean's lang
+    * projection dominated its explain). First-index-of-max is the same
+    * total order: the fold only replaces the leader on a STRICT
+    * improvement, so the winner is the earliest maximum; all-zero (and
+    * NULL votes) fall through to "und" in both forms. */
   def langFromVotes(votes: Column): Column = {
-    val best = StopwordsByLang.zipWithIndex.tail.foldLeft(
-      struct(lit(StopwordsByLang.head._1).as("lang"), element_at(votes, 1).as("n"))) {
-      case (acc, ((lang, _), i)) =>
-        val n = element_at(votes, i + 1)
-        when(n > acc.getField("n"), struct(lit(lang).as("lang"), n.as("n")))
-          .otherwise(acc)
-    }
-    when(best.getField("n") > 0, best.getField("lang")).otherwise(lit("und"))
+    val langs = array(StopwordsByLang.map(p => lit(p._1)): _*)
+    val mx = array_max(votes)
+    when(mx > 0, element_at(langs, array_position(votes, mx).cast("int")))
+      .otherwise(lit("und"))
   }
 
   /** Language ID: convenience composition of [[langVotes]] +
@@ -552,7 +558,16 @@ object TextOps {
     val q4 = (c: Column) => floor(c * lit(10000.0) + lit(0.5)) / lit(10000.0)
     val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
       .where(col("token") =!= "")
-    val tf = toks.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    // Persisted (r14): the (doc, token) count frame feeds BOTH the df
+    // aggregate and the score join, and Catalyst rewrites the df branch's
+    // inner aggregate to a distinct (pruning the tf count), so the two
+    // subtrees stop being exchange-identical and the corpus was tokenized
+    // TWICE per pass (2 scans in the physical plan). The cached frame is
+    // the [[graft.operators.Dedup.minhashLsh]] digest-pass discipline:
+    // narrow (long, token, long) rows, one tokenize pass per
+    // materialization, both consumers read the columnar cache.
+    val tf = graft.Caching.ensureCached(
+      toks.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf")))
     val n = docs.agg(count(lit(1)).as("__n"))
     val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val scored = tf.join(dfreq, Seq("token")).crossJoin(broadcast(n))
@@ -809,24 +824,29 @@ object TextOps {
         .withColumn("__tfs",
           transform(termArr, t => size(filter(col("__tk"), x => x === t))))
         .drop("__tk")
-    // Per-term document frequency: posexplode the tf vector → groupBy
-    // term position — a |terms|-row frame, then folded to ONE broadcast
-    // row of positionally-ordered idfs.
-    val dfreq = withTf(docs)
-      .select(posexplode(col("__tfs")).as(Seq("__pos", "__tf")))
-      .groupBy(col("__pos"))
-      .agg(sum(when(col("__tf") > 0, 1L).otherwise(0L)).as("__df"))
-    val corpus = withTf(docs)
-      .agg(count(lit(1)).as("__n"), avg(col("__dl")).as("__avgdl"))
-    val idfs = dfreq
-      .crossJoin(broadcast(corpus))
-      .select(struct(col("__pos"),
-        log(lit(1.0) + (col("__n") - col("__df") + lit(0.5)) /
-          (col("__df") + lit(0.5))).as("__idf")).as("__pi"))
-      .agg(array_sort(collect_list(col("__pi"))).as("__pis"))
-      .select(transform(col("__pis"), e => e.getField("__idf")).as("__idfs"))
+    // ONE constant-width stats aggregate (r14): the term list is a
+    // literal, so per-term document frequency is |terms| fixed
+    // `sum(when(__tfs[i] > 0, 1))` columns in the SAME aggregate that
+    // computes (N, avgdl), and the positionally-ordered idf array is a
+    // literal `array(...)` over those sums. The r13 form ran THREE
+    // tokenize passes per materialization (df posexplode→groupBy chain,
+    // corpus-stats pass, score pass) where the scaladoc promised two —
+    // this restores two, and drops the posexplode/groupBy/collect_list
+    // machinery. Same arithmetic on the same exact integer counts →
+    // bit-identical idfs.
+    val dfAggs = terms.indices.map(i =>
+      sum(when(element_at(col("__tfs"), i + 1) > 0, 1L).otherwise(0L))
+        .as(s"__df_$i"))
+    val statsAggs =
+      Seq(count(lit(1)).as("__n"), avg(col("__dl")).as("__avgdl")) ++ dfAggs
+    val stats = withTf(docs)
+      .agg(statsAggs.head, statsAggs.tail: _*)
+      .select(col("__n"), col("__avgdl"),
+        array(terms.indices.map(i =>
+          log(lit(1.0) + (col("__n") - col(s"__df_$i") + lit(0.5)) /
+            (col(s"__df_$i") + lit(0.5)))): _*).as("__idfs"))
     withTf(docs)
-      .crossJoin(broadcast(idfs.crossJoin(corpus)))
+      .crossJoin(broadcast(stats))
       .withColumn("__contribs",
         zip_with(col("__tfs"), col("__idfs"), (tf, idf) =>
           idf * tf.cast("double") * lit(k1 + 1.0) /
