@@ -4610,12 +4610,15 @@ object Queries {
     // interpolated value bands are not), and the trimmed band keeps
     // ≥ 0.6·n − 2 docs. n_docs is the exact oracle-derivable cell.
     "corpus_quality_band_sketch" -> ((s, dir) => {
-      val scored = docsSpread(s, dir)
+      // persisted (r14): consumed by the sketch aggregate AND the
+      // rank-contract check — uncached, the tokenize+quality kernels ran
+      // twice per pass. Narrow (source, double) rows.
+      val scored = Caching.ensureCached(docsSpread(s, dir)
         .withColumn("__toks", TextOps.tokens(col("text")))
         .withColumn("__stats", TextOps.tokenStats(col("__toks")))
         .select(coalesce(col("source"), lit("(null)")).as("source"),
           r4(TextOps.qualityFromStats(col("text"), col("__toks"), col("__stats")))
-            .as("__q"))
+            .as("__q")))
       val sk = scored.groupBy(col("source"))
         .agg(percentile_approx(col("__q"), lit(0.1), lit(5000)).as("__lo"),
           percentile_approx(col("__q"), lit(0.9), lit(5000)).as("__hi"))
@@ -5772,13 +5775,16 @@ object Queries {
     // the quantized-long scores) and report the Gopher pass rate per
     // decile: does the cheap score actually order the rule battery?
     "corpus_quality_calibration" -> ((s, dir) => {
-      val base = docs(s, dir)
+      // persisted (r14): consumed by the decile-threshold aggregate AND
+      // the banded rollup — uncached, the tokenize+quality+gopher kernels
+      // ran twice per pass. Narrow (long, boolean) rows.
+      val base = Caching.ensureCached(docs(s, dir)
         .withColumn("__toks", TextOps.tokens(col("text")))
         .withColumn("__stats", TextOps.tokenStats(col("__toks")))
         .select(
           floor(TextOps.qualityFromStats(col("text"), col("__toks"), col("__stats"))
             * lit(10000.0) + lit(0.5)).cast("long").as("__qq"),
-          TextOps.gopherFlags(col("text"), col("__toks")).getField("pass").as("__gp"))
+          TextOps.gopherFlags(col("text"), col("__toks")).getField("pass").as("__gp")))
       val th = base.agg(expr(
         "percentile(__qq, array(0.1D,0.2D,0.3D,0.4D,0.5D,0.6D,0.7D,0.8D,0.9D))")
         .as("t"))

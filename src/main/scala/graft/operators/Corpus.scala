@@ -528,15 +528,22 @@ object Corpus {
     val tg = trainGrams.select(col("doc_id"), col("h"))
     // TWO single-distinct rollups joined — never two distinct aggregates
     // in one agg(), which Catalyst plans as an Expand that doubles every
-    // hit row through the shuffle (the repo's no-Expand rule)
-    val hits = bg.join(tg, Seq("h"))
+    // hit row through the shuffle (the repo's no-Expand rule).
+    // The hit frame is persisted (r14): both rollups consume it, and
+    // uncached the bench⋈train gram join executed TWICE per pass (the
+    // two subtrees prune different columns, so exchange reuse never
+    // fires). Narrow (bench_id, doc_id, h) rows, leak-bounded.
+    val hits = graft.Caching.ensureCached(bg.join(tg, Seq("h")))
     val docsPer = hits.select(col("bench_id"), col("doc_id")).distinct()
       .groupBy(col("bench_id")).agg(count(lit(1)).as("n_train_docs"))
     val gramsPer = hits.select(col("bench_id"), col("h")).distinct()
       .groupBy(col("bench_id")).agg(count(lit(1)).as("n_leaked_grams"))
+    // per-bench rollups are |benchmark|-bounded ("small by definition")
+    // — broadcast keeps the enumeration stitch hash-joined, not
+    // sort-merged (r14)
     benchIds.select(col("bench_id")).distinct()
-      .join(docsPer, Seq("bench_id"), "left_outer")
-      .join(gramsPer, Seq("bench_id"), "left_outer")
+      .join(broadcast(docsPer), Seq("bench_id"), "left_outer")
+      .join(broadcast(gramsPer), Seq("bench_id"), "left_outer")
       .select(col("bench_id"),
         coalesce(col("n_train_docs"), lit(0L)).as("n_train_docs"),
         coalesce(col("n_leaked_grams"), lit(0L)).as("n_leaked_grams"))
@@ -647,12 +654,18 @@ object Corpus {
     import spark.implicits._
     val step = (1L << 32) / nBuckets + 1 // ceil: bucket ids stay < nBuckets
     val bDf = budgets.toSeq.toDF("__src", "__budget")
-    val keyed = docs
+    // Persisted (r14): the keyed projection is consumed THREE times per
+    // materialization (bucket-offset aggregate, whole-bucket filter,
+    // straddling-bucket running sum), and its lineage carries the
+    // tokenize + content-hash kernels — uncached, the corpus was
+    // tokenized three times per pass. Narrow (long, src, long, long)
+    // rows — the digest-pass caching discipline.
+    val keyed = graft.Caching.ensureCached(docs
       .select(col("doc_id"), source.as("__src"), contentHash32(text).as("__h"),
         nTokens.cast("long").as("n_tokens"))
       .where(col("n_tokens") >= 1) // null-safe: null counts fail too
       .join(broadcast(bDf), Seq("__src"))
-      .withColumn("__b", expr(s"__h div ${step}L"))
+      .withColumn("__b", expr(s"__h div ${step}L")))
     val offsets = keyed
       .groupBy(col("__src"), col("__b")).agg(sum(col("n_tokens")).as("__bt"))
       .withColumn("__start",
@@ -730,6 +743,13 @@ object Corpus {
     require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
     val bucket = least(greatest(floor(score * nBuckets).cast("int"), lit(0)),
       lit(nBuckets - 1))
+    // NOTE (r14, measured): the frame feeds both the bucket histogram
+    // and the ranked pass, so the caller's score lineage executes twice
+    // per materialization. An operator-level persist here was tried and
+    // REVERTED — at bench scale the cache materialization cost more than
+    // the recompute (corpus_quality_band 1.02 → 1.23 s). A caller whose
+    // score is kernel-heavy at scale should pass a persisted input
+    // (see corpus_quality_band_sketch / corpus_quality_calibration).
     val withB = docs.withColumn("__score", score.cast("double"))
       .withColumn("__b", bucket)
     val counts = withB.groupBy(col("__b")).agg(count(lit(1)).as("__c"))
@@ -781,6 +801,12 @@ object Corpus {
     val step = hi / nBuckets + 1
     val bucket = least(greatest((value.cast("long") / step).cast("int"), lit(0)),
       lit(nBuckets - 1))
+    // NOTE (r14, measured): an operator-level persist of this frame was
+    // tried and REVERTED — corpus_median_length's value is a STORED
+    // column (n_chars), so recomputing the projection is nearly free and
+    // the cache materialization tripled the query (0.60 → 1.48 s). Same
+    // caller contract as [[qualityBand]]: persist upstream only when the
+    // value lineage is genuinely expensive.
     val withB = df.select(group.as("__g"), value.cast("long").as("__v"),
       id.as("__id"), bucket.as("__b"))
     val counts = withB.groupBy(col("__g"), col("__b")).agg(count(lit(1)).as("__c"))

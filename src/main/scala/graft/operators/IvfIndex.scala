@@ -372,6 +372,11 @@ object IvfIndex {
       .where(col("__cdist").isNotNull)
       .withColumn("__rank", row_number().over(w))
       .select(col("cluster_id"), col("__rank"))
+      // NOTE (r14): broadcast(sizes) was tried here and reverted — both
+      // sides are cluster-count-bounded, so the join is tiny either way,
+      // and A/B probes could not show a win for the extra
+      // BroadcastExchange (a driver collect round-trip per
+      // materialization) over the small sort-merge.
       .join(sizes, Seq("cluster_id"), "left_outer")
     val totals = model.assigned.agg(count(lit(1)).as("store_rows"))
       .crossJoin(model.centroids.agg(count(lit(1)).as("store_clusters")))

@@ -52,6 +52,30 @@ class TextOpsSpec extends SparkSpec {
     assert(one[String]("zzz qqq xxx", TextOps.langId(col("text"))) === "und")
   }
 
+  test("langFromVotes: first-max-wins tie order, all-zero and NULL → und " +
+    "(the r14 argmax rewrite pins the r13 fold's exact semantics)") {
+    // the r13 foldLeft replaced the leader only on a STRICT improvement,
+    // so a tie keeps the earlier StopwordsByLang entry; the r14
+    // array_max + first-index form must reproduce that total order on
+    // every vote shape, including the degenerate ones
+    val langs = TextOps.StopwordsByLang.map(_._1) // en, es, fr, de, zh
+    def lang(votes: Seq[Int]): String =
+      Seq(Tuple1(votes)).toDF("v")
+        .select(TextOps.langFromVotes(col("v")).as("l")).head().getString(0)
+    assert(lang(Seq(2, 2, 1, 0, 0)) === "en")   // en/es tie → earlier (en)
+    assert(lang(Seq(1, 3, 3, 3, 0)) === "es")   // 3-way tie → earliest (es)
+    assert(lang(Seq(0, 0, 0, 0, 5)) === "zh")   // unique max anywhere
+    assert(lang(Seq(0, 0, 0, 0, 0)) === "und")  // all-zero
+    val nullLang = Seq(Tuple1(Option.empty[Seq[Int]])).toDF("v")
+      .select(TextOps.langFromVotes(col("v")).as("l")).head().getString(0)
+    assert(nullLang === "und") // NULL votes
+    // exhaustive one-hot sanity: position i wins as langs(i)
+    langs.indices.foreach { i =>
+      val v = Seq.fill(langs.size)(0).updated(i, 1)
+      assert(lang(v) === langs(i), s"one-hot $i")
+    }
+  }
+
   test("quality score is clamped to [0,1] and deterministic") {
     val s1 = one[Double]("the cat and the dog in the house", TextOps.qualityScore(col("text")))
     val s2 = one[Double]("the cat and the dog in the house", TextOps.qualityScore(col("text")))
@@ -117,6 +141,37 @@ class TextOpsSpec extends SparkSpec {
     assert(got.values.forall(_ > 0))
     assert(got(1L) > got(2L),
       s"doc with the rare term must outrank: ${got(1L)} vs ${got(2L)}")
+  }
+
+  test("bm25: the r14 one-aggregate idf pass equals the explicit " +
+    "per-term df computation (hand-derived idfs, positional order)") {
+    // the r13 form derived per-term df by posexplode → groupBy(pos);
+    // the r14 form computes |terms| fixed conditional sums in one
+    // constant-width aggregate. Pin the scores against idfs derived by
+    // hand from the same df counts so a positional mix-up (term i
+    // getting term j's df) cannot survive.
+    import spark.implicits._
+    val docsDf = Seq(
+      (1L, "apple banana banana"),
+      (2L, "banana cherry cherry cherry"),
+      (3L, "banana banana apple apple apple"))
+      .toDF("doc_id", "text")
+    val terms = Seq("apple", "banana", "cherry") // df: 2, 3, 1 over N=3
+    val got = TextOps.bm25(docsDf, col("text"), terms)
+      .as[(Long, Double)].collect().toMap
+    val k1 = 1.2; val b = 0.75
+    val n = 3.0; val dfs = Map("apple" -> 2.0, "banana" -> 3.0, "cherry" -> 1.0)
+    val avgdl = (3 + 4 + 5) / 3.0
+    def idf(t: String) = math.log(1.0 + (n - dfs(t) + 0.5) / (dfs(t) + 0.5))
+    def contrib(t: String, tf: Double, dl: Double) =
+      idf(t) * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+    val exp = Map(
+      1L -> (contrib("apple", 1, 3) + contrib("banana", 2, 3)),
+      2L -> (contrib("banana", 1, 4) + contrib("cherry", 3, 4)),
+      3L -> (contrib("apple", 3, 5) + contrib("banana", 2, 5)))
+    exp.foreach { case (id, e) =>
+      assert(math.abs(got(id) - e) < 1e-12, s"doc $id: ${got(id)} vs $e")
+    }
   }
 
   test("charLmScore: corpus-typical text outranks gibberish; all-unseen doc sits at the floor") {
