@@ -5973,6 +5973,11 @@ object Queries {
     // multiset, while the LC cells frame is map-side-deduplicated and
     // bounded; the exact column here is the verification twin.
     "corpus_vocab_lc" -> ((s, dir) => {
+      // NOTE (r14): sh is consumed by BOTH the exact-distinct rollup and
+      // the linear-counting estimate (two tokenize+shingle passes per
+      // materialization); an ensureCached persist was tried and REVERTED
+      // — paired A/B at quiet load showed no win (the exploded frame's
+      // cache write costs what the recompute costs at bench scale).
       val sh = docs(s, dir)
         .select(col("source").as("grp"),
           explode(TextOps.shingleHashes(TextOps.shingles(col("text"), 3))).as("key"))
