@@ -374,6 +374,21 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] bench.json write failed: ${e.getMessage}")
     }
+    // Per-query MINS in SHORT chunk lines between the detail line and the
+    // final total (r14 verdict item 1, additions-only): the ~8 KB
+    // total_detail line has landed truncated in EVERY round's driver
+    // artifact (2000-char log tail → PERF per_query empty since r6), so
+    // the per-query data the round-over-round gate needs never reached
+    // the driver. Each chunk is ~200 chars — whole lines survive any
+    // tail cut — and chunks are ordered ASCENDING by time so the tail
+    // keeps the slowest (most informative) queries. A consumer rebuilds
+    // the full map by merging every {"metric":"query_min"} line; all
+    // chunks also remain in the total_detail line and target/bench.json.
+    mins.toSeq.sortBy { case (k, v) => (v, k) }.grouped(6).foreach { chunk =>
+      val m = chunk.map { case (k, v) => "\"" + k + "\":" + f4(v) }
+        .mkString("{", ",", "}")
+      println(s"""{"metric":"query_min","queries":$m}""")
+    }
     // LAST line: a compact summary that fits the driver's 2000-char log
     // tail whole (the full line above is ~8 KB and lands truncated →
     // r6/r7/r8 artifacts show "parsed": null). Per-query detail lives in

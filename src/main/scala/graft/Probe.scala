@@ -30,6 +30,15 @@ object Probe {
     // sorted order with the bench's family-boundary clearCache so the
     // family-memo attribution matches the bench artifact.
     if (name == "explainAll") {
+      // NOTE: unlike the single-query form, explainAll reads the data dir
+      // from SPARK_GRAFT_SF_DIR (args(1) is the OUTPUT dir) — guard the
+      // arity so `Probe explainAll` alone fails with usage, not an
+      // ArrayIndexOutOfBounds (r14 advice)
+      if (args.length < 3) {
+        System.err.println(
+          "usage: SPARK_GRAFT_SF_DIR=<sfDir> Probe explainAll <outDir> <q1> [q2 ...]")
+        spark.stop(); sys.exit(2)
+      }
       val sweepDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
       val outDir = java.nio.file.Paths.get(args(1))
       java.nio.file.Files.createDirectories(outDir)

@@ -860,6 +860,32 @@ object Queries {
     graft.streaming.EventStream.loadEvents(s, dir)
   private def recs(s: SparkSession, dir: String): DataFrame = Records.fromEmbeddings(s, dir)
 
+  /** The event-type TRANSITION-COUNT matrix `(from_type, to_type, n)` —
+    * the fitted Markov model of the event log, memoized per
+    * (session, dir) with the [[lmModel]]/[[nbModelOf]] checkpoint
+    * discipline (r15, granted by the r14 verdict): a production session
+    * fits the chain ONCE per log version, and the matrix is
+    * vocabulary²-bounded (tiny), so each of its THREE consumers —
+    * `events_conversion_matrix` (shares), `events_markov` (stationary
+    * distribution) and `events_markov_acc` (argmax predictor + scoring)
+    * — re-running the full per-user lead window + aggregation per pass
+    * was pure recompute of a converged result. Counting stays
+    * distributed (one window + one map-side-combinable aggregate, here
+    * once per session); consumers do driver math or tiny-frame joins.
+    * Session-scoped only: every bench/verify JVM recomputes from
+    * parquet. NOTE: `localCheckpoint` blocks live on executors — fine
+    * for the local[n] bench; a cluster deployment with dynamic
+    * allocation should use reliable `checkpoint()` or a written table. */
+  private val typeTransitionsCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private def typeTransitions(s: SparkSession, dir: String): DataFrame = {
+    typeTransitionsCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    typeTransitionsCache.computeIfAbsent((s, dir), _ =>
+      org.apache.spark.sql.graft.PlanBridge.statsReset(
+        operators.Events.transitionCounts(events(s, dir))
+          .localCheckpoint(eager = true)))
+  }
+
   /** The sign-packed binary-code store `recs + bcode`, memoized per
     * (session, dir) and persisted — session state for the whole binary
     * Hamming family (query/rerank/batch/filtered/curve/methods-report):
@@ -996,6 +1022,17 @@ object Queries {
     val assigned = fixedModelCache.computeIfAbsent(
       (s, dir, metric.name),
       _ => IvfIndex.assign(recs(s, dir), c, metric))
+    // NOTE (r15, measured): checkpoint-backing this fixture (the r14
+    // Batch-A discipline) was tried and REVERTED — the whole ivf family
+    // ran ~2× SLOWER (probe_cost 0.62 → 1.67 s, tuning_curve 1.38 →
+    // 2.59 s paired). Unlike the drained/merged/NB fixtures, (a) the
+    // assign lineage is a cheap map-only pass, so the planning saved per
+    // reference is small, and (b) most consumers read a NARROW slice
+    // (cluster_id, id) — the columnar ensureCached serves pruned
+    // columns, while a LogicalRDD leaf deserializes full rows
+    // (embedding + metadata map) at every scan. Checkpoint converged
+    // fixtures when the lineage is join/fit-heavy; keep plan-matched
+    // caching when the lineage is map-only and consumers prune columns.
     IvfIndex.Model(c, Caching.ensureCached(assigned))
   }
 
@@ -1025,9 +1062,14 @@ object Queries {
       // every reference — ivf_compaction_gain's physical plan was
       // 11.5k lines / 1232 Exchange nodes, ~3.4 s of per-pass driver
       // planning at sf0.1. A LogicalRDD leaf collapses every reference.
-      org.apache.spark.sql.graft.PlanBridge.statsReset(
+      val ckpt = org.apache.spark.sql.graft.PlanBridge.statsReset(
         IvfIndex.applyDiff(m, changes, Metric.Euclidean).assigned
           .localCheckpoint(eager = true))
+      // the eager checkpoint above is the last consumer of `changes`:
+      // drop its cache entry now instead of leaving a dead pin until the
+      // next clearCache (r14 advice)
+      changes.unpersist()
+      ckpt
     })
   }
 
@@ -2563,23 +2605,36 @@ object Queries {
         .select(col("embedding").as("qvec"))
       val exact10 = Knn.search(da, qv, 10, Metric.Euclidean)
         .select(col("id"))
-      def curve(m: IvfIndex.Model, suffix: String): DataFrame = {
-        val hits = IvfIndex.queryProbeSweep(m, qv, k = 10,
-            probes, Metric.Euclidean)
-          .join(broadcast(exact10), Seq("id"), "left_semi")
-          .groupBy(col("probes")).agg(count(lit(1)).as("__h"))
-        // hits is ≤|probes| rows — broadcast keeps the final stitch a
-        // BroadcastHashJoin instead of a sort-merge (2 Sort + 1 Exchange
-        // stages dropped per curve; r14)
-        IvfIndex.probeCost(m, qv, probes, Metric.Euclidean)
-          .join(broadcast(hits), Seq("probes"), "left")
-          .select(col("probes"),
-            col("rows_scanned").as(s"rows_$suffix"),
-            col("scan_frac").as(s"frac_$suffix"),
-            r4(coalesce(col("__h"), lit(0L)).cast("double") / lit(10.0))
-              .as(s"recall_$suffix"))
-      }
-      curve(before, "before").join(curve(after, "after"), Seq("probes"))
+      // ONE tagged sweep + ONE tagged cost pass over the union of the
+      // two stores instead of one each per model (r15; guide §2.4 —
+      // the r14 form re-ran the ranking window, the store scan, the
+      // sizes rollup and the exact10 subtree once per curve: 84
+      // Exchange / 22 parquet scans). Tagged outputs are law-pinned
+      // row-identical per model, so the pivot below reproduces the
+      // old two-join stitch cell for cell.
+      val models = Seq("before" -> before, "after" -> after)
+      val hits = IvfIndex.queryProbeSweepTagged(models, qv, k = 10,
+          probes, Metric.Euclidean)
+        .join(broadcast(exact10), Seq("id"), "left_semi")
+        .groupBy(col("__model"), col("probes")).agg(count(lit(1)).as("__h"))
+      val curves = IvfIndex.probeCostTagged(models, qv, probes, Metric.Euclidean)
+        .join(broadcast(hits), Seq("__model", "probes"), "left")
+        .select(col("__model"), col("probes"),
+          col("rows_scanned"), col("scan_frac"),
+          r4(coalesce(col("__h"), lit(0L)).cast("double") / lit(10.0))
+            .as("recall"))
+      // pivot the model tag into the before/after column pairs; every
+      // (model, probes) cell exists (probeCostTagged left-joins the
+      // budget list), so each max(when) picks exactly one value
+      def cell(tag: String, c: String) =
+        max(when(col("__model") === tag, col(c)))
+      curves.groupBy(col("probes")).agg(
+          cell("before", "rows_scanned").as("rows_before"),
+          cell("before", "scan_frac").as("frac_before"),
+          cell("before", "recall").as("recall_before"),
+          cell("after", "rows_scanned").as("rows_after"),
+          cell("after", "scan_frac").as("frac_after"),
+          cell("after", "recall").as("recall_after"))
         .orderBy("probes")
     }),
 
@@ -4587,12 +4642,19 @@ object Queries {
     // AND the top tail as templated text). Exact ranks via the two-level
     // prefix-sum layout — no single-partition global window
     "corpus_quality_band" -> ((s, dir) => {
-      val scored = docsSpread(s, dir)
+      // caller-level persist (r15, verdict item 6): qualityBand consumes
+      // its input twice (bucket histogram + ranked pass), so the
+      // tokenize+quality kernel ran twice per materialization. The r14
+      // OPERATOR-level persist was reverted because it cached the frame
+      // one projection too late (score + bucket over the full row);
+      // caching the narrow (doc_id, quality) projection is the same
+      // granularity that paid for quality_band_sketch / calibration.
+      val scored = Caching.ensureCached(docsSpread(s, dir)
         .withColumn("__toks", TextOps.tokens(col("text")))
         .withColumn("__stats", TextOps.tokenStats(col("__toks")))
         .select(col("doc_id"),
           r4(TextOps.qualityFromStats(col("text"), col("__toks"), col("__stats")))
-            .as("quality"))
+            .as("quality")))
       graft.operators.Corpus.qualityBand(scored, col("quality"), col("doc_id"),
           loPct = 0.1, hiPct = 0.9)
         .select(col("doc_id"), col("quality"), r4(col("pct_rank")).as("pct_rank"))
@@ -5469,14 +5531,10 @@ object Queries {
     // partitions on the user key (fine-grained — never a global rank);
     // shares divide exact counts
     "events_conversion_matrix" -> ((s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-      val trans = events(s, dir)
-        .where(col("user_id").isNotNull)
-        .withColumn("to_type", lead(col("event_type"), 1).over(w))
-        .where(col("to_type").isNotNull)
-        .groupBy(col("event_type").as("from_type"), col("to_type"))
-        .agg(count(lit(1)).as("n"))
+      // rides the [[typeTransitions]] session fixture (r15): the counts
+      // are identical to the old inline window+aggregate — only the
+      // per-pass recompute of the converged matrix is gone
+      val trans = typeTransitions(s, dir)
       val totals = trans.groupBy(col("from_type")).agg(sum(col("n")).as("__t"))
       trans.join(broadcast(totals), Seq("from_type"))
         .select(col("from_type"), col("to_type"), col("n"),
@@ -5489,7 +5547,9 @@ object Queries {
     // is distributed, the vocabulary-bounded matrix iterates on the
     // driver (small-support-model rule), oracle unrolls the same steps
     "events_markov" -> ((s, dir) =>
-      operators.Events.stationaryDistribution(events(s, dir), iters = 12)
+      // the power iteration reads the [[typeTransitions]] session
+      // fixture (r15) — identical matrix, identical driver math
+      operators.Events.stationaryFromCounts(typeTransitions(s, dir), iters = 12)
         .select(col("event_type"), r4(col("prob")).as("prob"))
         .orderBy("event_type")),
 
@@ -5545,25 +5605,24 @@ object Queries {
     // log itself (vocabulary-bounded argmax map rides the plan as a
     // literal; counting stays distributed; tie → lexicographic type)
     "events_markov_acc" -> ((s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-      val trans = events(s, dir)
-        .where(col("user_id").isNotNull)
-        .withColumn("__to", lead(col("event_type"), 1).over(w))
-        .where(col("__to").isNotNull)
-        .select(col("event_type").as("__from"), col("__to"))
-      val cells = trans.groupBy(col("__from"), col("__to"))
-        .agg(count(lit(1)).as("__n")).collect()
+      // both the argmax predictor AND the scoring aggregate derive from
+      // the [[typeTransitions]] fixture (r15): over exact longs,
+      // n_trans(f) = Σ_t n(f,t) and n_correct(f) = n(f, pred(f)) are
+      // identities of the old per-transition-row form — which re-ran
+      // the per-user lead window TWICE per pass (once collecting the
+      // matrix, once scoring)
+      val trans = typeTransitions(s, dir)
+      val cells = trans.collect()
         .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
       val predMap = cells.groupBy(_._1).map { case (f, cs) =>
         f -> cs.minBy(c => (-c._3, c._2))._2
       }
       val pred = typedLit(predMap)
       trans
-        .groupBy(col("__from").as("from_type"))
-        .agg(count(lit(1)).as("n_trans"),
-          sum(when(element_at(pred, col("__from")) === col("__to"), 1L)
-            .otherwise(0L)).as("n_correct"))
+        .groupBy(col("from_type"))
+        .agg(sum(col("n")).as("n_trans"),
+          sum(when(element_at(pred, col("from_type")) === col("to_type"),
+            col("n")).otherwise(0L)).as("n_correct"))
         .select(col("from_type"),
           element_at(pred, col("from_type")).as("predicted"),
           col("n_trans"), col("n_correct"),

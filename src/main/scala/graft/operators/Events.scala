@@ -193,18 +193,36 @@ object Events {
   def stationaryDistribution(
       events: DataFrame,
       iters: Int = 12,
+      userCol: String = "user_id"): DataFrame =
+    stationaryFromCounts(transitionCounts(events, userCol), iters)
+
+  /** The event-type transition-COUNT matrix `(from_type, to_type, n)` —
+    * the distributed half of the Markov machinery, split out (r15) so a
+    * session can fit the matrix once and serve every consumer
+    * ([[stationaryFromCounts]], the argmax predictor, the share
+    * matrix). One per-user lead window + one map-side-combinable
+    * aggregate; output bounded by the type vocabulary squared. */
+  def transitionCounts(events: DataFrame,
       userCol: String = "user_id"): DataFrame = {
-    require(iters >= 0, "iters must be non-negative")
-    val spark = events.sparkSession
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(userCol)).orderBy(col("ts"), col("event_id"))
-    val pairs = events
+    events
       .where(col(userCol).isNotNull)
       .withColumn("__to", lead(col("event_type"), 1).over(w))
       .where(col("__to").isNotNull)
-      .groupBy(col("event_type").as("__from"), col("__to"))
-      .agg(count(lit(1)).as("__n"))
-    val cells = pairs.collect()
+      .groupBy(col("event_type").as("from_type"), col("__to").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** [[stationaryDistribution]]'s driver half over a pre-computed
+    * `(from_type, to_type, n)` counts frame (exact longs). Same
+    * determinism contract as the scaladoc above — this IS the code path
+    * stationaryDistribution always ran; only the counting moved. */
+  def stationaryFromCounts(counts: DataFrame, iters: Int = 12): DataFrame = {
+    require(iters >= 0, "iters must be non-negative")
+    val spark = counts.sparkSession
+    val cells = counts.select(col("from_type"), col("to_type"), col("n"))
+      .collect()
       .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
     val types = cells.keysIterator
       .flatMap { case (a, b) => Iterator(a, b) }.toSeq.distinct.sorted
@@ -441,16 +459,23 @@ object Events {
         when(col("event_type") === "purchase", lit("conv"))
           .otherwise(concat(lit("c"), col("__camp").cast("string"))).as("state"))
     val trans = (if (chunkSec <= 0L) {
+      // ONE window pass (r15): the union form consumed the `seq` window
+      // subtree twice per materialization (main transitions + start
+      // rows) — the start row is just the __ord == 1 row, so both
+      // transition kinds explode out of a single pass. Same (f, t)
+      // multiset: order is irrelevant to the downstream count.
       val seq = kept
         .withColumn("__ord", row_number().over(w))
         .withColumn("__nxt", lead(col("state"), 1).over(w))
+      val mainT = struct(col("state").as("f"),
+        coalesce(col("__nxt"),
+          when(col("state") === "conv", lit(null).cast("string"))
+            .otherwise(lit("drop"))).as("t"))
+      val startT = struct(lit("start").as("f"), col("state").as("t"))
       seq
-        .select(col("state").as("f"),
-          coalesce(col("__nxt"),
-            when(col("state") === "conv", lit(null).cast("string"))
-              .otherwise(lit("drop"))).as("t"))
-        .unionByName(seq.where(col("__ord") === 1)
-          .select(lit("start").as("f"), col("state").as("t")))
+        .select(explode(when(col("__ord") === 1, array(mainT, startT))
+          .otherwise(array(mainT))).as("__ft"))
+        .select(col("__ft.f").as("f"), col("__ft.t").as("t"))
     } else {
       // Segmented sequence scan: a transition is either WITHIN a chunk
       // (lead over (user, chunk) — the whale's history splits across

@@ -1325,6 +1325,127 @@ object IvfIndex {
       .select(col("query_id").as("probes"), col("id"), col("distance"))
   }
 
+  /** [[queryProbeSweep]] over SEVERAL models in ONE pass: the models'
+    * centroid/assignment frames are unioned under a `__model` tag, the
+    * rank window partitions by (model, qvec), and the bounded heap runs
+    * per (model, probes) — so a before/after dashboard
+    * (`ivf_compaction_gain`) pays ONE ranking window, ONE data-scan
+    * chain and ONE top-k aggregation instead of one each per model
+    * (guide §2.4: two operations keyed the same way share one
+    * exchange). Output `(__model, probes, id, distance)` is
+    * row-identical per model to [[queryProbeSweep]] (law-pinned in
+    * IvfIndexSpec): the window, the rank-prefix fan-out and the heap
+    * are all keyed by the tag, so models never mix. */
+  def queryProbeSweepTagged(
+      models: Seq[(String, Model)],
+      query: DataFrame,
+      k: Int,
+      probePoints: Seq[Int],
+      metric: Metric = Metric.Euclidean): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0, "k must be positive")
+    require(probePoints.nonEmpty, "probePoints must be non-empty")
+    require(models.nonEmpty, "models must be non-empty")
+    require(models.map(_._1).distinct.size == models.size,
+      "model tags must be distinct")
+    val spark = models.head._2.assigned.sparkSession
+    import spark.implicits._
+    val cents = models.map { case (t, m) =>
+      m.centroids.select(lit(t).as("__model"), col("cluster_id"), col("centroid"))
+    }.reduce(_ unionByName _)
+    val asg = models.map { case (t, m) =>
+      m.assigned.select(lit(t).as("__model"), col("cluster_id"),
+        col("id"), col("embedding"))
+    }.reduce(_ unionByName _)
+    val w = Window.partitionBy(col("__model"), col("qvec"))
+      .orderBy(isnan(col("__cdist")).asc, col("__cdist").asc, col("cluster_id").asc)
+    val ranked = cents.crossJoin(broadcast(query))
+      .withColumn("__cdist", metric.distance(col("centroid"), col("qvec")))
+      .where(col("__cdist").isNotNull)
+      .withColumn("__rank", row_number().over(w))
+      .select(col("__model"), col("cluster_id"), col("__rank"))
+    val points = probePoints.toDF("probes")
+    val cands = asg
+      .join(broadcast(ranked), Seq("__model", "cluster_id"))
+      .crossJoin(broadcast(query))
+      .withColumn("distance", metric.distance(col("embedding"), col("qvec")))
+      .where(!isnan(col("distance")))
+      .select(col("__model"), col("id"), col("__rank"), col("distance"))
+      .join(broadcast(points), col("__rank") <= col("probes"))
+      // the (model, probes) pair IS the heap key: topKPerQueryPairs
+      // groups by the whole query_id column, struct or scalar alike
+      .select(struct(col("__model"), col("probes")).as("query_id"),
+        col("distance"), col("id"))
+    Knn.topKPerQueryPairs(cands, k)
+      .select(col("query_id.__model").as("__model"),
+        col("query_id.probes").as("probes"), col("id"), col("distance"))
+  }
+
+  /** [[probeCost]] over SEVERAL models in ONE pass — the cost half of
+    * the tagged-union dashboard machinery (see
+    * [[queryProbeSweepTagged]]): one tagged sizes rollup, one tagged
+    * ranking window, one rank-prefix aggregate; totals stay the
+    * per-model two-count cross of [[probeCost]]. Output adds `__model`
+    * in front of [[probeCost]]'s columns and is otherwise row-identical
+    * per model (law-pinned in IvfIndexSpec). */
+
+  def probeCostTagged(
+      models: Seq[(String, Model)],
+      query: DataFrame,
+      probesList: Seq[Int],
+      metric: Metric = Metric.Euclidean): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(probesList.nonEmpty,
+      "probeCost needs at least one probe budget (got an empty probesList)")
+    require(models.nonEmpty, "models must be non-empty")
+    require(models.map(_._1).distinct.size == models.size,
+      "model tags must be distinct")
+    val spark = models.head._2.assigned.sparkSession
+    import spark.implicits._
+    val cents = models.map { case (t, m) =>
+      m.centroids.select(lit(t).as("__model"), col("cluster_id"), col("centroid"))
+    }.reduce(_ unionByName _)
+    val asg = models.map { case (t, m) =>
+      m.assigned.select(lit(t).as("__model"), col("cluster_id"))
+    }.reduce(_ unionByName _)
+    val w = Window.partitionBy(col("__model"), col("qvec"))
+      .orderBy(isnan(col("__cdist")).asc, col("__cdist").asc, col("cluster_id").asc)
+    val sizes = asg.groupBy(col("__model"), col("cluster_id"))
+      .agg(count(lit(1)).as("__csz"))
+    val ranked = cents.crossJoin(broadcast(query))
+      .withColumn("__cdist", metric.distance(col("centroid"), col("qvec")))
+      .where(col("__cdist").isNotNull)
+      .withColumn("__rank", row_number().over(w))
+      .select(col("__model"), col("cluster_id"), col("__rank"))
+      .join(sizes, Seq("__model", "cluster_id"), "left_outer")
+    val tags = models.map(_._1).toDF("__model")
+    // totals per model as two single-partition counts (the [[probeCost]]
+    // shape): deriving store_rows from the sizes rollup was tried and
+    // measured WORSE — it duplicates the sizes subtree (re-inlining the
+    // whole assignment lineage when a model is not checkpoint-backed)
+    // and adds two tag-keyed joins where a cross of 1-row aggregates
+    // suffices (r15)
+    val totals = models.map { case (t, m) =>
+      m.assigned.agg(count(lit(1)).as("store_rows"))
+        .crossJoin(m.centroids.agg(count(lit(1)).as("store_clusters")))
+        .select(lit(t).as("__model"), col("store_rows"), col("store_clusters"))
+    }.reduce(_ unionByName _)
+    probesList.distinct.toDF("probes").crossJoin(tags)
+      .join(broadcast(ranked),
+        ranked("__model") === tags("__model") && col("__rank") <= col("probes"),
+        "left_outer")
+      .drop(ranked("__model"))
+      .groupBy(col("__model"), col("probes"))
+      .agg(count(col("cluster_id")).as("n_probed"),
+        coalesce(sum(col("__csz")), lit(0L)).as("rows_scanned"))
+      .join(broadcast(totals), Seq("__model"))
+      .select(col("__model"), col("probes"), col("n_probed"),
+        col("rows_scanned"), col("store_rows"), col("store_clusters"),
+        when(col("store_rows") === 0L, lit(0.0))
+          .otherwise(floor(col("rows_scanned").cast("double") / col("store_rows")
+            * lit(10000.0) + lit(0.5)) / lit(10000.0)).as("scan_frac"))
+  }
+
   /** Batch MIPS serving — [[queryBatch]] for DOT-PRODUCT order via the
     * norm-augmentation reduction (Bachrach et al., RecSys 2014): with
     * x̃ = x ++ [√(M² − |x|²)] and q̃ = q ++ [0], |x̃|² is the constant

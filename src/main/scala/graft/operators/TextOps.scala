@@ -839,13 +839,25 @@ object TextOps {
         .as(s"__df_$i"))
     val statsAggs =
       Seq(count(lit(1)).as("__n"), avg(col("__dl")).as("__avgdl")) ++ dfAggs
-    val stats = withTf(docs)
+    // Persisted (r15): the tf projection feeds BOTH the corpus-stats
+    // aggregate and the score pass — the last duplicate tokenize pass
+    // the r14 rewrite left (2 → 1 per materialization; plan scans 4→3
+    // for text_bm25, 14→13 for hybrid_rrf_query). Narrow
+    // (doc_id, __dl, |terms| ints) rows; same digest-pass discipline as
+    // [[tfidfTopK]]. Paired probe: hybrid_rrf_query 1.04 → 0.81 s;
+    // text_bm25 itself flat-in-noise locally (its tokenize kernel is
+    // cheap at sf0.1) — the persist is kept for the pass-count
+    // reduction, which is what matters at scale (the r14
+    // when-does-persist-pay rule: the recomputed subtree here is the
+    // tokenize+per-term-scan kernel, not a map-only projection).
+    val tf = graft.Caching.ensureCached(withTf(docs))
+    val stats = tf
       .agg(statsAggs.head, statsAggs.tail: _*)
       .select(col("__n"), col("__avgdl"),
         array(terms.indices.map(i =>
           log(lit(1.0) + (col("__n") - col(s"__df_$i") + lit(0.5)) /
             (col(s"__df_$i") + lit(0.5)))): _*).as("__idfs"))
-    withTf(docs)
+    tf
       .crossJoin(broadcast(stats))
       .withColumn("__contribs",
         zip_with(col("__tfs"), col("__idfs"), (tf, idf) =>

@@ -203,6 +203,38 @@ class IvfIndexSpec extends SparkSpec {
     }
   }
 
+  test("tagged sweep/cost law: queryProbeSweepTagged and probeCostTagged are " +
+    "row-identical per model to the single-model operators") {
+    // two genuinely different stores sharing the machinery — the
+    // ivf_compaction_gain shape (r15): a fine build and a compacted one
+    val fine = IvfIndex.build(records, density = 64, Metric.Euclidean, seed = 42L)
+    val floor = (records.count() + 3L) / 4L // aggressive merge floor
+    val coarse = IvfIndex.mergeSmall(fine, floor, Metric.Euclidean)
+    val models = Seq("before" -> fine, "after" -> coarse)
+    val q = records.where(col("id") === 7).select(col("embedding").as("qvec"))
+    val points = Seq(1, 2, 4, 999)
+    val sweepT = IvfIndex.queryProbeSweepTagged(models, q, 10, points, Metric.Euclidean)
+      .select("__model", "probes", "id", "distance")
+      .as[(String, Int, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3, r._4)).toSet).toMap
+    val costT = IvfIndex.probeCostTagged(models, q, points, Metric.Euclidean)
+      .select("__model", "probes", "n_probed", "rows_scanned", "store_rows",
+        "store_clusters", "scan_frac")
+      .as[(String, Int, Long, Long, Long, Long, Double)].collect()
+      .groupBy(_._1).view
+      .mapValues(_.map(r => (r._2, r._3, r._4, r._5, r._6, r._7)).toSet).toMap
+    models.foreach { case (tag, m) =>
+      val sweep1 = IvfIndex.queryProbeSweep(m, q, 10, points, Metric.Euclidean)
+        .select("probes", "id", "distance").as[(Int, Long, Double)].collect().toSet
+      assert(sweepT(tag) === sweep1, s"sweep mismatch for $tag")
+      val cost1 = IvfIndex.probeCost(m, q, points, Metric.Euclidean)
+        .select("probes", "n_probed", "rows_scanned", "store_rows",
+          "store_clusters", "scan_frac")
+        .as[(Int, Long, Long, Long, Long, Double)].collect().toSet
+      assert(costT(tag) === cost1, s"cost mismatch for $tag")
+    }
+  }
+
   test("queryMipsBatch at full probe equals brute-force per-query dot top-k " +
     "(descending dot, ties to the smaller id)") {
     val base = records.withColumn("__n2",
