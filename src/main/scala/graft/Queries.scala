@@ -1062,6 +1062,11 @@ object Queries {
       // every reference — ivf_compaction_gain's physical plan was
       // 11.5k lines / 1232 Exchange nodes, ~3.4 s of per-pass driver
       // planning at sf0.1. A LogicalRDD leaf collapses every reference.
+      // Cluster caveat (r15, per advice — applies to every localCheckpoint
+      // memo here): blocks live on executors with lineage truncated, so
+      // under executor loss / dynamic allocation the fixture is
+      // unrecoverable mid-session; a cluster deployment should use
+      // reliable checkpoint() or a written table instead.
       val ckpt = org.apache.spark.sql.graft.PlanBridge.statsReset(
         IvfIndex.applyDiff(m, changes, Metric.Euclidean).assigned
           .localCheckpoint(eager = true))

@@ -533,6 +533,12 @@ object Corpus {
     // uncached the bench⋈train gram join executed TWICE per pass (the
     // two subtrees prune different columns, so exchange reuse never
     // fires). Narrow (bench_id, doc_id, h) rows, leak-bounded.
+    // Cache lifecycle (r15, per advice): operator-level ensureCached
+    // entries are plan-matched and re-registered per distinct input —
+    // they cannot be unpersisted here without forcing eager execution,
+    // so a LONG-LIVED session calling this operator over varying inputs
+    // must clearCache at its own task boundaries (the bench's
+    // family-boundary clear is that contract).
     val hits = graft.Caching.ensureCached(bg.join(tg, Seq("h")))
     val docsPer = hits.select(col("bench_id"), col("doc_id")).distinct()
       .groupBy(col("bench_id")).agg(count(lit(1)).as("n_train_docs"))
