@@ -444,13 +444,17 @@ object Events {
         when(col("event_type") === "view",
           get_json_object(col("props"), "$.k").cast("long")).as("__camp"))
     // "no purchase strictly before this row" ⇔ (ts, event_id) ≤ the
-    // user's FIRST purchase (the order is total: event_id tiebreak) —
-    // one aggregate + one equi-join instead of an unbounded-preceding
-    // running sum over each user's entire history
-    val firstPurchase = ev.where(col("event_type") === "purchase")
-      .groupBy(col(userCol))
-      .agg(min(struct(col("ts"), col("event_id"))).as("__fp"))
-    val kept = ev.join(firstPurchase, Seq(userCol), "left")
+    // user's FIRST purchase (the order is total: event_id tiebreak).
+    // The first purchase is a partition-wide analytic min over the SAME
+    // user partitioning the sequence window below already pays (r15):
+    // the r14 form ran a separate aggregate + join-back, scanning the
+    // event log twice per pass — min() skips the when()'s nulls, so the
+    // window value equals the old groupBy-min for purchasing users and
+    // stays null for the rest, row for row.
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col(userCol))
+    val kept = ev
+      .withColumn("__fp", min(when(col("event_type") === "purchase",
+        struct(col("ts"), col("event_id")))).over(wAll))
       .where((col("__fp").isNull ||
           struct(col("ts"), col("event_id")) <= col("__fp")) &&
         (col("event_type") === "purchase" ||
